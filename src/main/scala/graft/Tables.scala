@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every loader is a plain parquet scan so Catalyst keeps full
+  * filter/column pushdown and partition pruning; at cluster scale the
+  * same code reads a partitioned table directory unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
+    * natively; read it as raw epoch-nanos long (runtime-settable legacy
+    * conf) and expose `ts_ns` (long) + `ts_sec` (double seconds).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    df.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_sec", org.apache.spark.sql.functions.col("ts_ns") / 1e9)
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

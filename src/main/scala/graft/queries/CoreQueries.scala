@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Relational
+
+/** Core relational gate queries (SURVEY.md §2 #1–#6).
+  *
+  * TPC-H-shaped plans: selective filters are applied before joins (so
+  * parquet pushdown sees them), dimension sides are broadcast, fact
+  * joins shuffle only on their keys after column pruning.
+  */
+object CoreQueries {
+
+  val q01 = GateQuery.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q03 = GateQuery.sql(
+    "q03_shipping_priority",
+    """SELECT l.l_orderkey AS l_orderkey,
+      |  CAST(o.o_orderdate AS DATE) AS o_odate,
+      |  o.o_orderpriority AS o_orderpriority,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val c = broadcast(
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") > lit("1997-01-01").cast("date"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(c, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_odate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  val q04 = GateQuery.sql(
+    "q04_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q05 = GateQuery.sql(
+    "q05_local_supplier",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val supplier = Tables.supplier(s, d)
+    // nation ⋈ region ⋈ supplier is tiny → broadcast the combined dim.
+    val dims = broadcast(
+      supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(dims, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val qTopkCustomers = GateQuery.sql(
+    "q_topk_customers",
+    """WITH rev AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT n_name, c_name, revenue,
+      |  CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+      |FROM rev
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |QUALIFY rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin) { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val joined = rev
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+    Relational.topKPerGroup(joined, Seq(col("n_name")),
+        Seq(col("revenue").desc, col("c_custkey")), 3)
+      .select("n_name", "c_name", "revenue", "rnk")
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  val qPivotEvents = GateQuery.sql(
+    "q_pivot_events",
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    def n(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents)
+}
