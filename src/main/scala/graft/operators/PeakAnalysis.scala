@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Peak statistics & closed-form fits over scan points — the Spark
+  * re-expression of pyspec's `peakguess`/linear-fit routines
+  * (reference: pyspec `fit.py` peak-parameter estimation from
+  * weighted moments).
+  *
+  * Numerical strategy (SURVEY.md §4): aggregate in EXACT decimal /
+  * integer arithmetic (order-independent, so a 1000-executor shuffle
+  * reduces to the same bits as a single-threaded oracle), then do all
+  * lossy floating math on the already-reduced scalars.
+  *
+  * Scale: each operator is one hash aggregate with map-side partial
+  * combine; no windows, no driver collection. Groups never need to be
+  * memory-resident (unlike an iterative fitter) because the moments
+  * are streaming-computable.
+  */
+object PeakAnalysis {
+  /** 2*sqrt(2*ln 2): FWHM of a gaussian from its sigma. */
+  val FwhmFactor = 2.3548200450309493
+
+  /** Weighted peak moments per group: center of mass, gaussian-
+    * equivalent FWHM from the second central moment, height
+    * (max weight), and total weight.
+    *
+    * @param x integer abscissa column (e.g. relative epoch seconds)
+    * @param w exact-decimal weight column (e.g. detector counts)
+    */
+  def peakMoments(df: DataFrame, groupCols: Seq[String], x: Column, w: Column): DataFrame = {
+    val xd = x.cast("decimal(10,0)")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(w).as("sum_w"),
+      sum(w * xd).as("sum_wx"),
+      sum(w * xd * xd).as("sum_wx2"),
+      max(w).as("max_w"))
+    val sumW = col("sum_w").cast("double")
+    val com = col("sum_wx").cast("double") / sumW
+    val ex2 = col("sum_wx2").cast("double") / sumW
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        round(sumW, 2).as("w_total"),
+        round(col("max_w").cast("double"), 2).as("height"),
+        round(com, 4).as("com"),
+        round(lit(FwhmFactor) * sqrt(greatest(ex2 - com * com, lit(0.0))), 4).as("fwhm")): _*)
+  }
+
+  /** Closed-form least-squares line y = slope*x + intercept per group,
+    * from exact decimal sums (Sx, Sy, Sxy, Sxx).
+    */
+  def linReg(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    val xd = x.cast("decimal(10,0)")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("s_x"),
+      sum(y).as("s_y"),
+      sum(y * xd).as("s_xy"),
+      sum(xd * xd).as("s_xx"))
+    val nd = col("n").cast("double")
+    val sx = col("s_x").cast("double")
+    val sy = col("s_y").cast("double")
+    val sxy = col("s_xy").cast("double")
+    val sxx = col("s_xx").cast("double")
+    val den = nd * sxx - sx * sx
+    val slope = (nd * sxy - sx * sy) / den
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        round(when(den =!= 0.0, slope), 6).as("slope"),
+        round(when(den =!= 0.0, (sy - slope * sx) / nd), 6).as("intercept")): _*)
+  }
+
+  /** Streaming-computable per-group summary (n/sum/mean/std/min/max)
+    * with the std derived from exact decimal power sums.
+    */
+  def groupStats(df: DataFrame, groupCols: Seq[String], w: Column): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(w).as("sum_w"),
+      sum(w * w).as("sum_w2"),
+      min(w).as("min_w"),
+      max(w).as("max_w"))
+    val nd = col("n").cast("double")
+    val s1 = col("sum_w").cast("double")
+    val s2 = col("sum_w2").cast("double")
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        round(s1, 2).as("v_sum"),
+        round(s1 / nd, 4).as("v_mean"),
+        round(sqrt(greatest((s2 - s1 * s1 / nd) / (nd - lit(1.0)), lit(0.0))), 4).as("v_std"),
+        round(col("min_w").cast("double"), 2).as("v_min"),
+        round(col("max_w").cast("double"), 2).as("v_max")): _*)
+  }
+}
