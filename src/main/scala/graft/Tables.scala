@@ -25,12 +25,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
     * natively; read it as raw epoch-nanos long (runtime-settable legacy
-    * conf) and expose `ts_ns` (long) + `ts_sec` (double seconds).
+    * conf) and expose `ts_ns` (long), `ts_us` (long, µs-truncated —
+    * EXACTLY what DuckDB's `epoch_us(ts)` yields after its ns→µs
+    * parquet truncation, so every cross-engine time comparison uses
+    * `ts_us`, never raw ns) and `ts_sec` (double seconds).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
       .withColumn("ts_sec", org.apache.spark.sql.functions.col("ts_ns") / 1e9)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -13,13 +13,30 @@ import org.apache.spark.sql.functions._
   * the latest right-side payload forward. At 100 TB this is one
   * shuffle and never materializes candidate pairs (a range join would
   * explode quadratically on hot keys); AQE handles key skew.
+  *
+  * Determinism: the right side must be UNIQUE per (key, time) — use
+  * [[dedupRight]] first when it is not. With a unique right side the
+  * (time, tag) ordering is total for every row that matters: ties can
+  * only occur among left rows (which carry no payload and all see the
+  * same prefix of right rows, tag 0 sorting first), so the carried
+  * value is stable across runs and engines.
   */
 object AsOfJoin {
+
+  /** Keep exactly one right row per (key, time): the one with the
+    * greatest `tiebreak` (documented winner — matches a SQL
+    * `QUALIFY row_number() OVER (... ORDER BY tiebreak DESC) = 1`).
+    */
+  def dedupRight(right: DataFrame, key: String, timeCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key), col(timeCol)).orderBy(col(tiebreak).desc)
+    right.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
 
   /** @param left  rows to enrich; must contain `key`, `timeCol`
     * @param right rows providing the as-of payload: `key`, `timeCol`,
     *              plus `payloadCols` (carried to the left side with
-    *              nulls when no right row precedes a left row)
+    *              nulls when no right row precedes a left row);
+    *              must be unique per (key, timeCol) — see class doc
     */
   def backward(left: DataFrame, right: DataFrame, key: String, timeCol: String,
                payloadCols: Seq[String]): DataFrame = {

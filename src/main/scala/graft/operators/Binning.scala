@@ -14,29 +14,44 @@ import org.apache.spark.sql.functions._
   */
 object Binning {
 
-  /** Fixed-width 1-D rebin of integer abscissa `x` (bin = x div width)
+  /** Exact floored integer division for LONG columns — correct for
+    * negative x (unlike `div` which truncates toward zero) and for
+    * |x| > 2^53 (unlike double division, e.g. epoch nanoseconds).
+    * Requires 0 < w < 1e9. `pmod` gives the nonnegative remainder, so
+    * x - pmod(x, w) is exactly divisible and the decimal division is
+    * exact (scale-10 decimal keeps 28 integer digits).
+    */
+  def floorDiv(x: Column, w: Long): Column = {
+    require(w > 0 && w < 1000000000L, s"floorDiv width out of range: $w")
+    ((x - pmod(x, lit(w))).cast("decimal(28,0)") / lit(w).cast("decimal(9,0)")).cast("long")
+  }
+
+  /** Fixed-width 1-D rebin of integer abscissa `x` (bin = floor(x/width))
     * aggregating exact-decimal weight `w` → (bin, n, y_sum, y_mean).
     */
   def rebin1d(df: DataFrame, x: Column, w: Column, width: Long): DataFrame = {
-    val agg = df.groupBy((x.cast("long") / width).cast("long").as("bin"))
+    val agg = df.groupBy(floorDiv(x, width).as("bin"))
       .agg(count(lit(1)).as("n"), sum(w).as("sum_w"))
     agg.select(
       col("bin"), col("n"),
       round(col("sum_w").cast("double"), 2).as("y_sum"),
-      round(col("sum_w").cast("double") / col("n").cast("double"), 4).as("y_mean"))
+      Exact.roundedRatio(Exact.cents(col("sum_w")), col("n") * lit(100L), 4).as("y_mean"))
   }
 
   /** Histogram with a data-driven range: nBins equal cells over
-    * [min(v), max(v)], the last cell right-closed. The global range is
-    * one tiny scalar aggregate broadcast to the scan — two passes over
-    * the data, no driver round-trip in the plan's data path.
+    * [min(v), max(v)], the last cell right-closed; a degenerate range
+    * (min == max) lands every row in bin 0. The global range is one
+    * tiny scalar aggregate broadcast to the scan — two passes over the
+    * data, no driver round-trip in the plan's data path.
     */
   def histogram(df: DataFrame, v: Column, nBins: Int): DataFrame = {
     val range = df.agg(min(v).as("lo"), max(v).as("hi"))
     val w = (col("hi") - col("lo")) / nBins.toDouble
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) / w), lit(nBins - 1.0)))
+      .cast("long")
     df.select(v.as("v")).crossJoin(broadcast(range))
-      .select(least(floor((col("v") - col("lo")) / w), lit(nBins - 1L)).cast("long").as("bin"),
-        col("lo"), col("hi"))
+      .select(bin.as("bin"), col("lo"), col("hi"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         round(min(col("lo") + col("bin") * ((col("hi") - col("lo")) / nBins.toDouble)), 4).as("bin_lo"))
@@ -44,7 +59,7 @@ object Binning {
   }
 
   /** Regular 3-D gridder: cell = (floor(x/sx), floor(y/sy), floor(z/sz)),
-    * per-cell count / exact sum / mean of weight `w`.
+    * per-cell count / exact sum / mean of exact-decimal weight `w`.
     */
   def grid3d(df: DataFrame, x: Column, y: Column, z: Column, w: Column,
              sx: Double, sy: Double, sz: Double): DataFrame = {
@@ -56,6 +71,6 @@ object Binning {
     agg.select(
       col("gx"), col("gy"), col("gz"), col("n"),
       round(col("sum_w").cast("double"), 2).as("w_sum"),
-      round(col("sum_w").cast("double") / col("n").cast("double"), 4).as("w_mean"))
+      Exact.roundedRatio(Exact.cents(col("sum_w")), col("n") * lit(100L), 4).as("w_mean"))
   }
 }

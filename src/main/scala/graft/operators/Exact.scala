@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact cross-engine rounding helpers.
+  *
+  * `round(a/b, k)` computed through DOUBLE division is not portable
+  * across engines when the exact quotient lands on a rounding-boundary
+  * tie (e.g. 3118.29/56 = 55.68375 exactly): each engine's
+  * double-rounding can fall on either side. Whenever the numerator is
+  * an exact decimal and the denominator a small integer (means over
+  * counts — the common case), we instead evaluate
+  * `round(num/den, k) = (num*2*10^k + den) div (2*den)` in exact
+  * integer arithmetic — HALF_UP away from zero for nonnegative
+  * inputs, identical on every engine.
+  *
+  * Range: |num|*2*10^k must fit in a signed 64-bit long; for k=4 that
+  * allows numerators up to ~4.6e14 (e.g. 4.6e12 "dollars" of scale-2
+  * cents) — far beyond any per-group sum in the target workloads. The
+  * internal division is done in decimal(38) so the quotient itself
+  * never loses precision.
+  */
+object Exact {
+
+  /** Scale-2 decimal column → exact integer cents (long). */
+  def cents(c: Column): Column = (c * lit(100)).cast("long")
+
+  /** round(num/den, k) HALF_UP for NONNEGATIVE integer columns
+    * (num, den long-valued), returned as DOUBLE. NULL den or den=0
+    * propagates NULL.
+    */
+  def roundedRatio(num: Column, den: Column, k: Int): Column = {
+    require(k >= 0 && k <= 6, s"scale out of range: $k")
+    val p = math.pow(10, k).toLong
+    val num2 = num * lit(2L * p) + den
+    val den2 = den * lit(2L)
+    // Floor division of nonnegative longs, exact via pmod + decimal
+    // division (the quotient is an exact integer, so the decimal
+    // division is lossless).
+    val q = ((num2 - pmod(num2, den2)).cast("decimal(38,0)") /
+      den2.cast("decimal(19,0)")).cast("long")
+    q.cast("double") / lit(p.toDouble)
+  }
+
+  /** DuckDB SQL fragment mirroring [[roundedRatio]]. `numCents` and
+    * `den` must be nonnegative BIGINT-valued SQL expressions.
+    */
+  def roundedRatioSql(num: String, den: String, k: Int): String = {
+    val p = math.pow(10, k).toLong
+    s"(CAST((($num) * ${2 * p} + ($den)) // (($den) * 2) AS DOUBLE) / $p.0)"
+  }
+
+  /** SQL fragment: exact cents of a scale-2 decimal expression. */
+  def centsSql(c: String): String = s"CAST(($c) * 100 AS BIGINT)"
+}

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * (reference: pyspec `fit.py` peak-parameter estimation from
   * weighted moments).
   *
-  * Numerical strategy (SURVEY.md §4): aggregate in EXACT decimal /
-  * integer arithmetic (order-independent, so a 1000-executor shuffle
-  * reduces to the same bits as a single-threaded oracle), then do all
-  * lossy floating math on the already-reduced scalars.
+  * Numerical strategy (SURVEY.md §4): callers pass EXACT columns
+  * (decimal weights, decimal/int abscissae) so the power sums are
+  * order-independent — a 1000-executor shuffle reduces to the same
+  * bits as a single-threaded oracle. All lossy floating math happens
+  * on the already-reduced scalars, with the exact same expression
+  * tree as the SQL oracle so doubles match bit-for-bit.
   *
   * Scale: each operator is one hash aggregate with map-side partial
   * combine; no windows, no driver collection. Groups never need to be
@@ -26,16 +28,18 @@ object PeakAnalysis {
     * equivalent FWHM from the second central moment, height
     * (max weight), and total weight.
     *
-    * @param x integer abscissa column (e.g. relative epoch seconds)
-    * @param w exact-decimal weight column (e.g. detector counts)
+    * @param x EXACT integer/decimal abscissa column, small enough that
+    *          w*x*x stays inside decimal(38) (e.g. seconds relative to
+    *          a fixed epoch as decimal(8,0))
+    * @param w EXACT decimal weight column (e.g. detector counts as
+    *          decimal(18,2))
     */
   def peakMoments(df: DataFrame, groupCols: Seq[String], x: Column, w: Column): DataFrame = {
-    val xd = x.cast("decimal(10,0)")
     val agg = df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(w).as("sum_w"),
-      sum(w * xd).as("sum_wx"),
-      sum(w * xd * xd).as("sum_wx2"),
+      sum(w * x).as("sum_wx"),
+      sum(w * x * x).as("sum_wx2"),
       max(w).as("max_w"))
     val sumW = col("sum_w").cast("double")
     val com = col("sum_wx").cast("double") / sumW
@@ -45,21 +49,22 @@ object PeakAnalysis {
         col("n"),
         round(sumW, 2).as("w_total"),
         round(col("max_w").cast("double"), 2).as("height"),
-        round(com, 4).as("com"),
+        // Exact tie-proof rounding: com = sum_wx/sum_w on integer cents.
+        Exact.roundedRatio(Exact.cents(col("sum_wx")), Exact.cents(col("sum_w")), 4).as("com"),
         round(lit(FwhmFactor) * sqrt(greatest(ex2 - com * com, lit(0.0))), 4).as("fwhm")): _*)
   }
 
   /** Closed-form least-squares line y = slope*x + intercept per group,
-    * from exact decimal sums (Sx, Sy, Sxy, Sxx).
+    * from exact sums (Sx, Sy, Sxy, Sxx). `x` and `y` must be exact
+    * (decimal/integer) columns — see class doc.
     */
   def linReg(df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
-    val xd = x.cast("decimal(10,0)")
     val agg = df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(xd).as("s_x"),
+      sum(x).as("s_x"),
       sum(y).as("s_y"),
-      sum(y * xd).as("s_xy"),
-      sum(xd * xd).as("s_xx"))
+      sum(y * x).as("s_xy"),
+      sum(x * x).as("s_xx"))
     val nd = col("n").cast("double")
     val sx = col("s_x").cast("double")
     val sy = col("s_y").cast("double")
@@ -70,12 +75,15 @@ object PeakAnalysis {
     agg.select(
       groupCols.map(col) ++ Seq(
         col("n"),
-        round(when(den =!= 0.0, slope), 6).as("slope"),
-        round(when(den =!= 0.0, (sy - slope * sx) / nd), 6).as("intercept")): _*)
+        // `+ 0.0` canonicalizes IEEE -0.0 to +0.0 so a tiny negative
+        // slope hashes identically to the oracle's 0.0.
+        (round(when(den =!= 0.0, slope), 6) + lit(0.0)).as("slope"),
+        (round(when(den =!= 0.0, (sy - slope * sx) / nd), 6) + lit(0.0)).as("intercept")): _*)
   }
 
   /** Streaming-computable per-group summary (n/sum/mean/std/min/max)
-    * with the std derived from exact decimal power sums.
+    * with the sample std derived from exact power sums. Singleton
+    * groups yield NULL std (matching SQL `stddev_samp`), not NaN.
     */
   def groupStats(df: DataFrame, groupCols: Seq[String], w: Column): DataFrame = {
     val agg = df.groupBy(groupCols.map(col): _*).agg(
@@ -87,12 +95,14 @@ object PeakAnalysis {
     val nd = col("n").cast("double")
     val s1 = col("sum_w").cast("double")
     val s2 = col("sum_w2").cast("double")
+    val variance = (s2 - s1 * s1 / nd) / (nd - lit(1.0))
     agg.select(
       groupCols.map(col) ++ Seq(
         col("n"),
         round(s1, 2).as("v_sum"),
-        round(s1 / nd, 4).as("v_mean"),
-        round(sqrt(greatest((s2 - s1 * s1 / nd) / (nd - lit(1.0)), lit(0.0))), 4).as("v_std"),
+        // Exact tie-proof rounding: mean = sum/n on integer cents.
+        Exact.roundedRatio(Exact.cents(col("sum_w")), col("n") * lit(100L), 4).as("v_mean"),
+        round(when(col("n") > 1, sqrt(greatest(variance, lit(0.0)))), 4).as("v_std"),
         round(col("min_w").cast("double"), 2).as("v_min"),
         round(col("max_w").cast("double"), 2).as("v_max")): _*)
   }

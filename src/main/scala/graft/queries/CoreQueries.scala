@@ -2,61 +2,89 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Relational
+import graft.operators.{Exact, Relational}
+import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Core relational gate queries (SURVEY.md §2 #1–#6).
   *
   * TPC-H-shaped plans: selective filters are applied before joins (so
   * parquet pushdown sees them), dimension sides are broadcast, fact
   * joins shuffle only on their keys after column pruning.
+  *
+  * Numerics (SURVEY.md §4 + round-1 ADVICE): every money sum goes
+  * through DECIMAL casts with explicitly-pinned intermediate widths so
+  * the aggregate is exact and order-independent on BOTH engines —
+  * `pd*(1-dd)` is computed as
+  * `CAST(pd * CAST(1-dd AS DEC(8,2)) AS DEC(26,4))`, keeping every
+  * product inside decimal(38) under DuckDB's width-summing rule.
+  * Doubles appear only after the final rounding.
   */
 object CoreQueries {
 
+  // Shared exact-decimal columns for lineitem money math.
+  private def qd = col("l_quantity").cast("decimal(18,2)")
+  private def pd = col("l_extendedprice").cast("decimal(18,2)")
+  private def dd = col("l_discount").cast("decimal(18,2)")
+  private def td = col("l_tax").cast("decimal(18,2)")
+  private def discF = (lit(1) - dd).cast("decimal(8,2)")
+  private def taxF = (lit(1) + td).cast("decimal(8,2)")
+  /** Exact discounted price pd*(1-dd), width-pinned. */
+  private def dp = (pd * discF).cast("decimal(26,4)")
+
+  /** SQL fragment mirroring [[dp]]. */
+  private val DpSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2)) AS DECIMAL(26,4))"
+
   val q01 = GateQuery.sql(
     "q01_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    s"""WITH li AS (SELECT l_returnflag, l_linestatus,
+       |    CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS pd,
+       |    CAST(l_discount AS DECIMAL(18,2)) AS dd,
+       |    $DpSql AS dp,
+       |    CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(8,2)) AS taxf
+       |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02')
+       |SELECT l_returnflag, l_linestatus,
+       |  CAST(round(sum(qd), 2) AS DOUBLE) AS sum_qty,
+       |  CAST(round(sum(pd), 2) AS DOUBLE) AS sum_base_price,
+       |  CAST(round(sum(dp), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(round(sum(dp * taxf), 2) AS DOUBLE) AS sum_charge,
+       |  ${roundedRatioSql(centsSql("sum(qd)"), "count(*) * 100", 4)} AS avg_qty,
+       |  ${roundedRatioSql(centsSql("sum(pd)"), "count(*) * 100", 4)} AS avg_price,
+       |  ${roundedRatioSql(centsSql("sum(dd)"), "count(*) * 100", 4)} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM li GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(qd), 2).cast("double").as("sum_qty"),
+        round(sum(pd), 2).cast("double").as("sum_base_price"),
+        round(sum(dp), 2).cast("double").as("sum_disc_price"),
+        round(sum(dp * taxF), 2).cast("double").as("sum_charge"),
+        Exact.roundedRatio(Exact.cents(sum(qd)), count(lit(1)) * lit(100L), 4).as("avg_qty"),
+        Exact.roundedRatio(Exact.cents(sum(pd)), count(lit(1)) * lit(100L), 4).as("avg_price"),
+        Exact.roundedRatio(Exact.cents(sum(dd)), count(lit(1)) * lit(100L), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q03 = GateQuery.sql(
     "q03_shipping_priority",
-    """SELECT l.l_orderkey AS l_orderkey,
-      |  CAST(o.o_orderdate AS DATE) AS o_odate,
-      |  o.o_orderpriority AS o_orderpriority,
-      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-      |FROM customer c
-      |JOIN orders o ON c.c_custkey = o.o_custkey
-      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      |WHERE c.c_mktsegment = 'BUILDING'
-      |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
-      |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
-      |GROUP BY 1, 2, 3
-      |ORDER BY revenue DESC, l_orderkey
-      |LIMIT 20""".stripMargin) { (s, d) =>
+    s"""SELECT l.l_orderkey AS l_orderkey,
+       |  CAST(o.o_orderdate AS DATE) AS o_odate,
+       |  o.o_orderpriority AS o_orderpriority,
+       |  CAST(round(sum($DpSql), 2) AS DOUBLE) AS revenue
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+       |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 20""".stripMargin) { (s, d) =>
     val c = broadcast(
       Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
     val o = Tables.orders(s, d)
@@ -68,7 +96,7 @@ object CoreQueries {
     o.join(c, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_odate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(dp), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
   }
@@ -95,18 +123,18 @@ object CoreQueries {
 
   val q05 = GateQuery.sql(
     "q05_local_supplier",
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      |FROM customer c
-      |JOIN orders o ON c.c_custkey = o.o_custkey
-      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-      |JOIN nation n ON s.s_nationkey = n.n_nationkey
-      |JOIN region r ON n.n_regionkey = r.r_regionkey
-      |WHERE r.r_name = 'ASIA'
-      |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-      |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
-      |GROUP BY n_name
-      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    s"""SELECT n_name, CAST(round(sum($DpSql), 2) AS DOUBLE) AS revenue
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'ASIA'
+       |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
     val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, d)
     val supplier = Tables.supplier(s, d)
@@ -125,14 +153,14 @@ object CoreQueries {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(dp), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val qTopkCustomers = GateQuery.sql(
     "q_topk_customers",
     """WITH rev AS (
-      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      |  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       |  FROM orders GROUP BY o_custkey
       |)
       |SELECT n_name, c_name, revenue,
@@ -144,12 +172,12 @@ object CoreQueries {
       |ORDER BY n_name, rnk""".stripMargin) { (s, d) =>
     val rev = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
     val joined = rev
       .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-    Relational.topKPerGroup(joined, Seq(col("n_name")),
-        Seq(col("revenue").desc, col("c_custkey")), 3)
+    Relational.topKPerGroupSalted(joined, Seq(col("n_name")),
+        Seq(col("revenue").desc, col("c_custkey")), 3, col("c_custkey"))
       .select("n_name", "c_name", "revenue", "rnk")
       .orderBy(col("n_name"), col("rnk"))
   }
@@ -162,7 +190,7 @@ object CoreQueries {
       |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
       |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
       |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
-      |  round(sum(value), 2) AS total_value
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
@@ -170,7 +198,7 @@ object CoreQueries {
     Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
       .orderBy(col("user_id"))
   }
 

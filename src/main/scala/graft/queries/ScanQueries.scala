@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, Binning, Exact, PeakAnalysis, WindowOps}
+import graft.operators.Exact.{centsSql, roundedRatioSql}
+
+/** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
+  * re-expression of pyspec's scan post-processing — per-scan stats,
+  * peak moments ("peakguess"), closed-form linear fit, normalization
+  * to monitor, rebin/histogram/gridder, smoothing, derivative, and
+  * stream alignment (as-of join).
+  *
+  * Data mapping (SURVEY.md §3): `events` is the scan table —
+  * `user_id` ≈ scan number, time ≈ motor position, `value` ≈ detector
+  * counts, `event_type` ≈ counter name.
+  *
+  * Cross-engine exactness rules (SURVEY.md §4):
+  *  - all time math uses `ts_us` (µs-truncated) because DuckDB
+  *    truncates parquet ns→µs; raw ns never crosses the oracle;
+  *  - `xs` = seconds relative to 2024-01-01 (small ints ⇒ decimal
+  *    power sums stay inside decimal(38));
+  *  - weights go through DECIMAL(18,2) so every sum is
+  *    order-independent; lossy double math happens only on reduced
+  *    scalars with the SAME expression tree as the SQL oracle.
+  */
+object ScanQueries {
+
+  /** Shared DuckDB prep — mirror of [[ev]]. */
+  private val E: String =
+    """(SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |   (epoch_us(ts) // 1000000) - 1704067200 AS xs,
+      |   CAST(value AS DECIMAL(18,2)) AS vd, event_type
+      | FROM events)""".stripMargin
+
+  /** Shared Spark prep — mirror of [[E]]. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (expr("ts_us div 1000000") - lit(1704067200L)).as("xs"),
+      col("value").cast("decimal(18,2)").as("vd"),
+      col("event_type"))
+
+  private def xsd: Column = col("xs").cast("decimal(9,0)")
+
+  val qScanStats = GateQuery.sql(
+    "q_scan_stats",
+    s"""SELECT user_id, count(*) AS n,
+       |  round(CAST(sum(vd) AS DOUBLE), 2) AS v_sum,
+       |  ${roundedRatioSql(centsSql("sum(vd)"), "count(*) * 100", 4)} AS v_mean,
+       |  round(CASE WHEN count(*) > 1 THEN sqrt(greatest(
+       |    (CAST(sum(vd * vd) AS DOUBLE) - CAST(sum(vd) AS DOUBLE) * CAST(sum(vd) AS DOUBLE) / count(*))
+       |      / (count(*) - 1.0), 0.0)) END, 4) AS v_std,
+       |  round(CAST(min(vd) AS DOUBLE), 2) AS v_min,
+       |  round(CAST(max(vd) AS DOUBLE), 2) AS v_max
+       |FROM $E e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    PeakAnalysis.groupStats(ev(s, d), Seq("user_id"), col("vd"))
+      .orderBy(col("user_id"))
+  }
+
+  val qPeakMoments = GateQuery.sql(
+    "q_peak_moments",
+    s"""WITH m AS (
+       |  SELECT user_id, count(*) AS n, sum(vd) AS sum_w,
+       |    sum(vd * CAST(xs AS DECIMAL(9,0))) AS sum_wx,
+       |    sum(vd * CAST(xs AS DECIMAL(9,0)) * CAST(xs AS DECIMAL(9,0))) AS sum_wx2,
+       |    max(vd) AS max_w
+       |  FROM $E e GROUP BY user_id)
+       |SELECT user_id, n,
+       |  round(CAST(sum_w AS DOUBLE), 2) AS w_total,
+       |  round(CAST(max_w AS DOUBLE), 2) AS height,
+       |  ${roundedRatioSql(centsSql("sum_wx"), centsSql("sum_w"), 4)} AS com,
+       |  round(2.3548200450309493 * sqrt(greatest(
+       |    CAST(sum_wx2 AS DOUBLE) / CAST(sum_w AS DOUBLE)
+       |      - (CAST(sum_wx AS DOUBLE) / CAST(sum_w AS DOUBLE)) * (CAST(sum_wx AS DOUBLE) / CAST(sum_w AS DOUBLE)),
+       |    0.0)), 4) AS fwhm
+       |FROM m ORDER BY user_id""".stripMargin) { (s, d) =>
+    PeakAnalysis.peakMoments(ev(s, d), Seq("user_id"), xsd, col("vd"))
+      .orderBy(col("user_id"))
+  }
+
+  val qLinReg = GateQuery.sql(
+    "q_linreg",
+    s"""WITH m AS (
+       |  SELECT user_id, count(*) AS n,
+       |    sum(CAST(xs AS DECIMAL(9,0))) AS s_x, sum(vd) AS s_y,
+       |    sum(vd * CAST(xs AS DECIMAL(9,0))) AS s_xy,
+       |    sum(CAST(xs AS DECIMAL(9,0)) * CAST(xs AS DECIMAL(9,0))) AS s_xx
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(s_x AS DOUBLE) AS sx, CAST(s_y AS DOUBLE) AS sy,
+       |    CAST(s_xy AS DOUBLE) AS sxy, CAST(s_xx AS DOUBLE) AS sxx FROM m)
+       |SELECT user_id, n,
+       |  round(CASE WHEN nd * sxx - sx * sx <> 0.0
+       |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END, 6) + 0.0 AS slope,
+       |  round(CASE WHEN nd * sxx - sx * sx <> 0.0
+       |    THEN (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd END, 6) + 0.0 AS intercept
+       |FROM t ORDER BY user_id""".stripMargin) { (s, d) =>
+    PeakAnalysis.linReg(ev(s, d), Seq("user_id"), xsd, col("vd"))
+      .orderBy(col("user_id"))
+  }
+
+  val qNormalizeMonitor = GateQuery.sql(
+    "q_normalize_monitor",
+    s"""SELECT event_id, user_id,
+       |  round(CAST(vd AS DOUBLE) /
+       |    CAST(sum(vd) FILTER (WHERE event_type = 'view') OVER (PARTITION BY user_id) AS DOUBLE),
+       |    6) AS norm
+       |FROM $E e ORDER BY event_id""".stripMargin) { (s, d) =>
+    WindowOps.normalizeToMonitor(ev(s, d), col("user_id"), col("vd"),
+        when(col("event_type") === "view", col("vd")))
+      .select(col("event_id"), col("user_id"), col("norm"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRebin1d = GateQuery.sql(
+    "q_rebin_1d",
+    s"""SELECT xs // 3600 AS bin, count(*) AS n,
+       |  round(CAST(sum(vd) AS DOUBLE), 2) AS y_sum,
+       |  ${roundedRatioSql(centsSql("sum(vd)"), "count(*) * 100", 4)} AS y_mean
+       |FROM $E e GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    Binning.rebin1d(ev(s, d), col("xs"), col("vd"), 3600L)
+      .orderBy(col("bin"))
+  }
+
+  val qHistogram = GateQuery.sql(
+    "q_histogram",
+    """WITH r AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      |b AS (SELECT CASE WHEN hi = lo THEN 0
+      |        ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) END AS bin,
+      |      lo, hi
+      |      FROM events CROSS JOIN r)
+      |SELECT bin, count(*) AS n,
+      |  round(min(lo + bin * ((hi - lo) / 20.0)), 4) AS bin_lo
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    Binning.histogram(Tables.events(s, d), col("value"), 20)
+      .orderBy(col("bin"))
+  }
+
+  val qGrid3d = GateQuery.sql(
+    "q_grid3d",
+    s"""WITH g AS (SELECT
+       |    CAST(floor(l_quantity / 8.0) AS BIGINT) AS gx,
+       |    CAST(floor(l_extendedprice / 25000.0) AS BIGINT) AS gy,
+       |    CAST(floor(l_discount / 0.02) AS BIGINT) AS gz,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS wd
+       |  FROM lineitem)
+       |SELECT gx, gy, gz, count(*) AS n,
+       |  round(CAST(sum(wd) AS DOUBLE), 2) AS w_sum,
+       |  ${roundedRatioSql(centsSql("sum(wd)"), "count(*) * 100", 4)} AS w_mean
+       |FROM g GROUP BY gx, gy, gz ORDER BY gx, gy, gz""".stripMargin) { (s, d) =>
+    Binning.grid3d(Tables.lineitem(s, d),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_extendedprice").cast("decimal(18,2)"), 8.0, 25000.0, 0.02)
+      .orderBy(col("gx"), col("gy"), col("gz"))
+  }
+
+  val qMovingAvg = GateQuery.sql(
+    "q_moving_avg",
+    s"""SELECT event_id, user_id,
+       |  ${roundedRatioSql(centsSql("sum(vd) OVER w"), "(count(*) OVER w) * 100", 4)} AS ma
+       |FROM $E e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    WindowOps.movingAvg(ev(s, d), col("user_id"),
+        Seq(col("ts_us"), col("event_id")), col("vd"), 2)
+      .select(col("event_id"), col("user_id"), col("ma"))
+      .orderBy(col("event_id"))
+  }
+
+  val qDerivative = GateQuery.sql(
+    "q_derivative",
+    s"""WITH dd AS (
+       |  SELECT event_id, user_id,
+       |    vd - lag(vd) OVER w AS dv,
+       |    ts_us - lag(ts_us) OVER w AS dt_us
+       |  FROM $E e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT event_id, user_id,
+       |  round(CAST(dv AS DOUBLE) / (dt_us / 1000000.0), 6) + 0.0 AS deriv
+       |FROM dd WHERE dt_us IS NOT NULL AND dt_us <> 0
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    WindowOps.derivative(ev(s, d), col("user_id"),
+        Seq(col("ts_us"), col("event_id")), col("vd"), col("ts_us"))
+      .select(col("event_id"), col("user_id"), col("deriv"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsOfJoin = GateQuery.sql(
+    "q_asof_join",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+      |    CAST(value AS DECIMAL(18,2)) AS vd, event_type FROM events),
+      |l AS (SELECT event_id, user_id, t, vd FROM e WHERE event_type = 'click'),
+      |r0 AS (SELECT user_id, t, event_id, vd FROM e WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, t, event_id, vd FROM r0
+      |      QUALIFY row_number() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) = 1)
+      |SELECT l.event_id AS click_event, l.user_id AS user_id,
+      |  round(CAST(l.vd AS DOUBLE), 2) AS click_value,
+      |  r.event_id AS purchase_event,
+      |  round(CAST(r.vd AS DOUBLE), 2) AS purchase_value,
+      |  round((l.t - r.t) / 1000000.0, 6) AS lag_sec
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.t <= l.t
+      |ORDER BY click_event""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("t"), col("vd"))
+    val right = AsOfJoin.dedupRight(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("t"), col("event_id"), col("vd")),
+      "user_id", "t", "event_id")
+    AsOfJoin.backward(left, right, "user_id", "t", Seq("event_id", "vd"))
+      .select(
+        col("event_id").as("click_event"),
+        col("user_id"),
+        round(col("vd").cast("double"), 2).as("click_value"),
+        col("right_event_id").as("purchase_event"),
+        round(col("right_vd").cast("double"), 2).as("purchase_value"),
+        round((col("t") - col("right_t")) / lit(1000000.0), 6).as("lag_sec"))
+      .orderBy(col("click_event"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
+    qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin)
+}
