@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over a document corpus — the candidate-
+  * pair generators every large-scale training-data pipeline needs.
+  *
+  * Scale design (SURVEY.md §5): NEVER an all-pairs product. Jaccard
+  * joins on shared shingle digests (only docs sharing a shingle meet);
+  * MinHash-LSH joins on band keys (only probable-similar docs meet).
+  * Both shuffle fixed-width digests, not document payloads, and both
+  * end in a pair-keyed aggregate with map-side combine. At 100 TB the
+  * only extra step would be dropping ultra-common shingles
+  * (document-frequency cap) to bound hot-key fan-out.
+  */
+object Dedup {
+
+  /** Exploded (id, shingle-key) relation, distinct per doc. The
+    * shingle array is materialized once per row so hashing happens
+    * exactly once per shingle per side. `fast` switches to
+    * engine-local xxhash64 keys (see [[TextOps.shinglesFast]]).
+    */
+  private def shingleRel(docs: DataFrame, id: Column, text: Column, k: Int,
+                         fast: Boolean): DataFrame = {
+    val shl = if (fast) TextOps.shinglesFast(text, k) else TextOps.shingles(text, k)
+    docs.select(id.as("doc_id"), shl.as("shl"))
+      .select(col("doc_id"), explode(col("shl")).as("h"),
+        size(col("shl")).cast("long").as("m"))
+  }
+
+  /** Candidate pairs with exact Jaccard over distinct word k-grams,
+    * keeping pairs with jaccard >= thresholdPct/100 (threshold applied
+    * in exact integer arithmetic; `jaccard` rounded half-up to 4).
+    *
+    * The per-doc shingle count `m` is carried THROUGH the explode and
+    * the key join, so the plan is exactly: explode → self-join on the
+    * 8-byte shingle key → one pair-keyed aggregate. No re-derivation
+    * joins, no all-pairs product anywhere.
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+                   k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
+    // Jaccard only compares shingle keys for equality, so the cheap
+    // engine-local hash is correct here (collisions: ~n²/2^64).
+    // Group-join shape instead of a self-join: the expensive shingle
+    // derivation runs ONCE, pairs are emitted from each shingle's
+    // sorted doc list. `maxDf > 0` drops ultra-common shingles — the
+    // hot-key cap a 100 TB corpus needs (a shingle in f docs emits
+    // f²/2 pairs; web-scale boilerplate shingles would dominate the
+    // shuffle while contributing nothing to high-similarity pairs).
+    val sh = shingleRel(docs, id, text, k, fast = true)
+    val grouped = sh.groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("m"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf) else grouped
+    val sorted = array_sort(col("ds"))
+    val pairCombos = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), y =>
+        struct(x.getField("doc_id").as("doc_a"), x.getField("m").as("ma"),
+          y.getField("doc_id").as("doc_b"), y.getField("m").as("mb")))))
+    val inter = capped.select(explode(pairCombos).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.ma").as("ma"), col("p.mb").as("mb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("ma"), col("mb"))
+      .agg(count(lit(1)).as("inter"))
+    val uni = col("ma") + col("mb") - col("inter")
+    inter
+      .filter(col("inter") * 100 >= uni * thresholdPct)
+      .select(col("doc_a"), col("doc_b"),
+        Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures (numPerms deterministic base_hash
+    * "permutations") + LSH banding: docs sharing any band key become
+    * candidates; candidates are scored by signature agreement and kept
+    * when >= minMatch of numPerms components agree.
+    * Returns (doc_a, doc_b, n_match, est_sim).
+    */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column, k: Int,
+                   numPerms: Int, bands: Int, minMatch: Int): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into equal bands")
+    val rowsPerBand = numPerms / bands
+    // MinHash signature VALUES cross the oracle, so keys must be the
+    // portable md5-based shingles (not the fast engine-local ones).
+    val sh = shingleRel(docs, id, text, k, fast = false)
+    val minCols = (0 until numPerms).map(i => min(TextOps.permHash(i, col("h"))).as(s"_s$i"))
+    // The signature table is referenced four times below (both band
+    // sides + both scoring sides); localCheckpoint materializes it
+    // once — it is tiny (one row per doc) at any corpus size.
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(i => col(s"_s$i")): _*).as("sig"))
+      .localCheckpoint(false)
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bh"))
+    }
+    val bandRel = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val cand = bandRel.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bandRel.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val matches = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (s, v) => s + v)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .withColumn("est_sim", col("n_match") / lit(numPerms.toDouble))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators: tokenization,
+  * cross-engine deterministic hashing, shingling, SimHash and rolling
+  * fingerprints.
+  *
+  * Everything here is built from codegen'd Spark expressions (`md5`,
+  * `conv`, `split`, higher-order array functions) — no UDFs — so the
+  * hot paths stay inside whole-stage codegen and the exact same
+  * integer results are reproducible in any engine (SURVEY.md §4
+  * `base_hash` scheme, verified against DuckDB 1.0).
+  */
+object TextOps {
+
+  /** Deterministic 32-bit hash identical across engines:
+    * first 8 hex chars of md5, parsed base-16. Range [0, 2^32).
+    */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB SQL mirror of [[baseHash]]. */
+  def baseHashSql(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-gram shingles, each reduced to a 60-bit integer
+    * key (first 15 hex chars of md5) so downstream joins shuffle an
+    * 8-byte long instead of a digest string — one md5 per shingle
+    * total. Rows with fewer than k tokens yield an empty array.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(w, i, lit(k)))), 1, 15), 16, 10).cast("long"))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** DuckDB SQL mirror of one [[shingles]] element over a string. */
+  def shingleKeySql(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** Fast ENGINE-LOCAL shingle keys (xxhash64 of the k-gram string):
+    * correct wherever only key EQUALITY matters (Jaccard
+    * intersection/union counts are hash-agnostic modulo collisions),
+    * not where the key value itself must match the oracle (MinHash
+    * signatures use [[shingles]]). Measured faster than tuple-hashing
+    * pre-materialized token hashes (element_at-heavy lambdas lose to
+    * one concat per shingle).
+    */
+  def shinglesFast(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(w, i, lit(k)))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Deterministic MinHash "permutation" constants: 28-bit multiplier
+    * (nonzero) and offset for perm i, derived from base_hash of fixed
+    * strings — identical in any engine because they are plain integer
+    * literals in the generated plans/SQL.
+    */
+  def permConsts(i: Int): (Long, Long) = {
+    def bh(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    ((bh(s"a:$i") % ((1L << 28) - 1)) + 1, bh(s"b:$i") % (1L << 28))
+  }
+
+  /** Mersenne prime 2^61 - 1 for the universal-hash modulus. */
+  val M61 = 2305843009213693951L
+
+  /** Arithmetic MinHash permutation over a 60-bit shingle key column:
+    * h_i = (a_i * (key & 0xFFFFFFFF) + b_i) mod M61. 28-bit a_i times
+    * 32-bit key stays under 2^60 — no overflow, no md5 per perm.
+    */
+  def permHash(i: Int, key: Column): Column = {
+    val (a, b) = permConsts(i)
+    pmod(lit(a) * key.bitwiseAND(lit(0xFFFFFFFFL)) + lit(b), lit(M61))
+  }
+
+  /** DuckDB SQL mirror of [[permHash]]. */
+  def permHashSql(i: Int, key: String): String = {
+    val (a, b) = permConsts(i)
+    s"(($a * (($key) & 4294967295) + $b) % $M61)"
+  }
+
+  /** Token base-hash array — project this ONCE and feed the result to
+    * [[simHashFromHashes]]: inlining it would recompute one md5 per
+    * token per simhash bit (32× the hashing work). */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => baseHash(t))
+
+  /** 32-bit SimHash from a precomputed base-hash array: bit j is the
+    * sign of sum(±1) where each token votes +1 iff bit j of its hash
+    * is set. Entirely per-row (no shuffle) — embarrassingly parallel
+    * at any scale.
+    */
+  def simHashFromHashes(hs: Column): Column =
+    (0 until 32).map { j =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL mirror of [[simHash]]; `hsList` names a BIGINT-list
+    * column of token base-hashes.
+    */
+  def simHashSql(hsList: String): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hsList, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Order-sensitive rolling fingerprint: fold
+    * h = (h*31 + base_hash(token)) mod 1e9+7 over the token stream —
+    * the distributed analogue of a Rabin–Karp document signature.
+    * Per-row, no shuffle.
+    */
+  val FpMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), t => baseHash(t)), lit(0L),
+      (h, x) => pmod(h * lit(31L) + x, lit(FpMod)))
+
+  /** DuckDB SQL mirror of [[fingerprint]] over a text column. DuckDB's
+    * `list_reduce` seeds with the first element, so prepend the 0 seed
+    * to match Spark's `aggregate(..., 0, ...)`.
+    */
+  def fingerprintSql(text: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($text, ' '), tk -> ${baseHashSql("tk")})),
+       |  (h, x) -> (h * 31 + x) % $FpMod)""".stripMargin
+
+  /** Count of tokens belonging to a marker set (language-ID /
+    * stopword scoring). */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers))).cast("long")
+
+  /** DuckDB SQL mirror of [[markerCount]]. */
+  def markerCountSql(text: String, markers: Seq[String]): String = {
+    val set = markers.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split($text, ' '), tk -> tk IN ($set)))"
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Exact, Relational, TextOps}
+import graft.operators.Exact.roundedRatioSql
+import graft.operators.TextOps.{baseHashSql, markerCountSql}
+
+/** Text / dedup gate queries (SURVEY.md §2 #21–#24, #28–#31) over the
+  * `documents` table — the LLM-training-data-pipeline family: exact
+  * dedup, n-gram Jaccard, MinHash+LSH, SimHash, language ID, quality
+  * scoring, token counting, rolling fingerprints.
+  *
+  * All hashing uses the cross-engine `base_hash` scheme (SURVEY.md §4)
+  * so every signature is SQL-checkable in DuckDB; all ratios use
+  * [[Exact.roundedRatio]] integer rounding (no double-division ties).
+  */
+object TextQueries {
+
+  /** Shared DuckDB fragment: distinct 60-bit 3-gram shingle keys per
+    * doc with the per-doc count `m` carried along (mirror of
+    * [[graft.operators.Dedup]]'s shingle relation). */
+  private val ShinglesSql =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [${TextOps.shingleKeySql("array_to_string(w[i:i+2], ' ')")} for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl)""".stripMargin
+
+  val qDedupExact = GateQuery.sql(
+    "q_dedup_exact",
+    """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY content_md5 ORDER BY content_md5""".stripMargin) { (s, d) =>
+    Relational.dedupExact(Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy(col("content_md5"))
+  }
+
+  val qTokenCount = GateQuery.sql(
+    "q_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS n_tokens,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextQuality = GateQuery.sql(
+    "q_text_quality",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |q AS (SELECT doc_id,
+       |    len(w) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_len,
+       |    len(list_filter(w, x -> x IN ('a', 'the'))) AS n_stop,
+       |    len(list_distinct(w)) AS n_distinct
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  ${roundedRatioSql("sum_len", "n_words", 4)} AS avg_word_len,
+       |  ${roundedRatioSql("n_stop", "n_words", 4)} AS stop_ratio,
+       |  ${roundedRatioSql("n_distinct", "n_words", 4)} AS distinct_ratio
+       |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = TextOps.tokens(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        TextOps.markerCount(col("text"), Seq("a", "the")).as("n_stop"),
+        size(array_distinct(w)).cast("long").as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_words"),
+        Exact.roundedRatio(col("sum_len"), col("n_words"), 4).as("avg_word_len"),
+        Exact.roundedRatio(col("n_stop"), col("n_words"), 4).as("stop_ratio"),
+        Exact.roundedRatio(col("n_distinct"), col("n_words"), 4).as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language ID. Ties broken by fixed priority
+    * en > de > es > fr; no markers at all → 'und'. */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("a", "the"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  val qLangId = GateQuery.sql(
+    "q_lang_id", {
+      val scores = Markers.map { case (lang, ms) =>
+        s"${markerCountSql("text", ms)} AS s_$lang"
+      }.mkString(",\n    ")
+      """WITH t AS (SELECT doc_id,
+        |    SCORES
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang,
+        |  s_en + s_de + s_es + s_fr AS n_markers
+        |FROM t ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+    }) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id") +: Markers.map { case (lang, ms) =>
+        TextOps.markerCount(col("text"), ms).as(s"s_$lang")
+      }: _*)
+    scored.select(
+        col("doc_id"),
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")) && col("s_en") > 0, "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")) && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und").as("pred_lang"),
+        (col("s_en") + col("s_de") + col("s_es") + col("s_fr")).as("n_markers"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprint = GateQuery.sql(
+    "q_fingerprint",
+    s"""SELECT doc_id, CAST(${TextOps.fingerprintSql("text")} AS BIGINT) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSimHash = GateQuery.sql(
+    "q_simhash",
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '), tk -> ${baseHashSql("tk")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST(${TextOps.simHashSql("hs")} AS BIGINT) AS simhash
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), TextOps.simHashFromHashes(col("hs")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qJaccardPairs = GateQuery.sql(
+    "q_jaccard_pairs",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  ${roundedRatioSql("inter", "(ma + mb - inter)", 4)} AS jaccard
+       |FROM p
+       |WHERE inter * 100 >= (ma + mb - inter) * 50
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashPairs = GateQuery.sql(
+    "q_minhash_pairs", {
+      val sigList = (0 until 16)
+        .map(i => s"min(${TextOps.permHashSql(i, "h")})").mkString("[", ", ", "]")
+      val bandParts = (1 to 4).map(r => s"CAST(sig[b * 4 + $r] AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH $ShinglesSql,
+         |sig AS (SELECT doc_id, $sigList AS sig FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b AS band, md5($bandParts) AS bh
+         |          FROM sig, range(4) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scored AS (SELECT doc_a, doc_b,
+         |    len([i for i in range(1, 17) if sa.sig[i] = sb.sig[i]]) AS n_match
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, n_match, n_match / 16.0 AS est_sim
+         |FROM scored WHERE n_match >= 8 ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    Dedup.minhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 3, numPerms = 16, bands = 4, minMatch = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
+    qSimHash, qJaccardPairs, qMinhashPairs)
+}
