@@ -43,6 +43,19 @@ object Exact {
     q.cast("double") / lit(p.toDouble)
   }
 
+  /** Sign-aware [[roundedRatio]]: HALF_UP away from zero for either
+    * sign of `num` (den still positive). The trailing `+ 0.0`
+    * canonicalizes IEEE -0.0 from the negated branch.
+    */
+  def roundedRatioSigned(num: Column, den: Column, k: Int): Column =
+    when(num >= 0, roundedRatio(num, den, k))
+      .otherwise(-roundedRatio(-num, den, k) + lit(0.0))
+
+  /** DuckDB SQL fragment mirroring [[roundedRatioSigned]]. */
+  def roundedRatioSignedSql(num: String, den: String, k: Int): String =
+    s"(CASE WHEN ($num) >= 0 THEN ${roundedRatioSql(num, den, k)} " +
+      s"ELSE -${roundedRatioSql(s"-($num)", den, k)} + 0.0 END)"
+
   /** DuckDB SQL fragment mirroring [[roundedRatio]]. `numCents` and
     * `den` must be nonnegative BIGINT-valued SQL expressions.
     */

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Exact, Relational, VectorOps}
+import graft.operators.VectorOps._
+
+/** Embedding similarity + array gate queries (SURVEY.md §2 #18–#20,
+  * #25–#27) over the `embeddings` table (64-dim float vectors).
+  *
+  * All vector math is exact fixed-point (see [[VectorOps]]); the only
+  * doubles are final cosine/scaling expressions over exact ints with
+  * oracle-identical trees — so every value hash-matches DuckDB.
+  *
+  * The array operators (#18–#20) are the Spark re-expression of
+  * pyspec's CCD pipeline: dark-image subtraction, ROI reduction and
+  * the per-row UB-matrix transform (angles → HKL), treating the
+  * embedding column as the detector array.
+  */
+object EmbeddingQueries {
+
+  private val Dims = 64
+  private val Tables4 = 4 // LSH tables
+  private val Planes4 = 4 // hyperplanes per table
+
+  /** Spark prep: (vec_id, q, n) with quantized vector + exact norm. */
+  private def prep(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), normQ(col("q")).as("n"))
+
+  /** DuckDB prep mirror of [[prep]]. */
+  private val PrepSql =
+    s"""e AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+       |en AS (SELECT vec_id, q, ${normQSql("q")} AS n FROM e)""".stripMargin
+
+  val qKnnBruteForce = GateQuery.sql(
+    "q_knn_bruteforce",
+    s"""WITH $PrepSql,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en WHERE vec_id < 10),
+       |p AS (SELECT query_id, c.vec_id AS vec_id,
+       |    ${cosineQSql(dotQSql("qq", "c.q"), "nq", "c.n")} AS c
+       |  FROM qs, en c WHERE c.vec_id <> query_id)
+       |SELECT query_id, vec_id, round(c, 6) + 0.0 AS cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rnk
+       |FROM p QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val e = prep(s, d)
+    val qs = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")))
+    val scored = e.crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+    Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
+        Seq(col("_c").desc, col("vec_id")), 5, col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (round(col("_c"), 6) + lit(0.0)).as("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** (vec_id, tbl, bkt) relation: one row per LSH table per vector. */
+  private def bucketRel(e: DataFrame): DataFrame = {
+    val tb = array((0 until Tables4).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col("q"), t, Planes4, Dims).as("bkt"))
+    }: _*)
+    e.select(col("vec_id"), explode(tb).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** DuckDB mirror of [[bucketRel]] (UNION ALL over tables). */
+  private val BucketRelSql = (0 until Tables4).map { t =>
+    s"SELECT vec_id, $t AS tbl, ${lshBucketSql("q", t, Planes4, Dims)} AS bkt FROM en"
+  }.mkString("bk AS (", " UNION ALL ", ")")
+
+  val qEmbedNearDup = GateQuery.sql(
+    "q_embed_neardup",
+    s"""WITH $PrepSql,
+       |$BucketRelSql,
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |p AS (SELECT vec_a, vec_b,
+       |    ${cosineQSql(dotQSql("sa.q", "sb.q"), "sa.n", "sb.n")} AS c
+       |  FROM cand JOIN en sa ON sa.vec_id = vec_a JOIN en sb ON sb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, round(c, 6) + 0.0 AS cos
+       |FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = prep(s, d)
+    val bk = bucketRel(e)
+    val cand = bk.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"))
+      .join(bk.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt")), Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("_c"))
+      .filter(col("_c") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), (round(col("_c"), 6) + lit(0.0)).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** LSH-bucketed ANN (the scale path for #26): candidates restricted
+    * to vectors sharing any LSH bucket with the query — approximate by
+    * design, so a rows-only oracle (SURVEY §2 #27).
+    */
+  val qKnnLsh = GateQuery.rowsOnly("q_knn_lsh") { (s, d) =>
+    val e = prep(s, d)
+    val bk = bucketRel(e)
+    val qids = bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bkt"))
+    val cand = qids.join(bk, Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+    Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
+        Seq(col("_c").desc, col("vec_id")), 3, col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (round(col("_c"), 6) + lit(0.0)).as("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val qRoiSum = GateQuery.sql(
+    "q_roi_sum",
+    s"""WITH $PrepSql,
+       |r AS (SELECT vec_id, q[17:32] AS roi FROM en)
+       |SELECT vec_id,
+       |  CAST(list_sum(roi) AS DOUBLE) / ${QScale}.0 AS roi_sum,
+       |  CAST(list_max(roi) AS DOUBLE) / ${QScale}.0 AS roi_max,
+       |  CAST(len(roi) AS BIGINT) AS roi_n
+       |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
+    prep(s, d)
+      .select(col("vec_id"), slice(col("q"), 17, 16).as("roi"))
+      .select(col("vec_id"),
+        (aggregate(col("roi"), lit(0L), (s0, x) => s0 + x).cast("double") / lit(QScale.toDouble)).as("roi_sum"),
+        (array_max(col("roi")).cast("double") / lit(QScale.toDouble)).as("roi_max"),
+        size(col("roi")).cast("long").as("roi_n"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDarkSubtract = GateQuery.sql(
+    "q_dark_subtract",
+    s"""WITH $PrepSql,
+       |dk AS (SELECT q AS dark FROM e WHERE vec_id = 0),
+       |c AS (SELECT vec_id, [q[i+1] - dark[i+1] for i in range(len(q))] AS corr
+       |      FROM e CROSS JOIN dk)
+       |SELECT vec_id,
+       |  CAST(list_sum(corr) AS DOUBLE) / ${QScale}.0 AS corr_sum,
+       |  CAST(list_min(corr) AS DOUBLE) / ${QScale}.0 AS corr_min,
+       |  CAST(list_max(corr) AS DOUBLE) / ${QScale}.0 AS corr_max,
+       |  CAST(len(list_filter(corr, x -> x < 0)) AS BIGINT) AS n_neg
+       |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = prep(s, d)
+    val dark = broadcast(e.filter(col("vec_id") === 0).select(col("q").as("dark")))
+    e.crossJoin(dark)
+      .select(col("vec_id"), zip_with(col("q"), col("dark"), (x, y) => x - y).as("corr"))
+      .select(col("vec_id"),
+        (aggregate(col("corr"), lit(0L), (s0, x) => s0 + x).cast("double") / lit(QScale.toDouble)).as("corr_sum"),
+        (array_min(col("corr")).cast("double") / lit(QScale.toDouble)).as("corr_min"),
+        (array_max(col("corr")).cast("double") / lit(QScale.toDouble)).as("corr_max"),
+        size(filter(col("corr"), x => x < 0)).cast("long").as("n_neg"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Fixed-point UB matrix (2 decimals): the per-row diffractometer
+    * transform angles→HKL. Output = (B·v) where v = first 3 vector
+    * components; exact integer matrix product, HALF_UP rounded to 6
+    * decimals in integer space (combined scale 1e6 * 1e2).
+    */
+  private val UB: Seq[Seq[Long]] = Seq(
+    Seq(90L, -10L, 20L),
+    Seq(10L, 110L, -30L),
+    Seq(-20L, 5L, 95L))
+
+  val qHklTransform = GateQuery.sql(
+    "q_hkl_transform", {
+      val comps = Seq("h", "k", "l").zip(UB).map { case (name, row) =>
+        val raw = s"(${row(0)} * q[1] + ${row(1)} * q[2] + ${row(2)} * q[3])"
+        s"  ${Exact.roundedRatioSignedSql(raw, "100", 0)} / ${QScale}.0 AS $name"
+      }.mkString(",\n")
+      s"""WITH $PrepSql
+         |SELECT vec_id,
+         |$comps
+         |FROM en ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    def comp(row: Seq[Long]): Column = {
+      val raw = element_at(col("q"), 1) * lit(row(0)) +
+        element_at(col("q"), 2) * lit(row(1)) +
+        element_at(col("q"), 3) * lit(row(2))
+      Exact.roundedRatioSigned(raw, lit(100L), 0) / lit(QScale.toDouble)
+    }
+    prep(s, d).select(col("vec_id"),
+        comp(UB(0)).as("h"), comp(UB(1)).as("k"), comp(UB(2)).as("l"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract, qHklTransform)
+}
