@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupExact groups identical content, keeps smallest id") {
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other")).toDF("id", "text")
+    val out = Relational.dedupExact(df, col("text"), col("id"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(out(0).fieldIndex("keep_id")) == 1L)
+    assert(out(0).getLong(out(0).fieldIndex("n_copies")) == 2L)
+  }
+
+  test("jaccardPairs computes exact jaccard on known overlap") {
+    // a: shingles {1 2 3, 2 3 4} ; b: {1 2 3, 2 3 5} -> J = 1/3
+    val df = Seq((1L, "1 2 3 4"), (2L, "1 2 3 5"), (3L, "9 9 9 9 9")).toDF("id", "text")
+    val out = Dedup.jaccardPairs(df, col("id"), col("text"), 3, 30)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 0.3333)
+  }
+
+  test("minhashPairs: identical docs agree on all signature components") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "z y x w v u t"))
+      .toDF("id", "text")
+    val out = Dedup.minhashPairs(df, col("id"), col("text"), 3, 16, 4, 8).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(out(0).fieldIndex("n_match")) == 16L)
+    assert(out(0).getDouble(out(0).fieldIndex("est_sim")) == 1.0)
+  }
+
+  test("simhash: equal text equal hash; disjoint vocab differs") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+      .toDF("id", "text")
+    val hs = df.select(TextOps.tokenHashes(col("text")).as("hs"))
+      .select(TextOps.simHashFromHashes(col("hs"))).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq("a b c", "c b a").toDF("text")
+    val fp = df.select(TextOps.fingerprint(col("text"))).as[Long].collect()
+    assert(fp(0) != fp(1))
+  }
+
+  test("markerCount counts only marker tokens") {
+    val df = Seq("the cat sat on a mat the end").toDF("text")
+    val n = df.select(TextOps.markerCount(col("text"), Seq("a", "the"))).as[Long].head()
+    assert(n == 3L)
+  }
+}

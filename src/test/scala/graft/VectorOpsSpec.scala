@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantize floors to exact 1e-6 fixed point") {
+    val df = Seq(Seq(0.5f, -0.25f, 1.0f)).toDF("v")
+    val q = df.select(VectorOps.quantize(col("v"))).as[Seq[Long]].head()
+    assert(q == Seq(500000L, -250000L, 1000000L))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Seq(0.3f, -0.7f, 0.2f), Seq(0.3f, -0.7f, 0.2f))).toDF("a", "b")
+    val c = df.select(
+      VectorOps.cosineQ(
+        VectorOps.dotQ(VectorOps.quantize(col("a")), VectorOps.quantize(col("b"))),
+        VectorOps.normQ(VectorOps.quantize(col("a"))),
+        VectorOps.normQ(VectorOps.quantize(col("b"))))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("orthogonal vectors have cosine 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(
+      VectorOps.cosineQ(
+        VectorOps.dotQ(VectorOps.quantize(col("a")), VectorOps.quantize(col("b"))),
+        VectorOps.normQ(VectorOps.quantize(col("a"))),
+        VectorOps.normQ(VectorOps.quantize(col("b"))))).as[Double].head()
+    assert(c == 0.0)
+  }
+
+  test("lshBucket is deterministic and within range") {
+    val df = Seq(Seq.fill(64)(0.1f), Seq.fill(64)(-0.1f)).toDF("v")
+    val b = df.select(VectorOps.lshBucket(VectorOps.quantize(col("v")), 0, 4, 64))
+      .as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 16))
+    // opposite vectors land in complementary buckets
+    assert(b(0) == 15L - b(1))
+  }
+
+  test("planeWeight constants are stable") {
+    assert(VectorOps.planeWeight(0, 0, 0) == VectorOps.planeWeight(0, 0, 0))
+    assert((0 until 20).map(VectorOps.planeWeight(1, 2, _)).forall(w => w >= -1000 && w <= 1000))
+  }
+}
