@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Binning, Exact, PeakAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, PeakAnalysis, WindowOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
@@ -221,7 +221,17 @@ object ScanQueries {
       .orderBy(col("click_event"))
   }
 
+  /** Iterative Gauss–Newton fit per scan (SURVEY §2 #10) — not
+    * SQL-expressible, so rows-only gate + ScalaTest tolerance oracle
+    * (GaussFitSpec). Deterministic: fixed iterations, sorted points.
+    */
+  val qGaussFit = GateQuery.rowsOnly("q_gauss_fit") { (s, d) =>
+    GaussFit.fitGroups(ev(s, d).select(col("user_id"), col("xs"),
+        col("vd").cast("double").as("v")), "user_id", "xs", "v")
+      .orderBy(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
-    qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin)
+    qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit)
 }

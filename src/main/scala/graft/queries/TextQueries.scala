@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Exact, Relational, TextOps}
+import graft.operators.{Dedup, Exact, MultimodalOps, Relational, TextOps}
 import graft.operators.Exact.roundedRatioSql
 import graft.operators.TextOps.{baseHashSql, markerCountSql}
 
@@ -183,7 +183,19 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Declarative metadata half of the multimodal pipeline (#32): the
+    * binary payload + byte length + digest are SQL-checkable; the
+    * batched decode stub is covered by MultimodalOpsSpec. */
+  val qMultimodalMeta = GateQuery.sql(
+    "q_multimodal_meta",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    MultimodalOps.withPayloadMeta(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_bytes"), col("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
-    qSimHash, qJaccardPairs, qMinhashPairs)
+    qSimHash, qJaccardPairs, qMinhashPairs, qMultimodalMeta)
 }

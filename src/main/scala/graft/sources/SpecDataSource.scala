@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the ASCII "spec" format produced by
+  * Certified Scientific's *spec* instrument-control software — the
+  * capability that defines the reference library (pyspec
+  * `spec.py` `SpecDataFile`/`SpecScan`: `#S` scan headers, `#D`
+  * dates, `#O`/`#P` motor names+positions, `#L` column labels,
+  * numeric data blocks, random access to scans by number).
+  *
+  * Layout: one Spark partition per (file, scan) — a 10k-scan corpus
+  * parallelizes across the cluster with zero coordination, and
+  * pyspec's "random access by scan number" maps onto partition
+  * PRUNING: equality/IN filters on the `scan` column skip whole
+  * partitions before any byte of their data block is read.
+  *
+  * Schema (one row per data point):
+  *   file string, scan long, command string, date string, point long,
+  *   motors map<string,double>, data map<string,double>
+  */
+class SpecDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "spec"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SpecSchema.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala
+    val paths = opts.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(opts.get("path").map(Seq(_)))
+      .getOrElse(Seq.empty)
+    new SpecTable(paths)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SpecSchema {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("scan", LongType, nullable = false),
+    StructField("command", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("point", LongType, nullable = false),
+    StructField("motors", MapType(StringType, DoubleType), nullable = true),
+    StructField("data", MapType(StringType, DoubleType), nullable = true)))
+
+  /** `#O`/`#L` fields are separated by TWO or more spaces (single
+    * spaces can occur inside a name) — pyspec spec.py convention. */
+  def splitLabels(s: String): Array[String] =
+    s.trim.split("\\s{2,}").filter(_.nonEmpty)
+
+  /** Expand a path (file or directory) into .spec-bearing files. */
+  def expand(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
+    else Seq(p)
+  }
+
+  /** Driver-side index pass: (scanNo, startLine, endLineExcl) per
+    * file plus the file-level motor names from the `#O` block. Only
+    * header lines are inspected; data lines are skipped by prefix.
+    */
+  def indexFile(path: String): (Array[String], Seq[(Long, Int, Int)]) = {
+    val lines = scala.io.Source.fromFile(path)
+    try {
+      val motorNames = mutable.ArrayBuffer[String]()
+      val scans = mutable.ArrayBuffer[(Long, Int, Int)]()
+      var curScan = -1L
+      var curStart = -1
+      var i = 0
+      for (line <- lines.getLines()) {
+        if (line.startsWith("#O")) motorNames ++= splitLabels(line.dropWhile(_ != ' '))
+        else if (line.startsWith("#S ")) {
+          if (curScan >= 0) scans += ((curScan, curStart, i))
+          curScan = line.drop(3).trim.takeWhile(_.isDigit) match {
+            case "" => -1L
+            case d => d.toLong
+          }
+          curStart = i
+        }
+        i += 1
+      }
+      if (curScan >= 0) scans += ((curScan, curStart, i))
+      (motorNames.toArray, scans.toSeq)
+    } finally lines.close()
+  }
+}
+
+final case class SpecInputPartition(path: String, scanNo: Long,
+                                    startLine: Int, endLine: Int,
+                                    motorNames: Array[String]) extends InputPartition
+
+class SpecTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"spec(${paths.mkString(",")})"
+  override def schema(): StructType = SpecSchema.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SpecScanBuilder(paths)
+}
+
+class SpecScanBuilder(paths: Seq[String]) extends ScanBuilder with SupportsPushDownFilters {
+  private var scanEq: Option[Set[Long]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val wanted = filters.collect {
+      case EqualTo("scan", v: Long) => Set(v)
+      case EqualTo("scan", v: Int) => Set(v.toLong)
+      case In("scan", vs) => vs.collect { case v: Long => v; case v: Int => v.toLong }.toSet
+    }
+    if (wanted.nonEmpty) {
+      scanEq = Some(wanted.reduce(_ intersect _))
+      pushed = filters.filter {
+        case EqualTo("scan", _) | In("scan", _) => true
+        case _ => false
+      }
+    }
+    filters // all filters stay as residual (pruning is an extra win)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = SpecSchema.schema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      SpecSchema.expand(paths).flatMap { p =>
+        val (motors, scans) = SpecSchema.indexFile(p)
+        scans.collect {
+          case (no, s, e) if scanEq.forall(_.contains(no)) =>
+            SpecInputPartition(p, no, s, e, motors)
+        }
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new SpecReaderFactory
+  }
+}
+
+class SpecReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SpecPartitionReader(partition.asInstanceOf[SpecInputPartition])
+}
+
+/** Parses one scan's line range into data-point rows. */
+class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[InternalRow] {
+  private val rows: Iterator[InternalRow] = {
+    val src = scala.io.Source.fromFile(p.path)
+    val lines = try src.getLines().slice(p.startLine, p.endLine).toArray finally src.close()
+    var command: String = null
+    var date: String = null
+    val positions = mutable.ArrayBuffer[Double]()
+    var labels: Array[String] = Array.empty
+    val dataRows = mutable.ArrayBuffer[Array[Double]]()
+    for (line <- lines) {
+      if (line.startsWith("#S ")) command = line.drop(3).trim.dropWhile(_.isDigit).trim
+      else if (line.startsWith("#D ")) date = line.drop(3).trim
+      else if (line.startsWith("#P"))
+        positions ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
+      else if (!line.startsWith("#") && line.trim.nonEmpty)
+        dataRows += line.trim.split("\\s+").map(_.toDouble)
+    }
+    val motorMap = mapData(p.motorNames.take(positions.length), positions.toArray)
+    val fileU = UTF8String.fromString(p.path)
+    val cmdU = if (command == null) null else UTF8String.fromString(command)
+    val dateU = if (date == null) null else UTF8String.fromString(date)
+    dataRows.iterator.zipWithIndex.map { case (vals, idx) =>
+      val dataMap = mapData(labels.take(vals.length), vals)
+      InternalRow(fileU, p.scanNo, cmdU, dateU, idx.toLong, motorMap, dataMap)
+    }
+  }
+
+  private def mapData(keys: Array[String], values: Array[Double]): ArrayBasedMapData = {
+    val n = math.min(keys.length, values.length)
+    new ArrayBasedMapData(
+      new GenericArrayData(keys.take(n).map(UTF8String.fromString(_)).asInstanceOf[Array[Any]]),
+      new GenericArrayData(values.take(n).map(v => v: Any)))
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

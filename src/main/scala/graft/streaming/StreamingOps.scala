@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2 #34–#35) — the live
+  * counterpart of pyspec's scan monitoring: windowed detector-count
+  * aggregation with late-data watermarks, and scan-boundary detection
+  * (sessionization) via `flatMapGroupsWithState`.
+  *
+  * Both transforms are source-agnostic: the same code runs over a
+  * MemoryStream in tests, a Kafka topic, or a file drop-box, because
+  * they only describe the logical streaming plan. State is per-key
+  * and O(1) per session — watermark-driven eviction bounds executor
+  * memory at any input rate.
+  */
+object StreamingOps {
+
+  /** Event-time windowed aggregation with a watermark: per (window,
+    * key) event count and total value, emitted once finalized (Append
+    * semantics downstream).
+    */
+  def windowedAgg(events: DataFrame, timeCol: String, keyCol: String, valueCol: String,
+                  windowDur: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"), col("total"))
+
+  final case class Evt(user: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user: Long, startMs: Long, endMs: Long, n: Long, total: Double)
+
+  /** Event-time sessionization: a session closes after `gapMs` of
+    * inactivity (either observed in-stream or via event-time timeout
+    * once the watermark passes last + gap). Emits CLOSED sessions
+    * only — Append output, bounded state.
+    *
+    * The input must already carry a watermark on `ts`.
+    */
+  def sessionize(ds: Dataset[Evt], gapMs: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, events: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += SessionOut(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

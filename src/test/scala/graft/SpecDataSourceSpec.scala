@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class SpecDataSourceSpec extends SparkSpec {
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("specds").toFile
+    val f = new java.io.File(dir, "sample.spec")
+    val content =
+      """#F sample.spec
+        |#E 1704067200
+        |#D Mon Jan 01 00:00:00 2024
+        |#O0 Theta  Two Theta  Chi
+        |#O1 Phi
+        |
+        |#S 1 ascan th 0 1 5 1
+        |#D Mon Jan 01 00:10:00 2024
+        |#P0 0.5 1.25 -3.0
+        |#P1 12.5
+        |#N 4
+        |#L th  detector  monitor  seconds
+        |0.0 10 1000 1
+        |0.2 14 1001 1
+        |0.4 30 999 1
+        |0.6 55 1002 1
+        |0.8 31 1000 1
+        |1.0 11 998 1
+        |
+        |#S 2 dscan chi -1 1 3 1
+        |#D Mon Jan 01 00:20:00 2024
+        |#P0 0.7 1.25 -3.0
+        |#P1 12.5
+        |#N 3
+        |#L chi  detector  seconds
+        |-1.0 5 1
+        |0.0 50 1
+        |1.0 6 1
+        |#C a trailing comment
+        |""".stripMargin
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    f.getPath
+  }
+
+  test("reads scans with schema, motors and data maps") {
+    val df = spark.read.format("spec").load(fixture)
+    assert(df.columns.toSeq ==
+      Seq("file", "scan", "command", "date", "point", "motors", "data"))
+    assert(df.count() == 9) // 6 + 3 data points
+    val s1 = df.filter(col("scan") === 1).orderBy("point")
+    assert(s1.count() == 6)
+    val first = s1.collect().head
+    assert(first.getString(first.fieldIndex("command")) == "ascan th 0 1 5 1")
+    assert(first.getString(first.fieldIndex("date")) == "Mon Jan 01 00:10:00 2024")
+    val motors = first.getMap[String, Double](first.fieldIndex("motors"))
+    assert(motors("Theta") == 0.5)
+    assert(motors("Two Theta") == 1.25) // two-space separated name with a space inside
+    assert(motors("Phi") == 12.5) // #P1 continuation
+    val data = first.getMap[String, Double](first.fieldIndex("data"))
+    assert(data("th") == 0.0 && data("detector") == 10.0 && data("monitor") == 1000.0)
+  }
+
+  test("scan 2 has its own labels and positions") {
+    val df = spark.read.format("spec").load(fixture)
+    val s2 = df.filter(col("scan") === 2).orderBy("point").collect()
+    assert(s2.length == 3)
+    val d = s2(1).getMap[String, Double](s2(1).fieldIndex("data"))
+    assert(d("chi") == 0.0 && d("detector") == 50.0)
+    assert(!d.contains("monitor"))
+    val m = s2(0).getMap[String, Double](s2(0).fieldIndex("motors"))
+    assert(m("Theta") == 0.7)
+  }
+
+  test("scan-number filter prunes partitions (random access)") {
+    val df = spark.read.format("spec").load(fixture).filter(col("scan") === 2)
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("spec"))
+    // partition pruning: only one partition planned
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("spec columns integrate with DataFrame ops (per-scan stats)") {
+    val df = spark.read.format("spec").load(fixture)
+    val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
+      .groupBy("scan").agg(max("det").as("peak"))
+      .orderBy("scan").collect()
+    assert(stats(0).getDouble(1) == 55.0)
+    assert(stats(1).getDouble(1) == 50.0)
+  }
+}

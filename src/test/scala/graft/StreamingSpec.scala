@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Evt
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Offset from epoch 0 (a whole number of minutes, so window bounds
+  // shift cleanly): an event at exactly the initial watermark (0) is
+  // filtered as late by stateful operators (strict comparison).
+  private def ts(sec: Long) = new Timestamp((1200 + sec) * 1000)
+
+  test("windowed agg with watermark finalizes windows as watermark advances") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamingOps.windowedAgg(
+      input.toDF().toDF("ts", "user", "value"),
+      "ts", "user", "value", "1 minute", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(5), 1L, 2.0), (ts(20), 1L, 3.0), (ts(30), 2L, 1.0))
+      q.processAllAvailable()
+      // watermark still below window end -> nothing finalized
+      assert(spark.table("winagg").count() == 0)
+      input.addData((ts(200), 1L, 9.0)) // watermark -> 190s, first window closes
+      q.processAllAvailable()
+      input.addData((ts(201), 2L, 1.0)) // nudge trigger with updated watermark
+      q.processAllAvailable()
+      val rows = spark.table("winagg").orderBy("win_start", "user").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(rows(0).fieldIndex("n")) == 2L) // user 1: 2 events in [0,60)
+      assert(rows(0).getDouble(rows(0).fieldIndex("total")) == 5.0)
+      assert(rows(1).getLong(rows(1).fieldIndex("n")) == 1L) // user 2
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on gap and on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val sessions = StreamingOps.sessionize(
+      input.toDS().withWatermark("ts", "10 seconds").as[Evt], gapMs = 30000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Evt(1, ts(0), 1.0), Evt(1, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      input.addData(Evt(1, ts(100), 5.0)) // in-stream gap closes first session
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").collect()
+      assert(afterGap.length == 1)
+      assert(afterGap(0).getLong(afterGap(0).fieldIndex("startMs")) == 1200000L)
+      assert(afterGap(0).getLong(afterGap(0).fieldIndex("endMs")) == 1210000L)
+      assert(afterGap(0).getLong(afterGap(0).fieldIndex("n")) == 2L)
+      // advance watermark far past last+gap -> timeout closes session 2
+      input.addData(Evt(2, ts(500), 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(2, ts(501), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").orderBy("startMs").collect()
+      assert(all.length == 2)
+      assert(all(1).getLong(all(1).fieldIndex("startMs")) == 1300000L)
+      assert(all(1).getDouble(all(1).fieldIndex("total")) == 5.0)
+    } finally q.stop()
+  }
+}
