@@ -1,0 +1,178 @@
+package graft.expressions
+
+import java.security.MessageDigest
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TextOps
+
+/** Native Catalyst expressions for the text/vector hot paths.
+  *
+  * The higher-order-function formulations in TextOps/VectorOps are
+  * the semantic reference, but Catalyst evaluates lambda bodies
+  * interpreted — one closure dispatch + boxing per element. These
+  * expressions compute the IDENTICAL values (asserted by
+  * ExpressionParitySpec) in one virtual call per row with tight
+  * primitive loops, which is what makes the text family competitive
+  * with a vectorized single-node engine while keeping the exact
+  * cross-engine `base_hash` semantics the DuckDB oracle checks.
+  */
+object TextExpressions {
+
+  /** md5-prefix base_hash of a token — first 4 digest bytes as an
+    * unsigned 32-bit int (== conv(substr(md5(s),1,8),16,10)). */
+  @inline private[expressions] def baseHash(md: MessageDigest, token: String): Long = {
+    md.reset()
+    val d = md.digest(token.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 15 hex chars of md5 as a long
+    * (== conv(substr(md5(s),1,15),16,10)). */
+  @inline private[expressions] def shingleKey(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def simHash32(text: Column): Column = GraftColumnBridge.column(
+    SimHash32Expr(GraftColumnBridge.expression(text)))
+  def fingerprint(text: Column): Column = GraftColumnBridge.column(
+    FingerprintExpr(GraftColumnBridge.expression(text)))
+  def minHashSig(text: Column, k: Int, numPerms: Int): Column = GraftColumnBridge.column(
+    MinHashSigExpr(GraftColumnBridge.expression(text), k, numPerms))
+  def shingleKeysFast(text: Column, k: Int): Column = GraftColumnBridge.column(
+    ShingleKeysFastExpr(GraftColumnBridge.expression(text), k))
+}
+
+/** 32-bit SimHash over the token multiset — value-identical to
+  * TextOps.simHashFromHashes(TextOps.tokenHashes(text)). */
+case class SimHash32Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    var t = 0
+    while (t < tokens.length) {
+      val h = TextExpressions.baseHash(md, tokens(t))
+      var j = 0
+      while (j < 32) {
+        votes(j) += (((h >> j) & 1L) * 2 - 1).toInt
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial fingerprint — value-identical to
+  * TextOps.fingerprint. */
+case class FingerprintExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var h = 0L
+    var t = 0
+    while (t < tokens.length) {
+      h = (h * 31L + TextExpressions.baseHash(md, tokens(t))) % TextOps.FpMod
+      t += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+/** MinHash signature straight from text: portable md5 shingle keys +
+  * arithmetic permutations — value-identical to grouping the exploded
+  * TextOps.shingles relation and taking min(TextOps.permHash(i, _)).
+  * Computing it per-row removes that explode+aggregate shuffle from
+  * the plan entirely. Returns NULL-free array<long>; docs with fewer
+  * than k tokens yield an empty array.
+  */
+case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val consts: Array[(Long, Long)] =
+    (0 until numPerms).map(TextOps.permConsts).toArray
+  protected override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.HashSet[Long]
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= tokens.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      val key = TextExpressions.shingleKey(md, sb.toString)
+      if (seen.add(key)) {
+        val k32 = key & 0xFFFFFFFFL
+        var p = 0
+        while (p < numPerms) {
+          val (a, b) = consts(p)
+          val h = (a * k32 + b) % TextOps.M61
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Engine-local fast shingle keys (xxhash64 of each k-gram string,
+  * seed 42 like Spark's xxhash64), distinct, order of first
+  * occurrence. Only key EQUALITY is consumed (Jaccard counts), so
+  * these need not match any oracle value — just be deterministic.
+  */
+case class ShingleKeysFastExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= tokens.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      val u = UTF8String.fromString(sb.toString)
+      seen += org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.map(v => v: Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleKeysFastExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.operators.VectorOps
+
+/** Native Catalyst expressions for the fixed-point vector hot paths —
+  * value-identical to the VectorOps higher-order formulations
+  * (asserted by ExpressionParitySpec) but with primitive loops
+  * instead of interpreted lambdas. The candidate-pair cosine scoring
+  * in near-dup/KNN runs one of these per pair, so closure dispatch
+  * there is the dominant cost at scale.
+  */
+object VectorExpressions {
+  def quantizeVec(v: Column): Column = GraftColumnBridge.column(
+    QuantizeVecExpr(GraftColumnBridge.expression(v)))
+  def dotQ(a: Column, b: Column): Column = GraftColumnBridge.column(
+    DotQExpr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def normQ(a: Column): Column = GraftColumnBridge.column(
+    NormQExpr(GraftColumnBridge.expression(a)))
+}
+
+/** floor(x * 1e6) fixed-point quantization of a float/double array. */
+case class QuantizeVecExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      out(i) = math.floor(x * VectorOps.QScale.toDouble).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVecExpr =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two long arrays. */
+case class DotQExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotQExpr =
+    copy(left = l, right = r)
+}
+
+/** Exact integer squared norm of a long array. */
+case class NormQExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    while (i < x.numElements()) { s += x.getLong(i) * x.getLong(i); i += 1 }
+    s
+  }
+  override protected def withNewChildInternal(newChild: Expression): NormQExpr =
+    copy(child = newChild)
+}

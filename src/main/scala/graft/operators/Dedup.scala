@@ -23,7 +23,11 @@ object Dedup {
     */
   private def shingleRel(docs: DataFrame, id: Column, text: Column, k: Int,
                          fast: Boolean): DataFrame = {
-    val shl = if (fast) TextOps.shinglesFast(text, k) else TextOps.shingles(text, k)
+    // Native expression for the fast path (tight per-row loop); the
+    // HOF TextOps.shingles stays for the portable md5 path.
+    val shl =
+      if (fast) graft.expressions.TextExpressions.shingleKeysFast(text, k)
+      else TextOps.shingles(text, k)
     docs.select(id.as("doc_id"), shl.as("shl"))
       .select(col("doc_id"), explode(col("shl")).as("h"),
         size(col("shl")).cast("long").as("m"))
@@ -80,17 +84,18 @@ object Dedup {
                    numPerms: Int, bands: Int, minMatch: Int): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into equal bands")
     val rowsPerBand = numPerms / bands
-    // MinHash signature VALUES cross the oracle, so keys must be the
-    // portable md5-based shingles (not the fast engine-local ones).
-    val sh = shingleRel(docs, id, text, k, fast = false)
-    val minCols = (0 until numPerms).map(i => min(TextOps.permHash(i, col("h"))).as(s"_s$i"))
+    // MinHash signature VALUES cross the oracle (portable md5 shingle
+    // keys + arithmetic permutations); MinHashSigExpr computes the
+    // whole signature per row in one pass — no explode, no shuffle
+    // for the signature stage at all. Docs with fewer than k tokens
+    // have no shingles and are dropped (empty signature).
     // The signature table is referenced four times below (both band
     // sides + both scoring sides); localCheckpoint materializes it
     // once — it is tiny (one row per doc) at any corpus size.
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(i => col(s"_s$i")): _*).as("sig"))
+    val sig = docs
+      .select(id.as("doc_id"),
+        graft.expressions.TextExpressions.minHashSig(text, k, numPerms).as("sig"))
+      .filter(size(col("sig")) > 0)
       .localCheckpoint(false)
     val bandStructs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))

@@ -24,11 +24,14 @@ object EmbeddingQueries {
   private val Tables4 = 4 // LSH tables
   private val Planes4 = 4 // hyperplanes per table
 
-  /** Spark prep: (vec_id, q, n) with quantized vector + exact norm. */
+  /** Spark prep: (vec_id, q, n) with quantized vector + exact norm
+    * (native expressions — value-identical to the VectorOps HOFs). */
   private def prep(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .select(col("vec_id"), col("q"), normQ(col("q")).as("n"))
+      .select(col("vec_id"),
+        graft.expressions.VectorExpressions.quantizeVec(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"),
+        graft.expressions.VectorExpressions.normQ(col("q")).as("n"))
 
   /** DuckDB prep mirror of [[prep]]. */
   private val PrepSql =

@@ -124,7 +124,7 @@ object TextQueries {
     s"""SELECT doc_id, CAST(${TextOps.fingerprintSql("text")} AS BIGINT) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), graft.expressions.TextExpressions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -136,8 +136,7 @@ object TextQueries {
        |SELECT doc_id, CAST(${TextOps.simHashSql("hs")} AS BIGINT) AS simhash
        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("hs"))
-      .select(col("doc_id"), TextOps.simHashFromHashes(col("hs")).as("simhash"))
+      .select(col("doc_id"), graft.expressions.TextExpressions.simHash32(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
   }
 

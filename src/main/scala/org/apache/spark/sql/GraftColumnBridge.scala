@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridges graft's custom Catalyst expressions into public Columns
+  * (ExpressionUtils is private[sql] in Spark 4).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{TextExpressions, VectorExpressions}
+import graft.operators.{TextOps, VectorOps}
+
+/** The native Catalyst expressions must be VALUE-IDENTICAL to their
+  * higher-order-function reference formulations — that identity is
+  * what keeps the DuckDB oracle green after swapping them into the
+  * query plans. Checked over the real sf0.001 tables plus synthetic
+  * edge cases.
+  */
+class ExpressionParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("SimHash32Expr == HOF simhash on real documents") {
+    val diff = docs.select(
+        TextExpressions.simHash32(col("text")).as("a"),
+        TextOps.simHashFromHashes(TextOps.tokenHashes(col("text"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("FingerprintExpr == HOF fingerprint on real documents") {
+    val diff = docs.select(
+        TextExpressions.fingerprint(col("text")).as("a"),
+        TextOps.fingerprint(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("MinHashSigExpr == explode+min over portable shingles") {
+    // reference: min over TextOps.permHash(i, shingle-key) per doc
+    val sh = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("h"))
+    val ref = sh.groupBy("doc_id")
+      .agg((0 until 16).map(i => min(TextOps.permHash(i, col("h"))).as(s"s$i")).head,
+        (0 until 16).map(i => min(TextOps.permHash(i, col("h"))).as(s"s$i")).tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"s$i")): _*).as("sig"))
+    val fast = docs.select(col("doc_id"),
+      TextExpressions.minHashSig(col("text"), 3, 16).as("sig"))
+    val joined = ref.join(fast.withColumnRenamed("sig", "sig2"), "doc_id")
+    assert(joined.filter(not(col("sig") === col("sig2"))).count() == 0)
+    assert(ref.count() == fast.count())
+  }
+
+  test("ShingleKeysFastExpr matches HOF distinct count and set") {
+    val cmp = docs.select(
+        TextExpressions.shingleKeysFast(col("text"), 3).as("a"),
+        TextOps.shinglesFast(col("text"), 3).as("b"))
+      .select(size(col("a")).as("na"), size(col("b")).as("nb"),
+        size(array_except(col("a"), col("b"))).as("extra"))
+    assert(cmp.filter(col("na") =!= col("nb") || col("extra") =!= 0).count() == 0)
+  }
+
+  test("QuantizeVec/NormQ/DotQ expressions == HOF vector math") {
+    val both = embs.select(
+        VectorExpressions.quantizeVec(col("embedding")).as("qe"),
+        VectorOps.quantize(col("embedding")).as("qh"))
+    assert(both.filter(not(col("qe") === col("qh"))).count() == 0)
+    val norms = both.select(
+      VectorExpressions.normQ(col("qe")).as("ne"),
+      VectorOps.normQ(col("qh")).as("nh"),
+      VectorExpressions.dotQ(col("qe"), col("qh")).as("de"),
+      VectorOps.dotQ(col("qe"), col("qh")).as("dh"))
+    assert(norms.filter(col("ne") =!= col("nh") || col("de") =!= col("dh")).count() == 0)
+  }
+
+  test("edge cases: short docs yield empty shingle/sig arrays") {
+    val df = Seq("one two", "a b c").toDF("text")
+    val out = df.select(
+      size(TextExpressions.minHashSig(col("text"), 3, 16)).as("ns"),
+      size(TextExpressions.shingleKeysFast(col("text"), 3)).as("nf")).collect()
+    assert(out(0).getInt(0) == 0 && out(0).getInt(1) == 0)
+    assert(out(1).getInt(0) == 16 && out(1).getInt(1) == 1)
+  }
+}
