@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** Generalized per-group lineshape fitting — the full pyspec
+  * `fit.py`/`fitfuncs.py` surface (gaussian, lorentzian,
+  * pseudo-voigt), not just the gaussian special case.
+  *
+  * Same execution model as [[GaussFit]] (`mapGroups`, sorted points,
+  * fixed iteration budget, deterministic) with a central-difference
+  * numeric jacobian so adding a lineshape means adding ONE model
+  * function — exactly how the reference's fit framework accepts
+  * arbitrary `fitfuncs`.
+  */
+object LineshapeFit {
+
+  sealed trait Shape extends Serializable {
+    def name: String
+    def nParams: Int
+    /** params layout: (bg, height, center, width[, frac]) */
+    def model(x: Double, p: Array[Double]): Double
+    /** Moment seed (peakguess). */
+    def seed(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+      val (bg, h, c, s) = GaussFit.seed(xs, ys)
+      val base = Array(bg, h, c, s)
+      if (nParams == 5) base :+ 0.5 else base
+    }
+  }
+
+  case object Gaussian extends Shape {
+    val name = "gaussian"; val nParams = 4
+    def model(x: Double, p: Array[Double]): Double =
+      p(0) + p(1) * math.exp(-(x - p(2)) * (x - p(2)) / (2 * p(3) * p(3)))
+  }
+
+  case object Lorentzian extends Shape {
+    val name = "lorentzian"; val nParams = 4
+    def model(x: Double, p: Array[Double]): Double = {
+      val t = (x - p(2)) / p(3)
+      p(0) + p(1) / (1 + t * t)
+    }
+  }
+
+  /** Linear mix of gaussian and lorentzian with shared width; p(4) is
+    * the lorentzian fraction in [0, 1]. */
+  case object PseudoVoigt extends Shape {
+    val name = "pseudo_voigt"; val nParams = 5
+    def model(x: Double, p: Array[Double]): Double = {
+      val t = (x - p(2)) / p(3)
+      val lor = 1.0 / (1 + t * t)
+      val gau = math.exp(-t * t / 2)
+      val f = math.min(1.0, math.max(0.0, p(4)))
+      p(0) + p(1) * (f * lor + (1 - f) * gau)
+    }
+  }
+
+  final case class ShapeFit(g: Long, shape: String, n: Long, bg: Double,
+                            height: Double, center: Double, width: Double,
+                            frac: Double, rss: Double, converged: Boolean)
+
+  private def rss(shape: Shape, xs: Array[Double], ys: Array[Double],
+                  p: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < xs.length) {
+      val r = ys(i) - shape.model(xs(i), p)
+      acc += r * r; i += 1
+    }
+    acc
+  }
+
+  /** Solve a dense n×n system in place; null when singular. */
+  private def solveN(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    var c = 0
+    while (c < n) {
+      var piv = c
+      var r = c + 1
+      while (r < n) { if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r; r += 1 }
+      if (math.abs(a(piv)(c)) < 1e-300) return null
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb }
+      r = c + 1
+      while (r < n) {
+        val f = a(r)(c) / a(c)(c)
+        var k = c
+        while (k < n) { a(r)(k) -= f * a(c)(k); k += 1 }
+        b(r) -= f * b(c)
+        r += 1
+      }
+      c += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var k = i + 1
+      while (k < n) { s -= a(i)(k) * x(k); k += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** Damped Gauss–Newton with a central-difference jacobian. */
+  def fitArrays(shape: Shape, g: Long, xsIn: Array[Double], ysIn: Array[Double],
+                maxIter: Int = 40): ShapeFit = {
+    val order = xsIn.indices.sortBy(i => (xsIn(i), ysIn(i)))
+    val xs = order.map(xsIn).toArray
+    val ys = order.map(ysIn).toArray
+    val n = xs.length
+    val np = shape.nParams
+    var p = shape.seed(xs, ys)
+    def pack(converged: Boolean, cur: Double) = ShapeFit(
+      g, shape.name, n, p(0), p(1), p(2), math.abs(p(3)),
+      if (np == 5) math.min(1.0, math.max(0.0, p(4))) else 0.0,
+      cur, converged)
+    if (n < np + 1 || p(1) <= 0) return pack(converged = false, rss(shape, xs, ys, p))
+    var cur = rss(shape, xs, ys, p)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val jtj = Array.fill(np)(new Array[Double](np))
+      val jtr = new Array[Double](np)
+      val jrow = new Array[Double](np)
+      var i = 0
+      while (i < n) {
+        var k = 0
+        while (k < np) {
+          val h = math.max(1e-7, 1e-7 * math.abs(p(k)))
+          val pk = p(k)
+          p(k) = pk + h; val up = shape.model(xs(i), p)
+          p(k) = pk - h; val dn = shape.model(xs(i), p)
+          p(k) = pk
+          jrow(k) = (up - dn) / (2 * h)
+          k += 1
+        }
+        val r = ys(i) - shape.model(xs(i), p)
+        var a = 0
+        while (a < np) {
+          jtr(a) += jrow(a) * r
+          var b = 0
+          while (b < np) { jtj(a)(b) += jrow(a) * jrow(b); b += 1 }
+          a += 1
+        }
+        i += 1
+      }
+      val d = solveN(jtj, jtr)
+      if (d == null) converged = true
+      else {
+        var step = 1.0
+        var accepted = false
+        var t = 0
+        while (t < 10 && !accepted) {
+          val cand = p.clone()
+          var k = 0
+          while (k < np) { cand(k) += step * d(k); k += 1 }
+          if (math.abs(cand(3)) < 1e-9) cand(3) = p(3) / 2
+          val nr = rss(shape, xs, ys, cand)
+          if (java.lang.Double.isFinite(nr) && nr <= cur) {
+            if (cur - nr < 1e-12 * (1 + cur)) converged = true
+            p = cand; cur = nr; accepted = true
+          } else { step /= 2; t += 1 }
+        }
+        if (!accepted) converged = true
+      }
+      it += 1
+    }
+    pack(converged, cur)
+  }
+
+  /** Per-group fit over (group, x, y) columns for one lineshape. */
+  def fitGroups(df: DataFrame, shape: Shape, group: String, x: String, y: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts: Dataset[GaussFit.Point] = df.select(
+      col(group).cast("long").as("g"),
+      col(x).cast("double").as("x"),
+      col(y).cast("double").as("y")).as[GaussFit.Point]
+    pts.groupByKey(_.g)
+      .mapGroups { (g, it) =>
+        val arr = it.toArray
+        fitArrays(shape, g, arr.map(_.x), arr.map(_.y))
+      }
+      .toDF()
+  }
+}

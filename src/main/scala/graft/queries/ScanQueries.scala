@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, PeakAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, LineshapeFit, PeakAnalysis, WindowOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
@@ -231,7 +231,18 @@ object ScanQueries {
       .orderBy(col("g"))
   }
 
+  /** Generalized lineshape fits (pyspec fitfuncs lorentzian /
+    * pseudo-voigt) — rows-only gate + LineshapeFitSpec tolerance
+    * oracle. */
+  val qLineshapeFit = GateQuery.rowsOnly("q_lineshape_fit") { (s, d) =>
+    LineshapeFit.fitGroups(ev(s, d).select(col("user_id"), col("xs"),
+        col("vd").cast("double").as("v")),
+        LineshapeFit.Lorentzian, "user_id", "xs", "v")
+      .orderBy(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
-    qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit)
+    qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
+    qLineshapeFit)
 }

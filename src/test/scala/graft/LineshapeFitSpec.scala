@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.LineshapeFit
+import graft.operators.LineshapeFit.{Gaussian, Lorentzian, PseudoVoigt}
+
+class LineshapeFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lorentzian fit recovers exact parameters on noise-free data") {
+    val (bg, h, c, g) = (1.0, 6.0, 2.5, 0.8)
+    val pts = (-120 to 120).map { i =>
+      val x = c + i * 0.05
+      (3L, x, bg + h / (1 + math.pow((x - c) / g, 2)))
+    }
+    val r = LineshapeFit.fitGroups(pts.toDF("g", "x", "y"), Lorentzian, "g", "x", "y")
+      .collect().head
+    assert(math.abs(r.getDouble(r.fieldIndex("bg")) - bg) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("height")) - h) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("center")) - c) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("width")) - g) < 1e-5)
+  }
+
+  test("pseudo-voigt fit recovers the lorentzian fraction") {
+    val (bg, h, c, w, f) = (0.2, 5.0, -1.0, 1.2, 0.7)
+    val pts = (-150 to 150).map { i =>
+      val x = c + i * 0.04
+      val t = (x - c) / w
+      val y = bg + h * (f / (1 + t * t) + (1 - f) * math.exp(-t * t / 2))
+      (4L, x, y)
+    }
+    val r = LineshapeFit.fitGroups(pts.toDF("g", "x", "y"), PseudoVoigt, "g", "x", "y")
+      .collect().head
+    assert(math.abs(r.getDouble(r.fieldIndex("center")) - c) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("frac")) - f) < 1e-3)
+    assert(math.abs(r.getDouble(r.fieldIndex("height")) - h) < 1e-3)
+  }
+
+  test("gaussian via the generic path matches the dedicated GaussFit") {
+    val pts = (-60 to 60).map { i =>
+      val x = i * 0.1
+      (5L, x, 2.0 + 7.0 * math.exp(-x * x / (2 * 1.1 * 1.1)))
+    }
+    val gen = LineshapeFit.fitGroups(pts.toDF("g", "x", "y"), Gaussian, "g", "x", "y")
+      .collect().head
+    val ded = graft.operators.GaussFit.fitGroups(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(math.abs(gen.getDouble(gen.fieldIndex("center")) - ded.getDouble(ded.fieldIndex("com"))) < 1e-6)
+    assert(math.abs(gen.getDouble(gen.fieldIndex("width")) - ded.getDouble(ded.fieldIndex("sigma"))) < 1e-6)
+  }
+}
