@@ -23,6 +23,45 @@ object VectorExpressions {
     DotQExpr(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def normQ(a: Column): Column = GraftColumnBridge.column(
     NormQExpr(GraftColumnBridge.expression(a)))
+  def lshBuckets(q: Column, tables: Int, planes: Int, dims: Int): Column =
+    GraftColumnBridge.column(
+      LshBucketsExpr(GraftColumnBridge.expression(q), tables, planes, dims))
+}
+
+/** All LSH table bucket ids of a quantized vector in one pass —
+  * value-identical to VectorOps.lshBucket per table. Returns
+  * array<long> of length `tables`.
+  */
+case class LshBucketsExpr(child: Expression, tables: Int, planes: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // weights[t][p][i], precomputed once per executor
+  @transient private lazy val weights: Array[Array[Array[Long]]] =
+    Array.tabulate(tables, planes, dims)(VectorOps.planeWeight)
+  protected override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = math.min(dims, q.numElements())
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val w = weights(t)(p)
+        var s = 0L
+        var i = 0
+        while (i < n) { s += q.getLong(i) * w(i); i += 1 }
+        if (s >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
 }
 
 /** floor(x * 1e6) fixed-point quantization of a float/double array. */

@@ -62,14 +62,13 @@ object EmbeddingQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** (vec_id, tbl, bkt) relation: one row per LSH table per vector. */
-  private def bucketRel(e: DataFrame): DataFrame = {
-    val tb = array((0 until Tables4).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col("q"), t, Planes4, Dims).as("bkt"))
-    }: _*)
-    e.select(col("vec_id"), explode(tb).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-  }
+  /** (vec_id, tbl, bkt) relation: one row per LSH table per vector.
+    * All table buckets come from one native-expression pass. */
+  private def bucketRel(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        posexplode(graft.expressions.VectorExpressions.lshBuckets(
+          col("q"), Tables4, Planes4, Dims)).as(Seq("tbl", "bkt")))
+      .select(col("vec_id"), col("tbl").cast("int").as("tbl"), col("bkt"))
 
   /** DuckDB mirror of [[bucketRel]] (UNION ALL over tables). */
   private val BucketRelSql = (0 until Tables4).map { t =>
@@ -87,18 +86,25 @@ object EmbeddingQueries {
        |  FROM cand JOIN en sa ON sa.vec_id = vec_a JOIN en sb ON sb.vec_id = vec_b)
        |SELECT vec_a, vec_b, round(c, 6) + 0.0 AS cos
        |FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    // Vectors travel WITH their buckets (standard LSH layout): the
+    // band self-join scores pairs in place and filters by cosine
+    // BEFORE deduplicating across tables, so the plan never shuffles
+    // the (large) candidate-id set nor joins back to the corpus. The
+    // oracle keeps the logically-identical DISTINCT-then-score shape:
+    // duplicate candidates score identically, so the final sets match.
     val e = prep(s, d)
-    val bk = bucketRel(e)
-    val cand = bk.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"))
-      .join(bk.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt")), Seq("tbl", "bkt"))
+    val bkq = bucketRel(e).join(e, Seq("vec_id")) // tiny join pre-shuffle
+    val a = bkq.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"),
+      col("q").as("qa"), col("n").as("na"))
+    val b = bkq.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt"),
+      col("q").as("qb"), col("n").as("nb"))
+    a.join(b, Seq("tbl", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("_c"))
       .filter(col("_c") >= 0.4)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(first(col("_c")).as("_c"))
       .select(col("vec_a"), col("vec_b"), (round(col("_c"), 6) + lit(0.0)).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }

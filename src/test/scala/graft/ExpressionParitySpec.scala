@@ -68,6 +68,14 @@ class ExpressionParitySpec extends SparkSpec {
     assert(norms.filter(col("ne") =!= col("nh") || col("de") =!= col("dh")).count() == 0)
   }
 
+  test("LshBucketsExpr == per-table HOF lshBucket") {
+    val q = embs.select(VectorExpressions.quantizeVec(col("embedding")).as("q"))
+    val cmp = q.select(
+      VectorExpressions.lshBuckets(col("q"), 4, 4, 64).as("be"),
+      array((0 until 4).map(t => VectorOps.lshBucket(col("q"), t, 4, 64)): _*).as("bh"))
+    assert(cmp.filter(not(col("be") === col("bh"))).count() == 0)
+  }
+
   test("edge cases: short docs yield empty shingle/sig arrays") {
     val df = Seq("one two", "a b c").toDF("text")
     val out = df.select(
