@@ -26,6 +26,11 @@ object Binning {
     ((x - pmod(x, lit(w))).cast("decimal(28,0)") / lit(w).cast("decimal(9,0)")).cast("long")
   }
 
+  /** Column-divisor variant (divisor must be a positive long column,
+    * |x| < ~1e18). */
+  def floorDivCol(x: Column, y: Column): Column =
+    ((x - pmod(x, y)).cast("decimal(38,0)") / y.cast("decimal(19,0)")).cast("long")
+
   /** Fixed-width 1-D rebin of integer abscissa `x` (bin = floor(x/width))
     * aggregating exact-decimal weight `w` → (bin, n, y_sum, y_mean).
     */

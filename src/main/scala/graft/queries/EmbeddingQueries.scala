@@ -207,6 +207,23 @@ object EmbeddingQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF coarse-quantizer ANN (the k-means scale path next to LSH):
+    * deterministic exact-integer k-means, broadcast centroid probing,
+    * per-cell candidate join. Rows-only gate; recall vs brute force
+    * asserted in IvfIndexSpec.
+    */
+  val qKnnIvf = GateQuery.rowsOnly("q_knn_ivf") { (s, d) =>
+    val e = prep(s, d)
+    val cents = graft.operators.IvfIndex.centroids(e, c = 16, iters = 2)
+      .localCheckpoint(false) // referenced by assign + probe
+    val assigned = graft.operators.IvfIndex.assign(e, cents)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+    graft.operators.IvfIndex.knn(qs, assigned, cents, nprobe = 4, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract, qHklTransform)
+    qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
+    qHklTransform, qKnnIvf)
 }
