@@ -26,6 +26,58 @@ object VectorExpressions {
   def lshBuckets(q: Column, tables: Int, planes: Int, dims: Int): Column =
     GraftColumnBridge.column(
       LshBucketsExpr(GraftColumnBridge.expression(q), tables, planes, dims))
+  def nearestCells(q: Column, cents: Array[Array[Long]], k: Int): Column =
+    GraftColumnBridge.column(
+      NearestCellsExpr(GraftColumnBridge.expression(q), cents, k))
+  def nearestCell(q: Column, cents: Array[Array[Long]]): Column =
+    org.apache.spark.sql.functions.element_at(nearestCells(q, cents, 1), 1)
+}
+
+/** Cell ids of the `k` nearest IVF centroids by exact integer
+  * distance (`‖x‖² + ‖c‖² − 2·x·c`; the row-constant `‖x‖²` term is
+  * dropped — it never changes the ordering), ties broken by cell id.
+  * The centroid matrix rides in the task closure (C·dims longs —
+  * model state, not data).
+  */
+case class NearestCellsExpr(child: Expression, cents: Array[Array[Long]], k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val norms: Array[Long] =
+    cents.map(c => c.map(x => x * x).sum)
+  protected override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = cents.length
+    val d = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val m = math.min(cent.length, q.numElements())
+      var dot = 0L
+      var i = 0
+      while (i < m) { dot += q.getLong(i) * cent(i); i += 1 }
+      d(c) = norms(c) - 2L * dot
+      c += 1
+    }
+    val kk = math.min(k, n)
+    val out = new Array[Any](kk)
+    val used = new Array[Boolean](n)
+    var filled = 0
+    while (filled < kk) {
+      var best = -1
+      var j = 0
+      while (j < n) {
+        if (!used(j) && (best < 0 || d(j) < d(best))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(filled) = best.toLong
+      filled += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
 }
 
 /** All LSH table bucket ids of a quantized vector in one pass —

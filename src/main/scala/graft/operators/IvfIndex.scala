@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.expressions.VectorExpressions
 
@@ -16,87 +16,67 @@ import graft.expressions.VectorExpressions
   * updates use floored integer element means — so every iteration is
   * reproducible on any cluster layout.
   *
-  * Scale: assignment is a broadcast join (C centroids ≪ corpus); the
-  * per-cell inverted lists are just a (cell, vec) relation
-  * partitioned by cell; a query probes `nprobe` cells → candidates
-  * are one bucket-keyed join away, never a corpus scan.
+  * Scale: the model (C·dims longs) is DRIVER state, exactly as in
+  * MLlib's KMeans — the corpus never shuffles. Each training
+  * iteration is one map-side-combined hash aggregate (cell → count +
+  * elementwise sums) collecting C rows to the driver; assignment is a
+  * zero-shuffle per-row expression; a query probes `nprobe` cells and
+  * meets the corpus through one broadcast hash join on cell id.
   */
 object IvfIndex {
 
   /** Deterministic k-means over (vec_id, q, n) rows.
-    * @return (cell, centroid array<long>, cn ‖centroid‖²)
+    * @return centroid matrix, indexed by cell id.
     */
-  def centroids(e: DataFrame, c: Int, iters: Int): DataFrame = {
-    val spark = e.sparkSession
+  def train(e: DataFrame, c: Int, iters: Int, dims: Int): Array[Array[Long]] = {
     // Seeds: the C smallest vec_ids (deterministic, cheap).
-    var cents = e.orderBy(col("vec_id")).limit(c)
-      .select(col("vec_id"), col("q").as("centroid"))
-      .withColumn("cell", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
-      .select(col("cell").cast("long").as("cell"), col("centroid"))
+    var cents: Array[Array[Long]] = e.orderBy(col("vec_id")).limit(c)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = assign(e, withNorm(cents))
-      // Elementwise floored-integer mean per cell: explode positions,
-      // exact integer sums, floor division, reassemble ordered.
-      cents = assigned
-        .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy(col("cell"), col("i"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-        .select(col("cell"), col("i"),
-          Binning.floorDivCol(col("s"), col("cnt")).as("m"))
+      // One shuffle: cell → (count, elementwise integer sums); C rows
+      // back to the driver, floored-integer means computed exactly.
+      val sumCols = (0 until dims).map(i => sum(col(s"_x$i")).as(s"_s$i"))
+      val stats = e.select(
+          VectorExpressions.nearestCell(col("q"), cents).as("cell") +:
+            (0 until dims).map(i => element_at(col("q"), i + 1).as(s"_x$i")): _*)
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("cell"), transform(col("im"), x => x.getField("m")).as("centroid"))
+        .agg(count(lit(1)).as("cnt"), sumCols: _*)
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their position
+      stats.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val cnt = r.getLong(1)
+        var i = 0
+        while (i < dims) { next(cell)(i) = Math.floorDiv(r.getLong(2 + i), cnt); i += 1 }
+      }
+      cents = next
       it += 1
     }
-    withNorm(cents)
+    cents
   }
 
-  private def withNorm(cents: DataFrame): DataFrame =
-    cents.select(col("cell"), col("centroid"),
-      VectorExpressions.normQ(col("centroid")).as("cn"))
+  /** Nearest-cell assignment: per-row expression, zero shuffle. */
+  def assign(e: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    e.withColumn("cell", VectorExpressions.nearestCell(col("q"), cents))
 
-  /** Nearest-cell assignment: broadcast centroids, exact integer
-    * distance, ties by cell id. Input rows need (vec_id, q, n). */
-  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val dist = col("n") + col("cn") - lit(2L) * VectorExpressions.dotQ(col("q"), col("centroid"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("n"), col("cell"), dist.as("_d"))
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("_d"), col("cell"))))
-      .filter(col("_rk") === 1)
-      .select(col("vec_id"), col("q"), col("n"), col("cell"))
-  }
-
-  /** Probe: for each query row, its `nprobe` nearest cells. */
-  def probeCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val dist = col("nq") + col("cn") - lit(2L) * VectorExpressions.dotQ(col("qq"), col("centroid"))
-    queries.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qq"), col("nq"), col("cell"), dist.as("_d"))
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("_d"), col("cell"))))
-      .filter(col("_rk") <= nprobe)
-      .select(col("query_id"), col("qq"), col("nq"), col("cell"))
-  }
-
-  /** IVF top-k: probe cells, score candidates within them, salted
-    * two-phase ranking. `queries` needs (query_id, qq, nq);
-    * `assigned` is the output of [[assign]].
+  /** IVF top-k: probe the `nprobe` nearest cells per query, score
+    * candidates via one broadcast join on cell id, salted two-phase
+    * ranking. `queries` needs (query_id, qq, nq); `assigned` is the
+    * output of [[assign]].
     */
-  def knn(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
+  def knn(queries: DataFrame, assigned: DataFrame, cents: Array[Array[Long]],
           nprobe: Int, k: Int): DataFrame = {
-    val probes = probeCells(queries, cents, nprobe)
-    val scored = probes.join(assigned, Seq("cell"))
+    val probes = queries.select(col("query_id"), col("qq"), col("nq"),
+      explode(VectorExpressions.nearestCells(col("qq"), cents, nprobe)).as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        VectorOps.cosineQ(VectorExpressions.dotQ(col("qq"), col("q")),
+        VectorOps.cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")),
           col("nq"), col("n")).as("_c"))
-      // the same (query, vec) pair can surface via multiple probed
-      // cells only if assignment were non-unique — it is unique, so
-      // no dedup needed here.
+    // a vector appears in exactly one cell, so no (query, vec) pair
+    // can surface twice — no dedup needed before ranking.
     Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
         Seq(col("_c").desc, col("vec_id")), k, col("vec_id"))
       .select(col("query_id"), col("vec_id"),

@@ -214,8 +214,7 @@ object EmbeddingQueries {
     */
   val qKnnIvf = GateQuery.rowsOnly("q_knn_ivf") { (s, d) =>
     val e = prep(s, d)
-    val cents = graft.operators.IvfIndex.centroids(e, c = 16, iters = 2)
-      .localCheckpoint(false) // referenced by assign + probe
+    val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
     val assigned = graft.operators.IvfIndex.assign(e, cents)
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))

@@ -6,12 +6,14 @@ import graft.operators.{IvfIndex, VectorOps}
 
 class IvfIndexSpec extends SparkSpec {
 
+  private val Dims = 64
+
   private lazy val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     .select(col("vec_id"), VectorExpressions.quantizeVec(col("embedding")).as("q"))
     .select(col("vec_id"), col("q"), VectorExpressions.normQ(col("q")).as("n"))
 
   test("every vector lands in exactly one cell; all cells in range") {
-    val cents = IvfIndex.centroids(e, c = 8, iters = 2)
+    val cents = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
     val assigned = IvfIndex.assign(e, cents)
     assert(assigned.count() == e.count())
     assert(assigned.select("vec_id").distinct().count() == e.count())
@@ -20,15 +22,19 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("k-means iterations are deterministic") {
-    val a = IvfIndex.centroids(e, c = 8, iters = 2).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
-    val b = IvfIndex.centroids(e, c = 8, iters = 2).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
-    assert(a == b)
+    val a = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
+    val b = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("training moves centroids off their seeds") {
+    val seeds = IvfIndex.train(e, c = 8, iters = 0, dims = Dims)
+    val trained = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
+    assert(seeds.map(_.toSeq).toSeq != trained.map(_.toSeq).toSeq)
   }
 
   test("IVF top-k achieves reasonable recall vs brute force") {
-    val cents = IvfIndex.centroids(e, c = 8, iters = 2).localCheckpoint(false)
+    val cents = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
     val assigned = IvfIndex.assign(e, cents)
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
