@@ -53,6 +53,72 @@ object TextExpressions {
     MinHashSigExpr(GraftColumnBridge.expression(text), k, numPerms))
   def shingleKeysFast(text: Column, k: Int): Column = GraftColumnBridge.column(
     ShingleKeysFastExpr(GraftColumnBridge.expression(text), k))
+  def docPairs(ds: Column): Column = GraftColumnBridge.column(
+    DocPairsExpr(GraftColumnBridge.expression(ds)))
+}
+
+/** All unordered doc pairs of one shingle's posting list — the pair
+  * fan-out stage of Jaccard near-dup. Input: array<struct<doc_id,m>>
+  * (one shingle's docs + their shingle counts, any order). Output:
+  * array<struct<pr,ma,mb>> with `pr = doc_a<<32 | doc_b`,
+  * doc_a < doc_b — a single long the downstream intersection count
+  * can group by. Sorting and emission are tight primitive loops; the
+  * HOF formulation (array_sort + nested transform/slice/flatten)
+  * evaluates one interpreted closure per emitted pair, which
+  * dominates the whole query once posting lists fan out (f docs emit
+  * f·(f−1)/2 pairs).
+  *
+  * Packing requires doc_id < 2^31 (a 2-billion-document partition key
+  * space; shard the corpus by id range first if ever exceeded) —
+  * violated ids throw rather than corrupt pairs.
+  */
+case class DocPairsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  private val outElem = StructType(Seq(
+    StructField("pr", LongType, nullable = false),
+    StructField("ma", LongType, nullable = false),
+    StructField("mb", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(outElem, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val f = arr.numElements()
+    val ids = new Array[Long](f)
+    val ms = new Array[Long](f)
+    var i = 0
+    while (i < f) {
+      val s = arr.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      ms(i) = s.getLong(1)
+      if (ids(i) < 0 || ids(i) >= (1L << 31))
+        throw new IllegalArgumentException(s"doc_id ${ids(i)} outside packable range [0, 2^31)")
+      i += 1
+    }
+    // insertion sort by doc_id (posting lists are short; ids unique)
+    i = 1
+    while (i < f) {
+      val idv = ids(i); val mv = ms(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > idv) { ids(j + 1) = ids(j); ms(j + 1) = ms(j); j -= 1 }
+      ids(j + 1) = idv; ms(j + 1) = mv
+      i += 1
+    }
+    val out = new Array[Any](f * (f - 1) / 2)
+    var n = 0
+    var a = 0
+    while (a < f) {
+      var b = a + 1
+      while (b < f) {
+        out(n) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((ids(a) << 32) | ids(b), ms(a), ms(b)))
+        n += 1
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): DocPairsExpr =
+    copy(child = newChild)
 }
 
 /** 32-bit SimHash over the token multiset — value-identical to

@@ -57,20 +57,18 @@ object Dedup {
       .agg(collect_list(struct(col("doc_id"), col("m"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf) else grouped
-    val sorted = array_sort(col("ds"))
-    val pairCombos = flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)), y =>
-        struct(x.getField("doc_id").as("doc_a"), x.getField("m").as("ma"),
-          y.getField("doc_id").as("doc_b"), y.getField("m").as("mb")))))
-    val inter = capped.select(explode(pairCombos).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.ma").as("ma"), col("p.mb").as("mb"))
-      .groupBy(col("doc_a"), col("doc_b"), col("ma"), col("mb"))
+    // Native pair fan-out (tight loops, packed single-long pair key —
+    // see DocPairsExpr); the intersection count groups by one long.
+    val inter = capped
+      .select(explode(graft.expressions.TextExpressions.docPairs(col("ds"))).as("p"))
+      .select(col("p.pr").as("pr"), col("p.ma").as("ma"), col("p.mb").as("mb"))
+      .groupBy(col("pr"), col("ma"), col("mb"))
       .agg(count(lit(1)).as("inter"))
     val uni = col("ma") + col("mb") - col("inter")
     inter
       .filter(col("inter") * 100 >= uni * thresholdPct)
-      .select(col("doc_a"), col("doc_b"),
+      .select(shiftrightunsigned(col("pr"), 32).as("doc_a"),
+        col("pr").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
         Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
   }
 
