@@ -76,6 +76,41 @@ class ExpressionParitySpec extends SparkSpec {
     assert(cmp.filter(not(col("be") === col("bh"))).count() == 0)
   }
 
+  test("DocPairsExpr == HOF sorted pair expansion") {
+    val ds = Seq(
+      Seq((7L, 3L), (2L, 5L), (9L, 1L)),
+      Seq((4L, 2L), (1L, 8L)),
+      Seq((5L, 5L))
+    ).toDF("ds")
+    val sorted = array_sort(col("ds"))
+    val hof = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), y =>
+        struct(
+          ((x.getField("_1") * lit(1L << 32)) + y.getField("_1")).as("pr"),
+          x.getField("_2").as("ma"), y.getField("_2").as("mb")))))
+    val rows = ds.select(
+        TextExpressions.docPairs(col("ds")).as("a"), hof.as("b"))
+      .collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1)))
+  }
+
+  test("DocPairsExpr rejects ids outside the packable range") {
+    val bad = Seq(Seq(((1L << 31), 1L), (1L, 1L))).toDF("ds")
+    val e = intercept[Exception] {
+      bad.select(TextExpressions.docPairs(col("ds"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("NearestCellsExpr orders cells by exact distance, ties by id") {
+    val cents = Array(Array(0L, 0L), Array(10L, 0L), Array(0L, 10L))
+    val v = Seq(Seq(1L, 1L)).toDF("q")
+    val cells = v.select(VectorExpressions.nearestCells(col("q"), cents, 3))
+      .head.getSeq[Long](0)
+    // distances (dropping ‖x‖²): c0: 0-0=0... full: |v-c0|²=2, |v-c1|²=82, |v-c2|²=82 → ties on 1,2 by id
+    assert(cells == Seq(0L, 1L, 2L))
+  }
+
   test("edge cases: short docs yield empty shingle/sig arrays") {
     val df = Seq("one two", "a b c").toDF("text")
     val out = df.select(
