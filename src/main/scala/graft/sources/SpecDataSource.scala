@@ -28,8 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * partitions before any byte of their data block is read.
   *
   * Schema (one row per data point):
-  *   file string, scan long, command string, date string, point long,
+  *   file string, scan long, command string, date string,
+  *   count_time double, monitor double, point long,
   *   motors map<string,double>, data map<string,double>
+  * (`count_time`/`monitor` are the per-scan `#T`/`#M` header values —
+  * pyspec's `scan.count_time`/monitor-normalization inputs — null
+  * when the scan declares neither.)
   */
 class SpecDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "spec"
@@ -52,6 +56,8 @@ object SpecSchema {
     StructField("scan", LongType, nullable = false),
     StructField("command", StringType, nullable = true),
     StructField("date", StringType, nullable = true),
+    StructField("count_time", DoubleType, nullable = true),
+    StructField("monitor", DoubleType, nullable = true),
     StructField("point", LongType, nullable = false),
     StructField("motors", MapType(StringType, DoubleType), nullable = true),
     StructField("data", MapType(StringType, DoubleType), nullable = true)))
@@ -160,12 +166,20 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
     val lines = try src.getLines().slice(p.startLine, p.endLine).toArray finally src.close()
     var command: String = null
     var date: String = null
+    var countTime: java.lang.Double = null
+    var monitor: java.lang.Double = null
     val positions = mutable.ArrayBuffer[Double]()
     var labels: Array[String] = Array.empty
     val dataRows = mutable.ArrayBuffer[Array[Double]]()
+    def headerNum(line: String): java.lang.Double =
+      line.drop(3).trim.split("\\s+").headOption
+        .flatMap(t => scala.util.Try(t.toDouble).toOption)
+        .map(Double.box).orNull
     for (line <- lines) {
       if (line.startsWith("#S ")) command = line.drop(3).trim.dropWhile(_.isDigit).trim
       else if (line.startsWith("#D ")) date = line.drop(3).trim
+      else if (line.startsWith("#T ")) countTime = headerNum(line)
+      else if (line.startsWith("#M ")) monitor = headerNum(line)
       else if (line.startsWith("#P"))
         positions ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
       else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
@@ -178,7 +192,8 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
     val dateU = if (date == null) null else UTF8String.fromString(date)
     dataRows.iterator.zipWithIndex.map { case (vals, idx) =>
       val dataMap = mapData(labels.take(vals.length), vals)
-      InternalRow(fileU, p.scanNo, cmdU, dateU, idx.toLong, motorMap, dataMap)
+      InternalRow(fileU, p.scanNo, cmdU, dateU, countTime, monitor,
+        idx.toLong, motorMap, dataMap)
     }
   }
 

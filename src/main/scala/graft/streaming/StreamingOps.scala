@@ -29,6 +29,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("window.start").as("win_start"), col(keyCol), col("n"), col("total"))
 
+  /** Streaming exact dedup by content digest: keeps the first
+    * arrival of each key and drops re-deliveries while their
+    * event time is within the watermark horizon — the streaming
+    * counterpart of the batch `Relational.dedupExact` for a
+    * continuously-ingested corpus. State is one (digest) entry per
+    * distinct document inside the horizon; the watermark evicts it,
+    * so executor memory is bounded by the dedup window, not the
+    * stream length.
+    */
+  def dedupStream(events: DataFrame, timeCol: String, contentCol: String,
+                  watermarkDelay: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .withColumn("_digest", md5(col(contentCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   final case class Evt(user: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user: Long, startMs: Long, endMs: Long, n: Long, total: Double)

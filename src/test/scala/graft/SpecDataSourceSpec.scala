@@ -17,6 +17,8 @@ class SpecDataSourceSpec extends SparkSpec {
         |
         |#S 1 ascan th 0 1 5 1
         |#D Mon Jan 01 00:10:00 2024
+        |#T 1 (Seconds)
+        |#M 10000 (Monitor)
         |#P0 0.5 1.25 -3.0
         |#P1 12.5
         |#N 4
@@ -46,7 +48,8 @@ class SpecDataSourceSpec extends SparkSpec {
   test("reads scans with schema, motors and data maps") {
     val df = spark.read.format("spec").load(fixture)
     assert(df.columns.toSeq ==
-      Seq("file", "scan", "command", "date", "point", "motors", "data"))
+      Seq("file", "scan", "command", "date", "count_time", "monitor",
+        "point", "motors", "data"))
     assert(df.count() == 9) // 6 + 3 data points
     val s1 = df.filter(col("scan") === 1).orderBy("point")
     assert(s1.count() == 6)
@@ -59,6 +62,15 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(motors("Phi") == 12.5) // #P1 continuation
     val data = first.getMap[String, Double](first.fieldIndex("data"))
     assert(data("th") == 0.0 && data("detector") == 10.0 && data("monitor") == 1000.0)
+    assert(first.getDouble(first.fieldIndex("count_time")) == 1.0) // #T header
+    assert(first.getDouble(first.fieldIndex("monitor")) == 10000.0) // #M header
+  }
+
+  test("scans without #T/#M headers carry nulls") {
+    val df = spark.read.format("spec").load(fixture)
+    val s2 = df.filter(col("scan") === 2).collect().head
+    assert(s2.isNullAt(s2.fieldIndex("count_time")))
+    assert(s2.isNullAt(s2.fieldIndex("monitor")))
   }
 
   test("scan 2 has its own labels and positions") {

@@ -40,6 +40,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered content within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "alpha"), (ts(1), 2L, "beta"), (ts(2), 3L, "alpha"))
+      q.processAllAvailable()
+      input.addData((ts(10), 4L, "beta"), (ts(11), 5L, "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").orderBy("doc_id").collect()
+      // first arrival of each distinct text survives; re-deliveries drop
+      assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Evt]
