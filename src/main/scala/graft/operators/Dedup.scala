@@ -72,6 +72,51 @@ object Dedup {
         Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
   }
 
+  /** Duplicate-cluster resolution: connected components over an
+    * undirected near-dup pair list, labelling every member with the
+    * smallest doc id reachable from it — the step that turns pair
+    * detectors (Jaccard/MinHash/SimHash/embedding) into "keep one
+    * per cluster" decisions.
+    *
+    * Algorithm: min-label propagation to a fixed point. Each
+    * iteration is one shuffle join (labels to neighbours) + one
+    * min-aggregate; the driver holds only the convergence counter —
+    * never data — so the loop is O(cluster diameter) shuffles over a
+    * pair list that near-dup thresholds keep far smaller than the
+    * corpus. Near-dup clusters are dense (diameter 2–4 in practice),
+    * so 3–5 iterations close web-scale corpora; `maxIters` bounds the
+    * pathological chain case. Deterministic: min is order-independent
+    * and the fixed point is unique (every node ends at its component
+    * minimum).
+    *
+    * @return (doc_id, cluster_id) for every doc appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every iteration — cut plan regrowth
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.union(nbr)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("node"), col("lbl").as("_old")), Seq("node"))
+        .filter(col("lbl") =!= col("_old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** MinHash signatures (numPerms deterministic base_hash
     * "permutations") + LSH banding: docs sharing any band key become
     * candidates; candidates are scored by signature agreement and kept

@@ -182,6 +182,38 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate clusters (#40): connected components over the Jaccard
+    * near-dup pairs — every doc in a pair labelled with the smallest
+    * doc id of its component. Oracle: same pair CTE + a recursive
+    * transitive-closure CTE (tractable because near-dup components
+    * are tiny at oracle scale; the Spark side is the iterative
+    * min-label propagation that scales).
+    */
+  val qDupClusters = GateQuery.sql(
+    "q_dup_clusters",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |pairs AS (SELECT doc_a, doc_b FROM p
+       |          WHERE inter * 100 >= (ma + mb - inter) * 50),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 50)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Declarative metadata half of the multimodal pipeline (#32): the
     * binary payload + byte length + digest are SQL-checkable; the
     * batched decode stub is covered by MultimodalOpsSpec. */
@@ -196,5 +228,5 @@ object TextQueries {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
-    qSimHash, qJaccardPairs, qMinhashPairs, qMultimodalMeta)
+    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qMultimodalMeta)
 }

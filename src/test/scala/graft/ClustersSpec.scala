@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components labels every member with its component min") {
+    // chain 1-2-3-4, pair (10,11), triangle (20,21),(21,22),(20,22)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long chain converges (diameter > one iteration)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 12)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("deterministic across runs") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a == Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (9L, 2L)))
+  }
+}
