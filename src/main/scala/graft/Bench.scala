@@ -14,7 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,6 +33,9 @@ object Bench {
     }
     queries.foreach { case (_, fn) => runOnce(fn) } // warm-up pass
     val results = queries.map { case (name, fn) =>
+      // reclaim the previous query's broadcast/shuffle refs so its GC
+      // debt doesn't bill the next query (ContextCleaner is GC-driven)
+      System.gc()
       val times = (1 to trials).map(_ => runOnce(fn)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
