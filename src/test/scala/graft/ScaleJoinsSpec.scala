@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.operators.ScaleJoins
+
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero shuffle") {
+    val dir = Files.createTempDirectory("buckets").toString
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "attr")
+    ScaleJoins.writeBucketed(facts, "t_facts", "k", 4, s"$dir/facts")
+    ScaleJoins.writeBucketed(dims, "t_dims", "k", 4, s"$dir/dims")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_facts").join(spark.table("t_dims"), "k")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, "bucketed join must not shuffle")
+      assert(joined.count() == 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_facts")
+      spark.sql("DROP TABLE IF EXISTS t_dims")
+    }
+  }
+
+  test("saltedJoin equals plain join on skewed keys") {
+    // 90% of probe rows share one hot key
+    val probe = ((1L to 900L).map(i => (7L, s"p$i")) ++
+      (1L to 100L).map(i => (i % 20, s"q$i"))).toDF("k", "pv")
+    val build = (0L until 20L).map(i => (i, s"b$i")).toDF("k", "bv")
+    val plain = probe.join(build, "k")
+      .select("k", "pv", "bv").collect().map(_.toSeq).toSet
+    val salted = ScaleJoins.saltedJoin(probe, build, "k", salts = 8)
+      .select("k", "pv", "bv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 1000)
+  }
+}

@@ -25,6 +25,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getDouble(2) == 0.3333)
   }
 
+  test("jaccardPairs maxDf drops hot-shingle candidates (100 TB cap)") {
+    // all four docs share one boilerplate shingle ("x y z"); only
+    // 1 and 2 also share real content. With the document-frequency
+    // cap below the hot shingle's fan-out, the boilerplate posting
+    // list is dropped and only the real overlap survives.
+    val df = Seq(
+      (1L, "x y z a b c d"), (2L, "x y z a b c e"),
+      (3L, "x y z p q r s"), (4L, "x y z t u v w")).toDF("id", "text")
+    val capped = Dedup.jaccardPairs(df, col("id"), col("text"), 3, 20, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // without the cap the boilerplate shingle links everything
+    val uncapped = Dedup.jaccardPairs(df, col("id"), col("text"), 3, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 1)
+  }
+
   test("minhashPairs: identical docs agree on all signature components") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "z y x w v u t"))
       .toDF("id", "text")
