@@ -70,6 +70,16 @@ object EmbeddingQueries {
           col("q"), Tables4, Planes4, Dims)).as(Seq("tbl", "bkt")))
       .select(col("vec_id"), col("tbl").cast("int").as("tbl"), col("bkt"))
 
+  /** [[bucketRel]] with the vector payload carried through the
+    * explode — the join-free layout for plans that score candidates
+    * in place. */
+  private def bucketRelWithPayload(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("q"), col("n"),
+        posexplode(graft.expressions.VectorExpressions.lshBuckets(
+          col("q"), Tables4, Planes4, Dims)).as(Seq("tbl", "bkt")))
+      .select(col("vec_id"), col("q"), col("n"),
+        col("tbl").cast("int").as("tbl"), col("bkt"))
+
   /** DuckDB mirror of [[bucketRel]] (UNION ALL over tables). */
   private val BucketRelSql = (0 until Tables4).map { t =>
     s"SELECT vec_id, $t AS tbl, ${lshBucketSql("q", t, Planes4, Dims)} AS bkt FROM en"
@@ -89,11 +99,15 @@ object EmbeddingQueries {
     // Vectors travel WITH their buckets (standard LSH layout): the
     // band self-join scores pairs in place and filters by cosine
     // BEFORE deduplicating across tables, so the plan never shuffles
-    // the (large) candidate-id set nor joins back to the corpus. The
-    // oracle keeps the logically-identical DISTINCT-then-score shape:
-    // duplicate candidates score identically, so the final sets match.
+    // the (large) candidate-id set. The vec_id join attaching
+    // payloads broadcasts when the vector table fits (measured faster
+    // locally than carrying arrays through the explode); at corpus
+    // sizes past broadcast, swap in bucketRelWithPayload — one
+    // (tbl,bkt) shuffle, zero corpus joins. The oracle keeps the
+    // logically-identical DISTINCT-then-score shape: duplicate
+    // candidates score identically, so the final sets match.
     val e = prep(s, d)
-    val bkq = bucketRel(e).join(e, Seq("vec_id")) // tiny join pre-shuffle
+    val bkq = bucketRel(e).join(e, Seq("vec_id")) // broadcast at this scale
     val a = bkq.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"),
       col("q").as("qa"), col("n").as("na"))
     val b = bkq.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt"),
@@ -114,18 +128,22 @@ object EmbeddingQueries {
     * design, so a rows-only oracle (SURVEY §2 #27).
     */
   val qKnnLsh = GateQuery.rowsOnly("q_knn_lsh") { (s, d) =>
+    // Payload-through-band layout (as in q_embed_neardup): the tiny
+    // query-side bucket list broadcasts onto the corpus bucket
+    // relation, pairs score in place, duplicates across tables
+    // collapse AFTER the (identical) scores — zero joins back to the
+    // corpus, zero shuffles before the rank.
     val e = prep(s, d)
-    val bk = bucketRel(e)
-    val qids = bk.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bkt"))
-    val cand = qids.join(bk, Seq("tbl", "bkt"))
+    val bk = bucketRelWithPayload(e)
+    val qids = broadcast(bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"),
+        col("tbl"), col("bkt")))
+    val scored = bk.join(qids, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
-    val scored = cand
-      .join(e.select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")), Seq("query_id"))
-      .join(e, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("_c")).as("_c"))
     Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
         Seq(col("_c").desc, col("vec_id")), 3, col("vec_id"))
       .select(col("query_id"), col("vec_id"),
