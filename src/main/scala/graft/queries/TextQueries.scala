@@ -182,6 +182,56 @@ object TextQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus-curation funnel (#41): the end-to-end shape a training-
+    * data pipeline runs — language gate → quality gate → exact dedup
+    * (keep smallest id) → per-source token accounting. One pass over
+    * the corpus, one dedup aggregate, one stats aggregate; every
+    * stage is the already-gated operator composed, and the whole
+    * funnel stays inside exact integer arithmetic (ratio thresholds
+    * as cross-multiplications, no doubles anywhere).
+    */
+  val qCorpusCuration = GateQuery.sql(
+    "q_corpus_curation", {
+      val scores = Markers.map { case (lang, ms) =>
+        s"${markerCountSql("text", ms)} AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+         |    $scores
+         |  FROM documents),
+         |q AS (SELECT * FROM t
+         |  WHERE s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0
+         |    AND len(w) >= 20 AND len(list_distinct(w)) * 2 >= len(w)),
+         |k AS (SELECT doc_id, source,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
+         |  FROM q QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val w = TextOps.tokens(col("text"))
+    val scored = Tables.documents(s, d).select(
+      col("doc_id") +: col("source") +: col("text") +:
+        size(w).cast("long").as("n_words") +:
+        size(array_distinct(w)).cast("long").as("n_distinct") +:
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_tokens") +:
+        Markers.map { case (lang, ms) => TextOps.markerCount(col("text"), ms).as(s"s_$lang") }: _*)
+    val kept = scored
+      .filter(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")) && col("s_en") > 0)
+      .filter(col("n_words") >= 20 && col("n_distinct") * 2 >= col("n_words"))
+      // exact dedup keeping the smallest doc id WITH its payload: one
+      // hash aggregate (min over a doc_id-led struct), no join-back
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_words"), col("n_tokens"))).as("r"))
+    kept.select(col("r.source").as("source"), col("r.n_words").as("n_words"),
+        col("r.n_tokens").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Duplicate clusters (#40): connected components over the Jaccard
     * near-dup pairs — every doc in a pair labelled with the smallest
     * doc id of its component. Oracle: same pair CTE + a recursive
@@ -228,5 +278,6 @@ object TextQueries {
 
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
-    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qMultimodalMeta)
+    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
+    qMultimodalMeta)
 }
