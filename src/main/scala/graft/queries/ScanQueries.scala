@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, LineshapeFit, PeakAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, WindowOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
@@ -241,8 +241,26 @@ object ScanQueries {
       .orderBy(col("g"))
   }
 
+  /** Grid interpolation (#42): every user's event series resampled
+    * onto a common 16-point grid spanning the January window — the
+    * reference's "align scans on a shared abscissa" primitive. The
+    * lerp runs the identical IEEE expression tree on both engines
+    * over exact-integer abscissae, so the doubles hash-match.
+    */
+  val qInterpGrid = GateQuery.sql(
+    "q_interp_grid", {
+      Interpolate.onGridSql("events", "user_id", "epoch_us(ts)", "value",
+        x0 = 1704067200000000L, dx = 162000000000L, n = 16) +
+        "\nORDER BY user_id, grid_x"
+    }) { (s, d) =>
+    Interpolate.onGrid(Tables.events(s, d), Seq("user_id"),
+        col("ts_us"), col("value"),
+        x0 = 1704067200000000L, dx = 162000000000L, n = 16)
+      .orderBy(col("user_id"), col("grid_x"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
-    qLineshapeFit)
+    qLineshapeFit, qInterpGrid)
 }
