@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, Percentiles, WindowOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
@@ -259,8 +259,21 @@ object ScanQueries {
       .orderBy(col("user_id"), col("grid_x"))
   }
 
+  /** Exact per-scan percentiles (#43): explicit order statistics +
+    * verbatim-mirrored interpolation — deterministic doubles by
+    * construction (see [[Percentiles]]).
+    */
+  val qPercentiles = GateQuery.sql(
+    "q_percentiles",
+    Percentiles.perGroupSql("events", "user_id", "value", "event_id",
+      Seq(0.5, 0.9)) + "\nORDER BY user_id") { (s, d) =>
+    Percentiles.perGroup(Tables.events(s, d), Seq("user_id"),
+        col("value"), col("event_id"), Seq(0.5, 0.9))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
-    qLineshapeFit, qInterpGrid)
+    qLineshapeFit, qInterpGrid, qPercentiles)
 }
