@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Exact, MultimodalOps, Relational, TextOps}
+import graft.operators.{Dedup, Exact, MultimodalOps, Relational, Sampling, TextOps}
 import graft.operators.Exact.roundedRatioSql
 import graft.operators.TextOps.{baseHashSql, markerCountSql}
 
@@ -264,6 +264,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic split + sample accounting (#44): every doc gets a
+    * portable hash-derived train/val/test label, and a 10% audit
+    * sample is counted per split — reruns and cross-engine checks
+    * agree row-for-row (no seed streams, no partition sensitivity).
+    */
+  val qSplitSample = GateQuery.sql(
+    "q_split_sample",
+    s"""WITH s AS (SELECT doc_id, n_chars,
+       |    ${Sampling.assignSplitSql("doc_id", 80, 10)} AS split
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(count(*) FILTER (${Sampling.sampleByHashSql("doc_id", 10)}) AS BIGINT) AS n_sampled
+       |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    Sampling.assignSplit(Tables.documents(s, d), col("doc_id"), 80, 10)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(Sampling.samplePredicate(col("doc_id"), 10), lit(1))).as("n_sampled"))
+      .orderBy(col("split"))
+  }
+
   /** Declarative metadata half of the multimodal pipeline (#32): the
     * binary payload + byte length + digest are SQL-checkable; the
     * batched decode stub is covered by MultimodalOpsSpec. */
@@ -279,5 +301,5 @@ object TextQueries {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
-    qMultimodalMeta)
+    qSplitSample, qMultimodalMeta)
 }
