@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -116,8 +116,9 @@ case class LshBucketsExpr(child: Expression, tables: Int, planes: Int, dims: Int
     copy(child = newChild)
 }
 
-/** floor(x * 1e6) fixed-point quantization of a float/double array. */
-case class QuantizeVecExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+/** floor(x * 1e6) fixed-point quantization of a float/double array.
+  * Full codegen (stays inside whole-stage spans). */
+case class QuantizeVecExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   @transient private lazy val childIsFloat =
@@ -134,13 +135,28 @@ case class QuantizeVecExpr(child: Expression) extends UnaryExpression with Codeg
     }
     new GenericArrayData(out)
   }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val get = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (long) java.lang.Math.floor($get * ${VectorOps.QScale}.0D);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): QuantizeVecExpr =
     copy(child = newChild)
 }
 
-/** Exact integer dot product of two long arrays. */
+/** Exact integer dot product of two long arrays. Full codegen. */
 case class DotQExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(a: Any, b: Any): Any = {
@@ -152,12 +168,24 @@ case class DotQExpr(left: Expression, right: Expression)
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
     s
   }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getLong($i) * $b.getLong($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotQExpr =
     copy(left = l, right = r)
 }
 
-/** Exact integer squared norm of a long array. */
-case class NormQExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+/** Exact integer squared norm of a long array. Full codegen. */
+case class NormQExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any = {
@@ -167,6 +195,18 @@ case class NormQExpr(child: Expression) extends UnaryExpression with CodegenFall
     while (i < x.numElements()) { s += x.getLong(i) * x.getLong(i); i += 1 }
     s
   }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) { long v = $a.getLong($i); $s += v * v; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): NormQExpr =
     copy(child = newChild)
 }
