@@ -11,7 +11,28 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+
 import graft.operators.TextOps
+
+/** Unary expressions whose doGenCode calls the interpreted kernel
+  * through an object reference on the child's generated value —
+  * unlike CodegenFallback, no InternalRow is materialized and the
+  * surrounding operators keep ONE whole-stage-codegen span; only the
+  * kernel body itself stays a virtual call (it is a per-row loop
+  * anyway, so the JIT inlines it hot).
+  */
+trait KernelCodegen extends UnaryExpression {
+  /** Public bridge to the protected interpreted kernel. */
+  def kernelEval(input: Any): Any = nullSafeEval(input)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("kernel", this)
+      val jt = CodeGenerator.javaType(dataType)
+      val box = CodeGenerator.boxedType(dataType)
+      s"${ev.value} = ($jt) (($box) $ref.kernelEval($a));"
+    })
+}
 
 /** Native Catalyst expressions for the text/vector hot paths.
   *
@@ -123,7 +144,7 @@ case class DocPairsExpr(child: Expression) extends UnaryExpression with CodegenF
 
 /** 32-bit SimHash over the token multiset — value-identical to
   * TextOps.simHashFromHashes(TextOps.tokenHashes(text)). */
-case class SimHash32Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash32Expr(child: Expression) extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any = {
@@ -151,7 +172,7 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression with Codegen
 
 /** Rolling polynomial fingerprint — value-identical to
   * TextOps.fingerprint. */
-case class FingerprintExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class FingerprintExpr(child: Expression) extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any = {
@@ -177,7 +198,7 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression with Codeg
   * than k tokens yield an empty array.
   */
 case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   @transient private lazy val consts: Array[(Long, Long)] =
@@ -219,7 +240,7 @@ case class MinHashSigExpr(child: Expression, k: Int, numPerms: Int)
   * these need not match any oracle value — just be deterministic.
   */
 case class ShingleKeysFastExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any = {
