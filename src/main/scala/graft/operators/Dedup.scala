@@ -109,8 +109,11 @@ object Dedup {
       val next = labels.union(nbr)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("node"), col("lbl").as("_old")), Seq("node"))
-        .filter(col("lbl") =!= col("_old")).count()
+      // round 0 always changes something when any edge exists — skip
+      // its convergence count (one action saved per call)
+      if (it > 0)
+        changed = next.join(labels.select(col("node"), col("lbl").as("_old")), Seq("node"))
+          .filter(col("lbl") =!= col("_old")).count()
       labels = next
       it += 1
     }
