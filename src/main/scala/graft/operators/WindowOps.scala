@@ -4,6 +4,37 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Batch sessionization — the offline complement of
+  * `StreamingOps.sessionize`: a session break is a gap greater than
+  * `gap` between consecutive events of a key; the session id is the
+  * running count of breaks (classic gaps-and-islands). One window
+  * shuffle + one aggregate; sessions of a billion keys form in
+  * parallel.
+  */
+object Sessionize {
+  /** @param valueCents exact integer value column (e.g. scale-2
+    *                    cents via [[Exact.cents]]) so the per-session
+    *                    total is order-independent
+    * @param tie unique column making the event order total
+    * @return one row per (key, session): session_id (0-based per
+    *         key), start/end, event count, exact value total
+    */
+  def batch(df: DataFrame, key: Column, t: Column, tie: Column,
+            valueCents: Column, gap: Long): DataFrame = {
+    val pre = df.select(key.as("k"), t.as("_t"), tie.as("_tie"),
+      valueCents.as("_v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("_t"), col("_tie"))
+    pre
+      .withColumn("_brk",
+        when(col("_t") - lag(col("_t"), 1).over(w) > gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("session_id"))
+      .agg(min(col("_t")).as("t_start"), max(col("_t")).as("t_end"),
+        count(lit(1)).as("n_events"), sum(col("_v")).as("total_cents"))
+  }
+}
+
 /** Ordered per-scan transforms (smoothing, derivative, normalization)
   * — the Spark re-expression of pyspec's scan post-processing
   * (normalize to monitor, smooth, numeric derivative).

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, Percentiles, WindowOps}
+import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, Percentiles, Sessionize, WindowOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
@@ -272,8 +272,34 @@ object ScanQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Batch sessionization (#45): gaps-and-islands over event time —
+    * the offline mirror of the streaming sessionizer, SQL-gated
+    * (the streaming one is MemoryStream-tested). 6-hour gap.
+    */
+  val qSessionizeBatch = GateQuery.sql(
+    "q_sessionize_batch",
+    s"""WITH e AS (SELECT user_id, ts_us AS t, event_id,
+       |    ${Exact.centsSql("vd")} AS v FROM $E AS ev),
+       |b AS (SELECT user_id, t, event_id, v,
+       |    CASE WHEN t - lag(t) OVER w > 21600000000 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |s AS (SELECT user_id, t, v,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM b)
+       |SELECT user_id, session_id, min(t) AS t_start, max(t) AS t_end,
+       |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_cents
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    Sessionize.batch(ev(s, d), col("user_id"), col("ts_us"),
+        col("event_id"), Exact.cents(col("vd")), gap = 21600000000L)
+      .select(col("k").as("user_id"), col("session_id"), col("t_start"),
+        col("t_end"), col("n_events"), col("total_cents"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
-    qLineshapeFit, qInterpGrid, qPercentiles)
+    qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch)
 }
