@@ -29,11 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Schema (one row per data point):
   *   file string, scan long, command string, date string,
-  *   count_time double, monitor double, point long,
+  *   count_time double, monitor double, geometry array<double>,
+  *   hkl array<double>, point long,
   *   motors map<string,double>, data map<string,double>
-  * (`count_time`/`monitor` are the per-scan `#T`/`#M` header values —
-  * pyspec's `scan.count_time`/monitor-normalization inputs — null
-  * when the scan declares neither.)
+  * (`count_time`/`monitor` come from `#T`/`#M` — pyspec's
+  * `scan.count_time`/monitor-normalization inputs; `geometry` is the
+  * concatenated `#G` block — pyspec's `scan.G` diffractometer/UB
+  * values; `hkl` is the `#Q` reciprocal-space position. All null
+  * when the scan omits them.)
   */
 class SpecDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "spec"
@@ -58,6 +61,8 @@ object SpecSchema {
     StructField("date", StringType, nullable = true),
     StructField("count_time", DoubleType, nullable = true),
     StructField("monitor", DoubleType, nullable = true),
+    StructField("geometry", ArrayType(DoubleType, containsNull = false), nullable = true),
+    StructField("hkl", ArrayType(DoubleType, containsNull = false), nullable = true),
     StructField("point", LongType, nullable = false),
     StructField("motors", MapType(StringType, DoubleType), nullable = true),
     StructField("data", MapType(StringType, DoubleType), nullable = true)))
@@ -168,6 +173,8 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
     var date: String = null
     var countTime: java.lang.Double = null
     var monitor: java.lang.Double = null
+    val geom = mutable.ArrayBuffer[Double]()
+    val hkl = mutable.ArrayBuffer[Double]()
     val positions = mutable.ArrayBuffer[Double]()
     var labels: Array[String] = Array.empty
     val dataRows = mutable.ArrayBuffer[Array[Double]]()
@@ -180,6 +187,12 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
       else if (line.startsWith("#D ")) date = line.drop(3).trim
       else if (line.startsWith("#T ")) countTime = headerNum(line)
       else if (line.startsWith("#M ")) monitor = headerNum(line)
+      else if (line.startsWith("#G"))
+        geom ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty)
+          .flatMap(t => scala.util.Try(t.toDouble).toOption)
+      else if (line.startsWith("#Q "))
+        hkl ++= line.drop(3).trim.split("\\s+").filter(_.nonEmpty)
+          .flatMap(t => scala.util.Try(t.toDouble).toOption)
       else if (line.startsWith("#P"))
         positions ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
       else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
@@ -190,10 +203,14 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
     val fileU = UTF8String.fromString(p.path)
     val cmdU = if (command == null) null else UTF8String.fromString(command)
     val dateU = if (date == null) null else UTF8String.fromString(date)
+    val geomArr = if (geom.isEmpty) null
+      else new GenericArrayData(geom.toArray.map(v => v: Any))
+    val hklArr = if (hkl.isEmpty) null
+      else new GenericArrayData(hkl.toArray.map(v => v: Any))
     dataRows.iterator.zipWithIndex.map { case (vals, idx) =>
       val dataMap = mapData(labels.take(vals.length), vals)
       InternalRow(fileU, p.scanNo, cmdU, dateU, countTime, monitor,
-        idx.toLong, motorMap, dataMap)
+        geomArr, hklArr, idx.toLong, motorMap, dataMap)
     }
   }
 

@@ -19,6 +19,9 @@ class SpecDataSourceSpec extends SparkSpec {
         |#D Mon Jan 01 00:10:00 2024
         |#T 1 (Seconds)
         |#M 10000 (Monitor)
+        |#G0 0 0 1 0
+        |#G1 1.54 1.54 90
+        |#Q 1 0 2.5
         |#P0 0.5 1.25 -3.0
         |#P1 12.5
         |#N 4
@@ -49,7 +52,7 @@ class SpecDataSourceSpec extends SparkSpec {
     val df = spark.read.format("spec").load(fixture)
     assert(df.columns.toSeq ==
       Seq("file", "scan", "command", "date", "count_time", "monitor",
-        "point", "motors", "data"))
+        "geometry", "hkl", "point", "motors", "data"))
     assert(df.count() == 9) // 6 + 3 data points
     val s1 = df.filter(col("scan") === 1).orderBy("point")
     assert(s1.count() == 6)
@@ -71,6 +74,16 @@ class SpecDataSourceSpec extends SparkSpec {
     val s2 = df.filter(col("scan") === 2).collect().head
     assert(s2.isNullAt(s2.fieldIndex("count_time")))
     assert(s2.isNullAt(s2.fieldIndex("monitor")))
+    assert(s2.isNullAt(s2.fieldIndex("geometry")))
+    assert(s2.isNullAt(s2.fieldIndex("hkl")))
+  }
+
+  test("#G blocks concatenate in order; #Q parses as hkl") {
+    val df = spark.read.format("spec").load(fixture)
+    val s1 = df.filter(col("scan") === 1).collect().head
+    assert(s1.getSeq[Double](s1.fieldIndex("geometry")) ==
+      Seq(0.0, 0.0, 1.0, 0.0, 1.54, 1.54, 90.0))
+    assert(s1.getSeq[Double](s1.fieldIndex("hkl")) == Seq(1.0, 0.0, 2.5))
   }
 
   test("scan 2 has its own labels and positions") {
