@@ -93,7 +93,7 @@ object TextExpressions {
   * space; shard the corpus by id range first if ever exceeded) —
   * violated ids throw rather than corrupt pairs.
   */
-case class DocPairsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class DocPairsExpr(child: Expression) extends UnaryExpression with KernelCodegen {
   private val outElem = StructType(Seq(
     StructField("pr", LongType, nullable = false),
     StructField("ma", LongType, nullable = false),

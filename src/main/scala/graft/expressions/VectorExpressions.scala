@@ -40,7 +40,7 @@ object VectorExpressions {
   * model state, not data).
   */
 case class NearestCellsExpr(child: Expression, cents: Array[Array[Long]], k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   @transient private lazy val norms: Array[Long] =
@@ -85,7 +85,7 @@ case class NearestCellsExpr(child: Expression, cents: Array[Array[Long]], k: Int
   * array<long> of length `tables`.
   */
 case class LshBucketsExpr(child: Expression, tables: Int, planes: Int, dims: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   // weights[t][p][i], precomputed once per executor

@@ -45,6 +45,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  /** Stream-stream inner equi-join bounded by an event-time interval
+    * (right events within `[left.ts − boundSeconds, left.ts]`) — the
+    * live enrichment shape (readings ⋈ recent commands). Both inputs
+    * must carry watermarks; the interval bound lets the engine evict
+    * join state once the watermark passes, so state stays
+    * O(in-flight window), not O(stream).
+    *
+    * The right side's columns are expected pre-renamed so only the
+    * equi-key collides (`rightKey`).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   boundSeconds: Long): DataFrame =
+    left.join(right, expr(
+      s"""$leftKey = $rightKey AND
+         |$rightTime >= $leftTime - INTERVAL $boundSeconds SECONDS AND
+         |$rightTime <= $leftTime""".stripMargin))
+
   final case class Evt(user: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user: Long, startMs: Long, endMs: Long, n: Long, total: Double)

@@ -58,6 +58,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join enriches within the time bound") {
+    implicit val ctx = spark.sqlContext
+    val readings = MemoryStream[(Timestamp, Long, Double)]
+    val commands = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamingOps.intervalJoin(
+      readings.toDF().toDF("ts", "user", "value").withWatermark("ts", "10 seconds"),
+      commands.toDF().toDF("cts", "cuser", "cmd").withWatermark("cts", "10 seconds"),
+      "user", "cuser", "ts", "cts", boundSeconds = 30)
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      commands.addData((ts(0), 1L, "start"), (ts(100), 1L, "stop"), (ts(5), 2L, "start"))
+      readings.addData((ts(20), 1L, 7.0), (ts(50), 1L, 8.0), (ts(20), 3L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user", "value", "cmd").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      // reading(1, t=20) pairs with command(1, t=0) (within 30s);
+      // reading(1, t=50) pairs with nothing (start is 50s stale, stop is future);
+      // reading(3, ...) has no commands at all
+      assert(rows == Set((1L, 7.0, "start")))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Evt]
