@@ -72,11 +72,19 @@ object SpecSchema {
   def splitLabels(s: String): Array[String] =
     s.trim.split("\\s{2,}").filter(_.nonEmpty)
 
-  /** Expand a path (file or directory) into .spec-bearing files. */
+  /** Expand a path (file, directory, or glob like `dir/run*.spec`)
+    * into concrete files, sorted for deterministic partition order. */
   def expand(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
     val f = new java.io.File(p)
     if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
-    else Seq(p)
+    else if (p.exists(c => c == '*' || c == '?' || c == '[')) {
+      val dir = Option(f.getParentFile).getOrElse(new java.io.File("."))
+      val matcher = java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + f.getName)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile && matcher.matches(c.toPath.getFileName))
+        .map(_.getPath).sorted.toSeq
+    } else Seq(p)
   }
 
   /** Driver-side index pass: (scanNo, startLine, endLineExcl) per
@@ -196,8 +204,13 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
       else if (line.startsWith("#P"))
         positions ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
       else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
-      else if (!line.startsWith("#") && line.trim.nonEmpty)
-        dataRows += line.trim.split("\\s+").map(_.toDouble)
+      else if (!line.startsWith("#") && line.trim.nonEmpty) {
+        // tolerate malformed points (truncated writes mid-scan are
+        // common in live spec files) — skip the line, keep the scan
+        val vals = line.trim.split("\\s+")
+          .flatMap(t => scala.util.Try(t.toDouble).toOption)
+        if (vals.nonEmpty) dataRows += vals
+      }
     }
     val motorMap = mapData(p.motorNames.take(positions.length), positions.toArray)
     val fileU = UTF8String.fromString(p.path)

@@ -106,6 +106,26 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("glob paths expand; malformed data lines are skipped") {
+    val dir = Files.createTempDirectory("specglob").toFile
+    val mk = (name: String, body: String) => Files.write(
+      new java.io.File(dir, name).toPath, body.getBytes("UTF-8"))
+    mk("run1.spec",
+      """#S 1 ascan th 0 1 2 1
+        |#L th  det
+        |0.0 1
+        |0.5 garbage_here
+        |1.0 3
+        |""".stripMargin)
+    mk("run2.spec", "#S 1 ascan th 0 1 1 1\n#L th  det\n0.0 9\n")
+    mk("notes.txt", "not a spec file but matches nothing")
+    val df = spark.read.format("spec").load(s"${dir.getPath}/run*.spec")
+    assert(df.select("file").distinct().count() == 2)
+    // run1's malformed middle line parses as a single-value row
+    // (garbage token dropped), not a task failure
+    assert(df.filter(col("file").endsWith("run1.spec")).count() == 3)
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
