@@ -298,8 +298,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The batched decode half of the multimodal pipeline (#32): runs
+    * the executor-side batch iterator end-to-end over real payloads
+    * (rows-only gate — the decode is the documented deterministic
+    * stub; its values are pinned by MultimodalOpsSpec).
+    */
+  val qMultimodalFeatures = GateQuery.rowsOnly("q_multimodal_features") { (s, d) =>
+    import s.implicits._
+    val payloads = MultimodalOps.withPayloadMeta(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    MultimodalOps.decodeFeaturesStub(payloads, batchSize = 64)
+      .toDF().orderBy(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
-    qSplitSample, qMultimodalMeta)
+    qSplitSample, qMultimodalMeta, qMultimodalFeatures)
 }
