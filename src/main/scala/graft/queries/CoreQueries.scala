@@ -202,5 +202,57 @@ object CoreQueries {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents)
+  /** Anti-join (NOT EXISTS) — the complement of q04's semi-join:
+    * customers with no RECENT order (lapsed customers), counted per
+    * nation. The date filter pushes into the orders scan BEFORE the
+    * anti-join, so `left_anti` shuffles only the surviving key
+    * column; the nation dimension broadcasts.
+    */
+  val qAntiJoin = GateQuery.sql(
+    "q_anti_join",
+    """SELECT n.n_name AS n_name, count(*) AS n_lapsed
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast("date") >= lit("2001-01-01").cast("date"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lapsed"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Rollup aggregation — multi-level totals in one pass (per
+    * (returnflag, linestatus), per returnflag, grand total), the
+    * GROUPING SETS shape of report queries. Decimal sums keep the
+    * hash exact at every level.
+    */
+  val qRollup = GateQuery.sql(
+    "q_rollup",
+    """SELECT
+      |  CASE WHEN l_returnflag IS NULL THEN 'ALL' ELSE l_returnflag END AS rflag,
+      |  CASE WHEN l_linestatus IS NULL THEN 'ALL' ELSE l_linestatus END AS lstatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        when(col("l_returnflag").isNull, "ALL").otherwise(col("l_returnflag")).as("rflag"),
+        when(col("l_linestatus").isNull, "ALL").otherwise(col("l_linestatus")).as("lstatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("rflag"), col("lstatus"))
+  }
+
+  val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents,
+    qAntiJoin, qRollup)
 }
