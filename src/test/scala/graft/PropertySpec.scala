@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, Interpolate, Percentiles}
+
+/** Property-based checks: the distributed operators must agree with
+  * straightforward single-machine reference computations on random
+  * inputs, not just on the hand-picked fixtures. Cases are drawn
+  * from scalacheck generators under FIXED seeds so every run (and
+  * every engine) sees the same inputs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 5 deterministic samples per generator (each case runs Spark jobs). */
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (0 until 5).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  test("percentiles match the in-memory NIST rule on random groups") {
+    val values = Gen.nonEmptyListOf(Gen.choose(-1000, 1000).map(_ / 10.0))
+    forAll(values) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+        .toDF("g", "id", "v")
+      val got = Percentiles.perGroup(df, Seq("g"), col("v"), col("id"), Seq(0.5))
+        .collect().head.getDouble(1)
+      val sorted = vs.sorted
+      val h = 0.5 * (sorted.size - 1)
+      val expected = sorted(h.floor.toInt) +
+        (sorted(h.ceil.toInt) - sorted(h.floor.toInt)) * (h - h.floor)
+      assert(math.abs(got - expected) < 1e-9, s"$got vs $expected for $vs")
+    }
+  }
+
+  test("interpolation exactly recovers a linear function") {
+    // samples on a line -> every interpolable grid point lies on it
+    val params = for {
+      slope <- Gen.choose(-50, 50)
+      icept <- Gen.choose(-100, 100)
+      xs <- Gen.nonEmptyListOf(Gen.choose(0L, 100L)).map(_.distinct)
+        .suchThat(_.size >= 2)
+    } yield (slope, icept, xs)
+    forAll(params) { case (slope, icept, xs) =>
+      val df = xs.map(x => (1L, x, slope.toDouble * x + icept)).toDF("g", "x", "y")
+      val out = Interpolate.onGrid(df, Seq("g"), col("x"), col("y"),
+          x0 = 0L, dx = 7L, n = 15)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      out.foreach { case (gx, y) =>
+        assert(math.abs(y - (slope.toDouble * gx + icept)) < 1e-9,
+          s"grid $gx: $y != ${slope.toDouble * gx + icept}")
+      }
+    }
+  }
+
+  test("connected components: every member maps to its true component min") {
+    val edges = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (a, b))
+    forAll(edges) { es =>
+      val got = Dedup.connectedComponents(es.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val refRoots = parent.keys.map(n => n -> find(n)).toMap
+      // group by root, min member = expected cluster id
+      val minOfRoot = refRoots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      refRoots.foreach { case (n, r) =>
+        assert(got(n) == minOfRoot(r), s"node $n: got ${got(n)}, want ${minOfRoot(r)}")
+      }
+    }
+  }
+}
