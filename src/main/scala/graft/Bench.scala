@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Methodology: results go to the `noop` sink (so final sorts and
   * projections are NOT optimized away, unlike `.count()`), one full
   * unmeasured warm-up pass absorbs JVM/codegen/parquet-footer costs,
-  * then the best of `SPARK_GRAFT_TRIALS` (default 2) timed runs is
+  * then the best of `SPARK_GRAFT_TRIALS` (default 3) timed runs is
   * reported per query.
   */
 object Bench {

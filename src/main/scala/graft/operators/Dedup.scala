@@ -117,6 +117,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: not converged after $maxIters iterations " +
+          s"($changed labels still changing) — returned clusters may be split. " +
+          "Raise maxIters for graphs with diameter > maxIters.")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

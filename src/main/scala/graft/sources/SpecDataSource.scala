@@ -44,8 +44,10 @@ class SpecDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = properties.asScala
+    // `paths` is a JSON array (written by DataFrameReader.load(paths*));
+    // parse it properly so paths containing commas/quotes survive.
     val paths = opts.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .map(SpecSchema.parseJsonPaths)
       .orElse(opts.get("path").map(Seq(_)))
       .getOrElse(Seq.empty)
     new SpecTable(paths)
@@ -66,6 +68,18 @@ object SpecSchema {
     StructField("point", LongType, nullable = false),
     StructField("motors", MapType(StringType, DoubleType), nullable = true),
     StructField("data", MapType(StringType, DoubleType), nullable = true)))
+
+  /** Parse the DSv2 `paths` option (a JSON string array). Jackson is
+    * already on the classpath via Spark. Falls back to treating the
+    * raw string as a single path if it isn't valid JSON.
+    */
+  def parseJsonPaths(json: String): Seq[String] =
+    scala.util.Try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(json)
+      require(node.isArray)
+      (0 until node.size()).map(i => node.get(i).asText())
+    }.getOrElse(Seq(json))
 
   /** `#O`/`#L` fields are separated by TWO or more spaces (single
     * spaces can occur inside a name) — pyspec spec.py convention. */
@@ -184,6 +198,7 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
     val geom = mutable.ArrayBuffer[Double]()
     val hkl = mutable.ArrayBuffer[Double]()
     val positions = mutable.ArrayBuffer[Double]()
+    var positionsValid = true
     var labels: Array[String] = Array.empty
     val dataRows = mutable.ArrayBuffer[Array[Double]]()
     def headerNum(line: String): java.lang.Double =
@@ -201,8 +216,16 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
       else if (line.startsWith("#Q "))
         hkl ++= line.drop(3).trim.split("\\s+").filter(_.nonEmpty)
           .flatMap(t => scala.util.Try(t.toDouble).toOption)
-      else if (line.startsWith("#P"))
-        positions ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      else if (line.startsWith("#P")) {
+        // #P values align positionally with #O names — a malformed
+        // token can't just be dropped (it would shift every later
+        // motor), so it invalidates the whole motors map instead of
+        // failing the partition.
+        val toks = line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty)
+          .map(t => scala.util.Try(t.toDouble).toOption)
+        if (toks.exists(_.isEmpty)) positionsValid = false
+        positions ++= toks.map(_.getOrElse(Double.NaN))
+      }
       else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
       else if (!line.startsWith("#") && line.trim.nonEmpty) {
         // tolerate malformed points (truncated writes mid-scan are
@@ -212,7 +235,9 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
         if (vals.nonEmpty) dataRows += vals
       }
     }
-    val motorMap = mapData(p.motorNames.take(positions.length), positions.toArray)
+    val motorMap =
+      if (positionsValid) mapData(p.motorNames.take(positions.length), positions.toArray)
+      else null
     val fileU = UTF8String.fromString(p.path)
     val cmdU = if (command == null) null else UTF8String.fromString(command)
     val dateU = if (date == null) null else UTF8String.fromString(date)

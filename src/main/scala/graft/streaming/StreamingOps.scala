@@ -96,7 +96,9 @@ object StreamingOps {
                   closed += SessionOut(user, s.start, s.last, s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                  // out-of-order but within-watermark events may extend
+                  // the session backwards as well as forwards
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
