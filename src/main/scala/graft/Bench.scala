@@ -27,9 +27,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val t =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      // drop blocks left persisted by checkpoint-based operators NOW
+      // (outside the timed region) — otherwise their GC-driven cleanup
+      // races with, and bills, whatever query runs next
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      t
     }
     queries.foreach { case (_, fn) => runOnce(fn) } // warm-up pass
     val results = queries.map { case (name, fn) =>

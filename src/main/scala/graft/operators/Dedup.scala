@@ -80,7 +80,7 @@ object Dedup {
     *
     * Algorithm: min-label propagation to a fixed point. Each
     * iteration is one shuffle join (labels to neighbours) + one
-    * min-aggregate; the driver holds only the convergence counter —
+    * min-aggregate; the driver holds only the convergence scalar —
     * never data — so the loop is O(cluster diameter) shuffles over a
     * pair list that near-dup thresholds keep far smaller than the
     * corpus. Near-dup clusters are dense (diameter 2–4 in practice),
@@ -88,6 +88,16 @@ object Dedup {
     * pathological chain case. Deterministic: min is order-independent
     * and the fixed point is unique (every node ends at its component
     * minimum).
+    *
+    * Convergence is detected from the total label sum: a node's label
+    * only ever decreases (min over old ∪ neighbour labels), so the sum
+    * strictly decreases iff any label changed — one narrow aggregate
+    * per iteration instead of a self-join diff. Summed as
+    * decimal(38,0) so the check survives corpora whose id sums
+    * overflow a long. Superseded label checkpoints are unpersisted
+    * eagerly: at 100 TB each checkpoint is a full copy of the label
+    * table, and holding maxIters of them would exhaust the block
+    * manager.
     *
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`.
     */
@@ -97,33 +107,54 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration — cut plan regrowth
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    // the convergence aggregate doubles as the action that populates
+    // each iteration's cache — one job per iteration, not two
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    // seed with the best 1-hop label (min of self and direct
+    // neighbours) — one aggregate over the checkpointed edges that
+    // saves a full propagate+aggregate iteration
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_md"))
+      .select(col("src").as("node"), least(col("src"), col("_md")).as("lbl"))
+      .persist()
+    var prevSum = lblSum(labels)
     var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIters) {
+    var changed = true
+    while (changed && it < maxIters) {
       val nbr = edges
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("node"), col("lbl"))
-      val next = labels.union(nbr)
+      var next = labels.union(nbr)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      // round 0 always changes something when any edge exists — skip
-      // its convergence count (one action saved per call)
-      if (it > 0)
-        changed = next.join(labels.select(col("node"), col("lbl").as("_old")), Seq("node"))
-          .filter(col("lbl") =!= col("_old")).count()
+      // persist (lazy) + the sum action materializes it; periodic
+      // localCheckpoint bounds lineage growth on long chains
+      next = if (it % 4 == 3) next.localCheckpoint() else next.persist()
+      val nextSum = lblSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
+      labels.unpersist(false) // superseded — free its blocks now
+      unpersistCheckpoint(labels)
       labels = next
       it += 1
     }
-    if (changed > 0)
+    if (changed)
       org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"connectedComponents: not converged after $maxIters iterations " +
-          s"($changed labels still changing) — returned clusters may be split. " +
-          "Raise maxIters for graphs with diameter > maxIters.")
+        .warn(s"connectedComponents: not converged after $maxIters iterations — " +
+          "returned clusters may be split. Raise maxIters for graphs with " +
+          "diameter > maxIters.")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  /** Free the block-manager storage behind a localCheckpoint'd
+    * DataFrame (no-op for anything else). ContextCleaner would get
+    * there eventually via GC; iterative loops shouldn't wait.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** MinHash signatures (numPerms deterministic base_hash
     * "permutations") + LSH banding: docs sharing any band key become
@@ -131,10 +162,23 @@ object Dedup {
     * when >= minMatch of numPerms components agree.
     * Returns (doc_a, doc_b, n_match, est_sim).
     */
+  /** LSH band keys of a MinHash signature column: one (band index,
+    * md5-of-signature-slice) struct per band. Shared by the batch pair
+    * generator and the streaming suppressor so both bucket
+    * identically.
+    */
+  def bandKeys(sig: Column, numPerms: Int, bands: Int): Column = {
+    require(numPerms % bands == 0, "numPerms must divide into equal bands")
+    val rowsPerBand = numPerms / bands
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bh"))
+    }: _*)
+  }
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, k: Int,
                    numPerms: Int, bands: Int, minMatch: Int): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into equal bands")
-    val rowsPerBand = numPerms / bands
     // MinHash signature VALUES cross the oracle (portable md5 shingle
     // keys + arithmetic permutations); MinHashSigExpr computes the
     // whole signature per row in one pass — no explode, no shuffle
@@ -148,11 +192,7 @@ object Dedup {
         graft.expressions.TextExpressions.minHashSig(text, k, numPerms).as("sig"))
       .filter(size(col("sig")) > 0)
       .localCheckpoint(false)
-    val bandStructs = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bh"))
-    }
-    val bandRel = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+    val bandRel = sig.select(col("doc_id"), explode(bandKeys(col("sig"), numPerms, bands)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     val cand = bandRel.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bandRel.select(col("doc_id").as("doc_b"), col("band"), col("bh")),

@@ -48,6 +48,44 @@ object Percentiles {
       .select(kc ++ outs: _*)
   }
 
+  /** Exact weighted percentile per group: the smallest `v` whose
+    * cumulative weight reaches `pPct`% of the group's total weight —
+    * the weighted-median/quantile a curation pipeline uses to pick
+    * thresholds by mass (bytes, tokens) instead of document count.
+    *
+    * Weights must be exact integers (e.g. cents via [[Exact.cents]]):
+    * the threshold test `100·cumw >= pPct·totw` is pure integer
+    * arithmetic, so the crossing point is identical on every engine —
+    * no float accumulation order anywhere. One window shuffle (the
+    * running sum and the group total share the same sort) + one
+    * min-aggregate.
+    */
+  def weightedPerGroup(df: DataFrame, keys: Seq[String], v: Column, wInt: Column,
+                       tie: Column, pPct: Int, out: String = "wp"): DataFrame = {
+    val kc = keys.map(col)
+    val ordered = Window.partitionBy(kc: _*).orderBy(col("_v"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(kc: _*)
+    df.select(kc :+ v.as("_v") :+ wInt.as("_w") :+ tie.as("_tie"): _*)
+      .withColumn("_cumw", sum(col("_w")).over(ordered))
+      .withColumn("_totw", sum(col("_w")).over(whole))
+      .filter(col("_cumw") * 100 >= col("_totw") * pPct)
+      .groupBy(kc: _*)
+      .agg(min(col("_v")).as(out))
+  }
+
+  /** DuckDB SQL mirror of [[weightedPerGroup]] over `tbl`. */
+  def weightedPerGroupSql(tbl: String, key: String, vSql: String, wSql: String,
+                          tieSql: String, pPct: Int, out: String = "wp"): String =
+    s"""WITH cw AS (SELECT $key, $vSql AS _v,
+       |    sum($wSql) OVER (PARTITION BY $key ORDER BY $vSql, $tieSql
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cumw,
+       |    sum($wSql) OVER (PARTITION BY $key) AS _totw
+       |  FROM $tbl)
+       |SELECT $key, min(_v) AS $out
+       |FROM cw WHERE _cumw * 100 >= _totw * $pPct
+       |GROUP BY $key""".stripMargin
+
   /** DuckDB SQL mirror of [[perGroup]] over `tbl`. */
   def perGroupSql(tbl: String, key: String, vSql: String, tieSql: String,
                   ps: Seq[Double]): String = {

@@ -52,4 +52,37 @@ object Relational {
   def dedupExact(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
     df.groupBy(md5(textCol).as("content_md5"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact per-group mode (most frequent value) without a window:
+    * two shuffle aggregates — count per (key, value), then
+    * `max_by(value, (n, value))` per key. No per-group sort, no hot
+    * window partition: a key with a billion rows still reduces
+    * map-side, and ties break deterministically toward the LARGER
+    * value (the struct comparison's second field).
+    * Returns keys + `mode_value` + `n_mode`.
+    */
+  def modePerGroup(df: DataFrame, keys: Seq[Column], value: Column): DataFrame = {
+    val counted = df.groupBy(keys :+ value.as("_v"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val keyNames = counted.columns.dropRight(2).map(col(_))
+    counted.groupBy(keyNames: _*)
+      .agg(max(struct(col("_n"), col("_v"))).as("_m"))
+      .select(keyNames :+ col("_m._v").as("mode_value") :+ col("_m._n").as("n_mode"): _*)
+  }
+
+  /** One-pass multi-level aggregate over ALL dimension subsets
+    * (CUBE): each string dim is returned COALESCE'd to `totalLabel`
+    * on its rolled-up levels, so downstream consumers (and the SQL
+    * oracle) need no engine-specific GROUPING() bitmask. Same
+    * single-shuffle expansion as `rollup` — Spark expands grouping
+    * sets map-side, partial-aggregates, then shuffles once.
+    */
+  def cubeAgg(df: DataFrame, dims: Seq[Column], aggs: Seq[Column],
+              totalLabel: String = "ALL"): DataFrame = {
+    val cubed = df.cube(dims: _*).agg(aggs.head, aggs.tail: _*)
+    val dimNames = cubed.columns.take(dims.length)
+    val coalesced = dimNames.map(n => coalesce(col(n), lit(totalLabel)).as(n)) ++
+      cubed.columns.drop(dims.length).map(col(_))
+    cubed.select(coalesced: _*)
+  }
 }

@@ -90,4 +90,30 @@ object WindowOps {
     val win = Window.partitionBy(key)
     df.withColumn(out, round(v.cast("double") / sum(monitor).over(win).cast("double"), 6))
   }
+
+  /** Linear background subtraction (pyspec: `bgsub` over a scan): the
+    * baseline is the straight line through each group's FIRST and
+    * LAST point in `order`; `out` = v − baseline(x). One window over
+    * (key, order) with an unbounded frame — still a single shuffle,
+    * and the frame is computed once per partition by the sort, not
+    * per row.
+    *
+    * Degenerate single-x groups (x_last == x_first) subtract the
+    * first y (flat baseline) — mirrored in SQL oracles via the same
+    * CASE. `x`/`v` must be exact (integer/decimal) so the double
+    * division below is the ONLY lossy step on either engine.
+    */
+  def bgSubtract(df: DataFrame, key: Column, order: Seq[Column],
+                 x: Column, v: Column, out: String = "v_sub"): DataFrame = {
+    val win = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val x0 = first(x).over(win).cast("double")
+    val x1 = last(x).over(win).cast("double")
+    val y0 = first(v).over(win).cast("double")
+    val y1 = last(v).over(win).cast("double")
+    val xd = x.cast("double")
+    val bg = when(x1 === x0, y0)
+      .otherwise(y0 + (y1 - y0) * (xd - x0) / (x1 - x0))
+    df.withColumn(out, round(v.cast("double") - bg, 6) + lit(0.0))
+  }
 }

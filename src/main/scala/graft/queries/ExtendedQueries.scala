@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Exact, Percentiles, RangeJoin, Relational, WindowOps}
+import graft.operators.Exact.centsSql
+
+/** Round-3 extensions (SURVEY.md §2 #49–#53): bounded range join,
+  * cube aggregation, exact per-group mode, linear background
+  * subtraction, and exact weighted percentiles — each SQL-gated with
+  * the same exact-numerics discipline as the rest of the inventory
+  * (SURVEY.md §4).
+  */
+object ExtendedQueries {
+
+  /** Shared DuckDB prep over events (mirror of [[ev]]). */
+  private val E: String =
+    """(SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |   (epoch_us(ts) // 1000000) - 1704067200 AS xs,
+      |   CAST(value AS DECIMAL(18,2)) AS vd, event_type
+      | FROM events)""".stripMargin
+
+  /** Shared Spark prep — mirror of [[E]]. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (expr("ts_us div 1000000") - lit(1704067200L)).as("xs"),
+      col("value").cast("decimal(18,2)").as("vd"),
+      col("event_type"))
+
+  /** Bounded range join (#49): per click, the count and exact-cents
+    * total of the same user's purchases in the preceding 6 hours.
+    * The Spark plan is the bucketized equi-join ([[RangeJoin]]) —
+    * the oracle states the same semantics as a theta-join, which
+    * DuckDB can afford at oracle scale.
+    */
+  val qRangeJoin = GateQuery.sql(
+    "q_range_join",
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+       |    CAST(value AS DECIMAL(18,2)) AS vd, event_type FROM events),
+       |l AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+       |r AS (SELECT user_id, t AS rt, vd FROM e WHERE event_type = 'purchase')
+       |SELECT l.event_id AS click_event, l.user_id AS user_id,
+       |  count(*) AS n_recent,
+       |  CAST(sum(${centsSql("r.vd")}) AS BIGINT) AS v_recent_cents
+       |FROM l JOIN r ON l.user_id = r.user_id
+       |  AND r.rt >= l.t - 21600000000 AND r.rt <= l.t
+       |GROUP BY 1, 2 ORDER BY click_event""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("t"))
+    val right = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("rt"), col("vd"))
+    RangeJoin.lookback(left, right, "user_id", "t", "rt", 21600000000L)
+      .groupBy(col("event_id").as("click_event"), col("user_id"))
+      .agg(count(lit(1)).as("n_recent"),
+        sum(Exact.cents(col("vd"))).as("v_recent_cents"))
+      .orderBy(col("click_event"))
+  }
+
+  /** Cube aggregation (#50): all four grouping levels of
+    * (returnflag, linestatus) in one pass, rolled-up levels labelled
+    * 'ALL' so no engine-specific GROUPING() bitmask crosses the
+    * oracle.
+    */
+  val qCube = GateQuery.sql(
+    "q_cube",
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       |  count(*) AS n,
+       |  CAST(sum(${centsSql("CAST(l_quantity AS DECIMAL(18,2))")}) AS BIGINT) AS qty_cents,
+       |  CAST(sum(${centsSql("CAST(l_extendedprice AS DECIMAL(18,2))")}) AS BIGINT) AS price_cents
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Relational.cubeAgg(Tables.lineitem(s, d),
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(count(lit(1)).as("n"),
+          sum(Exact.cents(col("l_quantity").cast("decimal(18,2)"))).as("qty_cents"),
+          sum(Exact.cents(col("l_extendedprice").cast("decimal(18,2)"))).as("price_cents")))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Exact per-group mode (#51): each user's most frequent event
+    * type — two shuffle aggregates, no window, ties broken toward the
+    * larger value on both engines.
+    */
+  val qModePerGroup = GateQuery.sql(
+    "q_mode_per_group",
+    """WITH c AS (SELECT user_id, event_type AS mode_value, count(*) AS n_mode
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, mode_value, n_mode FROM c
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id ORDER BY n_mode DESC, mode_value DESC) = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Relational.modePerGroup(Tables.events(s, d), Seq(col("user_id")), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Linear background subtraction (#52, pyspec `bgsub`): baseline
+    * through each scan's first/last point, subtracted per row. xs/vd
+    * are exact ints/decimals so the double math is the identical
+    * expression tree on both engines.
+    */
+  val qBgSubtract = GateQuery.sql(
+    "q_bg_subtract",
+    s"""WITH w AS (SELECT event_id, user_id, xs, vd,
+       |    first_value(xs) OVER w AS x0, last_value(xs) OVER w AS x1,
+       |    first_value(vd) OVER w AS y0, last_value(vd) OVER w AS y1
+       |  FROM $E e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT event_id, user_id,
+       |  round(CAST(vd AS DOUBLE) - (CASE
+       |    WHEN CAST(x1 AS DOUBLE) = CAST(x0 AS DOUBLE) THEN CAST(y0 AS DOUBLE)
+       |    ELSE CAST(y0 AS DOUBLE) + (CAST(y1 AS DOUBLE) - CAST(y0 AS DOUBLE))
+       |      * (CAST(xs AS DOUBLE) - CAST(x0 AS DOUBLE))
+       |      / (CAST(x1 AS DOUBLE) - CAST(x0 AS DOUBLE)) END), 6) + 0.0 AS v_sub
+       |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
+    WindowOps.bgSubtract(ev(s, d), col("user_id"),
+        Seq(col("ts_us"), col("event_id")), col("xs"), col("vd"))
+      .select(col("event_id"), col("user_id"), col("v_sub"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact weighted percentile (#53): the median lineitem quantity by
+    * revenue mass (not row count) per return flag — integer-exact
+    * threshold crossing, see [[Percentiles.weightedPerGroup]].
+    */
+  val qWeightedMedian = GateQuery.sql(
+    "q_weighted_median",
+    Percentiles.weightedPerGroupSql("lineitem", "l_returnflag",
+      "CAST(l_quantity AS BIGINT)",
+      centsSql("CAST(l_extendedprice AS DECIMAL(18,2))"),
+      "l_orderkey, l_linenumber", 50, out = "wmedian_qty") +
+      "\nORDER BY l_returnflag") { (s, d) =>
+    Percentiles.weightedPerGroup(Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_quantity").cast("long"),
+        Exact.cents(col("l_extendedprice").cast("decimal(18,2)")),
+        struct(col("l_orderkey"), col("l_linenumber")), 50, out = "wmedian_qty")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qRangeJoin, qCube, qModePerGroup, qBgSubtract, qWeightedMedian)
+}

@@ -64,6 +64,67 @@ object StreamingOps {
          |$rightTime >= $leftTime - INTERVAL $boundSeconds SECONDS AND
          |$rightTime <= $leftTime""".stripMargin))
 
+  final case class BandDoc(band: String, docId: Long, ts: Timestamp)
+  final case class BandFirst(firstId: Long)
+  final case class BandHit(docId: Long, dupOf: Long, band: String)
+
+  /** Streaming near-duplicate suppression: a document sharing any
+    * MinHash LSH band with an earlier in-horizon document is flagged
+    * against that band's first arrival — the live counterpart of
+    * [[graft.operators.Dedup.minhashPairs]], sharing its signature
+    * and band-key derivation so batch and stream bucket identically.
+    *
+    * Plan: per-row native signature → explode band keys (bands× fan
+    * out of fixed-width keys, never payloads) → `flatMapGroupsWithState`
+    * keyed by band holding ONE doc id per band. State is evicted
+    * `ttlMs` past each band's latest event time once the watermark
+    * passes — memory is O(distinct bands in horizon), not O(stream).
+    * A doc hitting b bands of an earlier doc emits b hits; consumers
+    * dedup (docId, dupOf) downstream if they need pair-distinct
+    * output (kept in the operator's output so the band that matched
+    * is observable).
+    */
+  def nearDupStream(docs: DataFrame, timeCol: String, idCol: String, textCol: String,
+                    k: Int, numPerms: Int, bands: Int,
+                    watermarkDelay: String, ttlMs: Long): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.expressions.TextExpressions.minHashSig(col(textCol), k, numPerms)
+    val banded = docs.withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol).as("eventTs"), col(idCol).as("docId"), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("eventTs"), col("docId"),
+        explode(graft.operators.Dedup.bandKeys(col("sig"), numPerms, bands)).as("bd"))
+      .select(concat_ws(":", col("bd.band"), col("bd.bh")).as("band"),
+        col("docId"), col("eventTs").as("ts"))
+      .as[BandDoc]
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BandFirst, BandHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (band: String, rows: Iterator[BandDoc], state: GroupState[BandFirst]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // arrival order within a batch is made deterministic
+            val sorted = rows.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+            var first = state.getOption
+            var maxTs = 0L
+            val hits = Seq.newBuilder[BandHit]
+            for (d <- sorted) {
+              maxTs = math.max(maxTs, d.ts.getTime)
+              first match {
+                case None => first = Some(BandFirst(d.docId))
+                case Some(f) if f.firstId != d.docId => hits += BandHit(d.docId, f.firstId, band)
+                case _ => ()
+              }
+            }
+            first.foreach { f =>
+              state.update(f)
+              state.setTimeoutTimestamp(maxTs + ttlMs)
+            }
+            hits.result().iterator
+          }
+      }
+  }
+
   final case class Evt(user: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user: Long, startMs: Long, endMs: Long, n: Long, total: Double)

@@ -71,4 +71,83 @@ class OperatorEdgeCasesSpec extends SparkSpec {
       .select("g", "v", "id", "rnk").orderBy("g", "rnk").collect().toSeq
     assert(direct == salted)
   }
+
+  test("RangeJoin.lookback: inclusive bounds, bucket-boundary pairs, no dup matches") {
+    val left = Seq((1L, 100L), (1L, 205L), (2L, 100L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 100L, 1.0),  // dt=0   -> matches t=100 (inclusive upper)
+      (1L, 50L, 2.0),   // dt=50  -> matches t=100 (inclusive lower: 100-50=50)
+      (1L, 49L, 3.0),   // dt=51  -> outside for t=100
+      (1L, 160L, 4.0),  // matches t=205 across the bucket boundary (bucket 3 vs 4)
+      (2L, 300L, 5.0)   // future event -> no match
+    ).toDF("k", "rt", "p")
+    val out = RangeJoin.lookback(left, right, "k", "t", "rt", 50L)
+      .select("k", "t", "rt").orderBy("t", "rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 100L, 50L), (1L, 100L, 100L), (1L, 205L, 160L)))
+  }
+
+  test("RangeJoin.lookback equals a direct theta-join on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "t")
+    val right = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val bucketed = RangeJoin.lookback(left, right, "k", "t", "rt", 37L)
+      .select("k", "t", "rt", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val theta = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.rt") >= col("l.t") - 37L && col("r.rt") <= col("l.t"))
+      .select(col("l.k"), col("t"), col("rt"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(bucketed == theta)
+  }
+
+  test("modePerGroup: ties break toward the larger value; counts exact") {
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u1", "b"), ("u1", "b"), ("u1", "c"),
+      ("u2", "z")).toDF("u", "v")
+    val out = Relational.modePerGroup(df, Seq(col("u")), col("v"))
+      .orderBy("u").collect()
+    assert(out(0).getString(out(0).fieldIndex("mode_value")) == "b") // tie a/b -> larger
+    assert(out(0).getLong(out(0).fieldIndex("n_mode")) == 2L)
+    assert(out(1).getString(out(1).fieldIndex("mode_value")) == "z")
+  }
+
+  test("cubeAgg: emits all four grouping levels with ALL labels") {
+    val df = Seq(("A", "X", 1L), ("A", "Y", 2L), ("B", "X", 4L)).toDF("f", "s", "v")
+    val out = Relational.cubeAgg(df, Seq(col("f"), col("s")),
+        Seq(sum(col("v")).as("t")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("A", "X", 1L), ("A", "Y", 2L), ("B", "X", 4L),
+      ("A", "ALL", 3L), ("B", "ALL", 4L),
+      ("ALL", "X", 5L), ("ALL", "Y", 2L),
+      ("ALL", "ALL", 7L)))
+  }
+
+  test("bgSubtract: endpoints land on zero; singleton group subtracts its own value") {
+    val df = Seq(("a", 0L, 10.0), ("a", 10L, 25.0), ("a", 20L, 30.0),
+      ("b", 5L, 7.0)).toDF("k", "x", "v")
+    val out = WindowOps.bgSubtract(df, col("k"), Seq(col("x")),
+        col("x"), col("v").cast("decimal(18,2)"))
+      .select("k", "x", "v_sub").orderBy("k", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // baseline a: 10 -> 30 over x 0..20; midpoint baseline = 20, v=25 -> +5
+    assert(out == Seq(("a", 0L, 0.0), ("a", 10L, 5.0), ("a", 20L, 0.0), ("b", 5L, 0.0)))
+  }
+
+  test("weightedPerGroup: crossing picks the smallest value reaching the mass") {
+    // values 1,2,3 with weights 10,10,80: p50 of mass lands on 3;
+    // unweighted median would be 2
+    val df = Seq(("g", 1L, 10L, 1L), ("g", 2L, 10L, 2L), ("g", 3L, 80L, 3L))
+      .toDF("k", "v", "w", "id")
+    val out = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"),
+      col("id"), 50).collect()
+    assert(out.head.getLong(out.head.fieldIndex("wp")) == 3L)
+    // p20 -> cumw 10 of 100 reaches 20%? 10*100 >= 100*20 is false; 2 qualifies
+    val p20 = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"),
+      col("id"), 20).collect()
+    assert(p20.head.getLong(p20.head.fieldIndex("wp")) == 2L)
+  }
 }

@@ -111,4 +111,42 @@ class StreamingSpec extends SparkSpec {
       assert(all(1).getDouble(all(1).fieldIndex("total")) == 5.0)
     } finally q.stop()
   }
+
+  test("nearDupStream flags later docs sharing LSH bands with an earlier doc") {
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while counting many tokens"
+    // "holding" picked so the changed shingles don't displace any
+    // per-permutation minimum: the two docs share all 4 band keys
+    // under the deterministic md5-seeded permutations (verified
+    // against the kernel's arithmetic) — the test is not at the mercy
+    // of LSH collision probability
+    val nearDup = base.replace("counting", "holding")
+    val unrelated = "completely different content about spark structured streaming state stores"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val hits = StreamingOps.nearDupStream(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "doc_id", "text", k = 3, numPerms = 8, bands = 4,
+      watermarkDelay = "10 seconds", ttlMs = 60000L)
+    val q = hits.toDF().writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, base))
+      q.processAllAvailable()
+      input.addData((ts(5), 2L, nearDup), (ts(6), 3L, unrelated))
+      q.processAllAvailable()
+      val dupOf = spark.table("neardup")
+        .select("docId", "dupOf").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dupOf.contains((2L, 1L)), s"near-dup 2 should hit 1, got $dupOf")
+      assert(!dupOf.exists(_._1 == 3L), s"unrelated doc 3 flagged: $dupOf")
+      // batch parity: the same docs through the batch detector agree
+      val batchPairs = graft.operators.Dedup.minhashPairs(
+          Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k = 3, numPerms = 8, bands = 4, minMatch = 4)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs.contains((1L, 2L)))
+      assert(!batchPairs.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally q.stop()
+  }
 }
