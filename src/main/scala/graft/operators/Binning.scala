@@ -64,7 +64,12 @@ object Binning {
   }
 
   /** Regular 3-D gridder: cell = (floor(x/sx), floor(y/sy), floor(z/sz)),
-    * per-cell count / exact sum / mean of exact-decimal weight `w`.
+    * per-cell count / exact sum / mean / standard error of
+    * exact-decimal weight `w` — the full per-cell statistics of the
+    * reference gridder (pyspec ctrans emits mean, count AND stderr so
+    * downstream fits can weight cells). Same single hash aggregate;
+    * the extra power sum rides the same shuffle rows. Cells with one
+    * point report NULL stderr (as does the SQL mirror).
     */
   def grid3d(df: DataFrame, x: Column, y: Column, z: Column, w: Column,
              sx: Double, sy: Double, sz: Double): DataFrame = {
@@ -72,10 +77,15 @@ object Binning {
         floor(x / sx).cast("long").as("gx"),
         floor(y / sy).cast("long").as("gy"),
         floor(z / sz).cast("long").as("gz"))
-      .agg(count(lit(1)).as("n"), sum(w).as("sum_w"))
+      .agg(count(lit(1)).as("n"), sum(w).as("sum_w"), sum(w * w).as("sum_w2"))
+    val sw = col("sum_w").cast("double")
+    val sw2 = col("sum_w2").cast("double")
+    val varS = greatest((sw2 - sw * sw / col("n")) / (col("n") - lit(1.0)), lit(0.0))
     agg.select(
       col("gx"), col("gy"), col("gz"), col("n"),
       round(col("sum_w").cast("double"), 2).as("w_sum"),
-      Exact.roundedRatio(Exact.cents(col("sum_w")), col("n") * lit(100L), 4).as("w_mean"))
+      Exact.roundedRatio(Exact.cents(col("sum_w")), col("n") * lit(100L), 4).as("w_mean"),
+      when(col("n") > 1, round(sqrt(varS) / sqrt(col("n").cast("double")), 4))
+        .as("w_stderr"))
   }
 }

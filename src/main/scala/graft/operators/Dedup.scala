@@ -42,6 +42,19 @@ object Dedup {
     * 8-byte shingle key → one pair-keyed aggregate. No re-derivation
     * joins, no all-pairs product anywhere.
     */
+  /** Scale knob for [[jaccardPairs]]' `maxDf`: a shingle in f docs
+    * emits f·(f−1)/2 pairs, so the cap bounds per-shingle fan-out to
+    * ~`maxPairsPerShingle`. Shingles above the cap are boilerplate:
+    * the pairs they generate are overwhelmingly below any useful
+    * similarity threshold (two documents that are truly near-dups
+    * share many rarer shingles and still meet), so dropping them
+    * trades negligible recall for the quadratic fan-out. Left
+    * OFF (0) in the oracle-gated queries because the SQL oracle
+    * cannot mirror the cap; turn it on for production corpora.
+    */
+  def suggestedDfCap(maxPairsPerShingle: Long = 1000000L): Int =
+    math.max(2, math.ceil(math.sqrt(2.0 * maxPairsPerShingle)).toInt)
+
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
                    k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
     // Jaccard only compares shingle keys for equality, so the cheap

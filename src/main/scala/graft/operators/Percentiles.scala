@@ -56,17 +56,25 @@ object Percentiles {
     * Weights must be exact integers (e.g. cents via [[Exact.cents]]):
     * the threshold test `100·cumw >= pPct·totw` is pure integer
     * arithmetic, so the crossing point is identical on every engine —
-    * no float accumulation order anywhere. One window shuffle (the
-    * running sum and the group total share the same sort) + one
-    * min-aggregate.
+    * no float accumulation order anywhere.
+    *
+    * Scale: the raw rows are FIRST collapsed to one row per distinct
+    * (group, v) — a map-side-combined hash aggregate — and the
+    * running-sum window only ever sees that collapsed relation. A
+    * group with a billion rows but bounded value cardinality (the
+    * typical case for quantities, scores, bucketed sizes) costs the
+    * window sort |values| rows, not |rows|; without the collapse a
+    * low-cardinality group key serializes the whole table through a
+    * handful of window tasks.
     */
   def weightedPerGroup(df: DataFrame, keys: Seq[String], v: Column, wInt: Column,
-                       tie: Column, pPct: Int, out: String = "wp"): DataFrame = {
+                       pPct: Int, out: String = "wp"): DataFrame = {
     val kc = keys.map(col)
-    val ordered = Window.partitionBy(kc: _*).orderBy(col("_v"), col("_tie"))
+    val perValue = df.groupBy(kc :+ v.as("_v"): _*).agg(sum(wInt).as("_w"))
+    val ordered = Window.partitionBy(kc: _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(kc: _*)
-    df.select(kc :+ v.as("_v") :+ wInt.as("_w") :+ tie.as("_tie"): _*)
+    perValue
       .withColumn("_cumw", sum(col("_w")).over(ordered))
       .withColumn("_totw", sum(col("_w")).over(whole))
       .filter(col("_cumw") * 100 >= col("_totw") * pPct)
@@ -76,12 +84,14 @@ object Percentiles {
 
   /** DuckDB SQL mirror of [[weightedPerGroup]] over `tbl`. */
   def weightedPerGroupSql(tbl: String, key: String, vSql: String, wSql: String,
-                          tieSql: String, pPct: Int, out: String = "wp"): String =
-    s"""WITH cw AS (SELECT $key, $vSql AS _v,
-       |    sum($wSql) OVER (PARTITION BY $key ORDER BY $vSql, $tieSql
+                          pPct: Int, out: String = "wp"): String =
+    s"""WITH pv AS (SELECT $key, $vSql AS _v, sum($wSql) AS _w
+       |  FROM $tbl GROUP BY 1, 2),
+       |cw AS (SELECT $key, _v,
+       |    sum(_w) OVER (PARTITION BY $key ORDER BY _v
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cumw,
-       |    sum($wSql) OVER (PARTITION BY $key) AS _totw
-       |  FROM $tbl)
+       |    sum(_w) OVER (PARTITION BY $key) AS _totw
+       |  FROM pv)
        |SELECT $key, min(_v) AS $out
        |FROM cw WHERE _cumw * 100 >= _totw * $pPct
        |GROUP BY $key""".stripMargin

@@ -80,6 +80,19 @@ object VectorOps {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Scale knob: hyperplane count sized to the corpus so expected
+    * bucket occupancy stays near `targetBucketSize` (buckets ≈ 2^p
+    * under the random-projection sign model). Too few planes → huge
+    * buckets → the bucket join degenerates toward all-pairs; too many
+    * → recall collapses. Capped at 20 so bucket ids stay well inside
+    * a long and per-table fan-out stays bounded.
+    */
+  def suggestedPlanes(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val p = math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2)).toInt
+    math.min(20, math.max(4, p))
+  }
+
   /** DuckDB SQL mirror of [[lshBucket]] over a quantized-list column. */
   def lshBucketSql(q: String, table: Int, planes: Int, dims: Int): String =
     (0 until planes).map { p =>

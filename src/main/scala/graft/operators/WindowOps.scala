@@ -84,11 +84,21 @@ object WindowOps {
   /** Normalize `v` to the group total of exact-decimal `monitor`
     * (pyspec: counts normalized to monitor counts) — one window sum,
     * one shuffle. Groups whose monitor total is NULL/0 yield NULL.
+    *
+    * With `withError`, also propagates the counting-statistics
+    * uncertainty `sqrt(v) / monitor_total` (pyspec norm keeps σ =
+    * √N/monitor per point); negative counts yield NULL rather than
+    * NaN.
     */
   def normalizeToMonitor(df: DataFrame, key: Column, v: Column, monitor: Column,
-                         out: String = "norm"): DataFrame = {
+                         out: String = "norm", withError: Boolean = false,
+                         errOut: String = "norm_err"): DataFrame = {
     val win = Window.partitionBy(key)
-    df.withColumn(out, round(v.cast("double") / sum(monitor).over(win).cast("double"), 6))
+    val monTot = sum(monitor).over(win).cast("double")
+    val base = df.withColumn(out, round(v.cast("double") / monTot, 6))
+    if (!withError) base
+    else base.withColumn(errOut,
+      when(v >= 0, round(sqrt(v.cast("double")) / monTot, 6)))
   }
 
   /** Linear background subtraction (pyspec: `bgsub` over a scan): the

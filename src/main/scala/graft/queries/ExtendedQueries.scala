@@ -74,11 +74,18 @@ object ExtendedQueries {
        |FROM lineitem
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-    Relational.cubeAgg(Tables.lineitem(s, d),
+    // counts and sums re-aggregate, so collapse the fact table to one
+    // row per leaf cell BEFORE the 4-way grouping-set expand: the
+    // expand multiplies 6 partial rows instead of 600k facts
+    val pre = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("_n"),
+        sum(Exact.cents(col("l_quantity").cast("decimal(18,2)"))).as("_q"),
+        sum(Exact.cents(col("l_extendedprice").cast("decimal(18,2)"))).as("_p"))
+    Relational.cubeAgg(pre,
         Seq(col("l_returnflag"), col("l_linestatus")),
-        Seq(count(lit(1)).as("n"),
-          sum(Exact.cents(col("l_quantity").cast("decimal(18,2)"))).as("qty_cents"),
-          sum(Exact.cents(col("l_extendedprice").cast("decimal(18,2)"))).as("price_cents")))
+        Seq(sum(col("_n")).as("n"), sum(col("_q")).as("qty_cents"),
+          sum(col("_p")).as("price_cents")))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -133,12 +140,12 @@ object ExtendedQueries {
     Percentiles.weightedPerGroupSql("lineitem", "l_returnflag",
       "CAST(l_quantity AS BIGINT)",
       centsSql("CAST(l_extendedprice AS DECIMAL(18,2))"),
-      "l_orderkey, l_linenumber", 50, out = "wmedian_qty") +
+      50, out = "wmedian_qty") +
       "\nORDER BY l_returnflag") { (s, d) =>
     Percentiles.weightedPerGroup(Tables.lineitem(s, d), Seq("l_returnflag"),
         col("l_quantity").cast("long"),
         Exact.cents(col("l_extendedprice").cast("decimal(18,2)")),
-        struct(col("l_orderkey"), col("l_linenumber")), 50, out = "wmedian_qty")
+        50, out = "wmedian_qty")
       .orderBy(col("l_returnflag"))
   }
 

@@ -103,14 +103,18 @@ object ScanQueries {
 
   val qNormalizeMonitor = GateQuery.sql(
     "q_normalize_monitor",
-    s"""SELECT event_id, user_id,
-       |  round(CAST(vd AS DOUBLE) /
-       |    CAST(sum(vd) FILTER (WHERE event_type = 'view') OVER (PARTITION BY user_id) AS DOUBLE),
-       |    6) AS norm
-       |FROM $E e ORDER BY event_id""".stripMargin) { (s, d) =>
+    s"""WITH m AS (SELECT event_id, user_id, vd,
+       |    CAST(sum(vd) FILTER (WHERE event_type = 'view')
+       |      OVER (PARTITION BY user_id) AS DOUBLE) AS montot
+       |  FROM $E e)
+       |SELECT event_id, user_id,
+       |  round(CAST(vd AS DOUBLE) / montot, 6) AS norm,
+       |  CASE WHEN vd >= 0
+       |    THEN round(sqrt(CAST(vd AS DOUBLE)) / montot, 6) END AS norm_err
+       |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
     WindowOps.normalizeToMonitor(ev(s, d), col("user_id"), col("vd"),
-        when(col("event_type") === "view", col("vd")))
-      .select(col("event_id"), col("user_id"), col("norm"))
+        when(col("event_type") === "view", col("vd")), withError = true)
+      .select(col("event_id"), col("user_id"), col("norm"), col("norm_err"))
       .orderBy(col("event_id"))
   }
 
@@ -145,11 +149,17 @@ object ScanQueries {
        |    CAST(floor(l_extendedprice / 25000.0) AS BIGINT) AS gy,
        |    CAST(floor(l_discount / 0.02) AS BIGINT) AS gz,
        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS wd
-       |  FROM lineitem)
-       |SELECT gx, gy, gz, count(*) AS n,
-       |  round(CAST(sum(wd) AS DOUBLE), 2) AS w_sum,
-       |  ${roundedRatioSql(centsSql("sum(wd)"), "count(*) * 100", 4)} AS w_mean
-       |FROM g GROUP BY gx, gy, gz ORDER BY gx, gy, gz""".stripMargin) { (s, d) =>
+       |  FROM lineitem),
+       |a AS (SELECT gx, gy, gz, count(*) AS n,
+       |    sum(wd) AS sum_w, sum(wd * wd) AS sum_w2
+       |  FROM g GROUP BY gx, gy, gz)
+       |SELECT gx, gy, gz, n,
+       |  round(CAST(sum_w AS DOUBLE), 2) AS w_sum,
+       |  ${roundedRatioSql(centsSql("sum_w"), "n * 100", 4)} AS w_mean,
+       |  CASE WHEN n > 1 THEN round(sqrt(greatest(
+       |      (CAST(sum_w2 AS DOUBLE) - CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE) / n)
+       |        / (n - 1.0), 0.0)) / sqrt(CAST(n AS DOUBLE)), 4) END AS w_stderr
+       |FROM a ORDER BY gx, gy, gz""".stripMargin) { (s, d) =>
     Binning.grid3d(Tables.lineitem(s, d),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_extendedprice").cast("decimal(18,2)"), 8.0, 25000.0, 0.02)

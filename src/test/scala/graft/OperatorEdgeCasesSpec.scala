@@ -137,17 +137,26 @@ class OperatorEdgeCasesSpec extends SparkSpec {
     assert(out == Seq(("a", 0L, 0.0), ("a", 10L, 5.0), ("a", 20L, 0.0), ("b", 5L, 0.0)))
   }
 
+  test("scale knobs: suggestedPlanes and suggestedDfCap stay in sane ranges") {
+    assert(VectorOps.suggestedPlanes(1000L) == 4) // floor
+    assert(VectorOps.suggestedPlanes(1L << 40) == 20) // cap
+    assert(VectorOps.suggestedPlanes(1048576L, 1024L) == 10) // 2^20/2^10
+    assert(Dedup.suggestedDfCap(1000000L) == 1415) // ~sqrt(2e6)
+    assert(Dedup.suggestedDfCap(1L) == 2) // floor
+  }
+
   test("weightedPerGroup: crossing picks the smallest value reaching the mass") {
     // values 1,2,3 with weights 10,10,80: p50 of mass lands on 3;
     // unweighted median would be 2
-    val df = Seq(("g", 1L, 10L, 1L), ("g", 2L, 10L, 2L), ("g", 3L, 80L, 3L))
-      .toDF("k", "v", "w", "id")
-    val out = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"),
-      col("id"), 50).collect()
+    // duplicate v=3 rows verify the per-value collapse sums weights
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 50L), ("g", 3L, 30L))
+      .toDF("k", "v", "w")
+    val out = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"), 50)
+      .collect()
     assert(out.head.getLong(out.head.fieldIndex("wp")) == 3L)
     // p20 -> cumw 10 of 100 reaches 20%? 10*100 >= 100*20 is false; 2 qualifies
-    val p20 = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"),
-      col("id"), 20).collect()
+    val p20 = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"), 20)
+      .collect()
     assert(p20.head.getLong(p20.head.fieldIndex("wp")) == 2L)
   }
 }
