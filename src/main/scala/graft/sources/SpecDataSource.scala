@@ -141,10 +141,15 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SpecScanBuilder(paths)
+    // duplicates=last mirrors pyspec SpecDataFile: re-running scan N
+    // appends a fresh "#S N" block, and the index keeps only the
+    // newest occurrence per file. Default "all" exposes every block.
+    new SpecScanBuilder(paths,
+      options.getOrDefault("duplicates", "all").toLowerCase == "last")
 }
 
-class SpecScanBuilder(paths: Seq[String]) extends ScanBuilder with SupportsPushDownFilters {
+class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false)
+    extends ScanBuilder with SupportsPushDownFilters {
   private var scanEq: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
 
@@ -170,7 +175,11 @@ class SpecScanBuilder(paths: Seq[String]) extends ScanBuilder with SupportsPushD
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
       SpecSchema.expand(paths).flatMap { p =>
-        val (motors, scans) = SpecSchema.indexFile(p)
+        val (motors, indexed) = SpecSchema.indexFile(p)
+        val scans =
+          if (keepLast)
+            indexed.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq.sortBy(_._2)
+          else indexed
         scans.collect {
           case (no, s, e) if scanEq.forall(_.contains(no)) =>
             SpecInputPartition(p, no, s, e, motors)

@@ -35,6 +35,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted percentile matches the in-memory mass-crossing rule") {
+    val rows = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 100L)))
+    val pcts = Seq(10, 50, 90)
+    forAll(rows) { vw =>
+      val df = vw.map { case (v, w) => ("g", v, w) }.toDF("k", "v", "w")
+      pcts.foreach { p =>
+        val got = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"), p)
+          .collect().head.getLong(1)
+        // reference: smallest v whose cumulative weight (by ascending
+        // v) reaches p% of total, in exact integer arithmetic
+        val byV = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        var cum = 0L
+        val expected = byV.collectFirst {
+          case (v, w) if { cum += w; cum * 100 >= tot * p } => v
+        }.get
+        assert(got == expected, s"p$p: $got vs $expected for $vw")
+      }
+    }
+  }
+
   test("interpolation exactly recovers a linear function") {
     // samples on a line -> every interpolable grid point lies on it
     val params = for {

@@ -126,6 +126,37 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(df.filter(col("file").endsWith("run1.spec")).count() == 3)
   }
 
+  test("duplicates=last keeps only the newest occurrence of a re-run scan") {
+    val dir = Files.createTempDirectory("specdup").toFile
+    val f = new java.io.File(dir, "dup.spec")
+    Files.write(f.toPath,
+      """#F dup.spec
+        |#O0 Theta
+        |
+        |#S 1 ascan th 0 1 2 1
+        |#P0 0.1
+        |#L th  detector
+        |0.0 10
+        |1.0 20
+        |
+        |#S 1 ascan th 0 1 2 1
+        |#P0 0.9
+        |#L th  detector
+        |0.0 30
+        |1.0 40
+        |""".stripMargin.getBytes("UTF-8"))
+    val all = spark.read.format("spec").load(f.getPath)
+    assert(all.count() == 4) // default: both blocks visible
+    val last = spark.read.format("spec").option("duplicates", "last").load(f.getPath)
+    val rows = last.select(col("scan"), col("point"),
+        element_at(col("data"), "detector").as("det"),
+        element_at(col("motors"), "Theta").as("th"))
+      .orderBy("point").collect()
+    assert(rows.length == 2) // only the re-run block
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(30.0, 40.0))
+    assert(rows.forall(_.getDouble(3) == 0.9)) // newest #P0
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))

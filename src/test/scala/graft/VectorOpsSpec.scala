@@ -41,6 +41,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(b(0) == 15L - b(1))
   }
 
+  test("LSH ANN hits overlap the brute-force neighbours at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("q_knn_bruteforce")
+    val lsh = pairs("q_knn_lsh")
+    assert(lsh.nonEmpty)
+    // every LSH result set should recover a meaningful share of the
+    // exact neighbours (bucketed candidates, not random vectors)
+    val hitRate = (lsh & truth).size.toDouble / lsh.size
+    assert(hitRate >= 0.3, s"LSH precision-vs-exact $hitRate too low")
+  }
+
   test("planeWeight constants are stable") {
     assert(VectorOps.planeWeight(0, 0, 0) == VectorOps.planeWeight(0, 0, 0))
     assert((0 until 20).map(VectorOps.planeWeight(1, 2, _)).forall(w => w >= -1000 && w <= 1000))
