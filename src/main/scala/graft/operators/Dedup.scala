@@ -116,10 +116,20 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration — cut plan regrowth
+    // For SMALL graphs the loop is many tiny jobs and AQE's per-stage
+    // re-planning costs more than it can save (measured ~2x loop
+    // latency at 32 threads); for big graphs AQE's skew handling on
+    // the label join matters more than stage latency. The edge count
+    // is a free read off the checkpointed relation.
+    if (edges.count() < 10000000L)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // the convergence aggregate doubles as the action that populates
     // each iteration's cache — one job per iteration, not two
     def lblSum(df: DataFrame): java.math.BigDecimal =
@@ -146,8 +156,15 @@ object Dedup {
       val nextSum = lblSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
-      labels.unpersist(false) // superseded — free its blocks now
-      unpersistCheckpoint(labels)
+      // free superseded PERSISTED iterations — they can recompute
+      // from lineage if a cached partition goes missing. Checkpointed
+      // iterations are lineage ROOTS for everything after them
+      // (persist does not truncate lineage): freeing their blocks
+      // would make any recompute fail with a missing-checkpoint-block
+      // error, so they stay until the ContextCleaner collects the
+      // whole chain. Only every 4th iteration checkpoints, so at most
+      // ceil(maxIters/4) label-table copies are ever held.
+      if (!isCheckpointBacked(labels)) labels.unpersist(false)
       labels = next
       it += 1
     }
@@ -157,17 +174,13 @@ object Dedup {
           "returned clusters may be split. Raise maxIters for graphs with " +
           "diameter > maxIters.")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
-  /** Free the block-manager storage behind a localCheckpoint'd
-    * DataFrame (no-op for anything else). ContextCleaner would get
-    * there eventually via GC; iterative loops shouldn't wait.
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+  /** True when the DataFrame is a materialized localCheckpoint (its
+    * logical plan is the bare checkpointed-RDD scan). */
+  private def isCheckpointBacked(df: DataFrame): Boolean =
+    df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
 
   /** MinHash signatures (numPerms deterministic base_hash
     * "permutations") + LSH banding: docs sharing any band key become
