@@ -107,10 +107,15 @@ object Dedup {
     * strictly decreases iff any label changed — one narrow aggregate
     * per iteration instead of a self-join diff. Summed as
     * decimal(38,0) so the check survives corpora whose id sums
-    * overflow a long. Superseded label checkpoints are unpersisted
-    * eagerly: at 100 TB each checkpoint is a full copy of the label
-    * table, and holding maxIters of them would exhaust the block
-    * manager.
+    * overflow a long. Superseded PERSISTED iterations are freed
+    * eagerly (they can recompute via lineage); the periodic
+    * localCheckpoints that root that lineage are kept, bounding held
+    * label-table copies at ceil(maxIters/4).
+    *
+    * NOTE: for small graphs this method temporarily flips
+    * `spark.sql.adaptive.enabled` off on the shared session (restored
+    * in a finally) — concurrent queries on the same session during
+    * the loop would briefly plan without AQE.
     *
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`.
     */

@@ -137,6 +137,27 @@ class OperatorEdgeCasesSpec extends SparkSpec {
     assert(out == Seq(("a", 0L, 0.0), ("a", 10L, 5.0), ("a", 20L, 0.0), ("b", 5L, 0.0)))
   }
 
+  test("RangeJoin.lookback plans as an equi-join — never a nested-loop/cartesian") {
+    val left = (1 to 100).map(i => (i.toLong % 5, i.toLong * 7)).toDF("k", "t")
+    val right = (1 to 100).map(i => (i.toLong % 5, i.toLong * 11)).toDF("k", "rt")
+    val plan = RangeJoin.lookback(left, right, "k", "t", "rt", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("weightedPerGroup pre-aggregates before the window (collapse to distinct values)") {
+    val df = (1 to 1000).map(i => ("g", (i % 10).toLong, 1L)).toDF("k", "v", "w")
+    val plan = Percentiles.weightedPerGroup(df, Seq("k"), col("v"), col("w"), 50)
+      .queryExecution.optimizedPlan.toString
+    // the Aggregate (per-value collapse) must sit BELOW the Window in
+    // the plan tree — the raw rows never reach the window sort
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"expected per-value Aggregate beneath Window:\n$plan")
+  }
+
   test("scale knobs: suggestedPlanes and suggestedDfCap stay in sane ranges") {
     assert(VectorOps.suggestedPlanes(1000L) == 4) // floor
     assert(VectorOps.suggestedPlanes(1L << 40) == 20) // cap
