@@ -125,6 +125,65 @@ object StreamingOps {
       }
   }
 
+  final case class ScanPoint(user: Long, ts: Timestamp, x: Double, y: Double)
+  final case class ScanFitState(xs: List[Double], ys: List[Double], last: Long)
+  final case class ScanFit(user: Long, n: Long, bg: Double, height: Double,
+                           com: Double, sigma: Double, converged: Boolean)
+
+  /** Live peak monitoring: the streaming marriage of scan
+    * sessionization and pyspec's lineshape fitting. Points of a scan
+    * accumulate per key; the scan closes after `gapMs` of event-time
+    * inactivity (observed in-stream, or via timeout once the
+    * watermark passes), and the closed scan is fitted with the SAME
+    * damped Gauss–Newton kernel as the batch operator
+    * ([[graft.operators.GaussFit.fitArrays]]) — batch and live fits
+    * agree by construction.
+    *
+    * State is O(points-per-scan) per in-flight key — the same bound
+    * as the batch `mapGroups` fit — and is freed the moment the scan
+    * closes. The input must already carry a watermark on `ts`.
+    */
+  def fitPeaksStream(ds: Dataset[ScanPoint], gapMs: Long): Dataset[ScanFit] = {
+    import ds.sparkSession.implicits._
+    def fitOf(user: Long, st: ScanFitState): ScanFit = {
+      val f = graft.operators.GaussFit.fitArrays(
+        user, st.xs.reverse.toArray, st.ys.reverse.toArray)
+      ScanFit(user, f.n, f.bg, f.height, f.com, f.sigma, f.converged)
+    }
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[ScanFitState, ScanFit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, events: Iterator[ScanPoint], state: GroupState[ScanFitState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(fitOf(user, st))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.x, e.y))
+            val closed = Seq.newBuilder[ScanFit]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last > gapMs =>
+                  closed += fitOf(user, st)
+                  cur = Some(ScanFitState(List(e.x), List(e.y), t))
+                case Some(st) =>
+                  cur = Some(ScanFitState(e.x :: st.xs, e.y :: st.ys,
+                    math.max(st.last, t)))
+                case None =>
+                  cur = Some(ScanFitState(List(e.x), List(e.y), t))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   final case class Evt(user: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user: Long, startMs: Long, endMs: Long, n: Long, total: Double)

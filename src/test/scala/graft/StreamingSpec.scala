@@ -112,6 +112,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fitPeaksStream fits a closed scan to the generating gaussian") {
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.ScanPoint
+    // y = 2 + 10*exp(-(x-10)^2 / (2*2^2)) sampled at x = 0..20
+    val pts = (0 to 20).map { i =>
+      ScanPoint(7L, ts(i), i.toDouble,
+        2.0 + 10.0 * math.exp(-(i - 10.0) * (i - 10.0) / 8.0))
+    }
+    val input = MemoryStream[ScanPoint]
+    val fits = StreamingOps.fitPeaksStream(
+      input.toDS().withWatermark("ts", "5 seconds").as[ScanPoint], gapMs = 30000)
+    val q = fits.toDF().writeStream.format("memory").queryName("scanfits")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(pts: _*)
+      q.processAllAvailable()
+      assert(spark.table("scanfits").count() == 0) // scan still open
+      // advance the watermark far past last + gap -> timeout closes it
+      input.addData(ScanPoint(8L, ts(500), 0.0, 0.0))
+      q.processAllAvailable()
+      input.addData(ScanPoint(8L, ts(501), 0.0, 0.0))
+      q.processAllAvailable()
+      val r = spark.table("scanfits").filter(col("user") === 7L).collect()
+      assert(r.length == 1)
+      val row = r.head
+      assert(row.getLong(row.fieldIndex("n")) == 21L)
+      assert(math.abs(row.getDouble(row.fieldIndex("com")) - 10.0) < 0.01)
+      assert(math.abs(row.getDouble(row.fieldIndex("sigma")) - 2.0) < 0.01)
+      assert(math.abs(row.getDouble(row.fieldIndex("height")) - 10.0) < 0.05)
+      assert(math.abs(row.getDouble(row.fieldIndex("bg")) - 2.0) < 0.05)
+      // parity: identical points through the batch fitter agree
+      val batch = graft.operators.GaussFit.fitArrays(7L,
+        pts.map(_.x).toArray, pts.map(_.y).toArray)
+      assert(math.abs(batch.com - row.getDouble(row.fieldIndex("com"))) < 1e-12)
+      assert(math.abs(batch.sigma - row.getDouble(row.fieldIndex("sigma"))) < 1e-12)
+    } finally q.stop()
+  }
+
   test("nearDupStream flags later docs sharing LSH bands with an earlier doc") {
     implicit val ctx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog while counting many tokens"
