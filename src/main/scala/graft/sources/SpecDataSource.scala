@@ -31,12 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   file string, scan long, command string, date string,
   *   count_time double, monitor double, geometry array<double>,
   *   hkl array<double>, point long,
-  *   motors map<string,double>, data map<string,double>
+  *   motors map<string,double>, data map<string,double>,
+  *   mca array<double>
   * (`count_time`/`monitor` come from `#T`/`#M` — pyspec's
   * `scan.count_time`/monitor-normalization inputs; `geometry` is the
   * concatenated `#G` block — pyspec's `scan.G` diffractometer/UB
-  * values; `hkl` is the `#Q` reciprocal-space position. All null
-  * when the scan omits them.)
+  * values; `hkl` is the `#Q` reciprocal-space position; `mca` is the
+  * point's multichannel-analyzer spectrum from `@A ... \` continuation
+  * blocks — pyspec's `scan.MCA`. All null when the scan omits them.)
   */
 class SpecDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "spec"
@@ -67,7 +69,8 @@ object SpecSchema {
     StructField("hkl", ArrayType(DoubleType, containsNull = false), nullable = true),
     StructField("point", LongType, nullable = false),
     StructField("motors", MapType(StringType, DoubleType), nullable = true),
-    StructField("data", MapType(StringType, DoubleType), nullable = true)))
+    StructField("data", MapType(StringType, DoubleType), nullable = true),
+    StructField("mca", ArrayType(DoubleType, containsNull = false), nullable = true)))
 
   /** Parse the DSv2 `paths` option (a JSON string array). Jackson is
     * already on the classpath via Spark. Falls back to treating the
@@ -210,12 +213,30 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
     var positionsValid = true
     var labels: Array[String] = Array.empty
     val dataRows = mutable.ArrayBuffer[Array[Double]]()
+    val mcaRows = mutable.ArrayBuffer[Array[Double]]() // parallel to dataRows
+    var pendingMca: mutable.ArrayBuffer[Double] = null
+    var inMcaContinuation = false
+    def mcaVals(s: String): Array[Double] =
+      s.stripSuffix("\\").trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(t => scala.util.Try(t.toDouble).toOption)
     def headerNum(line: String): java.lang.Double =
       line.drop(3).trim.split("\\s+").headOption
         .flatMap(t => scala.util.Try(t.toDouble).toOption)
         .map(Double.box).orNull
     for (line <- lines) {
-      if (line.startsWith("#S ")) command = line.drop(3).trim.dropWhile(_.isDigit).trim
+      // "@A v1 v2 ... \" begins a point's MCA spectrum (pyspec
+      // scan.MCA); lines continue while they end with a backslash,
+      // and the block attaches to the NEXT scalar data row.
+      if (inMcaContinuation) {
+        pendingMca ++= mcaVals(line)
+        inMcaContinuation = line.trim.endsWith("\\")
+      }
+      else if (line.startsWith("@A")) {
+        pendingMca = mutable.ArrayBuffer[Double]()
+        pendingMca ++= mcaVals(line.drop(2))
+        inMcaContinuation = line.trim.endsWith("\\")
+      }
+      else if (line.startsWith("#S ")) command = line.drop(3).trim.dropWhile(_.isDigit).trim
       else if (line.startsWith("#D ")) date = line.drop(3).trim
       else if (line.startsWith("#T ")) countTime = headerNum(line)
       else if (line.startsWith("#M ")) monitor = headerNum(line)
@@ -241,7 +262,11 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
         // common in live spec files) — skip the line, keep the scan
         val vals = line.trim.split("\\s+")
           .flatMap(t => scala.util.Try(t.toDouble).toOption)
-        if (vals.nonEmpty) dataRows += vals
+        if (vals.nonEmpty) {
+          dataRows += vals
+          mcaRows += (if (pendingMca == null) null else pendingMca.toArray)
+          pendingMca = null
+        }
       }
     }
     val motorMap =
@@ -256,8 +281,11 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
       else new GenericArrayData(hkl.toArray.map(v => v: Any))
     dataRows.iterator.zipWithIndex.map { case (vals, idx) =>
       val dataMap = mapData(labels.take(vals.length), vals)
+      val mca = mcaRows(idx)
+      val mcaArr = if (mca == null) null
+        else new GenericArrayData(mca.map(v => v: Any))
       InternalRow(fileU, p.scanNo, cmdU, dateU, countTime, monitor,
-        geomArr, hklArr, idx.toLong, motorMap, dataMap)
+        geomArr, hklArr, idx.toLong, motorMap, dataMap, mcaArr)
     }
   }
 

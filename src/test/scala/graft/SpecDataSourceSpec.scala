@@ -52,7 +52,7 @@ class SpecDataSourceSpec extends SparkSpec {
     val df = spark.read.format("spec").load(fixture)
     assert(df.columns.toSeq ==
       Seq("file", "scan", "command", "date", "count_time", "monitor",
-        "geometry", "hkl", "point", "motors", "data"))
+        "geometry", "hkl", "point", "motors", "data", "mca"))
     assert(df.count() == 9) // 6 + 3 data points
     val s1 = df.filter(col("scan") === 1).orderBy("point")
     assert(s1.count() == 6)
@@ -124,6 +124,37 @@ class SpecDataSourceSpec extends SparkSpec {
     // run1's malformed middle line parses as a single-value row
     // (garbage token dropped), not a task failure
     assert(df.filter(col("file").endsWith("run1.spec")).count() == 3)
+  }
+
+  test("@A MCA blocks (with continuations) attach to the following data point") {
+    val dir = Files.createTempDirectory("specmca").toFile
+    val f = new java.io.File(dir, "mca.spec")
+    Files.write(f.toPath,
+      """#F mca.spec
+        |#O0 Theta
+        |
+        |#S 1 mcascan th 0 1 2 1
+        |#P0 0.1
+        |#L th  detector
+        |@A 1 2 3 4 \
+        |5 6 7 8 \
+        |9 10
+        |0.0 100
+        |@A 11 12 13
+        |1.0 200
+        |""".stripMargin.getBytes("UTF-8"))
+    val df = spark.read.format("spec").load(f.getPath)
+    val rows = df.select(col("point"),
+        element_at(col("data"), "detector").as("det"), col("mca"))
+      .orderBy("point").collect()
+    assert(rows.length == 2) // @A lines are spectra, not data rows
+    assert(rows(0).getDouble(1) == 100.0)
+    assert(rows(0).getSeq[Double](2) == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0))
+    assert(rows(1).getSeq[Double](2) == Seq(11.0, 12.0, 13.0))
+    // scans without MCA carry null
+    val plain = spark.read.format("spec").load(fixture)
+      .select(col("mca")).collect()
+    assert(plain.forall(_.isNullAt(0)))
   }
 
   test("duplicates=last keeps only the newest occurrence of a re-run scan") {
