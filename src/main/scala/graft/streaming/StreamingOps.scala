@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -63,6 +63,28 @@ object StreamingOps {
       s"""$leftKey = $rightKey AND
          |$rightTime >= $leftTime - INTERVAL $boundSeconds SECONDS AND
          |$rightTime <= $leftTime""".stripMargin))
+
+  /** Incremental 3-D gridder (streaming counterpart of
+    * `Binning.grid3d`): points fold into per-(window, cell) partial
+    * statistics as they arrive, finalized when the watermark passes
+    * the window — the live build-up of a reciprocal-space map while
+    * the scan is still running. The shuffle keys are (window, cell),
+    * exactly the batch gridder's distribution plus time, so a
+    * billion-point stream reduces map-side the same way.
+    */
+  def grid3dStream(points: DataFrame, timeCol: String,
+                   x: Column, y: Column, z: Column, w: Column,
+                   sx: Double, sy: Double, sz: Double,
+                   windowDur: String, watermarkDelay: String): DataFrame =
+    points.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur),
+        floor(x / sx).cast("long").as("gx"),
+        floor(y / sy).cast("long").as("gy"),
+        floor(z / sz).cast("long").as("gz"))
+      .agg(count(lit(1)).as("n"), sum(w).as("w_sum"))
+      .select(col("window.start").as("win_start"),
+        col("gx"), col("gy"), col("gz"), col("n"),
+        col("w_sum"), (col("w_sum") / col("n")).as("w_mean"))
 
   final case class BandDoc(band: String, docId: Long, ts: Timestamp)
   final case class BandFirst(firstId: Long)

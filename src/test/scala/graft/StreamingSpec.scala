@@ -112,6 +112,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("grid3dStream accumulates per-cell stats and finalizes on watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double, Double, Double, Double)]
+    val grid = StreamingOps.grid3dStream(
+      input.toDF().toDF("ts", "qx", "qy", "qz", "i"),
+      "ts", col("qx"), col("qy"), col("qz"), col("i"),
+      sx = 1.0, sy = 1.0, sz = 1.0,
+      windowDur = "1 minute", watermarkDelay = "10 seconds")
+    val q = grid.writeStream.format("memory").queryName("livegrid")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two points in cell (0,0,0), one in (1,0,0), same window
+      input.addData(
+        (ts(1), 0.2, 0.3, 0.4, 10.0),
+        (ts(2), 0.8, 0.1, 0.9, 30.0),
+        (ts(3), 1.5, 0.5, 0.5, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("livegrid").count() == 0) // window still open
+      input.addData((ts(200), 5.0, 5.0, 5.0, 1.0)) // advance watermark
+      q.processAllAvailable()
+      input.addData((ts(201), 5.0, 5.0, 5.0, 1.0))
+      q.processAllAvailable()
+      val cells = spark.table("livegrid")
+        .select("gx", "gy", "gz", "n", "w_sum", "w_mean").collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          (r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+      assert(cells((0L, 0L, 0L)) == ((2L, 40.0, 20.0)))
+      assert(cells((1L, 0L, 0L)) == ((1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("fitPeaksStream fits a closed scan to the generating gaussian") {
     implicit val ctx = spark.sqlContext
     import StreamingOps.ScanPoint
