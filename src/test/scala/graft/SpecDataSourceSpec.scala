@@ -188,6 +188,28 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) == 0.9)) // newest #P0
   }
 
+  test("reader never throws on arbitrary line soup (fuzz)") {
+    val rnd = new scala.util.Random(424242)
+    val fragments = Seq(
+      "#S ", "#S 1 ascan", "#D ", "#T abc", "#M ", "#G0 x y", "#Q 1 2",
+      "#P0 ", "#P0 bad 1.0", "#L a  b", "#O0 m1  m2", "@A 1 2 \\",
+      "3 4", "@A", "\\", "1.0 2.0", "not a number line", "#C comment",
+      "", "   ", "#N 3", "0.5", "#unknownheader x")
+    (0 until 20).foreach { trial =>
+      val dir = Files.createTempDirectory(s"specfuzz$trial").toFile
+      val f = new java.io.File(dir, "fuzz.spec")
+      val lines = (0 until 50).map(_ => fragments(rnd.nextInt(fragments.length)))
+      // guarantee at least one well-formed scan header somewhere
+      val content = (lines.take(25) ++ Seq("#S 9 fuzzscan", "#L v", "1.25") ++
+        lines.drop(25)).mkString("\n")
+      Files.write(f.toPath, content.getBytes("UTF-8"))
+      val df = spark.read.format("spec").load(f.getPath)
+      val n = df.count() // must not throw
+      assert(n >= 0)
+      assert(df.filter(col("scan") === 9).count() >= 1)
+    }
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
