@@ -55,6 +55,25 @@ object LineshapeFit {
     }
   }
 
+  /** Power law y = bg + amp·x^exp (pyspec fitfuncs "power":
+    * a[0] + a[1]·x**a[2]). 3-param layout (bg, amp, exp): in the
+    * ShapeFit output `height` carries amp, `width` carries the
+    * exponent, `center` is 0. Domain x > 0 (x is clamped to a tiny
+    * positive floor so stray non-positive abscissae degrade the fit
+    * instead of poisoning it with NaN).
+    */
+  case object Power extends Shape {
+    val name = "power"; val nParams = 3
+    def model(x: Double, p: Array[Double]): Double =
+      p(0) + p(1) * math.pow(math.max(x, 1e-300), p(2))
+    override def seed(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+      val bg = ys.min
+      val xm = xs.max
+      val amp = if (xm > 0) (ys.last - bg) / math.max(xm, 1e-12) else 1.0
+      Array(bg, if (amp != 0.0) amp else 1.0, 1.0)
+    }
+  }
+
   final case class ShapeFit(g: Long, shape: String, n: Long, bg: Double,
                             height: Double, center: Double, width: Double,
                             frac: Double, rss: Double, converged: Boolean)
@@ -112,7 +131,9 @@ object LineshapeFit {
     val np = shape.nParams
     var p = shape.seed(xs, ys)
     def pack(converged: Boolean, cur: Double) = ShapeFit(
-      g, shape.name, n, p(0), p(1), p(2), math.abs(p(3)),
+      g, shape.name, n, p(0), p(1),
+      if (np >= 4) p(2) else 0.0,
+      if (np >= 4) math.abs(p(3)) else p(2),
       if (np == 5) math.min(1.0, math.max(0.0, p(4))) else 0.0,
       cur, converged)
     if (n < np + 1 || p(1) <= 0) return pack(converged = false, rss(shape, xs, ys, p))
@@ -155,7 +176,7 @@ object LineshapeFit {
           val cand = p.clone()
           var k = 0
           while (k < np) { cand(k) += step * d(k); k += 1 }
-          if (math.abs(cand(3)) < 1e-9) cand(3) = p(3) / 2
+          if (np >= 4 && math.abs(cand(3)) < 1e-9) cand(3) = p(3) / 2
           val nr = rss(shape, xs, ys, cand)
           if (java.lang.Double.isFinite(nr) && nr <= cur) {
             if (cur - nr < 1e-12 * (1 + cur)) converged = true

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.LineshapeFit
-import graft.operators.LineshapeFit.{Gaussian, Lorentzian, PseudoVoigt}
+import graft.operators.LineshapeFit.{Gaussian, Lorentzian, Power, PseudoVoigt}
 
 class LineshapeFitSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +33,20 @@ class LineshapeFitSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("center")) - c) < 1e-4)
     assert(math.abs(r.getDouble(r.fieldIndex("frac")) - f) < 1e-3)
     assert(math.abs(r.getDouble(r.fieldIndex("height")) - h) < 1e-3)
+  }
+
+  test("power-law fit recovers (bg, amp, exponent) on noise-free data") {
+    val (bg, amp, e) = (2.0, 3.0, 1.5)
+    val pts = (1 to 200).map { i =>
+      val x = i * 0.1
+      (11L, x, bg + amp * math.pow(x, e))
+    }
+    val r = LineshapeFit.fitGroups(pts.toDF("g", "x", "y"), Power, "g", "x", "y")
+      .collect().head
+    assert(r.getString(r.fieldIndex("shape")) == "power")
+    assert(math.abs(r.getDouble(r.fieldIndex("bg")) - bg) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("height")) - amp) < 1e-4) // amp
+    assert(math.abs(r.getDouble(r.fieldIndex("width")) - e) < 1e-4) // exponent
   }
 
   test("gaussian via the generic path matches the dedicated GaussFit") {
