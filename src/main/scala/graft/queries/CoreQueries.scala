@@ -242,10 +242,16 @@ object CoreQueries {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+    // collapse to leaf cells before the grouping-set expand (sums and
+    // counts re-aggregate exactly) — the expand multiplies 6 partial
+    // rows instead of the whole fact table, same as q_cube
     Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_q"),
+        count(lit(1)).as("_n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+      .agg(sum(col("_q")).cast("double").as("sum_qty"),
+        sum(col("_n")).as("n_rows"))
       .select(
         when(col("l_returnflag").isNull, "ALL").otherwise(col("l_returnflag")).as("rflag"),
         when(col("l_linestatus").isNull, "ALL").otherwise(col("l_linestatus")).as("lstatus"),
