@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -138,11 +139,14 @@ final case class SpecInputPartition(path: String, scanNo: Long,
                                     startLine: Int, endLine: Int,
                                     motorNames: Array[String]) extends InputPartition
 
-class SpecTable(paths: Seq[String]) extends Table with SupportsRead {
+class SpecTable(paths: Seq[String]) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"spec(${paths.mkString(",")})"
   override def schema(): StructType = SpecSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SpecWriteSupport.SpecWriteBuilder(paths)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // duplicates=last mirrors pyspec SpecDataFile: re-running scan N
     // appends a fresh "#S N" block, and the index keeps only the

@@ -188,6 +188,33 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) == 0.9)) // newest #P0
   }
 
+  test("write round-trip: read -> write -> re-read preserves rows") {
+    val out = Files.createTempDirectory("specout").toFile.getPath
+    val src = spark.read.format("spec").load(fixture)
+    src.repartition(1).write.format("spec").mode("append").save(out)
+    val back = spark.read.format("spec").load(out)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("scan"), col("point"), col("command"), col("date"),
+        col("count_time"), col("monitor"), col("geometry"), col("hkl"),
+        col("motors"), col("data"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(key(back) == key(src))
+    // MCA survives the round-trip too
+    val mcaDir = Files.createTempDirectory("specmcart").toFile
+    val mf = new java.io.File(mcaDir, "m.spec")
+    Files.write(mf.toPath,
+      """#S 1 x
+        |#L th  det
+        |@A 1 2 3
+        |0.5 7
+        |""".stripMargin.getBytes("UTF-8"))
+    val mcaOut = Files.createTempDirectory("specmcaout").toFile.getPath
+    spark.read.format("spec").load(mf.getPath)
+      .write.format("spec").mode("append").save(mcaOut)
+    val mcaBack = spark.read.format("spec").load(mcaOut).collect().head
+    assert(mcaBack.getSeq[Double](mcaBack.fieldIndex("mca")) == Seq(1.0, 2.0, 3.0))
+  }
+
   test("reader never throws on arbitrary line soup (fuzz)") {
     val rnd = new scala.util.Random(424242)
     val fragments = Seq(
