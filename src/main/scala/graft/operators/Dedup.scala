@@ -85,6 +85,33 @@ object Dedup {
         Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
   }
 
+  /** Train/eval contamination check (decontamination): flags every
+    * corpus document sharing at least one word k-gram with the
+    * held-out evaluation set, with the count of distinct shared
+    * shingles — the overlap audit run before any benchmark score is
+    * trusted.
+    *
+    * Scale: the eval side is tiny by definition, so its DISTINCT
+    * shingle keys broadcast and the corpus side never shuffles — one
+    * map-side hash join over exploded 8-byte keys, then one
+    * corpus-doc-keyed aggregate. Real pipelines use k of 8–13; the
+    * key hash is engine-local (only within-engine equality matters).
+    *
+    * @return (doc_id, n_shared) for contaminated corpus docs only
+    */
+  def contamination(corpus: DataFrame, eval_ : DataFrame,
+                    id: Column, text: Column, k: Int): DataFrame = {
+    val evKeys = eval_
+      .select(explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
+      .distinct()
+    corpus
+      .select(id.as("doc_id"),
+        explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
+      .join(broadcast(evKeys), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+  }
+
   /** Duplicate-cluster resolution: connected components over an
     * undirected near-dup pair list, labelling every member with the
     * smallest doc id reachable from it — the step that turns pair

@@ -289,6 +289,31 @@ object TextQueries {
   /** Declarative metadata half of the multimodal pipeline (#32): the
     * binary payload + byte length + digest are SQL-checkable; the
     * batched decode stub is covered by MultimodalOpsSpec. */
+  /** Train/eval contamination audit (#59): corpus docs sharing any
+    * word 3-gram with the deterministic held-out set (doc_id % 100
+    * == 0), with distinct-shared-shingle counts. Shingle keys are
+    * engine-local hashes on BOTH sides (only within-engine equality
+    * matters), so the oracle mirrors the semantics, not the hash.
+    */
+  val qContamination = GateQuery.sql(
+    "q_contamination",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)])) AS h
+      |       FROM w),
+      |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0)
+      |SELECT s.doc_id AS doc_id, CAST(count(DISTINCT s.h) AS BIGINT) AS n_shared
+      |FROM sh s JOIN ev USING (h)
+      |WHERE s.doc_id % 100 <> 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"), k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -316,5 +341,5 @@ object TextQueries {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
-    qSplitSample, qMultimodalMeta, qMultimodalFeatures)
+    qSplitSample, qContamination, qMultimodalMeta, qMultimodalFeatures)
 }
