@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Exact, MultimodalOps, Relational, Sampling, TextOps}
+import graft.operators.{Dedup, Exact, MultimodalOps, Packing, Relational, Sampling, TextOps}
 import graft.operators.Exact.roundedRatioSql
 import graft.operators.TextOps.{baseHashSql, markerCountSql}
 
@@ -314,6 +314,19 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (#60): documents into 512-token training
+    * sequences via per-bucket first-fit-decreasing (rows-only gate —
+    * greedy packing is not SQL-expressible; invariants are pinned by
+    * PackingSpec).
+    */
+  val qSeqPacking = GateQuery.rowsOnly("q_seq_packing") { (s, d) =>
+    Packing.packSequences(Tables.documents(s, d), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), budget = 512L, buckets = 8)
+      .select(col("bucket"), col("seq_id"), col("n_docs"),
+        col("total_tokens"), round(col("fill"), 4).as("fill"))
+      .orderBy(col("bucket"), col("seq_id"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -341,5 +354,6 @@ object TextQueries {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
-    qSplitSample, qContamination, qMultimodalMeta, qMultimodalFeatures)
+    qSplitSample, qContamination, qSeqPacking, qMultimodalMeta,
+    qMultimodalFeatures)
 }
