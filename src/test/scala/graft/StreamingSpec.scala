@@ -112,6 +112,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus curation: quality filter + exact dedup compose end-to-end") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    // the batch text operators are plain column expressions, so they
+    // drop into a streaming plan unchanged
+    val w = graft.operators.TextOps.tokens(col("text"))
+    val curated = StreamingOps.dedupStream(
+      docs.withColumn("n_words", size(w))
+        .withColumn("n_distinct", size(array_distinct(w)))
+        .filter(col("n_words") >= 5 && col("n_distinct") * 2 >= col("n_words")),
+      "ts", "text", "10 seconds")
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val good = "a quick brown fox jumps over the lazy dog"
+      input.addData(
+        (ts(1), 1L, good),
+        (ts(2), 2L, "spam spam spam spam spam spam"), // low diversity -> dropped
+        (ts(3), 3L, "too short"),                     // < 5 words -> dropped
+        (ts(4), 4L, good))                            // exact dup -> deduped
+      q.processAllAvailable()
+      val kept = spark.table("curated").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"expected only doc 1, got $kept")
+    } finally q.stop()
+  }
+
   test("grid3dStream accumulates per-cell stats and finalizes on watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double, Double, Double, Double)]
