@@ -101,6 +101,39 @@ object WindowOps {
       when(v >= 0, round(sqrt(v.cast("double")) / monTot, 6)))
   }
 
+  /** Cosmic-ray despiking (synchrotron CCD/point-detector staple): a
+    * point is a spike when it deviates from the ROLLING MEDIAN of its
+    * ±halfWidth neighbourhood by more than `thrCents` (exact integer
+    * cents); spikes are replaced by the rolling median, everything
+    * else passes through.
+    *
+    * Exactness: the window's values are collected as integer cents,
+    * sorted, and the median is kept as DOUBLED cents (`med2` = 2× the
+    * odd-count middle, or the sum of the two even-count middles) so
+    * both the median and the spike test `|2·v − med2| > 2·thr` are
+    * pure integer arithmetic — no float crosses the oracle. Partial
+    * edge windows use their actual element count. One window shuffle;
+    * the frame is O(halfWidth) values per row.
+    */
+  def despike(df: DataFrame, key: Column, order: Seq[Column], vCents: Column,
+              halfWidth: Int, thrCents: Long): DataFrame = {
+    val win = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(-halfWidth, halfWidth)
+    val sorted = array_sort(collect_list(vCents).over(win))
+    val n = size(sorted)
+    val half = (n / 2).cast("int")
+    val med2 = when(n % 2 === 1, element_at(sorted, ((n + 1) / 2).cast("int")) * 2L)
+      .otherwise(element_at(sorted, half) + element_at(sorted, half + 1))
+    df.withColumn("_med2", med2)
+      .withColumn("is_spike",
+        abs(vCents * 2L - col("_med2")) > lit(2L * thrCents))
+      .withColumn("roll_med", col("_med2").cast("double") / lit(200.0))
+      .withColumn("v_clean",
+        when(col("is_spike"), col("_med2").cast("double") / lit(200.0))
+          .otherwise(vCents.cast("double") / lit(100.0)))
+      .drop("_med2")
+  }
+
   /** Linear background subtraction (pyspec: `bgsub` over a scan): the
     * baseline is the straight line through each group's FIRST and
     * LAST point in `order`; `out` = v − baseline(x). One window over

@@ -231,6 +231,39 @@ object ScanQueries {
       .orderBy(col("click_event"))
   }
 
+  /** Cosmic-ray despiking (#61): rolling-median spike detection and
+    * replacement over each scan — pure integer arithmetic end to end
+    * (doubled-cents median), so the oracle matches bit-for-bit. A
+    * 1500-cent threshold flags the synthetic corpus's heavy outliers
+    * without touching normal variation.
+    */
+  val qDespike = GateQuery.sql(
+    "q_despike",
+    s"""WITH c AS (SELECT event_id, user_id, ts_us,
+       |    ${Exact.centsSql("vd")} AS vc FROM $E e),
+       |w AS (SELECT event_id, user_id, vc,
+       |    list_sort(list(vc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS win
+       |  FROM c),
+       |m AS (SELECT event_id, user_id, vc, len(win) AS n,
+       |    CASE WHEN len(win) % 2 = 1 THEN win[(len(win) + 1) // 2] * 2
+       |         ELSE win[len(win) // 2] + win[len(win) // 2 + 1] END AS med2
+       |  FROM w)
+       |SELECT event_id, user_id,
+       |  abs(vc * 2 - med2) > 20000 AS is_spike,
+       |  CAST(med2 AS DOUBLE) / 200.0 AS roll_med,
+       |  CASE WHEN abs(vc * 2 - med2) > 20000
+       |       THEN CAST(med2 AS DOUBLE) / 200.0
+       |       ELSE CAST(vc AS DOUBLE) / 100.0 END AS v_clean
+       |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+    WindowOps.despike(ev(s, d), col("user_id"),
+        Seq(col("ts_us"), col("event_id")), Exact.cents(col("vd")),
+        halfWidth = 2, thrCents = 10000L)
+      .select(col("event_id"), col("user_id"), col("is_spike"),
+        col("roll_med"), col("v_clean"))
+      .orderBy(col("event_id"))
+  }
+
   /** Iterative Gauss–Newton fit per scan (SURVEY §2 #10) — not
     * SQL-expressible, so rows-only gate + ScalaTest tolerance oracle
     * (GaussFitSpec). Deterministic: fixed iterations, sorted points.
@@ -311,5 +344,5 @@ object ScanQueries {
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
-    qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch)
+    qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike)
 }

@@ -126,6 +126,27 @@ class OperatorEdgeCasesSpec extends SparkSpec {
       ("ALL", "ALL", 7L)))
   }
 
+  test("despike: spike replaced by rolling median; edges and exact threshold safe") {
+    // cents values: flat 100s with one 100000 spike; halfWidth 2, thr 500
+    val df = Seq(
+      ("a", 1L, 10000L), ("a", 2L, 10000L), ("a", 3L, 10000000L),
+      ("a", 4L, 10000L), ("a", 5L, 10000L),
+      // second scan: deviation EXACTLY at the threshold -> not a spike
+      ("b", 1L, 10000L), ("b", 2L, 10000L), ("b", 3L, 10500L)
+    ).toDF("k", "t", "vc")
+    val out = WindowOps.despike(df, col("k"), Seq(col("t")), col("vc"),
+        halfWidth = 2, thrCents = 500L)
+      .select("k", "t", "is_spike", "v_clean").orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    val spikes = out.filter(_._3)
+    assert(spikes.map(x => (x._1, x._2)).toSeq == Seq(("a", 3L)))
+    assert(spikes.head._4 == 100.0) // spike replaced by rolling median
+    // non-spike rows pass through unchanged
+    assert(out.filter(x => x._1 == "a" && x._2 == 1L).head._4 == 100.0)
+    // |v - med| == thr exactly is NOT a spike (strict >, integer-exact)
+    assert(!out.filter(x => x._1 == "b" && x._2 == 3L).head._3)
+  }
+
   test("bgSubtract: endpoints land on zero; singleton group subtracts its own value") {
     val df = Seq(("a", 0L, 10.0), ("a", 10L, 25.0), ("a", 20L, 30.0),
       ("b", 5L, 7.0)).toDF("k", "x", "v")
