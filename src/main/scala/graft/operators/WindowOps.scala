@@ -101,6 +101,29 @@ object WindowOps {
       when(v >= 0, round(sqrt(v.cast("double")) / monTot, 6)))
   }
 
+  /** Savitzky–Golay smoothing, 5-point quadratic (the standard
+    * scientific scan-smoothing filter — a least-squares parabola
+    * through each ±2 neighbourhood, preserving peak height/width
+    * far better than a moving average). Coefficients are the exact
+    * rationals (−3, 12, 17, 12, −3)/35, so with integer-cents input
+    * the convolution numerator is exact integer arithmetic and the
+    * single division goes through the tie-proof signed rounding —
+    * bit-identical on every engine. Rows without a full window
+    * (scan edges) yield NULL, as pyspec's smoothers do. One window
+    * shuffle, O(1) frame.
+    */
+  def savitzkyGolay5(df: DataFrame, key: Column, order: Seq[Column], vCents: Column,
+                     out: String = "sg"): DataFrame = {
+    val win = Window.partitionBy(key).orderBy(order: _*)
+    val num = lag(vCents, 2).over(win) * lit(-3L) +
+      lag(vCents, 1).over(win) * lit(12L) +
+      vCents * lit(17L) +
+      lead(vCents, 1).over(win) * lit(12L) +
+      lead(vCents, 2).over(win) * lit(-3L)
+    // numerator is cents·35 → dollars = num / 3500, HALF_UP to 4
+    df.withColumn(out, Exact.roundedRatioSigned(num, lit(3500L), 4))
+  }
+
   /** Cosmic-ray despiking (synchrotron CCD/point-detector staple): a
     * point is a spike when it deviates from the ROLLING MEDIAN of its
     * ±halfWidth neighbourhood by more than `thrCents` (exact integer

@@ -264,6 +264,27 @@ object ScanQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Savitzky–Golay smoothing (#62): 5-point quadratic filter per
+    * scan — exact integer convolution + tie-proof signed rounding,
+    * NULL at scan edges on both engines.
+    */
+  val qSavGol = GateQuery.sql(
+    "q_savgol",
+    s"""WITH c AS (SELECT event_id, user_id, ts_us,
+       |    ${Exact.centsSql("vd")} AS vc FROM $E e),
+       |n AS (SELECT event_id, user_id,
+       |    lag(vc, 2) OVER w * (-3) + lag(vc, 1) OVER w * 12 + vc * 17
+       |      + lead(vc, 1) OVER w * 12 + lead(vc, 2) OVER w * (-3) AS num
+       |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT event_id, user_id,
+       |  ${Exact.roundedRatioSignedSql("num", "3500", 4)} AS sg
+       |FROM n ORDER BY event_id""".stripMargin) { (s, d) =>
+    WindowOps.savitzkyGolay5(ev(s, d), col("user_id"),
+        Seq(col("ts_us"), col("event_id")), Exact.cents(col("vd")))
+      .select(col("event_id"), col("user_id"), col("sg"))
+      .orderBy(col("event_id"))
+  }
+
   /** Iterative Gauss–Newton fit per scan (SURVEY §2 #10) — not
     * SQL-expressible, so rows-only gate + ScalaTest tolerance oracle
     * (GaussFitSpec). Deterministic: fixed iterations, sorted points.
@@ -344,5 +365,6 @@ object ScanQueries {
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
-    qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike)
+    qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike,
+    qSavGol)
 }

@@ -126,6 +126,24 @@ class OperatorEdgeCasesSpec extends SparkSpec {
       ("ALL", "ALL", 7L)))
   }
 
+  test("savitzkyGolay5 reproduces a parabola exactly and nulls scan edges") {
+    // v = (t-5)^2 dollars in cents on a unit grid: a quadratic is
+    // invariant under the SG(5,2) filter
+    val df = (1L to 9L).map(t => ("s", t, (t - 5) * (t - 5) * 100L))
+      .toDF("k", "t", "vc")
+    val out = WindowOps.savitzkyGolay5(df, col("k"), Seq(col("t")), col("vc"))
+      .orderBy("t").collect()
+    (0 until 9).foreach { i =>
+      val r = out(i)
+      if (i < 2 || i > 6) assert(r.isNullAt(r.fieldIndex("sg")), s"edge $i not null")
+      else {
+        val t = i + 1
+        assert(r.getDouble(r.fieldIndex("sg")) == ((t - 5) * (t - 5)).toDouble,
+          s"parabola not preserved at t=$t")
+      }
+    }
+  }
+
   test("despike: spike replaced by rolling median; edges and exact threshold safe") {
     // cents values: flat 100s with one 100000 spike; halfWidth 2, thr 500
     val df = Seq(
