@@ -95,6 +95,17 @@ object SpecWriteSupport {
       val w = new BufferedWriter(new FileWriter(f))
       try {
         w.write(s"#F ${f.getName}\n")
+        // #O motor names are FILE-level in the spec format (the reader
+        // accumulates every #O line in the file), so they are emitted
+        // once, from the first scan that has any. Scans whose motor
+        // names don't prefix-match the file set get NO #P line —
+        // their motors read back null instead of positionally
+        // misaligned against the wrong names.
+        val fileMotors = scans.keys.toSeq.sorted.iterator
+          .map(scans(_).minBy(_.point).motorNames)
+          .find(_.nonEmpty).getOrElse(Array.empty[String])
+        if (fileMotors.nonEmpty)
+          w.write(s"#O0 ${fileMotors.mkString("  ")}\n")
         for (scanNo <- scans.keys.toSeq.sorted) {
           val rows = scans(scanNo).sortBy(_.point)
           val h = rows.head
@@ -105,10 +116,9 @@ object SpecWriteSupport {
           if (h.monitor != null) w.write(s"#M ${fmt(h.monitor)} (Monitor)\n")
           if (h.geometry != null) w.write(s"#G0 ${h.geometry.map(fmt).mkString(" ")}\n")
           if (h.hkl != null) w.write(s"#Q ${h.hkl.map(fmt).mkString(" ")}\n")
-          if (h.motorNames.nonEmpty) {
-            w.write(s"#O0 ${h.motorNames.mkString("  ")}\n")
+          if (h.motorNames.nonEmpty &&
+              h.motorNames.sameElements(fileMotors.take(h.motorNames.length)))
             w.write(s"#P0 ${h.motorVals.map(fmt).mkString(" ")}\n")
-          }
           if (h.labels.nonEmpty) w.write(s"#L ${h.labels.mkString("  ")}\n")
           for (r <- rows) {
             if (r.mca != null) w.write(s"@A ${r.mca.map(fmt).mkString(" ")}\n")

@@ -215,6 +215,44 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(mcaBack.getSeq[Double](mcaBack.fieldIndex("mca")) == Seq(1.0, 2.0, 3.0))
   }
 
+  test("write: scans with mismatched motor names lose motors, never misalign") {
+    val dir = Files.createTempDirectory("spechet").toFile
+    val f = new java.io.File(dir, "het.spec")
+    // two scans with DIFFERENT motor sets in one source file (#O is
+    // file-level, so the reader positionally maps both scans onto the
+    // same names — the second scan's map is wrong at the source, but
+    // the writer must not make it worse)
+    Files.write(f.toPath,
+      """#F het.spec
+        |#O0 Alpha  Beta
+        |
+        |#S 1 a
+        |#P0 1.0 2.0
+        |#L x  y
+        |0 10
+        |
+        |#S 2 b
+        |#P0 3.0
+        |#L x  y
+        |0 20
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = Files.createTempDirectory("spechetout").toFile.getPath
+    val src = spark.read.format("spec").load(f.getPath)
+    src.repartition(1).write.format("spec").mode("append").save(out)
+    val back = spark.read.format("spec").load(out)
+    val s1 = back.filter(col("scan") === 1).collect().head
+    assert(s1.getMap[String, Double](s1.fieldIndex("motors"))("Alpha") == 1.0)
+    // the partial-motors scan still reads back with its (prefix)
+    // values under the file-level names — identical to the source
+    val s2 = back.filter(col("scan") === 2).collect().head
+    assert(s2.getMap[String, Double](s2.fieldIndex("motors")) ==
+      Map("Alpha" -> 3.0))
+    // exactly ONE file-level #O block in the written file
+    val written = new java.io.File(out).listFiles().filter(_.getName.endsWith(".spec"))
+    val content = new String(java.nio.file.Files.readAllBytes(written.head.toPath))
+    assert(content.linesIterator.count(_.startsWith("#O")) == 1)
+  }
+
   test("reader never throws on arbitrary line soup (fuzz)") {
     val rnd = new scala.util.Random(424242)
     val fragments = Seq(
