@@ -34,12 +34,14 @@ object RangeJoin {
   def lookback(left: DataFrame, right: DataFrame, key: String,
                leftT: String, rightT: String, span: Long): DataFrame = {
     require(span > 0, "span must be positive")
-    // integer floor-div buckets; `div` floors for negative longs too
+    // exact FLOORED bucket ids — `div` truncates toward zero for
+    // negative longs, which would misalign buckets for pre-epoch
+    // times; floorDivCol is exact for the full long range
     val probe = left
-      .withColumn("_b0", expr(s"$leftT div $span"))
+      .withColumn("_b0", Binning.floorDivCol(col(leftT), lit(span)))
       .withColumn("_b", explode(array(col("_b0") - 1, col("_b0"))))
       .drop("_b0")
-    val build = right.withColumn("_b", expr(s"$rightT div $span"))
+    val build = right.withColumn("_b", Binning.floorDivCol(col(rightT), lit(span)))
     // each right row has ONE bucket and the two probe buckets are
     // distinct, so a qualifying pair meets exactly once — no dedup
     probe.join(build, Seq(key, "_b"))

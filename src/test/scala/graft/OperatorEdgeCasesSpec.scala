@@ -87,11 +87,11 @@ class OperatorEdgeCasesSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, 50L), (1L, 100L, 100L), (1L, 205L, 160L)))
   }
 
-  test("RangeJoin.lookback equals a direct theta-join on random data") {
+  test("RangeJoin.lookback equals a direct theta-join on random data incl. negative times") {
     val rnd = new scala.util.Random(7)
-    val left = (1 to 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val left = (1 to 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong - 500L))
       .toDF("k", "t")
-    val right = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong - 500L, i.toLong))
       .toDF("k", "rt", "rid")
     val bucketed = RangeJoin.lookback(left, right, "k", "t", "rt", 37L)
       .select("k", "t", "rt", "rid").collect()
