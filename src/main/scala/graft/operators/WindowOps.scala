@@ -101,6 +101,36 @@ object WindowOps {
       when(v >= 0, round(sqrt(v.cast("double")) / monTot, 6)))
   }
 
+  /** Exponentially-weighted moving average per scan: s_0 = y_0,
+    * s_i = α·y_i + (1−α)·s_{i−1} — the recursive smoother the window
+    * API cannot express (each value depends on the full prefix), so
+    * it runs as a typed `mapGroups` pass like the iterative fits:
+    * one shuffle, points sorted in-group, O(points-per-scan) memory,
+    * parallel across scans. Closed-form reformulations overflow
+    * (1−α)^−i for long scans; the linear pass is the numerically
+    * sane shape.
+    */
+  def ewma(df: DataFrame, group: String, x: String, y: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(group).cast("long").as("g"),
+        col(x).cast("double").as("x"), col(y).cast("double").as("y"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        var s = 0.0
+        var first = true
+        pts.iterator.map { case (_, px, py) =>
+          s = if (first) { first = false; py } else alpha * py + (1 - alpha) * s
+          (g, px, s)
+        }
+      }
+      .toDF(group, x, "ewma")
+  }
+
   /** Savitzky–Golay smoothing, 5-point quadratic (the standard
     * scientific scan-smoothing filter — a least-squares parabola
     * through each ±2 neighbourhood, preserving peak height/width

@@ -126,6 +126,24 @@ class OperatorEdgeCasesSpec extends SparkSpec {
       ("ALL", "ALL", 7L)))
   }
 
+  test("ewma matches the reference recurrence; alpha=1 is identity") {
+    val rnd = new scala.util.Random(3)
+    val ys = (1 to 50).map(_ => rnd.nextDouble() * 100)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toDouble, y) }
+      .toDF("g", "x", "y")
+    val got = WindowOps.ewma(df, "g", "x", "y", alpha = 0.3)
+      .orderBy("x").select("ewma").as[Double].collect()
+    // reference recurrence: first point seeds, then s = a*y + (1-a)*s
+    var s = ys.head
+    val ref = ys.zipWithIndex.map { case (y, i) =>
+      if (i == 0) s else { s = 0.3 * y + 0.7 * s; s }
+    }
+    (got zip ref).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    val ident = WindowOps.ewma(df, "g", "x", "y", alpha = 1.0)
+      .orderBy("x").select("ewma").as[Double].collect()
+    (ident zip ys).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("savitzkyGolay5 reproduces a parabola exactly and nulls scan edges") {
     // v = (t-5)^2 dollars in cents on a unit grid: a quadratic is
     // invariant under the SG(5,2) filter
