@@ -1,9 +1,14 @@
 package graft.sources
 
+import java.io.InputStream
+import java.nio.charset.StandardCharsets
 import java.util
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -22,8 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * dates, `#O`/`#P` motor names+positions, `#L` column labels,
   * numeric data blocks, random access to scans by number).
   *
-  * Layout: one Spark partition per (file, scan) — a 10k-scan corpus
-  * parallelizes across the cluster with zero coordination, and
+  * Cluster model: all IO goes through Hadoop `FileSystem`, so paths
+  * may be `file:`, `hdfs:`, `s3a:`, etc. Each file is indexed ONCE by
+  * **byte offset** — `(scan, startByte, endByte)` per `#S` block —
+  * and each Spark partition covers one (file, scan): its reader
+  * `seek`s straight to its block and reads only those bytes, so total
+  * read work is O(corpus bytes), never O(scans × file bytes). For
+  * more than a handful of files the index pass itself runs as a Spark
+  * job (one task per file — the same pattern as Spark's parallel
+  * partition discovery), so the driver never streams file contents;
+  * it only collects the per-scan offset table. Setting
+  * `.option("indexCache", "true")` persists each file's index to a
+  * `<file>.specidx` sidecar (validated against length+mtime) so
+  * re-reads of an unchanged corpus skip the scan pass entirely.
+  *
   * pyspec's "random access by scan number" maps onto partition
   * PRUNING: equality/IN filters on the `scan` column skip whole
   * partitions before any byte of their data block is read.
@@ -58,6 +75,103 @@ class SpecDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+  * ships it to index tasks / partition readers via its own
+  * `write`/`readFields` wire format (the standard Spark pattern).
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Test/observability hook: total bytes fetched by partition readers
+  * in this JVM. Lets specs assert the reader seeks (a K-scan file is
+  * read once in total, not K times).
+  */
+object SpecIOMetrics {
+  val bytesRead = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = bytesRead.reset()
+  def total: Long = bytesRead.sum()
+}
+
+/** Reads lines from a (bounded) stream while tracking exact byte
+  * offsets, so `#S` block boundaries can be recorded for later
+  * `seek`. Lines are `\n`-terminated; a trailing `\r` is stripped.
+  */
+private[sources] final class OffsetLineReader(in: InputStream) {
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var offset = 0L
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+
+  /** Byte offset of the start of the line most recently returned. */
+  var lineStart: Long = 0L
+  /** Byte offset of the next unread byte (= end of stream after EOF). */
+  def position: Long = offset
+
+  /** Next line without its terminator, or null at EOF. */
+  def readLine(): String = {
+    lineBuf.reset()
+    lineStart = offset
+    var sawAny = false
+    var done = false
+    while (!done) {
+      if (bufPos >= bufLen) {
+        bufLen = in.read(buf)
+        bufPos = 0
+        if (bufLen < 0) {
+          if (!sawAny) return null
+          done = true
+        }
+      } else {
+        val b = buf(bufPos); bufPos += 1; offset += 1
+        sawAny = true
+        if (b == '\n') done = true else lineBuf.write(b.toInt)
+      }
+    }
+    val bytes = lineBuf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+    new String(bytes, 0, n, StandardCharsets.UTF_8)
+  }
+}
+
+/** Caps reads at `limit` bytes — wraps a seeked `FSDataInputStream`
+  * so a partition reader can only consume its own scan block.
+  */
+private[sources] final class BoundedInputStream(in: InputStream, limit: Long) extends InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (remaining <= 0) return -1
+    val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+    if (n > 0) remaining -= n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
+/** File metadata captured at expansion time (drives index-cache
+  * validation and deterministic partition order).
+  */
+final case class SpecFileMeta(path: String, len: Long, mtime: Long)
+
+/** A file's scan index: file-level `#O` motor names plus one
+  * `(scanNo, startByte, endByteExcl)` entry per `#S` block.
+  */
+final case class SpecFileIndex(path: String, motorNames: Array[String],
+                               scans: Seq[(Long, Long, Long)])
+
 object SpecSchema {
   val schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -90,53 +204,134 @@ object SpecSchema {
   def splitLabels(s: String): Array[String] =
     s.trim.split("\\s{2,}").filter(_.nonEmpty)
 
-  /** Expand a path (file, directory, or glob like `dir/run*.spec`)
-    * into concrete files, sorted for deterministic partition order. */
-  def expand(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
-    val f = new java.io.File(p)
-    if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
-    else if (p.exists(c => c == '*' || c == '?' || c == '[')) {
-      val dir = Option(f.getParentFile).getOrElse(new java.io.File("."))
-      val matcher = java.nio.file.FileSystems.getDefault
-        .getPathMatcher("glob:" + f.getName)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(c => c.isFile && matcher.matches(c.toPath.getFileName))
-        .map(_.getPath).sorted.toSeq
-    } else Seq(p)
-  }
+  private def hasGlob(p: String): Boolean =
+    p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
 
-  /** Driver-side index pass: (scanNo, startLine, endLineExcl) per
-    * file plus the file-level motor names from the `#O` block. Only
-    * header lines are inspected; data lines are skipped by prefix.
+  /** Expand paths (file, directory, or glob) into concrete files via
+    * the Hadoop FileSystem for each path's scheme, sorted for
+    * deterministic partition order. Index sidecars are skipped.
     */
-  def indexFile(path: String): (Array[String], Seq[(Long, Int, Int)]) = {
-    val lines = scala.io.Source.fromFile(path)
+  def expand(paths: Seq[String], conf: Configuration): Seq[SpecFileMeta] = paths.flatMap { p =>
+    val path = new Path(p)
+    val fs = path.getFileSystem(conf)
+    val statuses: Seq[FileStatus] =
+      if (hasGlob(p)) Option(fs.globStatus(path)).getOrElse(Array.empty[FileStatus])
+        .toSeq.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq else Seq(st)
+        }
+      else {
+        val st = fs.getFileStatus(path) // throws FileNotFoundException like the reader would
+        if (st.isDirectory) fs.listStatus(path).filter(_.isFile).toSeq else Seq(st)
+      }
+    statuses
+      // Spark convention: dot/underscore files are metadata, not data
+      // (this also hides index sidecars and in-flight .specpart temps)
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith(".") || n.startsWith("_") || n.endsWith(SpecIndex.SidecarSuffix)
+      }
+      .map(st => SpecFileMeta(st.getPath.toString, st.getLen, st.getModificationTime))
+  }.sortBy(_.path)
+}
+
+/** Byte-offset scan indexing, with an optional `<file>.specidx`
+  * sidecar cache so an unchanged corpus is never re-scanned.
+  */
+object SpecIndex {
+  val SidecarSuffix = ".specidx"
+  /** Files-per-read below which indexing happens inline on the driver
+    * instead of as a one-task-per-file Spark job (same idea as
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold`). */
+  val ParallelThreshold = 4
+
+  /** Single streaming pass over a file: collect `#O` motor names and
+    * `(scanNo, startByte, endByteExcl)` per `#S` block. Only header
+    * prefixes are inspected; the pass is O(file bytes) and runs where
+    * it is called (driver for few files, index task otherwise).
+    */
+  def indexFile(meta: SpecFileMeta, conf: Configuration): SpecFileIndex = {
+    val path = new Path(meta.path)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
     try {
+      val reader = new OffsetLineReader(in)
       val motorNames = mutable.ArrayBuffer[String]()
-      val scans = mutable.ArrayBuffer[(Long, Int, Int)]()
+      val scans = mutable.ArrayBuffer[(Long, Long, Long)]()
       var curScan = -1L
-      var curStart = -1
-      var i = 0
-      for (line <- lines.getLines()) {
-        if (line.startsWith("#O")) motorNames ++= splitLabels(line.dropWhile(_ != ' '))
+      var curStart = -1L
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("#O")) motorNames ++= SpecSchema.splitLabels(line.dropWhile(_ != ' '))
         else if (line.startsWith("#S ")) {
-          if (curScan >= 0) scans += ((curScan, curStart, i))
+          if (curScan >= 0) scans += ((curScan, curStart, reader.lineStart))
           curScan = line.drop(3).trim.takeWhile(_.isDigit) match {
             case "" => -1L
             case d => d.toLong
           }
-          curStart = i
+          curStart = reader.lineStart
         }
-        i += 1
+        line = reader.readLine()
       }
-      if (curScan >= 0) scans += ((curScan, curStart, i))
-      (motorNames.toArray, scans.toSeq)
-    } finally lines.close()
+      if (curScan >= 0) scans += ((curScan, curStart, reader.position))
+      SpecFileIndex(meta.path, motorNames.toArray, scans.toSeq)
+    } finally in.close()
+  }
+
+  /** Index with sidecar caching: a valid `<file>.specidx` (matching
+    * length+mtime) short-circuits the scan pass; otherwise the file
+    * is indexed and the sidecar is (best-effort) rewritten.
+    */
+  def indexWithCache(meta: SpecFileMeta, conf: Configuration, cache: Boolean): SpecFileIndex = {
+    if (!cache) return indexFile(meta, conf)
+    readSidecar(meta, conf).getOrElse {
+      val idx = indexFile(meta, conf)
+      scala.util.Try(writeSidecar(meta, idx, conf)) // read-only dirs are fine
+      idx
+    }
+  }
+
+  private def sidecarPath(meta: SpecFileMeta) = new Path(meta.path + SidecarSuffix)
+
+  /** Sidecar wire format (one record per line, tab-separated):
+    *   specidx\tv1\t<len>\t<mtime>
+    *   O\tname1\tname2...
+    *   S\t<scanNo>\t<startByte>\t<endByte>
+    */
+  def readSidecar(meta: SpecFileMeta, conf: Configuration): Option[SpecFileIndex] =
+    scala.util.Try {
+      val p = sidecarPath(meta)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      val lines = text.linesIterator.toArray
+      val head = lines.head.split('\t')
+      if (head.length != 4 || head(0) != "specidx" || head(1) != "v1" ||
+          head(2).toLong != meta.len || head(3).toLong != meta.mtime) return None
+      val motors = lines.collectFirst { case l if l.startsWith("O\t") => l.split('\t').drop(1) }
+        .getOrElse(Array.empty[String])
+      val scans = lines.collect { case l if l.startsWith("S\t") =>
+        val t = l.split('\t'); (t(1).toLong, t(2).toLong, t(3).toLong)
+      }.toSeq
+      Some(SpecFileIndex(meta.path, motors, scans))
+    }.toOption.flatten
+
+  def writeSidecar(meta: SpecFileMeta, idx: SpecFileIndex, conf: Configuration): Unit = {
+    val p = sidecarPath(meta)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"specidx\tv1\t${meta.len}\t${meta.mtime}\n")
+      if (idx.motorNames.nonEmpty) sb.append("O\t").append(idx.motorNames.mkString("\t")).append('\n')
+      idx.scans.foreach { case (no, s, e) => sb.append(s"S\t$no\t$s\t$e\n") }
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
   }
 }
 
 final case class SpecInputPartition(path: String, scanNo: Long,
-                                    startLine: Int, endLine: Int,
+                                    startByte: Long, endByte: Long,
                                     motorNames: Array[String]) extends InputPartition
 
 class SpecTable(paths: Seq[String]) extends Table with SupportsRead with SupportsWrite {
@@ -146,16 +341,18 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead with Support
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SpecWriteSupport.SpecWriteBuilder(paths)
+    new SpecWriteSupport.SpecWriteBuilder(paths, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // duplicates=last mirrors pyspec SpecDataFile: re-running scan N
     // appends a fresh "#S N" block, and the index keeps only the
     // newest occurrence per file. Default "all" exposes every block.
     new SpecScanBuilder(paths,
-      options.getOrDefault("duplicates", "all").toLowerCase == "last")
+      options.getOrDefault("duplicates", "all").toLowerCase == "last",
+      options.getBoolean("indexCache", false))
 }
 
-class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false)
+class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
+                      indexCache: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters {
   private var scanEq: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
@@ -181,32 +378,58 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false)
     override def readSchema(): StructType = SpecSchema.schema
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      SpecSchema.expand(paths).flatMap { p =>
-        val (motors, indexed) = SpecSchema.indexFile(p)
+      val spark = SparkSession.active
+      val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      val files = SpecSchema.expand(paths, hconf.value)
+      // Index off the driver once the corpus is more than a handful of
+      // files: one task per file, collecting only the offset tables
+      // (metadata, not data) — the driver never streams file bytes.
+      val cache = indexCache
+      val indexes: Seq[SpecFileIndex] =
+        if (files.size <= SpecIndex.ParallelThreshold)
+          files.map(SpecIndex.indexWithCache(_, hconf.value, cache))
+        else
+          spark.sparkContext.parallelize(files, files.size)
+            .map(SpecIndex.indexWithCache(_, hconf.value, cache))
+            .collect().toSeq.sortBy(_.path)
+      indexes.flatMap { idx =>
         val scans =
           if (keepLast)
-            indexed.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq.sortBy(_._2)
-          else indexed
+            idx.scans.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq.sortBy(_._2)
+          else idx.scans
         scans.collect {
           case (no, s, e) if scanEq.forall(_.contains(no)) =>
-            SpecInputPartition(p, no, s, e, motors)
+            SpecInputPartition(idx.path, no, s, e, idx.motorNames)
         }
       }.toArray
     }
-    override def createReaderFactory(): PartitionReaderFactory = new SpecReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SpecReaderFactory(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
-class SpecReaderFactory extends PartitionReaderFactory {
+class SpecReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SpecPartitionReader(partition.asInstanceOf[SpecInputPartition])
+    new SpecPartitionReader(partition.asInstanceOf[SpecInputPartition], conf.value)
 }
 
-/** Parses one scan's line range into data-point rows. */
-class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[InternalRow] {
+/** Parses one scan's byte range into data-point rows: opens the file
+  * through Hadoop FS, `seek`s to the block start, and reads exactly
+  * `endByte - startByte` bytes — a K-scan file costs O(file bytes)
+  * across all K partitions combined.
+  */
+class SpecPartitionReader(p: SpecInputPartition, conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
-    val src = scala.io.Source.fromFile(p.path)
-    val lines = try src.getLines().slice(p.startLine, p.endLine).toArray finally src.close()
+    val path = new Path(p.path)
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    val reader = try {
+      raw.seek(p.startByte)
+      new OffsetLineReader(new BoundedInputStream(raw, p.endByte - p.startByte))
+    } catch { case e: Throwable => raw.close(); throw e }
+    SpecIOMetrics.bytesRead.add(p.endByte - p.startByte)
     var command: String = null
     var date: String = null
     var countTime: java.lang.Double = null
@@ -227,52 +450,56 @@ class SpecPartitionReader(p: SpecInputPartition) extends PartitionReader[Interna
       line.drop(3).trim.split("\\s+").headOption
         .flatMap(t => scala.util.Try(t.toDouble).toOption)
         .map(Double.box).orNull
-    for (line <- lines) {
-      // "@A v1 v2 ... \" begins a point's MCA spectrum (pyspec
-      // scan.MCA); lines continue while they end with a backslash,
-      // and the block attaches to the NEXT scalar data row.
-      if (inMcaContinuation) {
-        pendingMca ++= mcaVals(line)
-        inMcaContinuation = line.trim.endsWith("\\")
-      }
-      else if (line.startsWith("@A")) {
-        pendingMca = mutable.ArrayBuffer[Double]()
-        pendingMca ++= mcaVals(line.drop(2))
-        inMcaContinuation = line.trim.endsWith("\\")
-      }
-      else if (line.startsWith("#S ")) command = line.drop(3).trim.dropWhile(_.isDigit).trim
-      else if (line.startsWith("#D ")) date = line.drop(3).trim
-      else if (line.startsWith("#T ")) countTime = headerNum(line)
-      else if (line.startsWith("#M ")) monitor = headerNum(line)
-      else if (line.startsWith("#G"))
-        geom ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty)
-          .flatMap(t => scala.util.Try(t.toDouble).toOption)
-      else if (line.startsWith("#Q "))
-        hkl ++= line.drop(3).trim.split("\\s+").filter(_.nonEmpty)
-          .flatMap(t => scala.util.Try(t.toDouble).toOption)
-      else if (line.startsWith("#P")) {
-        // #P values align positionally with #O names — a malformed
-        // token can't just be dropped (it would shift every later
-        // motor), so it invalidates the whole motors map instead of
-        // failing the partition.
-        val toks = line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty)
-          .map(t => scala.util.Try(t.toDouble).toOption)
-        if (toks.exists(_.isEmpty)) positionsValid = false
-        positions ++= toks.map(_.getOrElse(Double.NaN))
-      }
-      else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
-      else if (!line.startsWith("#") && line.trim.nonEmpty) {
-        // tolerate malformed points (truncated writes mid-scan are
-        // common in live spec files) — skip the line, keep the scan
-        val vals = line.trim.split("\\s+")
-          .flatMap(t => scala.util.Try(t.toDouble).toOption)
-        if (vals.nonEmpty) {
-          dataRows += vals
-          mcaRows += (if (pendingMca == null) null else pendingMca.toArray)
-          pendingMca = null
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        // "@A v1 v2 ... \" begins a point's MCA spectrum (pyspec
+        // scan.MCA); lines continue while they end with a backslash,
+        // and the block attaches to the NEXT scalar data row.
+        if (inMcaContinuation) {
+          pendingMca ++= mcaVals(line)
+          inMcaContinuation = line.trim.endsWith("\\")
         }
+        else if (line.startsWith("@A")) {
+          pendingMca = mutable.ArrayBuffer[Double]()
+          pendingMca ++= mcaVals(line.drop(2))
+          inMcaContinuation = line.trim.endsWith("\\")
+        }
+        else if (line.startsWith("#S ")) command = line.drop(3).trim.dropWhile(_.isDigit).trim
+        else if (line.startsWith("#D ")) date = line.drop(3).trim
+        else if (line.startsWith("#T ")) countTime = headerNum(line)
+        else if (line.startsWith("#M ")) monitor = headerNum(line)
+        else if (line.startsWith("#G"))
+          geom ++= line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty)
+            .flatMap(t => scala.util.Try(t.toDouble).toOption)
+        else if (line.startsWith("#Q "))
+          hkl ++= line.drop(3).trim.split("\\s+").filter(_.nonEmpty)
+            .flatMap(t => scala.util.Try(t.toDouble).toOption)
+        else if (line.startsWith("#P")) {
+          // #P values align positionally with #O names — a malformed
+          // token can't just be dropped (it would shift every later
+          // motor), so it invalidates the whole motors map instead of
+          // failing the partition.
+          val toks = line.dropWhile(_ != ' ').trim.split("\\s+").filter(_.nonEmpty)
+            .map(t => scala.util.Try(t.toDouble).toOption)
+          if (toks.exists(_.isEmpty)) positionsValid = false
+          positions ++= toks.map(_.getOrElse(Double.NaN))
+        }
+        else if (line.startsWith("#L")) labels = SpecSchema.splitLabels(line.drop(2))
+        else if (!line.startsWith("#") && line.trim.nonEmpty) {
+          // tolerate malformed points (truncated writes mid-scan are
+          // common in live spec files) — skip the line, keep the scan
+          val vals = line.trim.split("\\s+")
+            .flatMap(t => scala.util.Try(t.toDouble).toOption)
+          if (vals.nonEmpty) {
+            dataRows += vals
+            mcaRows += (if (pendingMca == null) null else pendingMca.toArray)
+            pendingMca = null
+          }
+        }
+        line = reader.readLine()
       }
-    }
+    } finally raw.close()
     val motorMap =
       if (positionsValid) mapData(p.motorNames.take(positions.length), positions.toArray)
       else null

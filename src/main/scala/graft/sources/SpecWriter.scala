@@ -1,10 +1,14 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.connector.distributions
 import org.apache.spark.sql.connector.write._
 
 /** DSv2 batch writer for the "spec" format — the sink half of
@@ -12,9 +16,24 @@ import org.apache.spark.sql.connector.write._
   * the reference's native ASCII representation
   * (`df.write.format("spec").mode("append").save(dir)`).
   *
-  * Layout: each Spark partition writes one self-contained
-  * `part-<partition>-<task>.spec` file (concurrent, no coordination —
-  * the reader treats a directory as a multi-file dataset anyway).
+  * All IO goes through Hadoop `FileSystem` (file:/hdfs:/s3a:).
+  * Two layouts:
+  *
+  *  - **Default**: each Spark partition writes one self-contained
+  *    `part-<partition>-<task>.spec` file (concurrent, no
+  *    coordination — the reader treats a directory as a multi-file
+  *    dataset anyway).
+  *  - **`.option("singleFile", "<name>.spec")`** (or `"true"` for
+  *    `merged.spec`): one LOGICAL spec file. Serialization — the
+  *    CPU-heavy part — still runs partition-parallel: each task
+  *    writes its scan blocks to a hidden `.specpart` temp, and the
+  *    driver's commit streams the temps into the target in partition
+  *    order behind a single `#F`/`#O0` header (a linear byte copy,
+  *    the unavoidable cost of "one file"). Parts whose motor-name
+  *    set doesn't prefix-align with the chosen file-level `#O` set
+  *    get their `#P` lines dropped during the merge — motors read
+  *    back null rather than positionally misaligned.
+  *
   * Rows are buffered per scan and emitted as `#S` blocks sorted by
   * (scan, point); headers (`#D`/`#T`/`#M`/`#G0`/`#Q`/`#O0`+`#P0`/
   * `#L`) are reconstructed from the first row of each scan, and MCA
@@ -26,26 +45,83 @@ import org.apache.spark.sql.connector.write._
   */
 object SpecWriteSupport {
 
-  final case class SpecCommitMessage(path: String) extends WriterCommitMessage
+  final case class SpecCommitMessage(path: String, partitionId: Int,
+                                     motorNames: Array[String]) extends WriterCommitMessage
 
-  class SpecWriteBuilder(paths: Seq[String]) extends WriteBuilder {
-    override def build(): Write = new Write {
-      override def toBatch: BatchWrite = new SpecBatchWrite(paths)
+  class SpecWriteBuilder(paths: Seq[String], info: LogicalWriteInfo) extends WriteBuilder {
+    override def build(): Write = {
+      val single = Option(info.options.get("singleFile")).map {
+        case "true" => "merged.spec"
+        case name => name
+      }
+      def batch = new SpecBatchWrite(paths, single,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      single match {
+        case None => new Write { override def toBatch: BatchWrite = batch }
+        case Some(_) => new Write with RequiresDistributionAndOrdering {
+          // One logical file must serialize each scan as ONE #S block,
+          // so the write declares "cluster by scan" and Spark inserts
+          // the shuffle — scans stay partition-parallel, but a scan's
+          // rows never straddle two parts.
+          override def requiredDistribution(): distributions.Distribution =
+            distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions.identity("scan")))
+          override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty // the writer buffers and sorts rows per scan itself
+          override def toBatch: BatchWrite = batch
+        }
+      }
     }
   }
 
-  class SpecBatchWrite(paths: Seq[String]) extends BatchWrite {
+  class SpecBatchWrite(paths: Seq[String], singleFile: Option[String],
+                       conf: SerializableHadoopConf) extends BatchWrite {
     require(paths.size == 1, s"spec write needs exactly one target dir, got $paths")
+    private val dir = paths.head
+
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new SpecDataWriterFactory(paths.head)
-    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-    override def abort(messages: Array[WriterCommitMessage]): Unit =
-      messages.collect { case SpecCommitMessage(p) => new File(p).delete() }
+      new SpecDataWriterFactory(dir, singleFile.isDefined, conf)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = singleFile.foreach { name =>
+      // Merge the partition-parallel temps into ONE logical spec file.
+      val fs = new Path(dir).getFileSystem(conf.value)
+      val parts = messages.collect { case m: SpecCommitMessage if m.path.nonEmpty => m }
+        .sortBy(_.partitionId)
+      val fileMotors = parts.map(_.motorNames).find(_.nonEmpty).getOrElse(Array.empty[String])
+      val target = new Path(dir, name)
+      val out = new BufferedWriter(new OutputStreamWriter(fs.create(target, true),
+        StandardCharsets.UTF_8))
+      try {
+        out.write(s"#F $name\n")
+        if (fileMotors.nonEmpty) out.write(s"#O0 ${fileMotors.mkString("  ")}\n")
+        parts.foreach { part =>
+          val p = new Path(part.path)
+          // A part whose motor set prefix-aligns with the file-level
+          // #O keeps its #P lines; otherwise they are dropped so
+          // values never land under the wrong names.
+          val keepPositions = part.motorNames.isEmpty ||
+            part.motorNames.sameElements(fileMotors.take(part.motorNames.length))
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+          if (keepPositions) out.write(text)
+          else text.linesIterator.filterNot(_.startsWith("#P"))
+            .foreach { l => out.write(l); out.write("\n") }
+        }
+      } finally out.close()
+      parts.foreach(part => fs.delete(new Path(part.path), false))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(dir).getFileSystem(conf.value)
+      messages.collect { case SpecCommitMessage(p, _, _) if p.nonEmpty =>
+        fs.delete(new Path(p), false) }
+    }
   }
 
-  class SpecDataWriterFactory(dir: String) extends DataWriterFactory {
+  class SpecDataWriterFactory(dir: String, asPart: Boolean,
+                              conf: SerializableHadoopConf) extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new SpecDataWriter(dir, partitionId, taskId)
+      new SpecDataWriter(dir, partitionId, taskId, asPart, conf)
   }
 
   private final case class ScanRow(point: Long, command: String, date: String,
@@ -55,7 +131,12 @@ object SpecWriteSupport {
                                    labels: Array[String], values: Array[Double],
                                    mca: Array[Double])
 
-  class SpecDataWriter(dir: String, partitionId: Int, taskId: Long)
+  /** `asPart = false`: emit a self-contained `part-*.spec` file.
+    * `asPart = true`: emit a headerless `.specpart` temp (scan blocks
+    * only) for the driver-side single-file merge.
+    */
+  class SpecDataWriter(dir: String, partitionId: Int, taskId: Long, asPart: Boolean,
+                       conf: SerializableHadoopConf)
       extends DataWriter[InternalRow] {
     private val scans = mutable.LinkedHashMap[Long, mutable.ArrayBuffer[ScanRow]]()
 
@@ -89,23 +170,32 @@ object SpecWriteSupport {
       if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
     override def commit(): WriterCommitMessage = {
-      val target = new File(dir)
-      target.mkdirs()
-      val f = new File(target, f"part-$partitionId%05d-$taskId.spec")
-      val w = new BufferedWriter(new FileWriter(f))
+      // empty partitions (e.g. from the scan-clustered shuffle in
+      // singleFile mode) produce no file at all
+      if (scans.isEmpty) return SpecCommitMessage("", partitionId, Array.empty)
+      val fs = new Path(dir).getFileSystem(conf.value)
+      fs.mkdirs(new Path(dir))
+      val fname =
+        if (asPart) f".part-$partitionId%05d-$taskId.specpart"
+        else f"part-$partitionId%05d-$taskId.spec"
+      val target = new Path(dir, fname)
+      val w = new BufferedWriter(new OutputStreamWriter(fs.create(target, true),
+        StandardCharsets.UTF_8))
+      // #O motor names are FILE-level in the spec format (the reader
+      // accumulates every #O line in the file), so they are emitted
+      // once, from the first scan that has any. Scans whose motor
+      // names don't prefix-match the file set get NO #P line —
+      // their motors read back null instead of positionally
+      // misaligned against the wrong names.
+      val fileMotors = scans.keys.toSeq.sorted.iterator
+        .map(scans(_).minBy(_.point).motorNames)
+        .find(_.nonEmpty).getOrElse(Array.empty[String])
       try {
-        w.write(s"#F ${f.getName}\n")
-        // #O motor names are FILE-level in the spec format (the reader
-        // accumulates every #O line in the file), so they are emitted
-        // once, from the first scan that has any. Scans whose motor
-        // names don't prefix-match the file set get NO #P line —
-        // their motors read back null instead of positionally
-        // misaligned against the wrong names.
-        val fileMotors = scans.keys.toSeq.sorted.iterator
-          .map(scans(_).minBy(_.point).motorNames)
-          .find(_.nonEmpty).getOrElse(Array.empty[String])
-        if (fileMotors.nonEmpty)
-          w.write(s"#O0 ${fileMotors.mkString("  ")}\n")
+        if (!asPart) {
+          w.write(s"#F $fname\n")
+          if (fileMotors.nonEmpty)
+            w.write(s"#O0 ${fileMotors.mkString("  ")}\n")
+        }
         for (scanNo <- scans.keys.toSeq.sorted) {
           val rows = scans(scanNo).sortBy(_.point)
           val h = rows.head
@@ -126,7 +216,7 @@ object SpecWriteSupport {
           }
         }
       } finally w.close()
-      SpecCommitMessage(f.getPath)
+      SpecCommitMessage(target.toString, partitionId, fileMotors)
     }
 
     override def abort(): Unit = ()

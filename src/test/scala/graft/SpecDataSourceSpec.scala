@@ -275,6 +275,93 @@ class SpecDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("reads through an explicit file: URI (Hadoop FileSystem path)") {
+    val df = spark.read.format("spec").load("file://" + fixture)
+    assert(df.count() == 9)
+    assert(df.filter(col("scan") === 1).count() == 6)
+  }
+
+  test("readers seek: a K-scan file costs O(file bytes) total, not O(K x file)") {
+    val dir = Files.createTempDirectory("specseek").toFile
+    val f = new java.io.File(dir, "many.spec")
+    val sb = new StringBuilder("#F many.spec\n#O0 Theta\n")
+    for (s <- 1 to 50) {
+      sb.append(s"\n#S $s ascan th 0 1 9 1\n#P0 0.$s\n#L th  det\n")
+      for (i <- 0 until 10) sb.append(s"$i ${i * s}\n")
+    }
+    Files.write(f.toPath, sb.toString.getBytes("UTF-8"))
+    val fileLen = f.length()
+    graft.sources.SpecIOMetrics.reset()
+    val df = spark.read.format("spec").load(f.getPath)
+    assert(df.count() == 500)
+    val total = graft.sources.SpecIOMetrics.total
+    // partition readers fetch only their own #S block: the 50 slices
+    // sum to ~the file size (pre-fix this was ~50x the file size)
+    assert(total <= fileLen + 256, s"read $total bytes for a $fileLen-byte file")
+    // and a pruned scan filter reads only that scan's slice
+    graft.sources.SpecIOMetrics.reset()
+    assert(spark.read.format("spec").load(f.getPath)
+      .filter(col("scan") === 7).count() == 10)
+    assert(graft.sources.SpecIOMetrics.total < fileLen / 10,
+      s"pruned read fetched ${graft.sources.SpecIOMetrics.total} of $fileLen bytes")
+  }
+
+  test("indexCache writes a sidecar and a stale sidecar is ignored") {
+    val dir = Files.createTempDirectory("specidx").toFile
+    val f = new java.io.File(dir, "c.spec")
+    Files.write(f.toPath,
+      "#S 1 a\n#L th  det\n0 1\n1 2\n\n#S 2 b\n#L th  det\n0 3\n".getBytes("UTF-8"))
+    val df = spark.read.format("spec").option("indexCache", "true").load(f.getPath)
+    assert(df.count() == 3)
+    val sidecar = new java.io.File(dir, "c.spec.specidx")
+    assert(sidecar.exists(), "sidecar index not written")
+    val content = new String(Files.readAllBytes(sidecar.toPath))
+    assert(content.startsWith(s"specidx\tv1\t${f.length()}\t"))
+    // cached index is used on re-read and yields identical partitions
+    val again = spark.read.format("spec").option("indexCache", "true").load(f.getPath)
+    assert(again.count() == 3 && again.filter(col("scan") === 2).count() == 1)
+    // a sidecar with a wrong length (stale) is ignored, not trusted
+    Files.write(sidecar.toPath,
+      "specidx\tv1\t999999\t0\nS\t1\t0\t10\n".getBytes("UTF-8"))
+    assert(spark.read.format("spec").option("indexCache", "false").load(f.getPath).count() == 3)
+    assert(spark.read.format("spec").option("indexCache", "true").load(f.getPath).count() == 3)
+  }
+
+  test("many files index via the distributed job path") {
+    // > SpecIndex.ParallelThreshold files => one index task per file
+    val dir = Files.createTempDirectory("specpar").toFile
+    for (i <- 1 to 6)
+      Files.write(new java.io.File(dir, f"r$i%02d.spec").toPath,
+        s"#S 1 scan$i\n#L th  det\n0 $i\n1 ${i * 10}\n".getBytes("UTF-8"))
+    val df = spark.read.format("spec").load(dir.getPath)
+    assert(df.count() == 12)
+    assert(df.select("file").distinct().count() == 6)
+    val v = df.filter(col("file").endsWith("r03.spec"))
+      .select(element_at(col("data"), "det")).orderBy(col("point")).collect()
+    assert(v.map(_.getDouble(0)).toSeq == Seq(3.0, 30.0))
+  }
+
+  test("singleFile write: partition-parallel serialization into ONE spec file") {
+    val out = Files.createTempDirectory("specsingle").toFile.getPath
+    val src = spark.read.format("spec").load(fixture)
+    // 4 partitions serialize concurrently; commit merges them
+    src.repartition(4).write.format("spec")
+      .option("singleFile", "run.spec").mode("append").save(out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".spec"))
+    assert(files.map(_.getName).toSeq == Seq("run.spec"), "expected exactly one merged file")
+    // no leftover temps
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".specpart")))
+    val content = new String(Files.readAllBytes(files.head.toPath))
+    assert(content.linesIterator.count(_.startsWith("#O")) <= 1, "one file-level #O block")
+    val back = spark.read.format("spec").load(out)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("scan"), col("point"), col("command"), col("date"),
+        col("count_time"), col("monitor"), col("geometry"), col("hkl"),
+        col("motors"), col("data"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(key(back) == key(src))
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
