@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * shape of pyspec's CCD image-file handling: opaque binary payloads
   * with typed metadata, batch-wise feature extraction on executors.
   *
-  * The DECODE step is a clearly-marked deterministic STUB (this
-  * container ships no image/audio codecs); everything around it —
-  * schema, partitioning, batch shape, typed Dataset plumbing — is
-  * real and tested, so swapping in an actual decoder (JNI/opencv or a
-  * Python `mapInPandas` worker) changes one function body only.
+  * The decode step uses the JDK's own `javax.imageio` (PNG/BMP/GIF/
+  * JPEG — zero external dependencies), so real image payloads yield
+  * real width/height/mean-luma. Payloads that aren't decodable images
+  * (e.g. text bytes) fall back to a deterministic synthetic feature
+  * with `decoded = false`, keeping mixed-corpus pipelines total.
+  * Swapping in a heavier codec (video frames, audio) changes one
+  * function body; the batching/partitioning plumbing stays.
   */
 object MultimodalOps {
 
@@ -26,29 +28,50 @@ object MultimodalOps {
   }
 
   final case class Feature(doc_id: Long, width: Int, height: Int,
-                           mean_luma: Double, batch_size: Int)
+                           mean_luma: Double, decoded: Boolean, batch_size: Int)
 
-  /** Batched executor-side "decode": iterates payload batches exactly
-    * the way a real decoder would (amortizing per-batch model/codec
-    * setup), producing a deterministic fake feature vector derived
-    * from the bytes. STUB — replace the body marked below with a real
-    * codec to productionize; the surrounding plumbing stays.
+  /** Batched executor-side decode: iterates payload batches (the shape
+    * that amortizes per-batch codec/model setup for heavier decoders),
+    * decoding each payload with `javax.imageio`. Decodable images
+    * yield their true width/height and Rec.601 mean luma
+    * (0.299R + 0.587G + 0.114B, 0–255 scale); everything else gets a
+    * deterministic byte-derived synthetic feature with
+    * `decoded = false` so mixed corpora never fail the pipeline.
     */
-  def decodeFeaturesStub(ds: Dataset[(Long, Array[Byte])], batchSize: Int): Dataset[Feature] = {
+  def decodeFeatures(ds: Dataset[(Long, Array[Byte])], batchSize: Int): Dataset[Feature] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // --- STUB decode: a real implementation decodes image/audio
-        // bytes here (per-batch codec reuse); this fake is
-        // deterministic in the payload so tests are stable. ---
         batch.map { case (id, bytes) =>
-          val n = bytes.length
-          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
-          Feature(id,
-            width = 64 + (checksum % 512).toInt,
-            height = 64 + ((checksum / 512) % 512).toInt,
-            mean_luma = (checksum % 256000) / 1000.0,
-            batch_size = batch.size)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null } // corrupt image = not an image
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                       0.587 * ((rgb >> 8) & 0xff) +
+                       0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Feature(id, w, h, sum / (w.toLong * h), decoded = true, batch_size = batch.size)
+          } else {
+            val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+            Feature(id,
+              width = 64 + (checksum % 512).toInt,
+              height = 64 + ((checksum / 512) % 512).toInt,
+              mean_luma = (checksum % 256000) / 1000.0,
+              decoded = false,
+              batch_size = batch.size)
+          }
         }
       }
     }

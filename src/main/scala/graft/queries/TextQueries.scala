@@ -288,7 +288,7 @@ object TextQueries {
 
   /** Declarative metadata half of the multimodal pipeline (#32): the
     * binary payload + byte length + digest are SQL-checkable; the
-    * batched decode stub is covered by MultimodalOpsSpec. */
+    * batched javax.imageio decode is covered by MultimodalOpsSpec. */
   /** Train/eval contamination audit (#59): corpus docs sharing any
     * word 3-gram with the deterministic held-out set (doc_id % 100
     * == 0), with distinct-shared-shingle counts. Shingle keys are
@@ -338,8 +338,9 @@ object TextQueries {
 
   /** The batched decode half of the multimodal pipeline (#32): runs
     * the executor-side batch iterator end-to-end over real payloads
-    * (rows-only gate — the decode is the documented deterministic
-    * stub; its values are pinned by MultimodalOpsSpec).
+    * (rows-only gate — text payloads take the deterministic
+    * non-image fallback; real javax.imageio decode is pinned by
+    * MultimodalOpsSpec).
     */
   val qMultimodalFeatures = GateQuery.rowsOnly("q_multimodal_features") { (s, d) =>
     import s.implicits._
@@ -347,7 +348,7 @@ object TextQueries {
         Tables.documents(s, d), col("doc_id"), col("text"))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-    MultimodalOps.decodeFeaturesStub(payloads, batchSize = 64)
+    MultimodalOps.decodeFeatures(payloads, batchSize = 64)
       .toDF().orderBy(col("doc_id"))
   }
 
