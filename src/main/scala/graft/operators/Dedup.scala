@@ -139,29 +139,38 @@ object Dedup {
     * localCheckpoints that root that lineage are kept, bounding held
     * label-table copies at ceil(maxIters/4).
     *
-    * NOTE: for small graphs this method temporarily flips
-    * `spark.sql.adaptive.enabled` off on the shared session (restored
-    * in a finally) — concurrent queries on the same session during
-    * the loop would briefly plan without AQE.
+    * Pathological diameters: from iteration `jumpAfter` on, each round
+    * ALSO pointer-jumps (label(v) ← label(label(v))), so the label
+    * horizon doubles per round instead of growing by one — a
+    * 10k-node path closes in ~15 rounds instead of 10k. Dense
+    * near-dup clusters still converge in the first cheap rounds
+    * before the extra join ever runs.
+    *
+    * The loop runs on a CLONED session (`newSession`: shared
+    * SparkContext and cache, private conf), so flipping AQE off for
+    * small graphs never affects concurrent queries on the caller's
+    * session; the result is handed back on the caller's session.
     *
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+                          maxIters: Int = 20, jumpAfter: Int = 4): DataFrame = {
+    val caller = pairs.sparkSession
+    val spark = caller.newSession()
+    val edgeRows = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint() // reused every iteration — cut plan regrowth
+    // re-home the edge list onto the cloned session, materialized once
+    // and reused every iteration (cuts plan regrowth too)
+    val edges = spark.createDataFrame(edgeRows.rdd, edgeRows.schema).localCheckpoint()
     // For SMALL graphs the loop is many tiny jobs and AQE's per-stage
     // re-planning costs more than it can save (measured ~2x loop
     // latency at 32 threads); for big graphs AQE's skew handling on
     // the label join matters more than stage latency. The edge count
-    // is a free read off the checkpointed relation.
+    // is a free read off the checkpointed relation. Set on the CLONED
+    // session only.
     if (edges.count() < 10000000L)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
     // the convergence aggregate doubles as the action that populates
     // each iteration's cache — one job per iteration, not two
     def lblSum(df: DataFrame): java.math.BigDecimal =
@@ -182,6 +191,17 @@ object Dedup {
         .select(col("src").as("node"), col("lbl"))
       var next = labels.union(nbr)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      var prop: DataFrame = null
+      if (it >= jumpAfter) {
+        // pointer jump: every label is itself a node (labels are ids
+        // drawn from the same edge list), so look its label up and
+        // take the better of the two — doubling the effective horizon
+        // each round on chain-shaped components.
+        prop = next.persist() // referenced twice by the jump join
+        next = prop.join(
+            prop.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+      }
       // persist (lazy) + the sum action materializes it; periodic
       // localCheckpoint bounds lineage growth on long chains
       next = if (it % 4 == 3) next.localCheckpoint() else next.persist()
@@ -196,6 +216,7 @@ object Dedup {
       // error, so they stay until the ContextCleaner collects the
       // whole chain. Only every 4th iteration checkpoints, so at most
       // ceil(maxIters/4) label-table copies are ever held.
+      if (prop != null) prop.unpersist(false)
       if (!isCheckpointBacked(labels)) labels.unpersist(false)
       labels = next
       it += 1
@@ -205,8 +226,10 @@ object Dedup {
         .warn(s"connectedComponents: not converged after $maxIters iterations — " +
           "returned clusters may be split. Raise maxIters for graphs with " +
           "diameter > maxIters.")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    // hand the result back on the CALLER's session (reads go through
+    // the cloned session's persisted labels; plans use caller conf)
+    caller.createDataFrame(out.rdd, out.schema)
   }
 
   /** True when the DataFrame is a materialized localCheckpoint (its
@@ -234,8 +257,23 @@ object Dedup {
     }: _*)
   }
 
+  /** Scale knob for [[minhashPairs]]' `maxBandDf` (the hot-band cap):
+    * a band bucket holding d docs fans out d·(d−1)/2 candidates, and
+    * dup-heavy crawls — the exact corpus MinHash targets — routinely
+    * put 10⁵+ byte-identical boilerplate docs in ONE bucket of EVERY
+    * band (10¹⁰ candidates from a single straggler task). Buckets
+    * above the cap are dropped before any pair is emitted; run exact
+    * dedup FIRST (as `q_corpus_curation` does) so byte-identical mass
+    * never reaches MinHash, and the cap only trims residual
+    * boilerplate. OFF (0) in the oracle-gated query because the SQL
+    * oracle cannot mirror it.
+    */
+  def suggestedBandDfCap(maxPairsPerBucket: Long = 1000000L): Int =
+    math.max(2, math.ceil(math.sqrt(2.0 * maxPairsPerBucket)).toInt)
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, k: Int,
-                   numPerms: Int, bands: Int, minMatch: Int): DataFrame = {
+                   numPerms: Int, bands: Int, minMatch: Int,
+                   maxBandDf: Int = 0): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into equal bands")
     // MinHash signature VALUES cross the oracle (portable md5 shingle
     // keys + arithmetic permutations); MinHashSigExpr computes the
@@ -252,11 +290,19 @@ object Dedup {
       .localCheckpoint(false)
     val bandRel = sig.select(col("doc_id"), explode(bandKeys(col("sig"), numPerms, bands)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-    val cand = bandRel.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(bandRel.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
+    // Group-join shape (as in jaccardPairs): ONE shuffle on the band
+    // key builds each bucket's doc list, the hot-band cap drops
+    // oversized buckets BEFORE any pair exists, and candidates fan
+    // out in place from the capped lists.
+    val grouped = bandRel.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = if (maxBandDf > 0) grouped.filter(size(col("ds")) <= maxBandDf) else grouped
+    val cand = capped
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .distinct()
     val matches = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (s, v) => s + v)

@@ -32,13 +32,24 @@ object ScaleJoins {
     * over `salts` tasks instead of one straggler. Row-to-salt
     * assignment does not affect the RESULT (every replica carries the
     * full build side for its key), only the distribution.
+    *
+    * The salt is `xxhash64` over the probe row's own columns — a pure
+    * function of row CONTENT, so two runs (or a stage retry) assign
+    * identical salts regardless of partition layout, unlike
+    * `monotonically_increasing_id`-based salting whose distribution
+    * depends on how the input happened to be split. (Caveat: rows that
+    * are byte-identical across ALL columns share a salt — a corpus of
+    * literal duplicate rows should be exact-deduped first, which a
+    * pipeline wants anyway.)
+    *
     * Output columns = probe ++ build-minus-key, like a plain
     * `probe.join(build, key)`.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int): DataFrame = {
+    val saltCols = probe.columns.map(col).toSeq
     val saltedProbe = probe.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(saltCols: _*), lit(salts.toLong)))
     val replicatedBuild = build.withColumn("_salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedProbe.join(replicatedBuild, Seq(key, "_salt")).drop("_salt")

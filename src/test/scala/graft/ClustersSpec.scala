@@ -24,6 +24,28 @@ class ClustersSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("pathological diameter: a 10k-node path converges within default maxIters") {
+    // plain min-propagation would need 10k iterations; pointer
+    // jumping closes it in ~15. Converging at all within the default
+    // maxIters=20 proves the doubling works (non-convergence would
+    // leave far nodes labelled > 1).
+    val pairs = (1L until 10000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 10000)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("the CC loop never mutates the caller session's AQE conf") {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // result is planned on the CALLER's session with its conf intact
+    assert(out.sparkSession eq spark)
+    assert(out.count() == 3)
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == before)
+  }
+
   test("deterministic across runs") {
     val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
     val a = Dedup.connectedComponents(pairs, "doc_a", "doc_b")

@@ -42,4 +42,16 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.size == 1000)
   }
+
+  test("salt assignment is deterministic across runs and partitionings") {
+    val rows = (1L to 500L).map(i => (7L, s"p$i")).toDF("k", "pv")
+    def salts(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("pv")), lit(8L)))
+      .select("pv", "_salt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = salts(rows.repartition(2))
+    val b = salts(rows.repartition(13))
+    assert(a == b, "salt must be a pure function of row content, not layout")
+    // and the hot key genuinely spreads over several salt buckets
+    assert(a.values.toSet.size > 4)
+  }
 }

@@ -51,6 +51,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getDouble(out(0).fieldIndex("est_sim")) == 1.0)
   }
 
+  test("minhashPairs: hot-band cap bounds a block of identical docs") {
+    // 1000 byte-identical boilerplate docs collide in EVERY band —
+    // uncapped that is 1000*999/2 candidates from each band bucket.
+    // With the cap those buckets are dropped before any pair exists,
+    // while a small genuine near-dup bucket still pairs.
+    val boiler = (1L to 1000L).map(i => (i, "common boilerplate text repeated everywhere"))
+    val pair = Seq((2001L, "a rare document about diffraction peaks"),
+      (2002L, "a rare document about diffraction peaks"))
+    val df = (boiler ++ pair).toDF("id", "text")
+    val capped = Dedup.minhashPairs(df, col("id"), col("text"), 3, 16, 4, 8,
+        maxBandDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2001L, 2002L)))
+    // suggestedBandDfCap gives a usable default
+    assert(Dedup.suggestedBandDfCap(1000000L) >= 1000)
+  }
+
   test("simhash: equal text equal hash; disjoint vocab differs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
       .toDF("id", "text")
