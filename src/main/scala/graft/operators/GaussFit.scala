@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions.col
 object GaussFit {
 
   final case class Point(g: Long, x: Double, y: Double)
+  /** `esd_*` are the per-parameter estimated standard deviations at
+    * the solution — `sqrt(diag((JᵀJ)⁻¹) · rss/(n−4))`, the error bars
+    * pyspec `fit.py` reports from the covariance matrix. NaN when the
+    * fit degenerates (n ≤ 4, no peak, or singular normal matrix).
+    */
   final case class Fit(g: Long, n: Long, bg: Double, height: Double,
-                       com: Double, sigma: Double, rss: Double, converged: Boolean)
+                       com: Double, sigma: Double, rss: Double, converged: Boolean,
+                       esd_bg: Double, esd_height: Double,
+                       esd_com: Double, esd_sigma: Double)
 
   /** Moment-based seed: pyspec "peakguess". */
   def seed(xs: Array[Double], ys: Array[Double]): (Double, Double, Double, Double) = {
@@ -87,6 +94,49 @@ object GaussFit {
     x
   }
 
+  /** Normal equations JᵀJ d = Jᵀr for params (bg, h, c, s). */
+  private def buildNormal(xs: Array[Double], ys: Array[Double],
+                          bg: Double, h: Double, c: Double, s: Double)
+      : (Array[Array[Double]], Array[Double]) = {
+    val jtj = Array.fill(4)(new Array[Double](4))
+    val jtr = new Array[Double](4)
+    var i = 0
+    while (i < xs.length) {
+      val dx = xs(i) - c
+      val e = math.exp(-dx * dx / (2 * s * s))
+      val j = Array(1.0, e, h * e * dx / (s * s), h * e * dx * dx / (s * s * s))
+      val r = ys(i) - (bg + h * e)
+      var p = 0
+      while (p < 4) {
+        jtr(p) += j(p) * r
+        var q = 0
+        while (q < 4) { jtj(p)(q) += j(p) * j(q); q += 1 }
+        p += 1
+      }
+      i += 1
+    }
+    (jtj, jtr)
+  }
+
+  /** diag((JᵀJ)⁻¹) via one pivoted solve per basis vector; null when
+    * singular. The input is copied, not destroyed. */
+  private[operators] def invDiag(jtj: Array[Array[Double]]): Array[Double] = {
+    val n = jtj.length
+    val out = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      val a = Array.tabulate(n)(i => jtj(i).clone())
+      val b = new Array[Double](n); b(p) = 1.0
+      val x = LineshapeFit.solveLinear(a, b)
+      if (x == null) return null
+      out(p) = x(p)
+      p += 1
+    }
+    out
+  }
+
+  private val NoEsd = Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+
   /** Damped Gauss–Newton refinement from the moment seed. */
   def fitArrays(g: Long, xsIn: Array[Double], ysIn: Array[Double],
                 maxIter: Int = 25): Fit = {
@@ -95,29 +145,13 @@ object GaussFit {
     val ys = order.map(ysIn).toArray
     val n = xs.length
     var (bg, h, c, s) = seed(xs, ys)
-    if (n < 5 || h <= 0) return Fit(g, n, bg, h, c, s, rss(xs, ys, bg, h, c, s), converged = false)
+    if (n < 5 || h <= 0) return Fit(g, n, bg, h, c, s, rss(xs, ys, bg, h, c, s),
+      converged = false, NoEsd(0), NoEsd(1), NoEsd(2), NoEsd(3))
     var cur = rss(xs, ys, bg, h, c, s)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // Build normal equations JtJ d = Jtr for params (bg, h, c, s).
-      val jtj = Array.fill(4)(new Array[Double](4))
-      val jtr = new Array[Double](4)
-      var i = 0
-      while (i < n) {
-        val dx = xs(i) - c
-        val e = math.exp(-dx * dx / (2 * s * s))
-        val j = Array(1.0, e, h * e * dx / (s * s), h * e * dx * dx / (s * s * s))
-        val r = ys(i) - (bg + h * e)
-        var p = 0
-        while (p < 4) {
-          jtr(p) += j(p) * r
-          var q = 0
-          while (q < 4) { jtj(p)(q) += j(p) * j(q); q += 1 }
-          p += 1
-        }
-        i += 1
-      }
+      val (jtj, jtr) = buildNormal(xs, ys, bg, h, c, s)
       val d = solve4(jtj, jtr)
       if (d == null) { converged = true }
       else {
@@ -139,7 +173,18 @@ object GaussFit {
       }
       it += 1
     }
-    Fit(g, n, bg, h, c, math.abs(s), cur, converged)
+    // Parameter esd at the solution: sqrt(diag((JᵀJ)⁻¹) · rss/(n−4)).
+    // The normal matrix is rebuilt at the FINAL parameters (the one
+    // inside the loop belongs to the pre-step point).
+    val esd = {
+      val inv = invDiag(buildNormal(xs, ys, bg, h, c, s)._1)
+      if (inv == null) NoEsd
+      else {
+        val s2 = cur / math.max(1, n - 4)
+        inv.map(v => if (v >= 0) math.sqrt(v * s2) else Double.NaN)
+      }
+    }
+    Fit(g, n, bg, h, c, math.abs(s), cur, converged, esd(0), esd(1), esd(2), esd(3))
   }
 
   /** Per-group fit over a DataFrame with (group, x, y) columns. */

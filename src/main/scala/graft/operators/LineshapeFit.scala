@@ -74,9 +74,16 @@ object LineshapeFit {
     }
   }
 
+  /** `esd_*` mirror pyspec `fit.py`'s per-parameter error bars:
+    * `sqrt(diag((JᵀJ)⁻¹) · rss/(n−np))` at the solution (NaN when the
+    * fit degenerates or the shape lacks the parameter — e.g.
+    * `esd_frac` for 4-parameter shapes).
+    */
   final case class ShapeFit(g: Long, shape: String, n: Long, bg: Double,
                             height: Double, center: Double, width: Double,
-                            frac: Double, rss: Double, converged: Boolean)
+                            frac: Double, rss: Double, converged: Boolean,
+                            esd_bg: Double, esd_height: Double, esd_center: Double,
+                            esd_width: Double, esd_frac: Double)
 
   private def rss(shape: Shape, xs: Array[Double], ys: Array[Double],
                   p: Array[Double]): Double = {
@@ -89,6 +96,9 @@ object LineshapeFit {
   }
 
   /** Solve a dense n×n system in place; null when singular. */
+  private[operators] def solveLinear(a: Array[Array[Double]], b: Array[Double]): Array[Double] =
+    solveN(a, b)
+
   private def solveN(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     var c = 0
@@ -121,6 +131,39 @@ object LineshapeFit {
     x
   }
 
+  /** Normal equations via a central-difference numeric jacobian. */
+  private def buildNormal(shape: Shape, xs: Array[Double], ys: Array[Double],
+                          p: Array[Double]): (Array[Array[Double]], Array[Double]) = {
+    val n = xs.length
+    val np = shape.nParams
+    val jtj = Array.fill(np)(new Array[Double](np))
+    val jtr = new Array[Double](np)
+    val jrow = new Array[Double](np)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < np) {
+        val h = math.max(1e-7, 1e-7 * math.abs(p(k)))
+        val pk = p(k)
+        p(k) = pk + h; val up = shape.model(xs(i), p)
+        p(k) = pk - h; val dn = shape.model(xs(i), p)
+        p(k) = pk
+        jrow(k) = (up - dn) / (2 * h)
+        k += 1
+      }
+      val r = ys(i) - shape.model(xs(i), p)
+      var a = 0
+      while (a < np) {
+        jtr(a) += jrow(a) * r
+        var b = 0
+        while (b < np) { jtj(a)(b) += jrow(a) * jrow(b); b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    (jtj, jtr)
+  }
+
   /** Damped Gauss–Newton with a central-difference jacobian. */
   def fitArrays(shape: Shape, g: Long, xsIn: Array[Double], ysIn: Array[Double],
                 maxIter: Int = 40): ShapeFit = {
@@ -130,42 +173,26 @@ object LineshapeFit {
     val n = xs.length
     val np = shape.nParams
     var p = shape.seed(xs, ys)
-    def pack(converged: Boolean, cur: Double) = ShapeFit(
+    val noEsd = Array.fill(np)(Double.NaN)
+    // esd layout follows the param layout: Power (bg, amp, exp) puts
+    // its exponent esd under esd_width, matching where `width`
+    // carries the exponent itself.
+    def pack(converged: Boolean, cur: Double, esd: Array[Double]) = ShapeFit(
       g, shape.name, n, p(0), p(1),
       if (np >= 4) p(2) else 0.0,
       if (np >= 4) math.abs(p(3)) else p(2),
       if (np == 5) math.min(1.0, math.max(0.0, p(4))) else 0.0,
-      cur, converged)
-    if (n < np + 1 || p(1) <= 0) return pack(converged = false, rss(shape, xs, ys, p))
+      cur, converged,
+      esd(0), esd(1),
+      if (np >= 4) esd(2) else Double.NaN,
+      if (np >= 4) esd(3) else esd(2),
+      if (np == 5) esd(4) else Double.NaN)
+    if (n < np + 1 || p(1) <= 0) return pack(converged = false, rss(shape, xs, ys, p), noEsd)
     var cur = rss(shape, xs, ys, p)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val jtj = Array.fill(np)(new Array[Double](np))
-      val jtr = new Array[Double](np)
-      val jrow = new Array[Double](np)
-      var i = 0
-      while (i < n) {
-        var k = 0
-        while (k < np) {
-          val h = math.max(1e-7, 1e-7 * math.abs(p(k)))
-          val pk = p(k)
-          p(k) = pk + h; val up = shape.model(xs(i), p)
-          p(k) = pk - h; val dn = shape.model(xs(i), p)
-          p(k) = pk
-          jrow(k) = (up - dn) / (2 * h)
-          k += 1
-        }
-        val r = ys(i) - shape.model(xs(i), p)
-        var a = 0
-        while (a < np) {
-          jtr(a) += jrow(a) * r
-          var b = 0
-          while (b < np) { jtj(a)(b) += jrow(a) * jrow(b); b += 1 }
-          a += 1
-        }
-        i += 1
-      }
+      val (jtj, jtr) = buildNormal(shape, xs, ys, p)
       val d = solveN(jtj, jtr)
       if (d == null) converged = true
       else {
@@ -187,7 +214,15 @@ object LineshapeFit {
       }
       it += 1
     }
-    pack(converged, cur)
+    val esd = {
+      val inv = GaussFit.invDiag(buildNormal(shape, xs, ys, p)._1)
+      if (inv == null) noEsd
+      else {
+        val s2 = cur / math.max(1, n - np)
+        inv.map(v => if (v >= 0) math.sqrt(v * s2) else Double.NaN)
+      }
+    }
+    pack(converged, cur, esd)
   }
 
   /** Per-group fit over (group, x, y) columns for one lineshape. */

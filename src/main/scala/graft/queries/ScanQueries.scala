@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, Percentiles, Sessionize, WindowOps}
+import graft.operators.{AsOfJoin, Binning, Exact, GaussFit, Interpolate, LineshapeFit, PeakAnalysis, Percentiles, Sessionize, UBMatrix, WindowOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Scan-analytics gate queries (SURVEY.md §2 #7–#17): the Spark
@@ -362,9 +362,39 @@ object ScanQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** UB from two reflections (pyspec diffractometer): per scan
+    * (user_id), two synthetic oriented reflections are built by
+    * rotating the triclinic B columns through a per-scan angle
+    * θ = user_id degrees IN SPARK, and [[UBMatrix.ubGroups]] must
+    * recover Rz(θ)·B. Rows-only gate (3×3 closed-form linear algebra
+    * is not worth a 60-line SQL oracle); exactness against analytic
+    * U·B is pinned by UBMatrixSpec.
+    */
+  val qUbMatrix = GateQuery.rowsOnly("q_ub_matrix") { (s, d) =>
+    val lat = UBMatrix.Lattice(5.43, 6.28, 7.11, 89.0, 92.0, 101.0)
+    val bm = UBMatrix.bMatrix(lat)
+    val theta = radians(col("user_id").cast("double"))
+    def refl(h: Int, k: Int): Column = {
+      // B·h for unit h is just column h of B; rotate it by Rz(θ)
+      val cidx = if (h == 1) 0 else 1
+      val v = Array(bm(0)(cidx), bm(1)(cidx), bm(2)(cidx))
+      struct(lit(h.toDouble).as("h"), lit(k.toDouble).as("k"), lit(0.0).as("l"),
+        (cos(theta) * lit(v(0)) - sin(theta) * lit(v(1))).as("qx"),
+        (sin(theta) * lit(v(0)) + cos(theta) * lit(v(1))).as("qy"),
+        lit(v(2)).as("qz"))
+    }
+    val refls = ev(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"), explode(array(refl(1, 0), refl(0, 1))).as("r"))
+      .select(col("user_id"), col("r.h").as("h"), col("r.k").as("k"),
+        col("r.l").as("l"), col("r.qx").as("qx"), col("r.qy").as("qy"),
+        col("r.qz").as("qz"))
+    UBMatrix.ubGroups(refls, lat, "user_id", "h", "k", "l", "qx", "qy", "qz")
+      .orderBy(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
     qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike,
-    qSavGol)
+    qSavGol, qUbMatrix)
 }

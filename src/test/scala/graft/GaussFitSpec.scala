@@ -50,6 +50,33 @@ class GaussFitSpec extends SparkSpec {
     assert(java.lang.Double.isFinite(r.getDouble(6)))
   }
 
+  test("reported esd matches the empirical parameter scatter (Monte Carlo)") {
+    // pyspec fit.py semantics: esd_p = sqrt(diag((JtJ)^-1)_p * rss/(n-4)).
+    // Fit 60 replicates with iid gaussian noise; the esd the fitter
+    // REPORTS must match the scatter the parameters ACTUALLY show.
+    val (bg, h, c, s) = (1.0, 8.0, 3.0, 2.0)
+    val xs = (-100 to 100).map(i => c + i * 0.08).toArray
+    val rng = new scala.util.Random(123457L)
+    val noise = 0.15
+    val fits = (0 until 60).map { _ =>
+      val ys = xs.map(x => gauss(bg, h, c, s)(x) + noise * rng.nextGaussian())
+      GaussFit.fitArrays(1L, xs, ys)
+    }
+    def std(vs: Seq[Double]) = {
+      val m = vs.sum / vs.size
+      math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+    }
+    assert(fits.forall(f => f.esd_height > 0 && f.esd_com > 0 &&
+      f.esd_bg > 0 && f.esd_sigma > 0))
+    val ratioH = (fits.map(_.esd_height).sum / fits.size) / std(fits.map(_.height))
+    val ratioC = (fits.map(_.esd_com).sum / fits.size) / std(fits.map(_.com))
+    assert(ratioH > 0.6 && ratioH < 1.7, s"esd_height/empirical = $ratioH")
+    assert(ratioC > 0.6 && ratioC < 1.7, s"esd_com/empirical = $ratioC")
+    // and a noise-free fit reports (numerically) zero error bars
+    val clean = GaussFit.fitArrays(2L, xs, xs.map(gauss(bg, h, c, s)))
+    assert(clean.esd_height < 1e-6 && clean.esd_com < 1e-6)
+  }
+
   test("fit is invariant to input row order") {
     val pts = (-50 to 50).map(i => (1L, i * 0.1, gauss(0.0, 5.0, 0.0, 1.0)(i * 0.1)))
     val a = GaussFit.fitGroups(pts.toDF("g", "x", "y"), "g", "x", "y").collect().head

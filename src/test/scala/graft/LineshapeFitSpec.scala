@@ -20,6 +20,28 @@ class LineshapeFitSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("width")) - g) < 1e-5)
   }
 
+  test("lorentzian esd scales linearly with noise and is NaN-free where defined") {
+    val (bg, h, c, g) = (1.0, 6.0, 2.5, 0.8)
+    val xs = (-120 to 120).map(i => c + i * 0.05).toArray
+    def noisy(a: Double) = xs.zipWithIndex.map { case (x, i) =>
+      bg + h / (1 + math.pow((x - c) / g, 2)) +
+        a * math.sin(i * 12.9898) * math.cos(i * 0.7)
+    }
+    val f1 = LineshapeFit.fitArrays(Lorentzian, 1L, xs, noisy(0.05))
+    val f3 = LineshapeFit.fitArrays(Lorentzian, 1L, xs, noisy(0.15))
+    assert(f1.esd_height > 0 && f1.esd_center > 0 && f1.esd_width > 0 && f1.esd_bg > 0)
+    assert(f1.esd_frac.isNaN) // 4-param shape has no frac
+    // esd ~ noise amplitude: tripling the noise triples the error bar
+    val ratio = f3.esd_height / f1.esd_height
+    assert(ratio > 2.4 && ratio < 3.6, s"esd scaling ratio = $ratio")
+    // power-law: exponent esd rides in esd_width, center undefined
+    val pxs = (1 to 200).map(_ * 0.05).toArray
+    val pys = pxs.zipWithIndex.map { case (x, i) =>
+      0.5 + 2.0 * math.pow(x, 1.7) + 0.02 * math.sin(i * 7.77) }
+    val pf = LineshapeFit.fitArrays(Power, 1L, pxs, pys)
+    assert(pf.esd_width > 0 && pf.esd_height > 0 && pf.esd_center.isNaN)
+  }
+
   test("pseudo-voigt fit recovers the lorentzian fraction") {
     val (bg, h, c, w, f) = (0.2, 5.0, -1.0, 1.2, 0.7)
     val pts = (-150 to 150).map { i =>
