@@ -67,7 +67,7 @@ object CoreQueries {
         Exact.roundedRatio(Exact.cents(sum(pd)), count(lit(1)) * lit(100L), 4).as("avg_price"),
         Exact.roundedRatio(Exact.cents(sum(dd)), count(lit(1)) * lit(100L), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .orderedSmall(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q03 = GateQuery.sql(
@@ -97,7 +97,7 @@ object CoreQueries {
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_odate"), col("o_orderpriority"))
       .agg(round(sum(dp), 2).cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .orderedSmall(col("revenue").desc, col("l_orderkey"))
       .limit(20)
   }
 
@@ -118,7 +118,7 @@ object CoreQueries {
     o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy(col("o_orderpriority"))
+      .orderedSmall(col("o_orderpriority"))
   }
 
   val q05 = GateQuery.sql(
@@ -154,7 +154,7 @@ object CoreQueries {
       .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(dp), 2).cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .orderedSmall(col("revenue").desc, col("n_name"))
   }
 
   val qTopkCustomers = GateQuery.sql(
@@ -179,7 +179,7 @@ object CoreQueries {
     Relational.topKPerGroupSalted(joined, Seq(col("n_name")),
         Seq(col("revenue").desc, col("c_custkey")), 3, col("c_custkey"))
       .select("n_name", "c_name", "revenue", "rnk")
-      .orderBy(col("n_name"), col("rnk"))
+      .orderedSmall(col("n_name"), col("rnk"))
   }
 
   val qPivotEvents = GateQuery.sql(
@@ -199,7 +199,7 @@ object CoreQueries {
       .groupBy(col("user_id"))
       .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
-      .orderBy(col("user_id"))
+      .orderedSmall(col("user_id"))
   }
 
   /** Anti-join (NOT EXISTS) — the complement of q04's semi-join:
@@ -224,7 +224,7 @@ object CoreQueries {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_lapsed"))
-      .orderBy(col("n_name"))
+      .orderedSmall(col("n_name"))
   }
 
   /** Rollup aggregation — multi-level totals in one pass (per
@@ -256,7 +256,7 @@ object CoreQueries {
         when(col("l_returnflag").isNull, "ALL").otherwise(col("l_returnflag")).as("rflag"),
         when(col("l_linestatus").isNull, "ALL").otherwise(col("l_linestatus")).as("lstatus"),
         col("sum_qty"), col("n_rows"))
-      .orderBy(col("rflag"), col("lstatus"))
+      .orderedSmall(col("rflag"), col("lstatus"))
   }
 
   val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents,

@@ -59,7 +59,7 @@ object EmbeddingQueries {
         Seq(col("_c").desc, col("vec_id")), 5, col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         (round(col("_c"), 6) + lit(0.0)).as("cos"), col("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+      .orderedSmall(col("query_id"), col("rnk"))
   }
 
   /** (vec_id, tbl, bkt) relation: one row per LSH table per vector.
@@ -120,7 +120,7 @@ object EmbeddingQueries {
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(first(col("_c")).as("_c"))
       .select(col("vec_a"), col("vec_b"), (round(col("_c"), 6) + lit(0.0)).as("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
+      .orderedSmall(col("vec_a"), col("vec_b"))
   }
 
   /** LSH-bucketed ANN (the scale path for #26): candidates restricted
@@ -148,7 +148,7 @@ object EmbeddingQueries {
         Seq(col("_c").desc, col("vec_id")), 3, col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         (round(col("_c"), 6) + lit(0.0)).as("cos"), col("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+      .orderedSmall(col("query_id"), col("rnk"))
   }
 
   val qRoiSum = GateQuery.sql(
@@ -166,7 +166,7 @@ object EmbeddingQueries {
         (aggregate(col("roi"), lit(0L), (s0, x) => s0 + x).cast("double") / lit(QScale.toDouble)).as("roi_sum"),
         (array_max(col("roi")).cast("double") / lit(QScale.toDouble)).as("roi_max"),
         size(col("roi")).cast("long").as("roi_n"))
-      .orderBy(col("vec_id"))
+      .orderedSmall(col("vec_id"))
   }
 
   val qDarkSubtract = GateQuery.sql(
@@ -190,7 +190,7 @@ object EmbeddingQueries {
         (array_min(col("corr")).cast("double") / lit(QScale.toDouble)).as("corr_min"),
         (array_max(col("corr")).cast("double") / lit(QScale.toDouble)).as("corr_max"),
         size(filter(col("corr"), x => x < 0)).cast("long").as("n_neg"))
-      .orderBy(col("vec_id"))
+      .orderedSmall(col("vec_id"))
   }
 
   /** Fixed-point UB matrix (2 decimals): the per-row diffractometer
@@ -222,7 +222,7 @@ object EmbeddingQueries {
     }
     prep(s, d).select(col("vec_id"),
         comp(UB(0)).as("h"), comp(UB(1)).as("k"), comp(UB(2)).as("l"))
-      .orderBy(col("vec_id"))
+      .orderedSmall(col("vec_id"))
   }
 
   /** IVF coarse-quantizer ANN (the k-means scale path next to LSH):
@@ -237,7 +237,7 @@ object EmbeddingQueries {
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
     graft.operators.IvfIndex.knn(qs, assigned, cents, nprobe = 4, k = 3)
-      .orderBy(col("query_id"), col("rnk"))
+      .orderedSmall(col("query_id"), col("rnk"))
   }
 
   val all: Seq[GateQuery] = Seq(

@@ -56,7 +56,7 @@ object ExtendedQueries {
       .groupBy(col("event_id").as("click_event"), col("user_id"))
       .agg(count(lit(1)).as("n_recent"),
         sum(Exact.cents(col("vd"))).as("v_recent_cents"))
-      .orderBy(col("click_event"))
+      .orderedSmall(col("click_event"))
   }
 
   /** Cube aggregation (#50): all four grouping levels of
@@ -86,7 +86,7 @@ object ExtendedQueries {
         Seq(col("l_returnflag"), col("l_linestatus")),
         Seq(sum(col("_n")).as("n"), sum(col("_q")).as("qty_cents"),
           sum(col("_p")).as("price_cents")))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .orderedSmall(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Exact per-group mode (#51): each user's most frequent event
@@ -102,7 +102,7 @@ object ExtendedQueries {
       |  PARTITION BY user_id ORDER BY n_mode DESC, mode_value DESC) = 1
       |ORDER BY user_id""".stripMargin) { (s, d) =>
     Relational.modePerGroup(Tables.events(s, d), Seq(col("user_id")), col("event_type"))
-      .orderBy(col("user_id"))
+      .orderedSmall(col("user_id"))
   }
 
   /** Linear background subtraction (#52, pyspec `bgsub`): baseline
@@ -128,7 +128,7 @@ object ExtendedQueries {
     WindowOps.bgSubtract(ev(s, d), col("user_id"),
         Seq(col("ts_us"), col("event_id")), col("xs"), col("vd"))
       .select(col("event_id"), col("user_id"), col("v_sub"))
-      .orderBy(col("event_id"))
+      .orderedSmall(col("event_id"))
   }
 
   /** Exact weighted percentile (#53): the median lineitem quantity by
@@ -146,7 +146,7 @@ object ExtendedQueries {
         col("l_quantity").cast("long"),
         Exact.cents(col("l_extendedprice").cast("decimal(18,2)")),
         50, out = "wmedian_qty")
-      .orderBy(col("l_returnflag"))
+      .orderedSmall(col("l_returnflag"))
   }
 
   val all: Seq[GateQuery] = Seq(

@@ -56,7 +56,7 @@ object ScanQueries {
        |  round(CAST(max(vd) AS DOUBLE), 2) AS v_max
        |FROM $E e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     PeakAnalysis.groupStats(ev(s, d), Seq("user_id"), col("vd"))
-      .orderBy(col("user_id"))
+      .orderedSmall(col("user_id"))
   }
 
   val qPeakMoments = GateQuery.sql(
@@ -77,7 +77,7 @@ object ScanQueries {
        |    0.0)), 4) AS fwhm
        |FROM m ORDER BY user_id""".stripMargin) { (s, d) =>
     PeakAnalysis.peakMoments(ev(s, d), Seq("user_id"), xsd, col("vd"))
-      .orderBy(col("user_id"))
+      .orderedSmall(col("user_id"))
   }
 
   val qLinReg = GateQuery.sql(
@@ -98,7 +98,7 @@ object ScanQueries {
        |    THEN (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd END, 6) + 0.0 AS intercept
        |FROM t ORDER BY user_id""".stripMargin) { (s, d) =>
     PeakAnalysis.linReg(ev(s, d), Seq("user_id"), xsd, col("vd"))
-      .orderBy(col("user_id"))
+      .orderedSmall(col("user_id"))
   }
 
   val qNormalizeMonitor = GateQuery.sql(
@@ -115,7 +115,7 @@ object ScanQueries {
     WindowOps.normalizeToMonitor(ev(s, d), col("user_id"), col("vd"),
         when(col("event_type") === "view", col("vd")), withError = true)
       .select(col("event_id"), col("user_id"), col("norm"), col("norm_err"))
-      .orderBy(col("event_id"))
+      .orderedSmall(col("event_id"))
   }
 
   val qRebin1d = GateQuery.sql(
@@ -125,7 +125,7 @@ object ScanQueries {
        |  ${roundedRatioSql(centsSql("sum(vd)"), "count(*) * 100", 4)} AS y_mean
        |FROM $E e GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
     Binning.rebin1d(ev(s, d), col("xs"), col("vd"), 3600L)
-      .orderBy(col("bin"))
+      .orderedSmall(col("bin"))
   }
 
   val qHistogram = GateQuery.sql(
@@ -139,7 +139,7 @@ object ScanQueries {
       |  round(min(lo + bin * ((hi - lo) / 20.0)), 4) AS bin_lo
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
     Binning.histogram(Tables.events(s, d), col("value"), 20)
-      .orderBy(col("bin"))
+      .orderedSmall(col("bin"))
   }
 
   val qGrid3d = GateQuery.sql(
@@ -163,7 +163,7 @@ object ScanQueries {
     Binning.grid3d(Tables.lineitem(s, d),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_extendedprice").cast("decimal(18,2)"), 8.0, 25000.0, 0.02)
-      .orderBy(col("gx"), col("gy"), col("gz"))
+      .orderedSmall(col("gx"), col("gy"), col("gz"))
   }
 
   val qMovingAvg = GateQuery.sql(
@@ -177,7 +177,7 @@ object ScanQueries {
     WindowOps.movingAvg(ev(s, d), col("user_id"),
         Seq(col("ts_us"), col("event_id")), col("vd"), 2)
       .select(col("event_id"), col("user_id"), col("ma"))
-      .orderBy(col("event_id"))
+      .orderedSmall(col("event_id"))
   }
 
   val qDerivative = GateQuery.sql(
@@ -195,7 +195,7 @@ object ScanQueries {
     WindowOps.derivative(ev(s, d), col("user_id"),
         Seq(col("ts_us"), col("event_id")), col("vd"), col("ts_us"))
       .select(col("event_id"), col("user_id"), col("deriv"))
-      .orderBy(col("event_id"))
+      .orderedSmall(col("event_id"))
   }
 
   val qAsOfJoin = GateQuery.sql(
@@ -228,7 +228,7 @@ object ScanQueries {
         col("right_event_id").as("purchase_event"),
         round(col("right_vd").cast("double"), 2).as("purchase_value"),
         round((col("t") - col("right_t")) / lit(1000000.0), 6).as("lag_sec"))
-      .orderBy(col("click_event"))
+      .orderedSmall(col("click_event"))
   }
 
   /** Cosmic-ray despiking (#61): rolling-median spike detection and
@@ -261,7 +261,7 @@ object ScanQueries {
         halfWidth = 2, thrCents = 10000L)
       .select(col("event_id"), col("user_id"), col("is_spike"),
         col("roll_med"), col("v_clean"))
-      .orderBy(col("event_id"))
+      .orderedSmall(col("event_id"))
   }
 
   /** Savitzky–Golay smoothing (#62): 5-point quadratic filter per
@@ -282,7 +282,7 @@ object ScanQueries {
     WindowOps.savitzkyGolay5(ev(s, d), col("user_id"),
         Seq(col("ts_us"), col("event_id")), Exact.cents(col("vd")))
       .select(col("event_id"), col("user_id"), col("sg"))
-      .orderBy(col("event_id"))
+      .orderedSmall(col("event_id"))
   }
 
   /** Iterative Gauss–Newton fit per scan (SURVEY §2 #10) — not
@@ -292,7 +292,7 @@ object ScanQueries {
   val qGaussFit = GateQuery.rowsOnly("q_gauss_fit") { (s, d) =>
     GaussFit.fitGroups(ev(s, d).select(col("user_id"), col("xs"),
         col("vd").cast("double").as("v")), "user_id", "xs", "v")
-      .orderBy(col("g"))
+      .orderedSmall(col("g"))
   }
 
   /** Generalized lineshape fits (pyspec fitfuncs lorentzian /
@@ -302,7 +302,7 @@ object ScanQueries {
     LineshapeFit.fitGroups(ev(s, d).select(col("user_id"), col("xs"),
         col("vd").cast("double").as("v")),
         LineshapeFit.Lorentzian, "user_id", "xs", "v")
-      .orderBy(col("g"))
+      .orderedSmall(col("g"))
   }
 
   /** Grid interpolation (#42): every user's event series resampled
@@ -320,7 +320,7 @@ object ScanQueries {
     Interpolate.onGrid(Tables.events(s, d), Seq("user_id"),
         col("ts_us"), col("value"),
         x0 = 1704067200000000L, dx = 162000000000L, n = 16)
-      .orderBy(col("user_id"), col("grid_x"))
+      .orderedSmall(col("user_id"), col("grid_x"))
   }
 
   /** Exact per-scan percentiles (#43): explicit order statistics +
@@ -333,7 +333,7 @@ object ScanQueries {
       Seq(0.5, 0.9)) + "\nORDER BY user_id") { (s, d) =>
     Percentiles.perGroup(Tables.events(s, d), Seq("user_id"),
         col("value"), col("event_id"), Seq(0.5, 0.9))
-      .orderBy(col("user_id"))
+      .orderedSmall(col("user_id"))
   }
 
   /** Batch sessionization (#45): gaps-and-islands over event time —
@@ -359,7 +359,7 @@ object ScanQueries {
         col("event_id"), Exact.cents(col("vd")), gap = 21600000000L)
       .select(col("k").as("user_id"), col("session_id"), col("t_start"),
         col("t_end"), col("n_events"), col("total_cents"))
-      .orderBy(col("user_id"), col("session_id"))
+      .orderedSmall(col("user_id"), col("session_id"))
   }
 
   /** UB from two reflections (pyspec diffractometer): per scan
@@ -389,7 +389,7 @@ object ScanQueries {
         col("r.l").as("l"), col("r.qx").as("qx"), col("r.qy").as("qy"),
         col("r.qz").as("qz"))
     UBMatrix.ubGroups(refls, lat, "user_id", "h", "k", "l", "qx", "qy", "qz")
-      .orderBy(col("g"))
+      .orderedSmall(col("g"))
   }
 
   val all: Seq[GateQuery] = Seq(

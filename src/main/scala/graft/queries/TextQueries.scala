@@ -32,7 +32,7 @@ object TextQueries {
     """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY content_md5 ORDER BY content_md5""".stripMargin) { (s, d) =>
     Relational.dedupExact(Tables.documents(s, d), col("text"), col("doc_id"))
-      .orderBy(col("content_md5"))
+      .orderedSmall(col("content_md5"))
   }
 
   val qTokenCount = GateQuery.sql(
@@ -47,7 +47,7 @@ object TextQueries {
         size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
         size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_tokens"),
         col("n_chars"))
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   val qTextQuality = GateQuery.sql(
@@ -76,7 +76,7 @@ object TextQueries {
         Exact.roundedRatio(col("sum_len"), col("n_words"), 4).as("avg_word_len"),
         Exact.roundedRatio(col("n_stop"), col("n_words"), 4).as("stop_ratio"),
         Exact.roundedRatio(col("n_distinct"), col("n_words"), 4).as("distinct_ratio"))
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   /** Marker-word language ID. Ties broken by fixed priority
@@ -116,7 +116,7 @@ object TextQueries {
           .when(col("s_fr") > 0, "fr")
           .otherwise("und").as("pred_lang"),
         (col("s_en") + col("s_de") + col("s_es") + col("s_fr")).as("n_markers"))
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   val qFingerprint = GateQuery.sql(
@@ -125,7 +125,7 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), graft.expressions.TextExpressions.fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   val qSimHash = GateQuery.sql(
@@ -137,7 +137,7 @@ object TextQueries {
        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), graft.expressions.TextExpressions.simHash32(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   val qJaccardPairs = GateQuery.sql(
@@ -156,7 +156,7 @@ object TextQueries {
        |WHERE inter * 100 >= (ma + mb - inter) * 50
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 50)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
   val qMinhashPairs = GateQuery.sql(
@@ -179,7 +179,7 @@ object TextQueries {
     }) { (s, d) =>
     Dedup.minhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         k = 3, numPerms = 16, bands = 4, minMatch = 8)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
   /** Corpus-curation funnel (#41): the end-to-end shape a training-
@@ -229,7 +229,7 @@ object TextQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
         sum(col("n_tokens")).as("total_tokens"))
-      .orderBy(col("source"))
+      .orderedSmall(col("source"))
   }
 
   /** Duplicate clusters (#40): connected components over the Jaccard
@@ -261,7 +261,7 @@ object TextQueries {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pairs = Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 50)
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   /** Deterministic split + sample accounting (#44): every doc gets a
@@ -283,7 +283,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         count(when(Sampling.samplePredicate(col("doc_id"), 10), lit(1))).as("n_sampled"))
-      .orderBy(col("split"))
+      .orderedSmall(col("split"))
   }
 
   /** Declarative metadata half of the multimodal pipeline (#32): the
@@ -311,7 +311,7 @@ object TextQueries {
         docs.filter(col("doc_id") % 100 =!= 0),
         docs.filter(col("doc_id") % 100 === 0),
         col("doc_id"), col("text"), k = 3)
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   /** Sequence packing (#60): documents into 512-token training
@@ -324,7 +324,7 @@ object TextQueries {
         size(split(col("text"), " ")).cast("long"), budget = 512L, buckets = 8)
       .select(col("bucket"), col("seq_id"), col("n_docs"),
         col("total_tokens"), round(col("fill"), 4).as("fill"))
-      .orderBy(col("bucket"), col("seq_id"))
+      .orderedSmall(col("bucket"), col("seq_id"))
   }
 
   val qMultimodalMeta = GateQuery.sql(
@@ -333,7 +333,7 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     MultimodalOps.withPayloadMeta(Tables.documents(s, d), col("doc_id"), col("text"))
       .select(col("doc_id"), col("n_bytes"), col("payload_md5"))
-      .orderBy(col("doc_id"))
+      .orderedSmall(col("doc_id"))
   }
 
   /** The batched decode half of the multimodal pipeline (#32): runs
@@ -349,7 +349,7 @@ object TextQueries {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     MultimodalOps.decodeFeatures(payloads, batchSize = 64)
-      .toDF().orderBy(col("doc_id"))
+      .toDF().orderedSmall(col("doc_id"))
   }
 
   val all: Seq[GateQuery] = Seq(
