@@ -75,8 +75,11 @@ object Dedup {
     val inter = capped
       .select(explode(graft.expressions.TextExpressions.docPairs(col("ds"))).as("p"))
       .select(col("p.pr").as("pr"), col("p.ma").as("ma"), col("p.mb").as("mb"))
-      .groupBy(col("pr"), col("ma"), col("mb"))
-      .agg(count(lit(1)).as("inter"))
+      // group on the ONE packed long; ma/mb are functions of pr, so
+      // max() just carries them — the pair shuffle hashes a single
+      // 8-byte key instead of a 3-column row
+      .groupBy(col("pr"))
+      .agg(count(lit(1)).as("inter"), max(col("ma")).as("ma"), max(col("mb")).as("mb"))
     val uni = col("ma") + col("mb") - col("inter")
     inter
       .filter(col("inter") * 100 >= uni * thresholdPct)

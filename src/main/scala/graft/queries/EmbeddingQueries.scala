@@ -225,6 +225,62 @@ object EmbeddingQueries {
       .orderedSmall(col("vec_id"))
   }
 
+  private def det3(m: Seq[Seq[Long]]): Long =
+    m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+
+  /** Integer adjugate: inv(M) = adj(M)/det(M), all entries exact. */
+  private def adj3(m: Seq[Seq[Long]]): Seq[Seq[Long]] = Seq(
+    Seq(m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1),
+      m(0)(2) * m(2)(1) - m(0)(1) * m(2)(2),
+      m(0)(1) * m(1)(2) - m(0)(2) * m(1)(1)),
+    Seq(m(1)(2) * m(2)(0) - m(1)(0) * m(2)(2),
+      m(0)(0) * m(2)(2) - m(0)(2) * m(2)(0),
+      m(0)(2) * m(1)(0) - m(0)(0) * m(1)(2)),
+    Seq(m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0),
+      m(0)(1) * m(2)(0) - m(0)(0) * m(2)(1),
+      m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)))
+
+  /** Inverse diffractometer transform (#66): fractional HKL from a
+    * measured scattering vector — hkl = UB⁻¹·q. The inverse of the
+    * fixed-point UB is its integer ADJUGATE over its integer
+    * DETERMINANT, so the whole inverse is one exact integer matvec
+    * plus a single HALF_UP division (scale: adj is 100², det 100³,
+    * so hkl = (adj·q_int) / (det · QScale/100)) — bit-identical
+    * across engines like the forward transform.
+    */
+  val qHklInverse = GateQuery.sql(
+    "q_hkl_inverse", {
+      val det = det3(UB)
+      val adj = adj3(UB)
+      val sgn = if (det < 0) -1L else 1L
+      val den = math.abs(det) * (QScale / 100)
+      val comps = Seq("h", "k", "l").zip(adj).map { case (name, row) =>
+        val raw = s"(${sgn * row(0)} * q[1] + ${sgn * row(1)} * q[2] + ${sgn * row(2)} * q[3])"
+        s"  ${Exact.roundedRatioSignedSql(raw, den.toString, 6)} AS $name"
+      }.mkString(",\n")
+      s"""WITH $PrepSql
+         |SELECT vec_id,
+         |$comps
+         |FROM en ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val det = det3(UB)
+    val adj = adj3(UB)
+    require(det != 0, "UB is singular")
+    val sgn = if (det < 0) -1L else 1L
+    val den = math.abs(det) * (QScale / 100)
+    def comp(row: Seq[Long]): Column = {
+      val raw = element_at(col("q"), 1) * lit(sgn * row(0)) +
+        element_at(col("q"), 2) * lit(sgn * row(1)) +
+        element_at(col("q"), 3) * lit(sgn * row(2))
+      Exact.roundedRatioSigned(raw, lit(den), 6)
+    }
+    prep(s, d).select(col("vec_id"),
+        comp(adj(0)).as("h"), comp(adj(1)).as("k"), comp(adj(2)).as("l"))
+      .orderedSmall(col("vec_id"))
+  }
+
   /** IVF coarse-quantizer ANN (the k-means scale path next to LSH):
     * deterministic exact-integer k-means, broadcast centroid probing,
     * per-cell candidate join. Rows-only gate; recall vs brute force
@@ -242,5 +298,5 @@ object EmbeddingQueries {
 
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
-    qHklTransform, qKnnIvf)
+    qHklTransform, qHklInverse, qKnnIvf)
 }

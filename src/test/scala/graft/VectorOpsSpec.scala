@@ -56,6 +56,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(hitRate >= 0.3, s"LSH precision-vs-exact $hitRate too low")
   }
 
+  test("hkl inverse round-trips: UB·(UB⁻¹·q) recovers q at sf0.001") {
+    // forward real-valued UB (the fixed-point literals / 100)
+    val ub = Seq(Seq(0.90, -0.10, 0.20), Seq(0.10, 1.10, -0.30), Seq(-0.20, 0.05, 0.95))
+    val inv = graft.SparkEntry.queries("q_hkl_inverse")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val qs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.expressions.VectorExpressions.quantizeVec(
+          org.apache.spark.sql.functions.col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).take(3)).toMap
+    assert(inv.nonEmpty && inv.keySet == qs.keySet)
+    inv.foreach { case (id, hkl) =>
+      val q = qs(id)
+      (0 until 3).foreach { i =>
+        val back = ub(i)(0) * hkl(0) + ub(i)(1) * hkl(1) + ub(i)(2) * hkl(2)
+        val want = q(i).toDouble / 1000000L
+        assert(math.abs(back - want) < 1e-5, s"vec $id row $i: $back vs $want")
+      }
+    }
+  }
+
   test("planeWeight constants are stable") {
     assert(VectorOps.planeWeight(0, 0, 0) == VectorOps.planeWeight(0, 0, 0))
     assert((0 until 20).map(VectorOps.planeWeight(1, 2, _)).forall(w => w >= -1000 && w <= 1000))
