@@ -353,9 +353,16 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead with Support
 
 class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
                       indexCache: Boolean = false)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var scanEq: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SpecSchema.schema
+
+  // Column pruning: a `select(file, scan)` must not pay for building
+  // the motors/data maps and mca arrays of every point.
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val wanted = filters.collect {
@@ -375,7 +382,7 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = SpecSchema.schema
+    override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
@@ -405,21 +412,25 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new SpecReaderFactory(new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
   }
 }
 
-class SpecReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
+class SpecReaderFactory(conf: SerializableHadoopConf,
+                        columns: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SpecPartitionReader(partition.asInstanceOf[SpecInputPartition], conf.value)
+    new SpecPartitionReader(partition.asInstanceOf[SpecInputPartition], conf.value, columns)
 }
 
 /** Parses one scan's byte range into data-point rows: opens the file
   * through Hadoop FS, `seek`s to the block start, and reads exactly
   * `endByte - startByte` bytes — a K-scan file costs O(file bytes)
-  * across all K partitions combined.
+  * across all K partitions combined. Only the pruned `columns` are
+  * materialized per row (header parsing is line-bound either way, but
+  * map/array construction per point is skipped for unread fields).
   */
-class SpecPartitionReader(p: SpecInputPartition, conf: Configuration)
+class SpecPartitionReader(p: SpecInputPartition, conf: Configuration,
+                          columns: Array[String] = SpecSchema.schema.fieldNames)
     extends PartitionReader[InternalRow] {
   private val rows: Iterator[InternalRow] = {
     val path = new Path(p.path)
@@ -500,23 +511,38 @@ class SpecPartitionReader(p: SpecInputPartition, conf: Configuration)
         line = reader.readLine()
       }
     } finally raw.close()
-    val motorMap =
+    // scan-constant values, built once and only if requested
+    val need = columns.toSet
+    lazy val motorMap =
       if (positionsValid) mapData(p.motorNames.take(positions.length), positions.toArray)
       else null
-    val fileU = UTF8String.fromString(p.path)
-    val cmdU = if (command == null) null else UTF8String.fromString(command)
-    val dateU = if (date == null) null else UTF8String.fromString(date)
-    val geomArr = if (geom.isEmpty) null
+    lazy val fileU = UTF8String.fromString(p.path)
+    lazy val cmdU = if (command == null) null else UTF8String.fromString(command)
+    lazy val dateU = if (date == null) null else UTF8String.fromString(date)
+    lazy val geomArr = if (geom.isEmpty) null
       else new GenericArrayData(geom.toArray.map(v => v: Any))
-    val hklArr = if (hkl.isEmpty) null
+    lazy val hklArr = if (hkl.isEmpty) null
       else new GenericArrayData(hkl.toArray.map(v => v: Any))
+    require(need.subsetOf(SpecSchema.schema.fieldNames.toSet),
+      s"unknown spec columns: ${need -- SpecSchema.schema.fieldNames}")
     dataRows.iterator.zipWithIndex.map { case (vals, idx) =>
-      val dataMap = mapData(labels.take(vals.length), vals)
-      val mca = mcaRows(idx)
-      val mcaArr = if (mca == null) null
-        else new GenericArrayData(mca.map(v => v: Any))
-      InternalRow(fileU, p.scanNo, cmdU, dateU, countTime, monitor,
-        geomArr, hklArr, idx.toLong, motorMap, dataMap, mcaArr)
+      val values: Array[Any] = columns.map {
+        case "file" => fileU
+        case "scan" => p.scanNo
+        case "command" => cmdU
+        case "date" => dateU
+        case "count_time" => countTime
+        case "monitor" => monitor
+        case "geometry" => geomArr
+        case "hkl" => hklArr
+        case "point" => idx.toLong
+        case "motors" => motorMap
+        case "data" => mapData(labels.take(vals.length), vals)
+        case "mca" =>
+          val mca = mcaRows(idx)
+          if (mca == null) null else new GenericArrayData(mca.map(v => v: Any))
+      }
+      InternalRow(values: _*)
     }
   }
 

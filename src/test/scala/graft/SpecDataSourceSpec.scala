@@ -362,6 +362,22 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(key(back) == key(src))
   }
 
+  test("column pruning reaches the scan (2-column projection)") {
+    val df = spark.read.format("spec").load(fixture)
+      .select(col("scan"), element_at(col("data"), "detector").as("det"))
+    val scanCols = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.output.map(_.name)
+    }.flatten
+    assert(scanCols.toSet == Set("scan", "data"),
+      s"scan must read only (scan, data), got $scanCols")
+    // and values are unchanged under pruning
+    val agg = df.groupBy("scan").agg(max("det")).orderBy("scan").collect()
+    assert(agg(0).getDouble(1) == 55.0 && agg(1).getDouble(1) == 50.0)
+    // minimal projection still returns one row per data point
+    assert(spark.read.format("spec").load(fixture).select("scan").count() == 9)
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
