@@ -52,6 +52,24 @@ object VectorOps {
   def normQSql(a: String): String =
     s"CAST(list_sum([x * x for x in $a]) AS BIGINT)"
 
+  /** Array rebin (pyspec `ccd` image binning, 1-D form): collapse a
+    * quantized vector by `factor`, each output bin the EXACT integer
+    * sum of its `factor` inputs — the detector-pixel binning step of
+    * an image stack, expressed per row with zero shuffle. `bins` =
+    * output length (input length must be ≥ bins·factor; extra tail
+    * elements are ignored, as CCD binning crops the ragged edge).
+    */
+  def rebinQ(v: Column, factor: Int, bins: Int): Column =
+    transform(sequence(lit(0), lit(bins - 1)), i =>
+      (0 until factor).map(j => element_at(v, i * factor + lit(j + 1)))
+        .reduce(_ + _))
+
+  /** DuckDB SQL mirror of [[rebinQ]]. */
+  def rebinQSql(v: String, factor: Int, bins: Int): String = {
+    val terms = (0 until factor).map(j => s"$v[$factor*i + ${j + 1}]").mkString(" + ")
+    s"[$terms for i in range(0, $bins)]"
+  }
+
   /** Cosine from exact ints — deterministic double expression. */
   def cosineQ(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

@@ -225,6 +225,23 @@ object EmbeddingQueries {
       .orderedSmall(col("vec_id"))
   }
 
+  /** Array rebin (#67, pyspec ccd image binning): each embedding
+    * binned 64→16 by exact integer 4-sums, exploded to scalar rows so
+    * the oracle hash-compares cell values (no list-column hashing).
+    */
+  val qArrayRebin = GateQuery.sql(
+    "q_array_rebin",
+    s"""WITH $PrepSql,
+       |b AS (SELECT vec_id, ${VectorOps.rebinQSql("q", 4, 16)} AS rb FROM en)
+       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS bin, CAST(rb[i] AS BIGINT) AS v
+       |FROM b, range(1, 17) t(i) ORDER BY vec_id, bin""".stripMargin) { (s, d) =>
+    prep(s, d)
+      .select(col("vec_id"), posexplode(VectorOps.rebinQ(col("q"), 4, 16)))
+      .select(col("vec_id"), col("pos").cast("long").as("bin"),
+        col("col").cast("long").as("v"))
+      .orderedSmall(col("vec_id"), col("bin"))
+  }
+
   private def det3(m: Seq[Seq[Long]]): Long =
     m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
       m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
@@ -298,5 +315,5 @@ object EmbeddingQueries {
 
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
-    qHklTransform, qHklInverse, qKnnIvf)
+    qHklTransform, qHklInverse, qArrayRebin, qKnnIvf)
 }

@@ -77,6 +77,13 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("rebinQ sums exact integer bins and crops the ragged tail") {
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))).toDF("q")
+    val out = df.select(graft.operators.VectorOps.rebinQ(col("q"), 4, 2))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(10L, 26L)) // 1+2+3+4, 5+6+7+8; the 9 tail is cropped
+  }
+
   test("planeWeight constants are stable") {
     assert(VectorOps.planeWeight(0, 0, 0) == VectorOps.planeWeight(0, 0, 0))
     assert((0 until 20).map(VectorOps.planeWeight(1, 2, _)).forall(w => w >= -1000 && w <= 1000))
