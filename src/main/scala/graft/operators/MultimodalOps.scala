@@ -30,6 +30,16 @@ object MultimodalOps {
   final case class Feature(doc_id: Long, width: Int, height: Int,
                            mean_luma: Double, decoded: Boolean, batch_size: Int)
 
+  /** Magic-byte sniff (PNG/BMP/GIF/JPEG): non-image payloads skip
+    * `ImageIO`'s per-call reader discovery entirely — on a mostly-text
+    * corpus the decode stage costs a 4-byte compare per row. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))
+
   /** Batched executor-side decode: iterates payload batches (the shape
     * that amortizes per-batch codec/model setup for heavier decoders),
     * decoding each payload with `javax.imageio`. Decodable images
@@ -44,7 +54,8 @@ object MultimodalOps {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { case (id, bytes) =>
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (!looksLikeImage(bytes)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null } // corrupt image = not an image
           if (img != null && img.getWidth > 0 && img.getHeight > 0) {
             val w = img.getWidth
