@@ -60,6 +60,65 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(!out(2).decoded)
   }
 
+  test("resize: nearest-neighbour downsample produces the exact pixels") {
+    // 4x4 quadrant image: TL white, TR red, BL blue, BR black
+    val px = Array(
+      Array(0xffffff, 0xffffff, 0xff0000, 0xff0000),
+      Array(0xffffff, 0xffffff, 0xff0000, 0xff0000),
+      Array(0x0000ff, 0x0000ff, 0x000000, 0x000000),
+      Array(0x0000ff, 0x0000ff, 0x000000, 0x000000))
+    val ds = spark.createDataset(Seq((1L, pngBytes(px)), (2L, "text".getBytes("UTF-8"))))
+    val out = MultimodalOps.resizeImages(ds, 2, 2, batchSize = 4)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).decoded && out(0).width == 2 && out(0).height == 2)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).png))
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xffffff)
+    assert((back.getRGB(1, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(0, 1) & 0xffffff) == 0x0000ff)
+    assert((back.getRGB(1, 1) & 0xffffff) == 0x000000)
+    assert(!out(1).decoded && out(1).png == null)
+    // determinism: identical bytes on a second run
+    val again = MultimodalOps.resizeImages(ds, 2, 2, batchSize = 4)
+      .collect().sortBy(_.doc_id)
+    assert(java.util.Arrays.equals(out(0).png, again(0).png))
+  }
+
+  test("frame sampling: every k-th frame of a packed container, no shuffle") {
+    val frames = (0 until 10).map(i => Array(i.toByte, (i * 2).toByte))
+    val packed = MultimodalOps.packFrames(frames)
+    val ds = spark.createDataset(Seq(
+      (7L, packed), (8L, "not a container".getBytes("UTF-8"))))
+    val out = MultimodalOps.sampleFrames(ds, every = 3, batchSize = 2)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(out.map(f => (f.doc_id, f.frame_idx)).toSeq ==
+      Seq((7L, 0), (7L, 3), (7L, 6), (7L, 9)))
+    assert(out.head.payload.toSeq == Seq(0.toByte, 0.toByte))
+    assert(out(1).payload.toSeq == Seq(3.toByte, 6.toByte))
+  }
+
+  test("audio metadata parses WAV RIFF headers without a codec") {
+    // hand-build a 44-byte PCM WAV header + 4 samples of silence
+    def wav(rate: Int, ch: Int, bits: Int, nSamples: Int): Array[Byte] = {
+      val dataLen = nSamples * ch * bits / 8
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def le32(v: Int) = o.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+      def le16(v: Int) = o.write(Array[Byte](v.toByte, (v >> 8).toByte))
+      o.writeBytes("RIFF"); le32(36 + dataLen); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); le32(16); le16(1); le16(ch); le32(rate)
+      le32(rate * ch * bits / 8); le16(ch * bits / 8); le16(bits)
+      o.writeBytes("data"); le32(dataLen); o.write(new Array[Byte](dataLen))
+      bos.toByteArray
+    }
+    val ds = spark.createDataset(Seq(
+      (1L, wav(44100, 2, 16, 22050)), (2L, "nope".getBytes("UTF-8"))))
+    val out = MultimodalOps.audioMeta(ds).collect().sortBy(_.doc_id)
+    assert(out(0).valid && out(0).sample_rate == 44100 && out(0).channels == 2 &&
+      out(0).bits_per_sample == 16 && out(0).n_samples == 22050L)
+    assert(math.abs(out(0).duration_s - 0.5) < 1e-9)
+    assert(!out(1).valid)
+  }
+
   test("BMP decodes too (second javax.imageio codec)") {
     val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
