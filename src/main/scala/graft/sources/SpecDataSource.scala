@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -338,8 +339,8 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead with Support
   override def name(): String = s"spec(${paths.mkString(",")})"
   override def schema(): StructType = SpecSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SpecWriteSupport.SpecWriteBuilder(paths, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -348,11 +349,12 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead with Support
     // newest occurrence per file. Default "all" exposes every block.
     new SpecScanBuilder(paths,
       options.getOrDefault("duplicates", "all").toLowerCase == "last",
-      options.getBoolean("indexCache", false))
+      options.getBoolean("indexCache", false),
+      options.getBoolean("emitLast", false))
 }
 
 class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
-                      indexCache: Boolean = false)
+                      indexCache: Boolean = false, emitLast: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var scanEq: Option[Set[Long]] = None
@@ -413,7 +415,153 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
     override def createReaderFactory(): PartitionReaderFactory =
       new SpecReaderFactory(new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
+
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new SpecMicroBatchStream(paths,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+        required.fieldNames, emitLast)
   }
+}
+
+/** Per-file committed byte positions — the stream's offset. */
+final case class SpecStreamOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    files.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+}
+
+object SpecStreamOffset {
+  def fromJson(json: String): SpecStreamOffset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val m = mutable.Map[String, Long]()
+    node.fieldNames().asScala.foreach(f => m(f) = node.get(f).asLong())
+    SpecStreamOffset(m.toMap)
+  }
+}
+
+/** Structured-Streaming source over LIVE spec files — the `readStream`
+  * half of the format, for watching an experiment as it acquires:
+  * spec instruments APPEND `#S` blocks to a growing file, so each
+  * micro-batch emits the scans that became COMPLETE since the last
+  * offset. A scan is complete once a later `#S` exists; the trailing
+  * (possibly still-writing) block is held back until the next header
+  * appears (`option("emitLast", "true")` emits it too, for corpora
+  * known closed). New files appearing under the path are picked up
+  * automatically.
+  *
+  * Offsets are per-file byte positions of the newest safe boundary,
+  * so recovery replans the exact same scans from the checkpoint (the
+  * byte range [start, end) re-indexes deterministically); each
+  * trigger re-reads only bytes PAST the previous boundary, never the
+  * whole file. Partitions/readers are the batch ones — one partition
+  * per newly completed scan, seek + bounded read.
+  */
+class SpecMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
+                           columns: Array[String], emitLast: Boolean)
+    extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // file-level #O names live in the header (before the first #S), so
+  // they are read once per file and cached for the stream's lifetime
+  private val motorCache = mutable.Map[String, Array[String]]()
+
+  private def headerMotors(path: String): Array[String] =
+    motorCache.getOrElseUpdate(path, {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf.value)
+      val in = fs.open(p)
+      try {
+        val reader = new OffsetLineReader(in)
+        val names = mutable.ArrayBuffer[String]()
+        var line = reader.readLine()
+        while (line != null && !line.startsWith("#S ")) {
+          if (line.startsWith("#O")) names ++= SpecSchema.splitLabels(line.dropWhile(_ != ' '))
+          line = reader.readLine()
+        }
+        names.toArray
+      } finally in.close()
+    })
+
+  /** Scan blocks in [from, to): seek to `from` (always 0 or a prior
+    * `#S` boundary) and walk forward. The block starting at the last
+    * `#S` before `to` ends AT `to` by construction of latestOffset. */
+  private def scansInRange(path: String, from: Long, to: Long): Seq[(Long, Long, Long)] = {
+    if (to <= from) return Seq.empty
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    try {
+      in.seek(from)
+      val reader = new OffsetLineReader(new BoundedInputStream(in, to - from))
+      val scans = mutable.ArrayBuffer[(Long, Long, Long)]()
+      var curScan = -1L
+      var curStart = -1L
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("#S ")) {
+          if (curScan >= 0) scans += ((curScan, curStart, from + reader.lineStart))
+          curScan = line.drop(3).trim.takeWhile(_.isDigit) match {
+            case "" => -1L
+            case d => d.toLong
+          }
+          curStart = from + reader.lineStart
+        }
+        line = reader.readLine()
+      }
+      if (curScan >= 0) scans += ((curScan, curStart, to))
+      scans.toSeq
+    } finally in.close()
+  }
+
+  override def initialOffset(): Offset = SpecStreamOffset(Map.empty)
+
+  override def deserializeOffset(json: String): Offset = SpecStreamOffset.fromJson(json)
+
+  // tracked per stream instance purely to re-scan only new bytes;
+  // correctness never depends on it (restart rescans from 0)
+  private val seen = mutable.Map[String, Long]()
+
+  override def latestOffset(): Offset = {
+    val files = SpecSchema.expand(paths, conf.value)
+    val offsets = files.map { meta =>
+      val prev = seen.getOrElse(meta.path, 0L)
+      val safe =
+        if (emitLast) meta.len
+        else {
+          // newest #S start at or past the previous boundary: bytes
+          // before it are complete blocks, the block after it may
+          // still be appending
+          var last = prev
+          scansInRange(meta.path, prev, meta.len).foreach { case (_, s, _) => last = s }
+          last
+        }
+      seen(meta.path) = safe
+      meta.path -> safe
+    }.toMap
+    SpecStreamOffset(offsets)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SpecStreamOffset].files
+    val e = end.asInstanceOf[SpecStreamOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (path, to) =>
+      val from = s.getOrElse(path, 0L)
+      scansInRange(path, from, to).map { case (no, b0, b1) =>
+        SpecInputPartition(path, no, b0, b1, headerMotors(path))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpecReaderFactory(conf, columns)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class SpecReaderFactory(conf: SerializableHadoopConf,

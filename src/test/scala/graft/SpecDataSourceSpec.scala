@@ -378,6 +378,62 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(spark.read.format("spec").load(fixture).select("scan").count() == 9)
   }
 
+  test("streaming source tails a growing spec file, emitting completed scans") {
+    val dir = Files.createTempDirectory("specstream").toFile
+    val f = new java.io.File(dir, "live.spec")
+    def append(s: String): Unit =
+      Files.write(f.toPath, s.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    append("""#F live.spec
+             |#O0 Theta
+             |
+             |#S 1 ascan th 0 1 2 1
+             |#P0 0.1
+             |#L th  det
+             |0.0 10
+             |1.0 20
+             |
+             |#S 2 ascan th 0 1 2 1
+             |#P0 0.2
+             |#L th  det
+             |0.0 30
+             |""".stripMargin)
+    val stream = spark.readStream.format("spec").load(f.getPath)
+      .select(col("scan"), element_at(col("data"), "det").as("det"),
+        element_at(col("motors"), "Theta").as("th"))
+    val q = stream.writeStream.format("memory").queryName("spec_live")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // scan 2 has no following #S yet -> held back as possibly live
+      val first = spark.table("spec_live").collect()
+      assert(first.map(_.getLong(0)).toSet == Set(1L))
+      assert(first.map(_.getDouble(1)).sorted.toSeq == Seq(10.0, 20.0))
+      assert(first.forall(_.getDouble(2) == 0.1)) // #P under cached #O names
+      // the instrument finishes scan 2 and starts scan 3
+      append("""1.0 40
+               |
+               |#S 3 ascan th 0 1 2 1
+               |#L th  det
+               |0.0 50
+               |""".stripMargin)
+      q.processAllAvailable()
+      val now = spark.table("spec_live").collect()
+      assert(now.map(_.getLong(0)).toSet == Set(1L, 2L)) // 3 still live
+      assert(now.filter(_.getLong(0) == 2L).map(_.getDouble(1)).sorted.toSeq ==
+        Seq(30.0, 40.0)) // scan 2 complete, BOTH points
+    } finally q.stop()
+    // emitLast=true flushes the trailing block (file known complete)
+    val all = spark.readStream.format("spec").option("emitLast", "true").load(f.getPath)
+      .select(col("scan"))
+    val q2 = all.writeStream.format("memory").queryName("spec_done")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("spec_done").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally q2.stop()
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
