@@ -45,6 +45,46 @@ class SpecWorkflowSpec extends SparkSpec {
     assert(math.abs(fit.getDouble(fit.fieldIndex("bg")) - trueBg) < 2.0)
   }
 
+  test("LIVE workflow: tail the growing file, monitor per-scan peaks as scans close") {
+    // the streaming version of the daily loop: watch the file the
+    // instrument is writing, and as each scan COMPLETES, refresh its
+    // peak summary (height/COM estimate from moments)
+    val dir = Files.createTempDirectory("specwfl").toFile
+    val f = new java.io.File(dir, "live.spec")
+    def gaussScan(no: Int, c: Double): String = {
+      val sb = new StringBuilder(s"\n#S $no ascan th 0 1 20 1\n#L th  det\n")
+      (0 to 20).foreach { i =>
+        val x = i / 20.0
+        sb.append(f"$x%.2f ${math.rint(10 + 500 * math.exp(-(x - c) * (x - c) / 0.02))}%.0f\n")
+      }
+      sb.toString
+    }
+    def append(s: String): Unit = Files.write(f.toPath, s.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    append("#F live.spec\n#O0 Theta\n" + gaussScan(1, 0.3) + gaussScan(2, 0.7))
+    val peaks = spark.readStream.format("spec").load(f.getPath)
+      .select(col("scan"),
+        element_at(col("data"), "th").as("x"),
+        element_at(col("data"), "det").as("w"))
+      .groupBy(col("scan"))
+      .agg(count(lit(1)).as("n"), max(col("w")).as("height"),
+        (sum(col("x") * col("w")) / sum(col("w"))).as("com"))
+    val q = peaks.writeStream.format("memory").queryName("live_peaks")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val one = spark.table("live_peaks").collect()
+      assert(one.map(_.getLong(0)).toSeq == Seq(1L)) // scan 2 still acquiring
+      assert(math.abs(one.head.getDouble(3) - 0.3) < 0.05)
+      append(gaussScan(3, 0.5)) // scan 3 begins => scan 2 is complete
+      q.processAllAvailable()
+      val two = spark.table("live_peaks").collect().sortBy(_.getLong(0))
+      assert(two.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(math.abs(two(1).getDouble(3) - 0.7) < 0.05)
+      assert(two.forall(_.getLong(1) == 21L)) // every point of every closed scan
+    } finally q.stop()
+  }
+
   test("normalize scan counts to the monitor column") {
     val scan = spark.read.format("spec").load(fixture)
       .select(col("scan"), col("point"),
