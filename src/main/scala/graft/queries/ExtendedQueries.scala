@@ -149,6 +149,29 @@ object ExtendedQueries {
       .orderedSmall(col("l_returnflag"))
   }
 
+  /** Quantile bucketing (#73): quartile documents by length within
+    * each source — the "bucket the corpus by quality, keep the top
+    * quartile" curation shape. ntile over a TOTAL order
+    * (n_chars, doc_id) is deterministic and identical across engines.
+    */
+  val qQualityBuckets = GateQuery.sql(
+    "q_quality_buckets",
+    """WITH b AS (SELECT source, n_chars,
+      |    CAST(ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+      |  FROM documents)
+      |SELECT source, bucket, count(*) AS n,
+      |  CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
+      |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), ntile(4).over(w).cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderedSmall(col("source"), col("bucket"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qRangeJoin, qCube, qModePerGroup, qBgSubtract, qWeightedMedian)
+    qRangeJoin, qCube, qModePerGroup, qBgSubtract, qWeightedMedian,
+    qQualityBuckets)
 }

@@ -434,6 +434,35 @@ class SpecDataSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming (emitLast) equals batch on arbitrary line soup (parity fuzz)") {
+    val rnd = new scala.util.Random(787878)
+    val fragments = Seq(
+      "#S ", "#S 1 ascan", "#D ", "#T abc", "#M ", "#G0 x y", "#Q 1 2",
+      "#P0 ", "#P0 bad 1.0", "#L a  b", "#O0 m1  m2", "@A 1 2 \\",
+      "3 4", "@A", "\\", "1.0 2.0", "not a number line", "#C comment",
+      "", "   ", "#N 3", "0.5", "#unknownheader x")
+    (0 until 5).foreach { trial =>
+      val dir = Files.createTempDirectory(s"specsfuzz$trial").toFile
+      val f = new java.io.File(dir, "fuzz.spec")
+      val lines = (0 until 60).map(_ => fragments(rnd.nextInt(fragments.length)))
+      val content = (lines.take(30) ++ Seq("#S 9 fuzzscan", "#L v", "1.25") ++
+        lines.drop(30)).mkString("\n")
+      Files.write(f.toPath, content.getBytes("UTF-8"))
+      val batchRows = spark.read.format("spec").load(f.getPath)
+        .select("scan", "point").collect().map(_.toString).sorted.toSeq
+      val q = spark.readStream.format("spec").option("emitLast", "true").load(f.getPath)
+        .select("scan", "point")
+        .writeStream.format("memory").queryName(s"fuzz_par$trial")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamRows = spark.table(s"fuzz_par$trial")
+          .collect().map(_.toString).sorted.toSeq
+        assert(streamRows == batchRows, s"trial $trial")
+      } finally q.stop()
+    }
+  }
+
   test("spec columns integrate with DataFrame ops (per-scan stats)") {
     val df = spark.read.format("spec").load(fixture)
     val stats = df.select(col("scan"), element_at(col("data"), "detector").as("det"))
