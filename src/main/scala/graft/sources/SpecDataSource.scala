@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -366,22 +366,51 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private var scanLo: Long = Long.MinValue
+  private var scanHi: Long = Long.MaxValue
+  private var fileEq: Option[Set[String]] = None
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val wanted = filters.collect {
-      case EqualTo("scan", v: Long) => Set(v)
-      case EqualTo("scan", v: Int) => Set(v.toLong)
-      case In("scan", vs) => vs.collect { case v: Long => v; case v: Int => v.toLong }.toSet
+      case EqualTo("scan", v) if longOf(v).isDefined => Set(longOf(v).get)
+      case In("scan", vs) => vs.flatMap(longOf).toSet
     }
-    if (wanted.nonEmpty) {
-      scanEq = Some(wanted.reduce(_ intersect _))
-      pushed = filters.filter {
-        case EqualTo("scan", _) | In("scan", _) => true
-        case _ => false
-      }
+    if (wanted.nonEmpty) scanEq = Some(wanted.reduce(_ intersect _))
+    // range predicates prune too (a scan number is monotone in
+    // acquisition order, so "scans after 100" is a common access)
+    filters.foreach {
+      case GreaterThan("scan", v) => longOf(v).foreach(l => scanLo = math.max(scanLo, l + 1))
+      case GreaterThanOrEqual("scan", v) => longOf(v).foreach(l => scanLo = math.max(scanLo, l))
+      case LessThan("scan", v) => longOf(v).foreach(l => scanHi = math.min(scanHi, l - 1))
+      case LessThanOrEqual("scan", v) => longOf(v).foreach(l => scanHi = math.min(scanHi, l))
+      case _ => ()
+    }
+    // file-equality filters skip whole FILES before they are indexed
+    // (at corpus scale the index pass itself is the cost to avoid)
+    val wantedFiles = filters.collect {
+      case EqualTo("file", v: String) => Set(v)
+      case In("file", vs) => vs.collect { case s: String => s }.toSet
+    }
+    if (wantedFiles.nonEmpty) fileEq = Some(wantedFiles.reduce(_ intersect _))
+    pushed = filters.filter {
+      case EqualTo("scan", _) | In("scan", _) => true
+      case GreaterThan("scan", _) | GreaterThanOrEqual("scan", _) => true
+      case LessThan("scan", _) | LessThanOrEqual("scan", _) => true
+      case EqualTo("file", _) | In("file", _) => true
+      case _ => false
     }
     filters // all filters stay as residual (pruning is an extra win)
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  private def scanWanted(no: Long): Boolean =
+    no >= scanLo && no <= scanHi && scanEq.forall(_.contains(no))
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
@@ -390,6 +419,7 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
       val spark = SparkSession.active
       val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
       val files = SpecSchema.expand(paths, hconf.value)
+        .filter(f => fileEq.forall(_.contains(f.path)))
       // Index off the driver once the corpus is more than a handful of
       // files: one task per file, collecting only the offset tables
       // (metadata, not data) — the driver never streams file bytes.
@@ -407,7 +437,7 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
             idx.scans.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq.sortBy(_._2)
           else idx.scans
         scans.collect {
-          case (no, s, e) if scanEq.forall(_.contains(no)) =>
+          case (no, s, e) if scanWanted(no) =>
             SpecInputPartition(idx.path, no, s, e, idx.motorNames)
         }
       }.toArray

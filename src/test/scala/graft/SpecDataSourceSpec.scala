@@ -106,6 +106,26 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("scan range filters and file equality prune partitions") {
+    val dir = Files.createTempDirectory("specprune").toFile
+    val mk = (name: String, scans: Range) => Files.write(
+      new java.io.File(dir, name).toPath,
+      scans.map(s => s"#S $s x\n#L th  det\n0 $s\n").mkString("\n").getBytes("UTF-8"))
+    mk("a.spec", 1 to 6)
+    mk("b.spec", 1 to 6)
+    val df = spark.read.format("spec").load(dir.getPath)
+    assert(df.count() == 12)
+    // range predicate prunes partitions, not just rows
+    val mid = df.filter(col("scan") > 2 && col("scan") <= 4)
+    assert(mid.rdd.getNumPartitions == 4) // scans 3,4 in both files
+    assert(mid.count() == 4)
+    // file equality prunes the other file's partitions entirely
+    val one = df.select("file").distinct().orderBy("file").collect().head.getString(0)
+    val fOnly = df.filter(col("file") === one && col("scan") === 5)
+    assert(fOnly.rdd.getNumPartitions == 1)
+    assert(fOnly.count() == 1)
+  }
+
   test("glob paths expand; malformed data lines are skipped") {
     val dir = Files.createTempDirectory("specglob").toFile
     val mk = (name: String, body: String) => Files.write(
