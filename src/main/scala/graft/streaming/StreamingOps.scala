@@ -64,6 +64,35 @@ object StreamingOps {
          |$rightTime >= $leftTime - INTERVAL $boundSeconds SECONDS AND
          |$rightTime <= $leftTime""".stripMargin))
 
+  /** Streaming as-of enrichment (the live counterpart of
+    * [[graft.operators.AsOfJoin.backward]]): each left event is
+    * paired with the MOST RECENT right event of its key within
+    * `boundSeconds` look-back — not just any in-window match. Built
+    * from two chained stateful operators (supported since multiple
+    * stateful ops landed in Spark's streaming engine): the interval
+    * join produces every in-bound candidate, and a watermarked
+    * `max_by` aggregate keyed by the left event keeps the latest
+    * right row, emitting once the watermark closes the event.
+    * State in both stages is watermark-evicted: O(in-flight window).
+    *
+    * `leftCols` are carried through (must functionally depend on the
+    * left event identity `leftId`); the right payload arrives as
+    * `asof_<payload>` with its event time as `asof_time`.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTime: String, rightTime: String,
+                 leftId: String, payload: String,
+                 boundSeconds: Long): DataFrame = {
+    val joined = intervalJoin(left, right, leftKey, rightKey,
+      leftTime, rightTime, boundSeconds)
+    joined
+      .groupBy(col(leftId), col(leftKey), col(leftTime))
+      .agg(
+        max_by(col(payload), col(rightTime)).as(s"asof_$payload"),
+        max(col(rightTime)).as("asof_time"))
+  }
+
   /** Incremental 3-D gridder (streaming counterpart of
     * `Binning.grid3d`): points fold into per-(window, cell) partial
     * statistics as they arrive, finalized when the watermark passes

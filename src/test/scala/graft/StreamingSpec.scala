@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of picks the MOST RECENT right event, not just any match") {
+    implicit val ctx = spark.sqlContext
+    val readings = MemoryStream[(Timestamp, Long, Long)] // (ts, event_id, user)
+    val monitors = MemoryStream[(Timestamp, Long, Double)] // (mts, muser, mval)
+    val out = StreamingOps.asOfStream(
+      readings.toDF().toDF("ts", "event_id", "user").withWatermark("ts", "5 seconds"),
+      monitors.toDF().toDF("mts", "muser", "mval").withWatermark("mts", "5 seconds"),
+      "user", "muser", "ts", "mts", "event_id", "mval", boundSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("asof_live")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two monitor updates BEFORE the reading: as-of must take the newer
+      monitors.addData((ts(0), 1L, 100.0), (ts(20), 1L, 200.0))
+      readings.addData((ts(30), 7L, 1L))
+      // push watermarks far ahead so the aggregate finalizes
+      monitors.addData((ts(500), 9L, 0.0))
+      readings.addData((ts(500), 99L, 9L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_live")
+        .select("event_id", "asof_mval").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(rows(7L) == 200.0) // latest-before, not first match
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Evt]
