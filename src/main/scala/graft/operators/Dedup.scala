@@ -172,7 +172,18 @@ object Dedup {
     // the label join matters more than stage latency. The edge count
     // is a free read off the checkpointed relation. Set on the CLONED
     // session only.
-    if (edges.count() < 10000000L)
+    val edgeCount = edges.count()
+    // empty pair list: nothing to label (and the sum-based convergence
+    // scalar would be null) — return the empty result on the caller
+    if (edgeCount == 0L)
+      return pairs.sparkSession.createDataFrame(
+        pairs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            edges.schema("src").dataType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            edges.schema("src").dataType))))
+    if (edgeCount < 10000000L)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     // the convergence aggregate doubles as the action that populates
     // each iteration's cache — one job per iteration, not two

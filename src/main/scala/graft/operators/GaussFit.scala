@@ -140,6 +140,9 @@ object GaussFit {
   /** Damped Gauss–Newton refinement from the moment seed. */
   def fitArrays(g: Long, xsIn: Array[Double], ysIn: Array[Double],
                 maxIter: Int = 25): Fit = {
+    if (xsIn.isEmpty || ysIn.isEmpty)
+      return Fit(g, 0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+        converged = false, NoEsd(0), NoEsd(1), NoEsd(2), NoEsd(3))
     val order = xsIn.indices.sortBy(i => (xsIn(i), ysIn(i)))
     val xs = order.map(xsIn).toArray
     val ys = order.map(ysIn).toArray

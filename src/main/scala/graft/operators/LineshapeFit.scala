@@ -167,6 +167,10 @@ object LineshapeFit {
   /** Damped Gauss–Newton with a central-difference jacobian. */
   def fitArrays(shape: Shape, g: Long, xsIn: Array[Double], ysIn: Array[Double],
                 maxIter: Int = 40): ShapeFit = {
+    if (xsIn.isEmpty || ysIn.isEmpty)
+      return ShapeFit(g, shape.name, 0, Double.NaN, Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, Double.NaN, converged = false,
+        Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     val order = xsIn.indices.sortBy(i => (xsIn(i), ysIn(i)))
     val xs = order.map(xsIn).toArray
     val ys = order.map(ysIn).toArray

@@ -46,6 +46,13 @@ class ClustersSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == before)
   }
 
+  test("empty pair list yields an empty labelling, not a crash") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(out.count() == 0)
+  }
+
   test("deterministic across runs") {
     val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
     val a = Dedup.connectedComponents(pairs, "doc_a", "doc_b")

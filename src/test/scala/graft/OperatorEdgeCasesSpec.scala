@@ -12,6 +12,17 @@ import graft.operators._
 class OperatorEdgeCasesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fitters survive empty and sub-minimal inputs with NaN results") {
+    val f0 = graft.operators.GaussFit.fitArrays(1L, Array.empty, Array.empty)
+    assert(f0.n == 0 && !f0.converged && f0.height.isNaN && f0.esd_height.isNaN)
+    val l0 = graft.operators.LineshapeFit.fitArrays(
+      graft.operators.LineshapeFit.Lorentzian, 1L, Array.empty, Array.empty)
+    assert(l0.n == 0 && !l0.converged)
+    val f2 = graft.operators.GaussFit.fitArrays(2L, Array(1.0, 2.0), Array(3.0, 4.0))
+    assert(f2.n == 2 && !f2.converged) // under the 5-point minimum
+    assert(f2.esd_height.isNaN) // no esd from a degenerate fit
+  }
+
   test("groupStats: singleton group yields NULL std, not NaN/0") {
     val df = Seq(("a", 1.5), ("b", 2.0), ("b", 4.0)).toDF("k", "v")
     val out = PeakAnalysis.groupStats(df, Seq("k"), col("v").cast("decimal(18,2)"))
