@@ -153,6 +153,13 @@ object ExtendedQueries {
     * each source — the "bucket the corpus by quality, keep the top
     * quartile" curation shape. ntile over a TOTAL order
     * (n_chars, doc_id) is deterministic and identical across engines.
+    *
+    * Scale note: window ntile sorts each source in ONE task (inherent
+    * to exact rank semantics). At 100 TB with few huge sources, use
+    * the percentile path instead: [[Percentiles.perGroup]] thresholds
+    * + a range-comparison bucket column — one aggregate plus a
+    * map-side compare, no per-source sort — at the cost of ntile's
+    * exact equal-count tie handling.
     */
   val qQualityBuckets = GateQuery.sql(
     "q_quality_buckets",
