@@ -7,9 +7,23 @@ package graft
 class GateQueriesSmokeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Deliberate nested-loop joins: the definitionally brute-force KNN
+    * baseline (scale paths: q_knn_lsh/ivf), and the two SINGLE-ROW
+    * broadcast joins (the dark frame; the histogram's (min,max) range
+    * scalar) — a 1-row build side is scale-safe at any corpus size. */
+  private val NestedLoopAllowed =
+    Set("q_knn_bruteforce", "q_dark_subtract", "q_histogram")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
-      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+      // mechanical scale guard: no gate may plan an all-pairs product
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!NestedLoopAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
     }
   }
 
