@@ -164,9 +164,15 @@ object LineshapeFit {
     (jtj, jtr)
   }
 
-  /** Damped Gauss–Newton with a central-difference jacobian. */
+  /** Damped Gauss–Newton with a central-difference jacobian.
+    *
+    * `fixed` holds parameters at their SEED value (pyspec `fit.py`
+    * `ifix` semantics — e.g. freeze a known background while the
+    * peak refines): fixed parameters take no GN step, contribute no
+    * jacobian column, and report esd 0.
+    */
   def fitArrays(shape: Shape, g: Long, xsIn: Array[Double], ysIn: Array[Double],
-                maxIter: Int = 40): ShapeFit = {
+                maxIter: Int = 40, fixed: Array[Boolean] = null): ShapeFit = {
     if (xsIn.isEmpty || ysIn.isEmpty)
       return ShapeFit(g, shape.name, 0, Double.NaN, Double.NaN, Double.NaN,
         Double.NaN, Double.NaN, Double.NaN, converged = false,
@@ -176,6 +182,10 @@ object LineshapeFit {
     val ys = order.map(ysIn).toArray
     val n = xs.length
     val np = shape.nParams
+    require(fixed == null || fixed.length == np,
+      s"fixed mask must have ${np} entries for ${shape.name}")
+    val isFixed: Array[Boolean] = if (fixed == null) Array.fill(np)(false) else fixed
+    val free: Array[Int] = (0 until np).filterNot(isFixed).toArray
     var p = shape.seed(xs, ys)
     val noEsd = Array.fill(np)(Double.NaN)
     // esd layout follows the param layout: Power (bg, amp, exp) puts
@@ -191,13 +201,29 @@ object LineshapeFit {
       if (np >= 4) esd(2) else Double.NaN,
       if (np >= 4) esd(3) else esd(2),
       if (np == 5) esd(4) else Double.NaN)
-    if (n < np + 1 || p(1) <= 0) return pack(converged = false, rss(shape, xs, ys, p), noEsd)
+    if (n < free.length + 1 || free.isEmpty || p(1) <= 0)
+      return pack(converged = false, rss(shape, xs, ys, p), noEsd)
+    // restrict the normal equations to the FREE parameters; fixed
+    // ones take no step and contribute no jacobian column
+    def solveMasked(jtj: Array[Array[Double]], jtr: Array[Double]): Array[Double] = {
+      if (free.length == np) return solveN(jtj, jtr)
+      val a = Array.tabulate(free.length)(i =>
+        Array.tabulate(free.length)(j => jtj(free(i))(free(j))))
+      val b = Array.tabulate(free.length)(i => jtr(free(i)))
+      val x = solveN(a, b)
+      if (x == null) null
+      else {
+        val d = new Array[Double](np)
+        free.zipWithIndex.foreach { case (k, i) => d(k) = x(i) }
+        d
+      }
+    }
     var cur = rss(shape, xs, ys, p)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
       val (jtj, jtr) = buildNormal(shape, xs, ys, p)
-      val d = solveN(jtj, jtr)
+      val d = solveMasked(jtj, jtr)
       if (d == null) converged = true
       else {
         var step = 1.0
@@ -207,7 +233,7 @@ object LineshapeFit {
           val cand = p.clone()
           var k = 0
           while (k < np) { cand(k) += step * d(k); k += 1 }
-          if (np >= 4 && math.abs(cand(3)) < 1e-9) cand(3) = p(3) / 2
+          if (np >= 4 && !isFixed(3) && math.abs(cand(3)) < 1e-9) cand(3) = p(3) / 2
           val nr = rss(shape, xs, ys, cand)
           if (java.lang.Double.isFinite(nr) && nr <= cur) {
             if (cur - nr < 1e-12 * (1 + cur)) converged = true
@@ -219,18 +245,29 @@ object LineshapeFit {
       it += 1
     }
     val esd = {
-      val inv = GaussFit.invDiag(buildNormal(shape, xs, ys, p)._1)
+      val jtjF = buildNormal(shape, xs, ys, p)._1
+      val reduced =
+        if (free.length == np) jtjF
+        else Array.tabulate(free.length)(i =>
+          Array.tabulate(free.length)(j => jtjF(free(i))(free(j))))
+      val inv = GaussFit.invDiag(reduced)
       if (inv == null) noEsd
       else {
-        val s2 = cur / math.max(1, n - np)
-        inv.map(v => if (v >= 0) math.sqrt(v * s2) else Double.NaN)
+        val s2 = cur / math.max(1, n - free.length)
+        val out = Array.fill(np)(0.0) // fixed parameters: esd 0 by definition
+        free.zipWithIndex.foreach { case (k, i) =>
+          out(k) = if (inv(i) >= 0) math.sqrt(inv(i) * s2) else Double.NaN
+        }
+        out
       }
     }
     pack(converged, cur, esd)
   }
 
-  /** Per-group fit over (group, x, y) columns for one lineshape. */
-  def fitGroups(df: DataFrame, shape: Shape, group: String, x: String, y: String): DataFrame = {
+  /** Per-group fit over (group, x, y) columns for one lineshape.
+    * `fixed` (optional) freezes parameters at their seed (`ifix`). */
+  def fitGroups(df: DataFrame, shape: Shape, group: String, x: String, y: String,
+                fixed: Array[Boolean] = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts: Dataset[GaussFit.Point] = df.select(
@@ -240,7 +277,7 @@ object LineshapeFit {
     pts.groupByKey(_.g)
       .mapGroups { (g, it) =>
         val arr = it.toArray
-        fitArrays(shape, g, arr.map(_.x), arr.map(_.y))
+        fitArrays(shape, g, arr.map(_.x), arr.map(_.y), fixed = fixed)
       }
       .toDF()
   }

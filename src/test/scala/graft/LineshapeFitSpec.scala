@@ -42,6 +42,26 @@ class LineshapeFitSpec extends SparkSpec {
     assert(pf.esd_width > 0 && pf.esd_height > 0 && pf.esd_center.isNaN)
   }
 
+  test("fixed-parameter mask holds params at seed (pyspec ifix)") {
+    val (bg, h, c, g) = (1.0, 6.0, 2.5, 0.8)
+    val xs = (-120 to 120).map(i => c + i * 0.05).toArray
+    val ys = xs.map(x => bg + h / (1 + math.pow((x - c) / g, 2)))
+    // freeze bg at its seed (ys.min ~= 1.0 at the far tails)
+    val f = LineshapeFit.fitArrays(Lorentzian, 1L, xs, ys,
+      fixed = Array(true, false, false, false))
+    assert(f.converged)
+    assert(f.bg == ys.min) // exactly the seed, untouched
+    assert(f.esd_bg == 0.0) // fixed parameter: no uncertainty
+    // bg is held at min(y) = bg + tail offset (slightly high), so the
+    // free params compensate a little — close, not exact
+    assert(math.abs(f.center - c) < 1e-3 && math.abs(f.width - g) < 0.06)
+    assert(f.esd_height >= 0.0)
+    // all-fixed degenerates to a non-fit
+    val allFixed = LineshapeFit.fitArrays(Lorentzian, 2L, xs, ys,
+      fixed = Array(true, true, true, true))
+    assert(!allFixed.converged)
+  }
+
   test("pseudo-voigt fit recovers the lorentzian fraction") {
     val (bg, h, c, w, f) = (0.2, 5.0, -1.0, 1.2, 0.7)
     val pts = (-150 to 150).map { i =>
