@@ -28,9 +28,18 @@ object GaussFit {
     * fit degenerates (n ≤ 4, no peak, or singular normal matrix).
     */
   final case class Fit(g: Long, n: Long, bg: Double, height: Double,
-                       com: Double, sigma: Double, rss: Double, converged: Boolean,
+                       com: Double, sigma: Double, rss: Double, r2: Double,
+                       converged: Boolean,
                        esd_bg: Double, esd_height: Double,
                        esd_com: Double, esd_sigma: Double)
+
+  /** Coefficient of determination 1 − rss/Σ(y−ȳ)²; NaN for a flat
+    * series (no variance to explain). */
+  private[operators] def rSquared(ys: Array[Double], rss: Double): Double = {
+    val mean = ys.sum / ys.length
+    val ssTot = ys.map(y => (y - mean) * (y - mean)).sum
+    if (ssTot <= 0) Double.NaN else 1.0 - rss / ssTot
+  }
 
   /** Moment-based seed: pyspec "peakguess". */
   def seed(xs: Array[Double], ys: Array[Double]): (Double, Double, Double, Double) = {
@@ -142,14 +151,17 @@ object GaussFit {
                 maxIter: Int = 25): Fit = {
     if (xsIn.isEmpty || ysIn.isEmpty)
       return Fit(g, 0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
-        converged = false, NoEsd(0), NoEsd(1), NoEsd(2), NoEsd(3))
+        Double.NaN, converged = false, NoEsd(0), NoEsd(1), NoEsd(2), NoEsd(3))
     val order = xsIn.indices.sortBy(i => (xsIn(i), ysIn(i)))
     val xs = order.map(xsIn).toArray
     val ys = order.map(ysIn).toArray
     val n = xs.length
     var (bg, h, c, s) = seed(xs, ys)
-    if (n < 5 || h <= 0) return Fit(g, n, bg, h, c, s, rss(xs, ys, bg, h, c, s),
-      converged = false, NoEsd(0), NoEsd(1), NoEsd(2), NoEsd(3))
+    if (n < 5 || h <= 0) {
+      val r = rss(xs, ys, bg, h, c, s)
+      return Fit(g, n, bg, h, c, s, r, rSquared(ys, r),
+        converged = false, NoEsd(0), NoEsd(1), NoEsd(2), NoEsd(3))
+    }
     var cur = rss(xs, ys, bg, h, c, s)
     var it = 0
     var converged = false
@@ -187,7 +199,8 @@ object GaussFit {
         inv.map(v => if (v >= 0) math.sqrt(v * s2) else Double.NaN)
       }
     }
-    Fit(g, n, bg, h, c, math.abs(s), cur, converged, esd(0), esd(1), esd(2), esd(3))
+    Fit(g, n, bg, h, c, math.abs(s), cur, rSquared(ys, cur), converged,
+      esd(0), esd(1), esd(2), esd(3))
   }
 
   /** Per-group fit over a DataFrame with (group, x, y) columns. */

@@ -81,7 +81,7 @@ object LineshapeFit {
     */
   final case class ShapeFit(g: Long, shape: String, n: Long, bg: Double,
                             height: Double, center: Double, width: Double,
-                            frac: Double, rss: Double, converged: Boolean,
+                            frac: Double, rss: Double, r2: Double, converged: Boolean,
                             esd_bg: Double, esd_height: Double, esd_center: Double,
                             esd_width: Double, esd_frac: Double)
 
@@ -175,7 +175,7 @@ object LineshapeFit {
                 maxIter: Int = 40, fixed: Array[Boolean] = null): ShapeFit = {
     if (xsIn.isEmpty || ysIn.isEmpty)
       return ShapeFit(g, shape.name, 0, Double.NaN, Double.NaN, Double.NaN,
-        Double.NaN, Double.NaN, Double.NaN, converged = false,
+        Double.NaN, Double.NaN, Double.NaN, Double.NaN, converged = false,
         Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     val order = xsIn.indices.sortBy(i => (xsIn(i), ysIn(i)))
     val xs = order.map(xsIn).toArray
@@ -196,7 +196,7 @@ object LineshapeFit {
       if (np >= 4) p(2) else 0.0,
       if (np >= 4) math.abs(p(3)) else p(2),
       if (np == 5) math.min(1.0, math.max(0.0, p(4))) else 0.0,
-      cur, converged,
+      cur, GaussFit.rSquared(ys, cur), converged,
       esd(0), esd(1),
       if (np >= 4) esd(2) else Double.NaN,
       if (np >= 4) esd(3) else esd(2),
