@@ -242,6 +242,32 @@ object EmbeddingQueries {
       .orderedSmall(col("vec_id"), col("bin"))
   }
 
+  /** Dark-stack averaging (#76, pyspec ccd dark-frame prep): the
+    * per-GROUP element-wise mean of an array column — N dark frames
+    * reduce to one master dark before subtraction. Plan: posexplode →
+    * one (group, idx) shuffle with map-side partial sums — the same
+    * distribution at 10 frames or 10 million. Output exploded to
+    * (grp, idx, v_mean) scalar rows for cell-level oracle hashing;
+    * the mean is [[Exact.roundedRatio]] over exact integer sums.
+    */
+  val qDarkStack = GateQuery.sql(
+    "q_dark_stack",
+    s"""WITH $PrepSql,
+       |x AS (SELECT vec_id % 10 AS grp, i - 1 AS idx, q[i] AS v
+       |      FROM en, range(1, ${Dims + 1}) t(i))
+       |SELECT grp, CAST(idx AS BIGINT) AS idx,
+       |  ${Exact.roundedRatioSignedSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS v_mean
+       |FROM x GROUP BY 1, 2 ORDER BY grp, idx""".stripMargin) { (s, d) =>
+    prep(s, d)
+      .select((col("vec_id") % 10).as("grp"), posexplode(col("q")))
+      .select(col("grp"), col("pos").cast("long").as("idx"), col("col").as("v"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("grp"), col("idx"),
+        Exact.roundedRatioSigned(col("sv"), col("cnt"), 4).as("v_mean"))
+      .orderedSmall(col("grp"), col("idx"))
+  }
+
   private def det3(m: Seq[Seq[Long]]): Long =
     m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
       m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
@@ -315,5 +341,5 @@ object EmbeddingQueries {
 
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
-    qHklTransform, qHklInverse, qArrayRebin, qKnnIvf)
+    qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qKnnIvf)
 }
