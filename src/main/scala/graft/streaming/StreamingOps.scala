@@ -115,6 +115,37 @@ object StreamingOps {
         col("gx"), col("gy"), col("gz"), col("n"),
         col("w_sum"), (col("w_sum") / col("n")).as("w_mean"))
 
+  /** Streaming decontamination monitor: flags incoming documents that
+    * share any word k-gram with the held-out evaluation set, with the
+    * count of distinct shared shingles — the live counterpart of
+    * [[graft.operators.Dedup.contamination]], sharing its shingle
+    * derivation so batch and stream flag identically.
+    *
+    * Plan: stream-STATIC join — the (tiny, by definition) eval
+    * shingle-key set is a static broadcast side, so the document
+    * stream never shuffles for the join; the per-doc distinct count
+    * is a watermarked windowed aggregate (append mode). Stateless
+    * but for the window aggregate: memory O(in-flight window).
+    */
+  def contaminationStream(docs: DataFrame, evalDf: DataFrame,
+                          timeCol: String, idCol: String, textCol: String,
+                          evalText: Column, k: Int,
+                          windowDur: String, watermarkDelay: String): DataFrame = {
+    val evKeys = evalDf
+      .select(explode(graft.expressions.TextExpressions.shingleKeysFast(evalText, k)).as("h"))
+      .distinct()
+    docs.withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol), col(idCol).as("doc_id"),
+        explode(graft.expressions.TextExpressions.shingleKeysFast(col(textCol), k)).as("h"))
+      .join(broadcast(evKeys), Seq("h"))
+      // shingleKeysFast emits DISTINCT keys per doc, so a plain count
+      // IS the distinct shared-shingle count (streaming forbids
+      // count_distinct; no dedup state needed here)
+      .groupBy(window(col(timeCol), windowDur), col("doc_id"))
+      .agg(count(col("h")).as("n_shared"))
+      .select(col("window.start").as("win_start"), col("doc_id"), col("n_shared"))
+  }
+
   final case class BandDoc(band: String, docId: Long, ts: Timestamp)
   final case class BandFirst(firstId: Long)
   final case class BandHit(docId: Long, dupOf: Long, band: String)

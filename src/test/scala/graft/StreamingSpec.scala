@@ -107,6 +107,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags eval-overlapping docs, same as batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val evalDf = Seq("the quick brown fox jumps").toDF("text")
+    val docs = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.contaminationStream(
+      docs.toDF().toDF("ts", "doc_id", "text"),
+      evalDf, "ts", "doc_id", "text", col("text"), k = 3,
+      windowDur = "1 minute", watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("contam_live")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.addData(
+        (ts(0), 1L, "the quick brown fox sleeps"), // shares "the quick brown", "quick brown fox"
+        (ts(1), 2L, "completely different words entirely here"),
+        (ts(2), 3L, "brown fox jumps high today")) // shares "brown fox jumps"
+      docs.addData((ts(400), 99L, "watermark push x y z")) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("contam_live")
+        .select("doc_id", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows.keySet == Set(1L, 3L)) // doc 2 never flagged
+      assert(rows(1L) == 2L && rows(3L) == 1L)
+      // batch operator agrees on the same inputs
+      val batch = graft.operators.Dedup.contamination(
+          Seq((1L, "the quick brown fox sleeps"),
+            (2L, "completely different words entirely here"),
+            (3L, "brown fox jumps high today")).toDF("doc_id", "text"),
+          evalDf, col("doc_id"), col("text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Evt]
