@@ -98,14 +98,21 @@ object SpecWriteSupport {
           val p = new Path(part.path)
           // A part whose motor set prefix-aligns with the file-level
           // #O keeps its #P lines; otherwise they are dropped so
-          // values never land under the wrong names.
+          // values never land under the wrong names. Either way the
+          // copy STREAMS — driver memory stays O(buffer), not O(part).
           val keepPositions = part.motorNames.isEmpty ||
             part.motorNames.sameElements(fileMotors.take(part.motorNames.length))
-          val in = fs.open(p)
-          val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-          if (keepPositions) out.write(text)
-          else text.linesIterator.filterNot(_.startsWith("#P"))
-            .foreach { l => out.write(l); out.write("\n") }
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (keepPositions || !line.startsWith("#P")) {
+                out.write(line); out.write("\n")
+              }
+              line = in.readLine()
+            }
+          } finally in.close()
         }
       } finally out.close()
       parts.foreach(part => fs.delete(new Path(part.path), false))
