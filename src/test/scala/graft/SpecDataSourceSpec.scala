@@ -398,6 +398,33 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(spark.read.format("spec").load(fixture).select("scan").count() == 9)
   }
 
+  test("singleFile merge drops #P lines of parts with mismatched motor sets") {
+    // scan 1 motors (Alpha, Beta); scan 2 motors (Gamma) — clustered
+    // by scan they land in different parts, and the merge must not
+    // let Gamma's position read back under Alpha's name
+    val dir = Files.createTempDirectory("spechetsf").toFile
+    val mk = (name: String, motors: String, pos: String, scan: Int) => Files.write(
+      new java.io.File(dir, name).toPath,
+      s"#O0 $motors\n\n#S $scan a\n#P0 $pos\n#L x  y\n0 1\n".getBytes("UTF-8"))
+    mk("m1.spec", "Alpha  Beta", "1.0 2.0", 1)
+    mk("m2.spec", "Gamma", "9.0", 2)
+    val src = spark.read.format("spec").load(dir.getPath)
+    val out = Files.createTempDirectory("spechetsfout").toFile.getPath
+    src.write.format("spec").option("singleFile", "het.spec").mode("append").save(out)
+    val back = spark.read.format("spec").load(out)
+    val s1 = back.filter(col("scan") === 1).collect().head
+    assert(s1.getMap[String, Double](s1.fieldIndex("motors")) ==
+      Map("Alpha" -> 1.0, "Beta" -> 2.0))
+    val s2 = back.filter(col("scan") === 2).collect().head
+    // mismatched part: its #P was dropped in the merge — motors null,
+    // never positionally misassigned
+    assert(s2.isNullAt(s2.fieldIndex("motors")) ||
+      s2.getMap[String, Double](s2.fieldIndex("motors")).isEmpty)
+    val content = new String(Files.readAllBytes(
+      new java.io.File(out, "het.spec").toPath))
+    assert(content.linesIterator.count(_.startsWith("#O")) == 1)
+  }
+
   test("streaming source tails a growing spec file, emitting completed scans") {
     val dir = Files.createTempDirectory("specstream").toFile
     val f = new java.io.File(dir, "live.spec")
