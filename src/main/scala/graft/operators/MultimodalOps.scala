@@ -154,14 +154,18 @@ object MultimodalOps {
         // walk chunks: [tag][int32 size][payload] from offset 12
         var i = 12
         var rate = 0; var ch = 0; var bits = 0; var dataLen = -1L
-        while (i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
+        var ok = true
+        while (ok && i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
           val t = tag(b, i)
           val sz = le32(b, i + 4)
           if (t == "fmt " && i + 24 <= b.length) {
             ch = le16(b, i + 10); rate = le32(b, i + 12).toInt
             bits = le16(b, i + 22)
           } else if (t == "data") dataLen = math.min(sz, (b.length - i - 8).toLong)
-          i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          // a corrupt size that doesn't advance the cursor would loop
+          // forever — treat it as end-of-chunks instead
+          if (sz < 0 || sz > b.length) ok = false
+          else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
         }
         if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) bad
         else {
