@@ -85,6 +85,21 @@ class SpecWorkflowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scan concatenation: sd[1] + sd[2] fits as one logical scan") {
+    val both = spark.read.format("spec").load(fixture) // 101-point scan 1 only here
+    val twice = graft.sources.SpecOps.concatScans(
+      both.filter(col("scan") === 1).union(both.filter(col("scan") === 1)), newScan = 99L)
+    val rows = twice.select("scan", "point").collect()
+    assert(rows.forall(_.getLong(0) == 99L))
+    assert(rows.map(_.getLong(1)).sorted.toSeq == (0L until 202L)) // contiguous renumber
+    // the concatenated scan flows into the same fit surface
+    val pts = twice.select(col("scan"),
+      element_at(col("data"), "th").as("x"),
+      element_at(col("data"), "detector").as("y"))
+    val fit = GaussFit.fitGroups(pts, "scan", "x", "y").collect().head
+    assert(math.abs(fit.getDouble(fit.fieldIndex("com")) - trueC) < 0.002)
+  }
+
   test("normalize scan counts to the monitor column") {
     val scan = spark.read.format("spec").load(fixture)
       .select(col("scan"), col("point"),
