@@ -268,6 +268,36 @@ object EmbeddingQueries {
       .orderedSmall(col("grp"), col("idx"))
   }
 
+  /** Spatial despike (#79, pyspec MCA cosmic-ray removal along the
+    * SPECTRUM axis): each array element replaced by the lower median
+    * of its ±2 neighbourhood (clamped at the edges) — a per-row
+    * higher-order expression, zero shuffle, exact integer order
+    * statistics on the quantized values. Output exploded to scalar
+    * rows for cell-level oracle hashing.
+    */
+  val qArrayDespike = GateQuery.sql(
+    "q_array_despike", {
+      // lower median of the 1-based inclusive slice [max(i-2,1), min(i+2,Dims)]
+      val med = s"list_sort(q[greatest(i - 2, 1):least(i + 2, $Dims)])" +
+        s"[(least(i + 2, $Dims) - greatest(i - 2, 1) + 2) // 2]"
+      s"""WITH $PrepSql
+         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, CAST($med AS BIGINT) AS v
+         |FROM en, range(1, ${Dims + 1}) t(i) ORDER BY vec_id, idx""".stripMargin
+    }) { (s, d) =>
+    // window slice per index: slice(q, lo, n) with lo 1-based; lower
+    // median = sorted slice element at ceil(n/2) (1-based)
+    val despiked = transform(sequence(lit(1), lit(Dims)), i => {
+      val lo = greatest(i - 2, lit(1))
+      val n = least(i + 2, lit(Dims)) - lo + 1
+      element_at(array_sort(slice(col("q"), lo, n)), ((n + 1) / 2).cast("int"))
+    })
+    prep(s, d)
+      .select(col("vec_id"), posexplode(despiked))
+      .select(col("vec_id"), col("pos").cast("long").as("idx"),
+        col("col").cast("long").as("v"))
+      .orderedSmall(col("vec_id"), col("idx"))
+  }
+
   private def det3(m: Seq[Seq[Long]]): Long =
     m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
       m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
@@ -341,5 +371,5 @@ object EmbeddingQueries {
 
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
-    qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qKnnIvf)
+    qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike, qKnnIvf)
 }
