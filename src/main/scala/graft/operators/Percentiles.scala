@@ -82,6 +82,69 @@ object Percentiles {
       .agg(min(col("_v")).as(out))
   }
 
+  /** Exact `ntile(k)` bucket statistics — (bucket, count, min, max)
+    * per group — without ever ranking individual rows.
+    *
+    * The trick: the aggregated output is invariant to WHICH of several
+    * tied rows lands in which bucket (they share the same value), so
+    * per-row rank is unnecessary. Collapse to one row per distinct
+    * (group, value) with a map-side-combined hash aggregate, compute
+    * each value's rank interval [cum−c+1, cum] with a running sum over
+    * that collapsed relation, and intersect it arithmetically with
+    * ntile's bucket rank ranges (bucket b covers
+    * `(b−1)·⌊n/k⌋ + min(b−1, n mod k) + 1 .. +size_b`, the first
+    * `n mod k` buckets one longer). Identical output to window-ntile +
+    * groupBy for every input, by construction.
+    *
+    * Scale: the only per-group sort is the running-sum window over the
+    * COLLAPSED relation — |distinct values| rows per group, not |rows|
+    * (same shape as [[weightedPerGroup]]). A source with 10⁹ documents
+    * but ~10⁵ distinct lengths costs the window 10⁵ rows. When the
+    * per-ROW bucket label is required (exact tie placement), use
+    * [[ntileRows]] instead and accept its single-task-per-group sort.
+    *
+    * Output columns: keys…, `bucket` (1..k, long), `n`, `lo`, `hi`.
+    */
+  def ntileBucketStats(df: DataFrame, keys: Seq[String], v: Column,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"ntileBucketStats: k must be >= 1, got $k")
+    val kc = keys.map(col)
+    val perValue = df.groupBy(kc :+ v.as("_v"): _*).agg(count(lit(1)).as("_c"))
+    val ordered = Window.partitionBy(kc: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(kc: _*)
+    val q = expr(s"_n div $k")
+    val r = col("_n") % k
+    val b = col("_bucket").cast("long")
+    val start = (b - 1) * q + least(b - 1, r) + 1
+    val size = q + when(b <= r, 1).otherwise(0)
+    val end = start + size - 1
+    val loRn = col("_cum") - col("_c") + 1
+    val hiRn = col("_cum")
+    val overlap = least(hiRn, end) - greatest(loRn, start) + 1
+    perValue
+      .withColumn("_cum", sum(col("_c")).over(ordered))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      .withColumn("_bucket", explode(sequence(lit(1), lit(k))))
+      .withColumn("_ov", overlap)
+      .filter(col("_ov") > 0)
+      .groupBy(kc :+ b.as("bucket"): _*)
+      .agg(sum(col("_ov")).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
+  }
+
+  /** Per-row `ntile(k)` labels — the exact-tie variant of
+    * [[ntileBucketStats]]: returns the input plus a `bucket` column,
+    * ties placed deterministically by `tie`. Inherently sorts each
+    * group in one task (exact rank semantics); prefer
+    * [[ntileBucketStats]] whenever only per-bucket aggregates are
+    * needed.
+    */
+  def ntileRows(df: DataFrame, keys: Seq[String], v: Column, tie: Column,
+                k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(v, tie)
+    df.withColumn("bucket", ntile(k).over(w).cast("long"))
+  }
+
   /** DuckDB SQL mirror of [[weightedPerGroup]] over `tbl`. */
   def weightedPerGroupSql(tbl: String, key: String, vSql: String, wSql: String,
                           pPct: Int, out: String = "wp"): String =

@@ -151,15 +151,14 @@ object ExtendedQueries {
 
   /** Quantile bucketing (#73): quartile documents by length within
     * each source — the "bucket the corpus by quality, keep the top
-    * quartile" curation shape. ntile over a TOTAL order
-    * (n_chars, doc_id) is deterministic and identical across engines.
+    * quartile" curation shape.
     *
-    * Scale note: window ntile sorts each source in ONE task (inherent
-    * to exact rank semantics). At 100 TB with few huge sources, use
-    * the percentile path instead: [[Percentiles.perGroup]] thresholds
-    * + a range-comparison bucket column — one aggregate plus a
-    * map-side compare, no per-source sort — at the cost of ntile's
-    * exact equal-count tie handling.
+    * The oracle states the semantics with window ntile; the Spark plan
+    * is [[Percentiles.ntileBucketStats]] — identical output, but the
+    * full source is never sorted in one task: the only window runs
+    * over the collapsed (source, n_chars) relation (ties don't affect
+    * per-bucket count/min/max, so per-row rank is unnecessary). The
+    * per-row exact-tie variant remains as [[Percentiles.ntileRows]].
     */
   val qQualityBuckets = GateQuery.sql(
     "q_quality_buckets",
@@ -169,12 +168,9 @@ object ExtendedQueries {
       |SELECT source, bucket, count(*) AS n,
       |  CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("source"), col("n_chars"), ntile(4).over(w).cast("long").as("bucket"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    Percentiles.ntileBucketStats(
+        Tables.documents(s, d).select(col("source"), col("n_chars")),
+        Seq("source"), col("n_chars"), 4)
       .orderedSmall(col("source"), col("bucket"))
   }
 

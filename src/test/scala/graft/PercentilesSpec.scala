@@ -24,4 +24,55 @@ class PercentilesSpec extends SparkSpec {
       .collect().head
     assert(out.getDouble(1) == 7.0)
   }
+
+  test("ntileBucketStats matches window-ntile aggregation exactly") {
+    // heavy ties, group sizes spanning n<k, n=k, n>>k, n=1
+    val rnd = new scala.util.Random(42)
+    val rows = (for {
+      g <- 1 to 6
+      n = Seq(1, 2, 3, 4, 7, 1000)(g - 1)
+      i <- 1 to n
+    } yield (g.toLong, i.toLong, (rnd.nextInt(20) * 10).toLong)).toSeq
+    val df = rows.toDF("g", "id", "v")
+    for (k <- Seq(1, 3, 4, 5)) {
+      val fast = Percentiles.ntileBucketStats(df.select($"g", $"v"), Seq("g"), col("v"), k)
+        .select($"g", $"bucket", $"n", $"lo", $"hi")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val exact = Percentiles.ntileRows(df, Seq("g"), col("v"), col("id"), k)
+        .groupBy($"g", $"bucket")
+        .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(fast == exact, s"k=$k: bucket stats diverge from window ntile")
+    }
+  }
+
+  test("ntileBucketStats never sorts the raw relation in a window") {
+    // scale guard: every Window in the plan must sit above a hash
+    // aggregate (the collapse to distinct values), never directly on
+    // the source rows
+    val df = (1 to 100).map(i => (i % 3, i)).toDF("g", "v")
+    val out = Percentiles.ntileBucketStats(df, Seq("g"), col("v"), 4)
+    out.collect() // materialize so AQE finalizes the physical plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    def hasAggBelow(p: SparkPlan): Boolean =
+      walk(p).exists(_.isInstanceOf[HashAggregateExec])
+    val windows = walk(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected a window over the collapsed relation")
+    windows.foreach { w =>
+      assert(w.children.forall(hasAggBelow),
+        "window input is not the collapsed (group, value) relation")
+    }
+  }
 }
