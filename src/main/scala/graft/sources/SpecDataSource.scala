@@ -279,8 +279,12 @@ object SpecIndex {
   }
 
   /** Index with sidecar caching: a valid `<file>.specidx` (matching
-    * length+mtime) short-circuits the scan pass; otherwise the file
-    * is indexed and the sidecar is (best-effort) rewritten.
+    * length+mtime+content fingerprint) short-circuits the scan pass;
+    * otherwise the file is indexed and the stale sidecar is
+    * (best-effort) overwritten in place — that rewrite IS the cache
+    * eviction: one sidecar per spec file, replaced atomically whenever
+    * any validity check fails, so sidecars never accumulate. A sidecar
+    * orphaned by deleting its spec file is inert (nothing reads it).
     */
   def indexWithCache(meta: SpecFileMeta, conf: Configuration, cache: Boolean): SpecFileIndex = {
     if (!cache) return indexFile(meta, conf)
@@ -293,10 +297,38 @@ object SpecIndex {
 
   private def sidecarPath(meta: SpecFileMeta) = new Path(meta.path + SidecarSuffix)
 
+  /** CRC32 of the file's first and last 4 KiB. (length, mtime) alone
+    * can validate a stale sidecar: a file rewritten to the same length
+    * within the filesystem's mtime granularity (1 s on ext4/HDFS) is
+    * indistinguishable by metadata. 8 KiB of content is cheap next to
+    * the full-scan pass the sidecar avoids, and any header edit, scan
+    * renumber, or tail append moves one of the two windows.
+    */
+  def fingerprint(meta: SpecFileMeta, conf: Configuration): Long = {
+    val p = new Path(meta.path)
+    val fs = p.getFileSystem(conf)
+    val crc = new java.util.zip.CRC32
+    val in = fs.open(p)
+    try {
+      val head = new Array[Byte](math.min(4096L, meta.len).toInt)
+      in.readFully(0L, head)
+      crc.update(head)
+      if (meta.len > 4096) {
+        val tailStart = math.max(4096L, meta.len - 4096)
+        val tail = new Array[Byte]((meta.len - tailStart).toInt)
+        in.readFully(tailStart, tail)
+        crc.update(tail)
+      }
+      crc.getValue
+    } finally in.close()
+  }
+
   /** Sidecar wire format (one record per line, tab-separated):
-    *   specidx\tv1\t<len>\t<mtime>
+    *   specidx\tv2\t<len>\t<mtime>\t<crc of first+last 4KiB>
     *   O\tname1\tname2...
     *   S\t<scanNo>\t<startByte>\t<endByte>
+    * v1 sidecars (no fingerprint field) fail the version check and
+    * are reindexed + rewritten as v2.
     */
   def readSidecar(meta: SpecFileMeta, conf: Configuration): Option[SpecFileIndex] =
     scala.util.Try {
@@ -307,8 +339,9 @@ object SpecIndex {
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
       val lines = text.linesIterator.toArray
       val head = lines.head.split('\t')
-      if (head.length != 4 || head(0) != "specidx" || head(1) != "v1" ||
-          head(2).toLong != meta.len || head(3).toLong != meta.mtime) return None
+      if (head.length != 5 || head(0) != "specidx" || head(1) != "v2" ||
+          head(2).toLong != meta.len || head(3).toLong != meta.mtime ||
+          head(4).toLong != fingerprint(meta, conf)) return None
       val motors = lines.collectFirst { case l if l.startsWith("O\t") => l.split('\t').drop(1) }
         .getOrElse(Array.empty[String])
       val scans = lines.collect { case l if l.startsWith("S\t") =>
@@ -323,7 +356,7 @@ object SpecIndex {
     val out = fs.create(p, true)
     try {
       val sb = new StringBuilder
-      sb.append(s"specidx\tv1\t${meta.len}\t${meta.mtime}\n")
+      sb.append(s"specidx\tv2\t${meta.len}\t${meta.mtime}\t${fingerprint(meta, conf)}\n")
       if (idx.motorNames.nonEmpty) sb.append("O\t").append(idx.motorNames.mkString("\t")).append('\n')
       idx.scans.foreach { case (no, s, e) => sb.append(s"S\t$no\t$s\t$e\n") }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -347,9 +380,14 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead with Support
     // duplicates=last mirrors pyspec SpecDataFile: re-running scan N
     // appends a fresh "#S N" block, and the index keeps only the
     // newest occurrence per file. Default "all" exposes every block.
+    // indexCache defaults ON: the sidecar turns the per-file index
+    // pass into an 8 KiB fingerprint check on every re-read, stale
+    // sidecars self-evict (reindex + overwrite), and read-only
+    // directories degrade gracefully (write is best-effort). Opt out
+    // with indexCache=false for write-once-read-once scratch files.
     new SpecScanBuilder(paths,
       options.getOrDefault("duplicates", "all").toLowerCase == "last",
-      options.getBoolean("indexCache", false),
+      options.getBoolean("indexCache", true),
       options.getBoolean("emitLast", false))
 }
 
@@ -520,8 +558,19 @@ class SpecMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
   /** Scan blocks in [from, to): seek to `from` (always 0 or a prior
     * `#S` boundary) and walk forward. The block starting at the last
     * `#S` before `to` ends AT `to` by construction of latestOffset. */
-  private def scansInRange(path: String, from: Long, to: Long): Seq[(Long, Long, Long)] = {
-    if (to <= from) return Seq.empty
+  private def scansInRange(path: String, from: Long, to: Long): Seq[(Long, Long, Long)] =
+    scanBlocks(path, from, to)._1
+
+  /** (emittable scan blocks, safe boundary). The boundary is the byte
+    * start of the LAST raw `#S` line in range — parseable or NOT — or
+    * `from` when none: a malformed header still terminates (and so
+    * completes) the block before it, and the batch reader emits that
+    * completed block, so the stream must advance past it too.
+    * Blocks whose own header doesn't parse are dropped from the
+    * emit list (matching batch), but never hold the boundary back.
+    */
+  private def scanBlocks(path: String, from: Long, to: Long): (Seq[(Long, Long, Long)], Long) = {
+    if (to <= from) return (Seq.empty, from)
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
@@ -531,6 +580,7 @@ class SpecMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
       val scans = mutable.ArrayBuffer[(Long, Long, Long)]()
       var curScan = -1L
       var curStart = -1L
+      var lastHeader = from
       var line = reader.readLine()
       while (line != null) {
         if (line.startsWith("#S ")) {
@@ -540,11 +590,12 @@ class SpecMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
             case d => d.toLong
           }
           curStart = from + reader.lineStart
+          lastHeader = from + reader.lineStart
         }
         line = reader.readLine()
       }
       if (curScan >= 0) scans += ((curScan, curStart, to))
-      scans.toSeq
+      (scans.toSeq, lastHeader)
     } finally in.close()
   }
 
@@ -563,12 +614,12 @@ class SpecMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
       val safe =
         if (emitLast) meta.len
         else {
-          // newest #S start at or past the previous boundary: bytes
-          // before it are complete blocks, the block after it may
-          // still be appending
-          var last = prev
-          scansInRange(meta.path, prev, meta.len).foreach { case (_, s, _) => last = s }
-          last
+          // newest raw #S start at or past the previous boundary:
+          // bytes before it are complete blocks, the block after it
+          // may still be appending. Raw (not just parseable) headers
+          // advance this, else a malformed #S would withhold the
+          // completed block before it forever.
+          scanBlocks(meta.path, prev, meta.len)._2
         }
       seen(meta.path) = safe
       meta.path -> safe

@@ -87,7 +87,13 @@ object SpecWriteSupport {
       val fs = new Path(dir).getFileSystem(conf.value)
       val parts = messages.collect { case m: SpecCommitMessage if m.path.nonEmpty => m }
         .sortBy(_.partitionId)
-      val fileMotors = parts.map(_.motorNames).find(_.nonEmpty).getOrElse(Array.empty[String])
+      // File-level #O = the LONGEST motor list among the parts: any
+      // part whose list is a prefix of it keeps its #P lines below.
+      // Picking the first nonempty list instead would truncate a later
+      // superset list and silently drop its positions even though they
+      // align. (Parts that genuinely conflict still lose their #P.)
+      val fileMotors = parts.map(_.motorNames)
+        .foldLeft(Array.empty[String])((best, m) => if (m.length > best.length) m else best)
       val target = new Path(dir, name)
       val out = new BufferedWriter(new OutputStreamWriter(fs.create(target, true),
         StandardCharsets.UTF_8))
@@ -190,13 +196,14 @@ object SpecWriteSupport {
         StandardCharsets.UTF_8))
       // #O motor names are FILE-level in the spec format (the reader
       // accumulates every #O line in the file), so they are emitted
-      // once, from the first scan that has any. Scans whose motor
-      // names don't prefix-match the file set get NO #P line —
+      // once, from the LONGEST motor list of any scan here — every
+      // scan whose list is a prefix of it still aligns. Scans whose
+      // motor names don't prefix-match the file set get NO #P line —
       // their motors read back null instead of positionally
       // misaligned against the wrong names.
-      val fileMotors = scans.keys.toSeq.sorted.iterator
-        .map(scans(_).minBy(_.point).motorNames)
-        .find(_.nonEmpty).getOrElse(Array.empty[String])
+      val fileMotors = scans.valuesIterator
+        .map(_.minBy(_.point).motorNames)
+        .foldLeft(Array.empty[String])((best, m) => if (m.length > best.length) m else best)
       try {
         if (!asPart) {
           w.write(s"#F $fname\n")

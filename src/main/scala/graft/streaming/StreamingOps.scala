@@ -58,11 +58,12 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
-                   boundSeconds: Long): DataFrame =
+                   boundSeconds: Long,
+                   joinType: String = "inner"): DataFrame =
     left.join(right, expr(
       s"""$leftKey = $rightKey AND
          |$rightTime >= $leftTime - INTERVAL $boundSeconds SECONDS AND
-         |$rightTime <= $leftTime""".stripMargin))
+         |$rightTime <= $leftTime""".stripMargin), joinType)
 
   /** Streaming as-of enrichment (the live counterpart of
     * [[graft.operators.AsOfJoin.backward]]): each left event is
@@ -78,6 +79,12 @@ object StreamingOps {
     * `leftCols` are carried through (must functionally depend on the
     * left event identity `leftId`); the right payload arrives as
     * `asof_<payload>` with its event time as `asof_time`.
+    *
+    * Like the batch counterpart, every left event is KEPT: the
+    * interval join is left-outer (legal for stream-stream joins when
+    * both sides are watermarked, which this op requires anyway), so a
+    * left event with no in-bound right match still emits — with null
+    * `asof_*` columns — once the watermark closes it.
     */
   def asOfStream(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
@@ -85,7 +92,7 @@ object StreamingOps {
                  leftId: String, payload: String,
                  boundSeconds: Long): DataFrame = {
     val joined = intervalJoin(left, right, leftKey, rightKey,
-      leftTime, rightTime, boundSeconds)
+      leftTime, rightTime, boundSeconds, joinType = "leftOuter")
     joined
       .groupBy(col(leftId), col(leftKey), col(leftTime))
       .agg(

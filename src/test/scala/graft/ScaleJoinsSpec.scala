@@ -43,6 +43,30 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.size == 1000)
   }
 
+  test("saltedJoin handles MapType probes and all-duplicate rows") {
+    // map-typed payload (spec motors/data shape): xxhash64 over a map
+    // throws, so the salt must skip it and still spread the hot key
+    val probeDf = (1L to 300L).map(i => (7L, i % 5, s"p$i")).toDF("k", "mv", "pv")
+      .withColumn("motors", map(lit("m"), col("mv"))).drop("mv")
+    val build = (0L until 20L).map(i => (i, s"b$i")).toDF("k", "bv")
+    val plain = probeDf.drop("motors").join(build, "k")
+      .select("k", "pv", "bv").collect().map(_.toSeq).toSet
+    val salted = ScaleJoins.saltedJoin(probeDf, build, "k", salts = 8)
+      .select("k", "pv", "bv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+
+    // byte-identical duplicate probe rows (only k + a constant, and k
+    // IS the join key): content-hash would collapse onto one salt, so
+    // the id-based fallback must spread them
+    val dups = (1L to 400L).map(_ => Tuple1(7L)).toDF("k")
+    val out = ScaleJoins.saltedJoin(dups, build, "k", salts = 8)
+    assert(out.count() == 400L)
+    val spread = dups
+      .withColumn("_salt", floor(rand(8L) * 8).cast("long"))
+      .select("_salt").distinct().count()
+    assert(spread > 4, "duplicate rows must spread across salts")
+  }
+
   test("salt assignment is deterministic across runs and partitionings") {
     val rows = (1L to 500L).map(i => (7L, s"p$i")).toDF("k", "pv")
     def salts(df: org.apache.spark.sql.DataFrame) = df

@@ -326,25 +326,51 @@ class SpecDataSourceSpec extends SparkSpec {
       s"pruned read fetched ${graft.sources.SpecIOMetrics.total} of $fileLen bytes")
   }
 
-  test("indexCache writes a sidecar and a stale sidecar is ignored") {
+  test("indexCache (default-on) writes a sidecar; stale sidecars self-evict") {
     val dir = Files.createTempDirectory("specidx").toFile
     val f = new java.io.File(dir, "c.spec")
     Files.write(f.toPath,
       "#S 1 a\n#L th  det\n0 1\n1 2\n\n#S 2 b\n#L th  det\n0 3\n".getBytes("UTF-8"))
-    val df = spark.read.format("spec").option("indexCache", "true").load(f.getPath)
+    // no option: caching is the default
+    val df = spark.read.format("spec").load(f.getPath)
     assert(df.count() == 3)
     val sidecar = new java.io.File(dir, "c.spec.specidx")
     assert(sidecar.exists(), "sidecar index not written")
     val content = new String(Files.readAllBytes(sidecar.toPath))
-    assert(content.startsWith(s"specidx\tv1\t${f.length()}\t"))
+    assert(content.startsWith(s"specidx\tv2\t${f.length()}\t"))
     // cached index is used on re-read and yields identical partitions
-    val again = spark.read.format("spec").option("indexCache", "true").load(f.getPath)
+    val again = spark.read.format("spec").load(f.getPath)
     assert(again.count() == 3 && again.filter(col("scan") === 2).count() == 1)
     // a sidecar with a wrong length (stale) is ignored, not trusted
     Files.write(sidecar.toPath,
-      "specidx\tv1\t999999\t0\nS\t1\t0\t10\n".getBytes("UTF-8"))
+      "specidx\tv2\t999999\t0\t0\nS\t1\t0\t10\n".getBytes("UTF-8"))
     assert(spark.read.format("spec").option("indexCache", "false").load(f.getPath).count() == 3)
-    assert(spark.read.format("spec").option("indexCache", "true").load(f.getPath).count() == 3)
+    assert(spark.read.format("spec").load(f.getPath).count() == 3)
+    // ... and the read above overwrote it with a fresh valid v2 (GC =
+    // eviction-by-rewrite, one sidecar per file)
+    val healed = new String(Files.readAllBytes(sidecar.toPath))
+    assert(healed.startsWith(s"specidx\tv2\t${f.length()}\t"))
+    assert(!healed.contains("999999"))
+  }
+
+  test("sidecar fingerprint catches same-length same-mtime rewrites") {
+    val dir = Files.createTempDirectory("specfp").toFile
+    val f = new java.io.File(dir, "fp.spec")
+    Files.write(f.toPath,
+      "#S 1 a\n#L th  det\n0 1\n1 2\n".getBytes("UTF-8"))
+    assert(spark.read.format("spec").load(f.getPath).count() == 2)
+    val sidecar = new java.io.File(dir, "fp.spec.specidx")
+    assert(sidecar.exists())
+    val mtime = f.lastModified()
+    // rewrite: SAME byte length, scan renumbered 1 -> 7, mtime pinned
+    // back — (length, mtime) validation alone would serve the stale
+    // index and report scan 1
+    Files.write(f.toPath,
+      "#S 7 a\n#L th  det\n0 1\n1 2\n".getBytes("UTF-8"))
+    assert(f.setLastModified(mtime))
+    val scans = spark.read.format("spec").load(f.getPath)
+      .select("scan").distinct().collect().map(_.getLong(0)).toSet
+    assert(scans == Set(7L), s"stale sidecar served: $scans")
   }
 
   test("many files index via the distributed job path") {
@@ -425,6 +451,28 @@ class SpecDataSourceSpec extends SparkSpec {
     assert(content.linesIterator.count(_.startsWith("#O")) == 1)
   }
 
+  test("singleFile merge keeps #P of a superset part (longest motor list wins)") {
+    // scan 1 knows (Alpha); scan 2 knows (Alpha, Beta) — the longer
+    // list must become the file #O so BOTH parts' positions survive
+    // (first-nonempty selection would truncate Beta and drop scan 2's
+    // positions despite perfect alignment)
+    val dir = Files.createTempDirectory("specsuper").toFile
+    val mk = (name: String, motors: String, pos: String, scan: Int) => Files.write(
+      new java.io.File(dir, name).toPath,
+      s"#O0 $motors\n\n#S $scan a\n#P0 $pos\n#L x  y\n0 1\n".getBytes("UTF-8"))
+    mk("s1.spec", "Alpha", "1.5", 1)
+    mk("s2.spec", "Alpha  Beta", "2.5 3.5", 2)
+    val src = spark.read.format("spec").load(dir.getPath)
+    val out = Files.createTempDirectory("specsuperout").toFile.getPath
+    src.write.format("spec").option("singleFile", "sup.spec").mode("append").save(out)
+    val back = spark.read.format("spec").load(out)
+    val s1 = back.filter(col("scan") === 1).collect().head
+    assert(s1.getMap[String, Double](s1.fieldIndex("motors")) == Map("Alpha" -> 1.5))
+    val s2 = back.filter(col("scan") === 2).collect().head
+    assert(s2.getMap[String, Double](s2.fieldIndex("motors")) ==
+      Map("Alpha" -> 2.5, "Beta" -> 3.5))
+  }
+
   test("streaming source tails a growing spec file, emitting completed scans") {
     val dir = Files.createTempDirectory("specstream").toFile
     val f = new java.io.File(dir, "live.spec")
@@ -479,6 +527,34 @@ class SpecDataSourceSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(spark.table("spec_done").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     } finally q2.stop()
+  }
+
+  test("streaming: a malformed #S still releases the completed scan before it") {
+    // The malformed header terminates scan 1's block — batch emits
+    // scan 1, so the stream boundary must advance over the raw #S
+    // even though its scan number never parses.
+    val dir = Files.createTempDirectory("specbadhdr").toFile
+    val f = new java.io.File(dir, "bad.spec")
+    Files.write(f.toPath,
+      """#F bad.spec
+        |
+        |#S 1 ascan th 0 1 2 1
+        |#L th  det
+        |0.0 10
+        |1.0 20
+        |
+        |#S x garbage header
+        |#L th  det
+        |0.0 99
+        |""".stripMargin.getBytes("UTF-8"))
+    val q = spark.readStream.format("spec").load(f.getPath)
+      .select(col("scan"))
+      .writeStream.format("memory").queryName("spec_badhdr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("spec_badhdr").collect().map(_.getLong(0)).toSet == Set(1L))
+    } finally q.stop()
   }
 
   test("streaming (emitLast) equals batch on arbitrary line soup (parity fuzz)") {

@@ -96,14 +96,22 @@ class StreamingSpec extends SparkSpec {
       // two monitor updates BEFORE the reading: as-of must take the newer
       monitors.addData((ts(0), 1L, 100.0), (ts(20), 1L, 200.0))
       readings.addData((ts(30), 7L, 1L))
-      // push watermarks far ahead so the aggregate finalizes
+      // user 2 has NO monitor events at all: batch as-of keeps the
+      // event with a null payload, so the stream must too
+      readings.addData((ts(31), 8L, 2L))
+      // push watermarks far ahead so join state + aggregate finalize
       monitors.addData((ts(500), 9L, 0.0))
       readings.addData((ts(500), 99L, 9L))
       q.processAllAvailable()
+      monitors.addData((ts(1000), 9L, 0.0))
+      readings.addData((ts(1000), 98L, 9L))
+      q.processAllAvailable()
       val rows = spark.table("asof_live")
         .select("event_id", "asof_mval").collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toMap
-      assert(rows(7L) == 200.0) // latest-before, not first match
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(rows(7L).contains(200.0)) // latest-before, not first match
+      assert(rows.contains(8L) && rows(8L).isEmpty,
+        "unmatched left event must emit with null payload (left-outer as-of)")
     } finally q.stop()
   }
 
