@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SpeWriterUtil
+
+/** CCD detector-file queries (SURVEY.md §2 #80): the Princeton SPE
+  * binary image source (pyspec `ccd/PrincetonSPE.py` surface) proven
+  * end-to-end through the DuckDB hash gate.
+  *
+  * The gate reads a deterministic synthetic SPE file — pixel
+  * `(frame f, row r, col c) = (1 + 7919·f + 1047·r + 131·c) mod 65536`
+  * written as REAL uint16 SPE 2.x bytes — and aggregates per-frame
+  * stats from the decoded arrays. The oracle recomputes the same
+  * stats from the closed form with DuckDB `range()` cross products:
+  * the two sides share NOTHING but the formula, so a hash match
+  * certifies the whole binary round-trip (header layout, frame
+  * offsets, little-endian uint16 decode, row-major order).
+  */
+object CcdQueries {
+  private val W = 64
+  private val H = 64
+  private val Frames = 16
+
+  /** Deterministic fixture, regenerated on every call (~131 KB; the
+    * write is far cheaper than a fixture-staleness bug). Lives in the
+    * JVM temp dir — in local mode (the gate harness) every task sees
+    * it; a multi-node smoke test would point the reader at shared
+    * storage instead.
+    */
+  private def fixture(s: SparkSession): String = synchronized {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_spe_gate")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "gate.spe")
+    val frames = (0 until Frames).map { fr =>
+      Array.tabulate(W * H) { i =>
+        ((1L + 7919L * fr + 1047L * (i / W) + 131L * (i % W)) % 65536L).toDouble
+      }
+    }
+    SpeWriterUtil.write(f.getAbsolutePath, s.sessionState.newHadoopConf(),
+      W, H, datatype = 3, expSec = 0.5, frames)
+    f.getAbsolutePath
+  }
+
+  /** Per-frame pixel statistics off the decoded SPE stack (#80). */
+  val qSpeFrames = GateQuery.sql(
+    "q_spe_frames",
+    s"""WITH px AS (SELECT f.f AS frame,
+       |    (1 + 7919 * f.f + 1047 * r.r + 131 * c.c) % 65536 AS v
+       |  FROM range(0, $Frames) f(f), range(0, $H) r(r), range(0, $W) c(c))
+       |SELECT CAST(frame AS BIGINT) AS frame, CAST(count(*) AS BIGINT) AS n_px,
+       |  CAST(sum(v) AS BIGINT) AS px_sum,
+       |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+       |FROM px GROUP BY 1 ORDER BY frame""".stripMargin) { (s, _) =>
+    s.read.format("spe").load(fixture(s))
+      .select(col("frame"),
+        size(col("pixels")).cast("long").as("n_px"),
+        aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("px_sum"),
+        array_min(col("pixels")).cast("long").as("px_min"),
+        array_max(col("pixels")).cast("long").as("px_max"))
+      .orderedSmall(col("frame"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qSpeFrames)
+}

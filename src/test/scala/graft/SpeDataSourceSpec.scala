@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{SpeSchema, SpeWriterUtil}
+
+class SpeDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def mkSpe(dir: java.io.File, name: String, w: Int, h: Int,
+                    dtype: Int, frames: Seq[Array[Double]],
+                    exp: Double = 1.0): String = {
+    val f = new java.io.File(dir, name)
+    SpeWriterUtil.write(f.getAbsolutePath, conf, w, h, dtype, exp, frames)
+    f.getAbsolutePath
+  }
+
+  test("round-trip across every SPE datatype") {
+    val dir = Files.createTempDirectory("spert").toFile
+    // values chosen to exercise sign/width edges of each type
+    val cases = Seq(
+      0 -> Seq(Array(0.5, -1.25, 3.0, 100.0)),            // float32
+      1 -> Seq(Array(-2147483648.0, -1.0, 0.0, 2147483647.0)), // int32
+      2 -> Seq(Array(-32768.0, -1.0, 0.0, 32767.0)),       // int16
+      3 -> Seq(Array(0.0, 1.0, 40000.0, 65535.0)),         // uint16
+      5 -> Seq(Array(math.Pi, -1e300, 0.0, 1e-300)),       // float64
+      6 -> Seq(Array(0.0, 1.0, 128.0, 255.0)),             // uint8
+      8 -> Seq(Array(0.0, 1.0, 3000000000.0, 4294967295.0))) // uint32
+    for ((dt, frames) <- cases) {
+      val p = mkSpe(dir, s"t$dt.spe", 2, 2, dt, frames)
+      val row = spark.read.format("spe").load(p).collect().head
+      val px = row.getSeq[Double](row.fieldIndex("pixels"))
+      assert(px == frames.head.toSeq, s"datatype $dt round-trip")
+      assert(row.getInt(row.fieldIndex("width")) == 2)
+      assert(row.getInt(row.fieldIndex("height")) == 2)
+    }
+  }
+
+  test("multi-frame file: one row per frame, metadata consistent") {
+    val dir = Files.createTempDirectory("spemf").toFile
+    val frames = (0 until 5).map(f => Array.tabulate(6)(i => (f * 10 + i).toDouble))
+    val p = mkSpe(dir, "m.spe", 3, 2, 3, frames, exp = 0.25)
+    val df = spark.read.format("spe").load(p)
+    assert(df.count() == 5)
+    val r = df.filter($"frame" === 3).collect().head
+    assert(r.getSeq[Double](r.fieldIndex("pixels")) == Seq(30.0, 31.0, 32.0, 33.0, 34.0, 35.0))
+    assert(r.getLong(r.fieldIndex("n_frames")) == 5L)
+    assert(math.abs(r.getDouble(r.fieldIndex("exp_sec")) - 0.25) < 1e-7)
+    assert(r.getString(r.fieldIndex("datatype")) == "uint16")
+  }
+
+  test("frame filters prune partitions before any data read") {
+    val dir = Files.createTempDirectory("spepr").toFile
+    val frames = (0 until 20).map(f => Array.tabulate(4)(_ => f.toDouble))
+    val p = mkSpe(dir, "p.spe", 2, 2, 3, frames)
+    val pruned = spark.read.format("spe").load(p).filter($"frame" >= 15 && $"frame" < 18)
+    assert(pruned.select("frame").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(15L, 16L, 17L))
+    val nParts = pruned.rdd.getNumPartitions
+    assert(nParts <= 3, s"expected <=3 pruned partitions, got $nParts")
+    val eq = spark.read.format("spe").load(p).filter($"frame" === 7)
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.collect().head.getLong(1) == 7L)
+  }
+
+  test("maxPartitionBytes batches contiguous frames per task") {
+    val dir = Files.createTempDirectory("spebatch").toFile
+    // 16 frames x 8 B/frame (2x2 uint16): cap at 32 B => 4 frames/part
+    val frames = (0 until 16).map(f => Array.tabulate(4)(_ => f.toDouble))
+    val p = mkSpe(dir, "b.spe", 2, 2, 3, frames)
+    val df = spark.read.format("spe").option("maxPartitionBytes", "32").load(p)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 16)
+    // default cap: tiny file = one partition
+    assert(spark.read.format("spe").load(p).rdd.getNumPartitions == 1)
+  }
+
+  test("metadata-only projection never opens the data section") {
+    val dir = Files.createTempDirectory("spemeta").toFile
+    val p = mkSpe(dir, "meta.spe", 2, 2, 3, Seq(Array(1.0, 2.0, 3.0, 4.0)))
+    // truncate the data section away: header promises 1 frame but the
+    // bytes are gone — pixel reads would fail, metadata must not
+    val raw = Files.readAllBytes(new java.io.File(p).toPath)
+    Files.write(new java.io.File(p).toPath, raw.take(SpeSchema.HeaderBytes))
+    val ex = intercept[Exception] {
+      spark.read.format("spe").load(p).select("pixels").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("truncated header fails fast with the path in the message") {
+    val dir = Files.createTempDirectory("spetrunc").toFile
+    val f = new java.io.File(dir, "short.spe")
+    Files.write(f.toPath, Array.fill[Byte](100)(0))
+    val ex = intercept[Exception] {
+      spark.read.format("spe").load(f.getAbsolutePath).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("short.spe")))
+  }
+
+  test("decoded frames feed the existing array operators (dark subtract)") {
+    val dir = Files.createTempDirectory("speops").toFile
+    // frame 0 is the dark; frames 1..3 are dark + signal
+    val dark = Array.tabulate(16)(i => (i % 4).toDouble * 10)
+    val lit_ = (f: Int) => Array.tabulate(16)(i => dark(i) + f * 100 + i)
+    val p = mkSpe(dir, "ops.spe", 4, 4, 3, dark +: (1 to 3).map(lit_))
+    val df = spark.read.format("spe").load(p).select($"frame", $"pixels")
+    val darkDf = df.filter($"frame" === 0).select($"pixels".as("dark"))
+    val corrected = df.filter($"frame" > 0)
+      .crossJoin(broadcast(darkDf))
+      .select($"frame",
+        zip_with($"pixels", $"dark", (a, b) => a - b).as("corr"))
+    val sums = corrected
+      .select($"frame", aggregate($"corr", lit(0.0), (a, x) => a + x).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // sum over i of (f*100 + i) = 1600f + 120
+    assert(sums == Map(1L -> 1720.0, 2L -> 3320.0, 3L -> 4920.0))
+  }
+
+  test("glob over a directory of SPE files") {
+    val dir = Files.createTempDirectory("speglob").toFile
+    for (k <- 1 to 3)
+      mkSpe(dir, s"run$k.spe", 2, 1, 3, Seq(Array(k.toDouble, k * 2.0)))
+    val df = spark.read.format("spe").load(dir.getAbsolutePath + "/*.spe")
+    assert(df.count() == 3)
+    assert(df.select("file").distinct().count() == 3)
+  }
+}
