@@ -85,6 +85,24 @@ object EmbeddingQueries {
     s"SELECT vec_id, $t AS tbl, ${lshBucketSql("q", t, Planes4, Dims)} AS bkt FROM en"
   }.mkString("bk AS (", " UNION ALL ", ")")
 
+  /** Payload-attach layout, chosen by SIZE instead of by editing the
+    * query: when the vector table's optimizer estimate fits the
+    * session's `autoBroadcastJoinThreshold`, the bucket relation
+    * joins back to the (broadcast) vector table — measured faster at
+    * bench scale than carrying arrays through the explode. Past the
+    * threshold (or with broadcasting disabled), vectors travel WITH
+    * their buckets ([[bucketRelWithPayload]]): the only shuffle is
+    * (tbl, bkt) and the corpus is never joined — the 100 TB shape.
+    * Both layouts produce identical (vec_id, q, n, tbl, bkt) rows, so
+    * the switch can never change results, only the plan.
+    */
+  private[queries] def bucketRelAuto(e: DataFrame): DataFrame = {
+    val thresh = e.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val vecBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thresh > 0 && vecBytes <= BigInt(thresh)) bucketRel(e).join(e, Seq("vec_id"))
+    else bucketRelWithPayload(e)
+  }
+
   val qEmbedNearDup = GateQuery.sql(
     "q_embed_neardup",
     s"""WITH $PrepSql,
@@ -99,15 +117,14 @@ object EmbeddingQueries {
     // Vectors travel WITH their buckets (standard LSH layout): the
     // band self-join scores pairs in place and filters by cosine
     // BEFORE deduplicating across tables, so the plan never shuffles
-    // the (large) candidate-id set. The vec_id join attaching
-    // payloads broadcasts when the vector table fits (measured faster
-    // locally than carrying arrays through the explode); at corpus
-    // sizes past broadcast, swap in bucketRelWithPayload — one
-    // (tbl,bkt) shuffle, zero corpus joins. The oracle keeps the
-    // logically-identical DISTINCT-then-score shape: duplicate
-    // candidates score identically, so the final sets match.
+    // the (large) candidate-id set. The payload-attach layout is
+    // size-selected by [[bucketRelAuto]]: broadcast-join back to the
+    // vector table while it fits, payload-through-explode past that.
+    // The oracle keeps the logically-identical DISTINCT-then-score
+    // shape: duplicate candidates score identically, so the final
+    // sets match.
     val e = prep(s, d)
-    val bkq = bucketRel(e).join(e, Seq("vec_id")) // broadcast at this scale
+    val bkq = bucketRelAuto(e)
     val a = bkq.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"),
       col("q").as("qa"), col("n").as("na"))
     val b = bkq.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt"),
