@@ -164,15 +164,25 @@ object LineshapeFit {
     (jtj, jtr)
   }
 
-  /** Damped Gauss–Newton with a central-difference jacobian.
+  /** Levenberg–Marquardt with a central-difference jacobian (the
+    * same solver family as the SciPy `leastsq` backing pyspec's
+    * `fit.py`): the normal equations are damped with λ·diag(JᵀJ)
+    * (Marquardt scaling), λ shrinking ×0.3 on every accepted step
+    * and growing ×10 on rejection — so far-off or ill-conditioned
+    * seeds take safe gradient-descent-like steps where plain
+    * Gauss–Newton's direction is garbage, and the damping vanishes
+    * near the optimum restoring GN's quadratic convergence.
+    * `lm = false` reverts to undamped GN with step-halving (kept for
+    * comparison; the LM path dominates it on hard seeds).
     *
     * `fixed` holds parameters at their SEED value (pyspec `fit.py`
     * `ifix` semantics — e.g. freeze a known background while the
-    * peak refines): fixed parameters take no GN step, contribute no
+    * peak refines): fixed parameters take no step, contribute no
     * jacobian column, and report esd 0.
     */
   def fitArrays(shape: Shape, g: Long, xsIn: Array[Double], ysIn: Array[Double],
-                maxIter: Int = 40, fixed: Array[Boolean] = null): ShapeFit = {
+                maxIter: Int = 40, fixed: Array[Boolean] = null,
+                lm: Boolean = true): ShapeFit = {
     if (xsIn.isEmpty || ysIn.isEmpty)
       return ShapeFit(g, shape.name, 0, Double.NaN, Double.NaN, Double.NaN,
         Double.NaN, Double.NaN, Double.NaN, Double.NaN, converged = false,
@@ -203,33 +213,42 @@ object LineshapeFit {
       if (np == 5) esd(4) else Double.NaN)
     if (n < free.length + 1 || free.isEmpty || p(1) <= 0)
       return pack(converged = false, rss(shape, xs, ys, p), noEsd)
-    // restrict the normal equations to the FREE parameters; fixed
-    // ones take no step and contribute no jacobian column
-    def solveMasked(jtj: Array[Array[Double]], jtr: Array[Double]): Array[Double] = {
-      if (free.length == np) return solveN(jtj, jtr)
-      val a = Array.tabulate(free.length)(i =>
-        Array.tabulate(free.length)(j => jtj(free(i))(free(j))))
-      val b = Array.tabulate(free.length)(i => jtr(free(i)))
+    // restrict the normal equations to the FREE parameters (fixed
+    // ones take no step and contribute no jacobian column), damp the
+    // diagonal by λ·max(diag, floor), and scatter the solution back.
+    // Fresh copies every call: solveN destroys its inputs and the LM
+    // retry loop re-solves the SAME normal equations under new λ.
+    def solveMasked(jtj: Array[Array[Double]], jtr: Array[Double],
+                    lambda: Double): Array[Double] = {
+      val m = free.length
+      val a = Array.tabulate(m)(i => Array.tabulate(m)(j => jtj(free(i))(free(j))))
+      val b = Array.tabulate(m)(i => jtr(free(i)))
+      var i = 0
+      while (i < m) { a(i)(i) += lambda * math.max(a(i)(i), 1e-12); i += 1 }
       val x = solveN(a, b)
       if (x == null) null
       else {
         val d = new Array[Double](np)
-        free.zipWithIndex.foreach { case (k, i) => d(k) = x(i) }
+        free.zipWithIndex.foreach { case (k, i2) => d(k) = x(i2) }
         d
       }
     }
     var cur = rss(shape, xs, ys, p)
+    var lambda = if (lm) 1e-3 else 0.0
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
       val (jtj, jtr) = buildNormal(shape, xs, ys, p)
-      val d = solveMasked(jtj, jtr)
-      if (d == null) converged = true
-      else {
-        var step = 1.0
-        var accepted = false
-        var t = 0
-        while (t < 10 && !accepted) {
+      var step = 1.0
+      var accepted = false
+      var stop = false
+      var t = 0
+      while (t < 12 && !accepted && !stop) {
+        val d = solveMasked(jtj, jtr, lambda)
+        if (d == null) {
+          // singular even after damping: raise λ (LM) or give up (GN)
+          if (lm) { lambda *= 10; t += 1 } else stop = true
+        } else {
           val cand = p.clone()
           var k = 0
           while (k < np) { cand(k) += step * d(k); k += 1 }
@@ -238,10 +257,12 @@ object LineshapeFit {
           if (java.lang.Double.isFinite(nr) && nr <= cur) {
             if (cur - nr < 1e-12 * (1 + cur)) converged = true
             p = cand; cur = nr; accepted = true
-          } else { step /= 2; t += 1 }
+            if (lm) lambda = math.max(1e-12, lambda * 0.3)
+          } else if (lm) { lambda *= 10; t += 1 }
+          else { step /= 2; t += 1 }
         }
-        if (!accepted) converged = true
       }
+      if (!accepted) converged = true
       it += 1
     }
     val esd = {

@@ -103,4 +103,24 @@ class LineshapeFitSpec extends SparkSpec {
     assert(math.abs(gen.getDouble(gen.fieldIndex("center")) - ded.getDouble(ded.fieldIndex("com"))) < 1e-6)
     assert(math.abs(gen.getDouble(gen.fieldIndex("width")) - ded.getDouble(ded.fieldIndex("sigma"))) < 1e-6)
   }
+
+  test("LM damping converges where undamped GN stalls (ill-conditioned seed)") {
+    // pseudo-voigt on sparsely sampled pure-lorentzian data: the
+    // moment seed puts width ~an order of magnitude high and the
+    // frac/height/width columns of JᵀJ are nearly collinear there, so
+    // the undamped GN direction is useless — step-halving stalls at a
+    // far-off minimum. λ·diag damping turns the early steps gradient-
+    // descent-like and the fit lands on the exact generating params.
+    val xs = (0 until 60).map(i => i * 5.0).toArray
+    val ys = xs.map { x => val t = (x - 151.0) / 2.0; 3.0 + 80.0 / (1 + t * t) }
+    val gn = LineshapeFit.fitArrays(PseudoVoigt, 1, xs, ys, lm = false)
+    val lmFit = LineshapeFit.fitArrays(PseudoVoigt, 1, xs, ys)
+    assert(gn.rss > 100.0, s"expected plain GN to stall on this fixture, rss=${gn.rss}")
+    assert(lmFit.converged && lmFit.rss < 1e-9, s"LM should solve it, rss=${lmFit.rss}")
+    assert(math.abs(lmFit.bg - 3.0) < 1e-5)
+    assert(math.abs(lmFit.height - 80.0) < 1e-4)
+    assert(math.abs(lmFit.center - 151.0) < 1e-5)
+    assert(math.abs(lmFit.width - 2.0) < 1e-4)
+    assert(lmFit.frac > 0.99) // pure lorentzian
+  }
 }
