@@ -174,7 +174,56 @@ object ExtendedQueries {
       .orderedSmall(col("source"), col("bucket"))
   }
 
+  /** Six-circle angles→hkl (#81): the full diffractometer rotation
+    * stack ([[graft.operators.SixCircle]]) over a synthetic angle
+    * sweep derived from the events table, against a cubic UB = I/4
+    * (so hkl = 4·q_φ). Both engines evaluate the identical IEEE
+    * expression tree — the oracle SQL is the line-for-line mirror of
+    * the Column chain (SURVEY §4 exact-trees discipline), rounded to
+    * 6 to absorb libm ulp drift in the trig.
+    */
+  val qSixcHkl = {
+    val SweepSql =
+      """sw AS (SELECT event_id, abs(xs) AS axs FROM e),
+        |ang AS (SELECT event_id,
+        |    radians(axs % 13 - 6) AS mu, radians(5 + axs % 50) AS eta,
+        |    radians((axs * 7) % 120 - 60) AS chi,
+        |    radians((axs * 13) % 360 - 180) AS phi,
+        |    radians(2 * (5 + axs % 50)) AS delta,
+        |    radians(axs % 9 - 4) AS nu
+        |  FROM sw)""".stripMargin
+    val (qxS, qyS, qzS) = graft.operators.SixCircle.qPhiSql(
+      "mu", "eta", "chi", "phi", "delta", "nu", "1.54")
+    GateQuery.sql(
+      "q_sixc_hkl",
+      s"""WITH e AS (SELECT event_id,
+         |    (epoch_us(ts) // 1000000) - 1704067200 AS xs FROM events),
+         |$SweepSql
+         |SELECT event_id,
+         |  round($qxS * 4, 6) + 0.0 AS h,
+         |  round($qyS * 4, 6) + 0.0 AS k,
+         |  round($qzS * 4, 6) + 0.0 AS l
+         |FROM ang ORDER BY event_id""".stripMargin) { (s, d) =>
+      val sweep = ev(s, d).select(col("event_id"), abs(col("xs")).as("axs"))
+        .select(col("event_id"),
+          radians(col("axs") % 13 - 6).as("mu"),
+          radians(col("axs") % 50 + 5).as("eta"),
+          radians((col("axs") * 7) % 120 - 60).as("chi"),
+          radians((col("axs") * 13) % 360 - 180).as("phi"),
+          radians((col("axs") % 50 + 5) * 2).as("delta"),
+          radians(col("axs") % 9 - 4).as("nu"))
+      val q = graft.operators.SixCircle.qPhi(
+        col("mu"), col("eta"), col("chi"), col("phi"),
+        col("delta"), col("nu"), lit(1.54))
+      sweep.select(col("event_id"),
+          (round(q(0) * 4, 6) + lit(0.0)).as("h"),
+          (round(q(1) * 4, 6) + lit(0.0)).as("k"),
+          (round(q(2) * 4, 6) + lit(0.0)).as("l"))
+        .orderedSmall(col("event_id"))
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(
     qRangeJoin, qCube, qModePerGroup, qBgSubtract, qWeightedMedian,
-    qQualityBuckets)
+    qQualityBuckets, qSixcHkl)
 }
