@@ -98,8 +98,90 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   */
 object SpecIOMetrics {
   val bytesRead = new java.util.concurrent.atomic.LongAdder
-  def reset(): Unit = bytesRead.reset()
+  /** Chunks the parser found ALREADY buffered by the prefetch thread —
+    * each one is a chunk of file IO that fully overlapped parse CPU. */
+  val prefetchHits = new java.util.concurrent.atomic.LongAdder
+  /** Chunks the parser had to wait for (IO bound the whole way). */
+  val prefetchWaits = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { bytesRead.reset(); prefetchHits.reset(); prefetchWaits.reset() }
   def total: Long = bytesRead.sum()
+}
+
+/** Read-ahead wrapper: a daemon thread drains `in` into a bounded
+  * chunk queue while the consumer parses the previous chunks — on a
+  * high-latency filesystem (HDFS/S3) the next scan bytes stream in
+  * while the current ones are being tokenized, instead of the reader
+  * alternating stalls. The consumer is the ONLY reader of the queue
+  * and the thread the only reader of `in`, so the underlying stream
+  * position is never shared. Errors propagate on the next read;
+  * close() stops the thread and closes `in` exactly once.
+  */
+private[sources] class PrefetchInputStream(in: InputStream, chunkSize: Int = 256 * 1024,
+                                           depth: Int = 4) extends InputStream {
+  private val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](depth)
+  @volatile private var error: Throwable = null
+  @volatile private var closed = false
+  private val Eof = new AnyRef
+  private var cur: Array[Byte] = Array.emptyByteArray
+  private var pos = 0
+  private var done = false
+
+  private val pump = new Thread(() => {
+    try {
+      var eof = false
+      while (!eof && !closed) {
+        val buf = new Array[Byte](chunkSize)
+        var n = 0
+        // fill the chunk fully so queue slots carry maximal bytes
+        var r = 0
+        while (n < chunkSize && r >= 0) {
+          r = in.read(buf, n, chunkSize - n)
+          if (r > 0) n += r
+        }
+        eof = r < 0
+        val item: AnyRef = if (n == chunkSize) buf else java.util.Arrays.copyOf(buf, n)
+        if (n > 0) while (!closed && !queue.offer(item, 50, java.util.concurrent.TimeUnit.MILLISECONDS)) ()
+      }
+    } catch { case t: Throwable => error = t }
+    finally {
+      scala.util.Try(in.close())
+      while (!closed && !queue.offer(Eof, 50, java.util.concurrent.TimeUnit.MILLISECONDS)) ()
+    }
+  }, "spec-prefetch")
+  pump.setDaemon(true)
+  pump.start()
+
+  private def advance(): Boolean = {
+    if (done) return false
+    if (error != null) throw new java.io.IOException("spec prefetch failed", error)
+    val fast = queue.poll()
+    val item = if (fast != null) { SpecIOMetrics.prefetchHits.increment(); fast }
+      else { SpecIOMetrics.prefetchWaits.increment(); queue.take() }
+    if (error != null) throw new java.io.IOException("spec prefetch failed", error)
+    if (item eq Eof) { done = true; false }
+    else { cur = item.asInstanceOf[Array[Byte]]; pos = 0; true }
+  }
+
+  override def read(): Int = {
+    if (pos >= cur.length && !advance()) return -1
+    val b = cur(pos) & 0xFF
+    pos += 1
+    b
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (pos >= cur.length && !advance()) return -1
+    val n = math.min(len, cur.length - pos)
+    System.arraycopy(cur, pos, b, off, n)
+    pos += n
+    n
+  }
+
+  override def close(): Unit = {
+    closed = true
+    queue.clear() // unblock a pump stuck on offer()
+  }
 }
 
 /** Reads lines from a (bounded) stream while tracking exact byte
@@ -665,9 +747,18 @@ class SpecPartitionReader(p: SpecInputPartition, conf: Configuration,
     val path = new Path(p.path)
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
+    var stream: InputStream = null
     val reader = try {
       raw.seek(p.startByte)
-      new OffsetLineReader(new BoundedInputStream(raw, p.endByte - p.startByte))
+      val bounded = new BoundedInputStream(raw, p.endByte - p.startByte)
+      // blocks bigger than one prefetch chunk parse while their later
+      // bytes stream in on the read-ahead thread; smaller blocks gain
+      // nothing from a second thread
+      stream =
+        if (p.endByte - p.startByte >= SpecPartitionReader.PrefetchMinBytes)
+          new PrefetchInputStream(bounded)
+        else bounded
+      new OffsetLineReader(stream)
     } catch { case e: Throwable => raw.close(); throw e }
     SpecIOMetrics.bytesRead.add(p.endByte - p.startByte)
     var command: String = null
@@ -739,7 +830,10 @@ class SpecPartitionReader(p: SpecInputPartition, conf: Configuration,
         }
         line = reader.readLine()
       }
-    } finally raw.close()
+    } finally {
+      if (stream != null) scala.util.Try(stream.close())
+      raw.close()
+    }
     // scan-constant values, built once and only if requested
     val need = columns.toSet
     lazy val motorMap =
@@ -786,4 +880,10 @@ class SpecPartitionReader(p: SpecInputPartition, conf: Configuration,
   override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
   override def get(): InternalRow = cur
   override def close(): Unit = ()
+}
+
+object SpecPartitionReader {
+  /** Minimum block size for the read-ahead thread (= one prefetch
+    * chunk; below this the whole block is a single read anyway). */
+  val PrefetchMinBytes: Long = 256L * 1024
 }

@@ -326,6 +326,28 @@ class SpecDataSourceSpec extends SparkSpec {
       s"pruned read fetched ${graft.sources.SpecIOMetrics.total} of $fileLen bytes")
   }
 
+  test("large scan blocks read through the prefetch thread (IO/parse overlap)") {
+    val dir = Files.createTempDirectory("specpre").toFile
+    val f = new java.io.File(dir, "big.spec")
+    // two scans, each ~1 MiB of data lines => well past PrefetchMinBytes
+    val sb = new StringBuilder
+    for (scan <- 1 to 2) {
+      sb.append(s"\n#S $scan bigscan\n#L th  det\n")
+      for (i <- 0 until 60000) sb.append(s"$i.0 ${i % 977}.5\n")
+    }
+    Files.write(f.toPath, sb.toString.getBytes("UTF-8"))
+    graft.sources.SpecIOMetrics.reset()
+    val df = spark.read.format("spec").load(f.getPath)
+      .groupBy("scan").agg(count(lit(1)).as("n"),
+        sum(element_at(col("data"), "det")).as("s"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // parity: exact counts and sums through the prefetch path
+    val expSum = (0 until 60000).map(i => (i % 977) + 0.5).sum
+    assert(rows(1L) == ((60000L, expSum)) && rows(2L) == ((60000L, expSum)))
+    assert(graft.sources.SpecIOMetrics.prefetchHits.sum() > 0,
+      "no chunk was ever found pre-buffered: prefetch not overlapping")
+  }
+
   test("indexCache (default-on) writes a sidecar; stale sidecars self-evict") {
     val dir = Files.createTempDirectory("specidx").toFile
     val f = new java.io.File(dir, "c.spec")
