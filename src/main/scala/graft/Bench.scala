@@ -15,9 +15,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    // SPARK_GRAFT_AQE=false measures the AQE-off floor (adaptive
+    // re-planning costs one extra driver round-trip per shuffle stage,
+    // visible at toy scale; production keeps AQE on for skew/coalesce)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
