@@ -352,9 +352,63 @@ object TextQueries {
       .toDF().orderedSmall(col("doc_id"))
   }
 
+  /** Repetition signals (#82) — the Gopher-rule family of quality
+    * filters (Rae et al. 2021, public): the share of a document's
+    * words claimed by its single most frequent word, and of its word
+    * bigrams by the most frequent bigram. High shares flag boilerplate
+    * and degenerate repetition that length/stopword stats
+    * (`q_text_quality`) miss. (Gopher counts the share of CHARACTERS
+    * in the top n-gram; occurrence share is the same signal and stays
+    * in exact integer arithmetic.)
+    *
+    * Plan shape at scale: two explode → (doc, gram) hash aggregates
+    * (map-side combined) → per-doc max/sum — no windows, no joins
+    * back to the corpus, shuffle keyed by (doc, gram) exactly like
+    * the shingle pipeline.
+    */
+  val qRepetition = GateQuery.sql(
+    "q_repetition",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wc AS (SELECT doc_id, unnest(w) AS t FROM t),
+       |wg AS (SELECT doc_id, t, count(*) AS c FROM wc GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, max(c) AS top_word_n,
+       |    CAST(sum(c) AS BIGINT) AS n_words FROM wg GROUP BY 1),
+       |bg AS (SELECT doc_id,
+       |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+       |  FROM t),
+       |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, max(c) AS top2_n,
+       |    CAST(sum(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY 1)
+       |SELECT ws.doc_id AS doc_id, n_words, top_word_n, n_bigrams, top2_n,
+       |  ${Exact.roundedRatioSql("top_word_n", "n_words", 4)} AS top_word_share,
+       |  ${Exact.roundedRatioSql("top2_n", "n_bigrams", 4)} AS top2_share
+       |FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val words = docs.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word_n"), sum(col("c")).as("n_words"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n_bigrams"))
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_word_n"),
+        col("n_bigrams"), col("top2_n"),
+        Exact.roundedRatio(col("top_word_n"), col("n_words"), 4).as("top_word_share"),
+        Exact.roundedRatio(col("top2_n"), col("n_bigrams"), 4).as("top2_share"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qSeqPacking, qMultimodalMeta,
-    qMultimodalFeatures)
+    qMultimodalFeatures, qRepetition)
 }

@@ -74,6 +74,9 @@ class SpeDataSource extends TableProvider with DataSourceRegister {
 object SpeSchema {
   val HeaderBytes = 4100
   val DefaultMaxPartitionBytes: Long = 128L * 1024 * 1024
+  /** Files-per-read above which header preads run as a Spark job
+    * (one task per file) instead of inline on the driver. */
+  val ParallelHeaderThreshold = 16
 
   val schema: StructType = StructType(Seq(
     StructField("file", StringType),
@@ -195,11 +198,27 @@ class SpeScanBuilder(paths: Seq[String], maxPartBytes: Long)
     override def toBatch: Batch = this
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val session = SparkSession.active
+      val conf = session.sessionState.newHadoopConf()
       val files = SpecSchema.expand(paths, conf)
         .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
+      // few files: header preads inline on the driver (4100 B each).
+      // Many files: one Spark job, one task per file — the same
+      // pattern as the spec source's distributed index pass, so a
+      // 10k-stack corpus never serializes its header reads through
+      // the driver.
+      val headers: Map[String, SpeSchema.SpeHeader] =
+        if (files.size <= SpeSchema.ParallelHeaderThreshold)
+          files.map(m => m.path -> SpeSchema.readHeader(m.path, conf)).toMap
+        else {
+          val sconf = new SerializableHadoopConf(conf)
+          session.sparkContext
+            .parallelize(files.map(_.path), files.size)
+            .map(p => p -> SpeSchema.readHeader(p, sconf.value))
+            .collect().toMap
+        }
       files.flatMap { meta =>
-        val h = SpeSchema.readHeader(meta.path, conf)
+        val h = headers(meta.path)
         val wanted = (0L until h.nFrames.toLong).filter { f =>
           f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f))
         }

@@ -129,4 +129,15 @@ class SpeDataSourceSpec extends SparkSpec {
     assert(df.count() == 3)
     assert(df.select("file").distinct().count() == 3)
   }
+
+  test("many files plan via the distributed header-read job") {
+    val dir = Files.createTempDirectory("spepar").toFile
+    val n = SpeSchema.ParallelHeaderThreshold + 4
+    for (k <- 1 to n)
+      mkSpe(dir, f"s$k%03d.spe", 2, 1, 3, Seq(Array(k.toDouble, 0.0), Array(k.toDouble, 1.0)))
+    val df = spark.read.format("spe").load(dir.getAbsolutePath)
+    assert(df.count() == 2L * n)
+    val sums = df.select(sum(element_at(col("pixels"), 1))).collect().head.getDouble(0)
+    assert(sums == 2.0 * (1 to n).sum)
+  }
 }
