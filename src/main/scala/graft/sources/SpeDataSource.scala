@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -114,11 +115,14 @@ object SpeSchema {
   }
 
   /** One bounded positional read of the 4100-byte header; the data
-    * section is never touched at planning time. Truncated or
-    * inconsistent files fail here with the path in the message
-    * instead of surfacing as a garbled frame later.
+    * section is never touched at planning time. With `strict` (batch
+    * reads), truncated or inconsistent files fail here with the path
+    * in the message instead of surfacing as a garbled frame later;
+    * the streaming source passes `strict = false` because a LIVE file
+    * legitimately holds fewer frames than the header's planned
+    * `NumFrames` while acquiring.
     */
-  def readHeader(path: String, conf: Configuration): SpeHeader = {
+  def readHeader(path: String, conf: Configuration, strict: Boolean = true): SpeHeader = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
@@ -135,7 +139,7 @@ object SpeSchema {
       expSec = bb.getFloat(10).toDouble)
     require(h.width > 0 && h.height > 0 && h.nFrames >= 0,
       s"$path: implausible SPE dims ${h.width}x${h.height}x${h.nFrames}")
-    require(len >= HeaderBytes + h.nFrames * h.frameBytes,
+    require(!strict || len >= HeaderBytes + h.nFrames * h.frameBytes,
       s"$path: truncated SPE data section (need ${h.nFrames} frames of ${h.frameBytes} B)")
     h
   }
@@ -148,7 +152,7 @@ class SpeTable(paths: Seq[String], maxPartBytes: Long) extends Table with Suppor
   override def name(): String = s"spe(${paths.mkString(",")})"
   override def schema(): StructType = SpeSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SpeScanBuilder(paths, maxPartBytes)
 }
@@ -244,15 +248,85 @@ class SpeScanBuilder(paths: Seq[String], maxPartBytes: Long)
       }.toArray
     }
 
-    override def createReaderFactory(): PartitionReaderFactory = {
-      val cols = required.fieldNames
-      val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
-      new PartitionReaderFactory {
-        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-          new SpePartitionReader(partition.asInstanceOf[SpeInputPartition], conf.value, cols)
-      }
-    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SpeReaderFactory(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
+
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new SpeMicroBatchStream(paths,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+        required.fieldNames, maxPartBytes)
   }
+}
+
+/** Structured-Streaming source over LIVE SPE stacks — watch a
+  * detector acquisition as frames append. Acquisition software writes
+  * the 4100-byte header first (dims, datatype; `NumFrames` may hold
+  * the final planned count from the start), then appends frames, so
+  * the number of COMPLETE frames on disk is
+  * `(len − 4100) div frameBytes` — the stream's per-file offset.
+  * Each micro-batch emits exactly the frames completed since the last
+  * offset (a partially-written trailing frame is below the floor and
+  * waits for its remaining bytes); when the header's `NumFrames` is
+  * positive it caps the emitted count, so a file whose data section
+  * carries trailing garbage (e.g. a footer) never yields phantom
+  * frames. Headers are read once per file and cached for the stream's
+  * lifetime; new files under the path are picked up automatically.
+  * Partitions and readers are the batch ones — seek + bounded
+  * per-frame reads, contiguous ranges capped at `maxPartitionBytes`.
+  */
+class SpeMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
+                          columns: Array[String], maxPartBytes: Long)
+    extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val headerCache = mutable.Map[String, SpeSchema.SpeHeader]()
+  private def header(path: String): SpeSchema.SpeHeader =
+    headerCache.getOrElseUpdate(path, SpeSchema.readHeader(path, conf.value, strict = false))
+
+  override def initialOffset(): Offset = SpecStreamOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset = SpecStreamOffset.fromJson(json)
+
+  override def latestOffset(): Offset = {
+    val files = SpecSchema.expand(paths, conf.value)
+      .filter(_.len >= SpeSchema.HeaderBytes)
+    SpecStreamOffset(files.map { meta =>
+      val h = header(meta.path)
+      val onDisk =
+        if (h.frameBytes <= 0) 0L
+        else (meta.len - SpeSchema.HeaderBytes) / h.frameBytes
+      val avail = if (h.nFrames > 0) math.min(onDisk, h.nFrames.toLong) else onDisk
+      meta.path -> avail
+    }.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SpecStreamOffset].files
+    val e = end.asInstanceOf[SpecStreamOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (path, to) =>
+      val from = s.getOrElse(path, 0L)
+      if (to <= from) Seq.empty
+      else {
+        val h = header(path)
+        val framesPerPart = math.max(1L, maxPartBytes / math.max(1L, h.frameBytes))
+        (from until to by framesPerPart).map { p =>
+          SpeInputPartition(path, p, math.min(to - 1, p + framesPerPart - 1), h)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpeReaderFactory(conf, columns)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class SpeReaderFactory(conf: SerializableHadoopConf,
+                       columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SpePartitionReader(partition.asInstanceOf[SpeInputPartition], conf.value, columns)
 }
 
 /** Reads frames [frameStart, frameEnd] of one file: a single seek to

@@ -65,6 +65,36 @@ class SixCircleSpec extends SparkSpec {
     }
   }
 
+  test("round-trip holds for a triclinic lattice UB (full B matrix)") {
+    // triclinic cell through the Busing-Levy B, oriented by the same
+    // U — exercises the solver off the cubic special case
+    import graft.operators.UBMatrix
+    val b = UBMatrix.bMatrix(UBMatrix.Lattice(5.2, 6.3, 7.1, 83.0, 97.0, 112.0))
+    val ub = Array.tabulate(9) { i =>
+      val (r, c) = (i / 3, i % 3)
+      U(r)(0) * b(0)(c) + U(r)(1) * b(1)(c) + U(r)(2) * b(2)(c)
+    }
+    // invert UB (3x3) for the hkl recovery
+    val m = Array.tabulate(3, 3)((i, j) => ub(3 * i + j))
+    val det = m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    def inv(i: Int, j: Int): Double = {
+      val (a1, a2) = ((j + 1) % 3, (j + 2) % 3)
+      val (b1, b2) = ((i + 1) % 3, (i + 2) % 3)
+      (m(a1)(b1) * m(a2)(b2) - m(a1)(b2) * m(a2)(b1)) / det
+    }
+    for (mode <- Seq("bisecting", "vertical"); (h, k, l) <- Seq((1.0, 0.0, 0.0), (0.0, 2.0, 0.0), (1.0, -1.0, 2.0), (-2.0, 1.0, 1.0))) {
+      val ang = SixCircle.anglesFor(mode, ub, h, k, l, lam)
+      assert(ang.isDefined, s"$mode unreachable ($h,$k,$l)")
+      val q = SixCircle.qPhiScalar(ang.get, lam)
+      val qv = Array(q._1, q._2, q._3)
+      val got = Array.tabulate(3)(i => inv(i, 0) * qv(0) + inv(i, 1) * qv(1) + inv(i, 2) * qv(2))
+      assert(math.abs(got(0) - h) < 1e-9 && math.abs(got(1) - k) < 1e-9 && math.abs(got(2) - l) < 1e-9,
+        s"$mode triclinic round-trip ($h,$k,$l) -> ${got.mkString(",")}")
+    }
+  }
+
   test("Column qPhi matches the scalar reference on arbitrary angles") {
     val rows = Seq(
       (0.1, 0.4, -0.7, 2.1, 0.9, -0.2),

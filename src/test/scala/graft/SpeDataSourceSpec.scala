@@ -130,6 +130,41 @@ class SpeDataSourceSpec extends SparkSpec {
     assert(df.select("file").distinct().count() == 3)
   }
 
+  test("streaming source tails a growing SPE stack, frame by frame") {
+    val dir = Files.createTempDirectory("spestream").toFile
+    val proto = new java.io.File(dir, "proto.bin") // template bytes only
+    // header promises 4 frames (planned count)
+    val frames = (0 until 4).map(k => Array.tabulate(4)(i => (10.0 * k + i)))
+    SpeWriterUtil.write(proto.getAbsolutePath, conf, 2, 2, 3, 0.1, frames)
+    val full = Files.readAllBytes(proto.toPath)
+    // the LIVE file is only ever touched with raw writes (no Hadoop
+    // .crc sidecar — a rewritten file would fail checksum otherwise)
+    val f = new java.io.File(dir, "live.spe")
+    val frameB = 8 // 2x2 uint16
+    def truncateTo(nBytes: Int): Unit =
+      Files.write(f.toPath, full.take(SpeSchema.HeaderBytes + nBytes))
+    truncateTo(2 * frameB + 3) // 2 complete frames + a PARTIAL third
+    val q = spark.readStream.format("spe").load(f.getPath)
+      .select(col("frame"), element_at(col("pixels"), 1).as("p0"))
+      .writeStream.format("memory").queryName("spe_live")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("spe_live").collect()
+      assert(first.map(_.getLong(0)).toSet == Set(0L, 1L),
+        "partial third frame must be held back")
+      assert(first.map(_.getDouble(1)).sorted.toSeq == Seq(0.0, 10.0))
+      // acquisition finishes: full file, plus trailing garbage past
+      // the planned NumFrames that must NOT become a phantom frame
+      Files.write(f.toPath, full ++ Array.fill[Byte](frameB + 2)(0x7F))
+      q.processAllAvailable()
+      val now = spark.table("spe_live").collect()
+      assert(now.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L),
+        "NumFrames cap must stop phantom frames from trailing bytes")
+      assert(now.map(_.getDouble(1)).sorted.toSeq == Seq(0.0, 10.0, 20.0, 30.0))
+    } finally q.stop()
+  }
+
   test("many files plan via the distributed header-read job") {
     val dir = Files.createTempDirectory("spepar").toFile
     val n = SpeSchema.ParallelHeaderThreshold + 4
