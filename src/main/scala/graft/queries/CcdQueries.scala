@@ -37,8 +37,19 @@ object CcdQueries {
         ((1L + 7919L * fr + 1047L * (i / W) + 131L * (i % W)) % 65536L).toDouble
       }
     }
-    SpeWriterUtil.write(f.getAbsolutePath, s.sessionState.newHadoopConf(),
+    // write-to-temp + atomic rename: `synchronized` only covers THIS
+    // JVM, and a concurrent harness process reading a half-written
+    // fixture would fail its gate
+    val tmp = new java.io.File(dir, s"gate.${java.util.UUID.randomUUID}.tmp")
+    SpeWriterUtil.write(tmp.getAbsolutePath, s.sessionState.newHadoopConf(),
       W, H, datatype = 3, expSec = 0.5, frames)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the Hadoop checksum sidecars the rename orphans (the bytes
+    // are identical every run, but be tidy)
+    new java.io.File(dir, ".gate.spe.crc").delete()
+    new java.io.File(dir, s".${tmp.getName}.crc").delete()
     f.getAbsolutePath
   }
 
