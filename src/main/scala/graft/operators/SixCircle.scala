@@ -115,6 +115,56 @@ object SixCircle {
     }
   }
 
+  /** Azimuth-fixed mode: the 1-DOF freedom left after fixing q — the
+    * rotation by ψ about the scattering vector itself — made explicit
+    * (the azimuthal scan every six-circle control system offers: sweep
+    * ψ at a fixed reflection to probe the azimuthal dependence).
+    *
+    * Construction: take the bisecting particular solution Z₀ (so
+    * ψ = 0 IS bisecting), compose with the right-rotation
+    * `R(q̂_c, ψ)` about the crystal-frame scattering direction —
+    * `Z = Z₀·R` still maps q̂_c to the same q̂_lab for every ψ — and
+    * re-decompose Z into the sample stack's Rz(η)·Ry(χ)·Rz(φ) ZYZ
+    * Euler angles (always possible; μ stays 0, detector unchanged).
+    */
+  def anglesForPsi(ub: Array[Double], h: Double, k: Double, l: Double,
+                   lam: Double, psi: Double): Option[Angles] =
+    anglesFor("bisecting", ub, h, k, l, lam).map { a0 =>
+      import math._
+      // crystal-frame unit q
+      val qx = ub(0) * h + ub(1) * k + ub(2) * l
+      val qy = ub(3) * h + ub(4) * k + ub(5) * l
+      val qz = ub(6) * h + ub(7) * k + ub(8) * l
+      val qn = sqrt(qx * qx + qy * qy + qz * qz)
+      val u = Array(qx / qn, qy / qn, qz / qn)
+      def rz(t: Double) = Array(
+        Array(cos(t), -sin(t), 0.0), Array(sin(t), cos(t), 0.0), Array(0.0, 0.0, 1.0))
+      def ry(t: Double) = Array(
+        Array(cos(t), 0.0, sin(t)), Array(0.0, 1.0, 0.0), Array(-sin(t), 0.0, cos(t)))
+      def mul(p: Array[Array[Double]], q: Array[Array[Double]]) =
+        Array.tabulate(3, 3)((i, j) => p(i)(0) * q(0)(j) + p(i)(1) * q(1)(j) + p(i)(2) * q(2)(j))
+      // Rodrigues rotation about û by ψ
+      val (c, s) = (cos(psi), sin(psi))
+      val rpsi = Array.tabulate(3, 3) { (i, j) =>
+        val eps = (i, j) match {
+          case (0, 1) => -u(2); case (1, 0) => u(2)
+          case (0, 2) => u(1);  case (2, 0) => -u(1)
+          case (1, 2) => -u(0); case (2, 1) => u(0)
+          case _ => 0.0
+        }
+        c * (if (i == j) 1.0 else 0.0) + s * eps + (1 - c) * u(i) * u(j)
+      }
+      val z = mul(mul(rz(a0.eta), ry(a0.chi)), mul(rz(a0.phi), rpsi))
+      // ZYZ re-decomposition: Z = Rz(η)·Ry(χ)·Rz(φ)
+      // z(0)(2) = cosη·sinχ; z(1)(2) = sinη·sinχ; z(2)(2) = cosχ;
+      // z(2)(0) = -sinχ·cosφ; z(2)(1) = sinχ·sinφ
+      val chi = acos(max(-1.0, min(1.0, z(2)(2))))
+      val (eta, phi) =
+        if (abs(sin(chi)) < 1e-12) (atan2(z(1)(0), z(0)(0)), 0.0) // gimbal: fold into η
+        else (atan2(z(1)(2), z(0)(2)), atan2(z(2)(1), -z(2)(0)))
+      Angles(0.0, eta, chi, phi, a0.delta, 0.0)
+    }
+
   /** Scala-side forward transform (same math as [[qPhi]]) for tests
     * and driver-side mode checks. */
   def qPhiScalar(a: Angles, lam: Double): (Double, Double, Double) = {

@@ -138,6 +138,26 @@ object TextOps {
        |    list_transform(string_split($text, ' '), tk -> ${baseHashSql("tk")})),
        |  (h, x) -> (h * 31 + x) % $FpMod)""".stripMargin
 
+  /** PII patterns for corpus scrubbing (the C4/CCNet-style redaction
+    * pass a training pipeline runs before release). Conservative
+    * syntax on purpose: character classes + bounded quantifiers only,
+    * so Java regex (Spark) and RE2 (DuckDB) match identically —
+    * no lookarounds, no backrefs. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails then IPv4s (fixed order — an address that matches
+    * both is consumed by the email pass on every engine). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
+  /** DuckDB mirror of [[scrubPii]] ('g': replace ALL, which is
+    * Spark's default). */
+  def scrubPiiSql(text: String): String =
+    s"regexp_replace(regexp_replace($text, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g')"
+
   /** Count of tokens belonging to a marker set (language-ID /
     * stopword scoring). */
   def markerCount(text: Column, markers: Seq[String]): Column =

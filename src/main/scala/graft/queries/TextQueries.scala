@@ -406,9 +406,44 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** PII scrubbing (#84): find-and-redact emails / IPv4s — the
+    * release-hygiene pass of a curation pipeline (C4/CCNet lineage).
+    * The synthetic documents carry no PII, so the gate plants
+    * deterministic doc_id-derived addresses INTO each document and
+    * verifies the whole round trip cross-engine: extraction counts
+    * AND the md5 of the redacted text (byte-exact replacement).
+    * Patterns are the engine-portable subset (character classes +
+    * bounded quantifiers; no lookaround) so Java regex and RE2 agree.
+    */
+  val qPiiScrub = GateQuery.sql(
+    "q_pii_scrub",
+    s"""WITH t AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or admin@test.org from 10.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.4' AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+       |  md5(${TextOps.scrubPiiSql("aug")}) AS redacted_md5
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or admin@test.org from 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"), lit(".4")).as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(TextOps.EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(TextOps.Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        md5(TextOps.scrubPii(col("aug")).cast("binary")).as("redacted_md5"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qSeqPacking, qMultimodalMeta,
-    qMultimodalFeatures, qRepetition)
+    qMultimodalFeatures, qRepetition, qPiiScrub)
 }

@@ -95,6 +95,22 @@ class SixCircleSpec extends SparkSpec {
     }
   }
 
+  test("psi-fixed azimuth mode: every psi reaches the same reflection") {
+    val (h, k, l) = (1.0, -1.0, 2.0)
+    val psis = Seq(-2.5, -1.0, 0.0, 0.7, 1.9, 3.0)
+    val angles = psis.map(p => SixCircle.anglesForPsi(ubFlat, h, k, l, lam, p).get)
+    for ((ang, psi) <- angles.zip(psis)) {
+      val (h2, k2, l2) = hklOf(SixCircle.qPhiScalar(ang, lam))
+      assert(math.abs(h2 - h) < 1e-9 && math.abs(k2 - k) < 1e-9 && math.abs(l2 - l) < 1e-9,
+        s"psi=$psi lost the reflection: ($h2,$k2,$l2)")
+      // detector never moves during an azimuthal scan
+      assert(ang.delta == angles.head.delta && ang.nu == 0.0 && ang.mu == 0.0)
+    }
+    // and the scan genuinely MOVES the sample circles
+    val distinctChi = angles.map(a => math.round(a.chi * 1e6)).distinct
+    assert(distinctChi.size >= 5, s"azimuth sweep barely moved chi: $distinctChi")
+  }
+
   test("Column qPhi matches the scalar reference on arbitrary angles") {
     val rows = Seq(
       (0.1, 0.4, -0.7, 2.1, 0.9, -0.2),
