@@ -46,6 +46,24 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("ntileBucketStats handles null values like window ntile") {
+    // nulls sort first in both the collapsed window and ntile's order
+    val rows = Seq((1L, 1L, Some(5L)), (1L, 2L, None), (1L, 3L, Some(5L)),
+      (1L, 4L, None), (1L, 5L, Some(9L)), (1L, 6L, Some(1L)), (1L, 7L, Some(9L)))
+    val df = rows.toDF("g", "id", "v")
+    val fast = Percentiles.ntileBucketStats(df.select($"g", $"v"), Seq("g"), col("v"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val exact = Percentiles.ntileRows(df, Seq("g"), col("v"), col("id"), 3)
+      .groupBy($"g", $"bucket")
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(fast == exact)
+  }
+
   test("ntileBucketStats never sorts the raw relation in a window") {
     // scale guard: every Window in the plan must sit above a hash
     // aggregate (the collapse to distinct values), never directly on
