@@ -165,6 +165,32 @@ class SpeDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming equals batch on complete stacks (parity fuzz)") {
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 0 until 4) {
+      val dir = Files.createTempDirectory(s"spesb$trial").toFile
+      val (w, h) = (1 + rnd.nextInt(5), 1 + rnd.nextInt(5))
+      val dt = Seq(3, 1, 5, 6)(trial)
+      val limit = dt match { case 6 => 256L; case 3 => 65536L; case _ => 100000L }
+      val nf = 1 + rnd.nextInt(7)
+      val frames = (0 until nf).map(_ => Array.fill(w * h)((rnd.nextLong().abs % limit).toDouble))
+      val p = mkSpe(dir, "sb.spe", w, h, dt, frames)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(r.fieldIndex("frame")), r.getSeq[Double](r.fieldIndex("pixels")).toList)
+      val batch = spark.read.format("spe").load(p)
+        .select("frame", "pixels").collect().map(key).toSet
+      val q = spark.readStream.format("spe").load(p)
+        .select("frame", "pixels")
+        .writeStream.format("memory").queryName(s"spe_sb$trial")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val stream = spark.table(s"spe_sb$trial").collect().map(key).toSet
+        assert(stream == batch, s"trial $trial (dt=$dt ${w}x$h x$nf)")
+      } finally q.stop()
+    }
+  }
+
   test("many files plan via the distributed header-read job") {
     val dir = Files.createTempDirectory("spepar").toFile
     val n = SpeSchema.ParallelHeaderThreshold + 4
