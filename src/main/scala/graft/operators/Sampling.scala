@@ -55,4 +55,38 @@ object Sampling {
     s"""CASE WHEN ${bucketSql(idSql, prefix)} < $trainPct THEN 'train'
        |     WHEN ${bucketSql(idSql, prefix)} < ${trainPct + valPct} THEN 'val'
        |     ELSE 'test' END""".stripMargin
+
+  /** Stratified deterministic sampling: each stratum keeps its own
+    * rate (the corpus-rebalancing move — e.g. keep 10% of English but
+    * all of a low-resource language). A row's bucket still depends
+    * ONLY on its id, so raising a stratum's pct grows that stratum's
+    * sample as a superset of the smaller one (nested samples), and
+    * re-labelling a row's stratum never reshuffles which bucket it
+    * occupies. Per-row expression — zero shuffle at any scale.
+    *
+    * @param rates stratum value → keep-percent; strata not listed
+    *              fall back to `defaultPct`
+    */
+  def stratifiedPredicate(id: Column, stratum: Column, rates: Seq[(String, Int)],
+                          defaultPct: Int, prefix: String = "strat"): Column = {
+    val pct = rates.foldRight(lit(defaultPct)) { case ((v, p), acc) =>
+      when(stratum === v, lit(p)).otherwise(acc)
+    }
+    bucket(id, prefix) < pct
+  }
+
+  /** Keep each stratum at its own rate, deterministically by id. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       rates: Seq[(String, Int)], defaultPct: Int,
+                       prefix: String = "strat"): DataFrame =
+    df.filter(stratifiedPredicate(id, stratum, rates, defaultPct, prefix))
+
+  /** DuckDB mirror of [[stratifiedPredicate]]. */
+  def stratifiedSampleSql(idSql: String, stratumSql: String,
+                          rates: Seq[(String, Int)], defaultPct: Int,
+                          prefix: String = "strat"): String = {
+    val cases = rates.map { case (v, p) => s"WHEN $stratumSql = '$v' THEN $p" }
+      .mkString(" ")
+    s"${bucketSql(idSql, prefix)} < (CASE $cases ELSE $defaultPct END)"
+  }
 }

@@ -158,6 +158,59 @@ object TextOps {
   def scrubPiiSql(text: String): String =
     s"regexp_replace(regexp_replace($text, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g')"
 
+  /** Gopher character-share rules (Rae et al. 2021 §A1.1, public):
+    * the layout/symbol side of the quality family — share of lines
+    * that are bullets, share of lines ending in an ellipsis, share of
+    * words with at least one alphabetic character, and symbols
+    * (`#` / `...`) per word. All per-row expressions (zero shuffle)
+    * in exact integer arithmetic; ratios cross the oracle through
+    * [[Exact.roundedRatio]].
+    */
+  def lineArray(text: Column): Column = split(text, "\n")
+
+  /** DuckDB SQL mirror of [[lineArray]]. */
+  def lineArraySql(text: String): String = s"string_split($text, chr(10))"
+
+  private val BulletPrefixes = Seq("- ", "* ", "• ")
+
+  /** Lines that start with a bullet marker (`- `, `* `, `• `). */
+  def bulletLineCount(ls: Column): Column =
+    size(filter(ls, l => BulletPrefixes.map(p => l.startsWith(p)).reduce(_ || _))).cast("long")
+
+  /** DuckDB SQL mirror of [[bulletLineCount]] over a line list. */
+  def bulletLineCountSql(ls: String): String = {
+    val preds = BulletPrefixes.map(p => s"l LIKE '$p%'").mkString(" OR ")
+    s"len(list_filter($ls, l -> $preds))"
+  }
+
+  /** Lines that end in an ellipsis (`...`). */
+  def ellipsisLineCount(ls: Column): Column =
+    size(filter(ls, l => l.endsWith("..."))).cast("long")
+
+  /** DuckDB SQL mirror of [[ellipsisLineCount]]. */
+  def ellipsisLineCountSql(ls: String): String =
+    s"len(list_filter($ls, l -> l LIKE '%...'))"
+
+  /** Words containing at least one ASCII-alphabetic character. */
+  def alphaWordCount(ws: Column): Column =
+    size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+
+  /** DuckDB SQL mirror of [[alphaWordCount]] over a word list. */
+  def alphaWordCountSql(ws: String): String =
+    s"len(list_filter($ws, w -> regexp_matches(w, '[a-zA-Z]')))"
+
+  /** Symbol occurrences: `#` characters plus non-overlapping `...`
+    * runs (both regex engines take leftmost non-overlapping matches,
+    * so `.....` counts one). */
+  def symbolCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("long")
+
+  /** DuckDB SQL mirror of [[symbolCount]]. */
+  def symbolCountSql(text: String): String =
+    s"""(len($text) - len(replace($text, '#', ''))
+       | + len(regexp_extract_all($text, '\\.\\.\\.')))""".stripMargin
+
   /** Count of tokens belonging to a marker set (language-ID /
     * stopword scoring). */
   def markerCount(text: Column, markers: Seq[String]): Column =

@@ -441,9 +441,95 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** Gopher character-share rules (#85; Rae et al. 2021 §A1.1) — the
+    * layout/symbol half of the quality family q_repetition's n-gram
+    * shares don't cover: bullet-line share, ellipsis-line share,
+    * alphabetic-word share and symbols-per-word. The synthetic corpus
+    * is single-line prose, so (as q_pii_scrub does for PII) the gate
+    * plants deterministic doc_id-derived layout INTO each document —
+    * a bullet intro every 3rd doc, an ellipsis trailer every 4th, a
+    * `##` symbol run every 5th — and verifies the full rule set
+    * cross-engine in exact integer arithmetic.
+    */
+  val qGopherQuality = GateQuery.sql(
+    "q_gopher_quality",
+    s"""WITH t AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 3 = 0 THEN '- item one' || chr(10) ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN 'tag ## ' ELSE '' END) || text
+       |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END)
+       |      AS aug
+       |  FROM documents),
+       |s AS (SELECT doc_id, aug,
+       |    ${TextOps.lineArraySql("aug")} AS ls,
+       |    string_split(replace(aug, chr(10), ' '), ' ') AS w
+       |  FROM t),
+       |c AS (SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(${TextOps.bulletLineCountSql("ls")} AS BIGINT) AS n_bullet,
+       |    CAST(${TextOps.ellipsisLineCountSql("ls")} AS BIGINT) AS n_ellipsis,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(${TextOps.alphaWordCountSql("w")} AS BIGINT) AS n_alpha,
+       |    CAST(${TextOps.symbolCountSql("aug")} AS BIGINT) AS n_symbols
+       |  FROM s)
+       |SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_words, n_symbols,
+       |  ${roundedRatioSql("n_bullet", "n_lines", 4)} AS bullet_share,
+       |  ${roundedRatioSql("n_ellipsis", "n_lines", 4)} AS ellipsis_share,
+       |  ${roundedRatioSql("n_alpha", "n_words", 4)} AS alpha_share,
+       |  ${roundedRatioSql("n_symbols", "n_words", 4)} AS symbol_ratio
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = concat(
+      when(col("doc_id") % 3 === 0, lit("- item one\n")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("tag ## ")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit("\nto be continued...")).otherwise(lit("")))
+    val stats = Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"), col("aug"),
+        TextOps.lineArray(col("aug")).as("ls"),
+        TextOps.tokens(regexp_replace(col("aug"), "\n", " ")).as("w"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        TextOps.bulletLineCount(col("ls")).as("n_bullet"),
+        TextOps.ellipsisLineCount(col("ls")).as("n_ellipsis"),
+        size(col("w")).cast("long").as("n_words"),
+        TextOps.alphaWordCount(col("w")).as("n_alpha"),
+        TextOps.symbolCount(col("aug")).as("n_symbols"))
+    stats.select(col("doc_id"), col("n_lines"), col("n_bullet"),
+        col("n_ellipsis"), col("n_words"), col("n_symbols"),
+        Exact.roundedRatio(col("n_bullet"), col("n_lines"), 4).as("bullet_share"),
+        Exact.roundedRatio(col("n_ellipsis"), col("n_lines"), 4).as("ellipsis_share"),
+        Exact.roundedRatio(col("n_alpha"), col("n_words"), 4).as("alpha_share"),
+        Exact.roundedRatio(col("n_symbols"), col("n_words"), 4).as("symbol_ratio"))
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** Stratified deterministic sampling (#86): per-language keep rates
+    * — the corpus-rebalancing pass (downsample the dominant language,
+    * keep all of the low-resource ones). Rates are per-stratum, the
+    * bucket is per-id, so samples nest as rates grow and the whole
+    * pass is one zero-shuffle filter; the gate audits kept counts and
+    * characters per language cross-engine.
+    */
+  private val StratRates = Seq("en" -> 10, "de" -> 25, "es" -> 50, "fr" -> 75)
+
+  val qStratifiedSample = GateQuery.sql(
+    "q_stratified_sample",
+    s"""SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |WHERE ${Sampling.stratifiedSampleSql("doc_id", "lang", StratRates, 100)}
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Sampling.stratifiedSample(Tables.documents(s, d), col("doc_id"), col("lang"),
+        StratRates, defaultPct = 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("total_chars"))
+      .orderedSmall(col("lang"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qSeqPacking, qMultimodalMeta,
-    qMultimodalFeatures, qRepetition, qPiiScrub)
+    qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
+    qStratifiedSample)
 }

@@ -88,4 +88,51 @@ class TextOpsSpec extends SparkSpec {
     val n = df.select(TextOps.markerCount(col("text"), Seq("a", "the"))).as[Long].head()
     assert(n == 3L)
   }
+
+  test("gopher line stats: bullets, ellipses, alpha words, symbols") {
+    val text = "- first item\n* second\nplain line\nwait for it...\ntag ## x....."
+    val df = Seq(text).toDF("text")
+    val r = df.select(
+      TextOps.bulletLineCount(TextOps.lineArray(col("text"))).as("b"),
+      TextOps.ellipsisLineCount(TextOps.lineArray(col("text"))).as("e"),
+      TextOps.alphaWordCount(TextOps.tokens(regexp_replace(col("text"), "\n", " "))).as("a"),
+      TextOps.symbolCount(col("text")).as("s")).head()
+    assert(r.getLong(0) == 2L) // "- first item", "* second"
+    assert(r.getLong(1) == 2L) // "wait for it..." and "tag ## x....." both end in "..."
+    // words: - first item * second plain line wait for it... tag ## x.....
+    // alpha: first item second plain line wait for it... tag x..... = 10
+    assert(r.getLong(2) == 10L)
+    // symbols: two '#' + "..." runs: "it..." has 1, "x....." has 1 (non-overlap) = 4
+    assert(r.getLong(3) == 4L)
+  }
+
+  test("gopher: ellipsis-terminal line with 5 dots still matches; bullet needs the space") {
+    val df = Seq("-tight bullet\nends.....").toDF("text")
+    val r = df.select(
+      TextOps.bulletLineCount(TextOps.lineArray(col("text"))).as("b"),
+      TextOps.ellipsisLineCount(TextOps.lineArray(col("text"))).as("e")).head()
+    assert(r.getLong(0) == 0L) // "-tight" is a word, not a bullet marker
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("stratifiedSample: rates nest and unlisted strata take the default") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "rare"))
+    val df = rows.toDF("id", "lang")
+    def kept(rates: Seq[(String, Int)], dflt: Int): Set[Long] =
+      Sampling.stratifiedSample(df, col("id"), col("lang"), rates, dflt)
+        .select("id").as[Long].collect().toSet
+    val small = kept(Seq("en" -> 10), 100)
+    val big = kept(Seq("en" -> 40), 100)
+    // all rare rows kept in both (default 100)
+    assert(rows.filter(_._2 == "rare").map(_._1).forall(small.contains))
+    // en samples NEST: the 10% en sample is a subset of the 40% one
+    val smallEn = small.filter(_ % 2 == 0)
+    val bigEn = big.filter(_ % 2 == 0)
+    assert(smallEn.subsetOf(bigEn))
+    // and the rate is roughly honoured (hash-uniform: 10% of 1000 ± wide slack)
+    assert(smallEn.size > 40 && smallEn.size < 250)
+    assert(bigEn.size > smallEn.size)
+    // deterministic: re-evaluation returns the identical set
+    assert(kept(Seq("en" -> 10), 100) == small)
+  }
 }
