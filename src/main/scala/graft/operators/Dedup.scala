@@ -115,6 +115,55 @@ object Dedup {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Fuzzy (MinHash/LSH) train/eval decontamination: flags corpus
+    * documents NEAR-duplicating any held-out eval document — the
+    * leakage [[contamination]]'s exact shingle intersection is blind
+    * to once a duplicate is lightly edited past the shared-k-gram
+    * test, and the pass production pipelines run alongside it
+    * (near-verbatim benchmark rephrasings).
+    *
+    * Same candidate discipline as [[minhashPairs]]: docs meet only
+    * through shared LSH band keys — never corpus × eval. The eval
+    * side is tiny by definition, so its band keys AND signatures
+    * broadcast; the corpus side computes signatures per-row (one
+    * pass, no shuffle) and map-side-joins the broadcast bands. The
+    * only shuffle is the (doc, eval) pair dedup over actual band
+    * hits, which is bounded by true near-dup mass, not corpus size.
+    *
+    * @return (doc_id, eval_id, n_match, est_sim) for candidate pairs
+    *         agreeing on >= minMatch of numPerms signature components
+    */
+  def fuzzyContamination(corpus: DataFrame, eval_ : DataFrame,
+                         id: Column, text: Column, k: Int,
+                         numPerms: Int, bands: Int, minMatch: Int): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into equal bands")
+    def sigRel(df: DataFrame, idName: String, sigName: String): DataFrame =
+      df.select(id.as(idName),
+          graft.expressions.TextExpressions.minHashSig(text, k, numPerms).as(sigName))
+        .filter(size(col(sigName)) > 0)
+    val evBands = sigRel(eval_, "eval_id", "se")
+      .select(col("eval_id"), col("se"),
+        explode(bandKeys(col("se"), numPerms, bands)).as("bd"))
+      .select(col("eval_id"), col("se"),
+        col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val corpusBands = sigRel(corpus, "doc_id", "sc")
+      .select(col("doc_id"), col("sc"),
+        explode(bandKeys(col("sc"), numPerms, bands)).as("bd"))
+      .select(col("doc_id"), col("sc"),
+        col("bd.band").as("band"), col("bd.bh").as("bh"))
+    // a pair sharing several bands hits once per band: dedup on the
+    // pair key; the signatures ride along (functions of the keys)
+    val cand = corpusBands.join(broadcast(evBands), Seq("band", "bh"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(first(col("sc")).as("sc"), first(col("se")).as("se"))
+    val matches = aggregate(
+      zip_with(col("sc"), col("se"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (s, v) => s + v)
+    cand.select(col("doc_id"), col("eval_id"), matches.as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .withColumn("est_sim", col("n_match") / lit(numPerms.toDouble))
+  }
+
   /** Duplicate-cluster resolution: connected components over an
     * undirected near-dup pair list, labelling every member with the
     * smallest doc id reachable from it — the step that turns pair

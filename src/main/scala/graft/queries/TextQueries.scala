@@ -314,6 +314,39 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** Fuzzy decontamination (#87): corpus docs NEAR-duplicating any
+    * held-out eval doc (doc_id % 20 == 0) via MinHash/LSH band
+    * collisions — catches the lightly-edited benchmark leakage the
+    * exact-shingle audit (q_contamination) under-reports. Signatures
+    * use the portable md5 scheme so agreement counts are identical
+    * cross-engine.
+    */
+  val qFuzzyContamination = GateQuery.sql(
+    "q_fuzzy_contamination", {
+      val sigList = (0 until 16)
+        .map(i => s"min(${TextOps.permHashSql(i, "h")})").mkString("[", ", ", "]")
+      val bandParts = (1 to 4).map(r => s"CAST(sig[b * 4 + $r] AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH $ShinglesSql,
+         |sig AS (SELECT doc_id, $sigList AS sig FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b AS band, md5($bandParts) AS bh
+         |          FROM sig, range(4) AS r(b)),
+         |cand AS (SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eval_id
+         |         FROM bands c JOIN bands e ON c.band = e.band AND c.bh = e.bh
+         |         WHERE c.doc_id % 20 <> 0 AND e.doc_id % 20 = 0),
+         |scored AS (SELECT cid, eval_id,
+         |    len([i for i in range(1, 17) if sc.sig[i] = se.sig[i]]) AS n_match
+         |  FROM cand JOIN sig sc ON sc.doc_id = cid JOIN sig se ON se.doc_id = eval_id)
+         |SELECT cid AS doc_id, eval_id, n_match, n_match / 16.0 AS est_sim
+         |FROM scored WHERE n_match >= 6 ORDER BY doc_id, eval_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"), k = 3, numPerms = 16, bands = 4, minMatch = 6)
+      .orderedSmall(col("doc_id"), col("eval_id"))
+  }
+
   /** Sequence packing (#60): documents into 512-token training
     * sequences via per-bucket first-fit-decreasing (rows-only gate —
     * greedy packing is not SQL-expressible; invariants are pinned by
@@ -529,7 +562,7 @@ object TextQueries {
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
-    qSplitSample, qContamination, qSeqPacking, qMultimodalMeta,
+    qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample)
 }

@@ -89,6 +89,25 @@ class TextOpsSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("fuzzyContamination flags the near-copy, not the unrelated doc") {
+    // eval doc: 30 tokens; near-copy: ONE token edited (no shared-
+    // shingle test would miss it, but a k=3 edit kills 3 of 28
+    // shingles — the minhash mins survive and the bands collide,
+    // verified deterministic under the portable md5 perm scheme)
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val nearCopy = base.replace("w5", "ZZZ")
+    val eval_ = Seq((100L, base)).toDF("id", "text")
+    val corpus = Seq(
+      (1L, nearCopy),
+      (2L, (0 until 30).map(i => s"u$i").mkString(" "))).toDF("id", "text")
+    val out = Dedup.fuzzyContamination(corpus, eval_, col("id"), col("text"),
+      k = 3, numPerms = 16, bands = 4, minMatch = 6).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    val r = out.head
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(r.fieldIndex("n_match")) >= 6L)
+  }
+
   test("gopher line stats: bullets, ellipses, alpha words, symbols") {
     val text = "- first item\n* second\nplain line\nwait for it...\ntag ## x....."
     val df = Seq(text).toDF("text")
