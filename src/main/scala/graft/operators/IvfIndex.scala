@@ -35,24 +35,92 @@ object IvfIndex {
       .map(_.getSeq[Long](0).toArray)
     var it = 0
     while (it < iters) {
-      // One shuffle: cell → (count, elementwise integer sums); C rows
-      // back to the driver, floored-integer means computed exactly.
-      val sumCols = (0 until dims).map(i => sum(col(s"_x$i")).as(s"_s$i"))
-      val stats = e.select(
-          VectorExpressions.nearestCell(col("q"), cents).as("cell") +:
-            (0 until dims).map(i => element_at(col("q"), i + 1).as(s"_x$i")): _*)
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("cnt"), sumCols: _*)
-        .collect()
-      val next = cents.map(_.clone()) // empty cells keep their position
-      stats.foreach { r =>
-        val cell = r.getLong(0).toInt
-        val cnt = r.getLong(1)
-        var i = 0
-        while (i < dims) { next(cell)(i) = Math.floorDiv(r.getLong(2 + i), cnt); i += 1 }
-      }
-      cents = next
+      cents = lloydStep(e, cents, dims)
       it += 1
+    }
+    cents
+  }
+
+  /** One Lloyd update: one shuffle (cell → count + elementwise integer
+    * sums), C rows back to the driver, floored-integer means computed
+    * exactly. Empty cells keep their position.
+    */
+  private def lloydStep(e: DataFrame, cents: Array[Array[Long]],
+                        dims: Int): Array[Array[Long]] = {
+    val sumCols = (0 until dims).map(i => sum(col(s"_x$i")).as(s"_s$i"))
+    val stats = e.select(
+        VectorExpressions.nearestCell(col("q"), cents).as("cell") +:
+          (0 until dims).map(i => element_at(col("q"), i + 1).as(s"_x$i")): _*)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sumCols: _*)
+      .collect()
+    val next = cents.map(_.clone())
+    stats.foreach { r =>
+      val cell = r.getLong(0).toInt
+      val cnt = r.getLong(1)
+      var i = 0
+      while (i < dims) { next(cell)(i) = Math.floorDiv(r.getLong(2 + i), cnt); i += 1 }
+    }
+    next
+  }
+
+  /** Skew-aware re-balancing: split every cell holding more than
+    * `maxCellFrac` of the corpus until none does (or the round budget
+    * runs out). An IVF probe reads whole cells, so one skewed cell —
+    * the normal outcome of k-means on clustered real-world embeddings
+    * — makes every query touching it pay a near-full scan; bounding
+    * the largest cell bounds the worst-case probe.
+    *
+    * Split rule (classic mean-plus-far-point seeding): the oversized
+    * cell keeps its centroid, and its member FARTHEST from that
+    * centroid (exact integer distance, ties by vec_id) joins the
+    * codebook as a new cell; `settleIters` Lloyd steps then let the
+    * boundary settle. Growing the codebook is safe — nothing
+    * downstream fixes C, and [[knn]] probes nearest cells whatever
+    * their count.
+    *
+    * Cost per round: one counting aggregate + ONE far-point aggregate
+    * covering all oversized cells at once (broadcast of their
+    * centroid rows) + `settleIters` Lloyd shuffles. Driver state
+    * stays the codebook, exactly as in [[train]].
+    */
+  def rebalance(e: DataFrame, cents0: Array[Array[Long]], dims: Int,
+                maxCellFrac: Double = 0.25, maxRounds: Int = 4,
+                settleIters: Int = 1): Array[Array[Long]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents = cents0
+    var round = 0
+    var balanced = false
+    while (round < maxRounds && !balanced) {
+      val counts = e.select(VectorExpressions.nearestCell(col("q"), cents).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val n = counts.values.sum
+      val cap = math.max(1L, (maxCellFrac * n).toLong)
+      val oversized = counts.filter(_._2 > cap).keys.toSeq.sorted
+      if (oversized.isEmpty) balanced = true
+      else {
+        val centDf = oversized.map(c => (c.toLong, cents(c).toSeq)).toDF("cell", "cq")
+        // ‖x−c‖² argmax per cell: ‖c‖² is constant within a cell, so
+        // rank by ‖x‖² − 2·x·c; the struct max carries the winning
+        // vector along (vec_id breaks exact-distance ties).
+        val far = e
+          .select(col("vec_id"), col("q"),
+            VectorExpressions.nearestCell(col("q"), cents).as("cell"))
+          .join(broadcast(centDf), Seq("cell"))
+          .select(col("cell"), struct(
+            (VectorExpressions.normQ(col("q")) -
+              lit(2L) * VectorExpressions.dotQ(col("q"), col("cq"))).as("d"),
+            col("vec_id").as("vid"), col("q").as("fq")).as("s"))
+          .groupBy(col("cell")).agg(max(col("s")).as("s"))
+          .collect()
+        cents = cents ++ far.sortBy(_.getLong(0))
+          .map(_.getStruct(1).getSeq[Long](2).toArray)
+        var it = 0
+        while (it < settleIters) { cents = lloydStep(e, cents, dims); it += 1 }
+      }
+      round += 1
     }
     cents
   }

@@ -378,7 +378,12 @@ object EmbeddingQueries {
     */
   val qKnnIvf = GateQuery.rowsOnly("q_knn_ivf") { (s, d) =>
     val e = prep(s, d)
-    val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+    val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+    // bound the worst-case probe: split any cell k-means left holding
+    // more than a quarter of the corpus (deterministic, usually a
+    // no-op on well-spread embeddings)
+    val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
+      maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
     val assigned = graft.operators.IvfIndex.assign(e, cents)
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))

@@ -33,6 +33,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(seeds.map(_.toSeq).toSeq != trained.map(_.toSeq).toSeq)
   }
 
+  test("rebalance bounds the largest cell on a skewed corpus, deterministically") {
+    import spark.implicits._
+    val dims = 4
+    // 95 vectors spread along a line + 5 in a tight far cluster: with
+    // both seeds in the line, k-means converges to cluster-per-cell —
+    // one cell holding 95% of the corpus (the skew IVF probes hate).
+    val rows =
+      (0L until 95L).map(i => (i, Seq(i * 100L + 100L, 7L, 0L, 0L))) ++
+        (95L until 100L).map(i => (i, Seq(10000000L + (i - 95L), 7L, 0L, 0L)))
+    val df = rows.toDF("vec_id", "q")
+    def fracs(cents: Array[Array[Long]]): Seq[Double] = {
+      val counts = IvfIndex.assign(df, cents).groupBy("cell").count()
+        .collect().map(_.getLong(1).toDouble)
+      counts.map(_ / counts.sum).toSeq
+    }
+    val cents = IvfIndex.train(df, c = 2, iters = 3, dims = dims)
+    val beforeMax = fracs(cents).max
+    assert(beforeMax >= 0.9, s"fixture should be skewed, got $beforeMax")
+    val reb = IvfIndex.rebalance(df, cents, dims, maxCellFrac = 0.4,
+      maxRounds = 4, settleIters = 1)
+    val afterMax = fracs(reb).max
+    assert(reb.length > cents.length)
+    assert(afterMax <= 0.4 + 1e-9, s"largest cell still $afterMax after rebalance")
+    // deterministic: identical codebook on a re-run
+    val reb2 = IvfIndex.rebalance(df, cents, dims, maxCellFrac = 0.4,
+      maxRounds = 4, settleIters = 1)
+    assert(reb.map(_.toSeq).toSeq == reb2.map(_.toSeq).toSeq)
+    // the expanded codebook still serves queries (k hits per query)
+    val e2 = df.select(col("vec_id"), col("q"),
+      VectorExpressions.normQ(col("q")).as("n"))
+    val qs = e2.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+    val assigned = IvfIndex.assign(e2, reb)
+    val out = IvfIndex.knn(qs, assigned, reb, nprobe = 2, k = 3)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 3L))
+  }
+
+  test("rebalance is a no-op when no cell exceeds the cap") {
+    import spark.implicits._
+    val dims = 4
+    val rows = (0L until 40L).map(i => (i, Seq(i * 1000L, 0L, 0L, 0L)))
+    val df = rows.toDF("vec_id", "q")
+    val cents = IvfIndex.train(df, c = 8, iters = 3, dims = dims)
+    val reb = IvfIndex.rebalance(df, cents, dims, maxCellFrac = 0.9)
+    assert(reb.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val cents = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
     val assigned = IvfIndex.assign(e, cents)
