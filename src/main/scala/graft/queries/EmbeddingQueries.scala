@@ -391,7 +391,24 @@ object EmbeddingQueries {
       .orderedSmall(col("query_id"), col("rnk"))
   }
 
+  /** SemDeDup (#88): semantic near-duplicate removal — within-cell
+    * cosine pairs over the (rebalanced) IVF clustering, connected
+    * components, one representative kept per group. Rows-only (the
+    * codebook is driver state the SQL oracle cannot re-derive);
+    * pair/keep semantics are pinned by SemDedupSpec.
+    */
+  val qSemDedup = GateQuery.rowsOnly("q_semdedup") { (s, d) =>
+    val e = prep(s, d)
+    val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+    val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
+      maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+    val assigned = graft.operators.IvfIndex.assign(e, cents)
+    graft.operators.SemDedup.dedup(assigned, tau = 0.4)
+      .orderedSmall(col("vec_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
-    qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike, qKnnIvf)
+    qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
+    qKnnIvf, qSemDedup)
 }
