@@ -9,7 +9,7 @@ object SparkEntry {
   /** All gate queries from every module (SURVEY.md §2 inventory). */
   def gateQueries: Seq[GateQuery] =
     CoreQueries.all ++ ScanQueries.all ++ TextQueries.all ++ EmbeddingQueries.all ++
-      ExtendedQueries.all ++ CcdQueries.all
+      ExtendedQueries.all ++ CcdQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators from the published pretraining-data
+  * playbook, re-expressed as declarative Spark plans:
+  *
+  *  - [[lineDedup]] — corpus-wide segment-level deduplication in the
+  *    style of C4's line dedup (Raffel et al. 2020, "Exploring the
+  *    Limits of Transfer Learning", §2.2: "we discard all but one of
+  *    any three-sentence span occurring more than once"). The driver
+  *    corpus has no newlines, so the unit is a fixed-K-word segment;
+  *    the semantics (first occurrence wins, corpus-wide) are C4's.
+  *  - [[unigramLogProbs]] / perplexity scoring — CCNet-style language
+  *    -model quality filtering (Wenzek et al. 2020): score every doc
+  *    by its negative log-likelihood under a reference LM trained on
+  *    a trusted slice; here a Laplace-smoothed unigram LM trained on
+  *    the corpus's own `lang = 'en'` slice.
+  *  - DSIR importance weights — Data Selection via Importance
+  *    Resampling (Xie et al. 2023): hashed n-gram bag features, a
+  *    per-bucket log-ratio between the target and raw feature
+  *    distributions, and a per-doc importance weight that upranks
+  *    target-like documents.
+  *  - [[mixRates]] — source-mix rebalancing: derive per-source
+  *    deterministic sampling rates that hit a target mix/budget (the
+  *    "data mixing" step of a pretraining pipeline), applied with the
+  *    portable hash predicate from [[Sampling]].
+  *
+  * Everything is exact-integer on the comparison surface: float
+  * logs are quantized to micro-nats (`floor(ln(x)·1e6)` as BIGINT)
+  * BEFORE summation, so per-doc sums are order-independent integer
+  * adds that reproduce bit-for-bit in any engine; ratios go through
+  * [[Exact.roundedRatio]].
+  *
+  * Scale notes (100 TB):
+  *  - lineDedup shuffles the exploded segment relation twice (argmin
+  *    per segment; join-back). Keys are the segment strings here so
+  *    the DuckDB oracle can replay them; the drop-in scale key is a
+  *    128-bit digest (shuffle bytes, not semantics).
+  *  - The LM / DSIR model tables (vocab logprobs; 2^b hashed-feature
+  *    log-ratios) are broadcast to the scoring side. DSIR's is bounded
+  *    by construction (`buckets`); the unigram vocab should be capped
+  *    at the top-V words at cluster scale (CCNet does the same) —
+  *    the train/score split below makes that a one-line filter.
+  *  - Single-row stats (corpus totals) attach via [[withStats]] —
+  *    a 1-row broadcast whose cost is independent of corpus size.
+  */
+object Curation {
+
+  /** Consecutive non-overlapping K-word segments over a word-array
+    * column, in order; the final segment may be shorter. `w` MUST be
+    * a materialized attribute (project the `split` into a named
+    * column first): higher-order lambdas get no common-subexpression
+    * elimination, so an inlined `split` would re-tokenize the doc for
+    * every element — O(words²) per row.
+    */
+  def segmentsOfWords(w: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), ceil(size(w).cast("double") / lit(k.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(w, i * k + 1, lit(k))))
+
+  /** Convenience single-expression form of [[segmentsOfWords]] for
+    * small inputs/tests; hot paths should hoist the tokens column. */
+  def segments(text: Column, k: Int): Column =
+    segmentsOfWords(TextOps.tokens(text), k)
+
+  /** DuckDB mirror of [[segments]] over a `w` word-list column:
+    * a list comprehension producing the same K-word segment strings.
+    */
+  def segmentsSql(k: Int): String =
+    s"[array_to_string(w[(i*$k+1):(i*$k+$k)], ' ') for i in range(0, CAST(ceil(len(w)/$k.0) AS BIGINT))]"
+
+  /** C4-style corpus-wide segment dedup: every K-word segment keeps
+    * only its FIRST occurrence (smallest (doc_id, seg_idx)) across the
+    * whole corpus; all later occurrences — in other docs or the same
+    * doc — are dropped, and each document is re-assembled from its
+    * surviving segments in order.
+    *
+    * Output: (doc_id, n_segs, n_kept, new_md5) where new_md5 is the
+    * md5 of the re-assembled text ('' when everything was dropped —
+    * the fate of an exact-duplicate document, which C4-dedups to
+    * nothing here because its every segment already occurred).
+    *
+    * Plan: explode → groupBy(seg) argmin → join-back → groupBy(doc).
+    * Two shuffles of the segment relation, no corpus² anywhere; the
+    * argmin side reduces map-side (partial min).
+    */
+  def lineDedup(docs: DataFrame, k: Int): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(segmentsOfWords(col("w"), k)).as(Seq("i", "seg")))
+    val pos = col("doc_id") * lit(PosBase) + col("i")
+    val first = segs.groupBy(col("seg")).agg(min(pos).as("first_pos"))
+    val surv = segs.join(first, "seg").filter(pos === col("first_pos"))
+    val re = surv.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("seg")))),
+          s => s("seg")))).as("new_md5"))
+    val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    tot
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_md5"), lit(EmptyMd5)).as("new_md5"))
+  }
+
+  /** seg_idx never reaches this, so pos = doc_id·base + seg_idx is a
+    * collision-free total order matching (doc_id, seg_idx) lexicographic. */
+  val PosBase = 100000L
+  private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** floor(ln(x)·1e6) as BIGINT — micro-nat quantization. Sums of
+    * these are exact integer arithmetic (order-independent across
+    * engines); the double `ln` itself is computed identically from
+    * identical rational inputs on both sides, and a last-ulp libm
+    * disagreement only matters if it straddles a 1e-6 boundary
+    * (probability ~1e-10 per DISTINCT input — vocab-sized, not
+    * corpus-sized).
+    */
+  def microLn(x: Column): Column = floor(log(x) * lit(1000000)).cast("long")
+
+  /** DuckDB mirror of [[microLn]]. */
+  def microLnSql(x: String): String =
+    s"CAST(floor(ln($x) * 1000000) AS BIGINT)"
+
+  /** Laplace-smoothed unigram log-probabilities (micro-nats) of every
+    * word in `refToks` (one row per token occurrence, column `word`):
+    * q(w) = microLn((c_w + 1) / (N + V)). Returns (word, q) — the LM
+    * "model table", vocab-sized, broadcast to the scorer. Cap it with
+    * a top-V filter before broadcasting at cluster scale.
+    */
+  def unigramLogProbs(refToks: DataFrame): DataFrame = {
+    val ref = refToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val st = ref.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
+    withStats(ref, st)
+      .select(col("word"),
+        microLn((col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
+  }
+
+  /** The matching out-of-vocabulary score: microLn(1 / (N + V)),
+    * a single-row DataFrame with column `oovq`. */
+  def oovLogProb(refToks: DataFrame): DataFrame = {
+    val ref = refToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    ref.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
+      .select(microLn(lit(1.0) / (col("n") + col("v"))).as("oovq"))
+  }
+
+  /** Attach a SINGLE-ROW stats relation to every row of `df` via a
+    * broadcast join — the plan-level spelling of a scalar broadcast
+    * variable. Catalyst folds the literal equi-key away, so this
+    * plans as a 1-row IdentityBroadcast nested-loop: scale-safe at
+    * any corpus size (same precedent as the dark-frame and
+    * histogram-range scalars in the gate allowlist).
+    */
+  def withStats(df: DataFrame, oneRow: DataFrame): DataFrame =
+    df.withColumn("jk", lit(1))
+      .join(broadcast(oneRow.withColumn("jk", lit(1))), "jk")
+      .drop("jk")
+
+  /** Hashed-bigram DSIR features over a MATERIALIZED word-array
+    * column (see [[segmentsOfWords]] for why): for each doc one
+    * bucket id per bigram instance, bucket = base_hash(w_i + " " +
+    * w_{i+1}) mod `buckets`. Portable (md5-derived) so the oracle
+    * replays it.
+    */
+  def bigramBucketsOfWords(w: Column, buckets: Int): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => pmod(TextOps.baseHash(
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1))), lit(buckets.toLong))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Convenience single-expression form of [[bigramBucketsOfWords]]
+    * for small inputs/tests; hot paths hoist the tokens column. */
+  def bigramBuckets(text: Column, buckets: Int): Column =
+    bigramBucketsOfWords(TextOps.tokens(text), buckets)
+
+  /** DuckDB mirror of one [[bigramBuckets]] list over `w`. */
+  def bigramBucketsSql(buckets: Int): String =
+    s"[${TextOps.baseHashSql("w[i] || ' ' || w[i+1]")} % $buckets for i in range(1, len(w))]"
+
+  /** Per-source sampling rates (basis points) that rebalance the
+    * corpus toward a UNIFORM source mix within a `budgetPct`% budget:
+    * every source gets quota = (total·budgetPct/100)/n_sources docs,
+    * rate_s = min(10000, quota·10000 // n_s). Over-represented sources
+    * are downsampled; under-represented ones keep everything (a rate
+    * is capped at 100% — deterministic sampling can't upsample).
+    * Input: (source, n_docs) counts; output adds (rate_bp).
+    */
+  def mixRates(counts: DataFrame, budgetPct: Int): DataFrame = {
+    val st = counts.agg(sum(col("n_docs")).cast("long").as("total"),
+      count(lit(1)).as("n_src"))
+    withStats(counts, st)
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr(s"(total * $budgetPct DIV 100 DIV n_src) * 10000 DIV n_docs")))
+      .select(col("source"), col("n_docs"), col("rate_bp"))
+  }
+
+  /** The deterministic keep predicate applied against a row's rate:
+    * base_hash("mix:" + id) mod 10000 < rate_bp. */
+  def mixKeep(id: Column, rateBp: Column): Column =
+    pmod(TextOps.baseHash(concat(lit("mix:"), id.cast("string"))), lit(10000L)) < rateBp
+
+  /** DuckDB mirror of [[mixKeep]]. */
+  def mixKeepSql(idSql: String, rateSql: String): String =
+    s"(${TextOps.baseHashSql(s"'mix:' || CAST($idSql AS VARCHAR)")} % 10000) < $rateSql"
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Exact}
+import graft.operators.Exact.{roundedRatioSql, roundedRatioSignedSql}
+
+/** Published-playbook corpus-curation gates (SURVEY.md §2 #83–#86)
+  * over the `documents` table: C4-style corpus-wide segment dedup,
+  * CCNet-style reference-LM perplexity scoring, DSIR hashed-bigram
+  * importance weights, and target-mix rebalancing. All four are full
+  * SQL-oracle gates — the float-log paths are quantized to micro-nat
+  * integers before any aggregation (see [[graft.operators.Curation]]).
+  */
+object CurationQueries {
+
+  private val SegK = 8
+  private val DsirBuckets = 256
+
+  /** #83 — corpus-wide segment (line) dedup, first occurrence wins. */
+  val qLineDedup = GateQuery.sql(
+    "q_line_dedup",
+    s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sl AS (SELECT doc_id, ${Curation.segmentsSql(SegK)} AS segs FROM tw),
+       |sg AS (SELECT doc_id, unnest(range(0, len(segs))) AS i, unnest(segs) AS seg FROM sl),
+       |fst AS (SELECT seg, min(doc_id * ${Curation.PosBase} + i) AS first_pos
+       |        FROM sg GROUP BY seg),
+       |surv AS (SELECT sg.doc_id, sg.i, sg.seg FROM sg JOIN fst USING (seg)
+       |         WHERE sg.doc_id * ${Curation.PosBase} + sg.i = fst.first_pos),
+       |re AS (SELECT doc_id, count(*) AS n_kept,
+       |         md5(string_agg(seg, ' ' ORDER BY i)) AS new_md5
+       |       FROM surv GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_segs FROM sg GROUP BY doc_id)
+       |SELECT tot.doc_id AS doc_id, n_segs, coalesce(n_kept, 0) AS n_kept,
+       |  coalesce(new_md5, md5('')) AS new_md5
+       |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.lineDedup(Tables.documents(s, d), SegK)
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** #84 — CCNet-style quality scoring: per-doc average negative
+    * log-likelihood (nats, micro-quantized) under a Laplace unigram
+    * LM trained on the corpus's own `lang = 'en'` slice.
+    */
+  val qLmPerplexity = GateQuery.sql(
+    "q_lm_perplexity",
+    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
+       |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+       |lp AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS q FROM ref, st),
+       |oov AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oovq FROM st),
+       |sc AS (SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+       |         CAST(-sum(coalesce(lp.q, oov.oovq)) AS BIGINT) AS nll_micro
+       |       FROM toks t LEFT JOIN lp USING (word), oov GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, nll_micro,
+       |  ${roundedRatioSql("nll_micro", "n_tokens * 1000000", 4)} AS avg_nll
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val refToks = toks.filter(col("lang") === "en")
+    val lp = Curation.unigramLogProbs(refToks)
+    val scored = Curation.withStats(toks, Curation.oovLogProb(refToks))
+      .join(broadcast(lp), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(coalesce(col("q"), col("oovq")))).cast("long").as("nll_micro"))
+    scored
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        Exact.roundedRatio(col("nll_micro"), col("n_tokens") * lit(1000000L), 4).as("avg_nll"))
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** #85 — DSIR importance weights: per-doc sum of hashed-bigram
+    * log-ratios between the `lang = 'en'` target distribution and the
+    * raw corpus distribution (micro-nats; positive = target-like).
+    */
+  val qDsirWeights = GateQuery.sql(
+    "q_dsir_weights",
+    s"""WITH tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, lang, unnest(${Curation.bigramBucketsSql(DsirBuckets)}) AS b FROM tw),
+       |cb AS (SELECT b, count(*) AS cr, count(*) FILTER (WHERE lang = 'en') AS ct
+       |       FROM bg GROUP BY b),
+       |st AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cb),
+       |lr AS (SELECT b, CAST(floor((ln((ct + 1.0) / (nt + $DsirBuckets))
+       |                            - ln((cr + 1.0) / (nr + $DsirBuckets))) * 1000000) AS BIGINT) AS q
+       |       FROM cb, st),
+       |sc AS (SELECT doc_id, count(*) AS n_feat, CAST(sum(q) AS BIGINT) AS w_micro
+       |       FROM bg JOIN lr USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_feat, w_micro,
+       |  ${roundedRatioSignedSql("w_micro", "n_feat * 1000000", 4)} AS avg_lr
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bg = docs
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(Curation.bigramBucketsOfWords(col("w"), DsirBuckets)).as("b"))
+    val cb = bg.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", lit(1))).as("ct"))
+    val st = cb.agg(sum(col("cr")).cast("long").as("nr"), sum(col("ct")).cast("long").as("nt"))
+    val lr = Curation.withStats(cb, st)
+      .select(col("b"),
+        floor((log((col("ct") + lit(1.0)) / (col("nt") + lit(DsirBuckets)))
+             - log((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets)))) * lit(1000000))
+          .cast("long").as("q"))
+    bg.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("q")).cast("long").as("w_micro"))
+      .select(col("doc_id"), col("n_feat"), col("w_micro"),
+        Exact.roundedRatioSigned(col("w_micro"), col("n_feat") * lit(1000000L), 4).as("avg_lr"))
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** #86 — source-mix rebalancing: uniform-mix sampling rates within
+    * a 60% budget, applied with the portable hash predicate; reports
+    * per-source before/after.
+    */
+  val qMixRebalance = GateQuery.sql(
+    "q_mix_rebalance",
+    s"""WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |st AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_src FROM cnt),
+       |rt AS (SELECT source, n_docs,
+       |         least(10000, (total * 60 // 100 // n_src) * 10000 // n_docs) AS rate_bp
+       |       FROM cnt, st),
+       |sel AS (SELECT d.source AS source, count(*) AS n_kept,
+       |          CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |        FROM documents d JOIN rt USING (source)
+       |        WHERE ${Curation.mixKeepSql("doc_id", "rate_bp")}
+       |        GROUP BY d.source)
+       |SELECT rt.source AS source, n_docs AS n_before, rate_bp,
+       |  coalesce(n_kept, 0) AS n_kept, coalesce(kept_chars, 0) AS kept_chars
+       |FROM rt LEFT JOIN sel USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val rt = Curation.mixRates(counts, budgetPct = 60)
+    val sel = docs.join(broadcast(rt), "source")
+      .filter(Curation.mixKeep(col("doc_id"), col("rate_bp")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+    rt.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs").as("n_before"), col("rate_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderedSmall(col("source"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance)
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Semantics of the corpus-curation operators (C4 line dedup, CCNet
+  * LM scoring, DSIR weights, mix rebalancing) on hand-built corpora
+  * where the expected outcome is known by construction. Gate-level
+  * value parity vs DuckDB is the driver's oracle; plan-shape guards
+  * (no cartesian / nested-loop) are GateQueriesSmokeSpec's.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("segments: K-word split with short tail") {
+    val out = docs((1L, "a b c d e f g h i j", "en", "s"))
+      .select(Curation.segments(col("text"), 4).as("segs"))
+      .as[Seq[String]].head()
+    assert(out === Seq("a b c d", "e f g h", "i j"))
+  }
+
+  test("lineDedup: later occurrences of a segment are dropped corpus-wide") {
+    // doc 1 and doc 2 share their first 4-word segment; doc 2's copy
+    // (higher doc_id) must be dropped, its unique tail kept.
+    val d = docs(
+      (1L, "x y z w p q r s", "en", "s"),
+      (2L, "x y z w u v a b", "en", "s"))
+    val out = Curation.lineDedup(d, 4).orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 2L, 2L, out(0).getString(3)))
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 1L)
+    // doc 2's surviving text is exactly its second segment
+    val expectMd5 = d.sparkSession.range(1)
+      .select(md5(lit("u v a b"))).as[String].head()
+    assert(out(1).getString(3) === expectMd5)
+  }
+
+  test("lineDedup: exact-duplicate document dedups to nothing") {
+    val d = docs(
+      (1L, "m n o p q r s t", "en", "s"),
+      (2L, "m n o p q r s t", "en", "s"))
+    val out = Curation.lineDedup(d, 4).orderBy("doc_id").collect()
+    assert(out(1).getLong(2) === 0L)
+    val emptyMd5 = d.sparkSession.range(1).select(md5(lit(""))).as[String].head()
+    assert(out(1).getString(3) === emptyMd5)
+  }
+
+  test("lineDedup: within-doc repeated segment keeps only the first") {
+    val d = docs((7L, "a b c d a b c d e f g h", "en", "s"))
+    val out = Curation.lineDedup(d, 4).collect()(0)
+    assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
+  }
+
+  test("unigram LM: OOV-heavy doc scores a higher avg NLL") {
+    val d = docs(
+      (1L, "the cat sat on the mat", "en", "s"),
+      (2L, "the cat sat on the mat", "en", "s"),
+      (3L, "zq xv qqq zzz yyy www", "fr", "s"))
+    val toks = d.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val ref = toks.filter(col("lang") === "en")
+    val lp = Curation.unigramLogProbs(ref)
+    val scored = Curation.withStats(toks, Curation.oovLogProb(ref))
+      .join(broadcast(lp), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg((-sum(coalesce(col("q"), col("oovq")))).as("nll"), count(lit(1)).as("n"))
+      .select(col("doc_id"), (col("nll") / col("n")).as("avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(3L) > scored(1L))
+    assert(scored(1L) === scored(2L))
+  }
+
+  test("withStats broadcasts the one-row side (never shuffles the big side)") {
+    val d = docs((1L, "a b", "en", "s"))
+    val st = d.agg(count(lit(1)).as("n"))
+    val out = Curation.withStats(d, st)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(out.count() === 1L)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang", "source", "n_chars", "n"))
+  }
+
+  test("DSIR: target-like doc gets a higher importance weight") {
+    // 'en' target slice dominated by "good data" bigrams; the raw
+    // corpus adds an off-target doc full of other bigrams.
+    val d = docs(
+      (1L, "good data good data good data", "en", "s"),
+      (2L, "good data good data good data", "en", "s"),
+      (3L, "junk text junk text junk text", "de", "s"),
+      (4L, "good data good data", "de", "s"), // target-like, not in slice
+      (5L, "junk text junk text", "fr", "s")) // off-target
+    val bg = d.select(col("doc_id"), col("lang"),
+      explode(Curation.bigramBuckets(col("text"), 64)).as("b"))
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", lit(1))).as("ct"))
+    val st = cb.agg(sum("cr").cast("long").as("nr"), sum("ct").cast("long").as("nt"))
+    val lr = Curation.withStats(cb, st).select(col("b"),
+      (log((col("ct") + lit(1.0)) / (col("nt") + lit(64)))
+        - log((col("cr") + lit(1.0)) / (col("nr") + lit(64)))).as("q"))
+    val w = bg.join(lr, "b").groupBy("doc_id")
+      .agg((sum("q") / count(lit(1))).as("avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(4L) > w(5L))
+  }
+
+  test("mixRates: over-represented sources downsample, small ones cap at 100%") {
+    val counts = Seq(("big", 900L), ("small", 100L)).toDF("source", "n_docs")
+    val rates = Curation.mixRates(counts, budgetPct = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // budget 1000, quota 500/source: big keeps 500/900, small capped
+    assert(rates("small") === 10000L)
+    assert(rates("big") === 500L * 10000L / 900L)
+  }
+
+  test("mixKeep predicate is deterministic and rate-monotone") {
+    val ids = spark.range(1000).select(col("id"))
+    val k50 = ids.filter(Curation.mixKeep(col("id"), lit(5000L))).count()
+    val k100 = ids.filter(Curation.mixKeep(col("id"), lit(10000L))).count()
+    assert(k100 === 1000L)
+    assert(k50 > 350L && k50 < 650L)
+    val again = ids.filter(Curation.mixKeep(col("id"), lit(5000L))).count()
+    assert(again === k50)
+  }
+}

@@ -8,11 +8,13 @@ class GateQueriesSmokeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Deliberate nested-loop joins: the definitionally brute-force KNN
-    * baseline (scale paths: q_knn_lsh/ivf), and the two SINGLE-ROW
+    * baseline (scale paths: q_knn_lsh/ivf), and the SINGLE-ROW
     * broadcast joins (the dark frame; the histogram's (min,max) range
-    * scalar) — a 1-row build side is scale-safe at any corpus size. */
+    * scalar; the curation gates' corpus-stats scalars) — a 1-row
+    * build side is scale-safe at any corpus size. */
   private val NestedLoopAllowed =
-    Set("q_knn_bruteforce", "q_dark_subtract", "q_histogram")
+    Set("q_knn_bruteforce", "q_dark_subtract", "q_histogram",
+      "q_lm_perplexity", "q_dsir_weights", "q_mix_rebalance")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
