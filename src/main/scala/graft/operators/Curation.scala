@@ -111,6 +111,62 @@ object Curation {
   val PosBase = 100000L
   private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
 
+  /** Rolling L-token window keys (60-bit md5-derived, portable) at
+    * every start position, NOT distinct — positions matter for exact
+    * substring dedup. `w` must be a materialized attribute (see
+    * [[segmentsOfWords]]). Docs shorter than L yield no windows.
+    */
+  def windowKeysOfWords(w: Column, l: Int): Column =
+    when(size(w) >= l,
+      transform(sequence(lit(1), size(w) - (l - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(w, i, lit(l)))), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+
+  /** Exact substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): any L-token span
+    * occurring more than once in the corpus is kept ONLY at its first
+    * occurrence (smallest (doc_id, pos)); every other occurrence's
+    * tokens are deleted and each document re-assembled from its
+    * surviving tokens. Overlapping duplicate windows union cleanly
+    * (delete-set semantics), so a repeat longer than L is removed
+    * whole.
+    *
+    * Output: (doc_id, n_tokens, n_kept, new_md5) — new_md5 of the
+    * re-assembled text, md5('') when the doc dissolved entirely (an
+    * exact duplicate document).
+    *
+    * Plan: window relation = one row per token (corpus-token-sized,
+    * not corpus²); groupBy(window-key) argmin; join-back; the delete
+    * fan-out is f·L per duplicated window — LINEAR in occurrences, so
+    * boilerplate-heavy corpora stay safe; a left-anti join prunes the
+    * token relation; final per-doc reassembly groupBy.
+    */
+  def substrDedup(docs: DataFrame, l: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(windowKeysOfWords(col("w"), l)).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
+    val occ = col("doc_id") * lit(PosBase) + col("pos")
+    val first = wins.groupBy(col("h")).agg(min(occ).as("fp"))
+    val del = wins.join(first, "h").filter(occ =!= col("fp"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
+      .distinct()
+    val tokRel = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      .select(col("doc_id"), (col("p") + 1).as("idx"), col("word"))
+    val re = tokRel.join(del, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("word")))),
+            s => s("word")))).as("new_md5"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_md5"), lit(EmptyMd5)).as("new_md5"))
+  }
+
   /** floor(ln(x)·1e6) as BIGINT — micro-nat quantization. Sums of
     * these are exact integer arithmetic (order-independent across
     * engines); the double `ln` itself is computed identically from

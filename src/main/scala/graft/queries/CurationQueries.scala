@@ -38,6 +38,38 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  private val SubL = 6
+
+  /** #93 — exact substring dedup (Lee et al. 2021): every duplicated
+    * L-token span survives only at its corpus-first occurrence.
+    */
+  val qSubstrDedup = GateQuery.sql(
+    "q_substr_dedup",
+    s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |wins AS (SELECT doc_id,
+       |    unnest(range(1, len(w) - ${SubL - 2})) AS pos,
+       |    unnest([${graft.operators.TextOps.shingleKeySql(s"array_to_string(w[i:i+${SubL - 1}], ' ')")}
+       |            for i in range(1, len(w) - ${SubL - 2})]) AS h
+       |  FROM tw WHERE len(w) >= $SubL),
+       |fst AS (SELECT h, min(doc_id * ${Curation.PosBase} + pos) AS fp FROM wins GROUP BY h),
+       |del AS (SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT w2.doc_id AS doc_id, unnest(range(w2.pos, w2.pos + $SubL)) AS idx
+       |    FROM wins w2 JOIN fst USING (h)
+       |    WHERE w2.doc_id * ${Curation.PosBase} + w2.pos <> fst.fp)),
+       |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS idx, unnest(w) AS word FROM tw),
+       |kept AS (SELECT t.doc_id AS doc_id, t.idx AS idx, t.word AS word
+       |         FROM tok t ANTI JOIN del d ON t.doc_id = d.doc_id AND t.idx = d.idx),
+       |re AS (SELECT doc_id, count(*) AS n_kept,
+       |         md5(string_agg(word, ' ' ORDER BY idx)) AS new_md5
+       |       FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, len(w) AS n_tokens FROM tw)
+       |SELECT tot.doc_id AS doc_id, n_tokens, coalesce(n_kept, 0) AS n_kept,
+       |  coalesce(new_md5, md5('')) AS new_md5
+       |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.substrDedup(Tables.documents(s, d), SubL)
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #84 — CCNet-style quality scoring: per-doc average negative
     * log-likelihood (nats, micro-quantized) under a Laplace unigram
     * LM trained on the corpus's own `lang = 'en'` slice.
@@ -147,5 +179,6 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
-  val all: Seq[GateQuery] = Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance)
+  val all: Seq[GateQuery] =
+    Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup)
 }

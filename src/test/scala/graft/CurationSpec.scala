@@ -55,6 +55,45 @@ class CurationSpec extends SparkSpec {
     assert(out.getLong(1) === 3L && out.getLong(2) === 2L)
   }
 
+  test("substrDedup: later copy of an L-token span is excised, rest kept") {
+    // doc 2 embeds doc 1's 6-token span inside unique context.
+    val d = docs(
+      (1L, "p q r s t u v w", "en", "s"),
+      (2L, "x1 x2 p q r s t u y1 y2", "en", "s"))
+    val out = Curation.substrDedup(d, 6).orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 8L) // doc 1 untouched
+    // doc 2: spans at pos 3..8 and 4..9 (p q r s t u / q r s t u y1?) —
+    // only the 6-gram "p q r s t u" repeats; tokens 3..8 deleted.
+    assert(out(1).getLong(1) === 10L && out(1).getLong(2) === 4L)
+    val expect = d.sparkSession.range(1)
+      .select(md5(lit("x1 x2 y1 y2"))).as[String].head()
+    assert(out(1).getString(3) === expect)
+  }
+
+  test("substrDedup: corpus with no repeats is unchanged") {
+    val d = docs(
+      (1L, "a1 a2 a3 a4 a5 a6 a7", "en", "s"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7", "en", "s"))
+    val out = Curation.substrDedup(d, 6).orderBy("doc_id").collect()
+    val m1 = d.sparkSession.range(1).select(md5(lit("a1 a2 a3 a4 a5 a6 a7"))).as[String].head()
+    assert(out(0).getLong(2) === 7L && out(0).getString(3) === m1)
+  }
+
+  test("substrDedup: overlapping repeat longer than L removed whole; short docs skip") {
+    // 8-token repeat → 3 overlapping dup windows at L=6 union to the
+    // whole 8-token span in the later doc.
+    val span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val d = docs(
+      (1L, s"$span tail1", "en", "s"),
+      (2L, s"head1 $span", "en", "s"),
+      (3L, "tiny doc", "en", "s")) // < L tokens: no windows, kept whole
+    val out = Curation.substrDedup(d, 6).orderBy("doc_id").collect()
+    assert(out(1).getLong(2) === 1L)
+    val m2 = d.sparkSession.range(1).select(md5(lit("head1"))).as[String].head()
+    assert(out(1).getString(3) === m2)
+    assert(out(2).getLong(1) === 2L && out(2).getLong(2) === 2L)
+  }
+
   test("unigram LM: OOV-heavy doc scores a higher avg NLL") {
     val d = docs(
       (1L, "the cat sat on the mat", "en", "s"),
