@@ -187,20 +187,40 @@ object Curation {
     * "model table", vocab-sized, broadcast to the scorer. Cap it with
     * a top-V filter before broadcasting at cluster scale.
     */
-  def unigramLogProbs(refToks: DataFrame): DataFrame = {
+  def unigramLogProbs(refToks: DataFrame, scale: Double = 1.0): DataFrame = {
     val ref = refToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val st = ref.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
     withStats(ref, st)
       .select(col("word"),
-        microLn((col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
+        microLn(lit(scale) * (col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
   }
 
-  /** The matching out-of-vocabulary score: microLn(1 / (N + V)),
-    * a single-row DataFrame with column `oovq`. */
-  def oovLogProb(refToks: DataFrame): DataFrame = {
+  /** The matching out-of-vocabulary score: microLn(scale / (N + V)),
+    * a single-row DataFrame with column `oovq`. `scale` < 1 is the
+    * backoff penalty when this is the last rung of a backoff chain.
+    */
+  def oovLogProb(refToks: DataFrame, scale: Double = 1.0): DataFrame = {
     val ref = refToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
     ref.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
-      .select(microLn(lit(1.0) / (col("n") + col("v"))).as("oovq"))
+      .select(microLn(lit(scale) * lit(1.0) / (col("n") + col("v"))).as("oovq"))
+  }
+
+  /** Stupid-backoff bigram model (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): for every bigram observed in the
+    * reference slice, q = microLn(c(w1,w2) / c(w1·)) where c(w1·) is
+    * w1's count as a PREDECESSOR (so the conditional sums to 1 over
+    * observed successors). Unseen bigrams back off to
+    * 0.4 · unigram ([[unigramLogProbs]] with scale = 0.4). Returns
+    * (w1, w2, qb) — the bigram model table; cap it by a min-count
+    * filter before broadcasting at cluster scale.
+    *
+    * `refBigrams` is one row per bigram INSTANCE with columns w1, w2.
+    */
+  def bigramLogProbs(refBigrams: DataFrame): DataFrame = {
+    val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).cast("long").as("cw1"))
+    cb.join(cw, "w1")
+      .select(col("w1"), col("w2"), microLn(col("cb") / col("cw1")).as("qb"))
   }
 
   /** Attach a SINGLE-ROW stats relation to every row of `df` via a

@@ -104,6 +104,61 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #94 — stupid-backoff bigram LM scoring: tokens 2..n of every doc
+    * scored by P(w_i | w_{i-1}) from the `en`-slice bigram model,
+    * backing off to 0.4·unigram (Laplace) for unseen bigrams, then to
+    * the 0.4·OOV floor. Micro-nat integer sums throughout.
+    */
+  val qLmBigram = GateQuery.sql(
+    "q_lm_bigram",
+    s"""WITH tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |bi AS (SELECT doc_id, lang,
+       |         unnest([w[i] for i in range(1, len(w))]) AS w1,
+       |         unnest([w[i+1] for i in range(1, len(w))]) AS w2
+       |       FROM tw WHERE len(w) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY w1, w2),
+       |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY w1),
+       |qb AS (SELECT w1, w2, ${Curation.microLnSql("cb / cw1")} AS qb
+       |       FROM cb JOIN cw USING (w1)),
+       |toks AS (SELECT lang, unnest(w) AS word FROM tw),
+       |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
+       |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+       |qu AS (SELECT word, ${Curation.microLnSql("0.4 * (c + 1.0) / (n + v)")} AS qu
+       |       FROM ref, st),
+       |oov AS (SELECT ${Curation.microLnSql("0.4 * 1.0 / (n + v)")} AS oovq FROM st),
+       |sc AS (SELECT bi.doc_id AS doc_id, count(*) AS n_scored,
+       |         CAST(-sum(coalesce(qb.qb, qu.qu, oov.oovq)) AS BIGINT) AS nll_micro
+       |       FROM bi LEFT JOIN qb ON bi.w1 = qb.w1 AND bi.w2 = qb.w2
+       |               LEFT JOIN qu ON bi.w2 = qu.word, oov
+       |       GROUP BY bi.doc_id)
+       |SELECT doc_id, n_scored, nll_micro,
+       |  ${roundedRatioSql("nll_micro", "n_scored * 1000000", 4)} AS avg_nll
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tw = docs.select(col("doc_id"), col("lang"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    val bi = tw.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
+      .select(col("doc_id"), col("lang"), col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2"))
+    val qb = Curation.bigramLogProbs(bi.filter(col("lang") === "en").select(col("w1"), col("w2")))
+    val toks = tw.select(col("lang"), explode(col("w")).as("word"))
+    val refToks = toks.filter(col("lang") === "en")
+    val qu = Curation.unigramLogProbs(refToks, scale = 0.4)
+    val scored = Curation.withStats(bi, Curation.oovLogProb(refToks, scale = 0.4))
+      .join(broadcast(qb), Seq("w1", "w2"), "left")
+      .join(broadcast(qu.withColumnRenamed("word", "w2").withColumnRenamed("q", "qu")),
+        Seq("w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        (-sum(coalesce(col("qb"), col("qu"), col("oovq")))).cast("long").as("nll_micro"))
+    scored
+      .select(col("doc_id"), col("n_scored"), col("nll_micro"),
+        Exact.roundedRatio(col("nll_micro"), col("n_scored") * lit(1000000L), 4).as("avg_nll"))
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #85 — DSIR importance weights: per-doc sum of hashed-bigram
     * log-ratios between the `lang = 'en'` target distribution and the
     * raw corpus distribution (micro-nats; positive = target-like).
@@ -180,5 +235,6 @@ object CurationQueries {
   }
 
   val all: Seq[GateQuery] =
-    Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup)
+    Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
+      qLmBigram)
 }

@@ -113,6 +113,38 @@ class CurationSpec extends SparkSpec {
     assert(scored(1L) === scored(2L))
   }
 
+  test("bigram stupid-backoff: seen-bigram doc beats unseen-bigram doc") {
+    // Reference slice is all "the cat"/"cat sat" bigrams; doc 3 uses
+    // the same WORDS in an unseen order (every bigram backs off),
+    // doc 4 follows the reference order (every bigram seen).
+    val d = docs(
+      (1L, "the cat sat the cat sat", "en", "s"),
+      (2L, "the cat sat the cat sat", "en", "s"),
+      (3L, "sat the sat cat the sat", "de", "s"),
+      (4L, "the cat sat the cat", "de", "s"))
+    val tw = d.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("w"))
+    val bi = tw.select(col("doc_id"), col("lang"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
+      .select(col("doc_id"), col("lang"), col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2"))
+    val qb = Curation.bigramLogProbs(
+      bi.filter(col("lang") === "en").select(col("w1"), col("w2")))
+    val refToks = tw.filter(col("lang") === "en")
+      .select(explode(col("w")).as("word"))
+    val qu = Curation.unigramLogProbs(refToks, scale = 0.4)
+    val nll = Curation.withStats(bi, Curation.oovLogProb(refToks, scale = 0.4))
+      .join(qb, Seq("w1", "w2"), "left")
+      .join(qu.withColumnRenamed("word", "w2").withColumnRenamed("q", "qu"), Seq("w2"), "left")
+      .groupBy("doc_id")
+      .agg((-sum(coalesce(col("qb"), col("qu"), col("oovq"))) / count(lit(1))).as("avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nll(4L) < nll(3L))
+    // "the cat" is the only successor of "the" → conditional = ln(1) = 0
+    val qbMap = qb.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(qbMap(("the", "cat")) === 0L)
+  }
+
   test("withStats broadcasts the one-row side (never shuffles the big side)") {
     val d = docs((1L, "a b", "en", "s"))
     val st = d.agg(count(lit(1)).as("n"))
