@@ -257,6 +257,56 @@ object Curation {
   def bigramBucketsSql(buckets: Int): String =
     s"[${TextOps.baseHashSql("w[i] || ' ' || w[i+1]")} % $buckets for i in range(1, len(w))]"
 
+  /** DSIR importance weights (Xie et al. 2023): per-doc sum of hashed
+    * -bigram log-ratios between the target (`lang = 'en'`) and raw
+    * feature distributions, Laplace-smoothed over `buckets` buckets,
+    * micro-nat-quantized. Returns (doc_id, n_feat, w_micro); docs
+    * with < 2 tokens drop out (no features).
+    *
+    * Shape: one groupBy(bucket) over the exploded bigram relation
+    * (map-side combined), the 2^b-row model broadcast back, one
+    * groupBy(doc). The model size is bounded by construction.
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(bigramBucketsOfWords(col("w"), buckets)).as("b"))
+    val cb = bg.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", lit(1))).as("ct"))
+    val st = cb.agg(sum(col("cr")).cast("long").as("nr"), sum(col("ct")).cast("long").as("nt"))
+    val lr = withStats(cb, st)
+      .select(col("b"),
+        floor((log((col("ct") + lit(1.0)) / (col("nt") + lit(buckets)))
+             - log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets)))) * lit(1000000))
+          .cast("long").as("q"))
+    bg.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("q")).cast("long").as("w_micro"))
+  }
+
+  /** DSIR's resampling stage: sampling k docs WITHOUT replacement with
+    * probability ∝ exp(weight) is exactly "keep the top-k of
+    * weight + Gumbel noise" (the Gumbel-top-k trick the DSIR paper
+    * uses). The noise here is deterministic and engine-portable:
+    * u = (base_hash("gumbel:" + id) + 0.5) / 2^32  ∈ (0,1),
+    * g = −ln(−ln(u)), both micro-nat-quantized, so reruns and the
+    * SQL oracle agree row-for-row. Returns `w_micro + g_micro` — rank
+    * desc and take k. Zero shuffle, per-row expression.
+    */
+  def gumbelScore(id: Column, wMicro: Column): Column = {
+    val u = (TextOps.baseHash(concat(lit("gumbel:"), id.cast("string"))) + lit(0.5)) /
+      lit(4294967296.0)
+    wMicro + floor(-log(-log(u)) * lit(1000000)).cast("long")
+  }
+
+  /** DuckDB mirror of [[gumbelScore]]. */
+  def gumbelScoreSql(idSql: String, wSql: String): String = {
+    val u = s"((${TextOps.baseHashSql(s"'gumbel:' || CAST($idSql AS VARCHAR)")} + 0.5) / 4294967296.0)"
+    s"($wSql + CAST(floor(-ln(-ln($u)) * 1000000) AS BIGINT))"
+  }
+
   /** Per-source sampling rates (basis points) that rebalance the
     * corpus toward a UNIFORM source mix within a `budgetPct`% budget:
     * every source gets quota = (total·budgetPct/100)/n_sources docs,

@@ -178,27 +178,38 @@ object CurationQueries {
        |SELECT doc_id, n_feat, w_micro,
        |  ${roundedRatioSignedSql("w_micro", "n_feat * 1000000", 4)} AS avg_lr
        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val bg = docs
-      .select(col("doc_id"), col("lang"),
-        graft.operators.TextOps.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"),
-        explode(Curation.bigramBucketsOfWords(col("w"), DsirBuckets)).as("b"))
-    val cb = bg.groupBy(col("b")).agg(
-      count(lit(1)).as("cr"),
-      count(when(col("lang") === "en", lit(1))).as("ct"))
-    val st = cb.agg(sum(col("cr")).cast("long").as("nr"), sum(col("ct")).cast("long").as("nt"))
-    val lr = Curation.withStats(cb, st)
-      .select(col("b"),
-        floor((log((col("ct") + lit(1.0)) / (col("nt") + lit(DsirBuckets)))
-             - log((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets)))) * lit(1000000))
-          .cast("long").as("q"))
-    bg.join(broadcast(lr), "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"), sum(col("q")).cast("long").as("w_micro"))
+    Curation.dsirWeights(Tables.documents(s, d), DsirBuckets)
       .select(col("doc_id"), col("n_feat"), col("w_micro"),
         Exact.roundedRatioSigned(col("w_micro"), col("n_feat") * lit(1000000L), 4).as("avg_lr"))
       .orderedSmall(col("doc_id"))
+  }
+
+  private val DsirK = 100
+
+  /** #95 — DSIR resampling: Gumbel-top-k over the importance weights
+    * (sample-without-replacement ∝ exp(w), deterministic portable
+    * noise), keeping the K most target-like docs.
+    */
+  val qDsirSelect = GateQuery.sql(
+    "q_dsir_select",
+    s"""WITH tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, lang, unnest(${Curation.bigramBucketsSql(DsirBuckets)}) AS b FROM tw),
+       |cb AS (SELECT b, count(*) AS cr, count(*) FILTER (WHERE lang = 'en') AS ct
+       |       FROM bg GROUP BY b),
+       |st AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cb),
+       |lr AS (SELECT b, CAST(floor((ln((ct + 1.0) / (nt + $DsirBuckets))
+       |                            - ln((cr + 1.0) / (nr + $DsirBuckets))) * 1000000) AS BIGINT) AS q
+       |       FROM cb, st),
+       |sc AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS w_micro
+       |       FROM bg JOIN lr USING (b) GROUP BY doc_id)
+       |SELECT doc_id, w_micro,
+       |  ${Curation.gumbelScoreSql("doc_id", "w_micro")} AS s_micro
+       |FROM sc ORDER BY s_micro DESC, doc_id LIMIT $DsirK""".stripMargin) { (s, d) =>
+    Curation.dsirWeights(Tables.documents(s, d), DsirBuckets)
+      .select(col("doc_id"), col("w_micro"),
+        Curation.gumbelScore(col("doc_id"), col("w_micro")).as("s_micro"))
+      .orderBy(col("s_micro").desc, col("doc_id"))
+      .limit(DsirK)
   }
 
   /** #86 — source-mix rebalancing: uniform-mix sampling rates within
@@ -236,5 +247,5 @@ object CurationQueries {
 
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
-      qLmBigram)
+      qLmBigram, qDsirSelect)
 }

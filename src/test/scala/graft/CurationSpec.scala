@@ -178,6 +178,22 @@ class CurationSpec extends SparkSpec {
     assert(w(4L) > w(5L))
   }
 
+  test("gumbel top-k selection is deterministic and weight-biased") {
+    // Two weight tiers 2e6 micro-nats apart: the high tier should
+    // dominate the selection but the Gumbel noise keeps it a sample,
+    // not a cutoff. Same inputs → identical selection on rerun.
+    val w = spark.range(400).select(col("id").as("doc_id"),
+      when(col("id") < 200, lit(2000000L)).otherwise(lit(0L)).as("w_micro"))
+    def pick() = w
+      .select(col("doc_id"), Curation.gumbelScore(col("doc_id"), col("w_micro")).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(100)
+      .collect().map(_.getLong(0)).toSet
+    val sel = pick()
+    val highShare = sel.count(_ < 200)
+    assert(highShare > 80 && highShare <= 100, s"high-tier share $highShare")
+    assert(pick() === sel)
+  }
+
   test("mixRates: over-represented sources downsample, small ones cap at 100%") {
     val counts = Seq(("big", 900L), ("small", 100L)).toDF("source", "n_docs")
     val rates = Curation.mixRates(counts, budgetPct = 100)
