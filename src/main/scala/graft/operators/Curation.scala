@@ -187,9 +187,18 @@ object Curation {
     * "model table", vocab-sized, broadcast to the scorer. Cap it with
     * a top-V filter before broadcasting at cluster scale.
     */
-  def unigramLogProbs(refToks: DataFrame, scale: Double = 1.0): DataFrame = {
-    val ref = refToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
-    val st = ref.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
+  def unigramLogProbs(refToks: DataFrame, scale: Double = 1.0,
+                      topV: Option[Int] = None): DataFrame = {
+    val ref0 = refToks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // Smoothing stats come from the FULL vocabulary either way, so a
+    // cap changes which words score as OOV but not the model's mass
+    // accounting (CCNet-style: cap the broadcast table, not the LM).
+    val st = ref0.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
+    val ref = topV match {
+      case Some(k) =>
+        ref0.orderBy(col("c").desc, col("word")).limit(k)
+      case None => ref0
+    }
     withStats(ref, st)
       .select(col("word"),
         microLn(lit(scale) * (col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))

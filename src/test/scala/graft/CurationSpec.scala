@@ -145,6 +145,19 @@ class CurationSpec extends SparkSpec {
     assert(qbMap(("the", "cat")) === 0L)
   }
 
+  test("unigram LM topV cap bounds the model table; capped words go OOV") {
+    val d = docs((1L, "a a a b b c", "en", "s"))
+    val toks = d.select(explode(split(col("text"), " ")).as("word"))
+    val full = Curation.unigramLogProbs(toks)
+    val capped = Curation.unigramLogProbs(toks, topV = Some(2))
+    assert(full.count() === 3L && capped.count() === 2L)
+    val words = capped.collect().map(_.getString(0)).toSet
+    assert(words === Set("a", "b")) // count-desc, word-asc tie break
+    // surviving entries score identically to the uncapped model
+    val fm = full.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    capped.collect().foreach(r => assert(r.getLong(1) === fm(r.getString(0))))
+  }
+
   test("withStats broadcasts the one-row side (never shuffles the big side)") {
     val d = docs((1L, "a b", "en", "s"))
     val st = d.agg(count(lit(1)).as("n"))

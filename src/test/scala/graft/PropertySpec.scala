@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{Dedup, Interpolate, Percentiles}
+import graft.operators.{Curation, Dedup, Interpolate, Percentiles}
 
 /** Property-based checks: the distributed operators must agree with
   * straightforward single-machine reference computations on random
@@ -100,6 +100,73 @@ class PropertySpec extends SparkSpec {
       refRoots.foreach { case (n, r) =>
         assert(got(n) == minOfRoot(r), s"node $n: got ${got(n)}, want ${minOfRoot(r)}")
       }
+    }
+  }
+
+  /** In-memory reference for [[Curation.substrDedup]]: delete every
+    * token covered by a non-first occurrence of an L-window. */
+  private def refSubstrDedup(corpus: List[(Long, List[String])], l: Int) = {
+    val wins = for {
+      (id, ws) <- corpus; if ws.size >= l
+      i <- 1 to (ws.size - l + 1)
+    } yield (id, i, ws.slice(i - 1, i - 1 + l).mkString(" "))
+    val firstPos = wins.groupBy(_._3).map { case (k, os) =>
+      k -> os.map(o => o._1 * Curation.PosBase + o._2).min
+    }
+    val del = wins
+      .filter(o => o._1 * Curation.PosBase + o._2 != firstPos(o._3))
+      .flatMap(o => (o._2 until o._2 + l).map(idx => (o._1, idx))).toSet
+    corpus.map { case (id, ws) =>
+      id -> ws.zipWithIndex.collect { case (w, i) if !del((id, i + 1)) => w }
+    }.toMap
+  }
+
+  test("substring dedup matches the in-memory reference on random corpora") {
+    // Small vocabulary forces genuine window collisions.
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (ws, i) => ((i + 1).toLong, ws) })
+    val L = 3
+    forAll(corpus) { cs =>
+      val df = cs.map { case (id, ws) => (id, ws.mkString(" "), "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = Curation.substrDedup(df, L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      val ref = refSubstrDedup(cs, L)
+      cs.foreach { case (id, _) =>
+        val kept = ref(id)
+        assert(got(id)._1 === kept.size.toLong, s"doc $id kept-count for $cs")
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        assert(got(id)._2 === md5hex, s"doc $id text for $cs")
+      }
+    }
+  }
+
+  test("line dedup conserves segments and is idempotent on the kept text") {
+    val word = Gen.oneOf("x", "y", "z")
+    val doc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) })
+    forAll(corpus) { cs =>
+      val df = cs.map { case (id, t) => (id, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val out = Curation.lineDedup(df, 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // every doc appears; kept <= total; total = ceil(words/4)
+      cs.foreach { case (id, t) =>
+        val (nSegs, nKept) = out(id)
+        assert(nSegs === (t.split(" ").length + 3) / 4)
+        assert(nKept >= 0 && nKept <= nSegs)
+      }
+      // corpus-wide: each distinct segment string survives exactly once
+      val totalKept = out.values.map(_._2).sum
+      val distinctSegs = cs.flatMap { case (_, t) =>
+        t.split(" ").grouped(4).map(_.mkString(" "))
+      }.distinct.size
+      assert(totalKept === distinctSegs.toLong)
     }
   }
 }
