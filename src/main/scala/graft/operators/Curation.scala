@@ -91,8 +91,12 @@ object Curation {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), posexplode(segmentsOfWords(col("w"), k)).as(Seq("i", "seg")))
     val pos = col("doc_id") * lit(PosBase) + col("i")
-    val first = segs.groupBy(col("seg")).agg(min(pos).as("first_pos"))
-    val surv = segs.join(first, "seg").filter(pos === col("first_pos"))
+    // First occurrence via a partition window, not groupBy+self-join:
+    // ONE shuffle of the segment relation instead of two.
+    val surv = segs
+      .withColumn("first_pos",
+        min(pos).over(org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))))
+      .filter(pos === col("first_pos"))
     val re = surv.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
       md5(concat_ws(" ",
@@ -147,10 +151,15 @@ object Curation {
       .select(col("doc_id"), posexplode(windowKeysOfWords(col("w"), l)).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
     val occ = col("doc_id") * lit(PosBase) + col("pos")
-    val first = wins.groupBy(col("h")).agg(min(occ).as("fp"))
-    val del = wins.join(first, "h").filter(occ =!= col("fp"))
+    // First occurrence via a partition window (one shuffle, no
+    // self-join); no distinct before the anti-join — left_anti is
+    // insensitive to duplicate build rows, so deduplicating the
+    // delete-set would only buy an extra shuffle.
+    val del = wins
+      .withColumn("fp",
+        min(occ).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(occ =!= col("fp"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
-      .distinct()
     val tokRel = toks
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
       .select(col("doc_id"), (col("p") + 1).as("idx"), col("word"))
