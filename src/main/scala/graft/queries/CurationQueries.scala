@@ -245,7 +245,26 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #96 — discriminative quality classifier (GPT-3/LLaMA playbook):
+    * logistic regression over hashed-bigram features separating the
+    * `en` reference slice from the rest, scores for every doc.
+    * Iterative training has no SQL equivalent → rows-only gate;
+    * determinism + separation are ScalaTest-asserted.
+    */
+  val qQualityClassifier = GateQuery.rowsOnly("q_quality_classifier") { (s, d) =>
+    import graft.operators.QualityClassifier
+    val docs = Tables.documents(s, d)
+    val feat = QualityClassifier.features(docs, col("lang") === "en", DsirBuckets)
+      .persist()
+    try {
+      val w = QualityClassifier.train(feat, DsirBuckets, iters = 8, lr = 0.5)
+      QualityClassifier.score(feat, w)
+        .select(col("doc_id"), col("n_feat"), col("score_micro"))
+        .orderedSmall(col("doc_id"))
+    } finally feat.unpersist()
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
-      qLmBigram, qDsirSelect)
+      qLmBigram, qDsirSelect, qQualityClassifier)
 }

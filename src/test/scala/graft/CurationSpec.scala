@@ -207,6 +207,29 @@ class CurationSpec extends SparkSpec {
     assert(pick() === sel)
   }
 
+  test("quality classifier separates constructed corpora and trains deterministically") {
+    import graft.operators.QualityClassifier
+    // Reference docs draw bigrams from one phrase family, raw docs
+    // from another; a linear model must separate them. Labels are
+    // en = reference. Held-out docs (not in training) score by family.
+    val ref = (1L to 30L).map(i => (i, "good clean data " * 4 + s"u$i", "en", "s"))
+    val raw = (31L to 60L).map(i => (i, "junk noisy text " * 4 + s"u$i", "de", "s"))
+    val hold = Seq((101L, "good clean data good clean data", "fr", "s"),
+      (102L, "junk noisy text junk noisy text", "fr", "s"))
+    val d = docs((ref ++ raw ++ hold): _*)
+    val feat = QualityClassifier.features(d, col("lang") === "en", 64)
+    val w1 = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5)
+    val w2 = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5)
+    assert(w1.toSeq === w2.toSeq)
+    val scores = QualityClassifier.score(feat, w1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(101L) > 0L, s"held-out reference-like doc: ${scores(101L)}")
+    assert(scores(102L) < 0L, s"held-out raw-like doc: ${scores(102L)}")
+    val trainAcc = (ref.map(_._1).count(id => scores(id) > 0) +
+      raw.map(_._1).count(id => scores(id) < 0)).toDouble / 60
+    assert(trainAcc > 0.95, s"training accuracy $trainAcc")
+  }
+
   test("mixRates: over-represented sources downsample, small ones cap at 100%") {
     val counts = Seq(("big", 900L), ("small", 100L)).toDF("source", "n_docs")
     val rates = Curation.mixRates(counts, budgetPct = 100)
