@@ -76,6 +76,30 @@ object QualityClassifier {
     w
   }
 
+  /** The trained model as a PURE COLUMN EXPRESSION: margin in
+    * micro-units of a text column, the weight vector inlined as an
+    * array literal and summed with the `aggregate` higher-order
+    * function. Zero join, zero shuffle, zero state — usable
+    * identically in batch selects and Structured Streaming
+    * micro-batches (stateless map), the deployment shape of a
+    * trained quality filter. Bounded B keeps the literal small
+    * (16 KiB at B = 2048).
+    */
+  def scoreExprOfWords(words: Column, w: Weights, buckets: Int): Column = {
+    require(w.length == buckets, s"weights ${w.length} != buckets $buckets")
+    aggregate(
+      Curation.bigramBucketsOfWords(words, buckets),
+      lit(0L),
+      (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
+  }
+
+  /** [[scoreExprOfWords]] over raw text — convenience for small
+    * inputs; hot paths hoist the tokens column first (see
+    * [[Curation.segmentsOfWords]] for why).
+    */
+  def scoreExpr(text: Column, w: Weights, buckets: Int): Column =
+    scoreExprOfWords(TextOps.tokens(text), w, buckets)
+
   /** Score every doc with a trained model: the margin in micro-units
     * (positive = reference-like). Zero shuffle beyond one groupBy:
     * the model rides along as a broadcast table.

@@ -320,4 +320,24 @@ object StreamingOps {
           }
       }
   }
+
+  /** Live quality filtering: score each arriving document with a
+    * TRAINED [[graft.operators.QualityClassifier]] model and keep
+    * those above `thresholdMicro`. The model is inlined as a literal
+    * weight array inside a pure column expression
+    * ([[graft.operators.QualityClassifier.scoreExprOfWords]]), so
+    * this is a STATELESS map over the stream — no state store, no
+    * stream-static join, batch==stream scores by construction. The
+    * tokens column is materialized first so the per-element lambda
+    * never re-tokenizes (the standard hoist).
+    */
+  def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                         w: Array[Long], buckets: Int,
+                         thresholdMicro: Long): DataFrame =
+    docs
+      .withColumn("_w", graft.operators.TextOps.tokens(col(textCol)))
+      .withColumn("score_micro",
+        graft.operators.QualityClassifier.scoreExprOfWords(col("_w"), w, buckets))
+      .drop("_w")
+      .filter(col("score_micro") >= thresholdMicro)
 }

@@ -312,4 +312,42 @@ class StreamingSpec extends SparkSpec {
       assert(!batchPairs.exists(p => p._1 == 3L || p._2 == 3L))
     } finally q.stop()
   }
+
+  test("streaming quality scoring equals batch scores and filters below-threshold docs") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.QualityClassifier
+    // Train on a small labeled corpus, then deploy the model both as
+    // a batch select and over a MemoryStream; scores must be equal
+    // (the expression is stateless and shared verbatim).
+    val train = Seq(
+      (1L, "good clean data good clean data", "en"),
+      (2L, "good clean data good clean", "en"),
+      (3L, "junk noisy text junk noisy text", "de"),
+      (4L, "junk noisy text junk noisy", "de"))
+      .toDF("doc_id", "text", "lang")
+    val feat = QualityClassifier.features(train, col("lang") === "en", 64)
+    val w = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5)
+
+    val live = Seq((10L, "good clean data good"), (11L, "junk noisy text junk"))
+    val batchScores = live.toDF("doc_id", "text")
+      .withColumn("s", QualityClassifier.scoreExpr(col("text"), w, 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batchScores(10L) > 0L && batchScores(11L) < 0L)
+
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingOps.qualityScoreStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", w,
+      buckets = 64, thresholdMicro = 0L)
+    val q = scored.writeStream.format("memory").queryName("qscore")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(live: _*)
+      q.processAllAvailable()
+      val rows = spark.table("qscore").collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getLong(r.fieldIndex("score_micro"))).toMap
+      assert(rows.keySet === Set(10L)) // below-threshold doc filtered
+      assert(rows(10L) === batchScores(10L)) // stream == batch
+    } finally q.stop()
+  }
 }
