@@ -76,6 +76,8 @@ object TextExpressions {
     ShingleKeysFastExpr(GraftColumnBridge.expression(text), k))
   def docPairs(ds: Column): Column = GraftColumnBridge.column(
     DocPairsExpr(GraftColumnBridge.expression(ds)))
+  def bigramBuckets(text: Column, buckets: Int): Column = GraftColumnBridge.column(
+    BigramBucketsExpr(GraftColumnBridge.expression(text), buckets))
 }
 
 /** All unordered doc pairs of one shingle's posting list — the pair
@@ -261,5 +263,33 @@ case class ShingleKeysFastExpr(child: Expression, k: Int)
     new GenericArrayData(seen.toArray.map(v => v: Any))
   }
   override protected def withNewChildInternal(newChild: Expression): ShingleKeysFastExpr =
+    copy(child = newChild)
+}
+
+/** Hashed-bigram DSIR feature buckets: one long per bigram INSTANCE
+  * (positions matter — the feature vector is a bag), bucket =
+  * base_hash(w_i + " " + w_{i+1}) mod buckets. Identical values to
+  * the [[graft.operators.Curation.bigramBucketsOfWords]] HOF
+  * formulation (parity-asserted), but one digest per bigram in a
+  * tight loop instead of an interpreted concat/md5/hex-parse lambda
+  * chain per element.
+  */
+case class BigramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < 2) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](tokens.length - 1)
+    var i = 0
+    while (i < tokens.length - 1) {
+      out(i) = TextExpressions.baseHash(md, tokens(i) + " " + tokens(i + 1)) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramBucketsExpr =
     copy(child = newChild)
 }

@@ -287,9 +287,8 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, buckets: Int): DataFrame = {
     val bg = docs
-      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"),
-        explode(bigramBucketsOfWords(col("w"), buckets)).as("b"))
+        explode(graft.expressions.TextExpressions.bigramBuckets(col("text"), buckets)).as("b"))
     val cb = bg.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === "en", lit(1))).as("ct"))

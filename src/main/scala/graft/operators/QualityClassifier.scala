@@ -39,9 +39,7 @@ object QualityClassifier {
   def features(docs: DataFrame, isRef: Column, buckets: Int): DataFrame =
     docs
       .select(col("doc_id"), isRef.cast("int").as("label"),
-        TextOps.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("label"),
-        explode(Curation.bigramBucketsOfWords(col("w"), buckets)).as("b"))
+        explode(graft.expressions.TextExpressions.bigramBuckets(col("text"), buckets)).as("b"))
 
   /** Full-batch logistic GD. `feat` should be cached by the caller if
     * it is expensive to recompute. Returns micro-quantized weights.
@@ -85,20 +83,13 @@ object QualityClassifier {
     * trained quality filter. Bounded B keeps the literal small
     * (16 KiB at B = 2048).
     */
-  def scoreExprOfWords(words: Column, w: Weights, buckets: Int): Column = {
+  def scoreExpr(text: Column, w: Weights, buckets: Int): Column = {
     require(w.length == buckets, s"weights ${w.length} != buckets $buckets")
     aggregate(
-      Curation.bigramBucketsOfWords(words, buckets),
+      graft.expressions.TextExpressions.bigramBuckets(text, buckets),
       lit(0L),
       (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
   }
-
-  /** [[scoreExprOfWords]] over raw text — convenience for small
-    * inputs; hot paths hoist the tokens column first (see
-    * [[Curation.segmentsOfWords]] for why).
-    */
-  def scoreExpr(text: Column, w: Weights, buckets: Int): Column =
-    scoreExprOfWords(TextOps.tokens(text), w, buckets)
 
   /** Score every doc with a trained model: the margin in micro-units
     * (positive = reference-like). Zero shuffle beyond one groupBy:

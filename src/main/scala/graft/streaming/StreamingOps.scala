@@ -325,19 +325,16 @@ object StreamingOps {
     * TRAINED [[graft.operators.QualityClassifier]] model and keep
     * those above `thresholdMicro`. The model is inlined as a literal
     * weight array inside a pure column expression
-    * ([[graft.operators.QualityClassifier.scoreExprOfWords]]), so
-    * this is a STATELESS map over the stream — no state store, no
-    * stream-static join, batch==stream scores by construction. The
-    * tokens column is materialized first so the per-element lambda
-    * never re-tokenizes (the standard hoist).
+    * ([[graft.operators.QualityClassifier.scoreExpr]] — the native
+    * bigram-bucket kernel under an `aggregate`), so this is a
+    * STATELESS map over the stream — no state store, no
+    * stream-static join, batch==stream scores by construction.
     */
   def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
                          w: Array[Long], buckets: Int,
                          thresholdMicro: Long): DataFrame =
     docs
-      .withColumn("_w", graft.operators.TextOps.tokens(col(textCol)))
       .withColumn("score_micro",
-        graft.operators.QualityClassifier.scoreExprOfWords(col("_w"), w, buckets))
-      .drop("_w")
+        graft.operators.QualityClassifier.scoreExpr(col(textCol), w, buckets))
       .filter(col("score_micro") >= thresholdMicro)
 }

@@ -111,6 +111,22 @@ class ExpressionParitySpec extends SparkSpec {
     assert(cells == Seq(0L, 1L, 2L))
   }
 
+  test("BigramBucketsExpr == HOF bigram buckets on real documents and edges") {
+    import graft.operators.Curation
+    val diff = docs.select(
+        TextExpressions.bigramBuckets(col("text"), 256).as("a"),
+        Curation.bigramBucketsOfWords(split(col("text"), " "), 256).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // edges: empty string, single word, trailing space (empty token)
+    val edges = Seq("", "one", "a b", "a b ", " a").toDF("text")
+    val ediff = edges.select(
+        TextExpressions.bigramBuckets(col("text"), 64).as("a"),
+        Curation.bigramBucketsOfWords(split(col("text"), " "), 64).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ediff == 0)
+  }
+
   test("edge cases: short docs yield empty shingle/sig arrays") {
     val df = Seq("one two", "a b c").toDF("text")
     val out = df.select(
