@@ -78,6 +78,8 @@ object TextExpressions {
     DocPairsExpr(GraftColumnBridge.expression(ds)))
   def bigramBuckets(text: Column, buckets: Int): Column = GraftColumnBridge.column(
     BigramBucketsExpr(GraftColumnBridge.expression(text), buckets))
+  def windowKeys(text: Column, l: Int): Column = GraftColumnBridge.column(
+    WindowKeysExpr(GraftColumnBridge.expression(text), l))
 }
 
 /** All unordered doc pairs of one shingle's posting list — the pair
@@ -291,5 +293,35 @@ case class BigramBucketsExpr(child: Expression, buckets: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): BigramBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Rolling L-token window keys for exact substring dedup: the 60-bit
+  * md5-prefix key of every L-window at every start position (NOT
+  * distinct — positions matter). Value-identical to
+  * [[graft.operators.Curation.windowKeysOfWords]] (parity-asserted);
+  * one digest per window in a tight loop.
+  */
+case class WindowKeysExpr(child: Expression, l: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < l) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val out = new Array[Any](tokens.length - l + 1)
+    var i = 0
+    while (i + l <= tokens.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < l) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      out(i) = TextExpressions.shingleKey(md, sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WindowKeysExpr =
     copy(child = newChild)
 }

@@ -147,8 +147,9 @@ object Curation {
     */
   def substrDedup(docs: DataFrame, l: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-    val wins = toks
-      .select(col("doc_id"), posexplode(windowKeysOfWords(col("w"), l)).as(Seq("p", "h")))
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(graft.expressions.TextExpressions.windowKeys(col("text"), l)).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
     val occ = col("doc_id") * lit(PosBase) + col("pos")
     // First occurrence via a partition window (one shuffle, no

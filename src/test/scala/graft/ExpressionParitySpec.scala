@@ -127,6 +127,22 @@ class ExpressionParitySpec extends SparkSpec {
     assert(ediff == 0)
   }
 
+  test("WindowKeysExpr == HOF window keys on real documents and edges") {
+    import graft.operators.Curation
+    val diff = docs.select(
+        TextExpressions.windowKeys(col("text"), 6).as("a"),
+        Curation.windowKeysOfWords(split(col("text"), " "), 6).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    val edges = Seq("", "a b c d e", "a b c d e f", "a b c d e f g", "x x x x x x x x")
+      .toDF("text")
+    val ediff = edges.select(
+        TextExpressions.windowKeys(col("text"), 6).as("a"),
+        Curation.windowKeysOfWords(split(col("text"), " "), 6).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(ediff == 0)
+  }
+
   test("edge cases: short docs yield empty shingle/sig arrays") {
     val df = Seq("one two", "a b c").toDF("text")
     val out = df.select(
