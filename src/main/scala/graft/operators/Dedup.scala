@@ -334,6 +334,47 @@ object Dedup {
   def suggestedBandDfCap(maxPairsPerBucket: Long = 1000000L): Int =
     math.max(2, math.ceil(math.sqrt(2.0 * maxPairsPerBucket)).toInt)
 
+  /** Incremental (cross-corpus) dedup — the continual-pretraining
+    * shape: filter an INCOMING batch against an EXISTING corpus
+    * without ever pairing existing docs with each other. A new doc is
+    * flagged `exact_dup` when its content md5 already exists, and
+    * `near_dup` when it shares any MinHash LSH band with an existing
+    * doc (the same band-hit suppression rule as
+    * [[graft.streaming.StreamingOps.nearDupStream]] — candidates ARE
+    * suppressions here, as in decontamination).
+    *
+    * Plan: the existing side reduces to two deduplicated key
+    * relations (content md5s; distinct band keys) that the incoming
+    * batch hash-joins against — never a corpus×corpus pair stage, and
+    * the incoming batch is typically a small fraction of the corpus.
+    * Returns one row per incoming doc: (doc_id, exact_dup, near_dup,
+    * kept).
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       id: Column, text: Column,
+                       k: Int, numPerms: Int, bands: Int): DataFrame = {
+    val exM = existing.select(md5(text).as("cmd5")).distinct()
+      .withColumn("ehit", lit(true))
+    def bandRel(df: DataFrame): DataFrame = df
+      .select(id.as("doc_id"),
+        graft.expressions.TextExpressions.minHashSig(text, k, numPerms).as("sig"))
+      .filter(size(col("sig")) === numPerms)
+      .select(col("doc_id"), explode(bandKeys(col("sig"), numPerms, bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val exB = bandRel(existing).select(col("band"), col("bh")).distinct()
+    val nearHit = bandRel(incoming)
+      .join(exB, Seq("band", "bh"))
+      .select(col("doc_id")).distinct()
+      .withColumn("nhit", lit(true))
+    incoming.select(id.as("doc_id"), md5(text).as("cmd5"))
+      .join(exM, Seq("cmd5"), "left")
+      .join(nearHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ehit"), lit(false)).as("exact_dup"),
+        coalesce(col("nhit"), lit(false)).as("near_dup"))
+      .withColumn("kept", !(col("exact_dup") || col("near_dup")))
+  }
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, k: Int,
                    numPerms: Int, bands: Int, minMatch: Int,
                    maxBandDf: Int = 0): DataFrame = {

@@ -559,10 +559,47 @@ object TextQueries {
       .orderedSmall(col("lang"))
   }
 
+  /** #98 — incremental dedup: the incoming half of the corpus
+    * (sources src10+) filtered against the existing half (src0–src9)
+    * by exact content hash and MinHash band hits — the
+    * continual-pretraining batch-admission check.
+    */
+  val qIncrementalDedup = GateQuery.sql(
+    "q_incremental_dedup", {
+      val sigList = (0 until 16)
+        .map(i => s"min(${TextOps.permHashSql(i, "h")})").mkString("[", ", ", "]")
+      val bandParts = (1 to 4).map(r => s"CAST(sig[b * 4 + $r] AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH $ShinglesSql,
+         |sig AS (SELECT doc_id, $sigList AS sig FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b AS band, md5($bandParts) AS bh
+         |          FROM sig, range(4) AS r(b)),
+         |meta AS (SELECT doc_id, md5(text) AS cmd5,
+         |           CAST(substr(source, 4) AS INT) >= 10 AS is_new FROM documents),
+         |ex AS (SELECT * FROM meta WHERE NOT is_new),
+         |nw AS (SELECT * FROM meta WHERE is_new),
+         |exm AS (SELECT DISTINCT cmd5, TRUE AS ehit FROM ex),
+         |exb AS (SELECT DISTINCT band, bh FROM bands JOIN ex USING (doc_id)),
+         |nwb AS (SELECT bands.doc_id AS doc_id, band, bh FROM bands JOIN nw USING (doc_id)),
+         |nearhit AS (SELECT DISTINCT doc_id, TRUE AS nhit FROM nwb JOIN exb USING (band, bh))
+         |SELECT nw.doc_id AS doc_id,
+         |  coalesce(ehit, FALSE) AS exact_dup,
+         |  coalesce(nhit, FALSE) AS near_dup,
+         |  NOT (coalesce(ehit, FALSE) OR coalesce(nhit, FALSE)) AS kept
+         |FROM nw LEFT JOIN exm USING (cmd5) LEFT JOIN nearhit USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isNew = substring(col("source"), 4, 10).cast("int") >= 10
+    Dedup.incrementalDedup(
+        docs.filter(!isNew), docs.filter(isNew),
+        col("doc_id"), col("text"), k = 3, numPerms = 16, bands = 4)
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
-    qStratifiedSample)
+    qStratifiedSample, qIncrementalDedup)
 }

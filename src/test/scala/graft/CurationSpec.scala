@@ -191,6 +191,25 @@ class CurationSpec extends SparkSpec {
     assert(w(4L) > w(5L))
   }
 
+  test("incremental dedup flags exact and band-hit dups of the existing corpus only") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = docs(
+      (1L, base, "en", "old"),
+      (2L, "completely different existing content here for the corpus", "en", "old"))
+    val incoming = docs(
+      (10L, base, "en", "new"),                                   // exact dup of 1
+      (11L, base + " extra", "en", "new"),                        // near dup of 1
+      (12L, "fresh unrelated novel words entirely unseen before now", "en", "new"))
+    val out = Dedup.incrementalDedup(existing, incoming,
+        col("doc_id"), col("text"), k = 3, numPerms = 16, bands = 4)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L)) // one row per INCOMING doc only
+    assert(out(10L)._1, "exact dup flagged")
+    assert(out(11L)._2 && !out(11L)._1, "near dup flagged, not exact")
+    assert(out(12L) === ((false, false, true)), "novel doc kept")
+  }
+
   test("gumbel top-k selection is deterministic and weight-biased") {
     // Two weight tiers 2e6 micro-nats apart: the high tier should
     // dominate the selection but the Gumbel noise keeps it a sample,
