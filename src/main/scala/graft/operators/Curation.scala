@@ -110,9 +110,15 @@ object Curation {
         coalesce(col("new_md5"), lit(EmptyMd5)).as("new_md5"))
   }
 
-  /** seg_idx never reaches this, so pos = doc_id·base + seg_idx is a
-    * collision-free total order matching (doc_id, seg_idx) lexicographic. */
-  val PosBase = 100000L
+  /** pos = doc_id·base + seg_idx is a collision-free total order
+    * matching (doc_id, seg_idx) lexicographic PROVIDED seg_idx <
+    * PosBase and doc_id < 2^63 / PosBase. 2^21 bounds documents at
+    * ~2M segments/windows (≈17M words at k=8) and doc ids at ~4.4e12
+    * — both far beyond realistic corpora; a document or id space
+    * exceeding them should be range-sharded first (same contract as
+    * DocPairsExpr's 2^31 id bound).
+    */
+  val PosBase = 1L << 21
   private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
 
   /** Rolling L-token window keys (60-bit md5-derived, portable) at

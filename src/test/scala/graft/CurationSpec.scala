@@ -210,6 +210,16 @@ class CurationSpec extends SparkSpec {
     assert(out(12L) === ((false, false, true)), "novel doc kept")
   }
 
+  test("incremental dedup: empty existing corpus keeps everything") {
+    import graft.operators.Dedup
+    val existing = docs()
+    val incoming = docs((1L, "some words here for a document", "en", "new"))
+    val out = Dedup.incrementalDedup(existing, incoming,
+        col("doc_id"), col("text"), k = 3, numPerms = 16, bands = 4)
+      .collect()
+    assert(out.length === 1 && out(0).getBoolean(3))
+  }
+
   test("gumbel top-k selection is deterministic and weight-biased") {
     // Two weight tiers 2e6 micro-nats apart: the high tier should
     // dominate the selection but the Gumbel noise keeps it a sample,
