@@ -330,7 +330,7 @@ object StreamingOps {
     * STATELESS map over the stream — no state store, no
     * stream-static join, batch==stream scores by construction.
     */
-  def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
+  def qualityScoreStream(docs: DataFrame, textCol: String,
                          w: Array[Long], buckets: Int,
                          thresholdMicro: Long): DataFrame =
     docs

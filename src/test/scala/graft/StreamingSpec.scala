@@ -336,7 +336,7 @@ class StreamingSpec extends SparkSpec {
 
     val input = MemoryStream[(Long, String)]
     val scored = StreamingOps.qualityScoreStream(
-      input.toDF().toDF("doc_id", "text"), "doc_id", "text", w,
+      input.toDF().toDF("doc_id", "text"), "text", w,
       buckets = 64, thresholdMicro = 0L)
     val q = scored.writeStream.format("memory").queryName("qscore")
       .outputMode(OutputMode.Append()).start()
