@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.SpeWriterUtil
+import graft.sources.{EdfWriterUtil, SpeWriterUtil}
 
 /** CCD detector-file queries (SURVEY.md §2 #80): the Princeton SPE
   * binary image source (pyspec `ccd/PrincetonSPE.py` surface) proven
@@ -72,5 +72,57 @@ object CcdQueries {
       .orderedSmall(col("frame"))
   }
 
-  val all: Seq[GateQuery] = Seq(qSpeFrames)
+  private val EW = 48
+  private val EH = 32
+  private val EFrames = 8
+
+  /** EDF fixture: FloatValue blocks with integer-valued pixels
+    * `(3 + 37·f + 17·r + 5·c) mod 251` — exactly representable in
+    * float32, so the decode → long cast round-trips losslessly and
+    * the closed-form DuckDB recompute hash-matches. Same atomic
+    * write-rename discipline as the SPE fixture.
+    */
+  private def edfFixture(s: SparkSession): String = synchronized {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_edf_gate")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "gate.edf")
+    val frames = (0 until EFrames).map { fr =>
+      Array.tabulate(EW * EH) { i =>
+        ((3L + 37L * fr + 17L * (i / EW) + 5L * (i % EW)) % 251L).toDouble
+      }
+    }
+    val tmp = new java.io.File(dir, s"gate.${java.util.UUID.randomUUID}.tmp")
+    EdfWriterUtil.write(tmp.getAbsolutePath, s.sessionState.newHadoopConf(),
+      EW, EH, dataType = "FloatValue", littleEndian = true, frames)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(dir, ".gate.edf.crc").delete()
+    new java.io.File(dir, s".${tmp.getName}.crc").delete()
+    f.getAbsolutePath
+  }
+
+  /** Per-frame pixel statistics off the decoded EDF stack (#99) —
+    * certifies the multi-block header walk, 512-padding handling and
+    * float32 little-endian decode against a closed-form recompute.
+    */
+  val qEdfFrames = GateQuery.sql(
+    "q_edf_frames",
+    s"""WITH px AS (SELECT f.f AS frame,
+       |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v
+       |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c))
+       |SELECT CAST(frame AS BIGINT) AS frame, CAST(count(*) AS BIGINT) AS n_px,
+       |  CAST(sum(v) AS BIGINT) AS px_sum,
+       |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+       |FROM px GROUP BY 1 ORDER BY frame""".stripMargin) { (s, _) =>
+    s.read.format("edf").load(edfFixture(s))
+      .select(col("frame"),
+        size(col("pixels")).cast("long").as("n_px"),
+        aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("px_sum"),
+        array_min(col("pixels")).cast("long").as("px_min"),
+        array_max(col("pixels")).cast("long").as("px_max"))
+      .orderedSmall(col("frame"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames)
 }

@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for ESRF Data Format (`.edf`) detector
+  * images — the second classic synchrotron CCD container after
+  * Princeton SPE (pyspec's `ccd` scope; the EDF layout is the public
+  * one every open-source reader implements, e.g. fabio's edfimage):
+  *
+  *   - a file is a SEQUENCE of blocks, one per image;
+  *   - each block starts with an ASCII header: `{`, then
+  *     `Key = Value ;` lines, then `}` + newline, space-padded so the
+  *     TOTAL header length is a multiple of 512 bytes;
+  *   - standard keys: `Dim_1` (width), `Dim_2` (height), `DataType`
+  *     (UnsignedByte/SignedByte/(Un)SignedShort/(Un)SignedInteger/
+  *     SignedLong/FloatValue/DoubleValue), `ByteOrder`
+  *     (LowByteFirst/HighByteFirst), `Size` (data bytes);
+  *   - the binary image (`Size` bytes) follows immediately.
+  *
+  * Cluster model mirrors the SPE source: planning walks HEADERS ONLY
+  * (bounded 512-byte reads + a seek over each data section — no data
+  * bytes are read), yielding per-frame descriptors with exact byte
+  * offsets; partitions cover contiguous frame runs capped at
+  * `maxPartitionBytes`; equality/range/IN filters on `frame` prune
+  * partitions before any data read, and pruning the `pixels` column
+  * skips the data sections entirely (metadata-only reads cost header
+  * bytes). Readers seek straight to their frames' data offsets.
+  *
+  * Schema (one row per image block, `frame` = 0-based ordinal):
+  *   file string, frame long, width int, height int, n_frames long,
+  *   datatype string, byte_order string, pixels array<double>
+  */
+class EdfDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "edf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = EdfSchema.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val paths = Option(properties.get("paths"))
+      .map(p => SpecSchema.parseJsonPaths(p))
+      .orElse(Option(properties.get("path")).map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("edf reader needs a path"))
+    new EdfTable(paths, Option(properties.get("maxPartitionBytes"))
+      .map(_.toLong).getOrElse(SpeSchema.DefaultMaxPartitionBytes))
+  }
+}
+
+object EdfSchema {
+  val HeaderChunk = 512
+  /** Headers larger than this are rejected as malformed (the spec
+    * pads to 512-multiples; real headers are one or two chunks). */
+  val MaxHeaderBytes = 64 * 1024
+
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("frame", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("datatype", StringType),
+    StructField("byte_order", StringType),
+    StructField("pixels", ArrayType(DoubleType))))
+
+  final case class EdfFrame(dataOffset: Long, width: Int, height: Int,
+                            dataType: String, littleEndian: Boolean, size: Long)
+
+  def bytesPerPixel(dataType: String): Int = dataType match {
+    case "UnsignedByte" | "SignedByte" => 1
+    case "UnsignedShort" | "SignedShort" => 2
+    case "UnsignedInteger" | "SignedInteger" | "UnsignedLong" | "SignedLong" |
+         "FloatValue" | "Float" => 4
+    case "DoubleValue" => 8
+    case d => throw new IllegalArgumentException(s"unsupported EDF DataType '$d'")
+  }
+
+  private val KeyVal = """\s*([A-Za-z0-9_]+)\s*=\s*(.*?)\s*;?\s*""".r
+
+  /** Walk every block header of one file; data sections are seeked
+    * over, never read. Returns the per-frame descriptors in file
+    * order.
+    */
+  def indexFile(path: String, conf: Configuration): Seq[EdfFrame] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val frames = mutable.ArrayBuffer[EdfFrame]()
+      var pos = 0L
+      while (pos + HeaderChunk <= len) {
+        // accumulate 512-byte chunks until one ends with '}' (+ \n)
+        val sb = new java.lang.StringBuilder
+        var headerEnd = -1L
+        var cur = pos
+        while (headerEnd < 0) {
+          require(cur - pos < MaxHeaderBytes, s"$path: unterminated EDF header at $pos")
+          require(cur + HeaderChunk <= len, s"$path: truncated EDF header at $pos")
+          val chunk = new Array[Byte](HeaderChunk)
+          in.readFully(cur, chunk)
+          sb.append(new String(chunk, "ISO-8859-1"))
+          cur += HeaderChunk
+          val t = sb.toString
+          val trimmed = t.reverse.dropWhile(c => c == ' ' || c == '\n' || c == '\r').reverse
+          if (trimmed.endsWith("}")) headerEnd = cur
+        }
+        val text = sb.toString
+        require(text.dropWhile(c => c == ' ' || c == '\n').startsWith("{"),
+          s"$path: EDF block at $pos does not start with '{'")
+        val kv = text.substring(text.indexOf('{') + 1, text.lastIndexOf('}'))
+          .split('\n').toSeq
+          .collect { case KeyVal(k, v) if v.nonEmpty => k -> v }
+          .toMap
+        def need(k: String): String = kv.getOrElse(k,
+          throw new IllegalArgumentException(s"$path: EDF header at $pos missing $k"))
+        val w = need("Dim_1").toInt
+        val h = need("Dim_2").toInt
+        val dt = need("DataType")
+        val size = kv.get("Size").map(_.toLong)
+          .getOrElse(w.toLong * h * bytesPerPixel(dt))
+        val little = kv.getOrElse("ByteOrder", "LowByteFirst") != "HighByteFirst"
+        require(w > 0 && h > 0 && size == w.toLong * h * bytesPerPixel(dt),
+          s"$path: inconsistent EDF block at $pos (${w}x$h $dt, Size $size)")
+        require(headerEnd + size <= len, s"$path: truncated EDF data at $headerEnd")
+        frames += EdfFrame(headerEnd, w, h, dt, little, size)
+        pos = headerEnd + size
+      }
+      frames.toSeq
+    } finally in.close()
+  }
+}
+
+final case class EdfInputPartition(path: String, frameStart: Long, nFrames: Long,
+                                   frames: Seq[EdfSchema.EdfFrame]) extends InputPartition
+
+class EdfTable(paths: Seq[String], maxPartBytes: Long) extends Table with SupportsRead {
+  override def name(): String = s"edf(${paths.mkString(",")})"
+  override def schema(): StructType = EdfSchema.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EdfScanBuilder(paths, maxPartBytes)
+}
+
+class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = EdfSchema.schema
+  private var frameEq: Option[Set[Long]] = None
+  private var frameLo: Long = Long.MinValue
+  private var frameHi: Long = Long.MaxValue
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asL(v: Any): Long = v match {
+      case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong
+      case other => other.toString.toLong
+    }
+    val (accepted, rest) = filters.partition {
+      case EqualTo("frame", _) | In("frame", _) => true
+      case GreaterThan("frame", _) | GreaterThanOrEqual("frame", _) => true
+      case LessThan("frame", _) | LessThanOrEqual("frame", _) => true
+      case _ => false
+    }
+    def narrow(s: Set[Long]): Unit =
+      frameEq = Some(frameEq.map(_.intersect(s)).getOrElse(s))
+    accepted.foreach {
+      case EqualTo("frame", v) => narrow(Set(asL(v)))
+      case In("frame", vs) => narrow(vs.map(asL).toSet)
+      case GreaterThan("frame", v) => frameLo = math.max(frameLo, asL(v) + 1)
+      case GreaterThanOrEqual("frame", v) => frameLo = math.max(frameLo, asL(v))
+      case LessThan("frame", v) => frameHi = math.min(frameHi, asL(v) - 1)
+      case LessThanOrEqual("frame", v) => frameHi = math.min(frameHi, asL(v))
+      case _ => ()
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val session = SparkSession.active
+      val conf = session.sessionState.newHadoopConf()
+      val files = SpecSchema.expand(paths, conf)
+        .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
+      // same driver-vs-job split as the SPE header pass
+      val indexes: Map[String, Seq[EdfSchema.EdfFrame]] =
+        if (files.size <= SpeSchema.ParallelHeaderThreshold)
+          files.map(m => m.path -> EdfSchema.indexFile(m.path, conf)).toMap
+        else {
+          val sconf = new SerializableHadoopConf(conf)
+          session.sparkContext
+            .parallelize(files.map(_.path), files.size)
+            .map(p => p -> EdfSchema.indexFile(p, sconf.value))
+            .collect().toMap
+        }
+      files.flatMap { meta =>
+        val all = indexes(meta.path)
+        val n = all.size.toLong
+        val wanted = all.zipWithIndex.filter { case (_, f) =>
+          f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f.toLong))
+        }
+        // contiguous runs capped by data bytes per partition
+        val parts = mutable.ArrayBuffer[EdfInputPartition]()
+        val run = mutable.ArrayBuffer[(EdfSchema.EdfFrame, Int)]()
+        var runBytes = 0L
+        def flush(): Unit = if (run.nonEmpty) {
+          parts += EdfInputPartition(meta.path, run.head._2.toLong, n, run.map(_._1).toSeq)
+          run.clear(); runBytes = 0L
+        }
+        wanted.foreach { case (fr, idx) =>
+          val contiguous = run.nonEmpty && run.last._2 + 1 == idx
+          if ((!contiguous && run.nonEmpty) || runBytes + fr.size > maxPartBytes) flush()
+          run += ((fr, idx)); runBytes += fr.size
+        }
+        flush()
+        parts
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new EdfReaderFactory(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
+  }
+}
+
+class EdfReaderFactory(conf: SerializableHadoopConf,
+                       columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new EdfPartitionReader(partition.asInstanceOf[EdfInputPartition], conf.value, columns)
+}
+
+/** Reads one partition's frames: seek to each block's data offset,
+  * one bounded read per frame. With `pixels` pruned the file is never
+  * opened — rows come from the planned descriptors alone.
+  */
+class EdfPartitionReader(part: EdfInputPartition, conf: Configuration,
+                         columns: Array[String]) extends PartitionReader[InternalRow] {
+  private val needPixels = columns.contains("pixels")
+  private val fileUtf8 = UTF8String.fromString(part.path)
+  private var i = -1
+  private val in = if (needPixels) {
+    val p = new Path(part.path)
+    p.getFileSystem(conf).open(p)
+  } else null
+  private var pixels: GenericArrayData = null
+
+  override def next(): Boolean = {
+    i += 1
+    val more = i < part.frames.size
+    if (more && needPixels) pixels = decode(part.frames(i))
+    more
+  }
+
+  private def decode(fr: EdfSchema.EdfFrame): GenericArrayData = {
+    val buf = new Array[Byte](fr.size.toInt)
+    in.readFully(fr.dataOffset, buf)
+    val bb = ByteBuffer.wrap(buf)
+      .order(if (fr.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val n = fr.width * fr.height
+    val out = new Array[Double](n)
+    fr.dataType match {
+      case "UnsignedByte" => var j = 0; while (j < n) { out(j) = (buf(j) & 0xFF).toDouble; j += 1 }
+      case "SignedByte" => var j = 0; while (j < n) { out(j) = buf(j).toDouble; j += 1 }
+      case "UnsignedShort" => val tb = bb.asShortBuffer; var j = 0; while (j < n) { out(j) = (tb.get(j) & 0xFFFF).toDouble; j += 1 }
+      case "SignedShort" => val tb = bb.asShortBuffer; var j = 0; while (j < n) { out(j) = tb.get(j).toDouble; j += 1 }
+      case "UnsignedInteger" | "UnsignedLong" => val tb = bb.asIntBuffer; var j = 0; while (j < n) { out(j) = (tb.get(j).toLong & 0xFFFFFFFFL).toDouble; j += 1 }
+      case "SignedInteger" | "SignedLong" => val tb = bb.asIntBuffer; var j = 0; while (j < n) { out(j) = tb.get(j).toDouble; j += 1 }
+      case "FloatValue" | "Float" => val tb = bb.asFloatBuffer; var j = 0; while (j < n) { out(j) = tb.get(j).toDouble; j += 1 }
+      case "DoubleValue" => val tb = bb.asDoubleBuffer; var j = 0; while (j < n) { out(j) = tb.get(j); j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def get(): InternalRow = {
+    val fr = part.frames(i)
+    val vals: Array[Any] = columns.map {
+      case "file" => fileUtf8
+      case "frame" => part.frameStart + i
+      case "width" => fr.width
+      case "height" => fr.height
+      case "n_frames" => part.nFrames
+      case "datatype" => UTF8String.fromString(fr.dataType)
+      case "byte_order" => UTF8String.fromString(
+        if (fr.littleEndian) "LowByteFirst" else "HighByteFirst")
+      case "pixels" => pixels
+    }
+    InternalRow.fromSeq(vals.toSeq)
+  }
+
+  override def close(): Unit = if (in != null) in.close()
+}

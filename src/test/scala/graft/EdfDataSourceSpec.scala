@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{EdfSchema, EdfWriterUtil}
+
+/** The EDF detector-file source: write real EDF bytes with the
+  * minimal writer, read them back through the DSv2 path, and check
+  * values, pruning and malformed-input behavior.
+  */
+class EdfDataSourceSpec extends SparkSpec {
+
+  private def tmpFile(name: String): java.io.File = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_edf_spec")
+    dir.mkdirs()
+    new java.io.File(dir, name)
+  }
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  test("round-trip every datatype in both byte orders") {
+    val w = 5; val h = 3
+    val frame = Array.tabulate(w * h)(i => (i * 7 % 120).toDouble)
+    for {
+      dt <- Seq("UnsignedByte", "SignedByte", "UnsignedShort", "SignedShort",
+        "UnsignedInteger", "SignedInteger", "FloatValue", "DoubleValue")
+      little <- Seq(true, false)
+    } {
+      val f = tmpFile(s"rt_${dt}_$little.edf")
+      EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, dt, little, Seq(frame))
+      val rows = spark.read.format("edf").load(f.getAbsolutePath).collect()
+      assert(rows.length === 1, s"$dt little=$little")
+      val r = rows(0)
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[String]("datatype") === dt)
+      assert(r.getAs[String]("byte_order") ===
+        (if (little) "LowByteFirst" else "HighByteFirst"))
+      assert(r.getAs[Seq[Double]]("pixels") === frame.toSeq, s"$dt little=$little")
+    }
+  }
+
+  test("multi-frame stack: ordinals, frame-filter pruning, metadata-only read") {
+    val w = 8; val h = 4
+    val frames = (0 until 6).map(fr => Array.tabulate(w * h)(i => (fr * 100 + i).toDouble))
+    val f = tmpFile("stack.edf")
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "SignedInteger", true, frames)
+    val df = spark.read.format("edf").load(f.getAbsolutePath)
+    assert(df.count() === 6)
+    // frame filter prunes partitions before data reads
+    val one = df.filter(col("frame") === 3).select("pixels").collect()
+    assert(one.length === 1 && one(0).getAs[Seq[Double]](0) === frames(3).toSeq)
+    val range = df.filter(col("frame") >= 4).count()
+    assert(range === 2)
+    // pixels pruned away -> pure header/metadata read
+    val meta = df.select("frame", "width", "n_frames").collect()
+    assert(meta.length === 6 && meta.forall(_.getAs[Long]("n_frames") === 6L))
+  }
+
+  test("partition cap splits a stack into bounded contiguous runs") {
+    val w = 16; val h = 16 // 1 KiB per SignedInteger frame
+    val frames = (0 until 10).map(fr => Array.tabulate(w * h)(i => (fr + i).toDouble))
+    val f = tmpFile("parts.edf")
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "SignedInteger", true, frames)
+    val df = spark.read.format("edf")
+      .option("maxPartitionBytes", (2 * w * h * 4).toString) // 2 frames per part
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions === 5)
+    assert(df.select(sum(col("pixels")(0))).collect()(0).getDouble(0) ===
+      frames.map(_(0)).sum)
+  }
+
+  test("multi-chunk (1024-byte) headers and unknown keys parse fine") {
+    // Hand-build a block whose header spans TWO 512-byte chunks.
+    val w = 3; val h = 2
+    val px = Array.tabulate(w * h)(_.toDouble)
+    val body = new StringBuilder
+    body.append("{\n")
+    body.append("HeaderID = EH:000001:000000:000000 ;\n")
+    body.append(s"Dim_1 = $w ;\nDim_2 = $h ;\nDataType = DoubleValue ;\n")
+    body.append(s"Size = ${w * h * 8} ;\nByteOrder = LowByteFirst ;\n")
+    body.append("Title = a long comment " + ("x" * 500) + " ;\n") // force 2 chunks
+    val tail = "}\n"
+    val pad = 512 - ((body.length + tail.length) % 512)
+    if (pad != 512) body.append(" " * pad)
+    body.append(tail)
+    assert(body.length % 512 === 0 && body.length === 1024)
+    val f = tmpFile("twochunk.edf")
+    val out = new java.io.FileOutputStream(f)
+    out.write(body.toString.getBytes("ISO-8859-1"))
+    val bb = java.nio.ByteBuffer.allocate(w * h * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    px.foreach(bb.putDouble)
+    out.write(bb.array()); out.close()
+    val rows = spark.read.format("edf").load(f.getAbsolutePath).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Seq[Double]]("pixels") === px.toSeq)
+  }
+
+  test("truncated data section fails with the path in the message") {
+    val f = tmpFile("trunc.edf")
+    EdfWriterUtil.write(f.getAbsolutePath, conf, 4, 4, "DoubleValue", true,
+      Seq(Array.fill(16)(1.0)))
+    // chop the last 8 bytes of pixel data
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.setLength(raf.length() - 8); raf.close()
+    val e = intercept[Exception] {
+      spark.read.format("edf").load(f.getAbsolutePath).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("index walk reads headers only (offsets are exact)") {
+    val w = 6; val h = 5
+    val frames = (0 until 3).map(fr => Array.tabulate(w * h)(i => (fr * 10 + i).toDouble))
+    val f = tmpFile("idx.edf")
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "UnsignedShort", true, frames)
+    val idx = EdfSchema.indexFile(f.getAbsolutePath, conf)
+    assert(idx.size === 3)
+    assert(idx(0).dataOffset === 512)
+    assert(idx(1).dataOffset === 512 + w * h * 2 + 512)
+    assert(idx.forall(fr => fr.width === w && fr.height === h))
+  }
+}
