@@ -92,54 +92,77 @@ object EdfSchema {
 
   /** Walk every block header of one file; data sections are seeked
     * over, never read. Returns the per-frame descriptors in file
-    * order.
+    * order. Strict: truncation throws with the path in the message.
     */
-  def indexFile(path: String, conf: Configuration): Seq[EdfFrame] = {
+  def indexFile(path: String, conf: Configuration): Seq[EdfFrame] =
+    walk(path, conf, startPos = 0L, lenient = false)._1
+
+  /** Incremental, LIVE-file-tolerant walk from `startPos`: a
+    * truncated header or data section (a block mid-write) STOPS the
+    * walk instead of throwing, and the returned end position lets the
+    * next trigger resume without re-reading old headers. Returns
+    * (complete frames found, resume position).
+    */
+  def walk(path: String, conf: Configuration, startPos: Long,
+           lenient: Boolean): (Seq[EdfFrame], Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     val in = fs.open(p)
     try {
       val frames = mutable.ArrayBuffer[EdfFrame]()
-      var pos = 0L
-      while (pos + HeaderChunk <= len) {
+      var pos = startPos
+      var stopped = false
+      while (!stopped && pos + HeaderChunk <= len) {
         // accumulate 512-byte chunks until one ends with '}' (+ \n)
         val sb = new java.lang.StringBuilder
         var headerEnd = -1L
         var cur = pos
-        while (headerEnd < 0) {
+        while (headerEnd < 0 && !stopped) {
           require(cur - pos < MaxHeaderBytes, s"$path: unterminated EDF header at $pos")
-          require(cur + HeaderChunk <= len, s"$path: truncated EDF header at $pos")
-          val chunk = new Array[Byte](HeaderChunk)
-          in.readFully(cur, chunk)
-          sb.append(new String(chunk, "ISO-8859-1"))
-          cur += HeaderChunk
-          val t = sb.toString
-          val trimmed = t.reverse.dropWhile(c => c == ' ' || c == '\n' || c == '\r').reverse
-          if (trimmed.endsWith("}")) headerEnd = cur
+          if (cur + HeaderChunk > len) {
+            // header mid-write: wait for the rest (lenient) or fail
+            require(lenient, s"$path: truncated EDF header at $pos")
+            stopped = true
+          } else {
+            val chunk = new Array[Byte](HeaderChunk)
+            in.readFully(cur, chunk)
+            sb.append(new String(chunk, "ISO-8859-1"))
+            cur += HeaderChunk
+            val t = sb.toString
+            val trimmed = t.reverse.dropWhile(c => c == ' ' || c == '\n' || c == '\r').reverse
+            if (trimmed.endsWith("}")) headerEnd = cur
+          }
         }
-        val text = sb.toString
-        require(text.dropWhile(c => c == ' ' || c == '\n').startsWith("{"),
-          s"$path: EDF block at $pos does not start with '{'")
-        val kv = text.substring(text.indexOf('{') + 1, text.lastIndexOf('}'))
-          .split('\n').toSeq
-          .collect { case KeyVal(k, v) if v.nonEmpty => k -> v }
-          .toMap
-        def need(k: String): String = kv.getOrElse(k,
-          throw new IllegalArgumentException(s"$path: EDF header at $pos missing $k"))
-        val w = need("Dim_1").toInt
-        val h = need("Dim_2").toInt
-        val dt = need("DataType")
-        val size = kv.get("Size").map(_.toLong)
-          .getOrElse(w.toLong * h * bytesPerPixel(dt))
-        val little = kv.getOrElse("ByteOrder", "LowByteFirst") != "HighByteFirst"
-        require(w > 0 && h > 0 && size == w.toLong * h * bytesPerPixel(dt),
-          s"$path: inconsistent EDF block at $pos (${w}x$h $dt, Size $size)")
-        require(headerEnd + size <= len, s"$path: truncated EDF data at $headerEnd")
-        frames += EdfFrame(headerEnd, w, h, dt, little, size)
-        pos = headerEnd + size
+        if (!stopped) {
+          val text = sb.toString
+          require(text.dropWhile(c => c == ' ' || c == '\n').startsWith("{"),
+            s"$path: EDF block at $pos does not start with '{'")
+          val kv = text.substring(text.indexOf('{') + 1, text.lastIndexOf('}'))
+            .split('\n').toSeq
+            .collect { case KeyVal(k, v) if v.nonEmpty => k -> v }
+            .toMap
+          def need(k: String): String = kv.getOrElse(k,
+            throw new IllegalArgumentException(s"$path: EDF header at $pos missing $k"))
+          val w = need("Dim_1").toInt
+          val h = need("Dim_2").toInt
+          val dt = need("DataType")
+          val size = kv.get("Size").map(_.toLong)
+            .getOrElse(w.toLong * h * bytesPerPixel(dt))
+          val little = kv.getOrElse("ByteOrder", "LowByteFirst") != "HighByteFirst"
+          require(w > 0 && h > 0 && size == w.toLong * h * bytesPerPixel(dt),
+            s"$path: inconsistent EDF block at $pos (${w}x$h $dt, Size $size)")
+          if (headerEnd + size > len) {
+            // data section mid-write: hold the frame back
+            require(lenient, s"$path: truncated EDF data at $headerEnd")
+            stopped = true
+          } else {
+            frames += EdfFrame(headerEnd, w, h, dt, little, size)
+            pos = headerEnd + size
+          }
+        }
       }
-      frames.toSeq
+      (frames.toSeq, pos)
     } finally in.close()
   }
 }
@@ -151,7 +174,7 @@ class EdfTable(paths: Seq[String], maxPartBytes: Long) extends Table with Suppor
   override def name(): String = s"edf(${paths.mkString(",")})"
   override def schema(): StructType = EdfSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdfScanBuilder(paths, maxPartBytes)
 }
@@ -241,7 +264,84 @@ class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long)
     override def createReaderFactory(): PartitionReaderFactory =
       new EdfReaderFactory(new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
+
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new EdfMicroBatchStream(paths,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+        required.fieldNames, maxPartBytes)
   }
+}
+
+/** Structured-Streaming source over LIVE EDF stacks — watch an
+  * acquisition appending image blocks. The per-file offset is the
+  * number of COMPLETE blocks on disk; a block whose header or data
+  * is still being written is below the floor and waits. Headers are
+  * walked INCREMENTALLY: each file caches (descriptors, resume byte
+  * position), so a trigger re-reads only bytes appended since the
+  * last one — never old headers, never any data. New files under the
+  * path are picked up automatically; partitions and readers are the
+  * batch ones. Append-only assumption (same as every file-tailing
+  * source here): a file that SHRINKS mid-stream invalidates its
+  * cached offsets — restart the query for a rewritten corpus.
+  */
+class EdfMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
+                          columns: Array[String], maxPartBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // path -> (complete-frame descriptors so far, resume byte position)
+  private val cache = mutable.Map[String, (Vector[EdfSchema.EdfFrame], Long)]()
+
+  private def refresh(path: String): Vector[EdfSchema.EdfFrame] = {
+    val (have, from) = cache.getOrElse(path, (Vector.empty[EdfSchema.EdfFrame], 0L))
+    val (fresh, end) = EdfSchema.walk(path, conf.value, from, lenient = true)
+    val all = have ++ fresh
+    cache(path) = (all, end)
+    all
+  }
+
+  override def initialOffset(): Offset = SpecStreamOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset = SpecStreamOffset.fromJson(json)
+
+  override def latestOffset(): Offset = {
+    val files = SpecSchema.expand(paths, conf.value)
+      .filter(_.len >= EdfSchema.HeaderChunk)
+    SpecStreamOffset(files.map(m => m.path -> refresh(m.path).size.toLong).toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SpecStreamOffset].files
+    val e = end.asInstanceOf[SpecStreamOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (path, to) =>
+      val from = s.getOrElse(path, 0L)
+      if (to <= from) Seq.empty
+      else {
+        val all = refresh(path)
+        val wanted = all.slice(from.toInt, to.toInt)
+        val parts = mutable.ArrayBuffer[EdfInputPartition]()
+        var runStart = from
+        val run = mutable.ArrayBuffer[EdfSchema.EdfFrame]()
+        var runBytes = 0L
+        def flush(): Unit = if (run.nonEmpty) {
+          parts += EdfInputPartition(path, runStart, to, run.toSeq)
+          runStart += run.size; run.clear(); runBytes = 0L
+        }
+        wanted.foreach { fr =>
+          if (runBytes + fr.size > maxPartBytes) flush()
+          run += fr; runBytes += fr.size
+        }
+        flush()
+        parts
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EdfReaderFactory(conf, columns)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class EdfReaderFactory(conf: SerializableHadoopConf,

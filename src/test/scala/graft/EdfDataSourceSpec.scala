@@ -108,6 +108,55 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("streaming source tails a growing EDF stack, block by block") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val dir = java.nio.file.Files.createTempDirectory("edfstream").toFile
+    val f = new java.io.File(dir, "live.edf")
+    val w = 2; val h = 2
+    def frame(k: Int) = Array.tabulate(w * h)(i => (10.0 * k + i))
+    def block(k: Int) = EdfWriterUtil.blockBytes(w, h, "UnsignedShort", true, frame(k), k)
+    // two complete blocks + a PARTIAL third (header only, data cut)
+    val partial = block(2).take(512 + 3)
+    java.nio.file.Files.write(f.toPath,
+      block(0) ++ block(1) ++ partial)
+    val q = spark.readStream.format("edf").load(f.getPath)
+      .select(col("frame"), element_at(col("pixels"), 1).as("p0"))
+      .writeStream.format("memory").queryName("edf_live")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("edf_live").collect()
+      assert(first.map(_.getLong(0)).toSet === Set(0L, 1L),
+        "partial third block must be held back")
+      // acquisition completes block 2 and appends a fourth
+      java.nio.file.Files.write(f.toPath,
+        block(0) ++ block(1) ++ block(2) ++ block(3))
+      q.processAllAvailable()
+      val now = spark.table("edf_live").collect()
+      assert(now.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+      assert(now.map(_.getDouble(1)).sorted.toSeq === Seq(0.0, 10.0, 20.0, 30.0))
+    } finally q.stop()
+  }
+
+  test("streaming equals batch on a complete stack") {
+    val w = 3; val h = 2
+    val frames = (0 until 5).map(k => Array.tabulate(w * h)(i => (k * 7 + i).toDouble))
+    val f = tmpFile("sb.edf")
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "SignedInteger", true, frames)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("frame")), r.getSeq[Double](r.fieldIndex("pixels")).toList)
+    val batch = spark.read.format("edf").load(f.getAbsolutePath)
+      .select("frame", "pixels").collect().map(key).toSet
+    val q = spark.readStream.format("edf").load(f.getAbsolutePath)
+      .select("frame", "pixels")
+      .writeStream.format("memory").queryName("edf_sb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("edf_sb").collect().map(key).toSet === batch)
+    } finally q.stop()
+  }
+
   test("index walk reads headers only (offsets are exact)") {
     val w = 6; val h = 5
     val frames = (0 until 3).map(fr => Array.tabulate(w * h)(i => (fr * 10 + i).toDouble))
