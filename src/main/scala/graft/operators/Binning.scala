@@ -63,6 +63,35 @@ object Binning {
       .select(col("bin"), col("n"), col("bin_lo"))
   }
 
+  /** Azimuthal (radial) integration of 2-D detector frames — the
+    * powder-diffraction reduction (pyFAI's integrate1d shape, here
+    * over the decoded SPE/EDF `pixels` rows): every pixel lands in
+    * the ring `rbin = floor(sqrt((row−cy)² + (col−cx)²))` around the
+    * beam center and each ring reports count / exact integer sum /
+    * mean. Input rows are (id, width, pixels array<double> row-major,
+    * integer-valued).
+    *
+    * Shape: posexplode the pixel array → one groupBy on (id, rbin) —
+    * the gridder pattern: map-side partial aggregation bounds the
+    * shuffle at rings×partitions rows no matter how many pixels.
+    * The radius is computed in exact integer arithmetic
+    * (dr² = (r−cy)² + (c−cx)²) and only the final sqrt is floating —
+    * floor(sqrt(exact integer)) is engine-stable for dr² < 2^52.
+    */
+  def radialProfile(frames: DataFrame, id: Column, width: Column,
+                    pixels: Column, cx: Int, cy: Int): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+    val dc = col("i") % col("w") - lit(cx)                              // col − cx
+    val dr = (col("i") - pmod(col("i"), col("w"))) / col("w") - lit(cy) // row − cy (exact)
+    val rbin = floor(sqrt((dc * dc + dr * dr).cast("double"))).cast("long")
+    px.groupBy(col("id"), rbin.as("rbin"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("v").cast("long")).as("v_sum"))
+      .select(col("id"), col("rbin"), col("n_px"), col("v_sum"),
+        Exact.roundedRatio(col("v_sum"), col("n_px"), 4).as("v_mean"))
+  }
+
   /** Regular 3-D gridder: cell = (floor(x/sx), floor(y/sy), floor(z/sz)),
     * per-cell count / exact sum / mean / standard error of
     * exact-decimal weight `w` — the full per-cell statistics of the

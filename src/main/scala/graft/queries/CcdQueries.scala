@@ -124,5 +124,28 @@ object CcdQueries {
       .orderedSmall(col("frame"))
   }
 
-  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames)
+  /** #100 — azimuthal integration: per-frame radial I(r) profiles
+    * around the beam center, off the decoded EDF stack (powder-
+    * diffraction reduction; gridder-pattern single aggregate).
+    */
+  val qRadialProfile = GateQuery.sql(
+    "q_radial_profile", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      s"""WITH px AS (SELECT f.f AS frame,
+         |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v,
+         |    CAST(floor(sqrt((c.c - $cx) * (c.c - $cx) + (r.r - $cy) * (r.r - $cy))) AS BIGINT) AS rbin
+         |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c))
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS v_sum,
+         |  ${graft.operators.Exact.roundedRatioSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS v_mean
+         |FROM px GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    graft.operators.Binning.radialProfile(
+        s.read.format("edf").load(edfFixture(s)),
+        col("frame"), col("width"), col("pixels"), cx = EW / 2, cy = EH / 2)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rbin"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile)
 }

@@ -248,4 +248,17 @@ class OperatorEdgeCasesSpec extends SparkSpec {
       .collect()
     assert(p20.head.getLong(p20.head.fieldIndex("wp")) == 2L)
   }
+
+  test("radialProfile: ring 0 is the center pixel, rings partition the frame") {
+    // 3x3 frame, center (1,1): ring 0 = center; ring 1 = the 8 others
+    // (corner distance sqrt(2) floors to 1).
+    val df = Seq((1L, 3, Seq(1.0, 2.0, 3.0, 4.0, 50.0, 6.0, 7.0, 8.0, 9.0)))
+      .toDF("id", "width", "pixels")
+    val out = Binning.radialProfile(df, col("id"), col("width"), col("pixels"),
+        cx = 1, cy = 1)
+      .orderBy("rbin").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 1L && out(0).getLong(3) == 50L)
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 8L && out(1).getLong(3) == 40L)
+  }
 }
