@@ -56,7 +56,8 @@ class EdfDataSource extends TableProvider
       .orElse(Option(properties.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("edf reader needs a path"))
     new EdfTable(paths, Option(properties.get("maxPartitionBytes"))
-      .map(_.toLong).getOrElse(SpeSchema.DefaultMaxPartitionBytes))
+      .map(_.toLong).getOrElse(SpeSchema.DefaultMaxPartitionBytes),
+      Option(properties.get("indexCache")).forall(_.toBoolean))
   }
 }
 
@@ -65,6 +66,7 @@ object EdfSchema {
   /** Headers larger than this are rejected as malformed (the spec
     * pads to 512-multiples; real headers are one or two chunks). */
   val MaxHeaderBytes = 64 * 1024
+  val SidecarSuffix = ".edfidx"
 
   val schema: StructType = StructType(Seq(
     StructField("file", StringType),
@@ -96,6 +98,62 @@ object EdfSchema {
     */
   def indexFile(path: String, conf: Configuration): Seq[EdfFrame] =
     walk(path, conf, startPos = 0L, lenient = false)._1
+
+  /** Header walk with a `<file>.edfidx` sidecar cache — the same
+    * validated-cache discipline as the spec source's `.specidx`
+    * (length + mtime + first/last-4KiB CRC; any mismatch reindexes
+    * and atomically rewrites the sidecar, which IS the eviction).
+    * Big multi-block stacks re-read in repeated queries skip the
+    * whole header walk.
+    */
+  def indexWithCache(meta: SpecFileMeta, conf: Configuration,
+                     cache: Boolean): Seq[EdfFrame] = {
+    if (!cache) return indexFile(meta.path, conf)
+    readSidecar(meta, conf).getOrElse {
+      val idx = indexFile(meta.path, conf)
+      scala.util.Try(writeSidecar(meta, idx, conf)) // read-only dirs are fine
+      idx
+    }
+  }
+
+  private def sidecarPath(meta: SpecFileMeta) = new Path(meta.path + SidecarSuffix)
+
+  /** Wire format (tab-separated):
+    *   edfidx\tv1\t<len>\t<mtime>\t<crc of first+last 4KiB>
+    *   F\t<dataOffset>\t<width>\t<height>\t<dataType>\t<littleEndian>\t<size>
+    */
+  def readSidecar(meta: SpecFileMeta, conf: Configuration): Option[Seq[EdfFrame]] =
+    scala.util.Try {
+      val p = sidecarPath(meta)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.linesIterator.toArray
+      val head = lines.head.split('\t')
+      if (head.length != 5 || head(0) != "edfidx" || head(1) != "v1" ||
+          head(2).toLong != meta.len || head(3).toLong != meta.mtime ||
+          head(4).toLong != SpecIndex.fingerprint(meta, conf)) return None
+      Some(lines.collect { case l if l.startsWith("F\t") =>
+        val t = l.split('\t')
+        EdfFrame(t(1).toLong, t(2).toInt, t(3).toInt, t(4), t(5).toBoolean, t(6).toLong)
+      }.toSeq)
+    }.toOption.flatten
+
+  def writeSidecar(meta: SpecFileMeta, idx: Seq[EdfFrame], conf: Configuration): Unit = {
+    val p = sidecarPath(meta)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"edfidx\tv1\t${meta.len}\t${meta.mtime}\t${SpecIndex.fingerprint(meta, conf)}\n")
+      idx.foreach { f =>
+        sb.append(s"F\t${f.dataOffset}\t${f.width}\t${f.height}\t${f.dataType}\t${f.littleEndian}\t${f.size}\n")
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
 
   /** Incremental, LIVE-file-tolerant walk from `startPos`: a
     * truncated header or data section (a block mid-write) STOPS the
@@ -170,16 +228,18 @@ object EdfSchema {
 final case class EdfInputPartition(path: String, frameStart: Long, nFrames: Long,
                                    frames: Seq[EdfSchema.EdfFrame]) extends InputPartition
 
-class EdfTable(paths: Seq[String], maxPartBytes: Long) extends Table with SupportsRead {
+class EdfTable(paths: Seq[String], maxPartBytes: Long,
+               indexCache: Boolean = true) extends Table with SupportsRead {
   override def name(): String = s"edf(${paths.mkString(",")})"
   override def schema(): StructType = EdfSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EdfScanBuilder(paths, maxPartBytes)
+    new EdfScanBuilder(paths, maxPartBytes, indexCache)
 }
 
-class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long)
+class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long,
+                     indexCache: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -225,16 +285,18 @@ class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long)
       val session = SparkSession.active
       val conf = session.sessionState.newHadoopConf()
       val files = SpecSchema.expand(paths, conf)
-        .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
+        .filterNot(m => m.path.endsWith(SpecIndex.SidecarSuffix) ||
+          m.path.endsWith(EdfSchema.SidecarSuffix))
       // same driver-vs-job split as the SPE header pass
+      val useCache = indexCache
       val indexes: Map[String, Seq[EdfSchema.EdfFrame]] =
         if (files.size <= SpeSchema.ParallelHeaderThreshold)
-          files.map(m => m.path -> EdfSchema.indexFile(m.path, conf)).toMap
+          files.map(m => m.path -> EdfSchema.indexWithCache(m, conf, useCache)).toMap
         else {
           val sconf = new SerializableHadoopConf(conf)
           session.sparkContext
-            .parallelize(files.map(_.path), files.size)
-            .map(p => p -> EdfSchema.indexFile(p, sconf.value))
+            .parallelize(files, files.size)
+            .map(m => m.path -> EdfSchema.indexWithCache(m, sconf.value, useCache))
             .collect().toMap
         }
       files.flatMap { meta =>

@@ -311,7 +311,8 @@ object SpecSchema {
       // (this also hides index sidecars and in-flight .specpart temps)
       .filterNot { st =>
         val n = st.getPath.getName
-        n.startsWith(".") || n.startsWith("_") || n.endsWith(SpecIndex.SidecarSuffix)
+        n.startsWith(".") || n.startsWith("_") ||
+          n.endsWith(SpecIndex.SidecarSuffix) || n.endsWith(EdfSchema.SidecarSuffix)
       }
       .map(st => SpecFileMeta(st.getPath.toString, st.getLen, st.getModificationTime))
   }.sortBy(_.path)

@@ -157,6 +157,39 @@ class EdfDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("edfidx sidecar caches the header walk and self-evicts on change") {
+    val w = 4; val h = 3
+    val f = tmpFile("side.edf")
+    def frames(n: Int) = (0 until n).map(k => Array.tabulate(w * h)(i => (k * 10 + i).toDouble))
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "UnsignedShort", true, frames(2))
+    assert(spark.read.format("edf").load(f.getAbsolutePath).count() === 2)
+    val side = new java.io.File(f.getAbsolutePath + ".edfidx")
+    assert(side.exists(), "sidecar written on first read")
+    val v1 = new String(java.nio.file.Files.readAllBytes(side.toPath))
+    assert(v1.startsWith("edfidx\tv1\t") && v1.linesIterator.count(_.startsWith("F\t")) === 2)
+    // second read validates and reuses it (content unchanged)
+    assert(spark.read.format("edf").load(f.getAbsolutePath).count() === 2)
+    // grow the file: length changes -> sidecar invalid -> reindex + rewrite
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "UnsignedShort", true, frames(3))
+    assert(spark.read.format("edf").load(f.getAbsolutePath).count() === 3)
+    val v2 = new String(java.nio.file.Files.readAllBytes(side.toPath))
+    assert(v2.linesIterator.count(_.startsWith("F\t")) === 3, "sidecar rewritten")
+    // a corrupt sidecar is ignored, not fatal
+    java.nio.file.Files.write(side.toPath, "garbage".getBytes)
+    assert(spark.read.format("edf").load(f.getAbsolutePath).count() === 3)
+    // sidecars in a directory listing are not mistaken for data files
+    val dir = f.getParentFile
+    val all = spark.read.format("edf")
+      .load(dir.listFiles().filter(_.getName == "side.edf").head.getAbsolutePath)
+    assert(all.count() === 3)
+    // indexCache=false never writes one
+    val f2 = tmpFile("noside.edf")
+    EdfWriterUtil.write(f2.getAbsolutePath, conf, w, h, "UnsignedShort", true, frames(1))
+    spark.read.format("edf").option("indexCache", "false")
+      .load(f2.getAbsolutePath).count()
+    assert(!new java.io.File(f2.getAbsolutePath + ".edfidx").exists())
+  }
+
   test("index walk reads headers only (offsets are exact)") {
     val w = 6; val h = 5
     val frames = (0 until 3).map(fr => Array.tabulate(w * h)(i => (fr * 10 + i).toDouble))
