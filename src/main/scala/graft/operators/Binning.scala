@@ -89,7 +89,8 @@ object Binning {
       .agg(count(lit(1)).as("n_px"),
         sum(col("v").cast("long")).as("v_sum"))
       .select(col("id"), col("rbin"), col("n_px"), col("v_sum"),
-        Exact.roundedRatio(col("v_sum"), col("n_px"), 4).as("v_mean"))
+        // signed: dark-corrected frames legitimately sum negative
+        Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
   }
 
   /** Regular 3-D gridder: cell = (floor(x/sx), floor(y/sy), floor(z/sz)),

@@ -147,5 +147,36 @@ object CcdQueries {
       .orderedSmall(col("frame"), col("rbin"))
   }
 
-  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile)
+  /** #100b — the composed detector pipeline: EDF stack → dark-frame
+    * (frame 0) subtraction → radial I(r) profile of every corrected
+    * frame, hash-gated end-to-end. The dark attaches as a single-row
+    * broadcast (scale-safe at any stack size, same as
+    * `q_dark_subtract`); corrected sums are signed.
+    */
+  val qEdfDarkRadial = GateQuery.sql(
+    "q_edf_dark_radial", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      s"""WITH px AS (SELECT f.f AS frame,
+         |    ((3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251)
+         |      - ((3 + 17 * r.r + 5 * c.c) % 251) AS v,
+         |    CAST(floor(sqrt((c.c - $cx) * (c.c - $cx) + (r.r - $cy) * (r.r - $cy))) AS BIGINT) AS rbin
+         |  FROM range(1, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c))
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS v_sum,
+         |  ${graft.operators.Exact.roundedRatioSignedSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS v_mean
+         |FROM px GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    val frames = s.read.format("edf").load(edfFixture(s))
+    val dark = frames.filter(col("frame") === 0).select(col("pixels").as("dark"))
+    val corrected = frames.filter(col("frame") >= 1)
+      .crossJoin(broadcast(dark))
+      .select(col("frame"), col("width"),
+        zip_with(col("pixels"), col("dark"), (a, b) => a - b).as("pixels"))
+    graft.operators.Binning.radialProfile(corrected,
+        col("frame"), col("width"), col("pixels"), cx = EW / 2, cy = EH / 2)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rbin"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial)
 }
