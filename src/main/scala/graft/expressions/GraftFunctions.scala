@@ -68,6 +68,14 @@ object GraftFunctions {
       LshBucketsExpr(args.head, intArg(args(1), "graft_lsh_buckets", "tables"),
         intArg(args(2), "graft_lsh_buckets", "planes"),
         intArg(args(3), "graft_lsh_buckets", "dims"))
+    },
+    fn("graft_bigram_buckets", "graft_bigram_buckets(text, buckets) - hashed-bigram DSIR feature buckets (portable base_hash)") { args =>
+      arity("graft_bigram_buckets", args, 2)
+      BigramBucketsExpr(args.head, intArg(args(1), "graft_bigram_buckets", "buckets"))
+    },
+    fn("graft_window_keys", "graft_window_keys(text, l) - rolling L-token window keys for exact substring dedup") { args =>
+      arity("graft_window_keys", args, 2)
+      WindowKeysExpr(args.head, intArg(args(1), "graft_window_keys", "l"))
     })
 
   /** Register every graft_* function on a live session. */

@@ -54,6 +54,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(b == want && b.length == 2)
   }
 
+  test("graft_bigram_buckets / graft_window_keys match the Column API") {
+    Seq(("the quick brown fox jumps over", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("t_fn4")
+    val bb = spark.sql("SELECT graft_bigram_buckets(text, 64) AS b FROM t_fn4")
+      .collect().head.getSeq[Long](0)
+    val bbWant = spark.table("t_fn4")
+      .select(graft.operators.Curation.bigramBuckets(col("text"), 64))
+      .collect().head.getSeq[Long](0)
+    assert(bb == bbWant && bb.length == 5)
+    val wk = spark.sql("SELECT graft_window_keys(text, 3) AS k FROM t_fn4")
+      .collect().head.getSeq[Long](0)
+    val wkWant = spark.table("t_fn4")
+      .select(graft.operators.Curation.windowKeysOfWords(split(col("text"), " "), 3))
+      .collect().head.getSeq[Long](0)
+    assert(wk == wkWant && wk.length == 4)
+  }
+
   test("non-literal integer params are rejected with a clear error") {
     Seq(("x y z", 3)).toDF("text", "k").createOrReplaceTempView("t_fn3")
     val e = intercept[Exception] {
