@@ -264,7 +264,88 @@ object CurationQueries {
     } finally feat.unpersist()
   }
 
+  /** Keep a doc when at least half its tokens survive substring
+    * dedup, in exact integer arithmetic. */
+  private val SubstrKeepPct = 50
+
+  /** LM-quality ceiling: average NLL ≤ 3.404 nats under the
+    * `en`-slice unigram LM (micro-nat integer compare — no float
+    * thresholds). The driver corpus's NLLs sit in a tight 3.36–3.99
+    * band, so this cuts roughly the worse-scoring half — the stage
+    * must actually FILTER for the gate to prove anything.
+    */
+  private val MaxAvgNllMicro = 3404000L
+
+  /** #101 — the composed published-playbook funnel, v2: exact dedup
+    * (first doc per content hash) → substring-dedup survival (≥50%
+    * of tokens kept) → reference-LM quality ceiling, reported as
+    * staged per-source counts. One gate proves the three signals
+    * compose identically cross-engine.
+    */
+  val qCurationPipeline = GateQuery.sql(
+    "q_curation_pipeline",
+    s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ex AS (SELECT doc_id,
+       |         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+       |       FROM documents),
+       |wins AS (SELECT doc_id,
+       |    unnest(range(1, len(w) - ${SubL - 2})) AS pos,
+       |    unnest([${graft.operators.TextOps.shingleKeySql(s"array_to_string(w[i:i+${SubL - 1}], ' ')")}
+       |            for i in range(1, len(w) - ${SubL - 2})]) AS h
+       |  FROM tw WHERE len(w) >= $SubL),
+       |fst AS (SELECT h, min(doc_id * ${Curation.PosBase} + pos) AS fp FROM wins GROUP BY h),
+       |del AS (SELECT DISTINCT doc_id, idx FROM (
+       |    SELECT w2.doc_id AS doc_id, unnest(range(w2.pos, w2.pos + $SubL)) AS idx
+       |    FROM wins w2 JOIN fst USING (h)
+       |    WHERE w2.doc_id * ${Curation.PosBase} + w2.pos <> fst.fp)),
+       |sub AS (SELECT tw.doc_id AS doc_id,
+       |         (len(w) - coalesce(dd.n_del, 0)) * 100 >= len(w) * $SubstrKeepPct AS keep_substr
+       |       FROM tw LEFT JOIN (SELECT doc_id, count(*) AS n_del FROM del GROUP BY doc_id) dd
+       |         USING (doc_id)),
+       |toks AS (SELECT doc_id, lang, unnest(w) AS word FROM
+       |         (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+       |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
+       |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+       |lp AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS q FROM ref, st),
+       |oov AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oovq FROM st),
+       |lm AS (SELECT t.doc_id AS doc_id,
+       |         CAST(-sum(coalesce(lp.q, oov.oovq)) AS BIGINT) <= count(*) * $MaxAvgNllMicro AS lm_ok
+       |       FROM toks t LEFT JOIN lp USING (word), oov GROUP BY t.doc_id)
+       |SELECT d.source AS source, count(*) AS n_total,
+       |  CAST(count(*) FILTER (WHERE keep_exact) AS BIGINT) AS n_exact,
+       |  CAST(count(*) FILTER (WHERE keep_exact AND keep_substr) AS BIGINT) AS n_substr,
+       |  CAST(count(*) FILTER (WHERE keep_exact AND keep_substr AND lm_ok) AS BIGINT) AS n_final
+       |FROM documents d JOIN ex USING (doc_id) JOIN sub USING (doc_id) JOIN lm USING (doc_id)
+       |GROUP BY d.source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val ex = docs.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .as("keep_exact"))
+    val sub = Curation.substrDedup(docs, SubL)
+      .select(col("doc_id"),
+        (col("n_kept") * 100 >= col("n_tokens") * SubstrKeepPct).as("keep_substr"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val refToks = toks.filter(col("lang") === "en")
+    val lp = Curation.unigramLogProbs(refToks)
+    val lm = Curation.withStats(toks, Curation.oovLogProb(refToks))
+      .join(broadcast(lp), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(((-sum(coalesce(col("q"), col("oovq")))).cast("long")
+        <= count(lit(1)) * lit(MaxAvgNllMicro)).as("lm_ok"))
+    docs.select(col("doc_id"), col("source"))
+      .join(ex, "doc_id").join(sub, "doc_id").join(lm, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep_exact"), lit(1))).as("n_exact"),
+        count(when(col("keep_exact") && col("keep_substr"), lit(1))).as("n_substr"),
+        count(when(col("keep_exact") && col("keep_substr") && col("lm_ok"), lit(1)))
+          .as("n_final"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
-      qLmBigram, qDsirSelect, qQualityClassifier)
+      qLmBigram, qDsirSelect, qQualityClassifier, qCurationPipeline)
 }
