@@ -352,15 +352,24 @@ class EdfMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  // path -> (complete-frame descriptors so far, resume byte position)
-  private val cache = mutable.Map[String, (Vector[EdfSchema.EdfFrame], Long)]()
+  // path -> (complete-frame descriptors so far, resume byte position,
+  //          file length at last walk). A trigger where the length is
+  //          unchanged skips the walk entirely — no file open, no
+  //          reads — so an idle stream costs one listStatus per
+  //          trigger, nothing per file.
+  private val cache =
+    mutable.Map[String, (Vector[EdfSchema.EdfFrame], Long, Long)]()
 
-  private def refresh(path: String): Vector[EdfSchema.EdfFrame] = {
-    val (have, from) = cache.getOrElse(path, (Vector.empty[EdfSchema.EdfFrame], 0L))
-    val (fresh, end) = EdfSchema.walk(path, conf.value, from, lenient = true)
-    val all = have ++ fresh
-    cache(path) = (all, end)
-    all
+  private def refresh(path: String, len: Long): Vector[EdfSchema.EdfFrame] = {
+    val (have, from, lastLen) =
+      cache.getOrElse(path, (Vector.empty[EdfSchema.EdfFrame], 0L, -1L))
+    if (len == lastLen) have
+    else {
+      val (fresh, end) = EdfSchema.walk(path, conf.value, from, lenient = true)
+      val all = have ++ fresh
+      cache(path) = (all, end, len)
+      all
+    }
   }
 
   override def initialOffset(): Offset = SpecStreamOffset(Map.empty)
@@ -369,7 +378,7 @@ class EdfMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
   override def latestOffset(): Offset = {
     val files = SpecSchema.expand(paths, conf.value)
       .filter(_.len >= EdfSchema.HeaderChunk)
-    SpecStreamOffset(files.map(m => m.path -> refresh(m.path).size.toLong).toMap)
+    SpecStreamOffset(files.map(m => m.path -> refresh(m.path, m.len).size.toLong).toMap)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -379,7 +388,15 @@ class EdfMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
       val from = s.getOrElse(path, 0L)
       if (to <= from) Seq.empty
       else {
-        val all = refresh(path)
+        // normally latestOffset just refreshed; after a checkpoint
+        // restart the cache is cold and the walk reruns here
+        val cached = cache.get(path).map(_._1).getOrElse(Vector.empty)
+        val all =
+          if (cached.size >= to) cached
+          else {
+            val p = new Path(path)
+            refresh(path, p.getFileSystem(conf.value).getFileStatus(p).getLen)
+          }
         val wanted = all.slice(from.toInt, to.toInt)
         val parts = mutable.ArrayBuffer[EdfInputPartition]()
         var runStart = from
