@@ -151,22 +151,44 @@ object Curation {
     * boilerplate-heavy corpora stay safe; a left-anti join prunes the
     * token relation; final per-doc reassembly groupBy.
     */
-  def substrDedup(docs: DataFrame, l: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+  /** The delete-set of [[substrDedup]]: (doc_id, idx) token positions
+    * covered by a NON-first occurrence of some L-window. NOT
+    * deduplicated — left_anti consumers don't care, and the
+    * counts-only path distincts exactly once where it must.
+    */
+  private def substrDeleteSet(docs: DataFrame, l: Int): DataFrame = {
     val wins = docs
       .select(col("doc_id"),
         posexplode(graft.expressions.TextExpressions.windowKeys(col("text"), l)).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
     val occ = col("doc_id") * lit(PosBase) + col("pos")
     // First occurrence via a partition window (one shuffle, no
-    // self-join); no distinct before the anti-join — left_anti is
-    // insensitive to duplicate build rows, so deduplicating the
-    // delete-set would only buy an extra shuffle.
-    val del = wins
+    // self-join).
+    wins
       .withColumn("fp",
         min(occ).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(occ =!= col("fp"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
+  }
+
+  /** Counts-only [[substrDedup]] — (doc_id, n_tokens, n_kept) without
+    * re-assembling any text: the delete-set distincts and counts per
+    * doc instead of anti-joining the token relation and rebuilding
+    * strings. The funnel / keep-decision path, where the corrected
+    * text itself is never needed.
+    */
+  def substrDedupStats(docs: DataFrame, l: Int): DataFrame = {
+    val delCnt = substrDeleteSet(docs, l).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_del"))
+    docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(delCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_del"), lit(0L))).as("n_kept"))
+  }
+
+  def substrDedup(docs: DataFrame, l: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val del = substrDeleteSet(docs, l)
     val tokRel = toks
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
       .select(col("doc_id"), (col("p") + 1).as("idx"), col("word"))

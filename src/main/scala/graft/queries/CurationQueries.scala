@@ -322,7 +322,7 @@ object CurationQueries {
     val ex = docs.select(col("doc_id"),
       (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         .as("keep_exact"))
-    val sub = Curation.substrDedup(docs, SubL)
+    val sub = Curation.substrDedupStats(docs, SubL)
       .select(col("doc_id"),
         (col("n_kept") * 100 >= col("n_tokens") * SubstrKeepPct).as("keep_substr"))
     val toks = docs.select(col("doc_id"), col("lang"),

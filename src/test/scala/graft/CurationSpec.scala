@@ -70,6 +70,18 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getString(3) === expect)
   }
 
+  test("substrDedupStats agrees with the full dedup's counts") {
+    val d = docs(
+      (1L, "p q r s t u v w", "en", "s"),
+      (2L, "x1 x2 p q r s t u y1 y2", "en", "s"),
+      (3L, "p q r s t u v w", "en", "s"))
+    val full = Curation.substrDedup(d, 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stats = Curation.substrDedupStats(d, 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats === full)
+  }
+
   test("substrDedup: corpus with no repeats is unchanged") {
     val d = docs(
       (1L, "a1 a2 a3 a4 a5 a6 a7", "en", "s"),
