@@ -252,6 +252,22 @@ object Curation {
       .select(microLn(lit(scale) * lit(1.0) / (col("n") + col("v"))).as("oovq"))
   }
 
+  /** Trigram rung of the stupid-backoff chain: q = microLn(
+    * c(w1,w2,w3) / c(w1,w2,·)) for every trigram observed in the
+    * reference slice (predecessor-pair normalized). Unseen trigrams
+    * back off to 0.4·bigram, then 0.4²·unigram/OOV — each rung's
+    * scale folds into ITS quantized table so no post-hoc addition of
+    * quantized values is needed. `refTrigrams`: one row per instance,
+    * columns w1, w2, w3.
+    */
+  def trigramLogProbs(refTrigrams: DataFrame): DataFrame = {
+    val c3 = refTrigrams.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).cast("long").as("c12"))
+    c3.join(c12, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), microLn(col("c3") / col("c12")).as("qt"))
+  }
+
   /** Stupid-backoff bigram model (Brants et al. 2007, "Large Language
     * Models in Machine Translation"): for every bigram observed in the
     * reference slice, q = microLn(c(w1,w2) / c(w1·)) where c(w1·) is
@@ -263,11 +279,12 @@ object Curation {
     *
     * `refBigrams` is one row per bigram INSTANCE with columns w1, w2.
     */
-  def bigramLogProbs(refBigrams: DataFrame): DataFrame = {
+  def bigramLogProbs(refBigrams: DataFrame, scale: Double = 1.0): DataFrame = {
     val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).cast("long").as("cw1"))
     cb.join(cw, "w1")
-      .select(col("w1"), col("w2"), microLn(col("cb") / col("cw1")).as("qb"))
+      .select(col("w1"), col("w2"),
+        microLn(lit(scale) * col("cb") / col("cw1")).as("qb"))
   }
 
   /** Attach a SINGLE-ROW stats relation to every row of `df` via a

@@ -159,6 +159,81 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #102 — trigram stupid-backoff LM: tokens 3..n scored by
+    * P(w₃ | w₁w₂) from the `en` slice, backing off to 0.4·bigram,
+    * then 0.4²·unigram/OOV; each rung's scale folds into its own
+    * quantized model table.
+    */
+  val qLmTrigram = GateQuery.sql(
+    "q_lm_trigram",
+    s"""WITH tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |tri AS (SELECT doc_id, lang,
+       |         unnest([w[i] for i in range(1, len(w) - 1)]) AS w1,
+       |         unnest([w[i+1] for i in range(1, len(w) - 1)]) AS w2,
+       |         unnest([w[i+2] for i in range(1, len(w) - 1)]) AS w3
+       |       FROM tw WHERE len(w) >= 3),
+       |bi AS (SELECT lang,
+       |         unnest([w[i] for i in range(1, len(w))]) AS w1,
+       |         unnest([w[i+1] for i in range(1, len(w))]) AS w2
+       |       FROM tw WHERE len(w) >= 2),
+       |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE lang = 'en' GROUP BY w1, w2, w3),
+       |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12 FROM c3 GROUP BY w1, w2),
+       |qt AS (SELECT w1, w2, w3, ${Curation.microLnSql("c3 / c12")} AS qt
+       |       FROM c3 JOIN c12 USING (w1, w2)),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY w1, w2),
+       |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY w1),
+       |qb AS (SELECT w1, w2, ${Curation.microLnSql("0.4 * cb / cw1")} AS qb
+       |       FROM cb JOIN cw USING (w1)),
+       |toks AS (SELECT lang, unnest(w) AS word FROM tw),
+       |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
+       |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+       |qu AS (SELECT word, ${Curation.microLnSql("0.16000000000000003 * (c + 1.0) / (n + v)")} AS qu
+       |       FROM ref, st),
+       |oov AS (SELECT ${Curation.microLnSql("0.16000000000000003 * 1.0 / (n + v)")} AS oovq FROM st),
+       |sc AS (SELECT tri.doc_id AS doc_id, count(*) AS n_scored,
+       |         CAST(-sum(coalesce(qt.qt, qb.qb, qu.qu, oov.oovq)) AS BIGINT) AS nll_micro
+       |       FROM tri LEFT JOIN qt ON tri.w1 = qt.w1 AND tri.w2 = qt.w2 AND tri.w3 = qt.w3
+       |               LEFT JOIN qb ON tri.w2 = qb.w1 AND tri.w3 = qb.w2
+       |               LEFT JOIN qu ON tri.w3 = qu.word, oov
+       |       GROUP BY tri.doc_id)
+       |SELECT doc_id, n_scored, nll_micro,
+       |  ${roundedRatioSql("nll_micro", "n_scored * 1000000", 4)} AS avg_nll
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tw = docs.select(col("doc_id"), col("lang"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    val tri = tw.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 2)).as(Seq("p", "w1")))
+      .select(col("doc_id"), col("lang"), col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2"),
+        element_at(col("w"), col("p") + 3).as("w3"))
+    val bi = tw.filter(size(col("w")) >= 2)
+      .select(col("lang"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
+      .select(col("lang"), col("w1"), element_at(col("w"), col("p") + 2).as("w2"))
+    val qt = Curation.trigramLogProbs(
+      tri.filter(col("lang") === "en").select(col("w1"), col("w2"), col("w3")))
+    val qb = Curation.bigramLogProbs(
+      bi.filter(col("lang") === "en").select(col("w1"), col("w2")), scale = 0.4)
+    val refToks = tw.filter(col("lang") === "en").select(explode(col("w")).as("word"))
+    val qu = Curation.unigramLogProbs(refToks, scale = 0.4 * 0.4)
+    val scored = Curation.withStats(tri, Curation.oovLogProb(refToks, scale = 0.4 * 0.4))
+      .join(broadcast(qt), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(qb.withColumnRenamed("w1", "w2b").withColumnRenamed("w2", "w3b")),
+        col("w2") === col("w2b") && col("w3") === col("w3b"), "left")
+      .join(broadcast(qu.withColumnRenamed("word", "w3u").withColumnRenamed("q", "qu")),
+        col("w3") === col("w3u"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        (-sum(coalesce(col("qt"), col("qb"), col("qu"), col("oovq"))))
+          .cast("long").as("nll_micro"))
+    scored
+      .select(col("doc_id"), col("n_scored"), col("nll_micro"),
+        Exact.roundedRatio(col("nll_micro"), col("n_scored") * lit(1000000L), 4).as("avg_nll"))
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #85 — DSIR importance weights: per-doc sum of hashed-bigram
     * log-ratios between the `lang = 'en'` target distribution and the
     * raw corpus distribution (micro-nats; positive = target-like).
@@ -347,5 +422,5 @@ object CurationQueries {
 
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
-      qLmBigram, qDsirSelect, qQualityClassifier, qCurationPipeline)
+      qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline)
 }

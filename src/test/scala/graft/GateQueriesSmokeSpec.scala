@@ -14,7 +14,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     * build side is scale-safe at any corpus size. */
   private val NestedLoopAllowed =
     Set("q_knn_bruteforce", "q_dark_subtract", "q_histogram",
-      "q_lm_perplexity", "q_lm_bigram", "q_dsir_weights", "q_dsir_select",
+      "q_lm_perplexity", "q_lm_bigram", "q_lm_trigram", "q_dsir_weights",
+      "q_dsir_select",
       "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
