@@ -93,6 +93,20 @@ object Binning {
         Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
   }
 
+  /** Momentum-transfer value of a radial ring: q = (4π/λ)·sin(θ/2)
+    * with θ = atan(r·pixelSize / distance) — the standard flat-
+    * detector powder mapping that turns [[radialProfile]]'s pixel
+    * rings into a physical I(q) pattern. Units: pixelSize and
+    * distance in the same length unit; wavelength in Å → q in Å⁻¹.
+    * Pure per-ring scalar math (a few hundred distinct rings), so it
+    * rides the profile's result without touching the pixel pass.
+    */
+  def qOfRing(rbin: Column, pixelSize: Double, distance: Double,
+              wavelengthA: Double): Column = {
+    val theta = atan(rbin.cast("double") * lit(pixelSize) / lit(distance))
+    round(lit(4.0 * math.Pi / wavelengthA) * sin(theta / 2.0), 6)
+  }
+
   /** Regular 3-D gridder: cell = (floor(x/sx), floor(y/sy), floor(z/sz)),
     * per-cell count / exact sum / mean / standard error of
     * exact-decimal weight `w` — the full per-cell statistics of the

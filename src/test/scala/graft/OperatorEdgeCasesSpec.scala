@@ -249,6 +249,18 @@ class OperatorEdgeCasesSpec extends SparkSpec {
     assert(p20.head.getLong(p20.head.fieldIndex("wp")) == 2L)
   }
 
+  test("qOfRing: zero at the beam center, monotone, matches the closed form") {
+    val rings = spark.range(0, 200).select(col("id").as("rbin"))
+      .withColumn("q", Binning.qOfRing(col("rbin"),
+        pixelSize = 0.172, distance = 300.0, wavelengthA = 1.54))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rings(0L) === 0.0)
+    assert((1L until 200L).forall(i => rings(i) > rings(i - 1)), "monotone in r")
+    val want = 4.0 * math.Pi / 1.54 *
+      math.sin(math.atan(100.0 * 0.172 / 300.0) / 2.0)
+    assert(math.abs(rings(100L) - want) < 1e-6)
+  }
+
   test("radialProfile: ring 0 is the center pixel, rings partition the frame") {
     // 3x3 frame, center (1,1): ring 0 = center; ring 1 = the 8 others
     // (corner distance sqrt(2) floors to 1).
