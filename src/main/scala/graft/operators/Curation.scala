@@ -370,6 +370,42 @@ object Curation {
     s"($wSql + CAST(floor(-ln(-ln($u)) * 1000000) AS BIGINT))"
   }
 
+  /** Fill-in-the-middle preprocessing (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * split each document into (prefix, middle, suffix) at two
+    * deterministic hash-chosen token positions and flag the ~50%
+    * SPM-ordered subset — the standard FIM transformation, rerun- and
+    * engine-stable because the "random" split points derive from the
+    * portable base hash of the doc id, not a seed stream. Documents
+    * under 3 tokens are dropped. The two positions land in
+    * [1, n−1], so prefix and suffix are never empty; an equal pair
+    * yields an empty middle (the paper allows it).
+    *
+    * Output: (doc_id, n_tokens, p1, p2, spm, prefix_md5, middle_md5,
+    * suffix_md5). Zero shuffle — pure per-row expressions.
+    */
+  def fimSplit(docs: DataFrame): DataFrame = {
+    val n = size(col("w"))
+    def cut(prefix: String) =
+      pmod(TextOps.baseHash(concat(lit(prefix + ":"), col("doc_id").cast("string"))),
+        (n - 1).cast("long")) + lit(1L)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        least(cut("fim1"), cut("fim2")).as("p1"),
+        greatest(cut("fim1"), cut("fim2")).as("p2"),
+        (pmod(TextOps.baseHash(concat(lit("fimo:"), col("doc_id").cast("string"))),
+          lit(10L)) < 5).as("spm"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        col("p1"), col("p2"), col("spm"),
+        md5(concat_ws(" ", slice(col("w"), lit(1), col("p1").cast("int")))).as("prefix_md5"),
+        md5(concat_ws(" ", slice(col("w"), col("p1").cast("int") + 1,
+          (col("p2") - col("p1")).cast("int")))).as("middle_md5"),
+        md5(concat_ws(" ", slice(col("w"), col("p2").cast("int") + 1,
+          (size(col("w")) - col("p2")).cast("int")))).as("suffix_md5"))
+  }
+
   /** Per-source sampling rates (basis points) that rebalance the
     * corpus toward a UNIFORM source mix within a `budgetPct`% budget:
     * every source gets quota = (total·budgetPct/100)/n_sources docs,

@@ -234,6 +234,30 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #103 — FIM preprocessing: deterministic (prefix, middle, suffix)
+    * splits with a ~50% SPM flag, hash-derived so reruns and the
+    * oracle agree row-for-row.
+    */
+  val qFimSplit = GateQuery.sql(
+    "q_fim_split", {
+      def cutSql(p: String) =
+        s"(${graft.operators.TextOps.baseHashSql(s"'$p:' || CAST(doc_id AS VARCHAR)")} % (len(w) - 1)) + 1"
+      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, w,
+         |        least(${cutSql("fim1")}, ${cutSql("fim2")}) AS p1,
+         |        greatest(${cutSql("fim1")}, ${cutSql("fim2")}) AS p2,
+         |        (${graft.operators.TextOps.baseHashSql("'fimo:' || CAST(doc_id AS VARCHAR)")} % 10) < 5 AS spm
+         |      FROM tw WHERE len(w) >= 3)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, p1, p2, spm,
+         |  md5(array_to_string(w[1:p1], ' ')) AS prefix_md5,
+         |  md5(coalesce(array_to_string(w[p1+1:p2], ' '), '')) AS middle_md5,
+         |  md5(array_to_string(w[p2+1:len(w)], ' ')) AS suffix_md5
+         |FROM f ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    Curation.fimSplit(Tables.documents(s, d))
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #85 — DSIR importance weights: per-doc sum of hashed-bigram
     * log-ratios between the `lang = 'en'` target distribution and the
     * raw corpus distribution (micro-nats; positive = target-like).
@@ -422,5 +446,6 @@ object CurationQueries {
 
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
-      qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline)
+      qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
+      qFimSplit)
 }

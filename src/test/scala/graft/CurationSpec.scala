@@ -271,6 +271,28 @@ class CurationSpec extends SparkSpec {
     assert(trainAcc > 0.95, s"training accuracy $trainAcc")
   }
 
+  test("fimSplit: parts partition the document at hash-derived points") {
+    def bh(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def m5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val d = docs((42L, words.mkString(" "), "en", "s"))
+    val r = Curation.fimSplit(d).collect()(0)
+    val n = words.length
+    val c1 = bh("fim1:42") % (n - 1) + 1
+    val c2 = bh("fim2:42") % (n - 1) + 1
+    val (p1, p2) = (math.min(c1, c2), math.max(c1, c2))
+    assert(r.getLong(2) === p1 && r.getLong(3) === p2)
+    assert(r.getString(5) === m5(words.take(p1.toInt).mkString(" ")))
+    assert(r.getString(6) === m5(words.slice(p1.toInt, p2.toInt).mkString(" ")))
+    assert(r.getString(7) === m5(words.drop(p2.toInt).mkString(" ")))
+    // sub-minimal docs are dropped
+    assert(Curation.fimSplit(docs((1L, "x y", "en", "s"))).count() === 0)
+  }
+
   test("mixRates: over-represented sources downsample, small ones cap at 100%") {
     val counts = Seq(("big", 900L), ("small", 100L)).toDF("source", "n_docs")
     val rates = Curation.mixRates(counts, budgetPct = 100)
