@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *    deterministic sampling rates that hit a target mix/budget (the
   *    "data mixing" step of a pretraining pipeline), applied with the
   *    portable hash predicate from [[Sampling]].
+  *  - [[substrDedup]] — exact substring dedup (Lee et al. 2021);
+  *    [[bigramLogProbs]]/[[trigramLogProbs]] — the stupid-backoff
+  *    n-gram chain (Brants et al. 2007); [[gumbelScore]] — DSIR's
+  *    Gumbel-top-k resampling; [[fimSplit]] — fill-in-the-middle
+  *    preprocessing (Bavarian et al. 2022). The discriminative
+  *    quality filter lives in [[QualityClassifier]].
   *
   * Everything is exact-integer on the comparison surface: float
   * logs are quantized to micro-nats (`floor(ln(x)·1e6)` as BIGINT)
@@ -34,8 +40,9 @@ import org.apache.spark.sql.functions._
   * [[Exact.roundedRatio]].
   *
   * Scale notes (100 TB):
-  *  - lineDedup shuffles the exploded segment relation twice (argmin
-  *    per segment; join-back). Keys are the segment strings here so
+  *  - lineDedup/substrDedup find first occurrences with ONE
+  *    partition-window shuffle of the exploded relation (no
+  *    aggregate+self-join). lineDedup keys are the segment strings so
   *    the DuckDB oracle can replay them; the drop-in scale key is a
   *    128-bit digest (shuffle bytes, not semantics).
   *  - The LM / DSIR model tables (vocab logprobs; 2^b hashed-feature
@@ -82,9 +89,9 @@ object Curation {
     * the fate of an exact-duplicate document, which C4-dedups to
     * nothing here because its every segment already occurred).
     *
-    * Plan: explode → groupBy(seg) argmin → join-back → groupBy(doc).
-    * Two shuffles of the segment relation, no corpus² anywhere; the
-    * argmin side reduces map-side (partial min).
+    * Plan: explode → min-over-partition(seg) window → groupBy(doc).
+    * One shuffle of the segment relation for the argmin, no corpus²
+    * anywhere.
     */
   def lineDedup(docs: DataFrame, k: Int): DataFrame = {
     val segs = docs
@@ -145,13 +152,15 @@ object Curation {
     * re-assembled text, md5('') when the doc dissolved entirely (an
     * exact duplicate document).
     *
-    * Plan: window relation = one row per token (corpus-token-sized,
-    * not corpus²); groupBy(window-key) argmin; join-back; the delete
-    * fan-out is f·L per duplicated window — LINEAR in occurrences, so
-    * boilerplate-heavy corpora stay safe; a left-anti join prunes the
-    * token relation; final per-doc reassembly groupBy.
-    */
-  /** The delete-set of [[substrDedup]]: (doc_id, idx) token positions
+    * Plan ([[substrDedup]]): window relation = one row per token
+    * (corpus-token-sized, not corpus²); min-over-partition window
+    * argmin (one shuffle); the delete fan-out is f·L per duplicated
+    * window — LINEAR in occurrences, so boilerplate-heavy corpora
+    * stay safe; a left-anti join prunes the token relation; final
+    * per-doc reassembly groupBy. [[substrDedupStats]] is the
+    * counts-only keep-decision path.
+    *
+    * The delete-set: (doc_id, idx) token positions
     * covered by a NON-first occurrence of some L-window. NOT
     * deduplicated — left_anti consumers don't care, and the
     * counts-only path distincts exactly once where it must.
