@@ -377,18 +377,23 @@ object EmbeddingQueries {
     * asserted in IvfIndexSpec.
     */
   val qKnnIvf = GateQuery.rowsOnly("q_knn_ivf") { (s, d) =>
-    val e = prep(s, d)
-    val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
-    // bound the worst-case probe: split any cell k-means left holding
-    // more than a quarter of the corpus (deterministic, usually a
-    // no-op on well-spread embeddings)
-    val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
-      maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
-    val assigned = graft.operators.IvfIndex.assign(e, cents)
-    val qs = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
-    graft.operators.IvfIndex.knn(qs, assigned, cents, nprobe = 4, k = 3)
-      .orderedSmall(col("query_id"), col("rnk"))
+    // cache the quantized vectors across the EAGER training jobs
+    // (k-means iterations + rebalance rounds each rescan the input);
+    // the lazily-returned plan recomputes them once after unpersist
+    val e = prep(s, d).persist()
+    try {
+      val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+      // bound the worst-case probe: split any cell k-means left holding
+      // more than a quarter of the corpus (deterministic, usually a
+      // no-op on well-spread embeddings)
+      val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
+        maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+      val assigned = graft.operators.IvfIndex.assign(e, cents)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+      graft.operators.IvfIndex.knn(qs, assigned, cents, nprobe = 4, k = 3)
+        .orderedSmall(col("query_id"), col("rnk"))
+    } finally e.unpersist()
   }
 
   /** SemDeDup (#88): semantic near-duplicate removal — within-cell
@@ -398,13 +403,15 @@ object EmbeddingQueries {
     * pair/keep semantics are pinned by SemDedupSpec.
     */
   val qSemDedup = GateQuery.rowsOnly("q_semdedup") { (s, d) =>
-    val e = prep(s, d)
-    val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
-    val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
-      maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
-    val assigned = graft.operators.IvfIndex.assign(e, cents)
-    graft.operators.SemDedup.dedup(assigned, tau = 0.4)
-      .orderedSmall(col("vec_id"))
+    val e = prep(s, d).persist() // see qKnnIvf
+    try {
+      val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+      val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
+        maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+      val assigned = graft.operators.IvfIndex.assign(e, cents)
+      graft.operators.SemDedup.dedup(assigned, tau = 0.4)
+        .orderedSmall(col("vec_id"))
+    } finally e.unpersist()
   }
 
   val all: Seq[GateQuery] = Seq(
