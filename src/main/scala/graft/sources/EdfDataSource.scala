@@ -346,6 +346,10 @@ class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long,
   * batch ones. Append-only assumption (same as every file-tailing
   * source here): a file that SHRINKS mid-stream invalidates its
   * cached offsets — restart the query for a rewritten corpus.
+  * Driver memory is O(total frames tracked) across the stream's
+  * lifetime (~48 B per frame descriptor — a million-frame campaign
+  * holds ~50 MB); point long-running streams at the live directory,
+  * not an ever-growing archive.
   */
 class EdfMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
                           columns: Array[String], maxPartBytes: Long)
