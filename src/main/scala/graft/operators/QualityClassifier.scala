@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * reference-like. The classic implementation is a fastText-style
   * linear model over hashed n-gram bag features — here logistic
   * regression over [[Curation.bigramBucketsOfWords]] features,
-  * trained by full-batch gradient descent with the weight vector on
-  * the driver (same model-on-driver shape as [[IvfIndex]]: B doubles
-  * is model state, not data).
+  * trained by gradient descent with the weight vector on the driver
+  * (same model-on-driver shape as [[IvfIndex]]: B doubles is model
+  * state, not data).
   *
   * Determinism: distributed float sums depend on reduction order, so
   * every aggregated quantity is quantized to micro-unit integers
@@ -22,46 +22,69 @@ import org.apache.spark.sql.functions._
   * bit-reproducible under any partitioning, like everything else in
   * this library.
   *
-  * Scale: per iteration one broadcast of the B-weight table, one
-  * doc-keyed shuffle to attach residuals, one bucket-keyed gradient
-  * aggregation (map-side combined). The feature relation is cached
-  * across iterations. Iterations are few (logistic GD on bag
-  * features converges in tens of steps); this is the CC-loop cost
-  * profile, not a per-row iteration.
+  * Scale: features are PACKED per document once ([[features]] — a
+  * zero-shuffle projection), and each training iteration inlines the
+  * current weights as a literal array into a per-row margin/residual
+  * expression, then aggregates the gradient by bucket. The per-bucket
+  * hash aggregate map-side-combines to at most B rows per task, so an
+  * iteration moves O(B · tasks) bytes — the treeAggregate cost
+  * profile, with NO per-iteration shuffle of any corpus-sized
+  * relation (the round-5 shape joined the exploded feature relation
+  * twice per iteration). The playbook also trains on a SAMPLE of the
+  * corpus, not all of it — `samplePct` is the deterministic
+  * ([[Sampling]]) subsample knob; scoring the full corpus stays a
+  * zero-join projection either way.
   */
 object QualityClassifier {
 
   /** Micro-quantized logistic weights, index = feature bucket. */
   type Weights = Array[Long]
 
-  /** Feature relation: one row per bigram instance,
-    * (doc_id, label, b) with label 1 = reference slice. */
+  /** Packed feature relation: ONE row per document,
+    * (doc_id, label, bs) with label 1 = reference slice and bs the
+    * hashed-bigram bucket ids (one per bigram instance). Documents
+    * with no features (< 2 tokens) drop out, exactly as they did from
+    * the exploded relation. Zero shuffle — a projection of `docs`.
+    */
   def features(docs: DataFrame, isRef: Column, buckets: Int): DataFrame =
     docs
       .select(col("doc_id"), isRef.cast("int").as("label"),
-        explode(graft.expressions.TextExpressions.bigramBuckets(col("text"), buckets)).as("b"))
+        graft.expressions.TextExpressions.bigramBuckets(col("text"), buckets).as("bs"))
+      .filter(size(col("bs")) > 0)
 
-  /** Full-batch logistic GD. `feat` should be cached by the caller if
-    * it is expensive to recompute. Returns micro-quantized weights.
+  /** Integer margin of a packed feature row under literal weights —
+    * the same exact sum the broadcast join produced, as a zero-join
+    * per-row expression. */
+  private def marginExpr(bs: Column, w: Weights): Column =
+    aggregate(bs, lit(0L), (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
+
+  /** Micro-quantized logistic residual sigmoid(m) − label. */
+  private def residExpr(bs: Column, label: Column, w: Weights): Column =
+    floor((lit(1.0) / (lit(1.0) + exp(-marginExpr(bs, w) / lit(1e6)))
+      - label) * lit(1000000)).cast("long")
+
+  /** Logistic GD over the packed feature relation (cache it if it is
+    * expensive to recompute). `samplePct` < 100 trains on a
+    * deterministic hash subsample of the documents (the playbook
+    * move for corpora where even one pass per iteration is too much);
+    * scoring is unaffected. Returns micro-quantized weights —
+    * bit-identical across partitionings and reruns.
     */
-  def train(feat: DataFrame, buckets: Int, iters: Int, lr: Double): Weights = {
-    val spark = feat.sparkSession
-    import spark.implicits._
-    val nDocs = feat.select(col("doc_id")).distinct().count()
+  def train(packed: DataFrame, buckets: Int, iters: Int, lr: Double,
+            samplePct: Int = 100): Weights = {
+    val rel =
+      if (samplePct >= 100) packed
+      else packed.filter(Sampling.samplePredicate(col("doc_id"), samplePct, "qctrain"))
+    val nDocs = rel.count()
     val w: Weights = Array.fill(buckets)(0L)
     var it = 0
     while (it < iters) {
-      val wDf = w.zipWithIndex
-        .map { case (wq, b) => (b.toLong, wq) }.toSeq.toDF("b", "wq")
-      // Margin = exact integer sum of micro-weights; residual
-      // micro-quantized per doc BEFORE the gradient sum.
-      val resid = feat.join(broadcast(wDf), "b")
-        .groupBy(col("doc_id"), col("label"))
-        .agg(sum(col("wq")).as("m_micro"))
-        .select(col("doc_id"),
-          floor((lit(1.0) / (lit(1.0) + exp(-col("m_micro") / lit(1e6)))
-            - col("label")) * lit(1000000)).cast("long").as("r_micro"))
-      val grad = feat.join(resid, "doc_id")
+      // Residual once per doc (weights inlined as a literal), then the
+      // bucket-keyed gradient aggregate: partial aggregation bounds the
+      // shuffle at B rows per task — no corpus-sized exchange.
+      val grad = rel
+        .select(col("bs"), residExpr(col("bs"), col("label"), w).as("r_micro"))
+        .select(explode(col("bs")).as("b"), col("r_micro"))
         .groupBy(col("b")).agg(sum(col("r_micro")).as("g_micro"))
         .collect()
       grad.foreach { r =>
@@ -91,17 +114,12 @@ object QualityClassifier {
       (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
   }
 
-  /** Score every doc with a trained model: the margin in micro-units
-    * (positive = reference-like). Zero shuffle beyond one groupBy:
-    * the model rides along as a broadcast table.
+  /** Score every packed doc with a trained model: the margin in
+    * micro-units (positive = reference-like). Zero join, zero
+    * shuffle — a projection with the weights inlined.
     */
-  def score(feat: DataFrame, w: Weights): DataFrame = {
-    val spark = feat.sparkSession
-    import spark.implicits._
-    val wDf = w.zipWithIndex
-      .map { case (wq, b) => (b.toLong, wq) }.toSeq.toDF("b", "wq")
-    feat.join(broadcast(wDf), "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"), sum(col("wq")).as("score_micro"))
-  }
+  def score(packed: DataFrame, w: Weights): DataFrame =
+    packed.select(col("doc_id"),
+      size(col("bs")).cast("long").as("n_feat"),
+      marginExpr(col("bs"), w).as("score_micro"))
 }

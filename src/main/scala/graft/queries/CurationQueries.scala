@@ -17,6 +17,18 @@ object CurationQueries {
   private val SegK = 8
   private val DsirBuckets = 256
 
+  /** LM model-table caps, wired through every LM gate and MIRRORED in
+    * each oracle SQL: the unigram vocab keeps its `LmTopV` most
+    * frequent words (CCNet's cap), the bigram/trigram conditional
+    * tables drop n-grams rarer than `LmMinCount` (Brants et al. 2007
+    * count pruning). The gate values are deliberate no-ops at bench
+    * scale — the synthetic vocab is tiny — so the oracle hashes are
+    * unchanged; at corpus scale they are what bounds the model tables
+    * that [[Curation.modelJoin]] then broadcasts-or-shuffles by size.
+    */
+  private val LmTopV = 1 << 20
+  private val LmMinCount = 1L
+
   /** #83 — corpus-wide segment (line) dedup, first occurrence wins. */
   val qLineDedup = GateQuery.sql(
     "q_line_dedup",
@@ -80,7 +92,8 @@ object CurationQueries {
        |              FROM documents),
        |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
-       |lp AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS q FROM ref, st),
+       |refv AS (SELECT word, c FROM ref ORDER BY c DESC, word LIMIT $LmTopV),
+       |lp AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS q FROM refv, st),
        |oov AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oovq FROM st),
        |sc AS (SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
        |         CAST(-sum(coalesce(lp.q, oov.oovq)) AS BIGINT) AS nll_micro
@@ -92,9 +105,9 @@ object CurationQueries {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
     val refToks = toks.filter(col("lang") === "en")
-    val lp = Curation.unigramLogProbs(refToks)
-    val scored = Curation.withStats(toks, Curation.oovLogProb(refToks))
-      .join(broadcast(lp), Seq("word"), "left")
+    val lp = Curation.unigramLogProbs(refToks, topV = Some(LmTopV))
+    val scored = Curation.modelJoin(
+        Curation.withStats(toks, Curation.oovLogProb(refToks)), lp, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (-sum(coalesce(col("q"), col("oovq")))).cast("long").as("nll_micro"))
@@ -119,12 +132,13 @@ object CurationQueries {
        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY w1, w2),
        |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY w1),
        |qb AS (SELECT w1, w2, ${Curation.microLnSql("cb / cw1")} AS qb
-       |       FROM cb JOIN cw USING (w1)),
+       |       FROM cb JOIN cw USING (w1) WHERE cb >= $LmMinCount),
        |toks AS (SELECT lang, unnest(w) AS word FROM tw),
        |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+       |refv AS (SELECT word, c FROM ref ORDER BY c DESC, word LIMIT $LmTopV),
        |qu AS (SELECT word, ${Curation.microLnSql("0.4 * (c + 1.0) / (n + v)")} AS qu
-       |       FROM ref, st),
+       |       FROM refv, st),
        |oov AS (SELECT ${Curation.microLnSql("0.4 * 1.0 / (n + v)")} AS oovq FROM st),
        |sc AS (SELECT bi.doc_id AS doc_id, count(*) AS n_scored,
        |         CAST(-sum(coalesce(qb.qb, qu.qu, oov.oovq)) AS BIGINT) AS nll_micro
@@ -142,14 +156,16 @@ object CurationQueries {
         posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
       .select(col("doc_id"), col("lang"), col("w1"),
         element_at(col("w"), col("p") + 2).as("w2"))
-    val qb = Curation.bigramLogProbs(bi.filter(col("lang") === "en").select(col("w1"), col("w2")))
+    val qb = Curation.bigramLogProbs(bi.filter(col("lang") === "en").select(col("w1"), col("w2")),
+      minCount = LmMinCount)
     val toks = tw.select(col("lang"), explode(col("w")).as("word"))
     val refToks = toks.filter(col("lang") === "en")
-    val qu = Curation.unigramLogProbs(refToks, scale = 0.4)
-    val scored = Curation.withStats(bi, Curation.oovLogProb(refToks, scale = 0.4))
-      .join(broadcast(qb), Seq("w1", "w2"), "left")
-      .join(broadcast(qu.withColumnRenamed("word", "w2").withColumnRenamed("q", "qu")),
-        Seq("w2"), "left")
+    val qu = Curation.unigramLogProbs(refToks, scale = 0.4, topV = Some(LmTopV))
+    val scored = Curation.modelJoin(
+        Curation.modelJoin(
+          Curation.withStats(bi, Curation.oovLogProb(refToks, scale = 0.4)),
+          qb, Seq("w1", "w2")),
+        qu.select(col("word").as("w2"), col("q").as("qu")), Seq("w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
         (-sum(coalesce(col("qb"), col("qu"), col("oovq")))).cast("long").as("nll_micro"))
@@ -179,16 +195,17 @@ object CurationQueries {
        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE lang = 'en' GROUP BY w1, w2, w3),
        |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12 FROM c3 GROUP BY w1, w2),
        |qt AS (SELECT w1, w2, w3, ${Curation.microLnSql("c3 / c12")} AS qt
-       |       FROM c3 JOIN c12 USING (w1, w2)),
+       |       FROM c3 JOIN c12 USING (w1, w2) WHERE c3 >= $LmMinCount),
        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi WHERE lang = 'en' GROUP BY w1, w2),
        |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cb GROUP BY w1),
        |qb AS (SELECT w1, w2, ${Curation.microLnSql("0.4 * cb / cw1")} AS qb
-       |       FROM cb JOIN cw USING (w1)),
+       |       FROM cb JOIN cw USING (w1) WHERE cb >= $LmMinCount),
        |toks AS (SELECT lang, unnest(w) AS word FROM tw),
        |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
+       |refv AS (SELECT word, c FROM ref ORDER BY c DESC, word LIMIT $LmTopV),
        |qu AS (SELECT word, ${Curation.microLnSql("0.16000000000000003 * (c + 1.0) / (n + v)")} AS qu
-       |       FROM ref, st),
+       |       FROM refv, st),
        |oov AS (SELECT ${Curation.microLnSql("0.16000000000000003 * 1.0 / (n + v)")} AS oovq FROM st),
        |sc AS (SELECT tri.doc_id AS doc_id, count(*) AS n_scored,
        |         CAST(-sum(coalesce(qt.qt, qb.qb, qu.qu, oov.oovq)) AS BIGINT) AS nll_micro
@@ -213,17 +230,20 @@ object CurationQueries {
         posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
       .select(col("lang"), col("w1"), element_at(col("w"), col("p") + 2).as("w2"))
     val qt = Curation.trigramLogProbs(
-      tri.filter(col("lang") === "en").select(col("w1"), col("w2"), col("w3")))
+      tri.filter(col("lang") === "en").select(col("w1"), col("w2"), col("w3")),
+      minCount = LmMinCount)
     val qb = Curation.bigramLogProbs(
-      bi.filter(col("lang") === "en").select(col("w1"), col("w2")), scale = 0.4)
+      bi.filter(col("lang") === "en").select(col("w1"), col("w2")), scale = 0.4,
+      minCount = LmMinCount)
     val refToks = tw.filter(col("lang") === "en").select(explode(col("w")).as("word"))
-    val qu = Curation.unigramLogProbs(refToks, scale = 0.4 * 0.4)
-    val scored = Curation.withStats(tri, Curation.oovLogProb(refToks, scale = 0.4 * 0.4))
-      .join(broadcast(qt), Seq("w1", "w2", "w3"), "left")
-      .join(broadcast(qb.withColumnRenamed("w1", "w2b").withColumnRenamed("w2", "w3b")),
-        col("w2") === col("w2b") && col("w3") === col("w3b"), "left")
-      .join(broadcast(qu.withColumnRenamed("word", "w3u").withColumnRenamed("q", "qu")),
-        col("w3") === col("w3u"), "left")
+    val qu = Curation.unigramLogProbs(refToks, scale = 0.4 * 0.4, topV = Some(LmTopV))
+    val scored = Curation.modelJoin(
+        Curation.modelJoin(
+          Curation.modelJoin(
+            Curation.withStats(tri, Curation.oovLogProb(refToks, scale = 0.4 * 0.4)),
+            qt, Seq("w1", "w2", "w3")),
+          qb.select(col("w1").as("w2"), col("w2").as("w3"), col("qb")), Seq("w2", "w3")),
+        qu.select(col("word").as("w3"), col("q").as("qu")), Seq("w3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
         (-sum(coalesce(col("qt"), col("qb"), col("qu"), col("oovq"))))
@@ -405,7 +425,8 @@ object CurationQueries {
        |         (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
        |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
-       |lp AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS q FROM ref, st),
+       |refv AS (SELECT word, c FROM ref ORDER BY c DESC, word LIMIT $LmTopV),
+       |lp AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS q FROM refv, st),
        |oov AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oovq FROM st),
        |lm AS (SELECT t.doc_id AS doc_id,
        |         CAST(-sum(coalesce(lp.q, oov.oovq)) AS BIGINT) <= count(*) * $MaxAvgNllMicro AS lm_ok
@@ -427,9 +448,9 @@ object CurationQueries {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
     val refToks = toks.filter(col("lang") === "en")
-    val lp = Curation.unigramLogProbs(refToks)
-    val lm = Curation.withStats(toks, Curation.oovLogProb(refToks))
-      .join(broadcast(lp), Seq("word"), "left")
+    val lp = Curation.unigramLogProbs(refToks, topV = Some(LmTopV))
+    val lm = Curation.modelJoin(
+        Curation.withStats(toks, Curation.oovLogProb(refToks)), lp, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(((-sum(coalesce(col("q"), col("oovq")))).cast("long")
         <= count(lit(1)) * lit(MaxAvgNllMicro)).as("lm_ok"))

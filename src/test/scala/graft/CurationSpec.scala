@@ -259,16 +259,40 @@ class CurationSpec extends SparkSpec {
       (102L, "junk noisy text junk noisy text", "fr", "s"))
     val d = docs((ref ++ raw ++ hold): _*)
     val feat = QualityClassifier.features(d, col("lang") === "en", 64)
+    // packed features and scoring are zero-shuffle projections
+    assert(!feat.queryExecution.executedPlan.toString.contains("Exchange"))
     val w1 = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5)
     val w2 = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5)
     assert(w1.toSeq === w2.toSeq)
-    val scores = QualityClassifier.score(feat, w1)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val scored = QualityClassifier.score(feat, w1)
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+    val scores = scored.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(scores(101L) > 0L, s"held-out reference-like doc: ${scores(101L)}")
     assert(scores(102L) < 0L, s"held-out raw-like doc: ${scores(102L)}")
     val trainAcc = (ref.map(_._1).count(id => scores(id) > 0) +
       raw.map(_._1).count(id => scores(id) < 0)).toDouble / 60
     assert(trainAcc > 0.95, s"training accuracy $trainAcc")
+    // scoreExpr (the streaming deployment) agrees with packed scoring
+    val byExpr = d.select(col("doc_id"),
+        QualityClassifier.scoreExpr(col("text"), w1, 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (ref ++ raw ++ hold).map(_._1).foreach(id => assert(byExpr(id) === scores(id)))
+  }
+
+  test("quality classifier: deterministic subsample training still separates") {
+    import graft.operators.QualityClassifier
+    val ref = (1L to 40L).map(i => (i, "good clean data " * 4 + s"u$i", "en", "s"))
+    val raw = (41L to 80L).map(i => (i, "junk noisy text " * 4 + s"u$i", "de", "s"))
+    val d = docs((ref ++ raw): _*)
+    val feat = QualityClassifier.features(d, col("lang") === "en", 64)
+    val w1 = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5, samplePct = 60)
+    val w2 = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5, samplePct = 60)
+    assert(w1.toSeq === w2.toSeq)
+    val scores = QualityClassifier.score(feat, w1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val acc = (ref.map(_._1).count(id => scores(id) > 0) +
+      raw.map(_._1).count(id => scores(id) < 0)).toDouble / 80
+    assert(acc > 0.9, s"subsample-trained accuracy $acc")
   }
 
   test("fimSplit: parts partition the document at hash-derived points") {
@@ -310,5 +334,38 @@ class CurationSpec extends SparkSpec {
     assert(k50 > 350L && k50 < 650L)
     val again = ids.filter(Curation.mixKeep(col("id"), lit(5000L))).count()
     assert(again === k50)
+  }
+
+  test("LM count pruning: rare n-grams leave the table, normalizers keep full mass") {
+    val bi = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "c")).toDF("w1", "w2")
+    assert(Curation.bigramLogProbs(bi).count() === 2)
+    val pruned = Curation.bigramLogProbs(bi, minCount = 2).collect()
+    assert(pruned.length === 1)
+    // The surviving conditional is still ln(3/4): pruning shrinks the
+    // broadcastable table, it never re-normalizes the survivors — the
+    // pruned (a,c) probe falls to the backoff rung instead.
+    assert(pruned(0).getLong(2) === math.floor(math.log(3.0 / 4.0) * 1e6).toLong)
+    val tri = Seq(("a", "b", "c"), ("a", "b", "c"), ("a", "b", "d")).toDF("w1", "w2", "w3")
+    assert(Curation.trigramLogProbs(tri).count() === 2)
+    val tp = Curation.trigramLogProbs(tri, minCount = 2).collect()
+    assert(tp.length === 1 &&
+      tp(0).getLong(3) === math.floor(math.log(2.0 / 3.0) * 1e6).toLong)
+  }
+
+  test("modelJoin shuffle regime: q_lm_bigram plans a join past the threshold, same rows") {
+    val dir = "/root/testdata/sf0.001"
+    val gate = graft.queries.CurationQueries.qLmBigram
+    val base = gate.run(spark, dir).collect().toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key, "10MB")
+    try {
+      spark.conf.set(key, "-1")
+      val df = gate.run(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "past the threshold the model tables must shuffle-join, not broadcast")
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(df.collect().toSeq === base)
+    } finally spark.conf.set(key, prev)
   }
 }
