@@ -100,7 +100,7 @@ object Curation {
     val segs = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), posexplode(segmentsOfWords(col("w"), k)).as(Seq("i", "seg")))
-    val pos = col("doc_id") * lit(PosBase) + col("i")
+    val pos = packedPos(col("doc_id"), col("i"))
     // First occurrence via a partition window, not groupBy+self-join:
     // ONE shuffle of the segment relation instead of two.
     val surv = segs
@@ -122,14 +122,26 @@ object Curation {
 
   /** pos = doc_id·base + seg_idx is a collision-free total order
     * matching (doc_id, seg_idx) lexicographic PROVIDED seg_idx <
-    * PosBase and doc_id < 2^63 / PosBase. 2^21 bounds documents at
+    * PosBase and |doc_id| < 2^63 / PosBase. 2^21 bounds documents at
     * ~2M segments/windows (≈17M words at k=8) and doc ids at ~4.4e12
     * — both far beyond realistic corpora; a document or id space
     * exceeding them should be range-sharded first (same contract as
-    * DocPairsExpr's 2^31 id bound).
+    * DocPairsExpr's 2^31 id bound). [[packedPos]] ENFORCES the bound:
+    * a violation raises at run time instead of silently
+    * mis-deduplicating on a corrupted order.
     */
   val PosBase = 1L << 21
   private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** doc_id·PosBase + i with the packing bound enforced (cheap per-row
+    * comparisons, codegen-friendly; never fires on in-contract data).
+    */
+  private def packedPos(docId: Column, i: Column): Column =
+    when(i >= PosBase || i < 0 ||
+         docId >= Long.MaxValue / PosBase || docId <= Long.MinValue / PosBase,
+      raise_error(concat(lit("Curation: (doc_id, idx) exceeds the PosBase packing bound: ("),
+        docId.cast("string"), lit(", "), i.cast("string"), lit(")"))).cast("long"))
+      .otherwise(docId * lit(PosBase) + i)
 
   /** Rolling L-token window keys (60-bit md5-derived, portable) at
     * every start position, NOT distinct — positions matter for exact
@@ -173,7 +185,7 @@ object Curation {
       .select(col("doc_id"),
         posexplode(graft.expressions.TextExpressions.windowKeys(col("text"), l)).as(Seq("p", "h")))
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("h"))
-    val occ = col("doc_id") * lit(PosBase) + col("pos")
+    val occ = packedPos(col("doc_id"), col("pos"))
     // First occurrence via a partition window (one shuffle, no
     // self-join).
     wins

@@ -210,6 +210,10 @@ object EdfSchema {
           val little = kv.getOrElse("ByteOrder", "LowByteFirst") != "HighByteFirst"
           require(w > 0 && h > 0 && size == w.toLong * h * bytesPerPixel(dt),
             s"$path: inconsistent EDF block at $pos (${w}x$h $dt, Size $size)")
+          // the reader allocates one Array[Byte] per data section —
+          // fail at index time, not with a corrupt read at scan time
+          require(size <= Int.MaxValue,
+            s"$path: EDF data section at $pos is $size bytes (> 2 GiB unsupported)")
           if (headerEnd + size > len) {
             // data section mid-write: hold the frame back
             require(lenient, s"$path: truncated EDF data at $headerEnd")
@@ -251,14 +255,23 @@ class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def asL(v: Any): Long = v match {
-      case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong
-      case other => other.toString.toLong
+    // Only integral literals translate to frame bounds. Anything else
+    // (a null inside In(...), a non-numeric value) is NOT accepted —
+    // it stays in the returned residual and Spark evaluates it
+    // post-scan, instead of crashing planning on a cast.
+    def asLOpt(v: Any): Option[Long] = v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case _ => None
     }
+    def asL(v: Any): Long = asLOpt(v).get
     val (accepted, rest) = filters.partition {
-      case EqualTo("frame", _) | In("frame", _) => true
-      case GreaterThan("frame", _) | GreaterThanOrEqual("frame", _) => true
-      case LessThan("frame", _) | LessThanOrEqual("frame", _) => true
+      case EqualTo("frame", v) => asLOpt(v).isDefined
+      case In("frame", vs) => vs != null && vs.forall(asLOpt(_).isDefined)
+      case GreaterThan("frame", v) => asLOpt(v).isDefined
+      case GreaterThanOrEqual("frame", v) => asLOpt(v).isDefined
+      case LessThan("frame", v) => asLOpt(v).isDefined
+      case LessThanOrEqual("frame", v) => asLOpt(v).isDefined
       case _ => false
     }
     def narrow(s: Set[Long]): Unit =
@@ -385,6 +398,13 @@ class EdfMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
     SpecStreamOffset(files.map(m => m.path -> refresh(m.path, m.len).size.toLong).toMap)
   }
 
+  // `n_frames` in streamed rows = the batch's END OFFSET, i.e. frames
+  // discovered in the file SO FAR — not the finished file's total,
+  // which a live tail cannot know. The batch-end value (rather than
+  // the cache's current count) keeps replays deterministic: a
+  // checkpoint-recovered batch reports the same n_frames it first
+  // did. Only a batch re-read of the completed file reports the
+  // final total.
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SpecStreamOffset].files
     val e = end.asInstanceOf[SpecStreamOffset].files

@@ -24,6 +24,8 @@ object EdfWriterUtil {
     val size = width.toLong * height * bpp
     require(frame.length == width * height,
       s"frame length ${frame.length} != ${width}x$height")
+    require(size <= Int.MaxValue,
+      s"EDF data section would be $size bytes (> 2 GiB unsupported)")
     val body = new StringBuilder
     body.append("{\n")
     body.append(f"HeaderID = EH:${imageIdx + 1}%06d:000000:000000 ;\n")

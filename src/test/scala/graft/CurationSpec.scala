@@ -336,6 +336,18 @@ class CurationSpec extends SparkSpec {
     assert(again === k50)
   }
 
+  test("PosBase packing bound violations fail loudly instead of mis-deduplicating") {
+    // an id at 2^63/PosBase would fold into another document's range
+    val big = Long.MaxValue / Curation.PosBase
+    val d = docs((big, "a b c d e f g h", "en", "s"), (1L, "a b c d x y z w", "en", "s"))
+    val e = intercept[Exception](Curation.lineDedup(d, 4).collect())
+    assert(e.getMessage != null && e.getMessage.contains("PosBase"))
+    val e2 = intercept[Exception](Curation.substrDedup(d, 6).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("PosBase"))
+    // in-contract ids are untouched
+    assert(Curation.lineDedup(docs((1L, "a b c d e f g h", "en", "s")), 4).count() === 1)
+  }
+
   test("LM count pruning: rare n-grams leave the table, normalizers keep full mass") {
     val bi = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "c")).toDF("w1", "w2")
     assert(Curation.bigramLogProbs(bi).count() === 2)

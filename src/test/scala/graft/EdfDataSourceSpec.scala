@@ -201,4 +201,23 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(idx(1).dataOffset === 512 + w * h * 2 + 512)
     assert(idx.forall(fr => fr.width === w && fr.height === h))
   }
+
+  test("pushFilters: untranslatable values stay in the residual instead of crashing planning") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, In}
+    val b = new graft.sources.EdfScanBuilder(Seq("/nonexistent.edf"), 1L << 20)
+    // a null inside In(...) and a non-numeric EqualTo must be LEFT
+    // for Spark to evaluate post-scan — and must not be "accepted"
+    val bad: Array[Filter] = Array(
+      In("frame", Array[Any](java.lang.Long.valueOf(1L), null)),
+      EqualTo("frame", "not-a-number"))
+    val residual = b.pushFilters(bad)
+    assert(residual.toSeq === bad.toSeq)
+    assert(b.pushedFilters().isEmpty)
+    // integral literals of every width are accepted as before
+    val good: Array[Filter] = Array(
+      EqualTo("frame", java.lang.Integer.valueOf(2)),
+      GreaterThan("frame", java.lang.Short.valueOf(0.toShort)))
+    assert(b.pushFilters(good).isEmpty)
+    assert(b.pushedFilters().toSeq === good.toSeq)
+  }
 }
