@@ -11,12 +11,15 @@ import graft.expressions.VectorExpressions
   *
   * Scale design: pairs are only formed WITHIN a coarse k-means cell
   * ([[IvfIndex]] assignment — the paper's clustering step), never
-  * corpus². With a [[IvfIndex.rebalance]]d codebook the largest cell
-  * is bounded, so the per-cell self-join's quadratic term is bounded
-  * by design; `maxCellDf` additionally drops cells that still exceed
-  * a hard membership cap (boilerplate-embedding mass, same rationale
-  * as [[Dedup.suggestedBandDfCap]]). The only shuffles are the
-  * cell-keyed join and the pair-list connected components.
+  * corpus². A cell of M members forms ≤ M·(M−1)/2 pairs, so the
+  * production bound MUST be a row count: `maxCellDf` drops cells
+  * beyond a hard membership cap before any pair forms (boilerplate-
+  * embedding mass, same rationale as [[Dedup.suggestedBandDfCap]]).
+  * [[IvfIndex.rebalance]]'s `maxCellFrac` complements it by SPLITTING
+  * oversized cells — but a fraction alone is not a bound: 25% of a
+  * 100 TB corpus is still quadratic death, so always pass a concrete
+  * `maxCellDf` in production (the gate uses 100k). The only shuffles
+  * are the cell-keyed join and the pair-list connected components.
   *
   * The trade against [[Dedup]]'s MinHash and the LSH near-dup: this
   * catches PARAPHRASES (same meaning, different surface form), which

@@ -396,11 +396,25 @@ object EmbeddingQueries {
     } finally e.unpersist()
   }
 
+  /** The production bound on SemDeDup's quadratic term: a cell of M
+    * members forms at most M·(M−1)/2 pairs, so the worst cell's cost
+    * is capped in ROWS, not as a corpus fraction (a fraction grows
+    * with the corpus — at 100 TB "25%" is still quadratic death).
+    * 100k members ≈ 5e9 candidate pairs for one pathological cell —
+    * the upper end of tolerable; a no-op at bench scale.
+    */
+  private val SemDedupCellCap = 100000
+
   /** SemDeDup (#88): semantic near-duplicate removal — within-cell
     * cosine pairs over the (rebalanced) IVF clustering, connected
     * components, one representative kept per group. Rows-only (the
     * codebook is driver state the SQL oracle cannot re-derive);
     * pair/keep semantics are pinned by SemDedupSpec.
+    *
+    * Two independent guards bound the quadratic: `maxCellFrac`
+    * rebalancing SPLITS oversized k-means cells, and the hard
+    * [[SemDedupCellCap]] row cap DROPS any cell that still exceeds it
+    * (degenerate boilerplate-embedding mass) before any pair forms.
     */
   val qSemDedup = GateQuery.rowsOnly("q_semdedup") { (s, d) =>
     val e = prep(s, d).persist() // see qKnnIvf
@@ -409,7 +423,7 @@ object EmbeddingQueries {
       val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
         maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
       val assigned = graft.operators.IvfIndex.assign(e, cents)
-      graft.operators.SemDedup.dedup(assigned, tau = 0.4)
+      graft.operators.SemDedup.dedup(assigned, tau = 0.4, maxCellDf = SemDedupCellCap)
         .orderedSmall(col("vec_id"))
     } finally e.unpersist()
   }
