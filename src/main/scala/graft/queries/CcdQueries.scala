@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{EdfWriterUtil, SpeWriterUtil}
+import graft.sources.{EdfWriterUtil, SpeWriterUtil, TiffWriterUtil}
 
 /** CCD detector-file queries (SURVEY.md §2 #80): the Princeton SPE
   * binary image source (pyspec `ccd/PrincetonSPE.py` surface) proven
@@ -178,5 +178,59 @@ object CcdQueries {
       .orderedSmall(col("frame"), col("rbin"))
   }
 
-  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial)
+  private val TW = 52
+  private val TH = 36
+  private val TFrames = 10
+
+  /** TIFF fixture: big-endian ("MM") int32 pages in 10-row strips with
+    * SIGNED pixels `(7 + 61·f + 23·r + 9·c) mod 1009 − 500` — the
+    * Pilatus-style layout (32-bit signed detector counts), chosen to
+    * exercise everything SPE/EDF gates don't: MM byte order,
+    * multi-strip concatenation, negative values. Same atomic
+    * write-rename discipline as the other fixtures.
+    */
+  private def tiffFixture(s: SparkSession): String = synchronized {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_tiff_gate")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "gate.tiff")
+    val frames = (0 until TFrames).map { fr =>
+      Array.tabulate(TW * TH) { i =>
+        ((7L + 61L * fr + 23L * (i / TW) + 9L * (i % TW)) % 1009L - 500L).toDouble
+      }
+    }
+    val tmp = new java.io.File(dir, s"gate.${java.util.UUID.randomUUID}.tmp")
+    TiffWriterUtil.write(tmp.getAbsolutePath, s.sessionState.newHadoopConf(),
+      TW, TH, datatype = "int32", littleEndian = false, frames, rowsPerStrip = 10)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(dir, ".gate.tiff.crc").delete()
+    new java.io.File(dir, s".${tmp.getName}.crc").delete()
+    f.getAbsolutePath
+  }
+
+  /** Per-frame pixel statistics off the decoded TIFF stack (#104) —
+    * certifies the IFD chain walk, strip concatenation and int32
+    * big-endian decode against a closed-form recompute.
+    */
+  val qTiffFrames = GateQuery.sql(
+    "q_tiff_frames",
+    s"""WITH px AS (SELECT f.f AS frame,
+       |    (7 + 61 * f.f + 23 * r.r + 9 * c.c) % 1009 - 500 AS v
+       |  FROM range(0, $TFrames) f(f), range(0, $TH) r(r), range(0, $TW) c(c))
+       |SELECT CAST(frame AS BIGINT) AS frame, CAST(count(*) AS BIGINT) AS n_px,
+       |  CAST(sum(v) AS BIGINT) AS px_sum,
+       |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+       |FROM px GROUP BY 1 ORDER BY frame""".stripMargin) { (s, _) =>
+    s.read.format("tiff").load(tiffFixture(s))
+      .select(col("frame"),
+        size(col("pixels")).cast("long").as("n_px"),
+        aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("px_sum"),
+        array_min(col("pixels")).cast("long").as("px_min"),
+        array_max(col("pixels")).cast("long").as("px_max"))
+      .orderedSmall(col("frame"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
+    qTiffFrames)
 }
