@@ -178,6 +178,44 @@ object CcdQueries {
       .orderedSmall(col("frame"), col("rbin"))
   }
 
+  // Detector geometry for the I(q) gate: Pilatus-style 172 µm pixels
+  // at 300 mm, Cu Kα 1.5406 Å — the scalars every powder setup knows.
+  private val PxMm = 0.172
+  private val DistMm = 300.0
+  private val LambdaA = 1.5406
+
+  /** #105 — momentum-transfer azimuthal integration: the radial
+    * profile's rings converted to q = (4π/λ)·sin(atan(r·px/d)/2) —
+    * the I(q) powder pattern, the form the diffraction user actually
+    * consumes. Per-ring scalar math rides the profile result; the
+    * 4π/λ constant is computed once in the JVM and interpolated into
+    * the oracle as a literal so both engines start from the identical
+    * double.
+    */
+  val qIqProfile = GateQuery.sql(
+    "q_iq_profile", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      val qk = 4.0 * math.Pi / LambdaA
+      s"""WITH px AS (SELECT f.f AS frame,
+         |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v,
+         |    CAST(floor(sqrt((c.c - $cx) * (c.c - $cx) + (r.r - $cy) * (r.r - $cy))) AS BIGINT) AS rbin
+         |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c))
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  round($qk * sin(atan(rbin * $PxMm / $DistMm) / 2), 6) + 0.0 AS q,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS i_sum,
+         |  ${graft.operators.Exact.roundedRatioSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS i_mean
+         |FROM px GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    graft.operators.Binning.radialProfile(
+        s.read.format("edf").load(edfFixture(s)),
+        col("frame"), col("width"), col("pixels"), cx = EW / 2, cy = EH / 2)
+      .withColumnRenamed("id", "frame")
+      .select(col("frame"), col("rbin"),
+        (graft.operators.Binning.qOfRing(col("rbin"), PxMm, DistMm, LambdaA) + lit(0.0)).as("q"),
+        col("n_px"), col("v_sum").as("i_sum"), col("v_mean").as("i_mean"))
+      .orderedSmall(col("frame"), col("rbin"))
+  }
+
   private val TW = 52
   private val TH = 36
   private val TFrames = 10
@@ -232,5 +270,5 @@ object CcdQueries {
   }
 
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
-    qTiffFrames)
+    qTiffFrames, qIqProfile)
 }
