@@ -54,12 +54,12 @@ object QualityClassifier {
 
   /** Integer margin of a packed feature row under literal weights —
     * the same exact sum the broadcast join produced, as a zero-join
-    * per-row expression. */
-  private def marginExpr(bs: Column, w: Weights): Column =
+    * per-row expression. Shared with [[LangClassifier]]. */
+  private[operators] def marginExpr(bs: Column, w: Weights): Column =
     aggregate(bs, lit(0L), (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
 
   /** Micro-quantized logistic residual sigmoid(m) − label. */
-  private def residExpr(bs: Column, label: Column, w: Weights): Column =
+  private[operators] def residExpr(bs: Column, label: Column, w: Weights): Column =
     floor((lit(1.0) / (lit(1.0) + exp(-marginExpr(bs, w) / lit(1e6)))
       - label) * lit(1000000)).cast("long")
 

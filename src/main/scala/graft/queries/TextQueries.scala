@@ -119,6 +119,28 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #106 — fastText-grade language ID: multi-class linear classifier
+    * over hashed character-trigram features, trained on the corpus's
+    * own labels and deployed as an inlined argmax expression — the
+    * model family CCNet/C4 actually run for lang-id at corpus scale.
+    * Driver-held training has no SQL equivalent → rows-only gate;
+    * the accuracy floor on a multilingual fixture and training
+    * determinism are LangClassifierSpec's.
+    * [[qLangId]] (the marker heuristic) stays the SQL-oracle gate.
+    */
+  val qLangIdFt = GateQuery.rowsOnly("q_lang_id_ft") { (s, d) =>
+    import graft.operators.LangClassifier
+    val docs = Tables.documents(s, d)
+    val packed = LangClassifier.features(docs, buckets = 1024, n = 3).persist()
+    try {
+      val langs = packed.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val m = LangClassifier.train(packed, langs, buckets = 1024, iters = 6, lr = 0.5)
+      LangClassifier.predict(packed, m)
+        .orderedSmall(col("doc_id"))
+    } finally packed.unpersist()
+  }
+
   val qFingerprint = GateQuery.sql(
     "q_fingerprint",
     s"""SELECT doc_id, CAST(${TextOps.fingerprintSql("text")} AS BIGINT) AS fp
@@ -601,5 +623,5 @@ object TextQueries {
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
-    qStratifiedSample, qIncrementalDedup)
+    qStratifiedSample, qIncrementalDedup, qLangIdFt)
 }
