@@ -80,6 +80,8 @@ object TextExpressions {
     BigramBucketsExpr(GraftColumnBridge.expression(text), buckets))
   def windowKeys(text: Column, l: Int): Column = GraftColumnBridge.column(
     WindowKeysExpr(GraftColumnBridge.expression(text), l))
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column = GraftColumnBridge.column(
+    BpeCountExpr(GraftColumnBridge.expression(text), merges))
 }
 
 /** All unordered doc pairs of one shingle's posting list — the pair
@@ -323,5 +325,75 @@ case class WindowKeysExpr(child: Expression, l: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): WindowKeysExpr =
+    copy(child = newChild)
+}
+
+/** Greedy BPE token count under an inlined merges table (Sennrich et
+  * al. 2016 apply semantics: per word, repeatedly merge the
+  * best-ranked adjacent pair — all its occurrences — until none
+  * ranks). Value-identical to [[graft.operators.Bpe.countTokensRef]]
+  * (parity-asserted by BpeSpec). The merges list is model state baked
+  * into the expression — zero join, zero shuffle, streaming-safe,
+  * like the classifier weight literals.
+  */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Int.box(i))
+    }
+    m
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var syms = new Array[String](w.length)
+        var i = 0
+        while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+        var n = syms.length
+        var more = n > 1
+        while (more) {
+          // best-ranked adjacent pair
+          var bestRank = Int.MaxValue
+          var a: String = null; var b: String = null
+          i = 0
+          while (i + 1 < n) {
+            val r = ranks.get(syms(i) + " " + syms(i + 1))
+            if (r != null && r < bestRank) { bestRank = r; a = syms(i); b = syms(i + 1) }
+            i += 1
+          }
+          if (a == null) more = false
+          else {
+            // merge ALL occurrences, left-to-right non-overlapping
+            val next = new Array[String](n)
+            var o = 0
+            i = 0
+            while (i < n) {
+              if (i + 1 < n && syms(i) == a && syms(i + 1) == b) {
+                next(o) = a + b; o += 1; i += 2
+              } else { next(o) = syms(i); o += 1; i += 1 }
+            }
+            syms = next
+            n = o
+            more = n > 1
+          }
+        }
+        total += n
+      }
+      wi += 1
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
     copy(child = newChild)
 }

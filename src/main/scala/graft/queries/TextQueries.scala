@@ -382,6 +382,27 @@ object TextQueries {
       .orderedSmall(col("bucket"), col("seq_id"))
   }
 
+  /** #107 — sequence packing on REAL tokenizer counts: BPE merges
+    * trained on a deterministic corpus sample (driver-held model,
+    * vocab-bounded), counts via the inlined-merges native expression,
+    * then the same bucket-parallel first-fit-decreasing packer as
+    * [[qSeqPacking]]. This is the count a token-budget decision at
+    * scale should use; the regex approximation stays as the
+    * SQL-oracle q_token_count. Rows-only (driver-trained model);
+    * trainer/count semantics are BpeSpec's.
+    */
+  val qBpePacking = GateQuery.rowsOnly("q_bpe_packing") { (s, d) =>
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.trainFromCorpus(docs, col("text"), nMerges = 200, samplePct = 40)
+    Packing.packSequences(docs, col("doc_id"),
+        graft.expressions.TextExpressions.bpeCount(col("text"), merges), budget = 512L,
+        buckets = 8)
+      .select(col("bucket"), col("seq_id"), col("n_docs"),
+        col("total_tokens"), round(col("fill"), 4).as("fill"))
+      .orderedSmall(col("bucket"), col("seq_id"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -623,5 +644,5 @@ object TextQueries {
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
-    qStratifiedSample, qIncrementalDedup, qLangIdFt)
+    qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking)
 }
