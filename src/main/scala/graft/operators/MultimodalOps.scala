@@ -176,6 +176,226 @@ object MultimodalOps {
     }
   }
 
+  final case class PHash(doc_id: Long, phash: Long, decoded: Boolean)
+
+  /** Area-average box resample to `s`×`s` Rec.601 luma — explicit
+    * loops (not `Graphics2D`) so the values are bit-deterministic
+    * across JVMs. */
+  private def grayResize(img: java.awt.image.BufferedImage, s: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](s * s)
+    var by = 0
+    while (by < s) {
+      var bx = 0
+      while (bx < s) {
+        val x0 = bx * w / s; val x1 = math.max(x0 + 1, (bx + 1) * w / s)
+        val y0 = by * h / s; val y1 = math.max(y0 + 1, (by + 1) * h / s)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(by * s + bx) = sum / n
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Top-left 8×8 block of the 2-D DCT-II of an `s`×`s` pixel block
+    * (the low-frequency structure pHash thresholds). */
+  private def dctLow8(px: Array[Double], s: Int): Array[Double] = {
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < s) {
+          var x = 0
+          while (x < s) {
+            sum += px(y * s + x) * math.cos((2 * x + 1) * u * math.Pi / (2 * s)) *
+              math.cos((2 * y + 1) * v * math.Pi / (2 * s))
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = sum
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual hash (classic pHash: 32×32 luma → 8×8
+    * low-frequency DCT → median threshold) — the image analogue of
+    * SimHash: near-identical images (re-encodes, mild crops/rescales,
+    * brightness-preserving edits) land within a few bits, so image
+    * near-dup becomes the same banded hamming join the text side
+    * already runs. Bit `i` (1–63) is set iff AC coefficient `i`
+    * exceeds the median of the 63 AC coefficients; the DC bit stays 0.
+    * Non-decodable payloads get a deterministic byte-polynomial
+    * fallback with `decoded = false`, keeping mixed corpora total.
+    * Per-row arithmetic on executors — zero shuffle, batched like
+    * [[decodeFeatures]].
+    */
+  def pHash(ds: Dataset[(Long, Array[Byte])], batchSize: Int = 64): Dataset[PHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val img =
+            if (!looksLikeImage(bytes)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val dct = dctLow8(grayResize(img, 32), 32)
+            val ac = java.util.Arrays.copyOfRange(dct, 1, 64)
+            java.util.Arrays.sort(ac)
+            val med = ac(31)
+            var h = 0L
+            var i = 1
+            while (i < 64) {
+              if (dct(i) > med) h |= (1L << i)
+              i += 1
+            }
+            PHash(id, h, decoded = true)
+          } else {
+            var h = 1125899906842597L
+            var i = 0
+            while (i < bytes.length) { h = 31L * h + (bytes(i) & 0xff); i += 1 }
+            PHash(id, h, decoded = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** Banded hamming near-dup over 64-bit perceptual hashes: split each
+    * hash into `bands` equal slices, hash-join on (band, slice) —
+    * pigeonhole guarantees any pair within `maxHamming < bands` bits
+    * shares at least one exact slice — then confirm with
+    * `bit_count(xor)`. One shuffle keyed by (band, slice); never
+    * all-pairs. The same LSH shape as MinHash banding, with exact
+    * slices as the band keys.
+    */
+  def pHashPairs(df: DataFrame, id: Column, hash: Column,
+                 maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"banding guarantees recall only for maxHamming < bands ($maxHamming >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val keyed = df.select(id.as("doc_id"), hash.as("ph"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(hash, b * width).bitwiseAND(lit(mask))).as("slice"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ph"), col("bk.band").as("band"), col("bk.slice").as("slice"))
+    val l = keyed.select(col("band"), col("slice"),
+      col("doc_id").as("id_a"), col("ph").as("ph_a"))
+    val r = keyed.select(col("band"), col("slice"),
+      col("doc_id").as("id_b"), col("ph").as("ph_b"))
+    l.join(r, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Minimal PCM WAV container (RIFF / `fmt ` / `data`, little-endian
+    * 16-bit) — the writer half of the audio path, used by fixtures and
+    * round-trip specs. Interleaved samples are written verbatim.
+    */
+  def wavBytes(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  final case class PcmStats(doc_id: Long, n_samples: Long, sum_abs: Long,
+                            sum_sq: Long, n_clipped: Long, n_silent: Long,
+                            peak: Long, valid: Boolean)
+
+  /** Sample-level PCM statistics from 16-bit WAV payloads — the audio
+    * quality-filter signals a corpus curation run needs (silence and
+    * clipping shares, energy): `sum_abs`/`sum_sq` exact integer sums,
+    * clipped = |s| ≥ `clipAbs`, silent = |s| ≤ `silentAbs`, `peak` =
+    * max |s|. Walks the RIFF chunks like [[audioMeta]]; anything that
+    * is not 16-bit PCM comes back `valid = false` with zeroed stats so
+    * mixed corpora never fail. Per-row arithmetic only — zero shuffle;
+    * downstream thresholds (e.g. drop >50%-silent clips) are plain
+    * filters on the result.
+    */
+  def pcmStats(ds: Dataset[(Long, Array[Byte])], clipAbs: Int = 32700,
+               silentAbs: Int = 100): Dataset[PcmStats] = {
+    import ds.sparkSession.implicits._
+    def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 3) & 0xffL) << 24)
+    def tag(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+    ds.map { case (id, b) =>
+      val bad = PcmStats(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") bad
+      else {
+        var i = 12
+        var bits = 0; var dataOff = -1; var dataLen = 0L
+        var ok = true
+        while (ok && i + 8 <= b.length && (bits == 0 || dataOff < 0)) {
+          val t = tag(b, i)
+          val sz = le32(b, i + 4)
+          if (t == "fmt " && i + 24 <= b.length) bits = le16(b, i + 22)
+          else if (t == "data") {
+            dataOff = i + 8
+            dataLen = math.min(sz, (b.length - i - 8).toLong)
+          }
+          if (sz < 0 || sz > b.length) ok = false
+          else i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (bits != 16 || dataOff < 0) bad
+        else {
+          val n = (dataLen / 2).toInt
+          var j = 0
+          var sumAbs = 0L; var sumSq = 0L
+          var clipped = 0L; var silent = 0L; var peak = 0L
+          while (j < n) {
+            val v = le16(b, dataOff + 2 * j).toShort.toInt
+            val a = math.abs(v).toLong
+            sumAbs += a; sumSq += a * a
+            if (a >= clipAbs) clipped += 1
+            if (a <= silentAbs) silent += 1
+            if (a > peak) peak = a
+            j += 1
+          }
+          PcmStats(id, n.toLong, sumAbs, sumSq, clipped, silent, peak, valid = true)
+        }
+      }
+    }
+  }
+
   /** Batched executor-side decode: iterates payload batches (the shape
     * that amortizes per-batch codec/model setup for heavier decoders),
     * decoding each payload with `javax.imageio`. Decodable images

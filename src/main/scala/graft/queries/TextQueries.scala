@@ -403,6 +403,84 @@ object TextQueries {
       .orderedSmall(col("bucket"), col("seq_id"))
   }
 
+  /** #108 — PCM audio quality statistics: 16-bit WAV payloads built
+    * from a closed-form sample formula, decoded by the real RIFF/PCM
+    * walker ([[MultimodalOps.pcmStats]]), checked against DuckDB's
+    * recompute of the same formula — the silence/clipping/energy
+    * signals an audio-corpus curation filter runs on. Per-row decode,
+    * zero shuffle; the gate certifies container write → chunk walk →
+    * sample decode end-to-end.
+    */
+  val qWavStats = GateQuery.sql(
+    "q_wav_stats",
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       |s AS (SELECT doc_id, (17 + 31 * doc_id + 7 * i.i) % 65536 - 32768 AS v
+       |      FROM d, range(0, 512) i(i))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |  CAST(sum(abs(v) * abs(v)) AS BIGINT) AS sum_sq,
+       |  CAST(count(*) FILTER (abs(v) >= 32700) AS BIGINT) AS n_clipped,
+       |  CAST(count(*) FILTER (abs(v) <= 100) AS BIGINT) AS n_silent,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak,
+       |  round(sqrt(CAST(sum(abs(v) * abs(v)) AS DOUBLE) / count(*)), 4) AS rms
+       |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 50 === 0).as[Long]
+    val wav = ids.map { id =>
+      val samples = Array.tabulate(512) { i =>
+        (((17L + 31L * id + 7L * i) % 65536L) - 32768L).toShort
+      }
+      (id, MultimodalOps.wavBytes(8000, 1, samples))
+    }
+    MultimodalOps.pcmStats(wav)
+      .toDF()
+      .withColumn("rms", round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4))
+      .select(col("doc_id"), col("n_samples"), col("sum_abs"), col("sum_sq"),
+        col("n_clipped"), col("n_silent"), col("peak"), col("rms"))
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** #109 — perceptual-hash image near-dup: deterministic synthetic
+    * PNG payloads (pattern keyed by doc_id/1000, one-pixel
+    * perturbation by doc_id) → real decode → 32×32 luma → 8×8 DCT
+    * pHash → banded hamming join. Rows-only (DCT over decoded pixels
+    * is not SQL-expressible); hash/band semantics are pinned by
+    * MultimodalOpsSpec. The planted clusters guarantee matches, so an
+    * empty result is a real failure.
+    */
+  val qImageNeardup = GateQuery.rowsOnly("q_image_neardup") { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 100 === 0).as[Long]
+    val imgs = ids.map { id =>
+      val cluster = id / 1000
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 48) {
+          val g = (((cluster * 37 + x * 11 + y * 7) % 200) + 28).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      // near-dup, not identical: one pixel nudged per variant
+      val v = ((id / 100) % 10).toInt
+      val g2 = math.min(255, ((cluster * 37 + v * 11 + v * 7) % 200) + 31).toInt
+      img.setRGB(v, v, (g2 << 16) | (g2 << 8) | g2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }
+    val hashed = MultimodalOps.pHash(imgs, batchSize = 64).toDF()
+    MultimodalOps.pHashPairs(hashed, col("doc_id"), col("phash"),
+        maxHamming = 3, bands = 8)
+      .orderedSmall(col("id_a"), col("id_b"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -644,5 +722,6 @@ object TextQueries {
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
-    qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking)
+    qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
+    qImageNeardup)
 }
