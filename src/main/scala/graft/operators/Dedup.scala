@@ -115,6 +115,49 @@ object Dedup {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Bloom-prefiltered decontamination — [[contamination]] for the
+    * regime where the held-out/blocklist key set is itself too large
+    * to broadcast exactly (a 100 TB run auditing against a big eval
+    * suite or a multi-TB blocklist corpus). The eval keys are folded
+    * into a constant-size Bloom sketch (distributed treeAggregate via
+    * `stat.bloomFilter`), the sketch rides the scan as a map-side
+    * native-expression filter, and only the surviving corpus slice —
+    * true hits + ~fpp false positives — enters the exact confirm
+    * join. False positives are removed there, so the result is
+    * IDENTICAL to the exact audit; what changes is the shuffle: the
+    * confirm join moves `fpp × corpus + hits` keys instead of either
+    * broadcasting an unbounded eval table or shuffling every corpus
+    * shingle. The eval side is scanned twice (count + sketch build)
+    * plus once more in the confirm — it is the small side by
+    * definition, and the corpus side stays single-pass.
+    *
+    * @return (doc_id, n_shared) — identical to [[contamination]]
+    */
+  def bloomContamination(corpus: DataFrame, eval_ : DataFrame,
+                         id: Column, text: Column, k: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val evKeys = eval_
+      .select(explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
+      .distinct()
+    val nKeys = math.max(evKeys.count(), 1L)
+    val bloom = evKeys.stat.bloomFilter("h", nKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    corpus
+      .select(id.as("doc_id"),
+        explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
+      .filter(graft.expressions.SketchExpressions.bloomMightContain(col("h"), bytes))
+      // exact confirm: size-selected join (AQE broadcasts when the eval
+      // side is small; stays a shuffle join over the surviving slice
+      // when it is not) — never forced either way
+      .join(evKeys, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+  }
+
   /** Fuzzy (MinHash/LSH) train/eval decontamination: flags corpus
     * documents NEAR-duplicating any held-out eval document — the
     * leakage [[contamination]]'s exact shingle intersection is blind

@@ -336,6 +336,33 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #110 — Bloom-prefiltered decontamination: the exact audit's
+    * answer (the oracle IS the exact semantics — the sketch never
+    * changes the result, only the shuffle), produced by folding the
+    * eval keys into a constant-size Bloom filter, map-side
+    * prefiltering corpus shingles through the native might-contain
+    * expression, and exact-confirming only the surviving slice. The
+    * shape for eval/blocklist sets too large to broadcast exactly.
+    */
+  val qBloomContamination = GateQuery.sql(
+    "q_bloom_contamination",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)])) AS h
+      |       FROM w),
+      |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 40 = 0)
+      |SELECT s.doc_id AS doc_id, CAST(count(DISTINCT s.h) AS BIGINT) AS n_shared
+      |FROM sh s JOIN ev USING (h)
+      |WHERE s.doc_id % 40 <> 0
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.bloomContamination(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0),
+        col("doc_id"), col("text"), k = 3)
+      .orderedSmall(col("doc_id"))
+  }
+
   /** Fuzzy decontamination (#87): corpus docs NEAR-duplicating any
     * held-out eval doc (doc_id % 20 == 0) via MinHash/LSH band
     * collisions — catches the lightly-edited benchmark leakage the
@@ -723,5 +750,5 @@ object TextQueries {
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup)
+    qImageNeardup, qBloomContamination)
 }

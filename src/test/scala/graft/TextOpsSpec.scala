@@ -108,6 +108,31 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_match")) >= 6L)
   }
 
+  test("bloomContamination equals the exact audit and prefilters map-side") {
+    // 40 corpus docs, 4 eval docs; docs 1..8 share a 3-gram with eval
+    val eval_ = (0 until 4)
+      .map(e => (1000L + e, s"shared$e gram$e tail$e plus unique$e words$e here$e"))
+      .toDF("id", "text")
+    val corpus = (1L to 40L).map { i =>
+      val txt =
+        if (i <= 8) s"prefix$i shared${i % 4} gram${i % 4} tail${i % 4} suffix$i"
+        else s"own$i text$i with$i no$i overlap$i at$i all$i"
+      (i, txt)
+    }.toDF("id", "text")
+    val exact = Dedup.contamination(corpus, eval_, col("id"), col("text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bloom = Dedup.bloomContamination(corpus, eval_, col("id"), col("text"), k = 3)
+    val got = bloom.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(exact.nonEmpty && got == exact) // sketch invisible in the answer
+    // the sketch filter sits in the plan (map-side prefilter, pre-join)
+    assert(bloom.queryExecution.executedPlan.toString.toLowerCase
+      .contains("bloommightcontain"))
+    // tighter fpp changes nothing semantically
+    val tight = Dedup.bloomContamination(corpus, eval_, col("id"), col("text"),
+      k = 3, fpp = 0.0001).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(tight == exact)
+  }
+
   test("gopher line stats: bullets, ellipses, alpha words, symbols") {
     val text = "- first item\n* second\nplain line\nwait for it...\ntag ## x....."
     val df = Seq(text).toDF("text")
