@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — BM25 (Robertson et al.,
+  * the Okapi formulation; the scoring Lucene/Elasticsearch run), used
+  * in data pipelines for boilerplate discovery, targeted corpus
+  * slicing and query-anchored quality audits.
+  *
+  * Cross-engine determinism discipline (SURVEY.md §4): k1/b default to
+  * EXACTLY-representable doubles (1.25 / 0.75), every float operation
+  * is explicitly associated the same way in the DuckDB mirror, and the
+  * per-(term, doc) score is floor-quantized to integer micro-units so
+  * the per-(query, doc) sum is order-independent exact arithmetic.
+  *
+  * Plan shape at scale: one (doc, term) map-side-combined aggregate
+  * over the corpus; the tiny query-term set broadcast-semi-joins that
+  * relation down to the matching slice; per-term document frequencies
+  * aggregate from the slice (query-terms-sized, broadcast back); the
+  * only corpus-keyed shuffle is the doc-length join on the matched
+  * docs; top-k per query is a window over query-id partitions. Never
+  * corpus × queries.
+  */
+object Retrieval {
+
+  /** BM25 top-k per query. `queries` is the (query_id, text) set —
+    * driver-side by definition (a query workload, not a table).
+    *
+    * @return (query_id, rank, doc_id, score_micro, n_terms), rank
+    *         1..topK by descending micro-quantized score, doc_id
+    *         ascending on ties
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: Seq[(Long, String)], topK: Int = 10,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query workload")
+
+    val tf = docs
+      .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+
+    val qterms = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val matched = tf.join(broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    // tf is already distinct per (doc, term), so df is a plain count
+    val dfRel = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val scored = matched
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfRel), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st)) // single scalar-stats row
+    // association mirrored term-for-term by bm25Sql — do not refactor
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * ((col("dl") * col("n_docs")) / col("total_len")))
+    val sMicro = floor((idf * (num / den)) * lit(1000000)).cast("long")
+
+    val agg = scored
+      .select(col("query_id"), col("doc_id"), sMicro.as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_micro"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    agg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
+  /** DuckDB mirror of [[bm25TopK]] over the `documents` view — same
+    * association, same exact constants, same floor quantization.
+    */
+  def bm25Sql(queries: Seq[(Long, String)], topK: Int = 10,
+              k1: Double = 1.25, b: Double = 0.75): String = {
+    val vals = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+       |q(query_id, term) AS (VALUES $vals),
+       |dfr AS (SELECT term, count(*) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * ((dl * n_docs) / total_len)))))
+       |      * 1000000) AS BIGINT) AS s
+       |  FROM tf JOIN q USING (term) JOIN dfr USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
+       |    CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, score_micro, n_terms
+       |FROM agg
+       |QUALIFY rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -508,6 +508,25 @@ object TextQueries {
       .orderedSmall(col("id_a"), col("id_b"))
   }
 
+  /** #111 — BM25 keyword retrieval: a deterministic query workload
+    * against the documents corpus, micro-quantized Okapi scoring,
+    * top-10 per query. One corpus (doc, term) aggregate + broadcast
+    * query/df tables; DuckDB mirrors the exact float association
+    * (see [[graft.operators.Retrieval]]). The third query carries a
+    * vocabulary-miss term, pinning the df-absent path.
+    */
+  private val Bm25Queries = Seq(
+    (1L, "hash join merge sort"),
+    (2L, "stream window agg watermark"),
+    (3L, "vector scan filter"))
+
+  val qBm25 = GateQuery.sql("q_bm25",
+    graft.operators.Retrieval.bm25Sql(Bm25Queries)) { (s, d) =>
+    graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
+      .orderedSmall(col("query_id"), col("rank"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -750,5 +769,5 @@ object TextQueries {
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination)
+    qImageNeardup, qBloomContamination, qBm25)
 }

@@ -133,6 +133,26 @@ class TextOpsSpec extends SparkSpec {
     assert(tight == exact)
   }
 
+  test("bm25: coverage and idf order the ranking; ties break by doc_id") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // both query terms
+      (2L, "alpha zeta eta theta"),          // one common term
+      (3L, "beta iota kappa lambda"),        // one RARE term (beta df=2, alpha df=3)
+      (4L, "alpha mu nu xi"),                // one common term — tie with doc 2
+      (5L, "omicron pi rho sigma")).toDF("id", "text")
+    val out = Retrieval.bm25TopK(docs, col("id"), col("text"),
+        Seq((7L, "alpha beta")), topK = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L, 4L)) // coverage > rare > common; tie 2<4
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // dense ranks
+    val s = out.map(t => t._2 -> t._3).toMap
+    assert(s(3L) > s(2L) && s(2L) == s(4L)) // idf(beta) > idf(alpha); equal docs tie exactly
+    // doc 5 matches nothing and never appears
+    assert(!out.exists(_._2 == 5L))
+  }
+
   test("gopher line stats: bullets, ellipses, alpha words, symbols") {
     val text = "- first item\n* second\nplain line\nwait for it...\ntag ## x....."
     val df = Seq(text).toDF("text")
