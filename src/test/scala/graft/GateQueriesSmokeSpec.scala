@@ -16,7 +16,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     Set("q_knn_bruteforce", "q_dark_subtract", "q_histogram",
       "q_lm_perplexity", "q_lm_bigram", "q_lm_trigram", "q_dsir_weights",
       "q_dsir_select",
-      "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline")
+      "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline",
+      "q_bm25") // (n_docs, total_len) single-row stats
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
