@@ -428,8 +428,28 @@ object EmbeddingQueries {
     } finally e.unpersist()
   }
 
+  /** Product-quantization ANN (#112): 64-dim vectors → ONE packed
+    * int64 code (M=8 subspaces × 4-bit codes — 32× less memory than
+    * the float corpus), exhaustive ADC top-5 via per-query lookup
+    * tables. Rows-only (codebooks are driver-trained model state);
+    * exactness (ADC == reconstructed dot), determinism and recall
+    * floor vs brute force are pinned by PqIndexSpec.
+    */
+  val qKnnPq = GateQuery.rowsOnly("q_knn_pq") { (s, d) =>
+    val e = prep(s, d).persist() // cache across the training jobs (see qKnnIvf)
+    try {
+      val model = graft.operators.PqIndex.train(e, m = 8, k = 16, iters = 2, dims = Dims)
+      val coded = graft.operators.PqIndex.encode(e, model)
+        .select(col("vec_id"), col("pq"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+      graft.operators.PqIndex.adcTopK(qs, coded, model, topK = 5)
+        .orderedSmall(col("query_id"), col("rnk"))
+    } finally e.unpersist()
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
-    qKnnIvf, qSemDedup)
+    qKnnIvf, qSemDedup, qKnnPq)
 }

@@ -17,7 +17,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_lm_perplexity", "q_lm_bigram", "q_lm_trigram", "q_dsir_weights",
       "q_dsir_select",
       "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline",
-      "q_bm25") // (n_docs, total_len) single-row stats
+      "q_bm25", // (n_docs, total_len) single-row stats
+      "q_knn_pq") // exhaustive ADC scan (Jégou §IV); scale path = ivfPqTopK
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{PqExpressions, VectorExpressions}
+import graft.operators.{IvfIndex, PqIndex, VectorOps}
+
+class PqIndexSpec extends SparkSpec {
+
+  private val Dims = 64
+
+  private lazy val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id"), VectorExpressions.quantizeVec(col("embedding")).as("q"))
+    .select(col("vec_id"), col("q"), VectorExpressions.normQ(col("q")).as("n"))
+
+  private lazy val model = PqIndex.train(e, m = 8, k = 16, iters = 2, dims = Dims)
+
+  test("codebook shape, packing bound, and training determinism") {
+    assert(model.m == 8 && model.k == 16 && model.subDim == 8)
+    assert(PqExpressions.codeBits(16) == 4)
+    val again = PqIndex.train(e, m = 8, k = 16, iters = 2, dims = Dims)
+    assert(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // training moved at least one centroid off its seed
+    val seeds = PqIndex.train(e, m = 8, k = 16, iters = 0, dims = Dims)
+    assert(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq !=
+      seeds.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("ADC dot and recon norm are EXACT against the reconstruction") {
+    // adcDot(pq, lut(q')) == dotQ(decode(pq), q') and
+    // reconNorm(pq) == normQ(decode(pq)), as integers, for every row
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("q")).collect()(0).getSeq[Long](0)
+    val cb = model.codebooks
+    val checked = PqIndex.encode(e, model)
+      .withColumn("lut", PqExpressions.pqLut(lit(q0.toArray), cb))
+      .select(
+        PqExpressions.pqAdcDot(col("pq"), col("lut"), model.m, model.k).as("adc"),
+        VectorExpressions.dotQ(PqExpressions.pqDecode(col("pq"), cb),
+          lit(q0.toArray)).as("exact_dot"),
+        PqExpressions.pqReconNorm(col("pq"), cb).as("rn"),
+        VectorExpressions.normQ(PqExpressions.pqDecode(col("pq"), cb)).as("exact_rn"))
+      .filter(col("adc") =!= col("exact_dot") || col("rn") =!= col("exact_rn"))
+    assert(checked.count() == 0)
+  }
+
+  test("encode packs M in-range codes; codes use only M*bits low bits") {
+    val codes = PqIndex.encode(e, model).select(col("pq")).collect().map(_.getLong(0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(c => (c & ~((1L << 32) - 1)) == 0L), "only 32 bits may be set")
+    // unpacked form agrees with the packed form
+    val mismatch = e.select(
+        PqExpressions.pqEncode(col("q"), model.codebooks).as("pq"),
+        PqExpressions.pqEncodeArray(col("q"), model.codebooks).as("cs"))
+      .withColumn("repacked",
+        aggregate(transform(sequence(lit(0), lit(model.m - 1)),
+            i => element_at(col("cs"), i + 1) * pow(lit(2.0), i * lit(4)).cast("long")),
+          lit(0L), (s, v) => s.bitwiseOR(v)))
+      .filter(col("pq") =!= col("repacked"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("exhaustive ADC recall@5 vs brute-force cosine clears the floor") {
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+    val coded = PqIndex.encode(e, model).select(col("vec_id"), col("pq"))
+    val pq = PqIndex.adcTopK(qs, coded, model, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineQ(VectorExpressions.dotQ(col("qq"), col("q")),
+          col("nq"), col("n")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id"))
+    val truth = exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(pq.keySet == truth.keySet && pq.keySet.size == 10)
+    val recalls = truth.map { case (qid, t) => (pq(qid) & t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // 4-bit codes over 8 subspaces on these embeddings: pin a floor
+    // well under the observed value so the assertion is stable, but
+    // high enough that a broken LUT/encode (random ranking ≈ 5/N)
+    // cannot pass.
+    assert(mean >= 0.2, s"mean recall@5 $mean")
+    // and the ADC ranking is rerun-deterministic
+    val rerun = PqIndex.adcTopK(qs, coded, model, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = PqIndex.adcTopK(qs, coded, model, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rerun == first)
+  }
+
+  test("IVF-PQ probes cells and returns k rows per query") {
+    val cents = IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+    val assignedCoded = PqIndex.encode(IvfIndex.assign(e, cents), model)
+      .select(col("vec_id"), col("cell"), col("pq"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+    val out = PqIndex.ivfPqTopK(qs, assignedCoded, cents, model, nprobe = 4, topK = 3)
+    val counts = out.groupBy("query_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 3L))
+    // nprobe = all cells degenerates to the exhaustive ADC ranking
+    val allCells = PqIndex.ivfPqTopK(qs, assignedCoded, cents, model,
+        nprobe = 16, topK = 5).collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted
+    val exhaustive = PqIndex.adcTopK(qs,
+        assignedCoded.select(col("vec_id"), col("pq")), model, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted
+    assert(allCells.toSeq == exhaustive.toSeq)
+  }
+
+  test("packing bound is enforced") {
+    intercept[IllegalArgumentException] {
+      PqIndex.PqModel(Array.fill(9, 256)(Array(0L))) // 9 * 8 bits > 64
+    }
+  }
+}
