@@ -527,6 +527,29 @@ object TextQueries {
       .orderedSmall(col("query_id"), col("rank"))
   }
 
+  /** #113 — exact heavy-hitter bigrams via the two-pass Misra–Gries
+    * shape ([[graft.operators.HeavyHitters]]): bounded-memory
+    * zero-shuffle candidate pass, broadcast-semi-join exact recount —
+    * never a corpus-wide (term) shuffle. The oracle is the exact
+    * top-k the certificate guarantees (with exact fallback when the
+    * frequency profile defeats the sketch, so the answer is always
+    * the true top-k either way).
+    */
+  val qHeavyHitters = GateQuery.sql(
+    "q_heavy_hitters",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS term FROM w),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1)
+      |SELECT term, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+      |FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+    import graft.operators.HeavyHitters
+    HeavyHitters.topKTerms(
+        HeavyHitters.ngramTerms(Tables.documents(s, d), col("text"), n = 2),
+        k = 20, sketchSize = 4096)
+      .orderedSmall(col("rnk"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -769,5 +792,5 @@ object TextQueries {
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination, qBm25)
+    qImageNeardup, qBloomContamination, qBm25, qHeavyHitters)
 }
