@@ -82,13 +82,12 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
-  /** #84 — CCNet-style quality scoring: per-doc average negative
-    * log-likelihood (nats, micro-quantized) under a Laplace unigram
-    * LM trained on the corpus's own `lang = 'en'` slice.
+  /** Shared CTE chain of the unigram-LM gates: per-doc token count +
+    * micro-nat negative log-likelihood (`sc(doc_id, n_tokens,
+    * nll_micro)`).
     */
-  val qLmPerplexity = GateQuery.sql(
-    "q_lm_perplexity",
-    s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  private lazy val PplScoredSql =
+    s"""toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
        |              FROM documents),
        |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ref),
@@ -97,23 +96,81 @@ object CurationQueries {
        |oov AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oovq FROM st),
        |sc AS (SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
        |         CAST(-sum(coalesce(lp.q, oov.oovq)) AS BIGINT) AS nll_micro
-       |       FROM toks t LEFT JOIN lp USING (word), oov GROUP BY t.doc_id)
-       |SELECT doc_id, n_tokens, nll_micro,
-       |  ${roundedRatioSql("nll_micro", "n_tokens * 1000000", 4)} AS avg_nll
-       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |       FROM toks t LEFT JOIN lp USING (word), oov GROUP BY t.doc_id)""".stripMargin
+
+  /** Spark mirror of [[PplScoredSql]]'s `sc` relation. */
+  private def pplScored(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
     val refToks = toks.filter(col("lang") === "en")
     val lp = Curation.unigramLogProbs(refToks, topV = Some(LmTopV))
-    val scored = Curation.modelJoin(
+    Curation.modelJoin(
         Curation.withStats(toks, Curation.oovLogProb(refToks)), lp, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (-sum(coalesce(col("q"), col("oovq")))).cast("long").as("nll_micro"))
-    scored
+  }
+
+  /** #84 — CCNet-style quality scoring: per-doc average negative
+    * log-likelihood (nats, micro-quantized) under a Laplace unigram
+    * LM trained on the corpus's own `lang = 'en'` slice.
+    */
+  val qLmPerplexity = GateQuery.sql(
+    "q_lm_perplexity",
+    s"""WITH $PplScoredSql
+       |SELECT doc_id, n_tokens, nll_micro,
+       |  ${roundedRatioSql("nll_micro", "n_tokens * 1000000", 4)} AS avg_nll
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    pplScored(s, d)
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
         Exact.roundedRatio(col("nll_micro"), col("n_tokens") * lit(1000000L), 4).as("avg_nll"))
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** #114 — CCNet head/middle/tail perplexity bucketing (Wenzek et
+    * al. 2020 §4.3: the corpus is cut into terciles of LM perplexity;
+    * "head" trains, "tail" is usually dropped). Thresholds are VALUE
+    * cutoffs from a milli-nat histogram of the per-doc average NLL —
+    * the histogram relation is bounded by the value range (≤ tens of
+    * thousands of distinct milli-nat keys), never by corpus size, so
+    * the cumulative window that finds the two cutoffs is scale-safe
+    * where a global per-doc ntile would single-task-sort the corpus.
+    * Docs AT a cutoff land in the lower bucket on both engines (≤
+    * comparisons over exact integers).
+    */
+  val qPplBuckets = GateQuery.sql(
+    "q_ppl_buckets",
+    s"""WITH $PplScoredSql,
+       |b AS (SELECT doc_id, n_tokens, nll_micro,
+       |        CAST(floor(CAST(nll_micro AS DOUBLE) / n_tokens) AS BIGINT) // 1000 AS mk
+       |      FROM sc),
+       |pv AS (SELECT mk, count(*) AS c FROM b GROUP BY 1),
+       |cw AS (SELECT mk, sum(c) OVER (ORDER BY mk) AS cum FROM pv),
+       |nn AS (SELECT count(*) AS nd FROM b),
+       |th AS (SELECT min(CASE WHEN cum * 3 >= nd THEN mk END) AS t1,
+       |              min(CASE WHEN cum * 3 >= 2 * nd THEN mk END) AS t2
+       |       FROM cw, nn)
+       |SELECT doc_id, n_tokens, nll_micro,
+       |  CASE WHEN mk <= t1 THEN 'head' WHEN mk <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM b, th ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = pplScored(s, d).select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+      (floor(col("nll_micro").cast("double") / col("n_tokens")).cast("long") / lit(1000L))
+        .cast("long").as("mk"))
+    val pv = b.groupBy(col("mk")).agg(count(lit(1)).as("c"))
+    val cw = pv.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("mk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val th = Curation.withStats(cw, b.agg(count(lit(1)).as("nd")))
+      .agg(min(when(col("cum") * 3 >= col("nd"), col("mk"))).as("t1"),
+        min(when(col("cum") * 3 >= lit(2) * col("nd"), col("mk"))).as("t2"))
+    Curation.withStats(b, th)
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+        when(col("mk") <= col("t1"), lit("head"))
+          .when(col("mk") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
       .orderedSmall(col("doc_id"))
   }
 
@@ -468,5 +525,5 @@ object CurationQueries {
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
-      qFimSplit)
+      qFimSplit, qPplBuckets)
 }

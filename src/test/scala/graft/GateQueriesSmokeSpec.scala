@@ -18,7 +18,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_dsir_select",
       "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline",
       "q_bm25", // (n_docs, total_len) single-row stats
-      "q_knn_pq") // exhaustive ADC scan (Jégou §IV); scale path = ivfPqTopK
+      "q_knn_pq", // exhaustive ADC scan (Jégou §IV); scale path = ivfPqTopK
+      "q_ppl_buckets") // OOV scalar + (t1, t2) threshold single-row stats
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
