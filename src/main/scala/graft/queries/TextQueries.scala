@@ -468,6 +468,45 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #115 — Haitsma–Kalker-shape audio fingerprint: WAV payloads from
+    * the q_wav_stats closed-form sample formula, decoded by the real
+    * RIFF walker, framed 16×, 5 time-segment band energies per frame,
+    * 60 sign-of-energy-delta bits packed in one long — DuckDB
+    * recomputes the identical integer bit derivation from the
+    * formula, certifying container walk → sample decode → framing →
+    * energy → bit packing end-to-end. Near-dup pairs over these
+    * hashes reuse the banded hamming join (pHashPairs, gate-proven on
+    * images); cluster behavior is pinned by MultimodalOpsSpec.
+    */
+  val qAudioFingerprint = GateQuery.sql(
+    "q_audio_fingerprint",
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       |s AS (SELECT doc_id, i.i AS i, (17 + 31 * doc_id + 7 * i.i) % 65536 - 32768 AS v
+       |      FROM d, range(0, 512) i(i)),
+       |e AS (SELECT doc_id, i // 32 AS f, (i % 32) // 6 AS b, sum(v * v) AS en
+       |      FROM s WHERE (i % 32) < 30 GROUP BY 1, 2, 3),
+       |p AS (SELECT doc_id, list(en ORDER BY f, b) AS es FROM e GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CAST(list_sum([CASE WHEN (es[(j // 4 + 1) * 5 + (j % 4) + 1] - es[(j // 4 + 1) * 5 + (j % 4) + 2])
+       |      - (es[(j // 4) * 5 + (j % 4) + 1] - es[(j // 4) * 5 + (j % 4) + 2]) > 0
+       |    THEN 1::BIGINT << j ELSE 0 END for j in range(0, 60)]) AS BIGINT) AS fp,
+       |  CAST(512 AS BIGINT) AS n_samples
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 50 === 0).as[Long]
+    val wav = ids.map { id =>
+      val samples = Array.tabulate(512) { i =>
+        (((17L + 31L * id + 7L * i) % 65536L) - 32768L).toShort
+      }
+      (id, MultimodalOps.wavBytes(8000, 1, samples))
+    }
+    MultimodalOps.audioFingerprint(wav, frames = 16, bands = 5)
+      .toDF()
+      .select(col("doc_id"), col("fp"), col("n_samples"))
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #109 — perceptual-hash image near-dup: deterministic synthetic
     * PNG payloads (pattern keyed by doc_id/1000, one-pixel
     * perturbation by doc_id) → real decode → 32×32 luma → 8×8 DCT
@@ -792,5 +831,5 @@ object TextQueries {
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination, qBm25, qHeavyHitters)
+    qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint)
 }
