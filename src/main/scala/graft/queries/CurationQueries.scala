@@ -522,8 +522,37 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #116 — per-domain document cap (RefinedWeb's anti-domination
+    * rule: no source/domain may contribute more than K docs). The
+    * selection key is a portable hash of the doc id — an unbiased
+    * deterministic "random" K per domain, where ordering by crawl/id
+    * would bias toward early documents. Scale shape: the top-K runs
+    * through the salted two-phase window ([[graft.operators.Relational.topKPerGroupSalted]]),
+    * so one viral domain with billions of rows never lands on a
+    * single task; K rows per salt bucket survive phase 1, and phase 2
+    * ranks K·buckets rows per domain.
+    */
+  val qDomainCap = GateQuery.sql(
+    "q_domain_cap",
+    s"""WITH r AS (SELECT doc_id, source,
+       |    ${graft.operators.TextOps.baseHashSql("'cap:' || doc_id")} AS _r
+       |  FROM documents),
+       |k AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY _r, doc_id) AS BIGINT) AS rnk
+       |  FROM r)
+       |SELECT source, doc_id, rnk FROM k WHERE rnk <= 15
+       |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      graft.operators.TextOps.baseHash(
+        concat(lit("cap:"), col("doc_id").cast("string"))).as("_r"))
+    graft.operators.Relational.topKPerGroupSalted(docs, Seq(col("source")),
+        Seq(col("_r"), col("doc_id")), 15, col("doc_id"))
+      .select(col("source"), col("doc_id"), col("rnk"))
+      .orderedSmall(col("source"), col("rnk"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
-      qFimSplit, qPplBuckets)
+      qFimSplit, qPplBuckets, qDomainCap)
 }

@@ -589,6 +589,36 @@ object TextQueries {
       .orderedSmall(col("rnk"))
   }
 
+  /** #117 — context-window chunking: every doc split into 64-token
+    * training windows with 16-token overlap (stride 48) — the
+    * pretraining segmentation step between curation and packing.
+    * Pure per-row expression (sequence → transform → posexplode):
+    * zero shuffle at any corpus size; chunk content certified by md5
+    * over the token slice on both engines.
+    */
+  val qChunking = GateQuery.sql(
+    "q_chunking",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, unnest(range(0, len(w), 48)) AS start, w FROM w)
+      |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(start AS BIGINT) AS start,
+      |  CAST(least(64, len(w) - start) AS BIGINT) AS chunk_len,
+      |  md5(array_to_string(w[start + 1 : start + least(64, len(w) - start)], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    val chunkLen = least(lit(64), size(col("w")) - col("start"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(48)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        chunkLen.cast("long").as("chunk_len"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, chunkLen))).as("chunk_md5"))
+      .orderedSmall(col("doc_id"), col("chunk_idx"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -831,5 +861,6 @@ object TextQueries {
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint)
+    qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
+    qChunking)
 }
