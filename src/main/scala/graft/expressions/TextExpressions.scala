@@ -82,6 +82,10 @@ object TextExpressions {
     WindowKeysExpr(GraftColumnBridge.expression(text), l))
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column = GraftColumnBridge.column(
     BpeCountExpr(GraftColumnBridge.expression(text), merges))
+  def charNgramBuckets(text: Column, n: Int, buckets: Int): Column = GraftColumnBridge.column(
+    CharNgramBucketsExpr(GraftColumnBridge.expression(text), n, buckets))
+  def weightSum(bs: Column, w: Array[Long]): Column = GraftColumnBridge.column(
+    WeightSumExpr(GraftColumnBridge.expression(bs), w))
 }
 
 /** All unordered doc pairs of one shingle's posting list — the pair
@@ -395,5 +399,85 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** Hashed character-n-gram bucket ids — the lang-id feature
+  * projection. Value-identical to the HOF formulation
+  * (`pmod(baseHash(substr(i, n)), buckets)` over code-point windows;
+  * parity-asserted by LangClassifierSpec) but one digest per n-gram
+  * in a tight loop. This is the single heaviest feature projection in
+  * the engine (~one md5 per CHARACTER of corpus text), so the
+  * interpreted substr/md5/hex lambda chain per element dominated the
+  * q_lang_id_ft gate before this expression existed.
+  */
+case class CharNgramBucketsExpr(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(n >= 1 && buckets >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code-point window starts (substr counts characters, not chars)
+    val m = s.codePointCount(0, s.length)
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](m + 1)
+    var i = 0
+    var off = 0
+    while (i < m) { starts(i) = off; off = s.offsetByCodePoints(off, 1); i += 1 }
+    starts(m) = s.length
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      out(i) = TextExpressions.baseHash(md, s.substring(starts(i), starts(i + n))) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharNgramBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Σ w[b] over a bucket-id array with the weight vector baked in —
+  * the linear-model margin both classifiers and the streaming quality
+  * filter evaluate per row. Value-identical to
+  * `aggregate(bs, 0L, (acc, b) => acc + element_at(lit(w), b + 1))`
+  * (parity-asserted) but one primitive loop instead of an interpreted
+  * closure + array-literal probe per element — the train loop runs
+  * this L×iters times over every feature instance. Full codegen.
+  */
+case class WeightSumExpr(child: Expression, w: Array[Long])
+    extends UnaryExpression {
+  require(w.nonEmpty)
+  def weights: Array[Long] = w
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val bs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var s = 0L
+    var i = 0
+    val n = bs.numElements()
+    while (i < n) { s += w(bs.getLong(i).toInt); i += 1 }
+    s
+  }
+  protected override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("wsum", this, classOf[WeightSumExpr].getName)
+      val wv = ctx.freshName("w")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $wv = $ref.weights();
+         |long $s = 0L;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) { $s += $wv[(int) $a.getLong($i)]; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WeightSumExpr =
     copy(child = newChild)
 }

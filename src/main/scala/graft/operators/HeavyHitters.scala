@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Exact corpus-wide top-k heavy hitters (frequent n-grams/terms) via
@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   *
   *  - Pass 1 (zero shuffle): each partition streams its terms through
   *    a size-`s` Misra–Gries sketch — O(s) memory, no sort — and
-  *    emits at most `s` candidate terms. Any term a partition never
-  *    surfaces has partition count ≤ N_p/(s+1), so summing over
-  *    partitions: a term in NO sketch has global count ≤ N/(s+1) —
-  *    the union of sketches is a SUPERSET of every term with
-  *    frequency above N/(s+1).
+  *    emits at most `s` candidate terms plus ONE sentinel row
+  *    carrying the partition's term count (so the global N needs no
+  *    extra pass). Any term a partition never surfaces has partition
+  *    count ≤ N_p/(s+1); summing over partitions, a term in NO sketch
+  *    has global count ≤ N/(s+1) — the union of sketches is a
+  *    SUPERSET of every term above that bound. The n-gram form
+  *    generates terms in-JVM per document, so pass 1 never
+  *    materializes the exploded term relation at all.
   *  - Pass 2: the candidate set (≤ partitions·s rows) broadcasts;
   *    the corpus side hash-semi-joins it map-side, and only matching
   *    terms — a vanishing fraction — reach the exact recount
@@ -37,29 +40,73 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Deterministic Misra–Gries pass over one partition's terms:
-    * at most `s` counters; a new term evicts by decrementing ALL
-    * counters (dropping zeros). Emitted counts are lower bounds;
-    * only the term SET is used downstream.
+  /** Deterministic Misra–Gries sketch: at most `s` counters; a new
+    * term evicts by decrementing ALL counters (dropping zeros —
+    * amortized O(1) per insert). Counts are lower bounds; only the
+    * term SET is used downstream.
     */
-  private[graft] def misraGries(it: Iterator[String], s: Int): Iterator[(String, Long)] = {
-    val counters = new java.util.HashMap[String, Long](s * 2)
-    while (it.hasNext) {
-      val t = it.next()
+  private[graft] final class MgSketch(s: Int) {
+    private val counters = new java.util.HashMap[String, Array[Long]](s * 2)
+    var n = 0L
+    def add(t: String): Unit = {
+      n += 1
       val c = counters.get(t)
-      if (c != 0L || counters.containsKey(t)) counters.put(t, c + 1L)
-      else if (counters.size < s) counters.put(t, 1L)
+      if (c != null) c(0) += 1L
+      else if (counters.size < s) counters.put(t, Array(1L))
       else {
-        // decrement-all; remove exhausted counters
         val e = counters.entrySet().iterator()
         while (e.hasNext) {
           val en = e.next()
-          if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1L)
+          if (en.getValue()(0) == 1L) e.remove() else en.getValue()(0) -= 1L
         }
       }
     }
-    import scala.jdk.CollectionConverters._
-    counters.entrySet().iterator().asScala.map(en => (en.getKey, en.getValue))
+    /** Candidate rows plus the (null, n) sentinel. */
+    def emit(): Iterator[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      counters.entrySet().iterator().asScala.map(en => (en.getKey, en.getValue()(0))) ++
+        Iterator.single((null: String, n))
+    }
+  }
+
+  private[graft] def misraGries(it: Iterator[String], s: Int): Iterator[(String, Long)] = {
+    val mg = new MgSketch(s)
+    it.foreach(mg.add)
+    mg.emit()
+  }
+
+  private val SketchEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+
+  /** Shared pass 2 + certificate over a sketch relation
+    * (term, lower-bound | null-sentinel, N_p).
+    */
+  private def finish(terms: DataFrame, sketch: DataFrame, k: Int,
+                     sketchSize: Int): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    sketch.persist()
+    try {
+      val n = sketch.filter(col("term").isNull)
+        .agg(sum(col("_lb"))).collect()(0).getLong(0)
+      val cand = sketch.filter(col("term").isNotNull).select(col("term")).distinct()
+      val recount = terms.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val top = recount.orderBy(col("cnt").desc, col("term")).limit(k).collect()
+      // Certificate: with k certified candidates whose k-th count beats
+      // the N/(s+1) bound, no non-candidate can displace any of them.
+      // Anything else (including fewer than k surviving candidates —
+      // the corpus may still hold ≥ k distinct non-candidate terms)
+      // falls back to the exact aggregate.
+      val certified = top.length == k &&
+        top.last.getLong(1) * (sketchSize + 1L) > n
+      val rows =
+        if (certified) top
+        else terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(k).collect()
+      rows.zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
+        .toSeq.toDF("term", "cnt", "rnk")
+    } finally sketch.unpersist()
   }
 
   /** Exact top-k terms of a single-column (`term`) relation.
@@ -69,41 +116,46 @@ object HeavyHitters {
   def topKTerms(terms: DataFrame, k: Int, sketchSize: Int = 4096): DataFrame = {
     val spark = terms.sparkSession
     import spark.implicits._
-    val termDs = terms.select(col("term").cast("string")).as[String]
-    val cand = termDs
-      .mapPartitions(it => misraGries(it, sketchSize))(
-        Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    val sketch = terms.select(col("term").cast("string")).as[String]
+      .mapPartitions(it => misraGries(it, sketchSize))(SketchEnc)
       .toDF("term", "_lb")
-      .select(col("term")).distinct()
-    val recount = terms.join(broadcast(cand), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val top = recount.orderBy(col("cnt").desc, col("term")).limit(k).collect()
-    val n = terms.count()
-    // Certificate: with k certified candidates whose k-th count beats
-    // the N/(s+1) bound, no non-candidate can displace any of them.
-    // Anything else (including fewer than k surviving candidates —
-    // the corpus may still hold ≥ k distinct non-candidate terms)
-    // falls back to the exact aggregate.
-    val certified = top.length == k &&
-      top.last.getLong(1) * (sketchSize + 1L) > n
-    val rows =
-      if (certified) top
-      else {
-        // certificate failed: kth ≤ N/(s+1) — a non-candidate could
-        // tie in. Fall back to the exact full aggregate (the shape we
-        // were avoiding, paid only when the data defeats the sketch).
-        terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("term")).limit(k).collect()
-      }
-    rows.zipWithIndex
-      .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
-      .toSeq.toDF("term", "cnt", "rnk")
+    finish(terms, sketch, k, sketchSize)
   }
 
-  /** Word n-gram terms of a document relation — the standard input to
-    * [[topKTerms]]. Tokens split on single spaces (oracle-portable).
+  /** Exact top-k word n-grams of a document relation. Pass 1 streams
+    * each doc's token array and forms n-grams inside the sketch loop
+    * — the exploded (term) relation is never materialized for the
+    * sketch; only the recount (and rare fallback) explode, post
+    * candidate-filter.
     */
-  def ngramTerms(docs: DataFrame, text: org.apache.spark.sql.Column, n: Int): DataFrame = {
+  def topKNgrams(docs: DataFrame, text: Column, n: Int, k: Int,
+                 sketchSize: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sketch = docs.select(split(text, " ").as("w")).as[Seq[String]]
+      .mapPartitions { it =>
+        val mg = new MgSketch(sketchSize)
+        it.foreach { w =>
+          var i = 0
+          val lim = w.length - (n - 1)
+          while (i < lim) {
+            val sb = new java.lang.StringBuilder(w(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+            mg.add(sb.toString)
+            i += 1
+          }
+        }
+        mg.emit()
+      }(SketchEnc)
+      .toDF("term", "_lb")
+    finish(ngramTerms(docs, text, n), sketch, k, sketchSize)
+  }
+
+  /** Word n-gram terms of a document relation — the recount-side
+    * exploded form. Tokens split on single spaces (oracle-portable).
+    */
+  def ngramTerms(docs: DataFrame, text: Column, n: Int): DataFrame = {
     val w = split(text, " ")
     val terms =
       if (n == 1) explode(w)

@@ -31,9 +31,16 @@ object LangClassifier {
 
   /** Hashed character-n-gram bucket ids of a text column — one per
     * n-gram instance, portable (md5 base hash) so reruns and engines
-    * agree. Texts shorter than n yield no features.
+    * agree. Texts shorter than n yield no features. Native expression
+    * (one digest per n-gram in a tight loop — this projection hashes
+    * ~every character of the corpus); [[charNgramBucketsHof]] is the
+    * semantic reference it is parity-tested against.
     */
   def charNgramBuckets(text: Column, n: Int, buckets: Int): Column =
+    graft.expressions.TextExpressions.charNgramBuckets(text, n, buckets)
+
+  /** Interpreted HOF reference formulation of [[charNgramBuckets]]. */
+  private[graft] def charNgramBucketsHof(text: Column, n: Int, buckets: Int): Column =
     when(length(text) >= n,
       transform(sequence(lit(1), length(text) - (n - 1)),
         i => pmod(TextOps.baseHash(text.substr(i, lit(n))), lit(buckets.toLong))))
@@ -50,11 +57,22 @@ object LangClassifier {
   /** One-vs-rest logistic GD over the packed relation; all classes
     * advance in one aggregate per iteration. `langs` must be the
     * label set in a fixed order (sort it for determinism).
+    *
+    * `samplePct` < 100 trains on a deterministic hash subsample of
+    * the documents (same knob and rationale as
+    * [[QualityClassifier.train]] — the playbook trains lang-id on a
+    * labeled sample, never the whole corpus; each GD pass here
+    * explodes ~one feature per CHARACTER, the most expensive
+    * per-iteration relation of any model in the engine). Prediction
+    * stays a full-corpus zero-join projection.
     */
   def train(packed: DataFrame, langs: Seq[String], buckets: Int,
-            iters: Int, lr: Double): Model = {
+            iters: Int, lr: Double, samplePct: Int = 100): Model = {
     require(langs.nonEmpty && langs == langs.sorted, "langs must be sorted")
-    val nDocs = packed.count()
+    val rel =
+      if (samplePct >= 100) packed
+      else packed.filter(Sampling.samplePredicate(col("doc_id"), samplePct, "lidtrain"))
+    val nDocs = rel.count()
     val w = Array.fill(langs.size)(Array.fill(buckets)(0L))
     var it = 0
     while (it < iters) {
@@ -63,7 +81,7 @@ object LangClassifier {
           (col("lang") === l).cast("int"), w(li)).as(s"r$li")
       }
       val grads = langs.indices.map(li => sum(col(s"r$li")).as(s"g$li"))
-      val grad = packed
+      val grad = rel
         .select(col("bs") +: resids: _*)
         .select(explode(col("bs")).as("b") +: langs.indices.map(li => col(s"r$li")): _*)
         .groupBy(col("b")).agg(grads.head, grads.tail: _*)

@@ -55,7 +55,13 @@ object QualityClassifier {
   /** Integer margin of a packed feature row under literal weights —
     * the same exact sum the broadcast join produced, as a zero-join
     * per-row expression. Shared with [[LangClassifier]]. */
-  private[operators] def marginExpr(bs: Column, w: Weights): Column =
+  /** Σ w[b] margin — native tight loop; [[marginExprHof]] is the
+    * parity-tested reference formulation. */
+  private[graft] def marginExpr(bs: Column, w: Weights): Column =
+    graft.expressions.TextExpressions.weightSum(bs, w)
+
+  /** Interpreted HOF reference of [[marginExpr]]. */
+  private[graft] def marginExprHof(bs: Column, w: Weights): Column =
     aggregate(bs, lit(0L), (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
 
   /** Micro-quantized logistic residual sigmoid(m) − label. */
@@ -108,10 +114,8 @@ object QualityClassifier {
     */
   def scoreExpr(text: Column, w: Weights, buckets: Int): Column = {
     require(w.length == buckets, s"weights ${w.length} != buckets $buckets")
-    aggregate(
-      graft.expressions.TextExpressions.bigramBuckets(text, buckets),
-      lit(0L),
-      (acc, b) => acc + element_at(lit(w), b.cast("int") + 1))
+    graft.expressions.TextExpressions.weightSum(
+      graft.expressions.TextExpressions.bigramBuckets(text, buckets), w)
   }
 
   /** Score every packed doc with a trained model: the margin in

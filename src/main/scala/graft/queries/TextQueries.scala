@@ -135,7 +135,10 @@ object TextQueries {
     try {
       val langs = packed.select(col("lang")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      val m = LangClassifier.train(packed, langs, buckets = 1024, iters = 6, lr = 0.5)
+      // playbook: train on a deterministic 25% subsample (each GD pass
+      // explodes ~one feature per character), predict the full corpus
+      val m = LangClassifier.train(packed, langs, buckets = 1024, iters = 6,
+        lr = 0.5, samplePct = 25)
       LangClassifier.predict(packed, m)
         .orderedSmall(col("doc_id"))
     } finally packed.unpersist()
@@ -582,10 +585,8 @@ object TextQueries {
       |SELECT term, cnt,
       |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
       |FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, d) =>
-    import graft.operators.HeavyHitters
-    HeavyHitters.topKTerms(
-        HeavyHitters.ngramTerms(Tables.documents(s, d), col("text"), n = 2),
-        k = 20, sketchSize = 4096)
+    graft.operators.HeavyHitters.topKNgrams(
+        Tables.documents(s, d), col("text"), n = 2, k = 20, sketchSize = 4096)
       .orderedSmall(col("rnk"))
   }
 

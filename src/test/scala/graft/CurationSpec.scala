@@ -380,4 +380,17 @@ class CurationSpec extends SparkSpec {
       assert(df.collect().toSeq === base)
     } finally spark.conf.set(key, prev)
   }
+
+  test("native weightSum margin matches the HOF reference") {
+    import graft.operators.QualityClassifier
+    val w: Array[Long] = Array(5L, -3L, 1000000L, 0L, -999L)
+    val rows = Seq(Seq(0L, 1L, 2L), Seq(4L, 4L, 4L), Seq.empty[Long], Seq(3L))
+      .toDF("bs")
+    val native = rows.select(QualityClassifier.marginExpr(col("bs"), w))
+      .collect().map(_.getLong(0)).toSeq
+    val hof = rows.select(QualityClassifier.marginExprHof(col("bs"), w))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+    assert(native == Seq(1000002L, -2997L, 0L, 0L))
+  }
 }

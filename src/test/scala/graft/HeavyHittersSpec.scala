@@ -14,12 +14,15 @@ class HeavyHittersSpec extends SparkSpec {
   test("misraGries: surviving counts are lower bounds; superset guarantee holds") {
     val data = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
       (1 to 40).map(i => s"x$i") // 40 singletons
-    val sketch = HeavyHitters.misraGries(data.iterator, s = 4).toMap
+    val out = HeavyHitters.misraGries(data.iterator, s = 4).toSeq
+    val sketch = out.filter(_._1 != null).toMap
     // every term with count > N/(s+1) = 120/5 = 24 must survive
     assert(sketch.contains("a") && sketch.contains("b"))
     assert(sketch.size <= 4)
     // lower bounds never exceed true counts
     assert(sketch("a") <= 50 && sketch("b") <= 30)
+    // the sentinel row carries the partition's term count
+    assert(out.filter(_._1 == null).map(_._2) == Seq(120L))
   }
 
   test("topKTerms matches the exact aggregate on a skewed corpus") {
@@ -61,6 +64,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Seq("a b", "b c", "c d", "x y"))
     val uni = HeavyHitters.ngramTerms(docs, col("text"), 1).count()
     assert(uni == 7)
+  }
+
+  test("topKNgrams (doc-streaming sketch) matches topKTerms on the same corpus") {
+    val docs = (
+      Seq.fill(40)("the cat sat") ++ Seq.fill(25)("a dog ran") ++
+        (1 to 60).map(i => s"unique$i text$i")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = HeavyHitters.topKNgrams(docs, col("text"), n = 2, k = 3, sketchSize = 16)
+      .collect().map(_.toSeq).toSeq
+    val b = HeavyHitters.topKTerms(
+        HeavyHitters.ngramTerms(docs, col("text"), 2), k = 3, sketchSize = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.map(r => (r(0), r(1))) ==
+      Seq(("cat sat", 40L), ("the cat", 40L), ("a dog", 25L)).map(t => (t._1, t._2)))
   }
 
   test("recount plan never shuffles the full term relation") {

@@ -77,4 +77,16 @@ class LangClassifierSpec extends SparkSpec {
     assert(LangClassifier.features(d, buckets = 16, n = 3)
       .select("doc_id").as[Long].collect().toSeq === Seq(2L))
   }
+
+  test("native charNgramBuckets matches the HOF reference, incl. multibyte") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("hello world", "héllo wörld", "中文的字符串测试", "ab", "a",
+      "", "mixé 中en text", "ßẞ𝄞x𝄞yz").toDF("text")
+    val native = texts.select(LangClassifier.charNgramBuckets(col("text"), 3, 1024))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val hof = texts.select(LangClassifier.charNgramBucketsHof(col("text"), 3, 1024))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native == hof)
+    assert(native.exists(_.nonEmpty))
+  }
 }
