@@ -62,10 +62,18 @@ object HeavyHitters {
       }
     }
     /** Candidate rows plus the (null, n) sentinel. */
-    def emit(): Iterator[(String, Long)] = {
+    def emit(): Iterator[(String, Long)] = snapshot() ++ Iterator.single((null: String, n))
+
+    /** Candidate rows only — the streaming state snapshot. */
+    def snapshot(): Iterator[(String, Long)] = {
       import scala.jdk.CollectionConverters._
-      counters.entrySet().iterator().asScala.map(en => (en.getKey, en.getValue()(0))) ++
-        Iterator.single((null: String, n))
+      counters.entrySet().iterator().asScala.map(en => (en.getKey, en.getValue()(0)))
+    }
+
+    /** Restore a counter verbatim (streaming state rehydration). */
+    def load(t: String, c: Long): Unit = {
+      require(counters.size < s || counters.containsKey(t), "load past capacity")
+      counters.put(t, Array(c))
     }
   }
 

@@ -337,4 +337,51 @@ object StreamingOps {
       .withColumn("score_micro",
         graft.operators.QualityClassifier.scoreExpr(col(textCol), w, buckets))
       .filter(col("score_micro") >= thresholdMicro)
+
+  final case class HhTerm(grp: Int, term: String, ts: Timestamp)
+  final case class HhState(counters: Map[String, Long], n: Long)
+  final case class HhCandidate(grp: Int, term: String, lower_bound: Long, n_group: Long)
+
+  /** Streaming heavy hitters — the live counterpart of
+    * [[graft.operators.HeavyHitters]] ("what is trending in the
+    * ingest firehose right now"). Terms hash-route to `groups`
+    * disjoint key groups; each group folds its share of the stream
+    * through the SAME bounded Misra–Gries sketch as the batch
+    * operator and re-emits its full candidate set whenever it
+    * changes (Update-mode sink). A term's entire stream history
+    * lands in exactly one group, so the batch superset guarantee
+    * carries over per group: any term with total count >
+    * n_group/(s+1) is present in the emitted candidates. Downstream
+    * either monitors lower bounds directly or runs the batch exact
+    * recount over candidates.
+    *
+    * State per group is O(sketchSize) regardless of stream length —
+    * the sketch IS the eviction policy, so no watermark is needed;
+    * within-batch insertion order is made deterministic by (ts, term)
+    * like every stateful operator here.
+    */
+  def heavyHittersStream(terms: DataFrame, timeCol: String, termCol: String,
+                         groups: Int, sketchSize: Int): Dataset[HhCandidate] = {
+    import terms.sparkSession.implicits._
+    import graft.operators.HeavyHitters.MgSketch
+    terms
+      .select(pmod(hash(col(termCol)), lit(groups)).cast("int").as("grp"),
+        col(termCol).as("term"), col(timeCol).cast("timestamp").as("ts"))
+      .as[HhTerm]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[HhState, HhCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (grp: Int, rows: Iterator[HhTerm], state: GroupState[HhState]) =>
+          val mg = new MgSketch(sketchSize)
+          val prior = state.getOption.getOrElse(HhState(Map.empty, 0L))
+          prior.counters.foreach { case (t, c) => mg.load(t, c) }
+          mg.n = prior.n
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.term))
+            .foreach(r => mg.add(r.term))
+          val snap = mg.snapshot().toSeq
+          state.update(HhState(snap.toMap, mg.n))
+          snap.sortBy(_._1)
+            .map { case (t, lb) => HhCandidate(grp, t, lb, mg.n) }.iterator
+      }
+  }
 }

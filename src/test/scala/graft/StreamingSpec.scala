@@ -350,4 +350,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows(10L) === batchScores(10L)) // stream == batch
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: hot terms survive across batches with bounded state") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.heavyHittersStream(
+      input.toDF().toDF("ts", "term"), "ts", "term", groups = 4, sketchSize = 8)
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1 to 30).map(i => (ts(i), "hot")) ++
+        (1 to 10).map(i => (ts(i), s"noise$i")): _*)
+      q.processAllAvailable()
+      input.addData((1 to 20).map(i => (ts(30 + i), "hot")) ++
+        (1 to 15).map(i => (ts(30 + i), "warm")) ++
+        (1 to 10).map(i => (ts(30 + i), s"late$i")): _*)
+      q.processAllAvailable()
+      // latest emission per (grp, term): MemoryStream Update sink appends;
+      // take the max lower bound seen per term
+      val rows = spark.table("hh").collect()
+        .map(r => (r.getString(1), r.getLong(2))).groupBy(_._1).view
+        .mapValues(_.map(_._2).max)
+      // 'hot' total = 50 across two batches: the sketch must carry it over
+      assert(rows("hot") >= 30L, s"hot lower bound ${rows.get("hot")}")
+      assert(rows.contains("warm"))
+      // state stayed bounded: no group can emit more than sketchSize terms
+      val lastPerGroup = spark.table("hh").collect()
+        .map(r => (r.getInt(0), r.getLong(3), r.getString(1)))
+        .groupBy(_._1).view.mapValues(g => { val mx = g.map(_._2).max; g.filter(_._2 == mx).map(_._3).distinct.size })
+      assert(lastPerGroup.values.forall(_ <= 8))
+    } finally q.stop()
+  }
 }
