@@ -259,6 +259,27 @@ object CoreQueries {
       .orderedSmall(col("rflag"), col("lstatus"))
   }
 
+  /** #119 — data profiling (ANALYZE/SUMMARIZE surface): per-column
+    * count/null/distinct/min/max in one pass
+    * ([[graft.operators.Profile]]). The gate runs the exact mode
+    * (oracle-able); the Expand-free `approx_count_distinct` scale
+    * mode is spec-pinned with an error bound.
+    */
+  val qProfile = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    val unions = cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    GateQuery.sql("q_profile", s"""$unions\nORDER BY "column"""") { (s, d) =>
+      graft.operators.Profile.profile(Tables.lineitem(s, d), cols)
+        .orderedSmall(col("column"))
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents,
-    qAntiJoin, qRollup)
+    qAntiJoin, qRollup, qProfile)
 }
