@@ -280,6 +280,39 @@ object CoreQueries {
     }
   }
 
+  /** #120 — Z-order (Morton) clustering key: the `OPTIMIZE ZORDER`
+    * layout value over (l_partkey, l_suppkey), grid bounds data-driven
+    * (histogram-gate pattern, single-row broadcast). The z-value is a
+    * statically-unrolled shift/mask expression — zero shuffle; the
+    * layout rewrite itself ([[graft.operators.Locality.clusterByZ]])
+    * is one range shuffle, rectangle-compactness spec-pinned.
+    */
+  val qZorder = {
+    import graft.operators.Locality
+    val bits = 10
+    GateQuery.sql(
+      "q_zorder",
+      s"""WITH st AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+         |    min(l_suppkey) AS slo, max(l_suppkey) AS shi FROM lineitem),
+         |g AS (SELECT l_orderkey, l_linenumber,
+         |    ${Locality.gridCellSql("l_partkey", "plo", "phi", bits)} AS gx,
+         |    ${Locality.gridCellSql("l_suppkey", "slo", "shi", bits)} AS gy
+         |  FROM lineitem, st)
+         |SELECT l_orderkey, l_linenumber, ${Locality.zValueSql("gx", "gy", bits)} AS z
+         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val st = li.agg(min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+        min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+      graft.operators.Curation.withStats(li, st)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Locality.zValue(
+            Locality.gridCell(col("l_partkey"), col("plo"), col("phi"), bits),
+            Locality.gridCell(col("l_suppkey"), col("slo"), col("shi"), bits),
+            bits).as("z"))
+        .orderedSmall(col("l_orderkey"), col("l_linenumber"))
+    }
+  }
+
   val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents,
-    qAntiJoin, qRollup, qProfile)
+    qAntiJoin, qRollup, qProfile, qZorder)
 }
