@@ -160,6 +160,47 @@ object HeavyHitters {
     finish(ngramTerms(docs, text, n), sketch, k, sketchSize)
   }
 
+  /** Collocation extraction: pointwise mutual information of the
+    * top-k bigrams (Church & Hanks 1990) — "which word pairs co-occur
+    * far above chance", the corpus-analysis companion of raw heavy
+    * hitters (a stop-bigram like "of the" tops the count list but
+    * scores near-zero PMI; a collocation like "Hong Kong" does the
+    * reverse).
+    *
+    * PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ), micro-quantized.
+    * Scale shape: the bigram list is [[topKNgrams]]'s certified exact
+    * top-k (bounded-memory sketch + recount — never a corpus-wide
+    * bigram shuffle); unigram counts aggregate ONLY the ≤ 2k words of
+    * those bigrams (broadcast semi-join prefilter); corpus totals are
+    * one expression aggregate over the un-exploded doc relation. Both
+    * model joins broadcast ≤ 2k rows.
+    */
+  def pmiTopBigrams(docs: DataFrame, text: Column, k: Int,
+                    sketchSize: Int = 4096): DataFrame = {
+    val top = topKNgrams(docs, text, n = 2, k = k, sketchSize = sketchSize)
+      .select(col("term"), col("cnt"), col("rnk"),
+        element_at(split(col("term"), " "), 1).as("_w1"),
+        element_at(split(col("term"), " "), 2).as("_w2"))
+    val words = top.select(col("_w1").as("word"))
+      .union(top.select(col("_w2").as("word"))).distinct()
+    val uni = ngramTerms(docs, text, 1)
+      .join(broadcast(words.select(col("word").as("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val w = split(text, " ")
+    val st = docs.agg(
+      sum(size(w)).cast("long").as("nn"),
+      sum(greatest(size(w) - 1, lit(0))).cast("long").as("mm"))
+    // association mirrored term-for-term by the q_pmi oracle SQL
+    val pmi = floor(log((col("cnt").cast("double") * col("nn") * col("nn"))
+      / (col("mm").cast("double") * col("c1") * col("c2"))) * lit(1000000)).cast("long")
+    graft.operators.Curation.withStats(
+        top
+          .join(broadcast(uni.select(col("term").as("_w1"), col("c").as("c1"))), Seq("_w1"))
+          .join(broadcast(uni.select(col("term").as("_w2"), col("c").as("c2"))), Seq("_w2")),
+        st)
+      .select(col("term"), col("cnt"), col("rnk"), pmi.as("pmi_micro"))
+  }
+
   /** Word n-gram terms of a document relation — the recount-side
     * exploded form. Tokens split on single spaces (oracle-portable).
     */

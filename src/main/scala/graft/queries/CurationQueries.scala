@@ -551,8 +551,61 @@ object CurationQueries {
       .orderedSmall(col("source"), col("rnk"))
   }
 
+  /** #122 — robust (median/MAD) length-outlier detection per source:
+    * docs whose token count sits more than 3 MADs from their source's
+    * median — the robust-statistics form of the length filters every
+    * curation pipeline runs (mean/stddev break on the heavy-tailed
+    * length distributions of web text; median/MAD do not).
+    *
+    * Scale shape: BOTH order statistics come from per-(source, length)
+    * VALUE histograms — the cumulative windows run over value-bounded
+    * relations (distinct lengths per source), never per-doc sorts; the
+    * 1-row-per-source median/MAD tables broadcast back. Lower-median
+    * semantics (smallest value with cum·2 ≥ n) keep everything exact
+    * integers on both engines.
+    */
+  val qMadOutliers = GateQuery.sql(
+    "q_mad_outliers",
+    """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+      |           FROM documents),
+      |pv AS (SELECT source, L, count(*) AS c FROM d GROUP BY 1, 2),
+      |cw AS (SELECT source, L, sum(c) OVER (PARTITION BY source ORDER BY L) AS cum,
+      |          sum(c) OVER (PARTITION BY source) AS n FROM pv),
+      |med AS (SELECT source, min(CASE WHEN cum * 2 >= n THEN L END) AS med FROM cw GROUP BY source),
+      |dev AS (SELECT d.doc_id, d.source, d.L, abs(d.L - med) AS dv, med
+      |        FROM d JOIN med USING (source)),
+      |pv2 AS (SELECT source, dv, count(*) AS c FROM dev GROUP BY 1, 2),
+      |cw2 AS (SELECT source, dv, sum(c) OVER (PARTITION BY source ORDER BY dv) AS cum,
+      |          sum(c) OVER (PARTITION BY source) AS n FROM pv2),
+      |mad AS (SELECT source, min(CASE WHEN cum * 2 >= n THEN dv END) AS mad FROM cw2 GROUP BY source)
+      |SELECT doc_id, source, L AS n_tokens, med, mad
+      |FROM dev JOIN mad USING (source) WHERE dv > 3 * mad
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(rel: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+      val pv = rel.groupBy(col("source"), col(v)).agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = Window.partitionBy(col("source")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pv.withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("n", sum(col("c")).over(bySrc))
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col(v))).as(out))
+    }
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("L"))
+    val dev = docs.join(broadcast(lowerMedian(docs, "L", "med")), Seq("source"))
+      .withColumn("dv", abs(col("L") - col("med")))
+    dev.join(broadcast(lowerMedian(dev, "dv", "mad")), Seq("source"))
+      .filter(col("dv") > lit(3) * col("mad"))
+      .select(col("doc_id"), col("source"), col("L").as("n_tokens"),
+        col("med"), col("mad"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
-      qFimSplit, qPplBuckets, qDomainCap)
+      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers)
 }

@@ -620,6 +620,36 @@ object TextQueries {
       .orderedSmall(col("doc_id"), col("chunk_idx"))
   }
 
+  /** #121 — PMI collocations over the certified top-20 bigrams: see
+    * [[graft.operators.HeavyHitters.pmiTopBigrams]] for the
+    * bounded-memory scale shape. The oracle recomputes count tables,
+    * totals and the micro-ln association exactly.
+    */
+  val qPmi = GateQuery.sql(
+    "q_pmi",
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS term FROM w),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1),
+      |top AS (SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+      |        FROM c ORDER BY cnt DESC, term LIMIT 20),
+      |tw AS (SELECT string_split(term, ' ')[1] AS w1, string_split(term, ' ')[2] AS w2,
+      |          term, cnt, rnk FROM top),
+      |wl AS (SELECT DISTINCT word FROM (SELECT w1 AS word FROM tw UNION ALL SELECT w2 FROM tw)),
+      |tok AS (SELECT unnest(w) AS word FROM w),
+      |uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok
+      |        WHERE word IN (SELECT word FROM wl) GROUP BY 1),
+      |st AS (SELECT CAST(sum(len(w)) AS BIGINT) AS nn,
+      |          CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS mm FROM w)
+      |SELECT term, cnt, rnk,
+      |  CAST(floor(ln((CAST(cnt AS DOUBLE) * nn * nn) / (CAST(mm AS DOUBLE) * u1.c * u2.c))
+      |    * 1000000) AS BIGINT) AS pmi_micro
+      |FROM tw JOIN uni u1 ON u1.word = tw.w1 JOIN uni u2 ON u2.word = tw.w2 CROSS JOIN st
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    graft.operators.HeavyHitters.pmiTopBigrams(
+        Tables.documents(s, d), col("text"), k = 20, sketchSize = 4096)
+      .orderedSmall(col("rnk"))
+  }
+
   val qMultimodalMeta = GateQuery.sql(
     "q_multimodal_meta",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
@@ -863,5 +893,5 @@ object TextQueries {
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
-    qChunking)
+    qChunking, qPmi)
 }
