@@ -324,6 +324,36 @@ object Curation {
         microLn(lit(scale) * col("cb") / col("cw1")).as("qb"))
   }
 
+  /** Interpolated Kneser–Ney bigram model tables (Chen & Goodman 1999
+    * §2.7 — THE standard n-gram smoothing; stupid backoff trades it
+    * away for distributability, KN keeps proper probabilities):
+    *
+    *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D·n1p(w1)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = n1m(w2) / n1pp
+    *
+    * with D = 0.75 (exactly representable), n1p(w1) = distinct
+    * successors of w1, n1m(w2) = distinct predecessors of w2, n1pp =
+    * total distinct bigrams. Returns the model tables a scorer
+    * left-joins: `kb` (w1, w2, c), `kw` (w1, cw1, n1p), `kc` (w2,
+    * n1m), and the 1-row `kt` (n1pp). All exact integer counts; the
+    * probability itself is evaluated in the scorer so its double
+    * association can be mirrored in SQL verbatim.
+    *
+    * `minCount` prunes only the per-bigram table (pruned probes fall
+    * to the continuation-only rung, like [[bigramLogProbs]]); the
+    * unigram-shaped `kw`/`kc` tables are vocab-bounded. Same
+    * [[modelJoin]] size-switch discipline applies at corpus scale.
+    */
+  def knBigramTables(refBigrams: DataFrame, minCount: Long = 1L)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val kw = cb.groupBy(col("w1")).agg(
+      sum(col("c")).cast("long").as("cw1"), count(lit(1)).as("n1p"))
+    val kc = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))
+    val kt = cb.agg(count(lit(1)).as("n1pp"))
+    (cb.filter(col("c") >= minCount), kw, kc, kt)
+  }
+
   /** Join a corpus-derived MODEL table into a scoring relation with a
     * size-selected strategy (the `bucketRelAuto` pattern from the
     * embedding gates): while the model's optimizer size estimate fits

@@ -232,6 +232,82 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #123 — interpolated Kneser–Ney bigram LM (Chen & Goodman 1999
+    * §2.7): the proper-probability smoothing the stupid-backoff
+    * family approximates. Per bigram instance, the full interpolated
+    * probability (absolute discount D = 0.75, continuation-count
+    * backoff) is evaluated as ONE double expression whose association
+    * the oracle mirrors verbatim, micro-ln-quantized per instance and
+    * summed exactly. Unseen-predecessor probes fall to the pure
+    * continuation distribution; unseen-successor probes to the
+    * 1/(n1pp+1) floor — never ln(0). Model tables ride
+    * [[Curation.modelJoin]]'s size-switched joins; the per-bigram
+    * table takes the `LmMinCount` Brants prune (pruned probes
+    * interpolate from c = 0, mass intact).
+    */
+  val qLmKn = GateQuery.sql(
+    "q_lm_kn",
+    s"""WITH tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |bi AS (SELECT doc_id, lang,
+       |         unnest([w[i] for i in range(1, len(w))]) AS w1,
+       |         unnest([w[i+1] for i in range(1, len(w))]) AS w2
+       |       FROM tw WHERE len(w) >= 2),
+       |kb0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi
+       |        WHERE lang = 'en' GROUP BY 1, 2),
+       |kw AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+       |          CAST(count(*) AS BIGINT) AS n1p FROM kb0 GROUP BY 1),
+       |kc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1m FROM kb0 GROUP BY 1),
+       |kt AS (SELECT CAST(count(*) AS BIGINT) AS n1pp FROM kb0),
+       |kb AS (SELECT * FROM kb0 WHERE c >= $LmMinCount),
+       |pr AS (SELECT bi.doc_id AS doc_id,
+       |    CASE WHEN kc.n1m IS NOT NULL AND kw.cw1 IS NOT NULL THEN
+       |        (greatest(CAST(coalesce(kb.c, 0) AS DOUBLE) - 0.75, 0.0)
+       |          + 0.75 * kw.n1p * (CAST(kc.n1m AS DOUBLE) / kt.n1pp)) / kw.cw1
+       |      WHEN kc.n1m IS NOT NULL THEN CAST(kc.n1m AS DOUBLE) / kt.n1pp
+       |      ELSE 1.0 / (kt.n1pp + 1) END AS p
+       |  FROM bi LEFT JOIN kb ON bi.w1 = kb.w1 AND bi.w2 = kb.w2
+       |          LEFT JOIN kw ON bi.w1 = kw.w1
+       |          LEFT JOIN kc ON bi.w2 = kc.w2, kt),
+       |sc AS (SELECT doc_id, count(*) AS n_scored,
+       |         CAST(-sum(${Curation.microLnSql("p")}) AS BIGINT) AS kn_micro
+       |       FROM pr GROUP BY doc_id)
+       |SELECT doc_id, n_scored, kn_micro,
+       |  ${roundedRatioSql("kn_micro", "n_scored * 1000000", 4)} AS avg_kn
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tw = docs.select(col("doc_id"), col("lang"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    val bi = tw.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
+      .select(col("doc_id"), col("lang"), col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2"))
+    val (kb, kw, kc, kt) = Curation.knBigramTables(
+      bi.filter(col("lang") === "en").select(col("w1"), col("w2")),
+      minCount = LmMinCount)
+    val joined = Curation.modelJoin(
+      Curation.modelJoin(
+        Curation.modelJoin(
+          Curation.withStats(bi, kt), kb, Seq("w1", "w2")),
+        kw, Seq("w1")),
+      kc.select(col("w2"), col("n1m")), Seq("w2"))
+    // association mirrored verbatim by the oracle's CASE expression
+    val p = when(col("n1m").isNotNull && col("cw1").isNotNull,
+        (greatest(coalesce(col("c"), lit(0L)).cast("double") - lit(0.75), lit(0.0))
+          + lit(0.75) * col("n1p") * (col("n1m").cast("double") / col("n1pp")))
+          / col("cw1"))
+      .when(col("n1m").isNotNull, col("n1m").cast("double") / col("n1pp"))
+      .otherwise(lit(1.0) / (col("n1pp") + lit(1)))
+    joined
+      .select(col("doc_id"), Curation.microLn(p).as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        (-sum(col("q"))).cast("long").as("kn_micro"))
+      .select(col("doc_id"), col("n_scored"), col("kn_micro"),
+        Exact.roundedRatio(col("kn_micro"), col("n_scored") * lit(1000000L), 4).as("avg_kn"))
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #102 — trigram stupid-backoff LM: tokens 3..n scored by
     * P(w₃ | w₁w₂) from the `en` slice, backing off to 0.4·bigram,
     * then 0.4²·unigram/OOV; each rung's scale folds into its own
@@ -607,5 +683,5 @@ object CurationQueries {
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
-      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers)
+      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn)
 }

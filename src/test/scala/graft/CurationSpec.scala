@@ -393,4 +393,32 @@ class CurationSpec extends SparkSpec {
     assert(native == hof)
     assert(native == Seq(1000002L, -2997L, 0L, 0L))
   }
+
+  test("Kneser-Ney tables: interpolated probability mass sums to 1 per seen predecessor") {
+    val bi = Seq(
+      ("the", "cat"), ("the", "cat"), ("the", "dog"), ("a", "cat"),
+      ("a", "bird"), ("dog", "ran"), ("cat", "ran"), ("the", "end")
+    ).toDF("w1", "w2")
+    val (kb, kw, kc, kt) = Curation.knBigramTables(bi)
+    val cMap = kb.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wMap = kw.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val contMap = kc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n1pp = kt.collect()(0).getLong(0)
+    assert(n1pp == cMap.size.toLong)
+    // continuation distribution itself is a distribution
+    assert(contMap.values.sum == n1pp)
+    val vocab = contMap.keySet
+    for ((w1, (cw1, n1p)) <- wMap) {
+      val mass = vocab.toSeq.map { w2 =>
+        val c = cMap.getOrElse((w1, w2), 0L)
+        (math.max(c - 0.75, 0.0) + 0.75 * n1p * (contMap(w2).toDouble / n1pp)) / cw1
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"mass for '$w1' = $mass")
+    }
+    // minCount prunes ONLY the per-bigram table; normalizers keep full mass
+    val (kbP, kwP, _, _) = Curation.knBigramTables(bi, minCount = 2)
+    assert(kbP.count() == 1) // only ("the","cat") has c >= 2
+    assert(kwP.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == 
+      wMap.view.mapValues(_._1).toMap)
+  }
 }
