@@ -448,8 +448,69 @@ object EmbeddingQueries {
     } finally e.unpersist()
   }
 
+  /** #124 — contrastive-pair construction (DPR/contrastive retrieval
+    * training data): per query, top-2 positives, ranks 5–9 as hard
+    * negatives (the near-miss band, skipping a 2-rank margin), and 3
+    * deterministic hash-"random" negatives drawn from outside the
+    * top-9 (portable md5 order — unbiased, rerun/engine-stable where
+    * `rand()` is neither). The exact ranking keeps the gate
+    * oracle-able; at scale the same construction runs off the
+    * IVF/PQ ranking (#38/#112) unchanged, and the random-negative
+    * draw is a salted top-k, never a sort.
+    */
+  val qContrastivePairs = GateQuery.sql(
+    "q_contrastive_pairs",
+    s"""WITH $PrepSql,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en WHERE vec_id < 10),
+       |p AS (SELECT query_id, c.vec_id AS vec_id,
+       |    ${cosineQSql(dotQSql("qq", "c.q"), "nq", "c.n")} AS c
+       |  FROM qs, en c WHERE c.vec_id <> query_id),
+       |rk AS (SELECT query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM p),
+       |top AS (SELECT * FROM rk WHERE rnk <= 9),
+       |rn AS (SELECT q2.query_id, c.vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q2.query_id
+       |      ORDER BY ${graft.operators.TextOps.baseHashSql("'neg:' || q2.query_id || ':' || c.vec_id")}, c.vec_id) AS BIGINT) AS rr
+       |  FROM (SELECT query_id FROM qs) q2, en c
+       |  WHERE c.vec_id <> q2.query_id AND NOT EXISTS (
+       |    SELECT 1 FROM top t WHERE t.query_id = q2.query_id AND t.vec_id = c.vec_id))
+       |SELECT query_id, vec_id, role, rnk FROM (
+       |  SELECT query_id, vec_id, 'positive' AS role, rnk FROM top WHERE rnk <= 2
+       |  UNION ALL
+       |  SELECT query_id, vec_id, 'hard_neg' AS role, rnk FROM top WHERE rnk BETWEEN 5 AND 9
+       |  UNION ALL
+       |  SELECT query_id, vec_id, 'rand_neg' AS role, rr AS rnk FROM rn WHERE rr <= 3)
+       |ORDER BY query_id, role, rnk""".stripMargin) { (s, d) =>
+    val e = prep(s, d)
+    val qs = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")))
+    val scored = e.crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+    val top = Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
+        Seq(col("_c").desc, col("vec_id")), 9, col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rnk"))
+    val negPool = e.select(col("vec_id")).crossJoin(broadcast(qs.select(col("query_id"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(top.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti")
+      .select(col("query_id"), col("vec_id"),
+        graft.operators.TextOps.baseHash(concat(lit("neg:"), col("query_id").cast("string"),
+          lit(":"), col("vec_id").cast("string"))).as("_h"))
+    val rand = Relational.topKPerGroupSalted(negPool, Seq(col("query_id")),
+        Seq(col("_h"), col("vec_id")), 3, col("vec_id"), rankCol = "rr")
+      .select(col("query_id"), col("vec_id"), lit("rand_neg").as("role"), col("rr").as("rnk"))
+    top.filter(col("rnk") <= 2)
+      .select(col("query_id"), col("vec_id"), lit("positive").as("role"), col("rnk"))
+      .union(top.filter(col("rnk").between(5, 9))
+        .select(col("query_id"), col("vec_id"), lit("hard_neg").as("role"), col("rnk")))
+      .union(rand)
+      .orderedSmall(col("query_id"), col("role"), col("rnk"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
-    qKnnIvf, qSemDedup, qKnnPq)
+    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs)
 }

@@ -22,7 +22,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_ppl_buckets", // OOV scalar + (t1, t2) threshold single-row stats
       "q_zorder", // (min, max) grid-bounds single-row stats
       "q_pmi", // (N, M) corpus-totals single-row stats
-      "q_lm_kn") // n1pp distinct-bigram-total single-row stats
+      "q_lm_kn", // n1pp distinct-bigram-total single-row stats
+      "q_contrastive_pairs") // exact-ranking baseline (same as q_knn_bruteforce)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
