@@ -45,6 +45,17 @@ object PqExpressions {
   def pqDecode(code: Column, cb: Array[Array[Array[Long]]]): Column =
     GraftColumnBridge.column(PqDecodeExpr(GraftColumnBridge.expression(code), cb))
 
+  def residual(q: Column, cell: Column, cents: Array[Array[Long]]): Column =
+    GraftColumnBridge.column(ResidualExpr(
+      GraftColumnBridge.expression(q), GraftColumnBridge.expression(cell), cents))
+  def centDot(q: Column, cell: Column, cents: Array[Array[Long]]): Column =
+    GraftColumnBridge.column(CentDotExpr(
+      GraftColumnBridge.expression(q), GraftColumnBridge.expression(cell), cents))
+  def pqCellCross(code: Column, cell: Column, cross: Array[Array[Long]],
+                  m: Int, k: Int): Column =
+    GraftColumnBridge.column(PqCellCrossExpr(
+      GraftColumnBridge.expression(code), GraftColumnBridge.expression(cell), cross, m, k))
+
   private[expressions] def checkCodebooks(cb: Array[Array[Array[Long]]]): Unit = {
     require(cb.nonEmpty && cb.forall(_.length == cb(0).length),
       "PQ codebooks must be a non-empty M x K x subDim array")
@@ -276,4 +287,123 @@ case class PqDecodeExpr(child: Expression, cb: Array[Array[Array[Long]]])
   }
   override protected def withNewChildInternal(newChild: Expression): PqDecodeExpr =
     copy(child = newChild)
+}
+
+/** x − c_cell elementwise (exact integer) — the residual a
+  * `by_residual` IVF-PQ encodes instead of the raw vector (FAISS
+  * IndexIVFPQ default: residuals are small, so the same code budget
+  * quantizes them far more finely).
+  */
+case class ResidualExpr(left: Expression, right: Expression, cents: Array[Array[Long]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(q: Any, cell: Any): Any = {
+    val x = q.asInstanceOf[ArrayData]
+    val c = cents(cell.asInstanceOf[Long].toInt)
+    val n = math.min(x.numElements(), c.length)
+    val out = new Array[Any](x.numElements())
+    var i = 0
+    while (i < n) { out(i) = x.getLong(i) - c(i); i += 1 }
+    while (i < x.numElements()) { out(i) = x.getLong(i); i += 1 }
+    new GenericArrayData(out)
+  }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, cell) => {
+      val ref = ctx.addReferenceObj("resCents", this, classOf[ResidualExpr].getName)
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $c = $ref.centRow((int) $cell);
+         |int $n = $q.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $q.getLong($i) - ($i < $c.length ? $c[$i] : 0L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  def centRow(cell: Int): Array[Long] = cents(cell)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResidualExpr =
+    copy(left = l, right = r)
+}
+
+/** dot(q, c_cell) — the per-(query, cell) coarse term of the residual
+  * IVF-PQ score decomposition dot(q, x̂) = dot(q, c) + adcDot.
+  */
+case class CentDotExpr(left: Expression, right: Expression, cents: Array[Array[Long]])
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(q: Any, cell: Any): Any = {
+    val x = q.asInstanceOf[ArrayData]
+    val c = cents(cell.asInstanceOf[Long].toInt)
+    val n = math.min(x.numElements(), c.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * c(i); i += 1 }
+    s
+  }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, cell) => {
+      val ref = ctx.addReferenceObj("cdCents", this, classOf[CentDotExpr].getName)
+      val c = ctx.freshName("c")
+      val st = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $c = $ref.centRow((int) $cell);
+         |int $n = java.lang.Math.min($q.numElements(), $c.length);
+         |long $st = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $st += $q.getLong($i) * $c[$i]; }
+         |${ev.value} = $st;
+       """.stripMargin
+    })
+  def centRow(cell: Int): Array[Long] = cents(cell)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentDotExpr =
+    copy(left = l, right = r)
+}
+
+/** Σ_m cross[cell][m·K + code_m] — the centroid×residual cross term
+  * of ‖x̂‖² = ‖c‖² + 2·c·r̂ + ‖r̂‖², from a driver-precomputed
+  * C×(M·K) table.
+  */
+case class PqCellCrossExpr(left: Expression, right: Expression,
+                           cross: Array[Array[Long]], m: Int, k: Int)
+    extends BinaryExpression {
+  private val bits = PqExpressions.codeBits(k)
+  private val mask = (1L << bits) - 1L
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(code: Any, cell: Any): Any = {
+    val c = code.asInstanceOf[Long]
+    val t = cross(cell.asInstanceOf[Long].toInt)
+    var s = 0L
+    var mm = 0
+    while (mm < m) {
+      s += t(mm * k + ((c >>> (mm * bits)) & mask).toInt)
+      mm += 1
+    }
+    s
+  }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, cell) => {
+      val ref = ctx.addReferenceObj("pqCross", this, classOf[PqCellCrossExpr].getName)
+      val t = ctx.freshName("t")
+      val s = ctx.freshName("s")
+      val mm = ctx.freshName("m")
+      s"""
+         |long[] $t = $ref.crossRow((int) $cell);
+         |long $s = 0L;
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  $s += $t[$mm * $k + (int) (($code >>> ($mm * $bits)) & ${mask}L)];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  def crossRow(cell: Int): Array[Long] = cross(cell)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqCellCrossExpr =
+    copy(left = l, right = r)
 }

@@ -119,6 +119,76 @@ object PqIndex {
         (round(col("_c"), 6) + lit(0.0)).as("cos"), col("rnk"))
   }
 
+  /** Residual relation of an IVF assignment: (vec_id, cell,
+    * q → x − c_cell). A `by_residual` index trains/encodes PQ on
+    * THESE rows — residuals are small, so the same code budget
+    * quantizes far more finely (the FAISS IndexIVFPQ default).
+    */
+  def residuals(assigned: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    assigned.withColumn("q",
+      graft.expressions.PqExpressions.residual(col("q"), col("cell"), cents))
+
+  /** Driver-precomputed cross table for the residual norm
+    * decomposition: cross(cell)(m·K + j) = dot(c_cell restricted to
+    * subspace m, codebook(m)(j)). C·M·K longs — model state.
+    */
+  def crossTable(cents: Array[Array[Long]], model: PqModel): Array[Array[Long]] =
+    cents.map { cent =>
+      val t = new Array[Long](model.m * model.k)
+      var mm = 0
+      while (mm < model.m) {
+        var j = 0
+        while (j < model.k) {
+          val cb = model.codebooks(mm)(j)
+          var s = 0L
+          var i = 0
+          val off = mm * model.subDim
+          val lim = math.min(model.subDim, math.max(0, cent.length - off))
+          while (i < lim) { s += cent(off + i) * cb(i); i += 1 }
+          t(mm * model.k + j) = s
+          j += 1
+        }
+        mm += 1
+      }
+      t
+    }
+
+  /** Residual IVF-PQ top-k (`by_residual = true`): probe cells, score
+    * via the exact decomposition
+    * dot(q, x̂) = dot(q, c_cell) + adcDot(residual codes, lut(q)),
+    * ‖x̂‖² = ‖c_cell‖² + 2·(c_cell·r̂) + ‖r̂‖² — every term an exact
+    * integer from driver-held model tables (centroid dot per probe,
+    * cross table per (cell, code), recon norms per code).
+    * `assignedCoded` = [[residuals]] ∘ [[encode]] with
+    * (vec_id, cell, pq).
+    */
+  def ivfPqResidualTopK(queries: DataFrame, assignedCoded: DataFrame,
+                        cents: Array[Array[Long]], model: PqModel,
+                        nprobe: Int, topK: Int): DataFrame = {
+    import graft.expressions.PqExpressions
+    val centNorms = cents.map(c => c.map(x => x * x).sum)
+    val cross = crossTable(cents, model)
+    val probes = queries.select(col("query_id"), col("nq"),
+      PqExpressions.pqLut(col("qq"), model.codebooks).as("lut"),
+      col("qq"),
+      explode(graft.expressions.VectorExpressions.nearestCells(col("qq"), cents, nprobe)).as("cell"))
+      .select(col("query_id"), col("nq"), col("lut"), col("cell"),
+        PqExpressions.centDot(col("qq"), col("cell"), cents).as("cdot"))
+    val centNormCol = element_at(lit(centNorms), col("cell").cast("int") + 1)
+    val reconNorm = centNormCol +
+      lit(2L) * PqExpressions.pqCellCross(col("pq"), col("cell"), cross, model.m, model.k) +
+      PqExpressions.pqReconNorm(col("pq"), model.codebooks)
+    val adc = col("cdot") + PqExpressions.pqAdcDot(col("pq"), col("lut"), model.m, model.k)
+    val scored = assignedCoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineQ(adc, col("nq"), reconNorm).as("_c"))
+    Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
+        Seq(col("_c").desc, col("vec_id")), topK, col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (round(col("_c"), 6) + lit(0.0)).as("cos"), col("rnk"))
+  }
+
   /** IVF-PQ top-k: probe the `nprobe` nearest coarse cells per query
     * (exact integer centroid distances), meet the coded corpus
     * through one broadcast hash join on cell id, ADC-score the cell

@@ -509,8 +509,32 @@ object EmbeddingQueries {
       .orderedSmall(col("query_id"), col("role"), col("rnk"))
   }
 
+  /** #112b — residual IVF-PQ (`by_residual = true`, the FAISS
+    * IndexIVFPQ default): PQ trained/encoded on cell residuals, score
+    * and norm rebuilt from the exact integer decomposition (centroid
+    * dot + ADC; centroid norm + 2·cross + residual norm). Rows-only;
+    * decomposition exactness, determinism and recall floor pinned by
+    * PqIndexSpec.
+    */
+  val qKnnIvfPq = GateQuery.rowsOnly("q_knn_ivfpq") { (s, d) =>
+    val e = prep(s, d).persist() // cache across the training jobs (see qKnnIvf)
+    try {
+      val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+      val res = graft.operators.PqIndex.residuals(
+        graft.operators.IvfIndex.assign(e, cents), cents)
+      val model = graft.operators.PqIndex.train(res, m = 8, k = 16, iters = 2, dims = Dims)
+      val coded = graft.operators.PqIndex.encode(res, model)
+        .select(col("vec_id"), col("cell"), col("pq"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+      graft.operators.PqIndex.ivfPqResidualTopK(qs, coded, cents, model,
+          nprobe = 4, topK = 5)
+        .orderedSmall(col("query_id"), col("rnk"))
+    } finally e.unpersist()
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
-    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs)
+    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq)
 }

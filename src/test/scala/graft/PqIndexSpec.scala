@@ -115,4 +115,64 @@ class PqIndexSpec extends SparkSpec {
       PqIndex.PqModel(Array.fill(9, 256)(Array(0L))) // 9 * 8 bits > 64
     }
   }
+
+  test("residual IVF-PQ: score decomposition is EXACT vs the reconstruction") {
+    val cents = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
+    val res = PqIndex.residuals(IvfIndex.assign(e, cents), cents)
+    val rmodel = PqIndex.train(res, m = 8, k = 16, iters = 2, dims = Dims)
+    val coded = PqIndex.encode(res, rmodel)
+      .select(col("vec_id"), col("cell"), col("pq"))
+    val q0 = e.filter(col("vec_id") === 3)
+      .select(col("q")).collect()(0).getSeq[Long](0).toArray
+    import graft.expressions.PqExpressions
+    val cb = rmodel.codebooks
+    val cross = PqIndex.crossTable(cents, rmodel)
+    val centNorms = cents.map(c => c.map(x => x * x).sum)
+    // x_hat = cent[cell] + decode(pq), via double negation of ResidualExpr
+    val negDec = transform(PqExpressions.pqDecode(col("pq"), cb), x => -x)
+    val recon = transform(PqExpressions.residual(negDec, col("cell"), cents), x => -x)
+    val bad = coded
+      .withColumn("lut", PqExpressions.pqLut(lit(q0), cb))
+      .select(
+        (PqExpressions.centDot(lit(q0), col("cell"), cents) +
+          PqExpressions.pqAdcDot(col("pq"), col("lut"), rmodel.m, rmodel.k)).as("score"),
+        VectorExpressions.dotQ(recon, lit(q0)).as("exact_score"),
+        (element_at(lit(centNorms), col("cell").cast("int") + 1) +
+          lit(2L) * PqExpressions.pqCellCross(col("pq"), col("cell"), cross, rmodel.m, rmodel.k) +
+          PqExpressions.pqReconNorm(col("pq"), cb)).as("rn"),
+        VectorExpressions.normQ(recon).as("exact_rn"))
+      .filter(col("score") =!= col("exact_score") || col("rn") =!= col("exact_rn"))
+    assert(bad.count() == 0)
+  }
+
+  test("residual IVF-PQ returns k rows per query, deterministically, above the recall floor") {
+    val cents = IvfIndex.train(e, c = 8, iters = 2, dims = Dims)
+    val res = PqIndex.residuals(IvfIndex.assign(e, cents), cents)
+    val rmodel = PqIndex.train(res, m = 8, k = 16, iters = 2, dims = Dims)
+    val coded = PqIndex.encode(res, rmodel)
+      .select(col("vec_id"), col("cell"), col("pq"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+    val out = PqIndex.ivfPqResidualTopK(qs, coded, cents, rmodel, nprobe = 8, topK = 5)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(rows.groupBy(_._1).forall(_._2.size == 5) && rows.map(_._1).distinct.size == 10)
+    val again = PqIndex.ivfPqResidualTopK(qs, coded, cents, rmodel, nprobe = 8, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).sorted.toSeq
+    assert(rows == again)
+    // recall floor vs brute force (nprobe = all cells, so purely a
+    // quantization-fidelity measure)
+    val pqTop = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_c").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineQ(VectorExpressions.dotQ(col("qq"), col("q")),
+          col("nq"), col("n")).as("_c"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.map { case (qid, t) => (pqTop(qid) & t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"residual mean recall@5 $mean")
+  }
 }
