@@ -392,9 +392,51 @@ object ScanQueries {
       .orderedSmall(col("g"))
   }
 
+  /** #125 — ordered funnel analysis (view → click → purchase, each
+    * step strictly after the previous): the event-analytics shape
+    * behind every conversion dashboard, as three chained
+    * min-aggregates — step k is one user-keyed aggregate over the
+    * step-k event slice joined to step k−1's times. No window over
+    * per-user event sequences (a power user with millions of events
+    * costs nothing beyond their aggregate), no self-join explosion;
+    * the three user-keyed relations co-partition after the first
+    * shuffle. µs-truncated times per the oracle contract.
+    */
+  val qFunnel = GateQuery.sql(
+    "q_funnel",
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+       |s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+       |SELECT step, n_users FROM (
+       |  SELECT 1 AS ord, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+       |  UNION ALL SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+       |  UNION ALL SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3)
+       |ORDER BY ord""".stripMargin) { (s, d) =>
+    val evs = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = evs.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = evs.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+      .filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = evs.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    def cnt(df: DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(ord).as("ord"), lit(name).as("step"), col("n_users"))
+    cnt(s1, 1, "view")
+      .union(cnt(s2, 2, "view>click"))
+      .union(cnt(s3, 3, "view>click>purchase"))
+      .orderBy(col("ord")).drop("ord")
+      .coalesce(1)
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
     qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike,
-    qSavGol, qUbMatrix)
+    qSavGol, qUbMatrix, qFunnel)
 }
