@@ -434,9 +434,39 @@ object ScanQueries {
       .coalesce(1)
   }
 
+  /** #126 — cohort retention matrix: users grouped by first-activity
+    * week (cohort), counted once per (cohort, weeks-since-first)
+    * cell — the second standard event-analytics surface next to
+    * [[qFunnel]]. Two user-keyed aggregates + one distinct; exact
+    * integer week arithmetic (floor division on µs-derived seconds)
+    * on both engines.
+    */
+  val qRetention = GateQuery.sql(
+    "q_retention",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+      |fe AS (SELECT user_id, min(tsec) // 604800 AS w0 FROM ev GROUP BY 1),
+      |act AS (SELECT DISTINCT e.user_id, w0, (tsec // 604800) - w0 AS wk
+      |        FROM ev e JOIN fe USING (user_id))
+      |SELECT CAST(w0 AS BIGINT) AS cohort_week, CAST(wk AS BIGINT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM act GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_us div 1000000").as("tsec"))
+    val fe = evs.groupBy(col("user_id"))
+      .agg(expr("min(tsec) div 604800").as("w0"))
+    evs.join(fe, Seq("user_id"))
+      .select(col("user_id"), col("w0"),
+        (expr("tsec div 604800") - col("w0")).as("wk"))
+      .distinct()
+      .groupBy(col("w0").cast("long").as("cohort_week"),
+        col("wk").cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderedSmall(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
     qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike,
-    qSavGol, qUbMatrix, qFunnel)
+    qSavGol, qUbMatrix, qFunnel, qRetention)
 }
