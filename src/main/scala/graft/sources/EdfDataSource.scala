@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -272,6 +272,10 @@ class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long,
       case GreaterThanOrEqual("frame", v) => asLOpt(v).isDefined
       case LessThan("frame", v) => asLOpt(v).isDefined
       case LessThanOrEqual("frame", v) => asLOpt(v).isDefined
+      // frame is non-null by construction: accepting the inferred
+      // IsNotNull keeps it out of the residual (a residual blocks
+      // aggregate pushdown and costs a per-row filter for nothing)
+      case IsNotNull("frame") => true
       case _ => false
     }
     def narrow(s: Set[Long]): Unit =

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -169,14 +169,24 @@ class SpeScanBuilder(paths: Seq[String], maxPartBytes: Long)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def asL(v: Any): Long = v match {
-      case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong
-      case other => other.toString.toLong
+    // integral literals only; anything else stays residual (the EDF
+    // planning-robustness contract)
+    def asLOpt(v: Any): Option[Long] = v match {
+      case l: Long => Some(l); case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case _ => None
     }
+    def asL(v: Any): Long = asLOpt(v).get
     val (accepted, rest) = filters.partition {
-      case EqualTo("frame", _) | In("frame", _) => true
-      case GreaterThan("frame", _) | GreaterThanOrEqual("frame", _) => true
-      case LessThan("frame", _) | LessThanOrEqual("frame", _) => true
+      case EqualTo("frame", v) => asLOpt(v).isDefined
+      case In("frame", vs) => vs != null && vs.forall(asLOpt(_).isDefined)
+      case GreaterThan("frame", v) => asLOpt(v).isDefined
+      case GreaterThanOrEqual("frame", v) => asLOpt(v).isDefined
+      case LessThan("frame", v) => asLOpt(v).isDefined
+      case LessThanOrEqual("frame", v) => asLOpt(v).isDefined
+      // frame is non-null by construction: accepting the inferred
+      // IsNotNull keeps it out of the residual
+      case IsNotNull("frame") => true
       case _ => false
     }
     def narrow(s: Set[Long]): Unit =

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -221,12 +221,38 @@ class TiffTable(paths: Seq[String], maxPartBytes: Long) extends Table with Suppo
 
 class TiffScanBuilder(paths: Seq[String], maxPartBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TiffSchema.schema
   private var frameEq: Option[Set[Long]] = None
   private var frameLo: Long = Long.MinValue
   private var frameHi: Long = Long.MaxValue
+  // pushed aggregate tags: "count" | "min_frame" | "max_frame"
+  private var aggTags: Option[Seq[String]] = None
+
+  /** COUNT(*) / MIN(frame) / MAX(frame) with no grouping are answered
+    * from the PLANNING index alone — the header walk that happens
+    * anyway — so a whole-dataset frame census never opens a data
+    * section and emits ONE row instead of one per frame. Partial
+    * semantics: Spark still merges (sum/min/max), so multi-scan
+    * unions stay correct.
+    */
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  private def tagOf(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[String] = e match {
+    case _: CountStar => Some("count")
+    case m: Min if m.column.describe() == "frame" => Some("min_frame")
+    case m: Max if m.column.describe() == "frame" => Some("max_frame")
+    case _ => None
+  }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val tags = agg.aggregateExpressions.toSeq.map(tagOf)
+    if (tags.exists(_.isEmpty)) return false
+    aggTags = Some(tags.map(_.get))
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -246,6 +272,10 @@ class TiffScanBuilder(paths: Seq[String], maxPartBytes: Long)
       case GreaterThanOrEqual("frame", v) => asLOpt(v).isDefined
       case LessThan("frame", v) => asLOpt(v).isDefined
       case LessThanOrEqual("frame", v) => asLOpt(v).isDefined
+      // frame is non-null by construction: accepting the inferred
+      // IsNotNull keeps it out of the residual (a residual blocks
+      // aggregate pushdown and costs a per-row filter for nothing)
+      case IsNotNull("frame") => true
       case _ => false
     }
     def narrow(s: Set[Long]): Unit =
@@ -264,32 +294,41 @@ class TiffScanBuilder(paths: Seq[String], maxPartBytes: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  /** Header walk + frame-filter, shared by the row scan and the
+    * aggregate fast path: (path, total frames, wanted (frame, idx)). */
+  private def plannedFrames(): Seq[(String, Long, Seq[(TiffSchema.TiffFrame, Int)])] = {
+    val session = SparkSession.active
+    val conf = session.sessionState.newHadoopConf()
+    val files = SpecSchema.expand(paths, conf)
+      .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
+    // same driver-vs-job split as the SPE/EDF header passes
+    val walks: Map[String, Seq[TiffSchema.TiffFrame]] =
+      if (files.size <= SpeSchema.ParallelHeaderThreshold)
+        files.map(m => m.path -> TiffSchema.walk(m.path, conf)).toMap
+      else {
+        val sconf = new SerializableHadoopConf(conf)
+        session.sparkContext
+          .parallelize(files.map(_.path), files.size)
+          .map(p => p -> TiffSchema.walk(p, sconf.value))
+          .collect().toMap
+      }
+    files.map { meta =>
+      val all = walks(meta.path)
+      val wanted = all.zipWithIndex.filter { case (_, f) =>
+        f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f.toLong))
+      }
+      (meta.path, all.size.toLong, wanted)
+    }
+  }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new TiffAggScan(tags, () => plannedFrames())
+    case None => new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val session = SparkSession.active
-      val conf = session.sessionState.newHadoopConf()
-      val files = SpecSchema.expand(paths, conf)
-        .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
-      // same driver-vs-job split as the SPE/EDF header passes
-      val walks: Map[String, Seq[TiffSchema.TiffFrame]] =
-        if (files.size <= SpeSchema.ParallelHeaderThreshold)
-          files.map(m => m.path -> TiffSchema.walk(m.path, conf)).toMap
-        else {
-          val sconf = new SerializableHadoopConf(conf)
-          session.sparkContext
-            .parallelize(files.map(_.path), files.size)
-            .map(p => p -> TiffSchema.walk(p, sconf.value))
-            .collect().toMap
-        }
-      files.flatMap { meta =>
-        val all = walks(meta.path)
-        val n = all.size.toLong
-        val wanted = all.zipWithIndex.filter { case (_, f) =>
-          f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f.toLong))
-        }
+      plannedFrames().flatMap { case (path, n, wanted) =>
         // contiguous runs capped by data bytes per partition
         val parts = mutable.ArrayBuffer[TiffInputPartition]()
         var runStart = -1L
@@ -297,7 +336,7 @@ class TiffScanBuilder(paths: Seq[String], maxPartBytes: Long)
         val run = mutable.ArrayBuffer[TiffSchema.TiffFrame]()
         var runBytes = 0L
         def flush(): Unit = if (run.nonEmpty) {
-          parts += TiffInputPartition(meta.path, runStart, n, run.toSeq)
+          parts += TiffInputPartition(path, runStart, n, run.toSeq)
           run.clear(); runBytes = 0L; runStart = -1L
         }
         wanted.foreach { case (fr, idx) =>
@@ -314,7 +353,44 @@ class TiffScanBuilder(paths: Seq[String], maxPartBytes: Long)
     override def createReaderFactory(): PartitionReaderFactory =
       new TiffReaderFactory(new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
+    }
   }
+}
+
+/** Aggregate-pushdown fast path: one row of planning-index partial
+  * aggregates, zero data-section IO. Values pre-reduced at planning;
+  * Spark's final merge (sum/min/max over one row) is a no-op
+  * arithmetic-wise but keeps union/multi-scan plans correct.
+  */
+final case class TiffAggPartition(values: Array[Any]) extends InputPartition
+
+class TiffAggScan(tags: Seq[String],
+                  planned: () => Seq[(String, Long, Seq[(TiffSchema.TiffFrame, Int)])])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(tags.map(t => StructField(s"agg_$t", LongType, nullable = t != "count")))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val frames = planned().flatMap(_._3.map(_._2.toLong))
+    val values: Array[Any] = tags.map {
+      case "count" => frames.size.toLong
+      case "min_frame" => if (frames.isEmpty) null else frames.min
+      case "max_frame" => if (frames.isEmpty) null else frames.max
+    }.toArray
+    Array(TiffAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val row = InternalRow.fromSeq(
+            p.asInstanceOf[TiffAggPartition].values.toSeq)
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
 }
 
 class TiffReaderFactory(conf: SerializableHadoopConf,

@@ -158,4 +158,33 @@ class TiffDataSourceSpec extends SparkSpec {
     assert(b.pushFilters(good).isEmpty)
     assert(b.pushedFilters().toSeq === good.toSeq)
   }
+
+  test("COUNT(*)/MIN/MAX(frame) push down to the planning index: one agg row, no pixel read") {
+    val f = tmpFile("agg.tiff")
+    val frames = (0 until 7).map(i => Array.tabulate(6)(j => (i * 10 + j).toDouble))
+    TiffWriterUtil.write(f.getAbsolutePath, conf, 3, 2, "uint16", true, frames)
+    val df = spark.read.format("tiff").load(f.getAbsolutePath)
+    // count(*): answered from headers; scan output is the pushed agg column
+    val cq = df.groupBy().count()
+    val cplan = cq.queryExecution.executedPlan.toString
+    assert(cplan.contains("agg_count"), cplan)
+    assert(cq.collect()(0).getLong(0) == 7L)
+    // min/max over frame, combined with count
+    val mq = df.agg(count(lit(1)), min(col("frame")), max(col("frame")))
+    val mplan = mq.queryExecution.executedPlan.toString
+    assert(mplan.contains("agg_min_frame") && mplan.contains("agg_max_frame"), mplan)
+    val r = mq.collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 0L && r.getLong(2) == 6L)
+    // pushed frame filters narrow the planning index before aggregating
+    val fq = df.filter(col("frame") >= 2 && col("frame") <= 5).groupBy().count()
+    assert(fq.queryExecution.executedPlan.toString.contains("agg_count"))
+    assert(fq.collect()(0).getLong(0) == 4L)
+    // non-pushable aggregates still work through the row path
+    val avg = df.agg(sum(col("width"))).collect()(0).getLong(0)
+    assert(avg == 21L)
+    // and an empty selection returns count 0, null min/max
+    val eq = df.filter(col("frame") > 100)
+      .agg(count(lit(1)), min(col("frame"))).collect()(0)
+    assert(eq.getLong(0) == 0L && eq.isNullAt(1))
+  }
 }
