@@ -93,4 +93,30 @@ class PercentilesSpec extends SparkSpec {
         "window input is not the collapsed (group, value) relation")
     }
   }
+
+  test("approx_percentile (GK sketch) stays within its rank-error bound vs exact") {
+    // the scale path for quantiles over corpus-sized groups: one
+    // mergeable sketch aggregate, no order statistics; accuracy knob =
+    // max rank error 1/accuracy
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).map(_.toLong).toDF("v").repartition(8)
+    val accuracy = 100 // rank error <= n / accuracy = 100 ranks
+    val got = df.agg(
+      expr(s"approx_percentile(v, array(0.1, 0.5, 0.99), $accuracy)")).collect()(0)
+      .getSeq[Long](0)
+    val exactR = Seq(0.1, 0.5, 0.99).map(p => (p * n).toLong)
+    got.zip(exactR).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= n / accuracy + 1,
+        s"approx $g vs exact rank $e exceeds the bound")
+    }
+    // determinism: the sketch is deterministic for a fixed partitioning
+    val again = df.coalesce(1).agg(
+      expr(s"approx_percentile(v, array(0.1, 0.5, 0.99), $accuracy)")).collect()(0)
+      .getSeq[Long](0)
+    val again2 = df.coalesce(1).agg(
+      expr(s"approx_percentile(v, array(0.1, 0.5, 0.99), $accuracy)")).collect()(0)
+      .getSeq[Long](0)
+    assert(again == again2)
+  }
 }
