@@ -313,6 +313,31 @@ object CoreQueries {
     }
   }
 
+  /** #127 — full outer join, summarized to presence-flag counts so
+    * the gate exercises the FullOuter physical path (sort-merge with
+    * both-side null generation) without a row-explosion output.
+    */
+  val qFullOuter = GateQuery.sql(
+    "q_full_outer",
+    """WITH cs AS (SELECT c_custkey AS ck FROM customer WHERE c_custkey % 2 = 0),
+      |os AS (SELECT o_orderkey AS ok, o_custkey FROM orders WHERE o_custkey % 3 = 0),
+      |j AS (SELECT ck, ok FROM cs FULL OUTER JOIN os ON ck = o_custkey)
+      |SELECT CASE WHEN ck IS NULL THEN 0 ELSE 1 END AS has_cust,
+      |  CASE WHEN ok IS NULL THEN 0 ELSE 1 END AS has_order,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM j GROUP BY 1, 2 ORDER BY has_cust, has_order""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("ck"))
+      .join(Tables.orders(s, d).filter(col("o_custkey") % 3 === 0)
+          .select(col("o_orderkey").as("ok"), col("o_custkey")),
+        col("ck") === col("o_custkey"), "full_outer")
+      .select(when(col("ck").isNull, 0).otherwise(1).as("has_cust"),
+        when(col("ok").isNull, 0).otherwise(1).as("has_order"))
+      .groupBy(col("has_cust"), col("has_order"))
+      .agg(count(lit(1)).as("n"))
+      .orderedSmall(col("has_cust"), col("has_order"))
+  }
+
   val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents,
-    qAntiJoin, qRollup, qProfile, qZorder)
+    qAntiJoin, qRollup, qProfile, qZorder, qFullOuter)
 }
