@@ -159,7 +159,8 @@ class SpeTable(paths: Seq[String], maxPartBytes: Long) extends Table with Suppor
 
 class SpeScanBuilder(paths: Seq[String], maxPartBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SpeSchema.schema
   private var frameEq: Option[Set[Long]] = None
@@ -207,7 +208,41 @@ class SpeScanBuilder(paths: Seq[String], maxPartBytes: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  // pushed aggregate tags — same contract as the TIFF source:
+  // ungrouped COUNT(*) / MIN / MAX(frame) answer from the 4100-byte
+  // header pass alone (partial semantics; Spark final-merges)
+  private var aggTags: Option[Seq[String]] = None
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if m.column.describe() == "frame" => Some("min_frame")
+      case m: Max if m.column.describe() == "frame" => Some("max_frame")
+      case _ => None
+    }
+    if (tags.exists(_.isEmpty)) return false
+    aggTags = Some(tags.map(_.get))
+    true
+  }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new TiffAggScan(tags, () => {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      SpecSchema.expand(paths, conf)
+        .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
+        .map { meta =>
+          val h = SpeSchema.readHeader(meta.path, conf)
+          val wanted = (0 until h.nFrames).filter { f =>
+            f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f.toLong))
+          }.map(f => (null.asInstanceOf[TiffSchema.TiffFrame], f))
+          (meta.path, h.nFrames.toLong, wanted)
+        }
+    })
+    case None => rowScan()
+  }
+
+  private def rowScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 

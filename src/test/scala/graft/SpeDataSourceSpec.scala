@@ -201,4 +201,21 @@ class SpeDataSourceSpec extends SparkSpec {
     val sums = df.select(sum(element_at(col("pixels"), 1))).collect().head.getDouble(0)
     assert(sums == 2.0 * (1 to n).sum)
   }
+
+  test("COUNT(*)/MIN/MAX(frame) push down to the header pass (agg row, no data read)") {
+    val dir = java.nio.file.Files.createTempDirectory("speagg").toFile
+    val frames = (0 until 9).map(i => Array.tabulate(4)(j => (i + j).toDouble))
+    val p = mkSpe(dir, "agg.spe", 2, 2, 3, frames)
+    val df = spark.read.format("spe").load(p)
+    val cq = df.groupBy().count()
+    assert(cq.queryExecution.executedPlan.toString.contains("agg_count"))
+    assert(cq.collect()(0).getLong(0) == 9L)
+    val mq = df.filter(col("frame") >= 3).agg(min(col("frame")), max(col("frame")))
+    val mplan = mq.queryExecution.executedPlan.toString
+    assert(mplan.contains("agg_min_frame") && mplan.contains("agg_max_frame"), mplan)
+    val r = mq.collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L)
+    // row path unaffected for non-pushable shapes
+    assert(df.groupBy(col("datatype")).count().collect()(0).getLong(1) == 9L)
+  }
 }
