@@ -203,15 +203,21 @@ object HeavyHitters {
 
   /** Word n-gram terms of a document relation — the recount-side
     * exploded form. Tokens split on single spaces (oracle-portable).
+    * The split array is materialized in its own projection first:
+    * higher-order expressions (`transform`) evaluate interpreted, and
+    * an inline `split(text)` child would be RE-EVALUATED by every
+    * `element_at` call — O(len²) work per document (measured ~8×
+    * slower). Against the bound attribute each lookup is O(1).
     */
   def ngramTerms(docs: DataFrame, text: Column, n: Int): DataFrame = {
-    val w = split(text, " ")
+    val base = docs.select(split(text, " ").as("_w"))
+    val w = col("_w")
     val terms =
       if (n == 1) explode(w)
       else explode(when(size(w) >= n,
         transform(sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
         .otherwise(array().cast("array<string>")))
-    docs.select(terms.as("term"))
+    base.select(terms.as("term"))
   }
 }

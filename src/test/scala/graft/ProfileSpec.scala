@@ -31,11 +31,16 @@ class ProfileSpec extends SparkSpec {
       s"approx distinct $approx too far from 20000")
   }
 
-  test("approx mode plans without Expand; exact multi-distinct uses it") {
-    val aggsApprox = df.agg(
-      approx_count_distinct(col("id")), approx_count_distinct(col("s")))
-    assert(!aggsApprox.queryExecution.executedPlan.toString.contains("Expand"))
+  test("neither mode plans an Expand (the multi-distinct rewrite is avoided)") {
+    // a plain multi-distinct agg DOES hit Catalyst's Expand rewrite …
     val aggsExact = df.agg(count_distinct(col("id")), count_distinct(col("s")))
     assert(aggsExact.queryExecution.executedPlan.toString.contains("Expand"))
+    // … which is exactly why Profile's exact mode unions per-column
+    // aggregates instead, and the approx mode sketches in one pass
+    for (exact <- Seq(true, false)) {
+      val plan = Profile.profile(df, Seq("id", "s", "v"), exact = exact)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), s"Expand in exact=$exact plan")
+    }
   }
 }
