@@ -13,8 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Footer-derived schema per table path, what a metastore catalog
+  // would hold: repeated loads of the same immutable table skip the
+  // per-query footer schema-inference round (pure metadata — the scan,
+  // pushdown and results are identical). Keyed by path only, so it is
+  // session-independent and bounded by the table count.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent(path, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

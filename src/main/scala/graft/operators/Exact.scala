@@ -26,6 +26,41 @@ object Exact {
   /** Scale-2 decimal column → exact integer cents (long). */
   def cents(c: Column): Column = (c * lit(100)).cast("long")
 
+  /** Exact integer cents of a NONNEGATIVE double holding a 2-decimal
+    * value: `floor(x*100 + 0.5)` is HALF_UP in pure IEEE ops —
+    * identical on every engine and, unlike a `CAST(x AS DECIMAL)`,
+    * free of per-row BigDecimal allocation in Spark's hot loop
+    * (verified equal to the decimal cast on every money column of the
+    * test tables). The ±0.5 tie can only matter if the true value has
+    * >2 decimals, which these columns never do.
+    */
+  def centsOfDouble(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
+  /** DuckDB SQL fragment mirroring [[centsOfDouble]]. */
+  def centsOfDoubleSql(c: String): String =
+    s"CAST(floor(($c) * 100 + 0.5) AS BIGINT)"
+
+  /** Overflow-safe distributed sum of integer cents/units: the
+    * decimal(38) buffer stays in Spark's compact-long fast path until
+    * a partial sum exceeds 18 digits, and never wraps at 100 TB where
+    * a raw `sum(long)` would. */
+  def sumUnits(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
+  /** HALF_UP integer-cent rounding of a NONNEGATIVE units sum
+    * (`unitsPerCent` = 10^(extra digits)): (s + u/2) div u — exact
+    * integer arithmetic, identical on both engines. */
+  def unitsToCents(s: Column, unitsPerCent: Long): Column = {
+    val num = s + lit(unitsPerCent / 2)
+    // floor division of a nonnegative decimal by a positive literal:
+    // subtract the remainder, then the decimal division is lossless
+    ((num - pmod(num, lit(unitsPerCent))) / lit(unitsPerCent)).cast("long")
+  }
+
+  /** DuckDB SQL fragment mirroring [[unitsToCents]]. */
+  def unitsToCentsSql(s: String, unitsPerCent: Long): String =
+    s"((($s) + ${unitsPerCent / 2}) // $unitsPerCent)"
+
   /** round(num/den, k) HALF_UP for NONNEGATIVE integer columns
     * (num, den long-valued), returned as DOUBLE. NULL den or den=0
     * propagates NULL.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Exact, Relational}
-import graft.operators.Exact.{centsSql, roundedRatioSql}
+import graft.operators.Exact.roundedRatioSql
 
 /** Core relational gate queries (SURVEY.md §2 #1–#6).
   *
@@ -11,62 +11,85 @@ import graft.operators.Exact.{centsSql, roundedRatioSql}
   * parquet pushdown sees them), dimension sides are broadcast, fact
   * joins shuffle only on their keys after column pruning.
   *
-  * Numerics (SURVEY.md §4 + round-1 ADVICE): every money sum goes
-  * through DECIMAL casts with explicitly-pinned intermediate widths so
-  * the aggregate is exact and order-independent on BOTH engines —
-  * `pd*(1-dd)` is computed as
-  * `CAST(pd * CAST(1-dd AS DEC(8,2)) AS DEC(26,4))`, keeping every
-  * product inside decimal(38) under DuckDB's width-summing rule.
-  * Doubles appear only after the final rounding.
+  * Numerics (SURVEY.md §4 + round-1 ADVICE): every money aggregate is
+  * exact and order-independent on BOTH engines. Per-row values become
+  * integer cents via the IEEE floor-cents derivation
+  * ([[graft.operators.Exact.centsOfDouble]] — no per-row BigDecimal in
+  * the codegen hot loop), products like `pc*(100-dc)` stay in long
+  * units, and distributed sums run through [[Exact.sumUnits]]'
+  * decimal(38) buffer so nothing wraps at 100 TB. Doubles appear only
+  * after the final HALF_UP integer rounding.
   */
 object CoreQueries {
 
-  // Shared exact-decimal columns for lineitem money math.
-  private def qd = col("l_quantity").cast("decimal(18,2)")
-  private def pd = col("l_extendedprice").cast("decimal(18,2)")
-  private def dd = col("l_discount").cast("decimal(18,2)")
-  private def td = col("l_tax").cast("decimal(18,2)")
-  private def discF = (lit(1) - dd).cast("decimal(8,2)")
-  private def taxF = (lit(1) + td).cast("decimal(8,2)")
-  /** Exact discounted price pd*(1-dd), width-pinned. */
-  private def dp = (pd * discF).cast("decimal(26,4)")
+  // Shared exact-cents lineitem money math: per-row products in pure
+  // long arithmetic (the IEEE floor-cents derivation is proven equal
+  // to the decimal cast on this data, see Exact.centsOfDouble), sums
+  // overflow-safe via Exact.sumUnits' decimal(38) buffer.
+  /** Discounted price pc*(100-dc) in 1e-4-dollar integer units. */
+  private def dpE4 =
+    Exact.centsOfDouble(col("l_extendedprice")) *
+      (lit(100L) - Exact.centsOfDouble(col("l_discount")))
 
-  /** SQL fragment mirroring [[dp]]. */
-  private val DpSql =
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2)) AS DECIMAL(26,4))"
+  /** SQL fragment mirroring [[dpE4]]. */
+  private val DpE4Sql =
+    s"(${Exact.centsOfDoubleSql("l_extendedprice")} * (100 - ${Exact.centsOfDoubleSql("l_discount")}))"
+
+  /** round(sum(dpE4)/1e4, 2) as DOUBLE — the `revenue` aggregate. */
+  private def revenueAgg =
+    Exact.unitsToCents(Exact.sumUnits(dpE4), 100L).cast("double") / 100.0
+
+  /** SQL fragment mirroring [[revenueAgg]]. */
+  private val RevenueAggSql =
+    s"CAST(${Exact.unitsToCentsSql(s"sum($DpE4Sql)", 100L)} AS DOUBLE) / 100.0"
 
   val q01 = GateQuery.sql(
     "q01_pricing_summary",
     s"""WITH li AS (SELECT l_returnflag, l_linestatus,
-       |    CAST(l_quantity AS DECIMAL(18,2)) AS qd,
-       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS pd,
-       |    CAST(l_discount AS DECIMAL(18,2)) AS dd,
-       |    $DpSql AS dp,
-       |    CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(8,2)) AS taxf
-       |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02')
+       |    ${Exact.centsOfDoubleSql("l_quantity")} AS qc,
+       |    ${Exact.centsOfDoubleSql("l_extendedprice")} AS pc,
+       |    ${Exact.centsOfDoubleSql("l_discount")} AS dc,
+       |    ${Exact.centsOfDoubleSql("l_tax")} AS tc
+       |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'),
+       |ag AS (SELECT l_returnflag, l_linestatus,
+       |    sum(qc) AS sqc, sum(pc) AS spc, sum(dc) AS sdc,
+       |    sum(pc * (100 - dc)) AS sdp,
+       |    sum(pc * (100 - dc) * (100 + tc)) AS sch,
+       |    count(*) AS count_order
+       |  FROM li GROUP BY l_returnflag, l_linestatus)
        |SELECT l_returnflag, l_linestatus,
-       |  CAST(round(sum(qd), 2) AS DOUBLE) AS sum_qty,
-       |  CAST(round(sum(pd), 2) AS DOUBLE) AS sum_base_price,
-       |  CAST(round(sum(dp), 2) AS DOUBLE) AS sum_disc_price,
-       |  CAST(round(sum(dp * taxf), 2) AS DOUBLE) AS sum_charge,
-       |  ${roundedRatioSql(centsSql("sum(qd)"), "count(*) * 100", 4)} AS avg_qty,
-       |  ${roundedRatioSql(centsSql("sum(pd)"), "count(*) * 100", 4)} AS avg_price,
-       |  ${roundedRatioSql(centsSql("sum(dd)"), "count(*) * 100", 4)} AS avg_disc,
-       |  count(*) AS count_order
-       |FROM li GROUP BY l_returnflag, l_linestatus
-       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+       |  CAST(sqc AS DOUBLE) / 100.0 AS sum_qty,
+       |  CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
+       |  CAST(${Exact.unitsToCentsSql("sdp", 100L)} AS DOUBLE) / 100.0 AS sum_disc_price,
+       |  CAST(${Exact.unitsToCentsSql("sch", 10000L)} AS DOUBLE) / 100.0 AS sum_charge,
+       |  ${roundedRatioSql("sqc", "count_order * 100", 4)} AS avg_qty,
+       |  ${roundedRatioSql("spc", "count_order * 100", 4)} AS avg_price,
+       |  ${roundedRatioSql("sdc", "count_order * 100", 4)} AS avg_disc,
+       |  count_order
+       |FROM ag ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val qc = Exact.centsOfDouble(col("l_quantity"))
+    val pc = Exact.centsOfDouble(col("l_extendedprice"))
+    val dc = Exact.centsOfDouble(col("l_discount"))
+    val tc = Exact.centsOfDouble(col("l_tax"))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate").cast("date") <= lit("2000-09-02").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(qd), 2).cast("double").as("sum_qty"),
-        round(sum(pd), 2).cast("double").as("sum_base_price"),
-        round(sum(dp), 2).cast("double").as("sum_disc_price"),
-        round(sum(dp * taxF), 2).cast("double").as("sum_charge"),
-        Exact.roundedRatio(Exact.cents(sum(qd)), count(lit(1)) * lit(100L), 4).as("avg_qty"),
-        Exact.roundedRatio(Exact.cents(sum(pd)), count(lit(1)) * lit(100L), 4).as("avg_price"),
-        Exact.roundedRatio(Exact.cents(sum(dd)), count(lit(1)) * lit(100L), 4).as("avg_disc"),
+        Exact.sumUnits(qc).as("sqc"),
+        Exact.sumUnits(pc).as("spc"),
+        Exact.sumUnits(dc).as("sdc"),
+        Exact.sumUnits(pc * (lit(100L) - dc)).as("sdp"),
+        Exact.sumUnits(pc * (lit(100L) - dc) * (lit(100L) + tc)).as("sch"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("sqc").cast("double") / 100.0).as("sum_qty"),
+        (col("spc").cast("double") / 100.0).as("sum_base_price"),
+        (Exact.unitsToCents(col("sdp"), 100L).cast("double") / 100.0).as("sum_disc_price"),
+        (Exact.unitsToCents(col("sch"), 10000L).cast("double") / 100.0).as("sum_charge"),
+        Exact.roundedRatio(col("sqc"), col("count_order") * lit(100L), 4).as("avg_qty"),
+        Exact.roundedRatio(col("spc"), col("count_order") * lit(100L), 4).as("avg_price"),
+        Exact.roundedRatio(col("sdc"), col("count_order") * lit(100L), 4).as("avg_disc"),
+        col("count_order"))
       .orderedSmall(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -75,7 +98,7 @@ object CoreQueries {
     s"""SELECT l.l_orderkey AS l_orderkey,
        |  CAST(o.o_orderdate AS DATE) AS o_odate,
        |  o.o_orderpriority AS o_orderpriority,
-       |  CAST(round(sum($DpSql), 2) AS DOUBLE) AS revenue
+       |  $RevenueAggSql AS revenue
        |FROM customer c
        |JOIN orders o ON c.c_custkey = o.o_custkey
        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -96,7 +119,7 @@ object CoreQueries {
     o.join(c, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_odate"), col("o_orderpriority"))
-      .agg(round(sum(dp), 2).cast("double").as("revenue"))
+      .agg(revenueAgg.as("revenue"))
       .orderedSmall(col("revenue").desc, col("l_orderkey"))
       .limit(20)
   }
@@ -123,7 +146,7 @@ object CoreQueries {
 
   val q05 = GateQuery.sql(
     "q05_local_supplier",
-    s"""SELECT n_name, CAST(round(sum($DpSql), 2) AS DOUBLE) AS revenue
+    s"""SELECT n_name, $RevenueAggSql AS revenue
        |FROM customer c
        |JOIN orders o ON c.c_custkey = o.o_custkey
        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -153,14 +176,14 @@ object CoreQueries {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(dp), 2).cast("double").as("revenue"))
+      .agg(revenueAgg.as("revenue"))
       .orderedSmall(col("revenue").desc, col("n_name"))
   }
 
   val qTopkCustomers = GateQuery.sql(
     "q_topk_customers",
-    """WITH rev AS (
-      |  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    s"""WITH rev AS (
+      |  SELECT o_custkey, CAST(sum(${Exact.centsOfDoubleSql("o_totalprice")}) AS DOUBLE) / 100.0 AS revenue
       |  FROM orders GROUP BY o_custkey
       |)
       |SELECT n_name, c_name, revenue,
@@ -172,7 +195,7 @@ object CoreQueries {
       |ORDER BY n_name, rnk""".stripMargin) { (s, d) =>
     val rev = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+      .agg((Exact.sumUnits(Exact.centsOfDouble(col("o_totalprice"))).cast("double") / 100.0).as("revenue"))
     val joined = rev
       .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -184,13 +207,13 @@ object CoreQueries {
 
   val qPivotEvents = GateQuery.sql(
     "q_pivot_events",
-    """SELECT user_id,
+    s"""SELECT user_id,
       |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
       |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
       |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
       |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
       |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
-      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+      |  CAST(sum(${Exact.centsOfDoubleSql("value")}) AS DOUBLE) / 100.0 AS total_value
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
@@ -198,7 +221,7 @@ object CoreQueries {
     Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+        (Exact.sumUnits(Exact.centsOfDouble(col("value"))).cast("double") / 100.0).as("total_value"))
       .orderedSmall(col("user_id"))
   }
 
@@ -234,10 +257,10 @@ object CoreQueries {
     */
   val qRollup = GateQuery.sql(
     "q_rollup",
-    """SELECT
+    s"""SELECT
       |  CASE WHEN l_returnflag IS NULL THEN 'ALL' ELSE l_returnflag END AS rflag,
       |  CASE WHEN l_linestatus IS NULL THEN 'ALL' ELSE l_linestatus END AS lstatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(${Exact.centsOfDoubleSql("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
       |  count(*) AS n_rows
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -247,10 +270,10 @@ object CoreQueries {
     // rows instead of the whole fact table, same as q_cube
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_q"),
+      .agg(Exact.sumUnits(Exact.centsOfDouble(col("l_quantity"))).as("_q"),
         count(lit(1)).as("_n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("_q")).cast("double").as("sum_qty"),
+      .agg((sum(col("_q")).cast("double") / 100.0).as("sum_qty"),
         sum(col("_n")).as("n_rows"))
       .select(
         when(col("l_returnflag").isNull, "ALL").otherwise(col("l_returnflag")).as("rflag"),
