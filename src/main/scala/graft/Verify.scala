@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free blocks left cached by CTE-materializing queries (same
+      // harness-owned lifecycle as Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -276,6 +276,30 @@ object Curation {
       .select(microLn(lit(scale) * lit(1.0) / (col("n") + col("v"))).as("oovq"))
   }
 
+  /** [[unigramLogProbs]] + [[oovLogProb]] built from ONE vocabulary
+    * aggregate: the (word, c) table is computed and cached once
+    * (vocab-sized — the natural thing to hold), then the smoothing
+    * stats, the top-V model slice and the OOV floor all read it.
+    * Values are identical to calling the two functions separately;
+    * only the number of corpus passes changes (3 → 1). The cache is
+    * freed by the harness post-action like every gate-lifetime cache.
+    */
+  def unigramModel(refToks: DataFrame, scale: Double = 1.0,
+                   topV: Option[Int] = None): (DataFrame, DataFrame) = {
+    val ref0 = refToks.groupBy(col("word")).agg(count(lit(1)).as("c")).persist()
+    val st = ref0.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
+    val ref = topV match {
+      case Some(k) => ref0.orderBy(col("c").desc, col("word")).limit(k)
+      case None => ref0
+    }
+    val lp = withStats(ref, st)
+      .select(col("word"),
+        microLn(lit(scale) * (col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
+    val oov = st.select(
+      microLn(lit(scale) * lit(1.0) / (col("n") + col("v"))).as("oovq"))
+    (lp, oov)
+  }
+
   /** Trigram rung of the stupid-backoff chain: q = microLn(
     * c(w1,w2,w3) / c(w1,w2,·)) for every trigram observed in the
     * reference slice (predecessor-pair normalized). Unseen trigrams
@@ -293,8 +317,10 @@ object Curation {
     * them (Brants et al. 2007 §3).
     */
   def trigramLogProbs(refTrigrams: DataFrame, minCount: Long = 1L): DataFrame = {
+    // count table cached: both the normalizer aggregate and the model
+    // join read it, so the corpus-scale count runs once (model-sized)
     val c3 = refTrigrams.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
+      .agg(count(lit(1)).as("c3")).persist()
     val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).cast("long").as("c12"))
     c3.filter(col("c3") >= minCount).join(c12, Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"), microLn(col("c3") / col("c12")).as("qt"))
@@ -317,7 +343,9 @@ object Curation {
     */
   def bigramLogProbs(refBigrams: DataFrame, scale: Double = 1.0,
                      minCount: Long = 1L): DataFrame = {
+    // count table cached — see trigramLogProbs
     val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .persist()
     val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).cast("long").as("cw1"))
     cb.filter(col("cb") >= minCount).join(cw, "w1")
       .select(col("w1"), col("w2"),
@@ -346,7 +374,11 @@ object Curation {
     */
   def knBigramTables(refBigrams: DataFrame, minCount: Long = 1L)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // the bigram-count table feeds all four derived tables — cache it
+    // (model-sized, far below the corpus that produces it) so the
+    // corpus-scale count aggregate runs once, not four times
     val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist()
     val kw = cb.groupBy(col("w1")).agg(
       sum(col("c")).cast("long").as("cw1"), count(lit(1)).as("n1p"))
     val kc = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))

@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * per-(term, doc) score is floor-quantized to integer micro-units so
   * the per-(query, doc) sum is order-independent exact arithmetic.
   *
-  * Plan shape at scale: one (doc, term) map-side-combined aggregate
-  * over the corpus; the tiny query-term set broadcast-semi-joins that
-  * relation down to the matching slice; per-term document frequencies
-  * aggregate from the slice (query-terms-sized, broadcast back); the
-  * only corpus-keyed shuffle is the doc-length join on the matched
-  * docs; top-k per query is a window over query-id partitions. Never
-  * corpus × queries.
+  * Plan shape at scale: the tiny query-term set broadcast-semi-joins
+  * the exploded token stream BEFORE any aggregate, so only matching
+  * tokens — a vanishing fraction of the corpus — ever shuffle; the
+  * doc length rides each exploded token (`size(w)` computed in the
+  * same projection), so no corpus-keyed doc-length join exists at
+  * all; corpus totals are one expression aggregate over the
+  * un-exploded relation; per-term document frequencies aggregate from
+  * the matched slice (query-terms-sized, broadcast back); top-k per
+  * query is a window over query-id partitions. Never corpus × queries,
+  * never a corpus-wide shuffle.
   */
 object Retrieval {
 
@@ -39,25 +42,28 @@ object Retrieval {
     import spark.implicits._
     require(queries.nonEmpty, "empty query workload")
 
-    val tf = docs
-      .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+    // dl = sum of per-doc term frequencies = token count; split always
+    // yields >= 1 element, so every doc counts in n_docs — value-equal
+    // to the oracle's dl/st derived from the tf relation
+    val st = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).cast("long").as("total_len"))
 
     val qterms = queries
       .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
       .toDF("query_id", "term")
-    val matched = tf.join(broadcast(qterms.select(col("term")).distinct()),
-      Seq("term"), "left_semi")
+    val tf = base
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     // tf is already distinct per (doc, term), so df is a plain count
-    val dfRel = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val scored = matched
+    val scored = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfRel), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st)) // single scalar-stats row
     // association mirrored term-for-term by bm25Sql — do not refactor
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
