@@ -134,13 +134,24 @@ object HeavyHitters {
     * each doc's token array and forms n-grams inside the sketch loop
     * — the exploded (term) relation is never materialized for the
     * sketch; only the recount (and rare fallback) explode, post
-    * candidate-filter.
+    * candidate-filter. The split token arrays are cached for the
+    * query's lifetime so the sketch and recount passes parse the
+    * corpus once (harness frees the blocks post-action).
     */
   def topKNgrams(docs: DataFrame, text: Column, n: Int, k: Int,
-                 sketchSize: Int = 4096): DataFrame = {
-    val spark = docs.sparkSession
+                 sketchSize: Int = 4096): DataFrame =
+    topKNgramsOfWords(docs.select(split(text, " ").as("_w")).persist(),
+      n, k, sketchSize)
+
+  /** [[topKNgrams]] over a pre-split (and ideally cached) `_w`
+    * token-array relation — lets callers share the split across
+    * further passes (see [[pmiTopBigrams]]).
+    */
+  private[graft] def topKNgramsOfWords(base: DataFrame, n: Int, k: Int,
+                                       sketchSize: Int): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
-    val sketch = docs.select(split(text, " ").as("w")).as[Seq[String]]
+    val sketch = base.select(col("_w")).as[Seq[String]]
       .mapPartitions { it =>
         val mg = new MgSketch(sketchSize)
         it.foreach { w =>
@@ -157,7 +168,7 @@ object HeavyHitters {
         mg.emit()
       }(SketchEnc)
       .toDF("term", "_lb")
-    finish(ngramTerms(docs, text, n), sketch, k, sketchSize)
+    finish(ngramTermsOfWords(base, n), sketch, k, sketchSize)
   }
 
   /** Collocation extraction: pointwise mutual information of the
@@ -177,19 +188,25 @@ object HeavyHitters {
     */
   def pmiTopBigrams(docs: DataFrame, text: Column, k: Int,
                     sketchSize: Int = 4096): DataFrame = {
-    val top = topKNgrams(docs, text, n = 2, k = k, sketchSize = sketchSize)
+    // One parse: the bigram sketch, the recount, the unigram counts
+    // and the corpus totals all read this cached split relation. The
+    // persist is ALSO the materialization barrier that binds `_w`:
+    // without it CollapseProject inlines the split into every
+    // element_at of the n-gram transform — O(len²) re-splitting per
+    // document (measured 4× slower than the cache round-trip).
+    val base = docs.select(split(text, " ").as("_w")).persist()
+    val top = topKNgramsOfWords(base, n = 2, k = k, sketchSize = sketchSize)
       .select(col("term"), col("cnt"), col("rnk"),
         element_at(split(col("term"), " "), 1).as("_w1"),
         element_at(split(col("term"), " "), 2).as("_w2"))
     val words = top.select(col("_w1").as("word"))
       .union(top.select(col("_w2").as("word"))).distinct()
-    val uni = ngramTerms(docs, text, 1)
+    val uni = ngramTermsOfWords(base, 1)
       .join(broadcast(words.select(col("word").as("term"))), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val w = split(text, " ")
-    val st = docs.agg(
-      sum(size(w)).cast("long").as("nn"),
-      sum(greatest(size(w) - 1, lit(0))).cast("long").as("mm"))
+    val st = base.agg(
+      sum(size(col("_w"))).cast("long").as("nn"),
+      sum(greatest(size(col("_w")) - 1, lit(0))).cast("long").as("mm"))
     // association mirrored term-for-term by the q_pmi oracle SQL
     val pmi = floor(log((col("cnt").cast("double") * col("nn") * col("nn"))
       / (col("mm").cast("double") * col("c1") * col("c2"))) * lit(1000000)).cast("long")
@@ -209,8 +226,11 @@ object HeavyHitters {
     * `element_at` call — O(len²) work per document (measured ~8×
     * slower). Against the bound attribute each lookup is O(1).
     */
-  def ngramTerms(docs: DataFrame, text: Column, n: Int): DataFrame = {
-    val base = docs.select(split(text, " ").as("_w"))
+  def ngramTerms(docs: DataFrame, text: Column, n: Int): DataFrame =
+    ngramTermsOfWords(docs.select(split(text, " ").as("_w")), n)
+
+  /** [[ngramTerms]] over a pre-split `_w` relation. */
+  private[graft] def ngramTermsOfWords(base: DataFrame, n: Int): DataFrame = {
     val w = col("_w")
     val terms =
       if (n == 1) explode(w)
