@@ -54,7 +54,7 @@ object EmbeddingQueries {
     val scored = e.crossJoin(qs)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
     Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
         Seq(col("_c").desc, col("vec_id")), 5, col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -132,7 +132,7 @@ object EmbeddingQueries {
     a.join(b, Seq("tbl", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("_c"))
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("_c"))
       .filter(col("_c") >= 0.4)
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(first(col("_c")).as("_c"))
@@ -158,7 +158,7 @@ object EmbeddingQueries {
     val scored = bk.join(qids, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(first(col("_c")).as("_c"))
     Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
@@ -488,7 +488,7 @@ object EmbeddingQueries {
     val scored = e.crossJoin(qs)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineQ(dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")), col("nq"), col("n")).as("_c"))
     val top = Relational.topKPerGroupSalted(scored, Seq(col("query_id")),
         Seq(col("_c").desc, col("vec_id")), 9, col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("rnk"))
