@@ -86,6 +86,8 @@ object TextExpressions {
     CharNgramBucketsExpr(GraftColumnBridge.expression(text), n, buckets))
   def weightSum(bs: Column, w: Array[Long]): Column = GraftColumnBridge.column(
     WeightSumExpr(GraftColumnBridge.expression(bs), w))
+  def repetitionStats(text: Column): Column = GraftColumnBridge.column(
+    RepetitionStatsExpr(GraftColumnBridge.expression(text)))
 }
 
 /** All unordered doc pairs of one shingle's posting list — the pair
@@ -436,6 +438,61 @@ case class CharNgramBucketsExpr(child: Expression, n: Int, buckets: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): CharNgramBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Gopher repetition-signal counts in ONE per-row pass:
+  * struct(top_word_n, n_words, top2_n, n_bigrams) — the max
+  * occurrence count of any single word / word bigram plus the totals.
+  * Value-identical to the explode → (doc, gram) count → per-doc
+  * max/sum aggregate chain (the oracle's formulation), but computed
+  * per row with a hash map over the token array: the corpus-wide
+  * (doc, gram) shuffle — trillions of rows at full scale — leaves the
+  * plan entirely. Docs with < 2 tokens report n_bigrams = 0 (the
+  * aggregate formulation has no bigram row to join — callers mirror
+  * the inner join with a n_bigrams > 0 filter).
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_word_n", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("top2_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val wc = new java.util.HashMap[String, Array[Long]](tokens.length * 2)
+    var topW = 0L
+    var i = 0
+    while (i < tokens.length) {
+      var c = wc.get(tokens(i))
+      if (c == null) { c = Array(0L); wc.put(tokens(i), c) }
+      c(0) += 1L
+      if (c(0) > topW) topW = c(0)
+      i += 1
+    }
+    var top2 = 0L
+    val nBigrams = math.max(tokens.length - 1, 0)
+    if (nBigrams > 0) {
+      val bc = new java.util.HashMap[String, Array[Long]](tokens.length * 2)
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i < tokens.length - 1) {
+        sb.setLength(0)
+        sb.append(tokens(i)).append(' ').append(tokens(i + 1))
+        val key = sb.toString
+        var c = bc.get(key)
+        if (c == null) { c = Array(0L); bc.put(key, c) }
+        c(0) += 1L
+        if (c(0) > top2) top2 = c(0)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topW, tokens.length.toLong, top2, nBigrams.toLong))
+  }
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 }
 

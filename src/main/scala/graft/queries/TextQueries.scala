@@ -707,21 +707,17 @@ object TextQueries {
        |  ${Exact.roundedRatioSql("top2_n", "n_bigrams", 4)} AS top2_share
        |FROM ws JOIN bs ON ws.doc_id = bs.doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-    val words = docs.select(col("doc_id"), explode(col("w")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_word_n"), sum(col("c")).as("n_words"))
-    val bigrams = docs.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n_bigrams"))
-    words.join(bigrams, "doc_id")
+    // one per-row native pass (RepetitionStatsExpr) — the oracle's
+    // explode → (doc, gram) count → per-doc max/sum chain as plain
+    // SQL; the n_bigrams > 0 filter mirrors its inner join (docs
+    // with one token have no bigram row). Zero shuffle at any scale.
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.top_word_n").as("top_word_n"),
+        col("r.n_bigrams").as("n_bigrams"), col("r.top2_n").as("top2_n"))
+      .filter(col("n_bigrams") > 0)
       .select(col("doc_id"), col("n_words"), col("top_word_n"),
         col("n_bigrams"), col("top2_n"),
         Exact.roundedRatio(col("top_word_n"), col("n_words"), 4).as("top_word_share"),

@@ -46,6 +46,35 @@ class ExpressionParitySpec extends SparkSpec {
     assert(ref.count() == fast.count())
   }
 
+  test("RepetitionStatsExpr == explode+count aggregate chain, incl. edge docs") {
+    val edge = Seq("one", "a a a", "x y x y x", "").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id() + lit(1000000L))
+    val rel = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val w = TextOps.tokens(col("text"))
+    val words = rel.select(col("doc_id"), explode(w).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word_n"), sum(col("c")).as("n_words"))
+    val bigrams = rel.select(col("doc_id"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n_bigrams"))
+    val ref = words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_word_n"), col("n_words"),
+        coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+    val fast = rel.select(col("doc_id"),
+        TextExpressions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.top_word_n"), col("r.n_words"),
+        col("r.top2_n"), col("r.n_bigrams"))
+    assert(ref.count() == fast.count())
+    assert(ref.exceptAll(fast).count() == 0 && fast.exceptAll(ref).count() == 0)
+  }
+
   test("ShingleKeysFastExpr matches HOF distinct count and set") {
     val cmp = docs.select(
         TextExpressions.shingleKeysFast(col("text"), 3).as("a"),
