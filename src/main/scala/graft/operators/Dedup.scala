@@ -418,6 +418,57 @@ object Dedup {
       .withColumn("kept", !(col("exact_dup") || col("near_dup")))
   }
 
+  /** Blocked edit-distance (Levenshtein) near-dup pairs — the
+    * record-linkage fuzzy dedup for short texts/titles, where
+    * character-level edits (typos, reformatting) defeat token-set
+    * similarity but unit-cost edit distance nails them. Both engines
+    * implement classic unit-cost Levenshtein over the same strings,
+    * so the integer distance is oracle-exact.
+    *
+    * Multi-pass blocking (the standard record-linkage shape): a pair
+    * is a candidate if it shares (length band, FIRST token) or
+    * (length band, LAST token) — two passes so an edit in one anchor
+    * token cannot hide a pair from both. Each pass is the group-join
+    * shape of [[jaccardPairs]]/[[minhashPairs]]: ONE shuffle on the
+    * block key builds each block's (id, prefix) list, `maxBlockDf`
+    * drops degenerate blocks (a viral anchor token) BEFORE any pair
+    * forms — the quadratic term is bounded by maxBlockDf², never by
+    * corpus size — and pairs fan out in place from the capped lists.
+    * The Levenshtein confirm runs on `prefixLen`-char prefixes
+    * (edit distance is O(m·n) per pair — bounding the operand length
+    * bounds per-pair cost at any document size).
+    *
+    * @return (doc_a, doc_b, dist) with doc_a < doc_b, dist ≤ maxDist
+    */
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+                        prefixLen: Int = 64, lenBand: Int = 8,
+                        maxDist: Int = 16, maxBlockDf: Int = 64): DataFrame = {
+    val w = split(text, " ")
+    val base = docs.select(id.as("doc_id"),
+      substring(text, 1, prefixLen).as("p"),
+      floor(size(w).cast("long") / lit(lenBand)).cast("long").as("band"),
+      element_at(w, 1).as("fst"), element_at(w, -1).as("lst"))
+    def pass(key: String): DataFrame = {
+      val grouped = base
+        .select(col("doc_id"), col("p"), col("band"), col(key).as("k"))
+        .groupBy(col("band"), col("k"))
+        .agg(collect_list(struct(col("doc_id"), col("p"))).as("ds"))
+        .filter(size(col("ds")).between(2, maxBlockDf))
+      grouped
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
+          explode(col("ds")).as("b"))
+        .filter(col("doc_a") < col("b.doc_id"))
+        .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+          col("pa"), col("b.p").as("pb"))
+    }
+    pass("fst").unionByName(pass("lst"))
+      .distinct() // a pair blocked by both anchors confirms once
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, k: Int,
                    numPerms: Int, bands: Int, minMatch: Int,
                    maxBandDf: Int = 0): DataFrame = {

@@ -207,6 +207,40 @@ object TextQueries {
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
+  /** #128 — blocked edit-distance near-dup (record linkage): pairs
+    * anchored by (length band, first-or-last token) blocks, confirmed
+    * by unit-cost Levenshtein over 64-char prefixes ≤ 16 — the fuzzy
+    * dedup character-level edits need where token-set similarity
+    * fails. See [[graft.operators.Dedup.editDistancePairs]] for the
+    * bounded-block scale shape. The integer distance is computed by
+    * both engines' classic Levenshtein, so the gate hash-compares it.
+    */
+  val qEditNeardup = GateQuery.sql(
+    "q_edit_neardup",
+    """WITH t AS (SELECT doc_id, substr(text, 1, 64) AS p, string_split(text, ' ') AS w
+      |           FROM documents),
+      |k AS (SELECT doc_id, p, CAST(floor(len(w) / 8) AS BIGINT) AS band,
+      |         w[1] AS fst, w[-1] AS lst FROM t),
+      |g1 AS (SELECT band, fst AS bk FROM k GROUP BY 1, 2
+      |       HAVING count(*) BETWEEN 2 AND 64),
+      |p1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+      |       FROM k a JOIN g1 ON a.band = g1.band AND a.fst = g1.bk
+      |       JOIN k b ON b.band = g1.band AND b.fst = g1.bk AND a.doc_id < b.doc_id),
+      |g2 AS (SELECT band, lst AS bk FROM k GROUP BY 1, 2
+      |       HAVING count(*) BETWEEN 2 AND 64),
+      |p2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+      |       FROM k a JOIN g2 ON a.band = g2.band AND a.lst = g2.bk
+      |       JOIN k b ON b.band = g2.band AND b.lst = g2.bk AND a.doc_id < b.doc_id),
+      |u AS (SELECT DISTINCT doc_a, doc_b, pa, pb
+      |      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+      |sc AS (SELECT doc_a, doc_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist FROM u)
+      |SELECT doc_a, doc_b, dist FROM sc WHERE dist <= 16
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.editDistancePairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        prefixLen = 64, lenBand = 8, maxDist = 16, maxBlockDf = 64)
+      .orderedSmall(col("doc_a"), col("doc_b"))
+  }
+
   /** Corpus-curation funnel (#41): the end-to-end shape a training-
     * data pipeline runs — language gate → quality gate → exact dedup
     * (keep smallest id) → per-source token accounting. One pass over
@@ -889,5 +923,5 @@ object TextQueries {
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
-    qChunking, qPmi)
+    qChunking, qPmi, qEditNeardup)
 }

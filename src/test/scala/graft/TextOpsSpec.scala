@@ -42,6 +42,29 @@ class TextOpsSpec extends SparkSpec {
     assert(uncapped.size > 1)
   }
 
+  test("editDistancePairs: anchor-token blocking, distance cutoff, block cap") {
+    // 1-2: same first token, 2 char edits -> pair (dist 2)
+    // 3-4: DIFFERENT first token (typo in the anchor) but same last
+    //      token -> caught by the second blocking pass
+    // 5-6: same block but beyond maxDist -> confirmed away
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta thetb"),
+      (3L, "storm quick brown fox jumps over the lazy dog"),
+      (4L, "strom quick brown fox jumps over the lazy dog"),
+      (5L, "zzz completely different content here now ok"),
+      (6L, "zzz nothing alike other content pieces really")).toDF("id", "text")
+    val out = Dedup.editDistancePairs(df, col("id"), col("text"),
+        prefixLen = 64, lenBand = 8, maxDist = 6, maxBlockDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 1L), (3L, 4L, 2L)))
+    // a viral anchor token: cap the block and no pair survives it
+    val hot = Seq.tabulate(8)(i => (10L + i, s"same same same same x$i")).toDF("id", "text")
+    val capped = Dedup.editDistancePairs(hot, col("id"), col("text"),
+      maxDist = 64, maxBlockDf = 4)
+    assert(capped.count() == 0)
+  }
+
   test("minhashPairs: identical docs agree on all signature components") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "z y x w v u t"))
       .toDF("id", "text")
