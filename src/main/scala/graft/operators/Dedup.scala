@@ -72,7 +72,12 @@ object Dedup {
     val capped = if (maxDf > 0) grouped.filter(size(col("ds")) <= maxDf) else grouped
     // Native pair fan-out (tight loops, packed single-long pair key —
     // see DocPairsExpr); the intersection count groups by one long.
+    // Explicit partition count before the fan-out: AQE coalesces the
+    // posting-list stage by BYTES, blind to the f²/2 pairs each list
+    // emits — a coalesced-to-one stage serializes the fan-out (see
+    // editDistancePairs; measured +0.4 s on this gate at sf0.1).
     val inter = capped
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(graft.expressions.TextExpressions.docPairs(col("ds"))).as("p"))
       .select(col("p.pr").as("pr"), col("p.ma").as("ma"), col("p.mb").as("mb"))
       // group on the ONE packed long; ma/mb are functions of pr, so
@@ -448,21 +453,30 @@ object Dedup {
       substring(text, 1, prefixLen).as("p"),
       floor(size(w).cast("long") / lit(lenBand)).cast("long").as("band"),
       element_at(w, 1).as("fst"), element_at(w, -1).as("lst"))
-    def pass(key: String): DataFrame = {
-      val grouped = base
-        .select(col("doc_id"), col("p"), col("band"), col(key).as("k"))
-        .groupBy(col("band"), col("k"))
-        .agg(collect_list(struct(col("doc_id"), col("p"))).as("ds"))
-        .filter(size(col("ds")).between(2, maxBlockDf))
-      grouped
-        .select(explode(col("ds")).as("a"), col("ds"))
-        .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
-          explode(col("ds")).as("b"))
-        .filter(col("doc_a") < col("b.doc_id"))
-        .select(col("doc_a"), col("b.doc_id").as("doc_b"),
-          col("pa"), col("b.p").as("pb"))
-    }
-    pass("fst").unionByName(pass("lst"))
+    // both anchor passes ride ONE shuffle: the pass tag joins the
+    // block key, so (first-token blocks, last-token blocks) group in
+    // the same exchange instead of two corpus-keyed aggregates
+    val rel = base
+      .select(lit(0).as("tag"), col("band"), col("fst").as("k"),
+        col("doc_id"), col("p"))
+      .unionByName(base.select(lit(1).as("tag"), col("band"),
+        col("lst").as("k"), col("doc_id"), col("p")))
+    // AQE coalesces post-shuffle stages by BYTES; the block lists are
+    // tiny but each fans out quadratically into Levenshtein confirms,
+    // which is invisible to the coalescer — a one-partition stage
+    // serializes the whole confirm (measured 4×). The explicit
+    // partition count (which AQE honors) spreads the fan-out.
+    rel
+      .groupBy(col("tag"), col("band"), col("k"))
+      .agg(collect_list(struct(col("doc_id"), col("p"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBlockDf))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
+        explode(col("ds")).as("b"))
+      .filter(col("doc_a") < col("b.doc_id"))
+      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+        col("pa"), col("b.p").as("pb"))
       .distinct() // a pair blocked by both anchors confirms once
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
@@ -497,6 +511,9 @@ object Dedup {
       .filter(size(col("ds")) >= 2)
     val capped = if (maxBandDf > 0) grouped.filter(size(col("ds")) <= maxBandDf) else grouped
     val cand = capped
+      // spread the quadratic fan-out past AQE's byte-based coalescer
+      // (see jaccardPairs)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
