@@ -245,7 +245,8 @@ class EdfTable(paths: Seq[String], maxPartBytes: Long,
 class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long,
                      indexCache: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = EdfSchema.schema
   private var frameEq: Option[Set[Long]] = None
@@ -294,34 +295,70 @@ class EdfScanBuilder(paths: Seq[String], maxPartBytes: Long,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  // pushed aggregate tags — same contract as the SPE/TIFF sources:
+  // ungrouped COUNT(*) / MIN / MAX(frame) answer from the header walk
+  // alone (partial semantics; Spark final-merges) — a whole-dataset
+  // frame census never seeks into a data block
+  private var aggTags: Option[Seq[String]] = None
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if m.column.describe() == "frame" => Some("min_frame")
+      case m: Max if m.column.describe() == "frame" => Some("max_frame")
+      case _ => None
+    }
+    if (tags.exists(_.isEmpty)) return false
+    aggTags = Some(tags.map(_.get))
+    true
+  }
+
+  /** Header-walk planning shared by the row scan and the pushed-
+    * aggregate scan: per file, its frame descriptors filtered to the
+    * pushed frame bounds. */
+  private def plannedEdf(): Seq[(SpecFileMeta, Long, Seq[(EdfSchema.EdfFrame, Int)])] = {
+    val session = SparkSession.active
+    val conf = session.sessionState.newHadoopConf()
+    val files = SpecSchema.expand(paths, conf)
+      .filterNot(m => m.path.endsWith(SpecIndex.SidecarSuffix) ||
+        m.path.endsWith(EdfSchema.SidecarSuffix))
+    // same driver-vs-job split as the SPE header pass
+    val useCache = indexCache
+    val indexes: Map[String, Seq[EdfSchema.EdfFrame]] =
+      if (files.size <= SpeSchema.ParallelHeaderThreshold)
+        files.map(m => m.path -> EdfSchema.indexWithCache(m, conf, useCache)).toMap
+      else {
+        val sconf = new SerializableHadoopConf(conf)
+        session.sparkContext
+          .parallelize(files, files.size)
+          .map(m => m.path -> EdfSchema.indexWithCache(m, sconf.value, useCache))
+          .collect().toMap
+      }
+    files.map { meta =>
+      val all = indexes(meta.path)
+      val wanted = all.zipWithIndex.filter { case (_, f) =>
+        f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f.toLong))
+      }
+      (meta, all.size.toLong, wanted)
+    }
+  }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new TiffAggScan(tags, () =>
+      plannedEdf().map { case (meta, n, wanted) =>
+        (meta.path, n,
+          wanted.map { case (_, idx) => (null.asInstanceOf[TiffSchema.TiffFrame], idx) })
+      })
+    case None => rowScan()
+  }
+
+  private def rowScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val session = SparkSession.active
-      val conf = session.sessionState.newHadoopConf()
-      val files = SpecSchema.expand(paths, conf)
-        .filterNot(m => m.path.endsWith(SpecIndex.SidecarSuffix) ||
-          m.path.endsWith(EdfSchema.SidecarSuffix))
-      // same driver-vs-job split as the SPE header pass
-      val useCache = indexCache
-      val indexes: Map[String, Seq[EdfSchema.EdfFrame]] =
-        if (files.size <= SpeSchema.ParallelHeaderThreshold)
-          files.map(m => m.path -> EdfSchema.indexWithCache(m, conf, useCache)).toMap
-        else {
-          val sconf = new SerializableHadoopConf(conf)
-          session.sparkContext
-            .parallelize(files, files.size)
-            .map(m => m.path -> EdfSchema.indexWithCache(m, sconf.value, useCache))
-            .collect().toMap
-        }
-      files.flatMap { meta =>
-        val all = indexes(meta.path)
-        val n = all.size.toLong
-        val wanted = all.zipWithIndex.filter { case (_, f) =>
-          f >= frameLo && f <= frameHi && frameEq.forall(_.contains(f.toLong))
-        }
+      plannedEdf().flatMap { case (meta, n, wanted) =>
         // contiguous runs capped by data bytes per partition
         val parts = mutable.ArrayBuffer[EdfInputPartition]()
         val run = mutable.ArrayBuffer[(EdfSchema.EdfFrame, Int)]()

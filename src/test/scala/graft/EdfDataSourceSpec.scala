@@ -220,4 +220,23 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(b.pushFilters(good).isEmpty)
     assert(b.pushedFilters().toSeq === good.toSeq)
   }
+
+  test("COUNT(*)/MIN/MAX(frame) push down to the header walk (agg row, no data read)") {
+    val w = 2; val h = 2
+    val frames = (0 until 9).map(fr => Array.tabulate(w * h)(i => (fr + i).toDouble))
+    val f = tmpFile("agg.edf")
+    EdfWriterUtil.write(f.getAbsolutePath, conf, w, h, "SignedInteger", true, frames)
+    val df = spark.read.format("edf").load(f.getAbsolutePath)
+    val cq = df.groupBy().count()
+    assert(cq.queryExecution.executedPlan.toString.contains("agg_count"))
+    assert(cq.collect()(0).getLong(0) == 9L)
+    // composed with pushed frame bounds: the agg sees pruned frames
+    val mq = df.filter(col("frame") >= 3).agg(min(col("frame")), max(col("frame")))
+    val mplan = mq.queryExecution.executedPlan.toString
+    assert(mplan.contains("agg_min_frame") && mplan.contains("agg_max_frame"), mplan)
+    val r = mq.collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L)
+    // row path unaffected for non-pushable shapes
+    assert(df.groupBy(col("datatype")).count().collect()(0).getLong(1) == 9L)
+  }
 }
