@@ -102,11 +102,25 @@ object TiffSchema {
     case t => throw new IllegalArgumentException(s"unsupported TIFF field type $t")
   }
 
+  /** [[walk]] tolerating a LIVE file: a truncated or inconsistent
+    * IFD/strip (a page mid-write) STOPS the walk and returns the
+    * complete pages so far, instead of throwing. A TIFF appender
+    * patches the previous last IFD's next-pointer when it adds a
+    * page, so — unlike the EDF block tail — there is no resume
+    * position to cache: the tail re-walks the chain (headers only)
+    * whenever the file length changes.
+    */
+  def walkLenient(path: String, conf: Configuration): Seq[TiffFrame] =
+    try walk(path, conf, lenient = true)
+    catch { case _: Throwable => Seq.empty }
+
   /** Walk the header + IFD chain with bounded positional reads; pixel
     * data is never touched. Returns one descriptor per page, in chain
-    * order (= frame order).
+    * order (= frame order). With `lenient`, a malformed/truncated
+    * page stops the walk (returning complete pages) instead of
+    * throwing — the live-tail contract of [[walkLenient]].
     */
-  def walk(path: String, conf: Configuration): Seq[TiffFrame] = {
+  def walk(path: String, conf: Configuration, lenient: Boolean = false): Seq[TiffFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
@@ -152,7 +166,8 @@ object TiffSchema {
 
       val frames = mutable.ArrayBuffer[TiffFrame]()
       val seen = mutable.Set[Long]()
-      while (ifdOff != 0L) {
+      var halt = false
+      while (ifdOff != 0L && !halt) try {
         require(seen.add(ifdOff), s"$path: cyclic IFD chain at $ifdOff")
         require(ifdOff + 2 <= len, s"$path: IFD offset $ifdOff beyond EOF")
         val cntB = new Array[Byte](2)
@@ -198,6 +213,10 @@ object TiffSchema {
         }
         frames += TiffFrame(w, h, bits, fmt, little, offs, cnts)
         ifdOff = bodyBuf.getInt(n * 12).toLong & 0xFFFFFFFFL
+      } catch {
+        // live tail: a page mid-write (or trailing garbage) ends the
+        // walk at the last complete page
+        case e: Throwable => if (lenient) halt = true else throw e
       }
       frames.toSeq
     } finally in.close()
@@ -214,7 +233,7 @@ class TiffTable(paths: Seq[String], maxPartBytes: Long) extends Table with Suppo
   override def name(): String = s"tiff(${paths.mkString(",")})"
   override def schema(): StructType = TiffSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TiffScanBuilder(paths, maxPartBytes)
 }
@@ -353,8 +372,99 @@ class TiffScanBuilder(paths: Seq[String], maxPartBytes: Long)
     override def createReaderFactory(): PartitionReaderFactory =
       new TiffReaderFactory(new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
+
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new TiffMicroBatchStream(paths,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+        required.fieldNames, maxPartBytes)
     }
   }
+}
+
+/** Structured-Streaming source over LIVE TIFF stacks — watch an
+  * acquisition appending pages. A TIFF appender writes the new page's
+  * strips + IFD, then PATCHES the previous last IFD's next-pointer,
+  * so (unlike the EDF block tail) there is no append-only resume
+  * position: whenever a file's length changes the tail re-walks its
+  * IFD chain leniently — headers only, a page mid-write (dangling
+  * next-pointer, truncated IFD, strip beyond EOF) ends the walk at
+  * the last complete page and is retried next trigger. The per-file
+  * offset is that complete-page count; an unchanged file length skips
+  * the walk entirely, so an idle stream costs one listStatus per
+  * trigger. `n_frames` in streamed rows = the batch's END offset
+  * (pages discovered so far — the EDF tail's replay-deterministic
+  * contract); only a batch re-read of the finished file reports the
+  * final total. New files under the path are picked up automatically;
+  * partitions and readers are the batch ones.
+  */
+class TiffMicroBatchStream(paths: Seq[String], conf: SerializableHadoopConf,
+                           columns: Array[String], maxPartBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // path -> (complete-page descriptors at last walk, file length then)
+  private val cache = mutable.Map[String, (Vector[TiffSchema.TiffFrame], Long)]()
+
+  private def refresh(path: String, len: Long): Vector[TiffSchema.TiffFrame] = {
+    cache.get(path) match {
+      case Some((have, lastLen)) if lastLen == len => have
+      case _ =>
+        val all = TiffSchema.walkLenient(path, conf.value).toVector
+        cache(path) = (all, len)
+        all
+    }
+  }
+
+  override def initialOffset(): Offset = SpecStreamOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset = SpecStreamOffset.fromJson(json)
+
+  override def latestOffset(): Offset = {
+    val files = SpecSchema.expand(paths, conf.value)
+      .filterNot(_.path.endsWith(SpecIndex.SidecarSuffix))
+    SpecStreamOffset(files.map(m => m.path -> refresh(m.path, m.len).size.toLong).toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SpecStreamOffset].files
+    val e = end.asInstanceOf[SpecStreamOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (path, to) =>
+      val from = s.getOrElse(path, 0L)
+      if (to <= from) Seq.empty
+      else {
+        // normally latestOffset just refreshed; after a checkpoint
+        // restart the cache is cold and the walk reruns here
+        val cached = cache.get(path).map(_._1).getOrElse(Vector.empty)
+        val all =
+          if (cached.size >= to) cached
+          else {
+            val p = new Path(path)
+            refresh(path, p.getFileSystem(conf.value).getFileStatus(p).getLen)
+          }
+        val wanted = all.slice(from.toInt, to.toInt)
+        val parts = mutable.ArrayBuffer[TiffInputPartition]()
+        var runStart = from
+        val run = mutable.ArrayBuffer[TiffSchema.TiffFrame]()
+        var runBytes = 0L
+        def flush(nextStart: Long): Unit = if (run.nonEmpty) {
+          parts += TiffInputPartition(path, runStart, to, run.toSeq)
+          run.clear(); runBytes = 0L; runStart = nextStart
+        }
+        wanted.zipWithIndex.foreach { case (fr, i) =>
+          if (runBytes + fr.dataBytes > maxPartBytes) flush(from + i)
+          run += fr; runBytes += fr.dataBytes
+        }
+        flush(-1L)
+        parts
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiffReaderFactory(conf, columns)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Aggregate-pushdown fast path: one row of planning-index partial

@@ -187,4 +187,59 @@ class TiffDataSourceSpec extends SparkSpec {
       .agg(count(lit(1)), min(col("frame"))).collect()(0)
     assert(eq.getLong(0) == 0L && eq.isNullAt(1))
   }
+
+  test("streaming source tails a growing TIFF stack; a page mid-write is held back") {
+    val dir = java.nio.file.Files.createTempDirectory("tiffstream").toFile
+    val f = new java.io.File(dir, "live.tiff")
+    val w = 2; val h = 2
+    def frame(k: Int) = Array.tabulate(w * h)(i => (10.0 * k + i))
+    def stackBytes(n: Int): Array[Byte] = {
+      val tmp = new java.io.File(dir, s"stage_$n.tiff")
+      TiffWriterUtil.write(tmp.getAbsolutePath, conf, w, h, "uint16", true,
+        (0 until n).map(frame))
+      val b = java.nio.file.Files.readAllBytes(tmp.toPath)
+      tmp.delete(); b
+    }
+    java.nio.file.Files.write(f.toPath, stackBytes(2))
+    val q = spark.readStream.format("tiff").load(f.getPath)
+      .select(col("frame"), element_at(col("pixels"), 1).as("p0"))
+      .writeStream.format("memory").queryName("tiff_live")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tiff_live").collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+      // acquisition starts page 2: its strips land but the final IFD is
+      // still mid-write (truncate the 3-page image inside the last IFD)
+      val b3 = stackBytes(3)
+      java.nio.file.Files.write(f.toPath, b3.take(b3.length - 30))
+      q.processAllAvailable()
+      assert(spark.table("tiff_live").collect().map(_.getLong(0)).toSet === Set(0L, 1L),
+        "page mid-write must be held back")
+      // the writer finishes page 2 and appends page 3
+      java.nio.file.Files.write(f.toPath, stackBytes(4))
+      q.processAllAvailable()
+      val now = spark.table("tiff_live").collect()
+      assert(now.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+      assert(now.map(_.getDouble(1)).sorted.toSeq === Seq(0.0, 10.0, 20.0, 30.0))
+    } finally q.stop()
+  }
+
+  test("streaming equals batch on a complete stack") {
+    val w = 3; val h = 2
+    val frames = (0 until 5).map(k => Array.tabulate(w * h)(i => (k * 7 + i).toDouble))
+    val f = tmpFile("sb.tiff")
+    TiffWriterUtil.write(f.getAbsolutePath, conf, w, h, "int32", true, frames)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("frame")), r.getSeq[Double](r.fieldIndex("pixels")).toList)
+    val batch = spark.read.format("tiff").load(f.getAbsolutePath)
+      .select("frame", "pixels").collect().map(key).toSet
+    val q = spark.readStream.format("tiff").load(f.getAbsolutePath)
+      .select("frame", "pixels")
+      .writeStream.format("memory").queryName("tiff_sb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tiff_sb").collect().map(key).toSet === batch)
+    } finally q.stop()
+  }
 }
