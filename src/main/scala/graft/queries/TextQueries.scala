@@ -323,6 +323,67 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #129 — cluster representative selection: production dedup keeps
+    * the BEST document of each near-dup cluster (here: most tokens,
+    * ties to the smallest id), not the smallest id — the quality-
+    * aware half of the dedup decision. One cluster-keyed AGGREGATE
+    * (max over an ordered struct + count + sum) — map-side combined
+    * and skew-immune where a per-cluster window would single-task a
+    * degenerate giant cluster. The oracle derives the same rows from
+    * the recursive-CTE clusters via a rank-1 window.
+    */
+  val qClusterReps = GateQuery.sql(
+    "q_cluster_reps",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |pairs AS (SELECT doc_a, doc_b FROM p
+       |          WHERE inter * 100 >= (ma + mb - inter) * 50),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |        FROM reach GROUP BY a),
+       |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents),
+       |m AS (SELECT lab.doc_id AS doc_id, cluster_id, n_tokens
+       |      FROM lab JOIN tok USING (doc_id))
+       |SELECT cluster_id, doc_id AS rep_doc_id, n_tokens AS rep_tokens,
+       |  n_members, cluster_tokens
+       |FROM (SELECT cluster_id, doc_id, n_tokens,
+       |        row_number() OVER (PARTITION BY cluster_id
+       |          ORDER BY n_tokens DESC, doc_id) AS rn,
+       |        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_tokens
+       |      FROM m)
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 50)
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val tok = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    labels.join(tok, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        // ordered-struct argmax: most tokens, ties to the SMALLEST id
+        max(struct(col("n_tokens"), (-col("doc_id")).as("_nid"))).as("_best"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).as("cluster_tokens"))
+      .select(col("cluster_id"),
+        (-col("_best._nid")).as("rep_doc_id"),
+        col("_best.n_tokens").as("rep_tokens"),
+        col("n_members"), col("cluster_tokens"))
+      .orderedSmall(col("cluster_id"))
+  }
+
   /** Deterministic split + sample accounting (#44): every doc gets a
     * portable hash-derived train/val/test label, and a 10% audit
     * sample is counted per split — reruns and cross-engine checks
@@ -923,5 +984,5 @@ object TextQueries {
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
-    qChunking, qPmi, qEditNeardup)
+    qChunking, qPmi, qEditNeardup, qClusterReps)
 }
