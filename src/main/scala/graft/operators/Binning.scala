@@ -93,6 +93,79 @@ object Binning {
         Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
   }
 
+  /** Fully-corrected azimuthal integration — [[radialProfile]] with
+    * the standard detector-correction chain applied per pixel before
+    * ring aggregation (pyFAI integrate1d's dark/flat/solid-angle
+    * corrections; pyspec `ccd` reduces frames the same way):
+    *
+    *   corrected = (raw − dark) / flat · (1 + x²)^{3/2},  x = r·px/d
+    *
+    * The last factor divides out the flat-detector solid angle
+    * Ω ∝ cos³(2θ) = (1 + x²)^{−3/2} — written via `sqrt` (correctly
+    * rounded per IEEE 754 in every engine) rather than `cos(atan x)`
+    * (libm-dependent), so the corrected value is bit-identical across
+    * engines and partitionings. Each pixel is then micro-quantized
+    * (`floor(x·1e6)` as long) so ring sums are exact integer sums —
+    * order-independent, the same determinism contract as the micro-ln
+    * LM scores.
+    *
+    * `dark` is a same-shape array column (attach the dark frame as a
+    * single-row broadcast — scale-safe at any stack size); `flat` maps
+    * (row, col) to the flat-field response (pass a measured flat via
+    * `element_at`, or a closed form in tests). Same single-shuffle
+    * gridder shape as [[radialProfile]].
+    */
+  def correctedRadialProfile(frames: DataFrame, id: Column, width: Column,
+                             pixels: Column, dark: Column, cx: Int, cy: Int,
+                             pixelSize: Double, distance: Double,
+                             flat: (Column, Column) => Column): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"), dark.as("d"),
+      posexplode(pixels).as(Seq("i", "v")))
+    val cc = col("i") % col("w")
+    val rr = (col("i") - pmod(col("i"), col("w"))) / col("w")
+    val dc = cc - lit(cx)
+    val dr = rr - lit(cy)
+    val rpx = sqrt((dc * dc + dr * dr).cast("double"))
+    val rbin = floor(rpx).cast("long")
+    val x = rpx * lit(pixelSize) / lit(distance)
+    val s = sqrt(lit(1.0) + x * x)
+    val corr = floor((col("v") - element_at(col("d"), (col("i") + 1).cast("int")))
+      / flat(rr, cc) * (s * s * s) * lit(1000000.0)).cast("long")
+    px.groupBy(col("id"), rbin.as("rbin"))
+      .agg(count(lit(1)).as("n_px"), sum(corr).as("i_sum_micro"))
+      .select(col("id"), col("rbin"), col("n_px"), col("i_sum_micro"),
+        Exact.roundedRatioSigned(col("i_sum_micro"), col("n_px"), 4).as("i_mean_micro"))
+  }
+
+  /** Thresholded peak centroid of 2-D detector frames — the beam/peak
+    * center-of-mass reduction every alignment scan runs (pyspec's
+    * center-of-mass analysis over CCD frames): pixels with
+    * `v ≥ threshold` contribute to a per-frame intensity-weighted
+    * centroid (c̄, r̄), total mass, bright-pixel count and max. All
+    * sums are exact integer sums of (coordinate × value) products —
+    * engine- and order-stable; the only division is the final exact
+    * [[Exact.roundedRatio]]. One filter + one hash aggregate: the
+    * shuffle carries one row per (frame, partition).
+    */
+  def peakCentroid(frames: DataFrame, id: Column, width: Column,
+                   pixels: Column, threshold: Long): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+      .filter(col("v") >= threshold)
+    val cc = (col("i") % col("w")).cast("long")
+    val rr = ((col("i") - pmod(col("i"), col("w"))) / col("w")).cast("long")
+    val v = col("v").cast("long")
+    px.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_peak"),
+        sum(v).as("v_sum"),
+        max(v).as("v_max"),
+        sum(cc * v).as("_cx_num"),
+        sum(rr * v).as("_cy_num"))
+      .select(col("id"), col("n_peak"), col("v_sum"), col("v_max"),
+        Exact.roundedRatio(col("_cx_num"), col("v_sum"), 4).as("cx"),
+        Exact.roundedRatio(col("_cy_num"), col("v_sum"), 4).as("cy"))
+  }
+
   /** Momentum-transfer value of a radial ring: q = (4π/λ)·sin(θ/2)
     * with θ = atan(r·pixelSize / distance) — the standard flat-
     * detector powder mapping that turns [[radialProfile]]'s pixel

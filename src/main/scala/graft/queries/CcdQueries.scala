@@ -269,6 +269,70 @@ object CcdQueries {
       .orderedSmall(col("frame"))
   }
 
+  /** #130 — fully-corrected azimuthal integration: EDF stack → dark
+    * (frame 0) subtraction → flat-field normalization → solid-angle
+    * correction → per-ring I(r), the complete pyFAI integrate1d
+    * correction chain. The flat here is the closed form
+    * `(10 + (r+c) mod 7)/10` (a measured flat would attach as one
+    * more broadcast array exactly like the dark); the solid-angle
+    * factor (1 + x²)^{3/2} is written via `sqrt` only — correctly
+    * rounded per IEEE in both engines, so the hash gate certifies the
+    * whole floating-point chain bit-for-bit. Pixels micro-quantize
+    * before summation (order-independent integer sums).
+    */
+  val qFlatRadial = GateQuery.sql(
+    "q_flat_radial", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      s"""WITH px AS (SELECT f.f AS frame, r.r AS r, c.c AS c,
+         |    ((3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251)
+         |      - ((3 + 17 * r.r + 5 * c.c) % 251) AS v,
+         |    sqrt(CAST((c.c - $cx) * (c.c - $cx) + (r.r - $cy) * (r.r - $cy) AS DOUBLE)) AS rpx
+         |  FROM range(1, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c)),
+         |geo AS (SELECT frame, r, c, v, rpx,
+         |    sqrt(1.0 + (rpx * $PxMm / $DistMm) * (rpx * $PxMm / $DistMm)) AS s
+         |  FROM px),
+         |cor AS (SELECT frame, CAST(floor(rpx) AS BIGINT) AS rbin,
+         |    CAST(floor((v / ((10 + (r + c) % 7) / 10.0)) * (s * s * s) * 1000000.0) AS BIGINT) AS cm
+         |  FROM geo)
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(cm) AS BIGINT) AS i_sum_micro,
+         |  ${graft.operators.Exact.roundedRatioSignedSql("CAST(sum(cm) AS BIGINT)", "count(*)", 4)} AS i_mean_micro
+         |FROM cor GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    val frames = s.read.format("edf").load(edfFixture(s))
+    val dark = frames.filter(col("frame") === 0).select(col("pixels").as("dk"))
+    graft.operators.Binning.correctedRadialProfile(
+        frames.filter(col("frame") >= 1).crossJoin(broadcast(dark)),
+        col("frame"), col("width"), col("pixels"), col("dk"),
+        cx = EW / 2, cy = EH / 2, pixelSize = PxMm, distance = DistMm,
+        flat = (r, c) => (lit(10) + (r + c) % lit(7)) / lit(10.0))
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rbin"))
+  }
+
+  /** #131 — thresholded peak centroid per frame (beam-center /
+    * alignment reduction): intensity-weighted center of mass of the
+    * bright region of each SPE frame, with bright-pixel count, mass
+    * and max. Exact integer (coordinate × value) sums; the oracle
+    * recomputes from the pixel closed form.
+    */
+  val qPeakCom = GateQuery.sql(
+    "q_peak_com",
+    s"""WITH px AS (SELECT f.f AS frame, r.r AS r, c.c AS c,
+       |    (1 + 7919 * f.f + 1047 * r.r + 131 * c.c) % 65536 AS v
+       |  FROM range(0, $Frames) f(f), range(0, $H) r(r), range(0, $W) c(c))
+       |SELECT CAST(frame AS BIGINT) AS frame, CAST(count(*) AS BIGINT) AS n_peak,
+       |  CAST(sum(v) AS BIGINT) AS v_sum, CAST(max(v) AS BIGINT) AS v_max,
+       |  ${graft.operators.Exact.roundedRatioSql("CAST(sum(c * v) AS BIGINT)", "CAST(sum(v) AS BIGINT)", 4)} AS cx,
+       |  ${graft.operators.Exact.roundedRatioSql("CAST(sum(r * v) AS BIGINT)", "CAST(sum(v) AS BIGINT)", 4)} AS cy
+       |FROM px WHERE v >= 60000 GROUP BY frame ORDER BY frame""".stripMargin) { (s, _) =>
+    graft.operators.Binning.peakCentroid(
+        s.read.format("spe").load(fixture(s)),
+        col("frame"), col("width"), col("pixels"), threshold = 60000L)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
-    qTiffFrames, qIqProfile)
+    qTiffFrames, qIqProfile, qFlatRadial, qPeakCom)
 }

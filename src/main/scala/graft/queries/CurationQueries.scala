@@ -696,8 +696,49 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #133 — temperature-scaled source mixing (the multilingual/
+    * multi-source sampling rule of Lample & Conneau 2019 §3.1 and T5:
+    * sample source s with probability ∝ p_s^τ, τ < 1 upsampling the
+    * tail). τ = 0.5, so the reweighted mass is sqrt(p_s) — written
+    * with `sqrt` only (correctly rounded per IEEE in every engine)
+    * and micro-quantized BEFORE the cross-source normalization sum,
+    * which therefore sums exact integers: bit-stable across engines
+    * and summation orders where a double Σ sqrt would not be. All
+    * relations after the per-source count are scalar-sized (one row
+    * per source); `target_docs` allocates a 60% budget by exact floor
+    * division.
+    */
+  val qMixTemperature = GateQuery.sql(
+    "q_mix_temperature",
+    s"""WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |             FROM documents GROUP BY source),
+       |st AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cnt),
+       |wm AS (SELECT source, n_docs, total,
+       |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS w_micro
+       |       FROM cnt, st),
+       |sw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_sum FROM wm)
+       |SELECT source, n_docs, w_micro,
+       |  ${roundedRatioSql("w_micro", "w_sum", 4)} AS share,
+       |  total * 60 // 100 * w_micro // w_sum AS target_docs
+       |FROM wm, sw ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val st = cnt.agg(sum(col("n_docs")).cast("long").as("total"))
+    val wm = Curation.withStats(cnt, st)
+      .withColumn("w_micro",
+        floor(sqrt(col("n_docs").cast("double") / col("total")) * lit(1000000.0)).cast("long"))
+    val sw = wm.agg(sum(col("w_micro")).cast("long").as("w_sum"))
+    Curation.withStats(wm, sw)
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        Exact.roundedRatio(col("w_micro"), col("w_sum"), 4).as("share"),
+        graft.operators.Binning.floorDivCol(
+          graft.operators.Binning.floorDivCol(col("total") * lit(60L), lit(100L)) * col("w_micro"),
+          col("w_sum")).as("target_docs"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
-      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn)
+      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature)
 }

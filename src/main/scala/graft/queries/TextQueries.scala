@@ -977,6 +977,55 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #132 — soft deduplication (SoftDeDup, He et al. ACL 2024):
+    * instead of DROPPING near-duplicates, every document gets a
+    * training sampling weight inversely proportional to its near-dup
+    * cluster size — duplicates are down-weighted, singletons keep
+    * weight 1. Composes the jaccard candidate pairs + connected
+    * components with one cluster-keyed count and one key-partitioned
+    * join back; per cluster the weights sum to ~1e6 (floor division),
+    * so corpus-level expected token mass matches hard dedup while no
+    * text is discarded. The weight is exact integer micro-units
+    * (1e6 DIV size) — engine-stable, no float division.
+    */
+  val qSoftDedup = GateQuery.sql(
+    "q_soft_dedup",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |pairs AS (SELECT doc_a, doc_b FROM p
+       |          WHERE inter * 100 >= (ma + mb - inter) * 50),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |        FROM reach GROUP BY a),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz FROM lab GROUP BY 1),
+       |w AS (SELECT lab.doc_id AS doc_id, csz FROM lab JOIN sz USING (cluster_id))
+       |SELECT d.doc_id AS doc_id,
+       |  coalesce(csz, 1) AS cluster_size,
+       |  1000000 // coalesce(csz, 1) AS weight_micro
+       |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 50)
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    val weights = labels.join(sizes, "cluster_id").select(col("doc_id"), col("csz"))
+    val csz = coalesce(col("csz"), lit(1L))
+    docs.select(col("doc_id")).join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"), csz.as("cluster_size"),
+        graft.operators.Binning.floorDivCol(lit(1000000L), csz).as("weight_micro"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
@@ -984,5 +1033,5 @@ object TextQueries {
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
-    qChunking, qPmi, qEditNeardup, qClusterReps)
+    qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup)
 }

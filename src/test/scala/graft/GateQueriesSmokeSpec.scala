@@ -23,7 +23,9 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_zorder", // (min, max) grid-bounds single-row stats
       "q_pmi", // (N, M) corpus-totals single-row stats
       "q_lm_kn", // n1pp distinct-bigram-total single-row stats
-      "q_contrastive_pairs") // exact-ranking baseline (same as q_knn_bruteforce)
+      "q_contrastive_pairs", // exact-ranking baseline (same as q_knn_bruteforce)
+      "q_flat_radial", // single-row dark-frame broadcast (as q_edf_dark_radial)
+      "q_mix_temperature") // (total) and (w_sum) single-row stats scalars
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

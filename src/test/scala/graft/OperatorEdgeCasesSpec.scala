@@ -273,4 +273,70 @@ class OperatorEdgeCasesSpec extends SparkSpec {
     assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 1L && out(0).getLong(3) == 50L)
     assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 8L && out(1).getLong(3) == 40L)
   }
+
+  test("correctedRadialProfile: identity corrections reduce to radialProfile × 1e6") {
+    // dark = 0, flat = 1, distance → ∞ (solid angle = 1): the
+    // corrected micro sums must equal the plain profile's sums × 1e6.
+    val df = Seq((1L, 3, Seq(1.0, 2.0, 3.0, 4.0, 50.0, 6.0, 7.0, 8.0, 9.0),
+        Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "width", "pixels", "dk")
+    val out = Binning.correctedRadialProfile(df, col("id"), col("width"),
+        col("pixels"), col("dk"), cx = 1, cy = 1,
+        pixelSize = 0.172, distance = 1e18, flat = (_, _) => lit(1.0))
+      .orderBy("rbin").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 50000000L)
+    assert(out(1).getLong(3) == 40000000L)
+  }
+
+  test("correctedRadialProfile: dark and flat divide out as expected") {
+    // raw = 2·flat + dark per pixel → every corrected value is
+    // exactly 2.0 → 2e6 micro-units regardless of position (far
+    // detector, solid angle ≈ 1).
+    val flat = (r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =>
+      (lit(10) + (r + c) % lit(7)) / lit(10.0)
+    val w = 4
+    val dark = Array.tabulate(w * w)(i => (i % 5).toDouble)
+    val raw = Array.tabulate(w * w) { i =>
+      2.0 * ((10 + ((i / w) + (i % w)) % 7) / 10.0) + dark(i)
+    }
+    val df = Seq((7L, w, raw.toSeq, dark.toSeq)).toDF("id", "width", "pixels", "dk")
+    val out = Binning.correctedRadialProfile(df, col("id"), col("width"),
+        col("pixels"), col("dk"), cx = 2, cy = 2,
+        pixelSize = 0.1, distance = 1e18, flat = flat)
+      .collect()
+    // mean of every ring = 2.0 → i_mean_micro = 2_000_000 ± 1 micro
+    // (per-pixel floor can shave at most 1 micro-unit)
+    out.foreach { r =>
+      val mean = r.getDouble(4)
+      assert(math.abs(mean - 2000000.0) <= 1.0, s"ring mean $mean")
+    }
+  }
+
+  test("peakCentroid: single bright pixel → centroid at its coordinates") {
+    val w = 4
+    val px = Array.tabulate(w * w)(i => if (i == 9) 100.0 else 1.0) // (r=2, c=1)
+    val df = Seq((3L, w, px.toSeq)).toDF("id", "width", "pixels")
+    val out = Binning.peakCentroid(df, col("id"), col("width"), col("pixels"),
+        threshold = 50L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 100L && r.getLong(3) == 100L)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0)
+  }
+
+  test("peakCentroid: symmetric blob → centroid at blob center, frames below threshold drop") {
+    val w = 5
+    // frame 1: uniform 10 above threshold in a plus-shape around (2,2)
+    val blob = Set(2 * w + 2, 1 * w + 2, 3 * w + 2, 2 * w + 1, 2 * w + 3)
+    val px1 = Array.tabulate(w * w)(i => if (blob(i)) 10.0 else 0.0)
+    val px2 = Array.fill(w * w)(1.0) // all below threshold
+    val df = Seq((1L, w, px1.toSeq), (2L, w, px2.toSeq)).toDF("id", "width", "pixels")
+    val out = Binning.peakCentroid(df, col("id"), col("width"), col("pixels"),
+        threshold = 5L).collect()
+    assert(out.length == 1, "frame 2 has no pixel above threshold")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 5L)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 2.0)
+  }
 }
