@@ -137,6 +137,139 @@ object Binning {
         Exact.roundedRatioSigned(col("i_sum_micro"), col("n_px"), 4).as("i_mean_micro"))
   }
 
+  /** Azimuthal sector (octant) of an integer offset (dc, dr) from the
+    * beam center — the χ dimension of a cake/sector integration
+    * (pyFAI's integrate2d splits rings into azimuth bins; 8 octants is
+    * the exact-arithmetic variant). Sectors are defined purely by
+    * integer sign tests and |dc| vs |dr| comparisons — no atan2, so
+    * the assignment is bit-identical on every engine: sector 0 starts
+    * at the +c axis and they proceed counter-clockwise in (c, r)
+    * coordinates.
+    */
+  def sectorOctant(dc: Column, dr: Column): Column =
+    when(dc >= 0 && dr >= 0, when(dc >= dr, lit(0L)).otherwise(lit(1L)))
+      .when(dc < 0 && dr >= 0, when(dr > -dc, lit(2L)).otherwise(lit(3L)))
+      .when(dc < 0 && dr < 0, when(-dc >= -dr, lit(4L)).otherwise(lit(5L)))
+      .otherwise(when(-dr > dc, lit(6L)).otherwise(lit(7L)))
+
+  /** DuckDB mirror of [[sectorOctant]] over integer SQL fragments. */
+  def sectorOctantSql(dc: String, dr: String): String =
+    s"""(CASE WHEN ($dc) >= 0 AND ($dr) >= 0 THEN (CASE WHEN ($dc) >= ($dr) THEN 0 ELSE 1 END)
+       |      WHEN ($dc) < 0 AND ($dr) >= 0 THEN (CASE WHEN ($dr) > -($dc) THEN 2 ELSE 3 END)
+       |      WHEN ($dc) < 0 AND ($dr) < 0 THEN (CASE WHEN -($dc) >= -($dr) THEN 4 ELSE 5 END)
+       |      ELSE (CASE WHEN -($dr) > ($dc) THEN 6 ELSE 7 END) END)""".stripMargin
+
+  /** Sector ("cake") integration — [[radialProfile]] with the azimuth
+    * split into 8 exact octants: per (frame, ring, sector) count /
+    * exact integer sum / mean. This is the texture/anisotropy view a
+    * 2-D azimuthal regroup gives (pyFAI integrate2d): an isotropic
+    * powder ring has equal sector means; a strained or textured sample
+    * doesn't. Same single hash aggregate as the radial profile — the
+    * shuffle is bounded by rings × 8 × partitions regardless of pixel
+    * count.
+    */
+  def sectorProfile(frames: DataFrame, id: Column, width: Column,
+                    pixels: Column, cx: Int, cy: Int): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+    val dc = col("i") % col("w") - lit(cx)
+    val dr = (col("i") - pmod(col("i"), col("w"))) / col("w") - lit(cy)
+    val rbin = floor(sqrt((dc * dc + dr * dr).cast("double"))).cast("long")
+    px.groupBy(col("id"), rbin.as("rbin"), sectorOctant(dc, dr).as("sect"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("v").cast("long")).as("v_sum"))
+      .select(col("id"), col("rbin"), col("sect"), col("n_px"), col("v_sum"),
+        Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
+  }
+
+  /** Hot/dead pixel mask from whole-stack statistics — the detector
+    * bad-pixel map every CCD reduction starts from (pyspec `ccd` masks
+    * hot pixels before ROI/gridding): a pixel is masked when its
+    * across-frames SUM is ≥ `hotSumMin` (stuck-high / hot) or ≤
+    * `deadSumMax` (dead). Sums, not means, so the whole pass is exact
+    * integer arithmetic.
+    *
+    * Shape: posexplode → one pixel-index-keyed aggregate. Map-side
+    * partial aggregation bounds the shuffle at W·H × partitions rows
+    * no matter how many frames — a million-frame stack reduces to one
+    * detector-sized relation, which is small enough to broadcast into
+    * any downstream per-pixel pass.
+    */
+  def stackPixelMask(frames: DataFrame, pixels: Column,
+                     hotSumMin: Long, deadSumMax: Long): DataFrame =
+    frames.select(posexplode(pixels).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(sum(col("v").cast("long")).as("s"))
+      .filter(col("s") >= hotSumMin || col("s") <= deadSumMax)
+      .select(col("i"))
+
+  /** [[radialProfile]] over good pixels only: `mask` (an `i`
+    * pixel-index relation, e.g. from [[stackPixelMask]]) is
+    * broadcast-anti-joined against the exploded pixel stream before
+    * ring aggregation — the mask is detector-sized, so the join is a
+    * broadcast hash join whatever the stack size.
+    */
+  def radialProfileMasked(frames: DataFrame, id: Column, width: Column,
+                          pixels: Column, cx: Int, cy: Int,
+                          mask: DataFrame): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+        posexplode(pixels).as(Seq("i", "v")))
+      .join(broadcast(mask.select(col("i"))), Seq("i"), "left_anti")
+    val dc = col("i") % col("w") - lit(cx)
+    val dr = (col("i") - pmod(col("i"), col("w"))) / col("w") - lit(cy)
+    val rbin = floor(sqrt((dc * dc + dr * dr).cast("double"))).cast("long")
+    px.groupBy(col("id"), rbin.as("rbin"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("v").cast("long")).as("v_sum"))
+      .select(col("id"), col("rbin"), col("n_px"), col("v_sum"),
+        Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
+  }
+
+  /** Thresholded peak SECOND moments per frame — beam widths: the
+    * intensity-weighted σ_c, σ_r and correlation ρ of the bright
+    * region, extending [[peakCentroid]] with the (c², r², c·r)
+    * moment sums (pyspec's peakguess derives FWHM from exactly these
+    * second moments). All moment sums are exact integer sums riding
+    * the same single aggregate; the variance numerators
+    * `Σv·Σx²v − (Σxv)²` are exact longs, and the only floating steps
+    * are `sqrt` (IEEE-correctly-rounded) and one final division —
+    * engine- and partitioning-stable. Degenerate frames (zero
+    * variance) report NULL widths.
+    *
+    * Range: Σv·Σc²v must fit a signed long — true for any single
+    * detector frame (64-bit holds ≥ 4k×4k×16-bit frames with margin).
+    */
+  def peakWidths(frames: DataFrame, id: Column, width: Column,
+                 pixels: Column, threshold: Long): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+      .filter(col("v") >= threshold)
+    val cc = (col("i") % col("w")).cast("long")
+    val rr = ((col("i") - pmod(col("i"), col("w"))) / col("w")).cast("long")
+    val v = col("v").cast("long")
+    val agg = px.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_peak"),
+        sum(v).as("v_sum"),
+        sum(cc * v).as("_scv"),
+        sum(rr * v).as("_srv"),
+        sum(cc * cc * v).as("_sccv"),
+        sum(rr * rr * v).as("_srrv"),
+        sum(cc * rr * v).as("_scrv"))
+    val varC = col("v_sum") * col("_sccv") - col("_scv") * col("_scv")
+    val varR = col("v_sum") * col("_srrv") - col("_srv") * col("_srv")
+    val covN = col("v_sum") * col("_scrv") - col("_scv") * col("_srv")
+    agg.select(col("id"), col("n_peak"), col("v_sum"),
+      Exact.roundedRatio(col("_scv"), col("v_sum"), 4).as("cx"),
+      Exact.roundedRatio(col("_srv"), col("v_sum"), 4).as("cy"),
+      when(varC > 0,
+        round(sqrt(varC.cast("double")) / col("v_sum").cast("double"), 4)).as("sigma_c"),
+      when(varR > 0,
+        round(sqrt(varR.cast("double")) / col("v_sum").cast("double"), 4)).as("sigma_r"),
+      when(varC > 0 && varR > 0,
+        round(covN.cast("double") /
+          (sqrt(varC.cast("double")) * sqrt(varR.cast("double"))), 4)).as("rho"))
+  }
+
   /** Thresholded peak centroid of 2-D detector frames — the beam/peak
     * center-of-mass reduction every alignment scan runs (pyspec's
     * center-of-mass analysis over CCD frames): pixels with

@@ -333,6 +333,115 @@ object CcdQueries {
       .orderedSmall(col("frame"))
   }
 
+  /** #134 — sector ("cake") integration: the TIFF stack's rings split
+    * into 8 exact azimuthal octants, per (frame, ring, sector) stats —
+    * the anisotropy/texture view (pyFAI integrate2d shape). Sector
+    * assignment is pure integer sign/compare arithmetic (no atan2), so
+    * the closed-form DuckDB recompute mirrors it bit-for-bit; signed
+    * int32 pixels exercise the signed-mean path.
+    */
+  val qSectorProfile = GateQuery.sql(
+    "q_sector_profile", {
+      val (cx, cy) = (TW / 2, TH / 2)
+      s"""WITH px AS (SELECT f.f AS frame, c.c - $cx AS dc, r.r - $cy AS dr,
+         |    (7 + 61 * f.f + 23 * r.r + 9 * c.c) % 1009 - 500 AS v
+         |  FROM range(0, $TFrames) f(f), range(0, $TH) r(r), range(0, $TW) c(c)),
+         |g AS (SELECT frame,
+         |    CAST(floor(sqrt(CAST(dc * dc + dr * dr AS DOUBLE))) AS BIGINT) AS rbin,
+         |    CAST(${graft.operators.Binning.sectorOctantSql("dc", "dr")} AS BIGINT) AS sect, v
+         |  FROM px)
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin, sect,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS v_sum,
+         |  ${graft.operators.Exact.roundedRatioSignedSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS v_mean
+         |FROM g GROUP BY frame, rbin, sect ORDER BY frame, rbin, sect""".stripMargin
+    }) { (s, _) =>
+    graft.operators.Binning.sectorProfile(
+        s.read.format("tiff").load(tiffFixture(s)),
+        col("frame"), col("width"), col("pixels"), cx = TW / 2, cy = TH / 2)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rbin"), col("sect"))
+  }
+
+  // Whole-stack per-pixel sum thresholds for the hot/dead mask gate:
+  // chosen against the fixture's sum distribution (min 461608, max
+  // 587368 over 16 frames) so both classes are non-empty — 40 hot and
+  // 63 dead of 4096 pixels.
+  private val HotSumMin = 580000L
+  private val DeadSumMax = 470000L
+
+  /** #135 — bad-pixel masking from whole-stack statistics + masked
+    * azimuthal profile: hot/dead pixels flagged by their across-frames
+    * sums (one detector-sized pixel-keyed aggregate), then the radial
+    * reduction runs over good pixels only (broadcast anti-join). The
+    * oracle recomputes the mask AND the masked profile from the pixel
+    * closed form — certifying mask derivation and application together.
+    */
+  val qMaskedRadial = GateQuery.sql(
+    "q_masked_radial", {
+      val (cx, cy) = (W / 2, H / 2)
+      s"""WITH px AS (SELECT f.f AS frame, r.r AS r, c.c AS c,
+         |    (1 + 7919 * f.f + 1047 * r.r + 131 * c.c) % 65536 AS v
+         |  FROM range(0, $Frames) f(f), range(0, $H) r(r), range(0, $W) c(c)),
+         |ps AS (SELECT r, c, CAST(sum(v) AS BIGINT) AS s FROM px GROUP BY r, c),
+         |mask AS (SELECT r, c FROM ps WHERE s >= $HotSumMin OR s <= $DeadSumMax),
+         |good AS (SELECT px.frame AS frame, px.r AS r, px.c AS c, px.v AS v
+         |         FROM px ANTI JOIN mask ON px.r = mask.r AND px.c = mask.c),
+         |rb AS (SELECT frame,
+         |    CAST(floor(sqrt(CAST((c - $cx) * (c - $cx) + (r - $cy) * (r - $cy) AS DOUBLE))) AS BIGINT) AS rbin, v
+         |  FROM good)
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS v_sum,
+         |  ${graft.operators.Exact.roundedRatioSignedSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS v_mean
+         |FROM rb GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    val frames = s.read.format("spe").load(fixture(s))
+    val mask = graft.operators.Binning.stackPixelMask(
+      frames, col("pixels"), HotSumMin, DeadSumMax)
+    graft.operators.Binning.radialProfileMasked(frames,
+        col("frame"), col("width"), col("pixels"), cx = W / 2, cy = H / 2, mask)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rbin"))
+  }
+
+  /** #136 — peak second moments (beam widths): intensity-weighted
+    * σ_c, σ_r and correlation ρ of each frame's bright region — the
+    * FWHM-from-moments analysis (pyspec peakguess) in 2-D. Variance
+    * numerators are exact integer longs; only sqrt and one final
+    * division are floating (IEEE-stable both engines).
+    */
+  val qPeakWidths = GateQuery.sql(
+    "q_peak_widths", {
+      val rr = (n: String, d: String) => graft.operators.Exact.roundedRatioSql(n, d, 4)
+      s"""WITH px AS (SELECT f.f AS frame, r.r AS r, c.c AS c,
+         |    (1 + 7919 * f.f + 1047 * r.r + 131 * c.c) % 65536 AS v
+         |  FROM range(0, $Frames) f(f), range(0, $H) r(r), range(0, $W) c(c)),
+         |a AS (SELECT frame, CAST(count(*) AS BIGINT) AS n_peak,
+         |    CAST(sum(v) AS BIGINT) AS v_sum,
+         |    CAST(sum(c * v) AS BIGINT) AS scv, CAST(sum(r * v) AS BIGINT) AS srv,
+         |    CAST(sum(c * c * v) AS BIGINT) AS sccv, CAST(sum(r * r * v) AS BIGINT) AS srrv,
+         |    CAST(sum(c * r * v) AS BIGINT) AS scrv
+         |  FROM px WHERE v >= 60000 GROUP BY frame),
+         |m AS (SELECT frame, n_peak, v_sum, scv, srv,
+         |    v_sum * sccv - scv * scv AS varc,
+         |    v_sum * srrv - srv * srv AS varr,
+         |    v_sum * scrv - scv * srv AS covn
+         |  FROM a)
+         |SELECT CAST(frame AS BIGINT) AS frame, n_peak, v_sum,
+         |  ${rr("scv", "v_sum")} AS cx, ${rr("srv", "v_sum")} AS cy,
+         |  CASE WHEN varc > 0 THEN round(sqrt(CAST(varc AS DOUBLE)) / CAST(v_sum AS DOUBLE), 4) END AS sigma_c,
+         |  CASE WHEN varr > 0 THEN round(sqrt(CAST(varr AS DOUBLE)) / CAST(v_sum AS DOUBLE), 4) END AS sigma_r,
+         |  CASE WHEN varc > 0 AND varr > 0 THEN
+         |    round(CAST(covn AS DOUBLE) / (sqrt(CAST(varc AS DOUBLE)) * sqrt(CAST(varr AS DOUBLE))), 4) END AS rho
+         |FROM m ORDER BY frame""".stripMargin
+    }) { (s, _) =>
+    graft.operators.Binning.peakWidths(
+        s.read.format("spe").load(fixture(s)),
+        col("frame"), col("width"), col("pixels"), threshold = 60000L)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
-    qTiffFrames, qIqProfile, qFlatRadial, qPeakCom)
+    qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
+    qPeakWidths)
 }

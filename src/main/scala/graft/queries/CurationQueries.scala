@@ -737,8 +737,54 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #137 — lexical-diversity diagnostics per source: type-token
+    * ratio, vocabulary size and hapax share — the corpus-audit
+    * numbers a curation report prints next to its filters (template/
+    * boilerplate-heavy sources show depressed TTR). One (source,
+    * word)-keyed aggregate; exact integer counts throughout.
+    */
+  val qTtr = GateQuery.sql(
+    "q_ttr",
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |sw AS (SELECT source, word, count(*) AS c FROM toks GROUP BY source, word)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  ${roundedRatioSql("count(*)", "CAST(sum(c) AS BIGINT)", 4)} AS ttr,
+       |  ${roundedRatioSql("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)", "count(*)", 4)} AS hapax_share
+       |FROM sw GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    graft.operators.CorpusStats.ttr(Tables.documents(s, d), col("source"), col("text"))
+      .orderedSmall(col("source"))
+  }
+
+  /** #138 — per-source unigram KL divergence vs the corpus mix: the
+    * quantitative "how far is this slice from the blend" signal behind
+    * data-mixing decisions (the distribution-matching view DSIR's
+    * importance weights come from, Xie et al. 2023). Micro-ln
+    * quantization before the weighted sum keeps the distributed
+    * aggregate an exact integer sum on both engines.
+    */
+  val qKlMix = GateQuery.sql(
+    "q_kl_mix",
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |sw AS (SELECT source, word, count(*) AS c_sw FROM toks GROUP BY source, word),
+       |w AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word),
+       |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+       |con AS (SELECT sw.source AS source, ns.n_s AS n_s,
+       |    sw.c_sw * ${Curation.microLnSql("(sw.c_sw * tot.n) * 1.0 / (ns.n_s * w.c_w)")} AS q
+       |  FROM sw JOIN w USING (word) JOIN ns USING (source), tot)
+       |SELECT source, n_s AS n_tokens, CAST(sum(q) AS BIGINT) AS kl_micro,
+       |  ${roundedRatioSignedSql("CAST(sum(q) AS BIGINT)", "n_s * 1000000", 6)} AS kl
+       |FROM con GROUP BY source, n_s ORDER BY source""".stripMargin) { (s, d) =>
+    graft.operators.CorpusStats.sourceKl(Tables.documents(s, d), col("source"), col("text"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
-      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature)
+      qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
+      qTtr, qKlMix)
 }
