@@ -225,6 +225,87 @@ object Binning {
         Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
   }
 
+  /** Lorentz–polarization corrected azimuthal integration — the two
+    * remaining standard powder corrections on top of
+    * [[correctedRadialProfile]]'s dark/flat/solid-angle chain
+    * (pyFAI's polarization_factor; every Rietveld-bound reduction
+    * divides out LP):
+    *
+    *   P(χ, 2θ) = (1 + cos²2θ − pf·cos2χ·sin²2θ) / 2
+    *   L(θ)     = 1 / (sinθ · sin2θ)        (powder Lorentz)
+    *   I_corr   = I / (L·P) = I · sinθ · sin2θ / P
+    *
+    * Everything is built from RATIONAL functions of the exact integer
+    * pixel geometry plus `sqrt` — cos²2θ = 1/(1+x²),
+    * sin²2θ = x²/(1+x²) with x = tan2θ = r·px/d, and
+    * cos2χ = (dc²−dr²)/r² exactly; no libm trig anywhere, so the
+    * corrected value is IEEE-bit-identical across engines and the
+    * micro-quantized ring sums are exact integers. The beam-center
+    * pixel (r = 0, where L diverges) is excluded, as every real
+    * integration does.
+    *
+    * `pf` is the polarization fraction (≈0.95–0.99 horizontal at a
+    * synchrotron bend/undulator; 0 = unpolarized tube source).
+    */
+  def lpRadialProfile(frames: DataFrame, id: Column, width: Column,
+                      pixels: Column, cx: Int, cy: Int,
+                      pixelSize: Double, distance: Double,
+                      pf: Double): DataFrame = {
+    val k2 = (pixelSize / distance) * (pixelSize / distance)
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+    val cc = col("i") % col("w")
+    val rr = (col("i") - pmod(col("i"), col("w"))) / col("w")
+    val dc = cc - lit(cx)
+    val dr = rr - lit(cy)
+    val r2 = dc * dc + dr * dr
+    val rbin = floor(sqrt(r2.cast("double"))).cast("long")
+    val x2 = r2.cast("double") * lit(k2)
+    val c2t2 = lit(1.0) / (lit(1.0) + x2)           // cos²2θ
+    val s2t2 = x2 / (lit(1.0) + x2)                 // sin²2θ
+    val cos2chi = (dc * dc - dr * dr).cast("double") / r2.cast("double")
+    val p = (lit(1.0) + c2t2 - lit(pf) * cos2chi * s2t2) / lit(2.0)
+    val sinth = sqrt((lit(1.0) - sqrt(c2t2)) / lit(2.0))
+    val sin2t = sqrt(s2t2)
+    val corr = floor(col("v") * sinth * sin2t / p * lit(1000000.0)).cast("long")
+    px.filter(r2 > 0)
+      .groupBy(col("id"), rbin.as("rbin"))
+      .agg(count(lit(1)).as("n_px"), sum(corr).as("i_sum_micro"))
+      .select(col("id"), col("rbin"), col("n_px"), col("i_sum_micro"),
+        Exact.roundedRatioSigned(col("i_sum_micro"), col("n_px"), 4).as("i_mean_micro"))
+  }
+
+  /** ROI line cuts — the row/column profiles of a detector region
+    * (pyspec `ccd` box cuts: collapse an ROI onto each axis to see a
+    * peak's horizontal/vertical structure). BOTH axes come out of ONE
+    * pass over the pixels via grouping sets — the exploded relation is
+    * scanned once and the two cuts share the same map-side-combined
+    * aggregate; output rows are (id, axis 'col'|'row', pos, n_px,
+    * v_sum, v_mean). Bounds are half-open: r0 ≤ row < r1, c0 ≤ col < c1.
+    */
+  def roiLineCuts(frames: DataFrame, id: Column, width: Column,
+                  pixels: Column, r0: Int, r1: Int, c0: Int, c1: Int): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+    val roi = px
+      .select(col("id"),
+        (col("i") % col("w")).as("c"),
+        ((col("i") - pmod(col("i"), col("w"))) / col("w")).cast("int").as("r"),
+        col("v"))
+      .filter(col("r") >= r0 && col("r") < r1 && col("c") >= c0 && col("c") < c1)
+    roi
+      .groupingSets(Seq(Seq(col("id"), col("c")), Seq(col("id"), col("r"))),
+        col("id"), col("c"), col("r"))
+      // grouping() is only valid inside the grouping-sets aggregate
+      .agg(count(lit(1)).as("n_px"), sum(col("v").cast("long")).as("v_sum"),
+        grouping(col("c")).as("_gc"))
+      .select(col("id"),
+        when(col("_gc") === 0, lit("col")).otherwise(lit("row")).as("axis"),
+        coalesce(col("c"), col("r")).cast("long").as("pos"),
+        col("n_px"), col("v_sum"),
+        Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
+  }
+
   /** Thresholded peak SECOND moments per frame — beam widths: the
     * intensity-weighted σ_c, σ_r and correlation ρ of the bright
     * region, extending [[peakCentroid]] with the (c², r², c·r)

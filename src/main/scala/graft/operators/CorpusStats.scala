@@ -42,6 +42,33 @@ object CorpusStats {
         Exact.roundedRatio(col("n_types"), col("n_tokens"), 4).as("ttr"),
         Exact.roundedRatio(col("n_hapax"), col("n_types"), 4).as("hapax_share"))
 
+  /** Per-document unigram (Shannon) entropy in nats — the classic
+    * repetitiveness signal (a doc that repeats a few tokens has low
+    * entropy; boilerplate and keyword-stuffed spam sit far below
+    * natural text):
+    *
+    *   H = ln n − (Σ_w c_w · ln c_w) / n
+    *
+    * Each `c_w · microLn(c_w)` term is an exact integer (microLn of a
+    * small integer count), so the doc-keyed aggregate is an exact
+    * integer sum; ln n enters once per doc through the same microLn.
+    * Shape: explode → (doc, word) count → doc-keyed aggregate — the
+    * same two map-side-combined shuffles as every other text statistic.
+    */
+  def docEntropy(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * Curation.microLn(col("c"))).cast("long").as("s_clnc"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") * Curation.microLn(col("n_tokens")) - col("s_clnc"))
+          .as("h_micro_sum"),
+        Exact.roundedRatioSigned(
+          col("n_tokens") * Curation.microLn(col("n_tokens")) - col("s_clnc"),
+          col("n_tokens") * lit(1000000L), 6).as("entropy"))
+
   /** Per-source unigram KL divergence vs the corpus distribution:
     *
     *   KL(p_s ‖ p) = Σ_w (c_sw / N_s) · ln( (c_sw·N) / (N_s·c_w) )

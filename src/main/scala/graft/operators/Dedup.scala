@@ -55,8 +55,12 @@ object Dedup {
   def suggestedDfCap(maxPairsPerShingle: Long = 1000000L): Int =
     math.max(2, math.ceil(math.sqrt(2.0 * maxPairsPerShingle)).toInt)
 
-  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
-                   k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
+  /** Shared candidate-pair intersection stage of [[jaccardPairs]] and
+    * [[jaccardSurvival]]: (pr packed pair key, inter, ma, mb) for
+    * every doc pair sharing ≥ 1 shingle key.
+    */
+  private def jaccardPairInter(docs: DataFrame, id: Column, text: Column,
+                               k: Int, maxDf: Int): DataFrame = {
     // Jaccard only compares shingle keys for equality, so the cheap
     // engine-local hash is correct here (collisions: ~n²/2^64).
     // Group-join shape instead of a self-join: the expensive shingle
@@ -76,7 +80,7 @@ object Dedup {
     // posting-list stage by BYTES, blind to the f²/2 pairs each list
     // emits — a coalesced-to-one stage serializes the fan-out (see
     // editDistancePairs; measured +0.4 s on this gate at sf0.1).
-    val inter = capped
+    capped
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(graft.expressions.TextExpressions.docPairs(col("ds"))).as("p"))
       .select(col("p.pr").as("pr"), col("p.ma").as("ma"), col("p.mb").as("mb"))
@@ -85,12 +89,38 @@ object Dedup {
       // 8-byte key instead of a 3-column row
       .groupBy(col("pr"))
       .agg(count(lit(1)).as("inter"), max(col("ma")).as("ma"), max(col("mb")).as("mb"))
+  }
+
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+                   k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
+    val inter = jaccardPairInter(docs, id, text, k, maxDf)
     val uni = col("ma") + col("mb") - col("inter")
     inter
       .filter(col("inter") * 100 >= uni * thresholdPct)
       .select(shiftrightunsigned(col("pr"), 32).as("doc_a"),
         col("pr").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
         Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
+  }
+
+  /** Dedup threshold-tuning curve: candidate pairs histogrammed by
+    * Jaccard decile — the "how many pairs would each threshold kill"
+    * sweep run BEFORE committing to a similarity cutoff (one pass
+    * answers every threshold at once, instead of re-running the pair
+    * stage per candidate threshold). Buckets are computed in exact
+    * integer arithmetic (`(10·inter) div union`, so bucket b ⇔
+    * j ∈ [b/10, (b+1)/10)); jaccard = 1 lands in bucket 10.
+    * Candidate pairs share ≥ 1 shingle, so bucket 0 counts only
+    * pairs with SOME overlap — disjoint pairs never materialize.
+    * Same capped, never-all-pairs shape as [[jaccardPairs]].
+    */
+  def jaccardSurvival(docs: DataFrame, id: Column, text: Column,
+                      k: Int, maxDf: Int = 0): DataFrame = {
+    val inter = jaccardPairInter(docs, id, text, k, maxDf)
+    val uni = col("ma") + col("mb") - col("inter")
+    inter
+      .groupBy(Binning.floorDivCol(col("inter") * 10, uni).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket"), col("n_pairs"))
   }
 
   /** Train/eval contamination check (decontamination): flags every

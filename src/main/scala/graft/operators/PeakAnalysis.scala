@@ -81,6 +81,42 @@ object PeakAnalysis {
         (round(when(den =!= 0.0, (sy - slope * sx) / nd), 6) + lit(0.0)).as("intercept")): _*)
   }
 
+  /** Weighted least-squares line fit per group — pyspec's `fit.py`
+    * weights every point by its counting-statistics error (w = 1/σ²),
+    * so the unweighted [[linReg]] is only the equal-exposure special
+    * case. Same closed-form single-aggregate shape with the five
+    * weighted power sums:
+    *
+    *   slope = (Sw·Swxy − Swx·Swy) / (Sw·Swxx − Swx²),
+    *   intercept = (Swy − slope·Swx) / Sw
+    *
+    * `w` must be an exact-decimal (or integer) column so the
+    * distributed sums stay order-independent; the closed form goes
+    * through doubles only at the end (round 6, both engines).
+    */
+  def wLinReg(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
+              w: Column): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(w).as("s_w"),
+      sum(w * x).as("s_wx"),
+      sum(w * y).as("s_wy"),
+      sum(w * y * x).as("s_wxy"),
+      sum(w * x * x).as("s_wxx"))
+    val sw = col("s_w").cast("double")
+    val swx = col("s_wx").cast("double")
+    val swy = col("s_wy").cast("double")
+    val swxy = col("s_wxy").cast("double")
+    val swxx = col("s_wxx").cast("double")
+    val den = sw * swxx - swx * swx
+    val slope = (sw * swxy - swx * swy) / den
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        (round(when(den =!= 0.0, slope), 6) + lit(0.0)).as("slope"),
+        (round(when(den =!= 0.0, (swy - slope * swx) / sw), 6) + lit(0.0)).as("intercept")): _*)
+  }
+
   /** Streaming-computable per-group summary (n/sum/mean/std/min/max)
     * with the sample std derived from exact power sums. Singleton
     * groups yield NULL std (matching SQL `stddev_samp`), not NaN.

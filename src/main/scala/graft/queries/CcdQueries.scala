@@ -441,7 +441,79 @@ object CcdQueries {
       .orderedSmall(col("frame"))
   }
 
+  /** #139 — Lorentz–polarization corrected azimuthal integration: the
+    * two remaining standard powder corrections (P from the Kahn/pyFAI
+    * polarization formula, powder Lorentz 1/(sinθ·sin2θ)) applied
+    * per pixel before ring aggregation. The whole correction is
+    * rational arithmetic + sqrt over exact integer geometry — no libm
+    * trig — so the DuckDB mirror is bit-identical and the
+    * micro-quantized ring sums hash-match exactly.
+    */
+  val qLpRadial = GateQuery.sql(
+    "q_lp_radial", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      val k2 = (PxMm / DistMm) * (PxMm / DistMm)
+      val pf = 0.95
+      s"""WITH px AS (SELECT f.f AS frame, c.c - $cx AS dc, r.r - $cy AS dr,
+         |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v
+         |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c)),
+         |g AS (SELECT frame, dc * dc + dr * dr AS r2, dc, dr, v FROM px
+         |      WHERE dc * dc + dr * dr > 0),
+         |t AS (SELECT frame,
+         |    CAST(floor(sqrt(CAST(r2 AS DOUBLE))) AS BIGINT) AS rbin,
+         |    CAST(r2 AS DOUBLE) * $k2 AS x2,
+         |    CAST(dc * dc - dr * dr AS DOUBLE) / CAST(r2 AS DOUBLE) AS cos2chi, v
+         |  FROM g),
+         |u AS (SELECT frame, rbin,
+         |    CAST(floor(v * sqrt((1.0 - sqrt(1.0 / (1.0 + x2))) / 2.0) * sqrt(x2 / (1.0 + x2))
+         |      / ((1.0 + 1.0 / (1.0 + x2) - $pf * cos2chi * (x2 / (1.0 + x2))) / 2.0)
+         |      * 1000000.0) AS BIGINT) AS cm
+         |  FROM t)
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(cm) AS BIGINT) AS i_sum_micro,
+         |  ${graft.operators.Exact.roundedRatioSignedSql("CAST(sum(cm) AS BIGINT)", "count(*)", 4)} AS i_mean_micro
+         |FROM u GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    graft.operators.Binning.lpRadialProfile(
+        s.read.format("edf").load(edfFixture(s)),
+        col("frame"), col("width"), col("pixels"), cx = EW / 2, cy = EH / 2,
+        pixelSize = PxMm, distance = DistMm, pf = 0.95)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rbin"))
+  }
+
+  // Line-cut ROI on the SPE fixture: the central half of the frame.
+  private val CutR0 = 16; private val CutR1 = 48
+  private val CutC0 = 8; private val CutC1 = 40
+
+  /** #140 — ROI line cuts: row and column profiles of a detector
+    * region, BOTH axes from one grouping-sets pass over the exploded
+    * pixels (pyspec `ccd` box-cut analysis). The oracle mirrors the
+    * grouping sets directly.
+    */
+  val qLineCut = GateQuery.sql(
+    "q_line_cut",
+    s"""WITH px AS (SELECT f.f AS frame, r.r AS r, c.c AS c,
+       |    (1 + 7919 * f.f + 1047 * r.r + 131 * c.c) % 65536 AS v
+       |  FROM range(0, $Frames) f(f), range(0, $H) r(r), range(0, $W) c(c)),
+       |roi AS (SELECT frame, r, c, v FROM px
+       |        WHERE r >= $CutR0 AND r < $CutR1 AND c >= $CutC0 AND c < $CutC1)
+       |SELECT CAST(frame AS BIGINT) AS frame,
+       |  CASE WHEN GROUPING(c) = 0 THEN 'col' ELSE 'row' END AS axis,
+       |  CAST(coalesce(c, r) AS BIGINT) AS pos,
+       |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS v_sum,
+       |  ${graft.operators.Exact.roundedRatioSignedSql("CAST(sum(v) AS BIGINT)", "count(*)", 4)} AS v_mean
+       |FROM roi GROUP BY GROUPING SETS ((frame, c), (frame, r))
+       |ORDER BY frame, axis, pos""".stripMargin) { (s, _) =>
+    graft.operators.Binning.roiLineCuts(
+        s.read.format("spe").load(fixture(s)),
+        col("frame"), col("width"), col("pixels"),
+        r0 = CutR0, r1 = CutR1, c0 = CutC0, c1 = CutC1)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("axis"), col("pos"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
-    qPeakWidths)
+    qPeakWidths, qLpRadial, qLineCut)
 }

@@ -782,9 +782,31 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #142 — per-document unigram entropy (nats): the classic
+    * repetitiveness quality signal — H = ln n − (Σ c·ln c)/n with
+    * every c·microLn(c) term an exact integer before the doc-keyed
+    * sum, so the distributed aggregate is order/engine-independent.
+    */
+  val qDocEntropy = GateQuery.sql(
+    "q_doc_entropy", {
+      val h = s"n * ${Curation.microLnSql("n")} - s"
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |              FROM documents),
+         |dw AS (SELECT doc_id, word, count(*) AS c FROM toks GROUP BY doc_id, word),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |        CAST(sum(c * ${Curation.microLnSql("c")}) AS BIGINT) AS s
+         |      FROM dw GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens, $h AS h_micro_sum,
+         |  ${roundedRatioSignedSql(h, "n * 1000000", 6)} AS entropy
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    graft.operators.CorpusStats.docEntropy(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
-      qTtr, qKlMix)
+      qTtr, qKlMix, qDocEntropy)
 }

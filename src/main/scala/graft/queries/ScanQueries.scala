@@ -464,9 +464,43 @@ object ScanQueries {
       .orderedSmall(col("cohort_week"), col("week_offset"))
   }
 
+  /** #141 — WEIGHTED least-squares line fit per scan: pyspec's fits
+    * weight every point by counting statistics (w = 1/σ²); here the
+    * integer weight `xs % 7 + 1` stands in for a per-point
+    * exposure/monitor count. Same one-aggregate closed form as
+    * `q_linreg` with the five weighted power sums in exact decimals.
+    */
+  val qWLinReg = GateQuery.sql(
+    "q_wlinreg", {
+      val wSql = "CAST(xs % 7 + 1 AS DECIMAL(9,0))"
+      val xSql = "CAST(xs AS DECIMAL(9,0))"
+      s"""WITH m AS (
+         |  SELECT user_id, count(*) AS n,
+         |    sum($wSql) AS s_w,
+         |    sum($wSql * $xSql) AS s_wx,
+         |    sum($wSql * vd) AS s_wy,
+         |    sum($wSql * vd * $xSql) AS s_wxy,
+         |    sum($wSql * $xSql * $xSql) AS s_wxx
+         |  FROM $E e GROUP BY user_id),
+         |t AS (SELECT user_id, n,
+         |    CAST(s_w AS DOUBLE) AS sw, CAST(s_wx AS DOUBLE) AS swx,
+         |    CAST(s_wy AS DOUBLE) AS swy, CAST(s_wxy AS DOUBLE) AS swxy,
+         |    CAST(s_wxx AS DOUBLE) AS swxx FROM m)
+         |SELECT user_id, n,
+         |  round(CASE WHEN sw * swxx - swx * swx <> 0.0
+         |    THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx) END, 6) + 0.0 AS slope,
+         |  round(CASE WHEN sw * swxx - swx * swx <> 0.0
+         |    THEN (swy - ((sw * swxy - swx * swy) / (sw * swxx - swx * swx)) * swx) / sw END, 6) + 0.0 AS intercept
+         |FROM t ORDER BY user_id""".stripMargin
+    }) { (s, d) =>
+    PeakAnalysis.wLinReg(ev(s, d), Seq("user_id"), xsd, col("vd"),
+        (col("xs") % 7 + 1).cast("decimal(9,0)"))
+      .orderedSmall(col("user_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
     qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike,
-    qSavGol, qUbMatrix, qFunnel, qRetention)
+    qSavGol, qUbMatrix, qFunnel, qRetention, qWLinReg)
 }

@@ -1026,6 +1026,30 @@ object TextQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #143 — dedup threshold survival curve: every candidate pair
+    * histogrammed by Jaccard decile in ONE pass over the same capped
+    * pair stage as `q_jaccard_pairs` — the sweep that answers "how
+    * many pairs does each threshold kill" for every threshold at
+    * once, run before committing to a similarity cutoff. Buckets are
+    * exact integer floor-division, so the histogram hash-matches.
+    */
+  val qJaccardSurvival = GateQuery.sql(
+    "q_jaccard_survival",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT (inter * 10) // (ma + mb - inter) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    Dedup.jaccardSurvival(Tables.documents(s, d), col("doc_id"), col("text"), 3)
+      .orderedSmall(col("bucket"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
@@ -1033,5 +1057,5 @@ object TextQueries {
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
-    qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup)
+    qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival)
 }

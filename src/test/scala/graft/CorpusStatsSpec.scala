@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Binning, CorpusStats}
+import graft.operators.{Binning, CorpusStats, PeakAnalysis}
 
 /** Specs for the round-6 diagnostics batch: sector integration,
   * stack-statistics pixel masking, peak second moments, and the
@@ -110,6 +110,99 @@ class CorpusStatsSpec extends SparkSpec {
     assert(web.getAs[Long]("n_tokens") == 6 && web.getAs[Long]("n_types") == 4
       && web.getAs[Long]("n_hapax") == 3)
     assert(math.abs(web.getAs[Double]("ttr") - 0.6667) < 1e-9)
+  }
+
+  test("lpRadialProfile: excludes beam center, matches hand-computed correction") {
+    val w = 5
+    val px = Array.fill(w * w)(100.0)
+    val df = Seq((0L, w, px)).toDF("frame", "width", "pixels")
+    val out = Binning.lpRadialProfile(df, col("frame"), col("width"), col("pixels"),
+      cx = 2, cy = 2, pixelSize = 0.2, distance = 100.0, pf = 0.9)
+      .collect()
+    // beam-center pixel excluded: total pixels = 24
+    assert(out.map(_.getAs[Long]("n_px")).sum == (w * w - 1).toLong)
+    // brute-force mirror of the correction for every pixel
+    val k2 = (0.2 / 100.0) * (0.2 / 100.0)
+    def corr(dc: Int, dr: Int): Long = {
+      val r2 = dc * dc + dr * dr
+      val x2 = r2.toDouble * k2
+      val c2t2 = 1.0 / (1.0 + x2); val s2t2 = x2 / (1.0 + x2)
+      val cos2chi = (dc * dc - dr * dr).toDouble / r2.toDouble
+      val p = (1.0 + c2t2 - 0.9 * cos2chi * s2t2) / 2.0
+      math.floor(100.0 * math.sqrt((1.0 - math.sqrt(c2t2)) / 2.0) *
+        math.sqrt(s2t2) / p * 1e6).toLong
+    }
+    val expected = (for { r <- 0 until w; c <- 0 until w; if (r, c) != ((2, 2)) } yield {
+      val (dc, dr) = (c - 2, r - 2)
+      (math.floor(math.sqrt((dc * dc + dr * dr).toDouble)).toLong, corr(dc, dr))
+    }).groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    out.foreach { row =>
+      val (n, s) = expected(row.getAs[Long]("rbin"))
+      assert(row.getAs[Long]("n_px") == n && row.getAs[Long]("i_sum_micro") == s, row.toString)
+    }
+  }
+
+  test("roiLineCuts: both axes from one pass, sums match brute force") {
+    val w = 4
+    val px = Array.tabulate(w * w)(i => (i + 1).toDouble)
+    val df = Seq((3L, w, px)).toDF("frame", "width", "pixels")
+    val out = Binning.roiLineCuts(df, col("frame"), col("width"), col("pixels"),
+      r0 = 1, r1 = 3, c0 = 0, c1 = 4).collect()
+    val cols = out.filter(_.getAs[String]("axis") == "col")
+    val rows = out.filter(_.getAs[String]("axis") == "row")
+    assert(cols.length == 4 && rows.length == 2)
+    // col c sum over rows 1..2 = (4+c+1) + (8+c+1)
+    cols.foreach { r =>
+      val c = r.getAs[Long]("pos")
+      assert(r.getAs[Long]("v_sum") == (5 + c) + (9 + c), r.toString)
+      assert(r.getAs[Long]("n_px") == 2L)
+    }
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("pos")
+      assert(r.getAs[Long]("v_sum") == (1 to 4).map(c => rr * 4 + c).sum)
+    }
+  }
+
+  test("wLinReg: equal weights reduce to linReg; weights steer the fit") {
+    val df = Seq((1L, 0, 1.0), (1L, 1, 3.0), (1L, 2, 4.0), (1L, 3, 7.0))
+      .toDF("k", "x", "y")
+      .select(col("k"), col("x").cast("decimal(9,0)").as("x"),
+        col("y").cast("decimal(18,2)").as("y"))
+    val unw = PeakAnalysis.linReg(df, Seq("k"), col("x"), col("y")).collect().head
+    val eqw = PeakAnalysis.wLinReg(df, Seq("k"), col("x"), col("y"),
+      lit(3).cast("decimal(9,0)")).collect().head
+    assert(unw.getAs[Double]("slope") == eqw.getAs[Double]("slope"))
+    assert(unw.getAs[Double]("intercept") == eqw.getAs[Double]("intercept"))
+    // all weight on (0,1) and (2,4): the fit is the line through them
+    val wcol = when(col("x") === 0 || col("x") === 2, 1000).otherwise(0)
+    val steered = PeakAnalysis.wLinReg(df, Seq("k"), col("x"), col("y"),
+      wcol.cast("decimal(9,0)")).collect().head
+    assert(math.abs(steered.getAs[Double]("slope") - 1.5) < 1e-6)
+    assert(math.abs(steered.getAs[Double]("intercept") - 1.0) < 1e-6)
+  }
+
+  test("docEntropy: H = ln n for all-distinct tokens, 0 for one repeated token") {
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x x")).toDF("doc_id", "text")
+    val out = CorpusStats.docEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(math.abs(out(0).getAs[Double]("entropy") - math.log(4.0)) < 1e-4)
+    assert(math.abs(out(1).getAs[Double]("entropy")) < 1e-4)
+  }
+
+  test("jaccardSurvival: identical docs land in bucket 10, totals match pair count") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical to 1
+      (3L, "the quick brown fox leaps over a sleepy cat"),
+      (4L, "completely different words here that share nothing at all")
+    ).toDF("doc_id", "text")
+    val surv = graft.operators.Dedup.jaccardSurvival(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_pairs")).toMap
+    assert(surv.getOrElse(10L, 0L) == 1L) // the identical pair
+    val nPairs = graft.operators.Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0)
+      .count()
+    assert(surv.values.sum == nPairs)
+    assert(surv.keys.forall(b => b >= 0 && b <= 10))
   }
 
   test("sourceKl: slices matching the corpus mix score ~0, divergent slices positive") {

@@ -25,7 +25,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_lm_kn", // n1pp distinct-bigram-total single-row stats
       "q_contrastive_pairs", // exact-ranking baseline (same as q_knn_bruteforce)
       "q_flat_radial", // single-row dark-frame broadcast (as q_edf_dark_radial)
-      "q_mix_temperature") // (total) and (w_sum) single-row stats scalars
+      "q_mix_temperature", // (total) and (w_sum) single-row stats scalars
+    "q_kl_mix") // (n) corpus-token-total single-row scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
