@@ -39,19 +39,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read it as raw epoch-nanos long (runtime-settable legacy
-    * conf) and expose `ts_ns` (long), `ts_us` (long, µs-truncated —
-    * EXACTLY what DuckDB's `epoch_us(ts)` yields after its ns→µs
-    * parquet truncation, so every cross-engine time comparison uses
-    * `ts_us`, never raw ns) and `ts_sec` (double seconds).
+  /** `events.ts` arrives as parquet TIMESTAMP at either nanosecond
+    * precision (read as raw epoch-nanos long via the runtime-settable
+    * legacy conf) or microsecond precision (read as TIMESTAMP /
+    * TIMESTAMP_NTZ) depending on how the table was generated; this
+    * loader normalizes BOTH layouts to the same columns: `ts_ns`
+    * (long nanos), `ts_us` (long, µs-truncated — EXACTLY what
+    * DuckDB's `epoch_us(ts)` yields, so every cross-engine time
+    * comparison uses `ts_us`, never raw ns) and `ts_sec` (double
+    * seconds). Sessions run with `spark.sql.session.timeZone=UTC`,
+    * so the NTZ→LTZ cast reads a naive timestamp as UTC — the same
+    * convention DuckDB's `epoch_us` applies to a naive column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    df.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
-      .withColumn("ts_sec", org.apache.spark.sql.functions.col("ts_ns") / 1e9)
+    val normalized = df.schema("ts").dataType match {
+      case LongType => df // epoch nanos already
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _: TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: unsupported type $other")
+    }
+    normalized.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts_sec", col("ts_ns") / 1e9)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
