@@ -9,7 +9,8 @@ object SparkEntry {
   /** All gate queries from every module (SURVEY.md §2 inventory). */
   def gateQueries: Seq[GateQuery] =
     CoreQueries.all ++ ScanQueries.all ++ TextQueries.all ++ EmbeddingQueries.all ++
-      ExtendedQueries.all ++ CcdQueries.all ++ CurationQueries.all
+      ExtendedQueries.all ++ CcdQueries.all ++ CurationQueries.all ++
+      AnalysisQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
