@@ -209,6 +209,200 @@ object AnalysisQueries {
       .orderedSmall(col("user_id"))
   }
 
+  /** Cross-correlation scan alignment (#149): pyspec's "align repeated
+    * scans to a reference" — integer cross-correlation of every scan's
+    * hourly profile against scan 0 over lags −3..+3, best lag per scan
+    * by (corr desc, lag asc). The reference profile is a broadcast
+    * build side (one scan ≈ grid-sized), the lag fan-out is a fixed
+    * ×7 explode, and the argmax window sees 7 rows per scan — every
+    * stage bounded, nothing quadratic in scans or points.
+    */
+  val qXcorrAlign = GateQuery.sql(
+    "q_xcorr_align",
+    s"""WITH g AS (SELECT user_id, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t WHERE event_type = 'view' GROUP BY 1, 2),
+       |ref AS (SELECT grid, y AS yr FROM g WHERE user_id = 0),
+       |c AS (SELECT g.user_id, l.lag, CAST(sum(g.y * r.yr) AS BIGINT) AS corr
+       |  FROM g, (SELECT unnest(generate_series(-3, 3)) AS lag) l
+       |  JOIN ref r ON g.grid + l.lag = r.grid
+       |  GROUP BY 1, 2),
+       |b AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY corr DESC, lag) AS rn FROM c)
+       |SELECT user_id, lag AS best_lag, corr AS best_corr
+       |FROM b WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = ev(s, d).filter(col("event_type") === "view")
+      .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val ref = g.filter(col("user_id") === 0).select(col("grid").as("rgrid"), col("y").as("yr"))
+    val c = g.withColumn("lag", explode(sequence(lit(-3), lit(3))))
+      .join(broadcast(ref), col("grid") + col("lag") === col("rgrid"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(Exact.sumUnits(col("y") * col("yr")).cast("long").as("corr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("corr").desc, col("lag"))
+    c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("lag").as("best_lag"), col("corr").as("best_corr"))
+      .orderedSmall(col("user_id"))
+  }
+
+  /** Rolling 7-day distinct actives (#150): per day, how many distinct
+    * users were active in the trailing 7 days — EXACT, via the
+    * bounded ×7 day-explode of the (day, user) distinct relation +
+    * a two-phase distinct aggregate. No range self-join, no window
+    * over per-user sequences; fan-out is a constant factor at any
+    * corpus size.
+    */
+  val qRollingActives = GateQuery.sql(
+    "q_rolling_actives",
+    s"""WITH du AS (SELECT DISTINCT xs // 86400 AS day, user_id FROM $E t),
+       |r AS (SELECT t.rday, user_id FROM du,
+       |  unnest(generate_series(day, day + 6)) AS t(rday))
+       |SELECT rday, count(DISTINCT user_id) AS active_7d
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val du = ev(s, d)
+      .select(Binning.floorDiv(col("xs"), 86400L).as("day"), col("user_id")).distinct()
+    du.select(explode(sequence(col("day"), col("day") + 6)).as("rday"), col("user_id"))
+      .groupBy(col("rday"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderedSmall(col("rday"))
+  }
+
+  /** RFM segmentation (#151): recency / frequency / monetary quintile
+    * scores per purchasing user, summarized as segment counts. The
+    * quintile thresholds are EXACT discrete percentiles computed the
+    * [[graft.operators.Percentiles.weightedPerGroup]] way — a running
+    * sum over the per-(dim, value) COLLAPSED relation (never a
+    * per-row global sort), so a billion users cost the threshold
+    * window |distinct values| rows. Scores attach via a 12-row
+    * broadcast; ties at a threshold score LOW on both engines
+    * (strict `>` crossing).
+    */
+  val qRfm = GateQuery.sql(
+    "q_rfm",
+    s"""WITH u AS (SELECT user_id,
+       |    (SELECT max(xs) FROM $E t) // 86400 - max(xs) // 86400 AS r_days,
+       |    count(*) AS freq, CAST(sum(${centsSql("vd")}) AS BIGINT) AS mon
+       |  FROM $E t WHERE event_type = 'purchase' GROUP BY user_id),
+       |dims AS (SELECT user_id, 'r' AS dim, CAST(r_days AS BIGINT) AS v FROM u
+       |  UNION ALL SELECT user_id, 'f', CAST(freq AS BIGINT) FROM u
+       |  UNION ALL SELECT user_id, 'm', mon FROM u),
+       |pv AS (SELECT dim, v, count(*) AS c FROM dims GROUP BY 1, 2),
+       |cw AS (SELECT dim, v,
+       |    sum(c) OVER (PARTITION BY dim ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY dim) AS tot FROM pv),
+       |th AS (SELECT dim, p, min(v) AS t FROM cw,
+       |  (SELECT unnest([20, 40, 60, 80]) AS p) pp
+       |  WHERE cum * 100 >= tot * p GROUP BY 1, 2),
+       |sc AS (SELECT d.user_id, d.dim,
+       |    1 + count(CASE WHEN d.v > th.t THEN 1 END) AS score
+       |  FROM dims d JOIN th ON d.dim = th.dim GROUP BY 1, 2),
+       |pvt AS (SELECT user_id,
+       |    max(CASE WHEN dim = 'r' THEN score END) AS r_score,
+       |    max(CASE WHEN dim = 'f' THEN score END) AS f_score,
+       |    max(CASE WHEN dim = 'm' THEN score END) AS m_score
+       |  FROM sc GROUP BY 1)
+       |SELECT r_score, f_score, m_score, count(*) AS n_users
+       |FROM pvt GROUP BY 1, 2, 3
+       |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, d).filter(col("event_type") === "purchase")
+    val maxDay = e.agg(Binning.floorDiv(max(col("xs")), 86400L).as("max_day"))
+    val u0 = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")), 86400L).as("u_day"),
+        count(lit(1)).as("freq"),
+        Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("mon"))
+    val u = graft.operators.Curation.withStats(u0, maxDay)
+      .select(col("user_id"), (col("max_day") - col("u_day")).as("r_days"),
+        col("freq"), col("mon"))
+    val dims = u.select(col("user_id"), lit("r").as("dim"), col("r_days").cast("long").as("v"))
+      .unionAll(u.select(col("user_id"), lit("f").as("dim"), col("freq").cast("long").as("v")))
+      .unionAll(u.select(col("user_id"), lit("m").as("dim"), col("mon").as("v")))
+    val pv = dims.groupBy(col("dim"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("dim")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = pv
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("dim"))))
+      .withColumn("p", explode(lit(Array(20, 40, 60, 80))))
+      .filter(col("cum") * 100 >= col("tot") * col("p"))
+      .groupBy(col("dim"), col("p")).agg(min(col("v")).as("t"))
+    val sc = dims.join(broadcast(th), "dim")
+      .groupBy(col("user_id"), col("dim"))
+      .agg((lit(1) + count(when(col("v") > col("t"), lit(1)))).as("score"))
+    sc.groupBy(col("user_id"))
+      .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
+        max(when(col("dim") === "f", col("score"))).as("f_score"),
+        max(when(col("dim") === "m", col("score"))).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderedSmall(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Ranking-window completeness (#152): dense_rank, percent_rank and
+    * cume_dist over per-(event_type, user) spend totals — the
+    * SQL-standard rank family in one partitioned window whose tie
+    * order is pinned by (total, user_id). The int/int divisions
+    * behind percent_rank/cume_dist are bit-identical cross-engine;
+    * round(…, 6) + 0.0 canonicalizes them anyway.
+    */
+  val qWindowFuncs = GateQuery.sql(
+    "q_window_funcs",
+    s"""WITH u AS (SELECT event_type, user_id,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS tot
+       |  FROM $E t GROUP BY 1, 2)
+       |SELECT event_type, user_id, tot,
+       |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       |  round(percent_rank() OVER w, 6) + 0.0 AS prank,
+       |  round(cume_dist() OVER w, 6) + 0.0 AS cdist
+       |FROM u WINDOW w AS (PARTITION BY event_type ORDER BY tot, user_id)
+       |ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = ev(s, d).groupBy(col("event_type"), col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("tot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("tot"), col("user_id"))
+    u.select(col("event_type"), col("user_id"), col("tot"),
+      dense_rank().over(w).cast("long").as("drank"),
+      (round(percent_rank().over(w), 6) + lit(0.0)).as("prank"),
+      (round(cume_dist().over(w), 6) + lit(0.0)).as("cdist"))
+      .orderedSmall(col("event_type"), col("user_id"))
+  }
+
+  /** Benford first-digit audit (#153): the classic data-quality /
+    * fraud screen — observed leading-digit shares per event type in
+    * exact ppm next to the Benford expectation log10(1+1/d)
+    * micro-quantized from a 9-value literal domain. One hash
+    * aggregate + a 9-rows-per-type window; the only libm call sits
+    * on literal inputs, identical on both engines.
+    */
+  val qBenford = GateQuery.sql(
+    "q_benford",
+    s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS c FROM $E t),
+       |d AS (SELECT event_type,
+       |    CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM e),
+       |a AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
+       |s AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+       |  FROM a)
+       |SELECT event_type, digit, n,
+       |  (n * 1000000) // tot AS share_ppm,
+       |  CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000) AS BIGINT)
+       |    AS benford_ppm
+       |FROM s ORDER BY event_type, digit""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("c"))
+    val a = e.select(col("event_type"),
+        substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("event_type"), col("digit")).agg(count(lit(1)).as("n"))
+    a.withColumn("tot", sum(col("n")).over(Window.partitionBy(col("event_type"))).cast("long"))
+      .select(col("event_type"), col("digit"), col("n"),
+        Binning.floorDivCol(col("n") * lit(1000000L), col("tot")).as("share_ppm"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)) * lit(1000000))
+          .cast("long").as("benford_ppm"))
+      .orderedSmall(col("event_type"), col("digit"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground)
+    qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
+    qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford)
 }
