@@ -93,6 +93,45 @@ object Binning {
         Exact.roundedRatioSigned(col("v_sum"), col("n_px"), 4).as("v_mean"))
   }
 
+  /** Pixel-splitting azimuthal integration — [[radialProfile]] with
+    * each pixel's intensity split LINEARLY between its two bracketing
+    * rings by fractional radius (pyFAI's "bounding-box / linear
+    * pixel splitting": binning artifacts from hard floor() assignment
+    * average out when a pixel straddling ring r and r+1 contributes
+    * (1−f) and f of its intensity respectively, f = ρ − ⌊ρ⌋).
+    *
+    * Exactness: ρ = sqrt(exact integer) is IEEE-correctly-rounded in
+    * every engine; f is micro-quantized (`floor(f·1e6)` as long)
+    * BEFORE any multiplication, so the split weights and all ring
+    * sums are exact integer arithmetic. Zero-weight contributions
+    * are filtered so an f = 0 pixel never fabricates an empty ring.
+    *
+    * Scale: the ×2 contribution explode is a constant factor on the
+    * pixel stream; the ring aggregate stays map-side combined — the
+    * same single-shuffle gridder shape as [[radialProfile]].
+    */
+  def radialProfileSplit(frames: DataFrame, id: Column, width: Column,
+                         pixels: Column, cx: Int, cy: Int): DataFrame = {
+    val px = frames.select(id.as("id"), width.as("w"),
+      posexplode(pixels).as(Seq("i", "v")))
+    val dc = col("i") % col("w") - lit(cx)
+    val dr = (col("i") - pmod(col("i"), col("w"))) / col("w") - lit(cy)
+    val rho = sqrt((dc * dc + dr * dr).cast("double"))
+    val rbin = floor(rho).cast("long")
+    val fm = floor((rho - floor(rho)) * lit(1000000.0)).cast("long")
+    px.select(col("id"), col("v"),
+        explode(array(
+          struct(rbin.as("rb"), (lit(1000000L) - fm).as("wt")),
+          struct((rbin + 1).as("rb"), fm.as("wt")))).as("s"))
+      .select(col("id"), col("v"), col("s.rb").as("rb"), col("s.wt").as("wt"))
+      .filter(col("wt") > 0)
+      .groupBy(col("id"), col("rb"))
+      .agg(Exact.sumUnits(col("wt")).cast("long").as("w_tot"),
+        Exact.sumUnits(col("wt") * col("v").cast("long")).cast("long").as("wv_sum"))
+      .select(col("id"), col("rb"), col("w_tot"), col("wv_sum"),
+        Exact.roundedRatioSigned(col("wv_sum"), col("w_tot"), 4).as("v_wmean"))
+  }
+
   /** Fully-corrected azimuthal integration — [[radialProfile]] with
     * the standard detector-correction chain applied per pixel before
     * ring aggregation (pyFAI integrate1d's dark/flat/solid-angle

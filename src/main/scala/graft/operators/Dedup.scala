@@ -102,6 +102,26 @@ object Dedup {
         Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
   }
 
+  /** Containment / overlap-coefficient near-dup pairs:
+    * |A∩B| / min(|A|,|B|) over the SAME capped group-join candidate
+    * stage as [[jaccardPairs]]. Containment is the right signal when
+    * one document embeds another (quote inclusion, boilerplate
+    * wrapping): a short doc fully contained in a long one scores 1.0
+    * where Jaccard dilutes toward |A|/|B|. Lee et al. 2021 use
+    * exactly this asymmetry to catch partial-duplication that
+    * symmetric Jaccard misses. Same exact HALF_UP ratio discipline.
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
+    val inter = jaccardPairInter(docs, id, text, k, maxDf)
+    val denom = least(col("ma"), col("mb"))
+    inter
+      .filter(col("inter") * 100 >= denom * thresholdPct)
+      .select(shiftrightunsigned(col("pr"), 32).as("doc_a"),
+        col("pr").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        Exact.roundedRatio(col("inter"), denom, 4).as("containment"))
+  }
+
   /** Dedup threshold-tuning curve: candidate pairs histogrammed by
     * Jaccard decile — the "how many pairs would each threshold kill"
     * sweep run BEFORE committing to a similarity cutoff (one pass

@@ -513,7 +513,39 @@ object CcdQueries {
       .orderedSmall(col("frame"), col("axis"), col("pos"))
   }
 
+  /** #154 — pixel-splitting azimuthal integration: [[qRadialProfile]]
+    * with pyFAI-style linear pixel splitting — every pixel's
+    * intensity divided between its two bracketing rings by
+    * micro-quantized fractional radius, all ring sums exact integers
+    * ([[graft.operators.Binning.radialProfileSplit]]).
+    */
+  val qSplitRadial = GateQuery.sql(
+    "q_split_radial", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      s"""WITH px AS (SELECT f.f AS frame,
+         |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v,
+         |    sqrt(CAST((c.c - $cx) * (c.c - $cx) + (r.r - $cy) * (r.r - $cy) AS DOUBLE)) AS rho
+         |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c)),
+         |fr AS (SELECT frame, v, CAST(floor(rho) AS BIGINT) AS rbin,
+         |    CAST(floor((rho - floor(rho)) * 1000000.0) AS BIGINT) AS fm FROM px),
+         |sp AS (SELECT frame, rb, wt, v FROM (
+         |    SELECT frame, v, rbin AS rb, 1000000 - fm AS wt FROM fr
+         |    UNION ALL SELECT frame, v, rbin + 1, fm FROM fr) u WHERE wt > 0)
+         |SELECT CAST(frame AS BIGINT) AS frame, rb,
+         |  CAST(sum(wt) AS BIGINT) AS w_tot,
+         |  CAST(sum(wt * v) AS BIGINT) AS wv_sum,
+         |  ${graft.operators.Exact.roundedRatioSignedSql(
+              "CAST(sum(wt * v) AS BIGINT)", "CAST(sum(wt) AS BIGINT)", 4)} AS v_wmean
+         |FROM sp GROUP BY frame, rb ORDER BY frame, rb""".stripMargin
+    }) { (s, _) =>
+    graft.operators.Binning.radialProfileSplit(
+        s.read.format("edf").load(edfFixture(s)),
+        col("frame"), col("width"), col("pixels"), cx = EW / 2, cy = EH / 2)
+      .withColumnRenamed("id", "frame")
+      .orderedSmall(col("frame"), col("rb"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
-    qPeakWidths, qLpRadial, qLineCut)
+    qPeakWidths, qLpRadial, qLineCut, qSplitRadial)
 }

@@ -184,6 +184,31 @@ object TextQueries {
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
+  /** Containment / overlap coefficient (#155): |A∩B|/min(|A|,|B|)
+    * over the same capped candidate stage as [[qJaccardPairs]] — the
+    * asymmetric signal that catches a short document embedded in a
+    * long one (Lee et al. 2021's partial-duplication case), where
+    * symmetric Jaccard dilutes toward |A|/|B|.
+    */
+  val qContainmentPairs = GateQuery.sql(
+    "q_containment_pairs",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  ${roundedRatioSql("inter", "least(ma, mb)", 4)} AS containment
+       |FROM p
+       |WHERE inter * 100 >= least(ma, mb) * 60
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 60)
+      .orderedSmall(col("doc_a"), col("doc_b"))
+  }
+
   val qMinhashPairs = GateQuery.sql(
     "q_minhash_pairs", {
       val sigList = (0 until 16)
@@ -1057,5 +1082,6 @@ object TextQueries {
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
-    qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival)
+    qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival,
+    qContainmentPairs)
 }
