@@ -545,7 +545,47 @@ object CcdQueries {
       .orderedSmall(col("frame"), col("rb"))
   }
 
+  /** Gaussian-peak EDF fixture for the 2-D fit gate: integer-rounded
+    * axis-aligned Gaussians (bg 7, height 200, σx 5, σy 3) whose
+    * center walks with the frame index — integers are float32-exact,
+    * and the known truth lets Gauss2DFitSpec pin parameter recovery.
+    */
+  private def gaussFixture(s: SparkSession): String = synchronized {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_edf_gauss")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "gauss.edf")
+    val frames = (0 until EFrames).map { fr =>
+      val mx = EW / 2.0 + fr; val my = EH / 2.0 - fr / 2.0
+      Array.tabulate(EW * EH) { i =>
+        val dx = (i % EW) - mx; val dy = (i / EW) - my
+        math.round(7.0 + 200.0 *
+          math.exp(-(dx * dx / (2 * 25.0) + dy * dy / (2 * 9.0)))).toDouble
+      }
+    }
+    val tmp = new java.io.File(dir, s"gauss.${java.util.UUID.randomUUID}.tmp")
+    EdfWriterUtil.write(tmp.getAbsolutePath, s.sessionState.newHadoopConf(),
+      EW, EH, dataType = "FloatValue", littleEndian = true, frames)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(dir, ".gauss.edf.crc").delete()
+    new java.io.File(dir, s".${tmp.getName}.crc").delete()
+    f.getAbsolutePath
+  }
+
+  /** #157 — per-frame 2-D Gaussian peak fit (rows-only: iterative
+    * Gauss–Newton is the documented non-SQL-expressible family;
+    * parameter recovery on the known-truth fixture is pinned by
+    * Gauss2DFitSpec). One `mapGroups` task per frame.
+    */
+  val qGauss2dFit = GateQuery.rowsOnly("q_gauss2d_fit") { (s, _) =>
+    graft.operators.Gauss2DFit.fitFrames(
+        s.read.format("edf").load(gaussFixture(s)),
+        col("frame"), col("width"), col("pixels"))
+      .orderedSmall(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
-    qPeakWidths, qLpRadial, qLineCut, qSplitRadial)
+    qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit)
 }
