@@ -382,7 +382,8 @@ object AnalysisQueries {
     */
   val qBenford = GateQuery.sql(
     "q_benford",
-    s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS c FROM $E t),
+    s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS c FROM $E t
+       |  WHERE ${centsSql("vd")} > 0),
        |d AS (SELECT event_type,
        |    CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM e),
        |a AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
@@ -394,7 +395,10 @@ object AnalysisQueries {
        |    AS benford_ppm
        |FROM s ORDER BY event_type, digit""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // Benford applies to nonzero amounts: a 0.00 reading has no
+    // leading digit (and digit 0 would divide the expectation by 0)
     val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("c"))
+      .filter(col("c") > 0)
     val a = e.select(col("event_type"),
         substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("event_type"), col("digit")).agg(count(lit(1)).as("n"))
