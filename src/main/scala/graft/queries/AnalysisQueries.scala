@@ -456,8 +456,122 @@ object AnalysisQueries {
       .orderedSmall(col("user_id"))
   }
 
+  /** Event-type transition matrix (#158): the first-order Markov view
+    * of user behavior — per (prev, next) pair the transition count
+    * and exact-ppm conditional share. One user-keyed lag window + one
+    * hash aggregate + a 25-row share window; nothing scales beyond
+    * the event-type² matrix.
+    */
+  val qEventTransitions = GateQuery.sql(
+    "q_event_transitions",
+    s"""WITH s AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+       |  FROM $E t),
+       |a AS (SELECT prev, event_type AS next, count(*) AS n FROM s
+       |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev, next, n,
+       |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS p_ppm
+       |FROM a ORDER BY prev, next""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val a = ev(s, d)
+      .select(col("user_id"), col("event_type"), lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    a.withColumn("tot", sum(col("n")).over(Window.partitionBy(col("prev"))).cast("long"))
+      .select(col("prev"), col("next"), col("n"),
+        Binning.floorDivCol(col("n") * lit(1000000L), col("tot")).as("p_ppm"))
+      .orderedSmall(col("prev"), col("next"))
+  }
+
+  /** Top user paths (#159): each user's first three events as an
+    * ordered path string, counted — the entry-funnel analysis every
+    * product-analytics stack runs. The rank window prunes to ≤ 3
+    * rows per user BEFORE the path aggregate, so the shuffle carries
+    * a bounded multiple of the user count.
+    */
+  val qUserPaths = GateQuery.sql(
+    "q_user_paths",
+    s"""WITH r AS (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+       |  FROM $E t),
+       |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM r WHERE rn <= 3 GROUP BY user_id)
+       |SELECT path, count(*) AS n_users FROM p GROUP BY path
+       |ORDER BY path""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderedSmall(col("path"))
+  }
+
+  /** Rolling z-score anomaly flags (#160): each 'view' reading vs its
+    * trailing 8-point window (exclusive), flagged when |z| > 3 — with
+    * the WHOLE test in exact integer arithmetic: (n·x − S)² > 9·(n·Q
+    * − S²) on integer cents needs no sqrt, no float accumulation, no
+    * epsilon. One user-keyed ordered window; counts roll up per scan.
+    */
+  val qRollingZscore = GateQuery.sql(
+    "q_rolling_zscore",
+    s"""WITH c AS (SELECT user_id, event_id, ts_us,
+       |    ${centsSql("vd")} AS x FROM $E t WHERE event_type = 'view'),
+       |w AS (SELECT user_id, event_id, x,
+       |    count(*) OVER win AS n, CAST(sum(x) OVER win AS BIGINT) AS s,
+       |    CAST(sum(x * x) OVER win AS BIGINT) AS q
+       |  FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, count(*) AS n_points,
+       |  count(CASE WHEN n >= 4 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+       |    THEN 1 END) AS n_flagged
+       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"), Exact.cents(col("vd")).as("x"))
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-8, -1)
+    val w = c
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s", sum(col("x")).over(win).cast("long"))
+      .withColumn("q", sum(col("x") * col("x")).over(win).cast("long"))
+    val dev = (col("n") * col("x") - col("s"))
+    val flagged = col("n") >= 4 && dev * dev > lit(9L) * (col("n") * col("q") - col("s") * col("s"))
+    w.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(flagged, lit(1))).as("n_flagged"))
+      .orderedSmall(col("user_id"))
+  }
+
+  /** Compression-ratio quality signal (#161, rows+test): per-source
+    * deflate-ratio distribution over the documents table — the
+    * SlimPajama-family repetitiveness/junk screen as a native
+    * expression ([[graft.expressions.DeflateRatioExpr]]). No SQL
+    * oracle (DuckDB has no zlib surface); determinism and the
+    * repetitive-vs-random ordering are pinned by CompressSpec.
+    */
+  val qCompressRatio = GateQuery.rowsOnly("q_compress_ratio") { (s, d) =>
+    val r = graft.expressions.CompressExpressions.deflateRatioPpm(col("text"))
+    Tables.documents(s, d)
+      .select(col("source"), r.as("ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppm")).as("min_ppm"), max(col("ppm")).as("max_ppm"),
+        Binning.floorDivCol(sum(col("ppm")).cast("long"), count(lit(1))).as("mean_ppm"),
+        count(when(col("ppm") < 300000, lit(1))).as("n_repetitive"),
+        count(when(col("ppm") > 900000, lit(1))).as("n_incompressible"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
-    qScanPipeline)
+    qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
+    qCompressRatio)
 }
