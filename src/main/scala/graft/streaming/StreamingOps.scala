@@ -342,6 +342,28 @@ object StreamingOps {
   final case class HhState(counters: Map[String, Long], n: Long)
   final case class HhCandidate(grp: Int, term: String, lower_bound: Long, n_group: Long)
 
+  /** Streaming rolling distinct actives — the live counterpart of the
+    * batch `q_rolling_actives` gate: per sliding event-time window,
+    * the EXACT count of distinct active users, as two chained
+    * stateful operators (Spark supports stateful chaining on a shared
+    * watermark): a per-(window, user) first-arrival dedup, then a
+    * window count. State is one row per (window, user) inside the
+    * watermark horizon and one running count per open window — both
+    * evicted when the watermark passes the window end, so executor
+    * memory is bounded by horizon × active users, not stream length.
+    * No approximate sketch needed: the dedup stage IS what makes the
+    * count exact without count(DISTINCT) (unsupported in streaming).
+    */
+  def rollingActivesStream(events: DataFrame, timeCol: String, userCol: String,
+                           windowDur: String, slideDur: String,
+                           watermarkDelay: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .select(window(col(timeCol), windowDur, slideDur).as("win"), col(userCol))
+      .dropDuplicates("win", userCol)
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("active"))
+      .select(col("win.start").as("win_start"), col("active"))
+
   /** Streaming heavy hitters — the live counterpart of
     * [[graft.operators.HeavyHitters]] ("what is trending in the
     * ingest firehose right now"). Terms hash-route to `groups`

@@ -381,4 +381,32 @@ class StreamingSpec extends SparkSpec {
       assert(lastPerGroup.values.forall(_ <= 8))
     } finally q.stop()
   }
+
+  test("streaming rolling actives counts distinct users per sliding window exactly") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = StreamingOps.rollingActivesStream(
+      input.toDF().toDF("ts", "user"),
+      "ts", "user", "2 minutes", "1 minute", "10 seconds")
+    val q = df.writeStream.format("memory").queryName("ractives")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // minute bucket of ts(0) = 1200 s: windows slide on the minute.
+      // user 1 active twice in minute 0 (dedup must collapse), user 2
+      // once in minute 0, user 3 in minute 1.
+      input.addData((ts(5), 1L), (ts(10), 1L), (ts(20), 2L), (ts(70), 3L))
+      q.processAllAvailable()
+      input.addData((ts(400), 9L)) // advance watermark past both windows
+      q.processAllAvailable()
+      input.addData((ts(401), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ractives").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toMap
+      // window [19:00, 21:00) (starting one slide before minute 0) holds
+      // users {1, 2}; [20:00, 22:00) holds {1, 2, 3}; [21:00, 23:00) = {3}
+      assert(rows(1140L) == 2L, s"rows = $rows")
+      assert(rows(1200L) == 3L, s"rows = $rows")
+      assert(rows(1260L) == 1L, s"rows = $rows")
+    } finally q.stop()
+  }
 }
