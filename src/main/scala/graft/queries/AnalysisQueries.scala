@@ -569,9 +569,61 @@ object AnalysisQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Peak finding (#163): pyspec "findpeaks" — a point is a peak when
+    * it is a STRICT local maximum over ±2 neighbors AND clears the
+    * whole-scan significance test (x−mean)² > 4·var, the latter in
+    * pure integer cents ((n·x−S)² > 4·(nQ−S²) — no sqrt, no floats).
+    * Both windows share the scan partitioning: one shuffle.
+    */
+  val qPeakFind = GateQuery.sql(
+    "q_peak_find",
+    s"""WITH c AS (SELECT user_id, event_id, ts_us, ${centsSql("vd")} AS x
+       |  FROM $E t WHERE event_type = 'view'),
+       |w AS (SELECT user_id, event_id, x,
+       |    lag(x, 1) OVER o AS p1, lag(x, 2) OVER o AS p2,
+       |    lead(x, 1) OVER o AS n1, lead(x, 2) OVER o AS n2,
+       |    count(*) OVER s AS n, CAST(sum(x) OVER s AS BIGINT) AS sm,
+       |    CAST(sum(x * x) OVER s AS BIGINT) AS q
+       |  FROM c WINDOW o AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+       |    s AS (PARTITION BY user_id)),
+       |p AS (SELECT user_id, event_id, x,
+       |    (x > coalesce(p1, -1) AND x > coalesce(p2, -1)
+       |     AND x > coalesce(n1, -1) AND x > coalesce(n2, -1)
+       |     AND n >= 5 AND (n * x - sm) * (n * x - sm) > 4 * (n * q - sm * sm)) AS is_peak
+       |  FROM w)
+       |SELECT user_id, count(*) AS n_points,
+       |  count(CASE WHEN is_peak THEN 1 END) AS n_peaks,
+       |  max(CASE WHEN is_peak THEN x END) AS max_peak_cents
+       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"), Exact.cents(col("vd")).as("x"))
+    val o = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sw = Window.partitionBy(col("user_id"))
+    val w = c
+      .withColumn("p1", lag(col("x"), 1).over(o))
+      .withColumn("p2", lag(col("x"), 2).over(o))
+      .withColumn("n1", lead(col("x"), 1).over(o))
+      .withColumn("n2", lead(col("x"), 2).over(o))
+      .withColumn("n", count(lit(1)).over(sw))
+      .withColumn("sm", sum(col("x")).over(sw).cast("long"))
+      .withColumn("q", sum(col("x") * col("x")).over(sw).cast("long"))
+    val dev = col("n") * col("x") - col("sm")
+    val isPeak = col("x") > coalesce(col("p1"), lit(-1L)) &&
+      col("x") > coalesce(col("p2"), lit(-1L)) &&
+      col("x") > coalesce(col("n1"), lit(-1L)) &&
+      col("x") > coalesce(col("n2"), lit(-1L)) &&
+      col("n") >= 5 && dev * dev > lit(4L) * (col("n") * col("q") - col("sm") * col("sm"))
+    w.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(isPeak, lit(1))).as("n_peaks"),
+        max(when(isPeak, col("x"))).as("max_peak_cents"))
+      .orderedSmall(col("user_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
-    qCompressRatio)
+    qCompressRatio, qPeakFind)
 }
