@@ -621,9 +621,96 @@ object AnalysisQueries {
       .orderedSmall(col("user_id"))
   }
 
+  /** Exact 10% trimmed mean (#166): the robust-statistics companion
+    * to median/MAD (#122) — drop ⌊n/10⌋ ranked points from EACH end
+    * of every scan, mean the rest via the exact HALF_UP ratio. Two
+    * rank windows share the scan shuffle; ties pin by event_id so
+    * both engines trim the identical rows.
+    */
+  val qTrimmedMean = GateQuery.sql(
+    "q_trimmed_mean",
+    s"""WITH c AS (SELECT user_id, event_id, ts_us, ${centsSql("vd")} AS x
+       |  FROM $E t WHERE event_type = 'view'),
+       |r AS (SELECT user_id, x,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS ra,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY x DESC, event_id DESC) AS rd,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM c),
+       |k AS (SELECT user_id, x FROM r WHERE ra > n // 10 AND rd > n // 10)
+       |SELECT user_id, count(*) AS n_kept, CAST(sum(x) AS BIGINT) AS sum_cents,
+       |  ${roundedRatioSql("CAST(sum(x) AS BIGINT)", "count(*)", 4)} AS trimmed_mean
+       |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), Exact.cents(col("vd")).as("x"))
+    val wa = Window.partitionBy(col("user_id")).orderBy(col("x"), col("event_id"))
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("x").desc, col("event_id").desc)
+    val k = c
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("ra") > Binning.floorDiv(col("n"), 10L) &&
+        col("rd") > Binning.floorDiv(col("n"), 10L))
+    k.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        Exact.sumUnits(col("x")).cast("long").as("sum_cents"))
+      .select(col("user_id"), col("n_kept"), col("sum_cents"),
+        Exact.roundedRatio(col("sum_cents"), col("n_kept"), 4).as("trimmed_mean"))
+      .orderedSmall(col("user_id"))
+  }
+
+  private val RpOut = 8
+  private val RpIn = 64
+
+  /** Deterministic ±1 JL sign matrix — md5-derived exactly like
+    * `TextOps.baseHash`, computed ONCE in the driver and inlined as
+    * literals so neither engine hashes per row. */
+  private lazy val rpSigns: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpOut, RpIn) { (j, i) =>
+      val d = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (h % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection (#167): 64-d embeddings
+    * → 8-d sign-projection (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances in expectation) — the cheap dimensionality
+    * reducer that runs BEFORE LSH/IVF at corpus scale. On the
+    * 1e-6-quantized integer vectors the projection is exact integer
+    * arithmetic with DRIVER-PRECOMPUTED literal signs: zero per-row
+    * hashing, zero shuffle, one codegen span. Distance preservation
+    * is pinned by AnalysisEdgeSpec-adjacent VectorOpsSpec checks;
+    * the gate certifies every component cell-for-cell.
+    */
+  val qRandomProjection = GateQuery.sql(
+    "q_random_projection", {
+      val qz = "[CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding]"
+      val cols = (0 until RpOut).map { j =>
+        val lits = rpSigns(j).mkString(",")
+        s"CAST(list_sum([q[i+1] * ([$lits][i+1]) for i in range(len(q))]) AS BIGINT) AS p${j + 1}"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, label, $qz AS q FROM embeddings)
+         |SELECT vec_id, label,
+         |  $cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        graft.operators.VectorOps.quantize(col("embedding")).as("q"))
+    val projCols = (0 until RpOut).map { j =>
+      (0 until RpIn).map(i => element_at(col("q"), i + 1) * lit(rpSigns(j)(i)))
+        .reduce(_ + _).as(s"p${j + 1}")
+    }
+    e.select(col("vec_id") +: col("label") +: projCols: _*)
+      .orderedSmall(col("vec_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
-    qCompressRatio, qPeakFind)
+    qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection)
 }

@@ -364,6 +364,43 @@ object StreamingOps {
       .agg(count(lit(1)).as("active"))
       .select(col("win.start").as("win_start"), col("active"))
 
+  final case class ZPoint(user: Long, ts: java.sql.Timestamp, x: Long)
+  final case class ZState(ring: Seq[Long])
+  final case class ZFlag(user: Long, ts: java.sql.Timestamp, x: Long,
+                         n_win: Int, flagged: Boolean)
+
+  /** Streaming rolling z-score monitor — the live counterpart of the
+    * batch `q_rolling_zscore` gate: each reading is tested against
+    * the trailing `window` values of ITS OWN scan with the same
+    * all-integer criterion (n·x − S)² > 9·(nQ − S²) (|z| > 3, no
+    * sqrt, no float state). State per scan is a bounded ring of the
+    * last `window` integer readings — O(window) regardless of stream
+    * length (the ring IS the eviction policy); within-batch order is
+    * pinned by (ts, x) like every stateful operator here. Emits every
+    * reading with its flag (Update mode).
+    */
+  def zscoreStream(points: Dataset[ZPoint], window: Int): Dataset[ZFlag] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[ZState, ZFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ZPoint], state: GroupState[ZState]) =>
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.x)).map { p =>
+            val n = ring.length.toLong
+            val s = ring.sum
+            val q = ring.map(v => v * v).sum
+            val dev = n * p.x - s
+            val flagged = n >= 4 && dev * dev > 9L * (n * q - s * s)
+            ring = (ring :+ p.x).takeRight(window)
+            ZFlag(user, p.ts, p.x, n.toInt, flagged)
+          }
+          state.update(ZState(ring))
+          out.iterator
+      }
+  }
+
   /** Streaming heavy hitters — the live counterpart of
     * [[graft.operators.HeavyHitters]] ("what is trending in the
     * ingest firehose right now"). Terms hash-route to `groups`

@@ -409,4 +409,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1260L) == 1L, s"rows = $rows")
     } finally q.stop()
   }
+
+  test("streaming z-score flags a spike against its trailing window, state bounded") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{ZFlag, ZPoint}
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val flags = StreamingOps.zscoreStream(
+      input.toDF().toDF("ts", "user", "x")
+        .select(col("user"), col("ts"), col("x")).as[ZPoint], window = 8)
+    val q = flags.writeStream.format("memory").queryName("zflags")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // 6 steady readings then a spike, same scan
+      input.addData((0 until 6).map(i => (ts(i * 10), 1L, 500L + i % 2)): _*)
+      q.processAllAvailable()
+      input.addData((ts(70), 1L, 50000L)) // the spike
+      input.addData((ts(80), 1L, 501L))   // back to normal
+      q.processAllAvailable()
+      val rows = spark.table("zflags").as[ZFlag].collect().sortBy(_.ts.getTime)
+      assert(rows.length === 8)
+      // warm-up readings unflagged, spike flagged
+      assert(!rows.take(6).exists(_.flagged))
+      val spike = rows.find(_.x == 50000L).get
+      assert(spike.flagged, s"spike must flag: $spike")
+      assert(spike.n_win === 6)
+      // the post-spike normal reading: window now contains the spike,
+      // variance explodes, so it must NOT flag
+      assert(!rows.last.flagged)
+      // state bound: n_win never exceeds the ring size
+      assert(rows.forall(_.n_win <= 8))
+    } finally q.stop()
+  }
 }
