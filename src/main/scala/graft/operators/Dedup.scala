@@ -122,6 +122,37 @@ object Dedup {
         Exact.roundedRatio(col("inter"), denom, 4).as("containment"))
   }
 
+  /** Cross-source shingle-overlap matrix: for every source pair, the
+    * count of shared DISTINCT shingle keys and the containment share
+    * |A∩B|/min(|A|,|B|) in exact ppm — the corpus-audit view of
+    * inter-source duplication (which crawls/feeds overlap, and how
+    * much). Group-join shape on the (source, shingle) DISTINCT
+    * relation: each shingle's ≤|sources| member list expands to
+    * pairs in place, so the fan-out is bounded by sources²/2 per
+    * shingle — never corpus² — and the result is a sources²-row
+    * matrix at any corpus size.
+    */
+  def sourceOverlap(docs: DataFrame, source: Column, text: Column, k: Int): DataFrame = {
+    val sh = docs.select(source.as("source"),
+        explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
+      .distinct()
+    val m = sh.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    val pairs = sh.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(m.select(col("source").as("src_a"), col("m").as("m_a"))), "src_a")
+      .join(broadcast(m.select(col("source").as("src_b"), col("m").as("m_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("m_a"), col("m_b"),
+        Binning.floorDivCol(col("inter") * lit(1000000L),
+          least(col("m_a"), col("m_b"))).as("containment_ppm"))
+  }
+
   /** Dedup threshold-tuning curve: candidate pairs histogrammed by
     * Jaccard decile — the "how many pairs would each threshold kill"
     * sweep run BEFORE committing to a similarity cutoff (one pass

@@ -708,9 +708,45 @@ object AnalysisQueries {
       .orderedSmall(col("vec_id"))
   }
 
+  /** Histogram equalization map (#171): per event type, the exact
+    * value→cdf(ppm) remapping table of intensity equalization
+    * (imaging contrast stretch / rank-normalize a feature before
+    * training), certified in aggregate: `eq_mass` = Σ cdf_ppm·count
+    * pins every per-value cdf cell, `below_median_max` pins the
+    * crossing point. Windows run over the VALUE-COLLAPSED relation —
+    * distinct values per type, never raw rows.
+    */
+  val qHistEq = GateQuery.sql(
+    "q_hist_eq",
+    s"""WITH c AS (SELECT event_type, ${centsSql("vd")} AS x FROM $E t),
+       |v AS (SELECT event_type, x, count(*) AS c FROM c GROUP BY 1, 2),
+       |w AS (SELECT event_type, x, c,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot FROM v)
+       |SELECT event_type, count(*) AS n_values,
+       |  max(CASE WHEN cum * 2 >= tot THEN NULL ELSE x END) AS below_median_max,
+       |  CAST(sum(((cum * 1000000) // tot) * c) AS BIGINT) AS eq_mass
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("x"))
+      .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("c"))
+    val w = v
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("x"))).cast("long"))
+      .withColumn("tot", sum(col("c"))
+        .over(Window.partitionBy(col("event_type"))).cast("long"))
+    w.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_values"),
+        max(when(col("cum") * 2 >= col("tot"), lit(null).cast("long"))
+          .otherwise(col("x"))).as("below_median_max"),
+        sum(Binning.floorDivCol(col("cum") * lit(1000000L), col("tot")) * col("c"))
+          .cast("long").as("eq_mass"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
-    qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection)
+    qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq)
 }

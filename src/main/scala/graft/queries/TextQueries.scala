@@ -1075,6 +1075,86 @@ object TextQueries {
       .orderedSmall(col("bucket"))
   }
 
+  /** Wasserstein-1 drift distance (#169): earth-mover's distance
+    * between each source's n_chars distribution and the corpus
+    * distribution — the distribution-shift audit a mixing pipeline
+    * runs per ingest batch. EXACT integers throughout: on the shared
+    * value grid, W1 ∝ Σ |cum_s·n_c − cum_c·n_s|·gap (cdfs
+    * cross-scaled instead of divided). The windows run over the
+    * VALUE-COLLAPSED grid (distinct n_chars), never per-doc rows —
+    * the weightedPerGroup scale discipline; the source list rides a
+    * bounded broadcast.
+    */
+  val qW1Drift = GateQuery.sql(
+    "q_w1_drift",
+    """WITH v AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (SELECT v, sum(c) AS cc FROM v GROUP BY v),
+      |cg AS (SELECT v, CAST(sum(cc) OVER (ORDER BY v) AS BIGINT) AS cumc,
+      |       CAST(lead(v) OVER (ORDER BY v) - v AS BIGINT) AS gap FROM g),
+      |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM g),
+      |sv AS (SELECT s.source, cg.v, cg.gap, cg.cumc,
+      |    CAST(sum(coalesce(x.c, 0)) OVER (PARTITION BY s.source ORDER BY cg.v) AS BIGINT) AS cums
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN cg
+      |  LEFT JOIN v x ON x.source = s.source AND x.v = cg.v),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1)
+      |SELECT sv.source,
+      |  CAST(sum(CASE WHEN gap IS NULL THEN 0
+      |    ELSE abs(cums * nc - cumc * n_s) * gap END) AS BIGINT) AS w1_scaled,
+      |  max(n_s) AS n_docs
+      |FROM sv, tot JOIN ns ON ns.source = sv.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val v = docs.groupBy(col("source"), col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val g = v.groupBy(col("v")).agg(sum(col("c")).as("cc"))
+    // global windows over the VALUE GRID (distinct n_chars) — bounded
+    // by the value domain, not the corpus
+    val wOrd = Window.orderBy(col("v"))
+    val cg = g
+      .withColumn("cumc", sum(col("cc")).over(wOrd).cast("long"))
+      .withColumn("gap", (lead(col("v"), 1).over(wOrd) - col("v")).cast("long"))
+      .select(col("v"), col("cumc"), col("gap"))
+    val tot = g.agg(sum(col("cc")).cast("long").as("nc"))
+    val sources = docs.select(col("source")).distinct()
+    val sv = cg.crossJoin(broadcast(sources))
+      .join(v.select(col("source"), col("v"), col("c")), Seq("source", "v"), "left")
+      .withColumn("cums",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy(col("source")).orderBy(col("v"))).cast("long"))
+    val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    graft.operators.Curation.withStats(sv, tot)
+      .join(broadcast(ns), "source")
+      .groupBy(col("source"))
+      .agg(sum(when(col("gap").isNull, lit(0L))
+          .otherwise(abs(col("cums") * col("nc") - col("cumc") * col("n_s")) * col("gap")))
+        .cast("long").as("w1_scaled"),
+        max(col("n_s")).as("n_docs"))
+      .orderedSmall(col("source"))
+  }
+
+  /** Cross-source overlap matrix (#170): pairwise shared-shingle
+    * containment between sources ([[Dedup.sourceOverlap]]) — the
+    * "which feeds duplicate each other" audit before mixing weights
+    * are trusted. sources²-row output at any corpus size.
+    */
+  val qSourceOverlap = GateQuery.sql(
+    "q_source_overlap",
+    """WITH sh AS (SELECT DISTINCT source, h FROM (
+      |    SELECT source, unnest([hash(array_to_string(w[i:i+2], ' '))
+      |        for i in range(1, len(w) - 1)]) AS h
+      |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents) t) u),
+      |m AS (SELECT source, count(*) AS m FROM sh GROUP BY 1),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter, ma.m AS m_a, mb.m AS m_b,
+      |  (inter * 1000000) // least(ma.m, mb.m) AS containment_ppm
+      |FROM p JOIN m ma ON ma.source = src_a JOIN m mb ON mb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    Dedup.sourceOverlap(Tables.documents(s, d), col("source"), col("text"), 3)
+      .orderedSmall(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
@@ -1083,5 +1163,5 @@ object TextQueries {
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
     qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival,
-    qContainmentPairs)
+    qContainmentPairs, qW1Drift, qSourceOverlap)
 }

@@ -28,7 +28,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_mix_temperature", // (total) and (w_sum) single-row stats scalars
       "q_kl_mix", // (n) corpus-token-total single-row scalar
       "q_embed_int8", // (mns, mxs) per-dim-bounds single-row broadcast
-    "q_rfm") // (max_day) corpus-recency single-row scalar
+      "q_rfm", // (max_day) corpus-recency single-row scalar
+    "q_w1_drift") // bounded source-list × value-grid broadcast product + (nc) scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
