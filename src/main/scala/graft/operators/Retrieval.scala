@@ -84,6 +84,94 @@ object Retrieval {
         col("score_micro"), col("n_terms"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    * hybrid-retrieval combiner): fuse the BM25 top-K list with a raw
+    * query-term-frequency top-K list, score = Σ_systems
+    * 1e6 div (kRrf + rank) in EXACT integers, re-rank. RRF is how
+    * production search fuses lexical and secondary rankings without
+    * score calibration — only ranks cross systems, so the fusion is
+    * engine-exact by construction. Both lists derive from the same
+    * broadcast query workload; the fusion aggregate touches ≤
+    * 2·topK rows per query at any corpus size.
+    */
+  def rrfFusion(docs: DataFrame, id: Column, text: Column,
+                queries: Seq[(Long, String)], topK: Int = 10,
+                kRrf: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val a = bm25TopK(docs, id, text, queries, topK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r"))
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+    val qterms = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val wb = Window.partitionBy(col("query_id")).orderBy(col("tfq").desc, col("doc_id"))
+    val b = base
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("tfq"))
+      .withColumn("r", row_number().over(wb).cast("long"))
+      .filter(col("r") <= topK)
+      .select(col("query_id"), col("doc_id"), col("r"))
+    val contrib = a.unionAll(b)
+      .select(col("query_id"), col("doc_id"),
+        Binning.floorDivCol(lit(1000000L), lit(kRrf.toLong) + col("r")).as("c"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("rrf_micro"), count(lit(1)).as("n_systems"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_micro"), col("n_systems"))
+  }
+
+  /** DuckDB mirror of [[rrfFusion]] — shares [[bm25Sql]]'s CTE chain
+    * and extends it with the TF list and the exact-integer fusion. */
+  def rrfSql(queries: Seq[(Long, String)], topK: Int = 10,
+             kRrf: Int = 60, k1: Double = 1.25, b: Double = 0.75): String = {
+    val vals = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+       |q(query_id, term) AS (VALUES $vals),
+       |dfr AS (SELECT term, count(*) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * ((tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * ((dl * n_docs) / total_len)))))
+       |      * 1000000) AS BIGINT) AS s
+       |  FROM tf JOIN q USING (term) JOIN dfr USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN st),
+       |bagg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY 1, 2),
+       |la AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r
+       |  FROM bagg QUALIFY r <= $topK),
+       |tfq AS (SELECT q.query_id, tf.doc_id, CAST(sum(tf) AS BIGINT) AS tfq
+       |  FROM tf JOIN q USING (term) GROUP BY 1, 2),
+       |lb AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY tfq DESC, doc_id) AS BIGINT) AS r
+       |  FROM tfq QUALIFY r <= $topK),
+       |u AS (SELECT query_id, doc_id, (1000000 // ($kRrf + r)) AS c FROM la
+       |  UNION ALL SELECT query_id, doc_id, (1000000 // ($kRrf + r)) AS c FROM lb),
+       |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+       |    CAST(count(*) AS BIGINT) AS n_systems FROM u GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, rrf_micro, n_systems
+       |FROM f
+       |QUALIFY rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[bm25TopK]] over the `documents` view — same
     * association, same exact constants, same floor quantization.
     */

@@ -744,9 +744,62 @@ object AnalysisQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Sub-sample alignment refinement (#173): the parabolic-vertex
+    * upgrade of [[qXcorrAlign]] — around the best integer lag,
+    * δ = (c₋ − c₊) / (2·(c₋ − 2c₀ + c₊)) interpolates the true
+    * cross-correlation peak to sub-grid precision (the standard
+    * three-point vertex formula). Correlations are exact longs, so
+    * the one double division mirrors bit-for-bit; flat or edge
+    * vertices fall back to δ = 0. Same bounded lag explode + 7-row
+    * windows as #149.
+    */
+  val qXcorrSubsample = GateQuery.sql(
+    "q_xcorr_subsample",
+    s"""WITH g AS (SELECT user_id, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t WHERE event_type = 'view' GROUP BY 1, 2),
+       |ref AS (SELECT grid, y AS yr FROM g WHERE user_id = 0),
+       |c AS (SELECT g.user_id, l.lag, CAST(sum(g.y * r.yr) AS BIGINT) AS corr
+       |  FROM g, (SELECT unnest(generate_series(-3, 3)) AS lag) l
+       |  JOIN ref r ON g.grid + l.lag = r.grid
+       |  GROUP BY 1, 2),
+       |n AS (SELECT *, lag(corr) OVER w AS cm, lead(corr) OVER w AS cp,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY corr DESC, lag) AS rn
+       |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY lag))
+       |SELECT user_id, lag AS best_lag, corr AS best_corr,
+       |  round(lag + (CASE WHEN cm IS NULL OR cp IS NULL
+       |      OR cm - 2 * corr + cp = 0 THEN 0.0
+       |    ELSE CAST(cm - cp AS DOUBLE) / (2.0 * (cm - 2 * corr + cp)) END), 6) + 0.0
+       |    AS shift
+       |FROM n WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = ev(s, d).filter(col("event_type") === "view")
+      .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val ref = g.filter(col("user_id") === 0).select(col("grid").as("rgrid"), col("y").as("yr"))
+    val c = g.withColumn("lag", explode(sequence(lit(-3), lit(3))))
+      .join(broadcast(ref), col("grid") + col("lag") === col("rgrid"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(Exact.sumUnits(col("y") * col("yr")).cast("long").as("corr"))
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("lag"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("corr").desc, col("lag"))
+    val n = c
+      .withColumn("cm", lag(col("corr"), 1).over(wl))
+      .withColumn("cp", lead(col("corr"), 1).over(wl))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+    val denom = col("cm") - lit(2L) * col("corr") + col("cp")
+    val delta = when(col("cm").isNull || col("cp").isNull || denom === 0, lit(0.0))
+      .otherwise((col("cm") - col("cp")).cast("double") / (lit(2.0) * denom))
+    n.select(col("user_id"), col("lag").as("best_lag"), col("corr").as("best_corr"),
+        (round(col("lag") + delta, 6) + lit(0.0)).as("shift"))
+      .orderedSmall(col("user_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
-    qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq)
+    qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
+    qXcorrSubsample)
 }

@@ -689,6 +689,19 @@ object TextQueries {
       .orderedSmall(col("query_id"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (#172): hybrid retrieval — BM25 ⊕ raw
+    * term-frequency lists fused by Σ 1e6 div (60+rank)
+    * ([[graft.operators.Retrieval.rrfFusion]], Cormack et al. 2009).
+    * Only ranks cross systems, so the fusion is engine-exact; the
+    * fusion aggregate touches ≤ 2·topK rows per query.
+    */
+  val qRrfFusion = GateQuery.sql("q_rrf_fusion",
+    graft.operators.Retrieval.rrfSql(Bm25Queries)) { (s, d) =>
+    graft.operators.Retrieval.rrfFusion(
+        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
+      .orderedSmall(col("query_id"), col("rank"))
+  }
+
   /** #113 — exact heavy-hitter bigrams via the two-pass Misra–Gries
     * shape ([[graft.operators.HeavyHitters]]): bounded-memory
     * zero-shuffle candidate pass, broadcast-semi-join exact recount —
@@ -1163,5 +1176,5 @@ object TextQueries {
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
     qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
     qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival,
-    qContainmentPairs, qW1Drift, qSourceOverlap)
+    qContainmentPairs, qW1Drift, qSourceOverlap, qRrfFusion)
 }
