@@ -796,10 +796,29 @@ object AnalysisQueries {
       .orderedSmall(col("user_id"))
   }
 
+  /** Isotonic calibration (#174, rows+test): PAVA monotone regression
+    * per model group ([[graft.operators.Calibrate]]) — the
+    * score→probability calibration step of a deployed quality
+    * classifier. Iterative pooling is the documented
+    * non-SQL-expressible family; the textbook fixtures, projection
+    * properties and distributed determinism are CalibrateSpec's.
+    */
+  val qIsotonicFit = GateQuery.rowsOnly("q_isotonic_fit") { (s, d) =>
+    val pts = ev(s, d).filter(col("event_type") === "view")
+      .select(pmod(col("user_id"), lit(8L)).as("g"),
+        col("xs").cast("double").as("x"), col("vd").cast("double").as("y"),
+        lit(1.0).as("w"))
+    graft.operators.Calibrate.isotonicGroups(pts, "g", "x", "y", "w")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(round(col("yhat"), 6)).as("n_blocks"))
+      .orderedSmall(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
-    qXcorrSubsample)
+    qXcorrSubsample, qIsotonicFit)
 }
