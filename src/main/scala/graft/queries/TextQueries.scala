@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Exact, MultimodalOps, Packing, Relational, Sampling, TextOps}
+import graft.operators.{Binning, Dedup, Exact, MultimodalOps, Packing, Relational, Sampling, TextOps}
 import graft.operators.Exact.roundedRatioSql
 import graft.operators.TextOps.{baseHashSql, markerCountSql}
 
@@ -1168,7 +1168,108 @@ object TextQueries {
       .orderedSmall(col("src_a"), col("src_b"))
   }
 
+  /** Exact AUC (#175): Mann–Whitney rank-sum AUC of a score column
+    * against a binary label, ENTIRELY on the VALUE-COLLAPSED score
+    * relation — per distinct score the doubled midrank is
+    * 2·cum − c + 1 (integer), so tied scores get exact midranks with
+    * no per-row global sort anywhere (the window runs over distinct
+    * scores). The classifier-evaluation primitive every quality
+    * filter needs before its threshold is trusted.
+    */
+  val qAuc = GateQuery.sql(
+    "q_auc",
+    """WITH d AS (SELECT n_chars AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |v AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+      |  FROM d GROUP BY s),
+      |w AS (SELECT s, c, p, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM v),
+      |a AS (SELECT CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS sp2,
+      |   CAST(sum(p) AS BIGINT) AS np, CAST(sum(c - p) AS BIGINT) AS nn FROM w)
+      |SELECT np, nn, sp2,
+      |  ((sp2 - np * (np + 1)) * 1000000) // (2 * np * nn) AS auc_ppm
+      |FROM a""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("n_chars").as("s"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val v = docs.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("p"))
+    val w = v.withColumn("cum", sum(col("c")).over(Window.orderBy(col("s"))).cast("long"))
+    w.agg(sum(col("p") * (lit(2L) * col("cum") - col("c") + 1)).cast("long").as("sp2"),
+        sum(col("p")).cast("long").as("np"),
+        sum(col("c") - col("p")).cast("long").as("nn"))
+      .select(col("np"), col("nn"), col("sp2"),
+        Binning.floorDivCol(
+          (col("sp2") - col("np") * (col("np") + 1)) * lit(1000000L),
+          lit(2L) * col("np") * col("nn")).as("auc_ppm"))
+  }
+
+  /** Reliability diagram (#176): predicted-score deciles vs observed
+    * positive share in exact ppm — the calibration audit read next to
+    * #174's isotonic fit. The bucket bound rides a 1-row broadcast;
+    * one hash aggregate.
+    */
+  val qReliability = GateQuery.sql(
+    "q_reliability",
+    """WITH d AS (SELECT (n_chars * 10) // (1 + (SELECT max(n_chars) FROM documents)) AS bucket,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents)
+      |SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |  (CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS obs_ppm
+      |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("n_chars")).as("mx"))
+    graft.operators.Curation.withStats(
+        docs.select(col("n_chars"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y")), mx)
+      .select(Binning.floorDivCol(col("n_chars") * lit(10L), lit(1L) + col("mx")).as("bucket"),
+        col("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        Binning.floorDivCol(col("n_pos") * lit(1000000L), col("n")).as("obs_ppm"))
+      .orderedSmall(col("bucket"))
+  }
+
+  /** Spearman rank correlation (#177): exact per-source ρ between
+    * document length and token count — the metric-agreement audit
+    * (does the cheap signal rank like the expensive one?). Integer
+    * ranks with (value, doc_id) tie pinning; ρ in exact ppm via the
+    * closed form 1 − 6Σd²/(n(n²−1)).
+    */
+  val qSpearman = GateQuery.sql(
+    "q_spearman",
+    """WITH d AS (SELECT source, doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS ntok FROM documents),
+      |r AS (SELECT source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS ra,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY ntok, doc_id) AS BIGINT) AS rb
+      |  FROM d),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sd2 FROM r GROUP BY 1)
+      |SELECT source, n, sd2,
+      |  1000000 - (6000000 * sd2) // (n * (n * n - 1)) AS rho_ppm
+      |FROM a WHERE n >= 2 ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val wa = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("ntok"), col("doc_id"))
+    val r = docs
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .withColumn("rb", row_number().over(wb).cast("long"))
+    r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).cast("long").as("sd2"))
+      .filter(col("n") >= 2)
+      .select(col("source"), col("n"), col("sd2"),
+        (lit(1000000L) - Binning.floorDivCol(lit(6000000L) * col("sd2"),
+          col("n") * (col("n") * col("n") - 1))).as("rho_ppm"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qAuc, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
