@@ -101,4 +101,20 @@ object Exact {
 
   /** SQL fragment: exact cents of a scale-2 decimal expression. */
   def centsSql(c: String): String = s"CAST(($c) * 100 AS BIGINT)"
+
+  /** Exact floor division for intermediates that exceed long range:
+    * both operands lifted to decimal(38,0); x − pmod(x, y) is exactly
+    * divisible so the decimal division is lossless (quotient must fit
+    * 32 integer digits). NONNEGATIVE x only — DuckDB's `//` truncates
+    * toward zero, so the engines agree only on x ≥ 0.
+    */
+  def floorDivBig(x: Column, y: Column): Column = {
+    val xd = x.cast("decimal(38,0)")
+    val yd = y.cast("decimal(38,0)")
+    ((xd - pmod(xd, yd)) / yd).cast("decimal(38,0)")
+  }
+
+  /** DuckDB mirror of [[floorDivBig]] (HUGEINT `//`). */
+  def floorDivBigSql(x: String, y: String): String =
+    s"(CAST(($x) AS HUGEINT) // CAST(($y) AS HUGEINT))"
 }

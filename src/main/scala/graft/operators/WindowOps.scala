@@ -131,6 +131,27 @@ object WindowOps {
       .toDF(group, x, "ewma")
   }
 
+  /** One-sided CUSUM control chart (#180): S_i = max(0, S_{i−1} +
+    * (x_i − target)). The recursion is closed-form as the running
+    * sum minus its own running minimum — P_i − min(0, min_{j≤i} P_j)
+    * with P_i = Σ_{j≤i}(x_j − target) — so the whole chart is two
+    * chained window functions sharing ONE key-partitioned shuffle
+    * (no mapGroups, no UDAF, exact integers throughout).
+    *
+    * @param xCents  exact integer reading
+    * @param target  exact integer per-row target level (may itself be
+    *                a window expression over the same partition)
+    * @return input columns + `cusum`
+    */
+  def cusum(df: DataFrame, key: Seq[Column], order: Seq[Column],
+            xCents: Column, target: Column): DataFrame = {
+    val wo = Window.partitionBy(key: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_p", sum(xCents - target).over(wo))
+      .withColumn("cusum", col("_p") - least(lit(0L), min(col("_p")).over(wo)))
+      .drop("_p")
+  }
+
   /** Savitzky–Golay smoothing, 5-point quadratic (the standard
     * scientific scan-smoothing filter — a least-squares parabola
     * through each ±2 neighbourhood, preserving peak height/width

@@ -1,0 +1,491 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Binning, Exact}
+import graft.operators.Exact.centsSql
+
+/** Statistical-testing / ML-evaluation / graph extensions
+  * (SURVEY.md §2 #178–#185): chi-squared independence, Welch's
+  * t-test, CUSUM drift detection, autocorrelation, average
+  * precision, NDCG@10, 5-iteration PageRank and the Gini
+  * concentration index — the audit/eval layer a production corpus
+  * pipeline runs NEXT TO the curation gates (is the event mix
+  * independent of the user cohort? did the score distribution
+  * drift? how good is the ranker?).
+  *
+  * Discipline is SURVEY.md §4 throughout: every input quantized to
+  * exact integer cents BEFORE any aggregate, integer floor-division
+  * only on NONNEGATIVE numerators (DuckDB `//` truncates toward
+  * zero, Spark's pmod-based floor matches it only for x ≥ 0), and
+  * doubles confined to final closed forms mirrored textually on
+  * both engines.
+  */
+object StatsQueries {
+
+  /** Shared DuckDB prep over events (mirror of [[ev]]). */
+  private val E: String =
+    """(SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |   (epoch_us(ts) // 1000000) - 1704067200 AS xs,
+      |   CAST(value AS DECIMAL(18,2)) AS vd, event_type
+      | FROM events)""".stripMargin
+
+  /** Shared Spark prep — mirror of [[E]]. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (expr("ts_us div 1000000") - lit(1704067200L)).as("xs"),
+      col("value").cast("decimal(18,2)").as("vd"),
+      col("event_type"))
+
+  import Exact.{floorDivBig, floorDivBigSql}
+
+  /** Chi-squared independence test (#178): is the event-type mix
+    * independent of the user cohort (user_id mod 8)? The classic
+    * contingency-table audit, computed from the identity
+    * χ² = N·(Σ O²/(R·C) − 1) with each cell's O²/(R·C) floored at
+    * pico precision (O² ≤ R·C ⇒ every term ≤ 1e12, and the shared
+    * floor order makes the sum engine-identical). Shape: one
+    * (cohort, type)-keyed count — map-side combined, 40 cells at any
+    * corpus size — then windows over the 40-row cell relation.
+    */
+  val qChisq = GateQuery.sql(
+    "q_chisq",
+    s"""WITH o AS (SELECT user_id % 8 AS g, event_type AS t, count(*) AS o
+       |  FROM $E e GROUP BY 1, 2),
+       |m AS (SELECT g, t, o,
+       |    sum(o) OVER (PARTITION BY g) AS r,
+       |    sum(o) OVER (PARTITION BY t) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM o),
+       |s AS (SELECT any_value(n) AS n, count(*) AS n_cells,
+       |    CAST(sum(${floorDivBigSql("o * o * 1000000000000", "r * c")}) AS HUGEINT) AS u
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_events, CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST((SELECT count(DISTINCT user_id % 8) FROM $E e) - 1 AS BIGINT)
+       |    * CAST((SELECT count(DISTINCT event_type) FROM $E e) - 1 AS BIGINT) AS dof,
+       |  CAST(${floorDivBigSql("n * u - n * 1000000000000", "1000000")} AS BIGINT)
+       |    AS chi2_micro
+       |FROM s""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val o = e.groupBy(pmod(col("user_id"), lit(8L)).as("g"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("o"))
+    val m = o
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("g"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("t"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val st = m.agg(
+      first(col("n")).as("n"), count(lit(1)).as("n_cells"),
+      sum(floorDivBig(col("o") * col("o") * lit(1000000000000L),
+        col("r") * col("c"))).cast("decimal(38,0)").as("u"),
+      countDistinct(col("g")).as("ng"), countDistinct(col("t")).as("nt"))
+    st.select(
+      col("n").cast("long").as("n_events"),
+      col("n_cells").cast("long").as("n_cells"),
+      ((col("ng") - 1) * (col("nt") - 1)).cast("long").as("dof"),
+      floorDivBig(
+        col("n").cast("decimal(38,0)") * col("u") -
+          col("n").cast("decimal(38,0)") * lit(1000000000000L),
+        lit(1000000L)).cast("long").as("chi2_micro"))
+  }
+
+  /** Welch's t-test (#179): per user cohort, does the mean 'click'
+    * value differ from the mean 'view' value? n/Σ/Σ² accumulate as
+    * exact integers in ONE cohort-keyed conditional aggregate (the
+    * A/B-test shape: no join between the two samples); the t
+    * statistic and Welch–Satterthwaite df are closed-form doubles
+    * mirrored textually from identical integer inputs.
+    */
+  val qTtest = GateQuery.sql(
+    "q_ttest",
+    s"""WITH a AS (SELECT user_id % 8 AS g,
+       |    count(*) FILTER (event_type = 'click') AS n1,
+       |    CAST(sum(${centsSql("vd")}) FILTER (event_type = 'click') AS BIGINT) AS s1,
+       |    CAST(sum(${centsSql("vd")} * ${centsSql("vd")})
+       |      FILTER (event_type = 'click') AS HUGEINT) AS q1,
+       |    count(*) FILTER (event_type = 'view') AS n2,
+       |    CAST(sum(${centsSql("vd")}) FILTER (event_type = 'view') AS BIGINT) AS s2,
+       |    CAST(sum(${centsSql("vd")} * ${centsSql("vd")})
+       |      FILTER (event_type = 'view') AS HUGEINT) AS q2
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1),
+       |f AS (SELECT g, n1, n2,
+       |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+       |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 AS se1,
+       |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2 AS se2
+       |  FROM a)
+       |SELECT g, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  round((m1 - m2) / sqrt(se1 + se2), 4) + 0.0 AS t_stat,
+       |  round((se1 + se2) * (se1 + se2)
+       |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) + 0.0 AS df_welch
+       |FROM f ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"),
+        Exact.cents(col("vd")).as("c"))
+    def side(t: String, i: Int): Seq[Column] = Seq(
+      count(when(col("event_type") === t, 1)).as(s"n$i"),
+      Exact.sumUnits(when(col("event_type") === t, col("c"))).cast("long").as(s"s$i"),
+      sum(when(col("event_type") === t, col("c") * col("c")).cast("decimal(38,0)"))
+        .as(s"q$i"))
+    val a = e.groupBy(col("g")).agg(
+      side("click", 1).head, (side("click", 1).tail ++ side("view", 2)): _*)
+    def m(i: Int) = col(s"s$i").cast("double") / col(s"n$i")
+    def se(i: Int) =
+      (col(s"q$i").cast("double") - col(s"s$i").cast("double") * col(s"s$i") / col(s"n$i")) /
+        (col(s"n$i") - 1) / col(s"n$i")
+    val sePool = se(1) + se(2)
+    a.select(col("g"), col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        (round((m(1) - m(2)) / sqrt(sePool), 4) + lit(0.0)).as("t_stat"),
+        (round(sePool * sePool /
+          (se(1) * se(1) / (col("n1") - 1) + se(2) * se(2) / (col("n2") - 1)), 2) +
+          lit(0.0)).as("df_welch"))
+      .orderedSmall(col("g"))
+  }
+
+  /** CUSUM drift detection (#180): the one-sided cumulative-sum
+    * control chart over each user's 'view' series. The textbook
+    * recursion S_t = max(0, S_{t−1} + dev_t) is exactly the running
+    * sum minus its own running minimum — P_t − min(0, min_{j≤t} P_j)
+    * — so the whole chart is two chained window functions sharing
+    * ONE user-keyed shuffle (no recursion, no UDAF). Target = the
+    * user's HALF_UP mean; alarm when the excursion exceeds twice the
+    * target. All integer cents.
+    */
+  val qCusum = GateQuery.sql(
+    "q_cusum",
+    s"""WITH e AS (SELECT user_id, ts_us, event_id, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type = 'view'),
+       |t AS (SELECT *, (2 * sum(c) OVER (PARTITION BY user_id) + count(*) OVER (PARTITION BY user_id))
+       |    // (2 * count(*) OVER (PARTITION BY user_id)) AS target FROM e),
+       |p AS (SELECT *, sum(c - target)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS p FROM t),
+       |s AS (SELECT *, p - least(0, min(p)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING)) AS cusum FROM p)
+       |SELECT user_id, count(*) AS n_points, any_value(target) AS target_cents,
+       |  max(cusum) AS max_cusum, count(*) FILTER (cusum > 2 * target) AS n_alarms
+       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"), Exact.cents(col("vd")).as("c"))
+    val wu = Window.partitionBy(col("user_id"))
+    val t = e.withColumn("target",
+      Binning.floorDivCol(lit(2L) * sum(col("c")).over(wu) + count(lit(1)).over(wu),
+        lit(2L) * count(lit(1)).over(wu)))
+    val cu = graft.operators.WindowOps.cusum(t, Seq(col("user_id")),
+      Seq(col("ts_us"), col("event_id")), col("c"), col("target"))
+    cu.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"), first(col("target")).as("target_cents"),
+        max(col("cusum")).as("max_cusum"),
+        count(when(col("cusum") > lit(2L) * col("target"), 1)).as("n_alarms"))
+      .orderedSmall(col("user_id"))
+  }
+
+  private val AcfLags = Seq(1, 2, 3)
+
+  /** Autocorrelation function (#181): r_k at series lags 1..3 of each
+    * event type's hourly totals — the periodicity/drift diagnostic of
+    * a monitoring stream. With the per-type (n, S) scalars attached
+    * as a broadcast, every deviation n·y_t − S is an exact integer,
+    * the lag products accumulate as exact decimals through ONE
+    * type-keyed ordered window + aggregate, and r_k leaves as a
+    * single mirrored double division.
+    */
+  val qAcf = GateQuery.sql(
+    "q_acf",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |st AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+       |  FROM g GROUP BY 1),
+       |l AS (SELECT g.event_type, st.n, st.s, y,
+       |    ${AcfLags.map(k => s"lead(y, $k) OVER (PARTITION BY g.event_type ORDER BY grid) AS y$k")
+             .mkString(", ")}
+       |  FROM g JOIN st USING (event_type)),
+       |a AS (SELECT event_type, any_value(n) AS n,
+       |    CAST(sum(CAST(n * y - s AS HUGEINT) * (n * y - s)) AS HUGEINT) AS den,
+       |    ${AcfLags.map(k =>
+             s"CAST(sum(CAST(n * y - s AS HUGEINT) * (n * y$k - s)) AS HUGEINT) AS num$k")
+             .mkString(", ")}
+       |  FROM l GROUP BY event_type)
+       |SELECT event_type, lag, CAST(n AS BIGINT) AS n_points, r_k FROM (
+       |  ${AcfLags.map(k =>
+            s"""SELECT event_type, $k AS lag, n,
+               |  round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS r_k
+               |  FROM a""".stripMargin).mkString("\n  UNION ALL ")})
+       |ORDER BY event_type, lag""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val st = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumUnits(col("y")).cast("long").as("s"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val withLead = AcfLags.foldLeft(g.join(broadcast(st), "event_type")) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(wo))
+    }
+    def dev(c: Column) = (col("n") * c - col("s")).cast("decimal(38,0)")
+    val aggCols: Seq[Column] =
+      sum(dev(col("y")) * dev(col("y"))).cast("decimal(38,0)").as("den") +:
+        AcfLags.map(k =>
+          sum(dev(col("y")) * dev(col(s"y$k"))).cast("decimal(38,0)").as(s"num$k"))
+    val a = withLead.groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"), aggCols: _*)
+    val perLag = AcfLags.map { k =>
+      a.select(col("event_type"), lit(k).as("lag"), col("n"),
+        (round(col(s"num$k").cast("double") / col("den").cast("double"), 6) + lit(0.0))
+          .as("r_k"))
+    }
+    perLag.reduce(_.unionAll(_))
+      .select(col("event_type"), col("lag"), col("n").cast("long").as("n_points"), col("r_k"))
+      .orderedSmall(col("event_type"), col("lag"))
+  }
+
+  /** Average precision (#182): the ranking-quality metric of a
+    * retrieval/quality ranker — per cohort, events ranked by value
+    * (event_id tie pin), 'purchase' rows relevant; AP = mean of
+    * precision-at-k over the relevant ranks, in exact ppm (each
+    * P@k floored at ppm, then the mean floored — identical order
+    * both engines). One rank window + one aggregate per cohort.
+    */
+  val qAvgPrecision = GateQuery.sql(
+    "q_avg_precision",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_id,
+       |    ${centsSql("vd")} AS c,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+       |  FROM $E t),
+       |r AS (SELECT g, rel,
+       |    row_number() OVER (PARTITION BY g ORDER BY c DESC, event_id) AS k,
+       |    sum(rel) OVER (PARTITION BY g ORDER BY c DESC, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_pos
+       |  FROM e)
+       |SELECT g, count(*) AS n_events, CAST(sum(rel) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN rel = 1 THEN cum_pos * 1000000 // k END) // sum(rel)
+       |    AS BIGINT) AS ap_ppm
+       |FROM r GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(
+      pmod(col("user_id"), lit(8L)).as("g"), col("event_id"),
+      Exact.cents(col("vd")).as("c"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("rel"))
+    val wo = Window.partitionBy(col("g")).orderBy(col("c").desc, col("event_id"))
+    val r = e
+      .withColumn("k", row_number().over(wo).cast("long"))
+      .withColumn("cum_pos",
+        sum(col("rel")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    r.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumUnits(col("rel")).cast("long").as("n_pos"),
+        floorDivBig(
+          Exact.sumUnits(when(col("rel") === 1,
+            Binning.floorDivCol(col("cum_pos") * lit(1000000L), col("k")))),
+          Exact.sumUnits(col("rel"))).cast("long").as("ap_ppm"))
+      .orderedSmall(col("g"))
+  }
+
+  private val NdcgK = 10
+  /** floor(1e6 / log2(1 + r)) for r = 1..K — the DCG discount weights
+    * precomputed in the driver and inlined as LITERALS on both
+    * engines (the Benford literal-domain trick: libm never runs in
+    * either gate path, so cross-engine log differences can't leak).
+    */
+  private[graft] val ndcgWeights: Seq[Long] =
+    (1 to NdcgK).map(r => math.floor(1e6 / (math.log(1.0 + r) / math.log(2.0))).toLong)
+  private def NdcgW = ndcgWeights
+
+  /** NDCG@10 (#183): graded ranking quality — gains are value
+    * ventiles (c div 5000, capped at 9), the realized ranking is by
+    * value with event_id tie pin, the ideal ranking is the same
+    * rows by gain. Two rank windows SHARE one cohort shuffle; DCG
+    * and IDCG are exact integer dot products with the literal
+    * discount table; ndcg = DCG·1e6 div IDCG in exact ppm.
+    */
+  val qNdcg = GateQuery.sql(
+    "q_ndcg",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_id,
+       |    ${centsSql("vd")} AS c,
+       |    least(${centsSql("vd")} // 5000, 9) AS gain
+       |  FROM $E t),
+       |r AS (SELECT g, gain,
+       |    row_number() OVER (PARTITION BY g ORDER BY c DESC, event_id) AS rk,
+       |    row_number() OVER (PARTITION BY g ORDER BY gain DESC, c DESC, event_id) AS ik
+       |  FROM e),
+       |w(rank, w) AS (VALUES ${NdcgW.zipWithIndex.map { case (w, i) => s"(${i + 1}, $w)" }
+           .mkString(", ")}),
+       |a AS (SELECT g,
+       |    CAST(sum(CASE WHEN rk <= $NdcgK THEN gain * (SELECT w FROM w WHERE rank = rk) ELSE 0 END)
+       |      AS BIGINT) AS dcg,
+       |    CAST(sum(CASE WHEN ik <= $NdcgK THEN gain * (SELECT w FROM w WHERE rank = ik) ELSE 0 END)
+       |      AS BIGINT) AS idcg
+       |  FROM r GROUP BY g)
+       |SELECT g, dcg, idcg,
+       |  CASE WHEN idcg = 0 THEN 0 ELSE CAST(dcg * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
+       |FROM a ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(
+      pmod(col("user_id"), lit(8L)).as("g"), col("event_id"),
+      Exact.cents(col("vd")).as("c"),
+      least(Binning.floorDiv(Exact.cents(col("vd")), 5000L), lit(9L)).as("gain"))
+    val wr = Window.partitionBy(col("g")).orderBy(col("c").desc, col("event_id"))
+    val wi = Window.partitionBy(col("g"))
+      .orderBy(col("gain").desc, col("c").desc, col("event_id"))
+    // rank → literal discount weight (falls through to 0 past K)
+    def wOf(rank: Column): Column =
+      NdcgW.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+        when(rank === (i + 1), lit(w)).otherwise(acc)
+      }
+    val r = e
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("ik", row_number().over(wi))
+    val a = r.groupBy(col("g")).agg(
+      Exact.sumUnits(when(col("rk") <= NdcgK, col("gain") * wOf(col("rk"))).otherwise(lit(0L)))
+        .cast("long").as("dcg"),
+      Exact.sumUnits(when(col("ik") <= NdcgK, col("gain") * wOf(col("ik"))).otherwise(lit(0L)))
+        .cast("long").as("idcg"))
+    a.select(col("g"), col("dcg"), col("idcg"),
+        when(col("idcg") === 0, lit(0L))
+          .otherwise(Binning.floorDivCol(col("dcg") * lit(1000000L), col("idcg")))
+          .as("ndcg_ppm"))
+      .orderedSmall(col("g"))
+  }
+
+  private val PrIters = 5
+  private val PrDampNum = 85L // d = 0.85 as an exact rational
+  private val PrUnit = 1000000000000L // pico rank units
+
+  /** 5-iteration PageRank (#184): the canonical iterative-graph
+    * operator, over the customer⇄supplier trade graph (distinct
+    * orders⋈lineitem pairs, doubled into both directions so every
+    * node has out-degree ≥ 1 — no dangling mass). Ranks live in
+    * exact pico units; each transfer r div outdeg and each damping
+    * (85·in) div 100 + teleport floors identically on both engines,
+    * so five rounds stay bit-exact. Per iteration: one join of the
+    * rank relation against the src-keyed edge relation + one
+    * dst-keyed aggregate — the classic 2-shuffle PageRank step; at
+    * cluster scale the edge side would be bucketed on src once
+    * ([[graft.operators.Layout.writeBucketed]]) making the join
+    * zero-exchange. Output folds node ranks onto (nation, role) —
+    * bounded at 50 rows at any scale.
+    */
+  val qPagerank = GateQuery.sql(
+    "q_pagerank", {
+      val iterCtes = (1 to PrIters).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |    (15 * $PrUnit) // (100 * (SELECT n FROM cnt))
+           |      + ($PrDampNum * coalesce(c.in_sum, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.r // e.outdeg) AS BIGINT) AS in_sum
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1) c
+           |  ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e0 AS (SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+         |  UNION ALL SELECT 's' || sk, 'c' || ck FROM pairs),
+         |deg AS (SELECT src AS node, count(*) AS outdeg FROM e0 GROUP BY 1),
+         |nodes AS (SELECT node FROM deg),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (SELECT e0.src, e0.dst, d.outdeg FROM e0 JOIN deg d ON e0.src = d.node),
+         |r0 AS (SELECT node, $PrUnit // (SELECT n FROM cnt) AS r FROM nodes),
+         |$iterCtes,
+         |nat AS (SELECT 'c' || c_custkey AS node, c_nationkey AS nationkey,
+         |    'customer' AS role FROM customer
+         |  UNION ALL SELECT 's' || s_suppkey, s_nationkey, 'supplier' FROM supplier)
+         |SELECT nat.nationkey, nat.role, count(*) AS n_nodes,
+         |  CAST(sum(r.r) AS BIGINT) AS rank_pico
+         |FROM r$PrIters r JOIN nat ON r.node = nat.node
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+    val e0 = pairs.select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+      .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("c"), col("ck")).as("dst")))
+    val deg = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val edges = e0.join(deg.withColumnRenamed("node", "src"), "src")
+      .persist() // reused by all 5 iterations; freed after the action
+    val nodes = deg.select(col("node")).persist()
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    // teleport share is a scalar — computed once in the driver (one
+    // job over the persisted node relation, same as DuckDB's (SELECT
+    // n FROM cnt) scalar subquery)
+    val n = nCnt.head().getLong(0)
+    val teleport = (15L * PrUnit) / (100L * n) // exact: all positive longs
+    var r = nodes.select(col("node"), lit(PrUnit / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(r, edges("src") === r("node"))
+        .select(col("dst").as("node"),
+          Binning.floorDivCol(col("r"), col("outdeg")).as("c"))
+        .groupBy(col("node"))
+        .agg(Exact.sumUnits(col("c")).cast("long").as("in_sum"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            Binning.floorDivCol(lit(PrDampNum) * coalesce(col("in_sum"), lit(0L)),
+              lit(100L))).as("r"))
+    }
+    val cust = Tables.customer(s, d).select(
+      concat(lit("c"), col("c_custkey")).as("node"),
+      col("c_nationkey").as("nationkey"), lit("customer").as("role"))
+    val supp = Tables.supplier(s, d).select(
+      concat(lit("s"), col("s_suppkey")).as("node"),
+      col("s_nationkey").as("nationkey"), lit("supplier").as("role"))
+    val out = r.join(cust.unionAll(supp), "node")
+      .groupBy(col("nationkey"), col("role"))
+      .agg(count(lit(1)).as("n_nodes"),
+        Exact.sumUnits(col("r")).cast("long").as("rank_pico"))
+      .orderedSmall(col("nationkey"), col("role"))
+    val materialized = out.cache()
+    materialized.count() // force before unpersisting the edge relation
+    edges.unpersist()
+    nodes.unpersist()
+    materialized
+  }
+
+  /** Gini concentration index (#185): how concentrated is spend
+    * across users, per event type — the corpus-audit inequality
+    * measure (a handful of users dominating a source is a data-mix
+    * smell). Users COLLAPSE to per-user totals first (the
+    * value-collapsed discipline: windows see users, never raw
+    * events); G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
+    * ranks with user_id tie pin — numerator nonnegative by the
+    * rearrangement inequality, so the ppm floor-division mirrors.
+    */
+  val qGini = GateQuery.sql(
+    "q_gini",
+    s"""WITH u AS (SELECT event_type, user_id,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS x
+       |  FROM $E e GROUP BY 1, 2),
+       |r AS (SELECT event_type, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+       |  FROM u),
+       |a AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS ix
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_users, s AS total_cents,
+       |  CAST(${floorDivBigSql("(2 * ix - (n + 1) * CAST(s AS HUGEINT)) * 1000000", "CAST(n AS HUGEINT) * s")}
+       |    AS BIGINT) AS gini_ppm
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val u = ev(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("x"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
+    val r = u.withColumn("i", row_number().over(wo).cast("long"))
+    val a = r.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      Exact.sumUnits(col("x")).cast("long").as("s"),
+      sum(col("i").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("ix"))
+    a.select(col("event_type"), col("n").cast("long").as("n_users"),
+        col("s").as("total_cents"),
+        floorDivBig(
+          (lit(2L) * col("ix") - (col("n") + 1).cast("decimal(38,0)") * col("s")) *
+            lit(1000000L),
+          col("n").cast("decimal(38,0)") * col("s")).cast("long").as("gini_ppm"))
+      .orderedSmall(col("event_type"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini)
+}

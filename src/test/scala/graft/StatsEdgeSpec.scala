@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.{Exact, WindowOps}
+import graft.queries.StatsQueries
+
+/** Edge-case pins for the statistical-testing / eval / graph gates
+  * (SURVEY.md §2 #178–#185). Gates read `$dir/<table>.parquet`, so
+  * each pin writes a tiny synthetic table directory with a
+  * closed-form expected answer and runs the REAL gate against it —
+  * behavior pins, not formula re-derivations.
+  */
+class StatsEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic events table: (event_id, user_id, event_type, value),
+    * ts = epoch + event_id seconds (so (ts_us, event_id) order ==
+    * event_id order).
+    */
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("graft_stats_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("event_id")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("cusum closed form equals the textbook recursion") {
+    val xs = Seq(100L, 300L, 50L, 50L, 400L, 10L, 10L, 500L)
+    val target = 150L
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("i", "x")
+    val out = WindowOps.cusum(df, Seq(lit(1)), Seq(col("i")), col("x"), lit(target))
+      .orderBy("i").select("cusum").as[Long].collect()
+    // direct recursion S_i = max(0, S_{i-1} + (x - target))
+    val expected = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - target)).tail
+    assert(out.toSeq === expected)
+  }
+
+  test("floorDivBig matches BigInt floor division beyond long range") {
+    val cases = Seq(
+      ("123456789012345678901234567", "7"),
+      ("999999999999999999999999", "1000000000001"),
+      ("0", "3"))
+    val df = cases.toDF("x", "y")
+      .select(Exact.floorDivBig(col("x").cast("decimal(38,0)"),
+        col("y").cast("decimal(38,0)")).as("q")).collect()
+    cases.zip(df).foreach { case ((x, y), r) =>
+      assert(BigInt(r.getDecimal(0).toBigInteger) === BigInt(x) / BigInt(y))
+    }
+  }
+
+  test("NDCG discount weights are the literal floor(1e6/log2(1+r)) table") {
+    val w = StatsQueries.ndcgWeights
+    assert(w.head === 1000000L)
+    assert(w(1) === 630929L) // 1e6/log2(3)
+    assert(w.sliding(2).forall(p => p(0) > p(1)), "strictly decreasing")
+    assert(w.size === 10)
+  }
+
+  test("chi-squared on an exactly independent contingency table is ~0") {
+    // counts(g, t) = a_g * b_t with A = B = 10 makes O·N = R·C exactly;
+    // every pico term floors exactly, so chi2_micro == 0.
+    val a = Seq(1, 2, 3, 4) // user buckets 0..3 (users 0..3 mod 8)
+    val b = Seq(2, 3, 5) // types
+    val types = Seq("click", "view", "purchase")
+    var id = -1L
+    val rows = for {
+      (ag, g) <- a.zipWithIndex
+      (bt, t) <- b.zipWithIndex
+      _ <- 1 to (ag * bt)
+    } yield { id += 1; (id, g.toLong, types(t), 100.0) }
+    val dir = eventsDir(rows)
+    val out = StatsQueries.qChisq.run(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head.getValuesMap[Any](Seq("n_events", "dof", "chi2_micro"))
+    assert(r("n_events") === 100L) // A·B = 10·10
+    assert(r("dof") === 6L) // (4-1)·(3-1)
+    assert(r("chi2_micro") === 0L)
+  }
+
+  test("gini: equal spend is 0; a single holder of n users is (n-1)/n") {
+    // 4 users, one event each, all equal -> gini 0
+    val eq = eventsDir((0L to 3L).map(u => (u, u, "view", 50.0)))
+    val gEq = StatsQueries.qGini.run(spark, eq).select("gini_ppm").as[Long].collect()
+    assert(gEq.toSeq === Seq(0L))
+    // 4 users, only user 0 spends -> G = (n-1)/n = 750000 ppm
+    val one = eventsDir(
+      (0L to 3L).map(u => (u, u, "view", if (u == 0) 80.0 else 0.0)))
+    val gOne = StatsQueries.qGini.run(spark, one).select("gini_ppm").as[Long].collect()
+    assert(gOne.toSeq === Seq(750000L))
+  }
+
+  test("average precision: all positives ranked first is exactly 1") {
+    // purchases have the highest values -> P@k = 1 at every positive
+    val rows = Seq(
+      (0L, 0L, "purchase", 90.0), (1L, 0L, "purchase", 80.0),
+      (2L, 0L, "view", 50.0), (3L, 0L, "view", 40.0))
+    val out = StatsQueries.qAvgPrecision.run(spark, eventsDir(rows))
+      .select("ap_ppm").as[Long].collect()
+    assert(out.toSeq === Seq(1000000L))
+  }
+
+  test("NDCG: value ranking aligned with gains is exactly 1") {
+    // gains strictly follow value order -> realized == ideal ranking
+    val rows = (0L to 5L).map(i => (i, 0L, "view", 450.0 - 50.0 * i))
+    val out = StatsQueries.qNdcg.run(spark, eventsDir(rows))
+      .select("ndcg_ppm").as[Long].collect()
+    assert(out.toSeq === Seq(1000000L))
+  }
+
+  test("pagerank: a symmetric graph yields equal ranks") {
+    val dir = Files.createTempDirectory("graft_pr_fix").toString
+    // two disjoint customer-supplier pairs; all 4 nodes symmetric
+    Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 100L), (2L, 200L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((100L, 3L), (200L, 4L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    val out = StatsQueries.qPagerank.run(spark, dir)
+      .select("rank_pico").as[Long].collect()
+    assert(out.length === 4)
+    assert(out.toSet.size === 1, s"symmetric nodes must tie: ${out.toSeq}")
+    // and the tied value is teleport + 0.85·(1/N) of the unit mass
+    assert(out.head === (15L * 1000000000000L) / (100L * 4) +
+      (85L * (1000000000000L / 4)) / 100L)
+  }
+
+  test("welch t on two identical samples is 0") {
+    val rows = (0L to 9L).flatMap(i =>
+      Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
+    val out = StatsQueries.qTtest.run(spark, eventsDir(rows))
+      .select("t_stat").as[Double].collect()
+    assert(out.toSeq === Seq(0.0))
+  }
+}
