@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Binning, Exact}
+import graft.operators.{Binning, Curation, Exact, TextOps}
 import graft.operators.Exact.centsSql
 
 /** Statistical-testing / ML-evaluation / graph extensions
@@ -486,6 +486,221 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  private val BootB = 32
+  /** Cumulative Poisson(1) thresholds in ppm, precomputed in the
+    * driver and inlined as literals on both engines: a row's resample
+    * weight is the number of thresholds ≤ its uniform hash draw —
+    * the inverse-CDF transform with libm confined to the driver.
+    */
+  private[graft] val poissonCdfPpm: Seq[Long] = {
+    val pmf = Iterator.iterate((0, math.exp(-1.0))) { case (k, p) => (k + 1, p / (k + 1)) }
+    pmf.take(8).foldLeft((0.0, Seq.empty[Long])) { case ((cum, acc), (_, p)) =>
+      val c = cum + p
+      (c, acc :+ math.floor(c * 1e6).toLong)
+    }._2
+  }
+
+  /** Poisson-bootstrap confidence interval (#186): the resampling
+    * scheme that actually runs at 100 TB (Chamandy et al. 2012) — a
+    * conventional bootstrap would need B independent full-data
+    * passes; the Poisson trick gives every row an independent
+    * Poisson(1) weight per replicate in ONE pass (a bounded ×B
+    * explode, map-side combined to types×B rows). Weights come from
+    * the portable md5 `base_hash` (replicate fate is a pure function
+    * of (event_id, b) — partitioning/order/engine independent), the
+    * inverse CDF is the inlined literal table [[poissonCdfPpm]], and
+    * each replicate mean is an exact HALF_UP integer ratio. The
+    * interval is the 2nd/31st order statistic of the 32 replicate
+    * means.
+    */
+  val qBootstrapCi = GateQuery.sql(
+    "q_bootstrap_ci", {
+      val thr = poissonCdfPpm
+      val wSql = thr.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, ${centsSql("vd")} AS c FROM $E t),
+         |x AS (SELECT event_type, c,
+         |    ${TextOps.baseHashSql("'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")}
+         |      % 1000000 AS u, b.b
+         |  FROM e, (SELECT unnest(generate_series(0, ${BootB - 1})) AS b) b),
+         |w AS (SELECT event_type, b, c, $wSql AS w FROM x),
+         |m AS (SELECT event_type, b,
+         |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * c) AS BIGINT) AS swc
+         |  FROM w GROUP BY 1, 2),
+         |mm AS (SELECT event_type, b, (2 * swc + sw) // (2 * sw) AS mean_b,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY (2 * swc + sw) // (2 * sw), b) AS rk
+         |  FROM m),
+         |full_m AS (SELECT event_type,
+         |    (2 * CAST(sum(c) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_cents
+         |  FROM e GROUP BY 1)
+         |SELECT f.event_type, $BootB AS n_boot, f.mean_cents,
+         |  max(CASE WHEN rk = 2 THEN mean_b END) AS lo_cents,
+         |  max(CASE WHEN rk = ${BootB - 1} THEN mean_b END) AS hi_cents
+         |FROM full_m f JOIN mm USING (event_type)
+         |GROUP BY 1, 3 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), col("event_id"), Exact.cents(col("vd")).as("c"))
+    val x = e.withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
+      .withColumn("u", pmod(TextOps.baseHash(
+        concat(lit("boot:"), col("b").cast("string"), lit(":"), col("event_id").cast("string"))),
+        lit(1000000L)))
+    val w = x.withColumn("w",
+      poissonCdfPpm.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    val m = w.groupBy(col("event_type"), col("b"))
+      .agg(Exact.sumUnits(col("w")).cast("long").as("sw"),
+        Exact.sumUnits(col("w") * col("c")).cast("long").as("swc"))
+      .withColumn("mean_b",
+        Binning.floorDivCol(lit(2L) * col("swc") + col("sw"), lit(2L) * col("sw")))
+    val mm = m.withColumn("rk", row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("mean_b"), col("b"))))
+    val fullM = e.groupBy(col("event_type"))
+      .agg(Binning.floorDivCol(
+        lit(2L) * Exact.sumUnits(col("c")).cast("long") + count(lit(1)),
+        lit(2L) * count(lit(1))).as("mean_cents"))
+    fullM.join(mm, "event_type")
+      .groupBy(col("event_type"), col("mean_cents"))
+      .agg(max(when(col("rk") === 2, col("mean_b"))).as("lo_cents"),
+        max(when(col("rk") === BootB - 1, col("mean_b"))).as("hi_cents"))
+      .select(col("event_type"), lit(BootB.toLong).as("n_boot"), col("mean_cents"),
+        col("lo_cents"), col("hi_cents"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Kaplan–Meier survival estimator (#187): user-churn survival —
+    * lifetime = days between a user's first and last event; users
+    * still active in the final 7 days of the corpus are right-
+    * CENSORED (their lifetime is a lower bound, they leave the risk
+    * set without a death). The curve is carried in micro-nats:
+    * ln S(t) = Σ_{tᵢ≤t} microLn((nᵢ−dᵢ)/nᵢ) — the same micro-ln
+    * quantization as the LM gates, so the cumulative product never
+    * meets floating addition. Users COLLAPSE to one row each, then
+    * windows run over DISTINCT lifetimes only.
+    */
+  val qKaplanMeier = GateQuery.sql(
+    "q_kaplan_meier",
+    s"""WITH u AS (SELECT user_id,
+       |    (max(xs) - min(xs)) // 86400 AS lt,
+       |    CASE WHEN max(xs) >= (SELECT max(xs) FROM $E e2) - 7 * 86400
+       |      THEN 1 ELSE 0 END AS censored
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT lt, count(*) AS n_at,
+       |    CAST(sum(1 - censored) AS BIGINT) AS d,
+       |    CAST(sum(censored) AS BIGINT) AS cens
+       |  FROM u GROUP BY lt),
+       |r AS (SELECT *,
+       |    CAST(sum(n_at) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+       |  FROM t),
+       |s AS (SELECT *, CAST(sum(CASE WHEN d > 0 THEN
+       |      ${Curation.microLnSql("CAST(n_risk - d AS DOUBLE) / n_risk")}
+       |    ELSE 0 END) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS ln_surv_micro
+       |  FROM r)
+       |SELECT lt AS t_days, n_risk, d AS n_deaths, cens AS n_censored,
+       |  ln_surv_micro
+       |FROM s ORDER BY t_days""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(7L * 86400L), 1L).otherwise(0L)
+          .as("censored"))
+    val t = u.groupBy(col("lt"))
+      .agg(count(lit(1)).as("n_at"),
+        Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d"),
+        Exact.sumUnits(col("censored")).cast("long").as("cens"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("lt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t.withColumn("n_risk", sum(col("n_at")).over(wDesc).cast("long"))
+    val sdf = r.withColumn("ln_surv_micro",
+      sum(when(col("d") > 0,
+        Curation.microLn((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+        .otherwise(lit(0L))).over(wAsc).cast("long"))
+    sdf.select(col("lt").as("t_days"), col("n_risk"), col("d").as("n_deaths"),
+        col("cens").as("n_censored"), col("ln_surv_micro"))
+      .orderedSmall(col("t_days"))
+  }
+
+  /** Theil T index (#188): the entropy-form inequality measure that
+    * DECOMPOSES across sources (unlike Gini) — T = Σ (xᵢ/S)·ln(xᵢ·n/S).
+    * Each user's ln term is micro-ln quantized, the weighted sum is
+    * an exact decimal, and the result leaves as one floor division:
+    * T_micro = (Σ xᵢ·microLn(xᵢ·n/S) + S−1) handled as the plain
+    * floored ratio (numerator may be negative only by quantization;
+    * clamped at 0 — T ≥ 0 analytically). Zero-spend users carry no
+    * mass and are excluded from the ln (lim x→0 x·ln x = 0).
+    */
+  val qTheil = GateQuery.sql(
+    "q_theil",
+    s"""WITH u AS (SELECT event_type, user_id,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS x
+       |  FROM $E e GROUP BY 1, 2),
+       |w AS (SELECT event_type, x,
+       |    count(*) OVER (PARTITION BY event_type) AS n,
+       |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+       |  FROM u),
+       |a AS (SELECT event_type, any_value(n) AS n, any_value(s) AS s,
+       |    CAST(sum(CASE WHEN x > 0 THEN
+       |      x * ${Curation.microLnSql("CAST(x AS DOUBLE) * n / s")}
+       |    ELSE 0 END) AS HUGEINT) AS num
+       |  FROM w GROUP BY event_type),
+       |f AS (SELECT event_type, n, s,
+       |    greatest(${Exact.floorDivBigSql("num + CAST(s AS HUGEINT) - 1", "s")}, 0) AS theil
+       |  FROM a WHERE s > 0)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_users, s AS total_cents,
+       |  CAST(theil AS BIGINT) AS theil_micro
+       |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+    val u = ev(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("x"))
+    val wt = Window.partitionBy(col("event_type"))
+    val withStats = u
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum(col("x")).over(wt).cast("long"))
+    val a = withStats.groupBy(col("event_type")).agg(
+      first(col("n")).as("n"), first(col("s")).as("s"),
+      sum(when(col("x") > 0,
+        col("x").cast("decimal(38,0)") *
+          Curation.microLn(col("x").cast("double") * col("n") / col("s")))
+        .otherwise(lit(0L).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("num"))
+    a.filter(col("s") > 0)
+      .select(col("event_type"), col("n").cast("long").as("n_users"),
+        col("s").as("total_cents"),
+        greatest(Exact.floorDivBig(
+          col("num") + col("s").cast("decimal(38,0)") - lit(1L), col("s")), lit(0L).cast("decimal(38,0)"))
+          .cast("long").as("theil_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Mergeable quantile sketch — the SCALE PATH of #43's exact
+    * percentiles (#189, rows+test): Spark's built-in
+    * `approx_percentile` (Greenwald–Khanna) is the
+    * single-pass, mergeable, bounded-memory shape a 100 TB
+    * percentile query actually runs — map-side sketches merge on
+    * one reducer row per group instead of shuffling every value.
+    * Non-deterministic across engines only in its error slack, so
+    * the gate is rows-only; StatsEdgeSpec pins the rank-error
+    * contract |rank(est) − target| ≤ ε·n against the exact ranks.
+    */
+  val qQuantileSketch = GateQuery.rowsOnly("q_quantile_sketch") { (s, d) =>
+    ev(s, d)
+      .select(col("event_type"), Exact.cents(col("vd")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        percentile_approx(col("c"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+          .as("p_est"))
+      .select(col("event_type"), col("n_points"),
+        element_at(col("p_est"), 1).as("p50_est"),
+        element_at(col("p_est"), 2).as("p90_est"),
+        element_at(col("p_est"), 3).as("p99_est"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini)
+    qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
+    qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch)
 }

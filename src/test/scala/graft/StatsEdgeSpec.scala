@@ -132,6 +132,75 @@ class StatsEdgeSpec extends SparkSpec {
       (85L * (1000000000000L / 4)) / 100L)
   }
 
+  test("poisson bootstrap weights: mean ~1, deterministic, CDF table pinned") {
+    // CDF table: cumulative Poisson(1) in ppm, strictly increasing to ~1
+    val thr = StatsQueries.poissonCdfPpm
+    assert(thr.head === 367879 && thr.size === 8)
+    assert(thr.sliding(2).forall(p => p(0) < p(1)))
+    assert(thr.last > 999980)
+    // empirical mean weight over a large deterministic draw is ~1
+    val n = 20000
+    val df = (0 until n).map(_.toLong).toDF("id")
+      .select(pmod(graft.operators.TextOps.baseHash(
+        concat(lit("boot:0:"), col("id"))), lit(1000000L)).as("u"))
+      .select(thr.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _).as("w"))
+    val meanW = df.agg(avg("w")).as[Double].head()
+    assert(math.abs(meanW - 1.0) < 0.05, s"mean weight $meanW far from 1")
+  }
+
+  test("kaplan-meier: with everyone dying at distinct times, ln-survival is exact") {
+    // 3 users, lifetimes 0,1,2 days, corpus spans > 7 days past the
+    // last death so nobody is censored: S = 2/3 after t=0, 1/3 after
+    // t=1, 0 after t=2 (ln -> microLn sums)
+    val day = 86400L
+    val dir = Files.createTempDirectory("graft_km_fix").toString
+    Seq(
+      (0L, 0L, 0L, "view", 1.0),
+      (1L, 1L, 0L, "view", 1.0), (2L, 1L, day, "view", 1.0),
+      (3L, 2L, 0L, "view", 1.0), (4L, 2L, 2 * day, "view", 1.0),
+      (5L, 3L, 0L, "view", 1.0), (6L, 3L, 20 * day, "view", 1.0))
+      .toDF("event_id", "user_id", "off", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsQueries.qKaplanMeier.run(spark, dir)
+      .select("t_days", "n_risk", "n_deaths", "n_censored", "ln_surv_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    def mln(x: Double) = math.floor(math.log(x) * 1e6).toLong
+    // t=0: 4 at risk, 1 death; t=1: 3 at risk, 1 death; t=2: 2 at risk,
+    // 1 death; t=20: anchor user censored (within final 7 days)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ===
+      Seq((0L, 4L, 1L, 0L), (1L, 3L, 1L, 0L), (2L, 2L, 1L, 0L), (20L, 1L, 0L, 1L)))
+    assert(out(0)._5 === mln(3.0 / 4))
+    assert(out(1)._5 === mln(3.0 / 4) + mln(2.0 / 3))
+    assert(out(2)._5 === mln(3.0 / 4) + mln(2.0 / 3) + mln(1.0 / 2))
+    assert(out(3)._5 === out(2)._5) // censoring adds no survival drop
+  }
+
+  test("theil index of equal spend is 0; quantile sketch meets its rank-error bound") {
+    val eq = eventsDir((0L to 3L).map(u => (u, u, "view", 50.0)))
+    val t = StatsQueries.qTheil.run(spark, eq).select("theil_micro").as[Long].collect()
+    assert(t.toSeq === Seq(0L))
+    // sketch: estimated p50/p90/p99 of sf0.001 'view' cents must sit
+    // within eps*n ranks of the target (eps = 1/accuracy = 1e-4)
+    val dir = "/root/testdata/sf0.001"
+    val est = StatsQueries.qQuantileSketch.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cents = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .as[Long].collect().sorted
+    val n = cents.length
+    val eps = 1e-4
+    for (((q, e), i) <- Seq((0.5, est("view")._1), (0.9, est("view")._2),
+        (0.99, est("view")._3)).zipWithIndex) {
+      val rank = cents.count(_ <= e).toDouble / n
+      assert(math.abs(rank - q) <= eps + 1.0 / n + 0.01,
+        s"quantile $q estimate $e has rank $rank")
+    }
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
