@@ -131,6 +131,47 @@ object WindowOps {
       .toDF(group, x, "ewma")
   }
 
+  /** Holt linear-trend (double exponential) smoothing — the trend
+    * upgrade of [[ewma]]: l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, initialized l₀ = y₀,
+    * b₀ = y₁−y₀. Like EWMA the recursion needs the full prefix, so
+    * it runs as one `mapGroups` pass per scan: one shuffle,
+    * O(points-per-scan) memory, parallel across scans. On an exactly
+    * linear series the forecast l+b continues the line exactly for
+    * ANY α, β (pinned in StatsEdgeSpec).
+    *
+    * @return (g, x, level, trend, forecast) — `forecast` is the
+    *         one-step-ahead prediction l_t + b_t made AT x
+    */
+  def holt(df: DataFrame, group: String, x: String, y: String,
+           alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    require(beta >= 0 && beta <= 1, s"beta out of [0,1]: $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(group).cast("long").as("g"),
+        col(x).cast("double").as("x"), col(y).cast("double").as("y"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        var l = 0.0
+        var b = 0.0
+        pts.iterator.zipWithIndex.map { case ((_, px, py), i) =>
+          if (i == 0) {
+            l = py
+            b = if (pts.length > 1) pts(1)._3 - py else 0.0
+          } else {
+            val lPrev = l
+            l = alpha * py + (1 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1 - beta) * b
+          }
+          (g, px, l, b, l + b)
+        }
+      }
+      .toDF(group, x, "level", "trend", "forecast")
+  }
+
   /** One-sided CUSUM control chart (#180): S_i = max(0, S_{i−1} +
     * (x_i − target)). The recursion is closed-form as the running
     * sum minus its own running minimum — P_i − min(0, min_{j≤i} P_j)

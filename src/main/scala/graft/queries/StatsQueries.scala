@@ -700,7 +700,49 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Periodogram (#190, rows+test): power spectrum of each event
+    * type's hourly series at integer frequencies 1..8
+    * ([[graft.operators.Spectral.periodogram]] — one mapGroups pass
+    * per series, mean-removed). The iterative-DFT family is
+    * non-SQL-expressible by SURVEY §4; a known-sinusoid fixture pins
+    * the peak frequency in StatsEdgeSpec.
+    */
+  val qPeriodogram = GateQuery.rowsOnly("q_periodogram") { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+      // event_type -> stable long key for the typed mapGroups encoder
+      .withColumn("gk", pmod(TextOps.baseHash(col("event_type")), lit(1000000L)))
+    graft.operators.Spectral.periodogram(g, col("gk"), col("grid"), col("y"), kMax = 8)
+      .groupBy(col("g"))
+      .agg(first(col("n")).as("n_points"),
+        max_by(col("k"), struct(col("power"), -col("k"))).as("peak_k"),
+        round(max(col("power")), 2).as("peak_power"))
+      .orderedSmall(col("g"))
+  }
+
+  /** Holt linear-trend smoothing (#191, rows+test): double
+    * exponential smoothing of each user's 'view' series
+    * ([[graft.operators.WindowOps.holt]]) summarized to the final
+    * level/trend/one-step forecast — the classic short-horizon
+    * forecaster next to #63's EWMA. Exact-linear-continuation is
+    * pinned in StatsEdgeSpec; the recursion is the documented
+    * non-SQL-expressible family.
+    */
+  val qHolt = GateQuery.rowsOnly("q_holt") { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("xs").cast("double").as("x"),
+        Exact.cents(col("vd")).cast("double").as("y"))
+    graft.operators.WindowOps.holt(e, "user_id", "x", "y", alpha = 0.5, beta = 0.3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        round(max_by(col("level"), col("x")), 4).as("last_level"),
+        round(max_by(col("trend"), col("x")), 4).as("last_trend"),
+        round(max_by(col("forecast"), col("x")), 4).as("next_forecast"))
+      .orderedSmall(col("user_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
-    qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch)
+    qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt)
 }

@@ -443,4 +443,39 @@ object StreamingOps {
             .map { case (t, lb) => HhCandidate(grp, t, lb, mg.n) }.iterator
       }
   }
+
+  final case class CuPoint(user: Long, ts: java.sql.Timestamp, x: Long)
+  final case class CuState(p: Long, minP: Long)
+  final case class CuFlag(user: Long, ts: java.sql.Timestamp, x: Long,
+                          cusum: Long, alarm: Boolean)
+
+  /** Streaming CUSUM monitor — the live counterpart of the batch
+    * `q_cusum` gate ([[graft.operators.WindowOps.cusum]]): each scan
+    * carries the one-sided chart S_t = max(0, S_{t−1} + (x − target))
+    * through the SAME closed form (running sum minus its running
+    * minimum), so batch and stream agree reading-for-reading. State
+    * per scan is two longs — O(1) regardless of stream length, no
+    * ring, no watermark needed; within-batch order is pinned by
+    * (ts, x) like every stateful operator here. Emits every reading
+    * with its chart value and alarm flag (Update mode).
+    */
+  def cusumStream(points: Dataset[CuPoint], target: Long,
+                  threshold: Long): Dataset[CuFlag] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[CuState, CuFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[CuPoint], state: GroupState[CuState]) =>
+          var st = state.getOption.getOrElse(CuState(0L, 0L))
+          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.x)).map { p =>
+            val pNew = st.p + (p.x - target)
+            st = CuState(pNew, math.min(st.minP, pNew))
+            val s = pNew - math.min(0L, st.minP)
+            CuFlag(user, p.ts, p.x, s, s > threshold)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

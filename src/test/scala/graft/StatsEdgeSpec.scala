@@ -201,6 +201,32 @@ class StatsEdgeSpec extends SparkSpec {
     }
   }
 
+  test("periodogram peaks at the true frequency of a pure sinusoid") {
+    val n = 64
+    val kTrue = 5
+    val pts = (0 until n).map(t =>
+      (1L, t.toDouble, 100.0 * math.sin(2 * math.Pi * kTrue * t / n) + 42.0))
+    val df = pts.toDF("g", "o", "y")
+    val out = graft.operators.Spectral.periodogram(df, col("g"), col("o"), col("y"), kMax = 10)
+      .orderBy(desc("power")).select("k", "power").as[(Int, Double)].collect()
+    assert(out.head._1 === kTrue)
+    // all other frequencies carry ~zero power for a pure tone
+    assert(out.tail.forall(_._2 < out.head._2 * 1e-10))
+  }
+
+  test("holt smoothing continues an exactly linear series exactly") {
+    val pts = (0 until 20).map(t => (7L, t.toDouble, 3.0 + 2.5 * t))
+    val out = graft.operators.WindowOps.holt(
+      pts.toDF("g", "x", "y"), "g", "x", "y", alpha = 0.42, beta = 0.17)
+      .orderBy("x").select("level", "trend", "forecast")
+      .as[(Double, Double, Double)].collect()
+    out.zipWithIndex.foreach { case ((l, b, f), t) =>
+      assert(math.abs(l - (3.0 + 2.5 * t)) < 1e-9, s"level at $t")
+      assert(math.abs(b - 2.5) < 1e-9, s"trend at $t")
+      assert(math.abs(f - (3.0 + 2.5 * (t + 1))) < 1e-9, s"forecast at $t")
+    }
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))

@@ -440,4 +440,30 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_.n_win <= 8))
     } finally q.stop()
   }
+
+  test("streaming cusum matches the batch closed form across batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CuFlag, CuPoint}
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val target = 150L
+    val flags = StreamingOps.cusumStream(
+      input.toDF().toDF("ts", "user", "x")
+        .select(col("user"), col("ts"), col("x")).as[CuPoint],
+      target = target, threshold = 500L)
+    val q = flags.writeStream.format("memory").queryName("cuflags")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val xs = Seq(100L, 300L, 50L, 50L, 400L, 10L, 10L, 900L)
+      // split across two micro-batches: state must carry over
+      input.addData(xs.take(4).zipWithIndex.map { case (x, i) => (ts(i * 10), 1L, x) }: _*)
+      q.processAllAvailable()
+      input.addData(xs.drop(4).zipWithIndex.map { case (x, i) => (ts((i + 4) * 10), 1L, x) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("cuflags").as[CuFlag].collect().sortBy(_.ts.getTime)
+      val expected = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - target)).tail
+      assert(rows.map(_.cusum).toSeq === expected)
+      // the final spike crosses the threshold, nothing before it does
+      assert(rows.last.alarm && !rows.init.exists(_.alarm))
+    } finally q.stop()
+  }
 }
