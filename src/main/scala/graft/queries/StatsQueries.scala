@@ -742,7 +742,98 @@ object StatsQueries {
       .orderedSmall(col("user_id"))
   }
 
+  private val CorrTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val CorrPairs: Seq[(String, String)] =
+    for { a <- CorrTypes; b <- CorrTypes if a < b } yield (a, b)
+
+  /** Pearson correlation matrix (#193): pairwise correlation of
+    * per-user activity counts across event types — the behavioral
+    * covariance audit ("do users who click also buy?"). Users
+    * collapse to ONE pivoted count row each, all 5 sums + 5 squares
+    * + 10 cross-products accumulate in a single exact-decimal
+    * aggregate (one pass, one shuffle bounded by users), and the 10
+    * correlations leave the one-row stats relation through mirrored
+    * double closed forms in one projection — never 10 re-reads.
+    */
+  val qCorrMatrix = GateQuery.sql(
+    "q_corr_matrix", {
+      def c(t: String) = s"c_$t"
+      val pivots = CorrTypes.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS ${c(t)}").mkString(", ")
+      val sums = CorrTypes.map(t =>
+        s"CAST(sum(${c(t)}) AS BIGINT) AS s_$t, CAST(sum(${c(t)} * ${c(t)}) AS HUGEINT) AS q_$t")
+        .mkString(", ")
+      val crosses = CorrPairs.map { case (a, b) =>
+        s"CAST(sum(${c(a)} * ${c(b)}) AS HUGEINT) AS x_${a}_$b" }.mkString(", ")
+      val pairRows = CorrPairs.map { case (a, b) =>
+        val da = s"CAST(n * q_$a - CAST(s_$a AS HUGEINT) * s_$a AS DOUBLE)"
+        val db = s"CAST(n * q_$b - CAST(s_$b AS HUGEINT) * s_$b AS DOUBLE)"
+        s"""SELECT '$a' AS type_a, '$b' AS type_b, n AS n_users,
+           |  CASE WHEN $da = 0 OR $db = 0 THEN NULL ELSE
+           |    round(CAST(n * x_${a}_$b - CAST(s_$a AS HUGEINT) * s_$b AS DOUBLE)
+           |      / sqrt($da * $db), 6) + 0.0 END AS r
+           |  FROM a""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH u AS (SELECT user_id, $pivots FROM $E e GROUP BY user_id),
+         |a AS (SELECT count(*) AS n, $sums, $crosses FROM u)
+         |SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users, r FROM (
+         |  $pairRows)
+         |ORDER BY type_a, type_b""".stripMargin
+    }) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === CorrTypes.head, 1)).as(s"c_${CorrTypes.head}"),
+        CorrTypes.tail.map(t => count(when(col("event_type") === t, 1)).as(s"c_$t")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val statCols: Seq[Column] =
+      CorrTypes.flatMap(t => Seq(
+        sum(dec(col(s"c_$t"))).cast("decimal(38,0)").as(s"s_$t"),
+        sum(dec(col(s"c_$t") * col(s"c_$t"))).cast("decimal(38,0)").as(s"q_$t"))) ++
+        CorrPairs.map { case (a, b) =>
+          sum(dec(col(s"c_$a") * col(s"c_$b"))).cast("decimal(38,0)").as(s"x_${a}_$b") }
+    val a = u.agg(count(lit(1)).cast("decimal(38,0)").as("n"), statCols: _*)
+    val pairStructs = CorrPairs.map { case (ta, tb) =>
+      def d2(c: Column) = c.cast("double")
+      val num = d2(col("n") * col(s"x_${ta}_$tb") - col(s"s_$ta") * col(s"s_$tb"))
+      val da = d2(col("n") * col(s"q_$ta") - col(s"s_$ta") * col(s"s_$ta"))
+      val db = d2(col("n") * col(s"q_$tb") - col(s"s_$tb") * col(s"s_$tb"))
+      struct(lit(ta).as("type_a"), lit(tb).as("type_b"),
+        col("n").cast("long").as("n_users"),
+        when(da === 0.0 || db === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / sqrt(da * db), 6) + lit(0.0)).as("r"))
+    }
+    a.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.type_a"), col("p.type_b"), col("p.n_users"), col("p.r"))
+      .orderedSmall(col("type_a"), col("type_b"))
+  }
+
+  /** Distributed PCA explained variance (#194, rows+test): one
+    * `mapPartitions` pass folds the corpus into partition-local
+    * (n, Σx, Σx·xᵀ) accumulators on the 1e-6-quantized integer
+    * vectors (exact — the shuffle carries partitions×(d²+d+1)
+    * values, never data), the 64×64 eigenproblem solves in the
+    * driver by deterministic cyclic Jacobi
+    * ([[graft.operators.Pca]]), and the gate reports the top-8
+    * eigenvalue shares. Component recovery on planted data is
+    * pinned in StatsEdgeSpec.
+    */
+  val qPcaVar = GateQuery.rowsOnly("q_pca_var") { (s, d) =>
+    import graft.operators.{Pca, VectorOps}
+    val e = Tables.embeddings(s, d)
+      .select(VectorOps.quantize(col("embedding")).as("q"))
+    val dDim = 64
+    val (n, _, cov) = Pca.scatter(e, col("q"), dDim)
+    val (evals, _) = Pca.jacobiEigen(cov)
+    val total = evals.sum
+    import s.implicits._
+    (1 to 8).map(k =>
+        (k, n, math.rint(evals(k - 1) / total * 1e6) / 1e6,
+          math.rint(evals.take(k).sum / total * 1e6) / 1e6))
+      .toDF("component", "n_vectors", "var_share", "cum_share")
+      .orderedSmall(col("component"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
-    qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt)
+    qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
+    qCorrMatrix, qPcaVar)
 }

@@ -227,6 +227,53 @@ class StatsEdgeSpec extends SparkSpec {
     }
   }
 
+  test("pca recovers planted components and their variance ordering") {
+    import graft.operators.Pca
+    // plant: x = a·u + b·w in 6-d, var(a)=25, var(b)=1, u ⊥ w
+    val d = 6
+    val u = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4000).map { _ =>
+      val a = rnd.nextGaussian() * 5.0
+      val b = rnd.nextGaussian() * 1.0
+      (0 until d).map(i => math.round((a * u(i) + b * w(i)) * 1e6)).toSeq
+    }
+    val df = rows.toDF("q")
+    val (n, mean, cov) = Pca.scatter(df, col("q"), d)
+    assert(n === 4000L)
+    assert(mean.forall(m => math.abs(m) < 0.2e6), "means near 0")
+    val (evals, evecs) = Pca.jacobiEigen(cov)
+    // eigenvalues in micro^2 units: ~25e12 and ~1e12, rest ~0
+    assert(math.abs(evals(0) / 1e12 - 25.0) < 2.0, s"ev0 = ${evals(0) / 1e12}")
+    assert(math.abs(evals(1) / 1e12 - 1.0) < 0.2, s"ev1 = ${evals(1) / 1e12}")
+    assert(evals.drop(2).forall(e => math.abs(e) / 1e12 < 0.01))
+    // top component aligns with u (|cos| ~ 1), second with w
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val dot = x.zip(y).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(x.map(v => v * v).sum * y.map(v => v * v).sum)
+    }
+    assert(math.abs(cos(evecs(0), u)) > 0.999)
+    assert(math.abs(cos(evecs(1), w)) > 0.999)
+    // determinism: a second run gives bit-identical results
+    val (evals2, evecs2) = Pca.jacobiEigen(cov)
+    assert(evals.toSeq === evals2.toSeq)
+    assert(evecs.map(_.toSeq).toSeq === evecs2.map(_.toSeq).toSeq)
+  }
+
+  test("correlation matrix: a type correlates +1 with itself-copied counts") {
+    // users where click count == view count exactly -> r(click,view) = 1
+    val rows = (0L until 8L).flatMap { u =>
+      val k = (u % 4) + 1
+      (0L until k).flatMap(i => Seq(
+        (u * 100 + 2 * i, u, "click", 10.0), (u * 100 + 2 * i + 1, u, "view", 10.0)))
+    }
+    val out = StatsQueries.qCorrMatrix.run(spark, eventsDir(rows))
+      .filter(col("type_a") === "click" && col("type_b") === "view")
+      .select("r").as[Double].collect()
+    assert(out.toSeq === Seq(1.0))
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
