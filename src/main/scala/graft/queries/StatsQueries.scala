@@ -832,8 +832,101 @@ object StatsQueries {
       .orderedSmall(col("component"))
   }
 
+  /** RANGE-frame trailing window (#195): the event-TIME-bounded
+    * trailing sum (how much did this user spend in the hour ending
+    * at each event) — a different window machinery from every ROWS
+    * frame in the inventory: the frame is [t−3600, t] by VALUE, so
+    * peers at the same timestamp share a frame on both engines by
+    * the SQL standard. One user-keyed ordered window + aggregate,
+    * exact cents.
+    */
+  val qRangeWindow = GateQuery.sql(
+    "q_range_window",
+    s"""WITH e AS (SELECT user_id, xs, ${centsSql("vd")} AS c FROM $E t
+       |  WHERE event_type IN ('purchase', 'click')),
+       |w AS (SELECT user_id, xs,
+       |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY xs
+       |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail
+       |  FROM e),
+       |w2 AS (SELECT *, max(trail) OVER (PARTITION BY user_id) AS mx FROM w)
+       |SELECT user_id, count(*) AS n_events,
+       |  max(trail) AS max_trail_cents,
+       |  min(CASE WHEN trail = mx THEN xs END) AS first_peak_xs
+       |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("xs"), Exact.cents(col("vd")).as("c"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("xs"))
+      .rangeBetween(-3600L, 0L)
+    val w = e.withColumn("trail", sum(col("c")).over(wr).cast("long"))
+      .withColumn("mx", max(col("trail")).over(Window.partitionBy(col("user_id"))))
+    w.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("trail")).as("max_trail_cents"),
+        min(when(col("trail") === col("mx"), col("xs"))).as("first_peak_xs"))
+      .orderedSmall(col("user_id"))
+  }
+
+  /** HyperLogLog approximate distinct (#196, rows+test): the SCALE
+    * PATH of exact distinct counting (#150's rolling actives shuffle
+    * every (day, user) pair; the sketch is one pass, mergeable,
+    * bounded memory — the count-distinct a 100 TB audit actually
+    * runs first). `approx_count_distinct` is deterministic for fixed
+    * data, so StatsEdgeSpec pins the relative-error contract
+    * against the exact count.
+    */
+  val qApproxDistinct = GateQuery.rowsOnly("q_approx_distinct") { (s, d) =>
+    ev(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Peak-find → Gaussian-fit pipeline (#197, rows+test): pyspec's
+    * canonical interactive workflow (`findpeaks` then `fit`) as one
+    * distributed pipeline — strict ±2-neighbor local maxima over
+    * each user's hourly series seed per-peak Gaussian fits on the
+    * surrounding ±6-point windows. The window attach is a BOUNDED
+    * ×13 lag explode joined on (user, peak-grid) — never a range
+    * join — and the fits run one task per (user, peak) through the
+    * same damped Gauss–Newton as #10. Two-peak recovery pinned in
+    * StatsEdgeSpec.
+    */
+  val qPeakfitPipeline = GateQuery.rowsOnly("q_peakfit_pipeline") { (s, d) =>
+    import graft.operators.GaussFit
+    val g = ev(s, d).filter(col("event_type") === "view")
+      .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("grid"))
+    val peaks = g
+      .withColumn("l1", lag(col("y"), 1).over(wo))
+      .withColumn("l2", lag(col("y"), 2).over(wo))
+      .withColumn("r1", lead(col("y"), 1).over(wo))
+      .withColumn("r2", lead(col("y"), 2).over(wo))
+      .filter(col("l1").isNotNull && col("r1").isNotNull &&
+        col("y") > col("l1") && col("y") > col("r1") &&
+        (col("l2").isNull || col("y") > col("l2")) &&
+        (col("r2").isNull || col("y") > col("r2")))
+      .select(col("user_id"), col("grid").as("peak_grid"))
+    // bounded ±6 lag explode attaches each point to nearby peaks
+    val pts = g.withColumn("peak_grid", explode(sequence(col("grid") - 6, col("grid") + 6)))
+      .join(peaks, Seq("user_id", "peak_grid"))
+    // composite long key: grids are bounded (hours since epoch base)
+    val keyed = pts.select(
+      (col("user_id") * lit(1000000L) + col("peak_grid")).as("fg"),
+      col("grid").cast("double").as("x"), col("y").cast("double").as("y"))
+    GaussFit.fitGroups(keyed, "fg", "x", "y")
+      .select(expr("g div 1000000").as("user_id"),
+        pmod(col("g"), lit(1000000L)).as("peak_grid"),
+        col("n").as("n_pts"), round(col("com"), 4).as("center"),
+        round(col("height"), 2).as("height"),
+        round(col("sigma"), 4).as("sigma"), col("converged"))
+      .orderedSmall(col("user_id"), col("peak_grid"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qPcaVar)
+    qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline)
 }

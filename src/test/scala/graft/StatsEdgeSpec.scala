@@ -274,6 +274,62 @@ class StatsEdgeSpec extends SparkSpec {
     assert(out.toSeq === Seq(1.0))
   }
 
+  test("approx distinct meets its 3·rsd relative-error contract") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = StatsQueries.qApproxDistinct.run(spark, dir)
+      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.06, s"approx $approx vs exact $exact: rel err $rel")
+    }
+  }
+
+  test("peakfit pipeline recovers two planted gaussian peaks") {
+    // one user, hourly series = two clean Gaussians at grid 20 and 60
+    def gauss(t: Double, c: Double, h: Double, s: Double) =
+      h * math.exp(-(t - c) * (t - c) / (2 * s * s))
+    val rows = (0 until 100).flatMap { t =>
+      val y = 5.0 + gauss(t, 20.0, 300.0, 2.0) + gauss(t, 60.0, 150.0, 3.0)
+      // one event per hour with value = series level (cents = value*100)
+      Seq((t.toLong, 0L, 3600L * t, "view", math.rint(y * 100) / 100.0))
+    }
+    val dir = Files.createTempDirectory("graft_pk_fix").toString
+    rows.toDF("event_id", "user_id", "off", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsQueries.qPeakfitPipeline.run(spark, dir)
+      .filter(col("converged"))
+      .select("peak_grid", "center", "height", "sigma")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === 2, s"expected 2 converged peaks: ${out.toSeq}")
+    val Seq(p1, p2) = out.toSeq
+    assert(math.abs(p1._2 - 20.0) < 0.1 && math.abs(p1._3 - 30000.0) < 1500 &&
+      math.abs(p1._4 - 2.0) < 0.2, s"peak 1: $p1")
+    assert(math.abs(p2._2 - 60.0) < 0.1 && math.abs(p2._4 - 3.0) < 0.3, s"peak 2: $p2")
+  }
+
+  test("range-frame trailing sum counts exactly the past hour") {
+    // user 0: events at t = 0, 1800, 3600, 7201 sec, 100 cents each;
+    // trailing [t-3600, t] sums: 100, 200, 300 (3600-0 <= 3600 included),
+    // then 100 (7201 sees nothing since 3601)
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 1800L), (2L, 0L, 3600L), (3L, 0L, 7201L))
+    val dir = Files.createTempDirectory("graft_rw_fix").toString
+    rows.toDF("event_id", "user_id", "off")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsQueries.qRangeWindow.run(spark, dir)
+      .select("n_events", "max_trail_cents", "first_peak_xs")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((4L, 300L, 3600L)))
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
