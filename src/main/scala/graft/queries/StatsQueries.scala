@@ -925,8 +925,139 @@ object StatsQueries {
       .orderedSmall(col("user_id"), col("peak_grid"))
   }
 
+  private val SessGapUs = 24L * 3600L * 1000000L // 24 h, in µs
+
+  /** Interval containment join (#198): sessionize each user's
+    * non-error activity (24 h gap), then join every 'error' event
+    * into the session interval CONTAINING it — the classic "point in
+    * interval" join engines mis-plan as a quadratic range join. The
+    * scalable shape: sessions EXPLODE to their covered gap-width
+    * buckets — consecutive in-session gaps are ≤ the gap by
+    * construction, so a session of n events spans ≤ n buckets
+    * (fan-out bounded by event count, NOT by wall-clock span) —
+    * errors key by their own bucket, and the join is pure
+    * (user, bucket) EQUALITY + containment filter; an error's bucket
+    * is unique so no dedup pass is needed. One shuffle each side,
+    * never a nested loop.
+    */
+  val qIntervalJoin = GateQuery.sql(
+    "q_interval_join",
+    s"""WITH v AS (SELECT user_id, ts_us, event_id FROM $E t WHERE event_type <> 'error'),
+       |b AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > $SessGapUs
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sess AS (SELECT user_id,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id, ts_us
+       |  FROM b),
+       |si AS (SELECT user_id, session_id, min(ts_us) AS t0, max(ts_us) AS t1,
+       |    count(*) AS n_views
+       |  FROM sess GROUP BY 1, 2),
+       |err AS (SELECT user_id, ts_us, ${centsSql("vd")} AS c FROM $E t
+       |  WHERE event_type = 'error'),
+       |hit AS (SELECT e.user_id, s.session_id, e.c
+       |  FROM err e JOIN si s ON e.user_id = s.user_id
+       |    AND e.ts_us >= s.t0 AND e.ts_us <= s.t1)
+       |SELECT user_id, count(DISTINCT session_id) AS n_err_sessions,
+       |  count(*) AS n_errors_in, CAST(sum(c) AS BIGINT) AS err_cents
+       |FROM hit GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.operators.Sessionize
+    val v = ev(s, d).filter(col("event_type") =!= "error")
+    val si = Sessionize.batch(v, col("user_id"), col("ts_us"), col("event_id"),
+        lit(0L), SessGapUs)
+      .select(col("k").as("user_id"), col("session_id"),
+        col("t_start").as("t0"), col("t_end").as("t1"))
+    val sessBuckets = si.withColumn("bkt",
+      explode(sequence(Binning.floorDivCol(col("t0"), lit(SessGapUs)),
+        Binning.floorDivCol(col("t1"), lit(SessGapUs)))))
+    val err = ev(s, d).filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"), Exact.cents(col("vd")).as("c"),
+        Binning.floorDivCol(col("ts_us"), lit(SessGapUs)).as("bkt"))
+    val hit = err.join(sessBuckets, Seq("user_id", "bkt"))
+      .filter(col("ts_us") >= col("t0") && col("ts_us") <= col("t1"))
+    hit.groupBy(col("user_id"))
+      .agg(countDistinct(col("session_id")).as("n_err_sessions"),
+        count(lit(1)).as("n_errors_in"),
+        Exact.sumUnits(col("c")).cast("long").as("err_cents"))
+      .orderedSmall(col("user_id"))
+  }
+
+  /** Per-document TF-IDF top terms (#199): the keyword-extraction
+    * primitive (BM25's per-doc cousin) — tf from one (doc, word)
+    * aggregate, idf = microLn(n_docs / df) joined by word, top-3
+    * terms per doc by ONE rank window with (score, word) tie pin.
+    * The n_docs scalar rides a 1-row broadcast; every relation is
+    * word- or doc-keyed — nothing quadratic.
+    */
+  val qTfidfTerms = GateQuery.sql(
+    "q_tfidf_terms",
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.word,
+       |    tf.tf * ${Curation.microLnSql("CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df")}
+       |      AS score
+       |  FROM tf JOIN df USING (word)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, word) AS rank FROM sc)
+       |SELECT doc_id, rank, word, CAST(score AS BIGINT) AS tfidf_micro
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val tf = t.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val sc = tf.join(df, "word")
+      .join(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * Curation.microLn(col("n_docs").cast("double") / col("df")))
+          .as("score"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    sc.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"),
+        col("score").cast("long").as("tfidf_micro"))
+      .orderedSmall(col("doc_id"), col("rank"))
+  }
+
+  /** Shingle novelty scoring (#200): what fraction of each document's
+    * 3-gram shingles appear for the FIRST time in the corpus (by
+    * doc_id order) — the dedup-aware data-valuation signal (a doc
+    * whose shingles all occurred before adds nothing even if no
+    * single prior doc matches it). First-occurrence attribution is
+    * one min(doc_id) aggregate over the same shingle relation as the
+    * Jaccard family, joined back by (shingle, doc) — shingle-keyed
+    * throughout, never pairwise.
+    */
+  val qNovelty = GateQuery.sql(
+    "q_novelty",
+    s"""WITH ${TextQueries.ShinglesSql},
+       |fo AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h),
+       |j AS (SELECT sh.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM sh JOIN fo USING (h) GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  (n_novel * 1000000 // n_shingles) AS novelty_ppm
+       |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("h"))
+    val fo = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(fo, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        Exact.sumUnits(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        Binning.floorDivCol(col("n_novel") * lit(1000000L), col("n_shingles"))
+          .as("novelty_ppm"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline)
+    qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
+    qIntervalJoin, qTfidfTerms, qNovelty)
 }

@@ -20,7 +20,7 @@ object TextQueries {
   /** Shared DuckDB fragment: distinct 60-bit 3-gram shingle keys per
     * doc with the per-doc count `m` carried along (mirror of
     * [[graft.operators.Dedup]]'s shingle relation). */
-  private val ShinglesSql =
+  private[queries] val ShinglesSql =
     s"""sh AS (
        |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
        |  FROM (SELECT doc_id, list_distinct(

@@ -32,7 +32,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_w1_drift", // bounded source-list × value-grid broadcast product + (nc) scalar
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
-    "q_kaplan_meier") // (max xs) censoring-horizon single-row scalar
+    "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
+    "q_tfidf_terms") // (n_docs) corpus-total single-row scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

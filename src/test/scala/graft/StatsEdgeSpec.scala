@@ -330,6 +330,37 @@ class StatsEdgeSpec extends SparkSpec {
     assert(out.toSeq === Seq((4L, 300L, 3600L)))
   }
 
+  test("interval join attributes errors to the containing session only") {
+    // user 0: activity at t=0 and t=10h (one session spanning [0,10h]);
+    // errors at 5h (inside) and at 50h (outside any session)
+    val h = 3600L
+    val dir = Files.createTempDirectory("graft_ij_fix").toString
+    Seq(
+      (0L, 0L, 0L, "view", 1.0), (1L, 0L, 10 * h, "click", 1.0),
+      (2L, 0L, 5 * h, "error", 2.0), (3L, 0L, 50 * h, "error", 4.0))
+      .toDF("event_id", "user_id", "off", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsQueries.qIntervalJoin.run(spark, dir)
+      .select("n_err_sessions", "n_errors_in", "err_cents")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L, 200L)))
+  }
+
+  test("novelty: an exact duplicate document has zero novel shingles") {
+    val text = "a b c d e f g h"
+    val docs = Seq((0L, text, "en", "s0", text.length.toLong),
+      (1L, text, "en", "s0", text.length.toLong))
+    val dir = Files.createTempDirectory("graft_nv_fix").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = StatsQueries.qNovelty.run(spark, dir)
+      .select("doc_id", "novelty_ppm").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 1000000L), (1L, 0L)))
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
