@@ -37,6 +37,40 @@ object Sampling {
                       prefix: String = "sample"): String =
     s"${bucketSql(idSql, prefix)} < $pct"
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement
+    * (2006): each row scores key = ln(u)/w with u a portable md5
+    * draw in (0, 1] and w its positive integer weight; the k
+    * LARGEST keys per stratum are a weighted sample without
+    * replacement. Deterministic (fate is a pure function of the id),
+    * stateless per-row scoring + one rank window per stratum — the
+    * same two-stage shape as every top-k in the engine. Rows with
+    * w ≤ 0 are excluded (zero mass cannot be drawn).
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     strata: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"sample size out of range: $k")
+    // 20-bit md5 slice -> u in (0, 1]: (draw + 1) / 2^20
+    val draw = conv(substring(md5(concat(lit("es:"), id.cast("string"))), 1, 5), 16, 10)
+      .cast("long")
+    val key = log((draw + 1).cast("double") / lit((1L << 20).toDouble)) /
+      weight.cast("double")
+    val pre = df.filter(weight > 0)
+      .withColumn("_es_key", key)
+      .withColumn("_es_id", id)
+    val strataNames = strata.zipWithIndex.map { case (c, i) => c.as(s"_st$i") }
+    val withStrata = pre.select(col("*") +: strataNames: _*)
+    val w = Window.partitionBy(strata.indices.map(i => col(s"_st$i")): _*)
+      .orderBy(col("_es_key").desc, col("_es_id"))
+    val filtered = withStrata.withColumn("_es_rn", row_number().over(w))
+      .filter(col("_es_rn") <= k)
+      .drop("_es_key", "_es_id", "_es_rn")
+    strata.indices.foldLeft(filtered) { (acc, i) =>
+      acc.withColumnRenamed(s"_st$i",
+        if (strata.size == 1) "stratum" else s"stratum_$i")
+    }
+  }
+
   /** Assign each row a split label by hash bucket:
     * [0, trainPct) → train, [trainPct, trainPct+valPct) → val,
     * rest → test. */

@@ -1055,9 +1055,102 @@ object StatsQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** Time-weighted average (#201): each reading holds until the next
+    * one, so its weight is the µs until the user's next event
+    * (last reading of a day weights to the day boundary) — the TWAP
+    * of monitoring/finance, where a plain mean over-counts bursts.
+    * One lead window + one (user, day) aggregate; weights and
+    * weighted sums are exact integers; the average leaves as one
+    * HALF_UP ratio.
+    */
+  val qTwap = GateQuery.sql(
+    "q_twap",
+    s"""WITH e AS (SELECT user_id, xs, event_id, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type = 'view'),
+       |l AS (SELECT *, xs // 86400 AS day,
+       |    lead(xs) OVER (PARTITION BY user_id ORDER BY xs, event_id) AS nxt
+       |  FROM e),
+       |w AS (SELECT user_id, day, c,
+       |    least(coalesce(nxt, (day + 1) * 86400), (day + 1) * 86400) - xs AS wt
+       |  FROM l),
+       |a AS (SELECT user_id, day, count(*) AS n_readings,
+       |    CAST(sum(wt) AS BIGINT) AS held_sec,
+       |    CAST(sum(wt * c) AS HUGEINT) AS swc
+       |  FROM w WHERE wt > 0 GROUP BY 1, 2)
+       |SELECT user_id, day, n_readings, held_sec,
+       |  CAST(${Exact.floorDivBigSql("2 * swc + CAST(held_sec AS HUGEINT)", "2 * CAST(held_sec AS HUGEINT)")} AS BIGINT)
+       |    AS twap_cents
+       |FROM a ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("xs"), col("event_id"), Exact.cents(col("vd")).as("c"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("xs"), col("event_id"))
+    val l = e
+      .withColumn("day", Binning.floorDiv(col("xs"), 86400L))
+      .withColumn("nxt", lead(col("xs"), 1).over(wo))
+    val w = l.select(col("user_id"), col("day"), col("c"),
+      (least(coalesce(col("nxt"), (col("day") + 1) * 86400L),
+        (col("day") + 1) * 86400L) - col("xs")).as("wt"))
+    w.filter(col("wt") > 0)
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_readings"),
+        Exact.sumUnits(col("wt")).cast("long").as("held_sec"),
+        sum((col("wt") * col("c")).cast("decimal(38,0)")).cast("decimal(38,0)").as("swc"))
+      .select(col("user_id"), col("day"), col("n_readings"), col("held_sec"),
+        Exact.floorDivBig(lit(2L) * col("swc") + col("held_sec").cast("decimal(38,0)"),
+          lit(2L) * col("held_sec").cast("decimal(38,0)")).cast("long").as("twap_cents"))
+      .orderedSmall(col("user_id"), col("day"))
+  }
+
+  /** OHLC bars (#202): open/high/low/close of each user-day's 'view'
+    * readings — the canonical time-series downsampling (candlestick
+    * bars; a beamline uses the same shape for per-scan first/last
+    * monitor readings). Open/close are argmin/argmax BY TIME with
+    * event_id tie pins carried through a (xs, event_id, c) struct
+    * min/max — ONE aggregate, no window, no self-join.
+    */
+  val qOhlc = GateQuery.sql(
+    "q_ohlc",
+    s"""WITH e AS (SELECT user_id, xs, event_id, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type = 'view')
+       |SELECT user_id, xs // 86400 AS day, count(*) AS n,
+       |  min((xs, event_id, c))[3] AS open_cents,
+       |  max(c) AS high_cents, min(c) AS low_cents,
+       |  max((xs, event_id, c))[3] AS close_cents
+       |FROM e GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("xs"), col("event_id"), Exact.cents(col("vd")).as("c"))
+    e.groupBy(col("user_id"), Binning.floorDiv(col("xs"), 86400L).as("day"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("xs"), col("event_id"), col("c"))).getField("c").as("open_cents"),
+        max(col("c")).as("high_cents"), min(col("c")).as("low_cents"),
+        max(struct(col("xs"), col("event_id"), col("c"))).getField("c").as("close_cents"))
+      .orderedSmall(col("user_id"), col("day"))
+  }
+
+  /** Efraimidis–Spirakis weighted sampling (#203, rows+test): a
+    * deterministic weighted sample WITHOUT replacement — each row's
+    * key is ln(u)/w (u a portable md5 draw, w its integer weight)
+    * and the top-k keys per stratum are the sample (Efraimidis &
+    * Spirakis 2006). Stateless per-row scoring + one rank window:
+    * reruns, backfills and engines agree row-for-row, and inclusion
+    * probability tracks weight (pinned in StatsEdgeSpec). The
+    * pipeline use: value-weighted corpus subsampling where plain
+    * Bernoulli sampling under-covers heavy documents.
+    */
+  val qWeightedSample = GateQuery.rowsOnly("q_weighted_sample") { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), Exact.cents(col("vd")).as("w"))
+    val sampled = graft.operators.Sampling.weightedSample(
+      e, col("event_id"), col("w"), Seq(pmod(col("user_id"), lit(4L)).as("stratum")), k = 50)
+    sampled.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sampled"),
+        Exact.sumUnits(col("w")).cast("long").as("sampled_cents"))
+      .orderedSmall(col("stratum"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
-    qIntervalJoin, qTfidfTerms, qNovelty)
+    qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample)
 }

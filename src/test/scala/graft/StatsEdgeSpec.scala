@@ -361,6 +361,49 @@ class StatsEdgeSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1000000L), (1L, 0L)))
   }
 
+  test("twap holds each reading until the next event or the day boundary") {
+    // readings 100.00 at t=0 and 400.00 at 6h, same day:
+    // twap = (10000·21600 + 40000·64800) / 86400 = 32500 cents
+    val dir = Files.createTempDirectory("graft_tw_fix").toString
+    Seq((0L, 0L, 0L, "view", 100.0), (1L, 0L, 21600L, "view", 400.0))
+      .toDF("event_id", "user_id", "off", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsQueries.qTwap.run(spark, dir)
+      .select("held_sec", "twap_cents").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((86400L, 32500L)))
+  }
+
+  test("ohlc open/close pick by time with id tie pins") {
+    val rows = Seq(
+      (0L, 0L, "view", 50.0), (1L, 0L, "view", 90.0),
+      (2L, 0L, "view", 10.0), (3L, 0L, "view", 70.0))
+    val out = StatsQueries.qOhlc.run(spark, eventsDir(rows))
+      .select("open_cents", "high_cents", "low_cents", "close_cents")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((5000L, 9000L, 1000L, 7000L)))
+  }
+
+  test("weighted sampling includes heavy rows proportionally more often") {
+    import graft.operators.Sampling
+    // 1000 rows: 100 heavy (w=9), 900 light (w=1); sample 100 of them
+    val df = (0L until 1000L).map(i => (i, if (i < 100) 9L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"),
+      Seq(lit(0L).as("g")), k = 100).select("id").as[Long].collect().toSet
+    assert(got.size === 100)
+    val heavy = got.count(_ < 100)
+    // E[heavy] ≈ 100·(1 - (1-9/1800)^100) ≈ 40; require a clear gap vs
+    // the unweighted expectation of 10
+    assert(heavy > 20 && heavy < 70, s"heavy inclusion $heavy out of band")
+    // determinism: same call, same sample
+    val got2 = Sampling.weightedSample(df, col("id"), col("w"),
+      Seq(lit(0L).as("g")), k = 100).select("id").as[Long].collect().toSet
+    assert(got === got2)
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
