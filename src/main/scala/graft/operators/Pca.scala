@@ -28,16 +28,21 @@ object Pca {
   def scatter(df: DataFrame, vec: Column, d: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // |x| ≤ ~1e6 micro ⇒ per-cell products ≤ 1e12, so a partition of
+    // ≤ 9e6 rows stays within long range; the bound is ENFORCED, not
+    // assumed — a bigger partition must be repartitioned by the
+    // caller, never silently wrapped into a corrupt covariance
+    val MaxPartRows = 9000000L
     val parts = df.select(vec.as("v")).as[Seq[Long]].mapPartitions { it =>
       var n = 0L
       val s = new Array[Long](d)
-      // exact long is enough per partition (|x| ≤ ~1e6 micro, so a
-      // partition of ≤ 1e6 rows stays ≤ 1e18 per cell); cross-partition
-      // sums go through decimals below
       val o = new Array[Long](d * d)
       it.foreach { v =>
         require(v.length == d, s"dimension mismatch: ${v.length} != $d")
         n += 1
+        require(n <= MaxPartRows,
+          s"Pca.scatter: partition exceeds $MaxPartRows rows — repartition the input " +
+            "(long accumulators would overflow)")
         var i = 0
         while (i < d) {
           val xi = v(i)

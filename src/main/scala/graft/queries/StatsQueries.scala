@@ -61,12 +61,12 @@ object StatsQueries {
        |    sum(o) OVER () AS n
        |  FROM o),
        |s AS (SELECT any_value(n) AS n, count(*) AS n_cells,
-       |    CAST(sum(${floorDivBigSql("o * o * 1000000000000", "r * c")}) AS HUGEINT) AS u
+       |    CAST(sum(${floorDivBigSql("CAST(o AS HUGEINT) * o * 1000000000000", "CAST(r AS HUGEINT) * c")}) AS HUGEINT) AS u
        |  FROM m)
        |SELECT CAST(n AS BIGINT) AS n_events, CAST(n_cells AS BIGINT) AS n_cells,
        |  CAST((SELECT count(DISTINCT user_id % 8) FROM $E e) - 1 AS BIGINT)
        |    * CAST((SELECT count(DISTINCT event_type) FROM $E e) - 1 AS BIGINT) AS dof,
-       |  CAST(${floorDivBigSql("n * u - n * 1000000000000", "1000000")} AS BIGINT)
+       |  CAST(${floorDivBigSql("greatest(CAST(n AS HUGEINT) * u - CAST(n AS HUGEINT) * 1000000000000, 0)", "1000000")} AS BIGINT)
        |    AS chi2_micro
        |FROM s""".stripMargin) { (s, d) =>
     val e = ev(s, d)
@@ -76,18 +76,24 @@ object StatsQueries {
       .withColumn("r", sum(col("o")).over(Window.partitionBy(col("g"))))
       .withColumn("c", sum(col("o")).over(Window.partitionBy(col("t"))))
       .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    // cast BEFORE multiplying: o·o·1e12 and r·c overflow long at only
+    // ~3e3 events per cell (and n·1e12 at ~9e6 events)
     val st = m.agg(
       first(col("n")).as("n"), count(lit(1)).as("n_cells"),
-      sum(floorDivBig(col("o") * col("o") * lit(1000000000000L),
-        col("r") * col("c"))).cast("decimal(38,0)").as("u"),
+      sum(floorDivBig(col("o").cast("decimal(38,0)") * col("o") * lit(1000000000000L),
+        col("r").cast("decimal(38,0)") * col("c"))).cast("decimal(38,0)").as("u"),
       countDistinct(col("g")).as("ng"), countDistinct(col("t")).as("nt"))
+    // per-cell pico flooring can push the numerator a hair below 0 on
+    // a near-independent table (χ² ≥ 0 analytically): clamp BEFORE the
+    // division so floor (Spark) vs truncate (DuckDB) can't diverge
     st.select(
       col("n").cast("long").as("n_events"),
       col("n_cells").cast("long").as("n_cells"),
       ((col("ng") - 1) * (col("nt") - 1)).cast("long").as("dof"),
       floorDivBig(
-        col("n").cast("decimal(38,0)") * col("u") -
+        greatest(col("n").cast("decimal(38,0)") * col("u") -
           col("n").cast("decimal(38,0)") * lit(1000000000000L),
+          lit(0L).cast("decimal(38,0)")),
         lit(1000000L)).cast("long").as("chi2_micro"))
   }
 
@@ -204,9 +210,9 @@ object StatsQueries {
              .mkString(", ")}
        |  FROM g JOIN st USING (event_type)),
        |a AS (SELECT event_type, any_value(n) AS n,
-       |    CAST(sum(CAST(n * y - s AS HUGEINT) * (n * y - s)) AS HUGEINT) AS den,
+       |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) AS HUGEINT) AS den,
        |    ${AcfLags.map(k =>
-             s"CAST(sum(CAST(n * y - s AS HUGEINT) * (n * y$k - s)) AS HUGEINT) AS num$k")
+             s"CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y$k - s)) AS HUGEINT) AS num$k")
              .mkString(", ")}
        |  FROM l GROUP BY event_type)
        |SELECT event_type, lag, CAST(n AS BIGINT) AS n_points, r_k FROM (
@@ -224,7 +230,9 @@ object StatsQueries {
     val withLead = AcfLags.foldLeft(g.join(broadcast(st), "event_type")) { (df, k) =>
       df.withColumn(s"y$k", lead(col("y"), k).over(wo))
     }
-    def dev(c: Column) = (col("n") * c - col("s")).cast("decimal(38,0)")
+    // cast BEFORE the n·y product: it overflows long once hourly cent
+    // totals reach ~1e18/n (same overflow-before-cast trap as q_chisq)
+    def dev(c: Column) = col("n").cast("decimal(38,0)") * c - col("s")
     val aggCols: Seq[Column] =
       sum(dev(col("y")) * dev(col("y"))).cast("decimal(38,0)").as("den") +:
         AcfLags.map(k =>
@@ -436,6 +444,11 @@ object StatsQueries {
       .agg(count(lit(1)).as("n_nodes"),
         Exact.sumUnits(col("r")).cast("long").as("rank_pico"))
       .orderedSmall(col("nationkey"), col("role"))
+    // the cached result must outlive the edge/node unpersists (a
+    // recompute after they drop would re-run all 5 iterations);
+    // Verify/Bench drop every leftover persisted block between
+    // queries, the harness-owned lifecycle shared by the CTE-
+    // materializing curation gates
     val materialized = out.cache()
     materialized.count() // force before unpersisting the edge relation
     edges.unpersist()
@@ -467,7 +480,7 @@ object StatsQueries {
        |SELECT event_type, CAST(n AS BIGINT) AS n_users, s AS total_cents,
        |  CAST(${floorDivBigSql("(2 * ix - (n + 1) * CAST(s AS HUGEINT)) * 1000000", "CAST(n AS HUGEINT) * s")}
        |    AS BIGINT) AS gini_ppm
-       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+       |FROM a WHERE s > 0 ORDER BY event_type""".stripMargin) { (s, d) =>
     val u = ev(s, d)
       .groupBy(col("event_type"), col("user_id"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("x"))
@@ -477,7 +490,11 @@ object StatsQueries {
       count(lit(1)).as("n"),
       Exact.sumUnits(col("x")).cast("long").as("s"),
       sum(col("i").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("ix"))
-    a.select(col("event_type"), col("n").cast("long").as("n_users"),
+    // zero total mass (every user at 0 cents) has no defined Lorenz
+    // curve — excluded identically on both engines (0 div 0 is NULL
+    // on DuckDB, an ANSI crash on Spark)
+    a.filter(col("s") > 0)
+      .select(col("event_type"), col("n").cast("long").as("n_users"),
         col("s").as("total_cents"),
         floorDivBig(
           (lit(2L) * col("ix") - (col("n") + 1).cast("decimal(38,0)") * col("s")) *
@@ -528,7 +545,7 @@ object StatsQueries {
          |  FROM w GROUP BY 1, 2),
          |mm AS (SELECT event_type, b, (2 * swc + sw) // (2 * sw) AS mean_b,
          |    row_number() OVER (PARTITION BY event_type ORDER BY (2 * swc + sw) // (2 * sw), b) AS rk
-         |  FROM m),
+         |  FROM m WHERE sw > 0),
          |full_m AS (SELECT event_type,
          |    (2 * CAST(sum(c) AS BIGINT) + count(*)) // (2 * count(*)) AS mean_cents
          |  FROM e GROUP BY 1)
@@ -545,9 +562,14 @@ object StatsQueries {
         lit(1000000L)))
     val w = x.withColumn("w",
       poissonCdfPpm.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    // a replicate CAN draw weight 0 for every row of a small group
+    // (P = e^-n): drop it identically on both engines — unguarded,
+    // 0 div 0 is NULL on DuckDB but an ANSI crash on Spark, and the
+    // engines rank NULLs at opposite ends
     val m = w.groupBy(col("event_type"), col("b"))
       .agg(Exact.sumUnits(col("w")).cast("long").as("sw"),
         Exact.sumUnits(col("w") * col("c")).cast("long").as("swc"))
+      .filter(col("sw") > 0)
       .withColumn("mean_b",
         Binning.floorDivCol(lit(2L) * col("swc") + col("sw"), lit(2L) * col("sw")))
     val mm = m.withColumn("rk", row_number().over(
@@ -589,13 +611,15 @@ object StatsQueries {
        |r AS (SELECT *,
        |    CAST(sum(n_at) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
        |  FROM t),
-       |s AS (SELECT *, CAST(sum(CASE WHEN d > 0 THEN
+       |s AS (SELECT *, CAST(sum(CASE WHEN d > 0 AND d < n_risk THEN
        |      ${Curation.microLnSql("CAST(n_risk - d AS DOUBLE) / n_risk")}
        |    ELSE 0 END) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT)
-       |    AS ln_surv_micro
+       |    AS cum_ln,
+       |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS died
        |  FROM r)
        |SELECT lt AS t_days, n_risk, d AS n_deaths, cens AS n_censored,
-       |  ln_surv_micro
+       |  CASE WHEN died = 1 THEN NULL ELSE cum_ln END AS ln_surv_micro
        |FROM s ORDER BY t_days""".stripMargin) { (s, d) =>
     val e = ev(s, d)
     val mx = e.agg(max(col("xs")).as("mxs"))
@@ -615,12 +639,21 @@ object StatsQueries {
     val wAsc = Window.orderBy(col("lt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val r = t.withColumn("n_risk", sum(col("n_at")).over(wDesc).cast("long"))
-    val sdf = r.withColumn("ln_surv_micro",
-      sum(when(col("d") > 0,
-        Curation.microLn((col("n_risk") - col("d")).cast("double") / col("n_risk")))
-        .otherwise(lit(0L))).over(wAsc).cast("long"))
+    // when a time's deaths wipe the whole risk set, S(t) hits exactly
+    // 0 and ln S = −∞: from that point the curve is NULL on BOTH
+    // engines (DuckDB ln(0) hard-errors, Spark log(0) returns NULL
+    // which window sums silently skip — both wrong unguarded)
+    val sdf = r
+      .withColumn("cum_ln",
+        sum(when(col("d") > 0 && col("d") < col("n_risk"),
+          Curation.microLn((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0L))).over(wAsc).cast("long"))
+      .withColumn("died",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
     sdf.select(col("lt").as("t_days"), col("n_risk"), col("d").as("n_deaths"),
-        col("cens").as("n_censored"), col("ln_surv_micro"))
+        col("cens").as("n_censored"),
+        when(col("died") === 1, lit(null).cast("long")).otherwise(col("cum_ln"))
+          .as("ln_surv_micro"))
       .orderedSmall(col("t_days"))
   }
 

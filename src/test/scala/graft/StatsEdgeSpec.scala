@@ -178,6 +178,27 @@ class StatsEdgeSpec extends SparkSpec {
     assert(out(3)._5 === out(2)._5) // censoring adds no survival drop
   }
 
+  test("kaplan-meier: the curve goes NULL once the whole risk set dies") {
+    // user A spans [0, 2d] (uncensored death at lifetime 2, the LAST
+    // at-risk user); user B's single event at day 30 sets the horizon
+    // (censored). At t=2, d == n_risk: S(t) = 0, ln S = -inf -> NULL.
+    val day = 86400L
+    val dir = Files.createTempDirectory("graft_km0_fix").toString
+    Seq(
+      (0L, 0L, 0L, "view", 1.0), (1L, 0L, 2 * day, "view", 1.0),
+      (2L, 1L, 30 * day, "view", 1.0))
+      .toDF("event_id", "user_id", "off", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsQueries.qKaplanMeier.run(spark, dir)
+      .select("t_days", "n_deaths", "ln_surv_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 0L, Some(0L)), (2L, 1L, None)))
+  }
+
   test("theil index of equal spend is 0; quantile sketch meets its rank-error bound") {
     val eq = eventsDir((0L to 3L).map(u => (u, u, "view", 50.0)))
     val t = StatsQueries.qTheil.run(spark, eq).select("theil_micro").as[Long].collect()
@@ -259,6 +280,16 @@ class StatsEdgeSpec extends SparkSpec {
     val (evals2, evecs2) = Pca.jacobiEigen(cov)
     assert(evals.toSeq === evals2.toSeq)
     assert(evecs.map(_.toSeq).toSeq === evecs2.map(_.toSeq).toSeq)
+    // projectExpr: scores onto the top-2 components carry the planted
+    // variances (micro² units) and are mean-centered
+    val proj = df.select(Pca.projectExpr(col("q"), mean, evecs.take(2)).as("p"))
+      .select(element_at(col("p"), 1).as("p1"), element_at(col("p"), 2).as("p2"))
+    val stats = proj.agg(
+      avg(col("p1")).as("m1"), avg(col("p2")).as("m2"),
+      variance(col("p1")).as("v1"), variance(col("p2")).as("v2")).head()
+    assert(math.abs(stats.getDouble(0)) < 1e3 && math.abs(stats.getDouble(1)) < 1e3)
+    assert(math.abs(stats.getDouble(2) / 1e12 - 25.0) < 2.0)
+    assert(math.abs(stats.getDouble(3) / 1e12 - 1.0) < 0.2)
   }
 
   test("correlation matrix: a type correlates +1 with itself-copied counts") {
