@@ -444,6 +444,48 @@ object StreamingOps {
       }
   }
 
+  /** Streaming OHLC bars — the live counterpart of the batch
+    * `q_ohlc` gate: per (window, key) open/high/low/close where
+    * open/close are struct-ordered min/max BY (event time, tie, value)
+    * exactly as in batch, finalized once the watermark passes
+    * (Append semantics). One stateful windowed aggregate, state =
+    * one 4-value row per open window per key.
+    */
+  def ohlcStream(events: DataFrame, timeCol: String, keyCol: String,
+                 tieCol: String, valueCol: String,
+                 windowDur: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col(timeCol), col(tieCol), col(valueCol)))
+          .getField(valueCol).as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max(struct(col(timeCol), col(tieCol), col(valueCol)))
+          .getField(valueCol).as("close"))
+      .select(col("window.start").as("win_start"), col(keyCol),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+
+  /** Streaming latency-quantile monitor: per-window p50/p90/p99 via
+    * the mergeable Greenwald–Khanna sketch (`percentile_approx`) —
+    * the live counterpart of the batch `q_quantile_sketch` scale
+    * path, and the standard observability shape (dashboard
+    * percentiles over a tumbling window). Sketches merge map-side;
+    * state per open window is one bounded sketch per key, evicted by
+    * the watermark.
+    */
+  def quantileStream(events: DataFrame, timeCol: String, keyCol: String,
+                     valueCol: String, windowDur: String,
+                     watermarkDelay: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col(valueCol),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p90"),
+        element_at(col("p"), 3).as("p99"))
+
   final case class CuPoint(user: Long, ts: java.sql.Timestamp, x: Long)
   final case class CuState(p: Long, minP: Long)
   final case class CuFlag(user: Long, ts: java.sql.Timestamp, x: Long,

@@ -466,4 +466,52 @@ class StreamingSpec extends SparkSpec {
       assert(rows.last.alarm && !rows.init.exists(_.alarm))
     } finally q.stop()
   }
+
+  test("streaming ohlc finalizes a bar matching the batch struct-ordered semantics") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, Long)] // ts, user, tie, cents
+    val bars = StreamingOps.ohlcStream(
+      input.toDF().toDF("ts", "user", "tie", "c"),
+      "ts", "user", "tie", "c", windowDur = "1 minute", watermarkDelay = "0 seconds")
+    val q = bars.writeStream.format("memory").queryName("ohlc_bars")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one minute of readings: open 50, high 90, low 10, close 70
+      input.addData(
+        (ts(0), 1L, 0L, 50L), (ts(10), 1L, 1L, 90L),
+        (ts(20), 1L, 2L, 10L), (ts(50), 1L, 3L, 70L))
+      q.processAllAvailable()
+      input.addData((ts(200), 1L, 4L, 999L)) // advances the watermark
+      q.processAllAvailable()
+      val rows = spark.table("ohlc_bars")
+        .select("n", "open", "high", "low", "close")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.toSeq === Seq((4L, 50L, 90L, 10L, 70L)))
+    } finally q.stop()
+  }
+
+  test("streaming quantile monitor emits sane per-window percentiles") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val mons = StreamingOps.quantileStream(
+      input.toDF().toDF("ts", "svc", "lat"),
+      "ts", "svc", "lat", windowDur = "1 minute", watermarkDelay = "0 seconds")
+    val q = mons.writeStream.format("memory").queryName("lat_mons")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L to 50L).map(i => (ts(i), 7L, i * 10L)): _*)
+      q.processAllAvailable()
+      input.addData((ts(200), 7L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("lat_mons").select("n", "p50", "p90", "p99")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.length === 1)
+      val (n, p50, p90, p99) = rows.head
+      assert(n === 50)
+      assert(p50 >= 240 && p50 <= 260, s"p50 = $p50")
+      assert(p90 >= 440 && p90 <= 460, s"p90 = $p90")
+      assert(p99 >= 480 && p99 <= 500, s"p99 = $p99")
+      assert(p50 <= p90 && p90 <= p99)
+    } finally q.stop()
+  }
 }
