@@ -1181,9 +1181,68 @@ object StatsQueries {
       .orderedSmall(col("stratum"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test (#206): the distribution-
+    * shape drift test that #169's Wasserstein distance and #179's
+    * t-test both miss (W1 integrates, t compares means; KS catches a
+    * localized CDF gap). EXACT: over the VALUE-COLLAPSED merged
+    * grid, the statistic is max |cum₁·n₂ − cum₂·n₁| in integers
+    * (cross-scaled CDFs — no division until the final ppm), with the
+    * smallest gap location as tie pin. Windows see distinct values
+    * only, never raw rows.
+    */
+  val qKsTest = GateQuery.sql(
+    "q_ks_test",
+    s"""WITH e AS (SELECT ${centsSql("vd")} AS v,
+       |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+       |  FROM $E t WHERE event_type IN ('click', 'view')),
+       |g AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+       |    CAST(sum(1 - is1) AS BIGINT) AS c2
+       |  FROM e GROUP BY v),
+       |c AS (SELECT v,
+       |    CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+       |    CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+       |  FROM g),
+       |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+       |gap AS (SELECT v, abs(cum1 * (SELECT n2 FROM n) - cum2 * (SELECT n1 FROM n)) AS gp
+       |  FROM c),
+       |mx AS (SELECT max(gp) AS mg FROM gap)
+       |SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+       |  CAST(${Exact.floorDivBigSql(
+             "(SELECT mg FROM mx) * 1000000",
+             "CAST((SELECT n1 FROM n) AS HUGEINT) * (SELECT n2 FROM n)")} AS BIGINT)
+       |    AS ks_ppm,
+       |  (SELECT min(v) FROM gap WHERE gp = (SELECT mg FROM mx)) AS at_cents""".stripMargin) {
+    (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(Exact.cents(col("vd")).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
+    val g = e.groupBy(col("v"))
+      .agg(Exact.sumUnits(col("is1")).cast("long").as("c1"),
+        Exact.sumUnits(lit(1L) - col("is1")).cast("long").as("c2"))
+    val wAsc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g
+      .withColumn("cum1", sum(col("c1")).over(wAsc).cast("long"))
+      .withColumn("cum2", sum(col("c2")).over(wAsc).cast("long"))
+    val n = g.agg(Exact.sumUnits(col("c1")).cast("long").as("n1"),
+      Exact.sumUnits(col("c2")).cast("long").as("n2"))
+    val gap = c.join(broadcast(n))
+      .withColumn("gp", abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+        col("cum2").cast("decimal(38,0)") * col("n1")).cast("decimal(38,0)"))
+    val withMax = gap.withColumn("mg", max(col("gp")).over(Window.partitionBy()))
+    withMax.agg(
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        first(col("mg")).as("mg"),
+        min(when(col("gp") === col("mg"), col("v"))).as("at_cents"))
+      .select(col("n1"), col("n2"),
+        Exact.floorDivBig(col("mg") * lit(1000000L),
+          col("n1").cast("decimal(38,0)") * col("n2")).cast("long").as("ks_ppm"),
+        col("at_cents"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
-    qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample)
+    qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest)
 }

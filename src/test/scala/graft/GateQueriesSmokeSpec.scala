@@ -33,7 +33,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
-    "q_tfidf_terms") // (n_docs) corpus-total single-row scalar
+    "q_tfidf_terms", // (n_docs) corpus-total single-row scalar
+    "q_ks_test") // (n1, n2) sample-size single-row scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

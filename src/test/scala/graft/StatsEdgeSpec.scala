@@ -435,6 +435,21 @@ class StatsEdgeSpec extends SparkSpec {
     assert(got === got2)
   }
 
+  test("KS statistic: identical samples give 0, disjoint samples give 1") {
+    // identical click/view distributions -> D = 0
+    val same = (0L until 20L).flatMap(i => Seq(
+      (2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
+    val d0 = StatsQueries.qKsTest.run(spark, eventsDir(same))
+      .select("ks_ppm").as[Long].collect()
+    assert(d0.toSeq === Seq(0L))
+    // fully separated supports -> D = 1 (at the largest click value)
+    val split = (0L until 10L).flatMap(i => Seq(
+      (2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 100.0 + i)))
+    val out = StatsQueries.qKsTest.run(spark, eventsDir(split))
+      .select("ks_ppm", "at_cents").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1000000L, 1900L)))
+  }
+
   test("welch t on two identical samples is 0") {
     val rows = (0L to 9L).flatMap(i =>
       Seq((2 * i, 0L, "click", 10.0 + i), (2 * i + 1, 0L, "view", 10.0 + i)))
