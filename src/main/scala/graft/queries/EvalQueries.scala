@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Binning, Curation, Exact}
+import graft.operators.Exact.centsSql
+
+/** Classifier-evaluation / statistical-testing completions
+  * (SURVEY.md §2 #207–#212): confusion-matrix metrics, Brier score,
+  * expected calibration error, Cohen's kappa, one-way ANOVA and the
+  * Mann–Whitney U test — the remaining audit metrics a production
+  * quality-filter pipeline reads before trusting a threshold, next
+  * to the existing AUC / reliability / average-precision / NDCG
+  * family.
+  *
+  * Discipline is SURVEY.md §4 throughout: scores quantized to exact
+  * integer ppm BEFORE any aggregate, integer floor division only on
+  * NONNEGATIVE numerators (sign-decomposed otherwise), per-term
+  * products lifted to decimal(38,0)/HUGEINT before multiplication
+  * (overflow-before-cast is the #1 cross-engine trap), and doubles
+  * confined to final closed forms mirrored textually.
+  *
+  * Scale shapes: every gate is one or two hash aggregates whose
+  * keyed relations are bounded by the VALUE DOMAIN (distinct scores,
+  * buckets, cohorts) — never a per-row global sort; corpus-wide
+  * scalars (means, maxima) ride 1-row broadcasts.
+  */
+object EvalQueries {
+
+  /** Shared DuckDB prep over events (mirror of [[ev]]). */
+  private val E: String =
+    """(SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |   (epoch_us(ts) // 1000000) - 1704067200 AS xs,
+      |   CAST(value AS DECIMAL(18,2)) AS vd, event_type
+      | FROM events)""".stripMargin
+
+  /** Shared Spark prep — mirror of [[E]]. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (expr("ts_us div 1000000") - lit(1704067200L)).as("xs"),
+      col("value").cast("decimal(18,2)").as("vd"),
+      col("event_type"))
+
+  import Exact.{floorDivBig, floorDivBigSql}
+
+  /** Confusion-matrix metrics (#207): tp/fp/fn/tn and the derived
+    * precision / recall / F1 / accuracy of the length-thresholded
+    * lang='en' classifier (the same score/label derivation as
+    * #175's AUC, so the two gates audit the SAME ranker at one
+    * operating point vs across all of them). The threshold is the
+    * corpus mean length (floored — exact on both engines) riding a
+    * 1-row broadcast; then ONE conditional aggregate. Every rate in
+    * exact ppm via nonnegative floor division.
+    */
+  val qConfusion = GateQuery.sql(
+    "q_confusion",
+    """WITH s AS (SELECT CAST(sum(n_chars) // count(*) AS BIGINT) AS t FROM documents),
+      |c AS (SELECT
+      |    count(*) FILTER (n_chars > t AND lang = 'en') AS tp,
+      |    count(*) FILTER (n_chars > t AND lang <> 'en') AS fp,
+      |    count(*) FILTER (n_chars <= t AND lang = 'en') AS fn,
+      |    count(*) FILTER (n_chars <= t AND lang <> 'en') AS tn,
+      |    any_value(t) AS t
+      |  FROM documents, s)
+      |SELECT CAST(t AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  (tp * 1000000) // (tp + fp) AS precision_ppm,
+      |  (tp * 1000000) // (tp + fn) AS recall_ppm,
+      |  (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_ppm,
+      |  ((tp + tn) * 1000000) // (tp + fp + fn + tn) AS accuracy_ppm
+      |FROM c""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val t = docs.agg(floorDivBig(sum(col("n_chars")), count(lit(1))).cast("long").as("t"))
+    val c = Curation.withStats(docs.select(col("n_chars"), col("lang")), t)
+      .agg(
+        count(when(col("n_chars") > col("t") && col("lang") === "en", 1)).as("tp"),
+        count(when(col("n_chars") > col("t") && col("lang") =!= "en", 1)).as("fp"),
+        count(when(col("n_chars") <= col("t") && col("lang") === "en", 1)).as("fn"),
+        count(when(col("n_chars") <= col("t") && col("lang") =!= "en", 1)).as("tn"),
+        first(col("t")).as("t"))
+    c.select(col("t").cast("long").as("threshold"),
+      col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+      col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+      Binning.floorDivCol(col("tp") * lit(1000000L), col("tp") + col("fp")).as("precision_ppm"),
+      Binning.floorDivCol(col("tp") * lit(1000000L), col("tp") + col("fn")).as("recall_ppm"),
+      Binning.floorDivCol(lit(2L) * col("tp") * lit(1000000L),
+        lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"),
+      Binning.floorDivCol((col("tp") + col("tn")) * lit(1000000L),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy_ppm"))
+  }
+
+  /** Brier score (#208): mean squared error of a PROBABILISTIC
+    * prediction — here p = n_chars/(1+max) in exact ppm (the same
+    * normalized-length score as #176's reliability deciles) against
+    * the lang='en' label. Each squared gap (p_ppm − y·1e6)² ≤ 1e12 is
+    * an exact integer accumulated in decimal(38,0)/HUGEINT (a 100 TB
+    * corpus overflows a long sum), so brier_ppm is engine-exact.
+    * One 1-row broadcast (the max) + one aggregate.
+    */
+  val qBrier = GateQuery.sql(
+    "q_brier",
+    """WITH s AS (SELECT 1 + max(n_chars) AS mx FROM documents),
+      |p AS (SELECT (n_chars * 1000000) // mx AS p_ppm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, s),
+      |a AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(sum(p_ppm) AS HUGEINT) AS sp,
+      |    CAST(sum(CAST(p_ppm - y * 1000000 AS HUGEINT)
+      |      * (p_ppm - y * 1000000)) AS HUGEINT) AS sq
+      |  FROM p)
+      |SELECT CAST(n AS BIGINT) AS n, n_pos,
+      |  CAST(sp // n AS BIGINT) AS mean_p_ppm,
+      |  (n_pos * 1000000) // n AS base_rate_ppm,
+      |  CAST(sq // (n * 1000000) AS BIGINT) AS brier_ppm
+      |FROM a""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((lit(1L) + max(col("n_chars"))).as("mx"))
+    val p = Curation.withStats(docs.select(col("n_chars"), col("lang")), mx)
+      .select(Binning.floorDivCol(col("n_chars") * lit(1000000L), col("mx")).as("p_ppm"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val gap = col("p_ppm").cast("decimal(38,0)") - col("y") * lit(1000000L)
+    val a = p.agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+      sum(col("p_ppm")).cast("decimal(38,0)").as("sp"),
+      sum(gap * gap).cast("decimal(38,0)").as("sq"))
+    a.select(col("n").cast("long").as("n"), col("n_pos"),
+      floorDivBig(col("sp"), col("n")).cast("long").as("mean_p_ppm"),
+      Binning.floorDivCol(col("n_pos") * lit(1000000L), col("n")).as("base_rate_ppm"),
+      floorDivBig(col("sq"), col("n").cast("decimal(38,0)") * lit(1000000L))
+        .cast("long").as("brier_ppm"))
+  }
+
+  /** Expected calibration error (#209): the single-number summary of
+    * #176's reliability diagram — Σ_b (n_b/N)·|acc_b − conf_b|, which
+    * telescopes to Σ_b |pos_b·1e6 − Σp_ppm_b| / N: ENTIRELY exact
+    * integers (no per-bucket division ever happens, so no rounding
+    * order to disagree on). Also reports the worst single-bucket
+    * calibration gap. One decile aggregate + one final aggregate.
+    */
+  val qEce = GateQuery.sql(
+    "q_ece",
+    """WITH s AS (SELECT 1 + max(n_chars) AS mx FROM documents),
+      |p AS (SELECT (n_chars * 10) // mx AS bucket,
+      |    (n_chars * 1000000) // mx AS p_ppm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, s),
+      |b AS (SELECT bucket, count(*) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b,
+      |    CAST(sum(p_ppm) AS HUGEINT) AS sp_b
+      |  FROM p GROUP BY bucket)
+      |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(sum(n_b) AS BIGINT) AS n,
+      |  CAST(CAST(sum(abs(pos_b * 1000000 - sp_b)) AS HUGEINT)
+      |    // CAST(sum(n_b) AS HUGEINT) AS BIGINT) AS ece_ppm,
+      |  CAST(max(abs(pos_b * 1000000 - sp_b) // n_b) AS BIGINT) AS max_gap_ppm
+      |FROM b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((lit(1L) + max(col("n_chars"))).as("mx"))
+    val p = Curation.withStats(docs.select(col("n_chars"), col("lang")), mx)
+      .select(Binning.floorDivCol(col("n_chars") * lit(10L), col("mx")).as("bucket"),
+        Binning.floorDivCol(col("n_chars") * lit(1000000L), col("mx")).as("p_ppm"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val b = p.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).cast("long").as("pos_b"),
+        sum(col("p_ppm")).cast("decimal(38,0)").as("sp_b"))
+    val gapB = abs(col("pos_b").cast("decimal(38,0)") * lit(1000000L) - col("sp_b"))
+    b.agg(count(lit(1)).as("nb"), sum(col("n_b")).cast("decimal(38,0)").as("n"),
+        sum(gapB).cast("decimal(38,0)").as("g"),
+        max(floorDivBig(gapB, col("n_b"))).cast("long").as("max_gap_ppm"))
+      .select(col("nb").cast("long").as("n_buckets"), col("n").cast("long").as("n"),
+        floorDivBig(col("g"), col("n")).cast("long").as("ece_ppm"),
+        col("max_gap_ppm"))
+  }
+
+  /** Cohen's kappa (#210): chance-corrected agreement between two
+    * cheap quality raters (is the doc longer than the mean length?
+    * does it have more tokens than the mean count?) — the
+    * annotation-audit statistic for weak-label pipelines. All four
+    * cell counts from ONE conditional aggregate (means ride a 1-row
+    * broadcast); κ = (po·N − pe·N²)/(N² − pe·N²) with both N²-scale
+    * terms exact decimals and the final signed ratio HALF_UP-rounded
+    * away from zero identically on both engines (κ < 0 is possible,
+    * so the floor-vs-truncate trap is dodged by sign decomposition,
+    * not clamping).
+    */
+  val qCohenKappa = GateQuery.sql(
+    "q_cohen_kappa",
+    """WITH s AS (SELECT CAST(sum(n_chars) // count(*) AS BIGINT) AS mc,
+      |    CAST(sum(len(string_split(text, ' '))) // count(*) AS BIGINT) AS mt
+      |  FROM documents),
+      |r AS (SELECT CASE WHEN n_chars > mc THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(string_split(text, ' ')) > mt THEN 1 ELSE 0 END AS b
+      |  FROM documents, s),
+      |c AS (SELECT count(*) AS n,
+      |    count(*) FILTER (a = 1 AND b = 1) AS n11,
+      |    count(*) FILTER (a = 1 AND b = 0) AS n10,
+      |    count(*) FILTER (a = 0 AND b = 1) AS n01,
+      |    count(*) FILTER (a = 0 AND b = 0) AS n00
+      |  FROM r),
+      |k AS (SELECT n, n11, n10, n01, n00,
+      |    CAST(n11 + n00 AS HUGEINT) * n AS po_n2,
+      |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe_n2,
+      |    CAST(n AS HUGEINT) * n AS n2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+      |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+      |  CAST(n00 AS BIGINT) AS n00,
+      |  ((n11 + n00) * 1000000) // n AS po_ppm,
+      |  CASE WHEN n2 = pe_n2 THEN NULL ELSE
+      |    (CASE WHEN po_n2 - pe_n2 >= 0
+      |      THEN (CAST(((po_n2 - pe_n2) * 2000000 + (n2 - pe_n2)) // ((n2 - pe_n2) * 2) AS DOUBLE) / 1000000.0)
+      |      ELSE -(CAST(((pe_n2 - po_n2) * 2000000 + (n2 - pe_n2)) // ((n2 - pe_n2) * 2) AS DOUBLE) / 1000000.0) + 0.0
+      |    END) END AS kappa
+      |FROM k""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("n_chars"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    val st = docs.agg(
+      floorDivBig(sum(col("n_chars")), count(lit(1))).cast("long").as("mc"),
+      floorDivBig(sum(col("ntok")), count(lit(1))).cast("long").as("mt"))
+    val r = Curation.withStats(docs, st)
+      .select(when(col("n_chars") > col("mc"), 1L).otherwise(0L).as("a"),
+        when(col("ntok") > col("mt"), 1L).otherwise(0L).as("b"))
+    val c = r.agg(count(lit(1)).as("n"),
+      count(when(col("a") === 1 && col("b") === 1, 1)).as("n11"),
+      count(when(col("a") === 1 && col("b") === 0, 1)).as("n10"),
+      count(when(col("a") === 0 && col("b") === 1, 1)).as("n01"),
+      count(when(col("a") === 0 && col("b") === 0, 1)).as("n00"))
+    val poN2 = (col("n11") + col("n00")).cast("decimal(38,0)") * col("n")
+    val peN2 = (col("n11") + col("n10")).cast("decimal(38,0)") * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")).cast("decimal(38,0)") * (col("n10") + col("n00"))
+    val n2 = col("n").cast("decimal(38,0)") * col("n")
+    val den = n2 - peN2
+    def ratio(num: Column): Column =
+      (floorDivBig(num * lit(2000000L) + den, den * lit(2L)).cast("double") / lit(1000000.0))
+    c.select(col("n").cast("long").as("n"),
+      col("n11").cast("long").as("n11"), col("n10").cast("long").as("n10"),
+      col("n01").cast("long").as("n01"), col("n00").cast("long").as("n00"),
+      Binning.floorDivCol((col("n11") + col("n00")) * lit(1000000L), col("n")).as("po_ppm"),
+      when(den === lit(0L).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(when(poN2 - peN2 >= 0, ratio(poN2 - peN2))
+          .otherwise(-ratio(peN2 - poN2) + lit(0.0))).as("kappa"))
+  }
+
+  /** One-way ANOVA (#211): does mean event value differ across the 8
+    * user cohorts? The k-sample generalization of #179's Welch test.
+    * Per-group (n, S, Q) accumulate as exact integers in ONE
+    * cohort-keyed aggregate (8 rows at any corpus size); the
+    * between/within sum-of-squares decomposition runs in micro-scaled
+    * exact integers (Σ_g ⌊S_g²·1e6/n_g⌋ — per-group flooring in a
+    * FIXED group order both engines share, since integer addition
+    * commutes), and F leaves as one exact-ppm floor division.
+    */
+  val qAnova = GateQuery.sql(
+    "q_anova",
+    s"""WITH e AS (SELECT user_id % 8 AS g, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type IN ('click', 'view', 'purchase')),
+       |a AS (SELECT g, count(*) AS n_g, CAST(sum(c) AS BIGINT) AS s_g,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_g
+       |  FROM e GROUP BY g),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS HUGEINT) AS s,
+       |    CAST(sum(q_g) AS HUGEINT) AS q,
+       |    CAST(sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS HUGEINT) AS a_scaled
+       |  FROM a),
+       |f AS (SELECT k, n, q,
+       |    greatest(a_scaled - (s * s * 1000000) // n, 0) AS ssb_micro,
+       |    q * 1000000 - a_scaled AS ssw_micro
+       |  FROM t)
+       |SELECT k, n, k - 1 AS dof_between, n - k AS dof_within,
+       |  CAST(ssb_micro // 1000000 AS BIGINT) AS ssb_cents2,
+       |  CAST(ssw_micro // 1000000 AS BIGINT) AS ssw_cents2,
+       |  CASE WHEN ssw_micro = 0 OR k <= 1 THEN NULL
+       |    ELSE CAST((ssb_micro * (n - k) * 1000000) // (ssw_micro * (k - 1)) AS BIGINT)
+       |  END AS f_ppm
+       |FROM f""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view", "purchase"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), Exact.cents(col("vd")).as("c"))
+    val a = e.groupBy(col("g")).agg(
+      count(lit(1)).as("n_g"), sum(col("c")).cast("long").as("s_g"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q_g"))
+    val t = a.agg(
+      count(lit(1)).cast("long").as("k"), sum(col("n_g")).cast("long").as("n"),
+      sum(col("s_g")).cast("decimal(38,0)").as("s"),
+      sum(col("q_g")).cast("decimal(38,0)").as("q"),
+      sum(floorDivBig(col("s_g").cast("decimal(38,0)") * col("s_g") * lit(1000000L),
+        col("n_g"))).cast("decimal(38,0)").as("a_scaled"))
+    val f = t.select(col("k"), col("n"), col("q"),
+      greatest(col("a_scaled") - floorDivBig(col("s") * col("s") * lit(1000000L), col("n")),
+        lit(0L).cast("decimal(38,0)")).as("ssb_micro"),
+      (col("q") * lit(1000000L) - col("a_scaled")).as("ssw_micro"))
+    f.select(col("k"), col("n"),
+      (col("k") - 1).as("dof_between"), (col("n") - col("k")).as("dof_within"),
+      floorDivBig(col("ssb_micro"), lit(1000000L)).cast("long").as("ssb_cents2"),
+      floorDivBig(col("ssw_micro"), lit(1000000L)).cast("long").as("ssw_cents2"),
+      when(col("ssw_micro") === lit(0L).cast("decimal(38,0)") || col("k") <= 1,
+          lit(null).cast("long"))
+        .otherwise(floorDivBig(
+          col("ssb_micro") * (col("n") - col("k")) * lit(1000000L),
+          col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
+  }
+
+  /** Mann–Whitney U test (#212): the nonparametric two-sample test
+    * behind #175's AUC (U and AUC are the same statistic) — per user
+    * cohort, are 'click' values stochastically larger than 'view'
+    * values? Exact tied MIDRANKS off the VALUE-COLLAPSED (cohort,
+    * cents) relation (2·cum − t + 1 per distinct value — windows run
+    * over distinct values only), the tie-correction term Σ(t³−t)
+    * exact, and the normal-approximation z the single mirrored
+    * closed form sqrt at the end. 2·U is reported exactly.
+    */
+  val qMannWhitney = GateQuery.sql(
+    "q_mannwhitney",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_type, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type IN ('click', 'view')),
+       |v AS (SELECT g, c,
+       |    count(*) FILTER (event_type = 'click') AS c1,
+       |    count(*) FILTER (event_type = 'view') AS c2
+       |  FROM e GROUP BY g, c),
+       |w AS (SELECT g, c1, c2, c1 + c2 AS t,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cum
+       |  FROM v),
+       |a AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum - t + 1)) AS HUGEINT) AS r1x2,
+       |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+       |  FROM w GROUP BY g),
+       |u AS (SELECT g, n1, n2, ties,
+       |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
+       |    CAST(n1 AS HUGEINT) + n2 AS nn
+       |  FROM a)
+       |SELECT g, n1, n2, CAST(u1x2 AS BIGINT) AS u1_x2,
+       |  CASE WHEN nn < 2 OR (nn + 1) * nn * (nn - 1) <= ties THEN NULL ELSE
+       |  round((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       |    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+       |      * ((CAST(nn AS DOUBLE) + 1.0)
+       |        - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))),
+       |    4) + 0.0 END AS z_approx
+       |FROM u ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"),
+        Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("g"), col("c")).agg(
+      count(when(col("event_type") === "click", 1)).as("c1"),
+      count(when(col("event_type") === "view", 1)).as("c2"))
+    val w = v.withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum",
+        sum(col("c1") + col("c2"))
+          .over(Window.partitionBy(col("g")).orderBy(col("c"))).cast("long"))
+    val a = w.groupBy(col("g")).agg(
+      sum(col("c1")).cast("long").as("n1"), sum(col("c2")).cast("long").as("n2"),
+      sum(col("c1").cast("decimal(38,0)") * (lit(2L) * col("cum") - col("t") + 1))
+        .cast("decimal(38,0)").as("r1x2"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("ties"))
+    val u = a
+      .withColumn("u1x2", col("r1x2") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+      .withColumn("nn", (col("n1") + col("n2")).cast("decimal(38,0)"))
+    val nnD = col("nn").cast("double")
+    // z is undefined when every value is tied (variance 0) — guard with
+    // the EXACT integer predicate (nn+1)·nn·(nn−1) ≤ ties (the variance
+    // numerator scaled by nn(nn−1) > 0), identical on both engines;
+    // Spark 4 ANSI errors even on double ÷0 where DuckDB yields ±inf
+    val degenerate = col("nn") < 2 ||
+      (col("nn") + 1) * col("nn") * (col("nn") - 1) <= col("ties")
+    u.select(col("g"), col("n1"), col("n2"), col("u1x2").cast("long").as("u1_x2"),
+        when(degenerate, lit(null).cast("double")).otherwise(
+          round((col("u1x2").cast("double") - col("n1").cast("double") * col("n2").cast("double")) /
+            (lit(2.0) * sqrt(col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+              ((nnD + lit(1.0)) - col("ties").cast("double") / (nnD * (nnD - lit(1.0)))))),
+            4) + lit(0.0)).as("z_approx"))
+      .orderedSmall(col("g"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney)
+}

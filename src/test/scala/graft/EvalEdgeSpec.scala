@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.EvalQueries
+
+/** Edge-case pins for the classifier-evaluation / statistical-testing
+  * gates (SURVEY.md §2 #207–#212). Same discipline as StatsEdgeSpec:
+  * each pin writes a tiny synthetic table directory with a closed-form
+  * expected answer and runs the REAL gate against it.
+  */
+class EvalEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", lit("s0"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("event_id")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("confusion matrix: balanced fixture splits 1/1/1/1 at the mean threshold") {
+    // mean n_chars = 24/4 = 6; predicted positive = {10s}, label = en
+    val dir = docsDir(Seq(
+      (1L, "a", "en", 10L), (2L, "b", "de", 10L),
+      (3L, "c", "en", 2L), (4L, "d", "de", 2L)))
+    val r = EvalQueries.qConfusion.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("threshold") === 6L)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+      r.getAs[Long]("tn")) === ((1L, 1L, 1L, 1L)))
+    assert(r.getAs[Long]("precision_ppm") === 500000L)
+    assert(r.getAs[Long]("recall_ppm") === 500000L)
+    assert(r.getAs[Long]("f1_ppm") === 500000L)
+    assert(r.getAs[Long]("accuracy_ppm") === 500000L)
+  }
+
+  test("brier score: closed-form two-doc fixture") {
+    // mx = 10: p = {900000, 0}, y = {1, 0} → sq = (1e5)^2 = 1e10
+    // brier_ppm = 1e10 // (2·1e6) = 5000
+    val dir = docsDir(Seq((1L, "a", "en", 9L), (2L, "b", "de", 0L)))
+    val r = EvalQueries.qBrier.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Long]("mean_p_ppm") === 450000L)
+    assert(r.getAs[Long]("base_rate_ppm") === 500000L)
+    assert(r.getAs[Long]("brier_ppm") === 5000L)
+  }
+
+  test("ECE: perfectly calibrated bucket contributes zero gap") {
+    // mx = 6. n_chars=3 → p=500000, bucket 5, one en of two → gap 0.
+    // n_chars=5 → p=833333, bucket 8, one en of two → gap 666666.
+    // ece = 666666 // 4 = 166666; worst bucket gap = 666666 // 2 = 333333.
+    val dir = docsDir(Seq(
+      (1L, "a", "en", 3L), (2L, "b", "de", 3L),
+      (3L, "c", "en", 5L), (4L, "d", "de", 5L)))
+    val r = EvalQueries.qEce.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_buckets") === 2L)
+    assert(r.getAs[Long]("ece_ppm") === 166666L)
+    assert(r.getAs[Long]("max_gap_ppm") === 333333L)
+  }
+
+  test("Cohen's kappa: perfect agreement → 1.0, total disagreement → -1.0") {
+    // means: mc = 6, mt = 2 (tokens: 4 and 1)
+    val agree = docsDir(Seq((1L, "w w w w", "en", 10L), (2L, "w", "en", 2L)))
+    val ra = EvalQueries.qCohenKappa.run(spark, agree).collect()(0)
+    assert(ra.getAs[Double]("kappa") === 1.0)
+    assert(ra.getAs[Long]("po_ppm") === 1000000L)
+    val disagree = docsDir(Seq((1L, "w", "en", 10L), (2L, "w w w w", "en", 2L)))
+    val rd = EvalQueries.qCohenKappa.run(spark, disagree).collect()(0)
+    assert(rd.getAs[Double]("kappa") === -1.0)
+    assert(rd.getAs[Long]("po_ppm") === 0L)
+  }
+
+  test("ANOVA: two-cohort closed form (SSB=40000, SSW=10000, F=8)") {
+    // g0 = {1.00, 2.00}, g1 = {3.00, 4.00} (all 'view')
+    val dir = eventsDir(Seq(
+      (1L, 0L, "view", 1.00), (2L, 0L, "view", 2.00),
+      (3L, 1L, "view", 3.00), (4L, 1L, "view", 4.00)))
+    val r = EvalQueries.qAnova.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k") === 2L)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("ssb_cents2") === 40000L)
+    assert(r.getAs[Long]("ssw_cents2") === 10000L)
+    assert(r.getAs[Long]("f_ppm") === 8000000L)
+  }
+
+  test("ANOVA: zero within-group variance → NULL F, not a crash") {
+    val dir = eventsDir(Seq(
+      (1L, 0L, "view", 1.00), (2L, 0L, "view", 1.00),
+      (3L, 1L, "view", 3.00), (4L, 1L, "view", 3.00)))
+    val r = EvalQueries.qAnova.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("ssw_cents2") === 0L)
+    assert(r.isNullAt(r.fieldIndex("f_ppm")))
+  }
+
+  test("Mann-Whitney: fully separated samples hit max U, z = 1.5492") {
+    // clicks {3.00, 4.00} above views {1.00, 2.00}: R1 = 7,
+    // 2·U1 = 2·R1 − n1(n1+1) = 8; z = 4 / (2·sqrt(5/3)) → 1.5492
+    val dir = eventsDir(Seq(
+      (1L, 0L, "click", 3.00), (2L, 0L, "click", 4.00),
+      (3L, 0L, "view", 1.00), (4L, 0L, "view", 2.00)))
+    val r = EvalQueries.qMannWhitney.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Long]("u1_x2") === 8L)
+    assert(r.getAs[Double]("z_approx") === 1.5492)
+  }
+
+  test("Mann-Whitney: all-tied samples give U = n1·n2/2 exactly") {
+    // every value identical: midranks make R1 = n1·(n+1)/2 → 2U = n1·n2
+    val dir = eventsDir(Seq(
+      (1L, 0L, "click", 5.00), (2L, 0L, "click", 5.00),
+      (3L, 0L, "view", 5.00), (4L, 0L, "view", 5.00)))
+    val r = EvalQueries.qMannWhitney.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("u1_x2") === 4L) // 2·U1 = n1·n2 = 4
+    // variance degenerates to 0 → z undefined, guarded to NULL
+    assert(r.isNullAt(r.fieldIndex("z_approx")))
+  }
+}
