@@ -815,10 +815,91 @@ object AnalysisQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Last-touch attribution (#215): every 'purchase' is credited to
+    * the user's most recent PRECEDING non-purchase event within a
+    * 7-day lookback (else 'none') — the conversion-credit model
+    * behind every marketing dashboard, and the event-analytics dual
+    * of #17's as-of join. The "latest prior touch" is a running
+    * max(struct(ts, id, type)) over a ROWS … 1 PRECEDING frame —
+    * one user-keyed window shuffle, no self-join, no per-user
+    * explosion (a power user costs their own rows only). Credited
+    * counts/value and the revenue share in exact ppm.
+    */
+  val qAttribution = GateQuery.sql(
+    "q_attribution",
+    s"""WITH e AS (SELECT user_id, ts_us, event_id, event_type, ${centsSql("vd")} AS c
+       |  FROM $E t),
+       |w AS (SELECT *, max(CASE WHEN event_type <> 'purchase'
+       |      THEN (ts_us, event_id, event_type) END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM e),
+       |p AS (SELECT CASE WHEN touch IS NULL OR touch[1] < ts_us - 604800000000
+       |      THEN 'none' ELSE touch[3] END AS touch_type, c
+       |  FROM w WHERE event_type = 'purchase'),
+       |g AS (SELECT touch_type, count(*) AS n_conversions,
+       |    CAST(sum(c) AS BIGINT) AS attributed_cents
+       |  FROM p GROUP BY 1)
+       |SELECT touch_type, n_conversions, attributed_cents,
+       |  (attributed_cents * 1000000) // (sum(attributed_cents) OVER ()) AS revenue_share_ppm
+       |FROM g ORDER BY touch_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, d).select(col("user_id"), col("ts_us"), col("event_id"),
+      col("event_type"), Exact.cents(col("vd")).as("c"))
+    val wPrior = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = e.withColumn("touch",
+      max(when(col("event_type") =!= "purchase",
+        struct(col("ts_us"), col("event_id"), col("event_type")))).over(wPrior))
+    val p = w.filter(col("event_type") === "purchase")
+      .select(when(col("touch").isNull ||
+          col("touch").getField("ts_us") < col("ts_us") - lit(604800000000L), lit("none"))
+        .otherwise(col("touch").getField("event_type")).as("touch_type"), col("c"))
+    val g = p.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("c")).cast("long").as("attributed_cents"))
+    g.select(col("touch_type"), col("n_conversions"), col("attributed_cents"),
+        Binning.floorDivCol(col("attributed_cents") * lit(1000000L),
+          sum(col("attributed_cents")).over(Window.partitionBy())).as("revenue_share_ppm"))
+      .orderedSmall(col("touch_type"))
+  }
+
+  /** DAU/WAU stickiness (#216): per week, the mean daily distinct
+    * actives over the weekly distinct actives — the engagement-depth
+    * ratio every product dashboard tracks next to #150's rolling
+    * reach. Both sides reduce through (day, user) / (week, user)
+    * DISTINCT relations (two-phase distinct aggregates — map-side
+    * partial dedup, never a per-user window), and the ratio is one
+    * exact nonnegative floor division.
+    */
+  val qStickiness = GateQuery.sql(
+    "q_stickiness",
+    s"""WITH du AS (SELECT DISTINCT xs // 86400 AS d, user_id FROM $E e),
+       |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+       |wk AS (SELECT d // 7 AS wk, CAST(sum(dau) AS BIGINT) AS sdau,
+       |    count(*) AS n_days FROM dau GROUP BY 1),
+       |wu AS (SELECT wk, count(*) AS wau FROM
+       |    (SELECT DISTINCT d // 7 AS wk, user_id FROM du) t GROUP BY wk)
+       |SELECT wk, n_days, sdau, wau,
+       |  (sdau * 1000000) // (n_days * wau) AS stickiness_ppm
+       |FROM wk JOIN wu USING (wk) ORDER BY wk""".stripMargin) { (s, d) =>
+    val du = ev(s, d)
+      .select(Binning.floorDiv(col("xs"), 86400L).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wk = dau.groupBy(Binning.floorDiv(col("d"), 7L).as("wk"))
+      .agg(sum(col("dau")).cast("long").as("sdau"), count(lit(1)).as("n_days"))
+    val wu = du.select(Binning.floorDiv(col("d"), 7L).as("wk"), col("user_id"))
+      .distinct().groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+    wk.join(wu, "wk")
+      .select(col("wk"), col("n_days"), col("sdau"), col("wau"),
+        Binning.floorDivCol(col("sdau") * lit(1000000L),
+          col("n_days") * col("wau")).as("stickiness_ppm"))
+      .orderedSmall(col("wk"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
-    qXcorrSubsample, qIsotonicFit)
+    qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness)
 }

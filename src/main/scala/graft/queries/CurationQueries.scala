@@ -804,9 +804,127 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #213 — Zipf-slope diagnostic: per source, the log-log slope of
+    * word frequency against frequency rank over the top 200 words —
+    * natural corpora sit near −1 (Zipf's law); a source that
+    * deviates hard is usually boilerplate, spam or templated text,
+    * which makes the slope a cheap corpus-audit signal next to #137's
+    * TTR. The rank window runs over the (source, word) COUNT relation
+    * (vocab-bounded, never corpus tokens); x = µln(rank) and
+    * y = µln(count) are micro-ln integers, all five regression sums
+    * accumulate as exact decimals, and the OLS slope leaves as ONE
+    * sign-decomposed half-up ratio (negative slopes are the norm —
+    * clamping or raw floor division would diverge across engines).
+    */
+  val qZipfFit = GateQuery.sql(
+    "q_zipf_fit",
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |             FROM documents),
+       |wc AS (SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2),
+       |rk AS (SELECT source, c,
+       |         row_number() OVER (PARTITION BY source ORDER BY c DESC, word) AS r
+       |       FROM wc),
+       |t AS (SELECT source, ${Curation.microLnSql("r")} AS x,
+       |        ${Curation.microLnSql("c")} AS y
+       |      FROM rk WHERE r <= 200),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+       |      FROM t GROUP BY source),
+       |f AS (SELECT source, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+       |      FROM a)
+       |SELECT source, n AS n_words,
+       |  CASE WHEN n < 2 OR den = 0 THEN NULL ELSE
+       |    (CASE WHEN num >= 0
+       |      THEN (CAST((num * 2000000 + den) // (den * 2) AS DOUBLE) / 1000000.0)
+       |      ELSE -(CAST(((-num) * 2000000 + den) // (den * 2) AS DOUBLE) / 1000000.0) + 0.0
+       |    END) END AS zipf_slope
+       |FROM f ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val wc = toks.groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val rk = wc.withColumn("r",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("word"))))
+    val t = rk.filter(col("r") <= 200)
+      .select(col("source"), Curation.microLn(col("r")).as("x"),
+        Curation.microLn(col("c")).as("y"))
+    val a = t.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    def ratio(v: org.apache.spark.sql.Column) =
+      (Exact.floorDivBig(v * lit(2000000L) + den, den * lit(2L)).cast("double") / lit(1000000.0))
+    a.select(col("source"), col("n").as("n_words"),
+        when(col("n") < 2 || den === lit(0L).cast("decimal(38,0)"), lit(null).cast("double"))
+          .otherwise(when(num >= 0, ratio(num)).otherwise(-ratio(-num) + lit(0.0)))
+          .as("zipf_slope"))
+      .orderedSmall(col("source"))
+  }
+
+  /** #214 — Min-K% prob membership signal (Shi et al. 2023, the
+    * pretraining-data detection statistic): per document, the mean
+    * NLL of its k = ⌈n/5⌉ LOWEST-probability tokens under the
+    * reference unigram LM. Documents the model has memorized have no
+    * surprisingly-improbable tokens, so a low Min-K% score next to a
+    * low average NLL flags likely training-set membership — the
+    * per-doc refinement of #59/#88's n-gram contamination checks.
+    * Per-token NLLs come from the SAME capped/broadcast model tables
+    * as #90; the top-k rank window is DOC-KEYED (bounded by document
+    * length, never corpus-wide); identical tied tokens make any
+    * k-subset sum equal, so the window tie order cannot change the
+    * answer. All micro-nat integers; one floor division per doc.
+    */
+  val qMinkPct = GateQuery.sql(
+    "q_minkpct",
+    s"""WITH $PplScoredSql,
+       |tn AS (SELECT t.doc_id AS doc_id, t.word AS word,
+       |         CAST(-coalesce(lp.q, oov.oovq) AS BIGINT) AS nll
+       |       FROM toks t LEFT JOIN lp USING (word), oov),
+       |rk AS (SELECT doc_id, nll,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY nll DESC, word) AS r,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |       FROM tn),
+       |k AS (SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
+       |        CAST(greatest(1, any_value(n) // 5) AS BIGINT) AS k,
+       |        CAST(sum(CASE WHEN r <= greatest(1, n // 5) THEN nll END) AS BIGINT) AS sk
+       |      FROM rk GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, k, sk // k AS mink_nll_micro
+       |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val (lp, oov) = Curation.unigramModel(toks.filter(col("lang") === "en"),
+      topV = Some(LmTopV))
+    val tn = Curation.modelJoin(Curation.withStats(toks, oov), lp, Seq("word"))
+      .select(col("doc_id"), col("word"),
+        (-coalesce(col("q"), col("oovq"))).cast("long").as("nll"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val rk = tn
+      .withColumn("r", row_number().over(wd.orderBy(col("nll").desc, col("word"))))
+      .withColumn("n", count(lit(1)).over(wd))
+    val kk = rk.groupBy(col("doc_id")).agg(
+      first(col("n")).cast("long").as("n_tokens"),
+      greatest(lit(1L), graft.operators.Binning.floorDiv(first(col("n")), 5L))
+        .cast("long").as("k"),
+      sum(when(col("r") <= greatest(lit(1L),
+        graft.operators.Binning.floorDiv(col("n"), 5L)), col("nll")))
+        .cast("long").as("sk"))
+    kk.select(col("doc_id"), col("n_tokens"), col("k"),
+        graft.operators.Binning.floorDivCol(col("sk"), col("k")).as("mink_nll_micro"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
-      qTtr, qKlMix, qDocEntropy)
+      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct)
 }

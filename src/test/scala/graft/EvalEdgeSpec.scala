@@ -128,4 +128,75 @@ class EvalEdgeSpec extends SparkSpec {
     // variance degenerates to 0 → z undefined, guarded to NULL
     assert(r.isNullAt(r.fieldIndex("z_approx")))
   }
+
+  test("Zipf fit: an exact 1/r frequency profile recovers slope -1") {
+    // word r repeated 24/r times: counts 24, 12, 8, 6 over ranks 1..4
+    val words = (1 to 4).flatMap(r => Seq.fill(24 / r)(s"w$r"))
+    val dir = docsDir(Seq((1L, words.mkString(" "), "en", 10L)))
+    val r = graft.queries.CurationQueries.qZipfFit.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_words") === 4L)
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(math.abs(slope + 1.0) < 0.01, s"slope $slope")
+  }
+
+  test("Min-K%: the k lowest-probability tokens bound the mean NLL from above") {
+    // 10-token docs → k = 2; 'rare'/'rarer' appear once vs 'a' × many,
+    // so the min-k mean must exceed the full-doc mean NLL
+    val dir = docsDir(Seq(
+      (1L, "a a a a a a a a rare rarer", "en", 10L),
+      (2L, "a a a a a a a a a a", "en", 10L)))
+    val rows = graft.queries.CurationQueries.qMinkPct.run(spark, dir).collect()
+    val ppl = graft.queries.CurationQueries.qLmPerplexity.run(spark, dir).collect()
+    val mink = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val avg = ppl.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("nll_micro") / r.getAs[Long]("n_tokens"))).toMap
+    assert(mink(1L).getAs[Long]("k") === 2L)
+    assert(mink(1L).getAs[Long]("mink_nll_micro") > avg(1L))
+    // uniform doc: every token has the same NLL → min-k mean == doc mean
+    assert(math.abs(mink(2L).getAs[Long]("mink_nll_micro") - avg(2L)) <= 1L)
+  }
+
+  test("attribution: prior click credited, stale or missing touch → none") {
+    // user 1: click at t=1, purchase at t=2 → 'click'
+    // user 2: purchase at t=3, no prior → 'none'
+    // user 3: view at t=4, purchase 8 days later → stale → 'none'
+    val dir = eventsDir(Seq(
+      (1L, 1L, "click", 1.00), (2L, 1L, "purchase", 10.00),
+      (3L, 2L, "purchase", 20.00),
+      (4L, 3L, "view", 1.00), (5L, 3L, "purchase", 40.00)))
+    // make event 5 land 8 days after event 4: re-write with explicit ts
+    val dir2 = Files.createTempDirectory("graft_eval_fix").toString
+    Seq((1L, 1L, "click", 1.00, 1L), (2L, 1L, "purchase", 10.00, 2L),
+        (3L, 2L, "purchase", 20.00, 3L),
+        (4L, 3L, "view", 1.00, 4L), (5L, 3L, "purchase", 40.00, 4L + 8L * 86400L))
+      .toDF("event_id", "user_id", "event_type", "value", "off")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val out = graft.queries.AnalysisQueries.qAttribution.run(spark, dir2).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Long]("attributed_cents"))).toMap
+    assert(out("click") === ((1L, 1000L)))
+    assert(out("none") === ((2L, 6000L)))
+    assert(!out.contains("view"))
+    assert(dir.nonEmpty) // silence unused warning for the first fixture
+  }
+
+  test("stickiness: users active every day of the week → exactly 1e6 ppm") {
+    // 2 users × 7 consecutive days of activity in week 0
+    val rows = for (u <- 0L to 1L; day <- 0L to 6L)
+      yield (u * 7 + day + 1, u, "view", 1.00, day * 86400L + 60L)
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "off")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.AnalysisQueries.qStickiness.run(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_days") === 7L)
+    assert(r(0).getAs[Long]("wau") === 2L)
+    assert(r(0).getAs[Long]("stickiness_ppm") === 1000000L)
+  }
 }
