@@ -58,4 +58,35 @@ object AsOfJoin {
       col("_match").getField(c).as(s"right_$c"))
     matched.select(leftCols.map(col) ++ outPayload: _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * with rightTime >= leftTime within the same key — the mirror of
+    * [[backward]] (e.g. "the next calibration after this reading").
+    * Same one-shuffle union shape; the carry runs via
+    * `first(..., ignoreNulls)` over a currentRow→following frame,
+    * with left rows (tag 0) sorting BEFORE right rows (tag 1) at an
+    * equal timestamp so a same-time right row is an eligible match
+    * (>= semantics, mirroring backward's <=). Right side must be
+    * unique per (key, time) — [[dedupRight]] applies unchanged.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String, timeCol: String,
+              payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payload = struct((timeCol +: payloadCols).map(right(_)): _*)
+    val taggedRight = right.select(
+      Seq(col(key), col(timeCol).as("_t"), lit(1).as("_tag"), payload.as("_p")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(timeCol).as("_t"), lit(0).as("_tag"),
+        lit(null).cast(taggedRight.schema("_p").dataType).as("_p")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+    val win = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("_match", first(col("_p"), ignoreNulls = true).over(win))
+    val matched = carried.filter(col("_tag") === 0)
+    val outPayload = (timeCol +: payloadCols).map(c =>
+      col("_match").getField(c).as(s"right_$c"))
+    matched.select(leftCols.map(col) ++ outPayload: _*)
+  }
 }

@@ -585,7 +585,46 @@ object CcdQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Master flat-field from a stack (#219): the per-pixel LOWER
+    * MEDIAN across all frames of the EDF stack — the robust
+    * per-pixel reference every detector correction chain starts
+    * from (#135's mask uses sums; the median survives transient
+    * cosmic hits a mean would absorb). Shape: posexplode → ONE
+    * pixel-keyed aggregate; values-per-key is bounded by STACK DEPTH
+    * (frames), never corpus size, so the in-group sort is O(depth)
+    * per pixel. Hot-count = frames whose pixel exceeds median + 50.
+    * The oracle recomputes the same lower median from the fixture's
+    * closed form via list_sort.
+    */
+  val qFlatField = GateQuery.sql(
+    "q_flat_field",
+    s"""WITH px AS (SELECT r.r * $EW + c.c AS idx,
+       |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v
+       |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c)),
+       |m AS (SELECT idx, count(*) AS n_frames,
+       |    CAST(list_sort(list(v))[(count(*) + 1) // 2] AS BIGINT) AS flat_v
+       |  FROM px GROUP BY idx)
+       |SELECT m.idx AS idx, m.n_frames AS n_frames, m.flat_v AS flat_v,
+       |  CAST(count(*) FILTER (px.v > m.flat_v + 50) AS BIGINT) AS n_hot
+       |FROM m JOIN px ON px.idx = m.idx
+       |GROUP BY 1, 2, 3 ORDER BY idx""".stripMargin) { (s, _) =>
+    val px = s.read.format("edf").load(edfFixture(s))
+      .select(col("frame"), posexplode(col("pixels")).as(Seq("i", "v")))
+      .select(col("i").cast("long").as("idx"), col("v").cast("long").as("v"))
+    px.groupBy(col("idx"))
+      .agg(count(lit(1)).as("n_frames"),
+        sort_array(collect_list(col("v"))).as("sorted"))
+      .select(col("idx"), col("n_frames"),
+        element_at(col("sorted"),
+          graft.operators.Binning.floorDivCol(col("n_frames") + 1, lit(2L)).cast("int"))
+          .as("flat_v"), col("sorted"))
+      .select(col("idx"), col("n_frames"), col("flat_v"),
+        size(filter(col("sorted"), v => v > col("flat_v") + lit(50L)))
+          .cast("long").as("n_hot"))
+      .orderedSmall(col("idx"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
-    qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit)
+    qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField)
 }

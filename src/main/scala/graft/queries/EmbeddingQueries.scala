@@ -533,8 +533,73 @@ object EmbeddingQueries {
     } finally e.unpersist()
   }
 
+  /** Matryoshka prefix-dimension recall (#220, Kusupati et al. 2022):
+    * rank the corpus by cosine over only the FIRST 16 of 64
+    * dimensions and measure top-5 recall against the full-dimension
+    * ranking — the evaluation that decides whether truncated
+    * ("matryoshka") embeddings can serve the cheap first stage of a
+    * two-stage retrieval cascade (4× less memory/bandwidth per
+    * candidate). BOTH rankings come from ONE corpus pass (the scored
+    * relation carries full and prefix cosines side by side — at
+    * 100 TB the corpus is read once, not twice); two salted top-k
+    * windows + an equi-join count the overlap. Cosines are mirrored
+    * doubles from exact integer dot/norms with vec_id tie pins, so
+    * both engines rank identically; recall is exact ppm.
+    */
+  val qMatryoshka = GateQuery.sql(
+    "q_matryoshka",
+    s"""WITH $PrepSql,
+       |es AS (SELECT vec_id, q, n, q[1:16] AS q16, ${normQSql("q[1:16]")} AS n16 FROM en),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq, q16 AS qq16, n16 AS nq16
+       |       FROM es WHERE vec_id < 10),
+       |p AS (SELECT query_id, c.vec_id AS vec_id,
+       |    ${cosineQSql(dotQSql("qq", "c.q"), "nq", "c.n")} AS cf,
+       |    ${cosineQSql(dotQSql("qq16", "c.q16"), "nq16", "c.n16")} AS cp
+       |  FROM qs, es c WHERE c.vec_id <> query_id),
+       |rf AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id) AS r
+       |  FROM p QUALIFY r <= 5),
+       |rp AS (SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cp DESC, vec_id) AS r
+       |  FROM p QUALIFY r <= 5)
+       |SELECT rf.query_id AS query_id, CAST(5 AS BIGINT) AS k,
+       |  CAST(count(rp.vec_id) AS BIGINT) AS n_overlap,
+       |  (CAST(count(rp.vec_id) AS BIGINT) * 1000000) // 5 AS recall_ppm
+       |FROM rf LEFT JOIN rp ON rp.query_id = rf.query_id AND rp.vec_id = rf.vec_id
+       |GROUP BY 1 ORDER BY query_id""".stripMargin) { (s, d) =>
+    val es = prep(s, d).select(col("vec_id"), col("q"), col("n"),
+      slice(col("q"), 1, 16).as("q16"))
+      .withColumn("n16", graft.expressions.VectorExpressions.normQ(col("q16")))
+    val qs = broadcast(es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"),
+        col("q16").as("qq16"), col("n16").as("nq16")))
+    // one corpus pass scores BOTH representations; the columnar cache
+    // lets the two top-k windows share it (freed by the harness
+    // post-action like every gate-lifetime cache)
+    val p = es.crossJoin(qs).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")),
+          col("nq"), col("n")).as("cf"),
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq16"), col("q16")),
+          col("nq16"), col("n16")).as("cp")).persist()
+    val rf = Relational.topKPerGroupSalted(p, Seq(col("query_id")),
+      Seq(col("cf").desc, col("vec_id")), 5, col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val rp = Relational.topKPerGroupSalted(p, Seq(col("query_id")),
+      Seq(col("cp").desc, col("vec_id")), 5, col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("vec_id_p"))
+    rf.join(rp, rf("query_id") === rp("query_id") && col("vec_id") === col("vec_id_p"),
+        "left")
+      .groupBy(rf("query_id").as("query_id"))
+      .agg(count(col("vec_id_p")).as("n_overlap"))
+      .select(col("query_id"), lit(5L).as("k"), col("n_overlap"),
+        graft.operators.Binning.floorDivCol(col("n_overlap") * lit(1000000L), lit(5L))
+          .as("recall_ppm"))
+      .orderedSmall(col("query_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
-    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq)
+    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq, qMatryoshka)
 }

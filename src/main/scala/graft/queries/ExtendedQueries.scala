@@ -223,7 +223,38 @@ object ExtendedQueries {
     }
   }
 
+  /** Unpivot / melt (#217): the wide per-user event-type count matrix
+    * (#6's pivot shape) folded back to long format via Spark's native
+    * `unpivot` (Catalyst `Expand` — one pass, zero joins, zero
+    * shuffle beyond the pivot's own aggregate). Zero cells SURVIVE
+    * the round-trip (a melt that drops absent combinations silently
+    * corrupts downstream sparse joins — the oracle generates the full
+    * user × type grid to pin exactly that), which is what makes this
+    * a semantics gate and not a formatting nicety.
+    */
+  val qUnpivot = GateQuery.sql(
+    "q_unpivot",
+    s"""WITH u AS (SELECT DISTINCT user_id FROM $E e),
+       |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+       |c AS (SELECT user_id, event_type, count(*) AS n
+       |      FROM $E e GROUP BY 1, 2)
+       |SELECT u.user_id AS user_id, t.event_type AS event_type,
+       |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |FROM u CROSS JOIN t
+       |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+       |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = ev(s, d).groupBy(col("user_id"))
+      .pivot("event_type", types).agg(count(lit(1)))
+    // pivot leaves NULL (not 0) for absent combinations; normalize
+    // BEFORE the melt so the long form carries honest zero counts
+    val filled = types.foldLeft(wide)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+    filled.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .orderedSmall(col("user_id"), col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qRangeJoin, qCube, qModePerGroup, qBgSubtract, qWeightedMedian,
-    qQualityBuckets, qSixcHkl)
+    qQualityBuckets, qSixcHkl, qUnpivot)
 }

@@ -498,9 +498,49 @@ object ScanQueries {
       .orderedSmall(col("user_id"))
   }
 
+  /** Forward as-of join (#218): every click enriched with the NEXT
+    * purchase at-or-after it by the same user — the "time to convert"
+    * direction #17's backward join cannot answer. Same one-shuffle
+    * union + carry shape ([[AsOfJoin.forward]]: first-ignoreNulls over
+    * a currentRow→following frame), mirrored by DuckDB's ASOF JOIN
+    * with the >= comparator.
+    */
+  val qAsOfForward = GateQuery.sql(
+    "q_asof_forward",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+      |    CAST(value AS DECIMAL(18,2)) AS vd, event_type FROM events),
+      |l AS (SELECT event_id, user_id, t, vd FROM e WHERE event_type = 'click'),
+      |r0 AS (SELECT user_id, t, event_id, vd FROM e WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, t, event_id, vd FROM r0
+      |      QUALIFY row_number() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) = 1)
+      |SELECT l.event_id AS click_event, l.user_id AS user_id,
+      |  round(CAST(l.vd AS DOUBLE), 2) AS click_value,
+      |  r.event_id AS purchase_event,
+      |  round(CAST(r.vd AS DOUBLE), 2) AS purchase_value,
+      |  round((r.t - l.t) / 1000000.0, 6) AS lead_sec
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.t >= l.t
+      |ORDER BY click_event""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("t"), col("vd"))
+    val right = AsOfJoin.dedupRight(
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("t"), col("event_id"), col("vd")),
+      "user_id", "t", "event_id")
+    AsOfJoin.forward(left, right, "user_id", "t", Seq("event_id", "vd"))
+      .select(
+        col("event_id").as("click_event"),
+        col("user_id"),
+        round(col("vd").cast("double"), 2).as("click_value"),
+        col("right_event_id").as("purchase_event"),
+        round(col("right_vd").cast("double"), 2).as("purchase_value"),
+        round((col("right_t") - col("t")) / lit(1000000.0), 6).as("lead_sec"))
+      .orderedSmall(col("click_event"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qScanStats, qPeakMoments, qLinReg, qNormalizeMonitor, qRebin1d,
     qHistogram, qGrid3d, qMovingAvg, qDerivative, qAsOfJoin, qGaussFit,
     qLineshapeFit, qInterpGrid, qPercentiles, qSessionizeBatch, qDespike,
-    qSavGol, qUbMatrix, qFunnel, qRetention, qWLinReg)
+    qSavGol, qUbMatrix, qFunnel, qRetention, qWLinReg, qAsOfForward)
 }

@@ -183,6 +183,27 @@ class EvalEdgeSpec extends SparkSpec {
     assert(dir.nonEmpty) // silence unused warning for the first fixture
   }
 
+  test("forward as-of: earliest following row, same-time inclusive, none → null") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 30L, 300L), (1L, 31L, 310L))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.forward(left, right, "k", "t", Seq("v"))
+      .select("tag", "right_t", "right_v").collect()
+      .map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Long]("right_t")), Option(r.getAs[java.lang.Long]("right_v"))))
+      .toMap
+    // same-time right row IS a match (>= semantics)
+    assert(out("a") === ((Some(10L), Some(100L))))
+    // earliest of the following rows, not the latest
+    assert(out("b") === ((Some(30L), Some(300L))))
+    // no right row at-or-after t=35 → null payload
+    assert(out("c") === ((None, None)))
+    // key with no right rows at all → null payload
+    assert(out("d") === ((None, None)))
+  }
+
   test("stickiness: users active every day of the week → exactly 1e6 ppm") {
     // 2 users × 7 consecutive days of activity in week 0
     val rows = for (u <- 0L to 1L; day <- 0L to 6L)
