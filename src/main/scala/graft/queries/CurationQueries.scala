@@ -922,9 +922,55 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #217b/#221 family — jusText-shape boilerplate SEGMENT filter
+    * (Pomikálek 2011's insight at K-word granularity, since the
+    * corpus has no line structure): a segment whose function-word
+    * density falls below 1/8 is navigation/template debris, not
+    * prose — drop it and reassemble the document from the surviving
+    * segments in order. Pure per-row expressions up to ONE doc-keyed
+    * aggregate (conditional collect over (idx, seg) structs — no
+    * join, no window); density thresholds compare exact integer ppm.
+    * The dual of #89's cross-corpus segment dedup: that drops
+    * repeated segments, this drops low-prose segments, both feeding
+    * the same reassembly discipline (md5-certified cross-engine).
+    */
+  val qBoilerplate = GateQuery.sql(
+    "q_boilerplate",
+    s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sl AS (SELECT doc_id, ${Curation.segmentsSql(SegK)} AS segs FROM tw),
+       |sg AS (SELECT doc_id, unnest(range(0, len(segs))) AS i, unnest(segs) AS seg FROM sl),
+       |st AS (SELECT doc_id, i, seg,
+       |    len(string_split(seg, ' ')) AS nt,
+       |    len(list_filter(string_split(seg, ' '), t -> t IN ('a', 'the'))) AS ns
+       |  FROM sg),
+       |k AS (SELECT doc_id, i, seg, (ns * 1000000) // nt >= 125000 AS keep FROM st)
+       |SELECT doc_id, count(*) AS n_segs,
+       |  count(*) FILTER (keep) AS n_kept,
+       |  md5(coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (keep), '')) AS new_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sl = docs.select(col("doc_id"),
+      Curation.segments(col("text"), SegK).as("segs"))
+    val sg = sl.select(col("doc_id"), posexplode(col("segs")).as(Seq("i", "seg")))
+    val segToks = split(col("seg"), " ")
+    val st = sg.select(col("doc_id"), col("i"), col("seg"),
+      size(segToks).cast("long").as("nt"),
+      size(filter(segToks, t => t === "a" || t === "the")).cast("long").as("ns"))
+    val k = st.withColumn("keep",
+      graft.operators.Binning.floorDivCol(col("ns") * lit(1000000L), col("nt")) >= 125000L)
+    k.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(when(col("keep"),
+            struct(col("i"), col("seg"))))), x => x.getField("seg"))))
+          .as("new_md5"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
-      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct)
+      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate)
 }

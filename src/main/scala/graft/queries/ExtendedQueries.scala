@@ -254,7 +254,36 @@ object ExtendedQueries {
       .orderedSmall(col("user_id"), col("event_type"))
   }
 
+  /** JSON field extraction (#221): pull a typed field out of the
+    * semi-structured `props` JSON column and aggregate it — the
+    * "schema-on-read" op every event pipeline starts with (Spark
+    * `get_json_object`, DuckDB `json_extract_string`, both
+    * path-addressed). Extraction is per-row/zero-shuffle; the
+    * aggregate is one hash pass. A malformed or missing path yields
+    * NULL on both engines (count(k) vs count(*) exposes exactly the
+    * parse-failure count, pinned by the gate columns).
+    */
+  val qJsonExtract = GateQuery.sql(
+    "q_json_extract",
+    """WITH j AS (SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+      |  CAST(sum(k) AS BIGINT) AS k_sum,
+      |  CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val j = Tables.events(s, d).select(col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    j.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        sum(col("k")).cast("long").as("k_sum"),
+        min(col("k")).cast("long").as("k_min"), max(col("k")).cast("long").as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qRangeJoin, qCube, qModePerGroup, qBgSubtract, qWeightedMedian,
-    qQualityBuckets, qSixcHkl, qUnpivot)
+    qQualityBuckets, qSixcHkl, qUnpivot, qJsonExtract)
 }

@@ -1240,9 +1240,129 @@ object StatsQueries {
         col("at_cents"))
   }
 
+  /** Seasonal-means decomposition (#223): each event type's hourly
+    * totals split into overall level + hour-of-day seasonal component
+    * (y = level + seasonal(hod) + residual) — the first look every
+    * monitoring dashboard takes at a periodic series, and the exact
+    * companion to #181's ACF (which only DETECTS the periodicity).
+    * Hourly totals reduce to a (type, hod) relation of AT MOST
+    * 24·types rows regardless of corpus size; means are HALF_UP
+    * exact-integer ratios; the seasonal delta is a difference of two
+    * exactly-rounded means (signed, but never divided again — no
+    * floor-vs-truncate exposure).
+    */
+  val qSeasonal = GateQuery.sql(
+    "q_seasonal",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |h AS (SELECT event_type, grid % 24 AS hod, count(*) AS n_hours,
+       |    CAST(sum(y) AS BIGINT) AS sy FROM g GROUP BY 1, 2),
+       |t AS (SELECT event_type, CAST(sum(n_hours) AS BIGINT) AS n_total,
+       |    CAST(sum(sy) AS BIGINT) AS st FROM h GROUP BY 1)
+       |SELECT h.event_type AS event_type, hod, n_hours,
+       |  (2 * sy + n_hours) // (2 * n_hours) AS hod_mean_cents,
+       |  (2 * sy + n_hours) // (2 * n_hours)
+       |    - (2 * st + n_total) // (2 * n_total) AS seasonal_delta_cents
+       |FROM h JOIN t ON t.event_type = h.event_type
+       |ORDER BY event_type, hod""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val h = g.groupBy(col("event_type"), pmod(col("grid"), lit(24L)).as("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("y")).cast("long").as("sy"))
+    val t = h.groupBy(col("event_type"))
+      .agg(sum(col("n_hours")).cast("long").as("n_total"),
+        sum(col("sy")).cast("long").as("st"))
+    def meanHalfUp(s2: Column, n: Column) =
+      Binning.floorDivCol(lit(2L) * s2 + n, lit(2L) * n)
+    h.join(t, "event_type")
+      .select(col("event_type"), col("hod"), col("n_hours"),
+        meanHalfUp(col("sy"), col("n_hours")).as("hod_mean_cents"),
+        (meanHalfUp(col("sy"), col("n_hours")) -
+          meanHalfUp(col("st"), col("n_total"))).as("seasonal_delta_cents"))
+      .orderedSmall(col("event_type"), col("hod"))
+  }
+
+  /** Single changepoint detection (#224): per event type, the hourly
+    * split that maximizes the between-segment variance gain
+    * n1·n2/n·(m1−m2)² — binary segmentation's first step (the
+    * level-shift detector that CUSUM (#180) alarms on but doesn't
+    * localize). The candidate scan is ONE ordered window over the
+    * HOURLY grid (bounded by the time span, never event count);
+    * gain = (S1·n2 − S2·n1)²/(n1·n2·n) is evaluated entirely in
+    * exact integers per candidate (decimal-lifted — the square is
+    * ~1e27 at sf0.1), and the argmax ties to the earliest grid via
+    * one min(struct) aggregate. Means at the split are HALF_UP.
+    */
+  val qChangepoint = GateQuery.sql(
+    "q_changepoint",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |o AS (SELECT event_type, grid, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY grid) AS BIGINT) AS rn,
+       |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY grid) AS BIGINT) AS s1,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+       |  FROM g),
+       |c AS (SELECT event_type, grid, rn AS n1, n - rn AS n2, s1, s - s1 AS s2, n,
+       |    CAST(${floorDivBigSql(
+            "(CAST(s1 AS HUGEINT) * (n - rn) - CAST(s - s1 AS HUGEINT) * rn)" +
+              " * (CAST(s1 AS HUGEINT) * (n - rn) - CAST(s - s1 AS HUGEINT) * rn)",
+            "CAST(rn AS HUGEINT) * (n - rn) * n")} AS HUGEINT) AS gain
+       |  FROM o WHERE rn < n),
+       |mx AS (SELECT event_type, max(gain) AS mg FROM c GROUP BY 1),
+       |best AS (SELECT c.event_type AS event_type, any_value(c.n) AS n,
+       |    min((grid, n1, n2, s1, s2)) FILTER (gain = mg) AS b,
+       |    max(mg) AS gain
+       |  FROM c JOIN mx ON mx.event_type = c.event_type GROUP BY 1)
+       |SELECT event_type, n AS n_hours, b[1] AS split_grid,
+       |  CAST(b[2] AS BIGINT) AS n1, CAST(b[3] AS BIGINT) AS n2,
+       |  (2 * b[4] + b[2]) // (2 * b[2]) AS mean1_cents,
+       |  (2 * b[5] + b[3]) // (2 * b[3]) AS mean2_cents,
+       |  CAST(gain AS BIGINT) AS gain_cents2
+       |FROM best ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val wa = Window.partitionBy(col("event_type"))
+    val o = g
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("s1", sum(col("y")).over(wo).cast("long"))
+      .withColumn("n", count(lit(1)).over(wa).cast("long"))
+      .withColumn("s", sum(col("y")).over(wa).cast("long"))
+    val d1 = col("s1").cast("decimal(38,0)") * (col("n") - col("rn")) -
+      (col("s") - col("s1")).cast("decimal(38,0)") * col("rn")
+    val c = o.filter(col("rn") < col("n"))
+      .select(col("event_type"), col("grid"), col("rn").as("n1"),
+        (col("n") - col("rn")).as("n2"), col("s1"), (col("s") - col("s1")).as("s2"),
+        col("n"),
+        floorDivBig(d1 * d1,
+          col("rn").cast("decimal(38,0)") * (col("n") - col("rn")) * col("n")).as("gain"))
+    val mx = c.groupBy(col("event_type")).agg(max(col("gain")).as("mg"))
+    val best = c.join(mx, "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        min(when(col("gain") === col("mg"),
+          struct(col("grid"), col("n1"), col("n2"), col("s1"), col("s2")))).as("b"),
+        max(col("mg")).as("gain"))
+    def meanHalfUp(s2: Column, n: Column) =
+      Binning.floorDivCol(lit(2L) * s2 + n, lit(2L) * n)
+    best.select(col("event_type"), col("n").as("n_hours"),
+        col("b.grid").as("split_grid"),
+        col("b.n1").cast("long").as("n1"), col("b.n2").cast("long").as("n2"),
+        meanHalfUp(col("b.s1"), col("b.n1")).as("mean1_cents"),
+        meanHalfUp(col("b.s2"), col("b.n2")).as("mean2_cents"),
+        col("gain").cast("long").as("gain_cents2"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
-    qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest)
+    qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
+    qSeasonal, qChangepoint)
 }

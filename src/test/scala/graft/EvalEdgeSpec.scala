@@ -183,6 +183,53 @@ class EvalEdgeSpec extends SparkSpec {
     assert(dir.nonEmpty) // silence unused warning for the first fixture
   }
 
+  test("changepoint: a clean level shift is localized exactly with its gain") {
+    // 10 hours at 1.00 then 10 hours at 5.00 (one 'view' per hour):
+    // split at grid 9, means 100/500 cents,
+    // gain = n1·n2/n·(m1−m2)² = 100/20·400² = 800000 cents²
+    val rows = (0L until 20L).map { h =>
+      (h + 1, 0L, "view", if (h < 10) 1.00 else 5.00, h * 3600L + 30L)
+    }
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "off")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.StatsQueries.qChangepoint.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n1") === 10L)
+    assert(r.getAs[Long]("mean1_cents") === 100L)
+    assert(r.getAs[Long]("mean2_cents") === 500L)
+    assert(r.getAs[Long]("gain_cents2") === 800000L)
+  }
+
+  test("seasonal decomposition: a flat series has zero seasonal deltas") {
+    val rows = (0L until 48L).map(h => (h + 1, 0L, "view", 2.00, h * 3600L + 30L))
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "off")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rs = graft.queries.StatsQueries.qSeasonal.run(spark, dir).collect()
+    assert(rs.length === 24)
+    assert(rs.forall(_.getAs[Long]("seasonal_delta_cents") === 0L))
+    assert(rs.forall(_.getAs[Long]("n_hours") === 2L))
+  }
+
+  test("boilerplate filter: prose segment survives, function-word-free segment dropped") {
+    // segment 1: 2/8 function words (250000 ppm ≥ 1/8) → keep
+    // segment 2: 0/8 → drop
+    val text = "a b the c d e f g" + " " + "s t u v w x y z"
+    val dir = docsDir(Seq((1L, text, "en", 10L)))
+    val r = graft.queries.CurationQueries.qBoilerplate.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_segs") === 2L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b the c d e f g".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(r.getAs[String]("new_md5") === expected)
+  }
+
   test("forward as-of: earliest following row, same-time inclusive, none → null") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
