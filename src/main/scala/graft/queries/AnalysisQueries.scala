@@ -815,6 +815,35 @@ object AnalysisQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Banded DTW scan alignment (#226, rows+test): each user's hourly
+    * value series scored by dynamic-time-warping distance against
+    * the corpus mean hourly series — the drift-tolerant alignment
+    * #149's cross-correlation (rigid shift only) cannot express.
+    * One O(n·w) task per series ([[graft.operators.Dtw]], Sakoe–Chiba
+    * band w=8); the reference rides a single-row broadcast; exact
+    * integer |Δcents| costs, deterministic everywhere. Semantics
+    * pinned in EvalEdgeSpec (zero-distance stretch, band clamp,
+    * empty sentinel).
+    */
+  val qDtwAlign = GateQuery.rowsOnly("q_dtw_align") { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val refRel = g.groupBy(col("grid"))
+      .agg(count(lit(1)).as("nu"), sum(col("y")).cast("long").as("sy"))
+      .select(col("grid"),
+        Binning.floorDivCol(lit(2L) * col("sy") + col("nu"), lit(2L) * col("nu")).as("m"))
+      .agg(transform(sort_array(collect_list(struct(col("grid"), col("m")))),
+        x => x.getField("m")).as("ref_ys"))
+    val series = g.groupBy(col("user_id"))
+      .agg(transform(sort_array(collect_list(struct(col("grid"), col("y")))),
+        x => x.getField("y")).as("ys"))
+      .select(col("user_id").as("key"), col("ys"))
+    graft.operators.Dtw.vsReference(series, refRel, w = 8)
+      .select(col("key").as("user_id"), col("n_points"), col("dtw_cents"))
+      .orderedSmall(col("user_id"))
+  }
+
   /** Last-touch attribution (#215): every 'purchase' is credited to
     * the user's most recent PRECEDING non-purchase event within a
     * 7-day lookback (else 'none') — the conversion-credit model
@@ -901,5 +930,5 @@ object AnalysisQueries {
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
-    qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness)
+    qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign)
 }

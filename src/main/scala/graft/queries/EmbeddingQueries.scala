@@ -598,8 +598,54 @@ object EmbeddingQueries {
       .orderedSmall(col("query_id"))
   }
 
+  /** ANN recall-vs-nprobe curve (#227, rows+test): top-5 recall of
+    * the IVF index against exact brute force at nprobe ∈ {1, 2, 4} —
+    * the operating-curve measurement that turns "approximate" into a
+    * number you can budget against (FAISS's standard tuning plot).
+    * The index trains ONCE (same cached-input discipline as #38);
+    * the exact top-5 ground truth computes once and persists (50
+    * rows); each nprobe point reuses both. Mean/min recall over the
+    * query set in exact ppm.
+    */
+  val qAnnRecallCurve = GateQuery.rowsOnly("q_ann_recall_curve") { (s, d) =>
+    val e = prep(s, d).persist() // see qKnnIvf
+    val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
+    val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
+      maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+    val assigned = graft.operators.IvfIndex.assign(e, cents)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
+    // exact ground truth: one brute-force pass, 50 rows, cached for
+    // the three curve points (freed by the harness post-action)
+    val exact = Relational.topKPerGroupSalted(
+        e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")),
+              col("nq"), col("n")).as("_c")),
+        Seq(col("query_id")), Seq(col("_c").desc, col("vec_id")), 5, col("vec_id"))
+      .select(col("query_id"), col("vec_id")).persist()
+    val points = Seq(1, 2, 4).map { np =>
+      val approx = graft.operators.IvfIndex.knn(qs, assigned, cents, nprobe = np, k = 5)
+        .select(col("query_id"), col("vec_id").as("vec_id_a"))
+      val perQuery = exact.join(approx,
+          exact("query_id") === approx("query_id") && col("vec_id") === col("vec_id_a"),
+          "left")
+        .groupBy(exact("query_id").as("qid"))
+        .agg(count(col("vec_id_a")).as("hit"))
+      perQuery.agg(count(lit(1)).as("n_queries"),
+          graft.operators.Binning.floorDivCol(sum(col("hit")) * lit(1000000L),
+            count(lit(1)) * lit(5L)).as("mean_recall_ppm"),
+          graft.operators.Binning.floorDivCol(min(col("hit")) * lit(1000000L), lit(5L))
+            .as("min_recall_ppm"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("mean_recall_ppm"), col("min_recall_ppm"))
+    }
+    points.reduce(_.unionAll(_)).orderedSmall(col("nprobe"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
-    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq, qMatryoshka)
+    qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq, qMatryoshka,
+    qAnnRecallCurve)
 }

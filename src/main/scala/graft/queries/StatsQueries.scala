@@ -1359,10 +1359,63 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Histogram mutual information (#225): MI between the event-value
+    * decile and the props.k decile — the model-free dependence
+    * measure that catches what #193's Pearson misses (nonlinear,
+    * non-monotone association), read next to #178's χ² (which only
+    * tests, never quantifies). Both deciles derive from 1-row
+    * broadcast maxima; the joint relation is ≤ 100 cells at any
+    * corpus size, marginals are windows OVER THE CELL RELATION, and
+    * each c·µln(c·N/(c_x·c_y)) term is an exact integer before the
+    * sum (#138's KL quantization discipline — MI is the KL of the
+    * joint from the product of marginals).
+    */
+  val qMutualInfo = GateQuery.sql(
+    "q_mutual_info",
+    s"""WITH e AS (SELECT ${centsSql("vd")} AS vc,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM (SELECT CAST(value AS DECIMAL(18,2)) AS vd, props FROM events) t),
+       |s AS (SELECT 1 + max(vc) AS mv, 1 + max(k) AS mk FROM e),
+       |b AS (SELECT (vc * 10) // mv AS x, (k * 10) // mk AS y FROM e, s),
+       |xy AS (SELECT x, y, count(*) AS c FROM b GROUP BY 1, 2),
+       |m AS (SELECT x, y, c,
+       |    CAST(sum(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+       |    CAST(sum(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n
+       |  FROM xy),
+       |t AS (SELECT any_value(n) AS n, count(*) AS n_cells,
+       |    CAST(sum(c * ${Curation.microLnSql("(c * n) * 1.0 / (cx * cy)")}) AS BIGINT) AS mi_sum
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_events, CAST(n_cells AS BIGINT) AS n_cells,
+       |  mi_sum AS mi_micro_sum,
+       |  ${Exact.roundedRatioSignedSql("mi_sum", "n * 1000000", 6)} AS mi
+       |FROM t""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      Exact.cents(col("value").cast("decimal(18,2)")).as("vc"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val mx = e.agg((lit(1L) + max(col("vc"))).as("mv"), (lit(1L) + max(col("k"))).as("mk"))
+    val b = Curation.withStats(e, mx)
+      .select(Binning.floorDivCol(col("vc") * lit(10L), col("mv")).as("x"),
+        Binning.floorDivCol(col("k") * lit(10L), col("mk")).as("y"))
+    val xy = b.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val m = xy
+      .withColumn("cx", sum(col("c")).over(Window.partitionBy(col("x"))).cast("long"))
+      .withColumn("cy", sum(col("c")).over(Window.partitionBy(col("y"))).cast("long"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()).cast("long"))
+    val q = Curation.microLn(
+      (col("c") * col("n")).cast("double") / (col("cx") * col("cy")).cast("double"))
+    val t = m.agg(first(col("n")).as("n"), count(lit(1)).as("n_cells"),
+      sum(col("c") * q).cast("long").as("mi_sum"))
+    t.select(col("n").cast("long").as("n_events"),
+      col("n_cells").cast("long").as("n_cells"),
+      col("mi_sum").as("mi_micro_sum"),
+      Exact.roundedRatioSigned(col("mi_sum"), col("n") * lit(1000000L), 6).as("mi"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
-    qSeasonal, qChangepoint)
+    qSeasonal, qChangepoint, qMutualInfo)
 }

@@ -230,6 +230,38 @@ class EvalEdgeSpec extends SparkSpec {
     assert(r.getAs[String]("new_md5") === expected)
   }
 
+  test("DTW: stretch-aligned series at zero distance, band clamp, sentinels") {
+    import graft.operators.Dtw
+    // identical
+    assert(Dtw.distance(Array(1L, 2L, 3L), Array(1L, 2L, 3L), 2) === 0L)
+    // a time-stretched copy still aligns at zero cost (the point of DTW)
+    assert(Dtw.distance(Array(0L, 0L, 100L), Array(0L, 100L, 100L), 2) === 0L)
+    assert(Dtw.distance(Array(10L, 20L, 20L, 30L), Array(10L, 20L, 30L, 30L), 3) === 0L)
+    // singletons: plain |a−b|
+    assert(Dtw.distance(Array(100L), Array(40L), 1) === 60L)
+    // band narrower than the length gap is clamped so a path exists
+    assert(Dtw.distance(Array(5L, 5L, 5L, 5L, 5L), Array(5L), 0) === 0L)
+    // empty series → sentinel, not a crash
+    assert(Dtw.distance(Array.empty[Long], Array(1L), 3) === -1L)
+  }
+
+  test("mutual information: a deterministic dependence hits exactly ln 10") {
+    // value cents == k, k uniform over 0..99 → deciles coincide:
+    // MI = ln 10 = 2.302585 (micro-ln floored) exactly
+    val rows = (0L until 1000L).map { i =>
+      val k = i % 100
+      (i + 1, 0L, "view", k / 100.0, s"""{"k": $k}""")
+    }
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("event_id")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.StatsQueries.qMutualInfo.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_cells") === 10L)
+    assert(r.getAs[Double]("mi") === 2.302585)
+  }
+
   test("forward as-of: earliest following row, same-time inclusive, none → null") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
