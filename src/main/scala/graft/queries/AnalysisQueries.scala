@@ -844,6 +844,54 @@ object AnalysisQueries {
       .orderedSmall(col("user_id"))
   }
 
+  /** Winsorized mean (#229): #166's trimmed mean DROPS the ⌊n/10⌋
+    * extremes; winsorizing CLAMPS them to the surviving boundary
+    * values instead (keeps n constant — the estimator of choice when
+    * downstream weights assume full counts). One ranked pass feeds a
+    * single conditional aggregate: wsum = Σ x over interior ranks +
+    * k·(value at rank k+1) + k·(value at rank n−k) — the boundary
+    * values come out of the SAME aggregate via max(CASE rank = …),
+    * no join back, no second window. Exact cents; HALF_UP mean.
+    */
+  val qWinsorized = GateQuery.sql(
+    "q_winsorized",
+    s"""WITH c AS (SELECT user_id, event_id, ${centsSql("vd")} AS x
+       |  FROM $E t WHERE event_type = 'view'),
+       |r AS (SELECT user_id, x,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS BIGINT) AS ra,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |  FROM c),
+       |a AS (SELECT user_id, any_value(n) AS n, n // 10 AS k,
+       |    CAST(sum(x) FILTER (ra > n // 10 AND ra <= n - n // 10) AS BIGINT) AS s_in,
+       |    max(CASE WHEN ra = n // 10 + 1 THEN x END) AS lo,
+       |    max(CASE WHEN ra = n - n // 10 THEN x END) AS hi
+       |  FROM r GROUP BY user_id, n // 10),
+       |w AS (SELECT user_id, n, k, lo, hi, s_in + k * lo + k * hi AS wsum FROM a)
+       |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(lo AS BIGINT) AS lo_cents,
+       |  CAST(hi AS BIGINT) AS hi_cents, CAST(wsum AS BIGINT) AS wsum_cents,
+       |  ${roundedRatioSql("CAST(wsum AS BIGINT)", "n", 4)} AS winsorized_mean
+       |FROM w ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), Exact.cents(col("vd")).as("x"))
+    val wa = Window.partitionBy(col("user_id")).orderBy(col("x"), col("event_id"))
+    val r = c
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))).cast("long"))
+    val a = r.withColumn("k", Binning.floorDiv(col("n"), 10L))
+      .groupBy(col("user_id"), col("k"))
+      .agg(first(col("n")).as("n"),
+        sum(when(col("ra") > col("k") && col("ra") <= col("n") - col("k"), col("x")))
+          .cast("long").as("s_in"),
+        max(when(col("ra") === col("k") + 1, col("x"))).as("lo"),
+        max(when(col("ra") === col("n") - col("k"), col("x"))).as("hi"))
+    val w = a.withColumn("wsum", col("s_in") + col("k") * col("lo") + col("k") * col("hi"))
+    w.select(col("user_id"), col("n"), col("lo").cast("long").as("lo_cents"),
+        col("hi").cast("long").as("hi_cents"), col("wsum").cast("long").as("wsum_cents"),
+        Exact.roundedRatio(col("wsum"), col("n"), 4).as("winsorized_mean"))
+      .orderedSmall(col("user_id"))
+  }
+
   /** Last-touch attribution (#215): every 'purchase' is credited to
     * the user's most recent PRECEDING non-purchase event within a
     * 7-day lookback (else 'none') — the conversion-credit model
@@ -930,5 +978,6 @@ object AnalysisQueries {
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
-    qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign)
+    qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
+    qWinsorized)
 }

@@ -968,9 +968,45 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #228 — OOV rate against a reference vocabulary: per source, the
+    * share of tokens OUTSIDE the top-100 words of the `en` reference
+    * slice — CCNet's cheap "is this even the target language/domain"
+    * screen, and the denominator sanity check for every LM gate
+    * (#90's OOV floor fires exactly on these tokens). The reference
+    * vocab is a bounded top-k (ties to smallest word) broadcast into
+    * a left join; one (source)-keyed aggregate out. Exact ppm.
+    */
+  val qOovRate = GateQuery.sql(
+    "q_oov_rate",
+    s"""WITH toks AS (SELECT source, lang, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |ref AS (SELECT word, count(*) AS c FROM toks WHERE lang = 'en' GROUP BY word),
+       |refv AS (SELECT word FROM ref ORDER BY c DESC, word LIMIT 100),
+       |j AS (SELECT t.source AS source,
+       |    CASE WHEN r.word IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM toks t LEFT JOIN refv r ON r.word = t.word)
+       |SELECT source, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm
+       |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("source"), col("lang"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val refv = toks.filter(col("lang") === "en")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(100)
+      .select(col("word"), lit(1L).as("in_ref"))
+    toks.join(broadcast(refv), Seq("word"), "left")
+      .select(col("source"), when(col("in_ref").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).cast("long").as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        graft.operators.Binning.floorDivCol(col("n_oov") * lit(1000000L),
+          col("n_tokens")).as("oov_ppm"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
-      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate)
+      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate)
 }

@@ -370,6 +370,54 @@ object EvalQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Two-proportion z-test (#230): is the purchase RATE different
+    * between user cohorts A (user_id%8 < 4) and B (≥ 4)? The most
+    * common A/B-test primitive of all (conversion rates), filling the
+    * gap between #179 (means) and #178 (full independence). All four
+    * counts from ONE conditional aggregate; rates in exact ppm; the
+    * pooled-variance z is the single mirrored sqrt closed form, with
+    * the degenerate pooled rate (0 or 1 ⟺ x_pool·(n−x_pool) = 0)
+    * guarded by an exact integer predicate → NULL on both engines.
+    */
+  val qPropTest = GateQuery.sql(
+    "q_prop_test",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_type FROM $E t),
+       |a AS (SELECT
+       |    count(*) FILTER (g < 4) AS n1,
+       |    count(*) FILTER (g < 4 AND event_type = 'purchase') AS x1,
+       |    count(*) FILTER (g >= 4) AS n2,
+       |    count(*) FILTER (g >= 4 AND event_type = 'purchase') AS x2
+       |  FROM e)
+       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+       |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+       |  (x1 * 1000000) // n1 AS rate1_ppm, (x2 * 1000000) // n2 AS rate2_ppm,
+       |  CASE WHEN (x1 + x2) * (n1 + n2 - x1 - x2) = 0 THEN NULL ELSE
+       |    round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+       |      / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+       |        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+       |        * (1.0 / n1 + 1.0 / n2)), 4) + 0.0
+       |  END AS z_stat
+       |FROM a""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"))
+    val a = e.agg(
+      count(when(col("g") < 4, 1)).as("n1"),
+      count(when(col("g") < 4 && col("event_type") === "purchase", 1)).as("x1"),
+      count(when(col("g") >= 4, 1)).as("n2"),
+      count(when(col("g") >= 4 && col("event_type") === "purchase", 1)).as("x2"))
+    val pPool = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+    a.select(col("n1").cast("long").as("n1"), col("x1").cast("long").as("x1"),
+      col("n2").cast("long").as("n2"), col("x2").cast("long").as("x2"),
+      Binning.floorDivCol(col("x1") * lit(1000000L), col("n1")).as("rate1_ppm"),
+      Binning.floorDivCol(col("x2") * lit(1000000L), col("n2")).as("rate2_ppm"),
+      when((col("x1") + col("x2")) * (col("n1") + col("n2") - col("x1") - col("x2")) === 0,
+          lit(null).cast("double"))
+        .otherwise(round(
+          (col("x1").cast("double") / col("n1") - col("x2").cast("double") / col("n2")) /
+            sqrt(pPool * (lit(1.0) - pPool) *
+              (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4) + lit(0.0))
+        .as("z_stat"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney)
+    qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest)
 }

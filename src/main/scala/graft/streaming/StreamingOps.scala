@@ -520,4 +520,49 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  final case class TouchEvt(user: Long, ts: java.sql.Timestamp, eventId: Long,
+                            eventType: String, cents: Long)
+  final case class TouchState(tsUs: Long, eventId: Long, eventType: String)
+  final case class Credit(user: Long, ts: java.sql.Timestamp, purchaseId: Long,
+                          touchType: String, cents: Long)
+
+  /** Streaming last-touch attribution — the live counterpart of the
+    * `q_attribution` gate (#215): every arriving 'purchase' is
+    * credited to the user's latest PRECEDING non-purchase event
+    * within `lookbackUs`, else 'none'. State per user is ONE
+    * (ts, id, type) triple — the latest touch — O(1) regardless of
+    * stream length (the batch window's UNBOUNDED PRECEDING frame
+    * collapses to a single carried value exactly because only the
+    * max survives). Within-batch order pinned by (ts, eventId) like
+    * every stateful operator here; batch==stream parity asserted in
+    * StreamingSpec across micro-batch splits.
+    */
+  def attributionStream(evts: Dataset[TouchEvt], lookbackUs: Long): Dataset[Credit] = {
+    import evts.sparkSession.implicits._
+    evts
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[TouchState, Credit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TouchEvt], state: GroupState[TouchState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Credit]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            if (e.eventType != "purchase") {
+              // later (ts, id) always wins — the running max's carry
+              if (st == null || tsUs > st.tsUs ||
+                  (tsUs == st.tsUs && e.eventId > st.eventId))
+                st = TouchState(tsUs, e.eventId, e.eventType)
+            } else {
+              val touch =
+                if (st == null || st.tsUs < tsUs - lookbackUs) "none"
+                else st.eventType
+              out += Credit(user, e.ts, e.eventId, touch, e.cents)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

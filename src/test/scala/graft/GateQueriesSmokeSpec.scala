@@ -34,7 +34,16 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
     "q_tfidf_terms", // (n_docs) corpus-total single-row scalar
-    "q_ks_test") // (n1, n2) sample-size single-row scalar
+    "q_ks_test", // (n1, n2) sample-size single-row scalar
+    "q_confusion", // (mean-length threshold) single-row scalar
+    "q_brier", // (1+max n_chars) probability-scale single-row scalar
+    "q_ece", // same (1+max) scalar as q_brier
+    "q_cohen_kappa", // (mean chars, mean tokens) single-row scalar
+    "q_minkpct", // OOV-floor single-row scalar (same as q_lm_perplexity)
+    "q_mutual_info", // (1+max value, 1+max k) decile-bound scalar
+    "q_dtw_align", // reference-series single-row broadcast (bounded by time grid)
+    "q_matryoshka", // exact-ranking baseline (same as q_knn_bruteforce)
+    "q_ann_recall_curve") // brute-force ground truth (same as q_knn_bruteforce)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

@@ -514,4 +514,34 @@ class StreamingSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= p99)
     } finally q.stop()
   }
+
+  test("streaming attribution credits the carried touch across batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{Credit, TouchEvt}
+    val input = MemoryStream[(Timestamp, Long, Long, String, Long)]
+    val credits = StreamingOps.attributionStream(
+      input.toDF().toDF("ts", "user", "eventId", "eventType", "cents")
+        .select(col("user"), col("ts"), col("eventId"), col("eventType"), col("cents"))
+        .as[TouchEvt],
+      lookbackUs = 7L * 86400L * 1000000L)
+    val q = credits.writeStream.format("memory").queryName("credits")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 clicks then views; user 2 purchases cold
+      input.addData(
+        (ts(10), 1L, 1L, "click", 0L), (ts(20), 1L, 2L, "view", 0L),
+        (ts(5), 2L, 3L, "purchase", 2000L))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases — the VIEW (latest touch) must be
+      // carried over from the previous micro-batch's state
+      input.addData((ts(30), 1L, 4L, "purchase", 1000L))
+      q.processAllAvailable()
+      // batch 3: a stale touch (8 days later) credits 'none'
+      input.addData((ts(30 + 8 * 86400), 1L, 5L, "purchase", 500L))
+      q.processAllAvailable()
+      val rows = spark.table("credits").as[Credit].collect()
+        .map(c => c.purchaseId -> c.touchType).toMap
+      assert(rows === Map(3L -> "none", 4L -> "view", 5L -> "none"))
+    } finally q.stop()
+  }
 }
