@@ -1004,9 +1004,54 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #235 — negative-sampling weight table (word2vec/GloVe's
+    * count^0.75 unigram distribution, Mikolov et al. 2013): the
+    * candidate table contrastive training draws "random" negatives
+    * from, flattened so frequent words aren't drawn proportionally.
+    * c^0.75 = sqrt(c·sqrt(c)) uses ONLY sqrt — IEEE correctly
+    * rounded on both engines, no libm pow in the gate path — then
+    * micro-floors to an exact integer weight. Top-50 by (weight,
+    * word) off the vocab-bounded count relation; the actual draw
+    * reuses #203's gated Efraimidis–Spirakis machinery unchanged.
+    */
+  val qNegativeSampling = GateQuery.sql(
+    "q_negative_sampling",
+    """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |ref AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks
+      |        WHERE lang = 'en' GROUP BY word),
+      |w AS (SELECT word, c,
+      |    CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) * 1000000) AS BIGINT)
+      |      AS weight_micro
+      |  FROM ref),
+      |t AS (SELECT CAST(sum(weight_micro) AS HUGEINT) AS tw FROM w),
+      |r AS (SELECT word, c, weight_micro,
+      |    row_number() OVER (ORDER BY weight_micro DESC, word) AS rk
+      |  FROM w)
+      |SELECT word, c, weight_micro,
+      |  CAST((CAST(weight_micro AS HUGEINT) * 1000000) // tw AS BIGINT) AS draw_ppm
+      |FROM r, t WHERE rk <= 50 ORDER BY weight_micro DESC, word""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).select(col("lang"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val ref = toks.filter(col("lang") === "en")
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
+    val w = ref.withColumn("weight_micro",
+      floor(sqrt(col("c").cast("double") * sqrt(col("c").cast("double"))) * lit(1000000L))
+        .cast("long"))
+    val t = w.agg(sum(col("weight_micro")).cast("decimal(38,0)").as("tw"))
+    val r = w.withColumn("rk",
+      row_number().over(Window.orderBy(col("weight_micro").desc, col("word"))))
+    graft.operators.Curation.withStats(r.filter(col("rk") <= 50), t)
+      .select(col("word"), col("c"), col("weight_micro"),
+        Exact.floorDivBig(col("weight_micro").cast("decimal(38,0)") * lit(1000000L),
+          col("tw")).cast("long").as("draw_ppm"))
+      .orderedSmall(col("weight_micro").desc, col("word"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
-      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate)
+      qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
+      qNegativeSampling)
 }

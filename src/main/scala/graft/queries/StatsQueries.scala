@@ -1412,10 +1412,58 @@ object StatsQueries {
       Exact.roundedRatioSigned(col("mi_sum"), col("n") * lit(1000000L), 6).as("mi"))
   }
 
+  /** Theil–Sen robust slope (#232b/#236): per event type, the MEDIAN
+    * of all pairwise slopes of the hourly series — the trend
+    * estimator that shrugs off the outliers #9's least squares
+    * chases (29% breakdown point). The pair stage self-joins the
+    * HOURLY GRID relation (bounded by the time span² — calendar
+    * hours, never event count — the same bound as #224's candidate
+    * scan); slopes rank by their mirrored double with a (g1, g2) tie
+    * pin, the lower median lands via one rank window, and the
+    * median pair's EXACT rational (Δcents, Δhours) rides along so
+    * the answer is certifiable beyond float.
+    */
+  val qTheilSen = GateQuery.sql(
+    "q_theil_sen",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |p AS (SELECT a.event_type AS event_type,
+       |    a.grid AS g1, b.grid AS g2, b.y - a.y AS dy, b.grid - a.grid AS dx,
+       |    CAST(b.y - a.y AS DOUBLE) / (b.grid - a.grid) AS sl
+       |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.grid < b.grid),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY sl, g1, g2) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM p)
+       |SELECT event_type, n AS n_pairs,
+       |  CAST(dy AS BIGINT) AS med_dy_cents, CAST(dx AS BIGINT) AS med_dx_hours,
+       |  round(sl, 6) + 0.0 AS slope_cents_per_hour
+       |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.select(col("event_type"), col("grid").as("g1"), col("y").as("y1"))
+    val b = g.select(col("event_type"), col("grid").as("g2"), col("y").as("y2"))
+    val p = a.join(b, Seq("event_type")).filter(col("g1") < col("g2"))
+      .select(col("event_type"), col("g1"), col("g2"),
+        (col("y2") - col("y1")).as("dy"), (col("g2") - col("g1")).as("dx"),
+        ((col("y2") - col("y1")).cast("double") / (col("g2") - col("g1"))).as("sl"))
+    val r = p
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("sl"), col("g1"), col("g2"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
+    r.filter(col("rk") === Binning.floorDivCol(col("n") + 1, lit(2L)))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        col("dy").cast("long").as("med_dy_cents"), col("dx").cast("long").as("med_dx_hours"),
+        (round(col("sl"), 6) + lit(0.0)).as("slope_cents_per_hour"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
-    qSeasonal, qChangepoint, qMutualInfo)
+    qSeasonal, qChangepoint, qMutualInfo, qTheilSen)
 }

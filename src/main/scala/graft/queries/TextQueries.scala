@@ -1268,7 +1268,73 @@ object TextQueries {
       .orderedSmall(col("source"))
   }
 
+  /** K-fold cross-validation assignment (#232): every document lands
+    * in exactly one of 5 folds by portable hash — the leak-free split
+    * machinery behind classifier training (#96) and eval (#175–#183).
+    * A stateless per-row expression (zero shuffle, pushes past any
+    * join); the gate certifies fold balance and that folds PARTITION
+    * the corpus (Σ fold counts = corpus count, enforced by the
+    * oracle hash over all folds).
+    */
+  val qKfold = GateQuery.sql(
+    "q_kfold",
+    s"""WITH f AS (SELECT doc_id, n_chars,
+       |    ${graft.operators.TextOps.baseHashSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+       |  FROM documents)
+       |SELECT fold, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  (count(*) * 1000000) // (SELECT count(*) FROM documents) AS share_ppm
+       |FROM f GROUP BY fold ORDER BY fold""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val f = docs.select(col("doc_id"), col("n_chars"),
+      pmod(graft.operators.TextOps.baseHash(
+        concat(lit("fold:"), col("doc_id").cast("string"))), lit(5L)).as("fold"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    graft.operators.Curation.withStats(
+        f.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars")),
+        tot)
+      .select(col("fold"), col("n_docs"), col("total_chars"),
+        Binning.floorDivCol(col("n_docs") * lit(1000000L), col("n_total")).as("share_ppm"))
+      .orderedSmall(col("fold"))
+  }
+
+  /** Nested learning-curve subsets (#233): deterministic 10% ⊂ 25% ⊂
+    * 50% ⊂ 100% corpus subsets from ONE hash bucket per document
+    * (bucket < p ⟹ bucket < p′ for p < p′ — nesting is structural,
+    * not sampled twice) — the data-scaling-law measurement every
+    * "how much data do we need" study runs. ONE corpus pass computes
+    * all four points via conditional aggregates; the curve unfolds
+    * from the single stats row. Monotone counts pinned in spec.
+    */
+  val qLearningCurve = GateQuery.sql(
+    "q_learning_curve", {
+      val bucket = s"${graft.operators.TextOps.baseHashSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100"
+      val pcts = Seq(10, 25, 50, 100)
+      val aggs = pcts.map(p =>
+        s"count(*) FILTER ($bucket < $p) AS n_$p, " +
+          s"CAST(sum(n_chars) FILTER ($bucket < $p) AS BIGINT) AS c_$p").mkString(", ")
+      val arms = pcts.map(p =>
+        s"SELECT $p AS pct, CAST(n_$p AS BIGINT) AS n_docs, c_$p AS total_chars FROM a")
+        .mkString("\nUNION ALL ")
+      s"""WITH a AS (SELECT $aggs FROM documents)
+         |$arms
+         |ORDER BY pct""".stripMargin
+    }) { (s, d) =>
+    val pcts = Seq(10, 25, 50, 100)
+    val docs = Tables.documents(s, d)
+    val pred = (p: Int) => Sampling.samplePredicate(col("doc_id"), p)
+    val aggCols = pcts.flatMap(p => Seq(
+      count(when(pred(p), 1)).as(s"n_$p"),
+      sum(when(pred(p), col("n_chars"))).cast("long").as(s"c_$p")))
+    val a = docs.agg(aggCols.head, aggCols.tail: _*)
+    pcts.map(p => a.select(lit(p.toLong).as("pct"),
+        col(s"n_$p").cast("long").as("n_docs"), col(s"c_$p").as("total_chars")))
+      .reduce(_.unionAll(_))
+      .orderedSmall(col("pct"))
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qKfold, qLearningCurve,
     qAuc, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,

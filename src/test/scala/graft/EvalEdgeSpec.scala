@@ -262,6 +262,40 @@ class EvalEdgeSpec extends SparkSpec {
     assert(r.getAs[Double]("mi") === 2.302585)
   }
 
+  test("learning-curve subsets are nested and k-folds partition the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val lc = graft.queries.TextQueries.qLearningCurve.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("pct") -> r.getAs[Long]("n_docs")).toMap
+    assert(lc(10L) <= lc(25L) && lc(25L) <= lc(50L) && lc(50L) <= lc(100L))
+    val folds = graft.queries.TextQueries.qKfold.run(spark, dir).collect()
+    assert(folds.map(_.getAs[Long]("n_docs")).sum === lc(100L))
+    assert(folds.length === 5)
+  }
+
+  test("Theil-Sen recovers the exact slope of a clean linear series") {
+    // y = 200·grid cents, 6 hours → every pairwise slope is 200
+    val rows = (0L until 6L).map(h => (h + 1, 0L, "view", 2.00 * h, h * 3600L + 30L))
+    val dir = Files.createTempDirectory("graft_eval_fix").toString
+    rows.toDF("event_id", "user_id", "event_type", "value", "off")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("off")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.StatsQueries.qTheilSen.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 15L)
+    assert(r.getAs[Double]("slope_cents_per_hour") === 200.0)
+  }
+
+  test("negative-sampling weight of a 16-count word is exactly 8e6 micro") {
+    // 16^0.75 = 8 exactly: sqrt(16·sqrt(16)) = sqrt(64)
+    val words = Seq.fill(16)("common") ++ Seq("rare")
+    val dir = docsDir(Seq((1L, words.mkString(" "), "en", 10L)))
+    val rows = graft.queries.CurationQueries.qNegativeSampling.run(spark, dir).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("weight_micro")).toMap
+    assert(rows("common") === 8000000L)
+    assert(rows("rare") === 1000000L)
+  }
+
   test("forward as-of: earliest following row, same-time inclusive, none → null") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
