@@ -1460,10 +1460,139 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Rolling correlation (#237): the trailing-24h Pearson r between
+    * the 'click' and 'view' hourly totals — the co-movement monitor
+    * that tells a dashboard whether two signals decoupled TODAY
+    * (where #193's corpus-wide matrix answers on average). The two
+    * series align by ONE full-outer grid join (hour-keyed, zeros for
+    * absent hours), then all five power sums run in a single shared
+    * 24-row ordered window — exact integers end to end, r one
+    * mirrored closed form per row, variance-degenerate windows
+    * guarded by the exact predicate (n·Σx² = (Σx)²) → NULL.
+    */
+  val qRollingCorr = GateQuery.sql(
+    "q_rolling_corr",
+    s"""WITH g AS (SELECT xs // 3600 AS grid, event_type,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+       |a AS (SELECT grid, coalesce(max(CASE WHEN event_type = 'click' THEN y END), 0) AS x,
+       |    coalesce(max(CASE WHEN event_type = 'view' THEN y END), 0) AS v
+       |  FROM g GROUP BY grid),
+       |w AS (SELECT grid, x, v,
+       |    CAST(count(*) OVER win AS BIGINT) AS n,
+       |    CAST(sum(x) OVER win AS BIGINT) AS sx, CAST(sum(v) OVER win AS BIGINT) AS sv,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) OVER win AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(v AS HUGEINT) * v) OVER win AS HUGEINT) AS svv,
+       |    CAST(sum(CAST(x AS HUGEINT) * v) OVER win AS HUGEINT) AS sxv
+       |  FROM a
+       |  WINDOW win AS (ORDER BY grid ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       |SELECT grid, CAST(n AS BIGINT) AS n_hours,
+       |  CASE WHEN n < 2 OR n * sxx = CAST(sx AS HUGEINT) * sx
+       |      OR n * svv = CAST(sv AS HUGEINT) * sv THEN NULL
+       |    ELSE round((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+       |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+       |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) + 0.0
+       |  END AS r
+       |FROM w ORDER BY grid""".stripMargin) { (s, d) =>
+    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.groupBy(col("grid"))
+      .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
+        coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
+    val win = Window.orderBy(col("grid")).rowsBetween(-23, Window.currentRow)
+    val w = a
+      .withColumn("n", count(lit(1)).over(win).cast("long"))
+      .withColumn("sx", sum(col("x")).over(win).cast("long"))
+      .withColumn("sv", sum(col("v")).over(win).cast("long"))
+      .withColumn("sxx", sum(col("x").cast("decimal(38,0)") * col("x")).over(win)
+        .cast("decimal(38,0)"))
+      .withColumn("svv", sum(col("v").cast("decimal(38,0)") * col("v")).over(win)
+        .cast("decimal(38,0)"))
+      .withColumn("sxv", sum(col("x").cast("decimal(38,0)") * col("v")).over(win)
+        .cast("decimal(38,0)"))
+    val degenerate = col("n") < 2 ||
+      col("n") * col("sxx") === col("sx").cast("decimal(38,0)") * col("sx") ||
+      col("n") * col("svv") === col("sv").cast("decimal(38,0)") * col("sv")
+    w.select(col("grid"), col("n").as("n_hours"),
+        when(degenerate, lit(null).cast("double")).otherwise(
+          round((col("n").cast("double") * col("sxv").cast("double") -
+              col("sx").cast("double") * col("sv").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("svv").cast("double") -
+                col("sv").cast("double") * col("sv").cast("double"))), 6) + lit(0.0))
+          .as("r"))
+      .orderedSmall(col("grid"))
+  }
+
+  private val LpIters = 3
+
+  /** Label-propagation communities (#238, Raghavan et al. 2007): 3
+    * synchronous rounds of "adopt the MODE of your neighbors'
+    * labels" over the customer⇄supplier trade graph — the
+    * community-detection complement of #40's connected components
+    * (which only finds disconnected islands) and #184's PageRank
+    * (which ranks within them). Ties break (count DESC, label ASC)
+    * via the min(struct(−count, label)) argmax — one aggregate, no
+    * per-node window — making the sync update fully deterministic
+    * (async LPA is run-order-dependent; synchronous + total tie
+    * order is the engine-reproducible variant). 2 shuffles/round
+    * like PageRank; edges persist across rounds. Oracle = unrolled
+    * CTEs. Output: the top-20 communities by size.
+    */
+  val qLabelProp = GateQuery.sql(
+    "q_label_prop", {
+      val iterCtes = (1 to LpIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, r.lbl AS lbl, count(*) AS cnt
+           |  FROM edges e JOIN l${i - 1} r ON e.src = r.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, min((-cnt, lbl))[2] AS lbl FROM c$i GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+         |  UNION ALL SELECT 's' || sk, 'c' || ck FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |$iterCtes,
+         |g AS (SELECT lbl, count(*) AS n_members FROM l$LpIters GROUP BY lbl),
+         |t AS (SELECT count(*) AS n_comm FROM g)
+         |SELECT lbl AS community, n_members, (SELECT n_comm FROM t) AS n_communities
+         |FROM g ORDER BY n_members DESC, lbl LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs.select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+      .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("c"), col("ck")).as("dst")))
+      .persist() // reused by all rounds; freed by the harness post-action
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to LpIters) {
+      val cnt = edges.join(lbl, edges("src") === lbl("node"))
+        .groupBy(col("dst").as("nd"), col("lbl").as("nl"))
+        .agg(count(lit(1)).as("cnt"))
+      lbl = cnt.groupBy(col("nd").as("node"))
+        .agg(min(struct((-col("cnt")).as("negc"), col("nl").as("lbl")))
+          .getField("lbl").as("lbl"))
+    }
+    val g = lbl.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_members"))
+    Curation.withStats(g, g.agg(count(lit(1)).as("n_communities")))
+      .orderBy(col("n_members").desc, col("community")).limit(20)
+      .select(col("community"), col("n_members"), col("n_communities"))
+      .orderedSmall(col("n_members").desc, col("community"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
-    qSeasonal, qChangepoint, qMutualInfo, qTheilSen)
+    qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp)
 }
