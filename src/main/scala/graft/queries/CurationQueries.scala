@@ -1048,10 +1048,60 @@ object CurationQueries {
       .orderedSmall(col("weight_micro").desc, col("word"))
   }
 
+  /** #238b/#239 — quantile normalization across sources: remap each
+    * source's length distribution onto the POOLED distribution (the
+    * cross-source feature-alignment step batch-effect pipelines run
+    * before any threshold is shared between feeds). For a source
+    * value v: target = the smallest pooled value p with
+    * cumP(p)·n_s ≥ cum_s(v)·N — a FORWARD AS-OF join on the
+    * cross-scaled integer rank key (#218's union+carry operator,
+    * reused verbatim; DuckDB mirrors with ASOF JOIN >=). Every
+    * relation is VALUE-COLLAPSED (per-source and pooled value grids
+    * — bounded by the value domain, never doc count); all
+    * comparisons exact cross-scaled integers, the W1/KS discipline.
+    */
+  val qQuantileNorm = GateQuery.sql(
+    "q_quantile_norm",
+    """WITH v AS (SELECT source, n_chars AS val, count(*) AS c FROM documents GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM v GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |sv AS (SELECT v.source AS source, v.val AS val, v.c AS c,
+      |    CAST(sum(v.c) OVER (PARTITION BY v.source ORDER BY v.val) AS BIGINT) AS cum_s
+      |  FROM v),
+      |p AS (SELECT val AS pval, CAST(sum(c) AS BIGINT) AS pc FROM v GROUP BY val),
+      |pc AS (SELECT pval, CAST(sum(pc) OVER (ORDER BY pval) AS BIGINT) AS cum_p FROM p),
+      |l AS (SELECT sv.source AS source, sv.val AS val, sv.c AS c,
+      |    sv.cum_s * tot.n AS r FROM sv, tot),
+      |r AS (SELECT ns.source AS source, pc.pval AS pval, pc.cum_p * ns.n_s AS key
+      |  FROM pc CROSS JOIN ns)
+      |SELECT l.source AS source, l.val AS val, l.c AS n_docs, r.pval AS target
+      |FROM l ASOF LEFT JOIN r ON l.source = r.source AND r.key >= l.r
+      |ORDER BY source, val""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val v = docs.groupBy(col("source"), col("n_chars").as("val"))
+      .agg(count(lit(1)).as("c"))
+    val ns = v.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n_s"))
+    val tot = docs.agg(count(lit(1)).cast("long").as("n"))
+    val sv = v.withColumn("cum_s",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("val"))).cast("long"))
+    val p = v.groupBy(col("val").as("pval")).agg(sum(col("c")).cast("long").as("pc"))
+    val pcm = p.withColumn("cum_p",
+      sum(col("pc")).over(Window.orderBy(col("pval"))).cast("long"))
+    val left = Curation.withStats(sv, tot)
+      .select(col("source"), col("val"), col("c"), (col("cum_s") * col("n")).as("r"))
+    val right = pcm.crossJoin(broadcast(ns))
+      .select(col("source"), col("pval").as("target"), (col("cum_p") * col("n_s")).as("r"))
+    graft.operators.AsOfJoin.forward(left, right, "source", "r", Seq("target"))
+      .select(col("source"), col("val"), col("c").as("n_docs"),
+        col("right_target").as("target"))
+      .orderedSmall(col("source"), col("val"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
-      qNegativeSampling)
+      qNegativeSampling, qQuantileNorm)
 }

@@ -1333,8 +1333,61 @@ object TextQueries {
       .orderedSmall(col("pct"))
   }
 
+  /** Count-Min sketch (#240, Cormode & Muthukrishnan 2005): the
+    * mergeable bounded-memory frequency sketch that completes the
+    * sketch family (HLL #196, GK #189, Bloom #110, Misra–Gries
+    * #113, MinHash #23) — d=4 × w=256 counters from portable
+    * md5-derived row hashes, built in ONE map-side-combined
+    * aggregate over a ×4 bounded explode (sketch = 1024 rows at ANY
+    * corpus size; the point of the operator). Point queries take
+    * min over the 4 row counters — NEVER below the true count
+    * (structural one-sided error, asserted per row by the gate's
+    * overcount ≥ 0 column); the top-20 exact counts ride alongside
+    * so the oracle certifies estimate AND error together.
+    */
+  val qCountMin = GateQuery.sql(
+    "q_countmin", {
+      val bkt = (rExpr: String, wExpr: String) =>
+        s"(${graft.operators.TextOps.baseHashSql(s"'cm' || CAST($rExpr AS VARCHAR) || ':' || $wExpr")} % 256)"
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT rr.r AS r, ${bkt("rr.r", "word")} AS bucket
+         |    FROM toks, range(0, 4) rr(r)) t GROUP BY 1, 2),
+         |ex AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |top AS (SELECT word, c FROM ex ORDER BY c DESC, word LIMIT 20),
+         |q AS (SELECT t.word AS word, any_value(t.c) AS exact_c,
+         |    CAST(min(sk.c) AS BIGINT) AS est_c
+         |  FROM (SELECT word, c, unnest(range(0, 4)) AS r FROM top) t
+         |  JOIN sk ON sk.r = t.r AND sk.bucket = ${bkt("t.r", "t.word")}
+         |  GROUP BY t.word)
+         |SELECT word, exact_c, est_c, est_c - exact_c AS overcount
+         |FROM q ORDER BY exact_c DESC, word""".stripMargin
+    }) { (s, d) =>
+    def bkt(r: org.apache.spark.sql.Column,
+            w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(graft.operators.TextOps.baseHash(
+        concat(lit("cm"), r.cast("string"), lit(":"), w)), lit(256L))
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val rows = toks.select(col("word"),
+      explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("r"))
+    val sk = rows.select(col("r"), bkt(col("r"), col("word")).as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(20)
+    val qy = top.select(col("word"), col("c"),
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("r"))
+      .withColumn("bucket", bkt(col("r"), col("word")))
+      .join(sk.withColumnRenamed("c", "skc"), Seq("r", "bucket"))
+      .groupBy(col("word"))
+      .agg(first(col("c")).as("exact_c"), min(col("skc")).cast("long").as("est_c"))
+    qy.select(col("word"), col("exact_c"), col("est_c"),
+        (col("est_c") - col("exact_c")).as("overcount"))
+      .orderedSmall(col("exact_c").desc, col("word"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qKfold, qLearningCurve,
+    qKfold, qLearningCurve, qCountMin,
     qAuc, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,

@@ -296,6 +296,22 @@ class EvalEdgeSpec extends SparkSpec {
     assert(rows("rare") === 1000000L)
   }
 
+  test("quantile normalization: a single-source corpus maps every value to itself") {
+    val dir = docsDir(Seq((1L, "a", "en", 5L), (2L, "b", "en", 9L),
+      (3L, "c", "en", 9L), (4L, "d", "en", 20L)))
+    val rows = graft.queries.CurationQueries.qQuantileNorm.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("target") === r.getAs[Long]("val"), r.toString))
+  }
+
+  test("count-min estimates never undercount") {
+    val rows = graft.queries.TextQueries.qCountMin.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 20)
+    rows.foreach(r => assert(r.getAs[Long]("overcount") >= 0L, r.toString))
+  }
+
   test("forward as-of: earliest following row, same-time inclusive, none → null") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
