@@ -535,10 +535,12 @@ object StatsQueries {
       val thr = poissonCdfPpm
       val wSql = thr.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH e AS (SELECT event_type, event_id, ${centsSql("vd")} AS c FROM $E t),
-         |x AS (SELECT event_type, c,
-         |    ${TextOps.baseHashSql("'boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")}
-         |      % 1000000 AS u, b.b
-         |  FROM e, (SELECT unnest(generate_series(0, ${BootB - 1})) AS b) b),
+         |x AS (SELECT event_type, c, b4.b4 * 4 + r.r AS b,
+         |    CAST(concat('0x', substr(
+         |      md5('boot:' || CAST(b4.b4 AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)),
+         |      1 + r.r * 8, 8)) AS BIGINT) % 1000000 AS u
+         |  FROM e, (SELECT unnest(generate_series(0, ${BootB / 4 - 1})) AS b4) b4,
+         |    (SELECT unnest(generate_series(0, 3)) AS r) r),
          |w AS (SELECT event_type, b, c, $wSql AS w FROM x),
          |m AS (SELECT event_type, b,
          |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * c) AS BIGINT) AS swc
@@ -556,9 +558,17 @@ object StatsQueries {
          |GROUP BY 1, 3 ORDER BY 1""".stripMargin
     }) { (s, d) =>
     val e = ev(s, d).select(col("event_type"), col("event_id"), Exact.cents(col("vd")).as("c"))
-    val x = e.withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
-      .withColumn("u", pmod(TextOps.baseHash(
-        concat(lit("boot:"), col("b").cast("string"), lit(":"), col("event_id").cast("string"))),
+    // ONE md5 yields FOUR independent 32-bit draws (the 128-bit digest
+    // split into 8-hex chunks): the hash stage costs B/4 digests per
+    // row, not B — the explode is staged so the digest column is
+    // computed before the ×4 chunk fan-out ever multiplies rows
+    val x4 = e.withColumn("b4", explode(sequence(lit(0), lit(BootB / 4 - 1))))
+      .withColumn("dig", md5(concat(lit("boot:"), col("b4").cast("string"),
+        lit(":"), col("event_id").cast("string"))))
+    val x = x4.withColumn("r", explode(sequence(lit(0), lit(3))))
+      .withColumn("b", col("b4") * 4 + col("r"))
+      .withColumn("u", pmod(
+        conv(expr("substring(dig, 1 + r * 8, 8)"), 16, 10).cast("long"),
         lit(1000000L)))
     val w = x.withColumn("w",
       poissonCdfPpm.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
@@ -1076,8 +1086,13 @@ object StatsQueries {
        |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("h"))
-    val fo = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(fo, "h")
+    // first-holder via ONE shingle-keyed window (not agg + join-back):
+    // the shingle relation is scanned once and shuffled once, then
+    // reduces doc-keyed — two shuffles total where the join shape
+    // paid three and computed the explode twice
+    val withFirst = sh.withColumn("first_doc",
+      min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    withFirst
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         Exact.sumUnits(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
