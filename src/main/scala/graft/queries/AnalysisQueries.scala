@@ -826,9 +826,13 @@ object AnalysisQueries {
     * empty sentinel).
     */
   val qDtwAlign = GateQuery.rowsOnly("q_dtw_align") { (s, d) =>
+    // the hourly relation feeds BOTH the per-user series and the
+    // reference derivation — cache it so the events scan + aggregate
+    // run once (users×hours rows; freed by the harness post-action)
     val g = ev(s, d)
       .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+      .persist()
     val refRel = g.groupBy(col("grid"))
       .agg(count(lit(1)).as("nu"), sum(col("y")).cast("long").as("sy"))
       .select(col("grid"),

@@ -1098,10 +1098,60 @@ object CurationQueries {
       .orderedSmall(col("source"), col("val"))
   }
 
+  /** #240b/#241 — Hill tail-index estimator (Hill 1975): per source,
+    * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k = 10 largest
+    * document lengths — the heavy-tail diagnostic that tells a
+    * pipeline whether truncation budgets are even meaningful (α ≤ 1
+    * ⟹ the mean is dominated by a vanishing fraction of giant docs;
+    * reads next to #213's Zipf slope, which measures the RANK law
+    * where Hill measures the TAIL law). The top-(k+1) per source
+    * comes through the salted two-phase window (never a per-source
+    * full sort); each ln is micro-quantized BEFORE the sum, and α
+    * leaves as one exact nonnegative floor division (all-equal tail
+    * → Σ = 0 → NULL, guarded identically).
+    */
+  val qHillTail = GateQuery.sql(
+    "q_hill_tail",
+    s"""WITH r AS (SELECT source, n_chars, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents),
+       |t AS (SELECT source, n_chars, rn FROM r WHERE rn <= 11),
+       |xk AS (SELECT source, max(CASE WHEN rn = 11 THEN n_chars END) AS xk1,
+       |    count(*) AS n_top FROM t GROUP BY source),
+       |s AS (SELECT t.source AS source, any_value(xk.xk1) AS xk1,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(${Curation.microLnSql("t.n_chars * 1.0 / xk.xk1")}) AS BIGINT) AS sum_ln
+       |  FROM t JOIN xk ON xk.source = t.source
+       |  WHERE t.rn <= 10 AND xk.xk1 IS NOT NULL GROUP BY t.source)
+       |SELECT source, k, xk1 AS x_k1, sum_ln AS sum_ln_micro,
+       |  CASE WHEN sum_ln <= 0 THEN NULL
+       |    ELSE CAST((k * 1000000 * 1000000) // sum_ln AS BIGINT) END AS alpha_ppm
+       |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"), col("doc_id"))
+    val top = graft.operators.Relational.topKPerGroupSalted(docs, Seq(col("source")),
+      Seq(col("n_chars").desc, col("doc_id")), 11, col("doc_id"), rankCol = "rn")
+    val xk = top.groupBy(col("source"))
+      .agg(max(when(col("rn") === 11, col("n_chars"))).as("xk1"))
+    val t = top.filter(col("rn") <= 10)
+      .join(broadcast(xk), "source")
+      .filter(col("xk1").isNotNull)
+    val sm = t.groupBy(col("source")).agg(
+      first(col("xk1")).as("xk1"), count(lit(1)).cast("long").as("k"),
+      sum(Curation.microLn(col("n_chars").cast("double") / col("xk1")))
+        .cast("long").as("sum_ln"))
+    sm.select(col("source"), col("k"), col("xk1").as("x_k1"),
+        col("sum_ln").as("sum_ln_micro"),
+        when(col("sum_ln") <= 0, lit(null).cast("long"))
+          .otherwise(Exact.floorDivBig(
+            col("k").cast("decimal(38,0)") * lit(1000000L) * lit(1000000L),
+            col("sum_ln")).cast("long")).as("alpha_ppm"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
-      qNegativeSampling, qQuantileNorm)
+      qNegativeSampling, qQuantileNorm, qHillTail)
 }

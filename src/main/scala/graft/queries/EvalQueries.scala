@@ -418,6 +418,72 @@ object EvalQueries {
         .as("z_stat"))
   }
 
+  /** Higher-moment profile (#242): per event type, mean / sd /
+    * skewness / excess kurtosis from the four raw power sums — the
+    * distribution-shape audit that decides whether #179/#211's
+    * normal-theory tests are even applicable. Σx..Σx⁴ accumulate as
+    * exact decimals in ONE aggregate (x⁴ at cents scale overflows a
+    * long by sf0.1 — every power is decimal-lifted BEFORE its first
+    * multiplication); the central-moment closed forms are mirrored
+    * doubles, and zero variance is guarded by the exact predicate
+    * n·Σx² = (Σx)² → NULL skew/kurtosis.
+    */
+  val qMoments = GateQuery.sql(
+    "q_moments",
+    s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS x FROM $E t),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+       |  FROM e GROUP BY 1),
+       |m AS (SELECT event_type, n, s1, s2, s3, s4,
+       |    CAST(s1 AS DOUBLE) / n AS mu,
+       |    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+       |    CAST(s3 AS DOUBLE) / n
+       |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+       |      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+       |    CAST(s4 AS DOUBLE) / n
+       |      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+       |      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+       |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+       |        * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+       |  FROM a)
+       |SELECT event_type, n, round(mu, 4) + 0.0 AS mean_cents,
+       |  round(sqrt(m2), 4) + 0.0 AS sd_cents,
+       |  CASE WHEN n * s2 = s1 * s1 THEN NULL
+       |    ELSE round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) + 0.0 END AS skewness,
+       |  CASE WHEN n * s2 = s1 * s1 THEN NULL
+       |    ELSE round(m4 / (m2 * m2) - 3.0, 6) + 0.0 END AS excess_kurtosis
+       |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("x"))
+    val xd = col("x").cast("decimal(38,0)")
+    val a = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("s1"),
+      sum(xd * col("x")).cast("decimal(38,0)").as("s2"),
+      sum(xd * col("x") * col("x")).cast("decimal(38,0)").as("s3"),
+      sum(xd * col("x") * col("x") * col("x")).cast("decimal(38,0)").as("s4"))
+    def dv(c: Column) = c.cast("double") / col("n")
+    val mu = dv(col("s1"))
+    val m2 = dv(col("s2")) - mu * mu
+    val m3 = dv(col("s3")) - lit(3) * mu * dv(col("s2")) + lit(2) * mu * mu * mu
+    val m4 = dv(col("s4")) - lit(4) * mu * dv(col("s3")) +
+      lit(6) * mu * mu * dv(col("s2")) - lit(3) * mu * mu * mu * mu
+    val degenerate = col("n") * col("s2") === col("s1") * col("s1")
+    a.select(col("event_type"), col("n"),
+        (round(mu, 4) + lit(0.0)).as("mean_cents"),
+        (round(sqrt(m2), 4) + lit(0.0)).as("sd_cents"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) + lit(0.0))
+          .as("skewness"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(m4 / (m2 * m2) - lit(3.0), 6) + lit(0.0))
+          .as("excess_kurtosis"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest)
+    qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
+    qMoments)
 }
