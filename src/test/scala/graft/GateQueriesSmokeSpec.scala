@@ -43,7 +43,11 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_mutual_info", // (1+max value, 1+max k) decile-bound scalar
     "q_dtw_align", // reference-series single-row broadcast (bounded by time grid)
     "q_matryoshka", // exact-ranking baseline (same as q_knn_bruteforce)
-    "q_ann_recall_curve") // brute-force ground truth (same as q_knn_bruteforce)
+    "q_ann_recall_curve", // brute-force ground truth (same as q_knn_bruteforce)
+    "q_kfold", // (corpus count) single-row scalar
+    "q_negative_sampling", // (total weight) single-row scalar
+    "q_quantile_norm", // pooled-grid × bounded source list (same as q_w1_drift)
+    "q_label_prop") // (n_communities) single-row scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
