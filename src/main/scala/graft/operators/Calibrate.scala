@@ -71,4 +71,47 @@ object Calibrate {
       arr.indices.iterator.map(i => CFit(g, arr(i).x, arr(i).y, arr(i).w, fit(i)))
     }
   }
+
+  /** Platt scaling (Platt 1999): fit P(y=1 | s) = σ(a·s + b) by
+    * Newton-Raphson on BUCKET-AGGREGATED sufficient statistics —
+    * the parametric calibration next to [[isotonicGroups]]'s
+    * monotone one. `stats` = (score, n, pos) per distinct score
+    * bucket, VALUE-COLLAPSED upstream so it is bounded by the score
+    * domain (deciles/value grid) at any corpus size; the fit itself
+    * runs on the driver over those few rows (the IvfIndex/
+    * QualityClassifier model-state discipline — sufficient
+    * statistics cross the wire, never data). Deterministic: fixed
+    * iteration count, fixed fold order, pure double arithmetic on
+    * driver; Levenberg damping keeps the 2×2 Newton solve stable on
+    * separable data. Scores are expected in [0, 1]-ish units
+    * (e.g. ppm/1e6); returns (a, b).
+    */
+  def plattFit(stats: Seq[(Double, Long, Long)], iters: Int = 50): (Double, Double) = {
+    // Platt's target smoothing: t+ = (Np+1)/(Np+2), t- = 1/(Nn+2)
+    val np = stats.map(_._3).sum.toDouble
+    val nn = stats.map(s => s._2 - s._3).sum.toDouble
+    val tPos = (np + 1.0) / (np + 2.0)
+    val tNeg = 1.0 / (nn + 2.0)
+    var a = 0.0; var b = math.log((np + 1.0) / (nn + 1.0))
+    var it = 0
+    while (it < iters) {
+      var g1 = 0.0; var g2 = 0.0 // gradient wrt a, b
+      var h11 = 1e-12; var h12 = 0.0; var h22 = 1e-12 // damped Hessian
+      stats.foreach { case (s, n, pos) =>
+        val p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+        val w = p * (1.0 - p)
+        // pos rows have target tPos, (n - pos) rows target tNeg
+        val gRow = pos * (p - tPos) + (n - pos) * (p - tNeg)
+        g1 += gRow * s; g2 += gRow
+        h11 += n * w * s * s; h12 += n * w * s; h22 += n * w
+      }
+      val det = h11 * h22 - h12 * h12
+      if (det > 0) {
+        a -= (h22 * g1 - h12 * g2) / det
+        b -= (h11 * g2 - h12 * g1) / det
+      }
+      it += 1
+    }
+    (a, b)
+  }
 }

@@ -815,6 +815,42 @@ object AnalysisQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Platt scaling (#242b/#243, rows+test): σ(a·s + b) calibration of
+    * the normalized-length score against the lang='en' label — the
+    * PARAMETRIC calibration read next to #174's isotonic (monotone)
+    * and #176/#209's reliability/ECE audits. The corpus reduces to
+    * ≤10 decile sufficient-statistic rows (value-collapsed — the
+    * only thing that crosses to the driver, the IvfIndex model-state
+    * discipline); [[graft.operators.Calibrate.plattFit]] runs a
+    * fixed-iteration damped Newton there; the fitted curve deploys
+    * back as literals. Output: per decile raw vs calibrated ppm
+    * plus the (a, b) model in micro-units.
+    */
+  val qPlatt = GateQuery.rowsOnly("q_platt") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((lit(1L) + max(col("n_chars"))).as("mx"))
+    val b = graft.operators.Curation.withStats(
+        docs.select(col("n_chars"), col("lang")), mx)
+      .select(Binning.floorDivCol(col("n_chars") * lit(10L), col("mx")).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+    val stats = b.collect().map(r => (
+      (r.getAs[Long]("bucket") + 0.5) / 10.0,
+      r.getAs[Long]("n"), r.getAs[Long]("pos"))).toSeq.sortBy(_._1)
+    val (a, bb) = graft.operators.Calibrate.plattFit(stats)
+    val calibrated = stats.map { case (sc, n, pos) =>
+      val p = 1.0 / (1.0 + math.exp(-(a * sc + bb)))
+      (math.round(sc * 10 - 0.5), n, pos,
+        pos * 1000000L / n, math.floor(p * 1e6).toLong)
+    }
+    import s.implicits._
+    calibrated.toDF("bucket", "n", "n_pos", "raw_ppm", "calibrated_ppm")
+      .withColumn("a_micro", lit(math.floor(a * 1e6).toLong))
+      .withColumn("b_micro", lit(math.floor(bb * 1e6).toLong))
+      .orderedSmall(col("bucket"))
+  }
+
   /** Banded DTW scan alignment (#226, rows+test): each user's hourly
     * value series scored by dynamic-time-warping distance against
     * the corpus mean hourly series — the drift-tolerant alignment
@@ -983,5 +1019,5 @@ object AnalysisQueries {
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized)
+    qWinsorized, qPlatt)
 }

@@ -1148,10 +1148,44 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #242c/#244 — cross-validated classifier AUC (rows+test): the
+    * HONEST evaluation of #96's quality classifier — train on folds
+    * 1–4 of the #232 k-fold assignment, score the UNSEEN fold 0,
+    * and report the held-out Mann–Whitney AUC (the #175 machinery,
+    * value-collapsed over distinct scores). The in-sample score the
+    * classifier gate reports cannot detect memorized hash buckets;
+    * this gate can — it is the composition that turns three gated
+    * operators (folds, classifier, AUC) into a leak-aware pipeline.
+    */
+  val qCvAuc = GateQuery.rowsOnly("q_cv_auc") { (s, d) =>
+    import graft.operators.{QualityClassifier, TextOps}
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).withColumn("fold",
+      pmod(TextOps.baseHash(concat(lit("fold:"), col("doc_id").cast("string"))), lit(5L)))
+    val trainFeat = QualityClassifier.features(
+      docs.filter(col("fold") =!= 0), col("lang") === "en", DsirBuckets).persist()
+    val heldFeat = QualityClassifier.features(
+      docs.filter(col("fold") === 0), col("lang") === "en", DsirBuckets)
+    val w = QualityClassifier.train(trainFeat, DsirBuckets, iters = 8, lr = 0.5)
+    val scored = QualityClassifier.score(heldFeat, w)
+      .join(heldFeat.select(col("doc_id"), col("label")), "doc_id")
+    val v = scored.groupBy(col("score_micro").as("sc"))
+      .agg(count(lit(1)).as("c"), sum(col("label")).cast("long").as("p"))
+    val cum = v.withColumn("cum", sum(col("c")).over(Window.orderBy(col("sc"))).cast("long"))
+    cum.agg(
+        sum(col("p") * (lit(2L) * col("cum") - col("c") + 1)).cast("long").as("sp2"),
+        sum(col("p")).cast("long").as("np"),
+        sum(col("c") - col("p")).cast("long").as("nn"))
+      .select(col("np").as("n_heldout_pos"), col("nn").as("n_heldout_neg"),
+        graft.operators.Binning.floorDivCol(
+          (col("sp2") - col("np") * (col("np") + 1)) * lit(1000000L),
+          lit(2L) * col("np") * col("nn")).as("heldout_auc_ppm"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
-      qNegativeSampling, qQuantileNorm, qHillTail)
+      qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc)
 }

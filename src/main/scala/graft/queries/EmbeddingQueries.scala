@@ -643,9 +643,42 @@ object EmbeddingQueries {
     points.reduce(_.unionAll(_)).orderedSmall(col("nprobe"))
   }
 
+  /** Reciprocal nearest neighbors (#245, rows+test): pairs (a, b)
+    * where each is the other's TOP-1 cosine neighbor among LSH-bucket
+    * candidates — the high-precision criterion retrieval rerankers
+    * and conservative dedup use when one-directional similarity
+    * over-merges (a boilerplate hub is top-1 FOR many docs but
+    * reciprocates none). Candidates come from the shared LSH bucket
+    * relation (never all-pairs); the per-vector argmax is one
+    * max(struct(cos, −id)) aggregate (ties to the smallest id; a
+    * pair surfacing in several tables collapses in the same max);
+    * mutuality is an equi-self-join of the 1-row-per-vector bests.
+    */
+  val qMutualNn = GateQuery.rowsOnly("q_mutual_nn") { (s, d) =>
+    val e = prep(s, d)
+    val bk = bucketRelWithPayload(e)
+    val a = bk.select(col("vec_id").as("va"), col("q").as("qa"), col("n").as("na"),
+      col("tbl"), col("bkt"))
+    val b = bk.select(col("vec_id").as("vb"), col("q").as("qb"), col("n").as("nb"),
+      col("tbl"), col("bkt"))
+    val scored = a.join(b, Seq("tbl", "bkt")).filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        cosineQ(graft.expressions.VectorExpressions.dotQ(col("qa"), col("qb")),
+          col("na"), col("nb")).as("c"))
+    val best = scored.groupBy(col("va"))
+      .agg(max(struct(col("c"), (-col("vb")).as("nvb"))).as("b"))
+      .select(col("va"), (-col("b.nvb")).as("best"), col("b.c").as("cos"))
+    val l = best.select(col("va").as("x"), col("best").as("bx"), col("cos"))
+    val r = best.select(col("va").as("y"), col("best").as("by"))
+    l.join(r, col("bx") === col("y") && col("by") === col("x") && col("x") < col("y"))
+      .select(col("x").as("vec_a"), col("y").as("vec_b"),
+        (round(col("cos"), 6) + lit(0.0)).as("cos"))
+      .orderedSmall(col("vec_a"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
     qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq, qMatryoshka,
-    qAnnRecallCurve)
+    qAnnRecallCurve, qMutualNn)
 }

@@ -312,6 +312,29 @@ class EvalEdgeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("overcount") >= 0L, r.toString))
   }
 
+  test("Platt fit recovers a monotone calibrated curve on separable stats") {
+    import graft.operators.Calibrate
+    val stats = Seq((0.1, 100L, 10L), (0.5, 100L, 50L), (0.9, 100L, 90L))
+    val (a, b) = Calibrate.plattFit(stats)
+    assert(a > 0, s"slope $a")
+    def p(s: Double) = 1.0 / (1.0 + math.exp(-(a * s + b)))
+    assert(math.abs(p(0.5) - 0.5) < 0.05)
+    assert(p(0.1) < p(0.5) && p(0.5) < p(0.9))
+    assert(p(0.1) > 0.05 && p(0.1) < 0.2)
+    assert(p(0.9) > 0.8 && p(0.9) < 0.95)
+    // determinism: identical inputs, identical model
+    assert(Calibrate.plattFit(stats) === ((a, b)))
+  }
+
+  test("mutual-NN pairs: every vector joins at most one reciprocal pair") {
+    val rows = graft.queries.EmbeddingQueries.qMutualNn
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ids = rows.flatMap(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(ids.distinct.length === ids.length)
+    rows.foreach(r => assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+
   test("forward as-of: earliest following row, same-time inclusive, none → null") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
