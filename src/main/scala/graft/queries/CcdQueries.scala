@@ -624,7 +624,60 @@ object CcdQueries {
       .orderedSmall(col("idx"))
   }
 
+  /** Sigma-clipped stack average (#245b/#246): per pixel, the mean
+    * over frames EXCLUDING |x − μ| > 2σ outliers — the other classic
+    * master-frame estimator next to #219's median (astronomy/
+    * diffraction stacking: clip cosmic hits, keep the precision of a
+    * mean). Two pixel-keyed aggregates over the same explode; the
+    * clip predicate is ENTIRELY integer — |x−μ| > 2σ ⟺
+    * (n·x − S)² > 4·(n·Q − S²) (the #160 z-score trick, no sqrt, no
+    * float σ) — so the surviving set and the clipped HALF_UP mean
+    * are engine-exact.
+    */
+  val qSigmaClip = GateQuery.sql(
+    "q_sigma_clip",
+    s"""WITH px AS (SELECT r.r * $EW + c.c AS idx,
+       |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v
+       |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c)),
+       |st AS (SELECT idx, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+       |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+       |  FROM px GROUP BY idx),
+       |k AS (SELECT px.idx AS idx, px.v AS v, st.n AS n,
+       |    CAST(st.n AS HUGEINT) * px.v - st.s AS dev2n,
+       |    CAST(st.n AS HUGEINT) * st.q - CAST(st.s AS HUGEINT) * st.s AS var_n2
+       |  FROM px JOIN st ON st.idx = px.idx),
+       |cl AS (SELECT idx, any_value(n) AS n_frames,
+       |    count(*) FILTER (dev2n * dev2n <= 4 * var_n2) AS n_kept,
+       |    CAST(sum(v) FILTER (dev2n * dev2n <= 4 * var_n2) AS BIGINT) AS s_kept
+       |  FROM k GROUP BY idx)
+       |SELECT idx, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  (2 * s_kept + n_kept) // (2 * n_kept) AS clipped_mean
+       |FROM cl ORDER BY idx""".stripMargin) { (s, _) =>
+    val px = s.read.format("edf").load(edfFixture(s))
+      .select(posexplode(col("pixels")).as(Seq("i", "v")))
+      .select(col("i").cast("long").as("idx"), col("v").cast("long").as("v"))
+    val st = px.groupBy(col("idx")).agg(
+      count(lit(1)).cast("long").as("n"), sum(col("v")).cast("long").as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("q"))
+    val k = px.join(st, "idx")
+      .withColumn("dev2n", col("n").cast("decimal(38,0)") * col("v") - col("s"))
+      .withColumn("var_n2",
+        col("n").cast("decimal(38,0)") * col("q") - col("s").cast("decimal(38,0)") * col("s"))
+    val keep = col("dev2n") * col("dev2n") <= lit(4L) * col("var_n2")
+    k.groupBy(col("idx"))
+      .agg(first(col("n")).as("n_frames"),
+        count(when(keep, 1)).as("n_kept"),
+        sum(when(keep, col("v"))).cast("long").as("s_kept"))
+      .select(col("idx"), col("n_frames").cast("long").as("n_frames"),
+        col("n_kept").cast("long").as("n_kept"),
+        graft.operators.Binning.floorDivCol(lit(2L) * col("s_kept") + col("n_kept"),
+          lit(2L) * col("n_kept")).as("clipped_mean"))
+      .orderedSmall(col("idx"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
-    qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField)
+    qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField,
+    qSigmaClip)
 }

@@ -1182,10 +1182,59 @@ object CurationQueries {
           lit(2L) * col("np") * col("nn")).as("heldout_auc_ppm"))
   }
 
+  /** #246b/#247 — bigram conditional entropy per source: H(w₂|w₁) =
+    * (Σ c₁₂·µln(c₁/c₁₂)) / N over observed bigrams — the lexical
+    * PREDICTABILITY audit that separates templated text (near-zero:
+    * every word determines the next) from prose at equal #137 TTR or
+    * #142 unigram entropy. Every c₁₂·µln(c₁/c₁₂) term is an exact
+    * integer before the source-keyed sum (#138's discipline); the
+    * bigram relation is vocab²-bounded, never corpus tokens.
+    */
+  val qCondEntropy = GateQuery.sql(
+    "q_cond_entropy",
+    s"""WITH tw AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |bi AS (SELECT source,
+       |         unnest([w[i] for i in range(1, len(w))]) AS w1,
+       |         unnest([w[i+1] for i in range(1, len(w))]) AS w2
+       |       FROM tw WHERE len(w) >= 2),
+       |cb AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM bi GROUP BY 1, 2, 3),
+       |cw AS (SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1
+       |       FROM cb GROUP BY 1, 2),
+       |t AS (SELECT cb.source AS source,
+       |    CAST(sum(cb.c12) AS BIGINT) AS n,
+       |    CAST(sum(cb.c12 * ${Curation.microLnSql("cw.c1 * 1.0 / cb.c12")}) AS BIGINT) AS h_sum
+       |  FROM cb JOIN cw ON cw.source = cb.source AND cw.w1 = cb.w1
+       |  GROUP BY 1)
+       |SELECT source, n AS n_bigrams, h_sum AS h_micro_sum,
+       |  ${Exact.roundedRatioSignedSql("h_sum", "n * 1000000", 6)} AS cond_entropy
+       |FROM t ORDER BY source""".stripMargin) { (s, d) =>
+    val tw = Tables.documents(s, d).select(col("source"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = tw.select(col("source"),
+      posexplode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as(Seq("i", "p")))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bi.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val cw = cb.groupBy(col("source"), col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+    val q = Curation.microLn(
+      col("c1").cast("double") / col("c12").cast("double"))
+    cb.join(cw, Seq("source", "w1"))
+      .groupBy(col("source"))
+      .agg(sum(col("c12")).cast("long").as("n"),
+        sum(col("c12") * q).cast("long").as("h_sum"))
+      .select(col("source"), col("n").as("n_bigrams"), col("h_sum").as("h_micro_sum"),
+        Exact.roundedRatioSigned(col("h_sum"), col("n") * lit(1000000L), 6)
+          .as("cond_entropy"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
-      qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc)
+      qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy)
 }
