@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Binning, Curation, Exact, Graphs}
+import graft.operators.Exact.centsSql
+
+/** Second audit layer (SURVEY.md §2 #247–#253): static-graph
+  * structure (triangles / clustering), normality and trend tests
+  * (Jarque–Bera, Mann–Kendall), variance homogeneity
+  * (Brown–Forsythe), partial autocorrelation, and two corpus-mix
+  * divergence/diversity audits (pairwise Jensen–Shannon, Simpson
+  * index) — the checks that decide whether the OTHER gates'
+  * assumptions hold (normal-theory tests need JB, pooled variances
+  * need Levene, AR-order choice needs PACF) and how far the source
+  * mix has drifted.
+  *
+  * Discipline is SURVEY.md §4 throughout: exact integer cents /
+  * micro-nat quantization BEFORE any distributed sum, floor division
+  * only on nonnegative numerators, doubles confined to final closed
+  * forms mirrored textually on both engines.
+  */
+object AuditQueries {
+
+  /** Shared DuckDB prep over events (mirror of [[ev]]). */
+  private val E: String =
+    """(SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |   (epoch_us(ts) // 1000000) - 1704067200 AS xs,
+      |   CAST(value AS DECIMAL(18,2)) AS vd, event_type
+      | FROM events)""".stripMargin
+
+  /** Shared Spark prep — mirror of [[E]]. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (expr("ts_us div 1000000") - lit(1704067200L)).as("xs"),
+      col("value").cast("decimal(18,2)").as("vd"),
+      col("event_type"))
+
+  import Exact.{floorDivBig, floorDivBigSql}
+
+  /** Triangle counting + clustering coefficients (#247) on the
+    * part-co-occurrence graph (parts sharing an order — the
+    * market-basket projection): n/m/T, wedge count, global
+    * transitivity 3T/wedges and the average local coefficient, all
+    * exact-integer ppm. See [[graft.operators.Graphs]] for the
+    * degree-ordered orientation that bounds the wedge fan-out at
+    * O(m^1.5) regardless of hub degrees — the 100 TB shape.
+    */
+  val qTriangles = GateQuery.sql(
+    "q_triangles",
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, count(*) AS deg FROM
+      |    (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      |  GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN e.u ELSE e.v END AS s,
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN e.v ELSE e.u END AS t
+      |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+      |tr AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |  FROM o e1 JOIN o e2 ON e1.t = e2.s
+      |  JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+      |tv AS (SELECT node, count(*) AS t FROM
+      |    (SELECT a AS node FROM tr UNION ALL SELECT b AS node FROM tr
+      |     UNION ALL SELECT c AS node FROM tr)
+      |  GROUP BY 1),
+      |nd AS (SELECT deg.node, deg.deg, coalesce(tv.t, 0) AS t
+      |  FROM deg LEFT JOIN tv ON deg.node = tv.node),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(deg) AS BIGINT) // 2 AS n_edges,
+      |    CAST(sum(t) AS BIGINT) // 3 AS n_triangles,
+      |    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS wedges,
+      |    CAST(sum(CASE WHEN deg >= 2
+      |        THEN (t * 2000000) // (deg * (deg - 1)) ELSE 0 END) AS BIGINT) AS lc_sum,
+      |    CAST(sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_deg2
+      |  FROM nd)
+      |SELECT n_nodes, n_edges, n_triangles, wedges,
+      |  CASE WHEN wedges > 0 THEN (n_triangles * 3000000) // wedges
+      |    ELSE NULL END AS global_ppm,
+      |  CASE WHEN n_deg2 > 0 THEN lc_sum // n_deg2 ELSE NULL END AS avg_local_ppm
+      |FROM ag""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val pairs = a.join(b, "ok").filter(col("u") < col("v")).select(col("u"), col("v"))
+    Graphs.clusteringStats(Graphs.canonicalEdges(pairs))
+  }
+
+  /** Jarque–Bera normality test (#248): per event type,
+    * JB = n·(S²/6 + K²/24) from the same four exact power sums as
+    * the moment profile (#241) — the "is a normal-theory test even
+    * applicable here" audit (Jarque & Bera 1980). The closed form is
+    * one mirrored double expression over exact integer sums.
+    */
+  val qJarqueBera = GateQuery.sql(
+    "q_jarque_bera",
+    s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS x FROM $E t),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+       |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+       |  FROM e GROUP BY 1),
+       |m AS (SELECT event_type, n, s1, s2,
+       |    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+       |    CAST(s3 AS DOUBLE) / n
+       |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+       |      + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+       |    CAST(s4 AS DOUBLE) / n
+       |      - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+       |      + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+       |      - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+       |        * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+       |  FROM a),
+       |k AS (SELECT event_type, n, s1, s2,
+       |    m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS sk,
+       |    m4 / (m2 * m2) - 3.0 AS ek
+       |  FROM m)
+       |SELECT event_type, n,
+       |  CASE WHEN n * s2 = s1 * s1 THEN NULL
+       |    ELSE round(n * (sk * sk / 6.0 + ek * ek / 24.0), 3) + 0.0 END AS jb_stat
+       |FROM k ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("x"))
+    val xd = col("x").cast("decimal(38,0)")
+    val a = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("s1"),
+      sum(xd * col("x")).cast("decimal(38,0)").as("s2"),
+      sum(xd * col("x") * col("x")).cast("decimal(38,0)").as("s3"),
+      sum(xd * col("x") * col("x") * col("x")).cast("decimal(38,0)").as("s4"))
+    def dv(c: Column) = c.cast("double") / col("n")
+    val m2 = dv(col("s2")) - dv(col("s1")) * dv(col("s1"))
+    val m3 = dv(col("s3")) - lit(3) * dv(col("s1")) * dv(col("s2")) +
+      lit(2) * dv(col("s1")) * dv(col("s1")) * dv(col("s1"))
+    val m4 = dv(col("s4")) - lit(4) * dv(col("s1")) * dv(col("s3")) +
+      lit(6) * dv(col("s1")) * dv(col("s1")) * dv(col("s2")) -
+      lit(3) * dv(col("s1")) * dv(col("s1")) * dv(col("s1")) * dv(col("s1"))
+    val sk = m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+    val ek = m4 / (m2 * m2) - lit(3.0)
+    val degenerate = col("n") * col("s2") === col("s1") * col("s1")
+    a.select(col("event_type"), col("n"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(col("n") * (sk * sk / lit(6.0) + ek * ek / lit(24.0)), 3) + lit(0.0))
+          .as("jb_stat"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Partial autocorrelation (#249): PACF at lags 1–3 of each event
+    * type's hourly totals via the Durbin–Levinson recursion unrolled
+    * to closed forms over the ACF values (#181's exact num/den
+    * integers) — the AR-order diagnostic (an AR(p) series' PACF cuts
+    * off after lag p, where the ACF only decays). One ordered window
+    * + one aggregate per type; the recursion itself is three mirrored
+    * double expressions per 10-row output.
+    */
+  val qPacf = GateQuery.sql(
+    "q_pacf",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |st AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+       |  FROM g GROUP BY 1),
+       |l AS (SELECT g.event_type, st.n, st.s, y,
+       |    lead(y, 1) OVER (PARTITION BY g.event_type ORDER BY grid) AS y1,
+       |    lead(y, 2) OVER (PARTITION BY g.event_type ORDER BY grid) AS y2,
+       |    lead(y, 3) OVER (PARTITION BY g.event_type ORDER BY grid) AS y3
+       |  FROM g JOIN st USING (event_type)),
+       |a AS (SELECT event_type, any_value(n) AS n,
+       |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) AS HUGEINT) AS den,
+       |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y1 - s)) AS HUGEINT) AS num1,
+       |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y2 - s)) AS HUGEINT) AS num2,
+       |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y3 - s)) AS HUGEINT) AS num3
+       |  FROM l GROUP BY event_type),
+       |r AS (SELECT event_type, n,
+       |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+       |    CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+       |    CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+       |  FROM a),
+       |p AS (SELECT event_type, n, r1, r2, r3,
+       |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+       |  FROM r),
+       |q AS (SELECT event_type, n, r1, r2, r3, p2, r1 - p2 * r1 AS a21 FROM p)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       |  round(r1, 6) + 0.0 AS pacf1,
+       |  CASE WHEN 1.0 - r1 * r1 = 0 THEN NULL
+       |    ELSE round(p2, 6) + 0.0 END AS pacf2,
+       |  CASE WHEN 1.0 - r1 * r1 = 0 OR 1.0 - a21 * r1 - p2 * r2 = 0 THEN NULL
+       |    ELSE round((r3 - a21 * r2 - p2 * r1) / (1.0 - a21 * r1 - p2 * r2), 6) + 0.0 END AS pacf3
+       |FROM q ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val st = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumUnits(col("y")).cast("long").as("s"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val withLead = (1 to 3).foldLeft(g.join(broadcast(st), "event_type")) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(wo))
+    }
+    def dev(c: Column) = col("n").cast("decimal(38,0)") * c - col("s")
+    val a = withLead.groupBy(col("event_type")).agg(
+      first(col("n")).as("n"),
+      sum(dev(col("y")) * dev(col("y"))).cast("decimal(38,0)").as("den"),
+      sum(dev(col("y")) * dev(col("y1"))).cast("decimal(38,0)").as("num1"),
+      sum(dev(col("y")) * dev(col("y2"))).cast("decimal(38,0)").as("num2"),
+      sum(dev(col("y")) * dev(col("y3"))).cast("decimal(38,0)").as("num3"))
+    val r1 = col("num1").cast("double") / col("den").cast("double")
+    val r2 = col("num2").cast("double") / col("den").cast("double")
+    val r3 = col("num3").cast("double") / col("den").cast("double")
+    val p2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val a21 = r1 - p2 * r1
+    a.select(col("event_type"), col("n").cast("long").as("n_points"),
+        (round(r1, 6) + lit(0.0)).as("pacf1"),
+        when(lit(1.0) - r1 * r1 === 0, lit(null).cast("double"))
+          .otherwise(round(p2, 6) + lit(0.0)).as("pacf2"),
+        when(lit(1.0) - r1 * r1 === 0 || lit(1.0) - a21 * r1 - p2 * r2 === 0,
+            lit(null).cast("double"))
+          .otherwise(round((r3 - a21 * r2 - p2 * r1) / (lit(1.0) - a21 * r1 - p2 * r2), 6)
+            + lit(0.0)).as("pacf3"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Mann–Kendall trend test (#250): per user cohort, S = Σ_{i<j}
+    * sgn(x_j − x_i) over each user's time-ordered event values —
+    * the standard nonparametric monotone-trend statistic (Mann 1945;
+    * Kendall's τ against time). Pairs form per USER (bounded per-user
+    * event counts — the same per-entity quadratic bound as the DTW
+    * gate), never across users, so the self-join fan-out is
+    * Σ_u n_u² with n_u data-model-bounded; cohort aggregation then
+    * reduces to 8 rows. τ = S / n_pairs is the one mirrored double.
+    */
+  val qMannKendall = GateQuery.sql(
+    "q_mann_kendall",
+    s"""WITH e AS (SELECT user_id, user_id % 8 AS g, ts_us, event_id,
+       |    ${centsSql("vd")} AS c FROM $E t),
+       |p AS (SELECT a.g AS g,
+       |    CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS co,
+       |    CASE WHEN b.c < a.c THEN 1 ELSE 0 END AS di
+       |  FROM e a JOIN e b ON a.user_id = b.user_id
+       |    AND (a.ts_us < b.ts_us OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(co) AS BIGINT) AS concordant,
+       |    CAST(sum(di) AS BIGINT) AS discordant
+       |  FROM p GROUP BY g)
+       |SELECT g, n_pairs, concordant, discordant,
+       |  n_pairs - concordant - discordant AS ties,
+       |  round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6) + 0.0 AS tau
+       |FROM a ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("user_id"), pmod(col("user_id"), lit(8L)).as("g"),
+      col("ts_us"), col("event_id"), Exact.cents(col("vd")).as("c"))
+    val a = e.select(col("user_id"), col("g"), col("ts_us").as("ta"),
+      col("event_id").as("ia"), col("c").as("ca"))
+    val b = e.select(col("user_id"), col("ts_us").as("tb"),
+      col("event_id").as("ib"), col("c").as("cb"))
+    val pairs = a.join(b, Seq("user_id"))
+      .filter(col("ta") < col("tb") || (col("ta") === col("tb") && col("ia") < col("ib")))
+    val agg = pairs.groupBy(col("g")).agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col("cb") > col("ca"), lit(1L)).otherwise(lit(0L))).cast("long").as("concordant"),
+      sum(when(col("cb") < col("ca"), lit(1L)).otherwise(lit(0L))).cast("long").as("discordant"))
+    agg.select(col("g"), col("n_pairs"), col("concordant"), col("discordant"),
+        (col("n_pairs") - col("concordant") - col("discordant")).as("ties"),
+        (round((col("concordant") - col("discordant")).cast("double") / col("n_pairs"), 6)
+          + lit(0.0)).as("tau"))
+      .orderedSmall(col("g"))
+  }
+
+  /** Brown–Forsythe / Levene variance-homogeneity test (#251): the
+    * one-way ANOVA F statistic (#211's exact micro-integer
+    * decomposition, reused verbatim) applied to z = |x − med_g| with
+    * med_g the per-type LO-MEDIAN — Brown & Forsythe 1974's robust
+    * center choice, pinned to "smallest value with 2·cum ≥ n" over
+    * the VALUE-COLLAPSED per-type grid so both engines pick the
+    * identical integer median (no engine median() semantics
+    * involved). Gate for every pooled-variance assumption upstream.
+    */
+  val qLevene = GateQuery.sql(
+    "q_levene",
+    s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS c FROM $E t),
+       |v AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |w AS (SELECT event_type, c, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM v),
+       |med AS (SELECT event_type, min(c) AS med FROM w WHERE 2 * cum >= n GROUP BY 1),
+       |z AS (SELECT e.event_type, abs(e.c - med.med) AS zc
+       |  FROM e JOIN med USING (event_type)),
+       |a AS (SELECT event_type, count(*) AS n_g, CAST(sum(zc) AS BIGINT) AS s_g,
+       |    CAST(sum(CAST(zc AS HUGEINT) * zc) AS HUGEINT) AS q_g
+       |  FROM z GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(q_g) AS HUGEINT) AS q,
+       |    CAST(sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS HUGEINT) AS a_scaled,
+       |    CAST(sum(s_g) AS HUGEINT) AS s
+       |  FROM a),
+       |f AS (SELECT k, n, q,
+       |    greatest(a_scaled - (s * s * 1000000) // n, 0) AS ssb_micro,
+       |    q * 1000000 - a_scaled AS ssw_micro
+       |  FROM t)
+       |SELECT k, n, k - 1 AS dof_between, n - k AS dof_within,
+       |  CASE WHEN ssw_micro = 0 OR k <= 1 THEN NULL
+       |    ELSE CAST((ssb_micro * (n - k) * 1000000) // (ssw_micro * (k - 1)) AS BIGINT)
+       |  END AS f_ppm
+       |FROM f""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+    val w = v
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val med = w.filter(lit(2) * col("cum") >= col("n"))
+      .groupBy(col("event_type")).agg(min(col("c")).as("med"))
+    val z = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("c") - col("med")).as("zc"))
+    val a = z.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_g"), sum(col("zc")).cast("long").as("s_g"),
+      sum(col("zc").cast("decimal(38,0)") * col("zc")).cast("decimal(38,0)").as("q_g"))
+    val t = a.agg(
+      count(lit(1)).cast("long").as("k"), sum(col("n_g")).cast("long").as("n"),
+      sum(col("q_g")).cast("decimal(38,0)").as("q"),
+      sum(floorDivBig(col("s_g").cast("decimal(38,0)") * col("s_g") * lit(1000000L),
+        col("n_g"))).cast("decimal(38,0)").as("a_scaled"),
+      sum(col("s_g")).cast("decimal(38,0)").as("s"))
+    val f = t.select(col("k"), col("n"), col("q"),
+      greatest(col("a_scaled") - floorDivBig(col("s") * col("s") * lit(1000000L), col("n")),
+        lit(0L).cast("decimal(38,0)")).as("ssb_micro"),
+      (col("q") * lit(1000000L) - col("a_scaled")).as("ssw_micro"))
+    f.select(col("k"), col("n"),
+      (col("k") - 1).as("dof_between"), (col("n") - col("k")).as("dof_within"),
+      when(col("ssw_micro") === lit(0L).cast("decimal(38,0)") || col("k") <= 1,
+          lit(null).cast("long"))
+        .otherwise(floorDivBig(
+          col("ssb_micro") * (col("n") - col("k")) * lit(1000000L),
+          col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
+  }
+
+  /** floor(ln(2)·1e6) — the exact micro-nat weight of a word the
+    * other source lacks (its P/M ratio is exactly 2). */
+  private val MicroLn2 = 693147L
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions (#252): the SYMMETRIC, bounded drift measure next
+    * to #138's per-source KL — JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M = ½(P+Q). Each in-vocabulary term is c·µln(2·c₁·n₂ /
+    * (c₁·n₂ + c₂·n₁)) — an exact integer from exact rationals — and
+    * the mass on words the OTHER source lacks folds in as
+    * (n − Σc_common)·µln(2) without ever materializing the
+    * missing-word rows (no outer join). Source pairs that share zero
+    * vocabulary would have JSD = ln 2 exactly and are omitted (none
+    * exist in practice; a corpus audit cares about near, not
+    * disjoint, sources). Shape: one (source, word) count aggregate
+    * (vocab-bounded), one word-keyed self-join producing vocab×pairs
+    * rows, 5-row totals broadcast — no corpus-scale exchange.
+    */
+  val qJsd = GateQuery.sql(
+    "q_jsd",
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |sw AS (SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+       |pe AS (SELECT a.source AS s1, b.source AS s2, n1.n AS n1, n2.n AS n2,
+       |    a.c AS c1, b.c AS c2
+       |  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+       |  JOIN ns n1 ON a.source = n1.source JOIN ns n2 ON b.source = n2.source),
+       |ag AS (SELECT s1, s2, any_value(n1) AS n1, any_value(n2) AS n2,
+       |    CAST(sum(c1) AS BIGINT) AS c1s, CAST(sum(c2) AS BIGINT) AS c2s,
+       |    CAST(sum(c1 * ${Curation.microLnSql(
+             "(2.0 * c1 * n2) / (1.0 * c1 * n2 + 1.0 * c2 * n1)")}) AS BIGINT) AS kl1c,
+       |    CAST(sum(c2 * ${Curation.microLnSql(
+             "(2.0 * c2 * n1) / (1.0 * c1 * n2 + 1.0 * c2 * n1)")}) AS BIGINT) AS kl2c
+       |  FROM pe GROUP BY s1, s2)
+       |SELECT s1, s2, n1 AS n_tokens_1, n2 AS n_tokens_2,
+       |  kl1c + (n1 - c1s) * $MicroLn2 AS kl1_micro,
+       |  kl2c + (n2 - c2s) * $MicroLn2 AS kl2_micro,
+       |  round((CAST(kl1c + (n1 - c1s) * $MicroLn2 AS DOUBLE) / n1
+       |       + CAST(kl2c + (n2 - c2s) * $MicroLn2 AS DOUBLE) / n2) / 2000000.0, 6) + 0.0 AS jsd
+       |FROM ag ORDER BY s1, s2""".stripMargin) { (s, d) =>
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n"))
+    val a = sw.select(col("source").as("s1"), col("word"), col("c").as("c1"))
+    val b = sw.select(col("source").as("s2"), col("word"), col("c").as("c2"))
+    val pe = a.join(b, Seq("word")).filter(col("s1") < col("s2"))
+      .join(broadcast(ns.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(ns.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+    // the µln argument parenthesization mirrors the SQL text exactly:
+    // doubles of exact ints (< 2^53), so both engines see identical IEEE
+    val num1 = lit(2.0) * col("c1") * col("n2")
+    val num2 = lit(2.0) * col("c2") * col("n1")
+    val den = lit(1.0) * col("c1") * col("n2") + lit(1.0) * col("c2") * col("n1")
+    val ag = pe.groupBy(col("s1"), col("s2")).agg(
+      first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+      sum(col("c1")).cast("long").as("c1s"), sum(col("c2")).cast("long").as("c2s"),
+      sum(col("c1") * Curation.microLn(num1 / den)).cast("long").as("kl1c"),
+      sum(col("c2") * Curation.microLn(num2 / den)).cast("long").as("kl2c"))
+    val kl1 = col("kl1c") + (col("n1") - col("c1s")) * lit(MicroLn2)
+    val kl2 = col("kl2c") + (col("n2") - col("c2s")) * lit(MicroLn2)
+    ag.select(col("s1"), col("s2"),
+        col("n1").as("n_tokens_1"), col("n2").as("n_tokens_2"),
+        kl1.as("kl1_micro"), kl2.as("kl2_micro"),
+        (round((kl1.cast("double") / col("n1") + kl2.cast("double") / col("n2"))
+          / lit(2000000.0), 6) + lit(0.0)).as("jsd"))
+      .orderedSmall(col("s1"), col("s2"))
+  }
+
+  /** Simpson diversity index (#253): per language, the probability
+    * that two random documents come from the SAME source — λ =
+    * Σ n_s(n_s−1) / (N(N−1)) (the unbiased finite-sample form) plus
+    * its Gini–Simpson complement, both exact ppm integers. The
+    * "effective number of sources" audit next to entropy (#142),
+    * Gini (#185) and Theil (#188) — it answers the mix question
+    * those don't: how concentrated is each language slice on a
+    * single source. Two tiny aggregates; nothing corpus-scale moves.
+    */
+  val qSimpson = GateQuery.sql(
+    "q_simpson",
+    """WITH d AS (SELECT lang, source, count(*) AS n_s FROM documents GROUP BY 1, 2),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+      |    CAST(sum(n_s) AS BIGINT) AS n_docs,
+      |    CAST(sum(CAST(n_s AS HUGEINT) * (n_s - 1)) AS HUGEINT) AS num
+      |  FROM d GROUP BY lang)
+      |SELECT lang, n_docs, n_sources,
+      |  CASE WHEN n_docs >= 2
+      |    THEN CAST((num * 1000000) // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT)
+      |    ELSE NULL END AS simpson_ppm,
+      |  CASE WHEN n_docs >= 2
+      |    THEN 1000000 - CAST((num * 1000000) // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT)
+      |    ELSE NULL END AS gini_simpson_ppm
+      |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+    val dd = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_s"))
+    val a = dd.groupBy(col("lang")).agg(
+      count(lit(1)).cast("long").as("n_sources"),
+      sum(col("n_s")).cast("long").as("n_docs"),
+      sum(col("n_s").cast("decimal(38,0)") * (col("n_s") - 1)).cast("decimal(38,0)").as("num"))
+    val sp = floorDivBig(col("num") * lit(1000000L),
+      col("n_docs").cast("decimal(38,0)") * (col("n_docs") - 1)).cast("long")
+    a.select(col("lang"), col("n_docs"), col("n_sources"),
+        when(col("n_docs") >= 2, sp).otherwise(lit(null).cast("long")).as("simpson_ppm"),
+        when(col("n_docs") >= 2, lit(1000000L) - sp)
+          .otherwise(lit(null).cast("long")).as("gini_simpson_ppm"))
+      .orderedSmall(col("lang"))
+  }
+
+  val all: Seq[GateQuery] = Seq(
+    qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson)
+}
