@@ -202,4 +202,81 @@ object Retrieval {
        |QUALIFY rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity-aware top-k: after the best candidate,
+    * each next pick maximizes
+    *
+    *   λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * so near-duplicates of an already-selected result are pushed
+    * down. The greedy loop runs per query over its BOUNDED candidate
+    * pool (`poolK` from the ANN/brute-force stage — the standard
+    * retrieve-then-rerank shape), as one `mapGroups` pass: one
+    * shuffle on query_id, O(poolK²) integer dot products per query,
+    * parallel across queries. At λ = 1 the output is exactly the
+    * relevance order (pinned in spec); duplicated vectors in the pool
+    * collapse to rank-distant positions (pinned).
+    *
+    * @param cands (query_id long, vec_id long, q array<long>
+    *              quantized vector, n long exact squared norm,
+    *              rel double relevance) — pool rows per query
+    * @return (query_id, rnk 1-based, vec_id, mmr round-6 score;
+    *         rnk 1 carries its relevance as the score)
+    */
+  def mmr(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda out of [0,1]: $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("q"), col("n").cast("long"), col("rel").cast("double"))
+      .as[(Long, Long, Seq[Long], Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic pool order: relevance desc, vec_id asc
+        val pool = it.toArray.sortBy(c => (-c._5, c._2))
+        val vecs = pool.map(_._3.toArray)
+        val norms = pool.map(c => math.sqrt(c._4.toDouble))
+        def sim(i: Int, j: Int): Double = {
+          val a = vecs(i); val b = vecs(j)
+          var s = 0L; var d = 0
+          while (d < a.length) { s += a(d) * b(d); d += 1 }
+          s.toDouble / (norms(i) * norms(j))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSim = Array.fill(pool.length)(0.0)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= math.min(k, pool.length)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < pool.length) {
+            if (!selected.contains(i)) {
+              val score =
+                if (selected.isEmpty) pool(i)._5
+                else lambda * pool(i)._5 - (1 - lambda) * maxSim(i)
+              // tie → pool order (relevance desc, vec_id asc)
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((qid, rank, pool(best)._2,
+            math.floor(bestScore * 1e6) / 1e6))
+          var j = 0
+          while (j < pool.length) {
+            if (!selected.contains(j)) {
+              val s = sim(j, best)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rnk", "vec_id", "mmr")
+  }
 }

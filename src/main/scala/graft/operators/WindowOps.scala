@@ -172,6 +172,57 @@ object WindowOps {
       .toDF(group, x, "level", "trend", "forecast")
   }
 
+  /** Local-level Kalman filter per scan — the OPTIMAL recursive
+    * smoother next to [[ewma]]'s fixed-gain one (Kalman 1960;
+    * state x_t = x_{t−1} + w, w~N(0,Q); obs y_t = x_t + v, v~N(0,R)):
+    *
+    *   predict: P ← P + Q
+    *   gain:    K = P / (P + R)
+    *   update:  l ← l + K·(y − l);  P ← (1 − K)·P
+    *
+    * initialized l₀ = y₀, P₀ = R (diffuse-ish: first gain = 2Q.. —
+    * any P₀ washes out geometrically). The gain ADAPTS: large early
+    * (uncertain state), converging to the steady-state EWMA
+    * equivalent α* = K∞ — which is why two closed-form pins exist:
+    * Q = 0 makes the estimate the exact running MEAN of the prefix
+    * (gain 1/t — constant level, every observation equal weight),
+    * and R → 0 makes it track y exactly. Like [[ewma]]/[[holt]] the
+    * full-prefix recursion is the documented non-window family: one
+    * `mapGroups` pass, one shuffle, O(points-per-scan) memory,
+    * parallel across scans.
+    *
+    * @return (g, x, level, gain) — posterior level and the gain K
+    *         used at that step
+    */
+  def kalman(df: DataFrame, group: String, x: String, y: String,
+             q: Double, r: Double): DataFrame = {
+    require(q >= 0, s"process variance negative: $q")
+    require(r > 0, s"observation variance not positive: $r")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(group).cast("long").as("g"),
+        col(x).cast("double").as("x"), col(y).cast("double").as("y"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        var l = 0.0
+        var p = 0.0
+        pts.iterator.zipWithIndex.map { case ((_, px, py), i) =>
+          var k = 0.0
+          if (i == 0) { l = py; p = r; k = 1.0 }
+          else {
+            p += q
+            k = p / (p + r)
+            l += k * (py - l)
+            p *= (1 - k)
+          }
+          (g, px, l, k)
+        }
+      }
+      .toDF(group, x, "level", "gain")
+  }
+
   /** One-sided CUSUM control chart (#180): S_i = max(0, S_{i−1} +
     * (x_i − target)). The recursion is closed-form as the running
     * sum minus its own running minimum — P_i − min(0, min_{j≤i} P_j)

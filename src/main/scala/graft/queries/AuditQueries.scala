@@ -448,6 +448,177 @@ object AuditQueries {
       .orderedSmall(col("lang"))
   }
 
+  private val HurstSizes = Seq(8, 16, 32)
+
+  /** Hurst exponent via rescaled-range analysis (#254): per event
+    * type, mean R/S over full blocks of 8/16/32 hourly points, H =
+    * the log-log slope across the (ln-equispaced) sizes — the
+    * long-memory diagnostic (H ≈ 0.5 random walk, > 0.5 persistent)
+    * next to ACF/PACF. Per block, the cumulative deviation is kept
+    * exact by scaling with the block size: D_i = s·cum_i − (i+1)·S_b
+    * (integers), so R/S = (maxD − minD)/√(s·Q_b − S_b²) — ONE double
+    * expression per block from exact ints, micro-floored before the
+    * per-type mean (integer, order-independent). Degenerate
+    * (zero-variance) blocks are excluded by the exact den > 0
+    * predicate on both engines. Three block relations share the one
+    * windowed series; everything is bounded by the calendar grid.
+    */
+  val qHurst = GateQuery.sql(
+    "q_hurst", {
+      val sizeCtes = HurstSizes.map { s =>
+        s"""b$s AS (SELECT event_type, idx // $s AS blk, idx % $s AS pos, y
+           |  FROM series),
+           |v$s AS (SELECT event_type, blk, count(*) AS m,
+           |    CAST(sum(y) AS BIGINT) AS sb,
+           |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qb
+           |  FROM b$s GROUP BY 1, 2),
+           |c$s AS (SELECT b.event_type, b.blk, b.pos, v.sb, v.qb,
+           |    $s * sum(b.y) OVER (PARTITION BY b.event_type, b.blk ORDER BY b.pos)
+           |      - (b.pos + 1) * v.sb AS dd
+           |  FROM b$s b JOIN v$s v ON b.event_type = v.event_type AND b.blk = v.blk
+           |  WHERE v.m = $s),
+           |r$s AS (SELECT event_type, blk, max(dd) - min(dd) AS rn,
+           |    CAST($s AS HUGEINT) * any_value(qb)
+           |      - CAST(any_value(sb) AS HUGEINT) * any_value(sb) AS den2
+           |  FROM c$s GROUP BY 1, 2),
+           |m$s AS (SELECT event_type,
+           |    CAST(sum(CASE WHEN den2 > 0 THEN CAST(floor(
+           |      CAST(rn AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE)) * 1000000) AS BIGINT)
+           |      END) AS BIGINT) AS rs_sum,
+           |    count(*) FILTER (den2 > 0) AS nb
+           |  FROM r$s GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e GROUP BY 1, 2),
+         |series AS (SELECT event_type,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY grid) - 1 AS idx, y
+         |  FROM g),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM series GROUP BY 1),
+         |$sizeCtes,
+         |j AS (SELECT st.event_type, st.n,
+         |    CASE WHEN m8.nb > 0 THEN m8.rs_sum // m8.nb END AS rs8,
+         |    CASE WHEN m16.nb > 0 THEN m16.rs_sum // m16.nb END AS rs16,
+         |    CASE WHEN m32.nb > 0 THEN m32.rs_sum // m32.nb END AS rs32
+         |  FROM st
+         |  LEFT JOIN m8 ON st.event_type = m8.event_type
+         |  LEFT JOIN m16 ON st.event_type = m16.event_type
+         |  LEFT JOIN m32 ON st.event_type = m32.event_type)
+         |SELECT event_type, n AS n_points,
+         |  rs8 AS rs8_micro, rs16 AS rs16_micro, rs32 AS rs32_micro,
+         |  CASE WHEN rs8 > 0 AND rs32 > 0
+         |    THEN round((ln(CAST(rs32 AS DOUBLE)) - ln(CAST(rs8 AS DOUBLE)))
+         |      / (2 * ln(2.0)), 4) + 0.0 END AS hurst
+         |FROM j ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val series = g.withColumn("idx",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("grid"))) - 1)
+    val st = series.groupBy(col("event_type")).agg(count(lit(1)).cast("long").as("n"))
+    def meanRs(sz: Int): DataFrame = {
+      val b = series.select(col("event_type"),
+        Binning.floorDiv(col("idx").cast("long"), sz.toLong).as("blk"),
+        pmod(col("idx"), lit(sz)).as("pos"), col("y"))
+      val v = b.groupBy(col("event_type"), col("blk")).agg(
+        count(lit(1)).as("m"), sum(col("y")).cast("long").as("sb"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("qb"))
+        .filter(col("m") === sz)
+      val c = b.join(v, Seq("event_type", "blk"))
+        .withColumn("cum", sum(col("y")).over(
+          Window.partitionBy(col("event_type"), col("blk")).orderBy(col("pos"))))
+        .withColumn("dd", lit(sz.toLong) * col("cum") - (col("pos") + 1) * col("sb"))
+      val r = c.groupBy(col("event_type"), col("blk")).agg(
+        (max(col("dd")) - min(col("dd"))).as("rn"),
+        (lit(sz.toLong) * first(col("qb")) -
+          first(col("sb")).cast("decimal(38,0)") * first(col("sb"))).as("den2"))
+      r.groupBy(col("event_type")).agg(
+        sum(when(col("den2") > 0,
+          floor(col("rn").cast("double") / sqrt(col("den2").cast("double"))
+            * lit(1000000)).cast("long"))).cast("long").as("rs_sum"),
+        count(when(col("den2") > 0, 1)).as("nb"))
+        .select(col("event_type"),
+          when(col("nb") > 0, Binning.floorDivCol(col("rs_sum"), col("nb")))
+            .as(s"rs$sz"))
+    }
+    val j = HurstSizes.foldLeft(st) { (df, sz) =>
+      df.join(meanRs(sz), Seq("event_type"), "left")
+    }
+    j.select(col("event_type"), col("n").as("n_points"),
+        col("rs8").as("rs8_micro"), col("rs16").as("rs16_micro"),
+        col("rs32").as("rs32_micro"),
+        when(col("rs8") > 0 && col("rs32") > 0,
+          round((log(col("rs32").cast("double")) - log(col("rs8").cast("double")))
+            / (lit(2) * log(lit(2.0))), 4) + lit(0.0))
+          .as("hurst"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Local-level Kalman filter (#255, rows+test): optimal recursive
+    * smoothing of each user's 'view' series
+    * ([[graft.operators.WindowOps.kalman]]) summarized to the final
+    * level and converged gain — the adaptive-gain upgrade of EWMA
+    * (#63) / Holt (#191). The full-prefix recursion is the
+    * documented non-SQL-expressible family; AuditEdgeSpec pins the
+    * Q = 0 closed form (posterior level = exact running mean).
+    */
+  val qKalman = GateQuery.rowsOnly("q_kalman") { (s, d) =>
+    val e = ev(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("xs").cast("double").as("x"),
+        Exact.cents(col("vd")).cast("double").as("y"))
+    graft.operators.WindowOps.kalman(e, "user_id", "x", "y", q = 25.0, r = 400.0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        round(max_by(col("level"), col("x")), 4).as("last_level"),
+        round(max_by(col("gain"), col("x")), 6).as("last_gain"))
+      .orderedSmall(col("user_id"))
+  }
+
+  /** MMR diversity re-ranking (#256, rows+test): brute-force top-20
+    * relevance pool per query (vec_id < 10, the KNN-gate query set),
+    * re-ranked to 5 by Maximal Marginal Relevance at λ = 0.7
+    * ([[graft.operators.Retrieval.mmr]]) — the retrieve-then-rerank
+    * shape. Pool scoring is the same broadcast query-set pass as
+    * q_knn_bruteforce (allow-listed single-broadcast nested loop);
+    * the greedy loop is one mapGroups over bounded pools.
+    */
+  val qMmrRerank = GateQuery.rowsOnly("q_mmr_rerank") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.expressions.VectorExpressions.quantizeVec(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"),
+        graft.expressions.VectorExpressions.normQ(col("q")).as("n"))
+    val qs = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")))
+    val scored = e.crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q"), col("n"),
+        graft.operators.VectorOps.cosineQ(
+          graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")),
+          col("nq"), col("n")).as("_c"))
+    val pool = graft.operators.Relational.topKPerGroupSalted(scored,
+        Seq(col("query_id")), Seq(col("_c").desc, col("vec_id")), 20, col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("q"), col("n"), col("_c").as("rel"))
+    graft.operators.Retrieval.mmr(pool, k = 5, lambda = 0.7)
+      .orderedSmall(col("query_id"), col("rnk"))
+  }
+
+  /** Markov removal-effect attribution (#257, rows+test): per-user
+    * journeys → bounded transition matrix → absorbing-chain solves
+    * on the driver ([[graft.operators.Markov]]) — the data-driven
+    * multi-touch credit next to last-touch (#215). AuditEdgeSpec
+    * pins the two-channel closed form.
+    */
+  val qMarkovAttrib = GateQuery.rowsOnly("q_markov_attrib") { (s, d) =>
+    val e = ev(s, d)
+    val trans = graft.operators.Markov.transitions(e,
+      col("user_id"), col("ts_us"), col("event_id"), col("event_type"), "purchase")
+    graft.operators.Markov.removalEffects(trans)
+      .orderedSmall(col("channel"))
+  }
+
   val all: Seq[GateQuery] = Seq(
-    qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson)
+    qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
+    qHurst, qKalman, qMmrRerank, qMarkovAttrib)
 }

@@ -125,6 +125,83 @@ class AuditEdgeSpec extends SparkSpec {
     assert(out("de").getAs[Long]("simpson_ppm") === 0L)
   }
 
+  test("kalman: Q = 0 pins the posterior level to the exact running mean") {
+    val ys = Seq(10.0, 20.0, 60.0, 30.0)
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toDouble, y) }
+      .toDF("g", "x", "y")
+    val out = graft.operators.WindowOps.kalman(df, "g", "x", "y", q = 0.0, r = 7.0)
+      .orderBy("x").select("level").as[Double].collect()
+    val means = ys.scanLeft((0.0, 0)) { case ((s, n), y) => (s + y, n + 1) }
+      .tail.map { case (s, n) => s / n }
+    out.zip(means).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("kalman: huge Q tracks the observations") {
+    val df = Seq((1L, 0.0, 5.0), (1L, 1.0, 50.0), (1L, 2.0, -3.0)).toDF("g", "x", "y")
+    val out = graft.operators.WindowOps.kalman(df, "g", "x", "y", q = 1e12, r = 1.0)
+      .orderBy("x").select("level").as[Double].collect()
+    Seq(5.0, 50.0, -3.0).zip(out).foreach { case (e, a) => assert(math.abs(a - e) < 1e-3) }
+  }
+
+  private def mmrPool(rows: Seq[(Long, Long, Seq[Long], Double)]) =
+    rows.toDF("query_id", "vec_id", "q", "rel")
+      .withColumn("n", expr("aggregate(q, 0L, (s, x) -> s + x * x)"))
+
+  test("mmr: lambda = 1 reproduces the pure relevance order") {
+    val pool = mmrPool(Seq(
+      (1L, 10L, Seq(1000000L, 0L), 0.9),
+      (1L, 11L, Seq(0L, 1000000L), 0.8),
+      (1L, 12L, Seq(707107L, 707107L), 0.7)))
+    val out = graft.operators.Retrieval.mmr(pool, k = 3, lambda = 1.0)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(out.toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("mmr: a duplicate of the top hit is pushed below a diverse candidate") {
+    // vec 11 duplicates vec 10 (cos 1) with nearly equal relevance;
+    // vec 12 is orthogonal with lower relevance. MMR at λ=0.5 picks
+    // the orthogonal one second: 0.5·0.7 − 0.5·0 > 0.5·0.89 − 0.5·1.
+    val pool = mmrPool(Seq(
+      (1L, 10L, Seq(1000000L, 0L), 0.9),
+      (1L, 11L, Seq(1000000L, 0L), 0.89),
+      (1L, 12L, Seq(0L, 1000000L), 0.7)))
+    val out = graft.operators.Retrieval.mmr(pool, k = 2, lambda = 0.5)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(out.toSeq === Seq(10L, 12L))
+  }
+
+  test("markov: two-channel closed form (A converts, B never does)") {
+    // user 1: A → purchase; user 2: B → end
+    val trans = Seq(
+      ("START", "A", 1L), ("A", "CONV", 1L),
+      ("START", "B", 1L), ("B", "NULL", 1L)).toDF("src", "dst", "n")
+    val out = graft.operators.Markov.removalEffects(trans).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("base_ppm") === 500000L)
+    assert(out("A").getAs[Long]("removal_ppm") === 1000000L) // conv impossible without A
+    assert(out("B").getAs[Long]("removal_ppm") === 0L)
+    assert(out("A").getAs[Long]("share_ppm") === 1000000L)
+    assert(out("B").getAs[Long]("share_ppm") === 0L)
+  }
+
+  test("markov transitions: path truncates at first conversion, non-converters get NULL") {
+    val e = Seq(
+      // user 1: view → purchase → click (click is AFTER conv — dropped)
+      (1L, 1L, "view"), (1L, 2L, "purchase"), (1L, 3L, "click"),
+      // user 2: click → end (no conversion)
+      (2L, 1L, "click"))
+      .toDF("user_id", "ts_us", "event_type")
+      .withColumn("event_id", col("ts_us"))
+    val trans = graft.operators.Markov.transitions(e,
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"), "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(trans(("START", "view")) === 1L)
+    assert(trans(("view", "CONV")) === 1L)
+    assert(trans(("START", "click")) === 1L)
+    assert(trans(("click", "NULL")) === 1L)
+    assert(!trans.contains(("CONV", "click")), "post-conversion events must be dropped")
+  }
+
   test("jarque-bera: constant series is degenerate → NULL") {
     val dir = eventsDir(Seq(
       (0L, 0L, "click", 5.00), (1L, 1L, "click", 5.00), (2L, 2L, "click", 5.00)))

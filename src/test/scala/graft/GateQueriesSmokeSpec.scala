@@ -47,7 +47,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_kfold", // (corpus count) single-row scalar
     "q_negative_sampling", // (total weight) single-row scalar
     "q_quantile_norm", // pooled-grid × bounded source list (same as q_w1_drift)
-    "q_label_prop") // (n_communities) single-row scalar
+    "q_label_prop", // (n_communities) single-row scalar
+    "q_mmr_rerank") // brute-force pool scoring (same as q_knn_bruteforce)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
