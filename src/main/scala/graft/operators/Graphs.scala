@@ -59,18 +59,37 @@ object Graphs {
       when(fwd, col("v")).otherwise(col("u")).as("t"))
   }
 
-  /** All triangles (a, b, c), each exactly once, a/b/c in orientation
-    * order (NOT necessarily numeric order).
+  /** Triangle join over an ALREADY-ORIENTED arc relation. The wedge
+    * relation (first join) can be orders of magnitude bigger than the
+    * edge set (Σ outdeg² — 148M wedges from 1.2M edges on the sf0.1
+    * co-occurrence graph), so the closing-arc side joins BROADCAST
+    * while the arc set fits the session's broadcast threshold ×16
+    * (arcs are two longs — far denser than Spark's generic row
+    * estimate): the wedges then never leave their producing stage.
+    * Past that size it falls back to the plain shuffle join AQE
+    * re-plans — the 100 TB path, where broadcasting the edge set is
+    * impossible and shuffling the wedge relation is the honest cost
+    * (the MapReduce triangle bound, Suri & Vassilvitskii 2011).
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val o = orient(edges, degrees(edges))
+  private def trianglesFromOriented(o: DataFrame): DataFrame = {
     val e1 = o.select(col("s").as("a"), col("t").as("b"))
     val e2 = o.select(col("s").as("b2"), col("t").as("c"))
     val e3 = o.select(col("s").as("a3"), col("t").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+    val wedges = e1.join(e2, col("b") === col("b2"))
+    val thresh = o.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val closing =
+      if (thresh > 0 && o.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh) * 16)
+        broadcast(e3)
+      else e3
+    wedges.join(closing, col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** All triangles (a, b, c), each exactly once, a/b/c in orientation
+    * order (NOT necessarily numeric order).
+    */
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesFromOriented(orient(edges, degrees(edges)))
 
   /** Per-node triangle participation joined onto degrees:
     * (node, deg, t) with t = number of triangles containing the node
@@ -85,6 +104,70 @@ object Graphs {
       .select(col("node"), col("deg"), coalesce(col("t"), lit(0L)).as("t"))
   }
 
+  /** [[nodeTriangles]] with GATE-LIFETIME caching of the shared
+    * relations: the edge set feeds degrees AND orientation, the
+    * oriented arcs feed all three sides of the triangle join, and
+    * the degree relation is read twice — without persists each reuse
+    * re-runs the whole upstream plan (the co-occurrence self-join +
+    * distinct, ~5×). The result is materialized BEFORE the inputs
+    * unpersist (the PageRank discipline); the harness frees the
+    * result cache after its action like every gate-lifetime cache.
+    */
+  private def nodeTrianglesCached(edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    val deg = degrees(e).persist()
+    val o = orient(e, deg).persist()
+    val tv = trianglesFromOriented(o)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val nd = deg.join(tv, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("t"), lit(0L)).as("t"))
+      .cache()
+    nd.count() // force while e/deg/o are still cached
+    o.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    nd
+  }
+
+  /** The k-core of an undirected graph: the maximal subgraph where
+    * every node has degree ≥ k (Seidman 1983) — the cohesion
+    * decomposition next to [[triangles]] (a dense community survives
+    * peeling; hairball periphery does not). Iterative peeling: drop
+    * all nodes of degree < k, recompute, repeat to fixpoint. Each
+    * round is one degree aggregate + two anti-joins; the edge
+    * relation persists per round and frees after the convergence
+    * action (the connected-components loop discipline — rounds are
+    * data-dependent but bounded by the peeling depth, which is tiny
+    * for real graphs; `maxIter` is the runaway backstop).
+    *
+    * @return the k-core's canonical edge relation (u, v)
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    var cur = edges
+    var owned = false // never unpersist the CALLER's relation
+    var n = cur.count()
+    var it = 0
+    var done = n == 0
+    while (!done && it < maxIter) {
+      val bad = degrees(cur).filter(col("deg") < k)
+      val next = cur
+        .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .persist()
+      val m = next.count()
+      if (owned) cur.unpersist()
+      cur = next
+      owned = true
+      done = m == n
+      n = m
+      it += 1
+    }
+    cur
+  }
+
   /** One-row exact-integer graph summary:
     * (n_nodes, n_edges, n_triangles, wedges, global_ppm,
     * avg_local_ppm) where global = 3·triangles / wedges (transitivity)
@@ -93,7 +176,7 @@ object Graphs {
     * result is bit-identical in any engine.
     */
   def clusteringStats(edges: DataFrame): DataFrame = {
-    val nd = nodeTriangles(edges)
+    val nd = nodeTrianglesCached(edges)
     val lc = when(col("deg") >= 2,
       Binning.floorDivCol(col("t") * lit(2000000L), col("deg") * (col("deg") - 1)))
       .otherwise(lit(0L))

@@ -172,6 +172,60 @@ object WindowOps {
       .toDF(group, x, "level", "trend", "forecast")
   }
 
+  /** Holt–Winters additive seasonal smoothing (triple exponential —
+    * Winters 1960) — the seasonal upgrade of [[holt]]:
+    *
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+    *
+    * with the textbook simple initialization on the first two
+    * seasons: l = mean(season 1), b = (mean(season 2) −
+    * mean(season 1))/m, s_i = y_i − l. Series shorter than 2m yield
+    * no rows (not enough data to initialize a seasonal model —
+    * documented contract). On an exactly m-periodic zero-trend
+    * series the one-step forecast reproduces the series EXACTLY for
+    * any α/β/γ (pinned in AuditEdgeSpec). Same mapGroups shape as
+    * [[ewma]]/[[holt]]/[[kalman]]: one shuffle, O(points) per scan.
+    *
+    * @return (g, x, level, trend, seasonal, forecast) — `seasonal`
+    *         is the updated index at x; `forecast` the one-step-ahead
+    *         prediction l + b + s_{next}
+    */
+  def holtWinters(df: DataFrame, group: String, x: String, y: String,
+                  m: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    require(m >= 2, s"season length out of range: $m")
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    require(beta >= 0 && beta <= 1, s"beta out of [0,1]: $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma out of [0,1]: $gamma")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(group).cast("long").as("g"),
+        col(x).cast("double").as("x"), col(y).cast("double").as("y"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        if (pts.length < 2 * m) Iterator.empty
+        else {
+          val mean1 = pts.take(m).map(_._3).sum / m
+          val mean2 = pts.slice(m, 2 * m).map(_._3).sum / m
+          var l = mean1
+          var b = (mean2 - mean1) / m
+          val s = Array.tabulate(m)(i => pts(i)._3 - mean1)
+          pts.iterator.zipWithIndex.drop(m).map { case ((_, px, py), t) =>
+            val si = t % m
+            val lPrev = l
+            l = alpha * (py - s(si)) + (1 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1 - beta) * b
+            s(si) = gamma * (py - l) + (1 - gamma) * s(si)
+            (g, px, l, b, s(si), l + b + s((t + 1) % m))
+          }
+        }
+      }
+      .toDF(group, x, "level", "trend", "seasonal", "forecast")
+  }
+
   /** Local-level Kalman filter per scan — the OPTIMAL recursive
     * smoother next to [[ewma]]'s fixed-gain one (Kalman 1960;
     * state x_t = x_{t−1} + w, w~N(0,Q); obs y_t = x_t + v, v~N(0,R)):

@@ -618,7 +618,258 @@ object AuditQueries {
       .orderedSmall(col("channel"))
   }
 
+  private val RulesMinSup = 3L
+  private val RulesTopK = 20
+
+  /** Association rules (#258): market-basket support / confidence /
+    * lift over part co-occurrence in orders (Agrawal & Srikant 1994
+    * — the Apriori output surface for pair rules). Supports are
+    * DISTINCT-order counts from one (order, a, b) dedup + one
+    * (a, b) aggregate — the same bounded per-order pair fan-out as
+    * the triangle gate, never parts². Directional rules both ways,
+    * min-support pruned, exact ppm confidence and micro lift, top-20
+    * by lift with full tie pins.
+    */
+  val qAssocRules = GateQuery.sql(
+    "q_assoc_rules",
+    s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s_ab FROM pr GROUP BY 1, 2),
+       |po AS (SELECT l_partkey AS p, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS s_p
+       |  FROM lineitem GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem),
+       |rules AS (
+       |  SELECT u AS ante, v AS cons, s_ab FROM sup WHERE s_ab >= $RulesMinSup
+       |  UNION ALL
+       |  SELECT v AS ante, u AS cons, s_ab FROM sup WHERE s_ab >= $RulesMinSup),
+       |sc AS (SELECT r.ante, r.cons, r.s_ab, pa.s_p AS s_a, pc.s_p AS s_c, n.n_orders,
+       |    (r.s_ab * 1000000) // pa.s_p AS conf_ppm,
+       |    (n.n_orders * r.s_ab * 1000000) // (pa.s_p * pc.s_p) AS lift_micro
+       |  FROM rules r JOIN po pa ON r.ante = pa.p JOIN po pc ON r.cons = pc.p, n)
+       |SELECT ante, cons, s_ab AS support, conf_ppm, lift_micro
+       |FROM sc ORDER BY lift_micro DESC, ante, cons LIMIT $RulesTopK""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val pr = a.join(b, "ok").filter(col("u") < col("v")).distinct()
+    val sup = pr.groupBy(col("u"), col("v")).agg(count(lit(1)).cast("long").as("s_ab"))
+      .filter(col("s_ab") >= RulesMinSup)
+    val po = l.groupBy(col("l_partkey").as("p"))
+      .agg(countDistinct(col("l_orderkey")).cast("long").as("s_p"))
+    val nOrders = l.agg(countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
+    val rules = sup.select(col("u").as("ante"), col("v").as("cons"), col("s_ab"))
+      .unionAll(sup.select(col("v").as("ante"), col("u").as("cons"), col("s_ab")))
+    val sc = rules
+      .join(po.select(col("p").as("ante"), col("s_p").as("s_a")), "ante")
+      .join(po.select(col("p").as("cons"), col("s_p").as("s_c")), "cons")
+    Curation.withStats(sc, nOrders)
+      .select(col("ante"), col("cons"), col("s_ab").as("support"),
+        Binning.floorDivCol(col("s_ab") * lit(1000000L), col("s_a")).as("conf_ppm"),
+        Binning.floorDivCol(col("n_orders") * col("s_ab") * lit(1000000L),
+          col("s_a") * col("s_c")).as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
+      .limit(RulesTopK)
+  }
+
+  /** First-week/second-week split second for [[qMcnemar]]. */
+  private val McnemarSplit = 604800L
+
+  /** McNemar's paired test (#259): did per-user purchase behavior
+    * CHANGE between the first and second week? The within-subject
+    * 2×2 design (McNemar 1947) the independent-sample tests
+    * (#179/#230) cannot answer — only the discordant cells b
+    * (purchased week 1 only) and c (week 2 only) matter:
+    * χ² = (b−c)²/(b+c). Users collapse to one row in a single
+    * conditional aggregate; the statistic is exact micro integers.
+    */
+  val qMcnemar = GateQuery.sql(
+    "q_mcnemar",
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND xs < $McnemarSplit
+       |      THEN 1 ELSE 0 END) AS p1,
+       |    max(CASE WHEN event_type = 'purchase' AND xs >= $McnemarSplit
+       |      THEN 1 ELSE 0 END) AS p2
+       |  FROM $E e GROUP BY user_id),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM u)
+       |SELECT n_users, b, c,
+       |  CASE WHEN b + c > 0 THEN ((b - c) * (b - c) * 1000000) // (b + c)
+       |    END AS chi2_micro
+       |FROM a""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "purchase" && col("xs") < McnemarSplit, 1)
+        .otherwise(0)).as("p1"),
+      max(when(col("event_type") === "purchase" && col("xs") >= McnemarSplit, 1)
+        .otherwise(0)).as("p2"))
+    val a = u.agg(
+      count(lit(1)).cast("long").as("n_users"),
+      sum(when(col("p1") === 1 && col("p2") === 0, 1L).otherwise(0L)).cast("long").as("b"),
+      sum(when(col("p1") === 0 && col("p2") === 1, 1L).otherwise(0L)).cast("long").as("c"))
+    a.select(col("n_users"), col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        Binning.floorDivCol((col("b") - col("c")) * (col("b") - col("c")) * lit(1000000L),
+          col("b") + col("c"))).as("chi2_micro"))
+  }
+
+  /** Cramér's V (#260): the EFFECT-SIZE companion of the chi-squared
+    * test (#178) — V = √(χ²/(N·min(r−1, c−1))), so a huge-N χ² that
+    * is "significant but tiny" is visible. Reuses #178's exact
+    * pico-floored χ² construction verbatim; V is the single mirrored
+    * double at the end.
+    */
+  val qCramersV = GateQuery.sql(
+    "q_cramers_v",
+    s"""WITH o AS (SELECT user_id % 8 AS g, event_type AS t, count(*) AS o
+       |  FROM $E e GROUP BY 1, 2),
+       |m AS (SELECT g, t, o,
+       |    sum(o) OVER (PARTITION BY g) AS r,
+       |    sum(o) OVER (PARTITION BY t) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM o),
+       |s AS (SELECT any_value(n) AS n,
+       |    count(DISTINCT g) AS ng, count(DISTINCT t) AS nt,
+       |    CAST(sum(${floorDivBigSql("CAST(o AS HUGEINT) * o * 1000000000000", "CAST(r AS HUGEINT) * c")}) AS HUGEINT) AS u
+       |  FROM m),
+       |x AS (SELECT CAST(n AS BIGINT) AS n,
+       |    least(ng - 1, nt - 1) AS mindof,
+       |    CAST(${floorDivBigSql("greatest(CAST(n AS HUGEINT) * u - CAST(n AS HUGEINT) * 1000000000000, 0)", "1000000")} AS BIGINT)
+       |      AS chi2_micro
+       |  FROM s)
+       |SELECT n, CAST(mindof AS BIGINT) AS mindof, chi2_micro,
+       |  CASE WHEN mindof > 0 THEN
+       |    round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0 / (CAST(n AS DOUBLE) * mindof)), 6) + 0.0
+       |  END AS cramers_v
+       |FROM x""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val o = e.groupBy(pmod(col("user_id"), lit(8L)).as("g"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("o"))
+    val m = o
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("g"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("t"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val st = m.agg(
+      first(col("n")).as("n"),
+      countDistinct(col("g")).as("ng"), countDistinct(col("t")).as("nt"),
+      sum(floorDivBig(col("o").cast("decimal(38,0)") * col("o") * lit(1000000000000L),
+        col("r").cast("decimal(38,0)") * col("c"))).cast("decimal(38,0)").as("u"))
+    val x = st.select(
+      col("n").cast("long").as("n"),
+      least(col("ng") - 1, col("nt") - 1).as("mindof"),
+      floorDivBig(
+        greatest(col("n").cast("decimal(38,0)") * col("u") -
+          col("n").cast("decimal(38,0)") * lit(1000000000000L),
+          lit(0L).cast("decimal(38,0)")),
+        lit(1000000L)).cast("long").as("chi2_micro"))
+    x.select(col("n"), col("mindof").cast("long").as("mindof"), col("chi2_micro"),
+      when(col("mindof") > 0,
+        round(sqrt(col("chi2_micro").cast("double") / lit(1000000.0) /
+          (col("n").cast("double") * col("mindof"))), 6) + lit(0.0)).as("cramers_v"))
+  }
+
+  /** Grubbs' outlier test (#261): per event type, the maximum
+    * studentized deviation G = max|x − x̄|/s and WHICH event attains
+    * it (Grubbs 1950) — the single-outlier audit feeding the despike
+    * operators. max|n·x − S| is an exact integer argmax (event_id tie
+    * pin via one rank window); G leaves as one mirrored closed form
+    * over exact sums.
+    */
+  val qGrubbs = GateQuery.sql(
+    "q_grubbs",
+    s"""WITH e AS (SELECT event_type, event_id, ${centsSql("vd")} AS x FROM $E t),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+       |  FROM e GROUP BY 1),
+       |dv AS (SELECT e.event_type, e.event_id, a.n, a.s, a.q,
+       |    abs(CAST(a.n AS HUGEINT) * e.x - a.s) AS dev,
+       |    row_number() OVER (PARTITION BY e.event_type
+       |      ORDER BY abs(CAST(a.n AS HUGEINT) * e.x - a.s) DESC, e.event_id) AS rk
+       |  FROM e JOIN a USING (event_type))
+       |SELECT event_type, n, event_id AS outlier_event_id,
+       |  CASE WHEN n > 1 AND n * q > CAST(s AS HUGEINT) * s THEN
+       |    round(CAST(dev AS DOUBLE) / (n * sqrt(
+       |      (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0))), 6) + 0.0
+       |  END AS g_stat
+       |FROM dv WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), col("event_id"), Exact.cents(col("vd")).as("x"))
+    val a = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("long").as("s"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("q"))
+    val dv = e.join(broadcast(a), "event_type")
+      .withColumn("dev", abs(col("n").cast("decimal(38,0)") * col("x") - col("s")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("dev").desc, col("event_id"))))
+      .filter(col("rk") === 1)
+    dv.select(col("event_type"), col("n"), col("event_id").as("outlier_event_id"),
+        when(col("n") > 1 &&
+            col("n").cast("decimal(38,0)") * col("q") > col("s").cast("decimal(38,0)") * col("s"),
+          round(col("dev").cast("double") / (col("n") * sqrt(
+            (col("q").cast("double") - col("s").cast("double") * col("s") / col("n"))
+              / (col("n") - lit(1.0)))), 6) + lit(0.0)).as("g_stat"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Holt–Winters additive seasonal smoothing (#262, rows+test):
+    * triple exponential smoothing of each event type's hourly totals
+    * with a 24-hour season ([[graft.operators.WindowOps.holtWinters]])
+    * summarized to the final state + one-step forecast — the
+    * seasonal upgrade of Holt (#191). The m-periodic exact-forecast
+    * closed form is pinned in AuditEdgeSpec.
+    */
+  val qHoltWinters = GateQuery.rowsOnly("q_holt_winters") { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+      .withColumn("gk", pmod(graft.operators.TextOps.baseHash(col("event_type")),
+        lit(1000000L)))
+    graft.operators.WindowOps.holtWinters(
+        g.select(col("gk"), col("grid").cast("double").as("x"),
+          col("y").cast("double").as("y")),
+        "gk", "x", "y", m = 24, alpha = 0.25, beta = 0.125, gamma = 0.25)
+      .groupBy(col("gk"))
+      .agg(count(lit(1)).as("n_points"),
+        round(max_by(col("level"), col("x")), 4).as("last_level"),
+        round(max_by(col("trend"), col("x")), 4).as("last_trend"),
+        round(max_by(col("forecast"), col("x")), 4).as("next_forecast"))
+      .orderedSmall(col("gk"))
+  }
+
+  /** K-core decomposition (#263, rows+test): sizes of the 2- and
+    * 3-cores of the part-co-occurrence graph
+    * ([[graft.operators.Graphs.kCore]] iterative peeling) — the
+    * cohesion audit next to the triangle gate. Fixpoint loops are
+    * the documented non-SQL family (recursive CTEs can't delete);
+    * the K4+pendant closed form is pinned in AuditEdgeSpec.
+    */
+  val qKcore = GateQuery.rowsOnly("q_kcore") { (s, d) =>
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val pairs = a.join(b, "ok").filter(col("u") < col("v")).select(col("u"), col("v"))
+    val edges = graft.operators.Graphs.canonicalEdges(pairs).persist()
+    val out = Seq(2, 3).map { k =>
+      val core = graft.operators.Graphs.kCore(edges, k)
+      val st = core.agg(count(lit(1)).cast("long").as("n_edges")).withColumn("k", lit(k))
+      val nNodes = graft.operators.Graphs.degrees(core)
+        .agg(count(lit(1)).cast("long").as("n_nodes")).withColumn("k", lit(k))
+      val row = st.join(nNodes, "k").select(col("k").cast("long"), col("n_nodes"), col("n_edges"))
+        .cache()
+      row.count() // force while the per-k peeled relation is cached
+      core.unpersist()
+      row
+    }.reduce(_.unionAll(_))
+    val mat = out.cache()
+    mat.count()
+    edges.unpersist()
+    mat.orderedSmall(col("k"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
-    qHurst, qKalman, qMmrRerank, qMarkovAttrib)
+    qHurst, qKalman, qMmrRerank, qMarkovAttrib,
+    qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore)
 }

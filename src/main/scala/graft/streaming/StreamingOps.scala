@@ -521,6 +521,43 @@ object StreamingOps {
       }
   }
 
+  final case class KPoint(user: Long, ts: java.sql.Timestamp, y: Double)
+  final case class KState(l: Double, p: Double, seen: Boolean)
+  final case class KEst(user: Long, ts: java.sql.Timestamp, y: Double,
+                        level: Double, gain: Double)
+
+  /** Streaming local-level Kalman monitor — the live counterpart of
+    * the `q_kalman` gate ([[graft.operators.WindowOps.kalman]]):
+    * identical predict/gain/update recursion, so batch and stream
+    * agree reading-for-reading (asserted in StreamingSpec across
+    * micro-batch splits). State per scan is (level, variance) — two
+    * doubles, O(1) regardless of stream length; within-batch order
+    * pinned by (ts, y) like every stateful operator here.
+    */
+  def kalmanStream(points: Dataset[KPoint], q: Double, r: Double): Dataset[KEst] = {
+    require(q >= 0 && r > 0, s"bad noise parameters: q=$q r=$r")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[KState, KEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[KPoint], state: GroupState[KState]) =>
+          var st = state.getOption.getOrElse(KState(0.0, 0.0, seen = false))
+          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.y)).map { pt =>
+            var k = 1.0
+            if (!st.seen) st = KState(pt.y, r, seen = true)
+            else {
+              val pPred = st.p + q
+              k = pPred / (pPred + r)
+              st = KState(st.l + k * (pt.y - st.l), (1 - k) * pPred, seen = true)
+            }
+            KEst(user, pt.ts, pt.y, st.l, k)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class TouchEvt(user: Long, ts: java.sql.Timestamp, eventId: Long,
                             eventType: String, cents: Long)
   final case class TouchState(tsUs: Long, eventId: Long, eventType: String)

@@ -202,6 +202,44 @@ class AuditEdgeSpec extends SparkSpec {
     assert(!trans.contains(("CONV", "click")), "post-conversion events must be dropped")
   }
 
+  test("holt-winters: exactly periodic zero-trend series forecasts itself") {
+    val season = Seq(10.0, 50.0, 20.0, 80.0)
+    val ys = season ++ season ++ season // 3 full seasons, m = 4
+    val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toDouble, y) }
+      .toDF("g", "x", "y")
+    val out = graft.operators.WindowOps.holtWinters(df, "g", "x", "y",
+        m = 4, alpha = 0.3, beta = 0.2, gamma = 0.4)
+      .orderBy("x").collect()
+    // rows start at t = m; forecast at t predicts y_{t+1} exactly
+    assert(out.length === ys.length - 4)
+    out.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+      val predicted = r.getAs[Double]("forecast")
+      val actual = ys(4 + i + 1)
+      assert(math.abs(predicted - actual) < 1e-9, s"t=${4 + i}: $predicted != $actual")
+      assert(math.abs(r.getAs[Double]("trend")) < 1e-9)
+    }
+  }
+
+  test("holt-winters: series shorter than two seasons yields no rows") {
+    val df = (0 until 7).map(i => (1L, i.toDouble, i * 1.0)).toDF("g", "x", "y")
+    assert(graft.operators.WindowOps.holtWinters(df, "g", "x", "y",
+      m = 4, alpha = 0.3, beta = 0.2, gamma = 0.4).count() === 0)
+  }
+
+  test("k-core: pendant and tail peel away, K4 survives the 3-core") {
+    // K4 on {1,2,3,4} + path 4–5–6: 2-core drops the path tail,
+    // 3-core = exactly K4. Peeling must cascade (6 falls, then 5).
+    val g = Graphs.canonicalEdges(edges(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)))
+    val core2 = Graphs.kCore(g, 2)
+    assert(core2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val core3 = Graphs.kCore(g, 3)
+    assert(core3.count() === 6L) // K4's edges
+    assert(Graphs.kCore(g, 4).count() === 0L) // K4 has max degree 3
+  }
+
   test("jarque-bera: constant series is degenerate → NULL") {
     val dir = eventsDir(Seq(
       (0L, 0L, "click", 5.00), (1L, 1L, "click", 5.00), (2L, 2L, "click", 5.00)))

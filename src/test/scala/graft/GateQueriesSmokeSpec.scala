@@ -48,7 +48,9 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_negative_sampling", // (total weight) single-row scalar
     "q_quantile_norm", // pooled-grid × bounded source list (same as q_w1_drift)
     "q_label_prop", // (n_communities) single-row scalar
-    "q_mmr_rerank") // brute-force pool scoring (same as q_knn_bruteforce)
+    "q_mmr_rerank", // brute-force pool scoring (same as q_knn_bruteforce)
+    "q_assoc_rules", // (n_orders) corpus-total single-row scalar
+    "q_kcore") // per-k (n_edges)⋈(n_nodes) 1-row summary join
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

@@ -467,6 +467,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming kalman matches the batch recursion across batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{KEst, KPoint}
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val est = StreamingOps.kalmanStream(
+      input.toDF().toDF("ts", "user", "y")
+        .select(col("user"), col("ts"), col("y")).as[KPoint],
+      q = 25.0, r = 400.0)
+    val q = est.writeStream.format("memory").queryName("kest")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val ys = Seq(10.0, 30.0, 20.0, 80.0, 40.0, 35.0)
+      input.addData(ys.take(3).zipWithIndex.map { case (y, i) => (ts(i * 10), 1L, y) }: _*)
+      q.processAllAvailable()
+      input.addData(ys.drop(3).zipWithIndex.map { case (y, i) => (ts((i + 3) * 10), 1L, y) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("kest").as[KEst].collect().sortBy(_.ts.getTime)
+      // batch reference through the identical recursion
+      val batch = {
+        val df = ys.zipWithIndex.map { case (y, i) => (1L, i.toDouble, y) }
+          .toDF("g", "x", "y")
+        graft.operators.WindowOps.kalman(df, "g", "x", "y", q = 25.0, r = 400.0)
+          .orderBy("x").select("level").as[Double].collect()
+      }
+      assert(rows.length === ys.length)
+      rows.map(_.level).zip(batch).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"stream $a != batch $b")
+      }
+    } finally q.stop()
+  }
+
   test("streaming ohlc finalizes a bar matching the batch struct-ordered semantics") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, Long)] // ts, user, tie, cents
