@@ -104,6 +104,82 @@ object Markov {
     else a(idx(Start))(m) / a(idx(Start))(idx(Start))
   }
 
+  /** Per-journey channel coalitions: one row per user with the
+    * SORTED DISTINCT set of non-conversion channels touched before
+    * the first `convType` event (same truncation as [[transitions]])
+    * and whether the journey converted. Aggregated to
+    * (set_key, n_journeys, n_conv) — bounded by 2^channels rows,
+    * never user count.
+    */
+  def coalitions(events: DataFrame, user: Column, t: Column, tie: Column,
+                 etype: Column, convType: String): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("tie"))
+    val pre = events.select(user.as("u"), t.as("t"), tie.as("tie"), etype.as("ty"))
+      .withColumn("prior_conv",
+        count(when(col("ty") === convType, 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prior_conv") === 0)
+    pre.groupBy(col("u")).agg(
+        concat_ws(",", array_sort(collect_set(
+          when(col("ty") =!= convType, col("ty"))))).as("set_key"),
+        max(when(col("ty") === convType, 1).otherwise(0)).as("conv"))
+      .groupBy(col("set_key"))
+      .agg(count(lit(1)).as("n_journeys"),
+        sum(col("conv")).cast("long").as("n_conv"))
+  }
+
+  /** Shapley-value attribution (Shapley 1953; the simplified
+    * journey-coalition form of Zhao et al. 2018, "Shapley Value
+    * Methods for Attribution Modeling") — the OTHER industry-standard
+    * multi-touch model next to the Markov removal effect. The
+    * characteristic function v(S) = conversion rate over journeys
+    * whose touched-channel set ⊆ S (v(∅) = 0 when unobserved), and
+    *
+    *   φ_c = Σ_{S ⊆ C∖{c}} |S|!·(|C|−|S|−1)!/|C|! · (v(S∪{c}) − v(S))
+    *
+    * computed exactly on the driver over the BOUNDED coalition table
+    * (2^channels rows — model state, the [[removalEffects]]
+    * discipline). Efficiency (Σφ = v(C)) is structural and
+    * spec-pinned. Returns (channel, phi_micro, share_ppm) with
+    * share over the positive credits.
+    */
+  def shapley(coal: DataFrame): DataFrame = {
+    val spark = coal.sparkSession
+    import spark.implicits._
+    val rows = coal.select(col("set_key"), col("n_journeys").cast("long"),
+        col("n_conv").cast("long"))
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1), r.getLong(2)))
+    val channels = rows.flatMap(_._1.split(",")).filter(_.nonEmpty).distinct.sorted
+    val byKey = rows.map { case (k, n, c) =>
+      k.split(",").filter(_.nonEmpty).toSet -> ((n, c))
+    }.toMap
+    val nC = channels.length
+    require(nC <= 20, s"Shapley over $nC channels needs 2^$nC coalitions — " +
+      "bucket the channel vocabulary first")
+    def v(s: Set[String]): Double = {
+      val (n, c) = byKey.foldLeft((0L, 0L)) { case ((an, ac), (k, (n0, c0))) =>
+        if (k.subsetOf(s)) (an + n0, ac + c0) else (an, ac)
+      }
+      if (n == 0) 0.0 else c.toDouble / n
+    }
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val allSubsets = channels.toSet.subsets().toSeq
+    val phi = channels.map { c =>
+      val others = allSubsets.filter(!_.contains(c))
+      val credit = others.map { s =>
+        val wgt = fact(s.size) * fact(nC - s.size - 1) / fact(nC)
+        wgt * (v(s + c) - v(s))
+      }.sum
+      (c, credit)
+    }
+    val posSum = phi.map(p => math.max(0.0, p._2)).sum
+    phi.map { case (c, p) =>
+      (c, math.floor(p * 1e6).toLong,
+        if (posSum > 0) math.floor(math.max(0.0, p) / posSum * 1e6).toLong else 0L)
+    }.toSeq.toDF("channel", "phi_micro", "share_ppm")
+  }
+
   /** Removal-effect attribution from a transition-count relation.
     * Collects the BOUNDED matrix, solves the base chain and one
     * removed-channel chain per channel on the driver, and returns a

@@ -868,8 +868,192 @@ object AuditQueries {
     mat.orderedSmall(col("k"))
   }
 
+  /** Seasonal strength (#265): per event type, the share of hourly
+    * variance explained by the hour-of-day seasonal means —
+    * Hyndman's F_s = SSB/SST over the hod grouping, i.e. one-way
+    * ANOVA of the hourly series on hour-of-day (the QUANTIFIER for
+    * what #223's decomposition shows and the model-selection gate
+    * for Holt–Winters #262). #211's exact micro-integer
+    * decomposition reused verbatim on the (type, hod) grouping;
+    * strength leaves as an exact ppm floor division.
+    */
+  val qSeasonalStrength = GateQuery.sql(
+    "q_seasonal_strength",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |h AS (SELECT event_type, grid % 24 AS hod, count(*) AS n_h,
+       |    CAST(sum(y) AS BIGINT) AS s_h,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q_h
+       |  FROM g GROUP BY 1, 2),
+       |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n_h) AS BIGINT) AS n, CAST(sum(q_h) AS HUGEINT) AS q,
+       |    CAST(sum(s_h) AS HUGEINT) AS s,
+       |    CAST(sum((CAST(s_h AS HUGEINT) * s_h * 1000000) // n_h) AS HUGEINT) AS a_scaled
+       |  FROM h GROUP BY 1),
+       |f AS (SELECT event_type, k, n,
+       |    greatest(a_scaled - (s * s * 1000000) // n, 0) AS ssb_micro,
+       |    q * 1000000 - (s * s * 1000000) // n AS sst_micro
+       |  FROM t)
+       |SELECT event_type, n AS n_hours, k AS n_hods,
+       |  CASE WHEN sst_micro > 0
+       |    THEN CAST((ssb_micro * 1000000) // sst_micro AS BIGINT) END AS strength_ppm
+       |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val h = g.groupBy(col("event_type"), pmod(col("grid"), lit(24L)).as("hod"))
+      .agg(count(lit(1)).as("n_h"), sum(col("y")).cast("long").as("s_h"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("q_h"))
+    val t = h.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("k"), sum(col("n_h")).cast("long").as("n"),
+      sum(col("q_h")).cast("decimal(38,0)").as("q"),
+      sum(col("s_h")).cast("decimal(38,0)").as("s"),
+      sum(floorDivBig(col("s_h").cast("decimal(38,0)") * col("s_h") * lit(1000000L),
+        col("n_h"))).cast("decimal(38,0)").as("a_scaled"))
+    val f = t.select(col("event_type"), col("k"), col("n"),
+      greatest(col("a_scaled") - floorDivBig(col("s") * col("s") * lit(1000000L), col("n")),
+        lit(0L).cast("decimal(38,0)")).as("ssb_micro"),
+      (col("q") * lit(1000000L) -
+        floorDivBig(col("s") * col("s") * lit(1000000L), col("n"))).as("sst_micro"))
+    f.select(col("event_type"), col("n").as("n_hours"), col("k").as("n_hods"),
+        when(col("sst_micro") > 0,
+          floorDivBig(col("ssb_micro") * lit(1000000L), col("sst_micro")).cast("long"))
+          .as("strength_ppm"))
+      .orderedSmall(col("event_type"))
+  }
+
+  private val CcfLags = -3 to 3
+
+  /** Cross-correlation function (#266): r_xy(k) between the 'click'
+    * and 'view' hourly series at lags −3..+3 — the lead/lag
+    * diagnostic ACF (#181) cannot see (does one stream FORESHADOW
+    * the other?). Full-series deviations n·y − S stay exact via the
+    * per-series 1-row stats broadcast; each lag is one grid-shifted
+    * equi-join of the two BOUNDED hourly relations; the denominator
+    * is the full-series product (textbook CCF), so r leaves as one
+    * mirrored double per lag row.
+    */
+  val qCcf = GateQuery.sql(
+    "q_ccf", {
+      val lagSelects = CcfLags.map { k =>
+        s"""SELECT $k AS lag, count(*) AS n_overlap,
+           |  CAST(sum((CAST(sx.n AS HUGEINT) * x.y - sx.s)
+           |    * (CAST(sy.n AS HUGEINT) * y.y - sy.s)) AS HUGEINT) AS num
+           |FROM x JOIN y ON y.grid = x.grid + $k, sx, sy""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+         |x AS (SELECT grid, y FROM g WHERE event_type = 'click'),
+         |y AS (SELECT grid, y FROM g WHERE event_type = 'view'),
+         |sx0 AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM x),
+         |sx AS (SELECT n, s,
+         |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) AS HUGEINT) AS d2
+         |  FROM x, sx0 GROUP BY n, s),
+         |sy0 AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s FROM y),
+         |sy AS (SELECT n, s,
+         |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) AS HUGEINT) AS d2
+         |  FROM y, sy0 GROUP BY n, s),
+         |l AS ($lagSelects)
+         |SELECT l.lag, l.n_overlap,
+         |  CASE WHEN sx.d2 > 0 AND sy.d2 > 0 THEN
+         |    round(CAST(l.num AS DOUBLE)
+         |      / (sqrt(CAST(sx.d2 AS DOUBLE)) * sqrt(CAST(sy.d2 AS DOUBLE))), 6) + 0.0
+         |  END AS r
+         |FROM l, sx, sy ORDER BY l.lag""".stripMargin
+    }) { (s, d) =>
+    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+      .persist() // both series and both stats read it; harness-freed
+    def series(t: String) = g.filter(col("event_type") === t).select(col("grid"), col("y"))
+    def stats(df: DataFrame): DataFrame = {
+      val base = df.agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("s"))
+      df.crossJoin(broadcast(base))
+        .agg(first(col("n")).as("n"), first(col("s")).as("s"),
+          sum((col("n").cast("decimal(38,0)") * col("y") - col("s")) *
+            (col("n").cast("decimal(38,0)") * col("y") - col("s")))
+            .cast("decimal(38,0)").as("d2"))
+    }
+    val x = series("click")
+    val y = series("view")
+    val sx = broadcast(stats(x).select(col("n").as("nx"), col("s").as("sxs"), col("d2").as("dx2")))
+    val sy = broadcast(stats(y).select(col("n").as("ny"), col("s").as("sys"), col("d2").as("dy2")))
+    val lagRows = CcfLags.map { k =>
+      x.select(col("grid"), col("y").as("xv"))
+        .join(y.select((col("grid") - k).as("grid"), col("y").as("yv")), "grid")
+        .crossJoin(sx).crossJoin(sy)
+        .agg(count(lit(1)).as("n_overlap"),
+          first(col("dx2")).as("dx2"), first(col("dy2")).as("dy2"),
+          sum((col("nx").cast("decimal(38,0)") * col("xv") - col("sxs")) *
+            (col("ny").cast("decimal(38,0)") * col("yv") - col("sys")))
+            .cast("decimal(38,0)").as("num"))
+        .select(lit(k.toLong).as("lag"), col("n_overlap"),
+          when(col("dx2") > 0 && col("dy2") > 0,
+            round(col("num").cast("double") /
+              (sqrt(col("dx2").cast("double")) * sqrt(col("dy2").cast("double"))), 6)
+              + lit(0.0)).as("r"))
+    }
+    lagRows.reduce(_.unionAll(_)).orderedSmall(col("lag"))
+  }
+
+  /** ε for the DP release gate: 0.5 (scale b = 2). */
+  private val DpEps = 0.5
+
+  /** Differentially-private count release (#267): per event type,
+    * the true count plus Laplace(1/ε) noise — the Dwork et al. 2006
+    * mechanism as a PIPELINE operator (privacy-preserving statistics
+    * release over user data). The "noise" is deterministic and
+    * engine-portable like every random draw here: u = portable hash
+    * ppm, X = −b·sgn(u−½)·ln(1−2|u−½|) (inverse CDF), micro-floored
+    * — so the gate hash-matches while exercising the real mechanism
+    * shape. Sensitivity 1 (one event per count); ε = 0.5.
+    */
+  val qDpCounts = GateQuery.sql(
+    "q_dp_counts", {
+      val b = 1.0 / DpEps
+      val u = "((" + graft.operators.TextOps.baseHashSql("'dp:' || event_type") +
+        " % 1000000) + 0.5) / 1000000.0 - 0.5"
+      s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM $E e GROUP BY 1),
+         |x AS (SELECT event_type, n, $u AS v FROM c)
+         |SELECT event_type, n AS true_count,
+         |  CAST(floor(-$b * sign(v) * ln(1 - 2 * abs(v)) * 1000000) AS BIGINT) AS noise_micro,
+         |  n * 1000000
+         |    + CAST(floor(-$b * sign(v) * ln(1 - 2 * abs(v)) * 1000000) AS BIGINT) AS released_micro
+         |FROM x ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val b = 1.0 / DpEps
+    val c = ev(s, d).groupBy(col("event_type")).agg(count(lit(1)).cast("long").as("n"))
+    val v = ((graft.operators.TextOps.baseHash(concat(lit("dp:"), col("event_type")))
+      % lit(1000000L)) + lit(0.5)) / lit(1000000.0) - lit(0.5)
+    val noise = floor(lit(-b) * signum(v) * log(lit(1) - lit(2) * abs(v)) * lit(1000000))
+      .cast("long")
+    c.select(col("event_type"), col("n").as("true_count"),
+        noise.as("noise_micro"),
+        (col("n") * lit(1000000L) + noise).as("released_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Shapley-value attribution (#268, rows+test): journey channel
+    * coalitions → exact driver Shapley over the bounded coalition
+    * table ([[graft.operators.Markov.shapley]]) — the other
+    * industry-standard multi-touch model next to the Markov removal
+    * effect (#257). Efficiency and the 2-channel closed form are
+    * pinned in AuditEdgeSpec.
+    */
+  val qShapleyAttrib = GateQuery.rowsOnly("q_shapley_attrib") { (s, d) =>
+    val e = ev(s, d)
+    val coal = graft.operators.Markov.coalitions(e,
+      col("user_id"), col("ts_us"), col("event_id"), col("event_type"), "purchase")
+    graft.operators.Markov.shapley(coal)
+      .orderedSmall(col("channel"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
-    qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore)
+    qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
+    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib)
 }

@@ -1597,7 +1597,10 @@ object StatsQueries {
         .agg(min(struct((-col("cnt")).as("negc"), col("nl").as("lbl")))
           .getField("lbl").as("lbl"))
     }
+    // persist the community-sized result: BOTH consumers (top-20 and
+    // the n_communities scalar) otherwise re-run all 3 LPA rounds
     val g = lbl.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("n_members"))
+      .persist() // freed by the harness post-action
     Curation.withStats(g, g.agg(count(lit(1)).as("n_communities")))
       .orderBy(col("n_members").desc, col("community")).limit(20)
       .select(col("community"), col("n_members"), col("n_communities"))

@@ -240,6 +240,37 @@ class AuditEdgeSpec extends SparkSpec {
     assert(Graphs.kCore(g, 4).count() === 0L) // K4 has max degree 3
   }
 
+  test("shapley: two-channel closed form (phi_A = 0.75, phi_B = -0.25)") {
+    // journeys: {A}→conv, {B}→no conv, {A,B}... absent.
+    // v({A})=1, v({B})=0, v({A,B})=1/2 (both journeys ⊆), v(∅)=0.
+    // φ_A = ½(1−0) + ½(½−0) = 0.75; φ_B = ½(0−0) + ½(½−1) = −0.25.
+    val coal = Seq(("A", 1L, 1L), ("B", 1L, 0L))
+      .toDF("set_key", "n_journeys", "n_conv")
+    val out = graft.operators.Markov.shapley(coal).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("phi_micro") === 750000L)
+    assert(out("B").getAs[Long]("phi_micro") === -250000L)
+    // efficiency: Σφ = v(C) = 1/2
+    assert(out("A").getAs[Long]("phi_micro") + out("B").getAs[Long]("phi_micro")
+      === 500000L)
+    assert(out("A").getAs[Long]("share_ppm") === 1000000L)
+    assert(out("B").getAs[Long]("share_ppm") === 0L)
+  }
+
+  test("coalitions: channel sets truncate at first conversion, dedupe and sort") {
+    val e = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"), (1L, 4L, "purchase"),
+      (1L, 5L, "error"), // after conversion — must not enter the set
+      (2L, 1L, "error"))
+      .toDF("user_id", "ts_us", "event_type")
+      .withColumn("event_id", col("ts_us"))
+    val out = graft.operators.Markov.coalitions(e,
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"), "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("click,view") === ((1L, 1L)))
+    assert(out("error") === ((1L, 0L)))
+  }
+
   test("jarque-bera: constant series is degenerate → NULL") {
     val dir = eventsDir(Seq(
       (0L, 0L, "click", 5.00), (1L, 1L, "click", 5.00), (2L, 2L, "click", 5.00)))
