@@ -1051,9 +1051,159 @@ object AuditQueries {
       .orderedSmall(col("channel"))
   }
 
+  /** Week-1/week-2 split for the DiD design (same as [[qMcnemar]]). */
+  private val DidSplit = 604800L
+
+  /** Difference-in-differences (#269): the 2×2 causal-inference
+    * workhorse — treated (user_id even) vs control, pre vs post
+    * week: DiD = (T_post − T_pre) − (C_post − C_pre) with the
+    * interaction t-statistic from the pooled within-cell variance
+    * (the OLS-with-interaction closed form; Card & Krueger 1994
+    * shape). All four cells accumulate (n, S, Q) exact integers in
+    * ONE conditional aggregate; DiD and t are mirrored doubles over
+    * exact inputs.
+    */
+  val qDid = GateQuery.sql(
+    "q_did",
+    s"""WITH e AS (SELECT user_id % 2 AS treat,
+       |    CASE WHEN xs >= $DidSplit THEN 1 ELSE 0 END AS post,
+       |    ${centsSql("vd")} AS c
+       |  FROM $E t),
+       |a AS (SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+       |  FROM e GROUP BY 1, 2),
+       |w AS (SELECT
+       |    max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_tp,
+       |    max(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s_tp,
+       |    max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_t0,
+       |    max(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s_t0,
+       |    max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_cp,
+       |    max(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s_cp,
+       |    max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_c0,
+       |    max(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s_c0,
+       |    CAST(sum(q) AS HUGEINT) AS qq, CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS HUGEINT) AS a_scaled
+       |  FROM a),
+       |f AS (SELECT n_tp, n_t0, n_cp, n_c0,
+       |    (CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) / n_t0)
+       |      - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) / n_c0) AS did,
+       |    CAST(qq * 1000000 - a_scaled AS DOUBLE) / 1000000.0 / (nn - 4) AS s2,
+       |    1.0 / n_tp + 1.0 / n_t0 + 1.0 / n_cp + 1.0 / n_c0 AS invn
+       |  FROM w)
+       |SELECT n_tp, n_t0, n_cp, n_c0,
+       |  round(did, 4) + 0.0 AS did_cents,
+       |  CASE WHEN s2 > 0 THEN round(did / sqrt(s2 * invn), 4) + 0.0 END AS t_stat
+       |FROM f""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(
+      pmod(col("user_id"), lit(2L)).as("treat"),
+      when(col("xs") >= DidSplit, 1).otherwise(0).as("post"),
+      Exact.cents(col("vd")).as("c"))
+    val a = e.groupBy(col("treat"), col("post")).agg(
+      count(lit(1)).cast("long").as("n"), sum(col("c")).cast("long").as("s"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("treat") === t && col("post") === p, col(c)))
+    val w = a.agg(
+      cell(0, 1, "n").as("n_tp"), cell(0, 1, "s").as("s_tp"),
+      cell(0, 0, "n").as("n_t0"), cell(0, 0, "s").as("s_t0"),
+      cell(1, 1, "n").as("n_cp"), cell(1, 1, "s").as("s_cp"),
+      cell(1, 0, "n").as("n_c0"), cell(1, 0, "s").as("s_c0"),
+      sum(col("q")).cast("decimal(38,0)").as("qq"), sum(col("n")).cast("long").as("nn"),
+      sum(floorDivBig(col("s").cast("decimal(38,0)") * col("s") * lit(1000000L),
+        col("n"))).cast("decimal(38,0)").as("a_scaled"))
+    val did = (col("s_tp").cast("double") / col("n_tp")
+        - col("s_t0").cast("double") / col("n_t0")) -
+      (col("s_cp").cast("double") / col("n_cp")
+        - col("s_c0").cast("double") / col("n_c0"))
+    val s2 = (col("qq") * lit(1000000L) - col("a_scaled")).cast("double") /
+      lit(1000000.0) / (col("nn") - 4)
+    val invn = lit(1.0) / col("n_tp") + lit(1.0) / col("n_t0") +
+      lit(1.0) / col("n_cp") + lit(1.0) / col("n_c0")
+    w.select(col("n_tp"), col("n_t0"), col("n_cp"), col("n_c0"),
+      (round(did, 4) + lit(0.0)).as("did_cents"),
+      when(s2 > 0, round(did / sqrt(s2 * invn), 4) + lit(0.0)).as("t_stat"))
+  }
+
+  /** SPRT design constants, computed once in the driver with libm
+    * and inlined as integer literals on BOTH engines (the
+    * poissonCdfPpm discipline): micro-nat LLR increments for
+    * conversion-rate H0 p=0.05 vs H1 p=0.08, thresholds for
+    * α = β = 0.05.
+    */
+  private val SprtP0 = 0.05
+  private val SprtP1 = 0.08
+  private val SprtIncPos = math.floor(math.log(SprtP1 / SprtP0) * 1e6).toLong
+  private val SprtIncNeg = math.floor(math.log((1 - SprtP1) / (1 - SprtP0)) * 1e6).toLong
+  private val SprtA = math.floor(math.log(0.95 / 0.05) * 1e6).toLong
+  private val SprtB = math.floor(math.log(0.05 / 0.95) * 1e6).toLong
+
+  /** Sequential probability ratio test (#270, Wald 1945): per user
+    * cohort, walk the conversion-rate log-likelihood ratio event by
+    * event (purchase = hit) until it crosses ln((1−β)/α) (accept H1)
+    * or ln(β/(1−α)) (accept H0) — THE always-valid sequential test
+    * a live experiment runs instead of a fixed-horizon t-test. LLR
+    * increments are driver-inlined micro-nat literals, the walk is
+    * one cumulative window of exact integers, and the first-crossing
+    * decision is a min(when) aggregate — all order-pinned by
+    * (ts, event_id).
+    */
+  val qSprt = GateQuery.sql(
+    "q_sprt",
+    s"""WITH e AS (SELECT user_id % 8 AS g, ts_us, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN $SprtIncPos
+       |      ELSE $SprtIncNeg END AS inc
+       |  FROM $E t),
+       |c AS (SELECT g, inc,
+       |    sum(inc) OVER (PARTITION BY g ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+       |    row_number() OVER (PARTITION BY g ORDER BY ts_us, event_id) AS i,
+       |    count(*) OVER (PARTITION BY g) AS n_g
+       |  FROM e),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(min(CASE WHEN llr >= $SprtA THEN i END) AS BIGINT) AS first_h1,
+       |    CAST(min(CASE WHEN llr <= $SprtB THEN i END) AS BIGINT) AS first_h0,
+       |    CAST(max(CASE WHEN i = n_g THEN llr END) AS BIGINT) AS final_llr
+       |  FROM c GROUP BY g)
+       |SELECT g, n_events, final_llr,
+       |  CASE
+       |    WHEN first_h1 IS NOT NULL AND (first_h0 IS NULL OR first_h1 < first_h0)
+       |      THEN 'accept_h1'
+       |    WHEN first_h0 IS NOT NULL THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision,
+       |  CASE
+       |    WHEN first_h1 IS NOT NULL AND (first_h0 IS NULL OR first_h1 < first_h0)
+       |      THEN first_h1
+       |    WHEN first_h0 IS NOT NULL THEN first_h0 END AS decided_at
+       |FROM a ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(pmod(col("user_id"), lit(8L)).as("g"),
+      col("ts_us"), col("event_id"),
+      when(col("event_type") === "purchase", SprtIncPos).otherwise(SprtIncNeg).as("inc"))
+    val wo = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
+    val c = e
+      .withColumn("llr", sum(col("inc")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(wo))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val a = c.groupBy(col("g")).agg(
+      count(lit(1)).cast("long").as("n_events"),
+      min(when(col("llr") >= SprtA, col("i"))).cast("long").as("first_h1"),
+      min(when(col("llr") <= SprtB, col("i"))).cast("long").as("first_h0"),
+      max(when(col("i") === col("n_g"), col("llr"))).cast("long").as("final_llr"))
+    val h1First = col("first_h1").isNotNull &&
+      (col("first_h0").isNull || col("first_h1") < col("first_h0"))
+    a.select(col("g"), col("n_events"), col("final_llr"),
+        when(h1First, lit("accept_h1"))
+          .when(col("first_h0").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        when(h1First, col("first_h1"))
+          .when(col("first_h0").isNotNull, col("first_h0")).as("decided_at"))
+      .orderedSmall(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
-    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib)
+    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt)
 }

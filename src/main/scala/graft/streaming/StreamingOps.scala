@@ -521,6 +521,57 @@ object StreamingOps {
       }
   }
 
+  /** Streaming distribution-drift monitor: per event-time window,
+    * the Jensen–Shannon divergence of the window's hashed-token
+    * distribution against a FIXED reference distribution (trained
+    * offline — e.g. the accepted corpus slice) — the live "has the
+    * feed's language shifted" alarm next to the quality filter.
+    * Tokens hash into `buckets` (bounded state per window regardless
+    * of vocabulary); the reference rides as `buckets` inlined
+    * literal probabilities in ppm; JSD is a stateless final
+    * projection over the windowed counts. Watermarked windowed
+    * aggregate — Append mode, O(buckets) per open window.
+    *
+    * @param refPpm reference probability per bucket in ppm (length =
+    *               buckets; zeros allowed — smoothing: both sides
+    *               get +1 on counts)
+    * @return (win_start, n_tokens, jsd_milli) — finalized windows
+    */
+  def driftStream(docs: DataFrame, timeCol: String, textCol: String,
+                  buckets: Int, refPpm: Array[Long],
+                  windowDur: String, watermark: String): DataFrame = {
+    require(refPpm.length == buckets, s"refPpm ${refPpm.length} != buckets $buckets")
+    val tok = docs
+      .withWatermark(timeCol, watermark)
+      .select(col(timeCol),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("w"))
+      .select(col(timeCol),
+        pmod(graft.operators.TextOps.baseHash(col("w")), lit(buckets.toLong)).as("b"))
+    val counts = tok
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(count(lit(1)).as("n"),
+        (0 until buckets).map(i =>
+          count(when(col("b") === i, 1)).as(s"c$i")): _*)
+    // JSD over smoothed distributions, stateless per finalized window.
+    // BOTH sides get the SAME +1-per-bucket Laplace smoothing at the
+    // window's sample size — p_i = (c_i + 1)/(n + B), q_i =
+    // (ref_i·n + 1)/(n + B) — so a window drawn exactly from the
+    // reference scores ~0 instead of paying a smoothing-asymmetry
+    // floor, and log args never hit zero.
+    val refTotal = math.max(1.0, refPpm.sum.toDouble)
+    def pTerm(i: Int): Column = (col(s"c$i") + lit(1.0)) / (col("n") + lit(buckets))
+    def qTerm(i: Int): Column =
+      (lit(refPpm(i) / refTotal) * col("n") + lit(1.0)) / (col("n") + lit(buckets))
+    val jsd = (0 until buckets).map { i =>
+      val p = pTerm(i)
+      val q = qTerm(i)
+      val m = (p + q) / lit(2.0)
+      (p * log(p / m) + q * log(q / m)) / lit(2.0)
+    }.reduce(_ + _)
+    counts.select(col("window.start").as("win_start"), col("n").as("n_tokens"),
+      round(jsd * lit(1000.0), 3).as("jsd_milli"))
+  }
+
   final case class KPoint(user: Long, ts: java.sql.Timestamp, y: Double)
   final case class KState(l: Double, p: Double, seen: Boolean)
   final case class KEst(user: Long, ts: java.sql.Timestamp, y: Double,

@@ -467,6 +467,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: on-reference windows score near 0, shifted ones alarm") {
+    implicit val ctx = spark.sqlContext
+    val buckets = 16
+    // reference = the uniform distribution over the 4 base words' buckets
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    val md = (w: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % buckets
+    }
+    val refPpm = Array.fill(buckets)(0L)
+    words.foreach(w => refPpm(md(w).toInt) += 250000L)
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.driftStream(input.toDF().toDF("ts", "text"),
+      "ts", "text", buckets, refPpm, "1 minute", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1: exactly the reference mix; window 2: disjoint vocabulary
+      input.addData((1 to 25).flatMap(i => words.map(w => (ts(i), w))): _*)
+      input.addData((1 to 100).map(i => (ts(120 + i % 30), s"drifted$i")): _*)
+      // a third window far ahead closes the first two past the watermark
+      input.addData((1 to 4).map(i => (ts(400 + i), "alpha")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("drift").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getDouble(2)).toMap
+      assert(rows.size >= 2)
+      val sorted = rows.toSeq.sortBy(_._1).map(_._2)
+      assert(sorted.head < 20.0, s"on-reference window jsd_milli ${sorted.head}")
+      assert(sorted(1) > 200.0, s"drifted window jsd_milli ${sorted(1)}")
+    } finally q.stop()
+  }
+
   test("streaming kalman matches the batch recursion across batch boundaries") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.StreamingOps.{KEst, KPoint}
