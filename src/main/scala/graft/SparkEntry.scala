@@ -10,7 +10,8 @@ object SparkEntry {
   def gateQueries: Seq[GateQuery] =
     CoreQueries.all ++ ScanQueries.all ++ TextQueries.all ++ EmbeddingQueries.all ++
       ExtendedQueries.all ++ CcdQueries.all ++ CurationQueries.all ++
-      AnalysisQueries.all ++ StatsQueries.all ++ EvalQueries.all ++ AuditQueries.all
+      AnalysisQueries.all ++ StatsQueries.all ++ EvalQueries.all ++ AuditQueries.all ++
+      OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

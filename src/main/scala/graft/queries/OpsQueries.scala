@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Binning, Exact}
+import graft.operators.Exact.centsSql
+
+/** Data-engineering / application-layer gates (SURVEY.md §2
+  * #272–#275): the audits and derived products a production pipeline
+  * runs NEXT TO its analytics — referential-integrity checks before a
+  * join is trusted, k-anonymity before a release (the companion of
+  * the DP gate #267), forecast-accuracy scoring for the smoothing
+  * family (#191/#262), and item-item collaborative filtering (the
+  * recommendation surface of the co-occurrence graph #247/#258).
+  *
+  * Exactness discipline per SURVEY.md §4: integer counts and cents
+  * everywhere; the only doubles are final similarity/ratio closed
+  * forms mirrored textually.
+  */
+object OpsQueries {
+
+  /** Shared DuckDB prep over events (mirror of [[ev]]). */
+  private val E: String =
+    """(SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |   (epoch_us(ts) // 1000000) - 1704067200 AS xs,
+      |   CAST(value AS DECIMAL(18,2)) AS vd, event_type
+      | FROM events)""".stripMargin
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      (expr("ts_us div 1000000") - lit(1704067200L)).as("xs"),
+      col("value").cast("decimal(18,2)").as("vd"),
+      col("event_type"))
+
+  private val CfTopItems = 10
+  private val CfTopK = 5
+
+  /** Item-item collaborative filtering (#272): for the 10 most
+    * popular parts, the top-5 "customers also bought" neighbors by
+    * co-occurrence cosine s_ab/√(s_a·s_b) (Sarwar et al. 2001 —
+    * THE deployed recommender shape; Amazon's item-to-item CF).
+    * Supports are the bounded per-order pair fan-out (#258's
+    * relation); the popular-item set is a 10-row broadcast; ranking
+    * is one window over its candidate slice. Similarities are
+    * identical doubles from exact integer supports, so ranks and
+    * values mirror.
+    */
+  val qItemCf = GateQuery.sql(
+    "q_item_cf",
+    s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s_ab FROM pr GROUP BY 1, 2),
+       |po AS (SELECT l_partkey AS p, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS s_p
+       |  FROM lineitem GROUP BY 1),
+       |top AS (SELECT p, s_p FROM po ORDER BY s_p DESC, p LIMIT $CfTopItems),
+       |cand AS (
+       |  SELECT u AS item, v AS neighbor, s_ab FROM sup
+       |  UNION ALL SELECT v AS item, u AS neighbor, s_ab FROM sup),
+       |sc AS (SELECT t.p AS item, c.neighbor, c.s_ab, t.s_p AS s_i, pn.s_p AS s_n,
+       |    round(CAST(c.s_ab AS DOUBLE) / (sqrt(CAST(t.s_p AS DOUBLE))
+       |      * sqrt(CAST(pn.s_p AS DOUBLE))), 6) + 0.0 AS sim
+       |  FROM top t JOIN cand c ON c.item = t.p JOIN po pn ON c.neighbor = pn.p),
+       |rk AS (SELECT item, neighbor, s_ab, sim,
+       |    row_number() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rnk
+       |  FROM sc)
+       |SELECT item, rnk, neighbor, s_ab AS co_orders, sim
+       |FROM rk WHERE rnk <= $CfTopK ORDER BY item, rnk""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val sup = a.join(b, "ok").filter(col("u") < col("v")).distinct()
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).cast("long").as("s_ab"))
+    val po = l.groupBy(col("l_partkey").as("p"))
+      .agg(countDistinct(col("l_orderkey")).cast("long").as("s_p"))
+    val top = broadcast(po.orderBy(col("s_p").desc, col("p")).limit(CfTopItems))
+    val cand = sup.select(col("u").as("item"), col("v").as("neighbor"), col("s_ab"))
+      .unionAll(sup.select(col("v").as("item"), col("u").as("neighbor"), col("s_ab")))
+    val sc = cand
+      .join(top.select(col("p").as("item"), col("s_p").as("s_i")), "item")
+      .join(po.select(col("p").as("neighbor"), col("s_p").as("s_n")), "neighbor")
+      .withColumn("sim",
+        round(col("s_ab").cast("double") /
+          (sqrt(col("s_i").cast("double")) * sqrt(col("s_n").cast("double"))), 6) + lit(0.0))
+    sc.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("item")).orderBy(col("sim").desc, col("neighbor"))))
+      .filter(col("rnk") <= CfTopK)
+      .select(col("item"), col("rnk").cast("long").as("rnk"), col("neighbor"),
+        col("s_ab").as("co_orders"), col("sim"))
+      .orderedSmall(col("item"), col("rnk"))
+  }
+
+  /** Forecast-accuracy scoring (#273): per event type over the hourly
+    * series, the MAE of the naive (lag-1) and seasonal-naive (lag-24)
+    * forecasts and MASE = MAE_snaive/MAE_naive (Hyndman & Koehler
+    * 2006 — the scale-free accuracy metric; < 1e6 ppm means
+    * seasonality beats persistence, the model-selection signal for
+    * #262). Absolute errors are exact integers off one ordered
+    * window; MAEs are HALF_UP integer ratios; MASE one exact ppm
+    * division.
+    */
+  val qForecastAcc = GateQuery.sql(
+    "q_forecast_acc",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |l AS (SELECT event_type, y,
+       |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY grid) AS y1,
+       |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY grid) AS y24
+       |  FROM g),
+       |a AS (SELECT event_type,
+       |    CAST(count(y1) AS BIGINT) AS n_naive,
+       |    CAST(sum(abs(y - y1)) AS BIGINT) AS e_naive,
+       |    CAST(count(y24) AS BIGINT) AS n_snaive,
+       |    CAST(sum(abs(y - y24)) AS BIGINT) AS e_snaive
+       |  FROM l GROUP BY 1)
+       |SELECT event_type, n_naive, n_snaive,
+       |  (2 * e_naive + n_naive) // (2 * n_naive) AS mae_naive_cents,
+       |  (2 * e_snaive + n_snaive) // (2 * n_snaive) AS mae_snaive_cents,
+       |  CASE WHEN e_naive > 0 AND n_snaive > 0
+       |    THEN (e_snaive * n_naive * 1000000) // (CAST(e_naive AS HUGEINT) * n_snaive)
+       |  END AS mase_ppm
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val lagged = g
+      .withColumn("y1", lag(col("y"), 1).over(wo))
+      .withColumn("y24", lag(col("y"), 24).over(wo))
+    val a = lagged.groupBy(col("event_type")).agg(
+      count(col("y1")).cast("long").as("n_naive"),
+      sum(abs(col("y") - col("y1"))).cast("long").as("e_naive"),
+      count(col("y24")).cast("long").as("n_snaive"),
+      sum(abs(col("y") - col("y24"))).cast("long").as("e_snaive"))
+    def meanHalfUp(s2: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      Binning.floorDivCol(lit(2L) * s2 + n, lit(2L) * n)
+    a.select(col("event_type"), col("n_naive"), col("n_snaive"),
+        meanHalfUp(col("e_naive"), col("n_naive")).as("mae_naive_cents"),
+        meanHalfUp(col("e_snaive"), col("n_snaive")).as("mae_snaive_cents"),
+        when(col("e_naive") > 0 && col("n_snaive") > 0,
+          Exact.floorDivBig(col("e_snaive").cast("decimal(38,0)") * col("n_naive") * lit(1000000L),
+            col("e_naive").cast("decimal(38,0)") * col("n_snaive")).cast("long"))
+          .as("mase_ppm"))
+      .orderedSmall(col("event_type"))
+  }
+
+  private val KAnonK = 5L
+
+  /** k-anonymity audit (#274, Sweeney 2002): are the quasi-identifier
+    * combinations (nation, market segment) safe to release? Groups
+    * smaller than k are re-identification risks — the check run
+    * BEFORE a data release, companion to the DP mechanism (#267).
+    * One group-by plus one conditional aggregate; output is a single
+    * exact-integer audit row.
+    */
+  val qKanon = GateQuery.sql(
+    "q_kanon",
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       |  CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       |  CAST(min(n) AS BIGINT) AS min_group_size
+       |FROM g""".stripMargin) { (s, d) =>
+    val g = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    g.agg(
+      count(lit(1)).cast("long").as("n_groups"),
+      sum(col("n")).cast("long").as("n_rows"),
+      sum(when(col("n") < KAnonK, 1L).otherwise(0L)).cast("long").as("n_risky_groups"),
+      sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).cast("long").as("n_rows_at_risk"),
+      min(col("n")).cast("long").as("min_group_size"))
+  }
+
+  /** Referential-integrity audit (#275): orphan counts across the
+    * star schema's foreign keys — lineitem→orders, lineitem→part,
+    * orders→customer — via left-anti joins (the broadcastable/
+    * shuffle-hash shape Catalyst picks per side size), plus the
+    * table totals for rates. The data-quality gate a pipeline runs
+    * before trusting any join; one row, exact integers.
+    */
+  val qRefIntegrity = GateQuery.sql(
+    "q_ref_integrity",
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |    AS orphan_lineitem_orders,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |    AS orphan_lineitem_part,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |    AS orphan_orders_customer""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    def cnt1(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).cast("long").as(name))
+    val base = cnt1(l, "n_lineitem").crossJoin(broadcast(cnt1(o, "n_orders")))
+    val lo = cnt1(l.join(o.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti"), "orphan_lineitem_orders")
+    val lp = cnt1(l.join(Tables.part(s, d).select(col("p_partkey").as("l_partkey")),
+      Seq("l_partkey"), "left_anti"), "orphan_lineitem_part")
+    val oc = cnt1(o.join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_anti"), "orphan_orders_customer")
+    base.crossJoin(broadcast(lo)).crossJoin(broadcast(lp)).crossJoin(broadcast(oc))
+  }
+
+  val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity)
+}

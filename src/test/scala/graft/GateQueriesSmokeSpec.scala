@@ -51,7 +51,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_mmr_rerank", // brute-force pool scoring (same as q_knn_bruteforce)
     "q_assoc_rules", // (n_orders) corpus-total single-row scalar
     "q_kcore", // per-k (n_edges)⋈(n_nodes) 1-row summary join
-    "q_ccf") // per-series (n, S, Σdev²) single-row stats broadcasts
+    "q_ccf", // per-series (n, S, Σdev²) single-row stats broadcasts
+    "q_ref_integrity") // five 1-row audit counters crossed into one row
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
