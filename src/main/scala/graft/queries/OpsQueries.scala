@@ -213,5 +213,171 @@ object OpsQueries {
     base.crossJoin(broadcast(lo)).crossJoin(broadcast(lp)).crossJoin(broadcast(oc))
   }
 
-  val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity)
+  /** Join-key skew audit (#276): the "should I salt this join"
+    * decision signal a 100 TB pipeline computes BEFORE choosing a
+    * strategy — per candidate key, the key-count distribution's
+    * hot-key share and p99/median ratio. Group sizes come from one
+    * aggregate per key; the quantiles run over the VALUE-COLLAPSED
+    * (size, #keys-with-size) grid (never the key relation itself —
+    * the Levene lo-median discipline), so the audit costs two small
+    * shuffles per key regardless of key cardinality.
+    */
+  val qSkewAudit = GateQuery.sql(
+    "q_skew_audit", {
+      def keySql(tbl: String, key: String) =
+        s"""SELECT '$tbl.$key' AS join_key, n_rows, n_keys, max_key_rows,
+           |  (max_key_rows * 1000000) // n_rows AS top1_share_ppm,
+           |  med, p99, (p99 * 1000000) // med AS skew_ratio_ppm
+           |FROM (
+           |  SELECT any_value(n_rows) AS n_rows, any_value(n_keys) AS n_keys,
+           |    any_value(max_key_rows) AS max_key_rows,
+           |    min(CASE WHEN 2 * cum >= n_keys THEN sz END) AS med,
+           |    min(CASE WHEN 100 * cum >= 99 * n_keys THEN sz END) AS p99
+           |  FROM (
+           |    SELECT sz, sum(nk) OVER (ORDER BY sz) AS cum,
+           |      sum(nk) OVER () AS n_keys, sum(sz * nk) OVER () AS n_rows,
+           |      max(sz) OVER () AS max_key_rows
+           |    FROM (SELECT sz, CAST(count(*) AS BIGINT) AS nk
+           |          FROM (SELECT $key, CAST(count(*) AS BIGINT) AS sz
+           |                FROM $tbl GROUP BY 1) GROUP BY 1)))""".stripMargin
+      s"""${keySql("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${keySql("lineitem", "l_partkey")}
+         |ORDER BY join_key""".stripMargin
+    }) { (s, d) =>
+    def audit(keyName: String, keyed: DataFrame): DataFrame = {
+      val sizes = keyed.groupBy(col("k")).agg(count(lit(1)).cast("long").as("sz"))
+      val grid = sizes.groupBy(col("sz")).agg(count(lit(1)).cast("long").as("nk"))
+      val w = Window.orderBy(col("sz"))
+      val cum = grid
+        .withColumn("cum", sum(col("nk")).over(w))
+        .withColumn("n_keys", sum(col("nk")).over(Window.partitionBy()))
+        .withColumn("n_rows", sum(col("sz") * col("nk")).over(Window.partitionBy()))
+        .withColumn("max_key_rows", max(col("sz")).over(Window.partitionBy()))
+      cum.agg(
+          first(col("n_rows")).as("n_rows"), first(col("n_keys")).as("n_keys"),
+          first(col("max_key_rows")).as("max_key_rows"),
+          min(when(lit(2) * col("cum") >= col("n_keys"), col("sz"))).as("med"),
+          min(when(lit(100) * col("cum") >= lit(99) * col("n_keys"), col("sz"))).as("p99"))
+        .select(lit(keyName).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          Binning.floorDivCol(col("max_key_rows") * lit(1000000L), col("n_rows"))
+            .as("top1_share_ppm"),
+          col("med"), col("p99"),
+          Binning.floorDivCol(col("p99") * lit(1000000L), col("med")).as("skew_ratio_ppm"))
+    }
+    val l = Tables.lineitem(s, d)
+    audit("lineitem.l_orderkey", l.select(col("l_orderkey").as("k")))
+      .unionAll(audit("lineitem.l_partkey", l.select(col("l_partkey").as("k"))))
+      .orderedSmall(col("join_key"))
+  }
+
+  private val PsiBuckets = 20
+  private val PsiWidth = 1000L // cents per bucket → 20 buckets cover $0–200
+  private val PsiSplit = 604800L
+
+  /** Population stability index (#277): THE model-monitoring drift
+    * metric (the credit-scoring standard; PSI < 0.1 stable, > 0.25
+    * action) — week-1 vs week-2 value distributions per event type
+    * over fixed cent buckets. Each bucket term is kept EXACT by
+    * clearing denominators: ((c1+1)(n2+B) − (c2+1)(n1+B)) ·
+    * µln(((c1+1)(n2+B))/((c2+1)(n1+B))) is an exact integer (the
+    * ln of an exact rational, micro-floored), summed per type, and
+    * PSI leaves as ONE mirrored double division by (n1+B)(n2+B).
+    */
+  val qPsi = GateQuery.sql(
+    "q_psi", {
+      val b = PsiBuckets
+      s"""WITH e AS (SELECT event_type,
+         |    least(${centsSql("vd")} // $PsiWidth, ${b - 1}) AS bkt,
+         |    CASE WHEN xs < $PsiSplit THEN 1 ELSE 0 END AS w1
+         |  FROM $E t),
+         |c AS (SELECT event_type, bkt,
+         |    CAST(sum(w1) AS BIGINT) AS c1, CAST(sum(1 - w1) AS BIGINT) AS c2
+         |  FROM e GROUP BY 1, 2),
+         |n AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2 FROM c GROUP BY 1),
+         |t AS (SELECT c.event_type, n.n1, n.n2,
+         |    ((c1 + 1) * (n2 + $b) - (c2 + 1) * (n1 + $b))
+         |      * ${graft.operators.Curation.microLnSql(
+               s"((c1 + 1.0) * (n2 + $b)) / ((c2 + 1.0) * (n1 + $b))")} AS term
+         |  FROM c JOIN n ON c.event_type = n.event_type)
+         |SELECT event_type, any_value(n1) AS n_week1, any_value(n2) AS n_week2,
+         |  round(CAST(sum(term) AS DOUBLE)
+         |    / ((any_value(n1) + $b) * 1.0 * (any_value(n2) + $b)) / 1000000.0, 6) + 0.0 AS psi
+         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val b = PsiBuckets
+    val e = ev(s, d).select(col("event_type"),
+      least(Binning.floorDiv(Exact.cents(col("vd")), PsiWidth), lit(b - 1L)).as("bkt"),
+      when(col("xs") < PsiSplit, 1L).otherwise(0L).as("w1"))
+    val c = e.groupBy(col("event_type"), col("bkt")).agg(
+      sum(col("w1")).cast("long").as("c1"),
+      sum(lit(1L) - col("w1")).cast("long").as("c2"))
+    val n = c.groupBy(col("event_type")).agg(
+      sum(col("c1")).cast("long").as("n1"), sum(col("c2")).cast("long").as("n2"))
+    val joined = c.join(broadcast(n), "event_type")
+    val ratio = ((col("c1") + lit(1.0)) * (col("n2") + lit(b))) /
+      ((col("c2") + lit(1.0)) * (col("n1") + lit(b)))
+    val term = ((col("c1") + 1) * (col("n2") + lit(b.toLong)) -
+      (col("c2") + 1) * (col("n1") + lit(b.toLong))) *
+      graft.operators.Curation.microLn(ratio)
+    joined.groupBy(col("event_type")).agg(
+        first(col("n1")).as("n_week1"), first(col("n2")).as("n_week2"),
+        sum(term.cast("decimal(38,0)")).cast("decimal(38,0)").as("t"))
+      .select(col("event_type"), col("n_week1"), col("n_week2"),
+        (round(col("t").cast("double") /
+          ((col("n_week1") + lit(b)) * lit(1.0) * (col("n_week2") + lit(b)))
+          / lit(1000000.0), 6) + lit(0.0)).as("psi"))
+      .orderedSmall(col("event_type"))
+  }
+
+  private val CentroidDims = 64
+
+  /** Label-centroid similarity (#278): pairwise cosine between class
+    * prototype (mean) embeddings — the "are these labels separable /
+    * mergeable" audit contrastive curation runs on its clusters.
+    * cos(mean_a, mean_b) = Σ(S_a·S_b)/(|S_a||S_b|) — the 1/n
+    * factors CANCEL, so the whole gate is exact integer dim-sums
+    * (one 64×-bounded explode + (label, dim) aggregate — 640 rows at
+    * ANY corpus size) and one mirrored double at the end.
+    */
+  val qLabelCentroids = GateQuery.sql(
+    "q_label_centroids",
+    s"""WITH q AS (SELECT label, ${graft.operators.VectorOps.quantizeSql("embedding")} AS q
+       |  FROM embeddings),
+       |s AS (SELECT label, i.i AS i, CAST(sum(q[i.i]) AS HUGEINT) AS s
+       |  FROM q, (SELECT unnest(generate_series(1, $CentroidDims)) AS i) i
+       |  GROUP BY 1, 2),
+       |nrm AS (SELECT label, CAST(sum(s * s) AS HUGEINT) AS n2 FROM s GROUP BY 1),
+       |d AS (SELECT a.label AS l1, b.label AS l2, CAST(sum(a.s * b.s) AS HUGEINT) AS dot
+       |  FROM s a JOIN s b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2)
+       |SELECT l1, l2,
+       |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) + 0.0 AS cos
+       |FROM d JOIN nrm na ON d.l1 = na.label JOIN nrm nb ON d.l2 = nb.label
+       |ORDER BY l1, l2""".stripMargin) { (s, d) =>
+    val q = Tables.embeddings(s, d).select(col("label"),
+      graft.expressions.VectorExpressions.quantizeVec(col("embedding")).as("q"))
+    val sums = q.select(col("label"), posexplode(col("q")).as(Seq("i0", "v")))
+      .groupBy(col("label"), (col("i0") + 1).as("i"))
+      .agg(sum(col("v").cast("decimal(38,0)")).cast("decimal(38,0)").as("s"))
+    val nrm = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).cast("decimal(38,0)").as("n2"))
+    val dots = sums.select(col("label").as("l1"), col("i"), col("s").as("sa"))
+      .join(sums.select(col("label").as("l2"), col("i"), col("s").as("sb")), "i")
+      .filter(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2"))
+      .agg(sum(col("sa") * col("sb")).cast("decimal(38,0)").as("dot"))
+    dots
+      .join(broadcast(nrm.select(col("label").as("l1"), col("n2").as("na"))), "l1")
+      .join(broadcast(nrm.select(col("label").as("l2"), col("n2").as("nb"))), "l2")
+      .select(col("l1"), col("l2"),
+        (round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          + lit(0.0)).as("cos"))
+      .orderedSmall(col("l1"), col("l2"))
+  }
+
+  val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
+    qSkewAudit, qPsi, qLabelCentroids)
 }
