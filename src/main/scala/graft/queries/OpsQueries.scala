@@ -378,6 +378,49 @@ object OpsQueries {
       .orderedSmall(col("l1"), col("l2"))
   }
 
+  /** Vocabulary-coverage curve (#279): the smallest top-V vocabulary
+    * covering 50/90/99% of corpus token mass — the quantitative
+    * basis for every `topV`/`minCount` cap in the LM family
+    * (#90/#94/#102: how big must the broadcast model table be to
+    * matter?) and for tokenizer vocab sizing (#107). Rank/cum-mass
+    * windows run over the VOCAB-bounded count relation, never corpus
+    * tokens; output is one exact-integer row.
+    */
+  val qVocabCoverage = GateQuery.sql(
+    "q_vocab_coverage",
+    """WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY 1),
+      |r AS (SELECT c,
+      |    row_number() OVER (ORDER BY c DESC, word) AS rk,
+      |    sum(c) OVER (ORDER BY c DESC, word
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER () AS n, count(*) OVER () AS v
+      |  FROM wc)
+      |SELECT CAST(any_value(n) AS BIGINT) AS n_tokens,
+      |  CAST(any_value(v) AS BIGINT) AS n_vocab,
+      |  CAST(min(CASE WHEN 100 * cum >= 50 * n THEN rk END) AS BIGINT) AS v50,
+      |  CAST(min(CASE WHEN 100 * cum >= 90 * n THEN rk END) AS BIGINT) AS v90,
+      |  CAST(min(CASE WHEN 100 * cum >= 99 * n THEN rk END) AS BIGINT) AS v99
+      |FROM r""".stripMargin) { (s, d) =>
+    val wc = Tables.documents(s, d)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.orderBy(col("c").desc, col("word"))
+    val r = wc
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+    r.agg(
+      first(col("n")).cast("long").as("n_tokens"),
+      first(col("v")).cast("long").as("n_vocab"),
+      min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("rk"))).cast("long").as("v50"),
+      min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("rk"))).cast("long").as("v90"),
+      min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("rk"))).cast("long").as("v99"))
+  }
+
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
-    qSkewAudit, qPsi, qLabelCentroids)
+    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage)
 }
