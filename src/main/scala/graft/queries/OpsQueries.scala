@@ -421,6 +421,124 @@ object OpsQueries {
       min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("rk"))).cast("long").as("v99"))
   }
 
+  private val ConformalSplit = 168L // hours: week 1 calibrates, week 2 tests
+
+  /** Split-conformal prediction interval (#280, Vovk et al. 2005 /
+    * Lei et al. 2018): distribution-free uncertainty for the
+    * seasonal-naive forecaster — calibrate the 90% quantile of
+    * |y_t − y_{t−24}| on week 1, then CHECK the guaranteed coverage
+    * on week 2 (the honest out-of-sample audit; ≈ 900000 ppm by the
+    * conformal theorem regardless of the series' distribution).
+    * Residuals off one ordered window; the calibration quantile runs
+    * over the VALUE-COLLAPSED residual grid; coverage is one
+    * conditional count against the broadcast per-type quantile.
+    */
+  val qConformal = GateQuery.sql(
+    "q_conformal",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |l AS (SELECT event_type, grid, y,
+       |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY grid) AS y24
+       |  FROM g),
+       |r AS (SELECT event_type, grid, abs(y - y24) AS res FROM l WHERE y24 IS NOT NULL),
+       |cal AS (SELECT event_type, res, count(*) AS cnt
+       |  FROM r WHERE grid < $ConformalSplit GROUP BY 1, 2),
+       |cw AS (SELECT event_type, res,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY res) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM cal),
+       |q AS (SELECT event_type, any_value(n) AS n_calib,
+       |    min(CASE WHEN 10 * cum >= 9 * n THEN res END) AS q90
+       |  FROM cw GROUP BY 1),
+       |tst AS (SELECT r.event_type, q.n_calib, q.q90,
+       |    count(*) AS n_test,
+       |    CAST(sum(CASE WHEN r.res <= q.q90 THEN 1 ELSE 0 END) AS BIGINT) AS covered
+       |  FROM r JOIN q ON r.event_type = q.event_type
+       |  WHERE r.grid >= $ConformalSplit GROUP BY 1, 2, 3)
+       |SELECT event_type, CAST(n_calib AS BIGINT) AS n_calib,
+       |  CAST(q90 AS BIGINT) AS q90_resid_cents,
+       |  CAST(n_test AS BIGINT) AS n_test,
+       |  (covered * 1000000) // n_test AS coverage_ppm
+       |FROM tst ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val r = g
+      .withColumn("y24", lag(col("y"), 24).over(
+        Window.partitionBy(col("event_type")).orderBy(col("grid"))))
+      .filter(col("y24").isNotNull)
+      .select(col("event_type"), col("grid"), abs(col("y") - col("y24")).as("res"))
+    val cal = r.filter(col("grid") < ConformalSplit)
+      .groupBy(col("event_type"), col("res")).agg(count(lit(1)).as("cnt"))
+    val cw = cal
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("res"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val q = cw.groupBy(col("event_type")).agg(
+      first(col("n")).as("n_calib"),
+      min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("res"))).as("q90"))
+    r.filter(col("grid") >= ConformalSplit)
+      .join(broadcast(q), "event_type")
+      .groupBy(col("event_type"), col("n_calib"), col("q90"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("res") <= col("q90"), 1L).otherwise(0L)).cast("long").as("covered"))
+      .select(col("event_type"), col("n_calib").cast("long").as("n_calib"),
+        col("q90").cast("long").as("q90_resid_cents"),
+        col("n_test").cast("long").as("n_test"),
+        Binning.floorDivCol(col("covered") * lit(1000000L), col("n_test"))
+          .as("coverage_ppm"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Cumulative gains / lift table (#281): rank documents by a score
+    * (length here, standing in for any quality model) and report,
+    * per decile, the cumulative share of positives captured and the
+    * lift over random — THE targeting-evaluation artifact next to
+    * AUC (#175) and the reliability diagram (#176). Deciles come
+    * from one rank window with full tie pins ((score desc, doc_id));
+    * everything is exact-integer ppm.
+    */
+  val qGains = GateQuery.sql(
+    "q_gains",
+    """WITH s AS (SELECT doc_id, n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+      |r AS (SELECT pos,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+      |    count(*) OVER () AS n, sum(pos) OVER () AS tot_pos
+      |  FROM s),
+      |d AS (SELECT ((rk - 1) * 10) // n AS decile, any_value(n) AS n, any_value(tot_pos) AS tot_pos,
+      |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos
+      |  FROM r GROUP BY 1),
+      |c AS (SELECT decile, n, tot_pos, n_docs, n_pos,
+      |    sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+      |    sum(n_docs) OVER (ORDER BY decile) AS cum_docs
+      |  FROM d)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+      |  CAST((cum_pos * 1000000) // tot_pos AS BIGINT) AS cum_share_ppm,
+      |  CAST((cum_pos * n * 1000000) // (CAST(tot_pos AS HUGEINT) * cum_docs) AS BIGINT) AS lift_ppm
+      |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
+    val sdf = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val r = sdf
+      .withColumn("rk", row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot_pos", sum(col("pos")).over(Window.partitionBy()))
+    val dd = r.groupBy(Binning.floorDivCol((col("rk") - 1) * 10, col("n")).as("decile"))
+      .agg(first(col("n")).as("n"), first(col("tot_pos")).as("tot_pos"),
+        count(lit(1)).cast("long").as("n_docs"), sum(col("pos")).cast("long").as("n_pos"))
+    val c = dd
+      .withColumn("cum_pos", sum(col("n_pos")).over(Window.orderBy(col("decile"))))
+      .withColumn("cum_docs", sum(col("n_docs")).over(Window.orderBy(col("decile"))))
+    c.select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
+        Binning.floorDivCol(col("cum_pos") * lit(1000000L), col("tot_pos"))
+          .as("cum_share_ppm"),
+        Exact.floorDivBig(col("cum_pos").cast("decimal(38,0)") * col("n") * lit(1000000L),
+          col("tot_pos").cast("decimal(38,0)") * col("cum_docs")).cast("long")
+          .as("lift_ppm"))
+      .orderedSmall(col("decile"))
+  }
+
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
-    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage)
+    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains)
 }
