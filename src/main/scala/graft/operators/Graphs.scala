@@ -168,6 +168,45 @@ object Graphs {
     cur
   }
 
+  /** Bounded-hop BFS from a seed set: minimum hop distance (≤
+    * `maxHops`) from any seed to every reachable node — the
+    * "blast-radius" / neighborhood query (who is within 3 trades of
+    * these suppliers?). One frontier⋈edges join + distinct per round
+    * — the unrolled iterative-join shape PageRank (#184) uses, with
+    * the visited set subtracted so frontiers only carry NEW nodes
+    * (each node's distance is final when first reached — BFS
+    * invariant). Frontiers persist per round, freed after the next
+    * round materializes.
+    *
+    * @param edges directed (src, dst) arc relation (double an
+    *              undirected edge set first)
+    * @param seeds (node) relation, distance 0
+    * @return (node, dist) for every node within maxHops
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 10, s"maxHops out of range: $maxHops")
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("dist")).persist()
+    var frontier = visited
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = frontier.select(col("node").as("src"))
+        .join(edges, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+      val merged = visited.unionByName(next).persist()
+      merged.count() // materialize before dropping the previous round
+      visited.unpersist()
+      visited = merged
+      // read the new frontier back out of the PERSISTED union — `next`
+      // itself holds lineage over the just-unpersisted previous round
+      frontier = merged.filter(col("dist") === hop)
+      hop += 1
+    }
+    visited
+  }
+
   /** One-row exact-integer graph summary:
     * (n_nodes, n_edges, n_triangles, wedges, global_ppm,
     * avg_local_ppm) where global = 3·triangles / wedges (transitivity)

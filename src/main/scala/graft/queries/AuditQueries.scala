@@ -1201,9 +1201,64 @@ object AuditQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Bounded-hop BFS neighborhood (#282): minimum trade distance
+    * (≤ 3 hops) from a 5-supplier seed set (smallest keys — present
+    * at every SF) over the customer⇄supplier graph
+    * ([[graft.operators.Graphs.bfsHops]]) — the blast-radius /
+    * path-distance query next to PageRank (#184) and communities
+    * (#237). One frontier⋈edges join + visited anti-join per
+    * unrolled round; output is the FIXED 4-row distance histogram
+    * (zero counts preserved on both engines).
+    */
+  val qBfsHops = GateQuery.sql(
+    "q_bfs_hops",
+    """WITH pairs AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e0 AS (SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
+      |  UNION ALL SELECT 's' || sk, 'c' || ck FROM pairs),
+      |d0 AS (SELECT 's' || s_suppkey AS node FROM supplier
+      |  ORDER BY s_suppkey LIMIT 5),
+      |r1 AS (SELECT DISTINCT e.dst AS node FROM e0 e JOIN d0 ON e.src = d0.node
+      |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+      |r2 AS (SELECT DISTINCT e.dst AS node FROM e0 e JOIN r1 ON e.src = r1.node
+      |  WHERE e.dst NOT IN (SELECT node FROM d0)
+      |    AND e.dst NOT IN (SELECT node FROM r1)),
+      |r3 AS (SELECT DISTINCT e.dst AS node FROM e0 e JOIN r2 ON e.src = r2.node
+      |  WHERE e.dst NOT IN (SELECT node FROM d0)
+      |    AND e.dst NOT IN (SELECT node FROM r1)
+      |    AND e.dst NOT IN (SELECT node FROM r2))
+      |SELECT dist, n_nodes FROM (
+      |  SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_nodes FROM d0
+      |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM r1
+      |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM r2
+      |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM r3)
+      |ORDER BY dist""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs.select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+      .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("c"), col("ck")).as("dst")))
+      .persist() // read by every BFS round; freed by the harness
+    val seeds = Tables.supplier(s, d).orderBy(col("s_suppkey")).limit(5)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    val dist = graft.operators.Graphs.bfsHops(edges, seeds, maxHops = 3)
+    val hist = dist.groupBy(col("dist").cast("long").as("dist"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    val frame = s.range(0, 4).select(col("id").as("dist"))
+    val out = frame.join(hist, Seq("dist"), "left")
+      .select(col("dist"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"))
+      .cache()
+    out.count() // materialize before the BFS round caches drop
+    edges.unpersist()
+    out.orderedSmall(col("dist"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
-    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt)
+    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops)
 }

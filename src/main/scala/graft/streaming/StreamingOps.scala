@@ -572,6 +572,47 @@ object StreamingOps {
       round(jsd * lit(1000.0), 3).as("jsd_milli"))
   }
 
+  final case class CepEvt(user: Long, ts: java.sql.Timestamp, etype: String)
+  final case class CepState(lastAUs: Long)
+  final case class CepMatch(user: Long, tsA: java.sql.Timestamp,
+                            tsB: java.sql.Timestamp, gapUs: Long)
+
+  /** Streaming sequence-pattern detector (CEP-lite): emit a match
+    * whenever a `typeB` event follows a `typeA` event of the SAME
+    * user within `withinUs` — the FlinkCEP/MATCH_RECOGNIZE "A then B
+    * within T" shape as a stateful stream. State per user is ONE
+    * timestamp (the latest A — later As supersede earlier ones, the
+    * standard skip-till-next-match policy), O(1) regardless of
+    * stream length; within-batch order pinned by (ts, etype) like
+    * every stateful operator here. A matched B does NOT consume the
+    * A (an A can anchor several Bs inside the window — documented
+    * choice, pinned in StreamingSpec).
+    */
+  def patternStream(evts: Dataset[CepEvt], typeA: String, typeB: String,
+                    withinUs: Long): Dataset[CepMatch] = {
+    require(withinUs > 0, s"window not positive: $withinUs")
+    import evts.sparkSession.implicits._
+    evts
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[CepEvt], state: GroupState[CepState]) =>
+          var st = state.getOption.getOrElse(CepState(Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.etype)).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (e.etype == typeB && st.lastAUs != Long.MinValue &&
+                us - st.lastAUs <= withinUs && us >= st.lastAUs) {
+              out += CepMatch(user, new java.sql.Timestamp(st.lastAUs / 1000L),
+                e.ts, us - st.lastAUs)
+            }
+            if (e.etype == typeA) st = CepState(us)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class KPoint(user: Long, ts: java.sql.Timestamp, y: Double)
   final case class KState(l: Double, p: Double, seen: Boolean)
   final case class KEst(user: Long, ts: java.sql.Timestamp, y: Double,

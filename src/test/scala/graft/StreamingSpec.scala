@@ -499,6 +499,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CEP: A-then-B within window matches across batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CepEvt, CepMatch}
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.patternStream(
+      input.toDF().toDF("ts", "user", "etype")
+        .select(col("user"), col("ts"), col("etype")).as[CepEvt],
+      typeA = "view", typeB = "purchase", withinUs = 60L * 1000000)
+    val q = out.writeStream.format("memory").queryName("cep")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: A at t=10; B at t=30 (match, gap 20s); B at t=200 (expired)
+      input.addData((ts(10), 1L, "view"), (ts(30), 1L, "purchase"),
+        (ts(200), 1L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: A carried in state from... new A at 300, B at 320 across
+      // batches; user 2's B without any A never matches
+      input.addData((ts(300), 1L, "view"))
+      q.processAllAvailable()
+      input.addData((ts(320), 1L, "purchase"), (ts(321), 2L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("cep").as[CepMatch].collect().sortBy(_.tsB.getTime)
+      assert(rows.length === 2, s"matches: ${rows.mkString(", ")}")
+      assert(rows(0).gapUs === 20L * 1000000)
+      assert(rows(1).gapUs === 20L * 1000000)
+      assert(rows.forall(_.user === 1L))
+    } finally q.stop()
+  }
+
   test("streaming kalman matches the batch recursion across batch boundaries") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.StreamingOps.{KEst, KPoint}
