@@ -539,6 +539,143 @@ object OpsQueries {
       .orderedSmall(col("decile"))
   }
 
+  /** Maximum drawdown (#284): per user cohort, the deepest
+    * peak-to-trough fall of the cumulative event-value series — the
+    * classic risk statistic (and, on monitoring counters, the
+    * worst-regression measure). Running sum + running max share ONE
+    * (ts, event_id)-ordered window partition; the argmax event pins
+    * to the earliest id via min(when); everything exact cents.
+    */
+  val qDrawdown = GateQuery.sql(
+    "q_drawdown",
+    s"""WITH e AS (SELECT user_id % 8 AS g, ts_us, event_id,
+       |    ${centsSql("vd")} AS c FROM $E t),
+       |cu AS (SELECT g, ts_us, event_id,
+       |    sum(c) OVER (PARTITION BY g ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM e),
+       |w AS (SELECT g, event_id, cum,
+       |    max(cum) OVER (PARTITION BY g ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM cu),
+       |dd AS (SELECT g, event_id, peak - cum AS dd,
+       |    max(peak - cum) OVER (PARTITION BY g) AS max_dd,
+       |    count(*) OVER (PARTITION BY g) AS n
+       |  FROM w)
+       |SELECT g, CAST(any_value(n) AS BIGINT) AS n_events,
+       |  CAST(any_value(max_dd) AS BIGINT) AS max_drawdown_cents,
+       |  CAST(min(CASE WHEN dd = max_dd THEN event_id END) AS BIGINT) AS at_event_id
+       |FROM dd GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(pmod(col("user_id"), lit(8L)).as("g"),
+      col("ts_us"), col("event_id"), Exact.cents(col("vd")).as("c"))
+    val wo = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = e
+      .withColumn("cum", sum(col("c")).over(wo))
+      .withColumn("peak", max(col("cum")).over(wo))
+    val dd = w.select(col("g"), col("event_id"), (col("peak") - col("cum")).as("dd"))
+      .withColumn("max_dd", max(col("dd")).over(Window.partitionBy(col("g"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    dd.groupBy(col("g")).agg(
+        first(col("n")).cast("long").as("n_events"),
+        first(col("max_dd")).cast("long").as("max_drawdown_cents"),
+        min(when(col("dd") === col("max_dd"), col("event_id"))).cast("long")
+          .as("at_event_id"))
+      .orderedSmall(col("g"))
+  }
+
+  /** Fano factor / index of dispersion (#285): per event type,
+    * variance-to-mean of the HOURLY arrival counts — the burstiness
+    * audit (≈ 1e6 ppm Poisson, ≫ 1e6 bursty, ≪ 1e6 regular; Fano
+    * 1947). One bounded hourly aggregate; the ratio is one exact ppm
+    * floor division of integer sums: (k·Σc² − (Σc)²)/(k·Σc).
+    */
+  val qFano = GateQuery.sql(
+    "q_fano",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM $E e GROUP BY 1, 2),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+       |  FROM g GROUP BY 1)
+       |SELECT event_type, k AS n_hours, s AS n_events,
+       |  CASE WHEN s > 0 THEN
+       |    CAST(((k * q - CAST(s AS HUGEINT) * s) * 1000000)
+       |      // (CAST(k AS HUGEINT) * s) AS BIGINT) END AS fano_ppm
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val a = g.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("k"), sum(col("c")).cast("long").as("s"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q"))
+    a.select(col("event_type"), col("k").as("n_hours"), col("s").as("n_events"),
+        when(col("s") > 0,
+          Exact.floorDivBig(
+            (col("k").cast("decimal(38,0)") * col("q") -
+              col("s").cast("decimal(38,0)") * col("s")) * lit(1000000L),
+            col("k").cast("decimal(38,0)") * col("s")).cast("long")).as("fano_ppm"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Burst-episode extraction (#286): per event type, maximal runs of
+    * consecutive hours whose count exceeds mean + 2σ (the exact
+    * integer predicate (k·c − S)² > 4(kQ − S²) ∧ k·c > S — no float
+    * σ), merged gaps-and-islands style — the Kleinberg-flavored
+    * burst surface on top of the dispersion audit (#285). Stats ride
+    * a 1-row broadcast; episodes form with one ordered window over
+    * the BURSTY-HOUR slice only.
+    */
+  val qBurstEpisodes = GateQuery.sql(
+    "q_burst_episodes",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM $E e GROUP BY 1, 2),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+       |  FROM g GROUP BY 1),
+       |b AS (SELECT g.event_type, g.grid FROM g JOIN a USING (event_type)
+       |  WHERE CAST(a.k AS HUGEINT) * g.c > a.s
+       |    AND (CAST(a.k AS HUGEINT) * g.c - a.s) * (CAST(a.k AS HUGEINT) * g.c - a.s)
+       |      > 4 * (a.k * q - CAST(a.s AS HUGEINT) * a.s)),
+       |ep AS (SELECT event_type,
+       |    grid - row_number() OVER (PARTITION BY event_type ORDER BY grid) AS island
+       |  FROM b),
+       |runs AS (SELECT event_type, island, CAST(count(*) AS BIGINT) AS len
+       |  FROM ep GROUP BY 1, 2)
+       |SELECT a.event_type AS event_type,
+       |  coalesce(CAST(sum(len) AS BIGINT), 0) AS n_burst_hours,
+       |  coalesce(CAST(count(runs.island) AS BIGINT), 0) AS n_episodes,
+       |  coalesce(CAST(max(len) AS BIGINT), 0) AS longest_episode
+       |FROM a LEFT JOIN runs ON a.event_type = runs.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val a = g.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("k"), sum(col("c")).cast("long").as("s"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q"))
+    val dev = col("k").cast("decimal(38,0)") * col("c") - col("s")
+    val bursty = g.join(broadcast(a), "event_type")
+      .filter(col("k").cast("decimal(38,0)") * col("c") > col("s") &&
+        dev * dev > lit(4) * (col("k") * col("q") - col("s").cast("decimal(38,0)") * col("s")))
+      .select(col("event_type"), col("grid"))
+    val ep = bursty.withColumn("island",
+      col("grid") - row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("grid"))))
+    val runs = ep.groupBy(col("event_type"), col("island"))
+      .agg(count(lit(1)).cast("long").as("len"))
+    a.select(col("event_type")).join(runs, Seq("event_type"), "left")
+      .groupBy(col("event_type"))
+      .agg(coalesce(sum(col("len")), lit(0L)).cast("long").as("n_burst_hours"),
+        count(col("island")).cast("long").as("n_episodes"),
+        coalesce(max(col("len")), lit(0L)).cast("long").as("longest_episode"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
-    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains)
+    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains,
+    qDrawdown, qFano, qBurstEpisodes)
 }
