@@ -675,7 +675,122 @@ object OpsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Wald–Wolfowitz runs test (#287): is the hourly series random
+    * around its median, or does it trend/oscillate? Runs of
+    * above/below the LO-MEDIAN (ties → below, pinned convention)
+    * counted with one lag window; E[R] = 1 + 2n₁n₂/n and its
+    * variance give the normal z — the classical randomness audit
+    * next to ACF (#181) and Mann–Kendall (#250). Counts exact; z one
+    * mirrored double.
+    */
+  val qRunsTest = GateQuery.sql(
+    "q_runs_test",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |v AS (SELECT event_type, y, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |w AS (SELECT event_type, y, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY y) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM v),
+       |med AS (SELECT event_type, min(y) AS med FROM w WHERE 2 * cum >= n GROUP BY 1),
+       |b AS (SELECT g.event_type, g.grid,
+       |    CASE WHEN g.y > med.med THEN 1 ELSE 0 END AS up
+       |  FROM g JOIN med USING (event_type)),
+       |r AS (SELECT event_type, up,
+       |    CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY grid) IS NULL
+       |      OR lag(up) OVER (PARTITION BY event_type ORDER BY grid) <> up
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM b),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(up) AS BIGINT) AS n1,
+       |    CAST(count(*) - sum(up) AS BIGINT) AS n2,
+       |    CAST(sum(brk) AS BIGINT) AS runs
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, n, n1, n2, runs,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+       |    round((runs - (1.0 + 2.0 * n1 * n2 / n))
+       |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (1.0 * n * n * (n - 1))), 4) + 0.0
+       |  END AS z_stat
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val v = g.groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("cnt"))
+    val w = v
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("y"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val med = w.filter(lit(2) * col("cum") >= col("n"))
+      .groupBy(col("event_type")).agg(min(col("y")).as("med"))
+    val b = g.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("grid"),
+        when(col("y") > col("med"), 1L).otherwise(0L).as("up"))
+    val lagUp = lag(col("up"), 1).over(
+      Window.partitionBy(col("event_type")).orderBy(col("grid")))
+    val r = b.withColumn("brk",
+      when(lagUp.isNull || lagUp =!= col("up"), 1L).otherwise(0L))
+    val a = r.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("up")).cast("long").as("n1"),
+      (count(lit(1)) - sum(col("up"))).cast("long").as("n2"),
+      sum(col("brk")).cast("long").as("runs"))
+    a.select(col("event_type"), col("n"), col("n1"), col("n2"), col("runs"),
+        when(col("n1") > 0 && col("n2") > 0 && col("n") > 1,
+          round((col("runs") - (lit(1.0) + lit(2.0) * col("n1") * col("n2") / col("n")))
+            / sqrt(lit(2.0) * col("n1") * col("n2") *
+              (lit(2.0) * col("n1") * col("n2") - col("n")) /
+              (lit(1.0) * col("n") * col("n") * (col("n") - 1))), 4) + lit(0.0))
+          .as("z_stat"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** ABC / Pareto revenue classification (#288): parts ranked by
+    * exact revenue cents, classed A (cumulative share ≤ 80%), B
+    * (≤ 95%), C (rest) — the inventory-management classic and the
+    * business twin of the gains table (#281) / vocabulary curve
+    * (#279). One rank window over the part-bounded revenue relation;
+    * class assignment via exact integer share predicates.
+    */
+  val qAbc = GateQuery.sql(
+    "q_abc",
+    s"""WITH rev AS (SELECT l_partkey AS p,
+       |    CAST(sum(${centsSql("CAST(l_extendedprice AS DECIMAL(18,2))")}) AS BIGINT) AS r
+       |  FROM lineitem GROUP BY 1),
+       |rk AS (SELECT p, r,
+       |    sum(r) OVER (ORDER BY r DESC, p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(r) OVER () AS tot
+       |  FROM rev),
+       |cl AS (SELECT p, r,
+       |    CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+       |      WHEN 100 * cum <= 95 * tot THEN 'B' ELSE 'C' END AS cls,
+       |    tot FROM rk)
+       |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       |  CAST(sum(r) AS BIGINT) AS revenue_cents,
+       |  CAST((sum(r) * 1000000) // any_value(tot) AS BIGINT) AS share_ppm
+       |FROM cl GROUP BY cls ORDER BY cls""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("p"))
+      .agg(Exact.sumUnits(Exact.cents(col("l_extendedprice").cast("decimal(18,2)")))
+        .cast("long").as("r"))
+    val w = Window.orderBy(col("r").desc, col("p"))
+    val rk = rev
+      .withColumn("cum", sum(col("r")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("r")).over(Window.partitionBy()))
+    val cl = rk.select(col("p"), col("r"), col("tot"),
+      when(lit(100) * col("cum") <= lit(80) * col("tot"), "A")
+        .when(lit(100) * col("cum") <= lit(95) * col("tot"), "B")
+        .otherwise("C").as("cls"))
+    cl.groupBy(col("cls")).agg(
+        count(lit(1)).cast("long").as("n_parts"),
+        sum(col("r")).cast("long").as("revenue_cents"),
+        Binning.floorDivCol(sum(col("r")).cast("long") * lit(1000000L),
+          first(col("tot"))).as("share_ppm"))
+      .orderedSmall(col("cls"))
+  }
+
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
     qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains,
-    qDrawdown, qFano, qBurstEpisodes)
+    qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc)
 }
