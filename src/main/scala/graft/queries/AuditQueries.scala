@@ -655,8 +655,11 @@ object AuditQueries {
     val pr = a.join(b, "ok").filter(col("u") < col("v")).distinct()
     val sup = pr.groupBy(col("u"), col("v")).agg(count(lit(1)).cast("long").as("s_ab"))
       .filter(col("s_ab") >= RulesMinSup)
+      .persist() // both rule directions read it — without this the
+                 // per-order self-join + distinct runs twice
     val po = l.groupBy(col("l_partkey").as("p"))
       .agg(countDistinct(col("l_orderkey")).cast("long").as("s_p"))
+      .persist() // antecedent and consequent support joins both read it
     val nOrders = l.agg(countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
     val rules = sup.select(col("u").as("ante"), col("v").as("cons"), col("s_ab"))
       .unionAll(sup.select(col("v").as("ante"), col("u").as("cons"), col("s_ab")))
@@ -978,22 +981,28 @@ object AuditQueries {
     }
     val x = series("click")
     val y = series("view")
-    val sx = broadcast(stats(x).select(col("n").as("nx"), col("s").as("sxs"), col("d2").as("dx2")))
-    val sy = broadcast(stats(y).select(col("n").as("ny"), col("s").as("sys"), col("d2").as("dy2")))
+    // the per-series stats are ONE exact-integer row each — collect
+    // them once and inline as literals (the scalar the SQL oracle's
+    // 1-row CTE cross join expresses): 7 lag branches then share the
+    // values with zero extra jobs or broadcast exchanges
+    val (nx, sxs, dx2) = { val r = stats(x).head()
+      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)) }
+    val (ny, sys, dy2) = { val r = stats(y).head()
+      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)) }
     val lagRows = CcfLags.map { k =>
       x.select(col("grid"), col("y").as("xv"))
         .join(y.select((col("grid") - k).as("grid"), col("y").as("yv")), "grid")
-        .crossJoin(sx).crossJoin(sy)
         .agg(count(lit(1)).as("n_overlap"),
-          first(col("dx2")).as("dx2"), first(col("dy2")).as("dy2"),
-          sum((col("nx").cast("decimal(38,0)") * col("xv") - col("sxs")) *
-            (col("ny").cast("decimal(38,0)") * col("yv") - col("sys")))
+          sum((lit(nx).cast("decimal(38,0)") * col("xv") - lit(sxs)) *
+            (lit(ny).cast("decimal(38,0)") * col("yv") - lit(sys)))
             .cast("decimal(38,0)").as("num"))
         .select(lit(k.toLong).as("lag"), col("n_overlap"),
-          when(col("dx2") > 0 && col("dy2") > 0,
-            round(col("num").cast("double") /
-              (sqrt(col("dx2").cast("double")) * sqrt(col("dy2").cast("double"))), 6)
-              + lit(0.0)).as("r"))
+          if (dx2 > 0 && dy2 > 0)
+            (round(col("num").cast("double") /
+              (sqrt(lit(dx2.toString).cast("decimal(38,0)").cast("double")) *
+               sqrt(lit(dy2.toString).cast("decimal(38,0)").cast("double"))), 6)
+              + lit(0.0)).as("r")
+          else lit(null).cast("double").as("r"))
     }
     lagRows.reduce(_.unionAll(_)).orderedSmall(col("lag"))
   }

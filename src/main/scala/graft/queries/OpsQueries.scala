@@ -74,8 +74,11 @@ object OpsQueries {
     val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
     val sup = a.join(b, "ok").filter(col("u") < col("v")).distinct()
       .groupBy(col("u"), col("v")).agg(count(lit(1)).cast("long").as("s_ab"))
+      .persist() // both candidate directions read it — without this the
+                 // per-order self-join + distinct runs twice
     val po = l.groupBy(col("l_partkey").as("p"))
       .agg(countDistinct(col("l_orderkey")).cast("long").as("s_p"))
+      .persist() // top-item slice and neighbor-support join both read it
     val top = broadcast(po.orderBy(col("s_p").desc, col("p")).limit(CfTopItems))
     val cand = sup.select(col("u").as("item"), col("v").as("neighbor"), col("s_ab"))
       .unionAll(sup.select(col("v").as("item"), col("u").as("neighbor"), col("s_ab")))
