@@ -178,11 +178,50 @@ object CcdQueries {
       .orderedSmall(col("frame"), col("rbin"))
   }
 
-  // Detector geometry for the I(q) gate: Pilatus-style 172 µm pixels
-  // at 300 mm, Cu Kα 1.5406 Å — the scalars every powder setup knows.
+  // Detector geometry (also used by the I(q) gate below): Pilatus-
+  // style 172 µm pixels at 300 mm, Cu Kα. Defined ABOVE every gate
+  // whose oracle string interpolates them — a val initializing after
+  // its reader silently interpolates 0.0 (object-init order).
   private val PxMm = 0.172
   private val DistMm = 300.0
   private val LambdaA = 1.5406
+  private val MuT = 0.15 // μ·t of the flat-plate sample (absorption gate)
+
+  /** #289 — flat-plate absorption correction: each ring's intensity
+    * divided by the transmission factor T(2θ) = exp(−μt·(sec 2θ − 1))
+    * (relative to normal incidence) with 2θ = atan(r·px/d) — the
+    * remaining classic of the CCD correction family (dark #100b,
+    * flat #219, solid-angle/polarization #130/#139, deadtime #144).
+    * Ring sums stay exact integers; the correction is one mirrored
+    * double per BOUNDED ring row (the #105 sin/atan precedent).
+    */
+  val qAbsorptionRadial = GateQuery.sql(
+    "q_absorption_radial", {
+      val (cx, cy) = (EW / 2, EH / 2)
+      val factorSql =
+        s"exp(-$MuT * (1.0 / cos(atan(rbin * $PxMm / $DistMm)) - 1.0))"
+      s"""WITH px AS (SELECT f.f AS frame,
+         |    (3 + 37 * f.f + 17 * r.r + 5 * c.c) % 251 AS v,
+         |    CAST(floor(sqrt((c.c - $cx) * (c.c - $cx) + (r.r - $cy) * (r.r - $cy))) AS BIGINT) AS rbin
+         |  FROM range(0, $EFrames) f(f), range(0, $EH) r(r), range(0, $EW) c(c))
+         |SELECT CAST(frame AS BIGINT) AS frame, rbin,
+         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS i_sum,
+         |  round($factorSql, 6) + 0.0 AS absorb_factor,
+         |  round(CAST(sum(v) AS DOUBLE) / count(*) / $factorSql, 4) + 0.0 AS i_corr
+         |FROM px GROUP BY frame, rbin ORDER BY frame, rbin""".stripMargin
+    }) { (s, _) =>
+    val factor = exp(lit(-MuT) *
+      (lit(1.0) / cos(atan(col("rbin") * PxMm / DistMm)) - lit(1.0)))
+    graft.operators.Binning.radialProfile(
+        s.read.format("edf").load(edfFixture(s)),
+        col("frame"), col("width"), col("pixels"), cx = EW / 2, cy = EH / 2)
+      .withColumnRenamed("id", "frame")
+      .select(col("frame"), col("rbin"), col("n_px"), col("v_sum").as("i_sum"),
+        (round(factor, 6) + lit(0.0)).as("absorb_factor"),
+        (round(col("v_sum").cast("double") / col("n_px") / factor, 4) + lit(0.0))
+          .as("i_corr"))
+      .orderedSmall(col("frame"), col("rbin"))
+  }
 
   /** #105 — momentum-transfer azimuthal integration: the radial
     * profile's rings converted to q = (4π/λ)·sin(atan(r·px/d)/2) —
@@ -679,5 +718,5 @@ object CcdQueries {
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
     qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField,
-    qSigmaClip)
+    qSigmaClip, qAbsorptionRadial)
 }

@@ -793,7 +793,117 @@ object OpsQueries {
       .orderedSmall(col("cls"))
   }
 
+  /** Growth-accounting decomposition (#290): per day, the active
+    * user count split into new (first-ever day), retained (also
+    * active yesterday), resurrected (active before, but not
+    * yesterday), plus churned (active yesterday, absent today) — the
+    * standard product-growth identity
+    * (active_d = new + retained + resurrected;
+    * churned_d = active_{d−1} − retained_d). One (user, day)
+    * distinct relation, one user-ordered lag window, one day
+    * aggregate — all exact integers over the bounded day grid.
+    */
+  val qGrowthAcct = GateQuery.sql(
+    "q_growth_acct",
+    s"""WITH ud AS (SELECT DISTINCT user_id, xs // 86400 AS day FROM $E e),
+       |w AS (SELECT user_id, day,
+       |    min(day) OVER (PARTITION BY user_id) AS first_day,
+       |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+       |  FROM ud),
+       |cls AS (SELECT day,
+       |    CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+       |    CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END AS is_ret,
+       |    CASE WHEN day <> first_day AND (prev_day IS NULL OR prev_day < day - 1)
+       |      THEN 1 ELSE 0 END AS is_res
+       |  FROM w),
+       |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+       |    CAST(sum(is_new) AS BIGINT) AS n_new,
+       |    CAST(sum(is_ret) AS BIGINT) AS n_retained,
+       |    CAST(sum(is_res) AS BIGINT) AS n_resurrected
+       |  FROM cls GROUP BY 1)
+       |SELECT CAST(day AS BIGINT) AS day, n_active, n_new, n_retained, n_resurrected,
+       |  coalesce(lag(n_active) OVER (ORDER BY day), 0) - n_retained AS n_churned
+       |FROM d ORDER BY day""".stripMargin) { (s, d) =>
+    val ud = ev(s, d)
+      .select(col("user_id"), Binning.floorDiv(col("xs"), 86400L).as("day")).distinct()
+    val w = ud
+      .withColumn("first_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("prev_day", lag(col("day"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+    val cls = w.select(col("day"),
+      when(col("day") === col("first_day"), 1L).otherwise(0L).as("is_new"),
+      when(col("prev_day") === col("day") - 1, 1L).otherwise(0L).as("is_ret"),
+      when(col("day") =!= col("first_day") &&
+        (col("prev_day").isNull || col("prev_day") < col("day") - 1), 1L)
+        .otherwise(0L).as("is_res"))
+    val dd = cls.groupBy(col("day")).agg(
+      count(lit(1)).cast("long").as("n_active"),
+      sum(col("is_new")).cast("long").as("n_new"),
+      sum(col("is_ret")).cast("long").as("n_retained"),
+      sum(col("is_res")).cast("long").as("n_resurrected"))
+    dd.withColumn("n_churned",
+        coalesce(lag(col("n_active"), 1).over(Window.orderBy(col("day"))), lit(0L))
+          - col("n_retained"))
+      .select(col("day").cast("long").as("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderedSmall(col("day"))
+  }
+
+  /** Tukey-HSD pairwise comparisons (#291): after the one-way ANOVA
+    * (#211) says "some cohort differs", WHICH pairs differ — the
+    * studentized-range statistic q = (m_i − m_j)/√(MSE/2·(1/n_i +
+    * 1/n_j)) for all 28 cohort pairs. Per-cohort (n, S, Q) exact in
+    * one aggregate; MSE = exact micro within-variance; pairs form on
+    * the 8-row stats relation (broadcast self-join), q one mirrored
+    * double per pair.
+    */
+  val qTukey = GateQuery.sql(
+    "q_tukey",
+    s"""WITH e AS (SELECT user_id % 8 AS g, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type IN ('click', 'view', 'purchase')),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q FROM e GROUP BY g),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(q) AS HUGEINT) AS qq,
+       |    CAST(sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS HUGEINT) AS a_scaled
+       |  FROM a),
+       |mse AS (SELECT CAST(qq * 1000000 - a_scaled AS DOUBLE) / 1000000.0 / (nn - k) AS mse
+       |  FROM t)
+       |SELECT x.g AS g1, y.g AS g2, x.n AS n1, y.n AS n2,
+       |  round(CAST(x.s AS DOUBLE) / x.n - CAST(y.s AS DOUBLE) / y.n, 4) + 0.0 AS mean_diff,
+       |  CASE WHEN mse > 0 THEN
+       |    round((CAST(x.s AS DOUBLE) / x.n - CAST(y.s AS DOUBLE) / y.n)
+       |      / sqrt(mse / 2 * (1.0 / x.n + 1.0 / y.n)), 4) + 0.0 END AS q_stat
+       |FROM a x JOIN a y ON x.g < y.g, mse
+       |ORDER BY g1, g2""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view", "purchase"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), Exact.cents(col("vd")).as("c"))
+    val a = e.groupBy(col("g")).agg(
+      count(lit(1)).cast("long").as("n"), sum(col("c")).cast("long").as("s"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q"))
+      .persist() // 8 rows; read by the totals, both pair sides
+    val t = a.agg(
+      count(lit(1)).cast("long").as("k"), sum(col("n")).cast("long").as("nn"),
+      sum(col("q")).cast("decimal(38,0)").as("qq"),
+      sum(Exact.floorDivBig(col("s").cast("decimal(38,0)") * col("s") * lit(1000000L),
+        col("n"))).cast("decimal(38,0)").as("a_scaled"))
+    val mseRow = t.select(((col("qq") * lit(1000000L) - col("a_scaled")).cast("double")
+      / lit(1000000.0) / (col("nn") - col("k"))).as("mse")).head()
+    val mse = mseRow.getDouble(0)
+    val x = a.select(col("g").as("g1"), col("n").as("n1"), col("s").as("s1"))
+    val y = a.select(col("g").as("g2"), col("n").as("n2"), col("s").as("s2"))
+    val diff = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
+    x.join(broadcast(y), col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        (round(diff, 4) + lit(0.0)).as("mean_diff"),
+        (if (mse > 0)
+          round(diff / sqrt(lit(mse) / 2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4)
+            + lit(0.0)
+        else lit(null).cast("double")).as("q_stat"))
+      .orderedSmall(col("g1"), col("g2"))
+  }
+
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
     qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains,
-    qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc)
+    qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey)
 }

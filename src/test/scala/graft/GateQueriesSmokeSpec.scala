@@ -52,7 +52,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_assoc_rules", // (n_orders) corpus-total single-row scalar
     "q_kcore", // per-k (n_edges)⋈(n_nodes) 1-row summary join
     "q_ccf", // per-series (n, S, Σdev²) single-row stats broadcasts
-    "q_ref_integrity") // five 1-row audit counters crossed into one row
+    "q_ref_integrity", // five 1-row audit counters crossed into one row
+    "q_tukey") // 8-row cohort-stats pair product (bounded by k², not data)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
