@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Binning, Exact}
+import graft.operators.{Binning, Curation, Exact}
 import graft.operators.Exact.centsSql
 
 /** Data-engineering / application-layer gates (SURVEY.md §2
@@ -903,7 +903,105 @@ object OpsQueries {
       .orderedSmall(col("g1"), col("g2"))
   }
 
+  /** Cohort LTV curves (#292): per signup-week cohort and weeks-
+    * since-signup, cumulative revenue per cohort member — the
+    * lifetime-value view the retention matrix (#126) lacks (it
+    * counts heads, this follows money). Signup = first active week
+    * (one window); revenue exact cents; cumulative per cohort over
+    * the bounded week grid; per-member LTV a HALF_UP integer ratio.
+    */
+  val qCohortLtv = GateQuery.sql(
+    "q_cohort_ltv",
+    s"""WITH e AS (SELECT user_id, xs // 604800 AS week, ${centsSql("vd")} AS c
+       |  FROM $E t),
+       |u AS (SELECT user_id, week, c,
+       |    min(week) OVER (PARTITION BY user_id) AS cohort
+       |  FROM e),
+       |cs AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM u GROUP BY 1),
+       |r AS (SELECT cohort, week - cohort AS age,
+       |    CAST(sum(c) AS BIGINT) AS rev FROM u GROUP BY 1, 2),
+       |cum AS (SELECT cohort, age, rev,
+       |    CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT) AS cum_rev
+       |  FROM r)
+       |SELECT CAST(cum.cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+       |  cs.n_users, rev AS rev_cents,
+       |  (2 * cum_rev + cs.n_users) // (2 * cs.n_users) AS ltv_cents
+       |FROM cum JOIN cs ON cum.cohort = cs.cohort
+       |ORDER BY cohort, age""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("user_id"),
+      Binning.floorDiv(col("xs"), 604800L).as("week"), Exact.cents(col("vd")).as("c"))
+    val u = e.withColumn("cohort", min(col("week")).over(
+      Window.partitionBy(col("user_id"))))
+    val cs = u.groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+    val r = u.groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+      .agg(sum(col("c")).cast("long").as("rev"))
+    val cum = r.withColumn("cum_rev",
+      sum(col("rev")).over(Window.partitionBy(col("cohort")).orderBy(col("age")))
+        .cast("long"))
+    cum.join(broadcast(cs), "cohort")
+      .select(col("cohort").cast("long").as("cohort"), col("age").cast("long").as("age"),
+        col("n_users"), col("rev").as("rev_cents"),
+        Binning.floorDivCol(lit(2L) * col("cum_rev") + col("n_users"),
+          lit(2L) * col("n_users")).as("ltv_cents"))
+      .orderedSmall(col("cohort"), col("age"))
+  }
+
+  private val EssCapMicro = 10000000L // clamp ln w at ±10 nats
+
+  /** Importance-weight effective sample size (#293): ESS =
+    * (Σw)²/Σw² over the DSIR weights (#91) — the reweighting health
+    * metric (Kong 1992): ESS/n → 1 means the target changed nothing,
+    * → 0 means a few documents dominate and the resample will
+    * collapse. Each w = exp(clamp(lnw)) is micro-floored per row
+    * BEFORE the sums (order-independent exact integers; the ±10-nat
+    * clamp bounds w at e¹⁰ so Σw² stays in decimal(38) at any corpus
+    * size — clamping is standard ESS practice for exactly this
+    * reason); the final ratio is one mirrored double.
+    */
+  val qEss = GateQuery.sql(
+    "q_ess", {
+      val bkts = 4096
+      val wSql = "CAST(floor(exp(" +
+        s"least(greatest(w_micro, -$EssCapMicro), $EssCapMicro) / 1000000.0" +
+        ") * 1000000) AS BIGINT)"
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id, lang, unnest(${graft.operators.Curation.bigramBucketsSql(bkts)}) AS b
+         |  FROM toks),
+         |cb AS (SELECT b, count(*) AS cr,
+         |    count(*) FILTER (lang = 'en') AS ct FROM bg GROUP BY b),
+         |st AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cb),
+         |lr AS (SELECT b, CAST(floor((ln((ct + 1.0) / (nt + $bkts))
+         |      - ln((cr + 1.0) / (nr + $bkts))) * 1000000) AS BIGINT) AS q
+         |  FROM cb, st),
+         |dw AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS w_micro
+         |  FROM bg JOIN lr USING (b) GROUP BY doc_id),
+         |ws AS (SELECT doc_id, $wSql AS w FROM dw),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS HUGEINT) AS sw,
+         |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2 FROM ws)
+         |SELECT n AS n_docs,
+         |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 3) + 0.0 AS ess,
+         |  CAST((CAST(sw AS HUGEINT) * sw * 1000000) // (sw2 * n) AS BIGINT) AS ess_over_n_ppm
+         |FROM a""".stripMargin
+    }) { (s, d) =>
+    val bkts = 4096
+    val dw = Curation.dsirWeights(Tables.documents(s, d), bkts)
+    val w = dw.select(
+      floor(exp(least(greatest(col("w_micro"), lit(-EssCapMicro)), lit(EssCapMicro))
+        / lit(1000000.0)) * lit(1000000)).cast("long").as("w"))
+    val a = w.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("w")).cast("decimal(38,0)").as("sw"),
+      sum(col("w").cast("decimal(38,0)") * col("w")).cast("decimal(38,0)").as("sw2"))
+    a.select(col("n").as("n_docs"),
+      (round(col("sw").cast("double") * col("sw").cast("double")
+        / col("sw2").cast("double"), 3) + lit(0.0)).as("ess"),
+      Exact.floorDivBig(col("sw") * col("sw") * lit(1000000L),
+        col("sw2") * col("n")).cast("long").as("ess_over_n_ppm"))
+  }
+
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
     qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains,
-    qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey)
+    qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey,
+    qCohortLtv, qEss)
 }
