@@ -51,7 +51,6 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_mmr_rerank", // brute-force pool scoring (same as q_knn_bruteforce)
     "q_assoc_rules", // (n_orders) corpus-total single-row scalar
     "q_kcore", // per-k (n_edges)⋈(n_nodes) 1-row summary join
-    "q_ccf", // per-series (n, S, Σdev²) single-row stats broadcasts
     "q_ref_integrity", // five 1-row audit counters crossed into one row
     "q_tukey", // 8-row cohort-stats pair product (bounded by k², not data)
     "q_ess") // DSIR (nr, nt) corpus-totals single-row scalar (as q_dsir_weights)
