@@ -1265,9 +1265,67 @@ object AuditQueries {
     out.orderedSmall(col("dist"))
   }
 
+  /** Bhattacharyya coefficient / Hellinger distance (#294): per
+    * source vs the pooled corpus unigram distribution — BC =
+    * Σ_w √(p_s(w)·p_corpus(w)), H = √(1 − BC). The BOUNDED
+    * (H ∈ [0,1]) geometric divergence next to KL (#138), JSD
+    * (#252), PSI (#277), W1 (#169) and KS (#206) — it penalizes
+    * mass the source has where the corpus is thin via the √ product
+    * (no ln, so no OOV-floor bookkeeping: a word absent from either
+    * side contributes exactly 0). Every √ term is micro-FLOORED
+    * before the source-keyed integer sum, so the aggregate is
+    * order/partitioning-independent; the √ argument is one mirrored
+    * double of exact integers (products < 2^53 at any count the
+    * vocab relation can hold). Shape: the (source, word) COUNT
+    * relation (vocab-bounded, never corpus tokens) joins the
+    * word-keyed corpus counts; totals ride 1-row/source-row
+    * broadcasts. BC ≤ 1e6 structurally (flooring only loses mass).
+    */
+  val qBhattacharyya = GateQuery.sql(
+    "q_bhattacharyya",
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |sw AS (SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2),
+       |cw AS (SELECT word, CAST(sum(c) AS BIGINT) AS cc FROM sw GROUP BY 1),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ntot FROM cw),
+       |ag AS (SELECT s.source, any_value(n.n) AS n_tokens,
+       |    CAST(sum(CAST(floor(sqrt((1.0 * s.c * w.cc) / (1.0 * n.n * t.ntot))
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS bc_micro
+       |  FROM sw s JOIN cw w ON s.word = w.word
+       |  JOIN ns n ON s.source = n.source CROSS JOIN tot t
+       |  GROUP BY s.source)
+       |SELECT source, n_tokens, bc_micro,
+       |  round(sqrt(greatest(1000000 - bc_micro, 0) / 1000000.0), 6) + 0.0
+       |    AS hellinger
+       |FROM ag ORDER BY source""".stripMargin) { (s, d) =>
+    // the (source, word) counts feed THREE consumers (corpus counts,
+    // source totals, the scored join) — materialize once
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .persist() // freed by the harness post-action
+    val cw = sw.groupBy(col("word")).agg(sum(col("c")).cast("long").as("cc"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n"))
+    val tot = cw.agg(sum(col("cc")).cast("long").as("ntot"))
+    val j = sw.join(cw, "word")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+    // mirrored double of exact ints, micro-floored BEFORE the sum
+    val term = floor(sqrt((lit(1.0) * col("c") * col("cc")) /
+      (lit(1.0) * col("n") * col("ntot"))) * lit(1000000)).cast("long")
+    val ag = j.groupBy(col("source")).agg(
+      first(col("n")).as("n_tokens"), sum(term).cast("long").as("bc_micro"))
+    ag.select(col("source"), col("n_tokens"), col("bc_micro"),
+        (round(sqrt(greatest(lit(1000000L) - col("bc_micro"), lit(0L)) / lit(1000000.0)), 6)
+          + lit(0.0)).as("hellinger"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
-    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops)
+    qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
+    qBhattacharyya)
 }

@@ -1607,10 +1607,138 @@ object StatsQueries {
       .orderedSmall(col("n_members").desc, col("community"))
   }
 
+  /** Cliff's delta effect size (#295): per user cohort, how often a
+    * 'click' value exceeds a 'view' value — δ = (#greater − #less) /
+    * (n₁·n₂), the nonparametric ordinal effect size that reports the
+    * MAGNITUDE behind Mann–Whitney's (#212) significance (δ =
+    * 2·AUC − 1). Pair counts come from the VALUE-COLLAPSED (cohort,
+    * cents) grid: for each click value, strictly-smaller view mass is
+    * one running-sum window over distinct values — never an n₁×n₂
+    * pair stage, never a per-row sort. All counts exact integers
+    * (decimal-lifted: Σ c₁·cum₂ reaches n₁·n₂); δ is ONE mirrored
+    * double division at the end.
+    */
+  val qCliffsDelta = GateQuery.sql(
+    "q_cliffs_delta",
+    s"""WITH g AS (SELECT user_id % 8 AS g, ${centsSql("vd")} AS v,
+       |    count(*) FILTER (event_type = 'click') AS c1,
+       |    count(*) FILTER (event_type = 'view') AS c2
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+       |w AS (SELECT g, v, c1, c2,
+       |    coalesce(sum(c2) OVER (PARTITION BY g ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt2,
+       |    sum(c2) OVER (PARTITION BY g) AS n2,
+       |    sum(c1) OVER (PARTITION BY g) AS n1
+       |  FROM g),
+       |a AS (SELECT g, any_value(n1) AS n1, any_value(n2) AS n2,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * lt2) AS HUGEINT) AS gt,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * (n2 - lt2 - c2)) AS HUGEINT) AS lt,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS ties
+       |  FROM w GROUP BY g)
+       |SELECT g AS cohort, CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+       |  CAST(gt AS BIGINT) AS n_greater, CAST(lt AS BIGINT) AS n_less,
+       |  CAST(ties AS BIGINT) AS n_ties,
+       |  CASE WHEN n1 > 0 AND n2 > 0
+       |    THEN round(CAST(gt - lt AS DOUBLE) / (1.0 * n1 * n2), 6) + 0.0
+       |    ELSE NULL END AS cliffs_delta
+       |FROM a ORDER BY cohort""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+    val gr = e.groupBy(pmod(col("user_id"), lit(8L)).as("g"), Exact.cents(col("vd")).as("v"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c1"),
+           count(when(col("event_type") === "view", 1)).as("c2"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("g"))
+    val w = gr
+      .withColumn("lt2", coalesce(sum(col("c2")).over(wOrd), lit(0L)))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+    val a = w.groupBy(col("g")).agg(
+      first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+      sum(col("c1").cast("decimal(38,0)") * col("lt2")).cast("decimal(38,0)").as("gt"),
+      sum(col("c1").cast("decimal(38,0)") * (col("n2") - col("lt2") - col("c2")))
+        .cast("decimal(38,0)").as("lt"),
+      sum(col("c1").cast("decimal(38,0)") * col("c2")).cast("decimal(38,0)").as("ties"))
+    a.select(col("g").as("cohort"),
+        col("n1").cast("long").as("n_click"), col("n2").cast("long").as("n_view"),
+        col("gt").cast("long").as("n_greater"), col("lt").cast("long").as("n_less"),
+        col("ties").cast("long").as("n_ties"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round((col("gt") - col("lt")).cast("double") /
+            (lit(1.0) * col("n1") * col("n2")), 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("cliffs_delta"))
+      .orderedSmall(col("cohort"))
+  }
+
+  /** Odds ratio with Woolf standard error (#296): the 2×2
+    * exposure-outcome audit on the odds scale — users collapse to
+    * (exposed = user_id mod 2, converted = any purchase), the four
+    * cells fill in ONE conditional aggregate, and OR = (a·d)/(b·c)
+    * is reported as an EXACT ppm floor division plus ln OR in
+    * micro-nats, the Woolf SE √(1/a+1/b+1/c+1/d) and its z — the
+    * effect-size companion to the two-proportion z-test (#230,
+    * difference scale) and McNemar (#259, paired). Zero cells guard
+    * every derived statistic to NULL via exact integer predicates on
+    * both engines (Spark 4 ANSI errors even double ÷0).
+    */
+  val qOddsRatio = GateQuery.sql(
+    "q_odds_ratio",
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM $E e GROUP BY user_id),
+       |c AS (SELECT
+       |    count(*) FILTER (user_id % 2 = 1 AND conv = 1) AS a,
+       |    count(*) FILTER (user_id % 2 = 1 AND conv = 0) AS b,
+       |    count(*) FILTER (user_id % 2 = 0 AND conv = 1) AS c,
+       |    count(*) FILTER (user_id % 2 = 0 AND conv = 0) AS d
+       |  FROM u)
+       |SELECT CAST(a AS BIGINT) AS n_exp_conv, CAST(b AS BIGINT) AS n_exp_non,
+       |  CAST(c AS BIGINT) AS n_ctl_conv, CAST(d AS BIGINT) AS n_ctl_non,
+       |  CASE WHEN b > 0 AND c > 0
+       |    THEN CAST((CAST(a AS HUGEINT) * d * 1000000) // (CAST(b AS HUGEINT) * c) AS BIGINT)
+       |    ELSE NULL END AS odds_ratio_ppm,
+       |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+       |    THEN ${Curation.microLnSql("(1.0 * a * d) / (1.0 * b * c)")}
+       |    ELSE NULL END AS ln_or_micro,
+       |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+       |    THEN round(sqrt(((1.0 / a + 1.0 / b) + 1.0 / c) + 1.0 / d), 6) + 0.0
+       |    ELSE NULL END AS se_ln_or,
+       |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+       |    THEN round(ln((1.0 * a * d) / (1.0 * b * c))
+       |      / sqrt(((1.0 / a + 1.0 / b) + 1.0 / c) + 1.0 / d), 6) + 0.0
+       |    ELSE NULL END AS z
+       |FROM c""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("ex", pmod(col("user_id"), lit(2L)))
+    val cdf = u.agg(
+      count(when(col("ex") === 1 && col("conv") === 1, 1)).as("a"),
+      count(when(col("ex") === 1 && col("conv") === 0, 1)).as("b"),
+      count(when(col("ex") === 0 && col("conv") === 1, 1)).as("c"),
+      count(when(col("ex") === 0 && col("conv") === 0, 1)).as("d"))
+    val lnArg = (lit(1.0) * col("a") * col("d")) / (lit(1.0) * col("b") * col("c"))
+    val se = sqrt(((lit(1.0) / col("a") + lit(1.0) / col("b")) + lit(1.0) / col("c"))
+      + lit(1.0) / col("d"))
+    val pos = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    cdf.select(
+        col("a").cast("long").as("n_exp_conv"), col("b").cast("long").as("n_exp_non"),
+        col("c").cast("long").as("n_ctl_conv"), col("d").cast("long").as("n_ctl_non"),
+        when(col("b") > 0 && col("c") > 0,
+          floorDivBig(col("a").cast("decimal(38,0)") * col("d") * lit(1000000L),
+            col("b").cast("decimal(38,0)") * col("c")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("odds_ratio_ppm"),
+        when(pos, Curation.microLn(lnArg)).otherwise(lit(null).cast("long")).as("ln_or_micro"),
+        when(pos, round(se, 6) + lit(0.0)).otherwise(lit(null).cast("double")).as("se_ln_or"),
+        when(pos, round(log(lnArg) / se, 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("z"))
+      .orderedSmall(col("n_exp_conv"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
-    qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp)
+    qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
+    qCliffsDelta, qOddsRatio)
 }
