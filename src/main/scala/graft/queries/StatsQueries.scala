@@ -1734,11 +1734,206 @@ object StatsQueries {
       .orderedSmall(col("n_exp_conv"))
   }
 
+  /** Empirical-Bayes rate shrinkage (#297): beta-binomial shrinkage
+    * of per-user purchase rates (Robbins 1956 / the "small-n rate
+    * ranking" classic) — a user with 1/1 purchases must NOT outrank
+    * one with 90/100. Method-of-moments prior (α, β) from the
+    * corpus-wide rate distribution; posterior mean (k+α)/(n+α+β)
+    * per user. Discipline: raw rates are ppm-FLOORED integers
+    * before the moment sums (Σp, Σp² exact — a float Σ(k/n) is
+    * order-dependent), the prior is ONE mirrored double pair on a
+    * 1-row broadcast, and each user's shrunk rate is micro-floored
+    * back to an integer before the cohort mean. Degenerate variance
+    * (vr ≤ 0 or ≥ m(1−m)) falls back to the uniform prior α=β=1 on
+    * both engines.
+    */
+  val qEbShrinkage = GateQuery.sql(
+    "q_eb_shrinkage",
+    s"""WITH u AS (SELECT user_id, count(*) AS n,
+       |    count(*) FILTER (event_type = 'purchase') AS k
+       |  FROM $E e GROUP BY user_id),
+       |p AS (SELECT user_id, n, k, CAST(k * 1000000 // n AS BIGINT) AS p_ppm FROM u),
+       |st AS (SELECT count(*) AS nu, CAST(sum(p_ppm) AS HUGEINT) AS sp,
+       |    CAST(sum(CAST(p_ppm AS HUGEINT) * p_ppm) AS HUGEINT) AS sq FROM p),
+       |pr AS (SELECT nu,
+       |    CAST(sp AS DOUBLE) / nu / 1000000.0 AS mr,
+       |    (CAST(sq AS DOUBLE) / nu - (CAST(sp AS DOUBLE) / nu) * (CAST(sp AS DOUBLE) / nu))
+       |      / 1000000000000.0 AS vr
+       |  FROM st),
+       |ab AS (SELECT
+       |    CASE WHEN vr > 0 AND mr * (1.0 - mr) > vr
+       |      THEN mr * (mr * (1.0 - mr) / vr - 1.0) ELSE 1.0 END AS alpha,
+       |    CASE WHEN vr > 0 AND mr * (1.0 - mr) > vr
+       |      THEN (1.0 - mr) * (mr * (1.0 - mr) / vr - 1.0) ELSE 1.0 END AS beta
+       |  FROM pr),
+       |sh AS (SELECT p.user_id % 8 AS g, p.n, p.k,
+       |    CAST(floor((p.k + a.alpha) * 1000000.0 / (p.n + a.alpha + a.beta)) AS BIGINT) AS s_ppm,
+       |    a.alpha AS alpha, a.beta AS beta
+       |  FROM p CROSS JOIN ab a)
+       |SELECT g AS cohort, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(k) * 1000000 // sum(n) AS BIGINT) AS raw_rate_ppm,
+       |  CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_shrunk_ppm,
+       |  round(any_value(alpha), 6) + 0.0 AS alpha,
+       |  round(any_value(beta), 6) + 0.0 AS beta
+       |FROM sh GROUP BY g ORDER BY cohort""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      count(when(col("event_type") === "purchase", 1)).as("k"))
+    val p = u.withColumn("p_ppm", expr("k * 1000000 div n"))
+    val st = p.agg(count(lit(1)).as("nu"),
+      sum(col("p_ppm")).cast("decimal(38,0)").as("sp"),
+      sum(col("p_ppm").cast("decimal(38,0)") * col("p_ppm")).cast("decimal(38,0)").as("sq"))
+    val mr = col("sp").cast("double") / col("nu") / lit(1000000.0)
+    val vr = (col("sq").cast("double") / col("nu") -
+      (col("sp").cast("double") / col("nu")) * (col("sp").cast("double") / col("nu"))) /
+      lit(1000000000000.0)
+    val s0 = mr * (lit(1.0) - mr) / vr - lit(1.0)
+    val ok = vr > 0 && mr * (lit(1.0) - mr) > vr
+    val ab = st.select(
+      when(ok, mr * s0).otherwise(lit(1.0)).as("alpha"),
+      when(ok, (lit(1.0) - mr) * s0).otherwise(lit(1.0)).as("beta"))
+    val sh = p.crossJoin(broadcast(ab))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("n"), col("k"),
+        floor((col("k") + col("alpha")) * lit(1000000.0) /
+          (col("n") + col("alpha") + col("beta"))).cast("long").as("s_ppm"),
+        col("alpha"), col("beta"))
+    sh.groupBy(col("g")).agg(
+        count(lit(1)).cast("long").as("n_users"),
+        floorDivBig(sum(col("k")).cast("decimal(38,0)") * lit(1000000L),
+          sum(col("n")).cast("decimal(38,0)")).cast("long").as("raw_rate_ppm"),
+        floorDivBig(sum(col("s_ppm")).cast("decimal(38,0)"),
+          count(lit(1)).cast("decimal(38,0)")).cast("long").as("mean_shrunk_ppm"),
+        (round(first(col("alpha")), 6) + lit(0.0)).as("alpha"),
+        (round(first(col("beta")), 6) + lit(0.0)).as("beta"))
+      .withColumnRenamed("g", "cohort")
+      .orderedSmall(col("cohort"))
+  }
+
+  /** A/B-test power: minimum detectable effect (#298): per event
+    * type, the smallest true mean difference a two-sample test on
+    * the current cohort sizes would detect at α = 0.05 (two-sided)
+    * with 80% power — MDE = (z_{α/2} + z_β)·s_p·√(1/n₁+1/n₂), the
+    * experiment-DESIGN companion to Welch's t (#179, which judges
+    * after the fact). The z quantiles are LITERAL doubles written
+    * identically on both engines (the NDCG/Benford literal-domain
+    * trick — no inverse-CDF libm in the gate path); pooled variance
+    * comes from exact integer (n, S, Q) cells in ONE conditional
+    * aggregate. Degenerate cohorts (n ≤ 1) or zero pooled variance
+    * (exact integer predicate) → NULL.
+    */
+  val qPowerMde = GateQuery.sql(
+    "q_power_mde",
+    s"""WITH c AS (SELECT event_type, user_id, ${centsSql("vd")} AS c FROM $E e),
+       |a AS (SELECT event_type,
+       |    count(*) FILTER (user_id % 2 = 0) AS n1,
+       |    CAST(coalesce(sum(c) FILTER (user_id % 2 = 0), 0) AS BIGINT) AS s1,
+       |    CAST(coalesce(sum(CAST(c AS HUGEINT) * c) FILTER (user_id % 2 = 0), 0) AS HUGEINT) AS q1,
+       |    count(*) FILTER (user_id % 2 = 1) AS n2,
+       |    CAST(coalesce(sum(c) FILTER (user_id % 2 = 1), 0) AS BIGINT) AS s2,
+       |    CAST(coalesce(sum(CAST(c AS HUGEINT) * c) FILTER (user_id % 2 = 1), 0) AS HUGEINT) AS q2
+       |  FROM c GROUP BY 1)
+       |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  CASE WHEN n1 > 1 AND n2 > 1
+       |      AND (n1 * q1 - CAST(s1 AS HUGEINT) * s1) + (n2 * q2 - CAST(s2 AS HUGEINT) * s2) > 0
+       |    THEN round((1.959964 + 0.841621)
+       |      * sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+       |            + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)) / (n1 + n2 - 2))
+       |      * sqrt(1.0 / n1 + 1.0 / n2), 4) + 0.0
+       |    ELSE NULL END AS mde_cents,
+       |  round(CAST(s1 + s2 AS DOUBLE) / (n1 + n2), 4) + 0.0 AS pooled_mean_cents
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val c = ev(s, d).select(col("event_type"), col("user_id"), Exact.cents(col("vd")).as("c"))
+    def side(i: Int, r: Int): Seq[Column] = {
+      val f = pmod(col("user_id"), lit(2L)) === r
+      Seq(count(when(f, 1)).as(s"n$i"),
+        coalesce(Exact.sumUnits(when(f, col("c"))), lit(0)).cast("long").as(s"s$i"),
+        coalesce(sum(when(f, col("c") * col("c")).cast("decimal(38,0)")), lit(0))
+          .cast("decimal(38,0)").as(s"q$i"))
+    }
+    val a = c.groupBy(col("event_type")).agg(
+      side(1, 0).head, (side(1, 0).tail ++ side(2, 1)): _*)
+    val ssw = (col("n1") * col("q1") - col("s1").cast("decimal(38,0)") * col("s1")) +
+      (col("n2") * col("q2") - col("s2").cast("decimal(38,0)") * col("s2"))
+    val sp = sqrt(((col("q1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) +
+      (col("q2").cast("double") - col("s2").cast("double") * col("s2") / col("n2"))) /
+      (col("n1") + col("n2") - 2))
+    a.select(col("event_type"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        when(col("n1") > 1 && col("n2") > 1 && ssw > 0,
+          round(lit(1.959964 + 0.841621) * sp * sqrt(lit(1.0) / col("n1") + lit(1.0) / col("n2")), 4)
+            + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("mde_cents"),
+        (round((col("s1") + col("s2")).cast("double") / (col("n1") + col("n2")), 4) + lit(0.0))
+          .as("pooled_mean_cents"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Gumbel extreme-value fit (#299): per event type, fit a Gumbel
+    * distribution to the HOURLY BLOCK MAXIMA of the value series
+    * (the Fisher–Tippett/EVT domain for exponential-tailed maxima)
+    * by method of moments — β̂ = √(6·s²)/π, μ̂ = x̄ − γ·β̂ — and
+    * report the 100-block return level μ̂ + β̂·(−ln(−ln(0.99))):
+    * "what hourly peak do we see once per 100 hours", the capacity-
+    * planning question next to the Hill TAIL-INDEX (#240, power-law
+    * tails) and max-drawdown (#284). Block maxima are exact integer
+    * cents off the calendar-bounded (type, hour) grid; π, Euler γ
+    * and the return-level constant are literals written identically
+    * on both engines (libm never runs in the gate path); variance
+    * positivity is an exact integer predicate.
+    */
+  val qExtremeValue = GateQuery.sql(
+    "q_extreme_value",
+    s"""WITH b AS (SELECT event_type, ts_us // 3600000000 AS hr,
+       |    max(${centsSql("vd")}) AS mx
+       |  FROM $E e GROUP BY 1, 2),
+       |a AS (SELECT event_type, count(*) AS nb, CAST(sum(mx) AS HUGEINT) AS sb,
+       |    CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS qb
+       |  FROM b GROUP BY 1)
+       |SELECT event_type, CAST(nb AS BIGINT) AS n_blocks,
+       |  CASE WHEN nb > 1 AND nb * qb - sb * sb > 0
+       |    THEN round(CAST(sb AS DOUBLE) / nb - 0.5772156649015329
+       |      * (sqrt(6.0 * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)))
+       |         / 3.141592653589793), 4) + 0.0
+       |    ELSE NULL END AS mu_cents,
+       |  CASE WHEN nb > 1 AND nb * qb - sb * sb > 0
+       |    THEN round(sqrt(6.0 * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)))
+       |      / 3.141592653589793, 4) + 0.0
+       |    ELSE NULL END AS beta_cents,
+       |  CASE WHEN nb > 1 AND nb * qb - sb * sb > 0
+       |    THEN round(CAST(sb AS DOUBLE) / nb - 0.5772156649015329
+       |      * (sqrt(6.0 * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)))
+       |         / 3.141592653589793)
+       |      + (sqrt(6.0 * ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)))
+       |         / 3.141592653589793) * 4.600149226776579, 4) + 0.0
+       |    ELSE NULL END AS ret100_cents
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val b = ev(s, d).groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .agg(max(Exact.cents(col("vd"))).as("mx"))
+    val a = b.groupBy(col("event_type")).agg(
+      count(lit(1)).as("nb"),
+      sum(col("mx")).cast("decimal(38,0)").as("sb"),
+      sum(col("mx").cast("decimal(38,0)") * col("mx")).cast("decimal(38,0)").as("qb"))
+    val okVar = col("nb") > 1 &&
+      col("nb") * col("qb") - col("sb").cast("decimal(38,0)") * col("sb") > 0
+    val beta = sqrt(lit(6.0) * ((col("qb").cast("double") -
+      col("sb").cast("double") * col("sb") / col("nb")) / (col("nb") - 1))) /
+      lit(3.141592653589793)
+    val mu = col("sb").cast("double") / col("nb") - lit(0.5772156649015329) * beta
+    a.select(col("event_type"), col("nb").cast("long").as("n_blocks"),
+        when(okVar, round(mu, 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("mu_cents"),
+        when(okVar, round(beta, 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("beta_cents"),
+        when(okVar, round(mu + beta * lit(4.600149226776579), 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("ret100_cents"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio)
+    qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue)
 }

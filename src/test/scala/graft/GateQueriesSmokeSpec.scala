@@ -54,7 +54,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_ref_integrity", // five 1-row audit counters crossed into one row
     "q_tukey", // 8-row cohort-stats pair product (bounded by k², not data)
     "q_ess", // DSIR (nr, nt) corpus-totals single-row scalar (as q_dsir_weights)
-    "q_bhattacharyya") // (ntot) corpus-token-total single-row scalar
+    "q_bhattacharyya", // (ntot) corpus-token-total single-row scalar
+    "q_eb_shrinkage") // (alpha, beta) method-of-moments prior single-row scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
