@@ -1013,11 +1013,84 @@ object AnalysisQueries {
       .orderedSmall(col("wk"))
   }
 
+  /** Calinski–Harabasz cluster-quality index (#300): how separated
+    * are the embedding LABELS as clusters — CH = [B/(k−1)]/[W/(N−k)]
+    * (Calinski & Harabasz 1974), the variance-ratio audit that
+    * judges a labeling/clustering BEFORE SemDeDup (#87) or the IVF
+    * family trusts it. The ANOVA (#211) micro-floor discipline
+    * lifted to 64 dimensions: per (label, dim) cell the
+    * between-term (N·S_cd − n_c·S_d)²/(n_c·N²) and within-term
+    * (n_c·Q_cd − S_cd²)/n_c are each floored at micro precision in
+    * EXACT decimal/HUGEINT integers (Cauchy–Schwarz keeps both
+    * numerators nonnegative, so floor mirrors `//`), then summed
+    * over the k×64-row CELL relation — the corpus never moves after
+    * one (label, dim)-keyed aggregate over the 1e-6-quantized
+    * vectors. CH leaves as one exact ppm floor division.
+    */
+  val qCalinski = GateQuery.sql(
+    "q_calinski",
+    s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
+       |  FROM embeddings),
+       |cd AS (SELECT label, t.i AS dim, count(*) AS n,
+       |    CAST(sum(q[t.i]) AS HUGEINT) AS s,
+       |    CAST(sum(CAST(q[t.i] AS HUGEINT) * q[t.i]) AS HUGEINT) AS qq
+       |  FROM e, unnest(generate_series(1, len(q))) AS t(i) GROUP BY 1, 2),
+       |gd AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS sd,
+       |    CAST(sum(n) AS BIGINT) AS nt, count(*) AS k
+       |  FROM cd GROUP BY dim),
+       |t AS (SELECT c.label, c.dim,
+       |    (g.nt * c.s - c.n * g.sd) * (g.nt * c.s - c.n * g.sd) * 1000000
+       |      // (CAST(c.n AS HUGEINT) * g.nt * g.nt) AS b_micro,
+       |    (CAST(c.n AS HUGEINT) * c.qq - c.s * c.s) * 1000000 // c.n AS w_micro,
+       |    g.nt AS nt, g.k AS k
+       |  FROM cd c JOIN gd g ON c.dim = g.dim),
+       |a AS (SELECT CAST(sum(b_micro) AS HUGEINT) AS b, CAST(sum(w_micro) AS HUGEINT) AS w,
+       |    any_value(nt) AS nt, any_value(k) AS k FROM t)
+       |SELECT CAST(nt AS BIGINT) AS n_vecs, CAST(k AS BIGINT) AS n_clusters,
+       |  CAST(b // 1000000 AS BIGINT) AS between_unit2,
+       |  CAST(w // 1000000 AS BIGINT) AS within_unit2,
+       |  CASE WHEN k > 1 AND w > 0
+       |    THEN CAST(b * (nt - k) * 1000000 // (w * (k - 1)) AS BIGINT)
+       |    ELSE NULL END AS ch_ppm
+       |FROM a""".stripMargin) { (s, d) =>
+    import Exact.floorDivBig
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), VectorOps.quantize(col("embedding")).as("q"))
+    val cd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("qq"))
+    val gd = cd.groupBy(col("dim")).agg(
+      sum(col("s")).cast("decimal(38,0)").as("sd"),
+      sum(col("n")).cast("long").as("nt"), count(lit(1)).as("k"))
+    val t = cd.join(broadcast(gd), "dim")
+    val diff = col("nt").cast("decimal(38,0)") * col("s") -
+      col("n").cast("decimal(38,0)") * col("sd")
+    val bMicro = floorDivBig(diff * diff * lit(1000000L),
+      col("n").cast("decimal(38,0)") * col("nt") * col("nt"))
+    val wMicro = floorDivBig(
+      (col("n").cast("decimal(38,0)") * col("qq") - col("s") * col("s")) * lit(1000000L),
+      col("n").cast("decimal(38,0)"))
+    val a = t.select(bMicro.as("b_micro"), wMicro.as("w_micro"), col("nt"), col("k"))
+      .agg(sum(col("b_micro")).cast("decimal(38,0)").as("b"),
+        sum(col("w_micro")).cast("decimal(38,0)").as("w"),
+        first(col("nt")).as("nt"), first(col("k")).as("k"))
+    a.select(col("nt").cast("long").as("n_vecs"), col("k").cast("long").as("n_clusters"),
+        floorDivBig(col("b"), lit(1000000L)).cast("long").as("between_unit2"),
+        floorDivBig(col("w"), lit(1000000L)).cast("long").as("within_unit2"),
+        when(col("k") > 1 && col("w") > 0,
+          floorDivBig(col("b") * (col("nt") - col("k")).cast("decimal(38,0)") * lit(1000000L),
+            col("w") * (col("k") - 1).cast("decimal(38,0)")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ch_ppm"))
+      .orderedSmall(col("n_vecs"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized, qPlatt)
+    qWinsorized, qPlatt, qCalinski)
 }

@@ -1929,11 +1929,50 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Sample-ratio mismatch check (#301): the FIRST gate of every
+    * A/B readout — are users split 50/50 between the arms as the
+    * assignment (user_id mod 2) promises? χ²₁ = (n₀−n₁)²/(n₀+n₁)
+    * against the even split, ENTIRELY in exact integers
+    * (micro-floored), compared to the 3.841459 critical value as an
+    * integer micro literal — a biased logging pipeline flips
+    * srm_detected long before any metric test is trustworthy
+    * (Fabijan et al. 2019 diagnose most broken experiments here).
+    * Users collapse to one distinct relation; one conditional
+    * aggregate.
+    */
+  val qSrm = GateQuery.sql(
+    "q_srm",
+    s"""WITH u AS (SELECT DISTINCT user_id FROM $E e),
+       |c AS (SELECT count(*) FILTER (user_id % 2 = 0) AS n0,
+       |    count(*) FILTER (user_id % 2 = 1) AS n1 FROM u)
+       |SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+       |  CASE WHEN n0 + n1 > 0
+       |    THEN CAST((CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000) // (n0 + n1) AS BIGINT)
+       |    ELSE NULL END AS chi2_micro,
+       |  CASE WHEN n0 + n1 > 0
+       |    THEN (CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000) // (n0 + n1) > 3841459
+       |    ELSE NULL END AS srm_detected
+       |FROM c""".stripMargin) { (s, d) =>
+    val u = ev(s, d).select(col("user_id")).distinct()
+    val c = u.agg(
+      count(when(pmod(col("user_id"), lit(2L)) === 0, 1)).as("n0"),
+      count(when(pmod(col("user_id"), lit(2L)) === 1, 1)).as("n1"))
+    val chi2 = floorDivBig(
+      (col("n0") - col("n1")).cast("decimal(38,0)") * (col("n0") - col("n1")) * lit(1000000L),
+      (col("n0") + col("n1")).cast("decimal(38,0)"))
+    c.select(col("n0").cast("long").as("n_arm0"), col("n1").cast("long").as("n_arm1"),
+        when(col("n0") + col("n1") > 0, chi2.cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"),
+        when(col("n0") + col("n1") > 0, chi2 > 3841459L)
+          .otherwise(lit(null).cast("boolean")).as("srm_detected"))
+      .orderedSmall(col("n_arm0"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue)
+    qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm)
 }
