@@ -1086,11 +1086,104 @@ object AnalysisQueries {
       .orderedSmall(col("n_vecs"))
   }
 
+  /** Davies–Bouldin index (#303): the worst-case-pair companion to
+    * Calinski–Harabasz (#300) — DB = (1/k)·Σᵢ maxⱼ (σᵢ+σⱼ)/d(cᵢ,cⱼ)
+    * (Davies & Bouldin 1979); CH can look fine on average while two
+    * clusters sit on top of each other, which is exactly the pair
+    * DB's max picks out. Everything derives from the SAME k×64
+    * (label, dim) cell relation: per-cluster scatter (n·Q−S²)/n²
+    * and pairwise centroid distances (Sᵢnⱼ−Sⱼnᵢ)²/(nᵢnⱼ)² floored
+    * to exact integers in (quantized-unit)² — the k²-bounded pair
+    * join never touches the corpus. Per-pair R is one mirrored
+    * double of those exact ints, micro-floored BEFORE the per-
+    * cluster max and the final k-bounded mean (both order-free).
+    * Coincident centroids (d² floors to 0) are excluded by exact
+    * predicate on both engines.
+    */
+  val qDaviesBouldin = GateQuery.sql(
+    "q_davies_bouldin",
+    s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
+       |  FROM embeddings),
+       |cd AS (SELECT label, t.i AS dim, count(*) AS n,
+       |    CAST(sum(q[t.i]) AS HUGEINT) AS s,
+       |    CAST(sum(CAST(q[t.i] AS HUGEINT) * q[t.i]) AS HUGEINT) AS qq
+       |  FROM e, unnest(generate_series(1, len(q))) AS t(i) GROUP BY 1, 2),
+       |s2 AS (SELECT label, any_value(n) AS n,
+       |    CAST(CAST(sum(CAST(n AS HUGEINT) * qq - s * s) AS HUGEINT)
+       |      // (CAST(any_value(n) AS HUGEINT) * any_value(n)) AS BIGINT) AS s2u
+       |  FROM cd GROUP BY label),
+       |pd AS (SELECT a.label AS i, b.label AS j,
+       |    CAST(sum((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS HUGEINT) AS d2num,
+       |    any_value(a.n) AS ni, any_value(b.n) AS nj
+       |  FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2),
+       |d2 AS (SELECT i, j, CAST(d2num
+       |    // ((CAST(ni AS HUGEINT) * nj) * (CAST(ni AS HUGEINT) * nj)) AS BIGINT) AS d2u
+       |  FROM pd),
+       |r AS (SELECT p.i AS c, si.s2u AS s2i, sj.s2u AS s2j, p.d2u FROM d2 p
+       |    JOIN s2 si ON p.i = si.label JOIN s2 sj ON p.j = sj.label WHERE p.d2u > 0
+       |  UNION ALL
+       |  SELECT p.j AS c, sj.s2u AS s2i, si.s2u AS s2j, p.d2u FROM d2 p
+       |    JOIN s2 si ON p.i = si.label JOIN s2 sj ON p.j = sj.label WHERE p.d2u > 0),
+       |rm AS (SELECT c, max(CAST(floor((sqrt(CAST(s2i AS DOUBLE)) + sqrt(CAST(s2j AS DOUBLE)))
+       |    / sqrt(CAST(d2u AS DOUBLE)) * 1000000) AS BIGINT)) AS rmax
+       |  FROM r GROUP BY c)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clusters,
+       |  CAST(sum(rmax) // count(*) AS BIGINT) AS db_micro,
+       |  CAST(max(rmax) AS BIGINT) AS worst_r_micro
+       |FROM rm""".stripMargin) { (s, d) =>
+    import Exact.floorDivBig
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), VectorOps.quantize(col("embedding")).as("q"))
+    // the k×64 cell relation feeds three consumers — materialize once
+    val cd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("qq"))
+      .persist() // freed by the harness post-action
+    val s2 = cd.groupBy(col("label")).agg(
+        first(col("n")).as("n"),
+        sum(col("n").cast("decimal(38,0)") * col("qq") - col("s") * col("s"))
+          .cast("decimal(38,0)").as("wsum"))
+      .select(col("label"),
+        floorDivBig(col("wsum"), col("n").cast("decimal(38,0)") * col("n"))
+          .cast("long").as("s2u"))
+    val a = cd.select(col("dim"), col("label").as("i"), col("n").as("ni"), col("s").as("si"))
+    val b = cd.select(col("dim"), col("label").as("j"), col("n").as("nj"), col("s").as("sj"))
+    val diff = col("si") * col("nj") - col("sj") * col("ni")
+    val pd = a.join(b, Seq("dim")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(diff * diff).cast("decimal(38,0)").as("d2num"),
+        first(col("ni")).as("ni"), first(col("nj")).as("nj"))
+    val d2 = pd.select(col("i"), col("j"),
+      floorDivBig(col("d2num"),
+        (col("ni").cast("decimal(38,0)") * col("nj")) *
+          (col("ni").cast("decimal(38,0)") * col("nj"))).cast("long").as("d2u"))
+    val si = s2.select(col("label").as("i"), col("s2u").as("s2i"))
+    val sj = s2.select(col("label").as("j"), col("s2u").as("s2j"))
+    val pj = d2.join(broadcast(si), "i").join(broadcast(sj), "j").filter(col("d2u") > 0)
+    val r = pj.select(col("i").as("c"), col("s2i"), col("s2j"), col("d2u"))
+      .unionAll(pj.select(col("j").as("c"), col("s2j").as("s2i"),
+        col("s2i").as("s2j"), col("d2u")))
+    val rMicro = floor((sqrt(col("s2i").cast("double")) + sqrt(col("s2j").cast("double"))) /
+      sqrt(col("d2u").cast("double")) * lit(1000000)).cast("long")
+    val rm = r.select(col("c"), rMicro.as("r_micro"))
+      .groupBy(col("c")).agg(max(col("r_micro")).as("rmax"))
+    val k = s2.agg(count(lit(1)).cast("long").as("n_clusters"))
+    rm.agg(floorDivBig(sum(col("rmax")).cast("decimal(38,0)"),
+          count(lit(1)).cast("decimal(38,0)")).cast("long").as("db_micro"),
+        max(col("rmax")).cast("long").as("worst_r_micro"))
+      .crossJoin(broadcast(k))
+      .select(col("n_clusters"), col("db_micro"), col("worst_r_micro"))
+      .orderedSmall(col("n_clusters"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized, qPlatt, qCalinski)
+    qWinsorized, qPlatt, qCalinski, qDaviesBouldin)
 }

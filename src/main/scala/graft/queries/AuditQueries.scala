@@ -1322,10 +1322,66 @@ object AuditQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Log-likelihood keyness (#302): WHICH words distinguish the
+    * 'en' slice from the rest of the corpus — Dunning's (1993) G²
+    * as operationalized by Rayson & Garside (2000): per word,
+    * G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] against the frequency
+    * expected under a shared rate, top-20 by keyness. The keyword
+    * EXTRACTION dual of the aggregate divergences (#138 KL / #252
+    * JSD tell you THAT the slices differ; keyness tells you WHERE).
+    * Gibbs' inequality keeps G² ≥ 0 analytically; each a·µln(·)
+    * term is an exact integer product (µln arg one mirrored double
+    * of exact ints), zero cells contribute exactly 0 (x·ln x → 0),
+    * and the enrichment direction is an exact integer cross-product
+    * compare. Vocab-bounded relation + 1-row totals broadcast; the
+    * corpus moves once.
+    */
+  val qKeyness = GateQuery.sql(
+    "q_keyness",
+    s"""WITH toks AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS grp,
+       |    unnest(string_split(text, ' ')) AS word FROM documents),
+       |wc AS (SELECT word,
+       |    count(*) FILTER (grp = 'en') AS a,
+       |    count(*) FILTER (grp = 'rest') AS b
+       |  FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM wc),
+       |g AS (SELECT w.word, w.a, w.b,
+       |    2 * (CASE WHEN w.a > 0 THEN w.a * ${Curation.microLnSql(
+             "(1.0 * w.a * (t.na + t.nb)) / (1.0 * t.na * (w.a + w.b))")} ELSE 0 END
+       |       + CASE WHEN w.b > 0 THEN w.b * ${Curation.microLnSql(
+             "(1.0 * w.b * (t.na + t.nb)) / (1.0 * t.nb * (w.a + w.b))")} ELSE 0 END) AS g2_micro,
+       |    CASE WHEN CAST(w.a AS HUGEINT) * t.nb > CAST(w.b AS HUGEINT) * t.na
+       |      THEN 'en' ELSE 'rest' END AS enriched
+       |  FROM wc w CROSS JOIN tot t)
+       |SELECT word, a AS n_en, b AS n_rest, g2_micro, enriched
+       |FROM g ORDER BY g2_micro DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(when(col("lang") === "en", lit("en")).otherwise(lit("rest")).as("grp"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val wc = toks.groupBy(col("word")).agg(
+      count(when(col("grp") === "en", 1)).as("a"),
+      count(when(col("grp") === "rest", 1)).as("b"))
+    val tot = wc.agg(sum(col("a")).cast("long").as("na"), sum(col("b")).cast("long").as("nb"))
+    val g = wc.crossJoin(broadcast(tot))
+    val t1 = when(col("a") > 0, col("a") * Curation.microLn(
+      (lit(1.0) * col("a") * (col("na") + col("nb"))) /
+        (lit(1.0) * col("na") * (col("a") + col("b"))))).otherwise(lit(0L))
+    val t2 = when(col("b") > 0, col("b") * Curation.microLn(
+      (lit(1.0) * col("b") * (col("na") + col("nb"))) /
+        (lit(1.0) * col("nb") * (col("a") + col("b"))))).otherwise(lit(0L))
+    g.select(col("word"), col("a").as("n_en"), col("b").as("n_rest"),
+        (lit(2L) * (t1 + t2)).as("g2_micro"),
+        when(col("a").cast("decimal(38,0)") * col("nb") >
+          col("b").cast("decimal(38,0)") * col("na"), lit("en"))
+          .otherwise(lit("rest")).as("enriched"))
+      .orderBy(col("g2_micro").desc, col("word")).limit(20)
+      .orderedSmall(col("g2_micro").desc, col("word"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
-    qBhattacharyya)
+    qBhattacharyya, qKeyness)
 }

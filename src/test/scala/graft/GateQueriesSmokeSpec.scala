@@ -55,7 +55,9 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_tukey", // 8-row cohort-stats pair product (bounded by k², not data)
     "q_ess", // DSIR (nr, nt) corpus-totals single-row scalar (as q_dsir_weights)
     "q_bhattacharyya", // (ntot) corpus-token-total single-row scalar
-    "q_eb_shrinkage") // (alpha, beta) method-of-moments prior single-row scalar
+    "q_eb_shrinkage", // (alpha, beta) method-of-moments prior single-row scalar
+    "q_keyness", // (na, nb) group-total single-row scalar
+    "q_davies_bouldin") // (n_clusters) k-bounded single-row scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
