@@ -1378,10 +1378,72 @@ object AuditQueries {
       .orderedSmall(col("g2_micro").desc, col("word"))
   }
 
+  /** Word dispersion (#304): Gries' (2008) deviation of proportions
+    * — is a word's mass spread across sources like the sources
+    * themselves, or clumped in one feed? DP_w = ½·Σ_s |v_ws/f_w −
+    * n_s/N| ∈ [0, 1): ~0 = distributed like the corpus, → 1 =
+    * concentrated in one source. The per-WORD burstiness audit that
+    * separates topical/boilerplate vocabulary from general
+    * vocabulary at equal frequency — raw counts (Zipf #213) and
+    * entropy (#142) can't see it. Cross-scaling clears every
+    * denominator: |v_ws·N − f_w·n_s| is an exact integer, so DP =
+    * Σ|·|·1e6 div (2·f·N) is ONE ppm floor division per word over
+    * the vocab-bounded (source, word) relation; source sizes ride a
+    * source-keyed broadcast. Top-20 by (DP desc, word) among words
+    * with f ≥ 100 (an exact threshold so the slice is stable).
+    */
+  val qDispersion = GateQuery.sql(
+    "q_dispersion",
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+       |              FROM documents),
+       |sw AS (SELECT source, word, count(*) AS v FROM toks GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(v) AS BIGINT) AS n FROM sw GROUP BY 1),
+       |fw AS (SELECT word, CAST(sum(v) AS BIGINT) AS f FROM sw GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM ns),
+       |grid AS (SELECT f.word, f.f, s.source, s.n, t.nt,
+       |    coalesce(w.v, 0) AS v
+       |  FROM fw f CROSS JOIN ns s CROSS JOIN tot t
+       |  LEFT JOIN sw w ON w.word = f.word AND w.source = s.source
+       |  WHERE f.f >= 100),
+       |dp AS (SELECT word, any_value(f) AS f,
+       |    CAST(sum(abs(CAST(v AS HUGEINT) * nt - CAST(f AS HUGEINT) * n)) AS HUGEINT) AS num,
+       |    any_value(nt) AS nt
+       |  FROM grid GROUP BY word)
+       |SELECT word, f AS n_occurrences,
+       |  CAST(num * 1000000 // (2 * CAST(f AS HUGEINT) * nt) AS BIGINT) AS dp_ppm
+       |FROM dp ORDER BY dp_ppm DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+    import Exact.floorDivBig
+    // (source, word) counts feed the word totals, source totals and
+    // the dispersion grid — materialize once
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("v"))
+      .persist() // freed by the harness post-action
+    val ns = sw.groupBy(col("source")).agg(sum(col("v")).cast("long").as("n"))
+    val fw = sw.groupBy(col("word")).agg(sum(col("v")).cast("long").as("f"))
+      .filter(col("f") >= 100)
+    val tot = ns.agg(sum(col("n")).cast("long").as("nt"))
+    // full word×source grid (absent cells count v = 0 — they still
+    // contribute |0 − f·n_s| to the deviation)
+    val grid = fw.crossJoin(broadcast(ns)).crossJoin(broadcast(tot))
+      .join(sw, Seq("word", "source"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    val dp = grid.groupBy(col("word")).agg(
+      first(col("f")).as("f"),
+      sum(abs(col("v").cast("decimal(38,0)") * col("nt") -
+        col("f").cast("decimal(38,0)") * col("n"))).cast("decimal(38,0)").as("num"),
+      first(col("nt")).as("nt"))
+    dp.select(col("word"), col("f").as("n_occurrences"),
+        floorDivBig(col("num") * lit(1000000L),
+          lit(2L).cast("decimal(38,0)") * col("f") * col("nt")).cast("long").as("dp_ppm"))
+      .orderBy(col("dp_ppm").desc, col("word")).limit(20)
+      .orderedSmall(col("dp_ppm").desc, col("word"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
-    qBhattacharyya, qKeyness)
+    qBhattacharyya, qKeyness, qDispersion)
 }
