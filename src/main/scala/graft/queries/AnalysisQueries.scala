@@ -1179,11 +1179,85 @@ object AnalysisQueries {
       .orderedSmall(col("n_clusters"))
   }
 
+  /** Simplified silhouette (#305): the PER-POINT cluster-fit score
+    * that CH (#300) and DB (#303) aggregate away — s = (b−a)/max(a,b)
+    * with a = distance to the OWN centroid, b = the nearest OTHER
+    * centroid (the centroid-based "simplified" form, Hruschka et al.
+    * 2004 — the all-pairs classic is quadratic and never runs at
+    * corpus scale). Per-label means localize WHICH cluster is
+    * incoherent. Shape: centroid (n, S-array) rows ride a k-row
+    * broadcast into a BOUNDED ×k fan-out (never vector×vector);
+    * d² = Σ_d(x_d·n−S_d)²/n² floors to exact (quantized-unit)² ints
+    * per (vector, centroid); s is one mirrored double of those ints,
+    * micro-floored per vector BEFORE the label mean (sign-aware
+    * HALF_UP — negative means are legal and must not clamp).
+    */
+  val qSilhouette = GateQuery.sql(
+    "q_silhouette",
+    s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
+       |  FROM embeddings),
+       |cd AS (SELECT label, t.i AS dim, count(*) AS n, CAST(sum(q[t.i]) AS BIGINT) AS sv
+       |  FROM e, unnest(generate_series(1, len(q))) AS t(i) GROUP BY 1, 2),
+       |cent AS (SELECT label AS c, any_value(n) AS cn, list(sv ORDER BY dim) AS sarr
+       |  FROM cd GROUP BY label),
+       |pc AS (SELECT e.vec_id, e.label, ct.c,
+       |    CAST(list_sum([CAST(q[i] * ct.cn - ct.sarr[i] AS HUGEINT)
+       |        * CAST(q[i] * ct.cn - ct.sarr[i] AS HUGEINT)
+       |      for i in range(1, len(q) + 1)]) AS HUGEINT)
+       |      // (CAST(ct.cn AS HUGEINT) * ct.cn) AS d2u
+       |  FROM e CROSS JOIN cent ct),
+       |ab AS (SELECT vec_id, label,
+       |    min(CASE WHEN c = label THEN d2u END) AS a,
+       |    min(CASE WHEN c <> label THEN d2u END) AS b
+       |  FROM pc GROUP BY 1, 2),
+       |sm AS (SELECT vec_id, label,
+       |    CASE WHEN greatest(a, b) > 0 THEN
+       |      CAST(floor((sqrt(CAST(b AS DOUBLE)) - sqrt(CAST(a AS DOUBLE)))
+       |        / sqrt(CAST(greatest(a, b) AS DOUBLE)) * 1000000) AS BIGINT)
+       |    ELSE 0 END AS s_micro
+       |  FROM ab)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  ${Exact.roundedRatioSignedSql("CAST(sum(s_micro) AS BIGINT)", "count(*)", 0)}
+       |    AS mean_s_micro
+       |FROM sm GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    import Exact.floorDivBig
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), VectorOps.quantize(col("embedding")).as("q"))
+    val cd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sv"))
+    val cent = cd.groupBy(col("label").as("c")).agg(
+        first(col("n")).as("cn"),
+        array_sort(collect_list(struct(col("dim"), col("sv")))).as("dl"))
+      .select(col("c"), col("cn"), transform(col("dl"), x => x("sv")).as("sarr"))
+    val jp = e.crossJoin(broadcast(cent))
+    val num = aggregate(
+      zip_with(col("q"), col("sarr"), (x, sv) => {
+        val t = (x * col("cn") - sv).cast("decimal(38,0)"); t * t
+      }),
+      lit(0L).cast("decimal(38,0)"), (acc, t) => acc + t)
+    val pc = jp.select(col("vec_id"), col("label"), col("c"),
+      floorDivBig(num, col("cn").cast("decimal(38,0)") * col("cn")).cast("long").as("d2u"))
+    val ab = pc.groupBy(col("vec_id"), col("label")).agg(
+      min(when(col("c") === col("label"), col("d2u"))).as("a"),
+      min(when(col("c") =!= col("label"), col("d2u"))).as("b"))
+    val sMicro = when(greatest(col("a"), col("b")) > 0,
+      floor((sqrt(col("b").cast("double")) - sqrt(col("a").cast("double"))) /
+        sqrt(greatest(col("a"), col("b")).cast("double")) * lit(1000000)).cast("long"))
+      .otherwise(lit(0L))
+    ab.select(col("label"), sMicro.as("s_micro"))
+      .groupBy(col("label")).agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        Exact.roundedRatioSigned(sum(col("s_micro")).cast("long"), count(lit(1)), 0)
+          .as("mean_s_micro"))
+      .orderedSmall(col("label"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized, qPlatt, qCalinski, qDaviesBouldin)
+    qWinsorized, qPlatt, qCalinski, qDaviesBouldin, qSilhouette)
 }

@@ -58,7 +58,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_eb_shrinkage", // (alpha, beta) method-of-moments prior single-row scalar
     "q_keyness", // (na, nb) group-total single-row scalar
     "q_davies_bouldin", // (n_clusters) k-bounded single-row scalar
-    "q_dispersion") // bounded source-list × vocab grid product + (nt) scalar (as q_w1_drift)
+    "q_dispersion", // bounded source-list × vocab grid product + (nt) scalar (as q_w1_drift)
+    "q_silhouette") // bounded ×k centroid-row fan-out (k-row broadcast)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
