@@ -68,7 +68,11 @@ object PlanAudit {
     "q_vocab_coverage", "q_conformal", "q_gains", "q_forecast_acc",
     "q_kanon", "q_ref_integrity", "q_bfs_hops", "q_drawdown", "q_fano",
     "q_burst_episodes", "q_runs_test", "q_abc", "q_growth_acct", "q_tukey",
-    "q_cohort_ltv", "q_ess", "q_absorption_radial")
+    "q_cohort_ltv", "q_ess", "q_absorption_radial",
+    // round-6 tail: divergence/effect-size/A-B-design/EVT/cluster-quality
+    "q_bhattacharyya", "q_cliffs_delta", "q_odds_ratio", "q_eb_shrinkage",
+    "q_power_mde", "q_extreme_value", "q_calinski", "q_srm", "q_keyness",
+    "q_davies_bouldin", "q_dispersion", "q_silhouette")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
