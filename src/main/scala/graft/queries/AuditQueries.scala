@@ -1440,10 +1440,83 @@ object AuditQueries {
       .orderedSmall(col("dp_ppm").desc, col("word"))
   }
 
+  /** Bartlett's test (#306): the PARAMETRIC variance-homogeneity
+    * test next to Brown–Forsythe (#251) — more powerful under
+    * normality (which Jarque–Bera #248 checks), where Levene is the
+    * robust fallback. χ² = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²]/C with
+    * C the Bartlett correction. Discipline: per-cohort variances
+    * come from exact (n, S, Q) integers; each cohort's
+    * (nᵢ−1)·µln sᵢ² term and its 1/(nᵢ−1) correction term are
+    * quantized to exact integers (micro-nats / pico) BEFORE the
+    * k-bounded sums, so the distributed aggregate is order-free;
+    * the final closed form is one mirrored double. Degenerate
+    * cohorts (n ≤ 1 or zero variance, both exact predicates) are
+    * excluded identically on both engines.
+    */
+  val qBartlett = GateQuery.sql(
+    "q_bartlett",
+    s"""WITH c AS (SELECT user_id % 8 AS g, count(*) AS n,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS s,
+       |    CAST(sum(CAST(${centsSql("vd")} AS HUGEINT) * ${centsSql("vd")}) AS HUGEINT) AS q
+       |  FROM $E e WHERE event_type = 'view' GROUP BY 1),
+       |t AS (SELECT g, n,
+       |    n * q - CAST(s AS HUGEINT) * s AS m2,
+       |    CAST((n * q - CAST(s AS HUGEINT) * s) * 1000000 // n AS BIGINT) AS ssw_micro,
+       |    CAST(1000000000000 // (n - 1) AS BIGINT) AS inv_pico
+       |  FROM c WHERE n > 1),
+       |tm AS (SELECT g, n, ssw_micro, inv_pico,
+       |    (n - 1) * ${Curation.microLnSql("CAST(m2 AS DOUBLE) / (1.0 * n * (n - 1))")} AS term
+       |  FROM t WHERE m2 > 0),
+       |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(ssw_micro) AS HUGEINT) AS ssw,
+       |    CAST(sum(term) AS BIGINT) AS sterm,
+       |    CAST(sum(inv_pico) AS BIGINT) AS sinv
+       |  FROM tm)
+       |SELECT CAST(k AS BIGINT) AS n_cohorts, nt AS n_obs,
+       |  CAST(k - 1 AS BIGINT) AS dof,
+       |  CASE WHEN k > 1 AND nt > k THEN round(
+       |    (CAST((nt - k) * ${Curation.microLnSql(
+             "(CAST(ssw AS DOUBLE) / 1000000.0) / (nt - k)")} - sterm AS DOUBLE) / 1000000.0)
+       |    / (1.0 + (CAST(sinv AS DOUBLE) / 1000000000000.0 - 1.0 / (nt - k))
+       |       / (3.0 * (k - 1))), 4) + 0.0
+       |  ELSE NULL END AS bartlett_chi2
+       |FROM a""".stripMargin) { (s, d) =>
+    import Exact.floorDivBig
+    val c = ev(s, d).filter(col("event_type") === "view")
+      .select(pmod(col("user_id"), lit(8L)).as("g"), Exact.cents(col("vd")).as("cents"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"),
+        Exact.sumUnits(col("cents")).cast("long").as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).cast("decimal(38,0)").as("q"))
+    val m2 = col("n") * col("q") - col("s").cast("decimal(38,0)") * col("s")
+    val t = c.filter(col("n") > 1).select(col("g"), col("n"),
+      m2.as("m2"),
+      floorDivBig(m2 * lit(1000000L), col("n").cast("decimal(38,0)"))
+        .cast("long").as("ssw_micro"),
+      expr("1000000000000 div (n - 1)").as("inv_pico"))
+    val tm = t.filter(col("m2") > 0).select(col("g"), col("n"),
+      col("ssw_micro"), col("inv_pico"),
+      ((col("n") - 1) * Curation.microLn(
+        col("m2").cast("double") / (lit(1.0) * col("n") * (col("n") - 1)))).as("term"))
+    val a = tm.agg(count(lit(1)).as("k"), sum(col("n")).cast("long").as("nt"),
+      sum(col("ssw_micro")).cast("decimal(38,0)").as("ssw"),
+      sum(col("term")).cast("long").as("sterm"),
+      sum(col("inv_pico")).cast("long").as("sinv"))
+    val lnSp = Curation.microLn(
+      (col("ssw").cast("double") / lit(1000000.0)) / (col("nt") - col("k")))
+    val num = ((col("nt") - col("k")) * lnSp - col("sterm")).cast("double") / lit(1000000.0)
+    val den = lit(1.0) + (col("sinv").cast("double") / lit(1000000000000.0) -
+      lit(1.0) / (col("nt") - col("k"))) / (lit(3.0) * (col("k") - 1))
+    a.select(col("k").cast("long").as("n_cohorts"), col("nt").as("n_obs"),
+        (col("k") - 1).cast("long").as("dof"),
+        when(col("k") > 1 && col("nt") > col("k"), round(num / den, 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("bartlett_chi2"))
+      .orderedSmall(col("n_cohorts"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
-    qBhattacharyya, qKeyness, qDispersion)
+    qBhattacharyya, qKeyness, qDispersion, qBartlett)
 }
