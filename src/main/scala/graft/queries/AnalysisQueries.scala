@@ -958,7 +958,8 @@ object AnalysisQueries {
        |    CAST(sum(c) AS BIGINT) AS attributed_cents
        |  FROM p GROUP BY 1)
        |SELECT touch_type, n_conversions, attributed_cents,
-       |  (attributed_cents * 1000000) // (sum(attributed_cents) OVER ()) AS revenue_share_ppm
+       |  CAST((attributed_cents * 1000000) // (sum(attributed_cents) OVER ()) AS BIGINT)
+       |    AS revenue_share_ppm
        |FROM g ORDER BY touch_type""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = ev(s, d).select(col("user_id"), col("ts_us"), col("event_id"),
@@ -1025,7 +1026,11 @@ object AnalysisQueries {
     * numerators nonnegative, so floor mirrors `//`), then summed
     * over the k×64-row CELL relation — the corpus never moves after
     * one (label, dim)-keyed aggregate over the 1e-6-quantized
-    * vectors. CH leaves as one exact ppm floor division.
+    * vectors. CH leaves as one exact ppm floor division. The
+    * between-term's micro scale-up is applied AFTER a quotient/
+    * remainder split so the widest intermediate is diff² (~N⁴·1e12,
+    * overflowing decimal(38,0)/HUGEINT only past ~3e6 vectors —
+    * loudly, on both engines) rather than diff²·1e6 (~1e5 vectors).
     */
   val qCalinski = GateQuery.sql(
     "q_calinski",
@@ -1038,12 +1043,15 @@ object AnalysisQueries {
        |gd AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS sd,
        |    CAST(sum(n) AS BIGINT) AS nt, count(*) AS k
        |  FROM cd GROUP BY dim),
-       |t AS (SELECT c.label, c.dim,
-       |    (g.nt * c.s - c.n * g.sd) * (g.nt * c.s - c.n * g.sd) * 1000000
-       |      // (CAST(c.n AS HUGEINT) * g.nt * g.nt) AS b_micro,
-       |    (CAST(c.n AS HUGEINT) * c.qq - c.s * c.s) * 1000000 // c.n AS w_micro,
-       |    g.nt AS nt, g.k AS k
+       |t0 AS (SELECT c.label, c.dim, c.n, c.s, c.qq, g.nt, g.k,
+       |    (g.nt * c.s - c.n * g.sd) * (g.nt * c.s - c.n * g.sd) AS d2,
+       |    CAST(c.n AS HUGEINT) * g.nt * g.nt AS den
        |  FROM cd c JOIN gd g ON c.dim = g.dim),
+       |t AS (SELECT label, dim,
+       |    (d2 // den) * 1000000 + ((d2 % den) * 1000000) // den AS b_micro,
+       |    (CAST(n AS HUGEINT) * qq - s * s) * 1000000 // n AS w_micro,
+       |    nt, k
+       |  FROM t0),
        |a AS (SELECT CAST(sum(b_micro) AS HUGEINT) AS b, CAST(sum(w_micro) AS HUGEINT) AS w,
        |    any_value(nt) AS nt, any_value(k) AS k FROM t)
        |SELECT CAST(nt AS BIGINT) AS n_vecs, CAST(k AS BIGINT) AS n_clusters,
@@ -1067,8 +1075,16 @@ object AnalysisQueries {
     val t = cd.join(broadcast(gd), "dim")
     val diff = col("nt").cast("decimal(38,0)") * col("s") -
       col("n").cast("decimal(38,0)") * col("sd")
-    val bMicro = floorDivBig(diff * diff * lit(1000000L),
-      col("n").cast("decimal(38,0)") * col("nt") * col("nt"))
+    // Quotient/remainder split keeps the intermediate at diff² instead of
+    // diff²·1e6 — identical value (both terms nonnegative, den > 0), but
+    // the decimal(38,0) ceiling moves from ~1e5 to ~3e6 vectors. Beyond
+    // that both engines still fail loudly (decimal overflow / HUGEINT
+    // OOR), never silently.
+    val d2 = diff * diff
+    val denB = col("n").cast("decimal(38,0)") * col("nt") * col("nt")
+    val bMicro = (floorDivBig(d2, denB) * lit(1000000L) +
+      floorDivBig(pmod(d2.cast("decimal(38,0)"), denB) * lit(1000000L), denB))
+      .cast("decimal(38,0)")
     val wMicro = floorDivBig(
       (col("n").cast("decimal(38,0)") * col("qq") - col("s") * col("s")) * lit(1000000L),
       col("n").cast("decimal(38,0)"))

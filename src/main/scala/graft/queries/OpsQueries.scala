@@ -123,9 +123,9 @@ object OpsQueries {
        |SELECT event_type, n_naive, n_snaive,
        |  (2 * e_naive + n_naive) // (2 * n_naive) AS mae_naive_cents,
        |  (2 * e_snaive + n_snaive) // (2 * n_snaive) AS mae_snaive_cents,
-       |  CASE WHEN e_naive > 0 AND n_snaive > 0
+       |  CAST(CASE WHEN e_naive > 0 AND n_snaive > 0
        |    THEN (e_snaive * n_naive * 1000000) // (CAST(e_naive AS HUGEINT) * n_snaive)
-       |  END AS mase_ppm
+       |  END AS BIGINT) AS mase_ppm
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
     val g = ev(s, d)
       .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
@@ -228,8 +228,10 @@ object OpsQueries {
   val qSkewAudit = GateQuery.sql(
     "q_skew_audit", {
       def keySql(tbl: String, key: String) =
-        s"""SELECT '$tbl.$key' AS join_key, n_rows, n_keys, max_key_rows,
-           |  (max_key_rows * 1000000) // n_rows AS top1_share_ppm,
+        s"""SELECT '$tbl.$key' AS join_key,
+           |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+           |  max_key_rows,
+           |  CAST((max_key_rows * 1000000) // n_rows AS BIGINT) AS top1_share_ppm,
            |  med, p99, (p99 * 1000000) // med AS skew_ratio_ppm
            |FROM (
            |  SELECT any_value(n_rows) AS n_rows, any_value(n_keys) AS n_keys,

@@ -170,8 +170,10 @@ object StatsQueries {
        |s AS (SELECT *, p - least(0, min(p)
        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
        |      ROWS UNBOUNDED PRECEDING)) AS cusum FROM p)
-       |SELECT user_id, count(*) AS n_points, any_value(target) AS target_cents,
-       |  max(cusum) AS max_cusum, count(*) FILTER (cusum > 2 * target) AS n_alarms
+       |SELECT user_id, count(*) AS n_points,
+       |  CAST(any_value(target) AS BIGINT) AS target_cents,
+       |  CAST(max(cusum) AS BIGINT) AS max_cusum,
+       |  count(*) FILTER (cusum > 2 * target) AS n_alarms
        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     val e = ev(s, d).filter(col("event_type") === "view")
       .select(col("user_id"), col("ts_us"), col("event_id"), Exact.cents(col("vd")).as("c"))
@@ -411,7 +413,13 @@ object StatsQueries {
       .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),
         concat(lit("c"), col("ck")).as("dst")))
     val deg = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // Pin hash(src) into the cached blocks (the join output is already
+    // src-clustered, but AQE's coalescer can rewrite it): each of the 5
+    // rank⋈edges joins then exchanges only the node-sized rank side,
+    // never the edge relation — on a cluster this is Layout.writeBucketed
+    // on src, done once.
     val edges = e0.join(deg.withColumnRenamed("node", "src"), "src")
+      .repartition(col("src"))
       .persist() // reused by all 5 iterations; freed after the action
     val nodes = deg.select(col("node")).persist()
     val nCnt = nodes.agg(count(lit(1)).as("n"))

@@ -240,6 +240,41 @@ class AuditEdgeSpec extends SparkSpec {
     assert(Graphs.kCore(g, 4).count() === 0L) // K4 has max degree 3
   }
 
+  test("iterative-graph rounds: src-partitioned arcs are never re-exchanged") {
+    // Mirrors the per-round plan shape inside kCore/bfsHops: with the
+    // arc relation hash-partitioned on src and persisted ONCE, (a) the
+    // degree groupBy and (b) the frontier join (even forced to a
+    // shuffle join) must exchange only the node-sized side — no
+    // ShuffleExchange may sit above the cached arc scan.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val arcs = (1 to 500).flatMap(i => Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("src", "dst").repartition(col("src")).persist()
+    arcs.count()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def arcSideExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+              if e.collect { case s: InMemoryTableScanExec => s }.nonEmpty => e
+        }.size
+      val deg = arcs.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      assert(arcSideExchanges(deg) === 0,
+        s"degree agg re-exchanged the arcs:\n${deg.queryExecution.executedPlan}")
+      val frontier = Seq(1L, 7L, 42L).toDF("src")
+      val hop = frontier.join(arcs, "src").select(col("dst"))
+      assert(arcSideExchanges(hop) === 0,
+        s"frontier join re-exchanged the arcs:\n${hop.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      arcs.unpersist()
+    }
+  }
+
   test("shapley: two-channel closed form (phi_A = 0.75, phi_B = -0.25)") {
     // journeys: {A}→conv, {B}→no conv, {A,B}... absent.
     // v({A})=1, v({B})=0, v({A,B})=1/2 (both journeys ⊆), v(∅)=0.

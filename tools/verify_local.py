@@ -14,6 +14,29 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# DuckDB output types the driver's pandas-based hasher materializes stably.
+# HUGEINT/UHUGEINT (int128) become object/float in pandas and hash-mismatch
+# against Spark's BIGINT even when every cell is equal (round-6 lesson:
+# q_cusum / q_attribution / q_forecast_acc / q_skew_audit). Uncast DECIMAL
+# is equally unstable. Any oracle emitting one of these must CAST.
+STABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+                "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP"}
+
+def lint_oracle_types(con, oracles):
+    """DESCRIBE every oracle; return {name: [(col, type), ...]} of unstable columns."""
+    bad = {}
+    for name, sql in sorted(oracles.items()):
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            bad[name] = [("<describe failed>", str(e)[:120])]
+            continue
+        unstable = [(c, t) for c, t, *_ in rows
+                    if t not in STABLE_TYPES and not t.endswith("[]")]
+        if unstable:
+            bad[name] = unstable
+    return bad
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -29,6 +52,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    lint = lint_oracle_types(con, oracles)
+    for name, cols in sorted(lint.items()):
+        print(f"[TYPE-LINT FAIL] {name}: unstable oracle output columns "
+              + ", ".join(f"{c}:{t}" for c, t in cols)
+              + " — add CAST(... AS BIGINT/DOUBLE)")
+        n_fail += 1
+    if "--lint-only" in sys.argv:
+        print(f"\nlint: {len(lint)} oracle(s) with unstable output types")
+        sys.exit(1 if lint else 0)
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
