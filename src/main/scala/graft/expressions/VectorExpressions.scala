@@ -31,6 +31,50 @@ object VectorExpressions {
       NearestCellsExpr(GraftColumnBridge.expression(q), cents, k))
   def nearestCell(q: Column, cents: Array[Array[Long]]): Column =
     org.apache.spark.sql.functions.element_at(nearestCells(q, cents, 1), 1)
+  def nearestCellScore(q: Column, cents: Array[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      NearestCellScoreExpr(GraftColumnBridge.expression(q), cents))
+}
+
+/** `[cell, ‖x−c‖²]` of the nearest centroid in ONE pass — the cell
+  * choice is value-identical to [[NearestCellsExpr]] (same dropped-
+  * ‖x‖² ranking, same lowest-index tie-break), and the returned
+  * distance is the FULL exact integer `‖x‖² + ‖c‖² − 2·x·c`, so
+  * intra-cell far-point ranking off it matches ranking by
+  * `‖x‖² − 2·x·c` (the ‖c‖² term is cell-constant). Lets
+  * [[graft.operators.IvfIndex.rebalance]] fuse its count + far-point
+  * passes into one aggregate.
+  */
+case class NearestCellScoreExpr(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val norms: Array[Long] =
+    cents.map(c => c.map(x => x * x).sum)
+  protected override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = cents.length
+    var best = -1
+    var bestD = 0L
+    var qq = 0L
+    var i = 0
+    val ne = q.numElements()
+    while (i < ne) { val x = q.getLong(i); qq += x * x; i += 1 }
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val m = math.min(cent.length, ne)
+      var dot = 0L
+      var j = 0
+      while (j < m) { dot += q.getLong(j) * cent(j); j += 1 }
+      val d = norms(c) - 2L * dot
+      if (best < 0 || d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    new GenericArrayData(Array[Any](best.toLong, qq + bestD))
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellScoreExpr =
+    copy(child = newChild)
 }
 
 /** Cell ids of the `k` nearest IVF centroids by exact integer

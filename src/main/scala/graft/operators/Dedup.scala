@@ -335,7 +335,8 @@ object Dedup {
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20, jumpAfter: Int = 4): DataFrame = {
+                          maxIters: Int = 20, jumpAfter: Int = 4,
+                          driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val caller = pairs.sparkSession
     val spark = caller.newSession()
     val edgeRows = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -361,6 +362,22 @@ object Dedup {
             edges.schema("src").dataType),
           org.apache.spark.sql.types.StructField("cluster_id",
             edges.schema("src").dataType))))
+    // Driver union-find fast path: candidate pair lists at the tail of
+    // a capped LSH/cell stage are usually MINUTE relative to the corpus
+    // (hundreds of pairs from 60k docs at sf0.1), and the iterative
+    // loop bills 5-10 scheduled jobs to close them — ~3 s of pure
+    // overhead measured at local[32]. Under a hard edge bound the exact
+    // same fixed point (every node → its component MINIMUM) comes from
+    // one collect + union-find + createDataFrame. The distributed loop
+    // below is unchanged as the 100 TB path; the bound is rows, not a
+    // fraction, so a pathological pair explosion can't pull a corpus
+    // through the driver.
+    if (edgeCount <= driverMaxEdges) {
+      driverUnionFind(edges, caller) match {
+        case Some(out) => return out
+        case None => () // unordered id type — fall through to the loop
+      }
+    }
     if (edgeCount < 10000000L)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     // the convergence aggregate doubles as the action that populates
@@ -428,6 +445,66 @@ object Dedup {
     * logical plan is the bare checkpointed-RDD scan). */
   private def isCheckpointBacked(df: DataFrame): Boolean =
     df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
+  /** Edge bound for the driver union-find fast path in
+    * [[connectedComponents]]: 2M doubled arcs ≈ 1M pairs ≈ tens of MB
+    * collected — driver model-state scale (the IvfIndex/PqIndex
+    * budget), far below any corpus.
+    */
+  private val DriverCcMaxEdges = 2000000L
+
+  /** Exact min-label components on the driver: union-find with path
+    * compression, then each root's component minimum under the id
+    * type's natural ordering — the same unique fixed point the
+    * distributed loop converges to. Returns None when the id type has
+    * no ordering defined here (caller falls back to the loop).
+    */
+  private def driverUnionFind(edges: DataFrame,
+                              caller: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val dt = edges.schema("src").dataType
+    val ord: Ordering[Any] = dt match {
+      case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case StringType  => Ordering.String.on[Any](_.asInstanceOf[String])
+      case _ => return None
+    }
+    val rows = edges.collect()
+    val idx = new java.util.HashMap[Any, Int](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def id(x: Any): Int =
+      if (idx.containsKey(x)) idx.get(x)
+      else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(a0: Int): Int = {
+      var a = a0
+      while (parent(a) != a) { parent(a) = parent(parent(a)); a = parent(a) }
+      a
+    }
+    rows.foreach { r =>
+      val a = id(r.get(0)); val b = id(r.get(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOf = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(ids(i), cur)) minOf.put(r, ids(i))
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    i = 0
+    while (i < ids.length) {
+      out.add(org.apache.spark.sql.Row(ids(i), minOf.get(find(i))))
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", dt), StructField("cluster_id", dt)))
+    Some(caller.createDataFrame(out, schema))
+  }
 
   /** MinHash signatures (numPerms deterministic base_hash
     * "permutations") + LSH banding: docs sharing any band key become

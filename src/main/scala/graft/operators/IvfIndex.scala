@@ -79,44 +79,39 @@ object IvfIndex {
     * downstream fixes C, and [[knn]] probes nearest cells whatever
     * their count.
     *
-    * Cost per round: one counting aggregate + ONE far-point aggregate
-    * covering all oversized cells at once (broadcast of their
-    * centroid rows) + `settleIters` Lloyd shuffles. Driver state
-    * stays the codebook, exactly as in [[train]].
+    * Cost per round: ONE fused aggregate (per-cell count + farthest
+    * member, off the single-pass `[cell, ‖x−c‖²]` expression) +
+    * `settleIters` Lloyd shuffles. Driver state stays the codebook,
+    * exactly as in [[train]].
     */
   def rebalance(e: DataFrame, cents0: Array[Array[Long]], dims: Int,
                 maxCellFrac: Double = 0.25, maxRounds: Int = 4,
                 settleIters: Int = 1): Array[Array[Long]] = {
-    val spark = e.sparkSession
-    import spark.implicits._
     var cents = cents0
     var round = 0
     var balanced = false
     while (round < maxRounds && !balanced) {
-      val counts = e.select(VectorExpressions.nearestCell(col("q"), cents).as("cell"))
-        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      val n = counts.values.sum
+      // ONE pass per round: per-cell count AND farthest member off the
+      // fused [cell, ‖x−c‖²] expression (the round-6 bench billed the
+      // previous count + far-point + broadcast-join trio ~3 jobs per
+      // round). The struct max ranks by exact integer distance with
+      // vec_id tie-break — ‖c‖² is cell-constant, so the ordering (and
+      // the chosen far point) is identical to the ‖x‖²−2·x·c form.
+      val stats = e.select(
+          VectorExpressions.nearestCellScore(col("q"), cents).as("cs"),
+          col("vec_id"), col("q"))
+        .select(element_at(col("cs"), 1).as("cell"),
+          struct(element_at(col("cs"), 2).as("d"), col("vec_id").as("vid"),
+            col("q").as("fq")).as("s"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), max(col("s")).as("far"))
+        .collect()
+      val n = stats.map(_.getLong(1)).sum
       val cap = math.max(1L, (maxCellFrac * n).toLong)
-      val oversized = counts.filter(_._2 > cap).keys.toSeq.sorted
+      val oversized = stats.filter(_.getLong(1) > cap).sortBy(_.getLong(0))
       if (oversized.isEmpty) balanced = true
       else {
-        val centDf = oversized.map(c => (c.toLong, cents(c).toSeq)).toDF("cell", "cq")
-        // ‖x−c‖² argmax per cell: ‖c‖² is constant within a cell, so
-        // rank by ‖x‖² − 2·x·c; the struct max carries the winning
-        // vector along (vec_id breaks exact-distance ties).
-        val far = e
-          .select(col("vec_id"), col("q"),
-            VectorExpressions.nearestCell(col("q"), cents).as("cell"))
-          .join(broadcast(centDf), Seq("cell"))
-          .select(col("cell"), struct(
-            (VectorExpressions.normQ(col("q")) -
-              lit(2L) * VectorExpressions.dotQ(col("q"), col("cq"))).as("d"),
-            col("vec_id").as("vid"), col("q").as("fq")).as("s"))
-          .groupBy(col("cell")).agg(max(col("s")).as("s"))
-          .collect()
-        cents = cents ++ far.sortBy(_.getLong(0))
-          .map(_.getStruct(1).getSeq[Long](2).toArray)
+        cents = cents ++ oversized.map(_.getStruct(2).getSeq[Long](2).toArray)
         var it = 0
         while (it < settleIters) { cents = lloydStep(e, cents, dims); it += 1 }
       }

@@ -18,7 +18,8 @@ class ClustersSpec extends SparkSpec {
 
   test("long chain converges (diameter > one iteration)") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0L) // pin the distributed loop
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 12)
     assert(got.forall(_._2 == 1L))
@@ -30,7 +31,8 @@ class ClustersSpec extends SparkSpec {
     // maxIters=20 proves the doubling works (non-convergence would
     // leave far nodes labelled > 1).
     val pairs = (1L until 10000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0L) // pin the DISTRIBUTED loop (the jump path under test)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 10000)
     assert(got.forall(_._2 == 1L))
@@ -51,6 +53,25 @@ class ClustersSpec extends SparkSpec {
     val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
     assert(out.count() == 0)
+  }
+
+  test("driver union-find and distributed loop agree (both paths, same fixed point)") {
+    // chain + triangle + isolated pair, plus string ids on a second set
+    val pairs = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (30L until 60L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val loop = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fast == loop)
+    // string ids: fast path only (the loop's sum-based convergence
+    // scalar is numeric-only; large string-id graphs map ids first)
+    val sPairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val sFast = Dedup.connectedComponents(sPairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(sFast == Seq(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")))
   }
 
   test("deterministic across runs") {
