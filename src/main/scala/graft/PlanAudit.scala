@@ -72,7 +72,9 @@ object PlanAudit {
     // round-6 tail: divergence/effect-size/A-B-design/EVT/cluster-quality
     "q_bhattacharyya", "q_cliffs_delta", "q_odds_ratio", "q_eb_shrinkage",
     "q_power_mde", "q_extreme_value", "q_calinski", "q_srm", "q_keyness",
-    "q_davies_bouldin", "q_dispersion", "q_silhouette", "q_bartlett")
+    "q_davies_bouldin", "q_dispersion", "q_silhouette", "q_bartlett",
+    // round-7: EDF-test / cluster-quality / itemset completions
+    "q_anderson_darling", "q_silhouette_sampled", "q_itemsets3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1269,11 +1269,97 @@ object AnalysisQueries {
       .orderedSmall(col("label"))
   }
 
+  private val SilSampleMax = 400
+
+  /** Sampled full-pairs silhouette (#309): the CLASSIC all-pairs
+    * silhouette (Rousseeuw 1987) — a(i) = mean distance to own-label
+    * points, b(i) = min over other labels of the mean distance to
+    * that label — evaluated on a BOUNDED deterministic sample,
+    * completing the cluster-quality family: #305's simplified form
+    * substitutes centroids (free, corpus-wide) and this gate
+    * measures what that substitution hides (elongated/non-convex
+    * clusters where centroid distance misrepresents cohesion).
+    * The quadratic is bounded by construction: the sample is the
+    * `SilSampleMax` smallest (portable md5, vec_id) keys — a hard
+    * ROW bound (never a fraction; the one-pass TakeOrdered is the
+    * same shape at any corpus size), so pairs ≤ m² regardless of
+    * scale. Each pair distance floors to exact micro units BEFORE
+    * the (i, other-label) mean (HALF_UP integer ratio), b is an
+    * exact integer min, and s = (b−a)/max(a,b) is one mirrored
+    * double per sampled point, micro-floored before the label mean.
+    * Sample singletons (no same-label peer) pin s = 0, the
+    * Rousseeuw convention.
+    */
+  val qSilhouetteSampled = GateQuery.sql(
+    "q_silhouette_sampled",
+    s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
+       |  FROM embeddings),
+       |smp AS (SELECT vec_id, label, q FROM e
+       |  ORDER BY ${graft.operators.TextOps.baseHashSql("'silh:' || CAST(vec_id AS VARCHAR)")},
+       |    vec_id LIMIT $SilSampleMax),
+       |p AS (SELECT a.vec_id AS vid, a.label AS la, b.label AS lb,
+       |    CAST(floor(sqrt(CAST(list_sum([CAST(a.q[i] - b.q[i] AS HUGEINT)
+       |        * CAST(a.q[i] - b.q[i] AS HUGEINT)
+       |      for i in range(1, len(a.q) + 1)]) AS DOUBLE)) * 1000000) AS BIGINT) AS d_micro
+       |  FROM smp a JOIN smp b ON a.vec_id <> b.vec_id),
+       |g AS (SELECT vid, la, lb, count(*) AS cnt,
+       |    CAST(sum(d_micro) AS BIGINT) AS sd FROM p GROUP BY 1, 2, 3),
+       |ab AS (SELECT vid, la,
+       |    min(CASE WHEN lb = la THEN ${Exact.roundedRatioSql("sd", "cnt", 0)} END) AS a,
+       |    min(CASE WHEN lb <> la THEN ${Exact.roundedRatioSql("sd", "cnt", 0)} END) AS b
+       |  FROM g GROUP BY 1, 2),
+       |sm AS (SELECT vid, la,
+       |    CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) <= 0 THEN 0
+       |      ELSE CAST(floor(1000000 * (CAST(b AS DOUBLE) - CAST(a AS DOUBLE))
+       |        / CAST(greatest(a, b) AS DOUBLE)) AS BIGINT) END AS s_micro
+       |  FROM ab)
+       |SELECT la AS label, CAST(count(*) AS BIGINT) AS n_sampled,
+       |  ${Exact.roundedRatioSignedSql("CAST(sum(s_micro) AS BIGINT)", "count(*)", 0)}
+       |    AS mean_s_micro
+       |FROM sm GROUP BY la ORDER BY la""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), VectorOps.quantize(col("embedding")).as("q"))
+    val smp = e
+      .withColumn("_hb", graft.operators.TextOps.baseHash(
+        concat(lit("silh:"), col("vec_id").cast("string"))))
+      .orderBy(col("_hb"), col("vec_id")).limit(SilSampleMax)
+      .drop("_hb")
+    val a = smp.select(col("vec_id").as("vid"), col("label").as("la"), col("q").as("qa"))
+    val b = smp.select(col("vec_id").as("vidb"), col("label").as("lb"), col("q").as("qb"))
+    val d2 = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => {
+        val t = (x - y).cast("decimal(38,0)"); t * t
+      }),
+      lit(0L).cast("decimal(38,0)"), (acc, t) => acc + t)
+    val p = a.join(b, col("vid") =!= col("vidb"))
+      .select(col("vid"), col("la"), col("lb"),
+        floor(sqrt(d2.cast("double")) * lit(1000000)).cast("long").as("d_micro"))
+    val g = p.groupBy(col("vid"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("cnt"), sum(col("d_micro")).cast("long").as("sd"))
+    val mean = Exact.roundedRatio(col("sd"), col("cnt"), 0)
+    val ab = g.groupBy(col("vid"), col("la")).agg(
+      min(when(col("lb") === col("la"), mean)).as("a"),
+      min(when(col("lb") =!= col("la"), mean)).as("b"))
+    val sMicro = when(col("a").isNull || col("b").isNull ||
+        greatest(col("a"), col("b")) <= 0, lit(0L))
+      .otherwise(floor(lit(1000000) *
+        (col("b").cast("double") - col("a").cast("double")) /
+        greatest(col("a"), col("b")).cast("double")).cast("long"))
+    ab.select(col("la"), sMicro.as("s_micro"))
+      .groupBy(col("la")).agg(
+        count(lit(1)).cast("long").as("n_sampled"),
+        Exact.roundedRatioSigned(sum(col("s_micro")).cast("long"), count(lit(1)), 0)
+          .as("mean_s_micro"))
+      .select(col("la").as("label"), col("n_sampled"), col("mean_s_micro"))
+      .orderedSmall(col("label"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized, qPlatt, qCalinski, qDaviesBouldin, qSilhouette)
+    qWinsorized, qPlatt, qCalinski, qDaviesBouldin, qSilhouette,
+    qSilhouetteSampled)
 }

@@ -151,6 +151,106 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Anderson–Darling normality test (#307): the tail-weighted EDF
+    * companion to Jarque–Bera (#248, moment-based) and KS (#206,
+    * sup-based) — A² weights squared EDF deviations by 1/[F(1−F)],
+    * so it catches tail departures JB's four moments and KS's single
+    * sup miss (Anderson & Darling 1954; Stephens 1974 for the n≥8
+    * practical form). Per event type over exact cents:
+    *
+    *   A² = −n − (1/n)·Σᵢ (2i−1)·[ln F(zᵢ) + ln(1−F(z_{n+1−i}))]
+    *
+    * with zᵢ the ascending standardized order statistics. The
+    * reversed index folds into per-row weights — substituting
+    * j = n+1−i makes the sum Σⱼ (2j−1)·lnF(zⱼ) + (2n+1−2j)·ln(1−F(zⱼ))
+    * — so ONE type-keyed window pass (row_number + the n/S/Q scalar
+    * sums share the same exchange) computes everything; no reversal
+    * join. zⱼ = (n·xⱼ−S)·√((n−1)/(n·D)) with D = n·Q−S² is a double
+    * built ONLY from exact integers through IEEE-exact ops (cast /
+    * divide / sqrt / multiply), so both engines see bit-identical z.
+    * F is the Abramowitz–Stegun 26.2.17 polynomial (the pinned
+    * contract; |z| clamped to 8 keeps every tail term finite), and
+    * each ln is micro-floored BEFORE the weighted integer sum —
+    * order-free, partitioning-free. Ties are safe: equal x ⇒ equal
+    * F, and the weight sum over a tie block is permutation-
+    * invariant. Types with zero variance or n<8 are excluded by
+    * exact predicate. Output in exact micro units via nonnegative
+    * truncating division ((−sum) and n both positive).
+    */
+  val qAndersonDarling = GateQuery.sql(
+    "q_anderson_darling", {
+      val phi = "0.3989422804014327" // 1/sqrt(2*pi), double literal
+      s"""WITH e AS (SELECT event_type, ${centsSql("vd")} AS x FROM $E t),
+         |w AS (SELECT event_type, x,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         |    CAST(sum(x) OVER (PARTITION BY event_type) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) OVER (PARTITION BY event_type) AS HUGEINT) AS q
+         |  FROM e),
+         |z0 AS (SELECT event_type, rn, n,
+         |    CAST(n * x - s AS DOUBLE)
+         |      * sqrt(CAST(n - 1 AS DOUBLE) / CAST(n * (n * q - s * s) AS DOUBLE)) AS z
+         |  FROM w WHERE n * q - s * s > 0 AND n >= 8),
+         |zc AS (SELECT event_type, rn, n, least(8.0, greatest(-8.0, z)) AS z FROM z0),
+         |ft AS (SELECT event_type, rn, n, z,
+         |    (exp(-(abs(z) * abs(z)) / 2.0) * $phi)
+         |      * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+         |        * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+         |          * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+         |            * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+         |              * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+         |                * 1.330274429))))) AS tail
+         |  FROM zc),
+         |t AS (SELECT event_type, n,
+         |    (2 * rn - 1) * CAST(floor(1000000 * (CASE WHEN z >= 0
+         |        THEN ln(1.0 - tail) ELSE ln(tail) END)) AS BIGINT)
+         |    + (2 * n + 1 - 2 * rn) * CAST(floor(1000000 * (CASE WHEN z >= 0
+         |        THEN ln(tail) ELSE ln(1.0 - tail) END)) AS BIGINT) AS term
+         |  FROM ft),
+         |a AS (SELECT event_type, any_value(n) AS n,
+         |    CAST(sum(term) AS HUGEINT) AS sm FROM t GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  CAST((-sm) // n - n * 1000000 AS BIGINT) AS a2_micro
+         |FROM a ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("x"))
+    val wp = Window.partitionBy(col("event_type"))
+    val wo = wp.orderBy(col("x"))
+    val xd = col("x").cast("decimal(38,0)")
+    val w = e.select(col("event_type"), col("x"),
+      row_number().over(wo).cast("long").as("rn"),
+      count(lit(1)).over(wp).cast("long").as("n"),
+      sum(col("x")).over(wp).cast("decimal(38,0)").as("s"),
+      sum(xd * col("x")).over(wp).cast("decimal(38,0)").as("q"))
+    val d2 = col("n").cast("decimal(38,0)") * col("q") - col("s") * col("s")
+    val z0 = w.filter(d2 > 0 && col("n") >= 8)
+      .select(col("event_type"), col("rn"), col("n"),
+        ((col("n").cast("decimal(38,0)") * col("x") - col("s")).cast("double") *
+          sqrt((col("n") - 1).cast("double") /
+            (col("n").cast("decimal(38,0)") * d2).cast("double"))).as("z"))
+    val zcl = z0.select(col("event_type"), col("rn"), col("n"),
+      least(lit(8.0), greatest(lit(-8.0), col("z"))).as("z"))
+    val tcol = lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(col("z")))
+    val tail = (exp(-(abs(col("z")) * abs(col("z"))) / lit(2.0)) * lit(0.3989422804014327)) *
+      (tcol * (lit(0.319381530) + tcol * (lit(-0.356563782) + tcol *
+        (lit(1.781477937) + tcol * (lit(-1.821255978) + tcol * lit(1.330274429))))))
+    val ft = zcl.select(col("event_type"), col("rn"), col("n"), col("z"), tail.as("tail"))
+    val term = (lit(2L) * col("rn") - 1) *
+      floor(lit(1000000) * when(col("z") >= 0, log(lit(1.0) - col("tail")))
+        .otherwise(log(col("tail")))).cast("long") +
+      (lit(2L) * col("n") + 1 - lit(2L) * col("rn")) *
+      floor(lit(1000000) * when(col("z") >= 0, log(col("tail")))
+        .otherwise(log(lit(1.0) - col("tail")))).cast("long")
+    ft.select(col("event_type"), col("n"), term.as("term"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n0"),
+        sum(col("term").cast("decimal(38,0)")).cast("decimal(38,0)").as("sm"))
+      .select(col("event_type"), col("n0").cast("long").as("n"),
+        (floorDivBig(-col("sm"), col("n0")) - col("n0").cast("decimal(38,0)") * lit(1000000L))
+          .cast("long").as("a2_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
   /** Partial autocorrelation (#249): PACF at lags 1–3 of each event
     * type's hourly totals via the Durbin–Levinson recursion unrolled
     * to closed forms over the ACF values (#181's exact num/den
@@ -673,6 +773,69 @@ object AuditQueries {
           col("s_a") * col("s_c")).as("lift_micro"))
       .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
       .limit(RulesTopK)
+  }
+
+  private val Items3MinPairSup = 3L
+  private val Items3TopK = 20
+
+  /** Frequent 3-itemsets (#310): the Apriori level-3 step #258 stops
+    * short of — brand triples co-bought in one order, built STRICTLY
+    * over the capped frequent-PAIR stage (Agrawal & Srikant 1994):
+    * per-basket pairs are semi-joined against the min-support pair
+    * relation FIRST (the Apriori prune — an item set can only be
+    * frequent if every subset is), and only then does the bounded
+    * candidate join (u,v)⋈(v,w) on the basket key form triples, so
+    * the level-3 fan-out is bounded by the FREQUENT-pair degree,
+    * never the item vocabulary³. All joins are basket/pair-keyed
+    * equi-joins; supports are exact distinct-basket counts; top-K by
+    * support with full (u, v, w) tie pins; share in exact ppm.
+    */
+  val qItemsets3 = GateQuery.sql(
+    "q_itemsets3",
+    s"""WITH bk AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS it
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM bk),
+       |pr AS (SELECT a.ok, a.it AS u, b.it AS v
+       |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.it < b.it),
+       |sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s
+       |  FROM pr GROUP BY 1, 2),
+       |prf AS (SELECT pr.ok, pr.u, pr.v FROM pr
+       |  JOIN sup ON pr.u = sup.u AND pr.v = sup.v
+       |  WHERE sup.s >= $Items3MinPairSup),
+       |tri AS (SELECT a.ok, a.u, a.v, b.v AS w
+       |  FROM prf a JOIN prf b ON a.ok = b.ok AND a.v = b.u),
+       |s3 AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS support
+       |  FROM tri GROUP BY 1, 2, 3)
+       |SELECT u, v, w, support,
+       |  CAST((support * 1000000) // n_baskets AS BIGINT) AS support_ppm
+       |FROM s3, nb WHERE support >= $Items3MinPairSup
+       |ORDER BY support DESC, u, v, w LIMIT $Items3TopK""".stripMargin) { (s, d) =>
+    val bk = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("ok"), col("p_brand").as("it")).distinct()
+      .persist() // basket relation feeds the pair self-join twice + n_baskets
+    val nb = bk.agg(countDistinct(col("ok")).cast("long").as("n_baskets"))
+    val pr = bk.select(col("ok"), col("it").as("u"))
+      .join(bk.select(col("ok"), col("it").as("v")), "ok")
+      .filter(col("u") < col("v"))
+    val sup = pr.groupBy(col("u"), col("v")).agg(count(lit(1)).cast("long").as("s"))
+      .filter(col("s") >= Items3MinPairSup)
+    val prf = pr.join(sup.select(col("u"), col("v")), Seq("u", "v"), "left_semi")
+      .persist() // both sides of the candidate join read it
+    val tri2 = prf.select(col("ok"), col("u"), col("v"))
+      .join(prf.select(col("ok").as("ok2"), col("u").as("v2"), col("v").as("w")),
+        col("ok") === col("ok2") && col("v") === col("v2"))
+      .select(col("u"), col("v"), col("w"))
+    val s3 = tri2.groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).cast("long").as("support"))
+      .filter(col("support") >= Items3MinPairSup)
+    Curation.withStats(s3, nb)
+      .select(col("u"), col("v"), col("w"), col("support"),
+        Binning.floorDivCol(col("support") * lit(1000000L), col("n_baskets"))
+          .as("support_ppm"))
+      .orderBy(col("support").desc, col("u"), col("v"), col("w"))
+      .limit(Items3TopK)
   }
 
   /** First-week/second-week split second for [[qMcnemar]]. */
@@ -1518,5 +1681,6 @@ object AuditQueries {
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
-    qBhattacharyya, qKeyness, qDispersion, qBartlett)
+    qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
+    qItemsets3)
 }

@@ -364,6 +364,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("active"))
       .select(col("win.start").as("win_start"), col("active"))
 
+  /** Streaming sample-ratio-mismatch monitor — the live counterpart
+    * of the batch `q_srm` gate (#301): per tumbling window, distinct
+    * users per assignment arm (user_id mod 2) and the exact-integer
+    * χ²₁ = (n₀−n₁)²·1e6 // (n₀+n₁) against the 3.841459 critical
+    * micro literal. A broken assignment/logging pipeline flips
+    * `srm_detected` within one window of the skew starting — BEFORE
+    * any downstream metric test reads the experiment. Same shape as
+    * [[rollingActivesStream]]: watermarked windowed dropDuplicates
+    * bounds the distinct-user state to the watermark horizon; the χ²
+    * closed form is the batch gate's formula verbatim, so batch
+    * parity is exact (pinned in StreamingSpec).
+    */
+  def srmStream(events: DataFrame, timeCol: String, userCol: String,
+                windowDur: String, watermarkDelay: String): DataFrame = {
+    val chi2 = graft.operators.Exact.floorDivBig(
+      (col("n0") - col("n1")).cast("decimal(38,0)") * (col("n0") - col("n1")) * lit(1000000L),
+      (col("n0") + col("n1")).cast("decimal(38,0)"))
+    events.withWatermark(timeCol, watermarkDelay)
+      .select(window(col(timeCol), windowDur).as("win"), col(userCol).as("_u"))
+      .dropDuplicates("win", "_u")
+      .groupBy(col("win"))
+      .agg(count(when(pmod(col("_u"), lit(2L)) === 0, 1)).as("n0"),
+        count(when(pmod(col("_u"), lit(2L)) === 1, 1)).as("n1"))
+      .select(col("win.start").as("win_start"),
+        col("n0").cast("long").as("n_arm0"), col("n1").cast("long").as("n_arm1"),
+        when(col("n0") + col("n1") > 0, chi2.cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"),
+        when(col("n0") + col("n1") > 0, chi2 > 3841459L)
+          .otherwise(lit(null).cast("boolean")).as("srm_detected"))
+  }
+
   final case class ZPoint(user: Long, ts: java.sql.Timestamp, x: Long)
   final case class ZState(ring: Seq[Long])
   final case class ZFlag(user: Long, ts: java.sql.Timestamp, x: Long,

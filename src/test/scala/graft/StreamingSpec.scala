@@ -382,6 +382,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SRM monitor flags a skewed window, matches the batch formula") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = StreamingOps.srmStream(
+      input.toDF().toDF("ts", "user"), "ts", "user", "1 minute", "10 seconds")
+    val q = df.writeStream.format("memory").queryName("srmmon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // minute 0: balanced — users 1..8 (4 even, 4 odd), duplicates of
+      // user 2 must collapse; minute 1: skewed — 10 even users, 1 odd.
+      val m0 = (1L to 8L).map(u => (ts(u), u)) :+ ((ts(30), 2L))
+      val m1 = (0L until 10L).map(i => (ts(70 + i), 100L + 2 * i)) :+ ((ts(85), 7L))
+      input.addData(m0 ++ m1: _*)
+      q.processAllAvailable()
+      input.addData((ts(400), 999L)) // advance watermark past both windows
+      q.processAllAvailable()
+      input.addData((ts(401), 999L))
+      q.processAllAvailable()
+      val rows = spark.table("srmmon").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      // minute 0 (win_start 1200): 4 even vs 4 odd -> chi2 = 0, no flag
+      assert(rows(1200L) == ((4L, 4L, 0L, false)), s"rows = $rows")
+      // minute 1 (1260): 10 even vs 1 odd -> chi2 = 81e6 // 11 = 7363636
+      assert(rows(1260L) == ((10L, 1L, 7363636L, true)), s"rows = $rows")
+      // batch parity: the same closed form over the same distinct users
+      val batchChi2 = graft.operators.Exact.floorDivBig(
+        (lit(10L) - 1L).cast("decimal(38,0)") * (lit(10L) - 1L) * lit(1000000L),
+        (lit(10L) + 1L).cast("decimal(38,0)")).cast("long")
+      assert(spark.range(1).select(batchChi2).head.getLong(0) == 7363636L)
+    } finally q.stop()
+  }
+
   test("streaming rolling actives counts distinct users per sliding window exactly") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

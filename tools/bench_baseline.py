@@ -36,6 +36,9 @@ def main():
             rows.append((name, None))
             print(f"ERR {name}: {e}", file=sys.stderr)
     total = sum(t for _, t in rows if t is not None)
+    if "--json" in sys.argv:
+        print(json.dumps({name: t for name, t in rows}))
+        return
     print(f"| query | duckdb_sec |")
     print(f"|---|---|")
     for name, t in rows:
