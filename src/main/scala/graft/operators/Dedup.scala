@@ -495,15 +495,19 @@ object Dedup {
       if (cur == null || ord.lt(ids(i), cur)) minOf.put(r, ids(i))
       i += 1
     }
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](ids.length)
     i = 0
     while (i < ids.length) {
-      out.add(org.apache.spark.sql.Row(ids(i), minOf.get(find(i))))
+      out += org.apache.spark.sql.Row(ids(i), minOf.get(find(i)))
       i += 1
     }
     val schema = StructType(Seq(
       StructField("doc_id", dt), StructField("cluster_id", dt)))
-    Some(caller.createDataFrame(out, schema))
+    // RDD-backed, never a LocalRelation: a large local row set re-plans
+    // and re-serializes on the driver for EVERY downstream job
+    val slices = math.max(1, math.min(caller.sparkContext.defaultParallelism,
+      out.length / 10000 + 1))
+    Some(caller.createDataFrame(caller.sparkContext.parallelize(out.toSeq, slices), schema))
   }
 
   /** MinHash signatures (numPerms deterministic base_hash

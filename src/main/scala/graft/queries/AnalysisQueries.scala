@@ -1294,13 +1294,12 @@ object AnalysisQueries {
     "q_silhouette_sampled",
     s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
        |  FROM embeddings),
-       |smp AS (SELECT vec_id, label, q FROM e
+       |smp AS (SELECT vec_id, label, q, ${VectorOps.normQSql("q")} AS n FROM e
        |  ORDER BY ${graft.operators.TextOps.baseHashSql("'silh:' || CAST(vec_id AS VARCHAR)")},
        |    vec_id LIMIT $SilSampleMax),
        |p AS (SELECT a.vec_id AS vid, a.label AS la, b.label AS lb,
-       |    CAST(floor(sqrt(CAST(list_sum([CAST(a.q[i] - b.q[i] AS HUGEINT)
-       |        * CAST(a.q[i] - b.q[i] AS HUGEINT)
-       |      for i in range(1, len(a.q) + 1)]) AS DOUBLE)) * 1000000) AS BIGINT) AS d_micro
+       |    CAST(floor(sqrt(CAST(a.n + b.n - 2 * ${VectorOps.dotQSql("a.q", "b.q")}
+       |      AS DOUBLE)) * 1000000) AS BIGINT) AS d_micro
        |  FROM smp a JOIN smp b ON a.vec_id <> b.vec_id),
        |g AS (SELECT vid, la, lb, count(*) AS cnt,
        |    CAST(sum(d_micro) AS BIGINT) AS sd FROM p GROUP BY 1, 2, 3),
@@ -1324,13 +1323,16 @@ object AnalysisQueries {
         concat(lit("silh:"), col("vec_id").cast("string"))))
       .orderBy(col("_hb"), col("vec_id")).limit(SilSampleMax)
       .drop("_hb")
-    val a = smp.select(col("vec_id").as("vid"), col("label").as("la"), col("q").as("qa"))
-    val b = smp.select(col("vec_id").as("vidb"), col("label").as("lb"), col("q").as("qb"))
-    val d2 = aggregate(
-      zip_with(col("qa"), col("qb"), (x, y) => {
-        val t = (x - y).cast("decimal(38,0)"); t * t
-      }),
-      lit(0L).cast("decimal(38,0)"), (acc, t) => acc + t)
+      .withColumn("n", graft.expressions.VectorExpressions.normQ(col("q")))
+    val a = smp.select(col("vec_id").as("vid"), col("label").as("la"),
+      col("q").as("qa"), col("n").as("na"))
+    val b = smp.select(col("vec_id").as("vidb"), col("label").as("lb"),
+      col("q").as("qb"), col("n").as("nb"))
+    // d² = ‖a‖² + ‖b‖² − 2·a·b in EXACT long arithmetic through the
+    // native codegen kernels (the decimal zip-with form costs ~10M
+    // interpreted lambda calls over the m² pairs); identical value.
+    val d2 = col("na") + col("nb") -
+      lit(2L) * graft.expressions.VectorExpressions.dotQ(col("qa"), col("qb"))
     val p = a.join(b, col("vid") =!= col("vidb"))
       .select(col("vid"), col("la"), col("lb"),
         floor(sqrt(d2.cast("double")) * lit(1000000)).cast("long").as("d_micro"))

@@ -226,18 +226,38 @@ class AuditEdgeSpec extends SparkSpec {
       m = 4, alpha = 0.3, beta = 0.2, gamma = 0.4).count() === 0)
   }
 
-  test("k-core: pendant and tail peel away, K4 survives the 3-core") {
+  test("k-core: pendant and tail peel away, K4 survives the 3-core (both paths)") {
     // K4 on {1,2,3,4} + path 4–5–6: 2-core drops the path tail,
     // 3-core = exactly K4. Peeling must cascade (6 falls, then 5).
+    // Asserted on the driver fast path AND the distributed loop
+    // (driverMaxEdges = 0 pins the loop).
     val g = Graphs.canonicalEdges(edges(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L), (5L, 6L)))
-    val core2 = Graphs.kCore(g, 2)
-    assert(core2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
-      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
-    val core3 = Graphs.kCore(g, 3)
-    assert(core3.count() === 6L) // K4's edges
-    assert(Graphs.kCore(g, 4).count() === 0L) // K4 has max degree 3
+    for (bound <- Seq(2000000L, 0L)) {
+      val core2 = Graphs.kCore(g, 2, driverMaxEdges = bound)
+      assert(core2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+        s"bound=$bound")
+      val core3 = Graphs.kCore(g, 3, driverMaxEdges = bound)
+      assert(core3.count() === 6L, s"bound=$bound") // K4's edges
+      assert(Graphs.kCore(g, 4, driverMaxEdges = bound).count() === 0L,
+        s"bound=$bound") // K4 has max degree 3
+    }
+  }
+
+  test("bfs hops: distances agree between the driver fast path and the loop") {
+    // chain c1->s1->c2->s2 (doubled arcs) + isolated pair; seed {c1}
+    val pairs = Seq(("c1", "s1"), ("s1", "c2"), ("c2", "s2"), ("x", "y"))
+    val arcs = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val seeds = Seq("c1").toDF("node")
+    def run(bound: Long) =
+      Graphs.bfsHops(arcs, seeds, maxHops = 2, driverMaxEdges = bound)
+        .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    val fast = run(2000000L)
+    val loop = run(0L)
+    assert(fast === loop)
+    assert(fast === Seq(("c1", 0), ("c2", 2), ("s1", 1)))
   }
 
   test("iterative-graph rounds: src-partitioned arcs are never re-exchanged") {
