@@ -74,7 +74,9 @@ object PlanAudit {
     "q_power_mde", "q_extreme_value", "q_calinski", "q_srm", "q_keyness",
     "q_davies_bouldin", "q_dispersion", "q_silhouette", "q_bartlett",
     // round-7: EDF-test / cluster-quality / itemset completions
-    "q_anderson_darling", "q_silhouette_sampled", "q_itemsets3")
+    "q_anderson_darling", "q_silhouette_sampled", "q_itemsets3",
+    "q_kruskal_wallis", "q_durbin_watson", "q_ljung_box",
+    "q_cvm", "q_friedman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -483,7 +483,97 @@ object EvalQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Kruskal–Wallis H test (#311): the k-sample nonparametric ANOVA
+    * (Kruskal & Wallis 1952) completing the family — #212's
+    * Mann–Whitney generalized past two cohorts, #211's ANOVA without
+    * its normality/equal-variance assumptions (which #307/#306 exist
+    * to check). Per user cohort (user_id mod 8): do the five event
+    * types' value distributions differ in location?
+    * H = 3/(N(N+1))·Σᵢ S2ᵢ²/nᵢ − 3(N+1) over DOUBLED rank units
+    * (S2ᵢ = Σ midrank2, midrank2 = 2·cum − t + 1 — always an
+    * integer), computed off the VALUE-COLLAPSED (cohort, cents) grid
+    * exactly as #212: windows see distinct values, never rows. Each
+    * cohort's S2ᵢ²/nᵢ micro-floors BEFORE the k-bounded sum; H
+    * clamps at 0 (analytically nonnegative — flooring may undershoot
+    * by micro units) so the tie-correction division
+    * H* = H·(N³−N)/((N³−N)−Σ(t³−t)) stays on nonnegative integers
+    * where `//` mirrors floor. All-tied cohorts ((N³−N) ≤ T) are
+    * NULL by exact predicate. Widest intermediate S2ᵢ²·1e6 ≲ 4N⁴·1e6
+    * — both engines fail loudly past ~3e7 rows per cohort group.
+    */
+  val qKruskalWallis = GateQuery.sql(
+    "q_kruskal_wallis",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_type, ${centsSql("vd")} AS c
+       |  FROM $E t),
+       |v AS (SELECT g, c, event_type, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM e GROUP BY 1, 2, 3),
+       |tv AS (SELECT g, c, CAST(sum(cnt) AS BIGINT) AS t,
+       |    CAST(sum(sum(cnt)) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cum
+       |  FROM v GROUP BY 1, 2),
+       |r AS (SELECT v.g, v.event_type, v.cnt,
+       |    CAST(v.cnt AS HUGEINT) * (2 * tv.cum - tv.t + 1) AS contrib
+       |  FROM v JOIN tv ON v.g = tv.g AND v.c = tv.c),
+       |s AS (SELECT g, event_type, CAST(sum(cnt) AS BIGINT) AS n_i,
+       |    CAST(sum(contrib) AS HUGEINT) AS s2
+       |  FROM r GROUP BY 1, 2),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n_i) AS BIGINT) AS n,
+       |    CAST(sum((s2 * s2 * 1000000) // n_i) AS HUGEINT) AS aterm
+       |  FROM s GROUP BY 1),
+       |tt AS (SELECT g, CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+       |  FROM tv GROUP BY 1),
+       |h AS (SELECT a.g, a.k, a.n, tt.ties,
+       |    greatest(CAST(0 AS HUGEINT),
+       |      (3 * a.aterm) // (CAST(a.n AS HUGEINT) * (a.n + 1))
+       |        - 3 * (a.n + 1) * 1000000) AS h_micro,
+       |    CAST(a.n AS HUGEINT) * a.n * a.n - a.n AS n3n
+       |  FROM a JOIN tt ON a.g = tt.g)
+       |SELECT g, n AS n_obs, k AS k_cohorts, CAST(k - 1 AS BIGINT) AS dof,
+       |  CASE WHEN n >= 2 AND n3n > ties
+       |    THEN CAST((h_micro * n3n) // (n3n - ties) AS BIGINT)
+       |    ELSE NULL END AS h_micro
+       |FROM h ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(pmod(col("user_id"), lit(8L)).as("g"),
+      col("event_type"), Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("g"), col("c"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val tv = v.groupBy(col("g"), col("c"))
+      .agg(sum(col("cnt")).cast("long").as("t"))
+      .withColumn("cum",
+        sum(col("t")).over(Window.partitionBy(col("g")).orderBy(col("c"))).cast("long"))
+    val r = v.join(tv, Seq("g", "c"))
+      .select(col("g"), col("event_type"),
+        col("cnt"),
+        (col("cnt").cast("decimal(38,0)") *
+          (lit(2L) * col("cum") - col("t") + 1)).as("contrib"))
+    val sdf = r.groupBy(col("g"), col("event_type"))
+      .agg(sum(col("cnt")).cast("long").as("n_i"),
+        sum(col("contrib")).cast("decimal(38,0)").as("s2"))
+    val a = sdf.groupBy(col("g")).agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("n_i")).cast("long").as("n"),
+      sum(floorDivBig(col("s2") * col("s2") * lit(1000000L),
+        col("n_i").cast("decimal(38,0)"))).cast("decimal(38,0)").as("aterm"))
+    val tt = tv.groupBy(col("g"))
+      .agg(sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("ties"))
+    val h = a.join(tt, "g")
+      .withColumn("h_micro0", greatest(lit(0L).cast("decimal(38,0)"),
+        floorDivBig(lit(3L) * col("aterm"),
+          col("n").cast("decimal(38,0)") * (col("n") + 1)) -
+          lit(3L) * (col("n").cast("decimal(38,0)") + 1) * lit(1000000L)))
+      .withColumn("n3n",
+        col("n").cast("decimal(38,0)") * col("n") * col("n") - col("n"))
+    h.select(col("g"), col("n").as("n_obs"), col("k").as("k_cohorts"),
+        (col("k") - 1).cast("long").as("dof"),
+        when(col("n") >= 2 && col("n3n") > col("ties"),
+          floorDivBig(col("h_micro0") * col("n3n"),
+            col("n3n") - col("ties")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("h_micro"))
+      .orderedSmall(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments)
+    qMoments, qKruskalWallis)
 }

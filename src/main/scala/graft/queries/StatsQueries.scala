@@ -1263,6 +1263,150 @@ object StatsQueries {
         col("at_cents"))
   }
 
+  /** Two-sample Cramér–von Mises criterion (#314): the INTEGRATED
+    * EDF-gap companion to KS (#206, sup-gap) and W1 (#169, mass
+    * transport) — T = (n₁n₂/N²)·Σ_pooled (F₁−F₂)² weights every
+    * pooled observation's squared CDF gap (Anderson 1962), so many
+    * small distributed gaps register where KS's single sup misses
+    * them. EXACT end to end on the same value-collapsed grid as
+    * #206: per distinct value the cross-scaled gap d = cum₁·n₂ −
+    * cum₂·n₁ (= n₁n₂·(F₁−F₂)) is an integer, each pooled-count-
+    * weighted d² accumulates exactly, and T = Σ c·d²/(n₁n₂N²)
+    * leaves as ONE micro floor division. Ties handled by
+    * construction (the pooled weight at a tied value is its c).
+    */
+  val qCvm = GateQuery.sql(
+    "q_cvm",
+    s"""WITH e AS (SELECT ${centsSql("vd")} AS v,
+       |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+       |  FROM $E t WHERE event_type IN ('click', 'view')),
+       |g AS (SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+       |    CAST(sum(1 - is1) AS BIGINT) AS c2
+       |  FROM e GROUP BY v),
+       |c AS (SELECT v, c1 + c2 AS c,
+       |    CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+       |    CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+       |  FROM g),
+       |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+       |s AS (SELECT CAST(sum(CAST(c AS HUGEINT) *
+       |      (cum1 * CAST((SELECT n2 FROM n) AS HUGEINT) - cum2 * (SELECT n1 FROM n))
+       |      * (cum1 * CAST((SELECT n2 FROM n) AS HUGEINT) - cum2 * (SELECT n1 FROM n)))
+       |    AS HUGEINT) AS sd2 FROM c)
+       |SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+       |  CASE WHEN (SELECT n1 FROM n) > 0 AND (SELECT n2 FROM n) > 0 THEN
+       |    CAST(((SELECT sd2 FROM s) * 1000000)
+       |      // (CAST((SELECT n1 FROM n) AS HUGEINT) * (SELECT n2 FROM n)
+       |        * ((SELECT n1 FROM n) + (SELECT n2 FROM n))
+       |        * ((SELECT n1 FROM n) + (SELECT n2 FROM n))) AS BIGINT)
+       |  END AS t_micro""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(Exact.cents(col("vd")).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
+    val g = e.groupBy(col("v"))
+      .agg(Exact.sumUnits(col("is1")).cast("long").as("c1"),
+        Exact.sumUnits(lit(1L) - col("is1")).cast("long").as("c2"))
+    val wAsc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g
+      .withColumn("c", col("c1") + col("c2"))
+      .withColumn("cum1", sum(col("c1")).over(wAsc).cast("long"))
+      .withColumn("cum2", sum(col("c2")).over(wAsc).cast("long"))
+    val n = g.agg(Exact.sumUnits(col("c1")).cast("long").as("n1"),
+      Exact.sumUnits(col("c2")).cast("long").as("n2"))
+    val dGap = col("cum1").cast("decimal(38,0)") * col("n2") -
+      col("cum2").cast("decimal(38,0)") * col("n1")
+    val sd2 = c.join(broadcast(n))
+      .select(col("n1"), col("n2"),
+        (col("c").cast("decimal(38,0)") * dGap * dGap).as("wd2"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("wd2")).cast("decimal(38,0)").as("sd2"))
+    val nn = (col("n1") + col("n2")).cast("decimal(38,0)")
+    sd2.select(col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0,
+          Exact.floorDivBig(col("sd2") * lit(1000000L),
+            col("n1").cast("decimal(38,0)") * col("n2") * nn * nn).cast("long"))
+          .otherwise(lit(null).cast("long")).as("t_micro"))
+  }
+
+  /** Friedman test (#315): the within-BLOCK rank test the k-sample
+    * family still lacked — users are blocks, the five event types
+    * are treatments, and each complete block (user with all k types,
+    * exact HAVING predicate) ranks its OWN per-type spend totals, so
+    * between-user spend scale cancels entirely (what #311's pooled
+    * ranks cannot do; Friedman 1937). Midranks in doubled units come
+    * from a BOUNDED k×k within-block self-join (midrank2 =
+    * 2·#less + #equal + 1, self included — never a window over
+    * rows); with R2ⱼ the per-type doubled rank sums, A2 = Σ r2²,
+    * the tie-general statistic clears all denominators to ONE
+    * exact integer ratio:
+    *   χ² = (k−1)·(ΣR2ⱼ² − b²k(k+1)²) / (b·(A2 − b·k(k+1)²)),
+    * numerator nonnegative by Cauchy–Schwarz (doubled rank sums per
+    * block are constant = k(k+1)), denominator zero only when every
+    * block is fully tied → NULL by exact predicate. Output in exact
+    * micro units.
+    */
+  val qFriedman = GateQuery.sql(
+    "q_friedman", {
+      val k = 5
+      s"""WITH u AS (SELECT user_id, event_type,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E t GROUP BY 1, 2),
+         |cb AS (SELECT user_id FROM u GROUP BY user_id HAVING count(*) = $k),
+         |ub AS (SELECT u.user_id, u.event_type, u.y FROM u JOIN cb USING (user_id)),
+         |r AS (SELECT a.user_id, a.event_type,
+         |    CAST(sum(CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+         |      AS BIGINT) AS r2
+         |  FROM ub a JOIN ub b ON a.user_id = b.user_id
+         |  GROUP BY a.user_id, a.event_type, a.y),
+         |tj AS (SELECT event_type, CAST(sum(r2) AS HUGEINT) AS rj,
+         |    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS aj,
+         |    CAST(count(*) AS BIGINT) AS b
+         |  FROM r GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS k, any_value(b) AS b,
+         |    CAST(sum(rj * rj) AS HUGEINT) AS srj2,
+         |    CAST(sum(aj) AS HUGEINT) AS a2
+         |  FROM tj)
+         |SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+         |  CAST(k - 1 AS BIGINT) AS dof,
+         |  CASE WHEN b > 0 AND a2 > CAST(b AS HUGEINT) * k * (k + 1) * (k + 1) THEN
+         |    CAST(((k - 1) * (srj2 - CAST(b AS HUGEINT) * b * k * (k + 1) * (k + 1))
+         |      * 1000000)
+         |      // (CAST(b AS HUGEINT) * (a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1)))
+         |      AS BIGINT)
+         |  END AS chi2_micro
+         |FROM a""".stripMargin
+    }) { (s, d) =>
+    val k = 5
+    val u = ev(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val cb = u.groupBy(col("user_id")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") === k).select(col("user_id"))
+    val ub = u.join(cb, Seq("user_id"), "left_semi")
+    val bSide = ub.select(col("user_id"), col("y").as("yb"))
+    val r = ub.join(bSide, Seq("user_id"))
+      .groupBy(col("user_id"), col("event_type"), col("y"))
+      .agg((sum(when(col("yb") < col("y"), 2L).when(col("yb") === col("y"), 1L)
+        .otherwise(0L)) + 1L).cast("long").as("r2"))
+    val tj = r.groupBy(col("event_type")).agg(
+      sum(col("r2")).cast("decimal(38,0)").as("rj"),
+      sum(col("r2").cast("decimal(38,0)") * col("r2")).cast("decimal(38,0)").as("aj"),
+      count(lit(1)).cast("long").as("b"))
+    val a = tj.agg(
+      count(lit(1)).cast("long").as("k"),
+      first(col("b")).as("b"),
+      sum(col("rj") * col("rj")).cast("decimal(38,0)").as("srj2"),
+      sum(col("aj")).cast("decimal(38,0)").as("a2"))
+    val bd = col("b").cast("decimal(38,0)")
+    val kk1 = col("k") * (col("k") + 1) * (col("k") + 1)
+    a.select(col("b").cast("long").as("n_blocks"), col("k").as("k_treatments"),
+        (col("k") - 1).cast("long").as("dof"),
+        when(col("b") > 0 && col("a2") > bd * kk1,
+          Exact.floorDivBig(
+            (col("k") - 1) * (col("srj2") - bd * col("b") * kk1) * lit(1000000L),
+            bd * (col("a2") - bd * kk1)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"))
+  }
+
   /** Seasonal-means decomposition (#223): each event type's hourly
     * totals split into overall level + hour-of-day seasonal component
     * (y = level + seasonal(hod) + residual) — the first look every
@@ -1976,11 +2120,158 @@ object StatsQueries {
       .orderedSmall(col("n_arm0"))
   }
 
+  /** Ljung–Box portmanteau test (#313): is the hourly series white
+    * noise ACROSS the first 3 lags jointly — Q = n(n+2)·Σ_k r_k²/(n−k)
+    * (Ljung & Box 1978) against χ²₃, the standard residual-whiteness
+    * gate after any #262/#191 fit, aggregating what #181 reports
+    * per lag. Reuses #181's EXACT deviation integers verbatim:
+    * r_k = num_k/den as the mirrored double of exact ints, each
+    * lag's r_k²/(n−k) micro-floored to an exact integer BEFORE the
+    * 3-bounded sum, and Q leaves as one exact n(n+2)-scaled integer
+    * (squaring num_k directly would overflow int128 at this SF —
+    * the double square of the exact ratio is the pinned contract).
+    */
+  val qLjungBox = GateQuery.sql(
+    "q_ljung_box", {
+      val terms = AcfLags.map(k =>
+        s"""CAST(floor((CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE))
+           |      * (CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE))
+           |      / (n - $k) * 1000000) AS BIGINT)""".stripMargin).mkString("\n  + ")
+      s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e GROUP BY 1, 2),
+         |st AS (SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+         |  FROM g GROUP BY 1),
+         |l AS (SELECT g.event_type, st.n, st.s, y,
+         |    ${AcfLags.map(k => s"lead(y, $k) OVER (PARTITION BY g.event_type ORDER BY grid) AS y$k")
+               .mkString(", ")}
+         |  FROM g JOIN st USING (event_type)),
+         |a AS (SELECT event_type, any_value(n) AS n,
+         |    CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y - s)) AS HUGEINT) AS den,
+         |    ${AcfLags.map(k =>
+               s"CAST(sum((CAST(n AS HUGEINT) * y - s) * (CAST(n AS HUGEINT) * y$k - s)) AS HUGEINT) AS num$k")
+               .mkString(", ")}
+         |  FROM l GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+         |  CAST(${AcfLags.max} AS BIGINT) AS n_lags,
+         |  CASE WHEN den > 0 AND n > ${AcfLags.max} THEN
+         |    CAST(n AS BIGINT) * (n + 2) * ($terms)
+         |  END AS q_scaled_micro
+         |FROM a ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val st = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumUnits(col("y")).cast("long").as("s"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val withLead = AcfLags.foldLeft(g.join(broadcast(st), "event_type")) { (df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(wo))
+    }
+    def dev(c: Column) = col("n").cast("decimal(38,0)") * c - col("s")
+    val aggCols: Seq[Column] =
+      sum(dev(col("y")) * dev(col("y"))).cast("decimal(38,0)").as("den") +:
+        AcfLags.map(k =>
+          sum(dev(col("y")) * dev(col(s"y$k"))).cast("decimal(38,0)").as(s"num$k"))
+    val a = withLead.groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"), aggCols: _*)
+    val termSum = AcfLags.map { k =>
+      val r = col(s"num$k").cast("double") / col("den").cast("double")
+      floor(r * r / (col("n") - k) * lit(1000000)).cast("long")
+    }.reduce(_ + _)
+    a.select(col("event_type"), col("n").cast("long").as("n_points"),
+        lit(AcfLags.max.toLong).as("n_lags"),
+        when(col("den") > 0 && col("n") > AcfLags.max,
+          col("n").cast("long") * (col("n") + 2) * termSum)
+          .otherwise(lit(null).cast("long")).as("q_scaled_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Durbin–Watson statistic (#312): first-order autocorrelation of
+    * the LINEAR-TREND residuals of each event type's hourly series
+    * (Durbin & Watson 1950) — the regression-diagnostic companion to
+    * the raw-series ACF (#181): a clean trend fit with DW far from 2
+    * says the errors are serially dependent and every OLS standard
+    * error (#9, #141) is understated. Slope/intercept come from the
+    * exact closed-form sums (#9's discipline) as mirrored doubles;
+    * each residual micro-floors to an exact BIGINT per hour; DW =
+    * Σ(ẽ_t−ẽ_{t−1})²/Σẽ_t² is then an EXACT integer ratio reported
+    * in micro units (one ordered window + one aggregate per type,
+    * value range [0,4], 2 = independent). Degenerate series (zero
+    * residual energy or vertical/constant grids, n<3) are NULL by
+    * exact predicate.
+    */
+  val qDurbinWatson = GateQuery.sql(
+    "q_durbin_watson",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(grid) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(grid AS HUGEINT) * grid) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(grid AS HUGEINT) * y) AS HUGEINT) AS sxy
+       |  FROM g GROUP BY 1),
+       |b AS (SELECT event_type, n,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |    sx, sy, sxx
+       |  FROM st WHERE n >= 3 AND n * sxx - sx * sx <> 0),
+       |r AS (SELECT g.event_type, g.grid,
+       |    CAST(floor((CAST(y AS DOUBLE)
+       |        - (CAST(b.sy AS DOUBLE) - b.slope * CAST(b.sx AS DOUBLE)) / b.n
+       |        - b.slope * g.grid) * 1000000) AS BIGINT) AS em
+       |  FROM g JOIN b USING (event_type)),
+       |l AS (SELECT event_type, em,
+       |    lag(em) OVER (PARTITION BY event_type ORDER BY grid) AS em1
+       |  FROM r),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+       |    CAST(sum(CAST(em - em1 AS HUGEINT) * (em - em1)) AS HUGEINT) AS num,
+       |    CAST(sum(CAST(em AS HUGEINT) * em) AS HUGEINT) AS den
+       |  FROM l GROUP BY 1)
+       |SELECT event_type, n_points,
+       |  CASE WHEN den > 0 THEN CAST((num * 1000000) // den AS BIGINT) END AS dw_micro
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val gd = col("grid").cast("decimal(38,0)")
+    val st = g.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("grid")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(gd * col("grid")).cast("decimal(38,0)").as("sxx"),
+      sum(gd * col("y")).cast("decimal(38,0)").as("sxy"))
+    val det = col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")
+    val b = st
+      .filter(col("n") >= 3 && det =!= 0)
+      .select(col("event_type"), col("n"),
+        ((col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          det.cast("double")).as("slope"),
+        col("sx"), col("sy"))
+    val r = g.join(broadcast(b), "event_type")
+      .select(col("event_type"), col("grid"),
+        floor((col("y").cast("double") -
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) / col("n") -
+          col("slope") * col("grid")) * lit(1000000)).cast("long").as("em"))
+    val l = r.withColumn("em1",
+      lag(col("em"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("grid"))))
+    val a = l.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n_points"),
+      sum((col("em") - col("em1")).cast("decimal(38,0)") * (col("em") - col("em1")))
+        .cast("decimal(38,0)").as("num"),
+      sum(col("em").cast("decimal(38,0)") * col("em")).cast("decimal(38,0)").as("den"))
+    a.select(col("event_type"), col("n_points"),
+        when(col("den") > 0,
+          Exact.floorDivBig(col("num") * lit(1000000L), col("den")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("dw_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm)
+    qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
+    qDurbinWatson, qLjungBox, qCvm, qFriedman)
 }

@@ -35,6 +35,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
     "q_tfidf_terms", // (n_docs) corpus-total single-row scalar
     "q_ks_test", // (n1, n2) sample-size single-row scalar
+    "q_cvm", // (n1, n2) sample-size single-row scalar (same as q_ks_test)
     "q_confusion", // (mean-length threshold) single-row scalar
     "q_brier", // (1+max n_chars) probability-scale single-row scalar
     "q_ece", // same (1+max) scalar as q_brier
