@@ -76,7 +76,7 @@ object PlanAudit {
     // round-7: EDF-test / cluster-quality / itemset completions
     "q_anderson_darling", "q_silhouette_sampled", "q_itemsets3",
     "q_kruskal_wallis", "q_durbin_watson", "q_ljung_box",
-    "q_cvm", "q_friedman")
+    "q_cvm", "q_friedman", "q_moore_lewis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

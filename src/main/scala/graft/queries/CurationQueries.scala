@@ -1231,10 +1231,85 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** #316 — Moore–Lewis cross-entropy-difference data selection
+    * (Moore & Lewis 2010): rank every document by how much better an
+    * IN-DOMAIN LM predicts it than a GENERAL-corpus LM —
+    * score(d) = Σ_tokens [ln P_in(w) − ln P_gen(w)], positive means
+    * "looks like the target domain beyond generic frequency". THE
+    * classic targeted-selection operator next to DSIR (#91, hashed
+    * importance weights): Moore–Lewis contrasts full LMs where DSIR
+    * contrasts hashed feature distributions. Both models here are
+    * the unigram Laplace instantiation (the #84 scorer, trained on
+    * the `lang='en' AND source='src0'` slice vs the whole corpus);
+    * each per-token term is the DIFFERENCE of two already-micro-
+    * quantized log-probs — exact integers, order-free sum — and the
+    * per-token average is a sign-aware HALF_UP ratio. Model tables
+    * are topV-capped vocab relations through the [[Curation
+    * .modelJoin]] broadcast-vs-shuffle switch; OOV floors ride
+    * 1-row broadcasts. `selected` = score > 0 (the Moore–Lewis
+    * acceptance rule at threshold 0).
+    */
+  val qMooreLewis = GateQuery.sql(
+    "q_moore_lewis",
+    s"""WITH tw AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(w) AS word FROM tw),
+       |lt AS (SELECT lang, source, unnest(w) AS word FROM tw),
+       |rin AS (SELECT word, count(*) AS c FROM lt
+       |  WHERE lang = 'en' AND source = 'src0' GROUP BY word),
+       |sin AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM rin),
+       |rinv AS (SELECT word, c FROM rin ORDER BY c DESC, word LIMIT $LmTopV),
+       |qin AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS qi
+       |  FROM rinv, sin),
+       |oin AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oqi FROM sin),
+       |rgn AS (SELECT word, count(*) AS c FROM lt GROUP BY word),
+       |sgn AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM rgn),
+       |rgnv AS (SELECT word, c FROM rgn ORDER BY c DESC, word LIMIT $LmTopV),
+       |qgn AS (SELECT word, ${Curation.microLnSql("(c + 1.0) / (n + v)")} AS qg
+       |  FROM rgnv, sgn),
+       |ogn AS (SELECT ${Curation.microLnSql("1.0 / (n + v)")} AS oqg FROM sgn),
+       |sc AS (SELECT toks.doc_id AS doc_id, count(*) AS n_tokens,
+       |    CAST(sum(coalesce(qin.qi, oin.oqi) - coalesce(qgn.qg, ogn.oqg)) AS BIGINT)
+       |      AS ml_micro
+       |  FROM toks LEFT JOIN qin ON toks.word = qin.word
+       |            LEFT JOIN qgn ON toks.word = qgn.word, oin, ogn
+       |  GROUP BY toks.doc_id)
+       |SELECT doc_id, n_tokens, ml_micro,
+       |  ${roundedRatioSignedSql("ml_micro", "n_tokens * 1000000", 4)} AS avg_ml,
+       |  ml_micro > 0 AS selected
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tw = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      graft.operators.TextOps.tokens(col("text")).as("w")).persist()
+    val toks = tw.select(col("doc_id"), explode(col("w")).as("word"))
+    val lt = tw.select(col("lang"), col("source"), explode(col("w")).as("word"))
+    val (quI, oovI) = Curation.unigramModel(
+      lt.filter(col("lang") === "en" && col("source") === "src0").select(col("word")),
+      scale = 1.0, topV = Some(LmTopV))
+    val (quG, oovG) = Curation.unigramModel(lt.select(col("word")),
+      scale = 1.0, topV = Some(LmTopV))
+    val scored = Curation.modelJoin(
+        Curation.modelJoin(
+          Curation.withStats(
+            Curation.withStats(toks, oovI.select(col("oovq").as("oqi"))),
+            oovG.select(col("oovq").as("oqg"))),
+          quI.select(col("word"), col("q").as("qi")), Seq("word")),
+        quG.select(col("word"), col("q").as("qg")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("qi"), col("oqi")) - coalesce(col("qg"), col("oqg")))
+          .cast("long").as("ml_micro"))
+    scored.select(col("doc_id"), col("n_tokens"), col("ml_micro"),
+        Exact.roundedRatioSigned(col("ml_micro"), col("n_tokens") * lit(1000000L), 4)
+          .as("avg_ml"),
+        (col("ml_micro") > 0).as("selected"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
-      qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy)
+      qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
+      qMooreLewis)
 }

@@ -16,6 +16,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     Set("q_knn_bruteforce", "q_dark_subtract", "q_histogram",
       "q_lm_perplexity", "q_lm_bigram", "q_lm_trigram", "q_dsir_weights",
       "q_dsir_select",
+      "q_moore_lewis", // two OOV-floor single-row scalars (as q_lm_perplexity)
       "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline",
       "q_bm25", // (n_docs, total_len) single-row stats
       "q_knn_pq", // exhaustive ADC scan (Jégou §IV); scale path = ivfPqTopK
