@@ -1350,10 +1350,10 @@ object TextQueries {
       val bkt = (rExpr: String, wExpr: String) =>
         s"(${graft.operators.TextOps.baseHashSql(s"'cm' || CAST($rExpr AS VARCHAR) || ':' || $wExpr")} % 256)"
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-         |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM (
-         |    SELECT rr.r AS r, ${bkt("rr.r", "word")} AS bucket
-         |    FROM toks, range(0, 4) rr(r)) t GROUP BY 1, 2),
          |ex AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |sk AS (SELECT r, bucket, CAST(sum(c) AS BIGINT) AS c FROM (
+         |    SELECT rr.r AS r, ${bkt("rr.r", "word")} AS bucket, c
+         |    FROM ex, range(0, 4) rr(r)) t GROUP BY 1, 2),
          |top AS (SELECT word, c FROM ex ORDER BY c DESC, word LIMIT 20),
          |q AS (SELECT t.word AS word, any_value(t.c) AS exact_c,
          |    CAST(min(sk.c) AS BIGINT) AS est_c
@@ -1369,12 +1369,17 @@ object TextQueries {
         concat(lit("cm"), r.cast("string"), lit(":"), w)), lit(256L))
     val toks = Tables.documents(s, d)
       .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
-    val rows = toks.select(col("word"),
+    // sketch built from the VOCAB-COLLAPSED count relation — counter
+    // values are identical (sums of per-token increments = counts
+    // weighted by c) but the ×4 md5 fan-out runs over the vocabulary,
+    // not the token stream (~100× fewer hashes); persisted because the
+    // sketch AND the exact top-20 both read it
+    val ex = toks.groupBy(col("word")).agg(count(lit(1)).cast("long").as("c")).persist()
+    val rows = ex.select(col("word"), col("c"),
       explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("r"))
-    val sk = rows.select(col("r"), bkt(col("r"), col("word")).as("bucket"))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
-    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("word")).limit(20)
+    val sk = rows.select(col("r"), bkt(col("r"), col("word")).as("bucket"), col("c"))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).cast("long").as("c"))
+    val top = ex.orderBy(col("c").desc, col("word")).limit(20)
     val qy = top.select(col("word"), col("c"),
         explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("r"))
       .withColumn("bucket", bkt(col("r"), col("word")))
