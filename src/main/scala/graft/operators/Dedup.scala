@@ -466,7 +466,19 @@ object Dedup {
     val ord: Ordering[Any] = dt match {
       case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
       case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
-      case StringType  => Ordering.String.on[Any](_.asInstanceOf[String])
+      case StringType  =>
+        // compare by UTF-8 bytes (UTF8String), matching the distributed
+        // loop's min/least ordering — java.lang.String's UTF-16 code-unit
+        // order diverges for supplementary characters, which would make
+        // cluster labels depend on whether the edge count crossed the
+        // fast-path bound (r8 advisory)
+        new Ordering[Any] {
+          def compare(x: Any, y: Any): Int =
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(y.asInstanceOf[String]))
+        }
       case _ => return None
     }
     val rows = edges.collect()

@@ -161,8 +161,11 @@ object Graphs {
     // distributed round bills ~2 scheduled jobs — on a graph whose
     // edge list fits the hard driver bound, one collect + an O(E)
     // bucket peel replaces every round. Exact same fixpoint; the
-    // distributed loop below is unchanged as the 100 TB path.
-    if (edges.count() <= driverMaxEdges) return kCoreDriver(edges, k)
+    // distributed loop below is unchanged as the 100 TB path. The
+    // probe is limit-based (r8 advisory): a 100 TB relation answers
+    // "more than the bound" from its first partitions instead of
+    // paying a full count scan just to reject the fast path.
+    if (underBound(edges, driverMaxEdges)) return kCoreDriver(edges, k)
     // Doubled-arc form, hash-partitioned on src ONCE: degree is then a
     // zero-exchange groupBy(src) over the persisted blocks, and the
     // broadcast anti-joins preserve the partitioning round to round —
@@ -219,6 +222,16 @@ object Graphs {
     */
   private val DriverGraphMaxEdges = 2000000L
 
+  /** True iff `df` has at most `bound` rows, decided by a limit probe:
+    * `limit(bound+1).count()` short-circuits once bound+1 rows are
+    * found (CollectLimit executes partitions incrementally), so a
+    * huge relation never pays a full scan just to skip the driver
+    * fast path. `bound <= 0` disables the fast path outright.
+    */
+  private def underBound(df: DataFrame, bound: Long): Boolean =
+    bound > 0 &&
+      df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).count() <= bound
+
   /** Exact in-memory k-core: adjacency + cascading removal queue
     * (Matula & Beck 1983 shape, queue instead of full bucket sort) —
     * the same fixpoint as the distributed peeling loop.
@@ -227,7 +240,9 @@ object Graphs {
     // CSR over int-indexed nodes + degree-counter cascade: O(E) with
     // primitive arrays (a boxed HashSet adjacency measured ~10× slower
     // at 1M edges — the collect is cheap, the peel must be too).
-    val rows = edges.collect()
+    // (u, v) bound by name, matching the distributed path's projection.
+    val proj = edges.select(col("u"), col("v"))
+    val rows = proj.collect()
     val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
     val srcI = new Array[Int](rows.length)
     val dstI = new Array[Int](rows.length)
@@ -280,14 +295,14 @@ object Graphs {
     // nothing peeled → the k-core IS the input relation; hand the
     // caller's (typically persisted, distributed) DataFrame back
     // rather than a driver-materialized copy
-    if (nDead == 0) return edges
+    if (nDead == 0) return proj
     val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     i = 0
     while (i < rows.length) {
       if (alive(srcI(i)) && alive(dstI(i))) out += rows(i)
       i += 1
     }
-    distributed(edges.sparkSession, out.toSeq, edges.schema)
+    distributed(edges.sparkSession, out.toSeq, proj.schema)
   }
 
   /** Rebuild a DataFrame from driver rows as an RDD-backed relation —
@@ -324,7 +339,8 @@ object Graphs {
     // Bounded driver fast path (see kCore): each distributed hop is a
     // join + distinct + anti-join round; under the hard edge bound one
     // collect + in-memory BFS computes the identical distance map.
-    if (edges.count() <= driverMaxEdges) return bfsDriver(edges, seeds, maxHops)
+    // Limit-based probe — no full scan just to reject the fast path.
+    if (underBound(edges, driverMaxEdges)) return bfsDriver(edges, seeds, maxHops)
     // Hash-partition the arc relation on its join key ONCE: the cached
     // blocks then carry HashPartitioning(src), so every round's
     // frontier⋈edges join exchanges only the (node-sized) frontier,
@@ -360,15 +376,19 @@ object Graphs {
     */
   private def bfsDriver(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     import org.apache.spark.sql.types._
+    // bind src/dst/node BY NAME (r8 advisory): the distributed path
+    // resolves columns by name, so a caller relation with extra or
+    // reordered columns must build the same adjacency here
+    val proj = edges.select(col("src"), col("dst"))
     val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
-    edges.collect().foreach { r =>
+    proj.collect().foreach { r =>
       var l = adj.get(r.get(0))
       if (l == null) { l = new java.util.ArrayList[Any](); adj.put(r.get(0), l) }
       l.add(r.get(1))
     }
     val dist = new java.util.LinkedHashMap[Any, Int]()
     var frontier = new java.util.ArrayList[Any]()
-    seeds.select(seeds.columns.head).distinct().collect().foreach { r =>
+    seeds.select(col("node")).distinct().collect().foreach { r =>
       if (!dist.containsKey(r.get(0))) { dist.put(r.get(0), 0); frontier.add(r.get(0)) }
     }
     var hop = 1
@@ -385,7 +405,7 @@ object Graphs {
     }
     val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](dist.size)
     dist.forEach { (n, d) => out += org.apache.spark.sql.Row(n, d) }
-    val nodeType = edges.schema.head.dataType
+    val nodeType = proj.schema.head.dataType
     distributed(edges.sparkSession, out.toSeq,
       StructType(Seq(StructField("node", nodeType), StructField("dist", IntegerType))))
   }

@@ -1339,11 +1339,23 @@ object StatsQueries {
     * rows); with R2ⱼ the per-type doubled rank sums, A2 = Σ r2²,
     * the tie-general statistic clears all denominators to ONE
     * exact integer ratio:
-    *   χ² = (k−1)·(ΣR2ⱼ² − b²k(k+1)²) / (b·(A2 − b·k(k+1)²)),
+    *   χ² = (k−1)·(ΣR2ⱼ² − b²k(k+1)²) / (A2 − b·k(k+1)²),
     * numerator nonnegative by Cauchy–Schwarz (doubled rank sums per
     * block are constant = k(k+1)), denominator zero only when every
     * block is fully tied → NULL by exact predicate. Output in exact
     * micro units.
+    *
+    * Derivation of the doubled-unit form (r8 advisory fix — the
+    * committed r7 statistic divided by an extra b): the tie-general
+    * statistic in ordinary ranks is
+    *   χ² = (k−1)·(ΣRⱼ² − b²k(k+1)²/4) / (A1 − b·k(k+1)²/4)
+    * with A1 = Σ rᵢⱼ². Substituting R2ⱼ = 2Rⱼ, A2 = 4·A1 multiplies
+    * numerator and denominator by the SAME factor 4, so
+    *   χ² = (k−1)·(ΣR2ⱼ² − b²k(k+1)²) / (A2 − b·k(k+1)²)
+    * — no b in the denominator. Sanity: no ties ⇒ A1 =
+    * b·k(k+1)(2k+1)/6 ⇒ χ² = 12ΣRⱼ²/(bk(k+1)) − 3b(k+1) (the classic
+    * form), and perfect consistency gives χ² = b(k−1) — pinned by the
+    * hand-computed fixture in StatsEdgeSpec.
     */
   val qFriedman = GateQuery.sql(
     "q_friedman", {
@@ -1371,7 +1383,7 @@ object StatsQueries {
          |  CASE WHEN b > 0 AND a2 > CAST(b AS HUGEINT) * k * (k + 1) * (k + 1) THEN
          |    CAST(((k - 1) * (srj2 - CAST(b AS HUGEINT) * b * k * (k + 1) * (k + 1))
          |      * 1000000)
-         |      // (CAST(b AS HUGEINT) * (a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1)))
+         |      // (a2 - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1))
          |      AS BIGINT)
          |  END AS chi2_micro
          |FROM a""".stripMargin
@@ -1403,7 +1415,7 @@ object StatsQueries {
         when(col("b") > 0 && col("a2") > bd * kk1,
           Exact.floorDivBig(
             (col("k") - 1) * (col("srj2") - bd * col("b") * kk1) * lit(1000000L),
-            bd * (col("a2") - bd * kk1)).cast("long"))
+            col("a2") - bd * kk1).cast("long"))
           .otherwise(lit(null).cast("long")).as("chi2_micro"))
   }
 

@@ -82,6 +82,46 @@ class StatsEdgeSpec extends SparkSpec {
     assert(r("chi2_micro") === 0L)
   }
 
+  test("friedman on perfectly consistent blocks gives chi2 = b(k-1)") {
+    // b complete blocks (users), k=5 treatments, every block ranking the
+    // treatments identically and with no ties: ranks are 1..5 in each
+    // block, so R_j = b·j, ΣR_j² = b²·55, A1 = b·55 and the tie-general
+    // statistic collapses to exactly χ² = b(k−1). The r7 bug (an extra
+    // b in the denominator) yielded (k−1) here for ANY b — asserting two
+    // different block counts pins the b-scaling, not just one value.
+    val types = Seq("a", "b", "c", "d", "e")
+    def consistent(b: Int): Seq[(Long, Long, String, Double)] = {
+      var id = -1L
+      for {
+        u <- 0 until b
+        (t, j) <- types.zipWithIndex
+      } yield { id += 1; (id, u.toLong, t, 10.0 * (j + 1)) }
+    }
+    for (b <- Seq(3, 6)) {
+      val out = StatsQueries.qFriedman.run(spark, eventsDir(consistent(b))).collect()
+      assert(out.length === 1)
+      val r = out.head.getValuesMap[Any](
+        Seq("n_blocks", "k_treatments", "dof", "chi2_micro"))
+      assert(r("n_blocks") === b.toLong)
+      assert(r("k_treatments") === 5L)
+      assert(r("dof") === 4L)
+      assert(r("chi2_micro") === b * 4L * 1000000L, s"b=$b")
+    }
+  }
+
+  test("friedman fully tied blocks yield NULL by the exact predicate") {
+    // every treatment equal within every block → A2 == b·k(k+1)² exactly
+    val types = Seq("a", "b", "c", "d", "e")
+    var id = -1L
+    val rows = for {
+      u <- 0 until 3
+      t <- types
+    } yield { id += 1; (id, u.toLong, t, 42.0) }
+    val out = StatsQueries.qFriedman.run(spark, eventsDir(rows)).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("chi2_micro")))
+  }
+
   test("gini: equal spend is 0; a single holder of n users is (n-1)/n") {
     // 4 users, one event each, all equal -> gini 0
     val eq = eventsDir((0L to 3L).map(u => (u, u, "view", 50.0)))
