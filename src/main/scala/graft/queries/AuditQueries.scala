@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Binning, Curation, Exact, Graphs}
+import graft.operators.{Binning, Curation, Exact, Graphs, Relational, TextOps}
 import graft.operators.Exact.centsSql
 
 /** Second audit layer (SURVEY.md §2 #247–#253): static-graph
@@ -248,6 +248,161 @@ object AuditQueries {
       .select(col("event_type"), col("n0").cast("long").as("n"),
         (floorDivBig(-col("sm"), col("n0")) - col("n0").cast("decimal(38,0)") * lit(1000000L))
           .cast("long").as("a2_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Acklam's rational approximation to the standard-normal inverse
+    * CDF (|relative error| < 1.15e-9; the widely published 2003
+    * algorithm). DRIVER-SIDE ONLY — feeds the precomputed
+    * Shapiro–Wilk coefficient literals, never runs in a gate plan
+    * (the Benford/NDCG literal-domain discipline).
+    */
+  private def invPhi(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+    } else if (p <= 1.0 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+    }
+  }
+
+  /** Shapiro–Wilk sample size: the classic table's upper bound (the
+    * original test is specified for 3 ≤ n ≤ 50), which is exactly
+    * what makes a FIXED-n design sound — the coefficient vector
+    * depends on n, so pinning n = 50 lets both engines inline the
+    * same literal table.
+    */
+  private[graft] val swN = 50
+
+  /** Royston (1992, AS R94) approximate Shapiro–Wilk weights for
+    * n = [[swN]], micro-quantized (×1e6, round-nearest) — computed
+    * ONCE in the driver from Blom scores mᵢ = Φ⁻¹((i−3/8)/(n+1/4)),
+    * the two polynomial-corrected end weights, and the normalizing
+    * φ. The lower half MIRRORS the quantized upper half
+    * (aᵢ = −a_{n+1−i} exactly in integer units), so Σaᵢ = 0 exactly
+    * and the statistic is location-invariant in exact arithmetic.
+    */
+  private[graft] val swCoefMicro: Seq[Long] = {
+    val n = swN
+    val m = (1 to n).map(i => invPhi((i - 0.375) / (n + 0.25)))
+    val mm = m.map(x => x * x).sum
+    val u = 1.0 / math.sqrt(n.toDouble)
+    val cn = m(n - 1) / math.sqrt(mm)
+    val cn1 = m(n - 2) / math.sqrt(mm)
+    val an = cn + u * (0.221157 + u * (-0.147981 + u * (-2.071190 +
+      u * (4.434685 + u * -2.706056))))
+    val an1 = cn1 + u * (0.042981 + u * (-0.293762 + u * (-1.752461 +
+      u * (5.682633 + u * -3.582633))))
+    val phi = (mm - 2.0 * m(n - 1) * m(n - 1) - 2.0 * m(n - 2) * m(n - 2)) /
+      (1.0 - 2.0 * an * an - 2.0 * an1 * an1)
+    val raw = Array.tabulate(n) { idx =>
+      val i = idx + 1
+      if (i == n) an
+      else if (i == n - 1) an1
+      else m(idx) / math.sqrt(phi)
+    }
+    val micro = new Array[Long](n)
+    var idx = n / 2
+    while (idx < n) { micro(idx) = math.round(raw(idx) * 1e6); idx += 1 }
+    idx = 0
+    while (idx < n / 2) { micro(idx) = -micro(n - 1 - idx); idx += 1 }
+    micro.toSeq
+  }
+
+  /** Shapiro–Wilk normality test (#317): the highest-power small-n
+    * normality test (Shapiro & Wilk 1965), completing the family next
+    * to Jarque–Bera (#248, moments), KS (#206, sup-EDF) and
+    * Anderson–Darling (#307, tail-weighted EDF) — W compares the
+    * BLUE estimate of σ from order statistics against the sample
+    * variance, so it reacts to both skew and tail weight at sample
+    * sizes where the EDF tests are underpowered.
+    *
+    * 100 TB design: the classic test is only SPECIFIED to n ≤ 50, so
+    * the operator takes a deterministic fixed-size sample — the
+    * [[swN]] smallest portable-hash keys per event type through the
+    * salted two-phase top-K window (never a per-type full sort; a
+    * billion-row type costs its top-50-per-salt partials). Fixing n
+    * makes the n-dependent Royston weight vector a LITERAL both
+    * engines index by rank (`element_at` / `list_extract` — zero
+    * joins, the NDCG-discount trick), and the whole statistic is then
+    * exact integers: b = Σ aᵢ_micro·x_(i) (ties safe — equal x make
+    * any rank assignment within the tie block sum identically),
+    * W_ppm = ⌊b²·n / (1e6·(n·Q − S²))⌋ with S, Q the sample power
+    * sums. Types that cannot fill the full sample, or with zero
+    * sample variance, are excluded by exact predicates. W is exactly
+    * location/scale-invariant in integer units (Σaᵢ = 0 by mirrored
+    * quantization) — pinned in AuditEdgeSpec along with the
+    * outlier-sensitivity direction.
+    */
+  val qShapiroWilk = GateQuery.sql(
+    "q_shapiro_wilk", {
+      val coefList = swCoefMicro.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT event_id, event_type, ${centsSql("vd")} AS x,
+         |    ${TextOps.baseHashSql("'sw:' || CAST(event_id AS VARCHAR)")} AS h
+         |  FROM $E t),
+         |smp AS (SELECT event_type, event_id, x FROM (
+         |    SELECT event_type, event_id, x,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rs
+         |    FROM e) WHERE rs <= $swN),
+         |r AS (SELECT event_type, x,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, event_id)
+         |      AS INTEGER) AS j,
+         |    count(*) OVER (PARTITION BY event_type) AS ns
+         |  FROM smp),
+         |f AS (SELECT event_type, x, list_extract($coefList, j) AS a
+         |  FROM r WHERE ns = $swN),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(a AS HUGEINT) * x) AS HUGEINT) AS b,
+         |    CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+         |  FROM f GROUP BY 1)
+         |SELECT event_type, n AS n_sample,
+         |  CASE WHEN n * q - sx * sx > 0 THEN
+         |    CAST((b * b * n) // (1000000 * (n * q - sx * sx)) AS BIGINT)
+         |  ELSE NULL END AS w_ppm
+         |FROM g ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val e = ev(s, d).select(col("event_type"), col("event_id"),
+      Exact.cents(col("vd")).as("x"),
+      TextOps.baseHash(concat(lit("sw:"), col("event_id").cast("string"))).as("h"))
+    val smp = Relational.topKPerGroupSalted(e, Seq(col("event_type")),
+      Seq(col("h"), col("event_id")), swN, col("event_id"), rankCol = "_rs")
+      .drop("_rs", "h")
+    val wp = Window.partitionBy(col("event_type"))
+    val ranked = smp
+      .withColumn("j", row_number().over(wp.orderBy(col("x"), col("event_id"))).cast("int"))
+      .withColumn("ns", count(lit(1)).over(wp).cast("long"))
+      .filter(col("ns") === swN)
+    val aCol = element_at(array(swCoefMicro.map(lit(_)): _*), col("j"))
+    val g = ranked.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(aCol.cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("b"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("q"))
+    val dvar = col("n").cast("decimal(38,0)") * col("q") - col("sx") * col("sx")
+    g.select(col("event_type"), col("n").as("n_sample"),
+        when(dvar > 0,
+          floorDivBig(col("b") * col("b") * col("n"),
+            lit(1000000L).cast("decimal(38,0)") * dvar).cast("long"))
+          .otherwise(lit(null).cast("long")).as("w_ppm"))
       .orderedSmall(col("event_type"))
   }
 
@@ -1682,5 +1837,6 @@ object AuditQueries {
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
+    qShapiroWilk,
     qItemsets3)
 }

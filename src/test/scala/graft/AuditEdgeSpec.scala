@@ -332,4 +332,50 @@ class AuditEdgeSpec extends SparkSpec {
     val r = AuditQueries.qJarqueBera.run(spark, dir).collect().head
     assert(r.isNullAt(r.fieldIndex("jb_stat")))
   }
+
+  test("shapiro-wilk coefficients: antisymmetric, zero-sum, decreasing-magnitude ends") {
+    val a = AuditQueries.swCoefMicro
+    assert(a.size === AuditQueries.swN)
+    assert(a.sum === 0L, "mirrored quantization must make the weights sum to 0 exactly")
+    a.indices.foreach(i => assert(a(i) === -a(a.size - 1 - i), s"antisymmetry at $i"))
+    // Royston's (1992) approximate end weights for n=50 — the values the
+    // standard swilk implementations use (c_n + polynomial-in-1/√n
+    // correction). NOTE: deliberately NOT the exact Shapiro–Wilk 1965
+    // table (a_50 = 0.3751); Royston's W replaces the covariance-based
+    // exact weights with corrected Blom scores.
+    assert(a.last === 350599L, s"a_50 = ${a.last}")
+    assert(a(a.size - 2) === 266221L, s"a_49 = ${a(a.size - 2)}")
+    assert(a.last > a(a.size - 2), "end weights decrease inward")
+    // weights must be strictly decreasing from the top end inward
+    assert(a.reverse.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("shapiro-wilk is exactly affine-invariant and flags a planted outlier") {
+    // 60 rows per type: the gate samples 50 by hash of event_id, which is
+    // IDENTICAL across the two types (same event_ids), so type "b" sees
+    // exactly 3x+700 of type "a"'s sampled values — w_ppm must match
+    // exactly (integer-exact location/scale invariance).
+    val base = (0 until 60).map(i => ((i * 37) % 97 + (i % 7) * 13).toDouble)
+    val rows =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, "a", v) } ++
+        base.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, "b", 3.0 * v + 700.0) } ++
+        // type "c": EXACTLY 50 rows (sample = whole type), 49 identical
+        // values + one huge outlier — W collapses to a_50²·50/49 ≈ 0.125
+        (0 until 50).map(i =>
+          (i.toLong, i.toLong, "c", if (i == 13) 10000.0 else 5.0))
+    val out = AuditQueries.qShapiroWilk.run(spark, eventsDir(rows)).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out("a").isDefined)
+    assert(out("a") === out("b"), "affine transform must not change W")
+    assert(out("a").get > 900000L, s"roughly-uniform data should score high: ${out("a")}")
+    assert(out("c").isDefined)
+    // 49-of-50 constant + one outlier: W ≈ a_50² ≈ 0.14 (exactly
+    // b²·n/(1e6·(nQ−S²)) with x = 1e6·e_k) — far below any normal sample
+    assert(out("c").get < 300000L, s"outlier sample must collapse W: ${out("c")}")
+  }
+
+  test("shapiro-wilk excludes types that cannot fill the fixed-size sample") {
+    val rows = (0 until 20).map(i => (i.toLong, i.toLong, "tiny", i.toDouble))
+    assert(AuditQueries.qShapiroWilk.run(spark, eventsDir(rows)).count() === 0L)
+  }
 }
