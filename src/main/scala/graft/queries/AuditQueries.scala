@@ -406,6 +406,83 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Per-source Anderson–Darling drift panel (#318): each source's
+    * doc-length distribution tested against the REST of the corpus by
+    * the two-sample Anderson–Darling statistic (Scholz & Stephens
+    * 1987, the right-continuous discrete form — scipy's
+    * anderson_ksamp midrank=false shape, specialized to k=2) —
+    * the tail-weighted member of the drift family next to W1 (#169,
+    * mass transport), KS (#206, sup gap) and CvM (#314, integrated
+    * gap²). For k=2 the two per-sample terms collapse (the two
+    * cross-scaled deviations are exact negatives), giving
+    *
+    *   A² = Σ_{j: B_j<N} ℓ_j·d_j² / (n₁·n₂·B_j·(N−B_j)),
+    *   d_j = N·M₁ⱼ − n₁·B_j
+    *
+    * over the VALUE-COLLAPSED pooled grid (distinct n_chars — never
+    * per-doc rows): d is the SAME cross-scaled integer deviation the
+    * KS/CvM gates use; the AD weight 1/(B(N−B)) upweights the tails
+    * where CvM's uniform N² weight is flat. Each term is
+    * micro-floored from exact integers (d² nonnegative) before the
+    * per-source sum — order-free, engine-identical. Shape: the
+    * q_w1_drift layout verbatim — bounded source list × value grid
+    * broadcast product, cumulative windows over the grid, 1-row
+    * totals broadcast. Sources comprising the whole corpus are
+    * excluded by the exact predicate n_s < N.
+    */
+  val qAdDrift = GateQuery.sql(
+    "q_ad_drift",
+    """WITH v AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+      |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS cc FROM v GROUP BY v),
+      |cg AS (SELECT v, cc, CAST(sum(cc) OVER (ORDER BY v) AS BIGINT) AS cumc FROM g),
+      |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM g),
+      |sv AS (SELECT s.source, cg.v, cg.cc, cg.cumc,
+      |    CAST(sum(coalesce(x.c, 0)) OVER (PARTITION BY s.source ORDER BY cg.v) AS BIGINT) AS cums
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN cg
+      |  LEFT JOIN v x ON x.source = s.source AND x.v = cg.v),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+      |t AS (SELECT sv.source, n_s, nc,
+      |    CASE WHEN cumc < nc THEN
+      |      (1000000 * CAST(cc AS HUGEINT)
+      |         * (CAST(nc AS HUGEINT) * cums - CAST(n_s AS HUGEINT) * cumc)
+      |         * (CAST(nc AS HUGEINT) * cums - CAST(n_s AS HUGEINT) * cumc))
+      |      // (CAST(n_s AS HUGEINT) * (nc - n_s) * cumc * (nc - cumc))
+      |    ELSE 0 END AS term
+      |  FROM sv, tot JOIN ns ON ns.source = sv.source
+      |  WHERE n_s < nc)
+      |SELECT source, any_value(n_s) AS n_src, any_value(nc - n_s) AS n_rest,
+      |  CAST(sum(term) AS BIGINT) AS ad_micro
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v = docs.groupBy(col("source"), col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+    val g = v.groupBy(col("v")).agg(sum(col("c")).cast("long").as("cc"))
+    val wOrd = Window.orderBy(col("v"))
+    val cg = g.withColumn("cumc", sum(col("cc")).over(wOrd).cast("long"))
+    val tot = g.agg(sum(col("cc")).cast("long").as("nc"))
+    val sources = docs.select(col("source")).distinct()
+    val sv = cg.crossJoin(broadcast(sources))
+      .join(v.select(col("source"), col("v"), col("c")), Seq("source", "v"), "left")
+      .withColumn("cums",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy(col("source")).orderBy(col("v"))).cast("long"))
+    val ns = docs.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_s"))
+    val st = Curation.withStats(sv, tot).join(broadcast(ns), "source")
+      .filter(col("n_s") < col("nc"))
+    val dj = col("nc").cast("decimal(38,0)") * col("cums") -
+      col("n_s").cast("decimal(38,0)") * col("cumc")
+    val den = col("n_s").cast("decimal(38,0)") * (col("nc") - col("n_s")) *
+      col("cumc") * (col("nc") - col("cumc"))
+    val term = when(col("cumc") < col("nc"),
+      floorDivBig(lit(1000000L).cast("decimal(38,0)") * col("cc") * dj * dj, den))
+      .otherwise(lit(0L).cast("decimal(38,0)"))
+    st.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_src"),
+        max(col("nc") - col("n_s")).cast("long").as("n_rest"),
+        sum(term).cast("long").as("ad_micro"))
+      .orderedSmall(col("source"))
+  }
+
   /** Partial autocorrelation (#249): PACF at lags 1–3 of each event
     * type's hourly totals via the Durbin–Levinson recursion unrolled
     * to closed forms over the ACF values (#181's exact num/den
@@ -1837,6 +1914,6 @@ object AuditQueries {
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
-    qShapiroWilk,
+    qShapiroWilk, qAdDrift,
     qItemsets3)
 }

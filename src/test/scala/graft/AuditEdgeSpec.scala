@@ -378,4 +378,34 @@ class AuditEdgeSpec extends SparkSpec {
     val rows = (0 until 20).map(i => (i.toLong, i.toLong, "tiny", i.toDouble))
     assert(AuditQueries.qShapiroWilk.run(spark, eventsDir(rows)).count() === 0L)
   }
+
+  test("ad drift: identical per-source distributions give exactly 0") {
+    // two sources with the SAME length multiset: every grid row has
+    // cums = cumc/2 and n_s = N/2, so d = N·cums − n_s·cumc = 0 exactly
+    val lens = Seq(3, 5, 5, 8, 13)
+    var id = -1L
+    val rows = for {
+      src <- Seq("s1", "s2"); l <- lens
+    } yield { id += 1; (id, "x" * l, "en", src) }
+    val out = AuditQueries.qAdDrift.run(spark, docsDir(rows)).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("ad_micro") === 0L, r.getString(0))
+      assert(r.getAs[Long]("n_src") === 5L)
+      assert(r.getAs[Long]("n_rest") === 5L)
+    }
+  }
+
+  test("ad drift: disjoint-support source scores higher than an overlapping one") {
+    var id = -1L
+    def docs(src: String, lens: Seq[Int]) =
+      lens.map { l => id += 1; (id, "x" * l, "en", src) }
+    val rows = docs("base", Seq(10, 11, 12, 13, 14)) ++
+      docs("near", Seq(10, 11, 12, 13, 20)) ++ // one value off the base support
+      docs("far", Seq(30, 31, 32, 33, 34)) // entirely disjoint lengths
+    val out = AuditQueries.qAdDrift.run(spark, docsDir(rows)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("ad_micro")).toMap
+    assert(out("far") > out("near"), out.toString)
+    assert(out("near") > 0L)
+  }
 }

@@ -31,6 +31,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_embed_int8", // (mns, mxs) per-dim-bounds single-row broadcast
       "q_rfm", // (max_day) corpus-recency single-row scalar
       "q_w1_drift", // bounded source-list × value-grid broadcast product + (nc) scalar
+    "q_ad_drift", // same bounded source-list × value-grid product as q_w1_drift
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
