@@ -1305,11 +1305,112 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** #319 — bigram Moore–Lewis data selection: the cross-entropy
+    * difference of #316 lifted to the bigram stupid-backoff rung
+    * (#94's chain): score(d) = Σ_bigrams [ln P_in(w₂|w₁) −
+    * ln P_gen(w₂|w₁)] with BOTH sides the full backoff chain (bigram
+    * conditional → 0.4·Laplace unigram → 0.4·OOV floor). Moore &
+    * Lewis 2010 §3 report the contrast sharpens with n-gram order —
+    * a generic-frequency word pair ("of the") stops scoring while an
+    * in-domain COLLOCATION still does; the unigram gate (#316) cannot
+    * see that difference. Same exactness scheme: every rung's
+    * log-prob is micro-ln-quantized at the model table, a per-
+    * instance score is the DIFFERENCE of two already-quantized
+    * integers, and the doc sum is order-free. Model tables are
+    * minCount-pruned bigram + topV-capped unigram relations through
+    * the [[Curation.modelJoin]] broadcast-vs-shuffle switch; OOV
+    * floors ride 1-row broadcasts; the corpus tokenizes ONCE
+    * (persisted) across all four model tables and the scoring pass.
+    */
+  val qMooreLewisBigram = GateQuery.sql(
+    "q_moore_lewis_bi",
+    s"""WITH tw AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+       |  FROM documents),
+       |bi AS (SELECT doc_id, lang, source,
+       |         unnest([w[i] for i in range(1, len(w))]) AS w1,
+       |         unnest([w[i+1] for i in range(1, len(w))]) AS w2
+       |       FROM tw WHERE len(w) >= 2),
+       |cbi AS (SELECT w1, w2, count(*) AS cb FROM bi
+       |  WHERE lang = 'en' AND source = 'src0' GROUP BY 1, 2),
+       |cwi AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cbi GROUP BY 1),
+       |qbi AS (SELECT w1, w2, ${Curation.microLnSql("cb / cw1")} AS qbi
+       |  FROM cbi JOIN cwi USING (w1) WHERE cb >= $LmMinCount),
+       |cbg AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |cwg AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1 FROM cbg GROUP BY 1),
+       |qbg AS (SELECT w1, w2, ${Curation.microLnSql("cb / cw1")} AS qbg
+       |  FROM cbg JOIN cwg USING (w1) WHERE cb >= $LmMinCount),
+       |ti AS (SELECT unnest(w) AS word FROM tw WHERE lang = 'en' AND source = 'src0'),
+       |ri AS (SELECT word, count(*) AS c FROM ti GROUP BY word),
+       |si AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM ri),
+       |riv AS (SELECT word, c FROM ri ORDER BY c DESC, word LIMIT $LmTopV),
+       |qui AS (SELECT word, ${Curation.microLnSql("0.4 * (c + 1.0) / (n + v)")} AS qui
+       |  FROM riv, si),
+       |oi AS (SELECT ${Curation.microLnSql("0.4 * 1.0 / (n + v)")} AS oqi FROM si),
+       |tg AS (SELECT unnest(w) AS word FROM tw),
+       |rg AS (SELECT word, count(*) AS c FROM tg GROUP BY word),
+       |sg AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM rg),
+       |rgv AS (SELECT word, c FROM rg ORDER BY c DESC, word LIMIT $LmTopV),
+       |qug AS (SELECT word, ${Curation.microLnSql("0.4 * (c + 1.0) / (n + v)")} AS qug
+       |  FROM rgv, sg),
+       |og AS (SELECT ${Curation.microLnSql("0.4 * 1.0 / (n + v)")} AS oqg FROM sg),
+       |sc AS (SELECT bi.doc_id AS doc_id, count(*) AS n_scored,
+       |    CAST(sum(coalesce(qbi.qbi, qui.qui, oi.oqi)
+       |           - coalesce(qbg.qbg, qug.qug, og.oqg)) AS BIGINT) AS mlb_micro
+       |  FROM bi LEFT JOIN qbi ON bi.w1 = qbi.w1 AND bi.w2 = qbi.w2
+       |          LEFT JOIN qbg ON bi.w1 = qbg.w1 AND bi.w2 = qbg.w2
+       |          LEFT JOIN qui ON bi.w2 = qui.word
+       |          LEFT JOIN qug ON bi.w2 = qug.word, oi, og
+       |  GROUP BY bi.doc_id)
+       |SELECT doc_id, n_scored, mlb_micro,
+       |  ${roundedRatioSignedSql("mlb_micro", "n_scored * 1000000", 4)} AS avg_mlb,
+       |  mlb_micro > 0 AS selected
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tw = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      graft.operators.TextOps.tokens(col("text")).as("w")).persist()
+    val bi = tw.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1")))
+      .select(col("doc_id"), col("lang"), col("source"), col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2"))
+    val inSlice = col("lang") === "en" && col("source") === "src0"
+    val qbI = Curation.bigramLogProbs(bi.filter(inSlice).select(col("w1"), col("w2")),
+        minCount = LmMinCount)
+      .select(col("w1"), col("w2"), col("qb").as("qbi"))
+    val qbG = Curation.bigramLogProbs(bi.select(col("w1"), col("w2")),
+        minCount = LmMinCount)
+      .select(col("w1"), col("w2"), col("qb").as("qbg"))
+    val (quI0, oovI) = Curation.unigramModel(
+      tw.filter(inSlice).select(explode(col("w")).as("word")),
+      scale = 0.4, topV = Some(LmTopV))
+    val (quG0, oovG) = Curation.unigramModel(
+      tw.select(explode(col("w")).as("word")), scale = 0.4, topV = Some(LmTopV))
+    val scored = Curation.modelJoin(
+        Curation.modelJoin(
+          Curation.modelJoin(
+            Curation.modelJoin(
+              Curation.withStats(
+                Curation.withStats(bi, oovI.select(col("oovq").as("oqi"))),
+                oovG.select(col("oovq").as("oqg"))),
+              qbI, Seq("w1", "w2")),
+            qbG, Seq("w1", "w2")),
+          quI0.select(col("word").as("w2"), col("q").as("qui")), Seq("w2")),
+        quG0.select(col("word").as("w2"), col("q").as("qug")), Seq("w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(coalesce(col("qbi"), col("qui"), col("oqi")) -
+            coalesce(col("qbg"), col("qug"), col("oqg"))).cast("long").as("mlb_micro"))
+    scored.select(col("doc_id"), col("n_scored"), col("mlb_micro"),
+        Exact.roundedRatioSigned(col("mlb_micro"), col("n_scored") * lit(1000000L), 4)
+          .as("avg_mlb"),
+        (col("mlb_micro") > 0).as("selected"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
-      qMooreLewis)
+      qMooreLewis, qMooreLewisBigram)
 }

@@ -17,6 +17,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_lm_perplexity", "q_lm_bigram", "q_lm_trigram", "q_dsir_weights",
       "q_dsir_select",
       "q_moore_lewis", // two OOV-floor single-row scalars (as q_lm_perplexity)
+      "q_moore_lewis_bi", // same two OOV-floor single-row scalars, bigram rung
       "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline",
       "q_bm25", // (n_docs, total_len) single-row stats
       "q_knn_pq", // exhaustive ADC scan (Jégou §IV); scale path = ivfPqTopK
