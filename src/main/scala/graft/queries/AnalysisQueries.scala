@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Binning, Exact, ScanCorrect, VectorOps}
+import graft.operators.{Binning, Exact, KMedoids, ScanCorrect, VectorOps}
 import graft.operators.Exact.{centsSql, roundedRatioSql}
 
 /** Round-6 analysis extensions (SURVEY.md §2 #144–#148): detector
@@ -1356,6 +1356,47 @@ object AnalysisQueries {
       .orderedSmall(col("label"))
   }
 
+  /** k-medoids PAM refinement (#320): actual-vector cluster centers
+    * from the PAM BUILD+SWAP search over the bounded deterministic
+    * sample (the #309 sample shape — [[KMedoids]] for the full scale
+    * and determinism story), deployed corpus-wide through the native
+    * literal-matrix nearest-cell expression (zero joins, zero
+    * shuffles). Output: one row per non-empty medoid cell with its
+    * medoid's vec_id, assigned count and HALF_UP mean micro-distance,
+    * plus the sample objective before/after SWAP (the "did refinement
+    * help" diagnostic riding along as literals). Rows-only gate —
+    * the PAM fixpoint is not SQL-expressible; semantics pinned by
+    * KMedoidsSpec (planted-cluster recovery, swap-improves,
+    * determinism, k ≥ m degenerate).
+    */
+  val qKmedoids = GateQuery.rowsOnly("q_kmedoids") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .persist()
+    val model = KMedoids.train(e, k = 8, sampleMax = 400)
+    val medIds = array(model.medoidIds.map(lit(_)): _*)
+    val cs = graft.expressions.VectorExpressions
+      .nearestCellScore(col("q"), model.medoids)
+    val assigned = e.select(col("vec_id"),
+        element_at(cs, 1).as("cell"), element_at(cs, 2).as("d2"))
+      .select(col("cell"),
+        floor(sqrt(col("d2").cast("double")) * lit(1000000)).cast("long").as("d_micro"))
+    val out = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("long").as("n_assigned"),
+        Exact.roundedRatio(sum(col("d_micro")).cast("long"), count(lit(1)), 0)
+          .as("mean_d_micro"))
+      .select(col("cell"),
+        element_at(medIds, col("cell").cast("int") + 1).as("medoid_vec_id"),
+        col("n_assigned"), col("mean_d_micro"),
+        lit(model.buildCostMicro).as("sample_build_cost_micro"),
+        lit(model.finalCostMicro).as("sample_final_cost_micro"),
+        lit(model.nSwaps.toLong).as("sample_swaps"))
+      .orderedSmall(col("cell"))
+    // persisted `e` is freed by the harness (Bench/Verify drop leftover
+    // blocks between queries — the LM-gate persist discipline)
+    out
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
@@ -1363,5 +1404,5 @@ object AnalysisQueries {
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
     qWinsorized, qPlatt, qCalinski, qDaviesBouldin, qSilhouette,
-    qSilhouetteSampled)
+    qSilhouetteSampled, qKmedoids)
 }
