@@ -475,6 +475,33 @@ object StreamingOps {
       }
   }
 
+  /** Streaming frequent-itemset monitor (#321) — the live counterpart
+    * of the batch association-rule surface (#258 pairs / #310
+    * 3-itemsets): "which item combinations are trending in the order
+    * firehose right now". Input rows carry a COMPLETE basket
+    * (ts, items[]) — the realistic transaction-event payload — so
+    * pair formation is a STATELESS bounded per-row fan-out (distinct
+    * items, u < v — the batch pair stage's shape, fan-out bounded by
+    * basket size², never vocab²), and the only stateful operator is
+    * the same hash-routed Misra–Gries sketch as
+    * [[heavyHittersStream]]. Routing is BY PAIR, so a pair's entire
+    * stream history lands in exactly one group and the per-group
+    * superset guarantee carries over verbatim: any pair with total
+    * count > n_group/(s+1) is present in the emitted candidates.
+    * State is O(groups·sketchSize) at any stream length — the sketch
+    * IS the eviction policy, no watermark needed.
+    */
+  def itemsetStream(baskets: DataFrame, timeCol: String, itemsCol: String,
+                    groups: Int, sketchSize: Int): Dataset[HhCandidate] = {
+    val pairs = baskets
+      .select(col(timeCol).as("ts"), array_distinct(col(itemsCol)).as("it"))
+      .select(col("ts"), explode(col("it")).as("u"), col("it"))
+      .select(col("ts"), col("u"), explode(col("it")).as("v"))
+      .filter(col("u") < col("v"))
+      .select(col("ts"), concat(col("u"), lit("|"), col("v")).as("pair"))
+    heavyHittersStream(pairs, "ts", "pair", groups, sketchSize)
+  }
+
   /** Streaming OHLC bars — the live counterpart of the batch
     * `q_ohlc` gate: per (window, key) open/high/low/close where
     * open/close are struct-ordered min/max BY (event time, tie, value)

@@ -382,6 +382,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming itemset monitor: hot pair survives across batches, bounded per-group state") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Seq[String])]
+    val out = StreamingOps.itemsetStream(
+      input.toDF().toDF("ts", "items"), "ts", "items", groups = 4, sketchSize = 8)
+    val q = out.writeStream.format("memory").queryName("itemmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: {a,b} co-occur 12×; duplicate items inside a basket
+      // must collapse (array_distinct) so {d,d,e} yields only (d,e)
+      input.addData(
+        (1 to 12).map(i => (ts(i), Seq("a", "b", s"x$i"))) :+
+          ((ts(20), Seq("d", "d", "e"))): _*)
+      q.processAllAvailable()
+      // batch 2: 8 more {a,b} plus noise — the sketch must carry over
+      input.addData(
+        (1 to 8).map(i => (ts(30 + i), Seq("b", "a"))) ++
+          (1 to 6).map(i => (ts(40 + i), Seq(s"n$i", s"m$i"))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("itemmon").collect()
+        .map(r => (r.getString(1), r.getLong(2))).groupBy(_._1).view
+        .mapValues(_.map(_._2).max)
+      // (a,b) total = 20 across batches — canonical u<v ordering means
+      // the {b,a} basket lands on the SAME pair key
+      assert(rows("a|b") >= 12L, s"a|b lower bound ${rows.get("a|b")}")
+      assert(rows.contains("d|e") && !rows.keySet.exists(_ == "d|d"),
+        "in-basket duplicates must not form a pair")
+      // bounded state: at the latest emission no group exceeds sketchSize
+      val lastPerGroup = spark.table("itemmon").collect()
+        .map(r => (r.getInt(0), r.getLong(3), r.getString(1)))
+        .groupBy(_._1).view.mapValues(g => {
+          val mx = g.map(_._2).max
+          g.filter(_._2 == mx).map(_._3).distinct.size
+        })
+      assert(lastPerGroup.values.forall(_ <= 8))
+    } finally q.stop()
+  }
+
   test("streaming SRM monitor flags a skewed window, matches the batch formula") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
