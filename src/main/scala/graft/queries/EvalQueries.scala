@@ -573,7 +573,101 @@ object EvalQueries {
       .orderedSmall(col("g"))
   }
 
+  /** CUPED variance reduction (#322): the deployed experimentation
+    * standard (Deng et al. 2013 — Controlled experiments Using
+    * Pre-Experiment Data) next to Welch (#179) / power-MDE (#298) —
+    * adjust each user's experiment-period metric by their
+    * PRE-period metric, y_adj = y − θ(x − x̄), shrinking metric
+    * variance by exactly ρ² and with it the experiment runtime.
+    * The corpus midpoint splits pre/post (1-row broadcast scalar);
+    * users collapse to ONE (x, y) row each (user-keyed conditional
+    * aggregate — the only corpus-scale shuffle); pooled
+    * n/Σx/Σy/Σxy/Σx²/Σy² come from ONE aggregate over the user
+    * relation. The variance-reduction identity makes the headline
+    * number EXACT: reduction = ρ² = c²/(vx·vy) with c = n·Σxy−ΣxΣy,
+    * vx/vy the denominator-cleared variances — all exact integers
+    * (ppm via mirrored-double product of the two exact ratios, c²
+    * alone would overflow int128 at corpus scale). θ = c/vx and the
+    * per-arm adjusted means ȳ_a − θ(x̄_a − x̄) are mirrored double
+    * closed forms; zero pre- or post-variance → NULL by exact
+    * predicate.
+    */
+  val qCuped = GateQuery.sql(
+    "q_cuped",
+    s"""WITH mm AS (SELECT (min(xs) + max(xs)) // 2 AS ms FROM $E t),
+       |u AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN xs < ms THEN ${centsSql("vd")} ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN xs >= ms THEN ${centsSql("vd")} ELSE 0 END) AS BIGINT) AS y
+       |  FROM $E e, mm GROUP BY user_id),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       |  FROM u),
+       |st AS (SELECT n, sx, sy,
+       |    n * sxy - sx * sy AS c, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+       |  FROM p),
+       |a AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(x) AS HUGEINT) AS sxa, CAST(sum(y) AS HUGEINT) AS sya
+       |  FROM u GROUP BY 1)
+       |SELECT arm, n_users,
+       |  (2 * CAST(sya AS BIGINT) + n_users) // (2 * n_users) AS mean_post_cents,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN
+       |    round(CAST(sya AS DOUBLE) / n_users
+       |      - (CAST(c AS DOUBLE) / CAST(vx AS DOUBLE))
+       |        * (CAST(sxa AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n), 2) + 0.0
+       |  END AS adj_mean_post,
+       |  CASE WHEN vx > 0 THEN
+       |    round(CAST(c AS DOUBLE) / CAST(vx AS DOUBLE), 6) + 0.0 END AS theta,
+       |  CASE WHEN vx > 0 AND vy > 0 THEN
+       |    CAST(floor(1000000 * (CAST(c AS DOUBLE) / CAST(vx AS DOUBLE))
+       |      * (CAST(c AS DOUBLE) / CAST(vy AS DOUBLE))) AS BIGINT)
+       |  END AS var_reduction_ppm
+       |FROM a, st ORDER BY arm""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mm = e.agg(expr("(min(xs) + max(xs)) div 2").as("ms"))
+    val u = Curation.withStats(e, mm)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("xs") < col("ms"), Exact.cents(col("vd"))).otherwise(lit(0L)))
+          .cast("long").as("x"),
+        sum(when(col("xs") >= col("ms"), Exact.cents(col("vd"))).otherwise(lit(0L)))
+          .cast("long").as("y"))
+    val xd = col("x").cast("decimal(38,0)")
+    val yd = col("y").cast("decimal(38,0)")
+    val p = u.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(xd * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(xd * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(yd * col("y")).cast("decimal(38,0)").as("syy"))
+    val st = p.select(col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("c"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+    val a = u.groupBy(pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("x")).cast("decimal(38,0)").as("sxa"),
+        sum(col("y")).cast("decimal(38,0)").as("sya"))
+    val ok = col("vx") > 0 && col("vy") > 0
+    val thetaD = col("c").cast("double") / col("vx").cast("double")
+    Curation.withStats(a, st)
+      .select(col("arm"), col("n_users"),
+        Binning.floorDivCol(lit(2L) * col("sya").cast("long") + col("n_users"),
+          lit(2L) * col("n_users")).as("mean_post_cents"),
+        when(ok, round(col("sya").cast("double") / col("n_users") -
+            thetaD * (col("sxa").cast("double") / col("n_users") -
+              col("sx").cast("double") / col("n")), 2) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("adj_mean_post"),
+        when(col("vx") > 0, round(thetaD, 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("theta"),
+        when(ok, floor(lit(1000000) * thetaD *
+            (col("c").cast("double") / col("vy").cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("var_reduction_ppm"))
+      .orderedSmall(col("arm"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis)
+    qMoments, qKruskalWallis, qCuped)
 }

@@ -372,4 +372,27 @@ class EvalEdgeSpec extends SparkSpec {
     assert(r(0).getAs[Long]("wau") === 2L)
     assert(r(0).getAs[Long]("stickiness_ppm") === 1000000L)
   }
+
+  test("cuped: perfect pre-post correlation gives 1e6 ppm reduction and equal adjusted means") {
+    // user u: pre value (u+1) at xs=u, post value 3(u+1)+10 at xs=1000+u
+    // → per-user cents y = 3x + 1000 exactly. Then c = 3·vx, vy = 9·vx,
+    // so the reduction product (c/vx)(c/vy) = 3·(1/3) = 1 EXACTLY, and
+    // CUPED adjustment removes ALL between-arm difference: both arms'
+    // adjusted means equal b + θ·x̄_pool even though raw means differ.
+    val rows = (0 until 10).flatMap { u =>
+      Seq((u.toLong, u.toLong, "view", (u + 1).toDouble),
+        ((1000 + u).toLong, u.toLong, "view", (3 * (u + 1) + 10).toDouble))
+    }
+    val out = graft.queries.EvalQueries.qCuped.run(spark, eventsDir(rows)).collect()
+    assert(out.length === 2)
+    val byArm = out.map(r => r.getAs[Long]("arm") -> r).toMap
+    assert(byArm(0L).getAs[Long]("var_reduction_ppm") === 1000000L)
+    assert(byArm(0L).getAs[Double]("theta") === 3.0)
+    // raw post means differ (odd users have larger u) ...
+    assert(byArm(0L).getAs[Long]("mean_post_cents") !==
+      byArm(1L).getAs[Long]("mean_post_cents"))
+    // ... but the adjusted means coincide exactly
+    assert(byArm(0L).getAs[Double]("adj_mean_post") ===
+      byArm(1L).getAs[Double]("adj_mean_post"))
+  }
 }

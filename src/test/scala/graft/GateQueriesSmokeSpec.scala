@@ -33,6 +33,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_rfm", // (max_day) corpus-recency single-row scalar
       "q_w1_drift", // bounded source-list × value-grid broadcast product + (nc) scalar
     "q_ad_drift", // same bounded source-list × value-grid product as q_w1_drift
+    "q_cuped", // (midpoint) and pooled-stats single-row scalars
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
