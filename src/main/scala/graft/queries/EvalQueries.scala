@@ -667,7 +667,84 @@ object EvalQueries {
       .orderedSmall(col("arm"))
   }
 
+  /** Delta-method ratio-metric CI (#323): the correct standard error
+    * for ratio metrics under USER-level randomization (revenue per
+    * event, CTR per session — Deng et al. 2017, "Applying the Delta
+    * Method in Metric Analytics"). The naive per-event variance is
+    * wrong because events cluster within users; with users the iid
+    * unit, R = ΣY/ΣN and
+    *
+    *   Var(R) ≈ (s_y² − 2R·s_yn + R²·s_n²) / (m·n̄²)
+    *
+    * over per-user totals (y_u, n_u). Shape: users collapse to one
+    * row each (the only corpus shuffle), then ONE conditional
+    * aggregate per arm carries all six sufficient statistics as
+    * exact integers. The point estimate is an exact HALF_UP
+    * cents-per-event ppm ratio; the variance and the ±1.96·se bounds
+    * are mirrored double closed forms over the exact sums (the z
+    * literal — no inverse-CDF libm). Degenerate arms (m < 2 or zero
+    * event mass) → NULL by exact predicates.
+    */
+  val qRatioDelta = GateQuery.sql(
+    "q_ratio_delta",
+    s"""WITH u AS (SELECT user_id % 2 AS arm, user_id,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $E e GROUP BY 1, 2),
+       |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(n) AS HUGEINT) AS sn,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+       |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS snn,
+       |    CAST(sum(CAST(y AS HUGEINT) * n) AS HUGEINT) AS syn
+       |  FROM u GROUP BY 1),
+       |r AS (SELECT arm, m, sy, sn, syy, snn, syn,
+       |    CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS rr,
+       |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m) / (m - 1) AS vy,
+       |    (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / m) / (m - 1) AS vn,
+       |    (CAST(syn AS DOUBLE) - CAST(sy AS DOUBLE) * sn / m) / (m - 1) AS cyn
+       |  FROM a WHERE m >= 2 AND sn > 0)
+       |SELECT arm, m AS n_users, CAST(sn AS BIGINT) AS n_events,
+       |  CAST((2 * sy * 1000000 + sn) // (2 * sn) AS BIGINT) AS ratio_ppm,
+       |  round(sqrt((vy - 2.0 * rr * cyn + rr * rr * vn)
+       |    / (m * (CAST(sn AS DOUBLE) / m) * (CAST(sn AS DOUBLE) / m))), 4) + 0.0 AS se,
+       |  round(rr - 1.959964 * sqrt((vy - 2.0 * rr * cyn + rr * rr * vn)
+       |    / (m * (CAST(sn AS DOUBLE) / m) * (CAST(sn AS DOUBLE) / m))), 2) + 0.0 AS ci_lo,
+       |  round(rr + 1.959964 * sqrt((vy - 2.0 * rr * cyn + rr * rr * vn)
+       |    / (m * (CAST(sn AS DOUBLE) / m) * (CAST(sn AS DOUBLE) / m))), 2) + 0.0 AS ci_hi
+       |FROM r ORDER BY arm""".stripMargin) { (s, d) =>
+    val u = ev(s, d)
+      .groupBy(pmod(col("user_id"), lit(2L)).as("arm"), col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"),
+        count(lit(1)).cast("long").as("n"))
+    val yd = col("y").cast("decimal(38,0)")
+    val nd = col("n").cast("decimal(38,0)")
+    val a = u.groupBy(col("arm")).agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("n")).cast("decimal(38,0)").as("sn"),
+      sum(yd * col("y")).cast("decimal(38,0)").as("syy"),
+      sum(nd * col("n")).cast("decimal(38,0)").as("snn"),
+      sum(yd * col("n")).cast("decimal(38,0)").as("syn"))
+      .filter(col("m") >= 2 && col("sn") > 0)
+    val rr = col("sy").cast("double") / col("sn").cast("double")
+    val vy = (col("syy").cast("double") - col("sy").cast("double") * col("sy") / col("m")) /
+      (col("m") - 1)
+    val vn = (col("snn").cast("double") - col("sn").cast("double") * col("sn") / col("m")) /
+      (col("m") - 1)
+    val cyn = (col("syn").cast("double") - col("sy").cast("double") * col("sn") / col("m")) /
+      (col("m") - 1)
+    val nbar = col("sn").cast("double") / col("m")
+    val se = sqrt((vy - lit(2.0) * rr * cyn + rr * rr * vn) / (col("m") * nbar * nbar))
+    a.select(col("arm"), col("m").as("n_users"), col("sn").cast("long").as("n_events"),
+        Exact.floorDivBig(lit(2L) * col("sy") * lit(1000000L) + col("sn"),
+          lit(2L) * col("sn")).cast("long").as("ratio_ppm"),
+        (round(se, 4) + lit(0.0)).as("se"),
+        (round(rr - lit(1.959964) * se, 2) + lit(0.0)).as("ci_lo"),
+        (round(rr + lit(1.959964) * se, 2) + lit(0.0)).as("ci_hi"))
+      .orderedSmall(col("arm"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qCuped)
+    qMoments, qKruskalWallis, qCuped, qRatioDelta)
 }

@@ -395,4 +395,22 @@ class EvalEdgeSpec extends SparkSpec {
     assert(byArm(0L).getAs[Double]("adj_mean_post") ===
       byArm(1L).getAs[Double]("adj_mean_post"))
   }
+
+  test("ratio delta: identical users collapse the CI to the point estimate") {
+    // every user contributes the same (y, n): all three sample
+    // (co)variances are exactly 0 → se = 0, ci_lo = ci_hi = R
+    val rows = (0 until 8).flatMap { u =>
+      Seq((2L * u, u.toLong, "view", 3.0), ((2L * u + 1), u.toLong, "view", 7.0))
+    }
+    val out = graft.queries.EvalQueries.qRatioDelta
+      .run(spark, eventsDir(rows)).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      // 10.00 dollars over 2 events = 500 cents/event = 5e8 ppm-cents
+      assert(r.getAs[Long]("ratio_ppm") === 500000000L)
+      assert(r.getAs[Double]("se") === 0.0)
+      assert(r.getAs[Double]("ci_lo") === r.getAs[Double]("ci_hi"))
+      assert(r.getAs[Double]("ci_lo") === 500.0)
+    }
+  }
 }
