@@ -1397,6 +1397,76 @@ object AnalysisQueries {
     out
   }
 
+  /** Half-life for the decayed-feature gate: 6 hours in seconds. */
+  private val DecayHalflifeSec = 21600L
+
+  /** floor(1e6·2^(−b/64)) for b = 0..63 — the fractional-exponent
+    * decay table, computed ONCE in the driver and inlined as literals
+    * on both engines (the Benford/NDCG literal-domain discipline:
+    * libm pow never runs in a gate plan).
+    */
+  private[graft] val decayTabMicro: Seq[Long] =
+    Seq.tabulate(64)(b => math.floor(1e6 * math.pow(2.0, -b / 64.0)).toLong)
+
+  /** Exponential time-decay feature aggregates (#324): the
+    * feature-store standard — "decayed count / decayed sum as of now"
+    * with half-life H, weighting each event by 2^(−Δt/H) so recent
+    * behavior dominates without any window re-computation (one pass,
+    * any keying; the trailing-window family #150/#195 needs the
+    * horizon picked in advance, decay does not). The weight is EXACT
+    * integer arithmetic: Δt/H splits into k = Δt div H (handled by a
+    * bit shift — floor division by 2^k) and a 64-bucket fractional
+    * part looked up in the driver-inlined [[decayTabMicro]] literal
+    * table, so w_micro = tab[(64·(Δt mod H)) div H] >> k with no libm
+    * anywhere in the plan — bit-identical on any engine and any
+    * partitioning (per-row weight, order-free integer sums). The
+    * as-of-now reference rides a 1-row max(xs) broadcast; shifts past
+    * 62 clamp to weight 0 (already below 1 micro-unit).
+    */
+  val qDecayFeatures = GateQuery.sql(
+    "q_decay_features", {
+      val tab = decayTabMicro.mkString("[", ", ", "]")
+      val h = DecayHalflifeSec
+      s"""WITH mx AS (SELECT max(xs) AS t_ref FROM $E t),
+         |w AS (SELECT event_type, ${centsSql("vd")} AS v,
+         |    (t_ref - xs) // $h AS k,
+         |    (64 * ((t_ref - xs) % $h)) // $h AS b
+         |  FROM $E e, mx),
+         |d AS (SELECT event_type, v,
+         |    CASE WHEN k > 62 THEN 0
+         |      ELSE CAST(list_extract($tab, CAST(b + 1 AS INTEGER)) AS BIGINT)
+         |        >> CAST(k AS INTEGER)
+         |    END AS wm
+         |  FROM w)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(wm) AS BIGINT) AS decayed_n_micro,
+         |  CAST(sum(CAST(v AS HUGEINT) * wm) AS BIGINT) AS decayed_sum_micro
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("t_ref"))
+    val h = DecayHalflifeSec
+    val dt = col("t_ref") - col("xs")
+    val w = graft.operators.Curation.withStats(e, mx)
+      .select(col("event_type"), Exact.cents(col("vd")).as("v"),
+        Binning.floorDiv(dt, h).as("k"),
+        Binning.floorDivCol(lit(64L) * pmod(dt, lit(h)), lit(h)).as("b"))
+    // the table element MUST shift as a 64-bit value: a 32-bit shift
+    // uses only the low 5 bits of k (Java semantics), silently wrapping
+    // for 32 <= k <= 62 — cast to bigint/BIGINT on BOTH engines
+    val dcol = w.select(col("event_type"), col("v"),
+      when(col("k") > 62, lit(0L))
+        .otherwise(expr(
+          s"shiftright(cast(element_at(array(${decayTabMicro.mkString(",")}), " +
+            "cast(b as int) + 1) as bigint), cast(k as int))")).as("wm"))
+    dcol.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("wm")).cast("long").as("decayed_n_micro"),
+        sum(col("v").cast("decimal(38,0)") * col("wm")).cast("long")
+          .as("decayed_sum_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qDeadtime, qSetOps, qEmbedInt8, qScanMerge, qSnipBackground,
     qXcorrAlign, qRollingActives, qRfm, qWindowFuncs, qBenford,
@@ -1404,5 +1474,5 @@ object AnalysisQueries {
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
     qWinsorized, qPlatt, qCalinski, qDaviesBouldin, qSilhouette,
-    qSilhouetteSampled, qKmedoids)
+    qSilhouetteSampled, qKmedoids, qDecayFeatures)
 }

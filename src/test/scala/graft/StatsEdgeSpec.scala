@@ -109,6 +109,24 @@ class StatsEdgeSpec extends SparkSpec {
     }
   }
 
+  test("decay features: boundary weights are exact table/shift values") {
+    // ts = epoch + event_id, so xs == event_id. Reference (newest) event
+    // at 70 half-lives; others at exact Δt boundaries:
+    //   Δt=0 → 1e6; Δt=H → 1e6>>1; Δt=H/2 → tab(32)=707106;
+    //   Δt=40H → 1e6>>40 == 0; Δt=70H → k>62 clamp → 0.
+    val H = 21600L
+    val ref = 70L * H
+    val rows = Seq(ref, ref - H, ref - H / 2, ref - 40L * H, 0L)
+      .zipWithIndex.map { case (xs, i) => (xs, i.toLong, "a", 1.00) }
+    val out = graft.queries.AnalysisQueries.qDecayFeatures
+      .run(spark, eventsDir(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_events") === 5L)
+    assert(r.getAs[Long]("decayed_n_micro") === 1000000L + 500000L + 707106L)
+    assert(r.getAs[Long]("decayed_sum_micro") === 100L * 2207106L)
+  }
+
   test("friedman fully tied blocks yield NULL by the exact predicate") {
     // every treatment equal within every block → A2 == b·k(k+1)² exactly
     val types = Seq("a", "b", "c", "d", "e")
