@@ -883,6 +883,42 @@ object StatsQueries {
       .orderedSmall(col("component"))
   }
 
+  /** PCA-residual embedding outlier score (#325, rows+test): the
+    * embedding-space data-quality screen — corrupt/degenerate vectors
+    * (zeroed dims, wrong modality, encoder failures) sit FAR from the
+    * corpus principal subspace even when their norm looks normal, so
+    * the reconstruction residual r² = ‖x−μ‖² − Σ_{j≤p}((x−μ)·vⱼ)²
+    * (orthonormal top-p PCA basis) ranks exactly the rows an
+    * embedding-based pipeline (SemDeDup #87, ANN #38/#112) should
+    * quarantine first. Model = #194's exact scatter pass + driver
+    * Jacobi (deterministic, sign-canonicalized); scoring inlines μ
+    * and the p×d component matrix as LITERALS (the JL/projectExpr
+    * pattern — zero join, zero shuffle, one codegen span);
+    * top-20 by (residual, vec_id) through the salted two-phase
+    * window. Subspace-recovery fixture pinned in StatsEdgeSpec.
+    */
+  val qEmbedOutlier = GateQuery.rowsOnly("q_embed_outlier") { (s, d) =>
+    import graft.operators.{Pca, Relational, VectorOps}
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), VectorOps.quantize(col("embedding")).as("q"))
+    val dDim = 64
+    val p = 8
+    val (_, mean, cov) = Pca.scatter(e, col("q"), dDim)
+    val (_, evecs) = Pca.jacobiEigen(cov)
+    val proj = Pca.projectExpr(col("q"), mean, evecs.take(p))
+    val cent2 = (0 until dDim).map { i =>
+      val t = col("q").getItem(i) - lit(mean(i)); t * t
+    }.reduce(_ + _)
+    val pr2 = aggregate(proj, lit(0.0), (acc, x) => acc + x * x)
+    val scored = e.select(col("vec_id"), col("label"),
+      greatest(cent2 - pr2, lit(0.0)).as("resid2"))
+    Relational.topKPerGroupSalted(scored, Seq(lit(1)),
+        Seq(col("resid2").desc, col("vec_id")), 20, col("vec_id"))
+      .select(col("rnk").as("rank"), col("vec_id"), col("label"),
+        round(col("resid2"), 0).cast("long").as("resid2_u"))
+      .orderedSmall(col("rank"))
+  }
+
   /** RANGE-frame trailing window (#195): the event-TIME-bounded
     * trailing sum (how much did this user spend in the hour ending
     * at each event) — a different window machinery from every ROWS
@@ -2281,7 +2317,7 @@ object StatsQueries {
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qPcaVar, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
+    qCorrMatrix, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,

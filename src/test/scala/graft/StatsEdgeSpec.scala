@@ -127,6 +127,29 @@ class StatsEdgeSpec extends SparkSpec {
     assert(r.getAs[Long]("decayed_sum_micro") === 100L * 2207106L)
   }
 
+  test("embed outlier: off-subspace vector tops the residual ranking") {
+    // 40 inliers confined to dims 0..7 (rank-8, strong variance) plus
+    // one vector with a modest dim-20 component: its variance share is
+    // far below every subspace eigenvalue (so the top-8 basis stays on
+    // the inlier subspace) but its residual dominates.
+    val dims = 64
+    def h(i: Int, j: Int): Double =
+      (((i + 1) * (j + 3) * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5
+    val inliers = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(dims)(j => if (j < 8) (h(i, j) * 2.0).toFloat else 0.0f), 0)
+    }
+    val outlier = (99L,
+      Seq.tabulate(dims)(j => if (j == 20) 0.5f else 0.0f), 1)
+    val dir = Files.createTempDirectory("graft_outl_fix").toString
+    (inliers :+ outlier).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = StatsQueries.qEmbedOutlier.run(spark, dir).collect()
+    assert(out.head.getAs[Long]("vec_id") === 99L, out.take(3).mkString(";"))
+    val r1 = out.head.getAs[Long]("resid2_u")
+    val r2 = out(1).getAs[Long]("resid2_u")
+    assert(r1 > 10L * math.max(r2, 1L), s"r1=$r1 r2=$r2")
+  }
+
   test("friedman fully tied blocks yield NULL by the exact predicate") {
     // every treatment equal within every block → A2 == b·k(k+1)² exactly
     val types = Seq("a", "b", "c", "d", "e")
