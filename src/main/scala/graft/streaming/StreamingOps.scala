@@ -475,6 +475,57 @@ object StreamingOps {
       }
   }
 
+  final case class DecayPoint(key: Long, ts: Timestamp, v: Long)
+  final case class DecayState(lastSec: Long, nMicro: Long, sumMicro: Long)
+  final case class DecayOut(key: Long, ts: Timestamp,
+                            decayed_n_micro: Long, decayed_sum_micro: Long)
+
+  /** Streaming exponential-decay features (#326) — the live
+    * counterpart of the batch `q_decay_features` gate (the
+    * feature-store "decayed count / decayed sum as of now" per key).
+    * State per key is THREE longs (last event second + two decayed
+    * totals) — O(1) at any stream length, no watermark, no window
+    * buffer: on each event the prior totals decay by the elapsed
+    * time through the SAME integer shift + 64-bucket literal-table
+    * arithmetic as the batch gate (no libm), then the event adds at
+    * weight 1e6. With events exactly k half-lives apart the
+    * incremental decay telescopes exactly ((x>>1)>>1 == x>>2), so
+    * stream == batch bit-for-bit; at arbitrary spacings each stored
+    * total loses < 1 micro-unit per decay step to flooring (bounded
+    * drift, pinned in StreamingSpec). Emits the running decayed
+    * totals on every event (Update mode); within-batch order pinned
+    * by (ts, v).
+    */
+  def decayStream(points: Dataset[DecayPoint], halflifeSec: Long): Dataset[DecayOut] = {
+    import points.sparkSession.implicits._
+    val tab = graft.queries.AnalysisQueries.decayTabMicro.toArray
+    val h = halflifeSec
+    def decay(total: Long, dt: Long): Long = {
+      if (total == 0L || dt <= 0L) return total
+      val k = dt / h
+      if (k > 62L) return 0L
+      val b = ((64L * (dt % h)) / h).toInt
+      (((BigInt(total) * tab(b)) >> k.toInt) / 1000000L).toLong
+    }
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[DecayPoint], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0L))
+          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.v)).map { p =>
+            val sec = p.ts.getTime / 1000L
+            val dt = if (st.lastSec == Long.MinValue) 0L else sec - st.lastSec
+            val n2 = decay(st.nMicro, dt) + 1000000L
+            val s2 = decay(st.sumMicro, dt) + p.v * 1000000L
+            st = DecayState(sec, n2, s2)
+            DecayOut(key, p.ts, n2, s2)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming frequent-itemset monitor (#321) — the live counterpart
     * of the batch association-rule surface (#258 pairs / #310
     * 3-itemsets): "which item combinations are trending in the order

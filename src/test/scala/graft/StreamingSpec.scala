@@ -382,6 +382,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decay features: exact at half-life spacing, state carries across batches") {
+    implicit val ctx = spark.sqlContext
+    val H = 21600L
+    val input = MemoryStream[StreamingOps.DecayPoint]
+    val out = StreamingOps.decayStream(input.toDS(), H)
+    val q = out.writeStream.format("memory").queryName("decaymon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // events exactly one half-life apart: incremental decay telescopes
+      // exactly (floor(floor(x/2)/2) == floor(x/4)), so the running
+      // totals equal the batch gate's single-step weights bit-for-bit
+      input.addData(
+        StreamingOps.DecayPoint(1L, ts(0), 100L),
+        StreamingOps.DecayPoint(1L, new Timestamp(ts(0).getTime + H * 1000), 100L))
+      q.processAllAvailable()
+      // third event arrives in a LATER micro-batch — state must carry
+      input.addData(
+        StreamingOps.DecayPoint(1L, new Timestamp(ts(0).getTime + 2 * H * 1000), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("decaymon").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3))).sortBy(_._2)
+      assert(rows.length === 3)
+      assert(rows(0)._3 === 1000000L)
+      assert(rows(1)._3 === 1500000L) // 1e6>>1 + 1e6
+      assert(rows(2)._3 === 1750000L) // 1e6>>2 + 1e6>>1 + 1e6 — batch parity
+      assert(rows(2)._4 === 100L * 1750000L)
+    } finally q.stop()
+  }
+
   test("streaming itemset monitor: hot pair survives across batches, bounded per-group state") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Seq[String])]
