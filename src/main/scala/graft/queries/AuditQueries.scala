@@ -406,6 +406,99 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** The A&S 26.2.17 upper-tail polynomial for the standard normal —
+    * the SAME pinned contract as the Anderson–Darling gate (#307):
+    * both engines evaluate this exact expression text, so the doubles
+    * are bit-identical. `z` must already be |z| (nonnegative).
+    */
+  private def normTailSql(az: String): String =
+    s"""(exp(-(($az) * ($az)) / 2.0) * 0.3989422804014327)
+       |      * ((1.0 / (1.0 + 0.2316419 * ($az)))
+       |        * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ($az)))
+       |          * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * ($az)))
+       |            * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ($az)))
+       |              * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ($az)))
+       |                * 1.330274429)))))""".stripMargin
+
+  /** Spark mirror of [[normTailSql]]. */
+  private def normTail(az: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    (exp(-(az * az) / lit(2.0)) * lit(0.3989422804014327)) *
+      (t * (lit(0.319381530) + t * (lit(-0.356563782) + t *
+        (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429))))))
+  }
+
+  /** Benjamini–Hochberg FDR over the cell-residual battery (#327):
+    * every corpus audit here runs MANY tests at once, and at 40+
+    * simultaneous cells "p < 0.05 somewhere" is guaranteed noise —
+    * BH (Benjamini & Hochberg 1995) is the standard step-up control
+    * next to the single-test gates (#178 tells you IF the table
+    * deviates; this tells you WHICH cells survive multiplicity).
+    * Battery: the (cohort × event type) standardized Pearson
+    * residuals z = (O−E)/√(E(1−R/N)(1−C/N)) of #178's contingency
+    * table; two-sided p = 2·tail(|z|) through the pinned A&S
+    * polynomial (mirrored doubles over exact counts), micro-floored
+    * per cell. The step-up itself is EXACT integers: reject ranks
+    * i ≤ kmax where kmax = max{i : p_micro·m ≤ i·α_micro}
+    * (α = 0.05 → 50000) — windows run over the 40-row CELL relation,
+    * never the corpus. Fully-tied-rank order pinned by (p, type,
+    * cohort).
+    */
+  val qBhFdr = GateQuery.sql(
+    "q_bh_fdr",
+    s"""WITH o AS (SELECT user_id % 8 AS g, event_type AS t,
+       |    CAST(count(*) AS BIGINT) AS o
+       |  FROM $E e GROUP BY 1, 2),
+       |m AS (SELECT g, t, o, CAST(sum(o) OVER (PARTITION BY g) AS BIGINT) AS r,
+       |    CAST(sum(o) OVER (PARTITION BY t) AS BIGINT) AS c,
+       |    CAST(sum(o) OVER () AS BIGINT) AS n FROM o),
+       |z0 AS (SELECT g, t,
+       |    (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+       |      / sqrt((CAST(r AS DOUBLE) * c / n)
+       |        * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) AS z
+       |  FROM m WHERE r < n AND c < n),
+       |zc AS (SELECT g, t, least(8.0, abs(z)) AS az FROM z0),
+       |p AS (SELECT g, t,
+       |    CAST(floor(2000000 * ${normTailSql("az")}) AS BIGINT) AS p_micro
+       |  FROM zc),
+       |r2 AS (SELECT g, t, p_micro,
+       |    CAST(row_number() OVER (ORDER BY p_micro, t, g) AS BIGINT) AS i,
+       |    CAST(count(*) OVER () AS BIGINT) AS mm FROM p),
+       |k AS (SELECT max(CASE WHEN p_micro * mm <= i * 50000 THEN i ELSE 0 END) AS kmax
+       |  FROM r2)
+       |SELECT g AS cohort, t AS event_type, p_micro, i AS p_rank,
+       |  (i * 50000) // mm AS bh_crit_micro,
+       |  i <= kmax AS rejected
+       |FROM r2, k ORDER BY i""".stripMargin) { (s, d) =>
+    val o = ev(s, d)
+      .groupBy(pmod(col("user_id"), lit(8L)).as("g"), col("event_type").as("t"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val m = o
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("g"))).cast("long"))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("t"))).cast("long"))
+      .withColumn("n", sum(col("o")).over(
+        Window.partitionBy()).cast("long"))
+      .filter(col("r") < col("n") && col("c") < col("n"))
+    val ed = col("r").cast("double") * col("c") / col("n")
+    val z = (col("o").cast("double") - ed) /
+      sqrt(ed * (lit(1.0) - col("r").cast("double") / col("n")) *
+        (lit(1.0) - col("c").cast("double") / col("n")))
+    val p = m.select(col("g"), col("t"),
+      floor(lit(2000000) * normTail(least(lit(8.0), abs(z)))).cast("long").as("p_micro"))
+    val r2 = p
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("p_micro"), col("t"), col("g"))).cast("long"))
+      .withColumn("mm", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    val k = r2.agg(max(when(col("p_micro") * col("mm") <= col("i") * 50000L, col("i"))
+      .otherwise(lit(0L))).as("kmax"))
+    Curation.withStats(r2, k)
+      .select(col("g").as("cohort"), col("t").as("event_type"), col("p_micro"),
+        col("i").as("p_rank"),
+        Binning.floorDivCol(col("i") * lit(50000L), col("mm")).as("bh_crit_micro"),
+        (col("i") <= col("kmax")).as("rejected"))
+      .orderedSmall(col("p_rank"))
+  }
+
   /** Per-source Anderson–Darling drift panel (#318): each source's
     * doc-length distribution tested against the REST of the corpus by
     * the two-sample Anderson–Darling statistic (Scholz & Stephens
@@ -1914,6 +2007,6 @@ object AuditQueries {
     qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
-    qShapiroWilk, qAdDrift,
+    qShapiroWilk, qAdDrift, qBhFdr,
     qItemsets3)
 }

@@ -379,6 +379,28 @@ class AuditEdgeSpec extends SparkSpec {
     assert(AuditQueries.qShapiroWilk.run(spark, eventsDir(rows)).count() === 0L)
   }
 
+  test("bh-fdr: an exactly independent table rejects nothing at p = 1") {
+    // counts(g, t) = a_g·b_t makes every cell's O == E exactly → z = 0;
+    // the A&S tail polynomial gives tail(0) ≈ 0.4999995 (its |ε|<7.5e-8
+    // contract), so p_micro lands at 999999 — far above every BH
+    // critical value, kmax = 0, nothing rejected.
+    val a = Seq(1, 2, 3)
+    val b = Seq(2, 5)
+    val types = Seq("click", "view")
+    var id = -1L
+    val rows = for {
+      (ag, g) <- a.zipWithIndex
+      (bt, t) <- b.zipWithIndex
+      _ <- 1 to (ag * bt)
+    } yield { id += 1; (id, g.toLong, types(t), 10.0) }
+    val out = AuditQueries.qBhFdr.run(spark, eventsDir(rows)).collect()
+    assert(out.length === 6)
+    out.foreach { r =>
+      assert(r.getAs[Long]("p_micro") >= 999990L)
+      assert(!r.getAs[Boolean]("rejected"))
+    }
+  }
+
   test("ad drift: identical per-source distributions give exactly 0") {
     // two sources with the SAME length multiset: every grid row has
     // cums = cumc/2 and n_s = N/2, so d = N·cums − n_s·cumc = 0 exactly
