@@ -675,6 +675,101 @@ object StatsQueries {
       .orderedSmall(col("t_days"))
   }
 
+  /** Log-rank (Mantel–Cox) test (#328): do two user cohorts have the
+    * SAME survival curve? — the hypothesis test #187's Kaplan–Meier
+    * estimator only displays (Mantel 1966; the standard churn A/B
+    * readout). Same lifetime/censoring derivation as #187 (users
+    * collapse to one row; right-censored in the final 7 days); at
+    * each distinct death time the group-1 death excess d₁ − d·n₁/n
+    * and the hypergeometric variance d·n₁(n−n₁)(n−d)/(n²(n−1))
+    * accumulate over the VALUE-COLLAPSED lifetime grid — every term
+    * micro-floored from exact integer products (HUGEINT/decimal
+    * lifted: the five-factor numerator overflows int64) before the
+    * order-free sums; at-risk counts are the same descending
+    * cumulative windows as #187. O₁ is an exact integer;
+    * χ² = (O₁−E₁)²/V is one mirrored double; V = 0 → NULL by exact
+    * predicate.
+    */
+  val qLogRank = GateQuery.sql(
+    "q_logrank",
+    s"""WITH u AS (SELECT user_id % 2 AS grp,
+       |    (max(xs) - min(xs)) // 86400 AS lt,
+       |    CASE WHEN max(xs) >= (SELECT max(xs) FROM $E e2) - 7 * 86400
+       |      THEN 1 ELSE 0 END AS censored
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT lt,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+       |    CAST(count(*) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN grp = 1 AND censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM u GROUP BY lt),
+       |r AS (SELECT *,
+       |    CAST(sum(a1) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1,
+       |    CAST(sum(a) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+       |  FROM t),
+       |g AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+       |    CAST(sum((CAST(1000000 AS HUGEINT) * d * n1) // n) AS BIGINT) AS se,
+       |    CAST(sum(CASE WHEN n > 1 THEN
+       |        (CAST(1000000 AS HUGEINT) * d * n1 * (n - n1) * (n - d))
+       |          // (CAST(n AS HUGEINT) * n * (n - 1))
+       |      ELSE 0 END) AS BIGINT) AS sv
+       |  FROM r WHERE d > 0),
+       |tot AS (SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0 FROM u)
+       |SELECT m1 AS n_users_1, m0 AS n_users_0, o1 AS deaths_1,
+       |  CAST(o1 * 1000000 - se AS BIGINT) AS o_minus_e_micro, sv AS v_micro,
+       |  CASE WHEN sv > 0 THEN
+       |    round((CAST(o1 * 1000000 - se AS DOUBLE) / sqrt(CAST(sv AS DOUBLE) * 1000000.0))
+       |      * (CAST(o1 * 1000000 - se AS DOUBLE) / sqrt(CAST(sv AS DOUBLE) * 1000000.0)), 4)
+       |      + 0.0
+       |  END AS chi2
+       |FROM g, tot""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"), col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(7L * 86400L), 1L).otherwise(0L)
+          .as("censored"))
+    val t = u.groupBy(col("lt")).agg(
+      Exact.sumUnits(when(col("grp") === 1, 1L).otherwise(0L)).cast("long").as("a1"),
+      count(lit(1)).cast("long").as("a"),
+      Exact.sumUnits(when(col("grp") === 1 && col("censored") === 0, 1L).otherwise(0L))
+        .cast("long").as("d1"),
+      Exact.sumUnits(when(col("censored") === 0, 1L).otherwise(0L)).cast("long").as("d"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t
+      .withColumn("n1", sum(col("a1")).over(wDesc).cast("long"))
+      .withColumn("n", sum(col("a")).over(wDesc).cast("long"))
+      .filter(col("d") > 0)
+    val dD = col("d").cast("decimal(38,0)")
+    val nD = col("n").cast("decimal(38,0)")
+    val g = r.agg(
+      sum(col("d1")).cast("long").as("o1"),
+      sum(floorDivBig(lit(1000000L).cast("decimal(38,0)") * col("d") * col("n1"), nD))
+        .cast("long").as("se"),
+      sum(when(col("n") > 1,
+        floorDivBig(lit(1000000L).cast("decimal(38,0)") * dD * col("n1") *
+            (col("n") - col("n1")) * (col("n") - col("d")),
+          nD * col("n") * (col("n") - 1))).otherwise(lit(0L).cast("decimal(38,0)")))
+        .cast("long").as("sv"))
+    val tot = u.agg(
+      Exact.sumUnits(when(col("grp") === 1, 1L).otherwise(0L)).cast("long").as("m1"),
+      Exact.sumUnits(when(col("grp") === 0, 1L).otherwise(0L)).cast("long").as("m0"))
+    val ome = (col("o1") * lit(1000000L) - col("se")).cast("double")
+    val zz = ome / sqrt(col("sv").cast("double") * lit(1000000.0))
+    Curation.withStats(g, tot)
+      .select(col("m1").as("n_users_1"), col("m0").as("n_users_0"),
+        col("o1").as("deaths_1"),
+        (col("o1") * lit(1000000L) - col("se")).cast("long").as("o_minus_e_micro"),
+        col("sv").as("v_micro"),
+        when(col("sv") > 0, round(zz * zz, 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
   /** Theil T index (#188): the entropy-form inequality measure that
     * DECOMPOSES across sources (unlike Gini) — T = Σ (xᵢ/S)·ln(xᵢ·n/S).
     * Each user's ln term is micro-ln quantized, the weighted sum is
@@ -2316,7 +2411,7 @@ object StatsQueries {
 
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
-    qBootstrapCi, qKaplanMeier, qTheil, qQuantileSketch, qPeriodogram, qHolt,
+    qBootstrapCi, qKaplanMeier, qLogRank, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,

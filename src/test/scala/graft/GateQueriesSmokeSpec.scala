@@ -37,6 +37,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
+    "q_logrank", // same censoring-horizon scalar + (m1, m0) totals row
     "q_tfidf_terms", // (n_docs) corpus-total single-row scalar
     "q_ks_test", // (n1, n2) sample-size single-row scalar
     "q_cvm", // (n1, n2) sample-size single-row scalar (same as q_ks_test)

@@ -150,6 +150,28 @@ class StatsEdgeSpec extends SparkSpec {
     assert(r1 > 10L * math.max(r2, 1L), s"r1=$r1 r2=$r2")
   }
 
+  test("logrank: mirrored cohorts give an exactly zero statistic") {
+    // user pair (2k, 2k+1) shares first/last activity exactly, so at
+    // every death time n1 = n/2 and d1 = d/2 — the group-1 excess and
+    // every floored E term cancel EXACTLY (d even throughout).
+    // Sentinel pair at day 30 keeps earlier pairs uncensored.
+    val day = 86400L
+    def pair(k: Int, firstId: Long, lastDay: Long) = Seq(
+      (firstId, 2L * k, "view", 1.0), (firstId + 1, 2L * k + 1, "view", 1.0),
+      (lastDay * day, 2L * k, "view", 1.0), (lastDay * day + 1, 2L * k + 1, "view", 1.0))
+    // eventsDir: ts = epoch + event_id seconds → xs == event_id
+    val rows = (1 to 4).flatMap(k => pair(k, 10L * k, k.toLong)) ++
+      pair(9, 100L, 30L)
+    val out = graft.queries.StatsQueries.qLogRank
+      .run(spark, eventsDir(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_users_1") === 5L)
+    assert(r.getAs[Long]("n_users_0") === 5L)
+    assert(r.getAs[Long]("o_minus_e_micro") === 0L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+  }
+
   test("friedman fully tied blocks yield NULL by the exact predicate") {
     // every treatment equal within every block → A2 == b·k(k+1)² exactly
     val types = Seq("a", "b", "c", "d", "e")
