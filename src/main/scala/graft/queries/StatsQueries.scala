@@ -149,6 +149,117 @@ object StatsQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Yuen's trimmed-mean t-test (#329): the ROBUST two-sample
+    * comparison completing the family — Welch (#179) collapses under
+    * heavy tails, Mann–Whitney (#212) answers a different hypothesis
+    * (stochastic dominance, not means); Yuen (1974) compares 20%-
+    * trimmed means with winsorized variances, keeping a mean-like
+    * interpretation at a 20% breakdown point. Same click-vs-view ×
+    * user-cohort battery as #179. Shape: ONE ranked window pass per
+    * (cohort, side) + ONE conditional aggregate (the #166/#229
+    * trimmed/winsorized machinery — interior sums plus k·boundary
+    * terms, boundaries via max(CASE rank = …) in the SAME aggregate);
+    * all sums exact integers, the winsorized variance numerator
+    * n·Q_w − S_w² an exact decimal, and t/df one mirrored double
+    * closed form each:
+    *   t = (m_t1 − m_t2)/√(d₁+d₂), d_i = num_i/(n_i²·h_i·(h_i−1))
+    * with h = n − 2k the trimmed count. Degenerate (h ≤ 1 or both
+    * winsorized variances zero) → NULL by exact predicates.
+    */
+  val qYuen = GateQuery.sql(
+    "q_yuen",
+    s"""WITH c AS (SELECT user_id % 8 AS g, event_type AS t, event_id,
+       |    ${centsSql("vd")} AS x
+       |  FROM $E e WHERE event_type IN ('click', 'view')),
+       |r AS (SELECT g, t, x,
+       |    CAST(row_number() OVER (PARTITION BY g, t ORDER BY x, event_id) AS BIGINT) AS ra,
+       |    CAST(count(*) OVER (PARTITION BY g, t) AS BIGINT) AS n
+       |  FROM c),
+       |a AS (SELECT g, t, any_value(n) AS n, n // 5 AS k,
+       |    CAST(sum(x) FILTER (ra > n // 5 AND ra <= n - n // 5) AS BIGINT) AS s_in,
+       |    CAST(sum(CAST(x AS HUGEINT) * x)
+       |      FILTER (ra > n // 5 AND ra <= n - n // 5) AS HUGEINT) AS q_in,
+       |    max(CASE WHEN ra = n // 5 + 1 THEN x END) AS lo,
+       |    max(CASE WHEN ra = n - n // 5 THEN x END) AS hi
+       |  FROM r GROUP BY g, t, n // 5),
+       |w AS (SELECT g, t, n, k, n - 2 * k AS h, s_in,
+       |    CAST(s_in + k * lo + k * hi AS HUGEINT) AS sw,
+       |    q_in + CAST(k AS HUGEINT) * lo * lo + CAST(k AS HUGEINT) * hi * hi AS qw
+       |  FROM a),
+       |v AS (SELECT g, t, n, h, s_in, CAST(n AS HUGEINT) * qw - sw * sw AS num FROM w),
+       |p AS (SELECT g,
+       |    max(CASE WHEN t = 'click' THEN n END) AS n1,
+       |    max(CASE WHEN t = 'click' THEN h END) AS h1,
+       |    max(CASE WHEN t = 'click' THEN s_in END) AS st1,
+       |    max(CASE WHEN t = 'click' THEN num END) AS num1,
+       |    max(CASE WHEN t = 'view' THEN n END) AS n2,
+       |    max(CASE WHEN t = 'view' THEN h END) AS h2,
+       |    max(CASE WHEN t = 'view' THEN s_in END) AS st2,
+       |    max(CASE WHEN t = 'view' THEN num END) AS num2
+       |  FROM v GROUP BY g),
+       |f AS (SELECT g, n1, h1, st1, n2, h2, st2, num1, num2,
+       |    CAST(num1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * h1 * (h1 - 1)) AS d1,
+       |    CAST(num2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * h2 * (h2 - 1)) AS d2
+       |  FROM p WHERE h1 > 1 AND h2 > 1)
+       |SELECT g, CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+       |  ${Exact.roundedRatioSignedSql("st1", "h1", 4)} AS trim_mean1,
+       |  ${Exact.roundedRatioSignedSql("st2", "h2", 4)} AS trim_mean2,
+       |  CASE WHEN num1 > 0 OR num2 > 0 THEN
+       |    round((CAST(st1 AS DOUBLE) / h1 - CAST(st2 AS DOUBLE) / h2)
+       |      / sqrt(d1 + d2), 4) + 0.0 END AS t_yuen,
+       |  CASE WHEN num1 > 0 OR num2 > 0 THEN
+       |    round((d1 + d2) * (d1 + d2)
+       |      / (d1 * d1 / (h1 - 1) + d2 * d2 / (h2 - 1)), 2) + 0.0 END AS df_yuen
+       |FROM f ORDER BY g""".stripMargin) { (s, d) =>
+    val c = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type").as("t"),
+        col("event_id"), Exact.cents(col("vd")).as("x"))
+    val wa = Window.partitionBy(col("g"), col("t")).orderBy(col("x"), col("event_id"))
+    val r = c
+      .withColumn("ra", row_number().over(wa).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("g"), col("t"))).cast("long"))
+    val inP = col("ra") > col("k") && col("ra") <= col("n") - col("k")
+    val a = r.withColumn("k", Binning.floorDiv(col("n"), 5L))
+      .groupBy(col("g"), col("t"), col("k"))
+      .agg(first(col("n")).as("n"),
+        sum(when(inP, col("x"))).cast("long").as("s_in"),
+        sum(when(inP, col("x").cast("decimal(38,0)") * col("x")))
+          .cast("decimal(38,0)").as("q_in"),
+        max(when(col("ra") === col("k") + 1, col("x"))).as("lo"),
+        max(when(col("ra") === col("n") - col("k"), col("x"))).as("hi"))
+    val kD = col("k").cast("decimal(38,0)")
+    val w = a.select(col("g"), col("t"), col("n"), (col("n") - lit(2L) * col("k")).as("h"),
+      col("s_in"),
+      (col("s_in").cast("decimal(38,0)") + kD * col("lo") + kD * col("hi")).as("sw"),
+      (col("q_in") + kD * col("lo") * col("lo") + kD * col("hi") * col("hi")).as("qw"))
+    val v = w.select(col("g"), col("t"), col("n"), col("h"), col("s_in"),
+      (col("n").cast("decimal(38,0)") * col("qw") - col("sw") * col("sw")).as("num"))
+    def pc(t: String, c0: String, as0: String) =
+      max(when(col("t") === t, col(c0))).as(as0)
+    val p = v.groupBy(col("g")).agg(
+      pc("click", "n", "n1"), pc("click", "h", "h1"), pc("click", "s_in", "st1"),
+      pc("click", "num", "num1"),
+      pc("view", "n", "n2"), pc("view", "h", "h2"), pc("view", "s_in", "st2"),
+      pc("view", "num", "num2"))
+      .filter(col("h1") > 1 && col("h2") > 1)
+    def dI(i: Int) = col(s"num$i").cast("double") /
+      (col(s"n$i").cast("double") * col(s"n$i") * col(s"h$i") * (col(s"h$i") - 1))
+    val ok = col("num1") > 0 || col("num2") > 0
+    val dSum = dI(1) + dI(2)
+    p.select(col("g"), col("h1").cast("long").as("h1"), col("h2").cast("long").as("h2"),
+        Exact.roundedRatioSigned(col("st1"), col("h1"), 4).as("trim_mean1"),
+        Exact.roundedRatioSigned(col("st2"), col("h2"), 4).as("trim_mean2"),
+        when(ok, round((col("st1").cast("double") / col("h1") -
+            col("st2").cast("double") / col("h2")) / sqrt(dSum), 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("t_yuen"),
+        when(ok, round(dSum * dSum /
+            (dI(1) * dI(1) / (col("h1") - 1) + dI(2) * dI(2) / (col("h2") - 1)), 2) +
+            lit(0.0))
+          .otherwise(lit(null).cast("double")).as("df_yuen"))
+      .orderedSmall(col("g"))
+  }
+
   /** CUSUM drift detection (#180): the one-sided cumulative-sum
     * control chart over each user's 'view' series. The textbook
     * recursion S_t = max(0, S_{t−1} + dev_t) is exactly the running
@@ -2411,7 +2522,7 @@ object StatsQueries {
 
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
-    qBootstrapCi, qKaplanMeier, qLogRank, qTheil, qQuantileSketch, qPeriodogram, qHolt,
+    qBootstrapCi, qKaplanMeier, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,

@@ -34,6 +34,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_w1_drift", // bounded source-list × value-grid broadcast product + (nc) scalar
     "q_ad_drift", // same bounded source-list × value-grid product as q_w1_drift
     "q_cuped", // (midpoint) and pooled-stats single-row scalars
+    "q_bh_fdr", // (kmax) step-up threshold single-row scalar
+    "q_decay_features", // (max xs) as-of-now reference single-row scalar
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
