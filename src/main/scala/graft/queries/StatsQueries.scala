@@ -1849,14 +1849,16 @@ object StatsQueries {
     s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
        |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
        |  FROM $E e GROUP BY 1, 2),
+       |nt AS (SELECT event_type, CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n
+       |  FROM g GROUP BY 1),
        |p AS (SELECT a.event_type AS event_type,
        |    a.grid AS g1, b.grid AS g2, b.y - a.y AS dy, b.grid - a.grid AS dx,
        |    CAST(b.y - a.y AS DOUBLE) / (b.grid - a.grid) AS sl
        |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.grid < b.grid),
-       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
-       |      ORDER BY sl, g1, g2) AS BIGINT) AS rk,
-       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-       |  FROM p)
+       |r AS (SELECT p.event_type AS event_type, nt.n AS n, dy, dx, sl,
+       |    CAST(row_number() OVER (PARTITION BY p.event_type
+       |      ORDER BY sl, g1, g2) AS BIGINT) AS rk
+       |  FROM p JOIN nt ON nt.event_type = p.event_type)
        |SELECT event_type, n AS n_pairs,
        |  CAST(dy AS BIGINT) AS med_dy_cents, CAST(dx AS BIGINT) AS med_dx_hours,
        |  round(sl, 6) + 0.0 AS slope_cents_per_hour
@@ -1866,14 +1868,30 @@ object StatsQueries {
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
     val a = g.select(col("event_type"), col("grid").as("g1"), col("y").as("y1"))
     val b = g.select(col("event_type"), col("grid").as("g2"), col("y").as("y2"))
-    val p = a.join(b, Seq("event_type")).filter(col("g1") < col("g2"))
+    // the grid relation is calendar-bounded (hours × types) — broadcast
+    // the build side explicitly: the aggregate's size estimate defeats
+    // the auto-broadcast and a 5-key shuffle join both skews and costs
+    // two exchanges for a relation of a few thousand rows
+    val p = a.join(broadcast(b), Seq("event_type")).filter(col("g1") < col("g2"))
       .select(col("event_type"), col("g1"), col("g2"),
         (col("y2") - col("y1")).as("dy"), (col("g2") - col("g1")).as("dx"),
-        ((col("y2") - col("y1")).cast("double") / (col("g2") - col("g1"))).as("sl"))
-    val r = p
+        // greatest(·, 1) only shields ANSI speculative evaluation on
+        // rows the g1<g2 filter discards (the histogram consumer can
+        // reorder the projection); surviving rows always have dx >= 1,
+        // so the value — and the oracle mirror — are unchanged
+        ((col("y2") - col("y1")).cast("double") /
+          greatest(col("g2") - col("g1"), lit(1L))).as("sl"))
+    // pair count is C(cnt, 2) straight off the TINY grid relation (an
+    // unbounded count(*) window would buffer every pair partition just
+    // to stamp a constant); the median itself keeps the single rank
+    // window — a micro-quantized two-phase histogram selection was
+    // measured SLOWER here (continuous slopes rarely collide, so the
+    // "collapsed" relation is pair-sized and pays the pair stage twice)
+    val nt = g.groupBy(col("event_type"))
+      .agg(Binning.floorDivCol(count(lit(1)) * (count(lit(1)) - 1), lit(2L)).as("n"))
+    val r = p.join(broadcast(nt), "event_type")
       .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col("sl"), col("g1"), col("g2"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
     r.filter(col("rk") === Binning.floorDivCol(col("n") + 1, lit(2L)))
       .select(col("event_type"), col("n").as("n_pairs"),
         col("dy").cast("long").as("med_dy_cents"), col("dx").cast("long").as("med_dx_hours"),
