@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Exact}
+import graft.operators.{Binning, Curation, Exact}
 import graft.operators.Exact.{roundedRatioSql, roundedRatioSignedSql}
 
 /** Published-playbook corpus-curation gates (SURVEY.md §2 #83–#86)
@@ -1406,11 +1406,61 @@ object CurationQueries {
       .orderedSmall(col("doc_id"))
   }
 
+  /** Chao1 vocabulary-richness estimate (#331): how much vocabulary
+    * has the corpus NOT seen yet — the nonparametric lower bound on
+    * total species richness from singleton/doubleton counts (Chao
+    * 1984, bias-corrected form; the ecology estimator lexicography
+    * adopted). Per source: Chao1 = V + n₁(n₁−1)/(2(n₂+1)) with n₁/n₂
+    * the words seen exactly once/twice, plus Good's coverage estimate
+    * C = 1 − n₁/N (Good 1953) — together they size every topV cap and
+    * minCount prune in the LM family (#90/#94/#102) and the tokenizer
+    * vocab (#107) against what's actually missing. Shape: the
+    * (source, word) count relation collapses to a COUNT-OF-COUNTS
+    * relation (bounded by distinct multiplicities — the #279
+    * coverage-curve discipline), everything after is exact integer
+    * milli/ppm floor division.
+    */
+  val qChao1 = GateQuery.sql(
+    "q_chao1",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+      |cc AS (SELECT source, c, CAST(count(*) AS BIGINT) AS f FROM c GROUP BY 1, 2),
+      |a AS (SELECT source,
+      |    CAST(sum(f) AS BIGINT) AS v,
+      |    CAST(sum(c * f) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 1 THEN f ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN c = 2 THEN f ELSE 0 END) AS BIGINT) AS n2
+      |  FROM cc GROUP BY 1)
+      |SELECT source, n_tokens, v AS v_observed, n1 AS n_singletons, n2 AS n_doubletons,
+      |  v * 1000 + (n1 * (n1 - 1) * 1000) // (2 * (n2 + 1)) AS chao1_milli,
+      |  1000000 - (n1 * 1000000) // n_tokens AS coverage_ppm
+      |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d).select(col("source"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val c = w.groupBy(col("source"), col("word")).agg(count(lit(1)).cast("long").as("c"))
+    val cc = c.groupBy(col("source"), col("c")).agg(count(lit(1)).cast("long").as("f"))
+    val a = cc.groupBy(col("source")).agg(
+      sum(col("f")).cast("long").as("v"),
+      sum(col("c") * col("f")).cast("long").as("n_tokens"),
+      sum(when(col("c") === 1, col("f")).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("c") === 2, col("f")).otherwise(0L)).cast("long").as("n2"))
+    a.select(col("source"), col("n_tokens"), col("v").as("v_observed"),
+        col("n1").as("n_singletons"), col("n2").as("n_doubletons"),
+        (col("v") * lit(1000L) +
+          Binning.floorDivCol(col("n1") * (col("n1") - 1) * lit(1000L),
+            lit(2L) * (col("n2") + 1))).as("chao1_milli"),
+        (lit(1000000L) -
+          Binning.floorDivCol(col("n1") * lit(1000000L), col("n_tokens")))
+          .as("coverage_ppm"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
-      qMooreLewis, qMooreLewisBigram)
+      qMooreLewis, qMooreLewisBigram, qChao1)
 }

@@ -1003,6 +1003,71 @@ object StatsQueries {
   private val CorrPairs: Seq[(String, String)] =
     for { a <- CorrTypes; b <- CorrTypes if a < b } yield (a, b)
 
+  /** Kendall tau-b (#330): the RANK-concordance association between
+    * the click and view hourly series — completing the trio next to
+    * Pearson (#193, linear) and Spearman (#177, rank-linear):
+    * tau answers "when one moves up, does the other?" with no
+    * linearity assumption at all, robust to any monotone
+    * transformation, with the tie-corrected tau-b denominator
+    * √((n₀−n₁)(n₀−n₂)) (Kendall 1945). The pair stage self-joins the
+    * CALENDAR-BOUNDED hourly grid (the Theil–Sen #234 bound — hours²,
+    * never event count; broadcast build side), concordant /
+    * discordant / tie counts are ONE exact conditional aggregate,
+    * and tau-b is one mirrored double. All-tied series → NULL by
+    * exact predicate.
+    */
+  val qKendall = GateQuery.sql(
+    "q_kendall",
+    s"""WITH g AS (SELECT xs // 3600 AS grid, event_type,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+       |a AS (SELECT grid, coalesce(max(CASE WHEN event_type = 'click' THEN y END), 0) AS x,
+       |    coalesce(max(CASE WHEN event_type = 'view' THEN y END), 0) AS v
+       |  FROM g GROUP BY grid),
+       |p AS (SELECT
+       |    CASE WHEN (b.x - a.x) * (b.v - a.v) > 0 THEN 1 ELSE 0 END AS co,
+       |    CASE WHEN (b.x - a.x) * (b.v - a.v) < 0 THEN 1 ELSE 0 END AS di,
+       |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+       |    CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tv
+       |  FROM a a JOIN a b ON a.grid < b.grid),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(co) AS BIGINT) AS c, CAST(sum(di) AS BIGINT) AS d,
+       |    CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(tv) AS BIGINT) AS n2
+       |  FROM p),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM a)
+       |SELECT n_hours, n0 AS n_pairs, c AS concordant, d AS discordant,
+       |  n1 AS ties_x, n2 AS ties_y,
+       |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+       |    round(CAST(c - d AS DOUBLE)
+       |      / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))), 6) + 0.0
+       |  END AS tau_b
+       |FROM s, h""".stripMargin) { (s, d) =>
+    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.groupBy(col("grid"))
+      .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
+        coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
+    val a1 = a.select(col("grid").as("g1"), col("x").as("x1"), col("v").as("v1"))
+    val a2 = a.select(col("grid").as("g2"), col("x").as("x2"), col("v").as("v2"))
+    val prod = (col("x2") - col("x1")) * (col("v2") - col("v1"))
+    val p = a1.join(broadcast(a2), col("g1") < col("g2"))
+    val st = p.agg(count(lit(1)).cast("long").as("n0"),
+      Exact.sumUnits(when(prod > 0, 1L).otherwise(0L)).cast("long").as("c"),
+      Exact.sumUnits(when(prod < 0, 1L).otherwise(0L)).cast("long").as("d"),
+      Exact.sumUnits(when(col("x1") === col("x2"), 1L).otherwise(0L)).cast("long").as("n1"),
+      Exact.sumUnits(when(col("v1") === col("v2"), 1L).otherwise(0L)).cast("long").as("n2"))
+    val h = a.agg(count(lit(1)).cast("long").as("n_hours"))
+    Curation.withStats(st, h)
+      .select(col("n_hours"), col("n0").as("n_pairs"), col("c").as("concordant"),
+        col("d").as("discordant"), col("n1").as("ties_x"), col("n2").as("ties_y"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          round((col("c") - col("d")).cast("double") /
+            (sqrt((col("n0") - col("n1")).cast("double")) *
+              sqrt((col("n0") - col("n2")).cast("double"))), 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
   /** Pearson correlation matrix (#193): pairwise correlation of
     * per-user activity counts across event types — the behavioral
     * covariance audit ("do users who click also buy?"). Users
@@ -2541,7 +2606,7 @@ object StatsQueries {
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
+    qCorrMatrix, qKendall, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,

@@ -475,6 +475,56 @@ object StreamingOps {
       }
   }
 
+  final case class PhPoint(key: Long, ts: Timestamp, x: Long)
+  final case class PhState(n: Long, s: Long, mMicro: Long, minMicro: Long)
+  final case class PhOut(key: Long, ts: Timestamp, x: Long,
+                         ph_micro: Long, alarmed: Boolean)
+
+  /** Streaming Page–Hinkley drift monitor (#332) — the classic
+    * mean-INCREASE change detector (Page 1954 / Hinkley 1971; the
+    * standard drift test in the stream-mining literature next to the
+    * target-based CUSUM monitor [[cusumStream]], which needs the
+    * reference level picked in advance — PH self-references the
+    * running mean, so it needs NO target):
+    *
+    *   m_t = Σᵢ (xᵢ − x̄ᵢ − δ),  PH_t = m_t − min_{i≤t} m_i,
+    *   alarm when PH_t > λ.
+    *
+    * State per key is FOUR longs (count, sum, cumulative deviation,
+    * running min) — O(1) at any stream length. Each increment's
+    * running-mean term is micro-floored from the exact integer
+    * rational x̄ᵢ = s/n (floor division — deterministic on any
+    * partitioning/replay; within-batch order pinned by (ts, x)).
+    * Emits every reading with its PH value and alarm flag (Update
+    * mode); the alarm latches via the emitted flag only — state keeps
+    * accumulating so downstream can see recovery.
+    */
+  def pageHinkleyStream(points: Dataset[PhPoint], deltaMicro: Long,
+                        lambdaMicro: Long): Dataset[PhOut] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[PhPoint], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.x)).map { p =>
+            val n = st.n + 1
+            val s = st.s + p.x
+            // increment = x − s/n − δ in micro units, floor division on
+            // the exact rational (x·n − s)·1e6 / n
+            val inc = Math.floorDiv((p.x * n - s) * 1000000L, n) - deltaMicro
+            val m = st.mMicro + inc
+            val mn = math.min(st.minMicro, m)
+            st = PhState(n, s, m, mn)
+            val ph = m - mn
+            PhOut(key, p.ts, p.x, ph, ph > lambdaMicro)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class DecayPoint(key: Long, ts: Timestamp, v: Long)
   final case class DecayState(lastSec: Long, nMicro: Long, sumMicro: Long)
   final case class DecayOut(key: Long, ts: Timestamp,

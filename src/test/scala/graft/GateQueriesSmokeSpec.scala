@@ -40,6 +40,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
     "q_logrank", // same censoring-horizon scalar + (m1, m0) totals row
+    "q_kendall", // calendar-bounded hourly-grid broadcast pair product (as q_w1_drift)
     "q_tfidf_terms", // (n_docs) corpus-total single-row scalar
     "q_ks_test", // (n1, n2) sample-size single-row scalar
     "q_cvm", // (n1, n2) sample-size single-row scalar (same as q_ks_test)

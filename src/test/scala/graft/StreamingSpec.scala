@@ -382,6 +382,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("page-hinkley: stable stream stays quiet, mean shift alarms across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.PhPoint]
+    // δ = 0.5 units, λ = 30 units (micro-scaled)
+    val out = StreamingOps.pageHinkleyStream(input.toDS(), 500000L, 30000000L)
+    val q = out.writeStream.format("memory").queryName("phmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: stable around 100 — PH must stay below λ
+      input.addData((1 to 40).map(i =>
+        StreamingOps.PhPoint(1L, ts(i), 100L + (i % 3) - 1)): _*)
+      q.processAllAvailable()
+      val stable = spark.table("phmon").collect()
+      assert(stable.forall(!_.getAs[Boolean]("alarmed")), "stable stream alarmed")
+      // batch 2: level shifts to 200 — the cumulative deviation crosses λ
+      // (state must carry the pre-shift mean across the batch boundary)
+      input.addData((41 to 80).map(i =>
+        StreamingOps.PhPoint(1L, ts(i), 200L)): _*)
+      q.processAllAvailable()
+      val all = spark.table("phmon").collect()
+      assert(all.exists(_.getAs[Boolean]("alarmed")), "shift not detected")
+      // PH is nondecreasing through the pure-shift run's tail
+      val tailPh = all.sortBy(_.getAs[Timestamp]("ts").getTime)
+        .takeRight(10).map(_.getAs[Long]("ph_micro"))
+      assert(tailPh.sliding(2).forall(p => p(1) >= p(0)))
+    } finally q.stop()
+  }
+
   test("streaming decay features: exact at half-life spacing, state carries across batches") {
     implicit val ctx = spark.sqlContext
     val H = 21600L
