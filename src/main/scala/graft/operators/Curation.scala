@@ -552,4 +552,35 @@ object Curation {
   /** DuckDB mirror of [[mixKeep]]. */
   def mixKeepSql(idSql: String, rateSql: String): String =
     s"(${TextOps.baseHashSql(s"'mix:' || CAST($idSql AS VARCHAR)")} % 10000) < $rateSql"
+
+  /** Moore–Lewis cross-entropy-difference score as a STATELESS
+    * literal-model expression: Σ_tokens (q_in(w) − q_gen(w)) in
+    * exact micro-nats, with both topV-capped model tables inlined as
+    * map LITERALS (bounded driver state — the same deployment shape
+    * as [[QualityClassifier.scoreExpr]]: train in batch, ship the
+    * model INSIDE the plan). Because the expression carries no
+    * state and no join, it runs identically over a batch relation
+    * and a structured stream — batch==stream parity is exact by
+    * construction (pinned in StreamingSpec), and at 100 TB the
+    * scorer is one codegen-friendly projection, zero shuffles.
+    */
+  def mlScoreExpr(text: Column, inModel: Map[String, Long], oovIn: Long,
+                  genModel: Map[String, Long], oovGen: Long): Column = {
+    val mIn = typedLit(inModel)
+    val mGen = typedLit(genModel)
+    aggregate(TextOps.tokens(text), lit(0L),
+      (acc, w) => acc + coalesce(element_at(mIn, w), lit(oovIn)) -
+        coalesce(element_at(mGen, w), lit(oovGen)))
+  }
+
+  /** Collect a [[unigramModel]] pair (model table, 1-row OOV floor)
+    * into the literal form [[mlScoreExpr]] inlines: (word→micro-nat
+    * map, OOV micro-nats). Bounded by the model's topV cap — never
+    * call on an uncapped vocab at corpus scale.
+    */
+  def collectModel(lp: DataFrame, oov: DataFrame): (Map[String, Long], Long) = {
+    val m = lp.select(col("word"), col("q")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m, oov.select(col("oovq")).head().getLong(0))
+  }
 }

@@ -418,6 +418,77 @@ object EvalQueries {
         .as("z_stat"))
   }
 
+  /** Cochran–Armitage trend test (#333): does the purchase SHARE
+    * trend monotonically across ordered day-part bands (night /
+    * morning / afternoon / evening)? The ordered-alternative upgrade
+    * of #178's omnibus independence test and #230's two-group z —
+    * against a monotone dose-response, CA concentrates all its power
+    * on the single trend degree of freedom (Cochran 1954, Armitage
+    * 1955). Scores w = band index 0..3; with per-event success s:
+    *
+    *   z = (Σws − X·Σw/N) / √( (X/N)(1−X/N)·(Σw² − (Σw)²/N) )
+    *
+    * Shape: ONE conditional aggregate over events (map-side
+    * combined, 5 sufficient statistics + 8 per-band counts — no
+    * per-user pass, no shuffle beyond the single global combine);
+    * z is one mirrored double closed form over exact integer sums;
+    * degenerate all-success/no-success and single-band inputs → NULL
+    * by exact decimal-lifted predicates.
+    */
+  val qCochranArmitage = GateQuery.sql(
+    "q_cochran_armitage",
+    s"""WITH e AS (SELECT ((xs // 3600) % 24) // 6 AS w,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+       |  FROM $E t),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS x,
+       |    CAST(sum(w * s) AS BIGINT) AS sws, CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(w * w) AS BIGINT) AS sw2,
+       |    CAST(count(*) FILTER (w = 0) AS BIGINT) AS n0,
+       |    CAST(count(*) FILTER (w = 1) AS BIGINT) AS n1,
+       |    CAST(count(*) FILTER (w = 2) AS BIGINT) AS n2,
+       |    CAST(count(*) FILTER (w = 3) AS BIGINT) AS n3,
+       |    CAST(sum(s) FILTER (w = 0) AS BIGINT) AS x0,
+       |    CAST(sum(s) FILTER (w = 1) AS BIGINT) AS x1,
+       |    CAST(sum(s) FILTER (w = 2) AS BIGINT) AS x2,
+       |    CAST(sum(s) FILTER (w = 3) AS BIGINT) AS x3
+       |  FROM e)
+       |SELECT n0, x0, n1, x1, n2, x2, n3, x3, n AS n_total, x AS x_total,
+       |  CASE WHEN x * (n - x) = 0
+       |      OR CAST(n AS HUGEINT) * sw2 = CAST(sw AS HUGEINT) * sw THEN NULL
+       |    ELSE round((sws - CAST(x AS DOUBLE) * sw / n)
+       |      / sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+       |        * (sw2 - CAST(sw AS DOUBLE) * sw / n)), 4) + 0.0
+       |  END AS z_trend
+       |FROM a""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(
+      Binning.floorDiv(pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)), 6L).as("w"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("s"))
+    val a = e.agg(
+      count(lit(1)).cast("long").as("n"), sum(col("s")).cast("long").as("x"),
+      sum(col("w") * col("s")).cast("long").as("sws"),
+      sum(col("w")).cast("long").as("sw"),
+      sum(col("w") * col("w")).cast("long").as("sw2"),
+      count(when(col("w") === 0, 1)).cast("long").as("n0"),
+      count(when(col("w") === 1, 1)).cast("long").as("n1"),
+      count(when(col("w") === 2, 1)).cast("long").as("n2"),
+      count(when(col("w") === 3, 1)).cast("long").as("n3"),
+      sum(when(col("w") === 0, col("s"))).cast("long").as("x0"),
+      sum(when(col("w") === 1, col("s"))).cast("long").as("x1"),
+      sum(when(col("w") === 2, col("s"))).cast("long").as("x2"),
+      sum(when(col("w") === 3, col("s"))).cast("long").as("x3"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    a.select(col("n0"), col("x0"), col("n1"), col("x1"), col("n2"), col("x2"),
+      col("n3"), col("x3"), col("n").as("n_total"), col("x").as("x_total"),
+      when(col("x") * (col("n") - col("x")) === 0 ||
+          dec(col("n")) * dec(col("sw2")) === dec(col("sw")) * dec(col("sw")),
+          lit(null).cast("double"))
+        .otherwise(round((col("sws") - col("x").cast("double") * col("sw") / col("n")) /
+          sqrt((col("x").cast("double") / col("n")) *
+            (lit(1.0) - col("x").cast("double") / col("n")) *
+            (col("sw2") - col("sw").cast("double") * col("sw") / col("n"))), 4) + lit(0.0))
+        .as("z_trend"))
+  }
+
   /** Higher-moment profile (#242): per event type, mean / sd /
     * skewness / excess kurtosis from the four raw power sums — the
     * distribution-shape audit that decides whether #179/#211's
@@ -746,5 +817,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qCuped, qRatioDelta)
+    qMoments, qKruskalWallis, qCuped, qRatioDelta, qCochranArmitage)
 }

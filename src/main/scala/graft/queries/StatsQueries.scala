@@ -1128,6 +1128,168 @@ object StatsQueries {
       .orderedSmall(col("type_a"), col("type_b"))
   }
 
+  /** Kulldorff temporal scan statistic (#335): WHERE is the purchase
+    * burst — the maximum-likelihood anomalous time window under the
+    * Poisson scan model (Kulldorff 1997, the epidemic-surveillance
+    * standard; the localization upgrade of #224's single changepoint
+    * and #286's threshold bursts: it returns the window itself with a
+    * likelihood score, not just a boundary). Candidate windows span
+    * ≤ 24 h and, by the classic dominance argument, need only
+    * start/end at NONEMPTY hours — an empty-edge window has the same
+    * count at larger expectation, so it can never beat its trimmed
+    * core. LLR = c·ln(c/e) + (C−c)·ln((C−c)/(C−e)) for c > e.
+    *
+    * Shape: the sparse hourly grid fans out ×24 via explode +
+    * EQUI-join (never a nested-loop range join), per-start cumsums
+    * ride ≤24-row window partitions, corpus totals a 1-row broadcast,
+    * and the argmax is the exact min-struct-FILTER idiom on the
+    * floored micro LLR. Calendar-bounded everywhere — hours², never
+    * event count.
+    */
+  val qScanStat = GateQuery.sql(
+    "q_scan_stat",
+    s"""WITH g AS (SELECT xs // 3600 AS h, CAST(count(*) AS BIGINT) AS c
+       |  FROM $E e WHERE event_type = 'purchase' GROUP BY 1),
+       |st AS (SELECT CAST(sum(c) AS BIGINT) AS ct,
+       |    CAST(max(h) - min(h) + 1 AS BIGINT) AS th FROM g),
+       |p AS (SELECT g.h AS s, g.h + t.off AS hh
+       |  FROM g, (SELECT unnest(generate_series(0, 23)) AS off) t),
+       |j AS (SELECT p.s AS s, b.h AS e2, b.c AS cb FROM p JOIN g b ON b.h = p.hh),
+       |w AS (SELECT s, e2,
+       |    CAST(sum(cb) OVER (PARTITION BY s ORDER BY e2) AS BIGINT) AS cw
+       |  FROM j),
+       |l AS (SELECT s, e2, cw, e2 - s + 1 AS len,
+       |    CAST(floor((cw * ln(cw / (CAST(ct AS DOUBLE) * (e2 - s + 1) / th))
+       |      + CASE WHEN cw = ct THEN 0.0 ELSE (ct - cw)
+       |          * ln((ct - cw) / (ct - CAST(ct AS DOUBLE) * (e2 - s + 1) / th)) END)
+       |      * 1000000) AS BIGINT) AS llr_micro
+       |  FROM w, st WHERE cw > CAST(ct AS DOUBLE) * (e2 - s + 1) / th),
+       |mx AS (SELECT max(llr_micro) AS m FROM l)
+       |SELECT CAST(b[1] AS BIGINT) AS start_h, CAST(b[2] AS BIGINT) AS end_h,
+       |  CAST(b[4] AS BIGINT) AS len_hours, CAST(b[3] AS BIGINT) AS c_window,
+       |  ct AS c_total, th AS t_hours, m AS llr_micro
+       |FROM (SELECT min((s, e2, cw, len)) FILTER (llr_micro = m) AS b, max(m) AS m
+       |  FROM l, mx) q, st""".stripMargin) { (s, d) =>
+    val g = ev(s, d).filter(col("event_type") === "purchase")
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("h"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val st = g.agg(sum(col("c")).cast("long").as("ct"),
+      (max(col("h")) - min(col("h")) + 1).cast("long").as("th"))
+    val p = g.select(col("h").as("s"))
+      .select(col("s"), explode(sequence(lit(0L), lit(23L))).as("off"))
+      .select(col("s"), (col("s") + col("off")).as("h"))
+    val j = p.join(g, "h").select(col("s"), col("h").as("e2"), col("c").as("cb"))
+    val w = j.withColumn("cw",
+      sum(col("cb")).over(Window.partitionBy(col("s")).orderBy(col("e2"))).cast("long"))
+    val ee = col("ct").cast("double") * (col("e2") - col("s") + 1) / col("th")
+    val l = Curation.withStats(w, st)
+      .filter(col("cw") > ee)
+      .select(col("s"), col("e2"), col("cw"), (col("e2") - col("s") + 1).as("len"),
+        floor((col("cw") * log(col("cw") / ee) +
+          when(col("cw") === col("ct"), lit(0.0))
+            .otherwise((col("ct") - col("cw")) *
+              log((col("ct") - col("cw")) / (col("ct") - ee)))) * lit(1000000L))
+          .cast("long").as("llr_micro"))
+    val mx = l.agg(max(col("llr_micro")).as("m"))
+    val best = Curation.withStats(l, mx)
+      .agg(min(when(col("llr_micro") === col("m"),
+        struct(col("s"), col("e2"), col("cw"), col("len")))).as("b"),
+        max(col("m")).as("m"))
+    Curation.withStats(best, st)
+      .select(col("b.s").as("start_h"), col("b.e2").as("end_h"),
+        col("b.len").cast("long").as("len_hours"),
+        col("b.cw").cast("long").as("c_window"),
+        col("ct").as("c_total"), col("th").as("t_hours"),
+        col("m").as("llr_micro"))
+  }
+
+  /** Partial correlation (#334): does the click↔purchase association
+    * survive CONTROLLING for overall browsing volume (views)? The
+    * confounder-adjusted companion to #193's raw correlation matrix —
+    * users who view more do more of everything, so raw r_xy overstates
+    * the direct click→purchase link; the first-order partial
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+    *
+    * is the regression-residual correlation without materializing
+    * residuals (Yule 1907). Shape: users collapse to one (x,y,z)
+    * count row (one shuffle), then ONE global aggregate of the ten
+    * sufficient statistics as exact decimal-lifted integers; all
+    * three pairwise r's and the partial are mirrored double closed
+    * forms; any degenerate marginal variance or |r·z| = 1 collider
+    * → NULL by exact/mirrored predicates.
+    */
+  val qPartialCorr = GateQuery.sql(
+    "q_partial_corr", {
+      def da(s: String, q: String) =
+        s"CAST(n * $q - CAST($s AS HUGEINT) * $s AS DOUBLE)"
+      def num(x: String, sa: String, sb: String) =
+        s"CAST(n * $x - CAST($sa AS HUGEINT) * $sb AS DOUBLE)"
+      s"""WITH u AS (SELECT user_id,
+         |    count(*) FILTER (event_type = 'click') AS cx,
+         |    count(*) FILTER (event_type = 'purchase') AS cy,
+         |    count(*) FILTER (event_type = 'view') AS cz
+         |  FROM $E e GROUP BY user_id),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cx) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy,
+         |    CAST(sum(cz) AS BIGINT) AS sz,
+         |    CAST(sum(cx * cx) AS HUGEINT) AS qx,
+         |    CAST(sum(cy * cy) AS HUGEINT) AS qy,
+         |    CAST(sum(cz * cz) AS HUGEINT) AS qz,
+         |    CAST(sum(cx * cy) AS HUGEINT) AS xxy,
+         |    CAST(sum(cx * cz) AS HUGEINT) AS xxz,
+         |    CAST(sum(cy * cz) AS HUGEINT) AS xyz
+         |  FROM u),
+         |r AS (SELECT n,
+         |    CASE WHEN ${da("sx", "qx")} = 0 OR ${da("sy", "qy")} = 0 THEN NULL
+         |      ELSE ${num("xxy", "sx", "sy")} / sqrt(${da("sx", "qx")} * ${da("sy", "qy")}) END AS rxy,
+         |    CASE WHEN ${da("sx", "qx")} = 0 OR ${da("sz", "qz")} = 0 THEN NULL
+         |      ELSE ${num("xxz", "sx", "sz")} / sqrt(${da("sx", "qx")} * ${da("sz", "qz")}) END AS rxz,
+         |    CASE WHEN ${da("sy", "qy")} = 0 OR ${da("sz", "qz")} = 0 THEN NULL
+         |      ELSE ${num("xyz", "sy", "sz")} / sqrt(${da("sy", "qy")} * ${da("sz", "qz")}) END AS ryz
+         |  FROM a)
+         |SELECT n AS n_users, round(rxy, 6) + 0.0 AS r_xy,
+         |  round(rxz, 6) + 0.0 AS r_xz, round(ryz, 6) + 0.0 AS r_yz,
+         |  CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) <= 0.0 THEN NULL
+         |    ELSE round((rxy - rxz * ryz)
+         |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0.0
+         |  END AS r_partial
+         |FROM r""".stripMargin
+    }) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      count(when(col("event_type") === "click", 1)).as("cx"),
+      count(when(col("event_type") === "purchase", 1)).as("cy"),
+      count(when(col("event_type") === "view", 1)).as("cz"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val a = u.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("cx"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("cy"))).cast("decimal(38,0)").as("sy"),
+      sum(dec(col("cz"))).cast("decimal(38,0)").as("sz"),
+      sum(dec(col("cx") * col("cx"))).cast("decimal(38,0)").as("qx"),
+      sum(dec(col("cy") * col("cy"))).cast("decimal(38,0)").as("qy"),
+      sum(dec(col("cz") * col("cz"))).cast("decimal(38,0)").as("qz"),
+      sum(dec(col("cx") * col("cy"))).cast("decimal(38,0)").as("xxy"),
+      sum(dec(col("cx") * col("cz"))).cast("decimal(38,0)").as("xxz"),
+      sum(dec(col("cy") * col("cz"))).cast("decimal(38,0)").as("xyz"))
+    def d2(c: Column) = c.cast("double")
+    def varD(sc: Column, qc: Column) = d2(col("n") * qc - sc * sc)
+    def r(xc: Column, sa: Column, sb: Column, qa: Column, qb: Column) =
+      when(varD(sa, qa) === 0.0 || varD(sb, qb) === 0.0, lit(null).cast("double"))
+        .otherwise(d2(col("n") * xc - sa * sb) / sqrt(varD(sa, qa) * varD(sb, qb)))
+    val rxy = r(col("xxy"), col("sx"), col("sy"), col("qx"), col("qy"))
+    val rxz = r(col("xxz"), col("sx"), col("sz"), col("qx"), col("qz"))
+    val ryz = r(col("xyz"), col("sy"), col("sz"), col("qy"), col("qz"))
+    a.select(col("n").cast("long").as("n_users"),
+      (round(rxy, 6) + lit(0.0)).as("r_xy"),
+      (round(rxz, 6) + lit(0.0)).as("r_xz"),
+      (round(ryz, 6) + lit(0.0)).as("r_yz"),
+      when((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz) <= 0.0,
+          lit(null).cast("double"))
+        .otherwise(round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6) + lit(0.0))
+        .as("r_partial"))
+  }
+
   /** Distributed PCA explained variance (#194, rows+test): one
     * `mapPartitions` pass folds the corpus into partition-local
     * (n, Σx, Σx·xᵀ) accumulators on the 1e-6-quantized integer
@@ -2606,7 +2768,7 @@ object StatsQueries {
   val all: Seq[GateQuery] = Seq(
     qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qKendall, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
+    qCorrMatrix, qKendall, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,

@@ -338,6 +338,28 @@ object StreamingOps {
         graft.operators.QualityClassifier.scoreExpr(col(textCol), w, buckets))
       .filter(col("score_micro") >= thresholdMicro)
 
+  /** Streaming Moore–Lewis data-selection filter (#336) — the live
+    * counterpart of the batch `q_moore_lewis` gate (#316): each
+    * arriving document is scored with the cross-entropy difference
+    * Σ(ln P_in − ln P_gen) against two batch-trained topV-capped
+    * unigram models inlined as map LITERALS
+    * ([[graft.operators.Curation.mlScoreExpr]]), and kept when the
+    * score clears `minScoreMicro`. Stateless by construction — no
+    * state store, no watermark, no shuffle; the model rides the plan
+    * exactly like the streaming quality filter (#97), so
+    * batch==stream scores are identical bit-for-bit (pinned in
+    * StreamingSpec). Retrain-and-restart is the model-update path,
+    * same as every literal-model streaming op here.
+    */
+  def mooreLewisStream(docs: DataFrame, textCol: String,
+                       inModel: Map[String, Long], oovIn: Long,
+                       genModel: Map[String, Long], oovGen: Long,
+                       minScoreMicro: Long): DataFrame =
+    docs
+      .withColumn("ml_micro", graft.operators.Curation.mlScoreExpr(
+        col(textCol), inModel, oovIn, genModel, oovGen))
+      .filter(col("ml_micro") > minScoreMicro)
+
   final case class HhTerm(grp: Int, term: String, ts: Timestamp)
   final case class HhState(counters: Map[String, Long], n: Long)
   final case class HhCandidate(grp: Int, term: String, lower_bound: Long, n_group: Long)

@@ -206,6 +206,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming moore-lewis filter: literal-model scores match batch bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Curation
+    // batch-train the two unigram models on tiny corpora
+    val inDomain = Seq("physics beam detector scan", "beam scan physics")
+      .toDF("text").select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val general = Seq("the cat sat on the mat", "physics of the mat", "cat cat mat")
+      .toDF("text").select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val (lpIn, oovInDf) = Curation.unigramModel(inDomain, topV = Some(100))
+    val (lpGen, oovGenDf) = Curation.unigramModel(general, topV = Some(100))
+    val (mIn, oovIn) = Curation.collectModel(lpIn, oovInDf)
+    val (mGen, oovGen) = Curation.collectModel(lpGen, oovGenDf)
+    val docs = Seq(
+      (1L, "beam scan detector physics"), // in-domain -> selected
+      (2L, "the cat sat on the mat"),     // general -> rejected
+      (3L, "physics mat"))                // mixed
+      .toDF("doc_id", "text")
+    // batch reference: the same expression over a batch relation
+    val batch = docs.select(col("doc_id"), Curation.mlScoreExpr(
+        col("text"), mIn, oovIn, mGen, oovGen).as("ml_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch(1L) > 0 && batch(2L) < 0, s"fixture not separating: $batch")
+    val input = MemoryStream[(Long, String)]
+    val filtered = StreamingOps.mooreLewisStream(
+      input.toDF().toDF("doc_id", "text"), "text", mIn, oovIn, mGen, oovGen, 0L)
+    val q = filtered.writeStream.format("memory").queryName("mlsel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "beam scan detector physics"),
+        (2L, "the cat sat on the mat"), (3L, "physics mat"))
+      q.processAllAvailable()
+      val live = spark.table("mlsel").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ml_micro")).toMap
+      // stream==batch on every survivor, and only positive scores pass
+      assert(live.keySet == batch.filter(_._2 > 0L).keySet)
+      live.foreach { case (id, s) => assert(s == batch(id), s"doc $id: $s != ${batch(id)}") }
+    } finally q.stop()
+  }
+
   test("grid3dStream accumulates per-cell stats and finalizes on watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double, Double, Double, Double)]
