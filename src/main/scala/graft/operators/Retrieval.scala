@@ -203,6 +203,101 @@ object Retrieval {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001
+    * — the language-modeling retrieval family next to BM25's
+    * probabilistic one; the smoothing the LM-scoring gates #90/#94
+    * already use, turned into a ranker). The standard sum-over-all-
+    * query-terms score decomposes so only MATCHED terms need the
+    * posting join:
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C|/(μ·cf_t)) + |q|·ln(μ/(dl+μ))
+    *
+    * — the second term depends on the doc only through its length, so
+    * the candidate set stays "docs matching ≥1 term" (how every
+    * production QL engine bounds it). Same scale shape as
+    * [[bm25TopK]]: broadcast query-term semi-join BEFORE any
+    * aggregate, dl rides the exploded token, collection totals a
+    * 1-row cross, per-term scores micro-floored so sums are exact.
+    */
+  def qlTopK(docs: DataFrame, id: Column, text: Column,
+             queries: Seq[(Long, String)], topK: Int = 10,
+             mu: Double = 2000.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query workload")
+
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
+    val st = base.agg(sum(size(col("w"))).cast("long").as("ct"))
+
+    val qterms = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val qn = qterms.groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("nq"))
+    val tf = base
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cfRel = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cf"))
+
+    // association mirrored term-for-term by qlSql — do not refactor
+    val termS = floor(log(lit(1.0) +
+      col("tf").cast("double") * col("ct") / (lit(mu) * col("cf"))) * lit(1000000))
+      .cast("long")
+    val sc = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(cfRel), Seq("term"))
+      .crossJoin(broadcast(st))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sum(termS).cast("long").as("sm"), count(lit(1)).cast("long").as("n_terms"))
+    val agg = sc.join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("sm") + floor(col("nq") * log(lit(mu) / (col("dl") + lit(mu))) * lit(1000000))
+          .cast("long")).as("score_micro"),
+        col("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    agg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
+  /** DuckDB oracle mirror of [[qlTopK]]. */
+  def qlSql(queries: Seq[(Long, String)], topK: Int = 10,
+            mu: Double = 2000.0): String = {
+    val vals = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tfa AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dla AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfa GROUP BY 1),
+       |st AS (SELECT CAST(sum(tf) AS BIGINT) AS ct FROM tfa),
+       |q(query_id, term) AS (VALUES $vals),
+       |qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq FROM q GROUP BY 1),
+       |cfr AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfa
+       |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       |sc AS (SELECT q.query_id, tfa.doc_id, dla.dl,
+       |    CAST(sum(CAST(floor(ln(1.0 + CAST(tf AS DOUBLE) * ct / ($mu * cf))
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM tfa JOIN q USING (term) JOIN cfr USING (term)
+       |       JOIN dla USING (doc_id) CROSS JOIN st
+       |  GROUP BY 1, 2, 3),
+       |agg AS (SELECT query_id, doc_id,
+       |    sm + CAST(floor(nq * ln($mu / (dl + $mu)) * 1000000) AS BIGINT) AS score_micro,
+       |    n_terms
+       |  FROM sc JOIN qn USING (query_id))
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, score_micro, n_terms
+       |FROM agg
+       |QUALIFY rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     * 1998) — the diversity-aware top-k: after the best candidate,
     * each next pick maximizes

@@ -184,6 +184,90 @@ object TextQueries {
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
+  /** Lincoln–Petersen capture–recapture duplication estimate (#338):
+    * how many near-duplicate documents does the corpus REALLY hold —
+    * including the ones every detector misses? Treat two partially-
+    * independent detectors as ecology "captures" (Lincoln 1930,
+    * Chapman 1951 bias-corrected): capture A = docs in any
+    * SimHash hamming≤3 pair (banded 4×8-bit equi-join — bit-flip
+    * failure mode), capture B = docs in any ≥50% Jaccard shingle
+    * pair (the capped group-join stage — shingle-overlap failure
+    * mode). N̂ = (n₁+1)(n₂+1)/(m+1) − 1 sizes the residual dup
+    * population the union missed — the number that decides whether
+    * another dedup pass is worth its cost at 100 TB. All counts and
+    * the Chapman estimator are exact integers; the only pair stages
+    * are the two detectors' own banded/capped joins.
+    */
+  val qCaptureRecapture = GateQuery.sql(
+    "q_capture_recapture",
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '), tk -> ${baseHashSql("tk")}) AS hs
+       |  FROM documents),
+       |shh AS (SELECT doc_id, CAST(${TextOps.simHashSql("hs")} AS BIGINT) AS s FROM t),
+       |bb AS (SELECT doc_id, s, b, (s >> (8 * b)) & 255 AS k
+       |  FROM shh, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+       |cp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
+       |  FROM bb a JOIN bb b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
+       |hp AS (SELECT da, db FROM cp WHERE bit_count(xor(sa, sb)) <= 3),
+       |fa AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT da AS doc_id FROM hp UNION ALL SELECT db FROM hp)),
+       |sh AS (
+       |  SELECT doc_id, unnest(shl) AS h, len(shl) AS m
+       |  FROM (SELECT doc_id, list_distinct(
+       |          [hash(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w) - 1)]) AS shl
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tw) tl),
+       |jp AS (SELECT doc_a, doc_b FROM
+       |  (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb, count(*) AS inter
+       |   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2, 3, 4) p
+       |  WHERE inter * 100 >= (ma + mb - inter) * 50),
+       |fb AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)),
+       |j AS (SELECT
+       |    CAST(sum(CASE WHEN fa.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN fb.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN fa.doc_id IS NOT NULL AND fb.doc_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS m,
+       |    CAST(count(*) AS BIGINT) AS nu
+       |  FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id)
+       |SELECT n1 AS n_simhash, n2 AS n_jaccard, m AS n_both, nu AS n_union,
+       |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est,
+       |  greatest(0, (n1 + 1) * (n2 + 1) // (m + 1) - 1 - nu) AS undetected_est
+       |FROM j""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val shh = docs.select(col("doc_id"),
+      graft.expressions.TextExpressions.simHash32(col("text")).as("s"))
+    val bb = shh.select(col("doc_id"), col("s"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("s"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("b", "k")))
+    val cp = bb.as("a").join(bb.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+    val hp = cp.filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+    val fa = hp.select(col("da").as("doc_id"))
+      .union(hp.select(col("db").as("doc_id"))).distinct()
+    val jp = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 50)
+    val fb = jp.select(col("doc_a").as("doc_id"))
+      .union(jp.select(col("doc_b").as("doc_id"))).distinct()
+    val j = fa.as("fa").join(fb.as("fb"),
+        col("fa.doc_id") === col("fb.doc_id"), "full_outer")
+      .agg(
+        sum(when(col("fa.doc_id").isNotNull, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("fb.doc_id").isNotNull, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("fa.doc_id").isNotNull && col("fb.doc_id").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("m"),
+        count(lit(1)).cast("long").as("nu"))
+    val chapman =
+      Binning.floorDivCol((col("n1") + 1) * (col("n2") + 1), col("m") + 1) - 1
+    j.select(col("n1").as("n_simhash"), col("n2").as("n_jaccard"),
+      col("m").as("n_both"), col("nu").as("n_union"),
+      chapman.as("chapman_est"),
+      greatest(lit(0L), chapman - col("nu")).as("undetected_est"))
+  }
+
   /** Containment / overlap coefficient (#155): |A∩B|/min(|A|,|B|)
     * over the same capped candidate stage as [[qJaccardPairs]] — the
     * asymmetric signal that catches a short document embedded in a
@@ -685,6 +769,21 @@ object TextQueries {
   val qBm25 = GateQuery.sql("q_bm25",
     graft.operators.Retrieval.bm25Sql(Bm25Queries)) { (s, d) =>
     graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
+      .orderedSmall(col("query_id"), col("rank"))
+  }
+
+  /** Dirichlet query-likelihood retrieval (#337): the language-
+    * modeling ranker next to BM25 (#111) — same broadcast-workload
+    * shape, smoothing-based scoring
+    * ([[graft.operators.Retrieval.qlTopK]], Zhai & Lafferty 2001).
+    * Running both families over the same workload is the standard
+    * lexical-retrieval ablation; their RRF fusion (#172) is the
+    * production combiner.
+    */
+  val qQlRetrieval = GateQuery.sql("q_ql_retrieval",
+    graft.operators.Retrieval.qlSql(Bm25Queries)) { (s, d) =>
+    graft.operators.Retrieval.qlTopK(
         Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
       .orderedSmall(col("query_id"), col("rank"))
   }
@@ -1395,11 +1494,11 @@ object TextQueries {
     qKfold, qLearningCurve, qCountMin,
     qAuc, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
-    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration,
+    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination, qBm25, qHeavyHitters, qAudioFingerprint,
+    qImageNeardup, qBloomContamination, qBm25, qQlRetrieval, qHeavyHitters, qAudioFingerprint,
     qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival,
     qContainmentPairs, qW1Drift, qSourceOverlap, qRrfFusion)
 }

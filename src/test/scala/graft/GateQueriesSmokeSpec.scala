@@ -20,6 +20,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_moore_lewis_bi", // same two OOV-floor single-row scalars, bigram rung
       "q_mix_rebalance", "q_edf_dark_radial", "q_curation_pipeline",
       "q_bm25", // (n_docs, total_len) single-row stats
+      "q_ql_retrieval", // (ct) collection-total single-row stats (as q_bm25)
       "q_knn_pq", // exhaustive ADC scan (Jégou §IV); scale path = ivfPqTopK
       "q_ppl_buckets", // OOV scalar + (t1, t2) threshold single-row stats
       "q_zorder", // (min, max) grid-bounds single-row stats
