@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Binning, Exact, KMedoids, ScanCorrect, VectorOps}
@@ -1032,6 +1033,92 @@ object AnalysisQueries {
     * overflowing decimal(38,0)/HUGEINT only past ~3e6 vectors —
     * loudly, on both engines) rather than diff²·1e6 (~1e5 vectors).
     */
+  /** V-measure (#342): EXTERNAL cluster validation — when ground-truth
+    * classes exist, how homogeneous (each cluster one class) and
+    * complete (each class one cluster) is a clustering? (Rosenberg &
+    * Hirschberg 2007 — the entropy-based pair; the internal indices
+    * CH #300 / DB #303 / silhouette #305 score geometry, this scores
+    * AGREEMENT.) Clustering under test: the deterministic sign-bucket
+    * of embedding dims 1–2 (SQL-expressible on both engines — the
+    * same proxy-cluster discipline as #342's contingency needs no
+    * trained model in the oracle). Key exactness move: the N
+    * normalizer cancels in 1 − H(C|K)/H(C), so both entropies stay
+    * UNNORMALIZED micro-integer sums (per-cell/marginal terms
+    * floor(count·ln(count/denom)·1e6) — floor toward −∞ on both
+    * engines); h, c, V are mirrored double ratios of those exact
+    * longs. Shape: one (class, cluster) cell relation bounded by
+    * k_classes×4; windows and marginal aggregates over cells only.
+    */
+  val qVmeasure = GateQuery.sql(
+    "q_vmeasure",
+    """WITH e AS (SELECT label,
+      |    2 * (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS cl
+      |  FROM embeddings),
+      |cells AS (SELECT label, cl, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY 1, 2),
+      |m AS (SELECT label, cl, o,
+      |    CAST(sum(o) OVER (PARTITION BY label) AS BIGINT) AS nc,
+      |    CAST(sum(o) OVER (PARTITION BY cl) AS BIGINT) AS nk
+      |  FROM cells),
+      |s2 AS (SELECT
+      |    CAST(-sum(CAST(floor(o * ln(CAST(o AS DOUBLE) / nk) * 1000000) AS BIGINT)) AS BIGINT) AS hck,
+      |    CAST(-sum(CAST(floor(o * ln(CAST(o AS DOUBLE) / nc) * 1000000) AS BIGINT)) AS BIGINT) AS hkc
+      |  FROM m),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |cm0 AS (SELECT label, CAST(sum(o) AS BIGINT) AS v FROM cells GROUP BY 1),
+      |km0 AS (SELECT cl, CAST(sum(o) AS BIGINT) AS v FROM cells GROUP BY 1),
+      |hcx AS (SELECT CAST(-sum(CAST(floor(v * ln(CAST(v AS DOUBLE) / n) * 1000000) AS BIGINT)) AS BIGINT) AS hc,
+      |    CAST(count(*) AS BIGINT) AS ncl FROM cm0, tot),
+      |hkx AS (SELECT CAST(-sum(CAST(floor(v * ln(CAST(v AS DOUBLE) / n) * 1000000) AS BIGINT)) AS BIGINT) AS hk,
+      |    CAST(count(*) AS BIGINT) AS nkl FROM km0, tot),
+      |r AS (SELECT n, ncl, nkl, hck, hkc, hc, hk,
+      |    CASE WHEN hc = 0 THEN 1.0 ELSE 1.0 - CAST(hck AS DOUBLE) / hc END AS h,
+      |    CASE WHEN hk = 0 THEN 1.0 ELSE 1.0 - CAST(hkc AS DOUBLE) / hk END AS c
+      |  FROM s2, tot, hcx, hkx)
+      |SELECT n AS n_vecs, ncl AS n_classes, nkl AS n_clusters,
+      |  round(h, 6) + 0.0 AS homogeneity, round(c, 6) + 0.0 AS completeness,
+      |  CASE WHEN h + c = 0.0 THEN 0.0
+      |    ELSE round(2.0 * h * c / (h + c), 6) + 0.0 END AS v_measure
+      |FROM r""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("label"),
+      (lit(2) * when(col("embedding")(0) > 0f, 1).otherwise(0) +
+        when(col("embedding")(1) > 0f, 1).otherwise(0)).as("cl"))
+    val cells = e.groupBy(col("label"), col("cl"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val m = cells
+      .withColumn("nc", sum(col("o")).over(Window.partitionBy(col("label"))).cast("long"))
+      .withColumn("nk", sum(col("o")).over(Window.partitionBy(col("cl"))).cast("long"))
+    def entTerm(cnt: Column, den: Column) =
+      floor(cnt * log(cnt.cast("double") / den) * lit(1000000L)).cast("long")
+    val s2 = m.agg((-sum(entTerm(col("o"), col("nk")))).cast("long").as("hck"),
+      (-sum(entTerm(col("o"), col("nc")))).cast("long").as("hkc"))
+    val tot = cells.agg(sum(col("o")).cast("long").as("n"))
+    val cm0 = cells.groupBy(col("label")).agg(sum(col("o")).cast("long").as("v"))
+    val km0 = cells.groupBy(col("cl")).agg(sum(col("o")).cast("long").as("v"))
+    val hcx = graft.operators.Curation.withStats(cm0, tot)
+      .agg((-sum(entTerm(col("v"), col("n")))).cast("long").as("hc"),
+        count(lit(1)).cast("long").as("ncl"))
+    val hkx = graft.operators.Curation.withStats(km0, tot)
+      .agg((-sum(entTerm(col("v"), col("n")))).cast("long").as("hk"),
+        count(lit(1)).cast("long").as("nkl"))
+    val h = when(col("hc") === 0, lit(1.0))
+      .otherwise(lit(1.0) - col("hck").cast("double") / col("hc"))
+    val cc = when(col("hk") === 0, lit(1.0))
+      .otherwise(lit(1.0) - col("hkc").cast("double") / col("hk"))
+    val r = graft.operators.Curation.withStats(
+        graft.operators.Curation.withStats(
+          graft.operators.Curation.withStats(s2, tot), hcx), hkx)
+      .select(col("n"), col("ncl"), col("nkl"), col("hck"), col("hkc"),
+        col("hc"), col("hk"), h.as("h"), cc.as("c"))
+    r.select(col("n").as("n_vecs"), col("ncl").as("n_classes"),
+      col("nkl").as("n_clusters"),
+      (round(col("h"), 6) + lit(0.0)).as("homogeneity"),
+      (round(col("c"), 6) + lit(0.0)).as("completeness"),
+      when(col("h") + col("c") === 0.0, lit(0.0))
+        .otherwise(round(lit(2.0) * col("h") * col("c") / (col("h") + col("c")), 6)
+          + lit(0.0)).as("v_measure"))
+  }
+
   val qCalinski = GateQuery.sql(
     "q_calinski",
     s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
@@ -1473,6 +1560,6 @@ object AnalysisQueries {
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized, qPlatt, qCalinski, qDaviesBouldin, qSilhouette,
+    qWinsorized, qPlatt, qCalinski, qVmeasure, qDaviesBouldin, qSilhouette,
     qSilhouetteSampled, qKmedoids, qDecayFeatures)
 }

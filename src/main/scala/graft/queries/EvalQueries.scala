@@ -299,6 +299,82 @@ object EvalQueries {
           col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
   }
 
+  /** Intraclass correlation ICC(1,1) (#339): how much of the
+    * event-value variance is BETWEEN users vs within them — the
+    * one-way random-effects reliability coefficient (Shrout & Fleiss
+    * 1979 case 1; Donner 1986 unequal-n k₀), the continuous-rating
+    * agreement measure next to Cohen's kappa (#210, nominal) and the
+    * design-effect input every user-clustered A/B variance
+    * calculation needs (#323's within-user clustering, quantified):
+    *
+    *   ICC = (MSB − MSW) / (MSB + (k₀−1)·MSW),
+    *   k₀ = (N − Σnᵢ²/N) / (G−1).
+    *
+    * Shape: the SAME sufficient statistics as #211's ANOVA with users
+    * as groups — per-user (n, Σc, Σc²) then ONE global aggregate;
+    * SSB/SSW as micro-scaled exact integers (per-user s²/n floors),
+    * MSB/MSW/k₀/ICC mirrored double closed forms; single-user or
+    * no-repeated-measures corpora → NULL by exact predicates.
+    */
+  val qIcc = GateQuery.sql(
+    "q_icc",
+    s"""WITH e AS (SELECT user_id AS g, ${centsSql("vd")} AS c FROM $E t),
+       |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+       |    CAST(sum(c) AS BIGINT) AS s_g,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_g
+       |  FROM e GROUP BY g),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS gg,
+       |    CAST(sum(n_g) AS BIGINT) AS n,
+       |    CAST(sum(CAST(n_g AS HUGEINT) * n_g) AS HUGEINT) AS n2,
+       |    CAST(sum(s_g) AS HUGEINT) AS s, CAST(sum(q_g) AS HUGEINT) AS q,
+       |    CAST(sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS HUGEINT) AS a_scaled
+       |  FROM a),
+       |f AS (SELECT gg, n,
+       |    greatest(a_scaled - (s * s * 1000000) // n, 0) AS ssb_micro,
+       |    q * 1000000 - a_scaled AS ssw_micro,
+       |    (n - CAST(n2 AS DOUBLE) / n) / (gg - 1) AS k0
+       |  FROM t WHERE gg > 1 AND n > gg)
+       |SELECT gg AS n_users, n AS n_obs,
+       |  CAST(ssb_micro // 1000000 AS BIGINT) AS ssb_cents2,
+       |  CAST(ssw_micro // 1000000 AS BIGINT) AS ssw_cents2,
+       |  round(k0, 6) + 0.0 AS k0,
+       |  CASE WHEN CAST(ssb_micro AS DOUBLE) / (gg - 1)
+       |      + (k0 - 1.0) * (CAST(ssw_micro AS DOUBLE) / (n - gg)) <= 0.0 THEN NULL
+       |    ELSE round((CAST(ssb_micro AS DOUBLE) / (gg - 1)
+       |        - CAST(ssw_micro AS DOUBLE) / (n - gg))
+       |      / (CAST(ssb_micro AS DOUBLE) / (gg - 1)
+       |        + (k0 - 1.0) * (CAST(ssw_micro AS DOUBLE) / (n - gg))), 6) + 0.0
+       |  END AS icc
+       |FROM f""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("user_id").as("g"), Exact.cents(col("vd")).as("c"))
+    val a = e.groupBy(col("g")).agg(
+      count(lit(1)).cast("long").as("n_g"), sum(col("c")).cast("long").as("s_g"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q_g"))
+    val t = a.agg(
+      count(lit(1)).cast("long").as("gg"), sum(col("n_g")).cast("long").as("n"),
+      sum(col("n_g").cast("decimal(38,0)") * col("n_g")).cast("decimal(38,0)").as("n2"),
+      sum(col("s_g")).cast("decimal(38,0)").as("s"),
+      sum(col("q_g")).cast("decimal(38,0)").as("q"),
+      sum(floorDivBig(col("s_g").cast("decimal(38,0)") * col("s_g") * lit(1000000L),
+        col("n_g"))).cast("decimal(38,0)").as("a_scaled"))
+    val f = t.filter(col("gg") > 1 && col("n") > col("gg"))
+      .select(col("gg"), col("n"),
+        greatest(col("a_scaled") -
+            floorDivBig(col("s") * col("s") * lit(1000000L), col("n")),
+          lit(0L).cast("decimal(38,0)")).as("ssb_micro"),
+        (col("q") * lit(1000000L) - col("a_scaled")).as("ssw_micro"),
+        ((col("n") - col("n2").cast("double") / col("n")) / (col("gg") - 1)).as("k0"))
+    val msb = col("ssb_micro").cast("double") / (col("gg") - 1)
+    val msw = col("ssw_micro").cast("double") / (col("n") - col("gg"))
+    f.select(col("gg").as("n_users"), col("n").as("n_obs"),
+      floorDivBig(col("ssb_micro"), lit(1000000L)).cast("long").as("ssb_cents2"),
+      floorDivBig(col("ssw_micro"), lit(1000000L)).cast("long").as("ssw_cents2"),
+      (round(col("k0"), 6) + lit(0.0)).as("k0"),
+      when(msb + (col("k0") - lit(1.0)) * msw <= 0.0, lit(null).cast("double"))
+        .otherwise(round((msb - msw) / (msb + (col("k0") - lit(1.0)) * msw), 6) + lit(0.0))
+        .as("icc"))
+  }
+
   /** Mann–Whitney U test (#212): the nonparametric two-sample test
     * behind #175's AUC (U and AUC are the same statistic) — per user
     * cohort, are 'click' values stochastically larger than 'view'
@@ -817,5 +893,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qCuped, qRatioDelta, qCochranArmitage)
+    qMoments, qKruskalWallis, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }

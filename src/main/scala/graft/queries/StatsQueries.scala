@@ -97,6 +97,57 @@ object StatsQueries {
         lit(1000000L)).cast("long").as("chi2_micro"))
   }
 
+  /** G-test of independence (#340): the likelihood-ratio companion
+    * of #178's Pearson χ² on the SAME cohort×type contingency —
+    * G = 2·Σ O·ln(O·N/(R·C)) (Sokal & Rohlf; additive across table
+    * partitions, which Pearson's χ² is not, and the statistic
+    * #302's keyness already uses in 2×2 form — this is the full-table
+    * version). Per-cell term micro-floored from the mirrored double
+    * ln of exact integer counts BEFORE the order-free 40-cell sum;
+    * O = 0 cells contribute 0 by convention (excluded exactly);
+    * negative total clamped at 0 (G ≥ 0 analytically, per-cell
+    * flooring can dip a hair under on a near-independent table).
+    */
+  val qGTest = GateQuery.sql(
+    "q_gtest",
+    s"""WITH o AS (SELECT user_id % 8 AS g, event_type AS t, count(*) AS o
+       |  FROM $E e GROUP BY 1, 2),
+       |m AS (SELECT g, t, o,
+       |    sum(o) OVER (PARTITION BY g) AS r,
+       |    sum(o) OVER (PARTITION BY t) AS c,
+       |    sum(o) OVER () AS n
+       |  FROM o),
+       |s AS (SELECT any_value(n) AS n, count(*) AS n_cells,
+       |    CAST(count(DISTINCT g) AS BIGINT) AS ng,
+       |    CAST(count(DISTINCT t) AS BIGINT) AS nt,
+       |    CAST(sum(CAST(floor(o * ln(CAST(o AS DOUBLE) * n
+       |      / (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT)) AS BIGINT) AS u
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_events, CAST(n_cells AS BIGINT) AS n_cells,
+       |  (ng - 1) * (nt - 1) AS dof,
+       |  greatest(2 * u, 0) AS g_micro
+       |FROM s""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val o = e.groupBy(pmod(col("user_id"), lit(8L)).as("g"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("o"))
+    val m = o
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("g"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("t"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val term = floor(col("o") * log(col("o").cast("double") * col("n") /
+      (col("r").cast("double") * col("c"))) * lit(1000000L)).cast("long")
+    val st = m.agg(
+      first(col("n")).as("n"), count(lit(1)).as("n_cells"),
+      countDistinct(col("g")).cast("long").as("ng"),
+      countDistinct(col("t")).cast("long").as("nt"),
+      sum(term).cast("long").as("u"))
+    st.select(
+      col("n").cast("long").as("n_events"),
+      col("n_cells").cast("long").as("n_cells"),
+      ((col("ng") - 1) * (col("nt") - 1)).as("dof"),
+      greatest(lit(2L) * col("u"), lit(0L)).as("g_micro"))
+  }
+
   /** Welch's t-test (#179): per user cohort, does the mean 'click'
     * value differ from the mean 'view' value? n/Σ/Σ² accumulate as
     * exact integers in ONE cohort-keyed conditional aggregate (the
@@ -2766,7 +2817,7 @@ object StatsQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qChisq, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
+    qChisq, qGTest, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Binning, Dedup, Exact, MultimodalOps, Packing, Relational, Sampling, TextOps}
@@ -117,6 +118,82 @@ object TextQueries {
           .otherwise("und").as("pred_lang"),
         (col("s_en") + col("s_de") + col("s_es") + col("s_fr")).as("n_markers"))
       .orderedSmall(col("doc_id"))
+  }
+
+  /** Krippendorff's alpha (#341): chance-corrected agreement between
+    * the corpus's lang labels and the marker-heuristic lang-id (#28)
+    * treated as two raters over every document — the
+    * coincidence-matrix generalization of Cohen's kappa (#210)
+    * (Krippendorff 2004; kappa corrects by each rater's OWN
+    * marginals, alpha by the POOLED marginals, so it extends to many
+    * raters/missing data and is the reliability standard in
+    * annotation pipelines). Nominal metric, 2 raters, complete data:
+    *
+    *   α = 1 − (n−1)·Σ_{v≠w} o(v,w) / (n² − Σ_v n_v²)
+    *
+    * with o the coincidence counts and n_v the pooled category
+    * totals — ALL exact integers here (no entropy, no doubles):
+    * alpha_ppm is one exact decimal-lifted floor division. Shape:
+    * one doc-keyed projection (the lang-id expression), one
+    * category-keyed count (bounded by the language domain), one
+    * global conditional aggregate.
+    */
+  val qKrippendorff = GateQuery.sql(
+    "q_krippendorff", {
+      val scores = Markers.map { case (lang, ms) =>
+        s"${markerCountSql("text", ms)} AS s_$lang"
+      }.mkString(",\n    ")
+      """WITH t AS (SELECT doc_id, lang,
+        |    SCORES
+        |  FROM documents),
+        |p AS (SELECT lang AS r1,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS r2
+        |  FROM t),
+        |cats AS (SELECT cat, CAST(count(*) AS BIGINT) AS nv FROM
+        |  (SELECT r1 AS cat FROM p UNION ALL SELECT r2 FROM p) u GROUP BY 1),
+        |s AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(sum(CAST(nv AS HUGEINT) * nv) AS HUGEINT) AS nv2,
+        |    CAST(count(*) AS BIGINT) AS k FROM cats),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN r1 <> r2 THEN 1 ELSE 0 END) AS BIGINT) AS ndis
+        |  FROM p)
+        |SELECT nd AS n_units, k AS n_categories, ndis AS n_disagree,
+        |  CASE WHEN CAST(n AS HUGEINT) * n = nv2 THEN NULL
+        |    ELSE CAST(1000000 - (CAST(n - 1 AS HUGEINT) * (2 * ndis) * 1000000)
+        |      // (CAST(n AS HUGEINT) * n - nv2) AS BIGINT)
+        |  END AS alpha_ppm
+        |FROM d, s""".stripMargin.replace("SCORES", scores)
+    }) { (s, d) =>
+    val t = Tables.documents(s, d).select(
+      col("doc_id") +: col("lang") +: Markers.map { case (lang, ms) =>
+        TextOps.markerCount(col("text"), ms).as(s"s_$lang")
+      }: _*)
+    val p = t.select(col("lang").as("r1"),
+      when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")) && col("s_en") > 0, "en")
+        .when(col("s_de") >= greatest(col("s_es"), col("s_fr")) && col("s_de") > 0, "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+        .when(col("s_fr") > 0, "fr")
+        .otherwise("und").as("r2"))
+    val cats = p.select(col("r1").as("cat")).union(p.select(col("r2").as("cat")))
+      .groupBy(col("cat")).agg(count(lit(1)).cast("long").as("nv"))
+    val st = cats.agg(sum(col("nv")).cast("long").as("n"),
+      sum(col("nv").cast("decimal(38,0)") * col("nv")).cast("decimal(38,0)").as("nv2"),
+      count(lit(1)).cast("long").as("k"))
+    val dd = p.agg(count(lit(1)).cast("long").as("nd"),
+      sum(when(col("r1") =!= col("r2"), 1L).otherwise(0L)).cast("long").as("ndis"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    graft.operators.Curation.withStats(dd, st)
+      .select(col("nd").as("n_units"), col("k").as("n_categories"),
+        col("ndis").as("n_disagree"),
+        when(dec(col("n")) * col("n") === col("nv2"), lit(null).cast("long"))
+          .otherwise(lit(1000000L) - graft.operators.Exact.floorDivBig(
+            dec(col("n") - 1) * (lit(2L) * col("ndis")) * lit(1000000L),
+            dec(col("n")) * col("n") - col("nv2")).cast("long"))
+          .as("alpha_ppm"))
   }
 
   /** #106 — fastText-grade language ID: multi-class linear classifier
@@ -1493,7 +1570,7 @@ object TextQueries {
   val all: Seq[GateQuery] = Seq(
     qKfold, qLearningCurve, qCountMin,
     qAuc, qReliability, qSpearman,
-    qDedupExact, qTokenCount, qTextQuality, qLangId, qFingerprint,
+    qDedupExact, qTokenCount, qTextQuality, qLangId, qKrippendorff, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,

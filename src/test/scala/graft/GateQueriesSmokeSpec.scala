@@ -72,7 +72,9 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_silhouette", // bounded ×k centroid-row fan-out (k-row broadcast)
     "q_silhouette_sampled", // all-pairs INSIDE the hard m-row sample only (m² bounded)
     "q_itemsets3", // (n_baskets) corpus-total single-row scalar (as q_assoc_rules)
-    "q_scan_stat") // (ct, th) corpus-totals + argmax single-row scalars
+    "q_scan_stat", // (ct, th) corpus-totals + argmax single-row scalars
+    "q_krippendorff", // pooled-marginals (n, nv2) single-row scalar
+    "q_vmeasure") // (n) + entropy-total single-row scalars
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
