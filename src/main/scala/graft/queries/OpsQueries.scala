@@ -544,6 +544,75 @@ object OpsQueries {
       .orderedSmall(col("decile"))
   }
 
+  /** Qini / uplift curve (#346): the treatment-effect counterpart of
+    * the gains table (#281) — rank users by a targeting score, then
+    * at each decile measure INCREMENTAL conversions over control:
+    * Q(k) = conv_T(k) − conv_C(k)·N_T(k)/N_C(k) (Radcliffe 2007; the
+    * standard uplift-model evaluation — a model that merely finds
+    * likely converters, not persuadables, flatlines here while its
+    * gains curve looks great). Treatment = assignment parity
+    * (user_id%2, the #230/#296 arm derivation), outcome = converted,
+    * score = view-activity proxy. Shape: users collapse ONCE (the
+    * only corpus-scale shuffle), ranking window + decile cumsums run
+    * over the user relation; Q is an exact milli floor division of
+    * cumulative integer counts per decile row.
+    */
+  val qQini = GateQuery.sql(
+    "q_qini",
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS score
+       |  FROM $E e GROUP BY user_id),
+       |r AS (SELECT user_id % 2 AS tr, conv, score,
+       |    row_number() OVER (ORDER BY score DESC, user_id) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM u),
+       |d AS (SELECT ((rk - 1) * 10) // n AS decile,
+       |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS n_t,
+       |    CAST(count(*) FILTER (tr = 0) AS BIGINT) AS n_c,
+       |    CAST(sum(conv) FILTER (tr = 1) AS BIGINT) AS x_t,
+       |    CAST(sum(conv) FILTER (tr = 0) AS BIGINT) AS x_c
+       |  FROM r GROUP BY 1),
+       |c AS (SELECT decile, n_t, n_c, x_t, x_c,
+       |    CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS cn_t,
+       |    CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cn_c,
+       |    CAST(sum(x_t) OVER (ORDER BY decile) AS BIGINT) AS cx_t,
+       |    CAST(sum(x_c) OVER (ORDER BY decile) AS BIGINT) AS cx_c
+       |  FROM d)
+       |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, x_t, x_c,
+       |  cn_t, cn_c, cx_t, cx_c,
+       |  CASE WHEN cn_c = 0 THEN NULL
+       |    ELSE cx_t * 1000 - (cx_c * cn_t * 1000) // cn_c
+       |  END AS qini_milli
+       |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+        count(when(col("event_type") === "view", 1)).cast("long").as("score"))
+    val r = u
+      .select(pmod(col("user_id"), lit(2L)).as("tr"), col("conv"), col("score"),
+        row_number().over(Window.orderBy(col("score").desc, col("user_id"))).as("rk"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val dd = r.groupBy(Binning.floorDivCol((col("rk") - 1) * 10, col("n")).as("decile"))
+      .agg(count(when(col("tr") === 1, 1)).cast("long").as("n_t"),
+        count(when(col("tr") === 0, 1)).cast("long").as("n_c"),
+        sum(when(col("tr") === 1, col("conv")).otherwise(0L)).cast("long").as("x_t"),
+        sum(when(col("tr") === 0, col("conv")).otherwise(0L)).cast("long").as("x_c"))
+    val wc = Window.orderBy(col("decile"))
+    val c = dd
+      .withColumn("cn_t", sum(col("n_t")).over(wc).cast("long"))
+      .withColumn("cn_c", sum(col("n_c")).over(wc).cast("long"))
+      .withColumn("cx_t", sum(col("x_t")).over(wc).cast("long"))
+      .withColumn("cx_c", sum(col("x_c")).over(wc).cast("long"))
+    c.select(col("decile").cast("long").as("decile"),
+        col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+        col("cn_t"), col("cn_c"), col("cx_t"), col("cx_c"),
+        when(col("cn_c") === 0, lit(null).cast("long"))
+          .otherwise(col("cx_t") * lit(1000L) -
+            Binning.floorDivCol(col("cx_c") * col("cn_t") * lit(1000L), col("cn_c")))
+          .as("qini_milli"))
+      .orderedSmall(col("decile"))
+  }
+
   /** Maximum drawdown (#284): per user cohort, the deepest
     * peak-to-trough fall of the cumulative event-value series — the
     * classic risk statistic (and, on monitoring counters, the
@@ -1003,7 +1072,7 @@ object OpsQueries {
   }
 
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
-    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains,
+    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains, qQini,
     qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey,
     qCohortLtv, qEss)
 }

@@ -519,6 +519,66 @@ object StatsQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Expected reciprocal rank (#345): the CASCADE-model ranking
+    * metric next to NDCG (#183) — ERR = Σᵣ (1/r)·Rᵣ·∏ᵢ<ᵣ(1−Rᵢ)
+    * models a user who STOPS at the first satisfying result
+    * (Chapelle et al. 2009), so a top-heavy list is rewarded where
+    * NDCG's independent-position discounts can't tell. Graded
+    * relevance on the TREC 4-point scale (R = (2^g−1)/8) makes the
+    * whole cascade EXACT 64-bit integers: stop-probability
+    * numerators ∏(8−(2^g−1)) ≤ 8⁹, per-rank terms one floor division
+    * by r·8^r — no doubles anywhere. Shape: the SAME per-cohort
+    * ranking window as #183, then the top-10 grades PIVOT to one row
+    * per cohort (10 conditional aggregates) and the rank-unrolled
+    * cascade is a pure projection.
+    */
+  val qErr = GateQuery.sql(
+    "q_err", {
+      def rnumS(i: Int) =
+        s"(CASE WHEN g$i = 1 THEN 1 WHEN g$i = 2 THEN 3 WHEN g$i = 3 THEN 7 ELSE 0 END)"
+      def numS(i: Int) =
+        s"(CASE WHEN g$i = 1 THEN 7 WHEN g$i = 2 THEN 5 WHEN g$i = 3 THEN 1 ELSE 8 END)"
+      val terms = (1 to 10).map { r =>
+        val p = if (r == 1) "1" else (1 until r).map(numS).mkString(" * ")
+        val den = r.toLong * math.pow(8, r).toLong
+        s"(CAST(${rnumS(r)} AS BIGINT) * $p * 1000000) // $den"
+      }.mkString("\n    + ")
+      val pivots = (1 to 10).map(i => s"max(CASE WHEN rk = $i THEN gr END) AS g$i")
+        .mkString(", ")
+      s"""WITH e AS (SELECT user_id % 8 AS g, event_id, ${centsSql("vd")} AS c,
+         |    least(${centsSql("vd")} // 12500, 3) AS gr
+         |  FROM $E t),
+         |r AS (SELECT g, gr,
+         |    row_number() OVER (PARTITION BY g ORDER BY c DESC, event_id) AS rk
+         |  FROM e),
+         |p AS (SELECT g, $pivots FROM r GROUP BY g)
+         |SELECT g, CAST($terms AS BIGINT) AS err_micro
+         |FROM p ORDER BY g""".stripMargin
+    }) { (s, d) =>
+    def rnumC(i: Int): Column =
+      when(col(s"g$i") === 1, 1L).when(col(s"g$i") === 2, 3L)
+        .when(col(s"g$i") === 3, 7L).otherwise(0L)
+    def numC(i: Int): Column =
+      when(col(s"g$i") === 1, 7L).when(col(s"g$i") === 2, 5L)
+        .when(col(s"g$i") === 3, 1L).otherwise(8L)
+    val e = ev(s, d).select(
+      pmod(col("user_id"), lit(8L)).as("g"), col("event_id"),
+      Exact.cents(col("vd")).as("c"),
+      least(Binning.floorDiv(Exact.cents(col("vd")), 12500L), lit(3L)).as("gr"))
+    val wr = Window.partitionBy(col("g")).orderBy(col("c").desc, col("event_id"))
+    val r = e.withColumn("rk", row_number().over(wr))
+    val p = r.groupBy(col("g")).agg(
+      max(when(col("rk") === 1, col("gr"))).as("g1"),
+      (2 to 10).map(i => max(when(col("rk") === i, col("gr"))).as(s"g$i")): _*)
+    val err = (1 to 10).map { rr =>
+      val prod = (1 until rr).foldLeft(lit(1L): Column)((acc, i) => acc * numC(i))
+      val den = rr.toLong * math.pow(8, rr).toLong // up to 10·8^10 ≈ 1.1e10
+      Binning.floorDivCol(rnumC(rr) * prod * lit(1000000L), lit(den))
+    }.reduce(_ + _)
+    p.select(col("g"), err.cast("long").as("err_micro"))
+      .orderedSmall(col("g"))
+  }
+
   private val PrIters = 5
   private val PrDampNum = 85L // d = 0.85 as an exact rational
   private val PrUnit = 1000000000000L // pico rank units
@@ -2436,6 +2496,146 @@ object StatsQueries {
       .orderedSmall(col("n_exp_conv"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio + CMH test (#343): the
+    * STRATIFIED upgrade of #296 — pooling conversion odds across
+    * user strata without letting a confounded stratum mix (Mantel &
+    * Haenszel 1959; the Simpson's-paradox-proof effect estimate
+    * every covariate-imbalanced A/B readout needs):
+    *
+    *   OR_MH = Σᵢ aᵢdᵢ/nᵢ / Σᵢ bᵢcᵢ/nᵢ,
+    *   χ²_CMH = (Σaᵢ − ΣE[aᵢ])² / ΣV(aᵢ).
+    *
+    * Per-stratum ratio terms, hypergeometric means and variances are
+    * micro/pico-floored from decimal-lifted exact integer products
+    * (the 4-factor V numerator overflows int64) BEFORE the k-bounded
+    * sums; OR_MH one exact integer ppm ratio; χ² one mirrored double.
+    * Shape: users collapse once, ONE conditional aggregate per
+    * stratum (k = 4 rows), one global sum.
+    */
+  val qMantelHaenszel = GateQuery.sql(
+    "q_mantel_haenszel",
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM $E e GROUP BY user_id),
+       |c AS (SELECT (user_id // 2) % 4 AS st,
+       |    CAST(count(*) FILTER (user_id % 2 = 1 AND conv = 1) AS BIGINT) AS a,
+       |    CAST(count(*) FILTER (user_id % 2 = 1 AND conv = 0) AS BIGINT) AS b,
+       |    CAST(count(*) FILTER (user_id % 2 = 0 AND conv = 1) AS BIGINT) AS c,
+       |    CAST(count(*) FILTER (user_id % 2 = 0 AND conv = 0) AS BIGINT) AS d
+       |  FROM u GROUP BY 1),
+       |t AS (SELECT st, a, b, c, d, a + b + c + d AS n FROM c WHERE a + b + c + d > 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(a) AS BIGINT) AS sa,
+       |    CAST(sum((CAST(a AS HUGEINT) * d * 1000000) // n) AS BIGINT) AS rnum,
+       |    CAST(sum((CAST(b AS HUGEINT) * c * 1000000) // n) AS BIGINT) AS rden,
+       |    CAST(sum((CAST(a + b AS HUGEINT) * (a + c) * 1000000) // n) AS BIGINT) AS se,
+       |    CAST(sum((CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) * 1000000000000)
+       |      // (CAST(n AS HUGEINT) * n * (n - 1))) AS BIGINT) AS sv
+       |  FROM t)
+       |SELECT k AS n_strata, sa AS a_total,
+       |  CASE WHEN rden = 0 THEN NULL
+       |    ELSE (rnum * 1000000) // rden END AS or_mh_ppm,
+       |  se AS e_total_micro, sv AS v_total_pico,
+       |  CASE WHEN sv = 0 THEN NULL
+       |    ELSE round((CAST(sa AS DOUBLE) * 1000000 - se)
+       |      * (CAST(sa AS DOUBLE) * 1000000 - se) / (1000000.0 * sv), 4) + 0.0
+       |  END AS chi2_cmh
+       |FROM s""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .select(col("user_id"), col("conv"),
+        pmod(expr("user_id div 2"), lit(4L)).as("st"),
+        pmod(col("user_id"), lit(2L)).as("ex"))
+    val c = u.groupBy(col("st")).agg(
+      count(when(col("ex") === 1 && col("conv") === 1, 1)).cast("long").as("a"),
+      count(when(col("ex") === 1 && col("conv") === 0, 1)).cast("long").as("b"),
+      count(when(col("ex") === 0 && col("conv") === 1, 1)).cast("long").as("c"),
+      count(when(col("ex") === 0 && col("conv") === 0, 1)).cast("long").as("d"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val t = c.withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val st = t.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("a")).cast("long").as("sa"),
+      sum(floorDivBig(dec(col("a")) * col("d") * lit(1000000L), col("n")))
+        .cast("long").as("rnum"),
+      sum(floorDivBig(dec(col("b")) * col("c") * lit(1000000L), col("n")))
+        .cast("long").as("rden"),
+      sum(floorDivBig(dec(col("a") + col("b")) * (col("a") + col("c")) * lit(1000000L),
+        col("n"))).cast("long").as("se"),
+      sum(floorDivBig(
+        dec(col("a") + col("b")) * (col("c") + col("d")) * (col("a") + col("c")) *
+          (col("b") + col("d")) * lit(1000000000000L),
+        dec(col("n")) * col("n") * (col("n") - 1))).cast("long").as("sv"))
+    st.select(col("k").as("n_strata"), col("sa").as("a_total"),
+      when(col("rden") === 0, lit(null).cast("long"))
+        .otherwise(floorDivBig(dec(col("rnum")) * lit(1000000L), col("rden"))
+          .cast("long")).as("or_mh_ppm"),
+      col("se").as("e_total_micro"), col("sv").as("v_total_pico"),
+      when(col("sv") === 0, lit(null).cast("double"))
+        .otherwise(round((col("sa").cast("double") * lit(1000000L) - col("se")) *
+          (col("sa").cast("double") * lit(1000000L) - col("se")) /
+          (lit(1000000.0) * col("sv")), 4) + lit(0.0)).as("chi2_cmh"))
+  }
+
+  /** Nelson–Aalen cumulative hazard (#344): the estimator-side
+    * companion of #187's Kaplan–Meier — Ĥ(t) = Σ dᵢ/nᵢ with the
+    * Poisson-type variance Σ dᵢ(nᵢ−dᵢ)/nᵢ³ (Nelson 1972, Aalen
+    * 1978); preferred over −ln Ŝ for small risk sets and the input
+    * to every hazard-ratio eyeball. SAME lifetime/censoring
+    * derivation and descending at-risk windows as #187; per-time
+    * increments are exact micro/pico floor divisions (no ln at
+    * all — more exact than KM's quantized logs), cumulated by the
+    * ascending window over the VALUE-COLLAPSED lifetime grid.
+    */
+  val qNelsonAalen = GateQuery.sql(
+    "q_nelson_aalen",
+    s"""WITH u AS (SELECT user_id,
+       |    (max(xs) - min(xs)) // 86400 AS lt,
+       |    CASE WHEN max(xs) >= (SELECT max(xs) FROM $E e2) - 7 * 86400
+       |      THEN 1 ELSE 0 END AS censored
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT lt, count(*) AS n_at,
+       |    CAST(sum(1 - censored) AS BIGINT) AS d,
+       |    CAST(sum(censored) AS BIGINT) AS cens
+       |  FROM u GROUP BY lt),
+       |r AS (SELECT *,
+       |    CAST(sum(n_at) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+       |  FROM t)
+       |SELECT lt AS t_days, n_risk, d AS n_deaths, cens AS n_censored,
+       |  CAST(sum((d * 1000000) // n_risk)
+       |    OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hazard_micro,
+       |  CAST(sum((CAST(d AS HUGEINT) * (n_risk - d) * 1000000000000)
+       |      // (CAST(n_risk AS HUGEINT) * n_risk * n_risk))
+       |    OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_var_pico
+       |FROM r ORDER BY t_days""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(7L * 86400L), 1L).otherwise(0L)
+          .as("censored"))
+    val t = u.groupBy(col("lt"))
+      .agg(count(lit(1)).as("n_at"),
+        Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d"),
+        Exact.sumUnits(col("censored")).cast("long").as("cens"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("lt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val r = t.withColumn("n_risk", sum(col("n_at")).over(wDesc).cast("long"))
+    r.select(col("lt").as("t_days"), col("n_risk"), col("d").as("n_deaths"),
+        col("cens").as("n_censored"),
+        sum(Binning.floorDivCol(col("d") * lit(1000000L), col("n_risk")))
+          .over(wAsc).cast("long").as("cum_hazard_micro"),
+        sum(floorDivBig(dec(col("d")) * (col("n_risk") - col("d")) * lit(1000000000000L),
+          dec(col("n_risk")) * col("n_risk") * col("n_risk")))
+          .over(wAsc).cast("long").as("cum_var_pico"))
+      .orderedSmall(col("t_days"))
+  }
+
   /** Empirical-Bayes rate shrinkage (#297): beta-binomial shrinkage
     * of per-user purchase rates (Robbins 1956 / the "small-n rate
     * ranking" classic) — a user with 1/1 purchases must NOT outrank
@@ -2817,11 +3017,11 @@ object StatsQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qChisq, qGTest, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qPagerank, qGini,
-    qBootstrapCi, qKaplanMeier, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
+    qChisq, qGTest, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
+    qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
+    qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman)
 }
