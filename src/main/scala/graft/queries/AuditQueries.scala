@@ -1205,6 +1205,67 @@ object AuditQueries {
           col("b") + col("c"))).as("chi2_micro"))
   }
 
+  /** Cochran's Q test (#349): did per-user purchase behavior differ
+    * across the FIRST THREE WEEKS — the k-condition generalization of
+    * McNemar (#259 is exactly its k=2 case; Cochran 1950), the
+    * within-subject companion of Friedman (#315) for BINARY outcomes:
+    *
+    *   Q = (k−1)·(k·ΣCⱼ² − S²) / (k·S − ΣRᵢ²)
+    *
+    * with Cⱼ the per-week converter totals, Rᵢ each user's row sum,
+    * S = ΣCⱼ. Users collapse to one (p1,p2,p3) row in a single
+    * conditional aggregate; Q is ONE exact decimal-lifted micro
+    * floor division (numerator ≥ 0 by Cauchy–Schwarz); all-concordant
+    * corpora (denominator 0) → NULL by exact predicate.
+    */
+  val qCochranQ = GateQuery.sql(
+    "q_cochran_q",
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND xs < $McnemarSplit
+       |      THEN 1 ELSE 0 END) AS p1,
+       |    max(CASE WHEN event_type = 'purchase' AND xs >= $McnemarSplit
+       |      AND xs < 2 * $McnemarSplit THEN 1 ELSE 0 END) AS p2,
+       |    max(CASE WHEN event_type = 'purchase' AND xs >= 2 * $McnemarSplit
+       |      AND xs < 3 * $McnemarSplit THEN 1 ELSE 0 END) AS p3
+       |  FROM $E e GROUP BY user_id),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(p1) AS BIGINT) AS c1, CAST(sum(p2) AS BIGINT) AS c2,
+       |    CAST(sum(p3) AS BIGINT) AS c3,
+       |    CAST(sum((p1 + p2 + p3) * (p1 + p2 + p3)) AS BIGINT) AS sr2
+       |  FROM u)
+       |SELECT n_users, c1, c2, c3,
+       |  CASE WHEN 3 * (c1 + c2 + c3) - sr2 > 0 THEN
+       |    CAST((2 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2
+       |        + CAST(c3 AS HUGEINT) * c3)
+       |      - CAST(c1 + c2 + c3 AS HUGEINT) * (c1 + c2 + c3)) * 1000000)
+       |      // (3 * (c1 + c2 + c3) - sr2) AS BIGINT)
+       |  END AS q_micro
+       |FROM a""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "purchase" && col("xs") < McnemarSplit, 1L)
+        .otherwise(0L)).as("p1"),
+      max(when(col("event_type") === "purchase" && col("xs") >= McnemarSplit &&
+        col("xs") < 2 * McnemarSplit, 1L).otherwise(0L)).as("p2"),
+      max(when(col("event_type") === "purchase" && col("xs") >= 2 * McnemarSplit &&
+        col("xs") < 3 * McnemarSplit, 1L).otherwise(0L)).as("p3"))
+    val a = u.agg(
+      count(lit(1)).cast("long").as("n_users"),
+      sum(col("p1")).cast("long").as("c1"), sum(col("p2")).cast("long").as("c2"),
+      sum(col("p3")).cast("long").as("c3"),
+      sum((col("p1") + col("p2") + col("p3")) * (col("p1") + col("p2") + col("p3")))
+        .cast("long").as("sr2"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val sTot = col("c1") + col("c2") + col("c3")
+    a.select(col("n_users"), col("c1"), col("c2"), col("c3"),
+      when(lit(3L) * sTot - col("sr2") > 0,
+        Exact.floorDivBig(
+          ((dec(col("c1")) * col("c1") + dec(col("c2")) * col("c2") +
+            dec(col("c3")) * col("c3")) * lit(3L) - dec(sTot) * sTot) *
+            lit(2L) * lit(1000000L),
+          lit(3L) * sTot - col("sr2")).cast("long"))
+        .as("q_micro"))
+  }
+
   /** Cramér's V (#260): the EFFECT-SIZE companion of the chi-squared
     * test (#178) — V = √(χ²/(N·min(r−1, c−1))), so a huge-N χ² that
     * is "significant but tiny" is visible. Reuses #178's exact
@@ -2004,7 +2065,7 @@ object AuditQueries {
   val all: Seq[GateQuery] = Seq(
     qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
-    qAssocRules, qMcnemar, qCramersV, qGrubbs, qHoltWinters, qKcore,
+    qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
     qShapiroWilk, qAdDrift, qBhFdr,

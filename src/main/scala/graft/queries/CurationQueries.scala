@@ -1456,11 +1456,90 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Burrows' Delta stylometry (#347): which sources "write alike"?
+    * The standard authorship/register distance (Burrows 2002) — each
+    * source profiled by its relative frequencies of the corpus's 50
+    * most frequent words, z-scored ACROSS sources per word, distance
+    * = mean |z₁−z₂|. In a data pipeline this is the provenance
+    * screen: two "different" crawls with near-zero Delta are the same
+    * upstream feed (dedup #22–#24 sees shared strings; Delta sees
+    * shared STYLE). Shape: (source, word) counts → top-50 vocab
+    * (driver-bounded like every topV cap) → the dense source×vocab
+    * grid is a BOUNDED 20×50 broadcast product; per-word ppm
+    * frequencies and z-score sufficient stats are exact integers; z
+    * mirrored doubles, each |z₁−z₂| micro-floored BEFORE the
+    * order-free per-pair sum; pair fan-out is sources², never data.
+    */
+  val qBurrowsDelta = GateQuery.sql(
+    "q_burrows_delta",
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+      |wc AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+      |topw AS (SELECT word FROM wc ORDER BY cw DESC, word LIMIT 50),
+      |grid AS (SELECT ns.source, ns.n_s, topw.word FROM ns, topw),
+      |f AS (SELECT g.source, g.word,
+      |    (coalesce(sw.c, 0) * 1000000) // g.n_s AS f_ppm
+      |  FROM grid g LEFT JOIN sw ON sw.source = g.source AND sw.word = g.word),
+      |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(f_ppm) AS BIGINT) AS sf,
+      |    CAST(sum(CAST(f_ppm AS HUGEINT) * f_ppm) AS HUGEINT) AS sf2
+      |  FROM f GROUP BY 1),
+      |z AS (SELECT f.source AS source, f.word AS word,
+      |    CAST(f.f_ppm * ws.k - ws.sf AS DOUBLE)
+      |      / sqrt(CAST(ws.k * ws.sf2 - CAST(ws.sf AS HUGEINT) * ws.sf AS DOUBLE)) AS z
+      |  FROM f JOIN ws ON f.word = ws.word
+      |  WHERE ws.k * ws.sf2 > CAST(ws.sf AS HUGEINT) * ws.sf),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(floor(abs(a.z - b.z) * 1000000) AS BIGINT) AS t
+      |  FROM z a JOIN z b ON a.word = b.word AND a.source < b.source),
+      |dd AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(t) AS BIGINT) AS sum_micro
+      |  FROM p GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_words, sum_micro // n_words AS delta_micro
+      |FROM dd ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("source"),
+      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+    val sw = toks.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n_s"))
+    val wc = sw.groupBy(col("word")).agg(sum(col("c")).cast("long").as("cw"))
+    val topw = wc.orderBy(col("cw").desc, col("word")).limit(50).select(col("word"))
+    val grid = ns.crossJoin(broadcast(topw))
+    val f = grid.join(sw, Seq("source", "word"), "left")
+      .select(col("source"), col("word"),
+        Binning.floorDivCol(coalesce(col("c"), lit(0L)) * lit(1000000L), col("n_s"))
+          .as("f_ppm"))
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val ws = f.groupBy(col("word")).agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("f_ppm")).cast("long").as("sf"),
+      sum(dec(col("f_ppm")) * col("f_ppm")).cast("decimal(38,0)").as("sf2"))
+    val z = f.join(broadcast(ws), "word")
+      .filter(dec(col("k")) * col("sf2") > dec(col("sf")) * col("sf"))
+      .select(col("source"), col("word"),
+        ((col("f_ppm") * col("k") - col("sf")).cast("double") /
+          sqrt((dec(col("k")) * col("sf2") - dec(col("sf")) * col("sf"))
+            .cast("double"))).as("z"))
+    val za = z.select(col("source").as("source_a"), col("word"), col("z").as("za"))
+    val zb = z.select(col("source").as("source_b"), col("word"), col("z").as("zb"))
+    val p = za.join(zb, Seq("word")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        floor(abs(col("za") - col("zb")) * lit(1000000L)).cast("long").as("t"))
+    p.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("t")).cast("long").as("sum_micro"))
+      .select(col("source_a"), col("source_b"), col("n_words"),
+        Binning.floorDivCol(col("sum_micro"), col("n_words")).as("delta_micro"))
+      .orderedSmall(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
-      qMooreLewis, qMooreLewisBigram, qChao1)
+      qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta)
 }

@@ -200,6 +200,73 @@ object StatsQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Cohen's d with Hedges' g correction (#350): the STANDARDIZED
+    * mean difference per cohort — the effect size #179's t-statistic
+    * deliberately is not (t grows with √n; d does not), the metric
+    * meta-analyses pool, reported next to Cliff's delta (#295, its
+    * ordinal cousin):
+    *
+    *   d = (m₁−m₂)/s_pooled,  g = d·(1 − 3/(4(n₁+n₂)−9)).
+    *
+    * SAME single conditional aggregate as #179 (exact integer
+    * n/Σ/Σ² per side, decimal-lifted squares); d, the pooled sd and
+    * Hedges' small-sample factor are mirrored double closed forms;
+    * degenerate sides (n ≤ 1) or zero pooled variance → NULL.
+    */
+  val qCohensD = GateQuery.sql(
+    "q_cohens_d",
+    s"""WITH a AS (SELECT user_id % 8 AS g,
+       |    count(*) FILTER (event_type = 'click') AS n1,
+       |    CAST(sum(${centsSql("vd")}) FILTER (event_type = 'click') AS BIGINT) AS s1,
+       |    CAST(sum(${centsSql("vd")} * ${centsSql("vd")})
+       |      FILTER (event_type = 'click') AS HUGEINT) AS q1,
+       |    count(*) FILTER (event_type = 'view') AS n2,
+       |    CAST(sum(${centsSql("vd")}) FILTER (event_type = 'view') AS BIGINT) AS s2,
+       |    CAST(sum(${centsSql("vd")} * ${centsSql("vd")})
+       |      FILTER (event_type = 'view') AS HUGEINT) AS q2
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1),
+       |f AS (SELECT g, n1, n2,
+       |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md,
+       |    ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+       |      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+       |      / (n1 + n2 - 2) AS sp2
+       |  FROM a WHERE n1 > 1 AND n2 > 1)
+       |SELECT g, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  round(md, 4) + 0.0 AS mean_diff_cents,
+       |  CASE WHEN sp2 <= 0.0 THEN NULL
+       |    ELSE round(md / sqrt(sp2), 6) + 0.0 END AS cohens_d,
+       |  CASE WHEN sp2 <= 0.0 THEN NULL
+       |    ELSE round(md / sqrt(sp2) * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0
+       |  END AS hedges_g
+       |FROM f ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"),
+        Exact.cents(col("vd")).as("c"))
+    def side(t: String, i: Int): Seq[Column] = Seq(
+      count(when(col("event_type") === t, 1)).as(s"n$i"),
+      Exact.sumUnits(when(col("event_type") === t, col("c"))).cast("long").as(s"s$i"),
+      sum(when(col("event_type") === t, col("c") * col("c")).cast("decimal(38,0)"))
+        .as(s"q$i"))
+    val a = e.groupBy(col("g")).agg(
+      side("click", 1).head, (side("click", 1).tail ++ side("view", 2)): _*)
+    val md = col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")
+    val sp2 = ((col("q1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) +
+      (col("q2").cast("double") - col("s2").cast("double") * col("s2") / col("n2"))) /
+      (col("n1") + col("n2") - 2)
+    val f = a.filter(col("n1") > 1 && col("n2") > 1)
+      .select(col("g"), col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        md.as("md"), sp2.as("sp2"))
+    f.select(col("g"), col("n1"), col("n2"),
+        (round(col("md"), 4) + lit(0.0)).as("mean_diff_cents"),
+        when(col("sp2") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(col("md") / sqrt(col("sp2")), 6) + lit(0.0)).as("cohens_d"),
+        when(col("sp2") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(col("md") / sqrt(col("sp2")) *
+            (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - lit(9.0))), 6) +
+            lit(0.0)).as("hedges_g"))
+      .orderedSmall(col("g"))
+  }
+
   /** Yuen's trimmed-mean t-test (#329): the ROBUST two-sample
     * comparison completing the family — Welch (#179) collapses under
     * heavy tails, Mann–Whitney (#212) answers a different hypothesis
@@ -3017,7 +3084,7 @@ object StatsQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qChisq, qGTest, qTtest, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
+    qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,

@@ -497,6 +497,29 @@ object StreamingOps {
       }
   }
 
+  /** Streaming vocabulary-novelty monitor (#348) — the live proxy of
+    * the batch Chao1/coverage gate (#331): per event-time window, how
+    * many NEVER-BEFORE-SEEN words arrived? A collapsing novel-token
+    * rate means the crawl is saturating its source (diminishing
+    * vocabulary returns); a spike means a new domain/language entered
+    * the feed. Exact, not sketched: the token stream dedups on the
+    * word itself via `dropDuplicatesWithinWatermark`, so each word's
+    * FIRST arrival survives and every repeat within the watermark
+    * horizon is dropped — state is one entry per distinct word inside
+    * the horizon (watermark-evicted, bounded by horizon vocabulary,
+    * not stream length), then a windowed count finalizes on the same
+    * watermark.
+    */
+  def novelTokenStream(docs: DataFrame, timeCol: String, textCol: String,
+                       windowDur: String, watermarkDelay: String): DataFrame =
+    docs.withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("word"))
+      .dropDuplicatesWithinWatermark("word")
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(count(lit(1)).as("n_novel"))
+      .select(col("window.start").as("win_start"), col("n_novel"))
+
   final case class PhPoint(key: Long, ts: Timestamp, x: Long)
   final case class PhState(n: Long, s: Long, mMicro: Long, minMicro: Long)
   final case class PhOut(key: Long, ts: Timestamp, x: Long,

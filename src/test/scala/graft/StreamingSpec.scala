@@ -206,6 +206,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("novel-token monitor: first arrivals counted once, repeats suppressed across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val novel = StreamingOps.novelTokenStream(
+      input.toDF().toDF("ts", "text"), "ts", "text", "1 minute", "10 seconds")
+    val q = novel.writeStream.format("memory").queryName("novelmon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1 (ts 1..30): 4 distinct words; "beam scan" repeats in
+      // a later batch of the SAME window and must not recount
+      input.addData((ts(1), "beam scan detector beam"))
+      q.processAllAvailable()
+      input.addData((ts(20), "beam scan motor"))
+      q.processAllAvailable()
+      // window 2: one genuinely new word + two already-seen ones;
+      // watermark-advance batch finalizes both windows
+      input.addData((ts(70), "beam scan shutter"))
+      q.processAllAvailable()
+      input.addData((ts(200), "flux"))
+      q.processAllAvailable()
+      val rows = spark.table("novelmon").collect()
+        .map(r => r.getAs[Timestamp]("win_start").getTime -> r.getAs[Long]("n_novel"))
+        .toMap
+      val w1 = (1200 + 0) * 1000L
+      val w2 = (1200 + 60) * 1000L
+      assert(rows.get(w1).contains(4L), s"window1: $rows") // beam scan detector motor
+      assert(rows.get(w2).contains(1L), s"window2: $rows") // shutter only
+    } finally q.stop()
+  }
+
   test("streaming moore-lewis filter: literal-model scores match batch bit-for-bit") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Curation
