@@ -1246,6 +1246,55 @@ object StatsQueries {
           .otherwise(lit(null).cast("double")).as("tau_b"))
   }
 
+  /** Goodman–Kruskal gamma (#351): the ties-EXCLUDED ordinal
+    * association on the SAME bounded hourly-grid pair stage as
+    * Kendall's tau-b (#330) — γ = (C−D)/(C+D) (Goodman & Kruskal
+    * 1954). Reported NEXT TO tau-b deliberately: on heavily tied
+    * data γ ≫ τ_b because γ ignores ties entirely — seeing both is
+    * the standard check that an "association" isn't a tie artifact.
+    * Entirely exact integers: concordant/discordant counts from ONE
+    * conditional aggregate, γ one signed HALF_UP ppm ratio.
+    */
+  val qGkGamma = GateQuery.sql(
+    "q_gk_gamma",
+    s"""WITH g AS (SELECT xs // 3600 AS grid, event_type,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+       |a AS (SELECT grid, coalesce(max(CASE WHEN event_type = 'click' THEN y END), 0) AS x,
+       |    coalesce(max(CASE WHEN event_type = 'view' THEN y END), 0) AS v
+       |  FROM g GROUP BY grid),
+       |p AS (SELECT
+       |    CASE WHEN (b.x - a.x) * (b.v - a.v) > 0 THEN 1 ELSE 0 END AS co,
+       |    CASE WHEN (b.x - a.x) * (b.v - a.v) < 0 THEN 1 ELSE 0 END AS di
+       |  FROM a a JOIN a b ON a.grid < b.grid),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(co) AS BIGINT) AS c, CAST(sum(di) AS BIGINT) AS d
+       |  FROM p)
+       |SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+       |  CASE WHEN c + d = 0 THEN NULL
+       |    ELSE ${Exact.roundedRatioSignedSql("(c - d) * 1000000", "c + d", 0)}
+       |  END AS gamma_ppm
+       |FROM s""".stripMargin) { (s, d) =>
+    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.groupBy(col("grid"))
+      .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
+        coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
+    val a1 = a.select(col("grid").as("g1"), col("x").as("x1"), col("v").as("v1"))
+    val a2 = a.select(col("grid").as("g2"), col("x").as("x2"), col("v").as("v2"))
+    val prod = (col("x2") - col("x1")) * (col("v2") - col("v1"))
+    val p = a1.join(broadcast(a2), col("g1") < col("g2"))
+    val st = p.agg(count(lit(1)).cast("long").as("n0"),
+      Exact.sumUnits(when(prod > 0, 1L).otherwise(0L)).cast("long").as("c"),
+      Exact.sumUnits(when(prod < 0, 1L).otherwise(0L)).cast("long").as("d"))
+    st.select(col("n0").as("n_pairs"), col("c").as("concordant"),
+      col("d").as("discordant"),
+      when(col("c") + col("d") === 0, lit(null).cast("double"))
+        .otherwise(Exact.roundedRatioSigned((col("c") - col("d")) * lit(1000000L),
+          col("c") + col("d"), 0)).as("gamma_ppm"))
+  }
+
   /** Pearson correlation matrix (#193): pairwise correlation of
     * per-user activity counts across event types — the behavioral
     * covariance audit ("do users who click also buy?"). Users
@@ -2064,6 +2113,65 @@ object StatsQueries {
             (col("k") - 1) * (col("srj2") - bd * col("b") * kk1) * lit(1000000L),
             col("a2") - bd * kk1).cast("long"))
           .otherwise(lit(null).cast("long")).as("chi2_micro"))
+  }
+
+  /** Page's L trend test (#354): the ORDERED-alternative Friedman
+    * (#315) — do per-user spends trend monotonically across the four
+    * day-part bands? (Page 1963; the within-block counterpart of
+    * Cochran–Armitage #333, which orders proportions — L orders
+    * ranked magnitudes, so between-user scale cancels.) L = Σⱼ j·Rⱼ
+    * over band rank sums; blocks = users with spend in ALL four
+    * bands (exact HAVING predicate), ranks are the #315 doubled
+    * midranks from the BOUNDED k×k within-block self-join (ties →
+    * midranks in L; the z uses the classic permutation variance
+    * b·k²(k+1)²(k−1)/144, quoted in doubled units). L and E[L] stay
+    * exact integers; z is the single mirrored double.
+    */
+  val qPageTrend = GateQuery.sql(
+    "q_page_trend",
+    s"""WITH u AS (SELECT user_id, ((xs // 3600) % 24) // 6 AS band,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t GROUP BY 1, 2),
+       |cb AS (SELECT user_id FROM u GROUP BY user_id HAVING count(*) = 4),
+       |ub AS (SELECT u.user_id, u.band, u.y FROM u JOIN cb USING (user_id)),
+       |r AS (SELECT a.user_id, a.band,
+       |    CAST(sum(CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+       |      AS BIGINT) AS r2
+       |  FROM ub a JOIN ub b ON a.user_id = b.user_id
+       |  GROUP BY a.user_id, a.band, a.y),
+       |tj AS (SELECT band, CAST(sum(r2) AS BIGINT) AS rj,
+       |    CAST(count(*) AS BIGINT) AS b
+       |  FROM r GROUP BY 1),
+       |a AS (SELECT any_value(b) AS b,
+       |    CAST(sum((band + 1) * rj) AS BIGINT) AS l2
+       |  FROM tj)
+       |SELECT b AS n_blocks, l2 AS l_doubled, 50 * b AS e_doubled,
+       |  CASE WHEN b > 0 THEN
+       |    round((l2 - 50.0 * b) / sqrt(CAST(b AS DOUBLE) * 1200.0 / 36.0), 4) + 0.0
+       |  END AS z_trend
+       |FROM a""".stripMargin) { (s, d) =>
+    val u = ev(s, d)
+      .groupBy(col("user_id"),
+        Binning.floorDiv(pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)), 6L).as("band"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val cb = u.groupBy(col("user_id")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") === 4).select(col("user_id"))
+    val ub = u.join(cb, Seq("user_id"), "left_semi")
+    val bSide = ub.select(col("user_id"), col("y").as("yb"))
+    val r = ub.join(bSide, Seq("user_id"))
+      .groupBy(col("user_id"), col("band"), col("y"))
+      .agg((sum(when(col("yb") < col("y"), 2L).when(col("yb") === col("y"), 1L)
+        .otherwise(0L)) + 1L).cast("long").as("r2"))
+    val tj = r.groupBy(col("band")).agg(
+      sum(col("r2")).cast("long").as("rj"), count(lit(1)).cast("long").as("b"))
+    val a = tj.agg(first(col("b")).as("b"),
+      sum((col("band") + 1) * col("rj")).cast("long").as("l2"))
+    a.select(col("b").as("n_blocks"), col("l2").as("l_doubled"),
+      (lit(50L) * col("b")).as("e_doubled"),
+      when(col("b") > 0,
+        round((col("l2") - lit(50.0) * col("b")) /
+          sqrt(col("b").cast("double") * lit(1200.0) / lit(36.0)), 4) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("z_trend"))
   }
 
   /** Seasonal-means decomposition (#223): each event type's hourly
@@ -3086,9 +3194,9 @@ object StatsQueries {
   val all: Seq[GateQuery] = Seq(
     qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qKendall, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
+    qCorrMatrix, qKendall, qGkGamma, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
-    qSeasonal, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
+    qSeasonal, qPageTrend, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman)
 }

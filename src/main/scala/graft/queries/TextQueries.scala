@@ -261,6 +261,67 @@ object TextQueries {
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
+  /** Fleiss' kappa (#352): do the corpus's quality heuristics AGREE?
+    * Three deterministic "raters" each vote good/bad per document —
+    * word count ≥ 40, lexical diversity (2·distinct ≥ words), length
+    * ≥ 400 chars — and Fleiss' kappa (1971) measures their
+    * chance-corrected agreement, the k-rater generalization Cohen's
+    * kappa (#210) can't do. Low kappa = the quality rules measure
+    * DIFFERENT things (keep all three in the funnel); high kappa =
+    * redundant rules (drop the expensive one). Binary categories and
+    * k=3 raters collapse the whole statistic to THREE corpus sums
+    * (n, S=Σrᵢ, A=Σ(rᵢ²+(3−rᵢ)²−3)) in ONE aggregate; clearing
+    * denominators by 18n² makes kappa a single signed HALF_UP ppm
+    * ratio of decimal-lifted exact integers — no doubles until the
+    * final rounded output.
+    */
+  val qFleissKappa = GateQuery.sql(
+    "q_fleiss_kappa",
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+      |v AS (SELECT
+      |    (CASE WHEN len(w) >= 40 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN 2 * len(list_distinct(w)) >= len(w) THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS r
+      |  FROM t),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS s,
+      |    CAST(sum(r * r + (3 - r) * (3 - r) - 3) AS BIGINT) AS aa
+      |  FROM v),
+      |f AS (SELECT n, s, aa,
+      |    3 * CAST(n AS HUGEINT) * aa
+      |      - 2 * (CAST(s AS HUGEINT) * s + CAST(3 * n - s AS HUGEINT) * (3 * n - s)) AS num,
+      |    18 * CAST(n AS HUGEINT) * n
+      |      - 2 * (CAST(s AS HUGEINT) * s + CAST(3 * n - s AS HUGEINT) * (3 * n - s)) AS den
+      |  FROM a)
+      |SELECT n AS n_docs, s AS n_good_votes, aa AS agree_sum,
+      |  CASE WHEN den = 0 THEN NULL
+      |    ELSE (CASE WHEN num >= 0 THEN CAST((num * 2000000 + den) // (den * 2) AS BIGINT)
+      |          ELSE -CAST(((-num) * 2000000 + den) // (den * 2) AS BIGINT) END)
+      |  END AS kappa_ppm
+      |FROM f""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      TextOps.tokens(col("text")).as("w"))
+    val v = t.select(
+      (when(size(col("w")) >= 40, 1L).otherwise(0L) +
+        when(lit(2) * size(array_distinct(col("w"))) >= size(col("w")), 1L).otherwise(0L) +
+        when(col("n_chars") >= 400, 1L).otherwise(0L)).as("r"))
+    val a = v.agg(count(lit(1)).cast("long").as("n"), sum(col("r")).cast("long").as("s"),
+      sum(col("r") * col("r") + (lit(3L) - col("r")) * (lit(3L) - col("r")) - 3L)
+        .cast("long").as("aa"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val pe2 = dec(col("s")) * col("s") +
+      dec(lit(3L) * col("n") - col("s")) * (lit(3L) * col("n") - col("s"))
+    val f = a.select(col("n"), col("s"), col("aa"),
+      (lit(3L) * dec(col("n")) * col("aa") - lit(2L) * pe2).as("num"),
+      (lit(18L) * dec(col("n")) * col("n") - lit(2L) * pe2).as("den"))
+    def halfUp(num: Column, den: Column) =
+      Exact.floorDivBig(num * lit(2000000L) + den, den * lit(2L)).cast("long")
+    f.select(col("n").as("n_docs"), col("s").as("n_good_votes"),
+      col("aa").as("agree_sum"),
+      when(col("den") === 0, lit(null).cast("long"))
+        .otherwise(when(col("num") >= 0, halfUp(col("num"), col("den")))
+          .otherwise(-halfUp(-col("num"), col("den")))).as("kappa_ppm"))
+  }
+
   /** Lincoln–Petersen capture–recapture duplication estimate (#338):
     * how many near-duplicate documents does the corpus REALLY hold —
     * including the ones every detector misses? Treat two partially-
@@ -863,6 +924,64 @@ object TextQueries {
     graft.operators.Retrieval.qlTopK(
         Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
       .orderedSmall(col("query_id"), col("rank"))
+  }
+
+  /** Rank-biased overlap (#353): HOW SIMILAR are the BM25 (#111) and
+    * query-likelihood (#337) top-10 lists — the top-weighted list
+    * similarity for retrieval regression testing (Webber et al.
+    * 2010): Kendall-style measures treat all depths equally, RBO
+    * discounts depth d by p^(d−1), so a swap at rank 1 matters and a
+    * swap at rank 10 barely does. Truncated-at-k form with p = 9/10:
+    * every weight (1−p)p^(d−1) = 9^(d−1)/10^d is an exact rational,
+    * so RBO = Σ_d A_d·9^(d−1)·1e6 // (10^d·d) is pure int64 (A_d =
+    * overlap of the two depth-d prefixes). Shape: both rankers'
+    * bounded top-10 relations inner-join per query, each overlap row
+    * explodes to its covered depths (≤10), one (query, depth) count,
+    * one rank-unrolled literal-weight sum.
+    */
+  val qRbo = GateQuery.sql(
+    "q_rbo", {
+      val w9 = (1 to 10).map(d => s"WHEN $d THEN ${math.pow(9, d - 1).toLong}")
+        .mkString(" ")
+      val dn = (1 to 10).map(d => s"WHEN $d THEN ${math.pow(10, d).toLong * d}")
+        .mkString(" ")
+      s"""WITH l1 AS (SELECT query_id, doc_id, rank FROM
+         |  (${graft.operators.Retrieval.bm25Sql(Bm25Queries)}) t1),
+         |l2 AS (SELECT query_id, doc_id, rank FROM
+         |  (${graft.operators.Retrieval.qlSql(Bm25Queries)}) t2),
+         |j AS (SELECT l1.query_id AS query_id,
+         |    greatest(l1.rank, l2.rank) AS m
+         |  FROM l1 JOIN l2 USING (query_id, doc_id)),
+         |jd AS (SELECT query_id, unnest(generate_series(m, 10)) AS d FROM j),
+         |ad AS (SELECT query_id, d, CAST(count(*) AS BIGINT) AS a
+         |  FROM jd GROUP BY 1, 2),
+         |r AS (SELECT query_id,
+         |    CAST(sum((a * (CASE d $w9 END) * 1000000) // (CASE d $dn END)) AS BIGINT)
+         |      AS rbo_micro,
+         |    CAST(max(CASE WHEN d = 10 THEN a ELSE 0 END) AS BIGINT) AS overlap10
+         |  FROM ad GROUP BY 1)
+         |SELECT query_id, overlap10, rbo_micro FROM r ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val l1 = graft.operators.Retrieval.bm25TopK(docs, col("doc_id"), col("text"), Bm25Queries)
+      .select(col("query_id"), col("doc_id"), col("rank").as("ra"))
+    val l2 = graft.operators.Retrieval.qlTopK(docs, col("doc_id"), col("text"), Bm25Queries)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rb"))
+    val j = l1.join(l2, Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    val jd = j.select(col("query_id"), explode(sequence(col("m"), lit(10L))).as("d"))
+    val ad = jd.groupBy(col("query_id"), col("d"))
+      .agg(count(lit(1)).cast("long").as("a"))
+    def w9C(dc: Column): Column = (1 to 10).foldLeft(lit(0L): Column)((acc, dd) =>
+      when(dc === dd, lit(math.pow(9, dd - 1).toLong)).otherwise(acc))
+    def dnC(dc: Column): Column = (1 to 10).foldLeft(lit(1L): Column)((acc, dd) =>
+      when(dc === dd, lit(math.pow(10, dd).toLong * dd)).otherwise(acc))
+    ad.groupBy(col("query_id"))
+      .agg(sum(Binning.floorDivCol(col("a") * w9C(col("d")) * lit(1000000L),
+          dnC(col("d")))).cast("long").as("rbo_micro"),
+        max(when(col("d") === 10, col("a")).otherwise(0L)).cast("long").as("overlap10"))
+      .select(col("query_id"), col("overlap10"), col("rbo_micro"))
+      .orderedSmall(col("query_id"))
   }
 
   /** Reciprocal-rank fusion (#172): hybrid retrieval — BM25 ⊕ raw
@@ -1571,11 +1690,11 @@ object TextQueries {
     qKfold, qLearningCurve, qCountMin,
     qAuc, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qKrippendorff, qFingerprint,
-    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture,
+    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture, qFleissKappa,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination, qBm25, qQlRetrieval, qHeavyHitters, qAudioFingerprint,
+    qImageNeardup, qBloomContamination, qBm25, qQlRetrieval, qRbo, qHeavyHitters, qAudioFingerprint,
     qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival,
     qContainmentPairs, qW1Drift, qSourceOverlap, qRrfFusion)
 }
