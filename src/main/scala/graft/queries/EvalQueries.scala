@@ -299,6 +299,89 @@ object EvalQueries {
           col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
   }
 
+  /** Jonckheere–Terpstra ordered k-sample test (#355): do event
+    * values trend UP across the four ordered day-part bands? The
+    * independent-sample sibling of Page's L (#354, which needs
+    * complete blocks) and the ordered-alternative Kruskal–Wallis
+    * (#211/#311 squander power on unordered alternatives):
+    * J = Σᵢ<ⱼ Uᵢⱼ over band pairs (Jonckheere 1954, Terpstra 1952).
+    * Doubled counting (2·cum + t per distinct value — the #212
+    * midrank trick) keeps tie halves integer: every Uᵢⱼ contribution
+    * is exact off the VALUE-COLLAPSED (cents) grid with per-band
+    * exclusive cumulative counts sharing ONE window exchange; J₂ and
+    * E[J₂] exact integers; z the single mirrored double on the
+    * classic variance. Grid bounded by distinct values, never event
+    * count; the 6 pair terms are a pure projection per grid row.
+    */
+  val qJonckheere = GateQuery.sql(
+    "q_jonckheere", {
+      val pairs = for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i, j)
+      val rowTerm = pairs.map { case (i, j) =>
+        s"CAST(c$j AS HUGEINT) * (2 * cx$i + c$i)" }.mkString(" + ")
+      s"""WITH e AS (SELECT ((xs // 3600) % 24) // 6 AS band, ${centsSql("vd")} AS c
+         |  FROM $E t),
+         |v AS (SELECT c,
+         |    ${(0 to 3).map(i => s"count(*) FILTER (band = $i) AS c$i").mkString(", ")}
+         |  FROM e GROUP BY c),
+         |w AS (SELECT c, c0, c1, c2, c3,
+         |    ${(0 to 3).map(i =>
+              s"CAST(coalesce(sum(c$i) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED " +
+                s"PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cx$i").mkString(",\n    ")}
+         |  FROM v),
+         |a AS (SELECT
+         |    CAST(sum($rowTerm) AS HUGEINT) AS j2,
+         |    ${(0 to 3).map(i => s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")}
+         |  FROM w),
+         |f AS (SELECT j2, n0 + n1 + n2 + n3 AS n,
+         |    CAST(n0 AS HUGEINT) * n0 + CAST(n1 AS HUGEINT) * n1
+         |      + CAST(n2 AS HUGEINT) * n2 + CAST(n3 AS HUGEINT) * n3 AS sn2,
+         |    CAST(n0 AS DOUBLE) * n0 * (2 * n0 + 3) + CAST(n1 AS DOUBLE) * n1 * (2 * n1 + 3)
+         |      + CAST(n2 AS DOUBLE) * n2 * (2 * n2 + 3)
+         |      + CAST(n3 AS DOUBLE) * n3 * (2 * n3 + 3) AS sv
+         |  FROM a)
+         |SELECT CAST(n AS BIGINT) AS n_events, CAST(j2 AS BIGINT) AS j_doubled,
+         |  CAST((CAST(n AS HUGEINT) * n - sn2) // 2 AS BIGINT) AS e_doubled,
+         |  CASE WHEN CAST(n AS DOUBLE) * n * (2 * n + 3) - sv <= 0.0 THEN NULL
+         |    ELSE round((CAST(j2 AS DOUBLE) - CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 2)
+         |      / (2.0 * sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3) - sv) / 72.0)), 4) + 0.0
+         |  END AS z_trend
+         |FROM f""".stripMargin
+    }) { (s, d) =>
+    val e = ev(s, d).select(
+      Binning.floorDiv(pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)), 6L).as("band"),
+      Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("c")).agg(
+      count(when(col("band") === 0, 1)).as("c0"),
+      (1 to 3).map(i => count(when(col("band") === i, 1)).as(s"c$i")): _*)
+    val wSpec = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = (0 to 3).foldLeft(v)((df, i) =>
+      df.withColumn(s"cx$i", coalesce(sum(col(s"c$i")).over(wSpec), lit(0L)).cast("long")))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val pairs = for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i, j)
+    val rowTerm = pairs.map { case (i, j) =>
+      dec(col(s"c$j")) * (lit(2L) * col(s"cx$i") + col(s"c$i")) }.reduce(_ + _)
+    val a = w.agg(
+      sum(rowTerm).cast("decimal(38,0)").as("j2"),
+      (0 to 3).map(i => sum(col(s"c$i")).cast("long").as(s"n$i")): _*)
+    val n = col("n0") + col("n1") + col("n2") + col("n3")
+    val sn2 = (0 to 3).map(i => dec(col(s"n$i")) * col(s"n$i")).reduce(_ + _)
+    val sv = (0 to 3).map(i =>
+      col(s"n$i").cast("double") * col(s"n$i") * (lit(2L) * col(s"n$i") + 3)).reduce(_ + _)
+    val f = a.select(col("j2"), n.as("n"), sn2.as("sn2"), sv.as("sv"))
+    f.select(col("n").cast("long").as("n_events"),
+      col("j2").cast("long").as("j_doubled"),
+      Exact.floorDivBig(dec(col("n")) * col("n") - col("sn2"), lit(2L))
+        .cast("long").as("e_doubled"),
+      when(col("n").cast("double") * col("n") * (lit(2L) * col("n") + 3) - col("sv") <= 0.0,
+          lit(null).cast("double"))
+        .otherwise(round((col("j2").cast("double") -
+          (dec(col("n")) * col("n") - col("sn2")).cast("double") / lit(2)) /
+          (lit(2.0) * sqrt((col("n").cast("double") * col("n") *
+            (lit(2L) * col("n") + 3) - col("sv")) / lit(72.0))), 4) + lit(0.0))
+        .as("z_trend"))
+  }
+
   /** Intraclass correlation ICC(1,1) (#339): how much of the
     * event-value variance is BETWEEN users vs within them — the
     * one-way random-effects reliability coefficient (Shrout & Fleiss
@@ -893,5 +976,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }

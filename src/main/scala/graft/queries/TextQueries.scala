@@ -1499,6 +1499,129 @@ object TextQueries {
           lit(2L) * col("np") * col("nn")).as("auc_ppm"))
   }
 
+  /** Precision-recall curve (#356): the operating-point sweep behind
+    * #182's single-number average precision — precision and recall at
+    * EVERY distinct score threshold of the length-ranked en-classifier
+    * (same score/label derivation as #175's AUC, so all three gates
+    * audit the SAME ranker: threshold sweep here, rank integral
+    * there). On imbalanced labels this curve, not ROC, shows where
+    * the ranker actually operates (Davis & Goadrich 2006). All exact:
+    * the VALUE-COLLAPSED score grid carries cumulative (predicted ≥
+    * threshold, true-positive) counts through one descending window;
+    * precision/recall are ppm floor divisions per grid row — bounded
+    * by distinct scores, never docs.
+    */
+  val qPrCurve = GateQuery.sql(
+    "q_pr_curve",
+    """WITH d AS (SELECT n_chars AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |v AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+      |  FROM d GROUP BY s),
+      |w AS (SELECT s, CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum_n,
+      |    CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS cum_tp,
+      |    CAST(sum(p) OVER () AS BIGINT) AS np
+      |  FROM v)
+      |SELECT s AS threshold, cum_n, cum_tp,
+      |  (cum_tp * 1000000) // cum_n AS precision_ppm,
+      |  CASE WHEN np = 0 THEN NULL ELSE (cum_tp * 1000000) // np END AS recall_ppm
+      |FROM w ORDER BY threshold DESC""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("n_chars").as("s"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val v = docs.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("p"))
+    val w = v
+      .withColumn("cum_n", sum(col("c")).over(Window.orderBy(col("s").desc)).cast("long"))
+      .withColumn("cum_tp", sum(col("p")).over(Window.orderBy(col("s").desc)).cast("long"))
+      .withColumn("np", sum(col("p")).over(Window.partitionBy()).cast("long"))
+    w.select(col("s").as("threshold"), col("cum_n"), col("cum_tp"),
+        Binning.floorDivCol(col("cum_tp") * lit(1000000L), col("cum_n")).as("precision_ppm"),
+        when(col("np") === 0, lit(null).cast("long"))
+          .otherwise(Binning.floorDivCol(col("cum_tp") * lit(1000000L), col("np")))
+          .as("recall_ppm"))
+      .orderedSmall(col("threshold").desc)
+  }
+
+  /** Gini-impurity best split (#357): the single most informative
+    * threshold on a quality signal — CART's split criterion (Breiman
+    * et al. 1984) run once over the length→lang='en' pair: for every
+    * candidate threshold on the VALUE-COLLAPSED grid, the
+    * size-weighted binary Gini of the two sides, minimized. This is
+    * the "where should the quality-filter cutoff actually sit"
+    * primitive behind every hand-tuned threshold in the curation
+    * funnel (#41/#101). Exact: side impurities 2x(n−x)/n are
+    * micro-floored integer divisions of cumulative counts; the argmin
+    * is the min-struct idiom on (impurity, threshold); baseline Gini
+    * and the gain close the row out — no doubles anywhere.
+    */
+  val qGiniSplit = GateQuery.sql(
+    "q_gini_split",
+    """WITH d AS (SELECT n_chars AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |v AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+      |  FROM d GROUP BY s),
+      |w AS (SELECT s,
+      |    CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS nl,
+      |    CAST(sum(p) OVER (ORDER BY s) AS BIGINT) AS xl,
+      |    CAST(sum(c) OVER () AS BIGINT) AS n,
+      |    CAST(sum(p) OVER () AS BIGINT) AS x
+      |  FROM v),
+      |g AS (SELECT s, nl, xl, n - nl AS nr, x - xl AS xr, n, x,
+      |    CAST(((2 * CAST(xl AS HUGEINT) * (nl - xl) * 1000000) // nl
+      |      + (2 * CAST(x - xl AS HUGEINT) * ((n - nl) - (x - xl)) * 1000000) // (n - nl))
+      |      // n AS BIGINT) AS imp_micro
+      |  FROM w WHERE nl < n),
+      |mx AS (SELECT min(imp_micro) AS m FROM g),
+      |best AS (SELECT min((s, nl, xl, nr, xr)) FILTER (imp_micro = m) AS b,
+      |    max(m) AS imp, any_value(n) AS n, any_value(x) AS x
+      |  FROM g, mx)
+      |SELECT CAST(b[1] AS BIGINT) AS threshold, CAST(b[2] AS BIGINT) AS n_left,
+      |  CAST(b[3] AS BIGINT) AS x_left, CAST(b[4] AS BIGINT) AS n_right,
+      |  CAST(b[5] AS BIGINT) AS x_right, imp AS impurity_micro,
+      |  CAST((2 * CAST(x AS HUGEINT) * (n - x) * 1000000) // n // n AS BIGINT)
+      |    AS base_impurity_micro,
+      |  CAST((2 * CAST(x AS HUGEINT) * (n - x) * 1000000) // n // n - imp AS BIGINT)
+      |    AS gain_micro
+      |FROM best""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("n_chars").as("s"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val v = docs.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("p"))
+    val w = v
+      .withColumn("nl", sum(col("c")).over(Window.orderBy(col("s"))).cast("long"))
+      .withColumn("xl", sum(col("p")).over(Window.orderBy(col("s"))).cast("long"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()).cast("long"))
+      .withColumn("x", sum(col("p")).over(Window.partitionBy()).cast("long"))
+    val nr = col("n") - col("nl")
+    val xr = col("x") - col("xl")
+    def dec(c0: Column) = c0.cast("decimal(38,0)")
+    val g = w.filter(col("nl") < col("n"))
+      .select(col("s"), col("nl"), col("xl"), nr.as("nr"), xr.as("xr"),
+        col("n"), col("x"),
+        Exact.floorDivBig(
+          Exact.floorDivBig(lit(2L) * dec(col("xl")) * (col("nl") - col("xl")) *
+            lit(1000000L), col("nl")) +
+          Exact.floorDivBig(lit(2L) * dec(xr) * (nr - xr) * lit(1000000L), nr),
+          col("n")).cast("long").as("imp_micro"))
+    val mx = g.agg(min(col("imp_micro")).as("m"))
+    val best = graft.operators.Curation.withStats(g, mx)
+      .agg(min(when(col("imp_micro") === col("m"),
+        struct(col("s"), col("nl"), col("xl"), col("nr"), col("xr")))).as("b"),
+        max(col("m")).as("imp"), first(col("n")).as("n"), first(col("x")).as("x"))
+    val base = Exact.floorDivBig(
+      Exact.floorDivBig(lit(2L) * dec(col("x")) * (col("n") - col("x")) * lit(1000000L),
+        col("n")), col("n")).cast("long")
+    best.select(col("b.s").cast("long").as("threshold"),
+      col("b.nl").cast("long").as("n_left"), col("b.xl").cast("long").as("x_left"),
+      col("b.nr").cast("long").as("n_right"), col("b.xr").cast("long").as("x_right"),
+      col("imp").as("impurity_micro"),
+      base.as("base_impurity_micro"),
+      (base - col("imp")).as("gain_micro"))
+  }
+
   /** Reliability diagram (#176): predicted-score deciles vs observed
     * positive share in exact ppm — the calibration audit read next to
     * #174's isotonic fit. The bucket bound rides a 1-row broadcast;
@@ -1688,7 +1811,7 @@ object TextQueries {
 
   val all: Seq[GateQuery] = Seq(
     qKfold, qLearningCurve, qCountMin,
-    qAuc, qReliability, qSpearman,
+    qAuc, qPrCurve, qGiniSplit, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qKrippendorff, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture, qFleissKappa,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,

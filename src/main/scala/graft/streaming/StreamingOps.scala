@@ -497,6 +497,35 @@ object StreamingOps {
       }
   }
 
+  /** Streaming uplift monitor (#358) — the live counterpart of the
+    * Qini gate (#346): per tumbling event-time window, the
+    * treatment−control conversion-rate delta in exact ppm, with arms
+    * derived from assignment parity (the same user_id%2 derivation
+    * as the batch A/B gates #230/#296/#346). One stateful windowed
+    * aggregate (four conditional counters per window — O(1) state
+    * per open window, watermark-finalized); the uplift is an exact
+    * integer floor-division delta, so a flat-lining experiment is
+    * visible within one window of it happening. Arms with no traffic
+    * in a window emit NULL rather than a fake zero.
+    */
+  def upliftStream(events: DataFrame, timeCol: String, userCol: String,
+                   typeCol: String, convType: String,
+                   windowDur: String, watermarkDelay: String): DataFrame = {
+    val arm = pmod(col(userCol), lit(2L))
+    val agg = events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(count(when(arm === 1, 1)).as("n_t"),
+        count(when(arm === 1 && col(typeCol) === convType, 1)).as("x_t"),
+        count(when(arm === 0, 1)).as("n_c"),
+        count(when(arm === 0 && col(typeCol) === convType, 1)).as("x_c"))
+    agg.select(col("window.start").as("win_start"),
+      col("n_t"), col("x_t"), col("n_c"), col("x_c"),
+      when(col("n_t") > 0 && col("n_c") > 0,
+        graft.operators.Binning.floorDivCol(col("x_t") * lit(1000000L), col("n_t")) -
+          graft.operators.Binning.floorDivCol(col("x_c") * lit(1000000L), col("n_c")))
+        .as("uplift_ppm"))
+  }
+
   /** Streaming vocabulary-novelty monitor (#348) — the live proxy of
     * the batch Chao1/coverage gate (#331): per event-time window, how
     * many NEVER-BEFORE-SEEN words arrived? A collapsing novel-token

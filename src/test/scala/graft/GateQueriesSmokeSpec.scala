@@ -78,6 +78,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_itemsets3", // (n_baskets) corpus-total single-row scalar (as q_assoc_rules)
     "q_scan_stat", // (ct, th) corpus-totals + argmax single-row scalars
     "q_krippendorff", // pooled-marginals (n, nv2) single-row scalar
+    "q_gini_split", // (min impurity) argmin single-row scalar
     "q_vmeasure") // (n) + entropy-total single-row scalars
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

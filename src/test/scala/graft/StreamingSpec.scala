@@ -206,6 +206,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("uplift monitor: exact ppm rate delta per window, empty arm yields null") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val up = StreamingOps.upliftStream(
+      input.toDF().toDF("ts", "user", "etype"), "ts", "user", "etype",
+      "purchase", "1 minute", "10 seconds")
+    val q = up.writeStream.format("memory").queryName("upliftmon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1: treated (odd users) 2/4 convert, control 1/4
+      input.addData(
+        (ts(1), 1L, "purchase"), (ts(2), 1L, "view"),
+        (ts(3), 3L, "purchase"), (ts(4), 3L, "view"),
+        (ts(5), 2L, "purchase"), (ts(6), 2L, "view"),
+        (ts(7), 4L, "view"), (ts(8), 4L, "view"))
+      q.processAllAvailable()
+      // window 2: control-only traffic -> uplift NULL
+      input.addData((ts(70), 2L, "view"))
+      q.processAllAvailable()
+      input.addData((ts(200), 6L, "view")) // advance watermark, finalize
+      q.processAllAvailable()
+      val rows = spark.table("upliftmon").collect()
+        .map(r => r.getAs[Timestamp]("win_start").getTime ->
+          Option(r.getAs[java.lang.Long]("uplift_ppm"))).toMap
+      assert(rows((1200 + 0) * 1000L).contains(250000L), s"got $rows") // 500000-250000
+      assert(rows((1200 + 60) * 1000L).isEmpty, s"got $rows")
+    } finally q.stop()
+  }
+
   test("novel-token monitor: first arrivals counted once, repeats suppressed across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
