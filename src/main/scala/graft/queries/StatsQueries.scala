@@ -2174,6 +2174,107 @@ object StatsQueries {
         .otherwise(lit(null).cast("double")).as("z_trend"))
   }
 
+  /** Kupiec proportion-of-failures backtest (#360): does the
+    * 95%-VaR threshold estimated on the FIRST half of the daily
+    * spend series actually get exceeded ~5% of the time in the
+    * SECOND half? (Kupiec 1995 — the standard risk-model validation;
+    * on monitoring counters it answers "is my alert threshold
+    * calibrated".) Honest out-of-sample: the corpus midpoint and the
+    * in-sample exact rank-percentile ride 1-row broadcasts; the
+    * exception count is one conditional aggregate; the LR statistic
+    * 2[x·ln(x/N)+(N−x)·ln(1−x/N)−x·ln p−(N−x)·ln(1−p)] is one
+    * mirrored double closed form with its x=0 / x=N degenerate terms
+    * zeroed by exact predicates on both engines.
+    */
+  val qKupiecPof = GateQuery.sql(
+    "q_kupiec_pof",
+    s"""WITH dly AS (SELECT xs // 86400 AS day,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS tot
+       |  FROM $E e GROUP BY 1),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM dly),
+       |ins AS (SELECT tot,
+       |    CAST(row_number() OVER (ORDER BY tot, day) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n1
+       |  FROM dly, mid WHERE day < m),
+       |v AS (SELECT any_value(tot) FILTER (rk = (n1 * 95 + 99) // 100) AS var_cents
+       |  FROM ins),
+       |oos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN tot > var_cents THEN 1 ELSE 0 END) AS BIGINT) AS x
+       |  FROM dly, mid, v WHERE day >= m)
+       |SELECT var_cents, n AS n_days_oos, x AS n_exceptions,
+       |  (x * 1000000) // n AS exception_rate_ppm,
+       |  CASE WHEN n = 0 THEN NULL ELSE
+       |    round(2.0 * ((CASE WHEN x = 0 THEN 0.0
+       |        ELSE x * ln(CAST(x AS DOUBLE) / n) END)
+       |      + (CASE WHEN x = n THEN 0.0
+       |        ELSE (n - x) * ln(1.0 - CAST(x AS DOUBLE) / n) END)
+       |      - x * ln(0.05) - (n - x) * ln(0.95)), 4) + 0.0
+       |  END AS lr_pof
+       |FROM oos, v""".stripMargin) { (s, d) =>
+    val dly = ev(s, d).groupBy(Binning.floorDiv(col("xs"), 86400L).as("day"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("tot"))
+    val mid = dly.agg(
+      Binning.floorDivCol(min(col("day")) + max(col("day")) + 1, lit(2L)).as("m"))
+    val ins = Curation.withStats(dly, mid).filter(col("day") < col("m"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("tot"), col("day")))
+        .cast("long"))
+      .withColumn("n1", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    val v = ins.agg(first(when(col("rk") ===
+        Binning.floorDivCol(col("n1") * 95 + 99, lit(100L)), col("tot")),
+      ignoreNulls = true).as("var_cents"))
+    val oos = Curation.withStats(Curation.withStats(dly, mid), v)
+      .filter(col("day") >= col("m"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("tot") > col("var_cents"), 1L).otherwise(0L)).cast("long").as("x"),
+        first(col("var_cents")).as("var_cents"))
+    val rate = col("x").cast("double") / col("n")
+    oos.select(col("var_cents"), col("n").as("n_days_oos"), col("x").as("n_exceptions"),
+      Binning.floorDivCol(col("x") * lit(1000000L), col("n")).as("exception_rate_ppm"),
+      when(col("n") === 0, lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * (
+          when(col("x") === 0, lit(0.0)).otherwise(col("x") * log(rate)) +
+          when(col("x") === col("n"), lit(0.0))
+            .otherwise((col("n") - col("x")) * log(lit(1.0) - rate)) -
+          col("x") * log(lit(0.05)) - (col("n") - col("x")) * log(lit(0.95))), 4) +
+          lit(0.0)).as("lr_pof"))
+  }
+
+  /** Mean reciprocal rank (#361): at which rank does the first
+    * purchase sit in each cohort's value-ordered event list? MRR's
+    * per-query primitive (Voorhees 1999) — the sharpest-possible
+    * top-weighted metric (all credit at the first relevant hit),
+    * completing the ranking-metric family AP #182 / NDCG #183 /
+    * ERR #345 / RBO #353. The first-relevant rank is min(rk) over a
+    * filtered window relation; the reciprocal is an exact micro
+    * floor division — no doubles.
+    */
+  val qMrr = GateQuery.sql(
+    "q_mrr",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_id, event_type,
+       |    ${centsSql("vd")} AS c
+       |  FROM $E t),
+       |r AS (SELECT g, event_type,
+       |    CAST(row_number() OVER (PARTITION BY g ORDER BY c DESC, event_id) AS BIGINT) AS rk
+       |  FROM e),
+       |f AS (SELECT g, min(rk) AS first_rank,
+       |    CAST(count(*) AS BIGINT) AS n_relevant
+       |  FROM r WHERE event_type = 'purchase' GROUP BY g)
+       |SELECT g, first_rank, n_relevant,
+       |  1000000 // first_rank AS rr_micro
+       |FROM f ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(pmod(col("user_id"), lit(8L)).as("g"), col("event_id"),
+      col("event_type"), Exact.cents(col("vd")).as("c"))
+    val r = e.withColumn("rk",
+      row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("c").desc, col("event_id"))).cast("long"))
+    val f = r.filter(col("event_type") === "purchase")
+      .groupBy(col("g"))
+      .agg(min(col("rk")).as("first_rank"), count(lit(1)).cast("long").as("n_relevant"))
+    f.select(col("g"), col("first_rank"), col("n_relevant"),
+        Binning.floorDivCol(lit(1000000L), col("first_rank")).as("rr_micro"))
+      .orderedSmall(col("g"))
+  }
+
   /** Seasonal-means decomposition (#223): each event type's hourly
     * totals split into overall level + hour-of-day seasonal component
     * (y = level + seasonal(hod) + residual) — the first look every
@@ -3196,7 +3297,7 @@ object StatsQueries {
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qGkGamma, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
-    qSeasonal, qPageTrend, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
+    qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman)
 }

@@ -261,6 +261,63 @@ object TextQueries {
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
+  /** Index of coincidence (#359): per source, the probability two
+    * random letters match — IC = Σfᵢ(fᵢ−1)/(N(N−1)) (Friedman 1922;
+    * ~0.065 for English, 1/26 ≈ 0.038 for uniform noise). In a data
+    * pipeline this is the encrypted/compressed/base64-payload screen
+    * next to the compression-ratio signal (#161): flat letter
+    * statistics at normal character shares = not natural language.
+    * Zero explode: each of the 26 letter counts is a
+    * length-difference expression (len(x) − len(replace(x, c, ''))) —
+    * a pure codegen projection per doc — summed per source in ONE
+    * aggregate; Σf(f−1) and the ppm ratio are exact decimal-lifted
+    * integer arithmetic over the 26-column source relation.
+    */
+  val qIndexCoincidence = GateQuery.sql(
+    "q_index_coincidence", {
+      val letters = ('a' to 'z').toSeq
+      val perDoc = letters.map(c =>
+        s"CAST(len(text) - len(replace(text, '$c', '')) AS BIGINT) AS f_$c")
+        .mkString(",\n    ")
+      val sums = letters.map(c => s"CAST(sum(f_$c) AS BIGINT) AS f_$c").mkString(", ")
+      val sumF = letters.map(c => s"f_$c").mkString(" + ")
+      val sumFF1 = letters.map(c => s"CAST(f_$c AS HUGEINT) * (f_$c - 1)").mkString("\n      + ")
+      s"""WITH t AS (SELECT source,
+         |    $perDoc
+         |  FROM documents),
+         |s AS (SELECT source, $sums FROM t GROUP BY source),
+         |a AS (SELECT source, $sumF AS n, $sumFF1 AS ff1 FROM s)
+         |SELECT source, CAST(n AS BIGINT) AS n_letters,
+         |  CASE WHEN n > 1 THEN
+         |    CAST((ff1 * 1000000) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+         |  END AS ic_ppm,
+         |  CASE WHEN n > 1 THEN
+         |    CAST((ff1 * 26000000) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT)
+         |  END AS ic_norm_ppm
+         |FROM a ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    val letters = ('a' to 'z').toSeq
+    val t = Tables.documents(s, d).select(
+      col("source") +: letters.map(c =>
+        (length(col("text")) - length(expr(s"replace(text, '$c', '')")))
+          .cast("long").as(s"f_$c")): _*)
+    val sdf = t.groupBy(col("source"))
+      .agg(sum(col(s"f_${letters.head}")).cast("long").as(s"f_${letters.head}"),
+        letters.tail.map(c => sum(col(s"f_$c")).cast("long").as(s"f_$c")): _*)
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val n = letters.map(c => col(s"f_$c")).reduce(_ + _)
+    val ff1 = letters.map(c => dec(col(s"f_$c")) * (col(s"f_$c") - 1)).reduce(_ + _)
+    val a = sdf.select(col("source"), n.as("n"), ff1.as("ff1"))
+    a.select(col("source"), col("n").cast("long").as("n_letters"),
+        when(col("n") > 1,
+          Exact.floorDivBig(col("ff1") * lit(1000000L), dec(col("n")) * (col("n") - 1))
+            .cast("long")).as("ic_ppm"),
+        when(col("n") > 1,
+          Exact.floorDivBig(col("ff1") * lit(26000000L), dec(col("n")) * (col("n") - 1))
+            .cast("long")).as("ic_norm_ppm"))
+      .orderedSmall(col("source"))
+  }
+
   /** Fleiss' kappa (#352): do the corpus's quality heuristics AGREE?
     * Three deterministic "raters" each vote good/bad per document —
     * word count ≥ 40, lexical diversity (2·distinct ≥ words), length
@@ -1813,7 +1870,7 @@ object TextQueries {
     qKfold, qLearningCurve, qCountMin,
     qAuc, qPrCurve, qGiniSplit, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qKrippendorff, qFingerprint,
-    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture, qFleissKappa,
+    qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture, qFleissKappa, qIndexCoincidence,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,

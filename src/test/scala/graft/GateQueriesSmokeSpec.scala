@@ -35,6 +35,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_w1_drift", // bounded source-list × value-grid broadcast product + (nc) scalar
     "q_ad_drift", // same bounded source-list × value-grid product as q_w1_drift
     "q_cuped", // (midpoint) and pooled-stats single-row scalars
+    "q_kupiec_pof", // (midpoint) + in-sample VaR single-row scalars
     "q_bh_fdr", // (kmax) step-up threshold single-row scalar
     "q_decay_features", // (max xs) as-of-now reference single-row scalar
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
