@@ -76,7 +76,16 @@ object PlanAudit {
     // round-7: EDF-test / cluster-quality / itemset completions
     "q_anderson_darling", "q_silhouette_sampled", "q_itemsets3",
     "q_kruskal_wallis", "q_durbin_watson", "q_ljung_box",
-    "q_cvm", "q_friedman", "q_moore_lewis")
+    "q_cvm", "q_friedman", "q_moore_lewis",
+    // round-8: association/agreement/retrieval/survival/uplift batches
+    "q_kendall", "q_chao1", "q_cochran_armitage", "q_partial_corr",
+    "q_scan_stat", "q_ql_retrieval", "q_capture_recapture", "q_icc",
+    "q_gtest", "q_krippendorff", "q_vmeasure", "q_mantel_haenszel",
+    "q_nelson_aalen", "q_err", "q_qini", "q_burrows_delta",
+    "q_cochran_q", "q_cohens_d", "q_gk_gamma", "q_fleiss_kappa",
+    "q_rbo", "q_page_trend", "q_jonckheere", "q_pr_curve",
+    "q_gini_split", "q_index_coincidence", "q_kupiec_pof", "q_mrr",
+    "q_lepage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -299,6 +299,118 @@ object EvalQueries {
           col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
   }
 
+  /** Lepage joint location-scale test (#362): did click values shift
+    * in MEAN or in SPREAD vs view values? L = z_W² + z_AB² combines
+    * the Wilcoxon rank-sum (location, #212's statistic) with the
+    * Ansari–Bradley center-outward ranks (scale) into one χ²₂ test
+    * (Lepage 1971) — the distribution-free "did ANYTHING change"
+    * screen sharper than KS (#206) against location-scale
+    * alternatives. Both rank sums come off the SAME value-collapsed
+    * (cohort, cents) grid and share ONE window exchange: doubled
+    * midranks r₂ = 2·cum−t+1 keep ties integer, the AB score is
+    * min(r₂, 2(N+1)−r₂), and the two z's + L are mirrored double
+    * closed forms (AB moments by the classic even/odd-N formulas,
+    * midranks standing in for ties — the #354/#355 convention).
+    */
+  val qLepage = GateQuery.sql(
+    "q_lepage",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_type, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type IN ('click', 'view')),
+       |v AS (SELECT g, c,
+       |    count(*) FILTER (event_type = 'click') AS c1,
+       |    count(*) FILTER (event_type = 'view') AS c2
+       |  FROM e GROUP BY g, c),
+       |w AS (SELECT g, c1, c2, c1 + c2 AS t,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cum,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g) AS BIGINT) AS nn
+       |  FROM v),
+       |a AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |    any_value(nn) AS nn,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum - t + 1)) AS HUGEINT) AS r1x2,
+       |    CAST(sum(CAST(c1 AS HUGEINT)
+       |      * least(2 * cum - t + 1, 2 * (nn + 1) - (2 * cum - t + 1))) AS HUGEINT) AS a2,
+       |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+       |  FROM w GROUP BY g),
+       |f AS (SELECT g, n1, n2, nn, a2, ties,
+       |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2
+       |  FROM a),
+       |z AS (SELECT g, n1, n2, nn, a2,
+       |    CASE WHEN nn < 2 OR (nn + 1) * CAST(nn AS HUGEINT) * (nn - 1) <= ties THEN NULL
+       |      ELSE (CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       |        / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+       |          * ((CAST(nn AS DOUBLE) + 1.0)
+       |            - CAST(ties AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
+       |    END AS zw,
+       |    CASE WHEN n1 = 0 OR n2 = 0 OR nn < 3 THEN NULL
+       |      WHEN nn % 2 = 0 THEN
+       |        (CAST(a2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (nn + 2) / 2.0)
+       |        / sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 2) * (nn - 2) / (12.0 * (nn - 1)))
+       |      ELSE
+       |        (CAST(a2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (nn + 1) * (nn + 1) / (2.0 * nn))
+       |        / sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 1)
+       |          * (3.0 + CAST(nn AS DOUBLE) * nn) / (12.0 * CAST(nn AS DOUBLE) * nn))
+       |    END AS zab
+       |  FROM f)
+       |SELECT g, n1, n2, CAST(a2 AS BIGINT) AS ab_doubled,
+       |  round(zw, 4) + 0.0 AS z_wilcoxon, round(zab, 4) + 0.0 AS z_ansari,
+       |  CASE WHEN zw IS NULL OR zab IS NULL THEN NULL
+       |    ELSE round(zw * zw + zab * zab, 4) + 0.0 END AS lepage_l
+       |FROM z ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"),
+        Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("g"), col("c")).agg(
+      count(when(col("event_type") === "click", 1)).as("c1"),
+      count(when(col("event_type") === "view", 1)).as("c2"))
+    val w = v.withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum",
+        sum(col("c1") + col("c2"))
+          .over(Window.partitionBy(col("g")).orderBy(col("c"))).cast("long"))
+      .withColumn("nn",
+        sum(col("c1") + col("c2")).over(Window.partitionBy(col("g"))).cast("long"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val r2 = lit(2L) * col("cum") - col("t") + 1
+    val a = w.groupBy(col("g")).agg(
+      sum(col("c1")).cast("long").as("n1"), sum(col("c2")).cast("long").as("n2"),
+      first(col("nn")).as("nn"),
+      sum(dec(col("c1")) * r2).cast("decimal(38,0)").as("r1x2"),
+      sum(dec(col("c1")) * least(r2, lit(2L) * (col("nn") + 1) - r2))
+        .cast("decimal(38,0)").as("a2"),
+      sum(dec(col("t")) * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("ties"))
+    val f = a.withColumn("u1x2",
+      col("r1x2") - dec(col("n1")) * (col("n1") + 1))
+    def d2(x: Column) = x.cast("double")
+    val nnD = d2(col("nn"))
+    val zw = when(col("nn") < 2 ||
+        (col("nn") + 1) * dec(col("nn")) * (col("nn") - 1) <= col("ties"),
+        lit(null).cast("double"))
+      .otherwise((d2(col("u1x2")) - d2(col("n1")) * d2(col("n2"))) /
+        (lit(2.0) * sqrt(d2(col("n1")) * d2(col("n2")) / lit(12.0) *
+          ((nnD + lit(1.0)) - d2(col("ties")) / (nnD * (nnD - lit(1.0)))))))
+    val zab = when(col("n1") === 0 || col("n2") === 0 || col("nn") < 3,
+        lit(null).cast("double"))
+      .when(pmod(col("nn"), lit(2L)) === 0,
+        (d2(col("a2")) - d2(col("n1")) * (col("nn") + 2) / lit(2.0)) /
+          sqrt(d2(col("n1")) * col("n2") * (col("nn") + 2) * (col("nn") - 2) /
+            (lit(12.0) * (col("nn") - 1))))
+      .otherwise(
+        (d2(col("a2")) - d2(col("n1")) * (col("nn") + 1) * (col("nn") + 1) /
+          (lit(2.0) * col("nn"))) /
+          sqrt(d2(col("n1")) * col("n2") * (col("nn") + 1) *
+            (lit(3.0) + nnD * col("nn")) / (lit(12.0) * nnD * col("nn"))))
+    val z = f.select(col("g"), col("n1"), col("n2"), col("a2"),
+      zw.as("zw"), zab.as("zab"))
+    z.select(col("g"), col("n1"), col("n2"),
+        col("a2").cast("long").as("ab_doubled"),
+        (round(col("zw"), 4) + lit(0.0)).as("z_wilcoxon"),
+        (round(col("zab"), 4) + lit(0.0)).as("z_ansari"),
+        when(col("zw").isNull || col("zab").isNull, lit(null).cast("double"))
+          .otherwise(round(col("zw") * col("zw") + col("zab") * col("zab"), 4) + lit(0.0))
+          .as("lepage_l"))
+      .orderedSmall(col("g"))
+  }
+
   /** Jonckheere–Terpstra ordered k-sample test (#355): do event
     * values trend UP across the four ordered day-part bands? The
     * independent-sample sibling of Page's L (#354, which needs
@@ -976,5 +1088,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qJonckheere, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qLepage, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }
