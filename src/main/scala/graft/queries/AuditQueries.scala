@@ -695,6 +695,70 @@ object AuditQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Seasonal Mann–Kendall trend test (#365): is spend trending
+    * across DAYS after removing the hour-of-day cycle? Plain MK
+    * (#250) on a periodic series reads the daily cycle as noise (or
+    * worse, trend); the seasonal variant (Hirsch & Slack 1984 — the
+    * water-quality monitoring standard) runs MK WITHIN each
+    * hour-of-day season and sums: S = Σ_h S_h,
+    * Var = Σ_h n_h(n_h−1)(2n_h+5)/18. Pairs are (day, day') within a
+    * (type, hour) season — bounded by calendar days², never event
+    * count, on an equi-join key; S exact integer (ties contribute 0),
+    * z the single mirrored double with the ±1 continuity correction
+    * picked by exact sign predicates.
+    */
+  val qSeasonalMk = GateQuery.sql(
+    "q_seasonal_mk",
+    s"""WITH g AS (SELECT event_type, xs // 86400 AS day,
+       |    (xs // 3600) % 24 AS hod, CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2, 3),
+       |p AS (SELECT a.event_type AS event_type,
+       |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+       |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.hod = b.hod
+       |    AND a.day < b.day),
+       |sv AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh
+       |  FROM g GROUP BY 1, 2),
+       |vv AS (SELECT event_type,
+       |    CAST(sum(CAST(nh AS HUGEINT) * (nh - 1) * (2 * nh + 5)) AS BIGINT) AS v18,
+       |    CAST(count(*) AS BIGINT) AS n_seasons
+       |  FROM sv GROUP BY 1),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(sg) AS BIGINT) AS s FROM p GROUP BY 1)
+       |SELECT a.event_type AS event_type, n_seasons, n_pairs, s AS s_stat,
+       |  CASE WHEN v18 = 0 THEN NULL
+       |    WHEN s > 0 THEN round((s - 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0), 4) + 0.0
+       |    WHEN s < 0 THEN round((s + 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0), 4) + 0.0
+       |    ELSE 0.0 END AS z_trend
+       |FROM a JOIN vv ON vv.event_type = a.event_type
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d).groupBy(col("event_type"),
+        Binning.floorDiv(col("xs"), 86400L).as("day"),
+        pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)).as("hod"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val ga = g.select(col("event_type"), col("hod"), col("day").as("da"), col("y").as("ya"))
+    val gb = g.select(col("event_type"), col("hod"), col("day").as("db"), col("y").as("yb"))
+    val p = ga.join(gb, Seq("event_type", "hod")).filter(col("da") < col("db"))
+      .select(col("event_type"),
+        when(col("yb") > col("ya"), 1L).when(col("yb") < col("ya"), -1L)
+          .otherwise(0L).as("sg"))
+    val sv = g.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).cast("long").as("nh"))
+    val vv = sv.groupBy(col("event_type")).agg(
+      sum(col("nh").cast("decimal(38,0)") * (col("nh") - 1) * (lit(2L) * col("nh") + 5))
+        .cast("long").as("v18"),
+      count(lit(1)).cast("long").as("n_seasons"))
+    val a = p.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n_pairs"), sum(col("sg")).cast("long").as("s"))
+    val sd = sqrt(col("v18").cast("double") / lit(18.0))
+    a.join(vv, Seq("event_type"))
+      .select(col("event_type"), col("n_seasons"), col("n_pairs"), col("s").as("s_stat"),
+        when(col("v18") === 0, lit(null).cast("double"))
+          .when(col("s") > 0, round((col("s") - 1) / sd, 4) + lit(0.0))
+          .when(col("s") < 0, round((col("s") + 1) / sd, 4) + lit(0.0))
+          .otherwise(lit(0.0)).as("z_trend"))
+      .orderedSmall(col("event_type"))
+  }
+
   /** Brown–Forsythe / Levene variance-homogeneity test (#251): the
     * one-way ANOVA F statistic (#211's exact micro-integer
     * decomposition, reused verbatim) applied to z = |x − med_g| with
@@ -2063,7 +2127,7 @@ object AuditQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qTriangles, qJarqueBera, qPacf, qMannKendall, qLevene, qJsd, qSimpson,
+    qTriangles, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,

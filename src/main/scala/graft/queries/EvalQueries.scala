@@ -299,6 +299,71 @@ object EvalQueries {
           col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
   }
 
+  /** Cronbach's alpha (#366): internal-consistency reliability of
+    * the four day-part spend "items" per user — do the bands measure
+    * ONE underlying engagement trait (Cronbach 1951)? The
+    * multi-item companion of ICC (#339): α = k/(k−1)·(1 − Σσᵢ²/σ_T²).
+    * Missing bands score 0 (a real zero-spend observation, so every
+    * user is a complete case). Shape: users pivot to one (b0..b3)
+    * row, then ONE global aggregate of ten sufficient statistics
+    * (4×(Σx,Σx²) + total (ΣT,ΣT²), decimal-lifted squares); item and
+    * total variances and α are mirrored double closed forms;
+    * zero total variance → NULL by the exact predicate.
+    */
+  val qCronbach = GateQuery.sql(
+    "q_cronbach", {
+      val bands = 0 to 3
+      val pivots = bands.map(b =>
+        s"coalesce(sum(c) FILTER (band = $b), 0) AS b$b").mkString(",\n    ")
+      val sums = bands.map(b =>
+        s"CAST(sum(b$b) AS BIGINT) AS s$b, CAST(sum(CAST(b$b AS HUGEINT) * b$b) AS HUGEINT) AS q$b")
+        .mkString(",\n    ")
+      val itemVar = bands.map(b =>
+        s"(CAST(q$b AS DOUBLE) - CAST(s$b AS DOUBLE) * s$b / n)").mkString("\n      + ")
+      s"""WITH e AS (SELECT user_id, ((xs // 3600) % 24) // 6 AS band,
+         |    ${centsSql("vd")} AS c
+         |  FROM $E t),
+         |u AS (SELECT user_id,
+         |    $pivots
+         |  FROM e GROUP BY user_id),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $sums,
+         |    CAST(sum(b0 + b1 + b2 + b3) AS BIGINT) AS st,
+         |    CAST(sum(CAST(b0 + b1 + b2 + b3 AS HUGEINT) * (b0 + b1 + b2 + b3)) AS HUGEINT) AS qt
+         |  FROM u)
+         |SELECT n AS n_users,
+         |  CASE WHEN CAST(qt AS HUGEINT) * n = CAST(st AS HUGEINT) * st THEN NULL
+         |    ELSE round((4.0 / 3.0) * (1.0 - ($itemVar)
+         |      / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)), 6) + 0.0
+         |  END AS cronbach_alpha
+         |FROM a""".stripMargin
+    }) { (s, d) =>
+    val e = ev(s, d).select(col("user_id"),
+      Binning.floorDiv(pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)), 6L).as("band"),
+      Exact.cents(col("vd")).as("c"))
+    val u = e.groupBy(col("user_id")).agg(
+      coalesce(sum(when(col("band") === 0, col("c"))), lit(0L)).as("b0"),
+      (1 to 3).map(b =>
+        coalesce(sum(when(col("band") === b, col("c"))), lit(0L)).as(s"b$b")): _*)
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val tot = col("b0") + col("b1") + col("b2") + col("b3")
+    val a = u.agg(count(lit(1)).cast("long").as("n"),
+      ((0 to 3).flatMap(b => Seq(
+        sum(col(s"b$b")).cast("long").as(s"s$b"),
+        sum(dec(col(s"b$b")) * col(s"b$b")).cast("decimal(38,0)").as(s"q$b"))) ++ Seq(
+        sum(tot).cast("long").as("st"),
+        sum(dec(tot) * tot).cast("decimal(38,0)").as("qt"))): _*)
+    val itemVar = (0 to 3).map(b =>
+      col(s"q$b").cast("double") - col(s"s$b").cast("double") * col(s"s$b") / col("n"))
+      .reduce(_ + _)
+    val totVar = col("qt").cast("double") - col("st").cast("double") * col("st") / col("n")
+    a.select(col("n").as("n_users"),
+      when(dec(col("qt")) * col("n") === dec(col("st")) * col("st"),
+          lit(null).cast("double"))
+        .otherwise(round((lit(4.0) / lit(3.0)) * (lit(1.0) - itemVar / totVar), 6) +
+          lit(0.0)).as("cronbach_alpha"))
+  }
+
   /** Lepage joint location-scale test (#362): did click values shift
     * in MEAN or in SPREAD vs view values? L = z_W² + z_AB² combines
     * the Wilcoxon rank-sum (location, #212's statistic) with the
@@ -1088,5 +1153,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qJonckheere, qLepage, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qLepage, qCronbach, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Binning, Curation, Exact}
@@ -544,6 +545,79 @@ object OpsQueries {
       .orderedSmall(col("decile"))
   }
 
+  /** Daily top-k rank churn (#364): how much does the daily "top-10
+    * users by spend" leaderboard REORDER from one day to the next?
+    * Rank-biased overlap (#353's machinery, p = 9/10) between each
+    * consecutive-day pair — the rank-stability audit behind "did the
+    * ranking pipeline change or did the world?": near-1 RBO day over
+    * day means a stable population, a sudden drop localizes WHEN the
+    * mix shifted (the ranking-level companion of PSI #277, which only
+    * sees score distributions). All exact: per-day top-10 via
+    * day-partitioned ranking windows, pair overlap rows explode to
+    * covered depths (≤10), RBO is the same int64 literal-weight sum;
+    * day pairs with zero overlap still emit (rbo 0) via the day-grid
+    * left join.
+    */
+  val qRankChurn = GateQuery.sql(
+    "q_rank_churn", {
+      val w9 = (1 to 10).map(d => s"WHEN $d THEN ${math.pow(9, d - 1).toLong}")
+        .mkString(" ")
+      val dn = (1 to 10).map(d => s"WHEN $d THEN ${math.pow(10, d).toLong * d}")
+        .mkString(" ")
+      s"""WITH u AS (SELECT xs // 86400 AS day, user_id,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS spend
+         |  FROM $E e GROUP BY 1, 2),
+         |t AS (SELECT day, user_id,
+         |    CAST(row_number() OVER (PARTITION BY day
+         |      ORDER BY spend DESC, user_id) AS BIGINT) AS rk
+         |  FROM u QUALIFY rk <= 10),
+         |dd AS (SELECT a.day AS day FROM (SELECT DISTINCT day FROM t) a
+         |  JOIN (SELECT DISTINCT day FROM t) b ON b.day = a.day + 1),
+         |j AS (SELECT l1.day AS day, greatest(l1.rk, l2.rk) AS m
+         |  FROM t l1 JOIN t l2 ON l2.day = l1.day + 1 AND l2.user_id = l1.user_id),
+         |jd AS (SELECT day, unnest(generate_series(m, 10)) AS d FROM j),
+         |ad AS (SELECT day, d, CAST(count(*) AS BIGINT) AS a FROM jd GROUP BY 1, 2),
+         |r AS (SELECT day,
+         |    CAST(sum((a * (CASE d $w9 END) * 1000000) // (CASE d $dn END)) AS BIGINT)
+         |      AS rbo_micro,
+         |    CAST(max(CASE WHEN d = 10 THEN a ELSE 0 END) AS BIGINT) AS overlap10
+         |  FROM ad GROUP BY 1)
+         |SELECT dd.day AS day, coalesce(r.overlap10, 0) AS overlap10,
+         |  coalesce(r.rbo_micro, 0) AS rbo_micro
+         |FROM dd LEFT JOIN r ON r.day = dd.day
+         |ORDER BY day""".stripMargin
+    }) { (s, d) =>
+    val u = ev(s, d)
+      .groupBy(Binning.floorDiv(col("xs"), 86400L).as("day"), col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("spend"))
+    val t = u.withColumn("rk",
+        row_number().over(Window.partitionBy(col("day"))
+          .orderBy(col("spend").desc, col("user_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("day"), col("user_id"), col("rk"))
+    val days = t.select(col("day")).distinct()
+    val dd = days.as("a").join(days.as("b"), col("b.day") === col("a.day") + 1)
+      .select(col("a.day").as("day"))
+    val j = t.as("l1").join(t.as("l2"),
+        col("l2.day") === col("l1.day") + 1 && col("l2.user_id") === col("l1.user_id"))
+      .select(col("l1.day").as("day"), greatest(col("l1.rk"), col("l2.rk")).as("m"))
+    val jd = j.select(col("day"), explode(sequence(col("m"), lit(10L))).as("d"))
+    def w9C(dc: Column): Column = (1 to 10).foldLeft(lit(0L): Column)((acc, x) =>
+      when(dc === x, lit(math.pow(9, x - 1).toLong)).otherwise(acc))
+    def dnC(dc: Column): Column = (1 to 10).foldLeft(lit(1L): Column)((acc, x) =>
+      when(dc === x, lit(math.pow(10, x).toLong * x)).otherwise(acc))
+    val r = jd.groupBy(col("day"), col("d"))
+      .agg(count(lit(1)).cast("long").as("a"))
+      .groupBy(col("day"))
+      .agg(sum(Binning.floorDivCol(col("a") * w9C(col("d")) * lit(1000000L),
+          dnC(col("d")))).cast("long").as("rbo_micro"),
+        max(when(col("d") === 10, col("a")).otherwise(0L)).cast("long").as("overlap10"))
+    dd.join(r, Seq("day"), "left")
+      .select(col("day"), coalesce(col("overlap10"), lit(0L)).as("overlap10"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+      .orderedSmall(col("day"))
+  }
+
   /** Qini / uplift curve (#346): the treatment-effect counterpart of
     * the gains table (#281) — rank users by a targeting score, then
     * at each decile measure INCREMENTAL conversions over control:
@@ -1072,7 +1146,7 @@ object OpsQueries {
   }
 
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
-    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains, qQini,
+    qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains, qQini, qRankChurn,
     qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey,
     qCohortLtv, qEss)
 }

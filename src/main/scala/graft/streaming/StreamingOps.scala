@@ -497,6 +497,36 @@ object StreamingOps {
       }
   }
 
+  /** Streaming VaR-exception (Kupiec) monitor (#363) — the live
+    * counterpart of the batch POF backtest (#360): against a
+    * batch-calibrated VaR threshold (a LITERAL, like every deployed
+    * risk/alert limit), each event-time window reports its exception
+    * count, rate, and the one-window Kupiec LR term — the running
+    * evidence that the threshold is mis-calibrated, long before the
+    * quarterly backtest would say so. Stateless windowed conditional
+    * aggregate (two counters per window); the LR closed form is the
+    * batch gate's formula per window, with x=0/x=N terms zeroed the
+    * same way.
+    */
+  def varExceptionStream(values: DataFrame, timeCol: String, valueCol: String,
+                         varThreshold: Long, pExpected: Double,
+                         windowDur: String, watermarkDelay: String): DataFrame = {
+    val agg = values.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(valueCol) > varThreshold, 1)).as("x"))
+    val rate = col("x").cast("double") / col("n")
+    agg.select(col("window.start").as("win_start"), col("n"), col("x"),
+      graft.operators.Binning.floorDivCol(col("x") * lit(1000000L), col("n"))
+        .as("exception_rate_ppm"),
+      round(lit(2.0) * (
+        when(col("x") === 0, lit(0.0)).otherwise(col("x") * log(rate)) +
+        when(col("x") === col("n"), lit(0.0))
+          .otherwise((col("n") - col("x")) * log(lit(1.0) - rate)) -
+        col("x") * log(lit(pExpected)) -
+        (col("n") - col("x")) * log(lit(1.0 - pExpected))), 4).as("lr_pof"))
+  }
+
   /** Streaming uplift monitor (#358) — the live counterpart of the
     * Qini gate (#346): per tumbling event-time window, the
     * treatment−control conversion-rate delta in exact ppm, with arms

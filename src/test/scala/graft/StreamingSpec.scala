@@ -206,6 +206,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("var-exception monitor: per-window exception rate and Kupiec term") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val mon = StreamingOps.varExceptionStream(
+      input.toDF().toDF("ts", "v"), "ts", "v",
+      varThreshold = 100L, pExpected = 0.25, "1 minute", "10 seconds")
+    val q = mon.writeStream.format("memory").queryName("varmon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1: 1 of 4 readings exceeds 100 -> rate 250000 ppm, LR = 0
+      input.addData((ts(1), 50L), (ts(2), 150L), (ts(3), 80L), (ts(4), 99L))
+      q.processAllAvailable()
+      input.addData((ts(200), 1L)) // advance watermark
+      q.processAllAvailable()
+      val r = spark.table("varmon").collect()
+        .filter(_.getAs[Timestamp]("win_start").getTime == (1200 + 0) * 1000L)
+      assert(r.length == 1)
+      assert(r.head.getAs[Long]("exception_rate_ppm") == 250000L)
+      assert(math.abs(r.head.getAs[Double]("lr_pof")) < 1e-9,
+        s"LR should be 0 at the expected rate, got ${r.head.getAs[Double]("lr_pof")}")
+    } finally q.stop()
+  }
+
   test("uplift monitor: exact ppm rate delta per window, empty arm yields null") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
