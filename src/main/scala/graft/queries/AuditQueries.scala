@@ -759,6 +759,62 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Seasonal Sen's slope (#367): the MAGNITUDE companion of the
+    * seasonal MK test (#365) — the median of all within-season
+    * pairwise slopes (y₂−y₁)/(d₂−d₁) (Sen 1968 / Hirsch & Slack
+    * 1984), robust to outliers and the hour-of-day cycle alike;
+    * answers "HOW FAST is spend drifting per day" where #365 only
+    * answers whether. Same bounded (type, hour)-keyed day-pair
+    * equi-join as #365; each slope quantized to exact micro
+    * cents/day by floor division (deterministic total order — no
+    * cross-multiplied rational comparisons), then the LO-median is
+    * the #251 pinned rule (smallest value with 2·cum ≥ n) over the
+    * VALUE-COLLAPSED slope grid.
+    */
+  val qSenSlope = GateQuery.sql(
+    "q_sen_slope",
+    s"""WITH g AS (SELECT event_type, xs // 86400 AS day,
+       |    (xs // 3600) % 24 AS hod, CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2, 3),
+       |p AS (SELECT a.event_type AS event_type,
+       |    CASE WHEN b.y - a.y >= 0 THEN ((b.y - a.y) * 1000000) // (b.day - a.day)
+       |      ELSE -(((a.y - b.y) * 1000000) // (b.day - a.day)) END AS sl
+       |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.hod = b.hod
+       |    AND a.day < b.day),
+       |v AS (SELECT event_type, sl, count(*) AS cnt FROM p GROUP BY 1, 2),
+       |w AS (SELECT event_type, sl, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY sl) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM v)
+       |SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_slopes,
+       |  CAST(min(sl) AS BIGINT) AS sen_slope_micro
+       |FROM w WHERE 2 * cum >= n GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d).groupBy(col("event_type"),
+        Binning.floorDiv(col("xs"), 86400L).as("day"),
+        pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)).as("hod"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val ga = g.select(col("event_type"), col("hod"), col("day").as("da"), col("y").as("ya"))
+    val gb = g.select(col("event_type"), col("hod"), col("day").as("db"), col("y").as("yb"))
+    val dy = col("yb") - col("ya")
+    val dd = col("db") - col("da")
+    val p = ga.join(gb, Seq("event_type", "hod")).filter(col("da") < col("db"))
+      .select(col("event_type"),
+        when(dy >= 0, Binning.floorDivCol(dy * lit(1000000L), dd))
+          .otherwise(-Binning.floorDivCol((col("ya") - col("yb")) * lit(1000000L), dd))
+          .as("sl"))
+    val v = p.groupBy(col("event_type"), col("sl")).agg(count(lit(1)).as("cnt"))
+    val w = v
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("sl"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    w.filter(lit(2L) * col("cum") >= col("n"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).cast("long").as("n_slopes"),
+        min(col("sl")).cast("long").as("sen_slope_micro"))
+      .orderedSmall(col("event_type"))
+  }
+
   /** Brown–Forsythe / Levene variance-homogeneity test (#251): the
     * one-way ANOVA F statistic (#211's exact micro-integer
     * decomposition, reused verbatim) applied to z = |x − med_g| with
@@ -2127,7 +2183,7 @@ object AuditQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qTriangles, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qLevene, qJsd, qSimpson,
+    qTriangles, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qSenSlope, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,

@@ -364,6 +364,126 @@ object EvalQueries {
           lit(0.0)).as("cronbach_alpha"))
   }
 
+  /** Split-half reliability with Spearman–Brown step-up (#368): the
+    * oldest reliability design (Spearman 1910, Brown 1910) — split
+    * each user's spend into odd-hour and even-hour halves, correlate
+    * the halves across users, and step up r to full-length
+    * reliability 2r/(1+r). Read next to Cronbach's alpha (#366):
+    * alpha IS the mean of all split-half coefficients, so a
+    * particular split far from alpha flags an items-structure
+    * problem. Users collapse to one (odd, even) cents row; Pearson r
+    * from five decimal-lifted exact sums; r and the step-up mirrored
+    * doubles; degenerate halves → NULL.
+    */
+  val qSplitHalf = GateQuery.sql(
+    "q_split_half",
+    s"""WITH u AS (SELECT user_id,
+       |    coalesce(sum(${centsSql("vd")}) FILTER ((xs // 3600) % 2 = 1), 0) AS o,
+       |    coalesce(sum(${centsSql("vd")}) FILTER ((xs // 3600) % 2 = 0), 0) AS ev
+       |  FROM $E t GROUP BY user_id),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(o) AS BIGINT) AS so, CAST(sum(ev) AS BIGINT) AS se,
+       |    CAST(sum(CAST(o AS HUGEINT) * o) AS HUGEINT) AS qo,
+       |    CAST(sum(CAST(ev AS HUGEINT) * ev) AS HUGEINT) AS qe,
+       |    CAST(sum(CAST(o AS HUGEINT) * ev) AS HUGEINT) AS x
+       |  FROM u),
+       |r AS (SELECT n,
+       |    CASE WHEN CAST(n AS HUGEINT) * qo = CAST(so AS HUGEINT) * so
+       |        OR CAST(n AS HUGEINT) * qe = CAST(se AS HUGEINT) * se THEN NULL
+       |      ELSE CAST(n * x - CAST(so AS HUGEINT) * se AS DOUBLE)
+       |        / sqrt(CAST(n * qo - CAST(so AS HUGEINT) * so AS DOUBLE)
+       |          * CAST(n * qe - CAST(se AS HUGEINT) * se AS DOUBLE))
+       |    END AS r
+       |  FROM a)
+       |SELECT n AS n_users, round(r, 6) + 0.0 AS r_half,
+       |  CASE WHEN r IS NULL OR 1.0 + r = 0.0 THEN NULL
+       |    ELSE round(2.0 * r / (1.0 + r), 6) + 0.0 END AS spearman_brown
+       |FROM r""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      coalesce(Exact.sumUnits(when(pmod(Binning.floorDiv(col("xs"), 3600L), lit(2L)) === 1,
+        Exact.cents(col("vd")))).cast("long"), lit(0L)).as("o"),
+      coalesce(Exact.sumUnits(when(pmod(Binning.floorDiv(col("xs"), 3600L), lit(2L)) === 0,
+        Exact.cents(col("vd")))).cast("long"), lit(0L)).as("ev"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val a = u.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("o")).cast("long").as("so"), sum(col("ev")).cast("long").as("se"),
+      sum(dec(col("o")) * col("o")).cast("decimal(38,0)").as("qo"),
+      sum(dec(col("ev")) * col("ev")).cast("decimal(38,0)").as("qe"),
+      sum(dec(col("o")) * col("ev")).cast("decimal(38,0)").as("x"))
+    val rr = when(dec(col("n")) * col("qo") === dec(col("so")) * col("so") ||
+        dec(col("n")) * col("qe") === dec(col("se")) * col("se"),
+        lit(null).cast("double"))
+      .otherwise((dec(col("n")) * col("x") - dec(col("so")) * col("se")).cast("double") /
+        sqrt((dec(col("n")) * col("qo") - dec(col("so")) * col("so")).cast("double") *
+          (dec(col("n")) * col("qe") - dec(col("se")) * col("se")).cast("double")))
+    val r = a.select(col("n"), rr.as("r"))
+    r.select(col("n").as("n_users"), (round(col("r"), 6) + lit(0.0)).as("r_half"),
+      when(col("r").isNull || lit(1.0) + col("r") === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * col("r") / (lit(1.0) + col("r")), 6) + lit(0.0))
+        .as("spearman_brown"))
+  }
+
+  /** Bland–Altman agreement analysis (#369): do two measurement
+    * methods of document length — raw characters vs a 6·words proxy —
+    * agree well enough to interchange? (Bland & Altman 1986 — THE
+    * method-comparison standard; correlation alone cannot answer it,
+    * two methods can correlate 0.99 and still disagree by half a
+    * scale.) Bias = mean difference, limits of agreement = bias ±
+    * 1.96·sd(diff), plus the share of docs inside the limits
+    * (two-pass: the limits ride a 1-row broadcast). Differences are
+    * exact integers; bias/LoA mirrored doubles; the inside-share an
+    * exact ppm count against micro-floored limits.
+    */
+  val qBlandAltman = GateQuery.sql(
+    "q_bland_altman",
+    """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS m1,
+      |    6 * CAST(len(string_split(text, ' ')) AS BIGINT) AS m2
+      |  FROM documents),
+      |d AS (SELECT doc_id, m1 - m2 AS df FROM t),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(df) AS BIGINT) AS s,
+      |    CAST(sum(CAST(df AS HUGEINT) * df) AS HUGEINT) AS q
+      |  FROM d),
+      |l AS (SELECT n, s, q,
+      |    CAST(s AS DOUBLE) / n AS bias,
+      |    sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS sd
+      |  FROM a WHERE n > 1),
+      |lim AS (SELECT n, bias, sd,
+      |    CAST(floor((bias - 1.96 * sd) * 1000000) AS BIGINT) AS lo_micro,
+      |    CAST(floor((bias + 1.96 * sd) * 1000000) AS BIGINT) AS hi_micro
+      |  FROM l),
+      |c AS (SELECT CAST(sum(CASE WHEN df * 1000000 >= lo_micro
+      |      AND df * 1000000 <= hi_micro THEN 1 ELSE 0 END) AS BIGINT) AS inside
+      |  FROM d, lim)
+      |SELECT n AS n_docs, round(bias, 4) + 0.0 AS bias,
+      |  round(sd, 4) + 0.0 AS sd_diff, lo_micro, hi_micro,
+      |  (inside * 1000000) // n AS inside_ppm
+      |FROM lim, c""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      col("n_chars").cast("long").as("m1"),
+      (lit(6L) * size(split(col("text"), " "))).cast("long").as("m2"))
+    val dd = t.select(col("doc_id"), (col("m1") - col("m2")).as("df"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val a = dd.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("df")).cast("long").as("s"),
+      sum(dec(col("df")) * col("df")).cast("decimal(38,0)").as("q"))
+    val l = a.filter(col("n") > 1).select(col("n"), col("s"), col("q"),
+      (col("s").cast("double") / col("n")).as("bias"),
+      sqrt((col("q").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+        (col("n") - 1)).as("sd"))
+    val lim = l.select(col("n"), col("bias"), col("sd"),
+      floor((col("bias") - lit(1.96) * col("sd")) * lit(1000000L)).cast("long").as("lo_micro"),
+      floor((col("bias") + lit(1.96) * col("sd")) * lit(1000000L)).cast("long").as("hi_micro"))
+    val c = Curation.withStats(dd, lim)
+      .agg(sum(when(col("df") * lit(1000000L) >= col("lo_micro") &&
+        col("df") * lit(1000000L) <= col("hi_micro"), 1L).otherwise(0L))
+        .cast("long").as("inside"))
+    Curation.withStats(lim, c)
+      .select(col("n").as("n_docs"), (round(col("bias"), 4) + lit(0.0)).as("bias"),
+        (round(col("sd"), 4) + lit(0.0)).as("sd_diff"),
+        col("lo_micro"), col("hi_micro"),
+        Binning.floorDivCol(col("inside") * lit(1000000L), col("n")).as("inside_ppm"))
+  }
+
   /** Lepage joint location-scale test (#362): did click values shift
     * in MEAN or in SPREAD vs view values? L = z_W² + z_AB² combines
     * the Wilcoxon rank-sum (location, #212's statistic) with the
@@ -1153,5 +1273,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qJonckheere, qLepage, qCronbach, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qLepage, qCronbach, qSplitHalf, qBlandAltman, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }
