@@ -299,6 +299,103 @@ object EvalQueries {
           col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
   }
 
+  /** Two-way ANOVA by unweighted means (#370): cohort × day-part
+    * main effects AND their interaction on spend — the factorial
+    * upgrade of #211's one-way decomposition (Yates 1934's
+    * unweighted-means analysis for mildly unbalanced cells; the
+    * interaction F is the "does the daily pattern DIFFER by cohort"
+    * question no pair of one-way ANOVAs can ask). Exactness: cell
+    * means are HALF_UP micro integers, so row/column/grand mean
+    * deviations become EXACT integer contrasts (da = 4·Σ_row −
+    * Σ_all, scaled ×16) and the three between sums of squares are
+    * exact integer sums P = Σd² (decimal-lifted); SS_W is the #211
+    * micro-scaled exact within decomposition; the harmonic cell size
+    * uses pico-floored reciprocals (order-free integer sum). Only
+    * the final F ratios are mirrored doubles with explicit scale
+    * constants. Incomplete 16-cell designs emit zero rows on both
+    * engines by the exact cell-count predicate.
+    */
+  val qTwowayAnova = GateQuery.sql(
+    "q_twoway_anova",
+    s"""WITH e AS (SELECT user_id % 4 AS a, ((xs // 3600) % 24) // 6 AS b,
+       |    ${centsSql("vd")} AS c FROM $E t),
+       |cl AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab,
+       |    CAST(sum(c) AS BIGINT) AS s_ab,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_ab
+       |  FROM e GROUP BY 1, 2),
+       |m AS (SELECT a, b, n_ab, s_ab, q_ab,
+       |    (2 * CAST(s_ab AS HUGEINT) * 1000000 + n_ab) // (2 * n_ab) AS m_micro,
+       |    (q_ab * 1000000 - (CAST(s_ab AS HUGEINT) * s_ab * 1000000) // n_ab) AS w_micro,
+       |    1000000000000 // n_ab AS r_pico
+       |  FROM cl),
+       |w AS (SELECT a, b, n_ab, m_micro, w_micro, r_pico,
+       |    CAST(sum(m_micro) OVER (PARTITION BY a) AS BIGINT) AS sa_q,
+       |    CAST(sum(m_micro) OVER (PARTITION BY b) AS BIGINT) AS sb_q,
+       |    CAST(sum(m_micro) OVER () AS BIGINT) AS tot_q,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_cells
+       |  FROM m),
+       |s AS (SELECT any_value(n_cells) AS n_cells,
+       |    CAST(sum(n_ab) AS BIGINT) AS n,
+       |    CAST(sum(CAST(4 * sa_q - tot_q AS HUGEINT) * (4 * sa_q - tot_q)) AS HUGEINT) AS pa,
+       |    CAST(sum(CAST(4 * sb_q - tot_q AS HUGEINT) * (4 * sb_q - tot_q)) AS HUGEINT) AS pb,
+       |    CAST(sum(CAST(16 * m_micro - 4 * sa_q - 4 * sb_q + tot_q AS HUGEINT)
+       |      * (16 * m_micro - 4 * sa_q - 4 * sb_q + tot_q)) AS HUGEINT) AS pab,
+       |    CAST(sum(w_micro) AS HUGEINT) AS ssw,
+       |    CAST(sum(r_pico) AS BIGINT) AS rsum
+       |  FROM w),
+       |f AS (SELECT n, pa, pb, pab, ssw, rsum,
+       |    16.0 * 1000000000000 / rsum AS nh,
+       |    CAST(ssw AS DOUBLE) / (n - 16) AS msw
+       |  FROM s WHERE n_cells = 16 AND n > 16 AND ssw > 0)
+       |SELECT n AS n_events, round(nh, 4) + 0.0 AS n_harmonic,
+       |  round((CAST(pa AS DOUBLE) * nh / (1024.0 * 3.0)) / (msw * 1000000.0), 4) + 0.0 AS f_a,
+       |  round((CAST(pb AS DOUBLE) * nh / (1024.0 * 3.0)) / (msw * 1000000.0), 4) + 0.0 AS f_b,
+       |  round((CAST(pab AS DOUBLE) * nh / (256.0 * 9.0)) / (msw * 1000000.0), 4) + 0.0 AS f_ab
+       |FROM f""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(pmod(col("user_id"), lit(4L)).as("a"),
+      Binning.floorDiv(pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)), 6L).as("b"),
+      Exact.cents(col("vd")).as("c"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val cl = e.groupBy(col("a"), col("b")).agg(
+      count(lit(1)).cast("long").as("n_ab"),
+      sum(col("c")).cast("long").as("s_ab"),
+      sum(dec(col("c")) * col("c")).cast("decimal(38,0)").as("q_ab"))
+    val m = cl.select(col("a"), col("b"), col("n_ab"), col("s_ab"), col("q_ab"),
+      Exact.floorDivBig(lit(2L) * dec(col("s_ab")) * lit(1000000L) + col("n_ab"),
+        lit(2L) * col("n_ab")).cast("long").as("m_micro"),
+      (col("q_ab") * lit(1000000L) -
+        Exact.floorDivBig(dec(col("s_ab")) * col("s_ab") * lit(1000000L), col("n_ab")))
+        .as("w_micro"),
+      Binning.floorDivCol(lit(1000000000000L), col("n_ab")).as("r_pico"))
+    val w = m
+      .withColumn("sa_q", sum(col("m_micro")).over(Window.partitionBy(col("a"))).cast("long"))
+      .withColumn("sb_q", sum(col("m_micro")).over(Window.partitionBy(col("b"))).cast("long"))
+      .withColumn("tot_q", sum(col("m_micro")).over(Window.partitionBy()).cast("long"))
+      .withColumn("n_cells", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    val da = lit(4L) * col("sa_q") - col("tot_q")
+    val db = lit(4L) * col("sb_q") - col("tot_q")
+    val dab = lit(16L) * col("m_micro") - lit(4L) * col("sa_q") -
+      lit(4L) * col("sb_q") + col("tot_q")
+    val st = w.agg(first(col("n_cells")).as("n_cells"),
+      sum(col("n_ab")).cast("long").as("n"),
+      sum(dec(da) * da).cast("decimal(38,0)").as("pa"),
+      sum(dec(db) * db).cast("decimal(38,0)").as("pb"),
+      sum(dec(dab) * dab).cast("decimal(38,0)").as("pab"),
+      sum(col("w_micro")).cast("decimal(38,0)").as("ssw"),
+      sum(col("r_pico")).cast("long").as("rsum"))
+    val f = st.filter(col("n_cells") === 16 && col("n") > 16 && col("ssw") > 0)
+      .select(col("n"), col("pa"), col("pb"), col("pab"), col("ssw"), col("rsum"),
+        (lit(16.0) * lit(1000000000000L) / col("rsum")).as("nh"),
+        (col("ssw").cast("double") / (col("n") - 16)).as("msw"))
+    f.select(col("n").as("n_events"), (round(col("nh"), 4) + lit(0.0)).as("n_harmonic"),
+      (round((col("pa").cast("double") * col("nh") / (lit(1024.0) * lit(3.0))) /
+        (col("msw") * lit(1000000.0)), 4) + lit(0.0)).as("f_a"),
+      (round((col("pb").cast("double") * col("nh") / (lit(1024.0) * lit(3.0))) /
+        (col("msw") * lit(1000000.0)), 4) + lit(0.0)).as("f_b"),
+      (round((col("pab").cast("double") * col("nh") / (lit(256.0) * lit(9.0))) /
+        (col("msw") * lit(1000000.0)), 4) + lit(0.0)).as("f_ab"))
+  }
+
   /** Cronbach's alpha (#366): internal-consistency reliability of
     * the four day-part spend "items" per user — do the bands measure
     * ONE underlying engagement trait (Cronbach 1951)? The
@@ -1273,5 +1370,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qJonckheere, qLepage, qCronbach, qSplitHalf, qBlandAltman, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qLepage, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }
