@@ -1535,11 +1535,64 @@ object CurationQueries {
       .orderedSmall(col("source_a"), col("source_b"))
   }
 
+  /** Source-concentration audit: HHI + effective source count
+    * (#371) — is the corpus really "diverse" or is it three crawls
+    * in a trench coat? The Herfindahl–Hirschman index Σsᵢ² (the
+    * antitrust concentration standard) over token shares, its
+    * inverse 1/HHI = the EFFECTIVE number of equally-sized sources
+    * (Hill-number order 2 — the robust companion of Simpson #253,
+    * here by TOKENS not docs), and the top-1/top-3 shares. One
+    * aggregate to per-source token counts, exact ppm shares, HHI as
+    * an exact decimal-lifted Σshare² in ppm² units, effective count
+    * one exact floor division; the top-3 sum rides a bounded
+    * rank window over the source relation.
+    */
+  val qSourceHhi = GateQuery.sql(
+    "q_source_hhi",
+    """WITH toks AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
+      |s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |t AS (SELECT source, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
+      |    CAST(row_number() OVER (ORDER BY n DESC, source) AS BIGINT) AS rk
+      |  FROM s),
+      |p AS (SELECT source, n, tot, rk, (n * 1000000) // tot AS share_ppm FROM t),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS k, any_value(tot) AS tot,
+      |    CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm) AS BIGINT) AS hhi_ppm2,
+      |    CAST(sum(CASE WHEN rk = 1 THEN share_ppm ELSE 0 END) AS BIGINT) AS top1_ppm,
+      |    CAST(sum(CASE WHEN rk <= 3 THEN share_ppm ELSE 0 END) AS BIGINT) AS top3_ppm
+      |  FROM p)
+      |SELECT k AS n_sources, CAST(tot AS BIGINT) AS n_tokens, hhi_ppm2,
+      |  top1_ppm, top3_ppm,
+      |  CASE WHEN hhi_ppm2 = 0 THEN NULL
+      |    ELSE (1000000000000 * 1000) // hhi_ppm2 END AS effective_sources_milli
+      |FROM a""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("source"),
+      size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("nt"))
+    val sdf = toks.groupBy(col("source")).agg(sum(col("nt")).cast("long").as("n"))
+    val t = sdf
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("source")))
+        .cast("long"))
+    val p = t.select(col("source"), col("n"), col("tot"), col("rk"),
+      Binning.floorDivCol(col("n") * lit(1000000L), col("tot")).as("share_ppm"))
+    val a = p.agg(count(lit(1)).cast("long").as("k"), first(col("tot")).as("tot"),
+      sum(col("share_ppm").cast("decimal(38,0)") * col("share_ppm"))
+        .cast("long").as("hhi_ppm2"),
+      sum(when(col("rk") === 1, col("share_ppm")).otherwise(0L)).cast("long").as("top1_ppm"),
+      sum(when(col("rk") <= 3, col("share_ppm")).otherwise(0L)).cast("long").as("top3_ppm"))
+    a.select(col("k").as("n_sources"), col("tot").cast("long").as("n_tokens"),
+      col("hhi_ppm2"), col("top1_ppm"), col("top3_ppm"),
+      when(col("hhi_ppm2") === 0, lit(null).cast("long"))
+        .otherwise(Binning.floorDivCol(lit(1000000000000L) * lit(1000L),
+          col("hhi_ppm2"))).as("effective_sources_milli"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
-      qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta)
+      qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi)
 }
