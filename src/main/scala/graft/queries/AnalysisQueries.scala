@@ -1033,6 +1033,55 @@ object AnalysisQueries {
     * overflowing decimal(38,0)/HUGEINT only past ~3e6 vectors —
     * loudly, on both engines) rather than diff²·1e6 (~1e5 vectors).
     */
+  /** Behavioral-regularity entropy (#373): per cohort, how
+    * ROUTINE-DRIVEN are users' hour-of-day activity profiles? Each
+    * user's hod distribution gets the exact-integer Shannon entropy
+    * H = ln n − (Σ c·ln c)/n in micro-nats (0 = always the same hour,
+    * ln 24 ≈ 3.178 = uniform) — the behavioral counterpart of the
+    * per-document entropy (#142), and the bot/automation screen: a
+    * "user" with near-zero hour entropy at high volume is a cron
+    * job. Each ln is micro-floored BEFORE the per-user sum (exact,
+    * order-free); cohort summaries are HALF_UP exact ratios and
+    * integer extremes. Shape: one (user, hod) count, one per-user
+    * fold, one cohort aggregate.
+    */
+  val qHourEntropy = GateQuery.sql(
+    "q_hour_entropy",
+    s"""WITH e AS (SELECT user_id, user_id % 8 AS g,
+       |    (xs // 3600) % 24 AS hod FROM $E t),
+       |c AS (SELECT user_id, any_value(g) AS g, hod,
+       |    CAST(count(*) AS BIGINT) AS c FROM e GROUP BY user_id, hod),
+       |u AS (SELECT user_id, any_value(g) AS g, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS b
+       |  FROM c GROUP BY user_id),
+       |h AS (SELECT user_id, g, n,
+       |    CAST(floor(ln(n) * 1000000) AS BIGINT) - b // n AS e_micro
+       |  FROM u)
+       |SELECT g, CAST(count(*) AS BIGINT) AS n_users,
+       |  (2 * CAST(sum(e_micro) AS BIGINT) + count(*)) // (2 * count(*)) AS avg_entropy_micro,
+       |  CAST(min(e_micro) AS BIGINT) AS min_entropy_micro,
+       |  CAST(max(e_micro) AS BIGINT) AS max_entropy_micro
+       |FROM h GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).select(col("user_id"), pmod(col("user_id"), lit(8L)).as("g"),
+      pmod(Binning.floorDiv(col("xs"), 3600L), lit(24L)).as("hod"))
+    val c = e.groupBy(col("user_id"), col("hod"))
+      .agg(first(col("g")).as("g"), count(lit(1)).cast("long").as("c"))
+    val u = c.groupBy(col("user_id"))
+      .agg(first(col("g")).as("g"), sum(col("c")).cast("long").as("n"),
+        sum(col("c") * floor(log(col("c")) * lit(1000000L)).cast("long"))
+          .cast("long").as("b"))
+    val h = u.select(col("user_id"), col("g"), col("n"),
+      (floor(log(col("n")) * lit(1000000L)).cast("long") -
+        Binning.floorDivCol(col("b"), col("n"))).as("e_micro"))
+    h.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        Binning.floorDivCol(lit(2L) * sum(col("e_micro")).cast("long") + count(lit(1)),
+          lit(2L) * count(lit(1))).as("avg_entropy_micro"),
+        min(col("e_micro")).cast("long").as("min_entropy_micro"),
+        max(col("e_micro")).cast("long").as("max_entropy_micro"))
+      .orderedSmall(col("g"))
+  }
+
   /** V-measure (#342): EXTERNAL cluster validation — when ground-truth
     * classes exist, how homogeneous (each cluster one class) and
     * complete (each class one cluster) is a clustering? (Rosenberg &
@@ -1560,6 +1609,6 @@ object AnalysisQueries {
     qScanPipeline, qEventTransitions, qUserPaths, qRollingZscore,
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
-    qWinsorized, qPlatt, qCalinski, qVmeasure, qDaviesBouldin, qSilhouette,
+    qWinsorized, qPlatt, qCalinski, qVmeasure, qHourEntropy, qDaviesBouldin, qSilhouette,
     qSilhouetteSampled, qKmedoids, qDecayFeatures)
 }

@@ -1600,6 +1600,75 @@ object TextQueries {
       .orderedSmall(col("threshold").desc)
   }
 
+  /** Youden's J / KS-separation optimal cutpoint (#372): the
+    * threshold maximizing TPR − FPR over the en-classifier score —
+    * Youden 1950's clinical-cutpoint standard, and numerically THE
+    * "KS statistic" credit scoring reports (max vertical gap between
+    * the two class score CDFs; the decision-oriented companion of
+    * the hypothesis-testing KS #206). Completes the operating-point
+    * family: #357 picks the impurity-optimal split, this picks the
+    * sensitivity+specificity-optimal one — they differ whenever
+    * classes are imbalanced. Exact: cross-scaled gap
+    * d = tp·neg − fp·pos per VALUE-COLLAPSED threshold (the #206
+    * integer-deviation trick — no per-threshold division at all),
+    * argmax via the min-struct idiom, ppm rates only in the output
+    * row.
+    */
+  val qYouden = GateQuery.sql(
+    "q_youden",
+    """WITH d AS (SELECT n_chars AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |v AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+      |  FROM d GROUP BY s),
+      |w AS (SELECT s,
+      |    CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum_n,
+      |    CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+      |    CAST(sum(p) OVER () AS BIGINT) AS pos,
+      |    CAST(sum(c - p) OVER () AS BIGINT) AS neg
+      |  FROM v),
+      |g AS (SELECT s, tp, cum_n - tp AS fp, pos, neg,
+      |    CAST(tp AS HUGEINT) * neg - CAST(cum_n - tp AS HUGEINT) * pos AS d
+      |  FROM w WHERE pos > 0 AND neg > 0),
+      |mx AS (SELECT max(d) AS m FROM g)
+      |SELECT CAST(b[1] AS BIGINT) AS threshold, CAST(b[2] AS BIGINT) AS tp,
+      |  CAST(b[3] AS BIGINT) AS fp, pos AS n_pos, neg AS n_neg,
+      |  (CAST(b[2] AS BIGINT) * 1000000) // pos AS tpr_ppm,
+      |  (CAST(b[3] AS BIGINT) * 1000000) // neg AS fpr_ppm,
+      |  (CAST(b[2] AS BIGINT) * 1000000) // pos
+      |    - (CAST(b[3] AS BIGINT) * 1000000) // neg AS youden_j_ppm
+      |FROM (SELECT min((s, tp, fp)) FILTER (d = m) AS b,
+      |    any_value(pos) AS pos, any_value(neg) AS neg
+      |  FROM g, mx) q""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("n_chars").as("s"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val v = docs.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).cast("long").as("p"))
+    val w = v
+      .withColumn("cum_n", sum(col("c")).over(Window.orderBy(col("s").desc)).cast("long"))
+      .withColumn("tp", sum(col("p")).over(Window.orderBy(col("s").desc)).cast("long"))
+      .withColumn("pos", sum(col("p")).over(Window.partitionBy()).cast("long"))
+      .withColumn("neg", sum(col("c") - col("p")).over(Window.partitionBy()).cast("long"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val g = w.filter(col("pos") > 0 && col("neg") > 0)
+      .select(col("s"), col("tp"), (col("cum_n") - col("tp")).as("fp"),
+        col("pos"), col("neg"),
+        (dec(col("tp")) * col("neg") - dec(col("cum_n") - col("tp")) * col("pos")).as("d"))
+    val mx = g.agg(max(col("d")).as("m"))
+    val best = graft.operators.Curation.withStats(g, mx)
+      .agg(min(when(col("d") === col("m"),
+        struct(col("s"), col("tp"), col("fp")))).as("b"),
+        first(col("pos")).as("pos"), first(col("neg")).as("neg"))
+    best.select(col("b.s").cast("long").as("threshold"),
+      col("b.tp").cast("long").as("tp"), col("b.fp").cast("long").as("fp"),
+      col("pos").as("n_pos"), col("neg").as("n_neg"),
+      Binning.floorDivCol(col("b.tp") * lit(1000000L), col("pos")).as("tpr_ppm"),
+      Binning.floorDivCol(col("b.fp") * lit(1000000L), col("neg")).as("fpr_ppm"),
+      (Binning.floorDivCol(col("b.tp") * lit(1000000L), col("pos")) -
+        Binning.floorDivCol(col("b.fp") * lit(1000000L), col("neg"))).as("youden_j_ppm"))
+  }
+
   /** Gini-impurity best split (#357): the single most informative
     * threshold on a quality signal — CART's split criterion (Breiman
     * et al. 1984) run once over the length→lang='en' pair: for every
@@ -1868,7 +1937,7 @@ object TextQueries {
 
   val all: Seq[GateQuery] = Seq(
     qKfold, qLearningCurve, qCountMin,
-    qAuc, qPrCurve, qGiniSplit, qReliability, qSpearman,
+    qAuc, qPrCurve, qGiniSplit, qYouden, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qKrippendorff, qFingerprint,
     qSimHash, qJaccardPairs, qMinhashPairs, qDupClusters, qCorpusCuration, qCaptureRecapture, qFleissKappa, qIndexCoincidence,
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,

@@ -497,6 +497,37 @@ object StreamingOps {
       }
   }
 
+  final case class HhiDoc(ts: Timestamp, source: String)
+  final case class HhiOut(win_start: Long, n_sources: Int, n_docs: Long,
+                          hhi_ppm2: Long, top1_ppm: Long)
+
+  /** Streaming source-concentration monitor (#374) — the live
+    * counterpart of the HHI audit (#371): per tumbling window, the
+    * Herfindahl index of the incoming doc mix and the top-source
+    * share, updated every micro-batch (Update mode) so a crawl
+    * suddenly dominated by one feed is visible while it happens, not
+    * at the nightly mix audit. State per window = one count per
+    * source — bounded by the SOURCE DOMAIN (not docs), the same
+    * bound the batch gate rides. Shares are exact ppm floor
+    * divisions; HHI the exact Σshare².
+    */
+  def hhiStream(docs: Dataset[HhiDoc], windowSec: Long): Dataset[HhiOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => d.ts.getTime / 1000L / windowSec * windowSec)
+      .flatMapGroupsWithState[Map[String, Long], HhiOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (win: Long, rows: Iterator[HhiDoc], state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { d => m = m.updated(d.source, m.getOrElse(d.source, 0L) + 1L) }
+          state.update(m)
+          val n = m.values.sum
+          val shares = m.values.map(c => c * 1000000L / n)
+          Iterator.single(HhiOut(win, m.size, n,
+            shares.map(s => s * s).sum, if (shares.isEmpty) 0L else shares.max))
+      }
+  }
+
   /** Streaming VaR-exception (Kupiec) monitor (#363) — the live
     * counterpart of the batch POF backtest (#360): against a
     * batch-calibrated VaR threshold (a LITERAL, like every deployed

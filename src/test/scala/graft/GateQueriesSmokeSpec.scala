@@ -80,6 +80,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_scan_stat", // (ct, th) corpus-totals + argmax single-row scalars
     "q_krippendorff", // pooled-marginals (n, nv2) single-row scalar
     "q_gini_split", // (min impurity) argmin single-row scalar
+    "q_youden", // (max gap) argmax single-row scalar (as q_gini_split)
     "q_bland_altman", // (bias, limits) single-row scalars for the two-pass inside share
     "q_vmeasure") // (n) + entropy-total single-row scalars
 

@@ -206,6 +206,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hhi monitor: concentration updates across batches, state carries counts") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.HhiDoc]
+    val mon = StreamingOps.hhiStream(input.toDS(), windowSec = 60L)
+    val q = mon.writeStream.format("memory").queryName("hhimon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: balanced 2-source mix -> HHI = 2 * 500000^2
+      input.addData(StreamingOps.HhiDoc(ts(1), "a"), StreamingOps.HhiDoc(ts(2), "b"))
+      q.processAllAvailable()
+      // batch 2 (same window): two more 'a' docs -> 3/4 vs 1/4
+      input.addData(StreamingOps.HhiDoc(ts(3), "a"), StreamingOps.HhiDoc(ts(4), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("hhimon").collect()
+        .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("hhi_ppm2"),
+          r.getAs[Long]("top1_ppm")))
+      assert(rows.contains((2L, 2L * 500000L * 500000L, 500000L)), s"got ${rows.toSeq}")
+      assert(rows.contains((4L, 750000L * 750000L + 250000L * 250000L, 750000L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("var-exception monitor: per-window exception rate and Kupiec term") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
