@@ -85,7 +85,9 @@ object PlanAudit {
     "q_cochran_q", "q_cohens_d", "q_gk_gamma", "q_fleiss_kappa",
     "q_rbo", "q_page_trend", "q_jonckheere", "q_pr_curve",
     "q_gini_split", "q_index_coincidence", "q_kupiec_pof", "q_mrr",
-    "q_lepage")
+    "q_lepage", "q_rank_churn", "q_seasonal_mk", "q_cronbach",
+    "q_sen_slope", "q_split_half", "q_bland_altman", "q_twoway_anova",
+    "q_source_hhi", "q_youden", "q_hour_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
