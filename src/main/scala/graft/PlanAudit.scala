@@ -87,7 +87,8 @@ object PlanAudit {
     "q_gini_split", "q_index_coincidence", "q_kupiec_pof", "q_mrr",
     "q_lepage", "q_rank_churn", "q_seasonal_mk", "q_cronbach",
     "q_sen_slope", "q_split_half", "q_bland_altman", "q_twoway_anova",
-    "q_source_hhi", "q_youden", "q_hour_entropy")
+    "q_source_hhi", "q_youden", "q_hour_entropy", "q_siegel_tukey",
+    "q_somers_d")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -693,6 +693,124 @@ object EvalQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Siegel–Tukey scale test (#375): the rank-from-the-extremes
+    * two-sample dispersion test (Siegel & Tukey 1960) on the SAME
+    * click-vs-view per-cohort samples as Lepage (#362) — its Ansari
+    * half answers "did spread change?" only jointly with location;
+    * Siegel–Tukey is the standalone scale screen whose ranks are a
+    * PERMUTATION of 1..N, so the whole Wilcoxon machinery applies
+    * unchanged. Scores: alternating extremes (1 → smallest, 2,3 →
+    * two largest, 4,5 → next two smallest, …; the odd-N middle takes
+    * rank N), assigned WITHOUT materializing positions — the
+    * per-value score SUM over a tied run [cum−t+1, cum] is the
+    * closed-form prefix difference T(cum) − T(cum−t) with
+    * T(m) = L(min(m,h)) + mid + G-range (EvalEdgeSpec pins it
+    * against the brute-force alternating assignment, middle and
+    * tie-midrank cases included), so
+    * the grid stays VALUE-COLLAPSED — bounded by distinct cents,
+    * never events. Ties take micro-quantized midranks (the #367
+    * floor-division convention); z is the general permutation-score
+    * form (W − n₁s̄)/√(n₁n₂/(N(N−1))·Σ(s−s̄)²) — exact decimal sums
+    * into ONE mirrored double, degenerate variance → NULL by exact
+    * predicate.
+    */
+  val qSiegelTukey = GateQuery.sql(
+    "q_siegel_tukey",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_type, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type IN ('click', 'view')),
+       |v AS (SELECT g, c,
+       |    count(*) FILTER (event_type = 'click') AS c1,
+       |    count(*) FILTER (event_type = 'view') AS c2
+       |  FROM e GROUP BY g, c),
+       |w AS (SELECT g, c1, c2, c1 + c2 AS t,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cum,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g) AS BIGINT) AS nn
+       |  FROM v),
+       |w2 AS (SELECT g, c1, c2, t, nn, cum - t AS m0, cum AS m1,
+       |    nn // 2 AS h, nn % 2 AS odd FROM w),
+       |w3 AS (SELECT g, c1, c2, t, nn, m0, m1, h, odd,
+       |    least(m1, h) AS k1, least(m0, h) AS k0, nn - h - odd AS jmax FROM w2),
+       |w4 AS (SELECT g, c1, c2, t, nn,
+       |    (k1 * (k1 + 1) - (k1 + 1) // 2
+       |      + CASE WHEN odd = 1 AND m1 >= h + 1 THEN nn ELSE 0 END
+       |      + CASE WHEN m1 >= h + 1 + odd THEN
+       |          (jmax * jmax + (jmax + 1) // 2)
+       |            - ((nn - m1) * (nn - m1) + (nn - m1 + 1) // 2) ELSE 0 END)
+       |    - (k0 * (k0 + 1) - (k0 + 1) // 2
+       |      + CASE WHEN odd = 1 AND m0 >= h + 1 THEN nn ELSE 0 END
+       |      + CASE WHEN m0 >= h + 1 + odd THEN
+       |          (jmax * jmax + (jmax + 1) // 2)
+       |            - ((nn - m0) * (nn - m0) + (nn - m0 + 1) // 2) ELSE 0 END)
+       |    AS sdiff FROM w3),
+       |w5 AS (SELECT g, c1, c2, t, nn,
+       |    (CAST(sdiff AS HUGEINT) * 1000000) // t AS mm FROM w4),
+       |a AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |    any_value(nn) AS nn,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * mm) AS HUGEINT) AS w1,
+       |    CAST(sum(CAST(t AS HUGEINT) * mm) AS HUGEINT) AS sm,
+       |    CAST(sum(CAST(t AS HUGEINT) * mm * mm) AS HUGEINT) AS sq
+       |  FROM w5 GROUP BY g)
+       |SELECT g, n1, n2, CAST(w1 AS BIGINT) AS w1_micro,
+       |  CASE WHEN nn < 2 OR n1 = 0 OR n2 = 0
+       |      OR CAST(nn AS HUGEINT) * sq - sm * sm <= 0 THEN NULL
+       |    ELSE round(
+       |      (CAST(w1 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(nn AS DOUBLE))
+       |      / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       |        * (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))), 4) + 0.0
+       |  END AS z_siegel_tukey
+       |FROM a ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"),
+        Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("g"), col("c")).agg(
+      count(when(col("event_type") === "click", 1)).as("c1"),
+      count(when(col("event_type") === "view", 1)).as("c2"))
+    val w = v.withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum",
+        sum(col("c1") + col("c2"))
+          .over(Window.partitionBy(col("g")).orderBy(col("c"))).cast("long"))
+      .withColumn("nn",
+        sum(col("c1") + col("c2")).over(Window.partitionBy(col("g"))).cast("long"))
+    val w2 = w.select(col("g"), col("c1"), col("c2"), col("t"), col("nn"),
+      (col("cum") - col("t")).as("m0"), col("cum").as("m1"),
+      Binning.floorDiv(col("nn"), 2L).as("h"), pmod(col("nn"), lit(2L)).as("odd"))
+    val w3 = w2
+      .withColumn("k1", least(col("m1"), col("h")))
+      .withColumn("k0", least(col("m0"), col("h")))
+      .withColumn("jmax", col("nn") - col("h") - col("odd"))
+    def tPart(m: Column, k: Column) =
+      (k * (k + 1) - Binning.floorDiv(k + 1, 2L)
+        + when(col("odd") === 1 && m >= col("h") + 1, col("nn")).otherwise(lit(0L))
+        + when(m >= col("h") + 1 + col("odd"),
+          (col("jmax") * col("jmax") + Binning.floorDiv(col("jmax") + 1, 2L))
+            - ((col("nn") - m) * (col("nn") - m)
+              + Binning.floorDiv(col("nn") - m + 1, 2L))).otherwise(lit(0L)))
+    val w4 = w3.select(col("g"), col("c1"), col("c2"), col("t"), col("nn"),
+      (tPart(col("m1"), col("k1")) - tPart(col("m0"), col("k0"))).as("sdiff"))
+    val w5 = w4.withColumn("mm",
+      Exact.floorDivBig(col("sdiff").cast("decimal(38,0)") * lit(1000000L), col("t")))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val a = w5.groupBy(col("g")).agg(
+      sum(col("c1")).cast("long").as("n1"), sum(col("c2")).cast("long").as("n2"),
+      first(col("nn")).as("nn"),
+      sum(dec(col("c1")) * col("mm")).cast("decimal(38,0)").as("w1"),
+      sum(dec(col("t")) * col("mm")).cast("decimal(38,0)").as("sm"),
+      sum(dec(col("t")) * col("mm") * col("mm")).cast("decimal(38,0)").as("sq"))
+    def d2(x: Column) = x.cast("double")
+    a.select(col("g"), col("n1"), col("n2"), col("w1").cast("long").as("w1_micro"),
+        when(col("nn") < 2 || col("n1") === 0 || col("n2") === 0 ||
+            dec(col("nn")) * col("sq") - col("sm") * col("sm") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (d2(col("w1")) - d2(col("n1")) * d2(col("sm")) / d2(col("nn"))) /
+              sqrt(d2(col("n1")) * d2(col("n2")) *
+                (d2(col("sq")) - d2(col("sm")) * d2(col("sm")) / d2(col("nn"))) /
+                (d2(col("nn")) * (d2(col("nn")) - lit(1.0)))), 4) + lit(0.0))
+          .as("z_siegel_tukey"))
+      .orderedSmall(col("g"))
+  }
+
   /** Jonckheere–Terpstra ordered k-sample test (#355): do event
     * values trend UP across the four ordered day-part bands? The
     * independent-sample sibling of Page's L (#354, which needs
@@ -1370,5 +1488,5 @@ object EvalQueries {
 
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qJonckheere, qLepage, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }

@@ -1295,6 +1295,70 @@ object StatsQueries {
           col("c") + col("d"), 0)).as("gamma_ppm"))
   }
 
+  /** Somers' D (#376): the ASYMMETRIC ordinal association completing
+    * the tau-b (#330) / gamma (#351) family off the SAME bounded
+    * hourly-grid pair stage — D_YX = (C−D)/(pairs not tied on X)
+    * treats X as the predictor (ties on the response stay in the
+    * denominator, ties on the predictor drop out), which is why
+    * D_YX is THE ordinal-predictor effect size (and for a binary X
+    * it IS 2·AUC−1, tying it to #175). Reported both directions plus
+    * the identity check τ_b² = D_YX·D_XY. Exact integer counts from
+    * ONE conditional aggregate over the pair product; each D a
+    * signed HALF_UP ppm ratio; zero denominators → NULL by exact
+    * predicate.
+    */
+  val qSomersD = GateQuery.sql(
+    "q_somers_d",
+    s"""WITH g AS (SELECT xs // 3600 AS grid, event_type,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+       |a AS (SELECT grid, coalesce(max(CASE WHEN event_type = 'click' THEN y END), 0) AS x,
+       |    coalesce(max(CASE WHEN event_type = 'view' THEN y END), 0) AS v
+       |  FROM g GROUP BY grid),
+       |p AS (SELECT
+       |    CASE WHEN (b.x - a.x) * (b.v - a.v) > 0 THEN 1 ELSE 0 END AS co,
+       |    CASE WHEN (b.x - a.x) * (b.v - a.v) < 0 THEN 1 ELSE 0 END AS di,
+       |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+       |    CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tv
+       |  FROM a a JOIN a b ON a.grid < b.grid),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(co) AS BIGINT) AS c, CAST(sum(di) AS BIGINT) AS d,
+       |    CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(tv) AS BIGINT) AS n2
+       |  FROM p)
+       |SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+       |  n1 AS ties_x, n2 AS ties_y,
+       |  CASE WHEN n0 = n1 THEN NULL
+       |    ELSE ${Exact.roundedRatioSignedSql("(c - d) * 1000000", "n0 - n1", 0)}
+       |  END AS d_yx_ppm,
+       |  CASE WHEN n0 = n2 THEN NULL
+       |    ELSE ${Exact.roundedRatioSignedSql("(c - d) * 1000000", "n0 - n2", 0)}
+       |  END AS d_xy_ppm
+       |FROM s""".stripMargin) { (s, d) =>
+    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.groupBy(col("grid"))
+      .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
+        coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
+    val a1 = a.select(col("grid").as("g1"), col("x").as("x1"), col("v").as("v1"))
+    val a2 = a.select(col("grid").as("g2"), col("x").as("x2"), col("v").as("v2"))
+    val prod = (col("x2") - col("x1")) * (col("v2") - col("v1"))
+    val p = a1.join(broadcast(a2), col("g1") < col("g2"))
+    val st = p.agg(count(lit(1)).cast("long").as("n0"),
+      Exact.sumUnits(when(prod > 0, 1L).otherwise(0L)).cast("long").as("c"),
+      Exact.sumUnits(when(prod < 0, 1L).otherwise(0L)).cast("long").as("d"),
+      Exact.sumUnits(when(col("x1") === col("x2"), 1L).otherwise(0L)).cast("long").as("n1"),
+      Exact.sumUnits(when(col("v1") === col("v2"), 1L).otherwise(0L)).cast("long").as("n2"))
+    st.select(col("n0").as("n_pairs"), col("c").as("concordant"),
+      col("d").as("discordant"), col("n1").as("ties_x"), col("n2").as("ties_y"),
+      when(col("n0") === col("n1"), lit(null).cast("double"))
+        .otherwise(Exact.roundedRatioSigned((col("c") - col("d")) * lit(1000000L),
+          col("n0") - col("n1"), 0)).as("d_yx_ppm"),
+      when(col("n0") === col("n2"), lit(null).cast("double"))
+        .otherwise(Exact.roundedRatioSigned((col("c") - col("d")) * lit(1000000L),
+          col("n0") - col("n2"), 0)).as("d_xy_ppm"))
+  }
+
   /** Pearson correlation matrix (#193): pairwise correlation of
     * per-user activity counts across event types — the behavioral
     * covariance audit ("do users who click also buy?"). Users
@@ -3295,7 +3359,7 @@ object StatsQueries {
   val all: Seq[GateQuery] = Seq(
     qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
-    qCorrMatrix, qKendall, qGkGamma, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
+    qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,

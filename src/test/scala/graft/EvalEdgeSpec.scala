@@ -413,4 +413,76 @@ class EvalEdgeSpec extends SparkSpec {
       assert(r.getAs[Double]("ci_lo") === 500.0)
     }
   }
+
+  test("siegel-tukey: extremes-in-one-group fixture matches the hand-ranked z") {
+    // N=4 distinct values 100,500,600,900 cents → ST ranks 1,4,3,2;
+    // clicks hold the extremes {100,900} → scores {1,2}, W = 3e6.
+    // z = (3e6 − 2·10e6/4)/sqrt(2·2·(30e12 − 1e14/4)/(4·3)) = −1.549193…
+    val dir = eventsDir(Seq(
+      (0L, 0L, "click", 1.0), (1L, 0L, "click", 9.0),
+      (2L, 0L, "view", 5.0), (3L, 0L, "view", 6.0)))
+    val r = EvalQueries.qSiegelTukey.run(spark, dir).collect()(0)
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2")) === ((2L, 2L)))
+    assert(r.getAs[Long]("w1_micro") === 3000000L)
+    assert(r.getAs[Double]("z_siegel_tukey") === -1.5492)
+  }
+
+  test("siegel-tukey: odd-N middle observation takes rank N") {
+    // N=5: ranks by position are 1,4,5,3,2 — middle (300 cents) = 5.
+    // click = {3.00} → W = 5e6; z = (5e6−3e6)/sqrt(4/20·10e12) = √2.
+    val dir = eventsDir(Seq(
+      (0L, 0L, "view", 1.0), (1L, 0L, "view", 2.0), (2L, 0L, "click", 3.0),
+      (3L, 0L, "view", 4.0), (4L, 0L, "view", 5.0)))
+    val r = EvalQueries.qSiegelTukey.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("w1_micro") === 5000000L)
+    assert(r.getAs[Double]("z_siegel_tukey") === 1.4142)
+  }
+
+  test("siegel-tukey: fully tied samples give midrank scores and NULL z") {
+    // one distinct value, t=3, N=3: T(3)=1+3+2=6 → midrank 2e6 each.
+    val dir = eventsDir(Seq(
+      (0L, 0L, "click", 5.0), (1L, 0L, "view", 5.0), (2L, 0L, "view", 5.0)))
+    val r = EvalQueries.qSiegelTukey.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("w1_micro") === 2000000L)
+    assert(r.isNullAt(r.fieldIndex("z_siegel_tukey")))
+  }
+
+  test("siegel-tukey: tied-run rank sums match the brute-force alternating assignment") {
+    // Mixed ties across both samples, N=13 (odd, middle inside a tied
+    // run): expected W from a literal brute-force ST ranking.
+    val vals = Seq( // (cents value, sample) — 13 observations
+      (100, "click"), (100, "view"), (200, "view"), (300, "click"),
+      (300, "click"), (300, "view"), (400, "view"), (400, "view"),
+      (500, "click"), (500, "view"), (600, "view"), (700, "click"), (700, "view"))
+    val rows = vals.zipWithIndex.map { case ((c, t), i) =>
+      (i.toLong, 0L, t, c / 100.0) }
+    // brute-force: position → ST score (pattern L;HH;LL;HH;…, middle=N)
+    val n = vals.size
+    val seq = scala.collection.mutable.ArrayBuffer[Int]()
+    var lo = 1; var hi = n
+    seq += lo; lo += 1
+    while (lo <= hi) {
+      var k = 0
+      while (k < 2 && hi >= lo) { seq += hi; hi -= 1; k += 1 }
+      k = 0
+      while (k < 2 && lo <= hi) { seq += lo; lo += 1; k += 1 }
+    }
+    val rankOfPos = new Array[Int](n + 1)
+    seq.zipWithIndex.foreach { case (pos, idx) => rankOfPos(pos) = idx + 1 }
+    // value-collapsed micro midranks (floor), then the click sum
+    val sorted = vals.map(_._1).sorted
+    val groups = sorted.distinct
+    var cum = 0
+    var expectedW = 0L
+    groups.foreach { v =>
+      val t = sorted.count(_ == v)
+      val sumSt = (cum + 1 to cum + t).map(rankOfPos).sum.toLong
+      val mm = sumSt * 1000000L / t
+      val c1 = vals.count(x => x._1 == v && x._2 == "click")
+      expectedW += c1 * mm
+      cum += t
+    }
+    val r = EvalQueries.qSiegelTukey.run(spark, eventsDir(rows)).collect()(0)
+    assert(r.getAs[Long]("w1_micro") === expectedW)
+  }
 }

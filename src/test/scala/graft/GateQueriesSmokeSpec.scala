@@ -45,6 +45,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_logrank", // same censoring-horizon scalar + (m1, m0) totals row
     "q_kendall", // calendar-bounded hourly-grid broadcast pair product (as q_w1_drift)
     "q_gk_gamma", // same hourly-grid broadcast pair product as q_kendall
+    "q_somers_d", // same hourly-grid broadcast pair product as q_kendall
     "q_rbo", // composes q_bm25 + q_ql_retrieval single-row stats scalars
     "q_tfidf_terms", // (n_docs) corpus-total single-row scalar
     "q_ks_test", // (n1, n2) sample-size single-row scalar

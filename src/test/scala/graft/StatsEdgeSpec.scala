@@ -560,4 +560,19 @@ class StatsEdgeSpec extends SparkSpec {
       .select("t_stat").as[Double].collect()
     assert(out.toSeq === Seq(0.0))
   }
+
+  test("somers' d: predictor ties drop from D_yx but stay in D_xy") {
+    // hours 0,1,2 → (x, v) = (100,100), (100,200), (200,300):
+    // pairs: (0,1) x-tied v-up, (0,2) concordant, (1,2) concordant
+    // → C=2, D=0, Tx=1, Ty=0; D_yx = 2/2 = 1e6, D_xy = 2/3 → 666667.
+    val rows = Seq(
+      (0L, 0L, "click", 1.0), (1L, 0L, "view", 1.0),
+      (3600L, 0L, "click", 1.0), (3601L, 0L, "view", 2.0),
+      (7200L, 0L, "click", 2.0), (7201L, 0L, "view", 3.0))
+    val r = StatsQueries.qSomersD.run(spark, eventsDir(rows)).collect()(0)
+    assert((r.getAs[Long]("concordant"), r.getAs[Long]("discordant")) === ((2L, 0L)))
+    assert((r.getAs[Long]("ties_x"), r.getAs[Long]("ties_y")) === ((1L, 0L)))
+    assert(r.getAs[Double]("d_yx_ppm") === 1000000.0)
+    assert(r.getAs[Double]("d_xy_ppm") === 666667.0)
+  }
 }
