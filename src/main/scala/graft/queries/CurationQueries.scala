@@ -1588,11 +1588,98 @@ object CurationQueries {
           col("hhi_ppm2"))).as("effective_sources_milli"))
   }
 
+  /** LCP clone detection over sorted suffixes (#377): the
+    * longest-duplicated-span detector — "which exact long passages
+    * recur across documents, and how long do they run?" — the
+    * variable-length companion of fixed-k shingle dedup (#22) and
+    * exact substring dedup (#93), in the suffix-array tradition of
+    * Lee et al. 2021 (arXiv:2107.06499) re-expressed Spark-first:
+    * no global suffix array is ever built. Suffixes are taken at
+    * WORD STARTS (the published granularity), truncated to 64 chars;
+    * clones shorter than the 16-char threshold are out of scope BY
+    * DEFINITION, which is exactly what makes the distributed shape an
+    * equi-shuffle: any clone ≥ 16 chars forces its two suffixes into
+    * the same 16-char-prefix bucket, so neighbor-LCP only ever runs
+    * INSIDE a bucket (partitioned window — never a global sort, never
+    * all-pairs). Per-bucket work is bounded by the 256-suffix hot-
+    * bucket cap (boilerplate guard, the `maxBandDf` convention), the
+    * 49-step prefix-compare fold is a constant per adjacent pair, and
+    * the final top-20 is a TakeOrdered, not a sort. Exact: pure
+    * string ops; the LCP fold is monotone so the fold max equals the
+    * oracle's list_max; equal-but-short suffix inflation is clamped
+    * by least(·, len, len).
+    */
+  val qLcpClones = GateQuery.sql(
+    "q_lcp_clones",
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, text, unnest(ws) AS word,
+      |    generate_subscripts(ws, 1) AS i FROM d),
+      |o AS (SELECT doc_id, text, i,
+      |    CAST(coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM p),
+      |s AS (SELECT doc_id, i, substr(text, CAST(off AS INT) + 1, 64) AS sfx
+      |  FROM o WHERE length(text) - off >= 16),
+      |b AS (SELECT doc_id, i, sfx, substr(sfx, 1, 16) AS bucket FROM s),
+      |c AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS df FROM b),
+      |k AS (SELECT bucket, doc_id, i, sfx,
+      |    lag(sfx) OVER (PARTITION BY bucket ORDER BY sfx, doc_id, i) AS psfx,
+      |    lag(doc_id) OVER (PARTITION BY bucket ORDER BY sfx, doc_id, i) AS pdoc
+      |  FROM c WHERE df <= 256),
+      |l AS (SELECT bucket, doc_id, sfx,
+      |    CASE WHEN psfx IS NOT NULL AND pdoc <> doc_id THEN
+      |      least(list_max(list_filter(range(16, 65),
+      |          j -> substr(sfx, 1, CAST(j AS INT)) = substr(psfx, 1, CAST(j AS INT)))),
+      |        length(sfx), length(psfx))
+      |    END AS lcp
+      |  FROM k),
+      |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_sfx,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(max(lcp) AS BIGINT) AS max_lcp
+      |  FROM l GROUP BY bucket)
+      |SELECT bucket, n_sfx, n_docs, max_lcp FROM g
+      |WHERE n_docs >= 2 AND max_lcp IS NOT NULL
+      |ORDER BY max_lcp DESC, bucket LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    val p = d.select(col("doc_id"), col("text"),
+        posexplode(col("ws")).as(Seq("i0", "word")))
+      .withColumn("i", col("i0") + 1)
+    val wOff = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = p.withColumn("off",
+      coalesce(sum(length(col("word")) + 1).over(wOff), lit(0)).cast("long"))
+    val sx = o.filter(length(col("text")) - col("off") >= 16)
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, CAST(off AS INT) + 1, 64)").as("sfx"))
+    val b = sx.withColumn("bucket", expr("substring(sfx, 1, 16)"))
+    val c = b.withColumn("df", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col("sfx"), col("doc_id"), col("i"))
+    val k = c.filter(col("df") <= 256)
+      .withColumn("psfx", lag(col("sfx"), 1).over(wB))
+      .withColumn("pdoc", lag(col("doc_id"), 1).over(wB))
+    val l = k.select(col("bucket"), col("doc_id"), col("sfx"),
+      expr("""CASE WHEN psfx IS NOT NULL AND pdoc <> doc_id THEN
+        least(aggregate(sequence(16, 64), 16,
+          (acc, j) -> IF(substring(sfx, 1, j) = substring(psfx, 1, j), j, acc)),
+        length(sfx), length(psfx)) END""").as("lcp"))
+    val g = l.groupBy(col("bucket")).agg(
+      count(lit(1)).cast("long").as("n_sfx"),
+      countDistinct(col("doc_id")).cast("long").as("n_docs"),
+      max(col("lcp")).cast("long").as("max_lcp"))
+    g.filter(col("n_docs") >= 2 && col("max_lcp").isNotNull)
+      .orderBy(col("max_lcp").desc, col("bucket"))
+      .limit(20)
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
       qFimSplit, qPplBuckets, qDomainCap, qMadOutliers, qLmKn, qMixTemperature,
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
-      qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi)
+      qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
+      qLcpClones)
 }
