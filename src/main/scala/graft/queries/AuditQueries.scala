@@ -92,6 +92,73 @@ object AuditQueries {
     Graphs.clusteringStats(Graphs.canonicalEdges(pairs))
   }
 
+  /** Degree assortativity (#382, Newman 2002): Pearson correlation
+    * of endpoint degrees over the symmetric edge list of the same
+    * part-co-occurrence graph as #247 — do hub parts co-occur with
+    * hubs (r > 0, social-network-like) or with leaves (r < 0, the
+    * hub-and-spoke catalog shape)? The one-number structure summary
+    * that tells you whether degree-ordered orientation (#247) and
+    * hot-key salting will pay off. One distinct pair stage (shared
+    * shape with #247), one degree aggregate, two equi-joins to tag
+    * endpoint degrees, one moment aggregate; exact decimal sums
+    * (Σd² ≈ M·deg² overflows long at corpus scale); the final r is
+    * one mirrored double from exact integers.
+    */
+  val qAssortativity = GateQuery.sql(
+    "q_assortativity",
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e2 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM e2 GROUP BY 1),
+      |j AS (SELECT du.deg AS dj, dv.deg AS dk FROM e2
+      |  JOIN deg du ON e2.u = du.node JOIN deg dv ON e2.v = dv.node),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(dj) AS HUGEINT) AS sx, CAST(sum(dk) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(dj AS HUGEINT) * dj) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(dk AS HUGEINT) * dk) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(dj AS HUGEINT) * dk) AS HUGEINT) AS sxy
+      |  FROM j),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+      |SELECT nn.n_nodes, a.m AS n_edges_directed,
+      |  CASE WHEN a.m * a.sxx - a.sx * a.sx > 0
+      |      AND a.m * a.syy - a.sy * a.sy > 0 THEN
+      |    round(CAST(a.m * a.sxy - a.sx * a.sy AS DOUBLE)
+      |      / sqrt(CAST(a.m * a.sxx - a.sx * a.sx AS DOUBLE)
+      |        * CAST(a.m * a.syy - a.sy * a.sy AS DOUBLE)), 4) + 0.0
+      |  END AS assortativity
+      |FROM a, nn""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pa = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val pb = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val e = pa.join(pb, "ok").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val e2 = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = e2.select(col("u").as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val j = e2
+      .join(deg.select(col("node").as("u"), col("deg").as("dj")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dk")), "v")
+      .select(col("dj"), col("dk"))
+    val a = j.agg(count(lit(1)).cast("long").as("m"),
+      sum(col("dj")).cast("decimal(38,0)").as("sx"),
+      sum(col("dk")).cast("decimal(38,0)").as("sy"),
+      sum(col("dj").cast("decimal(38,0)") * col("dj")).cast("decimal(38,0)").as("sxx"),
+      sum(col("dk").cast("decimal(38,0)") * col("dk")).cast("decimal(38,0)").as("syy"),
+      sum(col("dj").cast("decimal(38,0)") * col("dk")).cast("decimal(38,0)").as("sxy"))
+    val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val md = col("m").cast("decimal(38,0)")
+    val vx = md * col("sxx") - col("sx") * col("sx")
+    val vy = md * col("syy") - col("sy") * col("sy")
+    graft.operators.Curation.withStats(a, nn)
+      .select(col("n_nodes"), col("m").as("n_edges_directed"),
+        when(vx > 0 && vy > 0,
+          round((md * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 4) + lit(0.0))
+          .as("assortativity"))
+  }
+
   /** Jarque–Bera normality test (#248): per event type,
     * JB = n·(S²/6 + K²/24) from the same four exact power sums as
     * the moment profile (#241) — the "is a normal-theory test even
@@ -2189,5 +2256,5 @@ object AuditQueries {
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
     qShapiroWilk, qAdDrift, qBhFdr,
-    qItemsets3)
+    qItemsets3, qAssortativity)
 }

@@ -715,8 +715,95 @@ object CcdQueries {
       .orderedSmall(col("idx"))
   }
 
+  /** #381 — Moran's I + Geary's C spatial autocorrelation over the
+    * SPE frame-0 pixel lattice (Moran 1950; Geary 1954): the two
+    * classic "is intensity spatially clustered?" statistics — the
+    * detector-side screen for beam structure vs white noise (hot
+    * pixels drive C up with I flat; smooth gradients drive I → 1),
+    * complementing the mask (#135) and second-moment (#136) gates.
+    * Rook (4-neighbor) weights; each undirected edge built ONCE as
+    * two EQUI-joins on shifted coordinates — no OR-join nested loop,
+    * and at full-detector scale the join stays an equi-shuffle on
+    * (r, c). Deviations are mean-centered WITHOUT division by the
+    * N·x − S lift (both quotients scale-cancel); cross/squared sums
+    * accumulate in decimal(38,0) (N·x ≈ 2.7e8, edge sums ≈ 6e20);
+    * both statistics land as sign-decomposed HALF_UP micro ints.
+    * The oracle recomputes pixels AND the neighbor joins from the
+    * closed form, certifying decode + join together.
+    */
+  val qMoranGeary = GateQuery.sql(
+    "q_moran_geary",
+    s"""WITH px AS (SELECT r.r AS r, c.c AS c,
+       |    (1 + 1047 * r.r + 131 * c.c) % 65536 AS v
+       |  FROM range(0, $H) r(r), range(0, $W) c(c)),
+       |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS s
+       |  FROM px),
+       |e AS (SELECT a.v AS va, b.v AS vb FROM px a JOIN px b
+       |    ON a.r = b.r AND a.c + 1 = b.c
+       |  UNION ALL SELECT a.v AS va, b.v AS vb FROM px a JOIN px b
+       |    ON a.r + 1 = b.r AND a.c = b.c),
+       |dn AS (SELECT CAST(sum((g.n * px.v - g.s) * (g.n * px.v - g.s)) AS HUGEINT)
+       |    AS den FROM px, g),
+       |nm AS (SELECT CAST(count(*) AS HUGEINT) AS w,
+       |    CAST(sum((g.n * va - g.s) * (g.n * vb - g.s)) AS HUGEINT) AS num,
+       |    CAST(sum(CAST(va - vb AS HUGEINT) * (va - vb)) AS HUGEINT) AS sq
+       |  FROM e, g)
+       |SELECT CAST(g.n AS BIGINT) AS n_pixels, CAST(nm.w AS BIGINT) AS n_edges,
+       |  CAST(CASE WHEN nm.num >= 0
+       |    THEN (2 * g.n * nm.num * 1000000 + nm.w * dn.den)
+       |      // (2 * nm.w * dn.den)
+       |    ELSE -((2 * g.n * (-nm.num) * 1000000 + nm.w * dn.den)
+       |      // (2 * nm.w * dn.den)) END AS BIGINT) AS moran_micro,
+       |  CAST((2 * (g.n - 1) * g.n * g.n * nm.sq * 1000000 + 2 * nm.w * dn.den)
+       |    // (2 * 2 * nm.w * dn.den) AS BIGINT) AS geary_micro
+       |FROM g, dn, nm""".stripMargin) { (s, _) =>
+    import graft.operators.Curation
+    import graft.operators.Exact.floorDivBig
+    val px = s.read.format("spe").load(fixture(s))
+      .filter(col("frame") === 0)
+      .select(col("width"), posexplode(col("pixels")).as(Seq("i", "vd")))
+      .select((col("i") / col("width")).cast("long").as("r"),
+        pmod(col("i"), col("width")).cast("long").as("c"),
+        col("vd").cast("long").as("v"))
+    val g = px.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("v")).cast("decimal(38,0)").as("s"))
+    val a = px.select(col("r"), col("c"), col("v"))
+    val b = px.select(col("r").as("br"), col("c").as("bc"), col("v").as("vb"))
+    val eR = a.join(b, a("r") === col("br") && (a("c") + 1) === col("bc"))
+      .select(col("v").as("va"), col("vb"))
+    val eD = a.join(b, (a("r") + 1) === col("br") && a("c") === col("bc"))
+      .select(col("v").as("va"), col("vb"))
+    val e = eR.unionAll(eD)
+    val devA = col("n") * col("va").cast("decimal(38,0)") - col("s")
+    val devB = col("n") * col("vb").cast("decimal(38,0)") - col("s")
+    val devP = col("n") * col("v").cast("decimal(38,0)") - col("s")
+    val dn = Curation.withStats(px, g)
+      .agg(sum(devP * devP).cast("decimal(38,0)").as("den"))
+    val nm = Curation.withStats(e, g)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("w"),
+        sum(devA * devB).cast("decimal(38,0)").as("num"),
+        sum((col("va") - col("vb")).cast("decimal(38,0)") *
+          (col("va") - col("vb"))).cast("decimal(38,0)").as("sq"),
+        first(col("n")).as("n"))
+    val j = Curation.withStats(nm, dn)
+    val moranNum = lit(2L) * col("n") * col("num") * lit(1000000L) +
+      col("w") * col("den")
+    val moranNumNeg = lit(2L) * col("n") * (-col("num")) * lit(1000000L) +
+      col("w") * col("den")
+    val moranDen = lit(2L) * col("w") * col("den")
+    j.select(col("n").cast("long").as("n_pixels"),
+      col("w").cast("long").as("n_edges"),
+      when(col("num") >= 0, floorDivBig(moranNum, moranDen).cast("long"))
+        .otherwise(-floorDivBig(moranNumNeg, moranDen).cast("long"))
+        .as("moran_micro"),
+      floorDivBig(
+        lit(2L) * (col("n") - 1) * col("n") * col("n") * col("sq") * lit(1000000L) +
+          lit(2L) * col("w") * col("den"),
+        lit(4L) * col("w") * col("den")).cast("long").as("geary_micro"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
     qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField,
-    qSigmaClip, qAbsorptionRadial)
+    qSigmaClip, qAbsorptionRadial, qMoranGeary)
 }

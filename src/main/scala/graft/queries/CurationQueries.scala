@@ -1674,6 +1674,50 @@ object CurationQueries {
       .limit(20)
   }
 
+  /** Term burstiness / adaptation (#380, Church & Gale 1995; Church
+    * 2000): per term, mean occurrences per CONTAINING document
+    * (cf/df) and the adaptation probability P(k≥2 | k≥1) = df₂/df —
+    * the two classic measures of how far a word departs from the
+    * Poisson "spread evenly" null. High-burstiness terms are topical
+    * or boilerplate (they stack inside few docs); near-uniform terms
+    * are function words — the corpus diagnostic behind Poisson-
+    * mixture LM priors and a useful stoplist/keyword splitter next
+    * to keyness (#302) and dispersion (#304, which measures the
+    * complementary cross-part evenness). Two hash aggregates —
+    * (word, doc) then word — both bounded by vocab·docs structure;
+    * ratios exact milli/ppm floors; top-20 via TakeOrdered.
+    */
+  val qBurstiness = GateQuery.sql(
+    "q_burstiness",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |              FROM documents),
+      |wd AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2),
+      |a AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(c) AS BIGINT) AS cf,
+      |    CAST(count(*) FILTER (c >= 2) AS BIGINT) AS df2
+      |  FROM wd GROUP BY 1)
+      |SELECT word, df, cf,
+      |  (cf * 1000) // df AS burstiness_milli,
+      |  (df2 * 1000000) // df AS adaptation_ppm
+      |FROM a WHERE df >= 20
+      |ORDER BY burstiness_milli DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val wd = toks.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val a = wd.groupBy(col("word")).agg(
+      count(lit(1)).cast("long").as("df"),
+      sum(col("c")).cast("long").as("cf"),
+      count(when(col("c") >= 2, 1)).cast("long").as("df2"))
+    a.filter(col("df") >= 20)
+      .select(col("word"), col("df"), col("cf"),
+        Binning.floorDivCol(col("cf") * lit(1000L), col("df")).as("burstiness_milli"),
+        Binning.floorDivCol(col("df2") * lit(1000000L), col("df")).as("adaptation_ppm"))
+      .orderBy(col("burstiness_milli").desc, col("word"))
+      .limit(20)
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
@@ -1681,5 +1725,5 @@ object CurationQueries {
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
       qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
-      qLcpClones)
+      qLcpClones, qBurstiness)
 }

@@ -171,6 +171,81 @@ object EvalQueries {
         col("max_gap_ppm"))
   }
 
+  /** Murphy decomposition of the Brier score (#378, Murphy 1973):
+    * Brier = REL − RES + UNC over the #176/#209 deciles — the
+    * diagnosis behind the single numbers: REL (reliability) is the
+    * calibration error #209 squares, RES (resolution) is how much the
+    * forecast actually separates outcomes, UNC the irreducible base-
+    * rate variance. A score can have a great Brier (#208) purely by
+    * base rate; this gate says which component earns it. Same decile
+    * relation as #209 (one bounded aggregate); totals ride a 1-row
+    * broadcast back over the ≤10 bucket rows; per-bucket terms
+    * (sp_b − pos_b·1e6)²//n_b and (pos_b·1e6 − n_b·base_ppm)²//n_b
+    * are exact integer floors of nonnegative squares (decimal-lifted
+    * — n_b²·1e12 ≈ 1e32 at corpus scale, far past long), so every
+    * component is engine-exact in ppm²; the identity row
+    * brier_bins = REL − RES + UNC is plain long arithmetic.
+    */
+  val qMurphy = GateQuery.sql(
+    "q_murphy",
+    """WITH s AS (SELECT 1 + max(n_chars) AS mx FROM documents),
+      |p AS (SELECT (n_chars * 10) // mx AS bucket,
+      |    (n_chars * 1000000) // mx AS p_ppm,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, s),
+      |b AS (SELECT bucket, count(*) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b,
+      |    CAST(sum(p_ppm) AS HUGEINT) AS sp_b
+      |  FROM p GROUP BY bucket),
+      |g AS (SELECT CAST(sum(n_b) AS HUGEINT) AS n,
+      |    CAST(sum(pos_b) AS HUGEINT) AS pos FROM b),
+      |t AS (SELECT n_b, pos_b, sp_b, n, pos,
+      |    (pos * 1000000) // n AS base_ppm FROM b, g),
+      |a AS (SELECT any_value(n) AS n, any_value(pos) AS pos,
+      |    any_value(base_ppm) AS base_ppm, count(*) AS n_buckets,
+      |    sum((sp_b - CAST(pos_b AS HUGEINT) * 1000000)
+      |      * (sp_b - CAST(pos_b AS HUGEINT) * 1000000) // n_b) AS rel_num,
+      |    sum((CAST(pos_b AS HUGEINT) * 1000000 - CAST(n_b AS HUGEINT) * base_ppm)
+      |      * (CAST(pos_b AS HUGEINT) * 1000000 - CAST(n_b AS HUGEINT) * base_ppm)
+      |      // n_b) AS res_num
+      |  FROM t)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(base_ppm AS BIGINT) AS base_rate_ppm,
+      |  CAST(rel_num // n AS BIGINT) AS rel_ppm2,
+      |  CAST(res_num // n AS BIGINT) AS res_ppm2,
+      |  CAST((pos * (n - pos) * 1000000000000) // (n * n) AS BIGINT) AS unc_ppm2,
+      |  CAST(rel_num // n - res_num // n
+      |    + (pos * (n - pos) * 1000000000000) // (n * n) AS BIGINT) AS brier_bins_ppm2
+      |FROM a""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((lit(1L) + max(col("n_chars"))).as("mx"))
+    val p = Curation.withStats(docs.select(col("n_chars"), col("lang")), mx)
+      .select(Binning.floorDivCol(col("n_chars") * lit(10L), col("mx")).as("bucket"),
+        Binning.floorDivCol(col("n_chars") * lit(1000000L), col("mx")).as("p_ppm"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+    val b = p.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).cast("long").as("pos_b"),
+        sum(col("p_ppm")).cast("decimal(38,0)").as("sp_b"))
+    val g = b.agg(sum(col("n_b")).cast("decimal(38,0)").as("n"),
+      sum(col("pos_b")).cast("decimal(38,0)").as("pos"))
+    val t = Curation.withStats(b, g)
+      .withColumn("base_ppm", floorDivBig(col("pos") * lit(1000000L), col("n")))
+    val relGap = col("sp_b") - col("pos_b").cast("decimal(38,0)") * lit(1000000L)
+    val resGap = col("pos_b").cast("decimal(38,0)") * lit(1000000L) -
+      col("n_b").cast("decimal(38,0)") * col("base_ppm")
+    val a = t.agg(first(col("n")).as("n"), first(col("pos")).as("pos"),
+      first(col("base_ppm")).as("base_ppm"), count(lit(1)).as("n_buckets"),
+      sum(floorDivBig(relGap * relGap, col("n_b"))).cast("decimal(38,0)").as("rel_num"),
+      sum(floorDivBig(resGap * resGap, col("n_b"))).cast("decimal(38,0)").as("res_num"))
+    val rel = floorDivBig(col("rel_num"), col("n")).cast("long")
+    val res = floorDivBig(col("res_num"), col("n")).cast("long")
+    val unc = floorDivBig(col("pos") * (col("n") - col("pos")) * lit(1000000000000L),
+      col("n") * col("n")).cast("long")
+    a.select(col("n").cast("long").as("n"),
+      col("n_buckets").cast("long").as("n_buckets"),
+      col("base_ppm").cast("long").as("base_rate_ppm"),
+      rel.as("rel_ppm2"), res.as("res_ppm2"), unc.as("unc_ppm2"),
+      (rel - res + unc).as("brier_bins_ppm2"))
+  }
+
   /** Cohen's kappa (#210): chance-corrected agreement between two
     * cheap quality raters (is the doc longer than the mean length?
     * does it have more tokens than the mean count?) — the
@@ -1487,6 +1562,6 @@ object EvalQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qConfusion, qBrier, qEce, qCohenKappa, qAnova, qMannWhitney, qPropTest,
+    qConfusion, qBrier, qEce, qMurphy, qCohenKappa, qAnova, qMannWhitney, qPropTest,
     qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc)
 }

@@ -152,6 +152,63 @@ object OpsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Diebold–Mariano forecast-equivalence test (#383, Diebold &
+    * Mariano 1995): is the seasonal-naive forecast SIGNIFICANTLY
+    * better than the naive one, or is #273's MASE < 1 just noise?
+    * Squared-error loss differential d_t = e₁² − e₂₄² per hour
+    * (h = 1, so the long-run variance is the plain variance — no
+    * HAC kernel needed); DM = Σd·√n / √(n·Σd² − (Σd)²), the
+    * mean-over-its-standard-error z. Same ordered window as #273;
+    * per-row squares lifted to decimal BEFORE multiplying (hourly
+    * cent sums square past long at corpus scale); only the final
+    * DM is a mirrored double. |DM| > 1.96 = the seasonal model
+    * genuinely wins at 5%.
+    */
+  val qDieboldMariano = GateQuery.sql(
+    "q_diebold_mariano",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |l AS (SELECT event_type, y,
+       |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY grid) AS y1,
+       |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY grid) AS y24
+       |  FROM g),
+       |dd AS (SELECT event_type,
+       |    CAST(y - y1 AS HUGEINT) * (y - y1)
+       |      - CAST(y - y24 AS HUGEINT) * (y - y24) AS d
+       |  FROM l WHERE y1 IS NOT NULL AND y24 IS NOT NULL),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS HUGEINT) AS sd,
+       |    CAST(sum(d * d) AS HUGEINT) AS q
+       |  FROM dd GROUP BY 1)
+       |SELECT event_type, n, CAST(sd AS BIGINT) AS sum_d,
+       |  CASE WHEN n >= 2 AND n * q - sd * sd > 0 THEN
+       |    round(CAST(sd AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+       |      / sqrt(CAST(n * q - sd * sd AS DOUBLE)), 4) + 0.0
+       |  END AS dm_stat
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val l = g.withColumn("y1", lag(col("y"), 1).over(wo))
+      .withColumn("y24", lag(col("y"), 24).over(wo))
+    val e1 = (col("y") - col("y1")).cast("decimal(38,0)")
+    val e24 = (col("y") - col("y24")).cast("decimal(38,0)")
+    val dd = l.filter(col("y1").isNotNull && col("y24").isNotNull)
+      .select(col("event_type"), (e1 * e1 - e24 * e24).as("d"))
+    val a = dd.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("d")).cast("decimal(38,0)").as("sd"),
+      sum(col("d") * col("d")).cast("decimal(38,0)").as("q"))
+    val varTerm = col("n").cast("decimal(38,0)") * col("q") - col("sd") * col("sd")
+    a.select(col("event_type"), col("n"), col("sd").cast("long").as("sum_d"),
+        when(col("n") >= 2 && varTerm > 0,
+          round(col("sd").cast("double") * sqrt(col("n").cast("double")) /
+            sqrt(varTerm.cast("double")), 4) + lit(0.0)).as("dm_stat"))
+      .orderedSmall(col("event_type"))
+  }
+
   private val KAnonK = 5L
 
   /** k-anonymity audit (#274, Sweeney 2002): are the quasi-identifier
@@ -1148,5 +1205,5 @@ object OpsQueries {
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
     qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains, qQini, qRankChurn,
     qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey,
-    qCohortLtv, qEss)
+    qCohortLtv, qEss, qDieboldMariano)
 }

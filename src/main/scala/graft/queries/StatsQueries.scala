@@ -3356,6 +3356,60 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Turning-point randomness test (#379, Kendall 1973 §21): on each
+    * event type's hourly revenue series, the count of strict local
+    * extrema (y₋ < y > y₊ or y₋ > y < y₊) against its i.i.d.-null
+    * moments E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 — the cheapest
+    * "is this series actually random?" screen, complementary to the
+    * runs test (#287, which sees level, not shape), Durbin–Watson
+    * (serial correlation) and Mann–Kendall (monotone trend): an
+    * oscillating seasonal series passes runs but fails HERE on too
+    * many turning points. One lag+lead over the bounded hourly grid;
+    * the count is exact (ties break the strict inequalities toward
+    * "not a turning point" identically on both engines); only the
+    * final z is a mirrored double.
+    */
+  val qTurningPoints = GateQuery.sql(
+    "q_turning_points",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |l AS (SELECT event_type, y,
+       |    lag(y) OVER (PARTITION BY event_type ORDER BY grid) AS y0,
+       |    lead(y) OVER (PARTITION BY event_type ORDER BY grid) AS y2
+       |  FROM g),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (y0 IS NOT NULL AND y2 IS NOT NULL
+       |      AND ((y0 < y AND y > y2) OR (y0 > y AND y < y2))) AS BIGINT) AS t
+       |  FROM l GROUP BY 1)
+       |SELECT event_type, n, t AS n_turning,
+       |  CASE WHEN n >= 2 THEN (2 * (n - 2) * 1000) // 3 END AS expected_milli,
+       |  CASE WHEN n >= 3 THEN round((CAST(t AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+       |    / sqrt((16.0 * n - 29.0) / 90.0), 4) + 0.0 END AS z_stat
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val l = g.withColumn("y0", lag(col("y"), 1).over(w))
+      .withColumn("y2", lead(col("y"), 1).over(w))
+    val isTp = col("y0").isNotNull && col("y2").isNotNull &&
+      ((col("y0") < col("y") && col("y") > col("y2")) ||
+        (col("y0") > col("y") && col("y") < col("y2")))
+    val a = l.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      count(when(isTp, 1)).cast("long").as("t"))
+    a.select(col("event_type"), col("n"), col("t").as("n_turning"),
+        when(col("n") >= 2,
+          Binning.floorDivCol(lit(2L) * (col("n") - 2) * lit(1000L), lit(3L)))
+          .as("expected_milli"),
+        when(col("n") >= 3,
+          round((col("t").cast("double") - lit(2.0) * (col("n") - 2) / lit(3.0)) /
+            sqrt((lit(16.0) * col("n") - lit(29.0)) / lit(90.0)), 4) + lit(0.0))
+          .as("z_stat"))
+      .orderedSmall(col("event_type"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
@@ -3363,5 +3417,5 @@ object StatsQueries {
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
-    qDurbinWatson, qLjungBox, qCvm, qFriedman)
+    qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints)
 }

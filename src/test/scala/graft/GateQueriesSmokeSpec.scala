@@ -83,7 +83,10 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_gini_split", // (min impurity) argmin single-row scalar
     "q_youden", // (max gap) argmax single-row scalar (as q_gini_split)
     "q_bland_altman", // (bias, limits) single-row scalars for the two-pass inside share
-    "q_vmeasure") // (n) + entropy-total single-row scalars
+    "q_vmeasure", // (n) + entropy-total single-row scalars
+    "q_murphy", // (1+max), then (N, POS) totals — two single-row scalars
+    "q_moran_geary", // (N, S) lattice totals single-row scalar over px + edges
+    "q_assortativity") // (n_nodes) single-row scalar onto the 1-row moment agg
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
