@@ -486,6 +486,81 @@ object AnalysisQueries {
       .orderedSmall(col("prev"), col("next"))
   }
 
+  /** Markov entropy rate (#384, Shannon 1948 §7): the per-step
+    * entropy H = −Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ) of the #158 transition
+    * matrix next to the marginal entropy H₀ of the next-state
+    * distribution — the gap H₀ − H is exactly how much knowing the
+    * previous event buys in predictability (the sequence-level
+    * counterpart of the per-user hour entropy #373; near-zero gap =
+    * memoryless traffic, large gap = strong behavioral grammar).
+    * Telescoped to Σnᵢ·mln(nᵢ) − Σnᵢⱼ·mln(nᵢⱼ) so every ln is
+    * micro-floored per COUNT before any sum (order-free, exact, and
+    * floor-monotone so both numerators stay nonnegative); marginals
+    * and dedup flags ride windows over the bounded k² matrix — one
+    * extra pass over 25 rows, zero extra shuffles of the event data.
+    */
+  val qEntropyRate = GateQuery.sql(
+    "q_entropy_rate", {
+      val mln = graft.operators.Curation.microLnSql _
+      s"""WITH s AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+         |  FROM $E t),
+         |a AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+         |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT n,
+         |    CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS np,
+         |    CAST(sum(n) OVER (PARTITION BY next) AS BIGINT) AS mn,
+         |    row_number() OVER (PARTITION BY prev ORDER BY next) AS rp,
+         |    row_number() OVER (PARTITION BY next ORDER BY prev) AS rn
+         |  FROM a),
+         |g AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(sum(CASE WHEN rp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |    CAST(sum(CAST(n AS HUGEINT) * ${mln("n")}) AS HUGEINT) AS sij,
+         |    CAST(sum(CASE WHEN rp = 1
+         |      THEN CAST(np AS HUGEINT) * ${mln("np")} END) AS HUGEINT) AS sp,
+         |    CAST(sum(CASE WHEN rn = 1
+         |      THEN CAST(mn AS HUGEINT) * ${mln("mn")} END) AS HUGEINT) AS sm
+         |  FROM w)
+         |SELECT nt AS n_transitions, k AS n_states,
+         |  CAST((CAST(nt AS HUGEINT) * ${mln("nt")} - sm) // nt AS BIGINT) AS h0_micro,
+         |  CAST((sp - sij) // nt AS BIGINT) AS h_rate_micro,
+         |  CAST((CAST(nt AS HUGEINT) * ${mln("nt")} - sm) // nt
+         |    - (sp - sij) // nt AS BIGINT) AS gain_micro
+         |FROM g""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Curation.microLn
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val a = ev(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(wu).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = a
+      .withColumn("np", sum(col("n")).over(Window.partitionBy(col("prev"))).cast("long"))
+      .withColumn("mn", sum(col("n")).over(Window.partitionBy(col("next"))).cast("long"))
+      .withColumn("rp", row_number().over(
+        Window.partitionBy(col("prev")).orderBy(col("next"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("next")).orderBy(col("prev"))))
+    val g = w.agg(
+      sum(col("n")).cast("long").as("nt"),
+      sum(when(col("rp") === 1, 1L).otherwise(0L)).cast("long").as("k"),
+      sum(col("n").cast("decimal(38,0)") * microLn(col("n")))
+        .cast("decimal(38,0)").as("sij"),
+      sum(when(col("rp") === 1, col("np").cast("decimal(38,0)") * microLn(col("np"))))
+        .cast("decimal(38,0)").as("sp"),
+      sum(when(col("rn") === 1, col("mn").cast("decimal(38,0)") * microLn(col("mn"))))
+        .cast("decimal(38,0)").as("sm"))
+    val h0 = Exact.floorDivBig(
+      col("nt").cast("decimal(38,0)") * microLn(col("nt")) - col("sm"),
+      col("nt")).cast("long")
+    val hr = Exact.floorDivBig(col("sp") - col("sij"), col("nt")).cast("long")
+    g.select(col("nt").as("n_transitions"), col("k").as("n_states"),
+      h0.as("h0_micro"), hr.as("h_rate_micro"), (h0 - hr).as("gain_micro"))
+  }
+
   /** Top user paths (#159): each user's first three events as an
     * ordered path string, counted — the entry-funnel analysis every
     * product-analytics stack runs. The rank window prunes to ≤ 3
@@ -1610,5 +1685,5 @@ object AnalysisQueries {
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
     qWinsorized, qPlatt, qCalinski, qVmeasure, qHourEntropy, qDaviesBouldin, qSilhouette,
-    qSilhouetteSampled, qKmedoids, qDecayFeatures)
+    qSilhouetteSampled, qKmedoids, qDecayFeatures, qEntropyRate)
 }

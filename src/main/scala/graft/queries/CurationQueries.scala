@@ -1718,6 +1718,103 @@ object CurationQueries {
       .limit(20)
   }
 
+  /** Good–Turing count-of-counts estimates (#385, Good 1953): for
+    * each low count r = 1..5, the frequency-of-frequencies N_r and
+    * the GT-adjusted count r* = (r+1)·N_{r+1}/N_r — the unseen-mass
+    * machinery under every smoothed LM (and the literal discount KN
+    * (#123) approximates with a constant). The observed mass at r=1,
+    * p₁ = N₁/N, IS the GT estimate of the unseen-species mass — the
+    * "how much vocabulary haven't we crawled yet" number next to
+    * Chao1 (#331, which estimates unseen TYPES, not mass). Runs over
+    * word TRIGRAMS — the n-gram order whose count spectrum actually
+    * has a low-count tail (the unigram vocab saturates; GT on it is
+    * vacuous) and the granularity the backoff LMs (#102) smooth. One
+    * trigram aggregate + one count-of-counts aggregate (bounded by
+    * the distinct-count domain) + a self-join on r+1; exact
+    * micro/ppm floors throughout.
+    */
+  val qGoodTuring = GateQuery.sql(
+    "q_good_turing",
+    """WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |tri AS (SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |    for i in range(1, len(w) - 1)]) AS g
+      |  FROM tw WHERE len(w) >= 3),
+      |gc AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gc),
+      |cc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM gc
+      |  WHERE c <= 6 GROUP BY 1)
+      |SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_r_next,
+      |  ((a.r + 1) * coalesce(b.n_r, 0) * 1000000) // a.n_r AS r_star_micro,
+      |  (a.r * a.n_r * 1000000) // t.n AS mass_ppm
+      |FROM cc a LEFT JOIN cc b ON b.r = a.r + 1, t
+      |WHERE a.r <= 5 ORDER BY a.r""".stripMargin) { (s, d) =>
+    val tw = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    val tri = tw
+      .select(col("w"), posexplode(slice(col("w"), lit(1), size(col("w")) - 2))
+        .as(Seq("p", "w1")))
+      .select(concat_ws(" ", col("w1"),
+        element_at(col("w"), col("p") + 2),
+        element_at(col("w"), col("p") + 3)).as("g"))
+    val wc = tri.groupBy(col("g")).agg(count(lit(1)).cast("long").as("c"))
+    val t = wc.agg(sum(col("c")).cast("long").as("n"))
+    val cc = wc.filter(col("c") <= 6)
+      .groupBy(col("c").as("r")).agg(count(lit(1)).cast("long").as("n_r"))
+    val j = cc.as("a")
+      .join(cc.select((col("r") - 1).as("r"), col("n_r").as("n_r_next")).as("b"),
+        Seq("r"), "left")
+    Curation.withStats(j, t)
+      .filter(col("r") <= 5)
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        Binning.floorDivCol(
+          (col("r") + 1) * coalesce(col("n_r_next"), lit(0L)) * lit(1000000L),
+          col("n_r")).as("r_star_micro"),
+        Binning.floorDivCol(col("r") * col("n_r") * lit(1000000L), col("n"))
+          .as("mass_ppm"))
+      .orderedSmall(col("r"))
+  }
+
+  /** Yule's K vocabulary-richness characteristic (#386, Yule 1944):
+    * per source, K = 10⁴·(Σc² − N)/N² over the word-count vector —
+    * the repeat-rate statistic that is (unlike raw TTR #137)
+    * asymptotically length-invariant, which is exactly what makes it
+    * comparable ACROSS sources of different sizes; the stylometric
+    * companion of Burrows' Delta (#347). Two hash aggregates;
+    * Σc² decimal-lifted (squares past long at corpus scale); K as
+    * an exact milli floor of nonnegative integers (Σc² ≥ N always).
+    */
+  val qYuleK = GateQuery.sql(
+    "q_yule_k",
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      |              FROM documents),
+      |wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2),
+      |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS v,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      |  FROM wc GROUP BY 1)
+      |SELECT source, n AS n_tokens, v AS n_types,
+      |  CAST((CAST(s2 - n AS HUGEINT) * 10000 * 1000)
+      |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS yule_k_milli
+      |FROM a ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val wc = toks.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val a = wc.groupBy(col("source")).agg(
+      sum(col("c")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("v"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("s2"))
+    a.select(col("source"), col("n").as("n_tokens"), col("v").as("n_types"),
+        Exact.floorDivBig(
+          (col("s2") - col("n")) * lit(10000L) * lit(1000L),
+          col("n").cast("decimal(38,0)") * col("n")).cast("long")
+          .as("yule_k_milli"))
+      .orderedSmall(col("source"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
@@ -1725,5 +1822,5 @@ object CurationQueries {
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
       qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
-      qLcpClones, qBurstiness)
+      qLcpClones, qBurstiness, qGoodTuring, qYuleK)
 }

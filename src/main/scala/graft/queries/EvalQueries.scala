@@ -1561,7 +1561,181 @@ object EvalQueries {
       .orderedSmall(col("arm"))
   }
 
+  /** Cucconi joint location-scale test (#388, Cucconi 1968; Marozzi
+    * 2009): the OTHER classic two-sample location+scale test — one
+    * quadratic form over squared ranks and squared ANTI-ranks,
+    * predating and often outpowering Lepage (#362, which sums two
+    * separate z²). Same value-collapsed grid and DOUBLED midranks as
+    * #212/#362 (midranks are the spec-pinned tie convention); the
+    * squared-rank sums stay exact integers in quarter units
+    * (S4 = Σc·r2², r2 = 2·midrank), so the U/V numerators
+    * 3·S4 − 2n(N+1)(2N+1) are exact; U, V, the rank correlation
+    * ρ = 2(N²−4)/((2N+1)(8N+11)) − 1 and
+    * C = (U² + V² − 2ρUV)/(2(1−ρ²)) are the mirrored doubles.
+    */
+  val qCucconi = GateQuery.sql(
+    "q_cucconi",
+    s"""WITH e AS (SELECT user_id % 8 AS g, event_type, ${centsSql("vd")} AS c
+       |  FROM $E t WHERE event_type IN ('click', 'view')),
+       |v AS (SELECT g, c,
+       |    count(*) FILTER (event_type = 'click') AS c1,
+       |    count(*) FILTER (event_type = 'view') AS c2
+       |  FROM e GROUP BY g, c),
+       |w AS (SELECT g, c1, c2, c1 + c2 AS t,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cum,
+       |    CAST(sum(c1 + c2) OVER (PARTITION BY g) AS BIGINT) AS nn
+       |  FROM v),
+       |a AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |    any_value(nn) AS nn,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum - t + 1) * (2 * cum - t + 1))
+       |      AS HUGEINT) AS s4,
+       |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * (nn + 1) - (2 * cum - t + 1))
+       |      * (2 * (nn + 1) - (2 * cum - t + 1))) AS HUGEINT) AS s4v
+       |  FROM w GROUP BY g),
+       |z AS (SELECT g, n1, n2, nn,
+       |    CASE WHEN n1 = 0 OR n2 = 0 OR nn < 3 THEN NULL ELSE
+       |      CAST(3 * s4 - 2 * CAST(n1 AS HUGEINT) * (nn + 1) * (2 * nn + 1) AS DOUBLE)
+       |      / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 1) * (2.0 * nn + 1)
+       |        * (8.0 * nn + 11) / 5.0)) END AS u,
+       |    CASE WHEN n1 = 0 OR n2 = 0 OR nn < 3 THEN NULL ELSE
+       |      CAST(3 * s4v - 2 * CAST(n1 AS HUGEINT) * (nn + 1) * (2 * nn + 1) AS DOUBLE)
+       |      / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 * (nn + 1) * (2.0 * nn + 1)
+       |        * (8.0 * nn + 11) / 5.0)) END AS v,
+       |    CASE WHEN nn < 3 THEN NULL ELSE
+       |      2.0 * (CAST(nn AS DOUBLE) * nn - 4.0)
+       |        / ((2.0 * nn + 1) * (8.0 * nn + 11)) - 1.0 END AS rho
+       |  FROM a)
+       |SELECT g, n1, n2, round(u, 4) + 0.0 AS u_stat, round(v, 4) + 0.0 AS v_stat,
+       |  CASE WHEN u IS NULL OR v IS NULL OR rho IS NULL OR 1.0 - rho * rho <= 0
+       |    THEN NULL
+       |    ELSE round((u * u + v * v - 2.0 * rho * u * v)
+       |      / (2.0 * (1.0 - rho * rho)), 4) + 0.0 END AS cucconi_c
+       |FROM z ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(8L)).as("g"), col("event_type"),
+        Exact.cents(col("vd")).as("c"))
+    val v = e.groupBy(col("g"), col("c")).agg(
+      count(when(col("event_type") === "click", 1)).as("c1"),
+      count(when(col("event_type") === "view", 1)).as("c2"))
+    val w = v.withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum",
+        sum(col("c1") + col("c2"))
+          .over(Window.partitionBy(col("g")).orderBy(col("c"))).cast("long"))
+      .withColumn("nn",
+        sum(col("c1") + col("c2")).over(Window.partitionBy(col("g"))).cast("long"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val r2 = lit(2L) * col("cum") - col("t") + 1
+    val r2v = lit(2L) * (col("nn") + 1) - r2
+    val a = w.groupBy(col("g")).agg(
+      sum(col("c1")).cast("long").as("n1"), sum(col("c2")).cast("long").as("n2"),
+      first(col("nn")).as("nn"),
+      sum(dec(col("c1")) * r2 * r2).cast("decimal(38,0)").as("s4"),
+      sum(dec(col("c1")) * r2v * r2v).cast("decimal(38,0)").as("s4v"))
+    def d2(x: Column) = x.cast("double")
+    val nnD = d2(col("nn"))
+    val den = lit(2.0) * sqrt(d2(col("n1")) * d2(col("n2")) *
+      (nnD + lit(1.0)) * (lit(2.0) * nnD + lit(1.0)) *
+      (lit(8.0) * nnD + lit(11.0)) / lit(5.0))
+    val degenerate = col("n1") === 0 || col("n2") === 0 || col("nn") < 3
+    val uNum = lit(3L) * col("s4") -
+      lit(2L) * dec(col("n1")) * (col("nn") + 1) * (lit(2L) * col("nn") + 1)
+    val vNum = lit(3L) * col("s4v") -
+      lit(2L) * dec(col("n1")) * (col("nn") + 1) * (lit(2L) * col("nn") + 1)
+    val u = when(degenerate, lit(null).cast("double")).otherwise(d2(uNum) / den)
+    val vv = when(degenerate, lit(null).cast("double")).otherwise(d2(vNum) / den)
+    val rho = when(col("nn") < 3, lit(null).cast("double")).otherwise(
+      lit(2.0) * (nnD * nnD - lit(4.0)) /
+        ((lit(2.0) * nnD + lit(1.0)) * (lit(8.0) * nnD + lit(11.0))) - lit(1.0))
+    val z = a.select(col("g"), col("n1"), col("n2"),
+      u.as("u"), vv.as("v"), rho.as("rho"))
+    z.select(col("g"), col("n1"), col("n2"),
+        (round(col("u"), 4) + lit(0.0)).as("u_stat"),
+        (round(col("v"), 4) + lit(0.0)).as("v_stat"),
+        when(col("u").isNull || col("v").isNull || col("rho").isNull ||
+            lit(1.0) - col("rho") * col("rho") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("u") * col("u") + col("v") * col("v") -
+            lit(2.0) * col("rho") * col("u") * col("v")) /
+            (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))), 4) + lit(0.0))
+          .as("cucconi_c"))
+      .orderedSmall(col("g"))
+  }
+
+  /** Wilcoxon signed-rank test (#387, Wilcoxon 1945): the PAIRED
+    * rank test the family was missing — per user-cohort, did
+    * per-user revenue shift between the first and second half of
+    * the window? McNemar (#259) answers this for binary outcomes
+    * and the t-test (#179) assumes normality; this is the
+    * distribution-free middle. Pairs are per-user half-sums around
+    * the global time midpoint (one 1-row broadcast); zero
+    * differences drop (Wilcoxon's rule); |d| ranks live on a
+    * VALUE-COLLAPSED grid (one cumsum window per cohort, never a
+    * per-row sort) with DOUBLED midranks 2·cum−t+1 kept integer;
+    * W⁺×2 and the tie term Σ(t³−t) are exact decimal sums; z =
+    * (W2−E2)·√12/√(48·Var-scale) is the one mirrored double, with
+    * the degenerate guard an exact integer predicate.
+    */
+  val qWilcoxon = GateQuery.sql(
+    "q_wilcoxon",
+    s"""WITH m AS (SELECT (min(xs) + max(xs)) // 2 AS mid FROM $E t),
+       |p AS (SELECT user_id % 8 AS g,
+       |    CAST(sum(CASE WHEN xs <= mid THEN ${centsSql("vd")} ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN xs > mid THEN ${centsSql("vd")} ELSE 0 END) AS BIGINT) AS c2
+       |  FROM $E t, m GROUP BY 1),
+       |d AS (SELECT g, c2 - c1 AS d FROM p WHERE c2 <> c1),
+       |v AS (SELECT g, abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(count(*) FILTER (d > 0) AS BIGINT) AS tp
+       |  FROM d GROUP BY 1, 2),
+       |w AS (SELECT g, ad, t, tp,
+       |    CAST(sum(t) OVER (PARTITION BY g ORDER BY ad) AS BIGINT) AS cum
+       |  FROM v),
+       |a AS (SELECT g, CAST(sum(t) AS BIGINT) AS n,
+       |    CAST(sum(CAST(tp AS HUGEINT) * (2 * cum - t + 1)) AS HUGEINT) AS wp2,
+       |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+       |  FROM w GROUP BY 1)
+       |SELECT g, n, CAST(wp2 AS BIGINT) AS w_plus_x2,
+       |  CASE WHEN n >= 1
+       |      AND 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties > 0 THEN
+       |    round((CAST(wp2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1.0) / 2.0)
+       |      * sqrt(12.0)
+       |      / sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties
+       |          AS DOUBLE)), 4) + 0.0
+       |  END AS z_stat
+       |FROM a ORDER BY g""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val m = e.agg(Binning.floorDivCol(min(col("xs")) + max(col("xs")), lit(2L)).as("mid"))
+    val p = Curation.withStats(e, m)
+      .groupBy(pmod(col("user_id"), lit(8L)).as("g"))
+      .agg(
+        sum(when(col("xs") <= col("mid"), Exact.cents(col("vd"))).otherwise(0L))
+          .cast("long").as("c1"),
+        sum(when(col("xs") > col("mid"), Exact.cents(col("vd"))).otherwise(0L))
+          .cast("long").as("c2"))
+    val dd = p.filter(col("c2") =!= col("c1"))
+      .select(col("g"), (col("c2") - col("c1")).as("d"))
+    val v = dd.groupBy(col("g"), abs(col("d")).as("ad")).agg(
+      count(lit(1)).cast("long").as("t"),
+      count(when(col("d") > 0, 1)).cast("long").as("tp"))
+    val w = v.withColumn("cum",
+      sum(col("t")).over(Window.partitionBy(col("g")).orderBy(col("ad"))).cast("long"))
+    val a = w.groupBy(col("g")).agg(
+      sum(col("t")).cast("long").as("n"),
+      sum(col("tp").cast("decimal(38,0)") * (lit(2L) * col("cum") - col("t") + 1))
+        .cast("decimal(38,0)").as("wp2"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)").as("ties"))
+    val var48 = lit(2L) * col("n").cast("decimal(38,0)") * (col("n") + 1) *
+      (lit(2L) * col("n") + 1) - col("ties")
+    a.select(col("g"), col("n"), col("wp2").cast("long").as("w_plus_x2"),
+        when(col("n") >= 1 && var48 > 0,
+          round((col("wp2").cast("double") -
+              col("n").cast("double") * (col("n").cast("double") + lit(1.0)) / lit(2.0)) *
+            sqrt(lit(12.0)) / sqrt(var48.cast("double")), 4) + lit(0.0))
+          .as("z_stat"))
+      .orderedSmall(col("g"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qMurphy, qCohenKappa, qAnova, qMannWhitney, qPropTest,
-    qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc)
+    qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc,
+    qWilcoxon, qCucconi)
 }

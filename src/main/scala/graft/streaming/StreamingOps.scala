@@ -988,4 +988,73 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  final case class ChurnEvent(ts: Timestamp, user: Long, spend: Long)
+  final case class ChurnState(day: Long, users: Map[Long, Long], prevTop: Seq[Long])
+  final case class ChurnOut(day: Long, n_top: Long, rbo_ppm: Long)
+
+  /** Streaming daily top-k rank-churn monitor (#389) — the live
+    * counterpart of the batch consecutive-day RBO gate (#364): as
+    * each event-time day closes (first event of the NEXT day), emit
+    * the rank-biased overlap (p = 0.9, Webber 2010) between the
+    * completed day's top-k spender board and the previous day's —
+    * the "did the leaderboard churn overnight?" alert while the day
+    * is still fresh. Per-term integer floors a·9^(d−1)·1e6 //
+    * (10^d·d) match the batch gate exactly (pinned in
+    * StreamingSpec). State = one day's spend map + the previous
+    * top-k ids; the map is capped at `candidateCap` by pruning the
+    * smallest accumulators (space-saving style — the same
+    * candidate-bound convention as the dedup `maxBandDf` caps), so
+    * state is O(cap), never O(users). The single reduce key IS the
+    * k-row board; at scale the per-(day,user) sums belong upstream
+    * (a windowed pre-aggregate), with only board-scale updates
+    * crossing into this operator.
+    */
+  def rankChurnStream(events: Dataset[ChurnEvent], k: Int = 10,
+                      candidateCap: Int = 1024): Dataset[ChurnOut] = {
+    import events.sparkSession.implicits._
+    require(k >= 1 && k <= 18, s"k out of range: $k") // 9^(k-1)·1e6 must fit a long
+    val w9 = Array.tabulate(k)(d => math.pow(9, d).toLong)
+    val dn = Array.tabulate(k)(d => math.pow(10, d + 1).toLong * (d + 1))
+    events.groupByKey(_ => 0L)
+      .flatMapGroupsWithState[ChurnState, ChurnOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[ChurnEvent], state: GroupState[ChurnState]) =>
+          var st = state.getOption.getOrElse(
+            ChurnState(Long.MinValue, Map.empty, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChurnOut]
+          def topOf(m: Map[Long, Long]): Seq[Long] =
+            m.toSeq.sortBy { case (u, sp) => (-sp, u) }.take(k).map(_._1)
+          def rboPpm(cur: Seq[Long], prev: Seq[Long]): Long = {
+            var acc = 0L
+            var d = 1
+            while (d <= k) {
+              val a = cur.take(d).toSet.intersect(prev.take(d).toSet).size.toLong
+              acc += Math.floorDiv(a * w9(d - 1) * 1000000L, dn(d - 1))
+              d += 1
+            }
+            acc
+          }
+          def finalizeDay(): Unit = {
+            val top = topOf(st.users)
+            if (st.prevTop.nonEmpty && top.nonEmpty)
+              out += ChurnOut(st.day, top.size.toLong, rboPpm(top, st.prevTop))
+            st = ChurnState(st.day, Map.empty,
+              if (top.nonEmpty) top else st.prevTop)
+          }
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.user)).foreach { e =>
+            val day = e.ts.getTime / 1000L / 86400L
+            if (st.day == Long.MinValue) st = st.copy(day = day)
+            else if (day > st.day) { finalizeDay(); st = st.copy(day = day) }
+            val m = st.users.updated(e.user,
+              st.users.getOrElse(e.user, 0L) + e.spend)
+            st = st.copy(users =
+              if (m.size <= candidateCap) m
+              else m.toSeq.sortBy { case (u, sp) => (-sp, u) }
+                .take(candidateCap).toMap)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -908,4 +908,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Map(3L -> "none", 4L -> "view", 5L -> "none"))
     } finally q.stop()
   }
+
+  test("rank-churn monitor: day-close RBO vs previous day's top-k") {
+    import StreamingOps.{ChurnEvent, ChurnOut}
+    implicit val ctx = spark.sqlContext
+    def dayTs(day: Long, sec: Long) = new Timestamp((day * 86400L + sec) * 1000L)
+    val input = MemoryStream[ChurnEvent]
+    val mon = StreamingOps.rankChurnStream(input.toDS(), k = 3)
+    val q = mon.writeStream.format("memory").queryName("churnmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // day 1 top-3 = (1, 2, 3); day 2 top-3 = (1, 3, 4):
+      //   A1 = |{1}∩{1}| = 1, A2 = |{1,3}∩{1,2}| = 1, A3 = |{1,3,4}∩{1,2,3}| = 2
+      //   rbo = 1·1e6//10 + 9e6//200 + 2·81e6//3000 = 100000+45000+54000 = 199000
+      input.addData(
+        ChurnEvent(dayTs(1, 10), 1L, 30L), ChurnEvent(dayTs(1, 20), 2L, 20L),
+        ChurnEvent(dayTs(1, 30), 3L, 10L))
+      q.processAllAvailable()
+      // split across micro-batches: day-2 spend arrives in two pieces
+      // (state must carry partial sums), then a day-3 event closes day 2
+      input.addData(
+        ChurnEvent(dayTs(2, 10), 1L, 15L), ChurnEvent(dayTs(2, 20), 3L, 20L))
+      q.processAllAvailable()
+      input.addData(
+        ChurnEvent(dayTs(2, 30), 1L, 15L), ChurnEvent(dayTs(2, 40), 4L, 10L),
+        ChurnEvent(dayTs(3, 5), 9L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("churnmon").as[ChurnOut].collect()
+      assert(rows.length == 1, s"got ${rows.toSeq}") // day 1 has no predecessor
+      assert(rows.head.day == 2L && rows.head.n_top == 3L &&
+        rows.head.rbo_ppm == 199000L, s"got ${rows.head}")
+    } finally q.stop()
+  }
 }
