@@ -92,6 +92,67 @@ object AuditQueries {
     Graphs.clusteringStats(Graphs.canonicalEdges(pairs))
   }
 
+  /** Adamic–Adar link prediction (#390, Adamic & Adar 2003): the
+    * top non-adjacent part pairs by Σ_{w∈N(u)∩N(v)} 1/ln(deg w) —
+    * common neighbors weighted down by their promiscuity, the
+    * standard "which products WILL co-occur next" baseline on the
+    * #247 graph. Wedges fan out per CENTER, so hub centers are
+    * capped at deg ≤ 64 (they contribute ≈ 1/ln(hub) ≈ nothing per
+    * pair but quadratic volume — the same candidate-cap convention
+    * as `maxBandDf`; the cap is mirrored in the oracle, so parity
+    * is unaffected). Per-center fan-out ≤ cap²; weights are exact
+    * 1e12//microLn(deg) integer floors; adjacency removal is one
+    * anti-join; top-20 via TakeOrdered.
+    */
+  val qAdamicAdar = GateQuery.sql(
+    "q_adamic_adar", {
+      val mln = graft.operators.Curation.microLnSql("a.deg")
+      s"""WITH e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         |    greatest(a.l_partkey, b.l_partkey) AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |adj AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT c AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY 1),
+         |ctr AS (SELECT adj.c, adj.n, deg.deg FROM adj
+         |  JOIN deg ON adj.c = deg.node WHERE deg.deg BETWEEN 2 AND 64),
+         |wg AS (SELECT a.n AS u, b.n AS v, 1000000000000 // $mln AS w
+         |  FROM ctr a JOIN ctr b ON a.c = b.c AND a.n < b.n),
+         |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(w) AS BIGINT) AS aa_micro
+         |  FROM wg GROUP BY 1, 2),
+         |cand AS (SELECT sc.u, sc.v, sc.n_common, sc.aa_micro FROM sc
+         |  LEFT JOIN e ON sc.u = e.u AND sc.v = e.v WHERE e.u IS NULL)
+         |SELECT u, v, n_common, aa_micro FROM cand
+         |ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.Curation.microLn
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pa = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("pu"))
+    val pb = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("pv"))
+    val e = pa.join(pb, "ok").filter(col("pu") =!= col("pv"))
+      .select(least(col("pu"), col("pv")).as("u"),
+        greatest(col("pu"), col("pv")).as("v"))
+      .distinct()
+    val adj = e.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+    val deg = adj.groupBy(col("c").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val ctr = adj.join(deg.withColumnRenamed("node", "c"), "c")
+      .filter(col("deg") >= 2 && col("deg") <= 64)
+    val a = ctr.select(col("c"), col("n").as("nu"), col("deg"))
+    val b = ctr.select(col("c"), col("n").as("nv"))
+    val wg = a.join(b, "c").filter(col("nu") < col("nv"))
+      .select(col("nu").as("u"), col("nv").as("v"),
+        Binning.floorDivCol(lit(1000000000000L), microLn(col("deg"))).as("w"))
+    val sc = wg.groupBy(col("u"), col("v")).agg(
+      count(lit(1)).cast("long").as("n_common"),
+      sum(col("w")).cast("long").as("aa_micro"))
+    sc.join(e, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   /** Degree assortativity (#382, Newman 2002): Pearson correlation
     * of endpoint degrees over the symmetric edge list of the same
     * part-co-occurrence graph as #247 — do hub parts co-occur with
@@ -2256,5 +2317,5 @@ object AuditQueries {
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
     qShapiroWilk, qAdDrift, qBhFdr,
-    qItemsets3, qAssortativity)
+    qItemsets3, qAssortativity, qAdamicAdar)
 }

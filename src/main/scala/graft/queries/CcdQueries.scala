@@ -715,6 +715,72 @@ object CcdQueries {
       .orderedSmall(col("idx"))
   }
 
+  /** #392 — photon-transfer gain calibration (Janesick, "Photon
+    * Transfer", SPIE 2007): regress per-pixel VARIANCE on per-pixel
+    * MEAN across the 16-frame SPE stack — the slope IS the detector
+    * gain (e⁻/ADU⁻¹ direction) and the intercept the read-noise
+    * floor, THE standard CCD camera-calibration reduction, upstream
+    * of the flat-field (#219) and hot/dead mask (#135). Per-pixel
+    * moments stay exact integers in common-denominator units
+    * (x = 16·mean = S_p, y = 240·var = 16·Q_p − S_p²); the global
+    * regression sums are decimal-lifted (Σxy ≈ 4e21); gain and
+    * intercept are the final mirrored doubles (the /15 undoes the
+    * unit scaling). Oracle recomputes from the pixel closed form —
+    * certifying decode + both aggregation levels.
+    */
+  val qGainMap = GateQuery.sql(
+    "q_gain_map",
+    s"""WITH px AS (SELECT r.r * $W + c.c AS pix,
+       |    (1 + 7919 * f.f + 1047 * r.r + 131 * c.c) % 65536 AS v
+       |  FROM range(0, $Frames) f(f), range(0, $H) r(r), range(0, $W) c(c)),
+       |pp AS (SELECT pix, CAST(sum(v) AS BIGINT) AS s,
+       |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+       |  FROM px GROUP BY 1),
+       |m AS (SELECT pix, CAST(s AS HUGEINT) AS x,
+       |    16 * q - CAST(s AS HUGEINT) * s AS y FROM pp),
+       |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n_pixels,
+       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) / 15.0, 4) + 0.0
+       |  END AS gain,
+       |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |    round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 240.0, 4) + 0.0
+       |  END AS read_var
+       |FROM a""".stripMargin) { (s, _) =>
+    val px = s.read.format("spe").load(fixture(s))
+      .select(col("width"), posexplode(col("pixels")).as(Seq("i", "vd")))
+      .select(col("i").cast("long").as("pix"), col("vd").cast("long").as("v"))
+    val pp = px.groupBy(col("pix")).agg(
+      sum(col("v")).cast("long").as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("q"))
+    val x = col("s").cast("decimal(38,0)")
+    val y = lit(16L) * col("q") - x * x
+    val a = pp.agg(count(lit(1)).cast("long").as("n"),
+      sum(x).cast("decimal(38,0)").as("sx"),
+      sum(y).cast("decimal(38,0)").as("sy"),
+      sum(x * x).cast("decimal(38,0)").as("sxx"),
+      sum(x * y).cast("decimal(38,0)").as("sxy"))
+    val nd = col("n").cast("decimal(38,0)")
+    val det = nd * col("sxx") - col("sx") * col("sx")
+    val slopeNum = nd * col("sxy") - col("sx") * col("sy")
+    a.select(col("n").as("n_pixels"),
+      when(det =!= 0,
+        round(slopeNum.cast("double") / det.cast("double") / lit(15.0), 4) + lit(0.0))
+        .as("gain"),
+      when(det =!= 0,
+        round((col("sy").cast("double") / col("n").cast("double") -
+          slopeNum.cast("double") / det.cast("double") *
+            col("sx").cast("double") / col("n").cast("double")) / lit(240.0), 4)
+          + lit(0.0)).as("read_var"))
+  }
+
   /** #381 — Moran's I + Geary's C spatial autocorrelation over the
     * SPE frame-0 pixel lattice (Moran 1950; Geary 1954): the two
     * classic "is intensity spatially clustered?" statistics — the
@@ -805,5 +871,5 @@ object CcdQueries {
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
     qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField,
-    qSigmaClip, qAbsorptionRadial, qMoranGeary)
+    qSigmaClip, qAbsorptionRadial, qMoranGeary, qGainMap)
 }

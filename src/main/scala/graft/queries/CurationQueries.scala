@@ -1815,6 +1815,73 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Iterative proportional fitting / raking (#393, Deming &
+    * Stephan 1940): calibrate the (event_type × cohort) count table
+    * to UNIFORM target margins on both axes by alternately scaling
+    * rows then columns, 3 full rounds — the survey-weighting /
+    * mix-calibration workhorse that generalizes the 1-D source
+    * rebalance (#92) to two constraints at once (e.g. "equal share
+    * per source AND per language" for a training mix). Weights stay
+    * exact micro integers: each round is two window-sum scalings
+    * with floor divisions mirrored verbatim (the rounding ORDER is
+    * part of the spec, so parity is exact, not approximate); the
+    * k_r×k_c table is bounded by the category domains, never data.
+    */
+  val qIpfRaking = GateQuery.sql(
+    "q_ipf_raking", {
+      def roundSql(src: String, axis: String): String =
+        s"""SELECT et, g,
+           |    (w * ((tgt$axis * 1000000)
+           |      // CAST(sum(w) OVER (PARTITION BY $axis) AS HUGEINT))) // 1000000 AS w,
+           |    tgtet, tgtg
+           |  FROM $src""".stripMargin
+      s"""WITH a AS (SELECT event_type AS et, user_id % 4 AS g,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(count(DISTINCT et) AS BIGINT) AS kr,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS kc FROM a),
+         |w0 AS (SELECT et, g, CAST(n AS HUGEINT) * 1000000 AS w,
+         |    (nt * 1000000) // kr AS tgtet, (nt * 1000000) // kc AS tgtg
+         |  FROM a, t),
+         |r1 AS (${roundSql("w0", "et")}), c1 AS (${roundSql("r1", "g")}),
+         |r2 AS (${roundSql("c1", "et")}), c2 AS (${roundSql("r2", "g")}),
+         |r3 AS (${roundSql("c2", "et")}), c3 AS (${roundSql("r3", "g")})
+         |SELECT c3.et AS et, c3.g AS g, a.n, CAST(c3.w AS BIGINT) AS w_micro
+         |FROM c3 JOIN a ON c3.et = a.et AND c3.g = a.g
+         |ORDER BY c3.et, c3.g""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val a = ev.groupBy(col("event_type").as("et"),
+        pmod(col("user_id"), lit(4L)).as("g"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val t = a.agg(sum(col("n")).cast("long").as("nt"),
+      countDistinct(col("et")).cast("long").as("kr"),
+      countDistinct(col("g")).cast("long").as("kc"))
+    val w0 = Curation.withStats(a, t).select(col("et"), col("g"),
+      (col("n").cast("decimal(38,0)") * lit(1000000L)).as("w"),
+      Binning.floorDivCol(col("nt") * lit(1000000L), col("kr")).as("tgtet"),
+      Binning.floorDivCol(col("nt") * lit(1000000L), col("kc")).as("tgtg"))
+    def scale(df: org.apache.spark.sql.DataFrame, axis: String,
+              tgt: String): org.apache.spark.sql.DataFrame = {
+      val axisSum = sum(col("w")).over(Window.partitionBy(col(axis)))
+        .cast("decimal(38,0)")
+      df.select(col("et"), col("g"),
+        Exact.floorDivBig(
+          col("w") * Exact.floorDivBig(
+            col(tgt).cast("decimal(38,0)") * lit(1000000L), axisSum),
+          lit(1000000L)).as("w"),
+        col("tgtet"), col("tgtg"))
+    }
+    val c3 = Seq(("et", "tgtet"), ("g", "tgtg"), ("et", "tgtet"),
+        ("g", "tgtg"), ("et", "tgtet"), ("g", "tgtg"))
+      .foldLeft(w0) { case (df, (ax, tg)) => scale(df, ax, tg) }
+    c3.join(a, Seq("et", "g"))
+      .select(col("et"), col("g"), col("n"), col("w").cast("long").as("w_micro"))
+      .orderedSmall(col("et"), col("g"))
+  }
+
   val all: Seq[GateQuery] =
     Seq(qLineDedup, qLmPerplexity, qDsirWeights, qMixRebalance, qSubstrDedup,
       qLmBigram, qLmTrigram, qDsirSelect, qQualityClassifier, qCurationPipeline,
@@ -1822,5 +1889,5 @@ object CurationQueries {
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
       qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
-      qLcpClones, qBurstiness, qGoodTuring, qYuleK)
+      qLcpClones, qBurstiness, qGoodTuring, qYuleK, qIpfRaking)
 }

@@ -676,9 +676,64 @@ object EmbeddingQueries {
       .orderedSmall(col("vec_a"))
   }
 
+  /** Embedding isotropy audit (#391, Ethayarajh 2019; Mu 2018
+    * "All-but-the-Top"): is the embedding space collapsing toward a
+    * common direction? The mean pairwise cosine ≈
+    * (‖Σx‖² − Σ‖x‖²)/((n−1)·Σ‖x‖²) should sit near 0 for a healthy
+    * space — anisotropy (≫ 0) silently breaks every cosine-threshold
+    * operator in the inventory (#25, #87, #124), so this is the
+    * health check run BEFORE trusting them. ONE aggregate: per-dim
+    * sums (a 64-long vector fold) + the squared-norm total, both
+    * exact fixed-point; the n² pairwise structure is algebraic, never
+    * joined. Reports the signed mean-cosine ppm, the mean-vector
+    * norm share (the "common direction" mass), and the mean squared
+    * norm.
+    */
+  val qEmbedIsotropy = GateQuery.sql(
+    "q_embed_isotropy", {
+      val q = VectorOps.quantizeSql("embedding")
+      s"""WITH q AS (SELECT $q AS q FROM embeddings),
+         |d AS (SELECT unnest(q) AS v, generate_subscripts(q, 1) AS j FROM q),
+         |s AS (SELECT j, CAST(sum(v) AS HUGEINT) AS sj FROM d GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(list_sum([CAST(x AS HUGEINT) * x for x in q])) AS HUGEINT) AS ssq
+         |  FROM q),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS dims,
+         |    CAST(sum(sj * sj) AS HUGEINT) AS ss2 FROM s)
+         |SELECT t.n, g.dims,
+         |  CAST(t.ssq // t.n AS BIGINT) AS mean_norm2_u,
+         |  ${Exact.roundedRatioSignedSql(
+              "CAST((g.ss2 - t.ssq) * 1000000 AS HUGEINT)",
+              "CAST((t.n - 1) AS HUGEINT) * t.ssq", 0)} AS avg_cos_ppm,
+         |  CAST((g.ss2 * 1000000) // (CAST(t.n AS HUGEINT) * t.ssq) AS BIGINT)
+         |    AS mean_dir_share_ppm
+         |FROM t, g""".stripMargin
+    }) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(VectorOps.quantize(col("embedding")).as("q"))
+    val dims = 64
+    val perDim = (0 until dims).map(i =>
+      sum(col("q").getItem(i).cast("decimal(38,0)")).as(s"s$i"))
+    val norm2 = aggregate(col("q"), lit(BigDecimal(0)).cast("decimal(38,0)"),
+      (acc, x) => acc + x.cast("decimal(38,0)") * x)
+    val aggs = Seq(count(lit(1)).cast("long").as("n"),
+      sum(norm2).cast("decimal(38,0)").as("ssq")) ++ perDim
+    val t = e.agg(aggs.head, aggs.tail: _*)
+    val ss2 = (0 until dims).map(i =>
+      col(s"s$i") * col(s"s$i")).reduce(_ + _).cast("decimal(38,0)")
+    val num = (ss2 - col("ssq")) * lit(1000000L)
+    val den = (col("n") - 1).cast("decimal(38,0)") * col("ssq")
+    t.select(col("n"), lit(dims.toLong).as("dims"),
+      Exact.floorDivBig(col("ssq"), col("n")).cast("long").as("mean_norm2_u"),
+      Exact.roundedRatioSigned(num, den, 0).as("avg_cos_ppm"),
+      Exact.floorDivBig(ss2 * lit(1000000L),
+        col("n").cast("decimal(38,0)") * col("ssq")).cast("long")
+        .as("mean_dir_share_ppm"))
+  }
+
   val all: Seq[GateQuery] = Seq(
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
     qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq, qMatryoshka,
-    qAnnRecallCurve, qMutualNn)
+    qAnnRecallCurve, qMutualNn, qEmbedIsotropy)
 }
