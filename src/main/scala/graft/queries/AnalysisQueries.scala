@@ -486,6 +486,67 @@ object AnalysisQueries {
       .orderedSmall(col("prev"), col("next"))
   }
 
+  /** HBOS histogram-based outlier score (#394, Goldstein & Dengel
+    * 2012): per user, Σ_features −ln(bucket density) over decile
+    * histograms of (event count, total spend, distinct event types)
+    * — the deterministic density-based outlier detector (isolation
+    * forests need RNG; HBOS doesn't), the behavioral-anomaly
+    * companion of the rolling z-score (#160, which sees time, not
+    * shape). Feature buckets are exact (f·10)//(1+max) floors (the
+    * #209 convention, maxima on one 1-row broadcast); densities are
+    * exact bucket counts; the score is Σ(mln(N) − mln(n_b)) in
+    * micro-nats with every ln micro-floored per COUNT (order-free);
+    * per-feature bucket relations are ≤10 rows joined back by
+    * bucket id. Top-20 via TakeOrdered.
+    */
+  val qHbos = GateQuery.sql(
+    "q_hbos", {
+      val mln = graft.operators.Curation.microLnSql _
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f1,
+         |    CAST(sum(${graft.operators.Exact.centsSql("vd")}) AS BIGINT) AS f2,
+         |    CAST(count(DISTINCT event_type) AS BIGINT) AS f3
+         |  FROM $E t GROUP BY 1),
+         |mx AS (SELECT 1 + max(f1) AS m1, 1 + max(greatest(f2, 0)) AS m2,
+         |    1 + max(f3) AS m3, CAST(count(*) AS BIGINT) AS n FROM u),
+         |b AS (SELECT user_id,
+         |    (f1 * 10) // m1 AS b1, (greatest(f2, 0) * 10) // m2 AS b2,
+         |    (f3 * 10) // m3 AS b3, n
+         |  FROM u, mx),
+         |h1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+         |h2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1),
+         |h3 AS (SELECT b3, CAST(count(*) AS BIGINT) AS c3 FROM b GROUP BY 1),
+         |sc AS (SELECT user_id,
+         |    3 * ${mln("n")} - ${mln("c1")} - ${mln("c2")} - ${mln("c3")} AS score
+         |  FROM b JOIN h1 USING (b1) JOIN h2 USING (b2) JOIN h3 USING (b3))
+         |SELECT user_id, CAST(score AS BIGINT) AS hbos_micro
+         |FROM sc ORDER BY score DESC, user_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.Curation.microLn
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      count(lit(1)).cast("long").as("f1"),
+      Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("f2"),
+      countDistinct(col("event_type")).cast("long").as("f3"))
+    val mx = u.agg((lit(1L) + max(col("f1"))).as("m1"),
+      (lit(1L) + max(greatest(col("f2"), lit(0L)))).as("m2"),
+      (lit(1L) + max(col("f3"))).as("m3"),
+      count(lit(1)).cast("long").as("n"))
+    val b = graft.operators.Curation.withStats(u, mx).select(col("user_id"),
+      Binning.floorDivCol(col("f1") * lit(10L), col("m1")).as("b1"),
+      Binning.floorDivCol(greatest(col("f2"), lit(0L)) * lit(10L), col("m2")).as("b2"),
+      Binning.floorDivCol(col("f3") * lit(10L), col("m3")).as("b3"),
+      col("n"))
+    val h1 = b.groupBy(col("b1")).agg(count(lit(1)).cast("long").as("c1"))
+    val h2 = b.groupBy(col("b2")).agg(count(lit(1)).cast("long").as("c2"))
+    val h3 = b.groupBy(col("b3")).agg(count(lit(1)).cast("long").as("c3"))
+    b.join(broadcast(h1), "b1").join(broadcast(h2), "b2").join(broadcast(h3), "b3")
+      .select(col("user_id"),
+        (lit(3L) * microLn(col("n")) - microLn(col("c1")) -
+          microLn(col("c2")) - microLn(col("c3"))).as("score"))
+      .select(col("user_id"), col("score").cast("long").as("hbos_micro"))
+      .orderBy(col("hbos_micro").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** Markov entropy rate (#384, Shannon 1948 §7): the per-step
     * entropy H = −Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ) of the #158 transition
     * matrix next to the marginal entropy H₀ of the next-state
@@ -1685,5 +1746,5 @@ object AnalysisQueries {
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
     qWinsorized, qPlatt, qCalinski, qVmeasure, qHourEntropy, qDaviesBouldin, qSilhouette,
-    qSilhouetteSampled, qKmedoids, qDecayFeatures, qEntropyRate)
+    qSilhouetteSampled, qKmedoids, qDecayFeatures, qEntropyRate, qHbos)
 }

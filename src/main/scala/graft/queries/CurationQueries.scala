@@ -1815,6 +1815,103 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Heaps' law vocabulary-growth fit (#395, Heaps 1978): V(n) ≈
+    * K·n^β over corpus-order prefixes — the growth EXPONENT the
+    * coverage curve (#279) plots but never fits, and the capacity
+    *-planning number for vocab tables (β ≈ 0.5 natural text; β → 0
+    * = the corpus has stopped teaching new types, the same signal
+    * Chao1 #331 reads cross-sectionally). Types are word TRIGRAMS —
+    * the order whose type inventory actually grows (#385's
+    * rationale: the unigram vocab saturates in the first decile and
+    * β degenerates to 0). Docs split into ten corpus-order deciles
+    * (one doc-count window); each trigram charges its
+    * FIRST-occurrence decile (one type aggregate + an equi-join
+    * back); cumulative (n_k, V_k) over the 10 decile rows; β is the
+    * log-log regression slope over the checkpoints, micro-ln
+    * quantized inputs and one mirrored double out.
+    */
+  val qHeapsLaw = GateQuery.sql(
+    "q_heaps_law", {
+      val mln = Curation.microLnSql _
+      s"""WITH dt AS (SELECT doc_id,
+         |    greatest(len(string_split(text, ' ')) - 2, 0) AS ntok
+         |  FROM documents),
+         |dc AS (SELECT doc_id, ntok,
+         |    row_number() OVER (ORDER BY doc_id) AS dn,
+         |    count(*) OVER () AS nd FROM dt),
+         |dd AS (SELECT doc_id, ntok, ((dn - 1) * 10) // nd + 1 AS k FROM dc),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tri AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |    for i in range(1, len(w) - 1)]) AS word
+         |  FROM tw WHERE len(w) >= 3),
+         |fw AS (SELECT min(doc_id) AS fdoc FROM tri GROUP BY word),
+         |nv AS (SELECT dd.k, CAST(count(*) AS BIGINT) AS newv
+         |  FROM fw JOIN dd ON fw.fdoc = dd.doc_id GROUP BY 1),
+         |tk AS (SELECT k, CAST(sum(ntok) AS BIGINT) AS tok FROM dd GROUP BY 1),
+         |cum AS (SELECT tk.k,
+         |    CAST(sum(tk.tok) OVER (ORDER BY tk.k) AS BIGINT) AS n_tokens,
+         |    CAST(sum(coalesce(nv.newv, 0)) OVER (ORDER BY tk.k) AS BIGINT) AS n_types
+         |  FROM tk LEFT JOIN nv ON tk.k = nv.k),
+         |lg AS (SELECT k, n_tokens, n_types,
+         |    ${mln("n_tokens")} AS x, ${mln("n_types")} AS y FROM cum),
+         |rg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM lg)
+         |SELECT lg.k, lg.n_tokens, lg.n_types,
+         |  CASE WHEN rg.m * rg.sxx - rg.sx * rg.sx <> 0 THEN
+         |    round(CAST(rg.m * rg.sxy - rg.sx * rg.sy AS DOUBLE)
+         |      / CAST(rg.m * rg.sxx - rg.sx * rg.sx AS DOUBLE), 4) + 0.0
+         |  END AS heaps_beta
+         |FROM lg, rg ORDER BY lg.k""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import Curation.microLn
+    val docs = Tables.documents(s, d)
+    val dt = docs.select(col("doc_id"),
+      greatest(size(split(col("text"), " ")).cast("long") - 2, lit(0L)).as("ntok"))
+    val dc = dt
+      .withColumn("dn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+    val dd = dc.select(col("doc_id"), col("ntok"),
+      (Binning.floorDivCol((col("dn") - 1).cast("long") * lit(10L),
+        col("nd").cast("long")) + 1).as("k"))
+    val tw = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    val tri = tw
+      .select(col("doc_id"), col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 2)).as(Seq("p", "w1")))
+      .select(col("doc_id"), concat_ws(" ", col("w1"),
+        element_at(col("w"), col("p") + 2),
+        element_at(col("w"), col("p") + 3)).as("word"))
+    val fw = tri.groupBy(col("word")).agg(min(col("doc_id")).as("fdoc"))
+    val nv = fw.join(dd.select(col("doc_id").as("fdoc"), col("k")), "fdoc")
+      .groupBy(col("k")).agg(count(lit(1)).cast("long").as("newv"))
+    val tk = dd.groupBy(col("k")).agg(sum(col("ntok")).cast("long").as("tok"))
+    val wk = Window.orderBy(col("k"))
+    val cum = tk.join(nv, Seq("k"), "left")
+      .withColumn("n_tokens", sum(col("tok")).over(wk).cast("long"))
+      .withColumn("n_types",
+        sum(coalesce(col("newv"), lit(0L))).over(wk).cast("long"))
+      .select(col("k"), col("n_tokens"), col("n_types"))
+    val lg = cum.select(col("k"), col("n_tokens"), col("n_types"),
+      microLn(col("n_tokens")).as("x"), microLn(col("n_types")).as("y"))
+    val rg = lg.agg(count(lit(1)).cast("long").as("m"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"))
+    val md = col("m").cast("decimal(38,0)")
+    val det = md * col("sxx") - col("sx") * col("sx")
+    Curation.withStats(lg, rg)
+      .select(col("k"), col("n_tokens"), col("n_types"),
+        when(det =!= 0,
+          round((md * col("sxy") - col("sx") * col("sy")).cast("double") /
+            det.cast("double"), 4) + lit(0.0)).as("heaps_beta"))
+      .orderedSmall(col("k"))
+  }
+
   /** Iterative proportional fitting / raking (#393, Deming &
     * Stephan 1940): calibrate the (event_type × cohort) count table
     * to UNIFORM target margins on both axes by alternately scaling
@@ -1889,5 +1986,5 @@ object CurationQueries {
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
       qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
-      qLcpClones, qBurstiness, qGoodTuring, qYuleK, qIpfRaking)
+      qLcpClones, qBurstiness, qGoodTuring, qYuleK, qIpfRaking, qHeapsLaw)
 }

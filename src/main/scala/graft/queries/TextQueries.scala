@@ -1935,7 +1935,146 @@ object TextQueries {
       .orderedSmall(col("exact_c").desc, col("word"))
   }
 
+  /** TextRank keyword extraction (#397, Mihalcea & Tarau 2004):
+    * PageRank over the word co-occurrence graph (adjacent words,
+    * symmetric, distinct) — the graph-centrality keyword scorer
+    * next to RAKE's degree/frequency ratio (#396): RAKE rewards
+    * words that live in long phrases, TextRank words that BRIDGE
+    * contexts. Same exact pico-rank integer iteration as #184 (5
+    * unrolled rounds, teleport + damped in-sums, floor divisions
+    * mirrored verbatim); the word graph is VOCAB-bounded, so every
+    * iteration joins a vocab-sized rank relation against a
+    * vocab²-bounded edge set — at corpus scale the edge build is
+    * the only data-sized pass. Top-20 by final rank.
+    */
+  val qTextrank = GateQuery.sql(
+    "q_textrank", {
+      val unit = 1000000000000L
+      val iterCtes = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |    (15 * $unit) // (100 * (SELECT n FROM cnt))
+           |      + (85 * coalesce(c.in_sum, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.r // e.outdeg) AS BIGINT) AS in_sum
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1) c
+           |  ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tw AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bi AS (SELECT unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+         |    unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+         |  FROM tw WHERE len(ws) >= 2),
+         |e0 AS (SELECT DISTINCT w1 AS src, w2 AS dst FROM bi WHERE w1 <> w2
+         |  UNION SELECT DISTINCT w2, w1 FROM bi WHERE w1 <> w2),
+         |deg AS (SELECT src AS node, count(*) AS outdeg FROM e0 GROUP BY 1),
+         |nodes AS (SELECT node FROM deg),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (SELECT e0.src, e0.dst, d.outdeg FROM e0
+         |  JOIN deg d ON e0.src = d.node),
+         |r0 AS (SELECT node, $unit // (SELECT n FROM cnt) AS r FROM nodes),
+         |$iterCtes
+         |SELECT node AS word, CAST(r AS BIGINT) AS rank_pico FROM r5
+         |ORDER BY r DESC, node LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val unit = 1000000000000L
+    val tw = Tables.documents(s, d).select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bi = tw
+      .select(col("ws"), posexplode(slice(col("ws"), lit(1), size(col("ws")) - 1))
+        .as(Seq("p", "w1")))
+      .select(col("w1"), element_at(col("ws"), col("p") + 2).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val e0 = bi.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bi.select(col("w2").as("src"), col("w1").as("dst"))).distinct()
+    val deg = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val edges = e0.join(deg.withColumnRenamed("node", "src"), "src")
+      .repartition(col("src")).persist()
+    val nodes = deg.select(col("node")).persist()
+    val n = nodes.count()
+    val teleport = (15L * unit) / (100L * n)
+    var r = nodes.select(col("node"), lit(unit / n).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges.join(r, edges("src") === r("node"))
+        .select(col("dst").as("node"),
+          Binning.floorDivCol(col("r"), col("outdeg")).as("c"))
+        .groupBy(col("node"))
+        .agg(Exact.sumUnits(col("c")).cast("long").as("in_sum"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            Binning.floorDivCol(lit(85L) * coalesce(col("in_sum"), lit(0L)),
+              lit(100L))).as("r"))
+    }
+    r.select(col("node").as("word"), col("r").cast("long").as("rank_pico"))
+      .orderBy(col("rank_pico").desc, col("word"))
+      .limit(20)
+  }
+
+  /** RAKE keyphrase extraction (#396, Rose et al. 2010): split each
+    * doc into candidate phrases at stopword boundaries, score words
+    * by degree/frequency over phrase co-occurrence, score phrases as
+    * the sum of their word scores — the classic unsupervised
+    * keyphrase baseline, the PHRASE-level complement of the unigram
+    * signals (keyness #302, burstiness #380, PMI #121 which stops at
+    * pairs). The stop set is the data's own top-5 words (the C4
+    * "most frequent = function word" heuristic, deterministic
+    * tie-break) on a 5-row broadcast; phrase segmentation is one
+    * gaps-and-islands window per doc (seg = pos − rank-among-kept);
+    * phrases capped at 4 words (RAKE's convention AND the fan-out
+    * bound); deg/freq ratios are exact micro floors; phrase score is
+    * an exact integer sum, so ranking mirrors. Top-20 TakeOrdered.
+    */
+  val qRake = GateQuery.sql(
+    "q_rake",
+    """WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS word,
+      |    generate_subscripts(ws, 1) AS i FROM tw),
+      |sw AS (SELECT word FROM (SELECT word, count(*) AS c FROM tok GROUP BY 1)
+      |  ORDER BY c DESC, word LIMIT 5),
+      |ns AS (SELECT doc_id, i, word,
+      |    CAST(i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS seg
+      |  FROM tok WHERE word NOT IN (SELECT word FROM sw)),
+      |pl AS (SELECT doc_id, seg, word, i,
+      |    count(*) OVER (PARTITION BY doc_id, seg) AS plen FROM ns),
+      |pw AS (SELECT doc_id, seg, word, i, plen FROM pl WHERE plen <= 4),
+      |wsC AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY 1),
+      |sc AS (SELECT pw.doc_id, pw.seg,
+      |    string_agg(pw.word, ' ' ORDER BY pw.i) AS phrase,
+      |    CAST(sum((w.deg * 1000000) // w.freq) AS BIGINT) AS score
+      |  FROM pw JOIN wsC w ON pw.word = w.word GROUP BY 1, 2),
+      |ag AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(max(score) AS BIGINT) AS score_micro FROM sc GROUP BY 1)
+      |SELECT phrase, n, score_micro FROM ag
+      |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "word")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("word"))
+    val sw = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(5).select(col("word"))
+    val ns = tok.join(broadcast(sw), Seq("word"), "left_anti")
+      .withColumn("seg", (col("i") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i")))).cast("long"))
+    val pl = ns.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("seg"))))
+    val pw = pl.filter(col("plen") <= 4)
+    val wsC = pw.groupBy(col("word")).agg(
+      count(lit(1)).cast("long").as("freq"),
+      sum(col("plen")).cast("long").as("deg"))
+    val sc = pw.join(wsC, "word")
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("word")))),
+          x => x.getField("word")), " ").as("phrase"),
+        sum(Binning.floorDivCol(col("deg") * lit(1000000L), col("freq")))
+          .cast("long").as("score"))
+    sc.groupBy(col("phrase")).agg(count(lit(1)).cast("long").as("n"),
+        max(col("score")).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(20)
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qRake, qTextrank,
     qKfold, qLearningCurve, qCountMin,
     qAuc, qPrCurve, qGiniSplit, qYouden, qReliability, qSpearman,
     qDedupExact, qTokenCount, qTextQuality, qLangId, qKrippendorff, qFingerprint,
