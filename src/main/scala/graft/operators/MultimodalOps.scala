@@ -176,6 +176,68 @@ object MultimodalOps {
     }
   }
 
+  final case class ImageQuality(doc_id: Long, lap_var_micro: Long,
+                                mean_luma_milli: Long, contrast_milli: Long,
+                                decoded: Boolean)
+
+  /** Image sharpness / exposure quality metrics (#401): variance of
+    * the 4-neighbor Laplacian on a 32×32 luma resample (Pech-Pacheco
+    * 2000 — THE standard blur detector: blurry ≈ 0, sharp ≫ 0),
+    * plus mean luma (exposure) and luma standard deviation
+    * (contrast) — the image-corpus quality filter that plays the
+    * role Gopher rules (#85) play for text: drop the blurry, the
+    * black, and the blown-out BEFORE they poison training. Same
+    * deterministic decode + area-average luma as [[pHash]] (explicit
+    * loops, bit-identical across JVMs); per-row arithmetic on
+    * executors, zero shuffle, batched; non-decodable payloads emit
+    * zeros with `decoded = false` so mixed corpora stay total.
+    */
+  def imageQuality(ds: Dataset[(Long, Array[Byte])],
+                   batchSize: Int = 64): Dataset[ImageQuality] = {
+    import ds.sparkSession.implicits._
+    val s = 32
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { case (id, bytes) =>
+          val img =
+            if (!looksLikeImage(bytes)) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth == 0 || img.getHeight == 0)
+            ImageQuality(id, 0L, 0L, 0L, decoded = false)
+          else {
+            val px = grayResize(img, s)
+            var sum = 0.0; var sq = 0.0
+            var i = 0
+            while (i < s * s) { sum += px(i); sq += px(i) * px(i); i += 1 }
+            val n = (s * s).toDouble
+            val mean = sum / n
+            val varL = math.max(sq / n - mean * mean, 0.0)
+            // interior 4-neighbor Laplacian: 4p − left − right − up − down
+            var lsum = 0.0; var lsq = 0.0; var m = 0
+            var y = 1
+            while (y < s - 1) {
+              var x = 1
+              while (x < s - 1) {
+                val l = 4.0 * px(y * s + x) - px(y * s + x - 1) - px(y * s + x + 1) -
+                  px((y - 1) * s + x) - px((y + 1) * s + x)
+                lsum += l; lsq += l * l; m += 1
+                x += 1
+              }
+              y += 1
+            }
+            val lapVar = math.max(lsq / m - (lsum / m) * (lsum / m), 0.0)
+            ImageQuality(id,
+              math.floor(lapVar * 1000000.0).toLong,
+              math.floor(mean * 1000.0).toLong,
+              math.floor(math.sqrt(varL) * 1000.0).toLong,
+              decoded = true)
+          }
+        }
+      }
+    }
+  }
+
   final case class PHash(doc_id: Long, phash: Long, decoded: Boolean)
 
   /** Area-average box resample to `s`×`s` Rec.601 luma — explicit

@@ -1561,6 +1561,193 @@ object EvalQueries {
       .orderedSmall(col("arm"))
   }
 
+  /** Wald instrumental-variable estimator (#398, Wald 1940; Angrist
+    * 1990): with a binary instrument z (user-id parity — the
+    * assignment-like bit), the LATE of click exposure on spend is
+    * the reduced-form/first-stage ratio (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — the
+    * simplest causal estimate that survives confounded exposure,
+    * next to DiD (#269, which needs a time axis) and CUPED (#322,
+    * which only de-noises). One user aggregate + one 2-row arm
+    * aggregate, all exact cents/counts; the Wald ratio and the
+    * first-stage share are the mirrored doubles; a weak instrument
+    * (first stage = 0) yields NULL by exact predicate.
+    */
+  val qIvWald = GateQuery.sql(
+    "q_iv_wald",
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS z,
+       |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t GROUP BY 1, 2),
+       |a AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy
+       |  FROM u GROUP BY 1),
+       |w AS (SELECT
+       |    (SELECT n FROM a WHERE z = 1) AS n1, (SELECT n FROM a WHERE z = 0) AS n0,
+       |    (SELECT sx FROM a WHERE z = 1) AS sx1, (SELECT sx FROM a WHERE z = 0) AS sx0,
+       |    (SELECT sy FROM a WHERE z = 1) AS sy1, (SELECT sy FROM a WHERE z = 0) AS sy0)
+       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       |  round(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0, 4) + 0.0
+       |    AS first_stage,
+       |  round(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0, 4) + 0.0
+       |    AS reduced_form,
+       |  CASE WHEN sx1 * n0 <> sx0 * n1 THEN
+       |    round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+       |      / (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0), 4) + 0.0
+       |  END AS wald_late
+       |FROM w""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("z"))
+      .agg(count(when(col("event_type") === "click", 1)).cast("long").as("x"),
+        Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = u.groupBy(col("z")).agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"))
+    val w = a.groupBy().pivot("z", Seq(0, 1)).agg(
+      first(col("n")).as("n"), first(col("sx")).as("sx"), first(col("sy")).as("sy"))
+    def d2(c: Column) = c.cast("double")
+    val fs = d2(col("1_sx")) / d2(col("1_n")) - d2(col("0_sx")) / d2(col("0_n"))
+    val rf = d2(col("1_sy")) / d2(col("1_n")) - d2(col("0_sy")) / d2(col("0_n"))
+    w.select(col("1_n").cast("long").as("n1"), col("0_n").cast("long").as("n0"),
+      (round(fs, 4) + lit(0.0)).as("first_stage"),
+      (round(rf, 4) + lit(0.0)).as("reduced_form"),
+      when(col("1_sx") * col("0_n").cast("decimal(38,0)") =!=
+          col("0_sx") * col("1_n").cast("decimal(38,0)"),
+        round(rf / fs, 4) + lit(0.0)).as("wald_late"))
+  }
+
+  /** Regression discontinuity (#399, Thistlethwaite & Campbell 1960;
+    * Imbens & Lemieux 2008): the jump in per-user spend at an
+    * activity cutoff (mean event count), estimated by two local
+    * linear fits on either side inside a ±half-cutoff bandwidth —
+    * the quasi-experimental design for threshold-triggered
+    * treatments (fee tiers, rate limits), next to DiD (#269) and IV
+    * (#398). Cutoff + bandwidth ride a 1-row broadcast; each side's
+    * regression is exact integer sums (Σx, Σy, Σxx, Σxy on the
+    * centered running variable); the two boundary intercepts and
+    * their gap are mirrored doubles; degenerate sides (no spread)
+    * yield NULL by exact predicate.
+    */
+  val qRdd = GateQuery.sql(
+    "q_rdd",
+    s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t GROUP BY 1),
+       |cc AS (SELECT CAST(sum(r) // count(*) AS BIGINT) AS c,
+       |    CAST(sum(r) // count(*) AS BIGINT) // 2 AS h FROM u),
+       |b AS (SELECT CASE WHEN r >= c THEN 1 ELSE 0 END AS side,
+       |    r - c AS x, y FROM u, cc WHERE r >= c - h AND r < c + h),
+       |g AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+       |  FROM b GROUP BY 1),
+       |i AS (SELECT side, n,
+       |    CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |      (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+       |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      / CAST(n AS DOUBLE) END AS icept
+       |  FROM g)
+       |SELECT
+       |  (SELECT n FROM i WHERE side = 0) AS n_left,
+       |  (SELECT n FROM i WHERE side = 1) AS n_right,
+       |  round((SELECT icept FROM i WHERE side = 0), 4) + 0.0 AS y_left,
+       |  round((SELECT icept FROM i WHERE side = 1), 4) + 0.0 AS y_right,
+       |  round((SELECT icept FROM i WHERE side = 1)
+       |    - (SELECT icept FROM i WHERE side = 0), 4) + 0.0 AS rdd_gap""".stripMargin) {
+    (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id")).agg(
+      count(lit(1)).cast("long").as("r"),
+      Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val cc = u.agg(floorDivBig(sum(col("r")), count(lit(1))).cast("long").as("c"))
+      .select(col("c"), Binning.floorDivCol(col("c"), lit(2L)).as("h"))
+    val b = Curation.withStats(u, cc)
+      .filter(col("r") >= col("c") - col("h") && col("r") < col("c") + col("h"))
+      .select(when(col("r") >= col("c"), 1L).otherwise(0L).as("side"),
+        (col("r") - col("c")).as("x"), col("y"))
+    val g = b.groupBy(col("side")).agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"))
+    val det = col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")
+    val icept = when(det =!= 0,
+      (col("sy").cast("double") -
+        (col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / det.cast("double") * col("sx").cast("double")) /
+        col("n").cast("double"))
+    val i = g.select(col("side"), col("n"), icept.as("icept"))
+    val w = i.groupBy().pivot("side", Seq(0, 1)).agg(
+      first(col("n")).as("n"), first(col("icept")).as("icept"))
+    w.select(col("0_n").as("n_left"), col("1_n").as("n_right"),
+      (round(col("0_icept"), 4) + lit(0.0)).as("y_left"),
+      (round(col("1_icept"), 4) + lit(0.0)).as("y_right"),
+      (round(col("1_icept") - col("0_icept"), 4) + lit(0.0)).as("rdd_gap"))
+  }
+
+  /** Oaxaca–Blinder gap decomposition (#400, Oaxaca 1973; Blinder
+    * 1973): how much of the spend gap between two user cohorts is
+    * EXPLAINED by activity level (endowments) vs different returns
+    * to activity (coefficients)? ΔY = β_B·(x̄_A−x̄_B) +
+    * x̄_A·(β_A−β_B) with a single covariate — the audit that says
+    * whether a metric gap is a mix effect or a behavior effect,
+    * completing the causal shelf (#269/#398/#399). Two per-cohort
+    * exact regressions off one aggregate; the decomposition terms
+    * are mirrored doubles; the identity endowments + coefficients =
+    * gap holds exactly in doubles on both engines (same expression
+    * tree).
+    */
+  val qOaxaca = GateQuery.sql(
+    "q_oaxaca",
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS grp,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t GROUP BY 1, 2),
+       |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+       |  FROM u GROUP BY 1),
+       |p AS (SELECT grp, n,
+       |    CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+       |    CASE WHEN n * sxx - sx * sx <> 0 THEN
+       |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    END AS beta
+       |  FROM g),
+       |w AS (SELECT
+       |    (SELECT n FROM p WHERE grp = 1) AS na, (SELECT n FROM p WHERE grp = 0) AS nb,
+       |    (SELECT mx FROM p WHERE grp = 1) AS mxa, (SELECT mx FROM p WHERE grp = 0) AS mxb,
+       |    (SELECT my FROM p WHERE grp = 1) AS mya, (SELECT my FROM p WHERE grp = 0) AS myb,
+       |    (SELECT beta FROM p WHERE grp = 1) AS ba, (SELECT beta FROM p WHERE grp = 0) AS bb)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  round(mya - myb, 4) + 0.0 AS gap,
+       |  round(bb * (mxa - mxb), 4) + 0.0 AS endowments,
+       |  round(mya - myb - bb * (mxa - mxb), 4) + 0.0 AS coefficients
+       |FROM w""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("grp"))
+      .agg(count(lit(1)).cast("long").as("x"),
+        Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = u.groupBy(col("grp")).agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("sxy"))
+    val det = col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")
+    val p = g.select(col("grp"), col("n"),
+      (col("sx").cast("double") / col("n").cast("double")).as("mx"),
+      (col("sy").cast("double") / col("n").cast("double")).as("my"),
+      when(det =!= 0,
+        (col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / det.cast("double")).as("beta"))
+    val w = p.groupBy().pivot("grp", Seq(0, 1)).agg(
+      first(col("n")).as("n"), first(col("mx")).as("mx"),
+      first(col("my")).as("my"), first(col("beta")).as("beta"))
+    val gap = col("1_my") - col("0_my")
+    val endow = col("0_beta") * (col("1_mx") - col("0_mx"))
+    w.select(col("1_n").cast("long").as("n_a"), col("0_n").cast("long").as("n_b"),
+      (round(gap, 4) + lit(0.0)).as("gap"),
+      (round(endow, 4) + lit(0.0)).as("endowments"),
+      (round(gap - endow, 4) + lit(0.0)).as("coefficients"))
+  }
+
   /** Cucconi joint location-scale test (#388, Cucconi 1968; Marozzi
     * 2009): the OTHER classic two-sample location+scale test — one
     * quadratic form over squared ranks and squared ANTI-ranks,
@@ -1737,5 +1924,5 @@ object EvalQueries {
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qMurphy, qCohenKappa, qAnova, qMannWhitney, qPropTest,
     qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc,
-    qWilcoxon, qCucconi)
+    qWilcoxon, qCucconi, qIvWald, qRdd, qOaxaca)
 }

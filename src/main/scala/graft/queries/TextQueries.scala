@@ -949,6 +949,45 @@ object TextQueries {
       .orderedSmall(col("id_a"), col("id_b"))
   }
 
+  /** Image quality filter (#401): Laplacian-variance sharpness +
+    * exposure/contrast over synthetic PNG payloads whose blur level
+    * is keyed by doc id (flat / gradient / checkerboard bands), the
+    * image-corpus analogue of the Gopher text rules (#85) — the
+    * "drop the blurry, the black and the blown-out" screen. Decode
+    * and metrics are per-row executor arithmetic, zero shuffle
+    * (see [[MultimodalOps.imageQuality]]; semantics pinned in
+    * MultimodalOpsSpec with planted sharp/flat/gradient images).
+    */
+  val qImageQuality = GateQuery.rowsOnly("q_image_quality") { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 100 === 0).as[Long]
+    val imgs = ids.map { id =>
+      val kind = (id / 100) % 3
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 48) {
+          val g = kind match {
+            case 0 => 128 // flat: zero sharpness, zero contrast
+            case 1 => y * 255 / 31 // smooth gradient: low sharpness
+            case _ => if (((x / 4) + (y / 4)) % 2 == 0) 255 else 0 // sharp
+          }
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }
+    MultimodalOps.imageQuality(imgs, batchSize = 64).toDF()
+      .orderedSmall(col("doc_id"))
+  }
+
   /** #111 — BM25 keyword retrieval: a deterministic query workload
     * against the documents corpus, micro-quantized Okapi scoring,
     * top-10 per query. One corpus (doc, term) aggregate + broadcast
@@ -2082,7 +2121,7 @@ object TextQueries {
     qSplitSample, qContamination, qFuzzyContamination, qSeqPacking, qMultimodalMeta,
     qMultimodalFeatures, qRepetition, qPiiScrub, qGopherQuality,
     qStratifiedSample, qIncrementalDedup, qLangIdFt, qBpePacking, qWavStats,
-    qImageNeardup, qBloomContamination, qBm25, qQlRetrieval, qRbo, qHeavyHitters, qAudioFingerprint,
+    qImageNeardup, qImageQuality, qBloomContamination, qBm25, qQlRetrieval, qRbo, qHeavyHitters, qAudioFingerprint,
     qChunking, qPmi, qEditNeardup, qClusterReps, qSoftDedup, qJaccardSurvival,
     qContainmentPairs, qW1Drift, qSourceOverlap, qRrfFusion)
 }

@@ -91,7 +91,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_wilcoxon", // (time midpoint) single-row scalar (same as q_cuped)
     "q_ipf_raking", // (nt, kr, kc) table-total single-row scalars
     "q_hbos", // (per-feature maxima, N) single-row scalar (as q_ece)
-    "q_heaps_law") // (regression sums) single-row scalar onto 10 decile rows
+    "q_heaps_law", // (regression sums) single-row scalar onto 10 decile rows
+    "q_rdd") // (cutoff, bandwidth) single-row scalar (as q_confusion)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
