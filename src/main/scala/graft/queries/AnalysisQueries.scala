@@ -486,6 +486,74 @@ object AnalysisQueries {
       .orderedSmall(col("prev"), col("next"))
   }
 
+  /** Session concurrency sweep (#406): from the 6-hour-gap sessions
+    * (#45's relation), a ±1 sweep-line over session starts/ends →
+    * peak simultaneous sessions and the TIME-WEIGHTED mean
+    * concurrency — the capacity-planning numbers (how many users
+    * are on at once, not just DAU #216). Sweep points are
+    * 2·sessions rows; ends sort before starts at the same instant
+    * (end-exclusive intervals, so back-to-back sessions don't
+    * double-count); level × segment-duration sums are exact
+    * integer µs; the mean is one exact ppm floor. The ordered
+    * cumulative window is session-count-bounded — never event-
+    * scale.
+    */
+  val qConcurrency = GateQuery.sql(
+    "q_concurrency",
+    s"""WITH e AS (SELECT user_id, ts_us AS t, event_id FROM $E AS ev),
+       |b AS (SELECT user_id, t, event_id,
+       |    CASE WHEN t - lag(t) OVER w > 21600000000 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |s AS (SELECT user_id, t,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       |  FROM b),
+       |iv AS (SELECT min(t) AS t0, max(t) AS t1 FROM s
+       |  GROUP BY user_id, sid),
+       |pt AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS d FROM iv
+       |  UNION ALL SELECT t1, -1 FROM iv),
+       |sw AS (SELECT t, d,
+       |    CAST(sum(d) OVER (ORDER BY t, d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lvl,
+       |    lead(t) OVER (ORDER BY t, d) AS nt
+       |  FROM pt),
+       |seg AS (SELECT lvl, CAST(sum(nt - t) AS HUGEINT) AS dur
+       |  FROM sw WHERE nt IS NOT NULL GROUP BY 1),
+       |agg AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions,
+       |    CAST(max(lvl) AS BIGINT) AS max_concurrent,
+       |    CAST(sum(CAST(lvl AS HUGEINT) * dur) AS HUGEINT) AS lw,
+       |    CAST(sum(dur) AS HUGEINT) AS td
+       |  FROM seg)
+       |SELECT n_sessions, max_concurrent,
+       |  CAST(CASE WHEN td > 0 THEN (lw * 1000000) // td END AS BIGINT)
+       |    AS mean_concurrency_ppm
+       |FROM agg""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val iv = graft.operators.Sessionize.batch(ev(s, d), col("user_id"),
+        col("ts_us"), col("event_id"), lit(0L), gap = 21600000000L)
+      .select(col("t_start").as("t0"), col("t_end").as("t1"))
+    val pt = iv.select(col("t0").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("t1").as("t"), lit(-1L).as("d")))
+    val wo = Window.orderBy(col("t"), col("d"))
+    val sw = pt
+      .withColumn("lvl", sum(col("d")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("nt", lead(col("t"), 1).over(wo))
+    val seg = sw.filter(col("nt").isNotNull)
+      .groupBy(col("lvl"))
+      .agg(sum(col("nt") - col("t")).cast("decimal(38,0)").as("dur"))
+    val ns = iv.agg(count(lit(1)).cast("long").as("n_sessions"))
+    val agg = seg.agg(max(col("lvl")).cast("long").as("max_concurrent"),
+      sum(col("lvl").cast("decimal(38,0)") * col("dur")).cast("decimal(38,0)").as("lw"),
+      sum(col("dur")).cast("decimal(38,0)").as("td"))
+    graft.operators.Curation.withStats(agg, ns)
+      .select(col("n_sessions"), col("max_concurrent"),
+        when(col("td") > 0,
+          Exact.floorDivBig(col("lw") * lit(1000000L), col("td")).cast("long"))
+          .as("mean_concurrency_ppm"))
+  }
+
   /** HBOS histogram-based outlier score (#394, Goldstein & Dengel
     * 2012): per user, Σ_features −ln(bucket density) over decile
     * histograms of (event count, total spend, distinct event types)
@@ -1746,5 +1814,6 @@ object AnalysisQueries {
     qCompressRatio, qPeakFind, qTrimmedMean, qRandomProjection, qHistEq,
     qXcorrSubsample, qIsotonicFit, qAttribution, qStickiness, qDtwAlign,
     qWinsorized, qPlatt, qCalinski, qVmeasure, qHourEntropy, qDaviesBouldin, qSilhouette,
-    qSilhouetteSampled, qKmedoids, qDecayFeatures, qEntropyRate, qHbos)
+    qSilhouetteSampled, qKmedoids, qDecayFeatures, qEntropyRate, qHbos,
+    qConcurrency)
 }

@@ -1815,6 +1815,47 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Context-length truncation-loss curve (#402): for each candidate
+    * context length L, the share of documents that overflow and the
+    * share of TOKENS lost to truncation — the pretraining-planning
+    * number behind choosing a context window (and the sibling of
+    * packing #60, which salvages what this gate quantifies; chunking
+    * #117 is the other mitigation). Per-doc token counts explode
+    * against the literal L-grid (6 rows per doc — a column, not a
+    * join, so no nested loop) and one hash aggregate per L; losses
+    * are exact ppm floors.
+    */
+  val qTruncationLoss = GateQuery.sql(
+    "q_truncation_loss",
+    """WITH d AS (SELECT len(string_split(text, ' ')) AS ntok FROM documents),
+      |t AS (SELECT CAST(sum(ntok) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS ndocs FROM d),
+      |g AS (SELECT ntok, unnest([128, 256, 512, 1024, 2048, 4096]) AS l FROM d),
+      |a AS (SELECT l, CAST(count(CASE WHEN ntok > l THEN 1 END) AS BIGINT) AS docs_over,
+      |    CAST(sum(greatest(ntok - l, 0)) AS BIGINT) AS tokens_lost
+      |  FROM g GROUP BY 1)
+      |SELECT l AS context_len, docs_over, tokens_lost,
+      |  (docs_over * 1000000) // t.ndocs AS docs_over_ppm,
+      |  (tokens_lost * 1000000) // t.total AS tokens_lost_ppm
+      |FROM a, t ORDER BY l""".stripMargin) { (s, d) =>
+    val dd = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("ntok"))
+    val t = dd.agg(sum(col("ntok")).cast("long").as("total"),
+      count(lit(1)).cast("long").as("ndocs"))
+    val g = dd.select(col("ntok"),
+      explode(lit(Array(128L, 256L, 512L, 1024L, 2048L, 4096L))).as("l"))
+    val a = g.groupBy(col("l")).agg(
+      count(when(col("ntok") > col("l"), 1)).cast("long").as("docs_over"),
+      sum(greatest(col("ntok") - col("l"), lit(0L))).cast("long").as("tokens_lost"))
+    Curation.withStats(a, t)
+      .select(col("l").as("context_len"), col("docs_over"), col("tokens_lost"),
+        Binning.floorDivCol(col("docs_over") * lit(1000000L), col("ndocs"))
+          .as("docs_over_ppm"),
+        Binning.floorDivCol(col("tokens_lost") * lit(1000000L), col("total"))
+          .as("tokens_lost_ppm"))
+      .orderedSmall(col("context_len"))
+  }
+
   /** Heaps' law vocabulary-growth fit (#395, Heaps 1978): V(n) ≈
     * K·n^β over corpus-order prefixes — the growth EXPONENT the
     * coverage curve (#279) plots but never fits, and the capacity
@@ -1986,5 +2027,6 @@ object CurationQueries {
       qTtr, qKlMix, qDocEntropy, qZipfFit, qMinkPct, qBoilerplate, qOovRate,
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
       qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
-      qLcpClones, qBurstiness, qGoodTuring, qYuleK, qIpfRaking, qHeapsLaw)
+      qLcpClones, qBurstiness, qGoodTuring, qYuleK, qIpfRaking, qHeapsLaw,
+      qTruncationLoss)
 }

@@ -3356,6 +3356,243 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Breusch–Pagan heteroscedasticity test (#404, Breusch & Pagan
+    * 1979, Koenker's studentized LM form): does the VARIANCE of the
+    * hourly-trend residuals grow with time? LM = n·R² of the
+    * auxiliary regression e² ~ grid — the diagnostic Durbin–Watson
+    * (#—serial correlation) can't see: a fan-shaped residual cloud
+    * passes DW clean and fails here. Same residual construction as
+    * the DW gate but floored to whole CENTS, not micro (the
+    * auxiliary regression squares residuals twice — Σe⁴ at micro
+    * scale overflows even decimal(38)); the auxiliary R² is one
+    * mirrored double from exact decimal sums.
+    */
+  val qBreuschPagan = GateQuery.sql(
+    "q_breusch_pagan",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(grid) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(grid AS HUGEINT) * grid) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(grid AS HUGEINT) * y) AS HUGEINT) AS sxy
+       |  FROM g GROUP BY 1),
+       |b AS (SELECT event_type, n,
+       |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |    sx, sy
+       |  FROM st WHERE n >= 3 AND n * sxx - sx * sx <> 0),
+       |r AS (SELECT g.event_type, g.grid,
+       |    CAST(floor(CAST(y AS DOUBLE)
+       |        - (CAST(b.sy AS DOUBLE) - b.slope * CAST(b.sx AS DOUBLE)) / b.n
+       |        - b.slope * g.grid) AS BIGINT) AS em
+       |  FROM g JOIN b USING (event_type)),
+       |z AS (SELECT event_type, grid AS x, CAST(em AS HUGEINT) * em AS z FROM r),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(z) AS HUGEINT) AS sz,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+       |    CAST(sum(z * z) AS HUGEINT) AS szz
+       |  FROM z GROUP BY 1)
+       |SELECT event_type, n,
+       |  CASE WHEN n * sxx - sx * sx <> 0 AND n * szz - sz * sz <> 0 THEN
+       |    round(CAST(n AS DOUBLE)
+       |      * CAST(n * sxz - sx * sz AS DOUBLE) * CAST(n * sxz - sx * sz AS DOUBLE)
+       |      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)),
+       |      4) + 0.0
+       |  END AS bp_lm
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val gd = col("grid").cast("decimal(38,0)")
+    val st = g.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("grid")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(gd * col("grid")).cast("decimal(38,0)").as("sxx"),
+      sum(gd * col("y")).cast("decimal(38,0)").as("sxy"))
+    val det0 = col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")
+    val b = st.filter(col("n") >= 3 && det0 =!= 0)
+      .select(col("event_type"), col("n"),
+        ((col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / det0.cast("double")).as("slope"),
+        col("sx"), col("sy"))
+    val r = g.join(broadcast(b), "event_type")
+      .select(col("event_type"), col("grid"),
+        floor(col("y").cast("double") -
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) / col("n") -
+          col("slope") * col("grid")).cast("long").as("em"))
+    val z = r.select(col("event_type"), col("grid").as("x"),
+      (col("em").cast("decimal(38,0)") * col("em")).as("z"))
+    val a = z.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("z")).cast("decimal(38,0)").as("sz"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("z")).cast("decimal(38,0)").as("sxz"),
+      sum(col("z") * col("z")).cast("decimal(38,0)").as("szz"))
+    val nd = col("n").cast("decimal(38,0)")
+    val vx = nd * col("sxx") - col("sx") * col("sx")
+    val vz = nd * col("szz") - col("sz") * col("sz")
+    val cxz = nd * col("sxz") - col("sx") * col("sz")
+    a.select(col("event_type"), col("n"),
+        when(vx =!= 0 && vz =!= 0,
+          round(col("n").cast("double") * cxz.cast("double") * cxz.cast("double") /
+            (vx.cast("double") * vz.cast("double")), 4) + lit(0.0)).as("bp_lm"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Chow structural-break test (#405, Chow 1960): did the hourly
+    * revenue trend CHANGE slope/level at the window midpoint? F
+    * compares pooled vs split-regression residual sums — the
+    * regression-form changepoint test next to #224 (which detects a
+    * MEAN shift; Chow detects a model shift, e.g. same mean but a
+    * new growth rate). One conditional aggregate computes pooled
+    * and per-half exact moment sums simultaneously; SSRs and F are
+    * the final mirrored doubles; degenerate halves yield NULL by
+    * exact predicates.
+    */
+  val qChow = GateQuery.sql(
+    "q_chow", {
+      def ssr(p: String): String =
+        s"""(CAST(n$p * syy$p - sy$p * sy$p AS DOUBLE) / n$p
+           |  - CAST(n$p * sxy$p - sx$p * sy$p AS DOUBLE)
+           |    * CAST(n$p * sxy$p - sx$p * sy$p AS DOUBLE)
+           |    / (CAST(n$p AS DOUBLE) * CAST(n$p * sxx$p - sx$p * sx$p AS DOUBLE)))"""
+          .stripMargin.replace("\n", " ")
+      def sums(p: String, f: String): String =
+        s"""CAST(count(*) FILTER ($f) AS BIGINT) AS n$p,
+           |    CAST(sum(grid) FILTER ($f) AS HUGEINT) AS sx$p,
+           |    CAST(sum(y) FILTER ($f) AS HUGEINT) AS sy$p,
+           |    CAST(sum(CAST(grid AS HUGEINT) * grid) FILTER ($f) AS HUGEINT) AS sxx$p,
+           |    CAST(sum(CAST(grid AS HUGEINT) * y) FILTER ($f) AS HUGEINT) AS sxy$p,
+           |    CAST(sum(CAST(y AS HUGEINT) * y) FILTER ($f) AS HUGEINT) AS syy$p"""
+          .stripMargin
+      s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e GROUP BY 1, 2),
+         |m AS (SELECT event_type, (min(grid) + max(grid)) // 2 AS mid
+         |  FROM g GROUP BY 1),
+         |j AS (SELECT g.event_type, g.grid, g.y, m.mid
+         |  FROM g JOIN m USING (event_type)),
+         |a AS (SELECT event_type,
+         |    ${sums("p", "true")},
+         |    ${sums("1", "grid <= mid")},
+         |    ${sums("2", "grid > mid")}
+         |  FROM j GROUP BY 1)
+         |SELECT event_type, np AS n,
+         |  CASE WHEN n1 >= 3 AND n2 >= 3
+         |      AND n1 * sxx1 - sx1 * sx1 <> 0 AND n2 * sxx2 - sx2 * sx2 <> 0
+         |      AND np * sxxp - sxp * sxp <> 0
+         |      AND ${ssr("1")} + ${ssr("2")} > 0 THEN
+         |    round(((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
+         |      / ((${ssr("1")} + ${ssr("2")}) / (CAST(np AS DOUBLE) - 4.0)), 4) + 0.0
+         |  END AS chow_f
+         |FROM a ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val m = g.groupBy(col("event_type")).agg(
+      Binning.floorDivCol(min(col("grid")) + max(col("grid")), lit(2L)).as("mid"))
+    val j = g.join(broadcast(m), "event_type")
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    def sums(p: String, f: Column) = Seq(
+      count(when(f, 1)).cast("long").as(s"n$p"),
+      sum(when(f, col("grid"))).cast("decimal(38,0)").as(s"sx$p"),
+      sum(when(f, col("y"))).cast("decimal(38,0)").as(s"sy$p"),
+      sum(when(f, dec(col("grid")) * col("grid"))).cast("decimal(38,0)").as(s"sxx$p"),
+      sum(when(f, dec(col("grid")) * col("y"))).cast("decimal(38,0)").as(s"sxy$p"),
+      sum(when(f, dec(col("y")) * col("y"))).cast("decimal(38,0)").as(s"syy$p"))
+    val allSums = sums("p", lit(true)) ++
+      sums("1", col("grid") <= col("mid")) ++ sums("2", col("grid") > col("mid"))
+    val a = j.groupBy(col("event_type")).agg(allSums.head, allSums.tail: _*)
+    def ssr(p: String): Column = {
+      val n = col(s"n$p").cast("decimal(38,0)")
+      val det = n * col(s"sxx$p") - col(s"sx$p") * col(s"sx$p")
+      val cxy = n * col(s"sxy$p") - col(s"sx$p") * col(s"sy$p")
+      (n * col(s"syy$p") - col(s"sy$p") * col(s"sy$p")).cast("double") /
+        col(s"n$p").cast("double") -
+        cxy.cast("double") * cxy.cast("double") /
+          (col(s"n$p").cast("double") * det.cast("double"))
+    }
+    def det(p: String): Column = {
+      val n = col(s"n$p").cast("decimal(38,0)")
+      n * col(s"sxx$p") - col(s"sx$p") * col(s"sx$p")
+    }
+    val ok = col("n1") >= 3 && col("n2") >= 3 &&
+      det("1") =!= 0 && det("2") =!= 0 && det("p") =!= 0 &&
+      (ssr("1") + ssr("2")) > 0
+    a.select(col("event_type"), col("np").as("n"),
+        when(ok,
+          round(((ssr("p") - ssr("1") - ssr("2")) / lit(2.0)) /
+            ((ssr("1") + ssr("2")) / (col("np").cast("double") - lit(4.0))), 4)
+            + lit(0.0)).as("chow_f"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Mood's median test (#403, Mood 1950): are the 8 user cohorts'
+    * spend distributions centered on the same median? Counts above
+    * the GLOBAL median per cohort vs expectation — the blunt-but-
+    * robust k-sample location screen that tolerates wild outliers
+    * where Kruskal–Wallis (#211's rank cousin) still reads them.
+    * The global median comes off the value-collapsed grid (one
+    * cumsum window, the #212 convention); the 2×k chi² telescopes
+    * to Σ d_g²·n/(n_g·A·B) with d_g = a_g·n − n_g·A all exact
+    * integers, per-term micro floors summed exactly (never a
+    * float sum whose order could differ across engines).
+    */
+  val qMedianTest = GateQuery.sql(
+    "q_median_test",
+    s"""WITH u AS (SELECT user_id % 8 AS g,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS v
+       |  FROM $E t GROUP BY user_id, 1),
+       |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+       |w AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM u) AS n FROM vc),
+       |md AS (SELECT min(v) AS med FROM w WHERE 2 * cum >= n + 1),
+       |ct AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+       |    CAST(count(CASE WHEN v > med THEN 1 END) AS BIGINT) AS ag
+       |  FROM u, md GROUP BY 1),
+       |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(ag) AS BIGINT) AS a
+       |  FROM ct),
+       |ch AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(
+       |      (CAST(ag * n - ng * a AS HUGEINT) * (ag * n - ng * a) * 1000000 * n)
+       |        // (CAST(ng AS HUGEINT) * a * (n - a))) AS HUGEINT) AS chi2m
+       |  FROM ct, tt WHERE a > 0 AND a < n)
+       |SELECT tt.n, tt.a AS n_above, md.med AS median_cents,
+       |  ch.k - 1 AS df, CAST(ch.chi2m AS BIGINT) AS chi2_micro
+       |FROM tt, md, ch""".stripMargin) { (s, d) =>
+    val u = ev(s, d)
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(8L)).as("g"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("v"))
+      .select(col("g"), col("v"))
+    val vc = u.groupBy(col("v")).agg(count(lit(1)).cast("long").as("c"))
+    val n1 = u.agg(count(lit(1)).cast("long").as("n"))
+    val w = Curation.withStats(vc, n1)
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))).cast("long"))
+    val md = w.filter(lit(2L) * col("cum") >= col("n") + 1)
+      .agg(min(col("v")).as("med"))
+    val ct = Curation.withStats(u, md).groupBy(col("g")).agg(
+      count(lit(1)).cast("long").as("ng"),
+      count(when(col("v") > col("med"), 1)).cast("long").as("ag"))
+    val tt = ct.agg(sum(col("ng")).cast("long").as("n"),
+      sum(col("ag")).cast("long").as("a"))
+    val j = Curation.withStats(ct, tt)
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val dg = dec(col("ag")) * col("n") - dec(col("ng")) * col("a")
+    val term = Exact.floorDivBig(dg * dg * lit(1000000L) * col("n"),
+      dec(col("ng")) * col("a") * (col("n") - col("a")))
+    val ch = j.filter(col("a") > 0 && col("a") < col("n"))
+      .agg(first(col("n")).as("n"), first(col("a")).as("a"),
+        count(lit(1)).cast("long").as("k"),
+        sum(term).cast("decimal(38,0)").as("chi2m"))
+    Curation.withStats(ch, md)
+      .select(col("n"), col("a").as("n_above"), col("med").as("median_cents"),
+        (col("k") - 1).as("df"), col("chi2m").cast("long").as("chi2_micro"))
+  }
+
   /** Turning-point randomness test (#379, Kendall 1973 §21): on each
     * event type's hourly revenue series, the count of strict local
     * extrema (y₋ < y > y₊ or y₋ > y < y₊) against its i.i.d.-null
@@ -3417,5 +3654,6 @@ object StatsQueries {
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
-    qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints)
+    qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
+    qBreuschPagan, qChow)
 }

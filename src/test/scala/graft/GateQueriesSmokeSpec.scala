@@ -92,7 +92,10 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_ipf_raking", // (nt, kr, kc) table-total single-row scalars
     "q_hbos", // (per-feature maxima, N) single-row scalar (as q_ece)
     "q_heaps_law", // (regression sums) single-row scalar onto 10 decile rows
-    "q_rdd") // (cutoff, bandwidth) single-row scalar (as q_confusion)
+    "q_rdd", // (cutoff, bandwidth) single-row scalar (as q_confusion)
+    "q_truncation_loss", // (total, ndocs) corpus-total single-row scalars
+    "q_median_test", // (n) + (median) + (N, A) single-row scalars
+    "q_concurrency") // (n_sessions) single-row scalar onto the 1-row sweep agg
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
