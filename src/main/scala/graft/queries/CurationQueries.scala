@@ -1815,6 +1815,68 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
+  /** Weight of evidence + information value (#407, the credit-
+    * scoring binning diagnostic, Siddiqi 2006): per length decile,
+    * WoE = ln(good-share/bad-share) for the lang='en' label, and
+    * IV = Σ(Δshare·WoE) — the standard "is this feature worth
+    * binning into the model" number (IV < 0.02 useless, > 0.3
+    * strong), sharper than a single AUC because it localizes WHERE
+    * the feature separates. Same decile relation as #209; +1
+    * Laplace cells (mirrored) keep zero buckets finite; WoE is an
+    * exact micro-nat difference mln(g_b·B) − mln(b_b·G); IV terms
+    * are exact integer products floored per bucket then summed
+    * exactly (windowed over ≤10 rows).
+    */
+  val qWoeIv = GateQuery.sql(
+    "q_woe_iv", {
+      val mln = Curation.microLnSql _
+      s"""WITH s AS (SELECT 1 + max(n_chars) AS mx FROM documents),
+         |p AS (SELECT (n_chars * 10) // mx AS bucket,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, s),
+         |b AS (SELECT bucket, CAST(sum(y) + 1 AS BIGINT) AS g,
+         |    CAST(count(*) - sum(y) + 1 AS BIGINT) AS bd
+         |  FROM p GROUP BY 1),
+         |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(bd) AS BIGINT) AS bt
+         |  FROM b),
+         |w AS (SELECT bucket, g, bd,
+         |    ${mln("CAST(g AS HUGEINT) * bt")} - ${mln("CAST(bd AS HUGEINT) * gt")}
+         |      AS woe_micro,
+         |    (g * 1000000) // gt - (bd * 1000000) // bt AS dshare_ppm
+         |  FROM b, t)
+         |SELECT bucket, g - 1 AS n_good, bd - 1 AS n_bad,
+         |  CAST(woe_micro AS BIGINT) AS woe_micro,
+         |  CAST(sum((dshare_ppm * woe_micro) // 1000000) OVER () AS BIGINT)
+         |    AS iv_micro
+         |FROM w ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import Curation.microLn
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((lit(1L) + max(col("n_chars"))).as("mx"))
+    val p = Curation.withStats(docs.select(col("n_chars"), col("lang")), mx)
+      .select(Binning.floorDivCol(col("n_chars") * lit(10L), col("mx")).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val b = p.groupBy(col("bucket")).agg(
+      (sum(col("y")) + 1).cast("long").as("g"),
+      (count(lit(1)) - sum(col("y")) + 1).cast("long").as("bd"))
+    val t = b.agg(sum(col("g")).cast("long").as("gt"),
+      sum(col("bd")).cast("long").as("bt"))
+    val w = Curation.withStats(b, t).select(col("bucket"), col("g"), col("bd"),
+      (microLn(col("g").cast("decimal(38,0)") * col("bt")) -
+        microLn(col("bd").cast("decimal(38,0)") * col("gt"))).as("woe_micro"),
+      (Binning.floorDivCol(col("g") * lit(1000000L), col("gt")) -
+        Binning.floorDivCol(col("bd") * lit(1000000L), col("bt"))).as("dshare_ppm"))
+    // signed product floor: DuckDB's // truncates toward zero only for
+    // nonnegative operands; dshare·woe can be negative, so decompose
+    val prod = col("dshare_ppm") * col("woe_micro")
+    val term = when(prod >= 0, Binning.floorDivCol(prod, lit(1000000L)))
+      .otherwise(-Binning.floorDivCol(-prod, lit(1000000L)))
+    w.select(col("bucket"), (col("g") - 1).as("n_good"), (col("bd") - 1).as("n_bad"),
+        col("woe_micro").cast("long").as("woe_micro"),
+        sum(term).over(Window.partitionBy()).cast("long").as("iv_micro"))
+      .orderedSmall(col("bucket"))
+  }
+
   /** Context-length truncation-loss curve (#402): for each candidate
     * context length L, the share of documents that overflow and the
     * share of TOKENS lost to truncation — the pretraining-planning
@@ -2028,5 +2090,5 @@ object CurationQueries {
       qNegativeSampling, qQuantileNorm, qHillTail, qCvAuc, qCondEntropy,
       qMooreLewis, qMooreLewisBigram, qChao1, qBurrowsDelta, qSourceHhi,
       qLcpClones, qBurstiness, qGoodTuring, qYuleK, qIpfRaking, qHeapsLaw,
-      qTruncationLoss)
+      qTruncationLoss, qWoeIv)
 }

@@ -1561,6 +1561,73 @@ object EvalQueries {
       .orderedSmall(col("arm"))
   }
 
+  /** Group fairness audit (#408, Feldman 2015 disparate impact;
+    * Hardt 2016 equalized odds): per user-group, the selection rate
+    * of an activity-threshold "classifier" plus its TPR/FPR against
+    * a spend label — then the two headline fairness numbers: the
+    * disparate-impact ratio (min/max selection rate; < 0.8 fails
+    * the four-fifths rule) and the equal-opportunity gap (max−min
+    * TPR). The audit every deployed filter should ship next to its
+    * accuracy (#207) — a quality classifier (#96) can be accurate
+    * AND selection-skewed. One user aggregate; thresholds on a
+    * 1-row broadcast; per-group exact ppm rates; the cross-group
+    * extremes ride windows over the 4-row group relation.
+    */
+  val qFairness = GateQuery.sql(
+    "q_fairness",
+    s"""WITH u AS (SELECT user_id, user_id % 4 AS grp,
+       |    CAST(count(*) AS BIGINT) AS ne,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS sp
+       |  FROM $E t GROUP BY 1, 2),
+       |m AS (SELECT CAST(sum(ne) // count(*) AS BIGINT) AS me,
+       |    CAST(sum(sp) // count(*) AS BIGINT) AS ms FROM u),
+       |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(CASE WHEN ne > me THEN 1 END) AS BIGINT) AS npred,
+       |    CAST(count(CASE WHEN sp > ms THEN 1 END) AS BIGINT) AS npos,
+       |    CAST(count(CASE WHEN ne > me AND sp > ms THEN 1 END) AS BIGINT) AS ntp,
+       |    CAST(count(CASE WHEN ne > me AND sp <= ms THEN 1 END) AS BIGINT) AS nfp
+       |  FROM u, m GROUP BY 1),
+       |r AS (SELECT grp, n,
+       |    (npred * 1000000) // n AS sel_ppm,
+       |    CASE WHEN npos > 0 THEN (ntp * 1000000) // npos END AS tpr_ppm,
+       |    CASE WHEN n - npos > 0 THEN (nfp * 1000000) // (n - npos) END AS fpr_ppm
+       |  FROM c)
+       |SELECT grp, n, sel_ppm, tpr_ppm, fpr_ppm,
+       |  CASE WHEN max(sel_ppm) OVER () > 0 THEN
+       |    (min(sel_ppm) OVER () * 1000000) // (max(sel_ppm) OVER ()) END
+       |    AS di_ratio_ppm,
+       |  max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS eo_gap_ppm
+       |FROM r ORDER BY grp""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"), pmod(col("user_id"), lit(4L)).as("grp"))
+      .agg(count(lit(1)).cast("long").as("ne"),
+        Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("sp"))
+    val m = u.agg(floorDivBig(sum(col("ne")), count(lit(1))).cast("long").as("me"),
+      floorDivBig(sum(col("sp")), count(lit(1))).cast("long").as("ms"))
+    val c = Curation.withStats(u, m).groupBy(col("grp")).agg(
+      count(lit(1)).cast("long").as("n"),
+      count(when(col("ne") > col("me"), 1)).cast("long").as("npred"),
+      count(when(col("sp") > col("ms"), 1)).cast("long").as("npos"),
+      count(when(col("ne") > col("me") && col("sp") > col("ms"), 1))
+        .cast("long").as("ntp"),
+      count(when(col("ne") > col("me") && col("sp") <= col("ms"), 1))
+        .cast("long").as("nfp"))
+    val r = c.select(col("grp"), col("n"),
+      Binning.floorDivCol(col("npred") * lit(1000000L), col("n")).as("sel_ppm"),
+      when(col("npos") > 0,
+        Binning.floorDivCol(col("ntp") * lit(1000000L), col("npos"))).as("tpr_ppm"),
+      when(col("n") - col("npos") > 0,
+        Binning.floorDivCol(col("nfp") * lit(1000000L), col("n") - col("npos")))
+        .as("fpr_ppm"))
+    val wAll = Window.partitionBy()
+    r.select(col("grp"), col("n"), col("sel_ppm"), col("tpr_ppm"), col("fpr_ppm"),
+        when(max(col("sel_ppm")).over(wAll) > 0,
+          Binning.floorDivCol(min(col("sel_ppm")).over(wAll) * lit(1000000L),
+            max(col("sel_ppm")).over(wAll))).as("di_ratio_ppm"),
+        (max(col("tpr_ppm")).over(wAll) - min(col("tpr_ppm")).over(wAll))
+          .as("eo_gap_ppm"))
+      .orderedSmall(col("grp"))
+  }
+
   /** Wald instrumental-variable estimator (#398, Wald 1940; Angrist
     * 1990): with a binary instrument z (user-id parity — the
     * assignment-like bit), the LATE of click exposure on spend is
@@ -1924,5 +1991,5 @@ object EvalQueries {
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qMurphy, qCohenKappa, qAnova, qMannWhitney, qPropTest,
     qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc,
-    qWilcoxon, qCucconi, qIvWald, qRdd, qOaxaca)
+    qWilcoxon, qCucconi, qIvWald, qRdd, qOaxaca, qFairness)
 }

@@ -3356,6 +3356,167 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Dickey–Fuller unit-root test (#409, Dickey & Fuller 1979): per
+    * event type, regress Δy on y₋₁ (with drift) over the hourly
+    * series — the "is this series actually mean-reverting or a
+    * random walk?" test that decides whether the trend fits (#141),
+    * Holt (#191) and the changepoint scan (#224) are even
+    * well-posed. ρ ≈ 0 (t near 0) = unit root, strongly negative t
+    * = stationary. One lag window + one moment aggregate, exact
+    * decimal sums; ρ, its standard error and the DF t-statistic are
+    * the final mirrored doubles.
+    */
+  val qDickeyFuller = GateQuery.sql(
+    "q_dickey_fuller",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |l AS (SELECT event_type, y,
+       |    lag(y) OVER (PARTITION BY event_type ORDER BY grid) AS y1
+       |  FROM g),
+       |dd AS (SELECT event_type, y1 AS x, y - y1 AS z FROM l WHERE y1 IS NOT NULL),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(z) AS HUGEINT) AS sz,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+       |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz
+       |  FROM dd GROUP BY 1)
+       |SELECT event_type, n,
+       |  CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0 THEN
+       |    round(CAST(n * sxz - sx * sz AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 END AS rho,
+       |  CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+       |      AND CAST(n * szz - sz * sz AS DOUBLE) / n
+       |        - CAST(n * sxz - sx * sz AS DOUBLE) * CAST(n * sxz - sx * sz AS DOUBLE)
+       |          / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)) > 0 THEN
+       |    round((CAST(n * sxz - sx * sz AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+       |      * sqrt((CAST(n * sxx - sx * sx AS DOUBLE) / n) * (n - 2.0)
+       |        / (CAST(n * szz - sz * sz AS DOUBLE) / n
+       |          - CAST(n * sxz - sx * sz AS DOUBLE) * CAST(n * sxz - sx * sz AS DOUBLE)
+       |            / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)))), 4) + 0.0
+       |  END AS df_t
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val l = g.withColumn("y1",
+      lag(col("y"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("grid"))))
+    val dd = l.filter(col("y1").isNotNull)
+      .select(col("event_type"), col("y1").as("x"), (col("y") - col("y1")).as("z"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val a = dd.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("z")).cast("decimal(38,0)").as("sz"),
+      sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("x")) * col("z")).cast("decimal(38,0)").as("sxz"),
+      sum(dec(col("z")) * col("z")).cast("decimal(38,0)").as("szz"))
+    val nd = col("n").cast("decimal(38,0)")
+    val vx = nd * col("sxx") - col("sx") * col("sx")
+    val cxz = nd * col("sxz") - col("sx") * col("sz")
+    val vz = nd * col("szz") - col("sz") * col("sz")
+    def d2(x: Column) = x.cast("double")
+    val rho = d2(cxz) / d2(vx)
+    val ssr = d2(vz) / col("n") - d2(cxz) * d2(cxz) / (col("n").cast("double") * d2(vx))
+    a.select(col("event_type"), col("n"),
+        when(col("n") >= 3 && vx =!= 0, round(rho, 6) + lit(0.0)).as("rho"),
+        when(col("n") >= 3 && vx > 0 && ssr > 0,
+          round(rho * sqrt((d2(vx) / col("n")) * (col("n").cast("double") - lit(2.0)) /
+            ssr), 4) + lit(0.0)).as("df_t"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Granger causality, one lag (#410, Granger 1969): do CLICKS
+    * forecast PURCHASES beyond purchases' own history? F compares
+    * the restricted AR(1) of hourly purchase counts against the
+    * unrestricted regression that adds lagged click counts — the
+    * canonical lead-lag screen on top of the CCF (#266, which
+    * shows correlation at lags but not whether it adds predictive
+    * content). Both series share one hourly grid join + one lag
+    * window; 2-regressor OLS is the closed-form 2×2 solve over
+    * exact decimal sums; SSRs and F are the final mirrored doubles.
+    */
+  val qGranger = GateQuery.sql(
+    "q_granger",
+    s"""WITH g AS (SELECT xs // 3600 AS grid,
+       |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS y,
+       |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x
+       |  FROM $E e GROUP BY 1),
+       |l AS (SELECT y, lag(y) OVER (ORDER BY grid) AS a,
+       |    lag(x) OVER (ORDER BY grid) AS b
+       |  FROM g),
+       |dd AS (SELECT y, a, b FROM l WHERE a IS NOT NULL),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(a) AS HUGEINT) AS sa,
+       |    CAST(sum(b) AS HUGEINT) AS sb,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+       |    CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+       |    CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+       |    CAST(sum(CAST(a AS HUGEINT) * y) AS HUGEINT) AS say,
+       |    CAST(sum(CAST(b AS HUGEINT) * y) AS HUGEINT) AS sby,
+       |    CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab
+       |  FROM dd),
+       |c AS (SELECT n,
+       |    CAST(n * syy - sy * sy AS DOUBLE) / n AS cyy,
+       |    CAST(n * saa - sa * sa AS DOUBLE) / n AS caa,
+       |    CAST(n * sbb - sb * sb AS DOUBLE) / n AS cbb,
+       |    CAST(n * say - sa * sy AS DOUBLE) / n AS cay,
+       |    CAST(n * sby - sb * sy AS DOUBLE) / n AS cby,
+       |    CAST(n * sab - sa * sb AS DOUBLE) / n AS cab
+       |  FROM s),
+       |f AS (SELECT n, cyy, caa, cay,
+       |    caa * cbb - cab * cab AS det,
+       |    (cbb * cay - cab * cby) AS b1n, (caa * cby - cab * cay) AS b2n,
+       |    cby, cbb, cab
+       |  FROM c)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CASE WHEN n >= 4 AND det <> 0 AND caa <> 0
+       |      AND cyy - (b1n / det) * cay - (b2n / det) * cby > 0 THEN
+       |    round(((cyy - cay * cay / caa)
+       |        - (cyy - (b1n / det) * cay - (b2n / det) * cby))
+       |      / ((cyy - (b1n / det) * cay - (b2n / det) * cby) / (n - 3.0)), 4) + 0.0
+       |  END AS granger_f
+       |FROM f""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(count(when(col("event_type") === "purchase", 1)).cast("long").as("y"),
+        count(when(col("event_type") === "click", 1)).cast("long").as("x"))
+    val wo = Window.orderBy(col("grid"))
+    val l = g.withColumn("a", lag(col("y"), 1).over(wo))
+      .withColumn("b", lag(col("x"), 1).over(wo))
+    val dd = l.filter(col("a").isNotNull).select(col("y"), col("a"), col("b"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val sAgg = dd.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("a")).cast("decimal(38,0)").as("sa"),
+      sum(col("b")).cast("decimal(38,0)").as("sb"),
+      sum(dec(col("y")) * col("y")).cast("decimal(38,0)").as("syy"),
+      sum(dec(col("a")) * col("a")).cast("decimal(38,0)").as("saa"),
+      sum(dec(col("b")) * col("b")).cast("decimal(38,0)").as("sbb"),
+      sum(dec(col("a")) * col("y")).cast("decimal(38,0)").as("say"),
+      sum(dec(col("b")) * col("y")).cast("decimal(38,0)").as("sby"),
+      sum(dec(col("a")) * col("b")).cast("decimal(38,0)").as("sab"))
+    val nd = col("n").cast("decimal(38,0)")
+    def cen(prod: Column, m1: Column, m2: Column): Column =
+      (nd * prod - m1 * m2).cast("double") / col("n").cast("double")
+    val c = sAgg.select(col("n"),
+      cen(col("syy"), col("sy"), col("sy")).as("cyy"),
+      cen(col("saa"), col("sa"), col("sa")).as("caa"),
+      cen(col("sbb"), col("sb"), col("sb")).as("cbb"),
+      cen(col("say"), col("sa"), col("sy")).as("cay"),
+      cen(col("sby"), col("sb"), col("sy")).as("cby"),
+      cen(col("sab"), col("sa"), col("sb")).as("cab"))
+    val det = col("caa") * col("cbb") - col("cab") * col("cab")
+    val b1 = (col("cbb") * col("cay") - col("cab") * col("cby")) / det
+    val b2 = (col("caa") * col("cby") - col("cab") * col("cay")) / det
+    val ssrU = col("cyy") - b1 * col("cay") - b2 * col("cby")
+    val ssrR = col("cyy") - col("cay") * col("cay") / col("caa")
+    c.select(col("n"),
+      when(col("n") >= 4 && det =!= 0 && col("caa") =!= 0 && ssrU > 0,
+        round((ssrR - ssrU) / (ssrU / (col("n").cast("double") - lit(3.0))), 4)
+          + lit(0.0)).as("granger_f"))
+  }
+
   /** Breusch–Pagan heteroscedasticity test (#404, Breusch & Pagan
     * 1979, Koenker's studentized LM form): does the VARIANCE of the
     * hourly-trend residuals grow with time? LM = n·R² of the
@@ -3655,5 +3816,5 @@ object StatsQueries {
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
-    qBreuschPagan, qChow)
+    qBreuschPagan, qChow, qDickeyFuller, qGranger)
 }

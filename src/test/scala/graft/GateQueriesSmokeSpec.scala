@@ -95,7 +95,9 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_rdd", // (cutoff, bandwidth) single-row scalar (as q_confusion)
     "q_truncation_loss", // (total, ndocs) corpus-total single-row scalars
     "q_median_test", // (n) + (median) + (N, A) single-row scalars
-    "q_concurrency") // (n_sessions) single-row scalar onto the 1-row sweep agg
+    "q_concurrency", // (n_sessions) single-row scalar onto the 1-row sweep agg
+    "q_woe_iv", // (1+max), then (G, B) totals — two single-row scalars (as q_murphy)
+    "q_fairness") // (mean events, mean spend) threshold single-row scalars
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
