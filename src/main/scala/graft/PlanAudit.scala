@@ -88,7 +88,16 @@ object PlanAudit {
     "q_lepage", "q_rank_churn", "q_seasonal_mk", "q_cronbach",
     "q_sen_slope", "q_split_half", "q_bland_altman", "q_twoway_anova",
     "q_source_hhi", "q_youden", "q_hour_entropy", "q_siegel_tukey",
-    "q_somers_d")
+    "q_somers_d",
+    // round-8 continuation: clones/spatial/causal/fairness/planning
+    "q_lcp_clones", "q_murphy", "q_turning_points", "q_burstiness",
+    "q_moran_geary", "q_assortativity", "q_diebold_mariano",
+    "q_entropy_rate", "q_good_turing", "q_yule_k", "q_wilcoxon",
+    "q_cucconi", "q_adamic_adar", "q_embed_isotropy", "q_gain_map",
+    "q_ipf_raking", "q_hbos", "q_heaps_law", "q_rake", "q_textrank",
+    "q_iv_wald", "q_rdd", "q_oaxaca", "q_truncation_loss",
+    "q_median_test", "q_breusch_pagan", "q_chow", "q_concurrency",
+    "q_woe_iv", "q_fairness", "q_dickey_fuller", "q_granger")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
