@@ -1561,6 +1561,103 @@ object EvalQueries {
       .orderedSmall(col("arm"))
   }
 
+  /** Bradley–Terry pairwise-comparison ratings (#412, Bradley &
+    * Terry 1952; Zermelo 1929): rate the five event types from
+    * hourly head-to-head revenue wins by 5 rounds of the classic
+    * minorization fixed point p_i ← W_i / Σ_j n_ij/(p_i+p_j) — THE
+    * model behind arena-style pairwise evals (Elo is its online
+    * approximation), turning "A beat B in 58% of hours" tables into
+    * a consistent rating scale. Wins come from one grid self-join
+    * (players², hour-bounded); +1 Laplace per direction keeps every
+    * rating positive (mirrored). The fixed point itself runs
+    * driver-side over the collected k²-bounded win matrix (bounded
+    * model state, the IVF-centroid convention — a DataFrame loop
+    * would re-plan the grid self-join every round for zero
+    * parallelism gain on a k-row relation) with ALL divisions exact
+    * BigInt floors in fixed micro units, renormalized to Σ = k·1e6
+    * each round — the rounding order is part of the spec, so parity
+    * with the oracle's unrolled HUGEINT CTE rounds is exact.
+    */
+  val qBradleyTerry = GateQuery.sql(
+    "q_bradley_terry", {
+      val rounds = (1 to 5).map { r =>
+        s"""t$r AS (SELECT nn.i AS p,
+           |    CAST(sum((CAST(nn.n AS HUGEINT) * 1000000000000)
+           |      // (pi.r + pj.r)) AS HUGEINT) AS t
+           |  FROM nn JOIN p${r - 1} pi ON nn.i = pi.p
+           |    JOIN p${r - 1} pj ON nn.j = pj.p GROUP BY 1),
+           |u$r AS (SELECT wi.i AS p,
+           |    (CAST(wi.wins AS HUGEINT) * 1000000000000) // t$r.t AS r
+           |  FROM wi JOIN t$r ON wi.i = t$r.p),
+           |s$r AS (SELECT CAST(sum(r) AS HUGEINT) AS s,
+           |    CAST(count(*) AS HUGEINT) AS k FROM u$r),
+           |p$r AS (SELECT p, (r * k * 1000000) // s AS r FROM u$r, s$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT event_type AS p, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e GROUP BY 1, 2),
+         |pr AS (SELECT a.p AS i, b.p AS j,
+         |    CAST(count(CASE WHEN a.y > b.y THEN 1 END) + 1 AS BIGINT) AS w
+         |  FROM g a JOIN g b ON a.grid = b.grid AND a.p <> b.p GROUP BY 1, 2),
+         |nn AS (SELECT x.i, x.j, x.w, x.w + y.w AS n
+         |  FROM pr x JOIN pr y ON x.i = y.j AND x.j = y.i),
+         |wi AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+         |    CAST(sum(n) AS BIGINT) AS n_games FROM nn GROUP BY 1),
+         |p0 AS (SELECT i AS p, CAST(1000000 AS HUGEINT) AS r FROM wi),
+         |$rounds
+         |SELECT wi.i AS player, wi.wins, wi.n_games,
+         |  CAST(p5.r AS BIGINT) AS rating_micro
+         |FROM wi JOIN p5 ON wi.i = p5.p ORDER BY player""".stripMargin
+    }) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type").as("p"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.select(col("p").as("i"), col("grid"), col("y").as("ya"))
+    val b = g.select(col("p").as("j"), col("grid"), col("y").as("yb"))
+    val pr = a.join(b, Seq("grid")).filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg((count(when(col("ya") > col("yb"), 1)) + 1).cast("long").as("w"))
+    val nn = pr.as("x")
+      .join(pr.select(col("i").as("j"), col("j").as("i"), col("w").as("wr")).as("yy"),
+        Seq("i", "j"))
+      .select(col("i"), col("j"), col("w"), (col("w") + col("wr")).as("n"))
+    val wi = nn.groupBy(col("i")).agg(sum(col("w")).cast("long").as("wins"),
+      sum(col("n")).cast("long").as("n_games"))
+    // the fixed point runs DRIVER-SIDE over the collected k²-bounded
+    // win matrix (k = event-type domain, ≤ 25 pairs — the same
+    // bounded-model-state convention as the IVF centroids): a
+    // DataFrame-loop version re-plans the whole grid self-join per
+    // round and the lineage grows superlinearly for zero parallelism
+    // gain on a k-row relation. BigInt floors reproduce the oracle's
+    // HUGEINT `//` exactly.
+    val mat = nn.select(col("i"), col("j"), col("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val winsM = wi.select(col("i"), col("wins")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val players = winsM.keys.toSeq.sorted
+    val k = BigInt(players.size)
+    var r = players.map(_ -> BigInt(1000000L)).toMap
+    for (_ <- 1 to 5) {
+      val t = players.map { i =>
+        i -> mat.collect { case (`i`, j, n) =>
+          (BigInt(n) * BigInt(1000000000000L)) / (r(i) + r(j))
+        }.sum
+      }.toMap
+      val u = players.map(i =>
+        i -> (BigInt(winsM(i)) * BigInt(1000000000000L)) / t(i)).toMap
+      val sNorm = u.values.sum
+      r = players.map(i => i -> (u(i) * k * BigInt(1000000L)) / sNorm).toMap
+    }
+    val sess = s
+    import sess.implicits._
+    val ratings = players.map(i => (i, r(i).toLong)).toDF("i", "rating_micro")
+    wi.join(broadcast(ratings), "i")
+      .select(col("i").as("player"), col("wins"), col("n_games"),
+        col("rating_micro"))
+      .orderedSmall(col("player"))
+  }
+
   /** Group fairness audit (#408, Feldman 2015 disparate impact;
     * Hardt 2016 equalized odds): per user-group, the selection rate
     * of an activity-threshold "classifier" plus its TPR/FPR against
@@ -1991,5 +2088,5 @@ object EvalQueries {
   val all: Seq[GateQuery] = Seq(
     qConfusion, qBrier, qEce, qMurphy, qCohenKappa, qAnova, qMannWhitney, qPropTest,
     qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc,
-    qWilcoxon, qCucconi, qIvWald, qRdd, qOaxaca, qFairness)
+    qWilcoxon, qCucconi, qIvWald, qRdd, qOaxaca, qFairness, qBradleyTerry)
 }

@@ -209,6 +209,56 @@ object OpsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Theil's U2 forecast-quality coefficient (#411, Theil 1966): per
+    * event type, RMSE(seasonal-naive)/RMSE(naive) over the hourly
+    * series — the squared-loss companion of MASE (#273, absolute
+    * loss) and the effect-size the DM test (#383) judges: U2 < 1
+    * means the model beats persistence where it HURTS (big
+    * misses), not just on average. Same ordered window; squared
+    * errors decimal-lifted; U2 = √(Σe₂₄²·n₁ / (Σe₁²·n₂₄)) one
+    * mirrored double; zero naive error → NULL by exact predicate.
+    */
+  val qTheilU2 = GateQuery.sql(
+    "q_theil_u2",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |l AS (SELECT event_type, y,
+       |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY grid) AS y1,
+       |    lag(y, 24) OVER (PARTITION BY event_type ORDER BY grid) AS y24
+       |  FROM g),
+       |a AS (SELECT event_type,
+       |    CAST(count(y1) AS BIGINT) AS n1,
+       |    CAST(sum(CAST(y - y1 AS HUGEINT) * (y - y1)) AS HUGEINT) AS q1,
+       |    CAST(count(y24) AS BIGINT) AS n24,
+       |    CAST(sum(CAST(y - y24 AS HUGEINT) * (y - y24)) AS HUGEINT) AS q24
+       |  FROM l GROUP BY 1)
+       |SELECT event_type, n1, n24,
+       |  CASE WHEN q1 > 0 AND n24 > 0 THEN
+       |    round(sqrt(CAST(q24 AS DOUBLE) * n1 / (CAST(q1 AS DOUBLE) * n24)), 4) + 0.0
+       |  END AS theil_u2
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
+    val l = g.withColumn("y1", lag(col("y"), 1).over(wo))
+      .withColumn("y24", lag(col("y"), 24).over(wo))
+    def sq(c: org.apache.spark.sql.Column) =
+      (col("y") - c).cast("decimal(38,0)") * (col("y") - c)
+    val a = l.groupBy(col("event_type")).agg(
+      count(col("y1")).cast("long").as("n1"),
+      sum(when(col("y1").isNotNull, sq(col("y1")))).cast("decimal(38,0)").as("q1"),
+      count(col("y24")).cast("long").as("n24"),
+      sum(when(col("y24").isNotNull, sq(col("y24")))).cast("decimal(38,0)").as("q24"))
+    a.select(col("event_type"), col("n1"), col("n24"),
+        when(col("q1") > 0 && col("n24") > 0,
+          round(sqrt(col("q24").cast("double") * col("n1").cast("double") /
+            (col("q1").cast("double") * col("n24").cast("double"))), 4) + lit(0.0))
+          .as("theil_u2"))
+      .orderedSmall(col("event_type"))
+  }
+
   private val KAnonK = 5L
 
   /** k-anonymity audit (#274, Sweeney 2002): are the quasi-identifier
@@ -1205,5 +1255,5 @@ object OpsQueries {
   val all: Seq[GateQuery] = Seq(qItemCf, qForecastAcc, qKanon, qRefIntegrity,
     qSkewAudit, qPsi, qLabelCentroids, qVocabCoverage, qConformal, qGains, qQini, qRankChurn,
     qDrawdown, qFano, qBurstEpisodes, qRunsTest, qAbc, qGrowthAcct, qTukey,
-    qCohortLtv, qEss, qDieboldMariano)
+    qCohortLtv, qEss, qDieboldMariano, qTheilU2)
 }

@@ -2179,6 +2179,76 @@ object StatsQueries {
           .otherwise(lit(null).cast("long")).as("chi2_micro"))
   }
 
+  /** Nemenyi post-hoc pairwise comparisons (#413, Nemenyi 1963;
+    * Demšar 2006): WHICH event types differ, once Friedman (#—the
+    * omnibus) rejects — every pair's mean-rank gap against the
+    * critical difference CD = q₀.₀₅(k)·√(k(k+1)/(6b)), the standard
+    * "compare k models over b datasets" machinery of ML evaluation
+    * (Demšar's CD diagram). Reuses the Friedman doubled-midrank
+    * block relation verbatim; mean ranks are exact milli floors of
+    * doubled rank sums; the CD and the significance flag come from
+    * ONE mirrored double expression (q = 2.728 for k = 5, Demšar's
+    * two-tailed table); the pair product is k²-bounded.
+    */
+  val qNemenyi = GateQuery.sql(
+    "q_nemenyi",
+    s"""WITH u AS (SELECT user_id, event_type,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E t GROUP BY 1, 2),
+       |cb AS (SELECT user_id FROM u GROUP BY user_id HAVING count(*) = 5),
+       |ub AS (SELECT u.user_id, u.event_type, u.y FROM u JOIN cb USING (user_id)),
+       |r AS (SELECT a.user_id, a.event_type,
+       |    CAST(sum(CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+       |      AS BIGINT) AS r2
+       |  FROM ub a JOIN ub b ON a.user_id = b.user_id
+       |  GROUP BY a.user_id, a.event_type, a.y),
+       |tj AS (SELECT event_type, CAST(sum(r2) AS HUGEINT) AS rj,
+       |    CAST(count(*) AS BIGINT) AS b
+       |  FROM r GROUP BY 1),
+       |pr AS (SELECT x.event_type AS t_a, y.event_type AS t_b,
+       |    x.rj AS ra, y.rj AS rb, x.b AS b
+       |  FROM tj x JOIN tj y ON x.event_type < y.event_type)
+       |SELECT t_a, t_b, CAST(b AS BIGINT) AS n_blocks,
+       |  CAST((ra * 1000) // (2 * b) AS BIGINT) AS mean_rank_a_milli,
+       |  CAST((rb * 1000) // (2 * b) AS BIGINT) AS mean_rank_b_milli,
+       |  round(abs(CAST(ra - rb AS DOUBLE)) / (2.0 * b), 4) + 0.0 AS rank_diff,
+       |  round(2.728 * sqrt(5.0 * 6.0 / (6.0 * b)), 4) + 0.0 AS cd,
+       |  abs(CAST(ra - rb AS DOUBLE)) / (2.0 * b)
+       |    > 2.728 * sqrt(5.0 * 6.0 / (6.0 * b)) AS significant
+       |FROM pr ORDER BY t_a, t_b""".stripMargin) { (s, d) =>
+    val k = 5
+    val u = ev(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val cb = u.groupBy(col("user_id")).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") === k).select(col("user_id"))
+    val ub = u.join(cb, Seq("user_id"), "left_semi")
+    val bSide = ub.select(col("user_id"), col("y").as("yb"))
+    val r = ub.join(bSide, Seq("user_id"))
+      .groupBy(col("user_id"), col("event_type"), col("y"))
+      .agg((sum(when(col("yb") < col("y"), 2L).when(col("yb") === col("y"), 1L)
+        .otherwise(0L)) + 1L).cast("long").as("r2"))
+    val tj = r.groupBy(col("event_type")).agg(
+      sum(col("r2")).cast("decimal(38,0)").as("rj"),
+      count(lit(1)).cast("long").as("b"))
+    val x = tj.select(col("event_type").as("t_a"), col("rj").as("ra"), col("b"))
+    val y = tj.select(col("event_type").as("t_b"), col("rj").as("rb"))
+    val pr = x.crossJoin(broadcast(y)).filter(col("t_a") < col("t_b"))
+    val bD = col("b").cast("double")
+    val diff = abs((col("ra") - col("rb")).cast("double")) / (lit(2.0) * bD)
+    val cd = lit(2.728) * sqrt(lit(5.0) * lit(6.0) / (lit(6.0) * bD))
+    pr.select(col("t_a"), col("t_b"), col("b").as("n_blocks"),
+        Exact.floorDivBig(col("ra") * lit(1000L),
+          lit(2L) * col("b").cast("decimal(38,0)")).cast("long")
+          .as("mean_rank_a_milli"),
+        Exact.floorDivBig(col("rb") * lit(1000L),
+          lit(2L) * col("b").cast("decimal(38,0)")).cast("long")
+          .as("mean_rank_b_milli"),
+        (round(diff, 4) + lit(0.0)).as("rank_diff"),
+        (round(cd, 4) + lit(0.0)).as("cd"),
+        (diff > cd).as("significant"))
+      .orderedSmall(col("t_a"), col("t_b"))
+  }
+
   /** Page's L trend test (#354): the ORDERED-alternative Friedman
     * (#315) — do per-user spends trend monotonically across the four
     * day-part bands? (Page 1963; the within-block counterpart of
@@ -3816,5 +3886,5 @@ object StatsQueries {
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
     qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
-    qBreuschPagan, qChow, qDickeyFuller, qGranger)
+    qBreuschPagan, qChow, qDickeyFuller, qGranger, qNemenyi)
 }

@@ -97,7 +97,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_median_test", // (n) + (median) + (N, A) single-row scalars
     "q_concurrency", // (n_sessions) single-row scalar onto the 1-row sweep agg
     "q_woe_iv", // (1+max), then (G, B) totals — two single-row scalars (as q_murphy)
-    "q_fairness") // (mean events, mean spend) threshold single-row scalars
+    "q_fairness", // (mean events, mean spend) threshold single-row scalars
+    "q_nemenyi") // k²-bounded treatment pair product (5-row broadcast, as q_tukey)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
