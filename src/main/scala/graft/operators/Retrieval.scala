@@ -133,7 +133,7 @@ object Retrieval {
              kRrf: Int = 60, k1: Double = 1.25, b: Double = 0.75): String = {
     val vals = queries
       .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
-      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      .map { case (qid, t) => s"($qid, '${t.replace("'", "''")}')" }.mkString(", ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
@@ -179,7 +179,7 @@ object Retrieval {
               k1: Double = 1.25, b: Double = 0.75): String = {
     val vals = queries
       .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
-      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      .map { case (qid, t) => s"($qid, '${t.replace("'", "''")}')" }.mkString(", ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
@@ -270,7 +270,7 @@ object Retrieval {
             mu: Double = 2000.0): String = {
     val vals = queries
       .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
-      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      .map { case (qid, t) => s"($qid, '${t.replace("'", "''")}')" }.mkString(", ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tfa AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dla AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfa GROUP BY 1),

@@ -511,20 +511,31 @@ object StreamingOps {
     * bound the batch gate rides. Shares are exact ppm floor
     * divisions; HHI the exact Σshare².
     */
-  def hhiStream(docs: Dataset[HhiDoc], windowSec: Long): Dataset[HhiOut] = {
+  def hhiStream(docs: Dataset[HhiDoc], windowSec: Long,
+                watermarkDelay: String = "10 minutes"): Dataset[HhiOut] = {
     import docs.sparkSession.implicits._
-    docs
+    // event-time timeout evicts a window's count map once the
+    // watermark passes its end — without it the state grows as
+    // windows × sources over the stream's lifetime (r8 advisory)
+    docs.withWatermark("ts", watermarkDelay)
       .groupByKey(d => d.ts.getTime / 1000L / windowSec * windowSec)
       .flatMapGroupsWithState[Map[String, Long], HhiOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (win: Long, rows: Iterator[HhiDoc], state: GroupState[Map[String, Long]]) =>
-          var m = state.getOption.getOrElse(Map.empty[String, Long])
-          rows.foreach { d => m = m.updated(d.source, m.getOrElse(d.source, 0L) + 1L) }
-          state.update(m)
-          val n = m.values.sum
-          val shares = m.values.map(c => c * 1000000L / n)
-          Iterator.single(HhiOut(win, m.size, n,
-            shares.map(s => s * s).sum, if (shares.isEmpty) 0L else shares.max))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var m = state.getOption.getOrElse(Map.empty[String, Long])
+            rows.foreach { d => m = m.updated(d.source, m.getOrElse(d.source, 0L) + 1L) }
+            state.update(m)
+            // timeout once the watermark clears the window end (must
+            // stay strictly above the current watermark to be legal)
+            state.setTimeoutTimestamp(math.max(
+              (win + windowSec) * 1000L, state.getCurrentWatermarkMs + 1000L))
+            val n = m.values.sum
+            val shares = m.values.map(c => c * 1000000L / n)
+            Iterator.single(HhiOut(win, m.size, n,
+              shares.map(s => s * s).sum, if (shares.isEmpty) 0L else shares.max))
+          }
       }
   }
 
@@ -647,8 +658,14 @@ object StreamingOps {
             val n = st.n + 1
             val s = st.s + p.x
             // increment = x − s/n − δ in micro units, floor division on
-            // the exact rational (x·n − s)·1e6 / n
-            val inc = Math.floorDiv((p.x * n - s) * 1000000L, n) - deltaMicro
+            // the exact rational (x·n − s)·1e6 / n; n grows without
+            // bound so the ×1e6 product is formed in BigInt (the
+            // decayStream convention) — long math overflows once
+            // n·|deviation| exceeds ~9.2e12
+            val num = (BigInt(p.x) * n - s) * 1000000L
+            val den = BigInt(n)
+            val (q0, r0) = num /% den
+            val inc = (if (r0.signum < 0) q0 - 1 else q0).toLong - deltaMicro
             val m = st.mMicro + inc
             val mn = math.min(st.minMicro, m)
             st = PhState(n, s, m, mn)
@@ -1013,9 +1030,12 @@ object StreamingOps {
   def rankChurnStream(events: Dataset[ChurnEvent], k: Int = 10,
                       candidateCap: Int = 1024): Dataset[ChurnOut] = {
     import events.sparkSession.implicits._
-    require(k >= 1 && k <= 18, s"k out of range: $k") // 9^(k-1)·1e6 must fit a long
-    val w9 = Array.tabulate(k)(d => math.pow(9, d).toLong)
-    val dn = Array.tabulate(k)(d => math.pow(10, d + 1).toLong * (d + 1))
+    // per-term numerators a·9^(d−1)·1e6 overflow a long past k = 13
+    // (14·9¹³·1e6 ≈ 3.6e19), so the weight tables stay BigInt and each
+    // term floors exactly before the (small) long accumulation
+    require(k >= 1 && k <= 18, s"k out of range: $k")
+    val w9 = Array.tabulate(k)(d => BigInt(9).pow(d) * 1000000L)
+    val dn = Array.tabulate(k)(d => BigInt(10).pow(d + 1) * (d + 1))
     events.groupByKey(_ => 0L)
       .flatMapGroupsWithState[ChurnState, ChurnOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -1030,7 +1050,7 @@ object StreamingOps {
             var d = 1
             while (d <= k) {
               val a = cur.take(d).toSet.intersect(prev.take(d).toSet).size.toLong
-              acc += Math.floorDiv(a * w9(d - 1) * 1000000L, dn(d - 1))
+              acc += ((a * w9(d - 1)) / dn(d - 1)).toLong // positive → / floors
               d += 1
             }
             acc
