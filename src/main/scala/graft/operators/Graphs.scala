@@ -232,66 +232,104 @@ object Graphs {
     bound > 0 &&
       df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).count() <= bound
 
-  /** Exact in-memory k-core: adjacency + cascading removal queue
-    * (Matula & Beck 1983 shape, queue instead of full bucket sort) —
-    * the same fixpoint as the distributed peeling loop.
+  /** Int-indexed CSR adjacency built from collected (u, v) edge rows
+    * — primitive arrays (a boxed HashSet adjacency measured ~10×
+    * slower at 1M edges — the collect is cheap, the peel must be
+    * too). Shared by the single-k and multi-k driver peels.
     */
-  private def kCoreDriver(edges: DataFrame, k: Int): DataFrame = {
-    // CSR over int-indexed nodes + degree-counter cascade: O(E) with
-    // primitive arrays (a boxed HashSet adjacency measured ~10× slower
-    // at 1M edges — the collect is cheap, the peel must be too).
-    // (u, v) bound by name, matching the distributed path's projection.
-    val proj = edges.select(col("u"), col("v"))
-    val rows = proj.collect()
-    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+  private final class Csr(rows: Array[org.apache.spark.sql.Row]) {
+    val nEdges: Int = rows.length
     val srcI = new Array[Int](rows.length)
     val dstI = new Array[Int](rows.length)
+    private val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
     var nNodes = 0
-    def id(x: Any): Int = {
+    private def id(x: Any): Int = {
       val got = idx.get(x)
       if (got != null) got.intValue
       else { idx.put(x, nNodes); nNodes += 1; nNodes - 1 }
     }
-    var i = 0
-    while (i < rows.length) {
-      srcI(i) = id(rows(i).get(0)); dstI(i) = id(rows(i).get(1)); i += 1
+    locally {
+      var i = 0
+      while (i < rows.length) {
+        srcI(i) = id(rows(i).get(0)); dstI(i) = id(rows(i).get(1)); i += 1
+      }
     }
     val deg = new Array[Int](nNodes)
-    i = 0
-    while (i < rows.length) { deg(srcI(i)) += 1; deg(dstI(i)) += 1; i += 1 }
+    locally {
+      var i = 0
+      while (i < rows.length) { deg(srcI(i)) += 1; deg(dstI(i)) += 1; i += 1 }
+    }
     val start = new Array[Int](nNodes + 1)
-    i = 0
-    while (i < nNodes) { start(i + 1) = start(i) + deg(i); i += 1 }
+    locally {
+      var i = 0
+      while (i < nNodes) { start(i + 1) = start(i) + deg(i); i += 1 }
+    }
     val nbr = new Array[Int](2 * rows.length)
-    val fill = java.util.Arrays.copyOf(start, nNodes)
-    i = 0
-    while (i < rows.length) {
-      nbr(fill(srcI(i))) = dstI(i); fill(srcI(i)) += 1
-      nbr(fill(dstI(i))) = srcI(i); fill(dstI(i)) += 1
-      i += 1
+    locally {
+      val fill = java.util.Arrays.copyOf(start, nNodes)
+      var i = 0
+      while (i < rows.length) {
+        nbr(fill(srcI(i))) = dstI(i); fill(srcI(i)) += 1
+        nbr(fill(dstI(i))) = srcI(i); fill(dstI(i)) += 1
+        i += 1
+      }
     }
     val alive = new Array[Boolean](nNodes)
     java.util.Arrays.fill(alive, true)
-    val live = deg.clone()
-    val queue = new java.util.ArrayDeque[Integer]()
-    i = 0
-    while (i < nNodes) { if (live(i) < k) queue.add(i); i += 1 }
-    while (!queue.isEmpty) {
-      val n = queue.poll().intValue
-      if (alive(n)) {
-        alive(n) = false
-        var j = start(n)
-        val end = start(n) + deg(n)
-        while (j < end) {
-          val m = nbr(j)
-          if (alive(m)) { live(m) -= 1; if (live(m) < k) queue.add(m) }
-          j += 1
+    val live: Array[Int] = deg.clone()
+
+    /** Cascade-peel to threshold `k` (Matula & Beck 1983 shape, queue
+      * instead of full bucket sort). Monotone: peeling to k then k+1
+      * equals peeling to k+1 directly (the (k+1)-core is a subgraph
+      * of the k-core), so ascending-k callers reuse the same state.
+      */
+    def peel(k: Int): Unit = {
+      val queue = new java.util.ArrayDeque[Integer]()
+      var i = 0
+      while (i < nNodes) { if (alive(i) && live(i) < k) queue.add(i); i += 1 }
+      while (!queue.isEmpty) {
+        val n = queue.poll().intValue
+        if (alive(n)) {
+          alive(n) = false
+          var j = start(n)
+          val end = start(n) + deg(n)
+          while (j < end) {
+            val m = nbr(j)
+            if (alive(m)) { live(m) -= 1; if (live(m) < k) queue.add(m) }
+            j += 1
+          }
         }
       }
     }
+
+    def aliveNodes: Long = {
+      var c = 0L; var i = 0
+      while (i < nNodes) { if (alive(i)) c += 1; i += 1 }
+      c
+    }
+
+    def aliveEdges: Long = {
+      var c = 0L; var i = 0
+      while (i < nEdges) { if (alive(srcI(i)) && alive(dstI(i))) c += 1; i += 1 }
+      c
+    }
+  }
+
+  /** Exact in-memory k-core: CSR + cascading removal queue — the
+    * same fixpoint as the distributed peeling loop.
+    */
+  private def kCoreDriver(edges: DataFrame, k: Int): DataFrame = {
+    // (u, v) bound by name, matching the distributed path's projection.
+    val proj = edges.select(col("u"), col("v"))
+    val rows = proj.collect()
+    val csr = new Csr(rows)
+    csr.peel(k)
+    val alive = csr.alive
+    val srcI = csr.srcI
+    val dstI = csr.dstI
     var nDead = 0
-    i = 0
-    while (i < nNodes) { if (!alive(i)) nDead += 1; i += 1 }
+    var i = 0
+    while (i < csr.nNodes) { if (!alive(i)) nDead += 1; i += 1 }
     // nothing peeled → the k-core IS the input relation; hand the
     // caller's (typically persisted, distributed) DataFrame back
     // rather than a driver-materialized copy
@@ -303,6 +341,46 @@ object Graphs {
       i += 1
     }
     distributed(edges.sparkSession, out.toSeq, proj.schema)
+  }
+
+  /** (k, n_nodes, n_edges) of the k-core for each k in ascending
+    * `ks` — the multi-k audit the q_kcore gate wants, WITHOUT paying
+    * one full kCore per k: the (k+1)-core is a subgraph of the
+    * k-core, so under the driver bound ONE collect + ONE CSR peels
+    * incrementally through every k (each step O(E)); the r8 gate
+    * paid two collects, two limit probes and two distributed
+    * stats-aggregate rounds for the same two numbers. Past the bound
+    * the distributed peel chains the same way (each k-core feeds the
+    * next peel, never restarting from the full edge set).
+    */
+  def coreSizes(edges: DataFrame, ks: Seq[Int], maxIter: Int = 50,
+                driverMaxEdges: Long = DriverGraphMaxEdges): Seq[(Int, Long, Long)] = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.head >= 1,
+      s"ks must be ascending and >= 1: $ks")
+    if (underBound(edges, driverMaxEdges)) {
+      val csr = new Csr(edges.select(col("u"), col("v")).collect())
+      ks.map { k =>
+        csr.peel(k)
+        (k, csr.aliveNodes, csr.aliveEdges)
+      }
+    } else {
+      var cur = edges
+      ks.map { k =>
+        val core = kCore(cur, k, maxIter, driverMaxEdges = 0L)
+        // truncate lineage before chaining: each peel's output would
+        // otherwise feed the next peel's union/repartition/anti-join
+        // stack and the accumulated logical plan grows superlinearly
+        // across ks (measured: explainString OOM on a 3-k chain)
+        val pruned = core.localCheckpoint(true)
+        core.unpersist()
+        if (!(cur eq edges)) cur.unpersist()
+        val nNodes = degrees(pruned)
+          .agg(count(lit(1)).cast("long").as("n_nodes")).collect()(0).getLong(0)
+        val nEdges = pruned.count()
+        cur = pruned
+        (k, nNodes, nEdges)
+      }
+    }
   }
 
   /** Rebuild a DataFrame from driver rows as an RDD-backed relation —

@@ -205,25 +205,32 @@ object AuditQueries {
     val e2 = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val deg = e2.select(col("u").as("node"))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
-    val j = e2
-      .join(deg.select(col("node").as("u"), col("deg").as("dj")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dk")), "v")
-      .select(col("dj"), col("dk"))
-    val a = j.agg(count(lit(1)).cast("long").as("m"),
-      sum(col("dj")).cast("decimal(38,0)").as("sx"),
-      sum(col("dk")).cast("decimal(38,0)").as("sy"),
-      sum(col("dj").cast("decimal(38,0)") * col("dj")).cast("decimal(38,0)").as("sxx"),
-      sum(col("dk").cast("decimal(38,0)") * col("dk")).cast("decimal(38,0)").as("syy"),
-      sum(col("dj").cast("decimal(38,0)") * col("dk")).cast("decimal(38,0)").as("sxy"))
-    val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+      .persist() // feeds the moment aggregate, the S(v) join and n_nodes
+    // e2 is SYMMETRIC, so the oracle's j-relation moments collapse to
+    // degree-relation sums (node u appears as an endpoint deg(u)
+    // times): m = Σdeg, sx = sy = Σdeg², sxx = syy = Σdeg³ — zero
+    // edge-level joins for five of the six sums. Only the joint
+    // moment sxy = Σ_v deg(v)·S(v), S(v) = Σ_{u∈N(v)} deg(u), needs
+    // the edge list: ONE edge-level join tagging the source degree,
+    // then a node-level aggregate + node-level join — the r8 plan
+    // paid TWO edge-level degree-tag joins for the same integers.
+    val dd = col("deg").cast("decimal(38,0)")
+    val mom = deg.agg(
+      count(lit(1)).cast("long").as("n_nodes"),
+      sum(col("deg")).cast("long").as("m"),
+      sum(dd * col("deg")).cast("decimal(38,0)").as("sx"),
+      sum(dd * col("deg") * col("deg")).cast("decimal(38,0)").as("sxx"))
+    val sv = e2.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .groupBy(col("v")).agg(sum(col("du").cast("decimal(38,0)")).as("sv"))
+    val sxy = sv.join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(sum(col("sv") * col("dv")).cast("decimal(38,0)").as("sxy"))
     val md = col("m").cast("decimal(38,0)")
     val vx = md * col("sxx") - col("sx") * col("sx")
-    val vy = md * col("syy") - col("sy") * col("sy")
-    graft.operators.Curation.withStats(a, nn)
+    graft.operators.Curation.withStats(mom, sxy)
       .select(col("n_nodes"), col("m").as("n_edges_directed"),
-        when(vx > 0 && vy > 0,
-          round((md * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt(vx.cast("double") * vy.cast("double")), 4) + lit(0.0))
+        when(vx > 0,
+          round((md * col("sxy") - col("sx") * col("sx")).cast("double") /
+            sqrt(vx.cast("double") * vx.cast("double")), 4) + lit(0.0))
           .as("assortativity"))
   }
 
@@ -813,17 +820,25 @@ object AuditQueries {
        |FROM a ORDER BY g""".stripMargin) { (s, d) =>
     val e = ev(s, d).select(col("user_id"), pmod(col("user_id"), lit(8L)).as("g"),
       col("ts_us"), col("event_id"), Exact.cents(col("vd")).as("c"))
-    val a = e.select(col("user_id"), col("g"), col("ts_us").as("ta"),
-      col("event_id").as("ia"), col("c").as("ca"))
-    val b = e.select(col("user_id"), col("ts_us").as("tb"),
-      col("event_id").as("ib"), col("c").as("cb"))
-    val pairs = a.join(b, Seq("user_id"))
-      .filter(col("ta") < col("tb") || (col("ta") === col("tb") && col("ia") < col("ib")))
-    val agg = pairs.groupBy(col("g")).agg(
-      count(lit(1)).cast("long").as("n_pairs"),
-      sum(when(col("cb") > col("ca"), lit(1L)).otherwise(lit(0L))).cast("long").as("concordant"),
-      sum(when(col("cb") < col("ca"), lit(1L)).otherwise(lit(0L))).cast("long").as("discordant"))
-    agg.select(col("g"), col("n_pairs"), col("concordant"), col("discordant"),
+    // per-user O(n log n) kernel instead of the event×event self-join
+    // (the r8 verdict's scale-killer): ONE groupBy shuffles each
+    // user's series once, sort_array pins the exact (ts, event_id)
+    // pair order the join predicate used, and the merge-sort
+    // inversion count reproduces the identical pair aggregate —
+    // shuffle volume n per user, never n²
+    val per = e.groupBy(col("user_id"), col("g"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("c"))))
+        .as("seq"))
+      .select(col("g"), graft.expressions.SeriesExpressions.mkPairStats(
+        transform(col("seq"), x => x.getField("c"))).as("mk"))
+    val agg = per.groupBy(col("g")).agg(
+      sum(element_at(col("mk"), 1)).cast("long").as("n_pairs"),
+      sum(element_at(col("mk"), 2)).cast("long").as("concordant"),
+      sum(element_at(col("mk"), 3)).cast("long").as("discordant"))
+    // single-event users contribute zero pairs; a cohort with none at
+    // all never appeared in the join formulation's output either
+    agg.filter(col("n_pairs") > 0)
+      .select(col("g"), col("n_pairs"), col("concordant"), col("discordant"),
         (col("n_pairs") - col("concordant") - col("discordant")).as("ties"),
         (round((col("concordant") - col("discordant")).cast("double") / col("n_pairs"), 6)
           + lit(0.0)).as("tau"))
@@ -1658,21 +1673,16 @@ object AuditQueries {
     val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
     val pairs = a.join(b, "ok").filter(col("u") < col("v")).select(col("u"), col("v"))
     val edges = graft.operators.Graphs.canonicalEdges(pairs).persist()
-    val out = Seq(2, 3).map { k =>
-      val core = graft.operators.Graphs.kCore(edges, k)
-      val st = core.agg(count(lit(1)).cast("long").as("n_edges")).withColumn("k", lit(k))
-      val nNodes = graft.operators.Graphs.degrees(core)
-        .agg(count(lit(1)).cast("long").as("n_nodes")).withColumn("k", lit(k))
-      val row = st.join(nNodes, "k").select(col("k").cast("long"), col("n_nodes"), col("n_edges"))
-        .cache()
-      row.count() // force while the per-k peeled relation is cached
-      core.unpersist()
-      row
-    }.reduce(_.unionAll(_))
-    val mat = out.cache()
-    mat.count()
+    // ascending-k incremental peel: one collect (or one distributed
+    // chain) covers BOTH cores — the r8 shape re-ran the full kCore
+    // per k, which billed two collects + two limit probes and was the
+    // bench regression flagged in the r8 verdict
+    val stats = graft.operators.Graphs.coreSizes(edges, Seq(2, 3))
     edges.unpersist()
-    mat.orderedSmall(col("k"))
+    import s.implicits._
+    stats.map { case (k, n, e) => (k.toLong, n, e) }
+      .toDF("k", "n_nodes", "n_edges")
+      .orderedSmall(col("k"))
   }
 
   /** Seasonal strength (#265): per event type, the share of hourly

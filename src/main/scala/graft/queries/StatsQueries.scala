@@ -855,20 +855,15 @@ object StatsQueries {
          |GROUP BY 1, 3 ORDER BY 1""".stripMargin
     }) { (s, d) =>
     val e = ev(s, d).select(col("event_type"), col("event_id"), Exact.cents(col("vd")).as("c"))
-    // ONE md5 yields FOUR independent 32-bit draws (the 128-bit digest
-    // split into 8-hex chunks): the hash stage costs B/4 digests per
-    // row, not B — the explode is staged so the digest column is
-    // computed before the ×4 chunk fan-out ever multiplies rows
-    val x4 = e.withColumn("b4", explode(sequence(lit(0), lit(BootB / 4 - 1))))
-      .withColumn("dig", md5(concat(lit("boot:"), col("b4").cast("string"),
-        lit(":"), col("event_id").cast("string"))))
-    val x = x4.withColumn("r", explode(sequence(lit(0), lit(3))))
-      .withColumn("b", col("b4") * 4 + col("r"))
-      .withColumn("u", pmod(
-        conv(expr("substring(dig, 1 + r * 8, 8)"), 16, 10).cast("long"),
-        lit(1000000L)))
-    val w = x.withColumn("w",
-      poissonCdfPpm.map(t => when(col("u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    // ALL 32 replicate weights come out of ONE kernel call per row
+    // (8 digests + 32 threshold counts in a primitive loop) — the r8
+    // shape exploded ×8 rows before the md5 and ×4 again before a
+    // 32-CASE chain, multiplying expression-stack work 32×; only the
+    // already-tiny (b, w) pairs fan out here, straight into the
+    // map-side partial aggregate
+    val w = e.select(col("event_type"), col("c"),
+      posexplode(graft.expressions.SeriesExpressions.bootWeights(
+        col("event_id"), BootB / 4, poissonCdfPpm.toArray)).as(Seq("b", "w")))
     // a replicate CAN draw weight 0 for every row of a small group
     // (P = e^-n): drop it identically on both engines — unguarded,
     // 0 div 0 is NULL on DuckDB but an ANSI crash on Spark, and the

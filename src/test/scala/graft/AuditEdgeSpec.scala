@@ -246,6 +246,19 @@ class AuditEdgeSpec extends SparkSpec {
     }
   }
 
+  test("coreSizes: incremental multi-k peel matches per-k kCore (both paths)") {
+    // same K4+tail fixture: 2-core = K4 + the 4–5 edge gone (tail
+    // cascades), 3-core = K4 exactly, 4-core empty
+    val g = Graphs.canonicalEdges(edges(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)))
+    for (bound <- Seq(2000000L, 0L)) {
+      val sizes = Graphs.coreSizes(g, Seq(2, 3, 4), driverMaxEdges = bound)
+      assert(sizes === Seq((2, 4L, 6L), (3, 4L, 6L), (4, 0L, 0L)),
+        s"bound=$bound")
+    }
+  }
+
   test("bfs hops: distances agree between the driver fast path and the loop") {
     // chain c1->s1->c2->s2 (doubled arcs) + isolated pair; seed {c1}
     val pairs = Seq(("c1", "s1"), ("s1", "c2"), ("c2", "s2"), ("x", "y"))

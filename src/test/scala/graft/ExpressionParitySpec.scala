@@ -180,4 +180,25 @@ class ExpressionParitySpec extends SparkSpec {
     assert(out(0).getInt(0) == 0 && out(0).getInt(1) == 0)
     assert(out(1).getInt(0) == 16 && out(1).getInt(1) == 1)
   }
+
+  test("MkPairStatsExpr == brute-force pair counts, incl. ties and edges") {
+    import graft.expressions.SeriesExpressions
+    def brute(xs: Seq[Long]): Seq[Long] = {
+      val pairs = for (i <- xs.indices; j <- i + 1 until xs.length) yield (xs(i), xs(j))
+      Seq(pairs.length.toLong,
+        pairs.count { case (a, b) => b > a }.toLong,
+        pairs.count { case (a, b) => b < a }.toLong)
+    }
+    val rng = new scala.util.Random(42)
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(7L), Seq(1L, 1L), Seq(3L, 2L, 1L), Seq(1L, 2L, 3L),
+      Seq(5L, 5L, 5L, 5L), Seq(2L, 1L, 2L, 1L, 2L)) ++
+      (1 to 20).map(n => Seq.fill(n * 7)(rng.nextInt(10).toLong))
+    val df = cases.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }.toDF("id", "xs")
+    val got = df.select(col("id"), SeriesExpressions.mkPairStats(col("xs")).as("mk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (xs, i) =>
+      assert(got(i.toLong) == brute(xs), s"case $i: $xs")
+    }
+  }
 }
