@@ -141,10 +141,28 @@ object EmbeddingQueries {
   }
 
   /** LSH-bucketed ANN (the scale path for #26): candidates restricted
-    * to vectors sharing any LSH bucket with the query — approximate by
-    * design, so a rows-only oracle (SURVEY §2 #27).
+    * to vectors sharing any LSH bucket with the query. The bucket
+    * functions are deterministic integer-hyperplane signs already
+    * mirrored in SQL (q_embed_neardup), and the cosine is one
+    * IEEE-exact double expression over exact integers — so the FULL
+    * approximate result is hash-checkable, not just row counts
+    * (r8 verdict item 3).
     */
-  val qKnnLsh = GateQuery.rowsOnly("q_knn_lsh") { (s, d) =>
+  val qKnnLsh = GateQuery.sql(
+    "q_knn_lsh",
+    s"""WITH $PrepSql,
+       |$BucketRelSql,
+       |qb AS (SELECT b.vec_id AS query_id, b.tbl, b.bkt, e2.q AS qq, e2.n AS nq
+       |  FROM bk b JOIN en e2 USING (vec_id) WHERE b.vec_id < 10),
+       |sc AS (SELECT qb.query_id, cv.vec_id,
+       |    ${cosineQSql(dotQSql("qb.qq", "cv.q"), "qb.nq", "cv.n")} AS c
+       |  FROM qb JOIN bk cb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt
+       |    AND cb.vec_id <> qb.query_id
+       |  JOIN en cv ON cv.vec_id = cb.vec_id),
+       |dd AS (SELECT DISTINCT query_id, vec_id, c FROM sc)
+       |SELECT query_id, vec_id, round(c, 6) + 0.0 AS cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rnk
+       |FROM dd QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     // Payload-through-band layout (as in q_embed_neardup): the tiny
     // query-side bucket list broadcasts onto the corpus bucket
     // relation, pairs score in place, duplicates across tables
@@ -371,23 +389,86 @@ object EmbeddingQueries {
       .orderedSmall(col("vec_id"))
   }
 
+  /** Exact integer squared distance between two quantized-list SQL
+    * columns — the DuckDB twin of `nearestCell`'s
+    * ‖x‖²+‖c‖²−2x·c ordering (identical values, same ties). */
+  private def ivfDistSql(q: String, cq: String): String =
+    s"CAST(list_sum([CAST($q[i+1] - $cq[i+1] AS HUGEINT) * ($q[i+1] - $cq[i+1]) " +
+      s"for i in range(len($q))]) AS HUGEINT)"
+
+  /** Signed floor division in DuckDB (its `//` truncates toward zero,
+    * so `Math.floorDiv` parity needs the explicit remainder fix). */
+  private def ivfFloorDivSql(x: String, y: String): String =
+    s"((($x) - (((($x) % ($y)) + ($y)) % ($y))) // ($y))"
+
+  /** Unrolled exact-integer Lloyd k-means in DuckDB — the oracle twin
+    * of [[graft.operators.IvfIndex.train]] + [[IvfIndex.assign]]:
+    * seeds are the `c` smallest vec_ids (cell = ascending rank),
+    * each iteration reassigns by exact integer distance (ties to the
+    * smaller cell) and recomputes centroids as floored elementwise
+    * integer means (empty cells keep their position). Emits CTEs
+    * `ivc${iters}f` (cell, cq) and `ivasg` (vec_id, q, n, cell).
+    * SQL-expressible precisely because the training is deterministic
+    * integer arithmetic with a fixed iteration count.
+    */
+  private def ivfTrainSqlCtes(c: Int, iters: Int): String = {
+    val seed = s"ivc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)" +
+      s" AS cell, q AS cq FROM en ORDER BY vec_id LIMIT $c)"
+    val steps = (1 to iters).map { it =>
+      val prev = if (it == 1) "ivc0" else s"ivc${it - 1}f"
+      s"""iva$it AS (SELECT vec_id, q, cell FROM (
+         |    SELECT v.vec_id, v.q, cc.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${ivfDistSql("v.q", "cc.cq")}, cc.cell) AS rn
+         |    FROM en v CROSS JOIN $prev cc) WHERE rn = 1),
+         |ivm$it AS (SELECT cell, j, CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(count(*) AS HUGEINT) AS cnt
+         |  FROM (SELECT cell, generate_subscripts(q, 1) AS j, unnest(q) AS x FROM iva$it)
+         |  GROUP BY 1, 2),
+         |ivn$it AS (SELECT cell, list(CAST(${ivfFloorDivSql("sx", "cnt")} AS BIGINT)
+         |    ORDER BY j) AS cq FROM ivm$it GROUP BY cell),
+         |ivc${it}f AS (SELECT p.cell, coalesce(n2.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN ivn$it n2 USING (cell))""".stripMargin
+    }
+    val fin = s"""ivasg AS (SELECT vec_id, q, n, cell FROM (
+       |    SELECT v.vec_id, v.q, v.n, cc.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfDistSql("v.q", "cc.cq")}, cc.cell) AS rn
+       |    FROM en v CROSS JOIN ivc${iters}f cc) WHERE rn = 1)""".stripMargin
+    (seed +: steps :+ fin).mkString(",\n")
+  }
+
   /** IVF coarse-quantizer ANN (the k-means scale path next to LSH):
     * deterministic exact-integer k-means, broadcast centroid probing,
-    * per-cell candidate join. Rows-only gate; recall vs brute force
-    * asserted in IvfIndexSpec.
+    * per-cell candidate join. The training is a fixed-count loop of
+    * exact-integer aggregates, so the oracle re-derives the ENTIRE
+    * index in SQL ([[ivfTrainSqlCtes]]) and the full approximate
+    * result is hash-checked (r8 verdict item 3). This gate runs the
+    * plain trained index; the skew-rebalanced variant (data-dependent
+    * round count — not SQL-expressible) stays exercised by
+    * q_semdedup and IvfIndexSpec.
     */
-  val qKnnIvf = GateQuery.rowsOnly("q_knn_ivf") { (s, d) =>
+  val qKnnIvf = GateQuery.sql(
+    "q_knn_ivf",
+    s"""WITH $PrepSql,
+       |${ivfTrainSqlCtes(c = 16, iters = 2)},
+       |ivp AS (SELECT query_id, qq, nq, cell FROM (
+       |    SELECT v.vec_id AS query_id, v.q AS qq, v.n AS nq, cc.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfDistSql("v.q", "cc.cq")}, cc.cell) AS rn
+       |    FROM en v CROSS JOIN ivc2f cc WHERE v.vec_id < 10) WHERE rn <= 4),
+       |ivsc AS (SELECT p.query_id, a.vec_id,
+       |    ${cosineQSql(dotQSql("p.qq", "a.q"), "p.nq", "a.n")} AS c
+       |  FROM ivp p JOIN ivasg a USING (cell) WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, round(c, 6) + 0.0 AS cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rnk
+       |FROM ivsc QUALIFY rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     // cache the quantized vectors across the EAGER training jobs
-    // (k-means iterations + rebalance rounds each rescan the input);
-    // the lazily-returned plan recomputes them once after unpersist
+    // (k-means iterations each rescan the input); the lazily-returned
+    // plan recomputes them once after unpersist
     val e = prep(s, d).persist()
     try {
-      val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
-      // bound the worst-case probe: split any cell k-means left holding
-      // more than a quarter of the corpus (deterministic, usually a
-      // no-op on well-spread embeddings)
-      val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
-        maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+      val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
       val assigned = graft.operators.IvfIndex.assign(e, cents)
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
@@ -428,14 +509,72 @@ object EmbeddingQueries {
     } finally e.unpersist()
   }
 
+  /** Unrolled per-subspace exact-integer k-means in DuckDB — the
+    * oracle twin of [[graft.operators.PqIndex.train]] + encode:
+    * codebook rows (sub, code, cw), seeds = subvectors of the K
+    * smallest vec_ids, encode = argmin exact ‖sub−c‖² ties to the
+    * smaller code, update = floored elementwise integer means (empty
+    * codes keep). Emits `pqc${iters}f` (sub, code, cw) and `pqenc`
+    * (vec_id, sub, code).
+    */
+  private def pqTrainSqlCtes(k: Int, iters: Int, m: Int, subDim: Int,
+                             src: String = "en"): String = {
+    def sv(q: String, sub: String) =
+      s"$q[($sub * $subDim + 1):(($sub + 1) * $subDim)]"
+    val seed = s"""pqc0 AS (SELECT sg.sub, r.code, ${sv("r.q", "sg.sub")} AS cw
+       |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, q
+       |        FROM $src ORDER BY vec_id LIMIT $k) r
+       |  CROSS JOIN (SELECT CAST(unnest(range($m)) AS BIGINT) AS sub) sg)""".stripMargin
+    def encodeCte(name: String, book: String) =
+      s"""$name AS (SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, cc.sub, cc.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, cc.sub
+         |        ORDER BY ${ivfDistSql(sv("v.q", "cc.sub"), "cc.cw")}, cc.code) AS rn
+         |    FROM $src v CROSS JOIN $book cc) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { it =>
+      val prev = if (it == 1) "pqc0" else s"pqc${it - 1}f"
+      s"""${encodeCte(s"pqe$it", prev)},
+         |pqm$it AS (SELECT sub, code, j, CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(count(*) AS HUGEINT) AS cnt
+         |  FROM (SELECT e2.sub, e2.code, generate_subscripts(e2.svv, 1) AS j,
+         |          unnest(e2.svv) AS x
+         |        FROM (SELECT enc.sub, enc.code, ${sv("v.q", "enc.sub")} AS svv
+         |              FROM pqe$it enc JOIN $src v USING (vec_id)) e2)
+         |  GROUP BY 1, 2, 3),
+         |pqn$it AS (SELECT sub, code, list(CAST(${ivfFloorDivSql("sx", "cnt")} AS BIGINT)
+         |    ORDER BY j) AS cw FROM pqm$it GROUP BY 1, 2),
+         |pqc${it}f AS (SELECT p.sub, p.code, coalesce(n2.cw, p.cw) AS cw
+         |  FROM $prev p LEFT JOIN pqn$it n2 USING (sub, code))""".stripMargin
+    }
+    (seed +: steps :+ encodeCte("pqenc", s"pqc${iters}f")).mkString(",\n")
+  }
+
   /** Product-quantization ANN (#112): 64-dim vectors → ONE packed
     * int64 code (M=8 subspaces × 4-bit codes — 32× less memory than
     * the float corpus), exhaustive ADC top-5 via per-query lookup
-    * tables. Rows-only (codebooks are driver-trained model state);
-    * exactness (ADC == reconstructed dot), determinism and recall
-    * floor vs brute force are pinned by PqIndexSpec.
+    * tables. The training is fixed-count exact-integer k-means per
+    * subspace, so the oracle re-derives codebooks + codes in SQL
+    * ([[pqTrainSqlCtes]]) and checks the full ADC ranking —
+    * ADC == reconstructed dot by construction, so scoring against
+    * the reconstructed codewords IS the ADC result (also pinned by
+    * PqIndexSpec).
     */
-  val qKnnPq = GateQuery.rowsOnly("q_knn_pq") { (s, d) =>
+  val qKnnPq = GateQuery.sql(
+    "q_knn_pq",
+    s"""WITH $PrepSql,
+       |${pqTrainSqlCtes(k = 16, iters = 2, m = 8, subDim = Dims / 8)},
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en WHERE vec_id < 10),
+       |sc AS (SELECT qs.query_id, e2.vec_id, qs.nq,
+       |    CAST(sum(${dotQSql(s"qs.qq[(cc.sub * ${Dims / 8} + 1):((cc.sub + 1) * ${Dims / 8})]", "cc.cw")}) AS BIGINT) AS adot,
+       |    CAST(sum(${normQSql("cc.cw")}) AS BIGINT) AS rnorm
+       |  FROM pqenc e2 JOIN pqc2f cc USING (sub, code) CROSS JOIN qs
+       |  WHERE e2.vec_id <> qs.query_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, vec_id,
+       |  round(${cosineQSql("adot", "nq", "rnorm")}, 6) + 0.0 AS cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+       |    ${cosineQSql("adot", "nq", "rnorm")} DESC, vec_id) AS BIGINT) AS rnk
+       |FROM sc QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = prep(s, d).persist() // cache across the training jobs (see qKnnIvf)
     try {
       val model = graft.operators.PqIndex.train(e, m = 8, k = 16, iters = 2, dims = Dims)
@@ -512,11 +651,37 @@ object EmbeddingQueries {
   /** #112b — residual IVF-PQ (`by_residual = true`, the FAISS
     * IndexIVFPQ default): PQ trained/encoded on cell residuals, score
     * and norm rebuilt from the exact integer decomposition (centroid
-    * dot + ADC; centroid norm + 2·cross + residual norm). Rows-only;
-    * decomposition exactness, determinism and recall floor pinned by
-    * PqIndexSpec.
+    * dot + ADC; centroid norm + 2·cross + residual norm). The
+    * decomposition is EXACTLY dot(q, c + decode(pq)) over
+    * ‖c + decode(pq)‖² (pinned by PqIndexSpec), so the oracle scores
+    * against the SQL-reconstructed vectors: IVF train + residuals +
+    * per-subspace PQ train all re-derived in SQL — the full
+    * approximate ranking hash-checks (r8 verdict item 3).
     */
-  val qKnnIvfPq = GateQuery.rowsOnly("q_knn_ivfpq") { (s, d) =>
+  val qKnnIvfPq = GateQuery.sql(
+    "q_knn_ivfpq",
+    s"""WITH $PrepSql,
+       |${ivfTrainSqlCtes(c = 16, iters = 2)},
+       |ivres AS (SELECT a.vec_id, a.cell,
+       |    [a.q[i+1] - cc.cq[i+1] for i in range(len(a.q))] AS q
+       |  FROM ivasg a JOIN ivc2f cc USING (cell)),
+       |${pqTrainSqlCtes(k = 16, iters = 2, m = 8, subDim = Dims / 8, src = "ivres")},
+       |rdec AS (SELECT enc.vec_id, flatten(list(cc.cw ORDER BY cc.sub)) AS dq
+       |  FROM pqenc enc JOIN pqc2f cc USING (sub, code) GROUP BY enc.vec_id),
+       |rec AS (SELECT r.vec_id, a.cell,
+       |    [r.dq[i+1] + cc.cq[i+1] for i in range(len(r.dq))] AS rq
+       |  FROM rdec r JOIN ivasg a USING (vec_id) JOIN ivc2f cc USING (cell)),
+       |ivp AS (SELECT query_id, qq, nq, cell FROM (
+       |    SELECT v.vec_id AS query_id, v.q AS qq, v.n AS nq, cc.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${ivfDistSql("v.q", "cc.cq")}, cc.cell) AS rn
+       |    FROM en v CROSS JOIN ivc2f cc WHERE v.vec_id < 10) WHERE rn <= 4),
+       |sc AS (SELECT p.query_id, r.vec_id,
+       |    ${cosineQSql(dotQSql("p.qq", "r.rq"), "p.nq", normQSql("r.rq"))} AS c
+       |  FROM ivp p JOIN rec r USING (cell) WHERE r.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, round(c, 6) + 0.0 AS cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rnk
+       |FROM sc QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val e = prep(s, d).persist() // cache across the training jobs (see qKnnIvf)
     try {
       val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
@@ -607,11 +772,46 @@ object EmbeddingQueries {
     * rows); each nprobe point reuses both. Mean/min recall over the
     * query set in exact ppm.
     */
-  val qAnnRecallCurve = GateQuery.rowsOnly("q_ann_recall_curve") { (s, d) =>
+  val qAnnRecallCurve = GateQuery.sql(
+    "q_ann_recall_curve", {
+      val points = Seq(1, 2, 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST((sum(hit) * 1000000) // (count(*) * 5) AS BIGINT) AS mean_recall_ppm,
+           |  CAST((min(hit) * 1000000) // 5 AS BIGINT) AS min_recall_ppm
+           |FROM (SELECT ex.query_id, CAST(count(a.vec_id) AS BIGINT) AS hit
+           |  FROM exact5 ex LEFT JOIN apx$np a
+           |    ON a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+           |  GROUP BY 1)""".stripMargin
+      }
+      val apxs = Seq(1, 2, 4).map { np =>
+        s"""apx$np AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
+           |  FROM ivsca WHERE crank <= $np) WHERE rnk <= 5)""".stripMargin
+      }
+      s"""WITH $PrepSql,
+         |${ivfTrainSqlCtes(c = 16, iters = 2)},
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en WHERE vec_id < 10),
+         |exact5 AS (SELECT query_id, vec_id FROM (
+         |  SELECT qs.query_id, cv.vec_id,
+         |    row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |      ${cosineQSql(dotQSql("qs.qq", "cv.q"), "qs.nq", "cv.n")} DESC,
+         |      cv.vec_id) AS rnk
+         |  FROM qs, en cv WHERE cv.vec_id <> qs.query_id) WHERE rnk <= 5),
+         |ivpa AS (SELECT query_id, qq, nq, cell, rn AS crank FROM (
+         |    SELECT v.vec_id AS query_id, v.q AS qq, v.n AS nq, cc.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${ivfDistSql("v.q", "cc.cq")}, cc.cell) AS rn
+         |    FROM en v CROSS JOIN ivc2f cc WHERE v.vec_id < 10) WHERE rn <= 4),
+         |ivsca AS (SELECT p.query_id, p.crank, a.vec_id,
+         |    ${cosineQSql(dotQSql("p.qq", "a.q"), "p.nq", "a.n")} AS c
+         |  FROM ivpa p JOIN ivasg a USING (cell) WHERE a.vec_id <> p.query_id),
+         |${apxs.mkString(",\n")}
+         |SELECT * FROM (${points.mkString("\nUNION ALL\n")}) ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
     val e = prep(s, d).persist() // see qKnnIvf
-    val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
-    val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
-      maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+    val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
     val assigned = graft.operators.IvfIndex.assign(e, cents)
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq"))
@@ -653,8 +853,26 @@ object EmbeddingQueries {
     * max(struct(cos, −id)) aggregate (ties to the smallest id; a
     * pair surfacing in several tables collapses in the same max);
     * mutuality is an equi-self-join of the 1-row-per-vector bests.
+    * Fully deterministic from the SQL-mirrored bucket relation and
+    * IEEE-exact cosines → hash-checked oracle (r8 verdict item 3).
     */
-  val qMutualNn = GateQuery.rowsOnly("q_mutual_nn") { (s, d) =>
+  val qMutualNn = GateQuery.sql(
+    "q_mutual_nn",
+    s"""WITH $PrepSql,
+       |$BucketRelSql,
+       |sc AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${cosineQSql(dotQSql("ea.q", "eb.q"), "ea.n", "eb.n")} AS c
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+       |    AND a.vec_id <> b.vec_id
+       |  JOIN en ea ON ea.vec_id = a.vec_id
+       |  JOIN en eb ON eb.vec_id = b.vec_id),
+       |best AS (SELECT va, vb AS best, c AS cos FROM (
+       |    SELECT va, vb, c,
+       |      row_number() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rn
+       |    FROM sc) WHERE rn = 1)
+       |SELECT l.va AS vec_a, l.best AS vec_b, round(l.cos, 6) + 0.0 AS cos
+       |FROM best l JOIN best r ON l.best = r.va AND r.best = l.va AND l.va < r.va
+       |ORDER BY vec_a""".stripMargin) { (s, d) =>
     val e = prep(s, d)
     val bk = bucketRelWithPayload(e)
     val a = bk.select(col("vec_id").as("va"), col("q").as("qa"), col("n").as("na"),
