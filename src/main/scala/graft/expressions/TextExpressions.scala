@@ -74,6 +74,8 @@ object TextExpressions {
     MinHashSigExpr(GraftColumnBridge.expression(text), k, numPerms))
   def shingleKeysFast(text: Column, k: Int): Column = GraftColumnBridge.column(
     ShingleKeysFastExpr(GraftColumnBridge.expression(text), k))
+  def shingleKeys(text: Column, k: Int): Column = GraftColumnBridge.column(
+    ShingleKeysExpr(GraftColumnBridge.expression(text), k))
   def docPairs(ds: Column): Column = GraftColumnBridge.column(
     DocPairsExpr(GraftColumnBridge.expression(ds)))
   def bigramBuckets(text: Column, buckets: Int): Column = GraftColumnBridge.column(
@@ -275,6 +277,38 @@ case class ShingleKeysFastExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleKeysFastExpr =
     copy(child = newChild)
 }
+
+/** PORTABLE distinct shingle keys — value-identical to the
+  * [[graft.operators.TextOps.shingles]] HOF (first 15 md5 hex chars
+  * of each word k-gram as a long, first-occurrence order), for the
+  * oracle-mirrored gates where the xxhash fast path would diverge
+  * from the SQL twin. One digest per k-gram in a tight loop instead
+  * of an interpreted concat/md5/conv lambda chain per element.
+  */
+case class ShingleKeysExpr(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < k) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new mutable.LinkedHashSet[Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= tokens.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      seen += TextExpressions.shingleKey(md, sb.toString)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.map(v => v: Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleKeysExpr =
+    copy(child = newChild)
+}
+
 
 /** Hashed-bigram DSIR feature buckets: one long per bigram INSTANCE
   * (positions matter — the feature vector is a bag), bucket =

@@ -133,12 +133,19 @@ object Dedup {
     * matrix at any corpus size.
     */
   def sourceOverlap(docs: DataFrame, source: Column, text: Column, k: Int): DataFrame = {
-    val sh = docs.select(source.as("source"),
+    // ONE h-keyed aggregate instead of distinct + re-group: collect_set
+    // dedupes (source, h) in its map-side partials, so the corpus
+    // shuffles once and carries source-domain-bounded sets; per-source
+    // distinct counts fall out of the same grouped relation (persisted
+    // — it feeds both m and the pair fan-out)
+    val hs = docs.select(source.as("source"),
         explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
-      .distinct()
-    val m = sh.groupBy(col("source")).agg(count(lit(1)).as("m"))
-    val pairs = sh.groupBy(col("h"))
+      .groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .persist()
+    val m = hs.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("m"))
+    val pairs = hs
       .filter(size(col("ss")) >= 2)
       .select(explode(flatten(transform(col("ss"), (a, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss"))),

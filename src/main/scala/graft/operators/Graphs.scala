@@ -164,8 +164,12 @@ object Graphs {
     // distributed loop below is unchanged as the 100 TB path. The
     // probe is limit-based (r8 advisory): a 100 TB relation answers
     // "more than the bound" from its first partitions instead of
-    // paying a full count scan just to reject the fast path.
-    if (underBound(edges, driverMaxEdges)) return kCoreDriver(edges, k)
+    // paying a full count scan just to reject the fast path; the
+    // probe and the collect are ONE fused action (r9).
+    collectUnderBound(edges.select(col("u"), col("v")), driverMaxEdges) match {
+      case Some(rows) => return kCoreDriver(edges, rows, k)
+      case None =>
+    }
     // Doubled-arc form, hash-partitioned on src ONCE: degree is then a
     // zero-exchange groupBy(src) over the persisted blocks, and the
     // broadcast anti-joins preserve the partitioning round to round —
@@ -222,15 +226,21 @@ object Graphs {
     */
   private val DriverGraphMaxEdges = 2000000L
 
-  /** True iff `df` has at most `bound` rows, decided by a limit probe:
-    * `limit(bound+1).count()` short-circuits once bound+1 rows are
-    * found (CollectLimit executes partitions incrementally), so a
-    * huge relation never pays a full scan just to skip the driver
-    * fast path. `bound <= 0` disables the fast path outright.
+  /** FUSED probe + collect: bring back up to `bound` rows in ONE
+    * action, or None if the relation is larger. An under-bound
+    * relation previously paid the limit-probe scan AND a second full
+    * collect scan; the fused form bills one. An over-bound relation
+    * still short-circuits at bound+1 rows (CollectLimit executes
+    * partitions incrementally) — the extra cost vs the count probe is
+    * only shipping the first bound+1 rows, and callers taking this
+    * path are about to run a far heavier distributed loop anyway.
     */
-  private def underBound(df: DataFrame, bound: Long): Boolean =
-    bound > 0 &&
-      df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).count() <= bound
+  private def collectUnderBound(df: DataFrame,
+                                bound: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (bound <= 0) return None
+    val rows = df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length <= bound) Some(rows) else None
+  }
 
   /** Int-indexed CSR adjacency built from collected (u, v) edge rows
     * — primitive arrays (a boxed HashSet adjacency measured ~10×
@@ -242,6 +252,15 @@ object Graphs {
     val srcI = new Array[Int](rows.length)
     val dstI = new Array[Int](rows.length)
     private val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+    /** Node index of `x`, or -1 if absent from the edge rows. */
+    def indexOf(x: Any): Int = { val g = idx.get(x); if (g == null) -1 else g.intValue }
+    /** Original node key at index `i`. */
+    def keyOf(i: Int): Any = keyArr(i)
+    private lazy val keyArr: Array[Any] = {
+      val a = new Array[Any](nNodes)
+      idx.forEach((k, v) => a(v.intValue) = k)
+      a
+    }
     var nNodes = 0
     private def id(x: Any): Int = {
       val got = idx.get(x)
@@ -318,10 +337,10 @@ object Graphs {
   /** Exact in-memory k-core: CSR + cascading removal queue — the
     * same fixpoint as the distributed peeling loop.
     */
-  private def kCoreDriver(edges: DataFrame, k: Int): DataFrame = {
+  private def kCoreDriver(edges: DataFrame, rows: Array[org.apache.spark.sql.Row],
+                          k: Int): DataFrame = {
     // (u, v) bound by name, matching the distributed path's projection.
     val proj = edges.select(col("u"), col("v"))
-    val rows = proj.collect()
     val csr = new Csr(rows)
     csr.peel(k)
     val alive = csr.alive
@@ -357,8 +376,9 @@ object Graphs {
                 driverMaxEdges: Long = DriverGraphMaxEdges): Seq[(Int, Long, Long)] = {
     require(ks.nonEmpty && ks == ks.sorted && ks.head >= 1,
       s"ks must be ascending and >= 1: $ks")
-    if (underBound(edges, driverMaxEdges)) {
-      val csr = new Csr(edges.select(col("u"), col("v")).collect())
+    val under = collectUnderBound(edges.select(col("u"), col("v")), driverMaxEdges)
+    if (under.isDefined) {
+      val csr = new Csr(under.get)
       ks.map { k =>
         csr.peel(k)
         (k, csr.aliveNodes, csr.aliveEdges)
@@ -380,6 +400,105 @@ object Graphs {
         cur = pruned
         (k, nNodes, nEdges)
       }
+    }
+  }
+
+  /** Exact pico-unit damped PageRank over a directed (src, dst) arc
+    * relation: nodes are the DISTINCT SOURCES, outdeg their arc
+    * counts, and each of `iters` rounds computes
+    *
+    *   r' = ((100−dampNum)·unit) div (100·n)
+    *        + (dampNum · Σ_{src→node} (r_src div outdeg_src)) div 100
+    *
+    * with every division an exact positive-integer floor — so the
+    * result is bit-identical on any engine or layout (the verbatim
+    * arithmetic of the q_pagerank / q_textrank oracles).
+    * Contributions to a dst that is not itself a source are dropped
+    * (the nodes-LEFT-JOIN-contrib semantics). Under the driver edge
+    * bound the whole fixed-iteration loop runs in primitive arrays
+    * off ONE fused collect; past it, the classic 2-shuffle round with
+    * the src-partitioned persisted edge relation.
+    *
+    * @return (node, r) relation, node typed as the src column
+    */
+  def pageRankPico(e0: DataFrame, iters: Int, unit: Long, dampNum: Long,
+                   driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(iters >= 1 && dampNum >= 0 && dampNum <= 100 && unit > 0)
+    collectUnderBound(e0.select(col("src"), col("dst")), driverMaxEdges) match {
+      case Some(rows) =>
+        val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+        val keys = new scala.collection.mutable.ArrayBuffer[Any]()
+        rows.foreach { r =>
+          if (!idx.containsKey(r.get(0))) { idx.put(r.get(0), keys.length); keys += r.get(0) }
+        }
+        val n = keys.length
+        val srcI = new Array[Int](rows.length)
+        val dstI = new Array[Int](rows.length)
+        val outdeg = new Array[Long](n)
+        var i = 0
+        while (i < rows.length) {
+          val s = idx.get(rows(i).get(0)).intValue
+          val dObj = idx.get(rows(i).get(1))
+          srcI(i) = s
+          dstI(i) = if (dObj == null) -1 else dObj.intValue
+          outdeg(s) += 1
+          i += 1
+        }
+        val teleport = ((100L - dampNum) * unit) / (100L * n)
+        var r = Array.fill(n)(unit / n)
+        var it = 0
+        while (it < iters) {
+          val in = new Array[Long](n)
+          i = 0
+          while (i < rows.length) {
+            if (dstI(i) >= 0) in(dstI(i)) += r(srcI(i)) / outdeg(srcI(i))
+            i += 1
+          }
+          val next = new Array[Long](n)
+          i = 0
+          while (i < n) { next(i) = teleport + (dampNum * in(i)) / 100L; i += 1 }
+          r = next
+          it += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](n)
+        i = 0
+        while (i < n) { out += org.apache.spark.sql.Row(keys(i), r(i)); i += 1 }
+        val nodeType = e0.select(col("src")).schema.head.dataType
+        distributed(e0.sparkSession, out.toSeq,
+          StructType(Seq(StructField("node", nodeType), StructField("r", LongType))))
+      case None =>
+        val deg = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+        // pin hash(src) into the cached blocks: each rank⋈edges join
+        // then exchanges only the node-sized rank side, never the
+        // edge relation (Layout.writeBucketed on src at cluster scale)
+        val edges = e0.join(deg.withColumnRenamed("node", "src"), "src")
+          .repartition(col("src"))
+          .persist()
+        val nodes = deg.select(col("node")).persist()
+        val n = nodes.agg(count(lit(1)).as("n")).head().getLong(0)
+        val teleport = ((100L - dampNum) * unit) / (100L * n)
+        var r = nodes.select(col("node"), lit(unit / n).as("r"))
+        for (_ <- 1 to iters) {
+          val contrib = edges.join(r, edges("src") === r("node"))
+            .select(col("dst").as("node"),
+              Binning.floorDivCol(col("r"), col("outdeg")).as("c"))
+            .groupBy(col("node"))
+            .agg(sum(col("c")).cast("long").as("in_sum"))
+          r = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit(teleport) +
+                Binning.floorDivCol(lit(dampNum) * coalesce(col("in_sum"), lit(0L)),
+                  lit(100L))).as("r"))
+        }
+        // materialize before dropping the edge blocks (a later action
+        // would otherwise re-run every iteration); freed by the
+        // harness-owned persisted-block lifecycle
+        val out = r.persist()
+        out.count()
+        edges.unpersist()
+        nodes.unpersist()
+        out
     }
   }
 
@@ -417,8 +536,11 @@ object Graphs {
     // Bounded driver fast path (see kCore): each distributed hop is a
     // join + distinct + anti-join round; under the hard edge bound one
     // collect + in-memory BFS computes the identical distance map.
-    // Limit-based probe — no full scan just to reject the fast path.
-    if (underBound(edges, driverMaxEdges)) return bfsDriver(edges, seeds, maxHops)
+    // Limit-based probe fused with the collect — ONE action (r9).
+    collectUnderBound(edges.select(col("src"), col("dst")), driverMaxEdges) match {
+      case Some(rows) => return bfsDriver(edges, rows, seeds, maxHops)
+      case None =>
+    }
     // Hash-partition the arc relation on its join key ONCE: the cached
     // blocks then carry HashPartitioning(src), so every round's
     // frontier⋈edges join exchanges only the (node-sized) frontier,
@@ -449,40 +571,141 @@ object Graphs {
     visited
   }
 
+  /** Bounded-hop BFS over an UNDIRECTED (u, v) edge relation — the
+    * caller-side `unionAll` doubling that [[bfsHops]] requires costs
+    * a second scan of the pair stage and doubles the driver-path
+    * collect; this variant collects the half-sized pair relation once
+    * and doubles inside the CSR (past the driver bound it falls back
+    * to the doubled distributed loop unchanged).
+    */
+  def bfsHopsUndirected(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                        driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 10, s"maxHops out of range: $maxHops")
+    collectUnderBound(edges.select(col("u"), col("v")), driverMaxEdges) match {
+      case Some(rows) =>
+        import org.apache.spark.sql.types._
+        val csr = new Csr(rows) // undirected adjacency by construction
+        val dist = new Array[Int](csr.nNodes)
+        java.util.Arrays.fill(dist, -1)
+        // seeds absent from the edge relation still carry distance 0
+        val stray = new scala.collection.mutable.ArrayBuffer[Any]()
+        var frontier = new Array[Int](csr.nNodes)
+        var fLen = 0
+        seeds.select(col("node")).distinct().collect().foreach { r =>
+          val i = csr.indexOf(r.get(0))
+          if (i < 0) stray += r.get(0)
+          else if (dist(i) < 0) { dist(i) = 0; frontier(fLen) = i; fLen += 1 }
+        }
+        var hop = 1
+        while (hop <= maxHops && fLen > 0) {
+          val next = new Array[Int](csr.nNodes)
+          var nLen = 0
+          var f = 0
+          while (f < fLen) {
+            val u = frontier(f)
+            var j = csr.start(u)
+            val end = csr.start(u + 1)
+            while (j < end) {
+              val m = csr.nbr(j)
+              if (dist(m) < 0) { dist(m) = hop; next(nLen) = m; nLen += 1 }
+              j += 1
+            }
+            f += 1
+          }
+          frontier = next
+          fLen = nLen
+          hop += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        var i = 0
+        while (i < csr.nNodes) {
+          if (dist(i) >= 0) out += org.apache.spark.sql.Row(csr.keyOf(i), dist(i))
+          i += 1
+        }
+        stray.foreach(k => out += org.apache.spark.sql.Row(k, 0))
+        val nodeType = edges.select(col("u")).schema.head.dataType
+        distributed(edges.sparkSession, out.toSeq,
+          StructType(Seq(StructField("node", nodeType), StructField("dist", IntegerType))))
+      case None =>
+        val doubled = edges
+          .select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+        bfsHops(doubled, seeds, maxHops, driverMaxEdges = 0L)
+    }
+  }
+
   /** Exact in-memory bounded-hop BFS — the same (node, dist) map as
     * the distributed frontier loop. Directed arcs, seeds at 0.
     */
-  private def bfsDriver(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  private def bfsDriver(edges: DataFrame, rows: Array[org.apache.spark.sql.Row],
+                        seeds: DataFrame, maxHops: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    // bind src/dst/node BY NAME (r8 advisory): the distributed path
-    // resolves columns by name, so a caller relation with extra or
-    // reordered columns must build the same adjacency here
+    // rows are the (src, dst) projection bound BY NAME (r8 advisory):
+    // the distributed path resolves columns by name, so a caller
+    // relation with extra or reordered columns builds the same
+    // adjacency here.
+    // Int-indexed CSR over directed arcs + primitive int queue — the
+    // boxed HashMap<Any, ArrayList> adjacency this replaces spent the
+    // gate's time on per-edge allocation/GC at 1M arcs.
     val proj = edges.select(col("src"), col("dst"))
-    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
-    proj.collect().foreach { r =>
-      var l = adj.get(r.get(0))
-      if (l == null) { l = new java.util.ArrayList[Any](); adj.put(r.get(0), l) }
-      l.add(r.get(1))
+    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+    val keys = new scala.collection.mutable.ArrayBuffer[Any]()
+    def id(x: Any): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { idx.put(x, keys.length); keys += x; keys.length - 1 }
     }
-    val dist = new java.util.LinkedHashMap[Any, Int]()
-    var frontier = new java.util.ArrayList[Any]()
-    seeds.select(col("node")).distinct().collect().foreach { r =>
-      if (!dist.containsKey(r.get(0))) { dist.put(r.get(0), 0); frontier.add(r.get(0)) }
+    val srcI = new Array[Int](rows.length)
+    val dstI = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      srcI(i) = id(rows(i).get(0)); dstI(i) = id(rows(i).get(1)); i += 1
     }
+    // seeds may name nodes absent from the arc relation — they still
+    // carry distance 0, so they enter the index too
+    val seedIds = seeds.select(col("node")).distinct().collect().map(r => id(r.get(0)))
+    val n = keys.length
+    val outDeg = new Array[Int](n)
+    i = 0
+    while (i < rows.length) { outDeg(srcI(i)) += 1; i += 1 }
+    val start = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { start(i + 1) = start(i) + outDeg(i); i += 1 }
+    val nbr = new Array[Int](rows.length)
+    val fill = java.util.Arrays.copyOf(start, n)
+    i = 0
+    while (i < rows.length) { nbr(fill(srcI(i))) = dstI(i); fill(srcI(i)) += 1; i += 1 }
+    val dist = new Array[Int](n)
+    java.util.Arrays.fill(dist, -1)
+    var frontier = new Array[Int](seedIds.length)
+    var fLen = 0
+    seedIds.foreach { s => if (dist(s) < 0) { dist(s) = 0; frontier(fLen) = s; fLen += 1 } }
     var hop = 1
-    while (hop <= maxHops && !frontier.isEmpty) {
-      val next = new java.util.ArrayList[Any]()
-      frontier.forEach { n =>
-        val l = adj.get(n)
-        if (l != null) l.forEach { m =>
-          if (!dist.containsKey(m)) { dist.put(m, hop); next.add(m) }
+    while (hop <= maxHops && fLen > 0) {
+      val next = new Array[Int](n)
+      var nLen = 0
+      var f = 0
+      while (f < fLen) {
+        val u = frontier(f)
+        var j = start(u)
+        val end = start(u + 1)
+        while (j < end) {
+          val m = nbr(j)
+          if (dist(m) < 0) { dist(m) = hop; next(nLen) = m; nLen += 1 }
+          j += 1
         }
+        f += 1
       }
       frontier = next
+      fLen = nLen
       hop += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](dist.size)
-    dist.forEach { (n, d) => out += org.apache.spark.sql.Row(n, d) }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < n) {
+      if (dist(i) >= 0) out += org.apache.spark.sql.Row(keys(i), dist(i))
+      i += 1
+    }
     val nodeType = proj.schema.head.dataType
     distributed(edges.sparkSession, out.toSeq,
       StructType(Seq(StructField("node", nodeType), StructField("dist", IntegerType))))

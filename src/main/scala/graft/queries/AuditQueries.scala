@@ -2037,9 +2037,9 @@ object AuditQueries {
     "q_bfs_hops",
     """WITH pairs AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-      |e0 AS (SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
-      |  UNION ALL SELECT 's' || sk, 'c' || ck FROM pairs),
-      |d0 AS (SELECT 's' || s_suppkey AS node FROM supplier
+      |e0 AS (SELECT 2 * ck AS src, 2 * sk + 1 AS dst FROM pairs
+      |  UNION ALL SELECT 2 * sk + 1, 2 * ck FROM pairs),
+      |d0 AS (SELECT 2 * s_suppkey + 1 AS node FROM supplier
       |  ORDER BY s_suppkey LIMIT 5),
       |r1 AS (SELECT DISTINCT e.dst AS node FROM e0 e JOIN d0 ON e.src = d0.node
       |  WHERE e.dst NOT IN (SELECT node FROM d0)),
@@ -2058,16 +2058,16 @@ object AuditQueries {
       |ORDER BY dist""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    // integer node encoding (customers even, suppliers odd): the r8
+    // string keys ('c'||ck) tripled the doubled-arc relation's bytes
+    // and made the driver-BFS adjacency a boxed string map — longs
+    // collect and hash at a fraction of the cost, same histogram
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
-    val edges = pairs.select(concat(lit("c"), col("ck")).as("src"),
-        concat(lit("s"), col("sk")).as("dst"))
-      .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),
-        concat(lit("c"), col("ck")).as("dst")))
-      .persist() // read by every BFS round; freed by the harness
+    val edges = pairs.select((col("ck") * 2).as("u"), (col("sk") * 2 + 1).as("v"))
     val seeds = Tables.supplier(s, d).orderBy(col("s_suppkey")).limit(5)
-      .select(concat(lit("s"), col("s_suppkey")).as("node"))
-    val dist = graft.operators.Graphs.bfsHops(edges, seeds, maxHops = 3)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    val dist = graft.operators.Graphs.bfsHopsUndirected(edges, seeds, maxHops = 3)
     val hist = dist.groupBy(col("dist").cast("long").as("dist"))
       .agg(count(lit(1)).cast("long").as("n_nodes"))
     val frame = s.range(0, 4).select(col("id").as("dist"))

@@ -948,23 +948,18 @@ object CurationQueries {
        |  count(*) FILTER (keep) AS n_kept,
        |  md5(coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (keep), '')) AS new_md5
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val sl = docs.select(col("doc_id"),
-      Curation.segments(col("text"), SegK).as("segs"))
-    val sg = sl.select(col("doc_id"), posexplode(col("segs")).as(Seq("i", "seg")))
-    val segToks = split(col("seg"), " ")
-    val st = sg.select(col("doc_id"), col("i"), col("seg"),
-      size(segToks).cast("long").as("nt"),
-      size(filter(segToks, t => t === "a" || t === "the")).cast("long").as("ns"))
-    val k = st.withColumn("keep",
-      graft.operators.Binning.floorDivCol(col("ns") * lit(1000000L), col("nt")) >= 125000L)
-    k.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segs"),
-        count(when(col("keep"), 1)).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(sort_array(collect_list(when(col("keep"),
-            struct(col("i"), col("seg"))))), x => x.getField("seg"))))
-          .as("new_md5"))
+    // the whole computation is per-document, so it runs as ONE kernel
+    // expression per row — the r8 plan exploded every segment, ran
+    // interpreted HOF lambdas per token, and shuffled all segment
+    // text back to the doc key just to reassemble what one pass over
+    // the row already had (4.4× DuckDB on what should be a
+    // scan-bound gate)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.expressions.CurationExpressions.boilerplateStats(
+          col("text"), SegK, Seq("a", "the"), 125000L).as("bs"))
+      .select(col("doc_id"), col("bs.n_segs").as("n_segs"),
+        col("bs.n_kept").as("n_kept"), col("bs.new_md5").as("new_md5"))
       .orderedSmall(col("doc_id"))
   }
 
@@ -1641,18 +1636,15 @@ object CurationQueries {
       |WHERE n_docs >= 2 AND max_lcp IS NOT NULL
       |ORDER BY max_lcp DESC, bucket LIMIT 20""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-    val p = d.select(col("doc_id"), col("text"),
-        posexplode(col("ws")).as(Seq("i0", "word")))
-      .withColumn("i", col("i0") + 1)
-    val wOff = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val o = p.withColumn("off",
-      coalesce(sum(length(col("word")) + 1).over(wOff), lit(0)).cast("long"))
-    val sx = o.filter(length(col("text")) - col("off") >= 16)
-      .select(col("doc_id"), col("i"),
-        expr("substring(text, CAST(off AS INT) + 1, 64)").as("sfx"))
+    // suffix generation is per-doc — one kernel call replaces the
+    // explode → cumulative-offset window → substring chain; the
+    // neighbor LCP is one char-loop expression instead of the
+    // 49-step substring-compare fold (both r9, same values: the fold
+    // is monotone and in-bucket pairs always share the 16 prefix)
+    val sx = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.expressions.CurationExpressions.docSuffixes(
+          col("text"), width = 64, minRemain = 16)).as(Seq("i", "sfx")))
     val b = sx.withColumn("bucket", expr("substring(sfx, 1, 16)"))
     val c = b.withColumn("df", count(lit(1)).over(Window.partitionBy(col("bucket"))))
     val wB = Window.partitionBy(col("bucket"))
@@ -1661,10 +1653,9 @@ object CurationQueries {
       .withColumn("psfx", lag(col("sfx"), 1).over(wB))
       .withColumn("pdoc", lag(col("doc_id"), 1).over(wB))
     val l = k.select(col("bucket"), col("doc_id"), col("sfx"),
-      expr("""CASE WHEN psfx IS NOT NULL AND pdoc <> doc_id THEN
-        least(aggregate(sequence(16, 64), 16,
-          (acc, j) -> IF(substring(sfx, 1, j) = substring(psfx, 1, j), j, acc)),
-        length(sfx), length(psfx)) END""").as("lcp"))
+      when(col("psfx").isNotNull && col("pdoc") =!= col("doc_id"),
+        graft.expressions.CurationExpressions.commonPrefixLen(col("sfx"), col("psfx")))
+        .as("lcp"))
     val g = l.groupBy(col("bucket")).agg(
       count(lit(1)).cast("long").as("n_sfx"),
       countDistinct(col("doc_id")).cast("long").as("n_docs"),

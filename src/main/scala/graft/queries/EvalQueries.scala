@@ -2085,7 +2085,72 @@ object EvalQueries {
       .orderedSmall(col("g"))
   }
 
+  /** Ordered-logit (proportional-odds) score test (#416, McCullagh
+    * 1980): does language predict the ORDINAL length class of a
+    * document? The score test of β = 0 in the proportional-odds
+    * model with one binary covariate reduces EXACTLY to the
+    * tie-corrected Wilcoxon rank-sum statistic computed on the
+    * grouped ordinal scale (the classic identity the rank test's
+    * "efficiency" results come from) — so the whole test runs on the
+    * K=4 category count table: doubled midranks 2·cum−c+1 stay
+    * integer, the tie term Σ(c³−c) is an exact HUGEINT sum (ordinal
+    * data is ALL ties — the correction is the point), and z is one
+    * mirrored double. Complements Mann–Whitney (#212, continuous
+    * values) and Cochran–Armitage (#trend on binary outcomes).
+    */
+  val qOlogitScore = GateQuery.sql(
+    "q_ologit_score",
+    """WITH c0 AS (SELECT CASE WHEN n_chars < 200 THEN 1 WHEN n_chars < 400 THEN 2
+      |      WHEN n_chars < 800 THEN 3 ELSE 4 END AS cat,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS x
+      |  FROM documents),
+      |c AS (SELECT cat, CAST(count(*) AS BIGINT) AS c, CAST(sum(x) AS BIGINT) AS c1
+      |  FROM c0 GROUP BY cat),
+      |w AS (SELECT cat, c, c1,
+      |    CAST(2 * (sum(c) OVER (ORDER BY cat) - c) + c + 1 AS BIGINT) AS r2 FROM c),
+      |a AS (SELECT CAST(sum(c1 * r2) AS BIGINT) AS w2,
+      |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS nn,
+      |    CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tcube
+      |  FROM w)
+      |SELECT n1, nn - n1 AS n0, w2 AS w2_sum, n1 * (nn + 1) AS e2,
+      |  CAST(tcube AS BIGINT) AS tie_cube,
+      |  CASE WHEN nn > 1 AND n1 > 0 AND nn > n1
+      |      AND CAST(nn AS HUGEINT) * nn * nn - nn > tcube THEN
+      |    round(CAST(w2 - n1 * (nn + 1) AS DOUBLE) /
+      |      (2.0 * sqrt(CAST(n1 AS DOUBLE) * (nn - n1) / 12.0 / nn / (nn - 1)
+      |        * CAST(CAST(nn AS HUGEINT) * nn * nn - nn - tcube AS DOUBLE))), 4) + 0.0
+      |  END AS z_score
+      |FROM a""".stripMargin) { (s, d) =>
+    val c0 = Tables.documents(s, d).select(
+      when(col("n_chars") < 200, 1L).when(col("n_chars") < 400, 2L)
+        .when(col("n_chars") < 800, 3L).otherwise(4L).as("cat"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("x"))
+    val c = c0.groupBy(col("cat"))
+      .agg(count(lit(1)).cast("long").as("c"), sum(col("x")).cast("long").as("c1"))
+    // 4-row category table: the single-partition window is bounded by
+    // the ordinal DOMAIN, not the corpus
+    val w = c.withColumn("r2",
+      (lit(2L) * (sum(col("c")).over(Window.orderBy(col("cat"))) - col("c"))
+        + col("c") + 1).cast("long"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val a = w.agg(sum(col("c1") * col("r2")).cast("long").as("w2"),
+      sum(col("c1")).cast("long").as("n1"), sum(col("c")).cast("long").as("nn"),
+      sum(dec(col("c")) * col("c") * col("c") - col("c")).cast("decimal(38,0)").as("tcube"))
+    val nnn = dec(col("nn")) * col("nn") * col("nn") - col("nn")
+    a.select(col("n1"), (col("nn") - col("n1")).as("n0"), col("w2").as("w2_sum"),
+      (col("n1") * (col("nn") + 1)).as("e2"),
+      col("tcube").cast("long").as("tie_cube"),
+      when(col("nn") > 1 && col("n1") > 0 && col("nn") > col("n1") &&
+          nnn > col("tcube"),
+        round((col("w2") - col("n1") * (col("nn") + 1)).cast("double") /
+          (lit(2.0) * sqrt(col("n1").cast("double") * (col("nn") - col("n1"))
+            / lit(12.0) / col("nn") / (col("nn") - 1)
+            * (nnn - col("tcube")).cast("double"))), 4) + lit(0.0))
+        .as("z_score"))
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qOlogitScore,
     qConfusion, qBrier, qEce, qMurphy, qCohenKappa, qAnova, qMannWhitney, qPropTest,
     qMoments, qKruskalWallis, qJonckheere, qLepage, qSiegelTukey, qCronbach, qSplitHalf, qBlandAltman, qTwowayAnova, qCuped, qRatioDelta, qCochranArmitage, qIcc,
     qWilcoxon, qCucconi, qIvWald, qRdd, qOaxaca, qFairness, qBradleyTerry)

@@ -677,80 +677,45 @@ object StatsQueries {
       }.mkString(",\n")
       s"""WITH pairs AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         |e0 AS (SELECT 'c' || ck AS src, 's' || sk AS dst FROM pairs
-         |  UNION ALL SELECT 's' || sk, 'c' || ck FROM pairs),
+         |e0 AS (SELECT 2 * ck AS src, 2 * sk + 1 AS dst FROM pairs
+         |  UNION ALL SELECT 2 * sk + 1, 2 * ck FROM pairs),
          |deg AS (SELECT src AS node, count(*) AS outdeg FROM e0 GROUP BY 1),
          |nodes AS (SELECT node FROM deg),
          |cnt AS (SELECT count(*) AS n FROM nodes),
          |edges AS (SELECT e0.src, e0.dst, d.outdeg FROM e0 JOIN deg d ON e0.src = d.node),
          |r0 AS (SELECT node, $PrUnit // (SELECT n FROM cnt) AS r FROM nodes),
          |$iterCtes,
-         |nat AS (SELECT 'c' || c_custkey AS node, c_nationkey AS nationkey,
+         |nat AS (SELECT 2 * c_custkey AS node, c_nationkey AS nationkey,
          |    'customer' AS role FROM customer
-         |  UNION ALL SELECT 's' || s_suppkey, s_nationkey, 'supplier' FROM supplier)
+         |  UNION ALL SELECT 2 * s_suppkey + 1, s_nationkey, 'supplier' FROM supplier)
          |SELECT nat.nationkey, nat.role, count(*) AS n_nodes,
          |  CAST(sum(r.r) AS BIGINT) AS rank_pico
          |FROM r$PrIters r JOIN nat ON r.node = nat.node
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }) { (s, d) =>
+    // integer node encoding (customers even, suppliers odd — the
+    // q_bfs_hops convention) and the shared exact-integer PageRank
+    // operator: under the driver edge bound the five rounds run in
+    // primitive arrays off one fused collect; the distributed
+    // 2-shuffle loop is unchanged as the 100 TB path
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
-    val e0 = pairs.select(concat(lit("c"), col("ck")).as("src"),
-        concat(lit("s"), col("sk")).as("dst"))
-      .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),
-        concat(lit("c"), col("ck")).as("dst")))
-    val deg = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    // Pin hash(src) into the cached blocks (the join output is already
-    // src-clustered, but AQE's coalescer can rewrite it): each of the 5
-    // rank⋈edges joins then exchanges only the node-sized rank side,
-    // never the edge relation — on a cluster this is Layout.writeBucketed
-    // on src, done once.
-    val edges = e0.join(deg.withColumnRenamed("node", "src"), "src")
-      .repartition(col("src"))
-      .persist() // reused by all 5 iterations; freed after the action
-    val nodes = deg.select(col("node")).persist()
-    val nCnt = nodes.agg(count(lit(1)).as("n"))
-    // teleport share is a scalar — computed once in the driver (one
-    // job over the persisted node relation, same as DuckDB's (SELECT
-    // n FROM cnt) scalar subquery)
-    val n = nCnt.head().getLong(0)
-    val teleport = (15L * PrUnit) / (100L * n) // exact: all positive longs
-    var r = nodes.select(col("node"), lit(PrUnit / n).as("r"))
-    for (_ <- 1 to PrIters) {
-      val contrib = edges.join(r, edges("src") === r("node"))
-        .select(col("dst").as("node"),
-          Binning.floorDivCol(col("r"), col("outdeg")).as("c"))
-        .groupBy(col("node"))
-        .agg(Exact.sumUnits(col("c")).cast("long").as("in_sum"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            Binning.floorDivCol(lit(PrDampNum) * coalesce(col("in_sum"), lit(0L)),
-              lit(100L))).as("r"))
-    }
+    val e0 = pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    val r = graft.operators.Graphs.pageRankPico(e0, PrIters, PrUnit, PrDampNum)
     val cust = Tables.customer(s, d).select(
-      concat(lit("c"), col("c_custkey")).as("node"),
+      (col("c_custkey") * 2).as("node"),
       col("c_nationkey").as("nationkey"), lit("customer").as("role"))
     val supp = Tables.supplier(s, d).select(
-      concat(lit("s"), col("s_suppkey")).as("node"),
+      (col("s_suppkey") * 2 + 1).as("node"),
       col("s_nationkey").as("nationkey"), lit("supplier").as("role"))
-    val out = r.join(cust.unionAll(supp), "node")
+    r.join(cust.unionAll(supp), "node")
       .groupBy(col("nationkey"), col("role"))
       .agg(count(lit(1)).as("n_nodes"),
         Exact.sumUnits(col("r")).cast("long").as("rank_pico"))
       .orderedSmall(col("nationkey"), col("role"))
-    // the cached result must outlive the edge/node unpersists (a
-    // recompute after they drop would re-run all 5 iterations);
-    // Verify/Bench drop every leftover persisted block between
-    // queries, the harness-owned lifecycle shared by the CTE-
-    // materializing curation gates
-    val materialized = out.cache()
-    materialized.count() // force before unpersisting the edge relation
-    edges.unpersist()
-    nodes.unpersist()
-    materialized
   }
 
   /** Gini concentration index (#185): how concentrated is spend
@@ -1847,8 +1812,12 @@ object StatsQueries {
        |SELECT doc_id, n_shingles, n_novel,
        |  (n_novel * 1000000 // n_shingles) AS novelty_ppm
        |FROM j ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // native portable-md5 kernel — value-identical to the
+    // TextOps.shingles HOF whose interpreted md5/conv lambda chain
+    // dominated this gate's scan
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("h"))
+      .select(col("doc_id"),
+        explode(graft.expressions.TextExpressions.shingleKeys(col("text"), 3)).as("h"))
     // first-holder via ONE shingle-keyed window (not agg + join-back):
     // the shingle relation is scanned once and shuffled once, then
     // reduces doc-keyed — two shuffles total where the join shape
@@ -3873,7 +3842,202 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
+  /** Hodges–Lehmann pseudo-median (#414, Hodges & Lehmann 1963): per
+    * event type, the median of all Walsh averages (yᵢ+yⱼ)/2 over
+    * i ≤ j of the HOURLY totals — the robust one-sample location
+    * estimator tied to the signed-rank test the way the sample
+    * median is tied to the sign test (≈0.96 efficiency at the
+    * normal, 29% breakdown). Pairs self-join the calendar-bounded
+    * hourly grid (the Theil–Sen #234 bound — hours², never event
+    * count; broadcast build side); the doubled Walsh value y₁+y₂
+    * stays an exact integer (no halving until the very last floor),
+    * and the lower median lands via one rank window with a (g1, g2)
+    * tie pin.
+    */
+  val qHodgesLehmann = GateQuery.sql(
+    "q_hodges_lehmann",
+    s"""WITH g AS (SELECT event_type, xs // 3600 AS grid,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1, 2),
+       |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(count(*) * (count(*) + 1) // 2 AS BIGINT) AS n_pairs
+       |  FROM g GROUP BY 1),
+       |p AS (SELECT a.event_type AS event_type, a.grid AS g1, b.grid AS g2,
+       |    a.y + b.y AS w2
+       |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.grid <= b.grid),
+       |r AS (SELECT p.event_type AS event_type, nt.m, nt.n_pairs, w2,
+       |    CAST(row_number() OVER (PARTITION BY p.event_type
+       |      ORDER BY w2, g1, g2) AS BIGINT) AS rk
+       |  FROM p JOIN nt USING (event_type))
+       |SELECT event_type, m AS n_hours, n_pairs,
+       |  CAST(w2 AS BIGINT) AS hl2_cents, CAST(w2 // 2 AS BIGINT) AS hl_cents
+       |FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = ev(s, d)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val a = g.select(col("event_type"), col("grid").as("g1"), col("y").as("y1"))
+    val b = g.select(col("event_type"), col("grid").as("g2"), col("y").as("y2"))
+    // calendar-bounded build side — broadcast for the same reason as
+    // q_theil_sen (the aggregate's size estimate defeats auto-bcast)
+    val p = a.join(broadcast(b), Seq("event_type")).filter(col("g1") <= col("g2"))
+      .select(col("event_type"), col("g1"), col("g2"),
+        (col("y1") + col("y2")).as("w2"))
+    val nt = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("cnt").cast("long").as("m"),
+        Binning.floorDivCol(col("cnt") * (col("cnt") + 1), lit(2L)).as("n_pairs"))
+    val r = p.join(broadcast(nt), "event_type")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("w2"), col("g1"), col("g2"))).cast("long"))
+    r.filter(col("rk") === Binning.floorDivCol(col("n_pairs") + 1, lit(2L)))
+      .select(col("event_type"), col("m").as("n_hours"), col("n_pairs"),
+        col("w2").cast("long").as("hl2_cents"),
+        Binning.floorDivCol(col("w2"), lit(2L)).as("hl_cents"))
+      .orderedSmall(col("event_type"))
+  }
+
+  /** Cox proportional hazards (#415, Cox 1972; Breslow ties): do
+    * click-heavy users convert to a big purchase (≥ $90) faster?
+    * Time axis = days from a user's first event to their first big
+    * purchase, right-censored at the last event for users who never
+    * convert; the one binary covariate x = "more clicks than views"
+    * keeps every risk-set quantity a pair of integer counts, so TWO
+    * Newton steps on the Breslow partial likelihood run as exact
+    * integer arithmetic over the day-grid risk sets: at β=0 the
+    * score U₀ = Σ_t (dxₜ − dₜ·n1ₜ/nₜ) and information I₀ are
+    * micro-floored per-term integer sums (the partial-likelihood
+    * SCORE TEST statistic U₀²/I₀ falls out for free); step two
+    * re-evaluates with the single scalar w = ⌊e^β₁·10⁶⌋ (one libm
+    * call mirrored on both engines — the microLn convention), all
+    * denominators exact HUGEINT/decimal. Day-grid risk sets come
+    * from ONE descending cumulative window — never a per-user scan.
+    */
+  val qCoxPh = GateQuery.sql(
+    "q_cox_ph", {
+      val M = "1000000"
+      def sfloor(x: String, y: String) =
+        s"((($x) - (((($x) % ($y)) + ($y)) % ($y))) // ($y))"
+      s"""WITH f AS (SELECT user_id, min(xs) AS fx, max(xs) AS lx,
+         |    min(CASE WHEN event_type = 'purchase' AND ${centsSql("vd")} >= 9000
+         |      THEN xs END) AS px,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nclick,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nview
+         |  FROM $E e GROUP BY user_id),
+         |u AS (SELECT user_id, (coalesce(px, lx) - fx) // 86400 AS lt,
+         |    CASE WHEN px IS NULL THEN 1 ELSE 0 END AS censored,
+         |    CASE WHEN nclick > nview THEN 1 ELSE 0 END AS x
+         |  FROM f),
+         |t AS (SELECT lt, CAST(sum(1 - censored) AS BIGINT) AS d,
+         |    CAST(sum((1 - censored) * x) AS BIGINT) AS dx,
+         |    CAST(count(*) AS BIGINT) AS n_at, CAST(sum(x) AS BIGINT) AS n_at1
+         |  FROM u GROUP BY lt),
+         |r AS (SELECT *,
+         |    CAST(sum(n_at) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nr,
+         |    CAST(sum(n_at1) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+         |  FROM t),
+         |s0 AS (SELECT
+         |    CAST(sum(dx * $M - (d * n1 * $M) // nr) AS BIGINT) AS u0,
+         |    CAST(sum((CAST(d AS HUGEINT) * (nr - n1) * n1 * $M)
+         |      // (CAST(nr AS HUGEINT) * nr)) AS BIGINT) AS i0,
+         |    CAST(sum(d) AS BIGINT) AS n_deaths
+         |  FROM r WHERE d > 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(x) AS BIGINT) AS n1_users FROM u),
+         |b1 AS (SELECT *, CASE WHEN i0 > 0 THEN
+         |    CAST(${sfloor(s"CAST(u0 AS HUGEINT) * $M", "CAST(i0 AS HUGEINT)")} AS BIGINT)
+         |  END AS b1m FROM s0),
+         |w1 AS (SELECT *, CAST(floor(exp(CAST(b1m AS DOUBLE) / $M.0) * $M) AS BIGINT) AS w
+         |  FROM b1),
+         |s1 AS (SELECT w1.b1m AS b1m, w1.w AS w, w1.u0 AS u0, w1.i0 AS i0,
+         |    w1.n_deaths AS n_deaths,
+         |    CAST(sum(dx * $M - (CAST(d AS HUGEINT) * n1 * w1.w * $M)
+         |      // (CAST(nr - n1 AS HUGEINT) * $M + CAST(n1 AS HUGEINT) * w1.w)) AS BIGINT) AS u1,
+         |    CAST(sum((CAST(d AS HUGEINT) * n1 * w1.w
+         |        * ((CAST(nr - n1 AS HUGEINT) * $M + CAST(n1 AS HUGEINT) * w1.w)
+         |           - CAST(n1 AS HUGEINT) * w1.w) * $M)
+         |      // ((CAST(nr - n1 AS HUGEINT) * $M + CAST(n1 AS HUGEINT) * w1.w)
+         |          * (CAST(nr - n1 AS HUGEINT) * $M + CAST(n1 AS HUGEINT) * w1.w))) AS BIGINT) AS i1
+         |  FROM r, w1 WHERE d > 0 GROUP BY 1, 2, 3, 4, 5)
+         |SELECT nn.n_users, nn.n1_users, s1.n_deaths, s1.u0 AS u0_micro,
+         |  s1.i0 AS i0_micro, s1.b1m AS beta1_micro,
+         |  CASE WHEN s1.i1 > 0 THEN CAST(s1.b1m +
+         |    ${sfloor(s"CAST(s1.u1 AS HUGEINT) * $M", "CAST(s1.i1 AS HUGEINT)")} AS BIGINT)
+         |  END AS beta2_micro
+         |FROM s1, nn""".stripMargin
+    }) { (s, d) =>
+    val M = 1000000L
+    val e = ev(s, d)
+    // lifetime, censor flag and covariate from ONE user-keyed
+    // aggregate (min ignores nulls, so px is the first big purchase
+    // or null = censored)
+    val u = e.groupBy(col("user_id"))
+      .agg(min(col("xs")).as("fx"), max(col("xs")).as("lx"),
+        min(when(col("event_type") === "purchase" &&
+          Exact.cents(col("vd")) >= 9000L, col("xs"))).as("px"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nclick"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nview"))
+      .select(
+        Binning.floorDiv(coalesce(col("px"), col("lx")) - col("fx"), 86400L).as("lt"),
+        when(col("px").isNull, 1L).otherwise(0L).as("censored"),
+        when(col("nclick") > col("nview"), 1L).otherwise(0L).as("x"))
+    val t = u.groupBy(col("lt"))
+      .agg(Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d"),
+        Exact.sumUnits((lit(1L) - col("censored")) * col("x")).cast("long").as("dx"),
+        count(lit(1)).cast("long").as("n_at"),
+        Exact.sumUnits(col("x")).cast("long").as("n_at1"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t
+      .withColumn("nr", sum(col("n_at")).over(wDesc).cast("long"))
+      .withColumn("n1", sum(col("n_at1")).over(wDesc).cast("long"))
+      .filter(col("d") > 0)
+      .persist() // read by both Newton steps; freed by the harness
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val s0 = r.agg(
+      sum(col("dx") * lit(M) -
+        Binning.floorDivCol(col("d") * col("n1") * lit(M), col("nr"))).cast("long").as("u0"),
+      sum(floorDivBig(dec(col("d")) * (col("nr") - col("n1")) * col("n1") * lit(M),
+        dec(col("nr")) * col("nr")).cast("long")).cast("long").as("i0"),
+      sum(col("d")).cast("long").as("n_deaths"))
+    val nn = u.agg(count(lit(1)).cast("long").as("n_users"),
+      Exact.sumUnits(col("x")).cast("long").as("n1_users"))
+    // β₁ and the micro-floored e^β₁ are SCALARS — driver arithmetic
+    // (the model-state convention); the risk-set relation is tiny
+    // (distinct lifetimes), so the two Newton passes are two cheap
+    // aggregates over the persisted day grid
+    def sfloorBig(x: BigInt, y: BigInt): Long = {
+      val (q, rm) = x /% y
+      (if (rm.signum < 0) q - 1 else q).toLong // y > 0
+    }
+    val s0row = s0.head()
+    val (u0, i0, nDeaths) = (s0row.getLong(0), s0row.getLong(1), s0row.getLong(2))
+    val (beta1, beta2): (Option[Long], Option[Long]) =
+      if (i0 > 0) {
+        val b1m = sfloorBig(BigInt(u0) * M, BigInt(i0))
+        val w = math.floor(math.exp(b1m.toDouble / 1e6) * 1e6).toLong
+        val den = dec(col("nr") - col("n1")) * M + dec(col("n1")) * w
+        val s1 = r.agg(
+          sum(col("dx") * M -
+            floorDivBig(dec(col("d")) * col("n1") * w * M, den).cast("long"))
+            .cast("long").as("u1"),
+          sum(floorDivBig(
+            dec(col("d")) * col("n1") * w * (den - dec(col("n1")) * w) * M,
+            den * den).cast("long")).cast("long").as("i1"))
+        val s1row = s1.head()
+        val (u1, i1) = (s1row.getLong(0), s1row.getLong(1))
+        (Some(b1m),
+          if (i1 > 0) Some(b1m + sfloorBig(BigInt(u1) * M, BigInt(i1))) else None)
+      } else (None, None)
+    r.unpersist()
+    def optLit(v: Option[Long]) =
+      v.map(lit(_).cast("long")).getOrElse(lit(null).cast("long"))
+    nn.select(col("n_users"), col("n1_users"),
+      lit(nDeaths).as("n_deaths"), lit(u0).as("u0_micro"), lit(i0).as("i0_micro"),
+      optLit(beta1).as("beta1_micro"), optLit(beta2).as("beta2_micro"))
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qHodgesLehmann, qCoxPh,
     qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,

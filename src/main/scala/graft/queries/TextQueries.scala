@@ -297,6 +297,11 @@ object TextQueries {
          |FROM a ORDER BY source""".stripMargin
     }) { (s, d) =>
     val letters = ('a' to 'z').toSeq
+    // NOTE (r9): measured AGAINST replacing this with a one-pass
+    // letter-count kernel (both element_at-sums and posexplode
+    // fan-out shapes) — the docs are short enough that 26 codegen'd
+    // replace projections inside one whole-stage span beat both
+    // (0.55 s vs 0.68/0.80 s at sf0.1); the gate is aggregate-bound
     val t = Tables.documents(s, d).select(
       col("source") +: letters.map(c =>
         (length(col("text")) - length(expr(s"replace(text, '$c', '')")))
@@ -2024,26 +2029,11 @@ object TextQueries {
       .filter(col("w1") =!= col("w2"))
     val e0 = bi.select(col("w1").as("src"), col("w2").as("dst"))
       .union(bi.select(col("w2").as("src"), col("w1").as("dst"))).distinct()
-    val deg = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val edges = e0.join(deg.withColumnRenamed("node", "src"), "src")
-      .repartition(col("src")).persist()
-    val nodes = deg.select(col("node")).persist()
-    val n = nodes.count()
-    val teleport = (15L * unit) / (100L * n)
-    var r = nodes.select(col("node"), lit(unit / n).as("r"))
-    for (_ <- 1 to 5) {
-      val contrib = edges.join(r, edges("src") === r("node"))
-        .select(col("dst").as("node"),
-          Binning.floorDivCol(col("r"), col("outdeg")).as("c"))
-        .groupBy(col("node"))
-        .agg(Exact.sumUnits(col("c")).cast("long").as("in_sum"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            Binning.floorDivCol(lit(85L) * coalesce(col("in_sum"), lit(0L)),
-              lit(100L))).as("r"))
-    }
-    r.select(col("node").as("word"), col("r").cast("long").as("rank_pico"))
+    // shared exact-integer PageRank operator (driver fast path under
+    // the edge bound, distributed 2-shuffle loop past it — see
+    // Graphs.pageRankPico); the word graph is vocab-bounded
+    graft.operators.Graphs.pageRankPico(e0, iters = 5, unit = unit, dampNum = 85L)
+      .select(col("node").as("word"), col("r").cast("long").as("rank_pico"))
       .orderBy(col("rank_pico").desc, col("word"))
       .limit(20)
   }
@@ -2085,27 +2075,31 @@ object TextQueries {
       |    CAST(max(score) AS BIGINT) AS score_micro FROM sc GROUP BY 1)
       |SELECT phrase, n, score_micro FROM ag
       |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "word")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"), col("word"))
-    val sw = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("word")).limit(5).select(col("word"))
-    val ns = tok.join(broadcast(sw), Seq("word"), "left_anti")
-      .withColumn("seg", (col("i") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("i")))).cast("long"))
-    val pl = ns.withColumn("plen",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("seg"))))
-    val pw = pl.filter(col("plen") <= 4)
+    // the r8 plan ran TWO windows (gaps-and-islands + phrase length)
+    // over the full exploded token relation plus a token-level
+    // anti-join — but once the 5-word stop set is known, phrase
+    // segmentation is per-DOC: one kernel expression emits each doc's
+    // capped phrases directly, and only phrase-level rows shuffle
+    val docs = Tables.documents(s, d)
+    val sw = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val phr = docs.select(col("doc_id"),
+        posexplode(graft.expressions.CurationExpressions.rakePhrases(
+          col("text"), sw, maxLen = 4)).as(Seq("pi", "phrase")))
+      .withColumn("ws", split(col("phrase"), " "))
+      .withColumn("plen", size(col("ws")).cast("long"))
+    val pw = phr.select(col("doc_id"), col("pi"), col("phrase"), col("plen"),
+      explode(col("ws")).as("word"))
     val wsC = pw.groupBy(col("word")).agg(
       count(lit(1)).cast("long").as("freq"),
       sum(col("plen")).cast("long").as("deg"))
     val sc = pw.join(wsC, "word")
-      .groupBy(col("doc_id"), col("seg"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("word")))),
-          x => x.getField("word")), " ").as("phrase"),
-        sum(Binning.floorDivCol(col("deg") * lit(1000000L), col("freq")))
-          .cast("long").as("score"))
+      .groupBy(col("doc_id"), col("pi"), col("phrase"))
+      .agg(sum(Binning.floorDivCol(col("deg") * lit(1000000L), col("freq")))
+        .cast("long").as("score"))
     sc.groupBy(col("phrase")).agg(count(lit(1)).cast("long").as("n"),
         max(col("score")).cast("long").as("score_micro"))
       .orderBy(col("score_micro").desc, col("phrase"))

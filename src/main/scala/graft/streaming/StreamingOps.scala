@@ -1006,6 +1006,55 @@ object StreamingOps {
       }
   }
 
+  final case class BenfordPoint(ts: Timestamp, key: Long, v: Long)
+  final case class BenfordOut(key: Long, n: Long, l1_ppm: Long,
+                              max_dev_ppm: Long, top_digit: Int)
+
+  /** Streaming Benford first-digit monitor (#417) — the live
+    * fabricated-data / unit-mixup screen: per key, running counts of
+    * the leading digit of every positive reading vs Benford's law
+    * shares log₁₀(1+1/d) (Newcomb 1881; Benford 1938 — the standard
+    * forensic-accounting and data-glitch signal: organically-grown
+    * magnitudes follow it, fabricated or truncated feeds don't).
+    * State per key is NINE longs — O(1) at any stream length, no
+    * watermark needed. The expected shares are driver-precomputed
+    * micro literals; deviations are exact integer ppm floors, so
+    * stream == batch replay bit-for-bit. Emits the L1 distance, the
+    * worst single-digit deviation and the modal digit per update.
+    */
+  def benfordStream(points: Dataset[BenfordPoint]): Dataset[BenfordOut] = {
+    import points.sparkSession.implicits._
+    val expected = (1 to 9).map(dd =>
+      math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong).toArray
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[Long], BenfordOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[BenfordPoint], state: GroupState[Seq[Long]]) =>
+          val counts = state.getOption.map(_.toArray).getOrElse(new Array[Long](9))
+          rows.foreach { p =>
+            var v = p.v
+            if (v > 0) { while (v >= 10) v /= 10; counts(v.toInt - 1) += 1 }
+          }
+          state.update(counts.toSeq)
+          val n = counts.sum
+          if (n == 0) Iterator.empty
+          else {
+            var l1 = 0L
+            var mx = 0L
+            var top = 1
+            var i = 0
+            while (i < 9) {
+              val dev = math.abs(counts(i) * 1000000L / n - expected(i))
+              l1 += dev
+              if (dev > mx) mx = dev
+              if (counts(i) > counts(top - 1)) top = i + 1
+              i += 1
+            }
+            Iterator.single(BenfordOut(key, n, l1, mx, top))
+          }
+      }
+  }
+
   final case class ChurnEvent(ts: Timestamp, user: Long, spend: Long)
   final case class ChurnState(day: Long, users: Map[Long, Long], prevTop: Seq[Long])
   final case class ChurnOut(day: Long, n_top: Long, rbo_ppm: Long)

@@ -206,6 +206,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("benford monitor: digit counts accumulate, deviations exact") {
+    import StreamingOps.{BenfordPoint, BenfordOut}
+    implicit val ctx = spark.sqlContext
+    val exp = (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    val input = MemoryStream[BenfordPoint]
+    val mon = StreamingOps.benfordStream(input.toDS())
+    val q = mon.writeStream.format("memory").queryName("benmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: digits 1,1,9 (19 -> 1, 123 -> 1, 900 -> 9); 0 ignored
+      input.addData(BenfordPoint(ts(1), 7L, 19L), BenfordPoint(ts(2), 7L, 123L),
+        BenfordPoint(ts(3), 7L, 900L), BenfordPoint(ts(4), 7L, 0L))
+      q.processAllAvailable()
+      // batch 2 (state carries): digit 2 -> counts 2,1,0,...,1 over n=4
+      input.addData(BenfordPoint(ts(5), 7L, 25L))
+      q.processAllAvailable()
+      val rows = spark.table("benmon").as[BenfordOut].collect()
+        .map(o => o.n -> o).toMap
+      val c1 = Array(2L, 0, 0, 0, 0, 0, 0, 0, 1)
+      val d1 = c1.zipWithIndex.map { case (c, i) => math.abs(c * 1000000L / 3 - exp(i)) }
+      assert(rows(3L).l1_ppm == d1.sum && rows(3L).max_dev_ppm == d1.max &&
+        rows(3L).top_digit == 1)
+      val c2 = Array(2L, 1, 0, 0, 0, 0, 0, 0, 1)
+      val d2 = c2.zipWithIndex.map { case (c, i) => math.abs(c * 1000000L / 4 - exp(i)) }
+      assert(rows(4L).l1_ppm == d2.sum && rows(4L).max_dev_ppm == d2.max &&
+        rows(4L).top_digit == 1)
+    } finally q.stop()
+  }
+
   test("hhi monitor: concentration updates across batches, state carries counts") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[StreamingOps.HhiDoc]
