@@ -42,7 +42,29 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       t
     }
+    // SPARK_GRAFT_JOBS=true — dev-only scheduled-job counter per query
+    // (the r8 verdict's "job-count, not wall-clock, is the signal" for
+    // the orchestration-bound gates): prints name=N lines to stderr.
+    val jobCounter =
+      if (sys.env.get("SPARK_GRAFT_JOBS").contains("true")) {
+        val c = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              c.incrementAndGet()
+          })
+        Some(c)
+      } else None
     queries.foreach { case (_, fn) => runOnce(fn) } // warm-up pass
+    jobCounter.foreach { c =>
+      // measured pass: one timed run per query with the job delta
+      queries.foreach { case (name, fn) =>
+        val before = c.get()
+        runOnce(fn)
+        System.err.println(s"[jobs] $name=${c.get() - before}")
+      }
+    }
     val results = queries.map { case (name, fn) =>
       // reclaim the previous query's broadcast/shuffle refs so its GC
       // debt doesn't bill the next query (ContextCleaner is GC-driven)

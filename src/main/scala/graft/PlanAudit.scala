@@ -98,7 +98,9 @@ object PlanAudit {
     "q_iv_wald", "q_rdd", "q_oaxaca", "q_truncation_loss",
     "q_median_test", "q_breusch_pagan", "q_chow", "q_concurrency",
     "q_woe_iv", "q_fairness", "q_dickey_fuller", "q_granger",
-    "q_theil_u2", "q_bradley_terry", "q_nemenyi")
+    "q_theil_u2", "q_bradley_terry", "q_nemenyi",
+    // round-9: survival/robust-location/ordinal additions
+    "q_hodges_lehmann", "q_cox_ph", "q_ologit_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1581,30 +1581,34 @@ object EvalQueries {
   val qBradleyTerry = GateQuery.sql(
     "q_bradley_terry", {
       val rounds = (1 to 5).map { r =>
-        s"""t$r AS (SELECT nn.i AS p,
+        s"""t$r AS MATERIALIZED (SELECT nn.i AS p,
            |    CAST(sum((CAST(nn.n AS HUGEINT) * 1000000000000)
            |      // (pi.r + pj.r)) AS HUGEINT) AS t
            |  FROM nn JOIN p${r - 1} pi ON nn.i = pi.p
            |    JOIN p${r - 1} pj ON nn.j = pj.p GROUP BY 1),
-           |u$r AS (SELECT wi.i AS p,
+           |u$r AS MATERIALIZED (SELECT wi.i AS p,
            |    (CAST(wi.wins AS HUGEINT) * 1000000000000) // t$r.t AS r
            |  FROM wi JOIN t$r ON wi.i = t$r.p),
-           |s$r AS (SELECT CAST(sum(r) AS HUGEINT) AS s,
+           |s$r AS MATERIALIZED (SELECT CAST(sum(r) AS HUGEINT) AS s,
            |    CAST(count(*) AS HUGEINT) AS k FROM u$r),
-           |p$r AS (SELECT p, (r * k * 1000000) // s AS r FROM u$r, s$r)"""
+           |p$r AS MATERIALIZED (SELECT p, (r * k * 1000000) // s AS r FROM u$r, s$r)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH g AS (SELECT event_type AS p, xs // 3600 AS grid,
+      // AS MATERIALIZED throughout: the rounds reference each CTE
+      // 2-4x, and DuckDB's default inlining re-evaluates the whole
+      // upstream chain per reference - measured 514 s for a query
+      // whose materialized form runs in milliseconds (r9 baseline)
+      s"""WITH g AS MATERIALIZED (SELECT event_type AS p, xs // 3600 AS grid,
          |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
          |  FROM $E e GROUP BY 1, 2),
-         |pr AS (SELECT a.p AS i, b.p AS j,
+         |pr AS MATERIALIZED (SELECT a.p AS i, b.p AS j,
          |    CAST(count(CASE WHEN a.y > b.y THEN 1 END) + 1 AS BIGINT) AS w
          |  FROM g a JOIN g b ON a.grid = b.grid AND a.p <> b.p GROUP BY 1, 2),
-         |nn AS (SELECT x.i, x.j, x.w, x.w + y.w AS n
+         |nn AS MATERIALIZED (SELECT x.i, x.j, x.w, x.w + y.w AS n
          |  FROM pr x JOIN pr y ON x.i = y.j AND x.j = y.i),
-         |wi AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+         |wi AS MATERIALIZED (SELECT i, CAST(sum(w) AS BIGINT) AS wins,
          |    CAST(sum(n) AS BIGINT) AS n_games FROM nn GROUP BY 1),
-         |p0 AS (SELECT i AS p, CAST(1000000 AS HUGEINT) AS r FROM wi),
+         |p0 AS MATERIALIZED (SELECT i AS p, CAST(1000000 AS HUGEINT) AS r FROM wi),
          |$rounds
          |SELECT wi.i AS player, wi.wins, wi.n_games,
          |  CAST(p5.r AS BIGINT) AS rating_micro
