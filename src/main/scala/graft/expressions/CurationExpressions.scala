@@ -60,13 +60,30 @@ case class DocSuffixesExpr(child: Expression, width: Int, minRemain: Int)
     val text = input.asInstanceOf[UTF8String].toString
     val n = text.length
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    // width/minRemain count CODE POINTS (the oracle's substring
+    // semantics, r9 ADVICE); surrogate-free text (the common case)
+    // takes the char==code-point fast path
+    var hasSupp = false
+    var k = 0
+    while (!hasSupp && k < n) { if (Character.isHighSurrogate(text.charAt(k))) hasSupp = true; k += 1 }
     var off = 0
+    var cpBefore = 0 // code points in text(0, off) — maintained incrementally
+    val cpTotal = if (hasSupp) text.codePointCount(0, n) else n
     var done = false
     while (!done && off <= n) {
-      if (n - off >= minRemain)
-        out += UTF8String.fromString(text.substring(off, math.min(off + width, n)))
+      val remain = cpTotal - cpBefore
+      if (remain >= minRemain) {
+        val end =
+          if (hasSupp) text.offsetByCodePoints(off, math.min(width, remain))
+          else math.min(off + width, n)
+        out += UTF8String.fromString(text.substring(off, end))
+      }
       val sp = text.indexOf(' ', off)
-      if (sp < 0) done = true else off = sp + 1
+      if (sp < 0) done = true
+      else {
+        cpBefore += (if (hasSupp) text.codePointCount(off, sp + 1) else sp + 1 - off)
+        off = sp + 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
@@ -78,31 +95,34 @@ case class CommonPrefixLenExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  /** Public bridge for the generated code (KernelCodegen convention). */
+  def kernelEval(a: Any, b: Any): Any = nullSafeEval(a, b)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[UTF8String].toString
     val y = b.asInstanceOf[UTF8String].toString
     val n = math.min(x.length, y.length)
+    // compare and count CODE POINTS, not UTF-16 chars (oracle parity
+    // on supplementary-plane text, r9 ADVICE): a surrogate pair whose
+    // high half matches but low half differs is a DIFFERENT code
+    // point and must not extend the prefix
     var i = 0
-    while (i < n && x.charAt(i) == y.charAt(i)) i += 1
-    i.toLong
+    var cp = 0L
+    var stop = false
+    while (!stop && i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) stop = true
+      else { i += Character.charCount(cx); cp += 1L }
+    }
+    cp
   }
   protected override def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xs = ctx.freshName("xs")
-      val ys = ctx.freshName("ys")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      s"""
-         |String $xs = $a.toString();
-         |String $ys = $b.toString();
-         |int $n = java.lang.Math.min($xs.length(), $ys.length());
-         |int $i = 0;
-         |while ($i < $n && $xs.charAt($i) == $ys.charAt($i)) { $i++; }
-         |${ev.value} = (long) $i;
-       """.stripMargin
+      val ref = ctx.addReferenceObj("kernel", this)
+      s"${ev.value} = ((Long) $ref.kernelEval($a, $b)).longValue();"
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : CommonPrefixLenExpr = copy(left = l, right = r)

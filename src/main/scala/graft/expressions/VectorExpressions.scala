@@ -34,6 +34,62 @@ object VectorExpressions {
   def nearestCellScore(q: Column, cents: Array[Array[Long]]): Column =
     GraftColumnBridge.column(
       NearestCellScoreExpr(GraftColumnBridge.expression(q), cents))
+  def centroidAB(q: Column, label: Column,
+                 cents: Array[Array[Long]], labels: Array[Long]): Column =
+    GraftColumnBridge.column(CentroidABExpr(
+      GraftColumnBridge.expression(q), GraftColumnBridge.expression(label),
+      cents, labels))
+}
+
+/** `[a, b]` of the simplified silhouette per row: a = exact integer
+  * squared distance ‖x−μ_own‖² to the row's OWN label centroid, b =
+  * the min over OTHER label centroids — one pass over the k·dims
+  * driver-state codebook (labels aligned with cents), so the whole
+  * ×k fan-out + per-vector min collapses into a single zero-shuffle
+  * projection. A row whose label has no other centroid (k = 1)
+  * returns b = a (s = 0, the same value the NULL-b SQL branch pins).
+  */
+case class CentroidABExpr(left: Expression, right: Expression,
+                          cents: Array[Array[Long]], labels: Array[Long])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val norms: Array[Long] =
+    cents.map(c => c.map(x => x * x).sum)
+  /** Public bridge for the generated code (KernelCodegen convention). */
+  def kernelEval(a: Any, b: Any): Any = nullSafeEval(a, b)
+  protected override def nullSafeEval(qIn: Any, labelIn: Any): Any = {
+    val q = qIn.asInstanceOf[ArrayData]
+    val label = labelIn.asInstanceOf[Long]
+    val ne = q.numElements()
+    var qq = 0L
+    var i = 0
+    while (i < ne) { val x = q.getLong(i); qq += x * x; i += 1 }
+    var a = 0L
+    var b = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(cent.length, ne)
+      var dot = 0L
+      var j = 0
+      while (j < m) { dot += q.getLong(j) * cent(j); j += 1 }
+      val d = qq + norms(c) - 2L * dot
+      if (labels(c) == label) a = d
+      else if (b < 0L || d < b) b = d
+      c += 1
+    }
+    if (b < 0L) b = a
+    new GenericArrayData(Array[Any](a, b))
+  }
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("kernel", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.kernelEval($a, java.lang.Long.valueOf($b));"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidABExpr =
+    copy(left = l, right = r)
 }
 
 /** `[cell, ‖x−c‖²]` of the nearest centroid in ONE pass — the cell

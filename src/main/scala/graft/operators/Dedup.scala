@@ -137,7 +137,11 @@ object Dedup {
     // dedupes (source, h) in its map-side partials, so the corpus
     // shuffles once and carries source-domain-bounded sets; per-source
     // distinct counts fall out of the same grouped relation (persisted
-    // — it feeds both m and the pair fan-out)
+    // — it feeds both m and the pair fan-out). Lifecycle is
+    // HARNESS-OWNED, as for pageRankPico: the returned plan is lazy,
+    // so the blocks can only be freed after the caller's action —
+    // Bench/Verify sweep all persistent RDDs post-action; a long-lived
+    // session embedding this operator must do the same (r9 ADVICE).
     val hs = docs.select(source.as("source"),
         explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
       .groupBy(col("h"))

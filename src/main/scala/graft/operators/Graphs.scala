@@ -392,7 +392,10 @@ object Graphs {
         // stack and the accumulated logical plan grows superlinearly
         // across ks (measured: explainString OOM on a 3-k chain)
         val pruned = core.localCheckpoint(true)
-        core.unpersist()
+        // kCore may return its input unchanged (nothing peeled) —
+        // unpersisting it then would silently evict the CALLER's
+        // persisted edges mid-loop (r9 ADVICE); guard like cur/edges
+        if (!(core eq cur)) core.unpersist()
         if (!(cur eq edges)) cur.unpersist()
         val nNodes = degrees(pruned)
           .agg(count(lit(1)).cast("long").as("n_nodes")).collect()(0).getLong(0)
@@ -433,6 +436,14 @@ object Graphs {
           if (!idx.containsKey(r.get(0))) { idx.put(r.get(0), keys.length); keys += r.get(0) }
         }
         val n = keys.length
+        // an empty arc relation has no rank mass to distribute —
+        // return the empty (node, r) relation instead of dividing by
+        // zero nodes (r9 ADVICE)
+        if (n == 0) {
+          val nodeType = e0.select(col("src")).schema.head.dataType
+          return distributed(e0.sparkSession, Seq.empty,
+            StructType(Seq(StructField("node", nodeType), StructField("r", LongType))))
+        }
         val srcI = new Array[Int](rows.length)
         val dstI = new Array[Int](rows.length)
         val outdeg = new Array[Long](n)
@@ -477,6 +488,12 @@ object Graphs {
           .persist()
         val nodes = deg.select(col("node")).persist()
         val n = nodes.agg(count(lit(1)).as("n")).head().getLong(0)
+        if (n == 0) { // empty graph: no nodes, no rank (r9 ADVICE)
+          edges.unpersist(); nodes.unpersist()
+          val nodeType = e0.select(col("src")).schema.head.dataType
+          return distributed(e0.sparkSession, Seq.empty,
+            StructType(Seq(StructField("node", nodeType), StructField("r", LongType))))
+        }
         val teleport = ((100L - dampNum) * unit) / (100L * n)
         var r = nodes.select(col("node"), lit(unit / n).as("r"))
         for (_ <- 1 to iters) {

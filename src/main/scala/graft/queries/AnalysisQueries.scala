@@ -1541,27 +1541,38 @@ object AnalysisQueries {
     * centroid (the centroid-based "simplified" form, Hruschka et al.
     * 2004 — the all-pairs classic is quadratic and never runs at
     * corpus scale). Per-label means localize WHICH cluster is
-    * incoherent. Shape: centroid (n, S-array) rows ride a k-row
-    * broadcast into a BOUNDED ×k fan-out (never vector×vector);
-    * d² = Σ_d(x_d·n−S_d)²/n² floors to exact (quantized-unit)² ints
-    * per (vector, centroid); s is one mirrored double of those ints,
-    * micro-floored per vector BEFORE the label mean (sign-aware
-    * HALF_UP — negative means are legal and must not clamp).
+    * incoherent. Shape: centroids are elementwise SIGNED-FLOORED
+    * integer means (exact on both engines; flooring the mean to the
+    * quantization grid keeps every magnitude ≤ QScale at ANY cluster
+    * size, so all distances are exact longs — the r9 decimal
+    * zip-with fan-out billed ~10M interpreted lambda calls and was
+    * the worst weak gate at 5.0×). The codebook is k·dims longs of
+    * DRIVER model state (the IvfIndex convention): one map-side-
+    * combined aggregate builds it, one zero-shuffle [[
+    * graft.expressions.CentroidABExpr]] projection computes
+    * d² = ‖x‖² + ‖μ‖² − 2·x·μ = Σ(x_d−μ_d)² for own + nearest-other
+    * in a single pass, one k-row aggregate finishes; s is one
+    * mirrored double of exact ints, micro-floored per vector BEFORE
+    * the label mean (sign-aware HALF_UP — negative means are legal
+    * and must not clamp).
     */
   val qSilhouette = GateQuery.sql(
-    "q_silhouette",
-    s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
+    "q_silhouette", {
+      // DuckDB's // truncates toward zero — explicit remainder fix for
+      // Math.floorDiv parity on the (legal) negative dim sums
+      def sfdiv(x: String, y: String) = s"((($x) - (((($x) % ($y)) + ($y)) % ($y))) // ($y))"
+      s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
        |  FROM embeddings),
        |cd AS (SELECT label, t.i AS dim, count(*) AS n, CAST(sum(q[t.i]) AS BIGINT) AS sv
        |  FROM e, unnest(generate_series(1, len(q))) AS t(i) GROUP BY 1, 2),
-       |cent AS (SELECT label AS c, any_value(n) AS cn, list(sv ORDER BY dim) AS sarr
+       |cent AS (SELECT label AS c,
+       |    list(CAST(${sfdiv("sv", "n")} AS BIGINT) ORDER BY dim) AS mu
        |  FROM cd GROUP BY label),
-       |pc AS (SELECT e.vec_id, e.label, ct.c,
-       |    CAST(list_sum([CAST(q[i] * ct.cn - ct.sarr[i] AS HUGEINT)
-       |        * CAST(q[i] * ct.cn - ct.sarr[i] AS HUGEINT)
-       |      for i in range(1, len(q) + 1)]) AS HUGEINT)
-       |      // (CAST(ct.cn AS HUGEINT) * ct.cn) AS d2u
-       |  FROM e CROSS JOIN cent ct),
+       |cm AS (SELECT c, mu, ${VectorOps.normQSql("mu")} AS mm FROM cent),
+       |eq AS (SELECT vec_id, label, q, ${VectorOps.normQSql("q")} AS qq FROM e),
+       |pc AS (SELECT eq.vec_id, eq.label, cm.c,
+       |    eq.qq + cm.mm - 2 * ${VectorOps.dotQSql("eq.q", "cm.mu")} AS d2u
+       |  FROM eq CROSS JOIN cm),
        |ab AS (SELECT vec_id, label,
        |    min(CASE WHEN c = label THEN d2u END) AS a,
        |    min(CASE WHEN c <> label THEN d2u END) AS b
@@ -1575,28 +1586,34 @@ object AnalysisQueries {
        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        |  ${Exact.roundedRatioSignedSql("CAST(sum(s_micro) AS BIGINT)", "count(*)", 0)}
        |    AS mean_s_micro
-       |FROM sm GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-    import Exact.floorDivBig
+       |FROM sm GROUP BY label ORDER BY label""".stripMargin
+    }) { (s, d) =>
+    val dims = 64
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), VectorOps.quantize(col("embedding")).as("q"))
-    val cd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
-      .groupBy(col("label"), (col("p") + 1).as("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sv"))
-    val cent = cd.groupBy(col("label").as("c")).agg(
-        first(col("n")).as("cn"),
-        array_sort(collect_list(struct(col("dim"), col("sv")))).as("dl"))
-      .select(col("c"), col("cn"), transform(col("dl"), x => x("sv")).as("sarr"))
-    val jp = e.crossJoin(broadcast(cent))
-    val num = aggregate(
-      zip_with(col("q"), col("sarr"), (x, sv) => {
-        val t = (x * col("cn") - sv).cast("decimal(38,0)"); t * t
-      }),
-      lit(0L).cast("decimal(38,0)"), (acc, t) => acc + t)
-    val pc = jp.select(col("vec_id"), col("label"), col("c"),
-      floorDivBig(num, col("cn").cast("decimal(38,0)") * col("cn")).cast("long").as("d2u"))
-    val ab = pc.groupBy(col("vec_id"), col("label")).agg(
-      min(when(col("c") === col("label"), col("d2u"))).as("a"),
-      min(when(col("c") =!= col("label"), col("d2u"))).as("b"))
+      .select(col("vec_id"), col("label"),
+        VectorOps.quantize(col("embedding")).as("q"))
+    // centroid codebook = DRIVER model state (k·dims longs, the
+    // IvfIndex convention): ONE map-side-combined aggregate (label →
+    // count + elementwise sums), floored-integer means on the driver
+    val stats = e.select(
+        col("label").cast("long").as("label") +:
+          (0 until dims).map(i => element_at(col("q"), i + 1).as(s"_x$i")): _*)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"),
+        (0 until dims).map(i => sum(col(s"_x$i")).as(s"_s$i")): _*)
+      .collect().sortBy(_.getLong(0))
+    val labels = stats.map(_.getLong(0))
+    val cents = stats.map { r =>
+      val cnt = r.getLong(1)
+      Array.tabulate(dims)(i => Math.floorDiv(r.getLong(2 + i), cnt))
+    }
+    // one zero-shuffle projection computes [a, b] per row off the
+    // broadcast codebook; then a single 2000→k final aggregate
+    val ab = e.select(col("label"),
+      graft.expressions.VectorExpressions
+        .centroidAB(col("q"), col("label").cast("long"), cents, labels).as("ab"))
+      .select(col("label"),
+        element_at(col("ab"), 1).as("a"), element_at(col("ab"), 2).as("b"))
     val sMicro = when(greatest(col("a"), col("b")) > 0,
       floor((sqrt(col("b").cast("double")) - sqrt(col("a").cast("double"))) /
         sqrt(greatest(col("a"), col("b")).cast("double")) * lit(1000000)).cast("long"))

@@ -698,10 +698,10 @@ object StatsQueries {
     // operator: under the driver edge bound the five rounds run in
     // primitive arrays off one fused collect; the distributed
     // 2-shuffle loop is unchanged as the 100 TB path
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+    // pairs come from the shared materialized trade-graph snapshot
+    // (SharedRelations) — the orders⋈lineitem+distinct runs once per
+    // session across the graph-gate family
+    val pairs = graft.SharedRelations.custSuppPairs(s, d)
     val e0 = pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
     val r = graft.operators.Graphs.pageRankPico(e0, PrIters, PrUnit, PrDampNum)
@@ -2714,10 +2714,10 @@ object StatsQueries {
          |SELECT lbl AS community, n_members, (SELECT n_comm FROM t) AS n_communities
          |FROM g ORDER BY n_members DESC, lbl LIMIT 20""".stripMargin
     }) { (s, d) =>
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+    // pairs come from the shared materialized trade-graph snapshot
+    // (SharedRelations) — the orders⋈lineitem+distinct runs once per
+    // session across the graph-gate family
+    val pairs = graft.SharedRelations.custSuppPairs(s, d)
     val edges = pairs.select(concat(lit("c"), col("ck")).as("src"),
         concat(lit("s"), col("sk")).as("dst"))
       .unionAll(pairs.select(concat(lit("s"), col("sk")).as("src"),

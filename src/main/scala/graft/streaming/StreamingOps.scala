@@ -18,6 +18,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Dead-key eviction policy for the per-key monitor operators
+    * (CUSUM, Kalman, z-score, Page–Hinkley, decay features, CEP
+    * pattern, attribution, Benford). Each of those keeps O(1) state
+    * PER KEY, but the key domain (users / scans / entities) is
+    * open-ended over a long-lived stream: a key that stops arriving
+    * ("dead") would otherwise hold its few longs of state forever.
+    * With a policy set, the operator watermarks its input by
+    * `watermarkDelay` (rows later than that out-of-order are dropped
+    * — the standard stateful-streaming contract) and evicts a key's
+    * state once the event-time watermark passes its last reading +
+    * `idleMs`; the key restarts from scratch if it ever returns.
+    * `None` (the default) keeps the r9 NoTimeout behavior for
+    * bounded key domains the CALLER owns (e.g. a fixed instrument
+    * fleet) and for exact batch==stream replay parity.
+    */
+  final case class IdleEvict(watermarkDelay: String, idleMs: Long) {
+    require(idleMs > 0, s"idleMs not positive: $idleMs")
+  }
+
+  private def timeoutOf(e: Option[IdleEvict]): GroupStateTimeout =
+    if (e.isDefined) GroupStateTimeout.EventTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
+  /** Arm the per-key idle timeout at (last event time + idle horizon),
+    * clamped strictly above the current watermark (required by the
+    * EventTimeTimeout contract when late keys straggle in).
+    */
+  private def armEviction(state: GroupState[_], e: Option[IdleEvict],
+                          lastEventMs: Long): Unit =
+    e.foreach { p =>
+      state.setTimeoutTimestamp(
+        math.max(lastEventMs + p.idleMs, state.getCurrentWatermarkMs + 1L))
+    }
+
   /** Event-time windowed aggregation with a watermark: per (window,
     * key) event count and total value, emitted once finalized (Append
     * semantics downstream).
@@ -428,29 +462,38 @@ object StreamingOps {
     * all-integer criterion (n·x − S)² > 9·(nQ − S²) (|z| > 3, no
     * sqrt, no float state). State per scan is a bounded ring of the
     * last `window` integer readings — O(window) regardless of stream
-    * length (the ring IS the eviction policy); within-batch order is
-    * pinned by (ts, x) like every stateful operator here. Emits every
-    * reading with its flag (Update mode).
+    * length (the ring bounds PER-KEY state; the optional
+    * [[IdleEvict]] policy bounds the KEY COUNT by evicting scans
+    * that stopped reporting); within-batch order is pinned by
+    * (ts, x) like every stateful operator here. Emits every reading
+    * with its flag (Update mode).
     */
-  def zscoreStream(points: Dataset[ZPoint], window: Int): Dataset[ZFlag] = {
+  def zscoreStream(points: Dataset[ZPoint], window: Int,
+                   idleEvict: Option[IdleEvict] = None): Dataset[ZFlag] = {
     import points.sparkSession.implicits._
-    points
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
       .groupByKey(_.user)
       .flatMapGroupsWithState[ZState, ZFlag](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (user: Long, rows: Iterator[ZPoint], state: GroupState[ZState]) =>
-          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
-          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.x)).map { p =>
-            val n = ring.length.toLong
-            val s = ring.sum
-            val q = ring.map(v => v * v).sum
-            val dev = n * p.x - s
-            val flagged = n >= 4 && dev * dev > 9L * (n * q - s * s)
-            ring = (ring :+ p.x).takeRight(window)
-            ZFlag(user, p.ts, p.x, n.toInt, flagged)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.x))
+            val out = pts.map { p =>
+              val n = ring.length.toLong
+              val s = ring.sum
+              val q = ring.map(v => v * v).sum
+              val dev = n * p.x - s
+              val flagged = n >= 4 && dev * dev > 9L * (n * q - s * s)
+              ring = (ring :+ p.x).takeRight(window)
+              ZFlag(user, p.ts, p.x, n.toInt, flagged)
+            }
+            state.update(ZState(ring))
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
           }
-          state.update(ZState(ring))
-          out.iterator
       }
   }
 
@@ -646,34 +689,41 @@ object StreamingOps {
     * accumulating so downstream can see recovery.
     */
   def pageHinkleyStream(points: Dataset[PhPoint], deltaMicro: Long,
-                        lambdaMicro: Long): Dataset[PhOut] = {
+                        lambdaMicro: Long,
+                        idleEvict: Option[IdleEvict] = None): Dataset[PhOut] = {
     import points.sparkSession.implicits._
-    points
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
       .groupByKey(_.key)
       .flatMapGroupsWithState[PhState, PhOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (key: Long, rows: Iterator[PhPoint], state: GroupState[PhState]) =>
-          var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
-          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.x)).map { p =>
-            val n = st.n + 1
-            val s = st.s + p.x
-            // increment = x − s/n − δ in micro units, floor division on
-            // the exact rational (x·n − s)·1e6 / n; n grows without
-            // bound so the ×1e6 product is formed in BigInt (the
-            // decayStream convention) — long math overflows once
-            // n·|deviation| exceeds ~9.2e12
-            val num = (BigInt(p.x) * n - s) * 1000000L
-            val den = BigInt(n)
-            val (q0, r0) = num /% den
-            val inc = (if (r0.signum < 0) q0 - 1 else q0).toLong - deltaMicro
-            val m = st.mMicro + inc
-            val mn = math.min(st.minMicro, m)
-            st = PhState(n, s, m, mn)
-            val ph = m - mn
-            PhOut(key, p.ts, p.x, ph, ph > lambdaMicro)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.x))
+            val out = pts.map { p =>
+              val n = st.n + 1
+              val s = st.s + p.x
+              // increment = x − s/n − δ in micro units, floor division on
+              // the exact rational (x·n − s)·1e6 / n; n grows without
+              // bound so the ×1e6 product is formed in BigInt (the
+              // decayStream convention) — long math overflows once
+              // n·|deviation| exceeds ~9.2e12
+              val num = (BigInt(p.x) * n - s) * 1000000L
+              val den = BigInt(n)
+              val (q0, r0) = num /% den
+              val inc = (if (r0.signum < 0) q0 - 1 else q0).toLong - deltaMicro
+              val m = st.mMicro + inc
+              val mn = math.min(st.minMicro, m)
+              st = PhState(n, s, m, mn)
+              val ph = m - mn
+              PhOut(key, p.ts, p.x, ph, ph > lambdaMicro)
+            }
+            state.update(st)
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -698,7 +748,8 @@ object StreamingOps {
     * totals on every event (Update mode); within-batch order pinned
     * by (ts, v).
     */
-  def decayStream(points: Dataset[DecayPoint], halflifeSec: Long): Dataset[DecayOut] = {
+  def decayStream(points: Dataset[DecayPoint], halflifeSec: Long,
+                  idleEvict: Option[IdleEvict] = None): Dataset[DecayOut] = {
     import points.sparkSession.implicits._
     val tab = graft.queries.AnalysisQueries.decayTabMicro.toArray
     val h = halflifeSec
@@ -709,22 +760,30 @@ object StreamingOps {
       val b = ((64L * (dt % h)) / h).toInt
       (((BigInt(total) * tab(b)) >> k.toInt) / 1000000L).toLong
     }
-    points
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
       .groupByKey(_.key)
       .flatMapGroupsWithState[DecayState, DecayOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (key: Long, rows: Iterator[DecayPoint], state: GroupState[DecayState]) =>
-          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0L))
-          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.v)).map { p =>
-            val sec = p.ts.getTime / 1000L
-            val dt = if (st.lastSec == Long.MinValue) 0L else sec - st.lastSec
-            val n2 = decay(st.nMicro, dt) + 1000000L
-            val s2 = decay(st.sumMicro, dt) + p.v * 1000000L
-            st = DecayState(sec, n2, s2)
-            DecayOut(key, p.ts, n2, s2)
+          // a decayed key's state is also VALUE-dead after enough idle
+          // half-lives (totals decay to 0), so eviction loses nothing
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0L))
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.v))
+            val out = pts.map { p =>
+              val sec = p.ts.getTime / 1000L
+              val dt = if (st.lastSec == Long.MinValue) 0L else sec - st.lastSec
+              val n2 = decay(st.nMicro, dt) + 1000000L
+              val s2 = decay(st.sumMicro, dt) + p.v * 1000000L
+              st = DecayState(sec, n2, s2)
+              DecayOut(key, p.ts, n2, s2)
+            }
+            state.update(st)
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -808,27 +867,36 @@ object StreamingOps {
     * through the SAME closed form (running sum minus its running
     * minimum), so batch and stream agree reading-for-reading. State
     * per scan is two longs — O(1) regardless of stream length, no
-    * ring, no watermark needed; within-batch order is pinned by
-    * (ts, x) like every stateful operator here. Emits every reading
-    * with its chart value and alarm flag (Update mode).
+    * ring; within-batch order is pinned by (ts, x) like every
+    * stateful operator here. Emits every reading with its chart
+    * value and alarm flag (Update mode). Dead keys evict via the
+    * optional [[IdleEvict]] policy (None = caller-owned key-domain
+    * bound).
     */
   def cusumStream(points: Dataset[CuPoint], target: Long,
-                  threshold: Long): Dataset[CuFlag] = {
+                  threshold: Long,
+                  idleEvict: Option[IdleEvict] = None): Dataset[CuFlag] = {
     import points.sparkSession.implicits._
-    points
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
       .groupByKey(_.user)
       .flatMapGroupsWithState[CuState, CuFlag](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (user: Long, rows: Iterator[CuPoint], state: GroupState[CuState]) =>
-          var st = state.getOption.getOrElse(CuState(0L, 0L))
-          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.x)).map { p =>
-            val pNew = st.p + (p.x - target)
-            st = CuState(pNew, math.min(st.minP, pNew))
-            val s = pNew - math.min(0L, st.minP)
-            CuFlag(user, p.ts, p.x, s, s > threshold)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(CuState(0L, 0L))
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.x))
+            val out = pts.map { p =>
+              val pNew = st.p + (p.x - target)
+              st = CuState(pNew, math.min(st.minP, pNew))
+              val s = pNew - math.min(0L, st.minP)
+              CuFlag(user, p.ts, p.x, s, s > threshold)
+            }
+            state.update(st)
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -900,27 +968,36 @@ object StreamingOps {
     * choice, pinned in StreamingSpec).
     */
   def patternStream(evts: Dataset[CepEvt], typeA: String, typeB: String,
-                    withinUs: Long): Dataset[CepMatch] = {
+                    withinUs: Long,
+                    idleEvict: Option[IdleEvict] = None): Dataset[CepMatch] = {
     require(withinUs > 0, s"window not positive: $withinUs")
     import evts.sparkSession.implicits._
-    evts
+    idleEvict.map(e => evts.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(evts)
       .groupByKey(_.user)
       .flatMapGroupsWithState[CepState, CepMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutOf(idleEvict)) {
         (user: Long, rows: Iterator[CepEvt], state: GroupState[CepState]) =>
-          var st = state.getOption.getOrElse(CepState(Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.etype)).foreach { e =>
-            val us = e.ts.getTime * 1000L
-            if (e.etype == typeB && st.lastAUs != Long.MinValue &&
-                us - st.lastAUs <= withinUs && us >= st.lastAUs) {
-              out += CepMatch(user, new java.sql.Timestamp(st.lastAUs / 1000L),
-                e.ts, us - st.lastAUs)
+          // an idle key's anchor A is only matchable within withinUs
+          // anyway, so any idleMs ≥ withinUs/1000 evicts losslessly
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(CepState(Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+            val seq = rows.toSeq.sortBy(e => (e.ts.getTime, e.etype))
+            seq.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (e.etype == typeB && st.lastAUs != Long.MinValue &&
+                  us - st.lastAUs <= withinUs && us >= st.lastAUs) {
+                out += CepMatch(user, new java.sql.Timestamp(st.lastAUs / 1000L),
+                  e.ts, us - st.lastAUs)
+              }
+              if (e.etype == typeA) st = CepState(us)
             }
-            if (e.etype == typeA) st = CepState(us)
+            state.update(st)
+            armEviction(state, idleEvict, seq.last.ts.getTime)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -937,27 +1014,34 @@ object StreamingOps {
     * doubles, O(1) regardless of stream length; within-batch order
     * pinned by (ts, y) like every stateful operator here.
     */
-  def kalmanStream(points: Dataset[KPoint], q: Double, r: Double): Dataset[KEst] = {
+  def kalmanStream(points: Dataset[KPoint], q: Double, r: Double,
+                   idleEvict: Option[IdleEvict] = None): Dataset[KEst] = {
     require(q >= 0 && r > 0, s"bad noise parameters: q=$q r=$r")
     import points.sparkSession.implicits._
-    points
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
       .groupByKey(_.user)
       .flatMapGroupsWithState[KState, KEst](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (user: Long, rows: Iterator[KPoint], state: GroupState[KState]) =>
-          var st = state.getOption.getOrElse(KState(0.0, 0.0, seen = false))
-          val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.y)).map { pt =>
-            var k = 1.0
-            if (!st.seen) st = KState(pt.y, r, seen = true)
-            else {
-              val pPred = st.p + q
-              k = pPred / (pPred + r)
-              st = KState(st.l + k * (pt.y - st.l), (1 - k) * pPred, seen = true)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(KState(0.0, 0.0, seen = false))
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.y))
+            val out = pts.map { pt =>
+              var k = 1.0
+              if (!st.seen) st = KState(pt.y, r, seen = true)
+              else {
+                val pPred = st.p + q
+                k = pPred / (pPred + r)
+                st = KState(st.l + k * (pt.y - st.l), (1 - k) * pPred, seen = true)
+              }
+              KEst(user, pt.ts, pt.y, st.l, k)
             }
-            KEst(user, pt.ts, pt.y, st.l, k)
+            state.update(st)
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -978,31 +1062,40 @@ object StreamingOps {
     * every stateful operator here; batch==stream parity asserted in
     * StreamingSpec across micro-batch splits.
     */
-  def attributionStream(evts: Dataset[TouchEvt], lookbackUs: Long): Dataset[Credit] = {
+  def attributionStream(evts: Dataset[TouchEvt], lookbackUs: Long,
+                        idleEvict: Option[IdleEvict] = None): Dataset[Credit] = {
     import evts.sparkSession.implicits._
-    evts
+    idleEvict.map(e => evts.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(evts)
       .groupByKey(_.user)
       .flatMapGroupsWithState[TouchState, Credit](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (user: Long, rows: Iterator[TouchEvt], state: GroupState[TouchState]) =>
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[Credit]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
-            val tsUs = e.ts.getTime * 1000L
-            if (e.eventType != "purchase") {
-              // later (ts, id) always wins — the running max's carry
-              if (st == null || tsUs > st.tsUs ||
-                  (tsUs == st.tsUs && e.eventId > st.eventId))
-                st = TouchState(tsUs, e.eventId, e.eventType)
-            } else {
-              val touch =
-                if (st == null || st.tsUs < tsUs - lookbackUs) "none"
-                else st.eventType
-              out += Credit(user, e.ts, e.eventId, touch, e.cents)
+          // an idle key's carried touch can only credit a purchase
+          // within lookbackUs, so idleMs ≥ lookbackUs/1000 is lossless
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[Credit]
+            val seq = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            seq.foreach { e =>
+              val tsUs = e.ts.getTime * 1000L
+              if (e.eventType != "purchase") {
+                // later (ts, id) always wins — the running max's carry
+                if (st == null || tsUs > st.tsUs ||
+                    (tsUs == st.tsUs && e.eventId > st.eventId))
+                  st = TouchState(tsUs, e.eventId, e.eventType)
+              } else {
+                val touch =
+                  if (st == null || st.tsUs < tsUs - lookbackUs) "none"
+                  else st.eventType
+                out += Credit(user, e.ts, e.eventId, touch, e.cents)
+              }
             }
+            if (st != null) state.update(st)
+            if (state.exists) armEviction(state, idleEvict, seq.last.ts.getTime)
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 
@@ -1022,37 +1115,50 @@ object StreamingOps {
     * stream == batch replay bit-for-bit. Emits the L1 distance, the
     * worst single-digit deviation and the modal digit per update.
     */
-  def benfordStream(points: Dataset[BenfordPoint]): Dataset[BenfordOut] = {
+  def benfordStream(points: Dataset[BenfordPoint],
+                    idleEvict: Option[IdleEvict] = None): Dataset[BenfordOut] = {
     import points.sparkSession.implicits._
     val expected = (1 to 9).map(dd =>
       math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong).toArray
-    points.groupByKey(_.key)
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
+      .groupByKey(_.key)
       .flatMapGroupsWithState[Seq[Long], BenfordOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutOf(idleEvict)) {
         (key: Long, rows: Iterator[BenfordPoint], state: GroupState[Seq[Long]]) =>
-          val counts = state.getOption.map(_.toArray).getOrElse(new Array[Long](9))
-          rows.foreach { p =>
-            var v = p.v
-            if (v > 0) { while (v >= 10) v /= 10; counts(v.toInt - 1) += 1 }
-          }
-          state.update(counts.toSeq)
-          val n = counts.sum
-          if (n == 0) Iterator.empty
-          else {
-            var l1 = 0L
-            var mx = 0L
-            var top = 1
-            var i = 0
-            while (i < 9) {
-              val dev = math.abs(counts(i) * 1000000L / n - expected(i))
-              l1 += dev
-              if (dev > mx) mx = dev
-              if (counts(i) > counts(top - 1)) top = i + 1
-              i += 1
-            }
-            Iterator.single(BenfordOut(key, n, l1, mx, top))
-          }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else benfordUpdate(key, rows, state, expected, idleEvict)
       }
+  }
+
+  private def benfordUpdate(key: Long, rows: Iterator[BenfordPoint],
+                            state: GroupState[Seq[Long]], expected: Array[Long],
+                            idleEvict: Option[IdleEvict]): Iterator[BenfordOut] = {
+    val counts = state.getOption.map(_.toArray).getOrElse(new Array[Long](9))
+    var lastMs = Long.MinValue
+    rows.foreach { p =>
+      if (p.ts.getTime > lastMs) lastMs = p.ts.getTime
+      var v = p.v
+      if (v > 0) { while (v >= 10) v /= 10; counts(v.toInt - 1) += 1 }
+    }
+    state.update(counts.toSeq)
+    armEviction(state, idleEvict, lastMs)
+    val n = counts.sum
+    if (n == 0) Iterator.empty
+    else {
+      var l1 = 0L
+      var mx = 0L
+      var top = 1
+      var i = 0
+      while (i < 9) {
+        val dev = math.abs(counts(i) * 1000000L / n - expected(i))
+        l1 += dev
+        if (dev > mx) mx = dev
+        if (counts(i) > counts(top - 1)) top = i + 1
+        i += 1
+      }
+      Iterator.single(BenfordOut(key, n, l1, mx, top))
+    }
   }
 
   final case class ChurnEvent(ts: Timestamp, user: Long, spend: Long)

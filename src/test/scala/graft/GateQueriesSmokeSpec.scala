@@ -75,7 +75,6 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_davies_bouldin", // (n_clusters) k-bounded single-row scalar
     "q_dispersion", // bounded source-list × vocab grid product + (nt) scalar (as q_w1_drift)
     "q_burrows_delta", // bounded source-list × top-50 vocab grid product (as q_dispersion)
-    "q_silhouette", // bounded ×k centroid-row fan-out (k-row broadcast)
     "q_silhouette_sampled", // all-pairs INSIDE the hard m-row sample only (m² bounded)
     "q_itemsets3", // (n_baskets) corpus-total single-row scalar (as q_assoc_rules)
     "q_scan_stat", // (ct, th) corpus-totals + argmax single-row scalars

@@ -768,6 +768,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusum idle-evict: a dead key's state drops and the chart restarts on return") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CuFlag, CuPoint, IdleEvict}
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val flags = StreamingOps.cusumStream(
+      input.toDF().toDF("ts", "user", "x")
+        .select(col("user"), col("ts"), col("x")).as[CuPoint],
+      target = 150L, threshold = 500L,
+      idleEvict = Some(IdleEvict("10 seconds", idleMs = 60000L)))
+    val q = flags.writeStream.format("memory").queryName("cuevict")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1 reads once (chart 250), then goes silent
+      input.addData((ts(0), 1L, 400L))
+      q.processAllAvailable()
+      // user 2 advances the event-time watermark far past user 1's
+      // 60 s idle horizon...
+      input.addData((ts(300), 2L, 150L))
+      q.processAllAvailable()
+      // ...and the next batch fires user 1's timeout (timeouts are
+      // evaluated against the watermark set by the PREVIOUS batch)
+      input.addData((ts(310), 2L, 150L))
+      q.processAllAvailable()
+      // user 1 returns: an evicted chart restarts at 250, a carried
+      // one would read 500 (and alarm)
+      input.addData((ts(320), 1L, 400L))
+      q.processAllAvailable()
+      val u1 = spark.table("cuevict").as[CuFlag].collect()
+        .filter(_.user == 1L).sortBy(_.ts.getTime)
+      assert(u1.map(_.cusum).toSeq === Seq(250L, 250L))
+      assert(!u1.exists(_.alarm))
+    } finally q.stop()
+  }
+
+  test("kalman idle-evict: evicted key re-initializes; un-evicted default is unchanged") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{KEst, KPoint, IdleEvict}
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val est = StreamingOps.kalmanStream(
+      input.toDF().toDF("ts", "user", "y")
+        .select(col("user"), col("ts"), col("y")).as[KPoint],
+      q = 0.5, r = 2.0,
+      idleEvict = Some(IdleEvict("10 seconds", idleMs = 60000L)))
+    val q2 = est.writeStream.format("memory").queryName("kalevict")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts(0), 1L, 10.0))
+      q2.processAllAvailable()
+      input.addData((ts(300), 2L, 0.0))
+      q2.processAllAvailable()
+      input.addData((ts(310), 2L, 0.0))
+      q2.processAllAvailable()
+      input.addData((ts(320), 1L, 50.0))
+      q2.processAllAvailable()
+      val u1 = spark.table("kalevict").as[KEst].collect()
+        .filter(_.user == 1L).sortBy(_.ts.getTime)
+      // first reading of a FRESH state pins level = y, gain = 1 —
+      // the re-initialization signature (a carried state would blend)
+      assert(u1.map(_.level).toSeq === Seq(10.0, 50.0))
+      assert(u1.forall(_.gain === 1.0))
+    } finally q2.stop()
+  }
+
   test("streaming drift monitor: on-reference windows score near 0, shifted ones alarm") {
     implicit val ctx = spark.sqlContext
     val buckets = 16
