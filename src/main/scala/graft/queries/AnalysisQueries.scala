@@ -1020,18 +1020,78 @@ object AnalysisQueries {
       .orderedSmall(col("g"))
   }
 
-  /** Platt scaling (#242b/#243, rows+test): σ(a·s + b) calibration of
-    * the normalized-length score against the lang='en' label — the
+  /** Platt scaling (#242b/#243): σ(a·s + b) calibration of the
+    * normalized-length score against the lang='en' label — the
     * PARAMETRIC calibration read next to #174's isotonic (monotone)
     * and #176/#209's reliability/ECE audits. The corpus reduces to
     * ≤10 decile sufficient-statistic rows (value-collapsed — the
     * only thing that crosses to the driver, the IvfIndex model-state
     * discipline); [[graft.operators.Calibrate.plattFit]] runs a
     * fixed-iteration damped Newton there; the fitted curve deploys
-    * back as literals. Output: per decile raw vs calibrated ppm
-    * plus the (a, b) model in micro-units.
+    * back as literals. Output: per decile raw vs calibrated ppm plus
+    * the (a, b) model in micro-units. Hash-checked SQL since r10:
+    * the 50 Newton iterations UNROLL to per-iteration (sums, update)
+    * CTE pairs over the score-ordered stat LIST — every driver-side
+    * double fold is replayed with list_reduce in the same order and
+    * the damped-Hessian 1e-12 seeds ride list_prepend, so the
+    * accumulation order (and therefore every bit) matches the Scala
+    * foreach.
     */
-  val qPlatt = GateQuery.rowsOnly("q_platt") { (s, d) =>
+  val qPlatt = GateQuery.sql(
+    "q_platt", {
+      def p(a: String, bb: String) =
+        s"(1.0 / (1.0 + exp(-(($a) * x.s + ($bb)))))"
+      def gRow(a: String, bb: String) =
+        s"(x.pos * (${p(a, bb)} - u.tpos) + (x.n - x.pos) * (${p(a, bb)} - u.tneg))"
+      def w(a: String, bb: String) =
+        s"(${p(a, bb)} * (1.0 - ${p(a, bb)}))"
+      def fold(term: String) =
+        s"list_reduce(list_transform(st.ls, x -> $term), (p1, p2) -> p1 + p2)"
+      def foldSeed(term: String, seed: String) =
+        s"list_reduce(list_prepend(CAST($seed AS DOUBLE), " +
+          s"list_transform(st.ls, x -> $term)), (p1, p2) -> p1 + p2)"
+      val iters = (1 to 50).map { i =>
+        val (a, bb) = ("u.a", "u.b")
+        s"""sm$i AS (SELECT u.a, u.b, u.tpos, u.tneg,
+           |    ${fold(s"${gRow(a, bb)} * x.s")} AS g1,
+           |    ${fold(gRow(a, bb))} AS g2,
+           |    ${foldSeed(s"x.n * ${w(a, bb)} * x.s * x.s", "1e-12")} AS h11,
+           |    ${fold(s"x.n * ${w(a, bb)} * x.s")} AS h12,
+           |    ${foldSeed(s"x.n * ${w(a, bb)}", "1e-12")} AS h22
+           |  FROM it${i - 1} u, st),
+           |it$i AS (SELECT
+           |    CASE WHEN h11 * h22 - h12 * h12 > 0
+           |      THEN a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12)
+           |      ELSE a END AS a,
+           |    CASE WHEN h11 * h22 - h12 * h12 > 0
+           |      THEN b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12)
+           |      ELSE b END AS b,
+           |    tpos, tneg
+           |  FROM sm$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT 1 + max(n_chars) AS mx FROM documents),
+         |b AS (SELECT (n_chars * 10) // mx AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pos
+         |  FROM documents, mx GROUP BY 1),
+         |st AS (SELECT list(struct_pack(
+         |      s := (bucket + 0.5) / 10.0, n := n, pos := pos)
+         |    ORDER BY (bucket + 0.5) / 10.0) AS ls FROM b),
+         |cs AS (SELECT CAST(sum(pos) AS DOUBLE) AS np,
+         |    CAST(sum(n - pos) AS DOUBLE) AS nn FROM b),
+         |it0 AS (SELECT CAST(0 AS DOUBLE) AS a,
+         |    ln((np + 1.0) / (nn + 1.0)) AS b,
+         |    (np + 1.0) / (np + 2.0) AS tpos, 1.0 / (nn + 2.0) AS tneg
+         |  FROM cs),
+         |$iters
+         |SELECT CAST(b.bucket AS BIGINT) AS bucket, b.n, b.pos AS n_pos,
+         |  (b.pos * 1000000) // b.n AS raw_ppm,
+         |  CAST(floor((1.0 / (1.0 + exp(-(f.a * ((b.bucket + 0.5) / 10.0) + f.b))))
+         |    * 1000000.0) AS BIGINT) AS calibrated_ppm,
+         |  CAST(floor(f.a * 1000000.0) AS BIGINT) AS a_micro,
+         |  CAST(floor(f.b * 1000000.0) AS BIGINT) AS b_micro
+         |FROM b, it50 f ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
     val docs = Tables.documents(s, d)
     val mx = docs.agg((lit(1L) + max(col("n_chars"))).as("mx"))
     val b = graft.operators.Curation.withStats(

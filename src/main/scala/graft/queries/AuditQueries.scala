@@ -1238,15 +1238,44 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
-  /** Local-level Kalman filter (#255, rows+test): optimal recursive
-    * smoothing of each user's 'view' series
+  /** Local-level Kalman filter (#255): optimal recursive smoothing
+    * of each user's 'view' series
     * ([[graft.operators.WindowOps.kalman]]) summarized to the final
     * level and converged gain — the adaptive-gain upgrade of EWMA
-    * (#63) / Holt (#191). The full-prefix recursion is the
-    * documented non-SQL-expressible family; AuditEdgeSpec pins the
-    * Q = 0 closed form (posterior level = exact running mean).
+    * (#63) / Holt (#191). AuditEdgeSpec pins the Q = 0 closed form
+    * (posterior level = exact running mean). Hash-checked SQL since
+    * r10 (the q_holt recipe): predict/gain/update is pure IEEE
+    * +/−/×/÷ over doubles, so a RECURSIVE CTE carrying (l, P, K) one
+    * point per round replays it bit-identically — the gain
+    * expression is repeated textually wherever the Scala reuses the
+    * variable, which preserves the value exactly.
     */
-  val qKalman = GateQuery.rowsOnly("q_kalman") { (s, d) =>
+  val qKalman = GateQuery.sql(
+    "q_kalman", {
+      val kNew = "(r.p + CAST(25.0 AS DOUBLE)) / " +
+        "((r.p + CAST(25.0 AS DOUBLE)) + CAST(400.0 AS DOUBLE))"
+      s"""WITH RECURSIVE pts AS (SELECT user_id,
+         |    CAST(xs AS DOUBLE) AS x, CAST(${centsSql("vd")} AS DOUBLE) AS y,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(xs AS DOUBLE), CAST(${centsSql("vd")} AS DOUBLE)) AS i
+         |  FROM $E e WHERE event_type = 'view'),
+         |rec(user_id, i, l, p, k) AS (
+         |  SELECT user_id, 1, y, CAST(400.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+         |    FROM pts WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.i,
+         |      r.l + ($kNew) * (n.y - r.l),
+         |      (r.p + CAST(25.0 AS DOUBLE)) * (1.0 - ($kNew)),
+         |      $kNew
+         |    FROM rec r JOIN pts n ON n.user_id = r.user_id AND n.i = r.i + 1),
+         |lastp AS (SELECT user_id, max(i) AS mi, CAST(count(*) AS BIGINT) AS n_points
+         |  FROM pts GROUP BY user_id)
+         |SELECT lp.user_id, lp.n_points,
+         |  round(r.l, 4) + 0.0 AS last_level,
+         |  round(r.k, 6) + 0.0 AS last_gain
+         |FROM lastp lp JOIN rec r ON r.user_id = lp.user_id AND r.i = lp.mi
+         |ORDER BY lp.user_id""".stripMargin
+    }) { (s, d) =>
     val e = ev(s, d).filter(col("event_type") === "view")
       .select(col("user_id"), col("xs").cast("double").as("x"),
         Exact.cents(col("vd")).cast("double").as("y"))
@@ -1258,15 +1287,63 @@ object AuditQueries {
       .orderedSmall(col("user_id"))
   }
 
-  /** MMR diversity re-ranking (#256, rows+test): brute-force top-20
-    * relevance pool per query (vec_id < 10, the KNN-gate query set),
-    * re-ranked to 5 by Maximal Marginal Relevance at λ = 0.7
+  /** MMR diversity re-ranking (#256): brute-force top-20 relevance
+    * pool per query (vec_id < 10, the KNN-gate query set), re-ranked
+    * to 5 by Maximal Marginal Relevance at λ = 0.7
     * ([[graft.operators.Retrieval.mmr]]) — the retrieve-then-rerank
     * shape. Pool scoring is the same broadcast query-set pass as
     * q_knn_bruteforce (allow-listed single-broadcast nested loop);
     * the greedy loop is one mapGroups over bounded pools.
+    * Hash-checked SQL since r10: the greedy selection UNROLLS to k=5
+    * argmax CTEs (one per rank — tie order score DESC, rel DESC,
+    * vec_id, the pool-scan-order convention), each carrying the
+    * selected vector so the next step's max-sim penalty is a
+    * greatest() over the mirrored IEEE cosines; (1 − λ) stays
+    * written as (1.0 − 0.7) because the subtraction is NOT the
+    * double literal 0.3.
     */
-  val qMmrRerank = GateQuery.rowsOnly("q_mmr_rerank") { (s, d) =>
+  val qMmrRerank = GateQuery.sql(
+    "q_mmr_rerank", {
+      import graft.operators.VectorOps.{cosineQSql, dotQSql, normQSql, quantizeSql}
+      val lam = "CAST(0.7 AS DOUBLE)"
+      def sim(j: Int) =
+        cosineQSql(dotQSql("p.q", s"s$j.q"), "p.n", s"s$j.n")
+      val steps = (2 to 5).map { r =>
+        val joins = (1 until r).map(j => s"JOIN s$j ON s$j.query_id = p.query_id")
+          .mkString(" ")
+        val notSel = (1 until r).map(j => s"p.vec_id <> s$j.vec_id").mkString(" AND ")
+        val sims = (1 until r).map(j => s", ${sim(j)}").mkString
+        s"""ms$r AS (SELECT p.query_id, p.vec_id, p.q, p.n, p.rel,
+           |    greatest(CAST(0 AS DOUBLE)$sims) AS msim
+           |  FROM pool p $joins WHERE $notSel),
+           |s$r AS (SELECT query_id, vec_id, q, n, rel, score FROM (
+           |  SELECT m.*, $lam * m.rel - (1.0 - $lam) * m.msim AS score,
+           |    row_number() OVER (PARTITION BY m.query_id
+           |      ORDER BY $lam * m.rel - (1.0 - $lam) * m.msim DESC,
+           |        m.rel DESC, m.vec_id) AS rn
+           |  FROM ms$r m) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (1 to 5).map(r =>
+        s"SELECT query_id, CAST($r AS INTEGER) AS rnk, vec_id, score FROM s$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings),
+         |en AS (SELECT vec_id, q, ${normQSql("q")} AS n FROM e),
+         |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en WHERE vec_id < 10),
+         |scored AS (SELECT qs.query_id, c.vec_id, c.q, c.n,
+         |    ${cosineQSql(dotQSql("qs.qq", "c.q"), "qs.nq", "c.n")} AS rel
+         |  FROM en c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+         |pool AS (SELECT query_id, vec_id, q, n, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, vec_id) AS prn FROM scored) WHERE prn <= 20),
+         |s1 AS (SELECT query_id, vec_id, q, n, rel, rel AS score FROM (
+         |  SELECT p.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, vec_id) AS rn FROM pool p) WHERE rn = 1),
+         |$steps
+         |SELECT query_id, rnk, vec_id,
+         |  floor(score * 1000000.0) / 1000000.0 AS mmr
+         |FROM ($ranks)
+         |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         graft.expressions.VectorExpressions.quantizeVec(col("embedding")).as("q"))
@@ -1623,14 +1700,64 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
-  /** Holt–Winters additive seasonal smoothing (#262, rows+test):
-    * triple exponential smoothing of each event type's hourly totals
-    * with a 24-hour season ([[graft.operators.WindowOps.holtWinters]])
+  /** Holt–Winters additive seasonal smoothing (#262): triple
+    * exponential smoothing of each event type's hourly totals with a
+    * 24-hour season ([[graft.operators.WindowOps.holtWinters]])
     * summarized to the final state + one-step forecast — the
     * seasonal upgrade of Holt (#191). The m-periodic exact-forecast
-    * closed form is pinned in AuditEdgeSpec.
+    * closed form is pinned in AuditEdgeSpec. Hash-checked SQL since
+    * r10 (the q_holt recursive-CTE recipe, with the 24-slot seasonal
+    * state carried as a list column updated by comprehension); the
+    * init means are exact because the hourly totals are
+    * integer-valued doubles, so their sum is order-free.
     */
-  val qHoltWinters = GateQuery.rowsOnly("q_holt_winters") { (s, d) =>
+  val qHoltWinters = GateQuery.sql(
+    "q_holt_winters", {
+      // one textual l-expression reused everywhere the Scala reuses
+      // the variable (q_holt recipe); α=0.25 β=0.125 γ=0.25 and their
+      // complements are exact binary doubles, so pre-folded literals
+      // are bit-safe
+      val lNew = "0.25 * (n.y - r.s[((n.i - 1) % 24) + 1]) + 0.75 * (r.l + r.b)"
+      val bNew = s"0.125 * (($lNew) - r.l) + 0.875 * r.b"
+      val sUpd = s"[CASE WHEN j = ((n.i - 1) % 24) + 1 " +
+        s"THEN 0.25 * (n.y - ($lNew)) + 0.75 * r.s[j] " +
+        s"ELSE r.s[j] END for j in range(1, 25)]"
+      s"""WITH RECURSIVE g AS (SELECT event_type, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e GROUP BY 1, 2),
+         |pts AS (SELECT ${graft.operators.TextOps.baseHashSql("event_type")}
+         |      % 1000000 AS gk,
+         |    CAST(grid AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY CAST(grid AS DOUBLE), CAST(y AS DOUBLE)) AS i,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM g),
+         |elig AS (SELECT gk, any_value(cnt) AS cnt FROM pts
+         |  WHERE cnt >= 48 GROUP BY gk),
+         |init AS (SELECT p.gk,
+         |    sum(p.y) FILTER (WHERE p.i <= 24) / 24 AS m1,
+         |    sum(p.y) FILTER (WHERE p.i > 24 AND p.i <= 48) / 24 AS m2,
+         |    list(p.y ORDER BY p.i) FILTER (WHERE p.i <= 24) AS y24
+         |  FROM pts p JOIN elig USING (gk) GROUP BY p.gk),
+         |rec(gk, i, l, b, s, fc) AS (
+         |  SELECT gk, 24, m1, (m2 - m1) / 24,
+         |      [y24[j] - m1 for j in range(1, 25)], CAST(NULL AS DOUBLE)
+         |    FROM init
+         |  UNION ALL
+         |  SELECT n.gk, n.i,
+         |      $lNew,
+         |      $bNew,
+         |      $sUpd,
+         |      ($lNew) + ($bNew) + ($sUpd)[(n.i % 24) + 1]
+         |    FROM rec r JOIN pts n ON n.gk = r.gk AND n.i = r.i + 1),
+         |fin AS (SELECT r.gk, r.l, r.b, r.fc, e.cnt
+         |  FROM rec r JOIN elig e ON r.gk = e.gk AND r.i = e.cnt)
+         |SELECT gk, CAST(cnt - 24 AS BIGINT) AS n_points,
+         |  round(l, 4) + 0.0 AS last_level,
+         |  round(b, 4) + 0.0 AS last_trend,
+         |  round(fc, 4) + 0.0 AS next_forecast
+         |FROM fin ORDER BY gk""".stripMargin
+    }) { (s, d) =>
     val g = ev(s, d)
       .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))

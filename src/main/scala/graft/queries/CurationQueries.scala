@@ -516,10 +516,46 @@ object CurationQueries {
   /** #96 — discriminative quality classifier (GPT-3/LLaMA playbook):
     * logistic regression over hashed-bigram features separating the
     * `en` reference slice from the rest, scores for every doc.
-    * Iterative training has no SQL equivalent → rows-only gate;
-    * determinism + separation are ScalaTest-asserted.
+    * Hash-checked SQL since r10: training is the micro-quantized GD
+    * of [[graft.operators.QualityClassifier]] — margins are exact
+    * integer sums, residuals micro-floor after one mirrored sigmoid,
+    * and the weight update is one mirrored double rounding — so the
+    * 8 iterations UNROLL to margin→residual→gradient→weights CTE
+    * quadruples (the Lloyd-CTE recipe; exp parity rides the
+    * q_dsir_weights ln precedent). Scoring is the plain final-weight
+    * join.
     */
-  val qQualityClassifier = GateQuery.rowsOnly("q_quality_classifier") { (s, d) =>
+  val qQualityClassifier = GateQuery.sql(
+    "q_quality_classifier", {
+      val iters = (1 to 8).map { i =>
+        val wp = s"w${i - 1}"
+        s"""m$i AS (SELECT bg.doc_id, any_value(bg.label) AS label,
+           |    CAST(sum(w.wt) AS BIGINT) AS m
+           |  FROM bg JOIN $wp w USING (b) GROUP BY bg.doc_id),
+           |r$i AS (SELECT doc_id,
+           |    CAST(floor((1.0 / (1.0 + exp((-(m)) / 1000000.0)) - label)
+           |      * 1000000) AS BIGINT) AS r
+           |  FROM m$i),
+           |g$i AS (SELECT bg.b, CAST(sum(r$i.r) AS BIGINT) AS g
+           |  FROM bg JOIN r$i USING (doc_id) GROUP BY bg.b),
+           |w$i AS (SELECT w.b, w.wt - CAST(floor((0.5 * ((CAST(g.g AS DOUBLE)
+           |      / 1000000.0) / (SELECT nd FROM nd))) * 1000000.0 + 0.5) AS BIGINT)
+           |    AS wt
+           |  FROM $wp w JOIN g$i g USING (b))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tw AS (SELECT doc_id, (lang = 'en')::INT AS label,
+         |    string_split(text, ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id, label,
+         |    unnest(${Curation.bigramBucketsSql(DsirBuckets)}) AS b
+         |  FROM tw WHERE len(w) >= 2),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM bg),
+         |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wt FROM bg),
+         |$iters
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |  CAST(sum(w.wt) AS BIGINT) AS score_micro
+         |FROM bg JOIN w8 w USING (b)
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+    }) { (s, d) =>
     import graft.operators.QualityClassifier
     val docs = Tables.documents(s, d)
     val feat = QualityClassifier.features(docs, col("lang") === "en", DsirBuckets)

@@ -487,22 +487,49 @@ object EmbeddingQueries {
   private val SemDedupCellCap = 100000
 
   /** SemDeDup (#88): semantic near-duplicate removal — within-cell
-    * cosine pairs over the (rebalanced) IVF clustering, connected
-    * components, one representative kept per group. Rows-only (the
-    * codebook is driver state the SQL oracle cannot re-derive);
-    * pair/keep semantics are pinned by SemDedupSpec.
+    * cosine pairs over the IVF clustering, connected components, one
+    * representative kept per group. Hash-checked SQL since r10 (the
+    * r9 ANN recipe): the oracle re-derives the trained cells with the
+    * same unrolled Lloyd CTEs as q_knn_ivf, forms the capped
+    * within-cell pair relation with the mirrored IEEE cosine, and
+    * labels duplicate groups by min-reachable vec_id through a
+    * RECURSIVE transitive-closure CTE (bounded by the capped cells'
+    * pair mass, oracle-side only). The skew-REBALANCED index variant
+    * (data-dependent split rounds — not SQL-expressible) stays
+    * exercised by IvfIndexSpec/SemDedupSpec, mirroring the
+    * q_knn_ivf convention.
     *
-    * Two independent guards bound the quadratic: `maxCellFrac`
-    * rebalancing SPLITS oversized k-means cells, and the hard
-    * [[SemDedupCellCap]] row cap DROPS any cell that still exceeds it
-    * (degenerate boilerplate-embedding mass) before any pair forms.
+    * The hard [[SemDedupCellCap]] row cap DROPS any cell exceeding it
+    * (degenerate boilerplate-embedding mass) before any pair forms —
+    * the production bound on the quadratic term, mirrored in the
+    * oracle.
     */
-  val qSemDedup = GateQuery.rowsOnly("q_semdedup") { (s, d) =>
+  val qSemDedup = GateQuery.sql(
+    "q_semdedup",
+    s"""WITH RECURSIVE $PrepSql,
+       |${ivfTrainSqlCtes(c = 16, iters = 2)},
+       |cellok AS (SELECT cell FROM ivasg GROUP BY cell
+       |  HAVING count(*) <= $SemDedupCellCap),
+       |mem AS (SELECT a.vec_id, a.q, a.n, a.cell
+       |  FROM ivasg a JOIN cellok USING (cell)),
+       |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosineQSql(dotQSql("a.q", "b.q"), "a.n", "b.n")} >= 0.4),
+       |arcs AS (SELECT vec_a AS s, vec_b AS t FROM pr
+       |  UNION SELECT vec_b, vec_a FROM pr),
+       |reach(v, r) AS (
+       |  SELECT s AS v, s AS r FROM (SELECT DISTINCT s FROM arcs)
+       |  UNION
+       |  SELECT arcs.t, reach.r FROM reach JOIN arcs ON arcs.s = reach.v),
+       |lab AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT en.vec_id,
+       |  coalesce(lab.cluster_id, en.vec_id) AS group_id,
+       |  (coalesce(lab.cluster_id, en.vec_id) = en.vec_id) AS keep
+       |FROM en LEFT JOIN lab USING (vec_id)
+       |ORDER BY en.vec_id""".stripMargin) { (s, d) =>
     val e = prep(s, d).persist() // see qKnnIvf
     try {
-      val trained = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
-      val cents = graft.operators.IvfIndex.rebalance(e, trained, Dims,
-        maxCellFrac = 0.25, maxRounds = 2, settleIters = 1)
+      val cents = graft.operators.IvfIndex.train(e, c = 16, iters = 2, dims = Dims)
       val assigned = graft.operators.IvfIndex.assign(e, cents)
       graft.operators.SemDedup.dedup(assigned, tau = 0.4, maxCellDf = SemDedupCellCap)
         .orderedSmall(col("vec_id"))

@@ -1116,15 +1116,48 @@ object StatsQueries {
       .orderedSmall(col("g"))
   }
 
-  /** Holt linear-trend smoothing (#191, rows+test): double
-    * exponential smoothing of each user's 'view' series
+  /** Holt linear-trend smoothing (#191): double exponential
+    * smoothing of each user's 'view' series
     * ([[graft.operators.WindowOps.holt]]) summarized to the final
     * level/trend/one-step forecast — the classic short-horizon
     * forecaster next to #63's EWMA. Exact-linear-continuation is
-    * pinned in StatsEdgeSpec; the recursion is the documented
-    * non-SQL-expressible family.
+    * pinned in StatsEdgeSpec. Hash-checked SQL since r10: the
+    * recursion is pure IEEE +/−/× over doubles, so a RECURSIVE CTE
+    * stepping every user's ordered series one point per round (the
+    * l-expression repeated textually inside the b update — same
+    * value, same bits) replays it bit-identically; each recursion
+    * round advances ALL users, so rounds = max series length, and
+    * every mirrored literal is spelled the same on both engines
+    * ((1.0 - 0.5), never a pre-folded 0.5).
     */
-  val qHolt = GateQuery.rowsOnly("q_holt") { (s, d) =>
+  val qHolt = GateQuery.sql(
+    "q_holt", {
+      val lNew = "CAST(0.5 AS DOUBLE) * n.y + (1.0 - CAST(0.5 AS DOUBLE)) * (r.l + r.b)"
+      s"""WITH RECURSIVE pts AS (SELECT user_id,
+         |    CAST(xs AS DOUBLE) AS x, CAST(${centsSql("vd")} AS DOUBLE) AS y,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(xs AS DOUBLE), CAST(${centsSql("vd")} AS DOUBLE)) AS i
+         |  FROM $E e WHERE event_type = 'view'),
+         |rec(user_id, i, l, b) AS (
+         |  SELECT p.user_id, 1, p.y,
+         |      coalesce(p2.y - p.y, CAST(0 AS DOUBLE))
+         |    FROM pts p LEFT JOIN pts p2 ON p2.user_id = p.user_id AND p2.i = 2
+         |    WHERE p.i = 1
+         |  UNION ALL
+         |  SELECT n.user_id, n.i,
+         |      $lNew,
+         |      CAST(0.3 AS DOUBLE) * (($lNew) - r.l)
+         |        + (1.0 - CAST(0.3 AS DOUBLE)) * r.b
+         |    FROM rec r JOIN pts n ON n.user_id = r.user_id AND n.i = r.i + 1),
+         |lastp AS (SELECT user_id, max(i) AS mi, CAST(count(*) AS BIGINT) AS n_points
+         |  FROM pts GROUP BY user_id)
+         |SELECT lp.user_id, lp.n_points,
+         |  round(r.l, 4) + 0.0 AS last_level,
+         |  round(r.b, 4) + 0.0 AS last_trend,
+         |  round(r.l + r.b, 4) + 0.0 AS next_forecast
+         |FROM lastp lp JOIN rec r ON r.user_id = lp.user_id AND r.i = lp.mi
+         |ORDER BY lp.user_id""".stripMargin
+    }) { (s, d) =>
     val e = ev(s, d).filter(col("event_type") === "view")
       .select(col("user_id"), col("xs").cast("double").as("x"),
         Exact.cents(col("vd")).cast("double").as("y"))
@@ -1907,17 +1940,32 @@ object StatsQueries {
       .orderedSmall(col("user_id"), col("day"))
   }
 
-  /** Efraimidis–Spirakis weighted sampling (#203, rows+test): a
-    * deterministic weighted sample WITHOUT replacement — each row's
-    * key is ln(u)/w (u a portable md5 draw, w its integer weight)
-    * and the top-k keys per stratum are the sample (Efraimidis &
-    * Spirakis 2006). Stateless per-row scoring + one rank window:
-    * reruns, backfills and engines agree row-for-row, and inclusion
-    * probability tracks weight (pinned in StatsEdgeSpec). The
-    * pipeline use: value-weighted corpus subsampling where plain
-    * Bernoulli sampling under-covers heavy documents.
+  /** Efraimidis–Spirakis weighted sampling (#203): a deterministic
+    * weighted sample WITHOUT replacement — each row's key is ln(u)/w
+    * (u a portable md5 draw, w its integer weight) and the top-k
+    * keys per stratum are the sample (Efraimidis & Spirakis 2006).
+    * Stateless per-row scoring + one rank window: reruns, backfills
+    * and engines agree row-for-row, and inclusion probability tracks
+    * weight (pinned in StatsEdgeSpec). The pipeline use:
+    * value-weighted corpus subsampling where plain Bernoulli
+    * sampling under-covers heavy documents. Hash-checked SQL since
+    * r10: the md5 draw, the ln-key and the rank window all mirror
+    * textually (the q_dsir_weights ln-parity precedent).
     */
-  val qWeightedSample = GateQuery.rowsOnly("q_weighted_sample") { (s, d) =>
+  val qWeightedSample = GateQuery.sql(
+    "q_weighted_sample", {
+      val draw = "CAST(concat('0x', substr(md5('es:' || CAST(event_id AS VARCHAR)), 1, 5)) AS BIGINT)"
+      s"""WITH e AS (SELECT user_id, event_id, ${centsSql("vd")} AS w
+         |  FROM $E t WHERE event_type = 'purchase'),
+         |sc AS (SELECT user_id % 4 AS stratum, event_id, w,
+         |    ln(CAST($draw + 1 AS DOUBLE) / 1048576.0) / CAST(w AS DOUBLE) AS k
+         |  FROM e WHERE w > 0),
+         |rk AS (SELECT stratum, w, row_number() OVER (PARTITION BY stratum
+         |    ORDER BY k DESC, event_id) AS rn FROM sc)
+         |SELECT stratum, CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(sum(w) AS BIGINT) AS sampled_cents
+         |FROM rk WHERE rn <= 50 GROUP BY stratum ORDER BY stratum""".stripMargin
+    }) { (s, d) =>
     val e = ev(s, d).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), Exact.cents(col("vd")).as("w"))
     val sampled = graft.operators.Sampling.weightedSample(

@@ -200,12 +200,59 @@ object TextQueries {
     * over hashed character-trigram features, trained on the corpus's
     * own labels and deployed as an inlined argmax expression — the
     * model family CCNet/C4 actually run for lang-id at corpus scale.
-    * Driver-held training has no SQL equivalent → rows-only gate;
-    * the accuracy floor on a multilingual fixture and training
-    * determinism are LangClassifierSpec's.
-    * [[qLangId]] (the marker heuristic) stays the SQL-oracle gate.
+    * Hash-checked SQL since r10 (the unrolled-GD recipe of
+    * q_quality_classifier, lifted to multi-class by keying the
+    * weight/gradient relations on (class, bucket) — the class list
+    * stays DATA-DERIVED via a distinct-lang CTE, so the oracle keeps
+    * training on the corpus's own labels): 6 one-vs-rest iterations
+    * over the deterministic 25% hash subsample, full-corpus argmax
+    * scoring with ties to the lexicographically-last label
+    * (max-struct convention). The accuracy floor on a multilingual
+    * fixture stays LangClassifierSpec's.
+    * [[qLangId]] (the marker heuristic) remains the cheap-path gate.
     */
-  val qLangIdFt = GateQuery.rowsOnly("q_lang_id_ft") { (s, d) =>
+  val qLangIdFt = GateQuery.sql(
+    "q_lang_id_ft", {
+      val trigrams =
+        s"[${TextOps.baseHashSql("substr(text, CAST(i AS INTEGER), 3)")} % 1024 " +
+          "for i in range(1, len(text) - 1)]"
+      val iters = (1 to 6).map { i =>
+        val wp = s"w${i - 1}"
+        s"""m$i AS (SELECT g.doc_id, any_value(g.lang) AS lang, w.cl,
+           |    CAST(sum(w.wt) AS BIGINT) AS m
+           |  FROM bgs g JOIN $wp w USING (b) GROUP BY g.doc_id, w.cl),
+           |r$i AS (SELECT doc_id, cl,
+           |    CAST(floor((1.0 / (1.0 + exp((-(m)) / 1000000.0))
+           |      - (lang = cl)::INT) * 1000000) AS BIGINT) AS r
+           |  FROM m$i),
+           |g$i AS (SELECT g.b, r.cl, CAST(sum(r.r) AS BIGINT) AS gr
+           |  FROM bgs g JOIN r$i r USING (doc_id) GROUP BY g.b, r.cl),
+           |w$i AS (SELECT w.cl, w.b, w.wt - CAST(floor((0.5 * ((CAST(g.gr AS DOUBLE)
+           |      / 1000000.0) / (SELECT nd FROM nd))) * 1000000.0 + 0.5) AS BIGINT)
+           |    AS wt
+           |  FROM $wp w JOIN g$i g ON g.b = w.b AND g.cl = w.cl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tw AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
+         |bg AS (SELECT doc_id, lang, unnest($trigrams) AS b FROM tw),
+         |cls AS (SELECT DISTINCT lang AS cl FROM tw),
+         |smp AS (SELECT doc_id FROM tw
+         |  WHERE ${graft.operators.Sampling.sampleByHashSql("doc_id", 25, "lidtrain")}),
+         |bgs AS (SELECT bg.* FROM bg JOIN smp USING (doc_id)),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM bgs),
+         |w0 AS (SELECT c.cl, b.b, CAST(0 AS BIGINT) AS wt
+         |  FROM cls c CROSS JOIN (SELECT DISTINCT b FROM bgs) b),
+         |$iters,
+         |msc AS (SELECT bg.doc_id, c.cl,
+         |    CAST(sum(coalesce(w.wt, 0)) AS BIGINT) AS s2,
+         |    CAST(count(*) AS BIGINT) AS nf
+         |  FROM bg CROSS JOIN cls c
+         |  LEFT JOIN w6 w ON w.b = bg.b AND w.cl = c.cl
+         |  GROUP BY bg.doc_id, c.cl),
+         |win AS (SELECT doc_id, nf, cl, s2, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY s2 DESC, cl DESC) AS rn FROM msc)
+         |SELECT doc_id, nf AS n_feat, cl AS pred_lang, s2 AS score_micro
+         |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
     import graft.operators.LangClassifier
     val docs = Tables.documents(s, d)
     val packed = LangClassifier.features(docs, buckets = 1024, n = 3).persist()
