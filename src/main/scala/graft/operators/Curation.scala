@@ -112,7 +112,12 @@ object Curation {
       md5(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("i"), col("seg")))),
           s => s("seg")))).as("new_md5"))
-    val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    // per-doc totals are ARITHMETIC — ceil(len(w)/k) is exactly the
+    // segment count (every doc has >= 1 token, so >= 1 segment): no
+    // second explode, no segment strings, no shuffle
+    val tot = docs.select(col("doc_id"),
+      ceil(size(TextOps.tokens(col("text"))).cast("double") / lit(k.toDouble))
+        .cast("long").as("n_segs"))
     tot
       .join(re, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),

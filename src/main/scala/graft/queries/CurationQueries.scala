@@ -529,27 +529,27 @@ object CurationQueries {
     "q_quality_classifier", {
       val iters = (1 to 8).map { i =>
         val wp = s"w${i - 1}"
-        s"""m$i AS (SELECT bg.doc_id, any_value(bg.label) AS label,
+        s"""m$i AS MATERIALIZED (SELECT bg.doc_id, any_value(bg.label) AS label,
            |    CAST(sum(w.wt) AS BIGINT) AS m
            |  FROM bg JOIN $wp w USING (b) GROUP BY bg.doc_id),
-           |r$i AS (SELECT doc_id,
+           |r$i AS MATERIALIZED (SELECT doc_id,
            |    CAST(floor((1.0 / (1.0 + exp((-(m)) / 1000000.0)) - label)
            |      * 1000000) AS BIGINT) AS r
            |  FROM m$i),
-           |g$i AS (SELECT bg.b, CAST(sum(r$i.r) AS BIGINT) AS g
+           |g$i AS MATERIALIZED (SELECT bg.b, CAST(sum(r$i.r) AS BIGINT) AS g
            |  FROM bg JOIN r$i USING (doc_id) GROUP BY bg.b),
-           |w$i AS (SELECT w.b, w.wt - CAST(floor((0.5 * ((CAST(g.g AS DOUBLE)
+           |w$i AS MATERIALIZED (SELECT w.b, w.wt - CAST(floor((0.5 * ((CAST(g.g AS DOUBLE)
            |      / 1000000.0) / (SELECT nd FROM nd))) * 1000000.0 + 0.5) AS BIGINT)
            |    AS wt
            |  FROM $wp w JOIN g$i g USING (b))""".stripMargin
       }.mkString(",\n")
       s"""WITH tw AS (SELECT doc_id, (lang = 'en')::INT AS label,
          |    string_split(text, ' ') AS w FROM documents),
-         |bg AS (SELECT doc_id, label,
+         |bg AS MATERIALIZED (SELECT doc_id, label,
          |    unnest(${Curation.bigramBucketsSql(DsirBuckets)}) AS b
          |  FROM tw WHERE len(w) >= 2),
          |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM bg),
-         |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wt FROM bg),
+         |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wt FROM bg),
          |$iters
          |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
          |  CAST(sum(w.wt) AS BIGINT) AS score_micro

@@ -508,14 +508,15 @@ object EmbeddingQueries {
     "q_semdedup",
     s"""WITH RECURSIVE $PrepSql,
        |${ivfTrainSqlCtes(c = 16, iters = 2)},
-       |cellok AS (SELECT cell FROM ivasg GROUP BY cell
+       |ivm AS MATERIALIZED (SELECT * FROM ivasg),
+       |cellok AS (SELECT cell FROM ivm GROUP BY cell
        |  HAVING count(*) <= $SemDedupCellCap),
-       |mem AS (SELECT a.vec_id, a.q, a.n, a.cell
-       |  FROM ivasg a JOIN cellok USING (cell)),
-       |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |mem AS MATERIALIZED (SELECT a.vec_id, a.q, a.n, a.cell
+       |  FROM ivm a JOIN cellok USING (cell)),
+       |pr AS MATERIALIZED (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE ${cosineQSql(dotQSql("a.q", "b.q"), "a.n", "b.n")} >= 0.4),
-       |arcs AS (SELECT vec_a AS s, vec_b AS t FROM pr
+       |arcs AS MATERIALIZED (SELECT vec_a AS s, vec_b AS t FROM pr
        |  UNION SELECT vec_b, vec_a FROM pr),
        |reach(v, r) AS (
        |  SELECT s AS v, s AS r FROM (SELECT DISTINCT s FROM arcs)

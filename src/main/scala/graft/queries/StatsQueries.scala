@@ -1019,6 +1019,590 @@ object StatsQueries {
           .otherwise(lit(null).cast("double")).as("chi2"))
   }
 
+  /** Stratified log-rank test (#418, r10): the log-rank test (#328)
+    * computed WITHIN baseline strata and pooled across them —
+    * χ² = (Σ_s(O₁ₛ−E₁ₛ))²/Σ_s Vₛ (Mantel 1966 §4; Peto & Peto
+    * 1972) — the churn A/B readout when cohorts differ on a
+    * confounder: each stratum contributes its own at-risk tables, so
+    * a covariate that shifts lifetimes but not the treatment effect
+    * no longer biases the statistic. Strata = (user_id div 2) mod 4
+    * (independent of the group bit by construction); the per-stratum
+    * machinery is #328's verbatim with one extra key: users
+    * collapse to one row, windows run over the VALUE-COLLAPSED
+    * per-stratum lifetime grid, every expectation/variance term
+    * micro-floors from exact integer products before the order-free
+    * sums. Output: one row per stratum (local O−E, V) with the
+    * pooled χ² repeated as a scalar — both the global answer and
+    * WHICH stratum drives it.
+    */
+  val qLogrankStrat = GateQuery.sql(
+    "q_logrank_strat",
+    s"""WITH u AS (SELECT user_id % 2 AS grp, (user_id // 2) % 4 AS st,
+       |    (max(xs) - min(xs)) // 86400 AS lt,
+       |    CASE WHEN max(xs) >= (SELECT max(xs) FROM $E e2) - 86400
+       |      THEN 1 ELSE 0 END AS censored
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT st, lt,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+       |    CAST(count(*) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN grp = 1 AND censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM u GROUP BY st, lt),
+       |r AS (SELECT *,
+       |    CAST(sum(a1) OVER (PARTITION BY st ORDER BY lt DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1,
+       |    CAST(sum(a) OVER (PARTITION BY st ORDER BY lt DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+       |  FROM t),
+       |g AS (SELECT st, CAST(sum(d1) AS BIGINT) AS o1,
+       |    CAST(sum((CAST(1000000 AS HUGEINT) * d * n1) // n) AS BIGINT) AS se,
+       |    CAST(sum(CASE WHEN n > 1 THEN
+       |        (CAST(1000000 AS HUGEINT) * d * n1 * (n - n1) * (n - d))
+       |          // (CAST(n AS HUGEINT) * n * (n - 1))
+       |      ELSE 0 END) AS BIGINT) AS sv
+       |  FROM r WHERE d > 0 GROUP BY st),
+       |nu AS (SELECT st, CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY st),
+       |p AS (SELECT CAST(sum(o1 * 1000000 - se) AS BIGINT) AS ome,
+       |    CAST(sum(sv) AS BIGINT) AS v FROM g)
+       |SELECT g.st AS stratum, nu.n_users, g.o1 AS deaths_1,
+       |  CAST(g.o1 * 1000000 - g.se AS BIGINT) AS o_minus_e_micro,
+       |  g.sv AS v_micro,
+       |  CASE WHEN p.v > 0 THEN
+       |    round((CAST(p.ome AS DOUBLE) / sqrt(CAST(p.v AS DOUBLE) * 1000000.0))
+       |      * (CAST(p.ome AS DOUBLE) / sqrt(CAST(p.v AS DOUBLE) * 1000000.0)), 4)
+       |      + 0.0
+       |  END AS pooled_chi2
+       |FROM g JOIN nu ON g.st = nu.st CROSS JOIN p
+       |ORDER BY stratum""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"),
+        pmod(Binning.floorDiv(col("user_id"), 2L), lit(4L)).as("st"), col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(86400L), 1L).otherwise(0L)
+          .as("censored"))
+      .persist() // feeds the lifetime grid AND the per-stratum user
+                 // counts; freed by the harness post-action
+    val t = u.groupBy(col("st"), col("lt")).agg(
+      Exact.sumUnits(when(col("grp") === 1, 1L).otherwise(0L)).cast("long").as("a1"),
+      count(lit(1)).cast("long").as("a"),
+      Exact.sumUnits(when(col("grp") === 1 && col("censored") === 0, 1L).otherwise(0L))
+        .cast("long").as("d1"),
+      Exact.sumUnits(when(col("censored") === 0, 1L).otherwise(0L)).cast("long").as("d"))
+    val wDesc = Window.partitionBy(col("st")).orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t
+      .withColumn("n1", sum(col("a1")).over(wDesc).cast("long"))
+      .withColumn("n", sum(col("a")).over(wDesc).cast("long"))
+      .filter(col("d") > 0)
+    val dD = col("d").cast("decimal(38,0)")
+    val nD = col("n").cast("decimal(38,0)")
+    val g = r.groupBy(col("st")).agg(
+      sum(col("d1")).cast("long").as("o1"),
+      sum(floorDivBig(lit(1000000L).cast("decimal(38,0)") * col("d") * col("n1"), nD))
+        .cast("long").as("se"),
+      sum(when(col("n") > 1,
+        floorDivBig(lit(1000000L).cast("decimal(38,0)") * dD * col("n1") *
+            (col("n") - col("n1")) * (col("n") - col("d")),
+          nD * col("n") * (col("n") - 1))).otherwise(lit(0L).cast("decimal(38,0)")))
+        .cast("long").as("sv"))
+      .persist() // read by the per-stratum rows AND the pooled scalar
+    val nu = u.groupBy(col("st")).agg(count(lit(1)).cast("long").as("n_users"))
+    val p = g.agg(
+      sum(col("o1") * lit(1000000L) - col("se")).cast("long").as("ome"),
+      sum(col("sv")).cast("long").as("v"))
+    val zz = col("ome").cast("double") / sqrt(col("v").cast("double") * lit(1000000.0))
+    g.join(nu, "st")
+      .join(broadcast(p))
+      .select(col("st").as("stratum"), col("n_users"), col("o1").as("deaths_1"),
+        (col("o1") * lit(1000000L) - col("se")).cast("long").as("o_minus_e_micro"),
+        col("sv").as("v_micro"),
+        when(col("v") > 0, round(zz * zz, 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("pooled_chi2"))
+      .orderedSmall(col("stratum"))
+  }
+
+  /** Aalen additive-hazards estimator (#419, r10, Aalen 1989): the
+    * NONPARAMETRIC additive counterpart of Cox (#333) —
+    * h(t|x) = β₀(t) + β₁(t)·x, read through the CUMULATIVE
+    * coefficients B(t) = ∫β. With the single binary covariate
+    * x = group bit, the per-death-time least-squares increment has
+    * the closed form ΔB₀ = d₀/n₀ (baseline-group hazard) and
+    * ΔB₁ = d₁/n₁ − d₀/n₀ (the additive treatment effect) — so the
+    * whole estimator is the same value-collapsed lifetime grid as
+    * Kaplan–Meier (#187) with per-group at-risk windows and two
+    * running sums. Each group hazard micro-floors EXACTLY
+    * (nonnegative floor division) before the signed subtraction and
+    * the cumulative sum, so the curve is bit-identical on any
+    * engine/partitioning. Death times where either group's risk set
+    * is empty are singular (the 2×2 design loses rank) and
+    * contribute zero increment — flagged in the output rather than
+    * silently skipped. Same one-day censoring horizon as #418 (the
+    * 7-day convention empties the death grid on this corpus).
+    */
+  val qAalen = GateQuery.sql(
+    "q_aalen",
+    s"""WITH u AS (SELECT user_id % 2 AS grp,
+       |    (max(xs) - min(xs)) // 86400 AS lt,
+       |    CASE WHEN max(xs) >= (SELECT max(xs) FROM $E e2) - 86400
+       |      THEN 1 ELSE 0 END AS censored
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT lt,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+       |    CAST(sum(CASE WHEN grp = 0 AND censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+       |    CAST(sum(CASE WHEN grp = 1 AND censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+       |  FROM u GROUP BY lt),
+       |r AS (SELECT *,
+       |    CAST(sum(a0) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n0,
+       |    CAST(sum(a1) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+       |  FROM t),
+       |i AS (SELECT lt, n0, n1, d0, d1,
+       |    CASE WHEN n0 > 0 AND n1 > 0 THEN (d0 * 1000000) // n0 ELSE 0 END AS db0,
+       |    CASE WHEN n0 > 0 AND n1 > 0
+       |      THEN (d1 * 1000000) // n1 - (d0 * 1000000) // n0 ELSE 0 END AS db1,
+       |    CASE WHEN n0 = 0 OR n1 = 0 THEN 1 ELSE 0 END AS singular
+       |  FROM r WHERE d0 + d1 > 0),
+       |c AS (SELECT *,
+       |    CAST(sum(db0) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS b0,
+       |    CAST(sum(db1) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS b1
+       |  FROM i)
+       |SELECT lt AS t_days, n0 AS n_risk_0, n1 AS n_risk_1,
+       |  d0 AS deaths_0, d1 AS deaths_1,
+       |  b0 AS cum_b0_micro, b1 AS cum_b1_micro,
+       |  CAST(singular AS BIGINT) AS singular
+       |FROM c ORDER BY t_days""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"), col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(86400L), 1L).otherwise(0L)
+          .as("censored"))
+    val t = u.groupBy(col("lt")).agg(
+      Exact.sumUnits(when(col("grp") === 0, 1L).otherwise(0L)).cast("long").as("a0"),
+      Exact.sumUnits(when(col("grp") === 1, 1L).otherwise(0L)).cast("long").as("a1"),
+      Exact.sumUnits(when(col("grp") === 0 && col("censored") === 0, 1L).otherwise(0L))
+        .cast("long").as("d0"),
+      Exact.sumUnits(when(col("grp") === 1 && col("censored") === 0, 1L).otherwise(0L))
+        .cast("long").as("d1"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("lt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t
+      .withColumn("n0", sum(col("a0")).over(wDesc).cast("long"))
+      .withColumn("n1", sum(col("a1")).over(wDesc).cast("long"))
+      .filter(col("d0") + col("d1") > 0)
+    val ok = col("n0") > 0 && col("n1") > 0
+    val i = r.select(col("lt"), col("n0"), col("n1"), col("d0"), col("d1"),
+      when(ok, Binning.floorDivCol(col("d0") * lit(1000000L), col("n0")))
+        .otherwise(lit(0L)).as("db0"),
+      when(ok, Binning.floorDivCol(col("d1") * lit(1000000L), col("n1"))
+          - Binning.floorDivCol(col("d0") * lit(1000000L), col("n0")))
+        .otherwise(lit(0L)).as("db1"),
+      when(col("n0") === 0 || col("n1") === 0, 1L).otherwise(0L).as("singular"))
+    i.withColumn("b0", sum(col("db0")).over(wAsc).cast("long"))
+      .withColumn("b1", sum(col("db1")).over(wAsc).cast("long"))
+      .select(col("lt").as("t_days"), col("n0").as("n_risk_0"),
+        col("n1").as("n_risk_1"), col("d0").as("deaths_0"), col("d1").as("deaths_1"),
+        col("b0").as("cum_b0_micro"), col("b1").as("cum_b1_micro"),
+        col("singular").cast("long").as("singular"))
+      .orderedSmall(col("t_days"))
+  }
+
+  /** Schoenfeld-residual PH-trend test (#422, r10, Schoenfeld 1982 /
+    * Grambsch & Therneau 1994): does the Cox gate's (#415) hazard
+    * ratio DRIFT with time — the proportional-hazards assumption
+    * check every Cox fit owes its reader. At β = 0 the per-death-
+    * time Schoenfeld residual for the binary covariate is exactly
+    * the log-rank increment dx − d·n₁/n (micro-floored integers from
+    * the same risk-set windows as #415), and the trend test is the
+    * Pearson correlation of those residuals against the death-time
+    * RANK: r drifting positive means the covariate's hazard grows
+    * with time (PH violated). All five moment sums are exact
+    * decimal-lifted integers over the value-collapsed death grid; r
+    * and z = r·√(m−2)/√(1−r²) are mirrored doubles.
+    */
+  val qSchoenfeld = GateQuery.sql(
+    "q_schoenfeld",
+    s"""WITH f AS (SELECT user_id, min(xs) AS fx, max(xs) AS lx,
+       |    min(CASE WHEN event_type = 'purchase' AND ${centsSql("vd")} >= 9000
+       |      THEN xs END) AS px,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nclick,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nview
+       |  FROM $E e GROUP BY user_id),
+       |u AS (SELECT (coalesce(px, lx) - fx) // 86400 AS lt,
+       |    CASE WHEN px IS NULL THEN 1 ELSE 0 END AS censored,
+       |    CASE WHEN nclick > nview THEN 1 ELSE 0 END AS x
+       |  FROM f),
+       |t AS (SELECT lt, CAST(sum(1 - censored) AS BIGINT) AS d,
+       |    CAST(sum((1 - censored) * x) AS BIGINT) AS dx,
+       |    CAST(count(*) AS BIGINT) AS n_at, CAST(sum(x) AS BIGINT) AS n_at1
+       |  FROM u GROUP BY lt),
+       |r AS (SELECT *,
+       |    CAST(sum(n_at) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nr,
+       |    CAST(sum(n_at1) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+       |  FROM t),
+       |dts AS (SELECT lt,
+       |    CAST(dx * 1000000 - (d * n1 * 1000000) // nr AS BIGINT) AS res,
+       |    CAST(row_number() OVER (ORDER BY lt) AS BIGINT) AS i
+       |  FROM r WHERE d > 0),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(i) AS HUGEINT) AS si,
+       |    CAST(sum(CAST(i AS HUGEINT) * i) AS HUGEINT) AS sii,
+       |    CAST(sum(res) AS HUGEINT) AS sr,
+       |    CAST(sum(CAST(res AS HUGEINT) * res) AS HUGEINT) AS srr,
+       |    CAST(sum(CAST(i AS HUGEINT) * res) AS HUGEINT) AS sir
+       |  FROM dts)
+       |SELECT m AS n_death_times, CAST(sr AS BIGINT) AS sum_resid_micro,
+       |  CASE WHEN m > 2 AND m * sii - si * si > 0 AND m * srr - sr * sr > 0 THEN
+       |    round(CAST(m * sir - si * sr AS DOUBLE)
+       |      / (sqrt(CAST(m * sii - si * si AS DOUBLE))
+       |        * sqrt(CAST(m * srr - sr * sr AS DOUBLE))), 6) + 0.0
+       |  END AS trend_corr
+       |FROM m""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val u = e.groupBy(col("user_id"))
+      .agg(min(col("xs")).as("fx"), max(col("xs")).as("lx"),
+        min(when(col("event_type") === "purchase" &&
+          Exact.cents(col("vd")) >= 9000L, col("xs"))).as("px"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nclick"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nview"))
+      .select(
+        Binning.floorDiv(coalesce(col("px"), col("lx")) - col("fx"), 86400L).as("lt"),
+        when(col("px").isNull, 1L).otherwise(0L).as("censored"),
+        when(col("nclick") > col("nview"), 1L).otherwise(0L).as("x"))
+    val t = u.groupBy(col("lt"))
+      .agg(Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d"),
+        Exact.sumUnits((lit(1L) - col("censored")) * col("x")).cast("long").as("dx"),
+        count(lit(1)).cast("long").as("n_at"),
+        Exact.sumUnits(col("x")).cast("long").as("n_at1"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t
+      .withColumn("nr", sum(col("n_at")).over(wDesc).cast("long"))
+      .withColumn("n1", sum(col("n_at1")).over(wDesc).cast("long"))
+      .filter(col("d") > 0)
+    val dts = r.select(
+        (col("dx") * lit(1000000L) -
+          Binning.floorDivCol(col("d") * col("n1") * lit(1000000L), col("nr")))
+          .cast("long").as("res"),
+        row_number().over(Window.orderBy(col("lt"))).cast("long").as("i"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val m = dts.agg(count(lit(1)).cast("long").as("m"),
+      sum(dec(col("i"))).cast("decimal(38,0)").as("si"),
+      sum(dec(col("i")) * col("i")).cast("decimal(38,0)").as("sii"),
+      sum(dec(col("res"))).cast("decimal(38,0)").as("sr"),
+      sum(dec(col("res")) * col("res")).cast("decimal(38,0)").as("srr"),
+      sum(dec(col("i")) * col("res")).cast("decimal(38,0)").as("sir"))
+    val md = col("m").cast("decimal(38,0)")
+    val vi = md * col("sii") - col("si") * col("si")
+    val vr = md * col("srr") - col("sr") * col("sr")
+    val cov = md * col("sir") - col("si") * col("sr")
+    m.select(col("m").as("n_death_times"),
+      col("sr").cast("long").as("sum_resid_micro"),
+      when(col("m") > 2 && vi > 0 && vr > 0,
+        round(cov.cast("double") / (sqrt(vi.cast("double")) * sqrt(vr.cast("double"))), 6)
+          + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("trend_corr"))
+  }
+
+  /** Restricted mean survival time (#423, r10, Royston & Parmar
+    * 2013): RMST(τ) = ∫₀^τ S(t)dt per cohort arm — the
+    * model-free "days of life gained" number a hazard ratio cannot
+    * give (it stays meaningful when PH fails, which #422 tests).
+    * Built on #187's machinery per arm: the KM curve is carried in
+    * micro-nats, each step's survival level micro-floors through
+    * ONE mirrored exp (the microLn convention in reverse), and the
+    * area is an exact integer sum of level·Δday rectangles up to
+    * τ = 21 days, including the tail rectangle from the last death
+    * to τ. Same 1-day censoring horizon as #418/#419.
+    */
+  val qRmst = GateQuery.sql(
+    "q_rmst", {
+      val tau = 21L
+      s"""WITH u AS (SELECT user_id % 2 AS grp,
+         |    (max(xs) - min(xs)) // 86400 AS lt,
+         |    CASE WHEN max(xs) >= (SELECT max(xs) FROM $E e2) - 86400
+         |      THEN 1 ELSE 0 END AS censored
+         |  FROM $E e GROUP BY user_id),
+         |t AS (SELECT grp, lt, count(*) AS n_at,
+         |    CAST(sum(1 - censored) AS BIGINT) AS d
+         |  FROM u GROUP BY grp, lt),
+         |r AS (SELECT *,
+         |    CAST(sum(n_at) OVER (PARTITION BY grp ORDER BY lt DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+         |  FROM t),
+         |dt AS (SELECT grp, lt, d, n_risk,
+         |    CAST(sum(CASE WHEN d > 0 AND d < n_risk THEN
+         |        ${Curation.microLnSql("CAST(n_risk - d AS DOUBLE) / n_risk")}
+         |      ELSE 0 END) OVER (PARTITION BY grp ORDER BY lt
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln,
+         |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY grp ORDER BY lt ROWS UNBOUNDED PRECEDING) AS died
+         |  FROM r WHERE d > 0),
+         |seg AS (SELECT grp, lt, cum_ln, died,
+         |    coalesce(lag(lt) OVER w, 0) AS t_prev,
+         |    coalesce(lag(cum_ln) OVER w, 0) AS ln_prev,
+         |    coalesce(lag(died) OVER w, 0) AS died_prev,
+         |    row_number() OVER (PARTITION BY grp ORDER BY lt DESC) AS rdesc
+         |  FROM dt WHERE lt <= $tau
+         |  WINDOW w AS (PARTITION BY grp ORDER BY lt)),
+         |ar AS (SELECT grp,
+         |    CAST(sum(CASE WHEN died_prev = 1 THEN 0 ELSE
+         |        CAST(floor(exp(CAST(ln_prev AS DOUBLE) / 1000000.0) * 1000000)
+         |          AS BIGINT) * (lt - t_prev) END) AS BIGINT) AS area_mid,
+         |    CAST(sum(CASE WHEN rdesc = 1 THEN CASE WHEN died = 1 THEN 0 ELSE
+         |        CAST(floor(exp(CAST(cum_ln AS DOUBLE) / 1000000.0) * 1000000)
+         |          AS BIGINT) * ($tau - lt) END ELSE 0 END) AS BIGINT) AS area_tail,
+         |    CAST(count(*) AS BIGINT) AS n_death_times
+         |  FROM seg GROUP BY grp),
+         |nu AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(1 - censored) AS BIGINT) AS n_deaths FROM u GROUP BY grp)
+         |SELECT nu.grp, nu.n_users, nu.n_deaths, CAST($tau AS BIGINT) AS tau_days,
+         |  coalesce(ar.area_mid, 0) + coalesce(ar.area_tail, 0)
+         |    + CASE WHEN ar.grp IS NULL THEN 1000000 * $tau ELSE 0 END
+         |    AS rmst_micro_days
+         |FROM nu LEFT JOIN ar ON nu.grp = ar.grp
+         |ORDER BY nu.grp""".stripMargin
+    }) { (s, d) =>
+    val tau = 21L
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(pmod(col("user_id"), lit(2L)).as("grp"), col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(86400L), 1L).otherwise(0L)
+          .as("censored"))
+      .persist() // feeds the day grid AND per-arm totals
+    val t = u.groupBy(col("grp"), col("lt"))
+      .agg(count(lit(1)).as("n_at"),
+        Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d"))
+    val wDesc = Window.partitionBy(col("grp")).orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy(col("grp")).orderBy(col("lt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("grp")).orderBy(col("lt"))
+    val r = t.withColumn("n_risk", sum(col("n_at")).over(wDesc).cast("long"))
+    val dt = r.filter(col("d") > 0)
+      .withColumn("cum_ln",
+        sum(when(col("d") > 0 && col("d") < col("n_risk"),
+          Curation.microLn((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0L))).over(wAsc).cast("long"))
+      .withColumn("died",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
+    val seg = dt.filter(col("lt") <= tau)
+      .withColumn("t_prev", coalesce(lag(col("lt"), 1).over(wLag), lit(0L)))
+      .withColumn("ln_prev", coalesce(lag(col("cum_ln"), 1).over(wLag), lit(0L)))
+      .withColumn("died_prev", coalesce(lag(col("died"), 1).over(wLag), lit(0)))
+      .withColumn("rdesc", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("lt").desc)))
+    def sMicro(ln: Column) =
+      floor(exp(ln.cast("double") / lit(1000000.0)) * lit(1000000)).cast("long")
+    val ar = seg.groupBy(col("grp")).agg(
+      sum(when(col("died_prev") === 1, 0L)
+        .otherwise(sMicro(col("ln_prev")) * (col("lt") - col("t_prev"))))
+        .cast("long").as("area_mid"),
+      sum(when(col("rdesc") === 1,
+          when(col("died") === 1, 0L)
+            .otherwise(sMicro(col("cum_ln")) * (lit(tau) - col("lt"))))
+        .otherwise(lit(0L))).cast("long").as("area_tail"),
+      count(lit(1)).cast("long").as("n_death_times"))
+    val nu = u.groupBy(col("grp")).agg(count(lit(1)).cast("long").as("n_users"),
+      Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("n_deaths"))
+    nu.join(ar.withColumnRenamed("grp", "agrp"),
+        col("grp") === col("agrp"), "left")
+      .select(col("grp"), col("n_users"), col("n_deaths"),
+        lit(tau).as("tau_days"),
+        (coalesce(col("area_mid"), lit(0L)) + coalesce(col("area_tail"), lit(0L)) +
+          when(col("agrp").isNull, lit(1000000L * tau)).otherwise(lit(0L)))
+          .as("rmst_micro_days"))
+      .orderedSmall(col("grp"))
+  }
+
+  /** Aalen–Johansen cumulative incidence (#424, r10, Aalen & Johansen
+    * 1978): competing-risks decomposition of churn — each death is
+    * CLASSIFIED by the user's final event type, and the cumulative
+    * incidence of cause k is CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ₋)·d_k(tᵢ)/n(tᵢ)
+    * with S the ALL-CAUSE Kaplan–Meier. 1 − Σ_k CIF_k(∞) = S(∞) —
+    * the decomposition naive per-cause KM curves get wrong (they
+    * treat competing deaths as censoring and overestimate every
+    * cause). Machinery: #187's all-cause micro-nat curve, lagged one
+    * death time, one mirrored exp to the survival level, then the
+    * per-cause increment (S_micro · d_k) div n — exact integers —
+    * accumulated per cause. Output: final CIF per cause (bounded by
+    * the event-type domain).
+    */
+  val qCumIncidence = GateQuery.sql(
+    "q_cum_incidence",
+    s"""WITH last AS (SELECT user_id, event_type AS cause FROM (
+       |    SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM $E e) WHERE rn = 1),
+       |u AS (SELECT e.user_id,
+       |    (max(e.xs) - min(e.xs)) // 86400 AS lt,
+       |    CASE WHEN max(e.xs) >= (SELECT max(xs) FROM $E e2) - 86400
+       |      THEN 1 ELSE 0 END AS censored,
+       |    any_value(l.cause) AS cause
+       |  FROM $E e JOIN last l ON e.user_id = l.user_id GROUP BY e.user_id),
+       |t AS (SELECT lt, count(*) AS n_at,
+       |    CAST(sum(1 - censored) AS BIGINT) AS d
+       |  FROM u GROUP BY lt),
+       |r AS (SELECT *,
+       |    CAST(sum(n_at) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS n_risk
+       |  FROM t),
+       |dt AS (SELECT lt, d, n_risk,
+       |    CAST(sum(CASE WHEN d > 0 AND d < n_risk THEN
+       |        ${Curation.microLnSql("CAST(n_risk - d AS DOUBLE) / n_risk")}
+       |      ELSE 0 END) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ln
+       |  FROM r WHERE d > 0),
+       |sl AS (SELECT lt, n_risk,
+       |    CAST(floor(exp(CAST(coalesce(lag(cum_ln) OVER (ORDER BY lt), 0) AS DOUBLE)
+       |      / 1000000.0) * 1000000) AS BIGINT) AS s_prev
+       |  FROM dt),
+       |dk AS (SELECT lt, cause, CAST(sum(1 - censored) AS BIGINT) AS d_k
+       |  FROM u GROUP BY lt, cause HAVING sum(1 - censored) > 0)
+       |SELECT dk.cause, CAST(sum(dk.d_k) AS BIGINT) AS n_deaths,
+       |  CAST(sum((sl.s_prev * dk.d_k) // sl.n_risk) AS BIGINT) AS cif_micro
+       |FROM dk JOIN sl ON dk.lt = sl.lt
+       |GROUP BY dk.cause ORDER BY dk.cause""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val last = e.groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("cause"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .join(last, "user_id")
+      .select(col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(86400L), 1L).otherwise(0L)
+          .as("censored"),
+        col("cause"))
+      .persist() // feeds the all-cause grid AND the per-cause deaths
+    val t = u.groupBy(col("lt"))
+      .agg(count(lit(1)).as("n_at"),
+        Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("lt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = t.withColumn("n_risk", sum(col("n_at")).over(wDesc).cast("long"))
+    val dt = r.filter(col("d") > 0)
+      .withColumn("cum_ln",
+        sum(when(col("d") > 0 && col("d") < col("n_risk"),
+          Curation.microLn((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0L))).over(wAsc).cast("long"))
+    val sl = dt.select(col("lt"), col("n_risk"),
+      floor(exp(coalesce(lag(col("cum_ln"), 1).over(Window.orderBy(col("lt"))), lit(0L))
+        .cast("double") / lit(1000000.0)) * lit(1000000)).cast("long").as("s_prev"))
+    val dk = u.groupBy(col("lt"), col("cause"))
+      .agg(Exact.sumUnits(lit(1L) - col("censored")).cast("long").as("d_k"))
+      .filter(col("d_k") > 0)
+    dk.join(sl, "lt")
+      .groupBy(col("cause"))
+      .agg(sum(col("d_k")).cast("long").as("n_deaths"),
+        sum(Binning.floorDivCol(col("s_prev") * col("d_k"), col("n_risk")))
+          .cast("long").as("cif_micro"))
+      .orderedSmall(col("cause"))
+  }
+
+  /** Proportional-odds ordinal regression (#420, r10, McCullagh
+    * 1980): cumulative-logit model P(Y ≤ j|x) = σ(θ_j − βx) of the
+    * ordered per-user spend tier against the cohort bit, fit by FULL
+    * Newton (analytic gradient + Hessian, deterministic step
+    * halving) — the ordinal-outcome regression none of the binary
+    * (#96 logistic) or continuous (#9 linreg) fits cover. The corpus
+    * value-collapses to the (x, tier) contingency cells (≤ 8 rows —
+    * the Platt sufficient-statistic discipline); the fit is driver
+    * flops on that table; spend tiers use FIXED cent thresholds so
+    * the outcome definition is engine- and scale-independent.
+    * Rows-only (iterative fit family); closed-form 2×2 reduction,
+    * monotone cutpoints and determinism pinned in OrdinalSpec.
+    */
+  val qPropOdds = GateQuery.rowsOnly("q_prop_odds") { (s, d) =>
+    import graft.operators.Ordinal
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("t"))
+      .select(pmod(col("user_id"), lit(2L)).as("x"),
+        when(col("t") < 290000L, 0)
+          .when(col("t") < 330000L, 1)
+          .when(col("t") < 365000L, 2)
+          .otherwise(3).as("y"))
+    val cells = u.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(c => (c._1, c._2))
+    val fit = Ordinal.fitPropOdds(cells, iters = 30)
+    val jm = fit.theta.length
+    val out = for {
+      x <- Seq(0, 1)
+      j <- 0 until jm
+    } yield {
+      val nLe = cells.filter(c => c._1 == x && c._2 <= j).map(_._3).sum
+      val nX = cells.filter(_._1 == x).map(_._3).sum
+      val pLe = 1.0 / (1.0 + math.exp(-(fit.theta(j) - fit.beta * x)))
+      (x.toLong, j.toLong, nX, nLe,
+        math.floor(fit.theta(j) * 1e6).toLong,
+        math.floor(fit.beta * 1e6).toLong,
+        math.floor(pLe * 1e6).toLong)
+    }
+    import s.implicits._
+    out.toDF("x", "cut_j", "n_x", "n_le", "theta_micro", "beta_micro", "p_le_micro")
+      .orderedSmall(col("x"), col("cut_j"))
+  }
+
+  /** Turnbull interval-censored survival NPMLE (#421, r10, Turnbull
+    * 1976): user lifetimes observed only to a WEEKLY inspection grid
+    * — a death at day t is known only as t ∈ (7·(t div 7),
+    * 7·(t div 7) + 7], still-active users are right-censored at
+    * (lt, ∞) — and the nonparametric MLE places mass on the
+    * innermost Turnbull intervals via the classic EM
+    * ([[graft.operators.Turnbull]]). The estimator Kaplan–Meier
+    * (#187) is NOT: KM on interval-censored data needs an arbitrary
+    * within-interval death-day convention; the NPMLE does not.
+    * Observations value-collapse to ((l, r), count) cells — bounded
+    * by the inspection grid², never users — and only those cross to
+    * the driver (fixed 100 EM iterations, sorted-order loops).
+    * Rows-only (EM fit family); KM reduction on exact data,
+    * mass-sums-to-one and determinism pinned in TurnbullSpec.
+    */
+  val qTurnbull = GateQuery.rowsOnly("q_turnbull") { (s, d) =>
+    import graft.operators.Turnbull
+    val e = ev(s, d)
+    val mx = e.agg(max(col("xs")).as("mxs"))
+    val u = e.groupBy(col("user_id"))
+      .agg(Binning.floorDiv(max(col("xs")) - min(col("xs")), 86400L).as("lt"),
+        max(col("xs")).as("last_xs"))
+      .join(broadcast(mx))
+      .select(col("lt"),
+        when(col("last_xs") >= col("mxs") - lit(86400L), 1L).otherwise(0L)
+          .as("censored"))
+    val cells = u
+      .select(
+        when(col("censored") === 1, col("lt"))
+          .otherwise(Binning.floorDiv(col("lt"), 7L) * 7).as("l"),
+        when(col("censored") === 1, lit(Turnbull.Inf))
+          .otherwise(Binning.floorDiv(col("lt"), 7L) * 7 + 7).as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(c => (c._1, c._2))
+    val masses = Turnbull.npmle(cells, iters = 100)
+    import s.implicits._
+    masses.map(m => (m.q, if (m.p == Turnbull.Inf) -1L else m.p,
+        math.floor(m.s * 1e6).toLong, math.floor(m.surv * 1e6).toLong))
+      .toDF("q_day", "p_day", "mass_micro", "surv_micro")
+      .orderedSmall(col("q_day"), col("p_day"))
+  }
+
   /** Theil T index (#188): the entropy-form inequality measure that
     * DECOMPOSES across sources (unlike Gini) — T = Σ (xᵢ/S)·ln(xᵢ·n/S).
     * Each user's ln term is micro-ln quantized, the weighted sum is
@@ -4085,7 +4669,8 @@ object StatsQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qHodgesLehmann, qCoxPh,
+    qHodgesLehmann, qCoxPh, qLogrankStrat, qAalen, qPropOdds, qTurnbull,
+    qSchoenfeld, qRmst, qCumIncidence,
     qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,

@@ -218,28 +218,28 @@ object TextQueries {
           "for i in range(1, len(text) - 1)]"
       val iters = (1 to 6).map { i =>
         val wp = s"w${i - 1}"
-        s"""m$i AS (SELECT g.doc_id, any_value(g.lang) AS lang, w.cl,
+        s"""m$i AS MATERIALIZED (SELECT g.doc_id, any_value(g.lang) AS lang, w.cl,
            |    CAST(sum(w.wt) AS BIGINT) AS m
            |  FROM bgs g JOIN $wp w USING (b) GROUP BY g.doc_id, w.cl),
-           |r$i AS (SELECT doc_id, cl,
+           |r$i AS MATERIALIZED (SELECT doc_id, cl,
            |    CAST(floor((1.0 / (1.0 + exp((-(m)) / 1000000.0))
            |      - (lang = cl)::INT) * 1000000) AS BIGINT) AS r
            |  FROM m$i),
-           |g$i AS (SELECT g.b, r.cl, CAST(sum(r.r) AS BIGINT) AS gr
+           |g$i AS MATERIALIZED (SELECT g.b, r.cl, CAST(sum(r.r) AS BIGINT) AS gr
            |  FROM bgs g JOIN r$i r USING (doc_id) GROUP BY g.b, r.cl),
-           |w$i AS (SELECT w.cl, w.b, w.wt - CAST(floor((0.5 * ((CAST(g.gr AS DOUBLE)
+           |w$i AS MATERIALIZED (SELECT w.cl, w.b, w.wt - CAST(floor((0.5 * ((CAST(g.gr AS DOUBLE)
            |      / 1000000.0) / (SELECT nd FROM nd))) * 1000000.0 + 0.5) AS BIGINT)
            |    AS wt
            |  FROM $wp w JOIN g$i g ON g.b = w.b AND g.cl = w.cl)""".stripMargin
       }.mkString(",\n")
       s"""WITH tw AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
-         |bg AS (SELECT doc_id, lang, unnest($trigrams) AS b FROM tw),
+         |bg AS MATERIALIZED (SELECT doc_id, lang, unnest($trigrams) AS b FROM tw),
          |cls AS (SELECT DISTINCT lang AS cl FROM tw),
-         |smp AS (SELECT doc_id FROM tw
+         |smp AS MATERIALIZED (SELECT doc_id FROM tw
          |  WHERE ${graft.operators.Sampling.sampleByHashSql("doc_id", 25, "lidtrain")}),
-         |bgs AS (SELECT bg.* FROM bg JOIN smp USING (doc_id)),
+         |bgs AS MATERIALIZED (SELECT bg.* FROM bg JOIN smp USING (doc_id)),
          |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM bgs),
-         |w0 AS (SELECT c.cl, b.b, CAST(0 AS BIGINT) AS wt
+         |w0 AS MATERIALIZED (SELECT c.cl, b.b, CAST(0 AS BIGINT) AS wt
          |  FROM cls c CROSS JOIN (SELECT DISTINCT b FROM bgs) b),
          |$iters,
          |msc AS (SELECT bg.doc_id, c.cl,

@@ -41,6 +41,11 @@ class GateQueriesSmokeSpec extends SparkSpec {
       "q_rrf_fusion", // (n_docs, total_len) single-row stats (same as q_bm25)
     "q_reliability", // (max n_chars) bucket-bound single-row scalar
     "q_kaplan_meier", // (max xs) censoring-horizon single-row scalar
+    "q_logrank_strat", // same censoring-horizon scalar as q_kaplan_meier
+    "q_aalen", // same censoring-horizon scalar as q_kaplan_meier
+    "q_rmst", // same censoring-horizon scalar as q_kaplan_meier
+    "q_cum_incidence", // same censoring-horizon scalar as q_kaplan_meier
+    "q_turnbull", // same censoring-horizon scalar as q_kaplan_meier
     "q_nelson_aalen", // same censoring-horizon scalar as q_kaplan_meier
     "q_logrank", // same censoring-horizon scalar + (m1, m0) totals row
     "q_kendall", // calendar-bounded hourly-grid broadcast pair product (as q_w1_drift)
