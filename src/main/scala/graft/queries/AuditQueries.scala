@@ -149,6 +149,64 @@ object AuditQueries {
       .limit(20)
   }
 
+  /** Rich-club coefficient (#427, r10, Zhou & Mondragón 2004;
+    * Colizza et al. 2006): for degree thresholds k, the density
+    * φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) of the subgraph induced
+    * by nodes of degree > k on the part-co-occurrence graph — do the
+    * hub parts preferentially co-occur with EACH OTHER (φ → 1, a
+    * "rich club" of staples bought together) or only with the
+    * periphery? The structural complement of assortativity (#382:
+    * one global correlation; this: the actual hub-subgraph density
+    * profile). Raw φ only (the normalized variant needs
+    * degree-preserving random rewiring — out of the deterministic
+    * contract; documented). One degree aggregate + one per-k
+    * endpoint-degree semi-join over the shared edge snapshot;
+    * exact ppm floors.
+    */
+  val qRichClub = GateQuery.sql(
+    "q_rich_club", {
+      val ks = Seq(2, 4, 8)
+      val perK = ks.map { k =>
+        s"""SELECT $k AS k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > $k) AS n_nodes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e
+           |     JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+           |     WHERE du.deg > $k AND dv.deg > $k) AS n_edges""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |    (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         |  GROUP BY 1),
+         |pk AS ($perK)
+         |SELECT k, n_nodes, n_edges,
+         |  CASE WHEN n_nodes > 1 THEN
+         |    CAST((2 * n_edges * 1000000) // (n_nodes * (n_nodes - 1)) AS BIGINT)
+         |  END AS phi_ppm
+         |FROM pk ORDER BY k""".stripMargin
+    }) { (s, d) =>
+    val e = graft.SharedRelations.partCoEdges(s, d)
+    val deg = Graphs.degrees(e).persist() // read once per threshold
+    val perK = Seq(2, 4, 8).map { k =>
+      val rich = deg.filter(col("deg") > k).select(col("node"))
+      val nNodes = rich.agg(count(lit(1)).cast("long").as("n_nodes"))
+      val nEdges = e
+        .join(rich.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(rich.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_edges"))
+      nNodes.join(nEdges)
+        .select(lit(k).as("k"), col("n_nodes"), col("n_edges"))
+    }
+    perK.reduce(_.unionAll(_))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") > 1,
+          Binning.floorDivCol(lit(2L) * col("n_edges") * lit(1000000L),
+            col("n_nodes") * (col("n_nodes") - 1)))
+          .otherwise(lit(null).cast("long")).as("phi_ppm"))
+      .orderedSmall(col("k"))
+  }
+
   /** Degree assortativity (#382, Newman 2002): Pearson correlation
     * of endpoint degrees over the symmetric edge list of the same
     * part-co-occurrence graph as #247 — do hub parts co-occur with
@@ -2445,7 +2503,7 @@ object AuditQueries {
   }
 
   val all: Seq[GateQuery] = Seq(
-    qTriangles, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qSenSlope, qLevene, qJsd, qSimpson,
+    qTriangles, qRichClub, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qSenSlope, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
     qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,

@@ -103,6 +103,98 @@ object EmbeddingQueries {
     else bucketRelWithPayload(e)
   }
 
+  /** ANN hubness audit (#428, r10, Radovanović et al. 2010): the
+    * k-occurrence distribution — how often each vector appears in
+    * OTHER vectors' top-5 neighbor lists — over a deterministic 25%
+    * query sample (vec_id mod 4 = 0). High-dimensional embedding
+    * spaces grow HUBS (a few points in everyone's neighbor list)
+    * and anti-hubs (never retrieved); positive k-occurrence skewness
+    * is THE diagnostic that nearest-neighbor semantics are degrading
+    * and an ANN index (#27/#38) will concentrate load. Output: the
+    * top-10 hubs with the corpus-wide skewness
+    * g₁ = m₃/m₂^{3/2} repeated as a scalar (exact integer moment
+    * sums over ALL vectors including zero-occurrence ones; one
+    * mirrored double). The query×corpus pass is the
+    * q_knn_bruteforce broadcast shape at 25% query mass.
+    */
+  val qHubness = GateQuery.sql(
+    "q_hubness",
+    s"""WITH $PrepSql,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en
+       |  WHERE vec_id % 4 = 0),
+       |p AS (SELECT query_id, c.vec_id,
+       |    ${cosineQSql(dotQSql("qq", "c.q"), "nq", "c.n")} AS c
+       |  FROM en c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+       |top AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, vec_id) AS rn FROM p) WHERE rn <= 5),
+       |occ AS (SELECT en.vec_id, CAST(count(top.query_id) AS BIGINT) AS o
+       |  FROM en LEFT JOIN top ON en.vec_id = top.vec_id GROUP BY en.vec_id),
+       |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(o) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(o AS HUGEINT) * o) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(o AS HUGEINT) * o * o) AS HUGEINT) AS s3
+       |  FROM occ),
+       |sk AS (SELECT n,
+       |    CASE WHEN n * s2 - s1 * s1 > 0 THEN
+       |      round((CAST(n AS DOUBLE) * n * CAST(s3 AS DOUBLE)
+       |           - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |           + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |        / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |               * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       |               * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6) + 0.0
+       |    END AS skew_g1
+       |  FROM mo),
+       |hub AS (SELECT vec_id, o, row_number() OVER (ORDER BY o DESC, vec_id) AS rnk
+       |  FROM occ)
+       |SELECT CAST(hub.rnk AS BIGINT) AS rank, hub.vec_id, hub.o AS k_occurrence,
+       |  sk.n AS n_vectors, sk.skew_g1
+       |FROM hub, sk WHERE hub.rnk <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
+    val e = prep(s, d)
+    val qs = broadcast(e.filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")))
+    val p = e.crossJoin(qs)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.cosineQ(graft.expressions.VectorExpressions.dotQ(col("qq"), col("q")),
+          col("nq"), col("n")).as("c"))
+    val top = Relational.topKPerGroupSalted(p, Seq(col("query_id")),
+        Seq(col("c").desc, col("vec_id")), 5, col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val occ = e.select(col("vec_id"))
+      .join(top, Seq("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(col("query_id")).cast("long").as("o"))
+      .persist() // moments AND the hub ranking read it
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val mo = occ.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("o")).cast("decimal(38,0)").as("s1"),
+      sum(dec(col("o")) * col("o")).cast("decimal(38,0)").as("s2"),
+      sum(dec(col("o")) * col("o") * col("o")).cast("decimal(38,0)").as("s3"))
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val s3D = col("s3").cast("double")
+    val varTerm = nD * s2D - s1D * s1D
+    val sk = mo.select(col("n"),
+      when(dec(col("n")) * col("s2") - col("s1") * col("s1") > 0,
+        round((nD * nD * s3D - lit(3.0) * nD * s1D * s2D +
+            lit(2.0) * s1D * s1D * s1D) /
+          sqrt(varTerm * varTerm * varTerm), 6) + lit(0.0))
+        .otherwise(lit(null).cast("double")).as("skew_g1"))
+    val hub = occ
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("o").desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+    hub.join(broadcast(sk))
+      .select(col("rnk").cast("long").as("rank"), col("vec_id"),
+        col("o").as("k_occurrence"), col("n").as("n_vectors"), col("skew_g1"))
+      .orderedSmall(col("rank"))
+  }
+
   val qEmbedNearDup = GateQuery.sql(
     "q_embed_neardup",
     s"""WITH $PrepSql,
@@ -981,5 +1073,5 @@ object EmbeddingQueries {
     qKnnBruteForce, qEmbedNearDup, qKnnLsh, qRoiSum, qDarkSubtract,
     qHklTransform, qHklInverse, qArrayRebin, qDarkStack, qArrayDespike,
     qKnnIvf, qSemDedup, qKnnPq, qContrastivePairs, qKnnIvfPq, qMatryoshka,
-    qAnnRecallCurve, qMutualNn, qEmbedIsotropy)
+    qAnnRecallCurve, qMutualNn, qEmbedIsotropy, qHubness)
 }

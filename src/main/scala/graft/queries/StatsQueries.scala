@@ -1515,6 +1515,161 @@ object StatsQueries {
       .orderedSmall(col("cause"))
   }
 
+  /** Cochran–Mantel–Haenszel test + MH common odds ratio (#425, r10,
+    * Mantel & Haenszel 1959; Cochran 1954): stratified 2×2
+    * association — does the cohort bit predict "ever purchased"
+    * AFTER controlling for the #418 strata? χ²_CMH =
+    * (Σ(aₛ−Eₛ))²/ΣVₛ with the hypergeometric Vₛ, and the
+    * Mantel–Haenszel common OR = Σ(aₛdₛ/nₛ) / Σ(bₛcₛ/nₛ) — the
+    * pooled effect estimate stratification-safe where the crude OR
+    * is Simpson-paradox-prone. Every E/V/OR term micro-floors from
+    * exact integer products before the order-free sums (no
+    * continuity correction — documented); one row per stratum with
+    * the pooled statistics repeated (the #418 convention).
+    */
+  val qCmh = GateQuery.sql(
+    "q_cmh",
+    s"""WITH u AS (SELECT user_id % 2 AS x, (user_id // 2) % 4 AS st,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+       |      THEN 1 ELSE 0 END AS out
+       |  FROM $E e GROUP BY user_id),
+       |t AS (SELECT st,
+       |    CAST(sum(CASE WHEN x = 1 AND out = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN x = 1 AND out = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN x = 0 AND out = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN x = 0 AND out = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM u GROUP BY st),
+       |m AS (SELECT st, a, b, c, d, a + b + c + d AS n,
+       |    ((a + b) * (a + c) * 1000000) // (a + b + c + d) AS e_micro,
+       |    CASE WHEN a + b + c + d > 1 THEN
+       |      (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) * 1000000)
+       |        // (CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
+       |            * (a + b + c + d - 1)) ELSE 0 END AS v_micro,
+       |    (a * d * 1000000) // (a + b + c + d) AS ad_micro,
+       |    (b * c * 1000000) // (a + b + c + d) AS bc_micro
+       |  FROM t WHERE a + b + c + d > 0),
+       |p AS (SELECT CAST(sum(a * 1000000 - e_micro) AS BIGINT) AS ome,
+       |    CAST(sum(v_micro) AS BIGINT) AS v,
+       |    CAST(sum(ad_micro) AS BIGINT) AS sad,
+       |    CAST(sum(bc_micro) AS BIGINT) AS sbc
+       |  FROM m)
+       |SELECT m.st AS stratum, m.a, m.b, m.c, m.d,
+       |  CAST(m.a * 1000000 - m.e_micro AS BIGINT) AS a_minus_e_micro,
+       |  CASE WHEN p.v > 0 THEN
+       |    round((CAST(p.ome AS DOUBLE) / sqrt(CAST(p.v AS DOUBLE) * 1000000.0))
+       |      * (CAST(p.ome AS DOUBLE) / sqrt(CAST(p.v AS DOUBLE) * 1000000.0)), 4)
+       |      + 0.0 END AS cmh_chi2,
+       |  CASE WHEN p.sbc > 0 THEN
+       |    CAST((CAST(p.sad AS HUGEINT) * 1000000) // p.sbc AS BIGINT)
+       |  END AS or_mh_micro
+       |FROM m, p ORDER BY stratum""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(Exact.sumUnits(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .cast("long").as("np"))
+      .select(pmod(col("user_id"), lit(2L)).as("x"),
+        pmod(Binning.floorDiv(col("user_id"), 2L), lit(4L)).as("st"),
+        when(col("np") > 0, 1L).otherwise(0L).as("out"))
+    val t = u.groupBy(col("st")).agg(
+      Exact.sumUnits(when(col("x") === 1 && col("out") === 1, 1L).otherwise(0L))
+        .cast("long").as("a"),
+      Exact.sumUnits(when(col("x") === 1 && col("out") === 0, 1L).otherwise(0L))
+        .cast("long").as("b"),
+      Exact.sumUnits(when(col("x") === 0 && col("out") === 1, 1L).otherwise(0L))
+        .cast("long").as("c"),
+      Exact.sumUnits(when(col("x") === 0 && col("out") === 0, 1L).otherwise(0L))
+        .cast("long").as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val m = t.filter(n > 0).select(col("st"), col("a"), col("b"), col("c"), col("d"),
+      Binning.floorDivCol((col("a") + col("b")) * (col("a") + col("c")) * lit(1000000L), n)
+        .as("e_micro"),
+      when(n > 1, floorDivBig(
+          dec(col("a") + col("b")) * (col("c") + col("d")) *
+            (col("a") + col("c")) * (col("b") + col("d")) * lit(1000000L),
+          dec(n) * n * (n - 1)).cast("long"))
+        .otherwise(lit(0L)).as("v_micro"),
+      Binning.floorDivCol(col("a") * col("d") * lit(1000000L), n).as("ad_micro"),
+      Binning.floorDivCol(col("b") * col("c") * lit(1000000L), n).as("bc_micro"))
+      .persist() // per-stratum rows AND the pooled scalar read it
+    val p = m.agg(
+      sum(col("a") * lit(1000000L) - col("e_micro")).cast("long").as("ome"),
+      sum(col("v_micro")).cast("long").as("v"),
+      sum(col("ad_micro")).cast("long").as("sad"),
+      sum(col("bc_micro")).cast("long").as("sbc"))
+    val zz = col("ome").cast("double") / sqrt(col("v").cast("double") * lit(1000000.0))
+    m.join(broadcast(p))
+      .select(col("st").as("stratum"), col("a"), col("b"), col("c"), col("d"),
+        (col("a") * lit(1000000L) - col("e_micro")).cast("long").as("a_minus_e_micro"),
+        when(col("v") > 0, round(zz * zz, 4) + lit(0.0))
+          .otherwise(lit(null).cast("double")).as("cmh_chi2"),
+        when(col("sbc") > 0,
+          floorDivBig(dec(col("sad")) * lit(1000000L), dec(col("sbc"))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("or_mh_micro"))
+      .orderedSmall(col("stratum"))
+  }
+
+  /** Negative-binomial overdispersion audit (#426, r10): per event
+    * type, are per-USER event counts Poisson (variance ≈ mean) or
+    * clumped (variance ≫ mean — the regime where a Poisson model's
+    * standard errors are fiction)? The user-level companion of the
+    * TEMPORAL Fano factor (#285, hourly arrival counts): #285 reads
+    * burstiness in time, this reads heterogeneity across users, and
+    * the NB size k̂ is the number a count model actually needs.
+    * Method-of-moments on the
+    * value-collapsed per-user counts: VMR = v/m and the NB size
+    * k̂ = m²/(v−m) = S²(U−1) / (U·(UQ−S²−S(U−1))) — both derived as
+    * single exact-integer floor divisions from (U, S=Σn, Q=Σn²), no
+    * intermediate float. k̂ is NULL when v ≤ m (under/equi-dispersed
+    * — NB degenerate) by exact integer predicate.
+    */
+  val qNbDispersion = GateQuery.sql(
+    "q_nb_dispersion",
+    s"""WITH u AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM $E e GROUP BY 1, 2),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS uu,
+       |    CAST(sum(n) AS BIGINT) AS s,
+       |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS q
+       |  FROM u GROUP BY 1)
+       |SELECT event_type, uu AS n_users, s AS n_events,
+       |  (s * 1000) // uu AS mean_milli,
+       |  CASE WHEN uu > 1 THEN
+       |    CAST(((uu * q - CAST(s AS HUGEINT) * s) * 1000)
+       |      // (CAST(uu AS HUGEINT) * (uu - 1)) AS BIGINT) END AS var_milli,
+       |  CASE WHEN uu > 1 AND s > 0 THEN
+       |    CAST(((uu * q - CAST(s AS HUGEINT) * s) * 1000)
+       |      // (CAST(s AS HUGEINT) * (uu - 1)) AS BIGINT) END AS vmr_milli,
+       |  CASE WHEN uu > 1 AND uu * q - CAST(s AS HUGEINT) * s - s * CAST(uu - 1 AS HUGEINT) > 0
+       |    THEN CAST((CAST(s AS HUGEINT) * s * (uu - 1) * 1000)
+       |      // (CAST(uu AS HUGEINT)
+       |          * (uu * q - CAST(s AS HUGEINT) * s - s * CAST(uu - 1 AS HUGEINT)))
+       |      AS BIGINT) END AS nb_k_milli
+       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val a = u.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("uu"),
+      sum(col("n")).cast("long").as("s"),
+      sum(dec(col("n")) * col("n")).cast("decimal(38,0)").as("q"))
+    val uuD = dec(col("uu"))
+    val sD = dec(col("s"))
+    val num = uuD * col("q") - sD * col("s")
+    val kDen = num - sD * (col("uu") - 1)
+    a.select(col("event_type"), col("uu").as("n_users"), col("s").as("n_events"),
+        Binning.floorDivCol(col("s") * lit(1000L), col("uu")).as("mean_milli"),
+        when(col("uu") > 1,
+          floorDivBig(num * lit(1000L), uuD * (col("uu") - 1)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("var_milli"),
+        when(col("uu") > 1 && col("s") > 0,
+          floorDivBig(num * lit(1000L), sD * (col("uu") - 1)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("vmr_milli"),
+        when(col("uu") > 1 && kDen > 0,
+          floorDivBig(sD * col("s") * (col("uu") - 1) * lit(1000L), uuD * kDen)
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("nb_k_milli"))
+      .orderedSmall(col("event_type"))
+  }
+
   /** Proportional-odds ordinal regression (#420, r10, McCullagh
     * 1980): cumulative-logit model P(Y ≤ j|x) = σ(θ_j − βx) of the
     * ordered per-user spend tier against the cohort bit, fit by FULL
@@ -4670,7 +4825,7 @@ object StatsQueries {
 
   val all: Seq[GateQuery] = Seq(
     qHodgesLehmann, qCoxPh, qLogrankStrat, qAalen, qPropOdds, qTurnbull,
-    qSchoenfeld, qRmst, qCumIncidence,
+    qSchoenfeld, qRmst, qCumIncidence, qCmh, qNbDispersion,
     qChisq, qGTest, qTtest, qCohensD, qCusum, qAcf, qAvgPrecision, qNdcg, qErr, qPagerank, qGini,
     qBootstrapCi, qKaplanMeier, qNelsonAalen, qLogRank, qYuen, qTheil, qQuantileSketch, qPeriodogram, qHolt,
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,

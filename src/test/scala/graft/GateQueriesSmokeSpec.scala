@@ -102,7 +102,10 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_concurrency", // (n_sessions) single-row scalar onto the 1-row sweep agg
     "q_woe_iv", // (1+max), then (G, B) totals — two single-row scalars (as q_murphy)
     "q_fairness", // (mean events, mean spend) threshold single-row scalars
-    "q_nemenyi") // k²-bounded treatment pair product (5-row broadcast, as q_tukey)
+    "q_nemenyi", // k²-bounded treatment pair product (5-row broadcast, as q_tukey)
+    "q_cmh", // 1-row pooled chi2/OR scalar onto the 4-stratum rows
+    "q_rich_club", // per-threshold (n_nodes)⋈(n_edges) 1-row summary joins
+    "q_hubness") // brute-force query×corpus pool (as q_knn_bruteforce) + 1-row skew scalar
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
