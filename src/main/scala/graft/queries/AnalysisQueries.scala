@@ -1781,12 +1781,107 @@ object AnalysisQueries {
     * shuffles). Output: one row per non-empty medoid cell with its
     * medoid's vec_id, assigned count and HALF_UP mean micro-distance,
     * plus the sample objective before/after SWAP (the "did refinement
-    * help" diagnostic riding along as literals). Rows-only gate —
-    * the PAM fixpoint is not SQL-expressible; semantics pinned by
-    * KMedoidsSpec (planted-cluster recovery, swap-improves,
-    * determinism, k ≥ m degenerate).
+    * help" diagnostic riding along as literals). Hash-checked SQL
+    * since r10: the whole PAM search replays in the oracle — the
+    * (hash, vec_id)-ordered 400-row sample and its micro-floored
+    * integer distance matrix are plain SQL; the 7 greedy BUILD picks
+    * unroll to (nearest, gain, argmax) CTE triples with the Scala
+    * scan-order tie-breaks mirrored as `ORDER BY gain DESC, h`; and
+    * the SWAP phase is a recursive CTE whose step applies the single
+    * best strictly-improving swap (`ORDER BY delta, pos, h LIMIT 1`
+    * = the driver's first-in-scan-order strict `<`), ending exactly
+    * at the fixpoint (or the 64-swap backstop) because a round with
+    * no improving swap emits nothing. Distances are exact longs in,
+    * one IEEE sqrt + floor out — bit-identical across engines.
+    * KMedoidsSpec still pins planted-cluster recovery,
+    * swap-improves, determinism and the k ≥ m degenerate path.
     */
-  val qKmedoids = GateQuery.rowsOnly("q_kmedoids") { (s, d) =>
+  val qKmedoids = GateQuery.sql(
+    "q_kmedoids", {
+      val buildSteps = (2 to 8).map { stp =>
+        val prev = s"meds${stp - 1}"
+        s"""nr$stp AS MATERIALIZED (SELECT dm.sj AS j, min(dm.d) AS n1
+           |  FROM $prev mm JOIN dmat dm ON list_contains(mm.meds, dm.si) GROUP BY 1),
+           |gn$stp AS (SELECT dm.si AS h, sum(greatest(nr$stp.n1 - dm.d, 0)) AS gain
+           |  FROM dmat dm JOIN nr$stp ON dm.sj = nr$stp.j, $prev mm
+           |  WHERE NOT list_contains(mm.meds, dm.si) GROUP BY 1),
+           |meds$stp AS MATERIALIZED (SELECT list_append(mm.meds, g.h) AS meds
+           |  FROM $prev mm, (SELECT h FROM gn$stp ORDER BY gain DESC, h LIMIT 1) g)""".stripMargin
+      }.mkString(",\n")
+      val d2 = "list_sum([(a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1]) " +
+        "for i in range(len(a.q))])"
+      val ad2 = "list_sum([(qv.q[i+1] - m.q[i+1]) * (qv.q[i+1] - m.q[i+1]) " +
+        "for i in range(len(qv.q))])"
+      s"""WITH RECURSIVE qv AS MATERIALIZED (
+         |  SELECT vec_id, ${VectorOps.quantizeSql("embedding")} AS q FROM embeddings),
+         |smp AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY hb, vec_id) AS si, vec_id, q
+         |  FROM (SELECT vec_id, q,
+         |      ${graft.operators.TextOps.baseHashSql("concat('kmed:', CAST(vec_id AS VARCHAR))")} AS hb
+         |    FROM qv ORDER BY hb, vec_id LIMIT 400) s),
+         |dmat AS MATERIALIZED (
+         |  SELECT a.si AS si, b.si AS sj,
+         |    CASE WHEN a.si = b.si THEN 0
+         |      ELSE CAST(floor(sqrt(CAST($d2 AS DOUBLE)) * 1000000.0) AS BIGINT) END AS d
+         |  FROM smp a, smp b),
+         |meds1 AS MATERIALIZED (SELECT [t.si] AS meds FROM (
+         |    SELECT si, sum(d) AS tot FROM dmat GROUP BY 1 ORDER BY tot, si LIMIT 1) t),
+         |$buildSteps,
+         |bcost AS (SELECT CAST(sum(n1) AS BIGINT) AS build_cost FROM (
+         |    SELECT dm.sj AS j, min(dm.d) AS n1
+         |    FROM meds8 mm JOIN dmat dm ON list_contains(mm.meds, dm.si) GROUP BY 1) z),
+         |swap AS (
+         |  SELECT 0 AS r, mm.meds AS meds FROM meds8 mm
+         |  UNION ALL
+         |  SELECT st.r + 1,
+         |    [CASE WHEN i = b.pos THEN b.h ELSE st.meds[CAST(i AS INTEGER)] END
+         |      for i in range(1, 9)]
+         |  FROM swap st, LATERAL (
+         |    SELECT pos, h, delta FROM (
+         |      SELECT md2.pos, cd.h,
+         |        sum(CASE WHEN md2.dmi = nn.n1 THEN least(nn.n2, cd.dh)
+         |                 ELSE least(nn.n1, cd.dh) END - nn.n1) AS delta
+         |      FROM (
+         |        SELECT j, min(CASE WHEN rn = 1 THEN d END) AS n1,
+         |               min(CASE WHEN rn = 2 THEN d END) AS n2
+         |        FROM (
+         |          SELECT dm.sj AS j, dm.d,
+         |            row_number() OVER (PARTITION BY dm.sj ORDER BY dm.d) AS rn
+         |          FROM dmat dm WHERE list_contains(st.meds, dm.si)) w
+         |        GROUP BY 1) nn
+         |      JOIN (SELECT dm.si AS h, dm.sj AS j, dm.d AS dh FROM dmat dm
+         |        WHERE NOT list_contains(st.meds, dm.si)) cd ON nn.j = cd.j
+         |      JOIN (SELECT i AS pos, dm.sj AS j, dm.d AS dmi
+         |        FROM (SELECT unnest(range(1, 9)) AS i) ii
+         |        JOIN dmat dm ON dm.si = st.meds[CAST(ii.i AS INTEGER)]) md2
+         |        ON md2.j = nn.j
+         |      GROUP BY 1, 2) cands
+         |    WHERE delta < 0 ORDER BY delta, pos, h LIMIT 1) b
+         |  WHERE st.r < 64),
+         |fin AS MATERIALIZED (SELECT meds, r AS n_swaps FROM swap
+         |  ORDER BY r DESC LIMIT 1),
+         |fcost AS (SELECT CAST(sum(n1) AS BIGINT) AS final_cost FROM (
+         |    SELECT dm.sj AS j, min(dm.d) AS n1
+         |    FROM fin JOIN dmat dm ON list_contains(fin.meds, dm.si) GROUP BY 1) z),
+         |model AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY s.vec_id) - 1 AS cell, s.vec_id, s.q
+         |  FROM fin, smp s WHERE list_contains(fin.meds, s.si)),
+         |assign AS MATERIALIZED (
+         |  SELECT qv.vec_id, am.cell,
+         |    CAST(floor(sqrt(CAST(am.d2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS d_micro
+         |  FROM qv, LATERAL (
+         |    SELECT m.cell, CAST($ad2 AS BIGINT) AS d2
+         |    FROM model m ORDER BY d2, m.cell LIMIT 1) am)
+         |SELECT a.cell, m.vec_id AS medoid_vec_id,
+         |  CAST(count(*) AS BIGINT) AS n_assigned,
+         |  ${Exact.roundedRatioSql("sum(a.d_micro)", "count(*)", 0)} AS mean_d_micro,
+         |  bc.build_cost AS sample_build_cost_micro,
+         |  fc.final_cost AS sample_final_cost_micro,
+         |  CAST(f.n_swaps AS BIGINT) AS sample_swaps
+         |FROM assign a JOIN model m ON a.cell = m.cell, bcost bc, fcost fc, fin f
+         |GROUP BY 1, 2, 5, 6, 7
+         |ORDER BY a.cell""".stripMargin
+    }) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
       .persist()

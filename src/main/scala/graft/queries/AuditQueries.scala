@@ -1839,14 +1839,61 @@ object AuditQueries {
       .orderedSmall(col("gk"))
   }
 
-  /** K-core decomposition (#263, rows+test): sizes of the 2- and
-    * 3-cores of the part-co-occurrence graph
-    * ([[graft.operators.Graphs.kCore]] iterative peeling) — the
-    * cohesion audit next to the triangle gate. Fixpoint loops are
-    * the documented non-SQL family (recursive CTEs can't delete);
-    * the K4+pendant closed form is pinned in AuditEdgeSpec.
+  /** K-core decomposition (#263): sizes of the 2- and 3-cores of the
+    * part-co-occurrence graph ([[graft.operators.Graphs.kCore]]
+    * iterative peeling) — the cohesion audit next to the triangle
+    * gate. Hash-checked SQL since r10: the k-core is the UNIQUE
+    * maximal subgraph with min degree ≥ k regardless of peel order,
+    * so the oracle re-derives it with a strict-decrease recursive
+    * CTE (each round unnests endpoints, windows per-(k, node)
+    * degrees, and keeps an edge only when both survive; the guard
+    * `n_surv < n_cur` ends the recursion at the fixpoint). The
+    * generations are NESTED, so the final one is the max-multiplicity
+    * edge set; a one-round stability re-check distinguishes "last
+    * generation IS the core" from "core is empty" (a generation that
+    * peels to nothing emits no rows). The K4+pendant closed form
+    * stays pinned in AuditEdgeSpec.
     */
-  val qKcore = GateQuery.rowsOnly("q_kcore") { (s, d) =>
+  val qKcore = GateQuery.sql(
+    "q_kcore",
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |peel AS (
+       |  SELECT k, u, v FROM (VALUES (2), (3)) ks(k), e
+       |  UNION ALL
+       |  SELECT k, u, v FROM (
+       |    SELECT k, u, v, ok,
+       |      count(*) OVER (PARTITION BY k) AS n_cur,
+       |      sum(CASE WHEN ok THEN 1 ELSE 0 END) OVER (PARTITION BY k) AS n_surv
+       |    FROM (
+       |      SELECT k, u, v, min(dg) >= k AS ok
+       |      FROM (
+       |        SELECT k, u, v, nd, count(*) OVER (PARTITION BY k, nd) AS dg
+       |        FROM (SELECT k, u, v, unnest([u, v]) AS nd FROM peel) un
+       |      ) dgt GROUP BY k, u, v
+       |    ) okt
+       |  ) grd WHERE ok AND n_surv < n_cur),
+       |mult AS MATERIALIZED (SELECT k, u, v, count(*) AS c FROM peel GROUP BY 1, 2, 3),
+       |mx AS MATERIALIZED (SELECT k, max(c) AS mc FROM mult GROUP BY 1),
+       |lastg AS MATERIALIZED (SELECT m.k, m.u, m.v FROM mult m
+       |  JOIN mx ON m.k = mx.k AND m.c = mx.mc),
+       |chk AS MATERIALIZED (SELECT k, min(dgmin) AS worst FROM (
+       |    SELECT k, u, v, min(dg) AS dgmin FROM (
+       |      SELECT k, u, v, nd, count(*) OVER (PARTITION BY k, nd) AS dg
+       |      FROM (SELECT k, u, v, unnest([u, v]) AS nd FROM lastg) un2
+       |    ) dg2 GROUP BY 1, 2, 3) l2 GROUP BY 1),
+       |core AS MATERIALIZED (SELECT l.k, l.u, l.v FROM lastg l
+       |  JOIN chk ON l.k = chk.k WHERE chk.worst >= l.k),
+       |nn AS (SELECT k, CAST(count(DISTINCT nd) AS BIGINT) AS n_nodes
+       |  FROM (SELECT k, unnest([u, v]) AS nd FROM core) cu GROUP BY 1),
+       |ne AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges FROM core GROUP BY 1)
+       |SELECT CAST(ks.k AS BIGINT) AS k,
+       |  coalesce(nn.n_nodes, 0) AS n_nodes, coalesce(ne.n_edges, 0) AS n_edges
+       |FROM (VALUES (2), (3)) ks(k)
+       |LEFT JOIN nn ON ks.k = nn.k LEFT JOIN ne ON ks.k = ne.k
+       |ORDER BY k""".stripMargin) { (s, d) =>
     // snapshot-backed canonical edges (SharedRelations); still
     // persisted here because the peel loop re-reads them per round
     val edges = graft.SharedRelations.partCoEdges(s, d).persist()
