@@ -124,6 +124,102 @@ object Pca {
     (evals, evecs)
   }
 
+  /** DuckDB oracle prefix replaying [[scatter]] + [[jacobiEigen]]
+    * bit-identically over a `qv(vec_id, label, q)` CTE the caller
+    * must prepend (q = array<long>, constant dimension `d`): the
+    * exact HUGEINT scatter, the mean/cov double conversions in the
+    * Scala operation order, and the full cyclic-Jacobi sweep tape as
+    * a recursive CTE — one rotation per step, the two sequential
+    * update phases composed into nested per-cell formulas with
+    * IDENTICAL op order (every +,−,×,÷,sqrt is IEEE
+    * correctly-rounded on both engines, the q_holt precedent), the
+    * |apq| ≤ 1e-300 skip mirrored as a no-op carry. Defines CTEs:
+    * nn (n), mn (mean list), fin (final a, v flat row-major lists),
+    * ord (rank → original index, eigenvalue desc, ties by index),
+    * evl (sorted eigenvalue list). Cost is data-size-independent
+    * (12·d(d−1)/2 steps over d² lists) — tractable for the d = 16
+    * rebinned gate inputs, which is why the SQL-gated queries rebin
+    * 64 → 16 (the full 64-dim solve stays spec-pinned).
+    */
+  def jacobiReplaySql(d: Int, sweeps: Int = 12): String = {
+    val nd = d * d
+    val rps = d * (d - 1) / 2
+    s"""nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM qv),
+       |og AS MATERIALIZED (
+       |  SELECT idx.i AS i,
+       |    CAST(sum(CAST(q[(idx.i // $d) + 1] AS HUGEINT) * q[(idx.i % $d) + 1]) AS HUGEINT) AS o
+       |  FROM qv, (SELECT unnest(range(0, $nd)) AS i) idx GROUP BY 1),
+       |sg AS MATERIALIZED (
+       |  SELECT idx.i AS i, CAST(sum(CAST(q[idx.i + 1] AS HUGEINT)) AS HUGEINT) AS s
+       |  FROM qv, (SELECT unnest(range(0, $d)) AS i) idx GROUP BY 1),
+       |ol AS MATERIALIZED (SELECT list(o ORDER BY i) AS ol FROM og),
+       |sl AS MATERIALIZED (SELECT list(s ORDER BY i) AS sl FROM sg),
+       |mn AS MATERIALIZED (
+       |  SELECT [CAST(sl.sl[i + 1] AS DOUBLE) / nn.n for i in range(0, $d)] AS m FROM sl, nn),
+       |cov AS MATERIALIZED (
+       |  SELECT [CAST(nn.n * ol.ol[i + 1] - sl.sl[(i // $d) + 1] * sl.sl[(i % $d) + 1] AS DOUBLE)
+       |      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) for i in range(0, $nd)] AS a
+       |  FROM nn, ol, sl),
+       |rot AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY p, q) - 1 AS sm, p, q
+       |  FROM (SELECT a.i AS p, b.i AS q
+       |    FROM (SELECT unnest(range(0, $d)) AS i) a, (SELECT unnest(range(0, $d)) AS i) b
+       |    WHERE a.i < b.i) z),
+       |jac AS (
+       |  SELECT 0 AS step, cov.a AS a,
+       |    [CASE WHEN i // $d = i % $d THEN CAST(1.0 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END for i in range(0, $nd)] AS v
+       |  FROM cov
+       |  UNION ALL
+       |  SELECT st.step + 1,
+       |    CASE WHEN sc.skip THEN st.a ELSE
+       |      [CASE
+       |        WHEN i // $d = r.p AND i % $d = r.p
+       |          THEN sc.c * (sc.c * sc.app - sc.s * sc.apq) - sc.s * (sc.c * sc.aqp - sc.s * sc.aqq)
+       |        WHEN i // $d = r.p AND i % $d = r.q
+       |          THEN sc.c * (sc.s * sc.app + sc.c * sc.apq) - sc.s * (sc.s * sc.aqp + sc.c * sc.aqq)
+       |        WHEN i // $d = r.q AND i % $d = r.p
+       |          THEN sc.s * (sc.c * sc.app - sc.s * sc.apq) + sc.c * (sc.c * sc.aqp - sc.s * sc.aqq)
+       |        WHEN i // $d = r.q AND i % $d = r.q
+       |          THEN sc.s * (sc.s * sc.app + sc.c * sc.apq) + sc.c * (sc.s * sc.aqp + sc.c * sc.aqq)
+       |        WHEN i // $d = r.p THEN sc.c * st.a[i + 1] - sc.s * st.a[r.q * $d + (i % $d) + 1]
+       |        WHEN i // $d = r.q THEN sc.s * st.a[r.p * $d + (i % $d) + 1] + sc.c * st.a[i + 1]
+       |        WHEN i % $d = r.p THEN sc.c * st.a[i + 1] - sc.s * st.a[(i // $d) * $d + r.q + 1]
+       |        WHEN i % $d = r.q THEN sc.s * st.a[(i // $d) * $d + r.p + 1] + sc.c * st.a[i + 1]
+       |        ELSE st.a[i + 1] END for i in range(0, $nd)] END,
+       |    CASE WHEN sc.skip THEN st.v ELSE
+       |      [CASE
+       |        WHEN i // $d = r.p THEN sc.c * st.v[i + 1] - sc.s * st.v[r.q * $d + (i % $d) + 1]
+       |        WHEN i // $d = r.q THEN sc.s * st.v[r.p * $d + (i % $d) + 1] + sc.c * st.v[i + 1]
+       |        ELSE st.v[i + 1] END for i in range(0, $nd)] END
+       |  FROM jac st
+       |  JOIN rot r ON r.sm = st.step % $rps,
+       |  LATERAL (
+       |    SELECT app, apq, aqp, aqq, skip, c, t * c AS s FROM (
+       |      SELECT app, apq, aqp, aqq, skip, t, 1.0 / sqrt(t * t + 1.0) AS c FROM (
+       |        SELECT app, apq, aqp, aqq, skip,
+       |          CASE WHEN theta > 0 THEN 1.0 / (theta + sqrt(theta * theta + 1.0))
+       |               WHEN theta < 0 THEN -1.0 / (-theta + sqrt(theta * theta + 1.0))
+       |               ELSE 1.0 / (theta + sqrt(theta * theta + 1.0)) END AS t
+       |        FROM (
+       |          SELECT app, apq, aqp, aqq, skip,
+       |            CASE WHEN skip THEN 0.0 ELSE (aqq - app) / (2.0 * apq) END AS theta
+       |          FROM (SELECT
+       |              st.a[r.p * $d + r.p + 1] AS app,
+       |              st.a[r.p * $d + r.q + 1] AS apq,
+       |              st.a[r.q * $d + r.p + 1] AS aqp,
+       |              st.a[r.q * $d + r.q + 1] AS aqq,
+       |              NOT (abs(st.a[r.p * $d + r.q + 1]) > 1e-300) AS skip) z0
+       |        ) z1) z2) z3) sc
+       |  WHERE st.step < ${sweeps * rps}),
+       |fin AS MATERIALIZED (SELECT a, v FROM jac ORDER BY step DESC LIMIT 1),
+       |ord AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY ev DESC, i) AS rk, i, ev
+       |  FROM (SELECT i.i AS i, fin.a[i.i * $d + i.i + 1] AS ev
+       |    FROM fin, (SELECT unnest(range(0, $d)) AS i) i) z),
+       |evl AS MATERIALIZED (SELECT list(ev ORDER BY rk) AS evl FROM ord)""".stripMargin
+  }
+
   /** Projection of the quantized vector column onto the top-k
     * eigenvectors, with the component matrix inlined as literals
     * (the JL-gate pattern: the model ships in the plan, zero join,

@@ -2313,33 +2313,55 @@ object StatsQueries {
         .as("r_partial"))
   }
 
-  /** Distributed PCA explained variance (#194, rows+test): one
-    * `mapPartitions` pass folds the corpus into partition-local
-    * (n, Σx, Σx·xᵀ) accumulators on the 1e-6-quantized integer
-    * vectors (exact — the shuffle carries partitions×(d²+d+1)
-    * values, never data), the 64×64 eigenproblem solves in the
-    * driver by deterministic cyclic Jacobi
-    * ([[graft.operators.Pca]]), and the gate reports the top-8
-    * eigenvalue shares. Component recovery on planted data is
-    * pinned in StatsEdgeSpec.
+  /** Distributed PCA explained variance (#194): one `mapPartitions`
+    * pass folds the corpus into partition-local (n, Σx, Σx·xᵀ)
+    * accumulators on the quantized integer vectors (exact — the
+    * shuffle carries partitions×(d²+d+1) values, never data), the
+    * d×d eigenproblem solves in the driver by deterministic cyclic
+    * Jacobi ([[graft.operators.Pca]]), and the gate reports the
+    * top-8 eigenvalue shares. Hash-checked SQL since r10: the gate
+    * input is the EXACT-integer 4→1 rebin of the quantized vector
+    * (d = 16), which makes the oracle's bit-identical Jacobi tape
+    * replay ([[Pca.jacobiReplaySql]] — 12·120 recursive-CTE steps)
+    * tractable; `round_even` mirrors `math.rint` (validated on
+    * 2000 random + tie values) and the share/cum folds replay the
+    * driver's left-to-right double sums via ordered list_reduce.
+    * Full 64-dim component recovery on planted data stays pinned in
+    * StatsEdgeSpec.
     */
-  val qPcaVar = GateQuery.rowsOnly("q_pca_var") { (s, d) =>
+  val qPcaVar = GateQuery.sql(
+    "q_pca_var", {
+      import graft.operators.{Pca, VectorOps}
+      s"""WITH RECURSIVE qv AS MATERIALIZED (
+         |  SELECT vec_id, label, ${VectorOps.rebinQSql("qq", 4, 16)} AS q
+         |  FROM (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS qq
+         |    FROM embeddings) z),
+         |${Pca.jacobiReplaySql(16)},
+         |tot AS (SELECT list_reduce(evl.evl, (x, y) -> x + y) AS total FROM evl)
+         |SELECT CAST(k.k AS BIGINT) AS component, nn.n AS n_vectors,
+         |  round_even(evl.evl[CAST(k.k AS INTEGER)] / tot.total * 1000000.0, 0)
+         |    / 1000000.0 + 0.0 AS var_share,
+         |  round_even(list_reduce(list_slice(evl.evl, 1, CAST(k.k AS INTEGER)),
+         |      (x, y) -> x + y) / tot.total * 1000000.0, 0) / 1000000.0 + 0.0 AS cum_share
+         |FROM (SELECT unnest(range(1, 9)) AS k) k, nn, evl, tot
+         |ORDER BY component""".stripMargin
+    }) { (s, d) =>
     import graft.operators.{Pca, VectorOps}
     val e = Tables.embeddings(s, d)
-      .select(VectorOps.quantize(col("embedding")).as("q"))
-    val dDim = 64
+      .select(VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
+    val dDim = 16
     val (n, _, cov) = Pca.scatter(e, col("q"), dDim)
     val (evals, _) = Pca.jacobiEigen(cov)
     val total = evals.sum
     import s.implicits._
     (1 to 8).map(k =>
-        (k, n, math.rint(evals(k - 1) / total * 1e6) / 1e6,
+        (k.toLong, n, math.rint(evals(k - 1) / total * 1e6) / 1e6,
           math.rint(evals.take(k).sum / total * 1e6) / 1e6))
       .toDF("component", "n_vectors", "var_share", "cum_share")
       .orderedSmall(col("component"))
   }
 
-  /** PCA-residual embedding outlier score (#325, rows+test): the
+  /** PCA-residual embedding outlier score (#325): the
     * embedding-space data-quality screen — corrupt/degenerate vectors
     * (zeroed dims, wrong modality, encoder failures) sit FAR from the
     * corpus principal subspace even when their norm looks normal, so
@@ -2351,13 +2373,50 @@ object StatsQueries {
     * and the p×d component matrix as LITERALS (the JL/projectExpr
     * pattern — zero join, zero shuffle, one codegen span);
     * top-20 by (residual, vec_id) through the salted two-phase
-    * window. Subspace-recovery fixture pinned in StatsEdgeSpec.
+    * window. Hash-checked SQL since r10 on the d = 16 rebinned gate
+    * input (the q_pca_var recipe): the oracle replays the Jacobi
+    * tape, sign-canonicalizes the top-8 rows of V with the same
+    * (|component| desc, index) argmax, and re-scores every vector
+    * with the driver's left-fold double sums. Subspace-recovery
+    * fixture (full 64-dim) stays pinned in StatsEdgeSpec.
     */
-  val qEmbedOutlier = GateQuery.rowsOnly("q_embed_outlier") { (s, d) =>
+  val qEmbedOutlier = GateQuery.sql(
+    "q_embed_outlier", {
+      import graft.operators.{Pca, VectorOps}
+      s"""WITH RECURSIVE qv AS MATERIALIZED (
+         |  SELECT vec_id, label, ${VectorOps.rebinQSql("qq", 4, 16)} AS q
+         |  FROM (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS qq
+         |    FROM embeddings) z),
+         |${Pca.jacobiReplaySql(16)},
+         |ev8 AS MATERIALIZED (
+         |  SELECT list(vr ORDER BY rk) AS comps FROM (
+         |    SELECT o.rk, CASE WHEN fin.v[o.i * 16 + mx.mi + 1] < 0
+         |        THEN [-fin.v[o.i * 16 + j + 1] for j in range(0, 16)]
+         |        ELSE [fin.v[o.i * 16 + j + 1] for j in range(0, 16)] END AS vr
+         |    FROM ord o, fin,
+         |    LATERAL (SELECT j.j AS mi FROM (SELECT unnest(range(0, 16)) AS j) j
+         |      ORDER BY abs(fin.v[o.i * 16 + j.j + 1]) DESC, j.j LIMIT 1) mx
+         |    WHERE o.rk <= 8) z),
+         |scored AS MATERIALIZED (
+         |  SELECT qv.vec_id, qv.label,
+         |    greatest(
+         |      list_reduce([(qv.q[i + 1] - mn.m[i + 1]) * (qv.q[i + 1] - mn.m[i + 1])
+         |          for i in range(0, 16)], (x, y) -> x + y)
+         |      - list_reduce(list_prepend(0.0, [pj * pj for pj in
+         |          [list_reduce([(qv.q[i + 1] - mn.m[i + 1]) * cmp[i + 1]
+         |             for i in range(0, 16)], (x, y) -> x + y) for cmp in ev8.comps]]),
+         |          (x, y) -> x + y),
+         |      0.0) AS resid2
+         |  FROM qv, mn, ev8)
+         |SELECT CAST(row_number() OVER (ORDER BY resid2 DESC, vec_id) AS BIGINT) AS rank,
+         |  vec_id, label, CAST(round(resid2, 0) AS BIGINT) AS resid2_u
+         |FROM scored ORDER BY resid2 DESC, vec_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
     import graft.operators.{Pca, Relational, VectorOps}
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), VectorOps.quantize(col("embedding")).as("q"))
-    val dDim = 64
+      .select(col("vec_id"), col("label"),
+        VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
+    val dDim = 16
     val p = 8
     val (_, mean, cov) = Pca.scatter(e, col("q"), dDim)
     val (_, evecs) = Pca.jacobiEigen(cov)

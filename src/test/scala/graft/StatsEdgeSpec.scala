@@ -128,18 +128,20 @@ class StatsEdgeSpec extends SparkSpec {
   }
 
   test("embed outlier: off-subspace vector tops the residual ranking") {
-    // 40 inliers confined to dims 0..7 (rank-8, strong variance) plus
-    // one vector with a modest dim-20 component: its variance share is
-    // far below every subspace eigenvalue (so the top-8 basis stays on
-    // the inlier subspace) but its residual dominates.
+    // 40 inliers confined to input dims 0..31 — rank 8 with strong
+    // variance AFTER the gate's 4→1 rebin (rebinned dims 0..7) — plus
+    // one vector with a modest input-dim-60 component (rebinned dim
+    // 15): its variance share is far below every subspace eigenvalue
+    // (so the top-8 rebinned basis stays on the inlier subspace) but
+    // its residual dominates.
     val dims = 64
     def h(i: Int, j: Int): Double =
       (((i + 1) * (j + 3) * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5
     val inliers = (0 until 40).map { i =>
-      (i.toLong, Seq.tabulate(dims)(j => if (j < 8) (h(i, j) * 2.0).toFloat else 0.0f), 0)
+      (i.toLong, Seq.tabulate(dims)(j => if (j < 32) (h(i, j) * 2.0).toFloat else 0.0f), 0)
     }
     val outlier = (99L,
-      Seq.tabulate(dims)(j => if (j == 20) 0.5f else 0.0f), 1)
+      Seq.tabulate(dims)(j => if (j == 60) 0.5f else 0.0f), 1)
     val dir = Files.createTempDirectory("graft_outl_fix").toString
     (inliers :+ outlier).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
