@@ -1001,14 +1001,59 @@ object AnalysisQueries {
       .orderedSmall(col("user_id"))
   }
 
-  /** Isotonic calibration (#174, rows+test): PAVA monotone regression
-    * per model group ([[graft.operators.Calibrate]]) — the
-    * score→probability calibration step of a deployed quality
-    * classifier. Iterative pooling is the documented
-    * non-SQL-expressible family; the textbook fixtures, projection
-    * properties and distributed determinism are CalibrateSpec's.
+  /** Isotonic calibration (#174): PAVA monotone regression per model
+    * group ([[graft.operators.Calibrate]]) — the score→probability
+    * calibration step of a deployed quality classifier. Hash-checked
+    * SQL since r10: PAVA's push-then-cascade-merge loop linearizes to
+    * "merge the top two blocks if they violate, else push the next
+    * point" with an IDENTICAL operation sequence (violations only
+    * exist right after a push), so the oracle replays it in a
+    * recursive CTE over a per-group block-stack list — every pooled
+    * mean recomputed with the driver's exact double op order
+    * ((m₂w₂ + m₁w₁)/(w₂+w₁)), all 8 groups advancing in parallel,
+    * each ending at its own fixpoint (max step per group). The
+    * textbook fixtures, projection properties and distributed
+    * determinism stay pinned in CalibrateSpec.
     */
-  val qIsotonicFit = GateQuery.rowsOnly("q_isotonic_fit") { (s, d) =>
+  val qIsotonicFit = GateQuery.sql(
+    "q_isotonic_fit",
+    """WITH RECURSIVE pts AS MATERIALIZED (
+      |  SELECT g, row_number() OVER (PARTITION BY g ORDER BY x, y, w) AS rn, y, w
+      |  FROM (SELECT user_id % 8 AS g,
+      |      CAST((epoch_us(ts) // 1000000) - 1704067200 AS DOUBLE) AS x,
+      |      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y, CAST(1.0 AS DOUBLE) AS w
+      |    FROM events WHERE event_type = 'view') z),
+      |np AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+      |pava AS (
+      |  SELECT g, 1 AS i, CAST([] AS STRUCT(mean DOUBLE, wt DOUBLE, cnt BIGINT)[]) AS stk,
+      |    0 AS step
+      |  FROM np
+      |  UNION ALL
+      |  SELECT st.g,
+      |    CASE WHEN viol THEN st.i ELSE st.i + 1 END,
+      |    CASE WHEN viol THEN
+      |      list_slice(st.stk, 1, len(st.stk) - 2) ||
+      |      [{'mean': (st.stk[len(st.stk) - 1].mean * st.stk[len(st.stk) - 1].wt
+      |           + st.stk[len(st.stk)].mean * st.stk[len(st.stk)].wt)
+      |           / (st.stk[len(st.stk) - 1].wt + st.stk[len(st.stk)].wt),
+      |        'wt': st.stk[len(st.stk) - 1].wt + st.stk[len(st.stk)].wt,
+      |        'cnt': st.stk[len(st.stk) - 1].cnt + st.stk[len(st.stk)].cnt}]
+      |    ELSE st.stk || [{'mean': p.y, 'wt': p.w, 'cnt': CAST(1 AS BIGINT)}] END,
+      |    st.step + 1
+      |  FROM (SELECT *, len(stk) >= 2 AND stk[len(stk) - 1].mean > stk[len(stk)].mean AS viol
+      |    FROM pava) st
+      |  LEFT JOIN pts p ON p.g = st.g AND p.rn = st.i
+      |  JOIN np ON np.g = st.g
+      |  WHERE st.viol OR st.i <= np.n),
+      |fin AS MATERIALIZED (
+      |  SELECT g, stk FROM (
+      |    SELECT g, stk, row_number() OVER (PARTITION BY g ORDER BY step DESC) AS r
+      |    FROM pava) z WHERE r = 1)
+      |SELECT f.g AS g, np.n AS n_points,
+      |  CAST(count(DISTINCT round(b.mean, 6)) AS BIGINT) AS n_blocks
+      |FROM fin f, unnest(f.stk) AS t(b), np
+      |WHERE np.g = f.g
+      |GROUP BY 1, 2 ORDER BY g""".stripMargin) { (s, d) =>
     val pts = ev(s, d).filter(col("event_type") === "view")
       .select(pmod(col("user_id"), lit(8L)).as("g"),
         col("xs").cast("double").as("x"), col("vd").cast("double").as("y"),
