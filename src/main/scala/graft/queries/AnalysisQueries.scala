@@ -1161,22 +1161,76 @@ object AnalysisQueries {
       .orderedSmall(col("bucket"))
   }
 
-  /** Banded DTW scan alignment (#226, rows+test): each user's hourly
-    * value series scored by dynamic-time-warping distance against
-    * the corpus mean hourly series — the drift-tolerant alignment
-    * #149's cross-correlation (rigid shift only) cannot express.
-    * One O(n·w) task per series ([[graft.operators.Dtw]], Sakoe–Chiba
-    * band w=8); the reference rides a single-row broadcast; exact
-    * integer |Δcents| costs, deterministic everywhere. Semantics
+  /** Banded DTW scan alignment (#226): each user's DAILY value
+    * series scored by dynamic-time-warping distance against the
+    * corpus mean daily series — the drift-tolerant alignment #149's
+    * cross-correlation (rigid shift only) cannot express. One
+    * O(n·w) task per series ([[graft.operators.Dtw]], Sakoe–Chiba
+    * band w=8 — REAL warping on the n≈m daily grid, where the r9
+    * hourly grid's m≫n forced the band clamp to cover the whole
+    * reference); the reference rides a single-row broadcast; exact
+    * integer |Δcents| costs, deterministic everywhere. Hash-checked
+    * SQL since r10: the integer min-plus DP replays in a recursive
+    * CTE — one step per series ROW, the within-row left-to-right
+    * dependency folded by list_reduce (the q_isotonic_fit recipe),
+    * unreachable cells carried as saturating ≥2⁶¹ values (≤31
+    * additions of ≤1e9 costs never reach a reachable value, so the
+    * mins are bit-identical to the driver's Inf guard). Semantics
     * pinned in EvalEdgeSpec (zero-distance stretch, band clamp,
     * empty sentinel).
     */
-  val qDtwAlign = GateQuery.rowsOnly("q_dtw_align") { (s, d) =>
-    // the hourly relation feeds BOTH the per-user series and the
+  val qDtwAlign = GateQuery.sql(
+    "q_dtw_align", {
+      val inf = 2305843009213693951L
+      s"""WITH RECURSIVE g AS MATERIALIZED (
+         |  SELECT user_id, xs // 86400 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E t GROUP BY 1, 2),
+         |sv AS MATERIALIZED (
+         |  SELECT user_id, list(y ORDER BY grid) AS ys FROM g GROUP BY 1),
+         |rv AS MATERIALIZED (
+         |  SELECT list(m ORDER BY grid) AS ms FROM (
+         |    SELECT grid, (2 * CAST(sum(y) AS BIGINT) + count(*)) // (2 * count(*)) AS m
+         |    FROM g GROUP BY grid) z),
+         |bnd AS MATERIALIZED (
+         |  SELECT sv.user_id, sv.ys, rv.ms,
+         |    CAST(len(sv.ys) AS BIGINT) AS n, CAST(len(rv.ms) AS BIGINT) AS m,
+         |    greatest(8, abs(CAST(len(sv.ys) AS BIGINT) - CAST(len(rv.ms) AS BIGINT))) AS band
+         |  FROM sv, rv),
+         |dp AS (
+         |  SELECT user_id, 0 AS i,
+         |    [CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE CAST($inf AS BIGINT) END
+         |      for k in range(0, CAST(m + 1 AS INTEGER))] AS prev
+         |  FROM bnd
+         |  UNION ALL
+         |  SELECT st.user_id, st.i + 1,
+         |    list_reduce(
+         |      [[CAST($inf AS BIGINT) for k in range(0, CAST(greatest(st.i + 1 - b.band, 1) AS INTEGER))]] ||
+         |      [[CAST(j AS BIGINT)] for j in range(
+         |          CAST(greatest(st.i + 1 - b.band, 1) AS INTEGER),
+         |          CAST(least(b.m, st.i + 1 + b.band) + 1 AS INTEGER))],
+         |      (acc, jl) -> acc || [abs(b.ys[st.i + 1] - b.ms[CAST(jl[1] AS INTEGER)])
+         |          + least(st.prev[CAST(jl[1] AS INTEGER) + 1], acc[CAST(jl[1] AS INTEGER)],
+         |                  st.prev[CAST(jl[1] AS INTEGER)])]
+         |    ) || [CAST($inf AS BIGINT) for k in range(0,
+         |        CAST(b.m - least(b.m, st.i + 1 + b.band) AS INTEGER))] AS prev
+         |  FROM dp st JOIN bnd b ON b.user_id = st.user_id
+         |  WHERE st.i < b.n),
+         |fin AS MATERIALIZED (
+         |  SELECT user_id, prev FROM (
+         |    SELECT user_id, prev, row_number() OVER (PARTITION BY user_id ORDER BY i DESC) AS r
+         |    FROM dp) z WHERE r = 1)
+         |SELECT b.user_id, b.n AS n_points,
+         |  CASE WHEN f.prev[CAST(b.m AS INTEGER) + 1] >= $inf THEN CAST(-1 AS BIGINT)
+         |    ELSE f.prev[CAST(b.m AS INTEGER) + 1] END AS dtw_cents
+         |FROM bnd b JOIN fin f ON f.user_id = b.user_id
+         |ORDER BY b.user_id""".stripMargin
+    }) { (s, d) =>
+    // the daily relation feeds BOTH the per-user series and the
     // reference derivation — cache it so the events scan + aggregate
-    // run once (users×hours rows; freed by the harness post-action)
+    // run once (users×days rows; freed by the harness post-action)
     val g = ev(s, d)
-      .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
+      .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 86400L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
       .persist()
     val refRel = g.groupBy(col("grid"))
