@@ -164,7 +164,13 @@ object Markov {
       if (n == 0) 0.0 else c.toDouble / n
     }
     def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
-    val allSubsets = channels.toSet.subsets().toSeq
+    // size-major, lexicographic-within-size enumeration of the sorted
+    // channel vector: an EXPLICIT deterministic order (Set.subsets()
+    // iterates in collection-internal order, which changes shape at
+    // 5+ elements) — the double credit fold below is order-sensitive,
+    // and the SQL oracle replays exactly this order
+    val allSubsets: Seq[Set[String]] =
+      (0 to nC).flatMap(k => channels.combinations(k).map(_.toSet))
     val phi = channels.map { c =>
       val others = allSubsets.filter(!_.contains(c))
       val credit = others.map { s =>

@@ -1422,13 +1422,112 @@ object AuditQueries {
       .orderedSmall(col("query_id"), col("rnk"))
   }
 
-  /** Markov removal-effect attribution (#257, rows+test): per-user
-    * journeys → bounded transition matrix → absorbing-chain solves
-    * on the driver ([[graft.operators.Markov]]) — the data-driven
-    * multi-touch credit next to last-touch (#215). AuditEdgeSpec
-    * pins the two-channel closed form.
+  /** Markov removal-effect attribution (#257): per-user journeys →
+    * bounded transition matrix → absorbing-chain solves on the
+    * driver ([[graft.operators.Markov]]) — the data-driven
+    * multi-touch credit next to last-touch (#215). Hash-checked SQL
+    * since r10: the journey/transition derivation is plain window
+    * SQL, and the driver's Gaussian eliminations (one per system:
+    * base + one per removed channel, each over the ≤(channels+1)²
+    * matrix) replay in a recursive CTE — one column per step, the
+    * partial-pivot argmax mirrored as `ORDER BY |a| DESC, i LIMIT 1`
+    * (the driver's strict `>` keeps the first max), swap and
+    * eliminate composed through a LATERAL binding, every double op
+    * in the driver's order. AuditEdgeSpec still pins the
+    * two-channel closed form.
     */
-  val qMarkovAttrib = GateQuery.rowsOnly("q_markov_attrib") { (s, d) =>
+  val qMarkovAttrib = GateQuery.sql(
+    "q_markov_attrib",
+    """WITH RECURSIVE pre AS (SELECT user_id u, epoch_us(ts) t, event_id tie, event_type ty,
+      |    coalesce(count(CASE WHEN event_type='purchase' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pc
+      |  FROM events),
+      |live AS MATERIALIZED (SELECT * FROM pre WHERE pc = 0),
+      |m2 AS MATERIALIZED (SELECT u, t, tie, dst,
+      |    coalesce(lag(dst) OVER (PARTITION BY u ORDER BY t, tie), 'START') AS src
+      |  FROM (SELECT u, t, tie,
+      |      CASE WHEN ty = 'purchase' THEN 'CONV' ELSE ty END AS dst FROM live) z),
+      |trans AS MATERIALIZED (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT u, src, dst FROM m2
+      |    UNION ALL
+      |    SELECT u, dst AS src, 'NULL' AS dst FROM (
+      |      SELECT u, dst, row_number() OVER (PARTITION BY u ORDER BY t DESC, tie DESC) rn
+      |      FROM m2) z WHERE rn = 1 AND dst <> 'CONV') s
+      |  GROUP BY 1, 2),
+      |probs AS MATERIALIZED (
+      |  SELECT src, dst, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |  FROM trans),
+      |chan AS MATERIALIZED (
+      |  SELECT c, CAST(row_number() OVER (ORDER BY c) AS INTEGER) AS bi FROM (
+      |    SELECT DISTINCT x AS c FROM (
+      |      SELECT src AS x FROM trans UNION SELECT dst FROM trans) z
+      |    WHERE x NOT IN ('START', 'CONV', 'NULL')) w),
+      |sys AS MATERIALIZED (
+      |  SELECT -1 AS sid, CAST(NULL AS VARCHAR) AS removed
+      |  UNION ALL SELECT bi, c FROM chan),
+      |tri AS MATERIALIZED (
+      |  SELECT s.sid, z.state,
+      |    CAST(row_number() OVER (PARTITION BY s.sid
+      |      ORDER BY CASE WHEN z.state = 'START' THEN 0 ELSE 1 END, z.state) - 1 AS INTEGER) AS idx
+      |  FROM sys s, (SELECT 'START' AS state UNION ALL SELECT c FROM chan) z
+      |  WHERE z.state = 'START' OR s.removed IS NULL OR z.state <> s.removed),
+      |tm AS MATERIALIZED (SELECT sid, CAST(count(*) AS INTEGER) AS m FROM tri GROUP BY 1),
+      |cells AS MATERIALIZED (
+      |  SELECT a.sid, a.idx AS i, b.idx AS j,
+      |    (CASE WHEN a.idx = b.idx THEN 1.0 ELSE 0.0 END) - coalesce(pr.p, 0.0) AS val
+      |  FROM tri a JOIN tri b ON a.sid = b.sid
+      |  LEFT JOIN probs pr ON pr.src = a.state AND pr.dst = b.state
+      |  UNION ALL
+      |  SELECT a.sid, a.idx, tm.m, coalesce(pr.p, 0.0)
+      |  FROM tri a JOIN tm ON tm.sid = a.sid
+      |  LEFT JOIN probs pr ON pr.src = a.state AND pr.dst = 'CONV'),
+      |matl AS MATERIALIZED (
+      |  SELECT c.sid, tm.m, list(val ORDER BY i * (tm.m + 1) + j) AS a
+      |  FROM cells c JOIN tm ON tm.sid = c.sid GROUP BY 1, 2),
+      |elim AS (
+      |  SELECT sid, m, 0 AS c0, a FROM matl
+      |  UNION ALL
+      |  SELECT st.sid, st.m, st.c0 + 1,
+      |    CASE WHEN abs(sw.s[st.c0 * (st.m + 1) + st.c0 + 1]) > 1e-12 THEN
+      |      [CASE WHEN i // (st.m + 1) <> st.c0 AND i % (st.m + 1) >= st.c0
+      |        THEN sw.s[i + 1] - (sw.s[(i // (st.m + 1)) * (st.m + 1) + st.c0 + 1]
+      |            / sw.s[st.c0 * (st.m + 1) + st.c0 + 1])
+      |          * sw.s[st.c0 * (st.m + 1) + (i % (st.m + 1)) + 1]
+      |        ELSE sw.s[i + 1] END for i in range(0, st.m * (st.m + 1))]
+      |    ELSE sw.s END
+      |  FROM elim st,
+      |  LATERAL (SELECT i.i AS piv FROM (SELECT unnest(range(0, st.m)) AS i) i
+      |    WHERE i.i >= st.c0
+      |    ORDER BY abs(st.a[CAST(i.i AS INTEGER) * (st.m + 1) + st.c0 + 1]) DESC, i.i
+      |    LIMIT 1) pv,
+      |  LATERAL (SELECT [CASE
+      |      WHEN i // (st.m + 1) = st.c0 THEN st.a[CAST(pv.piv AS INTEGER) * (st.m + 1) + (i % (st.m + 1)) + 1]
+      |      WHEN i // (st.m + 1) = pv.piv THEN st.a[st.c0 * (st.m + 1) + (i % (st.m + 1)) + 1]
+      |      ELSE st.a[i + 1] END for i in range(0, st.m * (st.m + 1))] AS s) sw
+      |  WHERE st.c0 < st.m),
+      |fin AS MATERIALIZED (
+      |  SELECT sid, m, a FROM (
+      |    SELECT sid, m, a, row_number() OVER (PARTITION BY sid ORDER BY c0 DESC) AS r
+      |    FROM elim) z WHERE r = 1),
+      |conv AS MATERIALIZED (
+      |  SELECT sid, CASE WHEN abs(a[1]) <= 1e-12 THEN 0.0 ELSE a[m + 1] / a[1] END AS cp
+      |  FROM fin),
+      |eff AS MATERIALIZED (
+      |  SELECT ch.c AS channel, ch.bi,
+      |    CASE WHEN b.cp > 0 THEN greatest(0.0, (b.cp - r.cp) / b.cp) ELSE 0.0 END AS re,
+      |    b.cp AS base
+      |  FROM chan ch
+      |  JOIN conv r ON r.sid = ch.bi
+      |  CROSS JOIN (SELECT cp FROM conv WHERE sid = -1) b),
+      |rs AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(re ORDER BY channel)), (x, y) -> x + y) AS resum FROM eff)
+      |SELECT e.channel, CAST(floor(e.base * 1000000.0) AS BIGINT) AS base_ppm,
+      |  CAST(floor(e.re * 1000000.0) AS BIGINT) AS removal_ppm,
+      |  CASE WHEN rs.resum > 0 THEN CAST(floor(e.re / rs.resum * 1000000.0) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS share_ppm
+      |FROM eff e, rs ORDER BY e.channel""".stripMargin) { (s, d) =>
     val e = ev(s, d)
     val trans = graft.operators.Markov.transitions(e,
       col("user_id"), col("ts_us"), col("event_id"), col("event_type"), "purchase")
@@ -2083,14 +2182,71 @@ object AuditQueries {
       .orderedSmall(col("event_type"))
   }
 
-  /** Shapley-value attribution (#268, rows+test): journey channel
-    * coalitions → exact driver Shapley over the bounded coalition
-    * table ([[graft.operators.Markov.shapley]]) — the other
+  /** Shapley-value attribution (#268): journey channel coalitions →
+    * exact driver Shapley over the bounded coalition table
+    * ([[graft.operators.Markov.shapley]]) — the other
     * industry-standard multi-touch model next to the Markov removal
-    * effect (#257). Efficiency and the 2-channel closed form are
-    * pinned in AuditEdgeSpec.
+    * effect (#257). Hash-checked SQL since r10: coalitions become
+    * channel bitmasks, v(S) is a containment-join aggregate over all
+    * 2^K subsets, and the driver's credit folds replay in the
+    * size-major lexicographic enumeration the operator now uses
+    * explicitly (masks ordered by (bit_count, set-index list);
+    * ordered seeded list_reduce mirrors Seq.sum). Exact-double
+    * factorials agree across engines for K ≤ 18 (K = 4 here; the
+    * driver require caps at 20). Efficiency and the 2-channel
+    * closed form stay pinned in AuditEdgeSpec.
     */
-  val qShapleyAttrib = GateQuery.rowsOnly("q_shapley_attrib") { (s, d) =>
+  val qShapleyAttrib = GateQuery.sql(
+    "q_shapley_attrib",
+    """WITH pre AS (SELECT user_id u, epoch_us(ts) t, event_id tie, event_type ty,
+      |    coalesce(count(CASE WHEN event_type='purchase' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pc
+      |  FROM events),
+      |live AS MATERIALIZED (SELECT * FROM pre WHERE pc = 0),
+      |chidx AS MATERIALIZED (SELECT c, row_number() OVER (ORDER BY c) - 1 AS bi FROM
+      |  (SELECT DISTINCT ty AS c FROM live WHERE ty <> 'purchase') z),
+      |nch AS MATERIALIZED (SELECT CAST(count(*) AS INTEGER) AS k FROM chidx),
+      |keys AS MATERIALIZED (
+      |  SELECT mask, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c FROM (
+      |    SELECT l.u, coalesce(CAST(sum(DISTINCT CASE WHEN ch.bi IS NOT NULL THEN 1 << ch.bi END) AS BIGINT), 0) AS mask,
+      |      max(CASE WHEN l.ty = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |    FROM live l LEFT JOIN chidx ch ON ch.c = l.ty
+      |    GROUP BY 1) jm GROUP BY 1),
+      |subs AS MATERIALIZED (SELECT CAST(unnest(range(0, 1 << (SELECT k FROM nch))) AS BIGINT) AS mask),
+      |vv AS MATERIALIZED (
+      |  SELECT s.mask, CASE WHEN coalesce(sum(k.n), 0) > 0
+      |      THEN CAST(coalesce(sum(k.c), 0) AS DOUBLE) / coalesce(sum(k.n), 0)
+      |      ELSE 0.0 END AS v
+      |  FROM subs s LEFT JOIN keys k ON (k.mask & s.mask) = k.mask GROUP BY s.mask),
+      |sord AS MATERIALIZED (
+      |  SELECT mask, bit_count(CAST(mask AS BIGINT)) AS sz,
+      |    row_number() OVER (ORDER BY bit_count(CAST(mask AS BIGINT)),
+      |      [i for i in range(0, (SELECT k FROM nch)) if (mask >> i) & 1 = 1]) AS ord
+      |  FROM subs),
+      |terms AS MATERIALIZED (
+      |  SELECT ch.c AS channel, so.ord,
+      |    (CAST(factorial(so.sz) AS DOUBLE) * CAST(factorial(nch.k - so.sz - 1) AS DOUBLE)
+      |      / CAST(factorial(nch.k) AS DOUBLE))
+      |    * (vs.v - vv.v) AS term
+      |  FROM chidx ch, nch, sord so
+      |  JOIN vv ON vv.mask = so.mask
+      |  JOIN vv vs ON TRUE
+      |  WHERE (so.mask >> ch.bi) & 1 = 0 AND vs.mask = (so.mask | (1 << ch.bi))),
+      |phi AS MATERIALIZED (
+      |  SELECT channel,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY ord)),
+      |      (x, y) -> x + y) AS p
+      |  FROM terms GROUP BY 1),
+      |ps AS MATERIALIZED (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(greatest(p, 0.0) ORDER BY channel)), (x, y) -> x + y) AS possum
+      |  FROM phi)
+      |SELECT phi.channel, CAST(floor(phi.p * 1000000.0) AS BIGINT) AS phi_micro,
+      |  CASE WHEN ps.possum > 0
+      |    THEN CAST(floor(greatest(phi.p, 0.0) / ps.possum * 1000000.0) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS share_ppm
+      |FROM phi, ps ORDER BY channel""".stripMargin) { (s, d) =>
     val e = ev(s, d)
     val coal = graft.operators.Markov.coalitions(e,
       col("user_id"), col("ts_us"), col("event_id"), col("event_type"), "purchase")
