@@ -851,11 +851,80 @@ object TextQueries {
   }
 
   /** Sequence packing (#60): documents into 512-token training
-    * sequences via per-bucket first-fit-decreasing (rows-only gate —
-    * greedy packing is not SQL-expressible; invariants are pinned by
-    * PackingSpec).
+    * sequences via per-bucket first-fit-decreasing. Hash-checked SQL
+    * since r10: the bucket hash is Spark's Murmur3-x86-32 of the
+    * long doc_id replayed in masked HUGEINT arithmetic (validated
+    * against `functions.hash` bit-for-bit), and the greedy FFD loop
+    * replays in a recursive CTE over per-bucket bin-stack lists —
+    * one step per doc in (tokens DESC, doc_id) order, the first-fit
+    * choice via a filtered-comprehension head (the driver's
+    * first-index scan), all 8 buckets advancing in parallel.
+    * Invariants stay pinned by PackingSpec.
     */
-  val qSeqPacking = GateQuery.rowsOnly("q_seq_packing") { (s, d) =>
+  val qSeqPacking = GateQuery.sql(
+    "q_seq_packing", {
+      val M = 4294967295L
+      s"""WITH RECURSIVE hashed AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    doc_id & $M AS lo, (doc_id >> 32) & $M AS hi,
+         |    CAST((CAST(lo AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1a,
+         |    ((k1a << 15) | (k1a >> 17)) & $M AS k1b,
+         |    CAST((CAST(k1b AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k1,
+         |    xor(42, k1) AS h1a,
+         |    ((h1a << 13) | (h1a >> 19)) & $M AS h1b,
+         |    CAST((CAST(h1b AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h1,
+         |    CAST((CAST(hi AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k2a,
+         |    ((k2a << 15) | (k2a >> 17)) & $M AS k2b,
+         |    CAST((CAST(k2b AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k2,
+         |    xor(h1, k2) AS h2a,
+         |    ((h2a << 13) | (h2a >> 19)) & $M AS h2b,
+         |    CAST((CAST(h2b AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h2,
+         |    xor(h2, 8) AS f0,
+         |    xor(f0, f0 >> 16) AS f1,
+         |    CAST((CAST(f1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f2,
+         |    xor(f2, f2 >> 13) AS f3,
+         |    CAST((CAST(f3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f4,
+         |    xor(f4, f4 >> 16) AS f5,
+         |    CASE WHEN f5 >= 2147483648 THEN f5 - 4294967296 ELSE f5 END AS h,
+         |    CAST(((h % 8) + 8) % 8 AS INTEGER) AS bucket
+         |  FROM documents),
+         |pts AS MATERIALIZED (
+         |  SELECT bucket, doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY n_tok DESC, doc_id) AS rn
+         |  FROM hashed),
+         |pn AS MATERIALIZED (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+         |ffd AS (
+         |  SELECT bucket, 1 AS i,
+         |    CAST([] AS STRUCT(rem BIGINT, tot BIGINT, nd BIGINT)[]) AS bins
+         |  FROM pn
+         |  UNION ALL
+         |  SELECT st.bucket, st.i + 1,
+         |    CASE WHEN ft.fit IS NOT NULL THEN
+         |      [CASE WHEN j = ft.fit
+         |        THEN {'rem': st.bins[CAST(j AS INTEGER)].rem - p.n_tok,
+         |              'tot': st.bins[CAST(j AS INTEGER)].tot + p.n_tok,
+         |              'nd': st.bins[CAST(j AS INTEGER)].nd + 1}
+         |        ELSE st.bins[CAST(j AS INTEGER)] END
+         |       for j in range(1, len(st.bins) + 1)]
+         |    ELSE st.bins || [{'rem': greatest(0, 512 - p.n_tok), 'tot': p.n_tok,
+         |                      'nd': CAST(1 AS BIGINT)}] END
+         |  FROM ffd st
+         |  JOIN pts p ON p.bucket = st.bucket AND p.rn = st.i
+         |  JOIN pn ON pn.bucket = st.bucket,
+         |  LATERAL (SELECT ([j for j in range(1, len(st.bins) + 1)
+         |      if st.bins[CAST(j AS INTEGER)].rem >= p.n_tok])[1] AS fit) ft
+         |  WHERE st.i <= pn.n),
+         |fin AS MATERIALIZED (
+         |  SELECT bucket, bins FROM (
+         |    SELECT bucket, bins, row_number() OVER (PARTITION BY bucket ORDER BY i DESC) AS r
+         |    FROM ffd) z WHERE r = 1)
+         |SELECT f.bucket, CAST(s.j - 1 AS BIGINT) AS seq_id,
+         |  CAST(f.bins[CAST(s.j AS INTEGER)].nd AS INTEGER) AS n_docs,
+         |  f.bins[CAST(s.j AS INTEGER)].tot AS total_tokens,
+         |  round(CAST(f.bins[CAST(s.j AS INTEGER)].tot AS DOUBLE) / 512, 4) + 0.0 AS fill
+         |FROM fin f, LATERAL (SELECT unnest(range(1, len(f.bins) + 1)) AS j) s
+         |ORDER BY f.bucket, seq_id""".stripMargin
+    }) { (s, d) =>
     Packing.packSequences(Tables.documents(s, d), col("doc_id"),
         size(split(col("text"), " ")).cast("long"), budget = 512L, buckets = 8)
       .select(col("bucket"), col("seq_id"), col("n_docs"),
