@@ -1727,10 +1727,74 @@ object StatsQueries {
     * Observations value-collapse to ((l, r), count) cells — bounded
     * by the inspection grid², never users — and only those cross to
     * the driver (fixed 100 EM iterations, sorted-order loops).
-    * Rows-only (EM fit family); KM reduction on exact data,
-    * mass-sums-to-one and determinism pinned in TurnbullSpec.
+    * Hash-checked SQL since r10: the Turnbull-interval derivation is
+    * plain SQL over the endpoint sets, and the 100 EM steps replay
+    * in a recursive CTE — each step one list_reduce over the sorted
+    * cell list (cells encoded as [count, memberflag…] double lists),
+    * the per-cell denominator recomputed per term with the driver's
+    * ascending-j fold order (adding 0.0 for non-members is bit-safe
+    * on the nonnegative mass sums). KM reduction, mass-sums-to-one
+    * and determinism stay pinned in TurnbullSpec.
     */
-  val qTurnbull = GateQuery.rowsOnly("q_turnbull") { (s, d) =>
+  val qTurnbull = GateQuery.sql(
+    "q_turnbull", {
+      val inf = Long.MaxValue
+      s"""WITH RECURSIVE ev0 AS (SELECT user_id, (epoch_us(ts) // 1000000) - 1704067200 AS xs FROM events),
+         |mx AS (SELECT max(xs) AS mxs FROM ev0),
+         |u AS (SELECT user_id, (max(xs) - min(xs)) // 86400 AS lt, max(xs) AS last_xs
+         |  FROM ev0 GROUP BY 1),
+         |cells AS MATERIALIZED (
+         |  SELECT l, r, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT CASE WHEN last_xs >= mxs - 86400 THEN lt ELSE (lt // 7) * 7 END AS l,
+         |      CASE WHEN last_xs >= mxs - 86400 THEN $inf ELSE (lt // 7) * 7 + 7 END AS r
+         |    FROM u, mx) o GROUP BY 1, 2),
+         |lefts AS MATERIALIZED (SELECT DISTINCT l AS q FROM cells),
+         |rights AS MATERIALIZED (SELECT DISTINCT r FROM cells),
+         |alle AS MATERIALIZED (SELECT q AS e FROM lefts UNION SELECT r FROM rights),
+         |ti AS MATERIALIZED (
+         |  SELECT q, p, CAST(row_number() OVER (ORDER BY q, p) AS INTEGER) AS j FROM (
+         |    SELECT l.q, (SELECT min(r.r) FROM rights r WHERE r.r > l.q) AS p FROM lefts l) z
+         |  WHERE p IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM alle a WHERE a.e > z.q AND a.e < z.p)),
+         |kk AS MATERIALIZED (SELECT CAST(count(*) AS INTEGER) AS k FROM ti),
+         |nt AS MATERIALIZED (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM cells),
+         |cellm AS MATERIALIZED (
+         |  SELECT c.l, c.r, [CAST(c.n AS DOUBLE)] ||
+         |    list(CASE WHEN t.q >= c.l AND t.p <= c.r THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END ORDER BY t.j) AS cell
+         |  FROM cells c, ti t GROUP BY c.l, c.r, c.n),
+         |cl AS MATERIALIZED (SELECT list(cell ORDER BY l, r) AS cs FROM cellm),
+         |em AS (
+         |  SELECT 0 AS it, [1.0 / kk.k for j in range(0, kk.k)] AS s FROM kk
+         |  UNION ALL
+         |  SELECT st.it + 1,
+         |    list_transform(
+         |      list_reduce(
+         |        [[CAST(0.0 AS DOUBLE) for j in range(0, len(st.s))]] || cl.cs,
+         |        (acc, cell) -> [acc[j + 1] +
+         |            CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                  [CASE WHEN cell[jj + 2] = 1.0 THEN st.s[jj + 1] ELSE 0.0 END
+         |                   for jj in range(0, len(st.s))]), (a, b) -> a + b) > 0
+         |                AND cell[j + 2] = 1.0
+         |              THEN (cell[1] / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                  [CASE WHEN cell[jj + 2] = 1.0 THEN st.s[jj + 1] ELSE 0.0 END
+         |                   for jj in range(0, len(st.s))]), (a, b) -> a + b)) * st.s[j + 1]
+         |              ELSE 0.0 END
+         |          for j in range(0, len(st.s))]),
+         |      x -> x / nt.ntot) AS s
+         |  FROM em st, cl, nt WHERE st.it < 100),
+         |fin AS MATERIALIZED (SELECT s FROM em ORDER BY it DESC LIMIT 1),
+         |cum AS MATERIALIZED (
+         |  SELECT list_reduce([[fin.s[1]]] || [[fin.s[j]] for j in range(2, len(fin.s) + 1)],
+         |    (acc, xj) -> acc || [acc[len(acc)] + xj[1]]) AS c
+         |  FROM fin)
+         |SELECT t.q AS q_day,
+         |  CASE WHEN t.p = $inf THEN CAST(-1 AS BIGINT) ELSE t.p END AS p_day,
+         |  CAST(floor(fin.s[t.j] * 1000000.0) AS BIGINT) AS mass_micro,
+         |  CAST(floor(greatest(1.0 - cum.c[t.j], 0.0) * 1000000.0) AS BIGINT) AS surv_micro
+         |FROM ti t, fin, cum
+         |ORDER BY q_day, p_day""".stripMargin
+    }) { (s, d) =>
     import graft.operators.Turnbull
     val e = ev(s, d)
     val mx = e.agg(max(col("xs")).as("mxs"))
