@@ -755,4 +755,98 @@ object Graphs {
       when(col("n_deg2") > 0, Binning.floorDivCol(col("lc_sum"), col("n_deg2")))
         .otherwise(lit(null).cast("long")).as("avg_local_ppm"))
   }
+
+  /** K-truss of an undirected (u, v) edge relation (Cohen 2008): the
+    * EDGE-cohesion analog of the k-core — repeatedly remove every
+    * edge supported by fewer than k−2 triangles until stable. Where
+    * the k-core keeps nodes with enough neighbors, the k-truss keeps
+    * edges embedded in enough triangles, so it isolates genuinely
+    * clique-like co-occurrence structure that degree alone can't
+    * certify (a star survives any k-core threshold its hub degree
+    * clears but has NO triangles).
+    *
+    * `rounds` caps the parallel peel: every round removes ALL
+    * under-supported edges at once, and post-fixpoint rounds are
+    * no-ops, so any two implementations capped at the same round
+    * count agree exactly — the q_ktruss gate pins rounds = 10 on
+    * both engines (fixpoint reached well inside that at every tested
+    * scale; fixtures pin fixpoints in GraphSpec). Early exit when a
+    * round removes nothing is equivalence-preserving.
+    *
+    * Scale shape (the [[kCore]] discipline): a bounded driver fast
+    * path (one fused probe+collect, adjacency-hash support counting)
+    * replaces the per-round distributed jobs under the 2M-edge
+    * bound; past it, each round is one canonical-triangle 3-way
+    * self-join (u<v<w — every triangle enumerated once) + one
+    * per-edge support aggregate + one filter, persisted per round
+    * with the previous round freed.
+    */
+  def trussEdges(edges: DataFrame, k: Int, rounds: Int = 10,
+                 driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
+    require(k >= 2, s"k out of range: $k")
+    require(rounds >= 1, s"rounds out of range: $rounds")
+    val proj = edges.select(col("u"), col("v"))
+    collectUnderBound(proj, driverMaxEdges) match {
+      case Some(rows) => return trussDriver(edges, rows, k, rounds)
+      case None =>
+    }
+    var cur = proj.persist()
+    cur.count()
+    var it = 0
+    var done = false
+    while (!done && it < rounds) {
+      val tri = cur.as("ab")
+        .join(cur.as("bc"), col("ab.v") === col("bc.u"))
+        .join(cur.as("ac"),
+          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+        .select(col("ab.u").as("x"), col("ab.v").as("y"), col("bc.v").as("z"))
+      val sup = tri.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(tri.select(col("x").as("u"), col("z").as("v")))
+        .unionAll(tri.select(col("y").as("u"), col("z").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      val next = cur.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+        .persist()
+      val nNext = next.count()
+      val nCur = cur.count() // cached — no recompute
+      cur.unpersist()
+      cur = next
+      done = nNext == nCur
+      it += 1
+    }
+    cur
+  }
+
+  /** In-memory parallel truss peel under the driver bound: adjacency
+    * hash sets, per-edge support by smaller-set iteration — the same
+    * remove-all-per-round semantics as the distributed loop.
+    */
+  private def trussDriver(edges: DataFrame, rows: Array[org.apache.spark.sql.Row],
+                          k: Int, rounds: Int): DataFrame = {
+    val proj = edges.select(col("u"), col("v"))
+    var alive = rows.map(r => (r.getLong(0), r.getLong(1)))
+    var it = 0
+    var done = false
+    while (!done && it < rounds) {
+      val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      def add(a: Long, b: Long): Unit =
+        adj.computeIfAbsent(a, _ => new java.util.HashSet[Long]()).add(b)
+      alive.foreach { case (u, v) => add(u, v); add(v, u) }
+      val next = alive.filter { case (u, v) =>
+        val su = adj.get(u); val sv = adj.get(v)
+        val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+        var sup = 0
+        val itr = small.iterator()
+        while (itr.hasNext && sup < k - 2) { if (big.contains(itr.next())) sup += 1 }
+        sup >= k - 2
+      }
+      done = next.length == alive.length
+      alive = next
+      it += 1
+    }
+    if (alive.length == rows.length) proj
+    else distributed(edges.sparkSession,
+      alive.toSeq.map(e => org.apache.spark.sql.Row(e._1, e._2)), proj.schema)
+  }
 }

@@ -2008,6 +2008,71 @@ object AuditQueries {
       .orderedSmall(col("k"))
   }
 
+  /** Peel-round cap for the k-truss gate — mirrored EXACTLY in the
+    * oracle's unrolled rounds (see [[graft.operators.Graphs
+    * .trussEdges]]: post-fixpoint rounds are no-ops, so equal caps ⇒
+    * equal results; fixpoint is reached well inside 10 at every
+    * tested scale, and GraphSpec pins fixture fixpoints).
+    */
+  private val TrussRounds = 10
+
+  /** K-truss decomposition (#429, r10, Cohen 2008): sizes of the 3-
+    * and 4-trusses of the part-co-occurrence graph — the EDGE
+    * analog of the k-core (#263): keep edges supported by ≥ k−2
+    * triangles, to a fixpoint. Degree keeps a star in any k-core its
+    * hub clears; triangle support doesn't, so the truss isolates the
+    * clique-like "bought together" structure the association-rule
+    * and community gates mine. Hash-checked SQL: each gate-pinned
+    * peel round is one canonical-triangle (u<v<w) 3-way self-join +
+    * a per-edge support aggregate, unrolled [[TrussRounds]] times
+    * per k (a recursive CTE cannot self-join its working table).
+    */
+  val qKtruss = GateQuery.sql(
+    "q_ktruss", {
+      def chain(k: Int): String = (1 to TrussRounds).map { r =>
+        val p = s"e${k}_${r - 1}"
+        s"""tri${k}_$r AS MATERIALIZED (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+           |  FROM $p ab JOIN $p bc ON ab.v = bc.u
+           |  JOIN $p ac ON ac.u = ab.u AND ac.v = bc.v),
+           |sup${k}_$r AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT x AS u, y AS v FROM tri${k}_$r UNION ALL
+           |    SELECT x, z FROM tri${k}_$r UNION ALL
+           |    SELECT y, z FROM tri${k}_$r) s GROUP BY 1, 2),
+           |e${k}_$r AS MATERIALIZED (SELECT e.u, e.v FROM $p e
+           |  LEFT JOIN sup${k}_$r s ON e.u = s.u AND e.v = s.v
+           |  WHERE coalesce(s.c, 0) >= ${k - 2})""".stripMargin
+      }.mkString(",\n")
+      val per = Seq(3, 4).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT CAST(count(DISTINCT nd) AS BIGINT) FROM (
+           |     SELECT u AS nd FROM e${k}_$TrussRounds
+           |     UNION SELECT v FROM e${k}_$TrussRounds) z) AS n_nodes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e${k}_$TrussRounds) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e3_0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e4_0 AS (SELECT * FROM e3_0),
+         |${chain(3)},
+         |${chain(4)}
+         |SELECT * FROM ($per) f ORDER BY k""".stripMargin
+    }) { (s, d) =>
+    val edges = graft.SharedRelations.partCoEdges(s, d).persist()
+    import s.implicits._
+    val stats = Seq(3, 4).map { k =>
+      val t = graft.operators.Graphs.trussEdges(edges, k, rounds = TrussRounds)
+        .persist()
+      val nEdges = t.count()
+      val nNodes = graft.operators.Graphs.degrees(t)
+        .agg(count(lit(1)).cast("long")).collect()(0).getLong(0)
+      t.unpersist()
+      (k.toLong, nNodes, nEdges)
+    }
+    edges.unpersist()
+    stats.toDF("k", "n_nodes", "n_edges").orderedSmall(col("k"))
+  }
+
   /** Seasonal strength (#265): per event type, the share of hourly
     * variance explained by the hour-of-day seasonal means —
     * Hyndman's F_s = SSB/SST over the hod grouping, i.e. one-way
@@ -2708,7 +2773,7 @@ object AuditQueries {
   val all: Seq[GateQuery] = Seq(
     qTriangles, qRichClub, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qSenSlope, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
-    qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore,
+    qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore, qKtruss,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
     qShapiroWilk, qAdDrift, qBhFdr,

@@ -246,6 +246,31 @@ class AuditEdgeSpec extends SparkSpec {
     }
   }
 
+  test("k-truss: star and pendants peel away, K5 survives the 5-truss (both paths)") {
+    // K5 on {1..5} + a lone triangle {10,11,12} + pendant edge 5–20 +
+    // star center 30 → {31,32,33}: every K5 edge has support 3, the
+    // triangle's edges support 1, the pendant and star edges 0. So
+    // 3-truss = K5 ∪ triangle (13 edges), 4-truss = 5-truss = K5
+    // (10 edges — support 3 ≥ 5−2), 6-truss = ∅. The star survives
+    // NO truss despite its hub's degree — the degree-vs-support
+    // distinction that motivates the operator next to k-core.
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val g = Graphs.canonicalEdges(edges(
+      k5 ++ Seq((10L, 11L), (10L, 12L), (11L, 12L), (5L, 20L),
+        (30L, 31L), (30L, 32L), (30L, 33L)): _*))
+    for (bound <- Seq(2000000L, 0L)) {
+      assert(Graphs.trussEdges(g, 3, driverMaxEdges = bound).count() === 13L,
+        s"bound=$bound")
+      val t4 = Graphs.trussEdges(g, 4, driverMaxEdges = bound)
+      assert(t4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        k5.toSet, s"bound=$bound")
+      assert(Graphs.trussEdges(g, 5, driverMaxEdges = bound).count() === 10L,
+        s"bound=$bound")
+      assert(Graphs.trussEdges(g, 6, driverMaxEdges = bound).count() === 0L,
+        s"bound=$bound")
+    }
+  }
+
   test("coreSizes: incremental multi-k peel matches per-k kCore (both paths)") {
     // same K4+tail fixture: 2-core = K4 + the 4–5 edge gone (tail
     // cascades), 3-core = K4 exactly, 4-core empty
