@@ -3780,6 +3780,145 @@ object StatsQueries {
       .orderedSmall(col("n_exp_conv"))
   }
 
+  /** E-value sensitivity analysis (#430, r10, VanderWeele & Ding
+    * 2017): the minimum strength of unmeasured confounding — on the
+    * risk-ratio scale, for BOTH the confounder→treatment and
+    * confounder→outcome associations jointly — that could explain
+    * away the observed association: E = RR + √(RR·(RR−1)) for
+    * RR ≥ 1, computed on 1/RR otherwise. The standard robustness
+    * read-out next to the effect gates (#296 OR, #343 MH, #269 DiD):
+    * "how big would a hidden confounder have to be?" — an
+    * audit-grade answer where a bare p-value is not. Same exact 2×2
+    * as q_odds_ratio; RR and E are mirrored double expressions over
+    * the exact counts (one sqrt — IEEE-portable).
+    */
+  val qEvalue = GateQuery.sql(
+    "q_evalue",
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM $E e GROUP BY user_id),
+       |c AS (SELECT
+       |    count(*) FILTER (user_id % 2 = 1 AND conv = 1) AS a,
+       |    count(*) FILTER (user_id % 2 = 1 AND conv = 0) AS b,
+       |    count(*) FILTER (user_id % 2 = 0 AND conv = 1) AS cc,
+       |    count(*) FILTER (user_id % 2 = 0 AND conv = 0) AS d
+       |  FROM u),
+       |r AS (SELECT a, b, cc, d,
+       |    ((1.0 * a) / (a + b)) / ((1.0 * cc) / (cc + d)) AS rr
+       |  FROM c WHERE a > 0 AND cc > 0 AND a + b > 0 AND cc + d > 0),
+       |e AS (SELECT a, b, cc, d, rr,
+       |    CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rrs
+       |  FROM r)
+       |SELECT CAST(a AS BIGINT) AS n_exp_conv, CAST(b AS BIGINT) AS n_exp_non,
+       |  CAST(cc AS BIGINT) AS n_ctl_conv, CAST(d AS BIGINT) AS n_ctl_non,
+       |  round(rr, 6) + 0.0 AS risk_ratio,
+       |  CASE WHEN rrs > 1.0
+       |    THEN round(rrs + sqrt(rrs * (rrs - 1.0)), 6) + 0.0
+       |    ELSE 1.0 END AS e_value
+       |FROM e""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("ex", pmod(col("user_id"), lit(2L)))
+    val cdf = u.agg(
+      count(when(col("ex") === 1 && col("conv") === 1, 1)).as("a"),
+      count(when(col("ex") === 1 && col("conv") === 0, 1)).as("b"),
+      count(when(col("ex") === 0 && col("conv") === 1, 1)).as("cc"),
+      count(when(col("ex") === 0 && col("conv") === 0, 1)).as("d"))
+    val rr = ((lit(1.0) * col("a")) / (col("a") + col("b"))) /
+      ((lit(1.0) * col("cc")) / (col("cc") + col("d")))
+    val rrs = when(col("rr") >= 1.0, col("rr")).otherwise(lit(1.0) / col("rr"))
+    cdf.filter(col("a") > 0 && col("cc") > 0 &&
+        col("a") + col("b") > 0 && col("cc") + col("d") > 0)
+      .withColumn("rr", rr)
+      .withColumn("rrs", rrs)
+      .select(col("a").cast("long").as("n_exp_conv"),
+        col("b").cast("long").as("n_exp_non"),
+        col("cc").cast("long").as("n_ctl_conv"),
+        col("d").cast("long").as("n_ctl_non"),
+        (round(col("rr"), 6) + lit(0.0)).as("risk_ratio"),
+        when(col("rrs") > 1.0,
+          round(col("rrs") + sqrt(col("rrs") * (col("rrs") - lit(1.0))), 6) + lit(0.0))
+          .otherwise(lit(1.0)).as("e_value"))
+      .orderedSmall(col("n_exp_conv"))
+  }
+
+  /** Stratified-propensity IPW average treatment effect (#431, r10;
+    * Rosenbaum & Rubin 1983 / Hájek form, stratum-constant
+    * propensities): conversion ATE of the even/odd "treatment" with
+    * the propensity estimated WITHIN activity strata (per-user event
+    * count deciles) — inverse-propensity weighting with stratum
+    * propensities is algebraically the stratified estimator
+    * Σ (nₛ/N)·(ȳ₁ₛ − ȳ₀ₛ), so the whole pipeline stays exact
+    * integer arithmetic: per-stratum effect = (aₛ·c nₛ − cₛ·t nₛ)
+    * micro-floored over tₛ·cₛ (signed floor, both engines), overall
+    * ATE one more signed floor over N. Strata missing a treatment
+    * arm are skipped on both sides (no within-stratum counterfactual
+    * — the positivity violation every IPW implementation must
+    * handle). One user aggregate + one NTILE + two small aggregates.
+    */
+  val qIpwAte = GateQuery.sql(
+    "q_ipw_ate",
+    s"""WITH u AS (SELECT user_id,
+       |    CAST(count(*) AS BIGINT) AS n_ev,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM $E e GROUP BY user_id),
+       |s AS (SELECT user_id, conv, user_id % 2 AS tr,
+       |    ntile(10) OVER (ORDER BY n_ev, user_id) AS stratum
+       |  FROM u),
+       |g AS (SELECT stratum,
+       |    CAST(count(*) AS BIGINT) AS n_s,
+       |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS tn,
+       |    CAST(sum(conv) FILTER (tr = 1) AS BIGINT) AS a,
+       |    CAST(count(*) FILTER (tr = 0) AS BIGINT) AS cn,
+       |    CAST(sum(conv) FILTER (tr = 0) AS BIGINT) AS c
+       |  FROM s GROUP BY 1),
+       |t AS (SELECT stratum, n_s, tn, a, cn, c,
+       |    CASE WHEN tn > 0 AND cn > 0 THEN
+       |      CAST(((nx) - ((((nx) % (dx)) + (dx)) % (dx))) // (dx) AS BIGINT)
+       |    END AS term_micro
+       |  FROM (SELECT *,
+       |      CAST(n_s AS HUGEINT) * (a * cn - c * tn) * 1000000 AS nx,
+       |      CAST(tn AS HUGEINT) * cn AS dx FROM g) gg),
+       |o AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+       |    CAST(sum(term_micro) AS BIGINT) AS num,
+       |    CAST(count(*) FILTER (term_micro IS NOT NULL) AS BIGINT) AS n_used
+       |  FROM t)
+       |SELECT t.stratum, t.n_s, t.tn, t.a AS conv_t, t.cn, t.c AS conv_c,
+       |  t.term_micro,
+       |  CAST(((o.num) - ((((o.num) % (o.n_total)) + (o.n_total)) % (o.n_total)))
+       |    // (o.n_total) AS BIGINT) AS ate_micro,
+       |  o.n_used AS n_strata_used
+       |FROM t, o ORDER BY t.stratum""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_ev"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    val st = u.select(col("user_id"), col("conv"),
+      pmod(col("user_id"), lit(2L)).as("tr"),
+      ntile(10).over(Window.orderBy(col("n_ev"), col("user_id"))).as("stratum"))
+    val g = st.groupBy(col("stratum")).agg(
+      count(lit(1)).cast("long").as("n_s"),
+      count(when(col("tr") === 1, 1)).cast("long").as("tn"),
+      sum(when(col("tr") === 1, col("conv"))).cast("long").as("a"),
+      count(when(col("tr") === 0, 1)).cast("long").as("cn"),
+      sum(when(col("tr") === 0, col("conv"))).cast("long").as("c"))
+    val term = when(col("tn") > 0 && col("cn") > 0,
+      Binning.floorDivCol(
+        col("n_s").cast("decimal(38,0)") *
+          (col("a") * col("cn") - col("c") * col("tn")).cast("decimal(38,0)") *
+          lit(1000000L),
+        (col("tn") * col("cn")).cast("decimal(19,0)")))
+    val t = g.withColumn("term_micro", term)
+    val o = t.agg(sum(col("n_s")).cast("long").as("n_total"),
+      sum(col("term_micro")).cast("long").as("num"),
+      count(when(col("term_micro").isNotNull, 1)).cast("long").as("n_used"))
+    t.join(o)
+      .select(col("stratum"), col("n_s"), col("tn"), col("a").as("conv_t"),
+        col("cn"), col("c").as("conv_c"), col("term_micro"),
+        Binning.floorDivCol(col("num"), col("n_total")).as("ate_micro"),
+        col("n_used").as("n_strata_used"))
+      .orderedSmall(col("stratum"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio + CMH test (#343): the
     * STRATIFIED upgrade of #296 — pooling conversion odds across
     * user strata without letting a confounded stratum mix (Mantel &
@@ -4954,7 +5093,7 @@ object StatsQueries {
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
+    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
     qBreuschPagan, qChow, qDickeyFuller, qGranger, qNemenyi)
 }

@@ -105,7 +105,8 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_nemenyi", // k²-bounded treatment pair product (5-row broadcast, as q_tukey)
     "q_cmh", // 1-row pooled chi2/OR scalar onto the 4-stratum rows
     "q_rich_club", // per-threshold (n_nodes)⋈(n_edges) 1-row summary joins
-    "q_hubness") // brute-force query×corpus pool (as q_knn_bruteforce) + 1-row skew scalar
+    "q_hubness", // brute-force query×corpus pool (as q_knn_bruteforce) + 1-row skew scalar
+    "q_ipw_ate") // 1-row overall-ATE scalar onto the 10-stratum rows (as q_cmh)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
