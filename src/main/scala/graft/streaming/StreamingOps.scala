@@ -900,6 +900,67 @@ object StreamingOps {
       }
   }
 
+  final case class HlPoint(user: Long, ts: java.sql.Timestamp, x: Long)
+  final case class HlState(nSeen: Long, res: Seq[(Long, Long, Long, Long)])
+  final case class HlOut(user: Long, ts: java.sql.Timestamp, nSeen: Long,
+                         nRes: Long, hl2Cents: Long, hlCents: Long)
+
+  /** Streaming Hodges–Lehmann sketch (#432) — the live counterpart of
+    * the batch `q_hodges_lehmann` gate: per key, a robust location
+    * estimate (lower median of pairwise Walsh means) maintained over
+    * a BOUNDED deterministic reservoir. The reservoir keeps the
+    * `cap` readings with the LOWEST portable md5 priorities
+    * (ties → (ts, x)), so the retained sample — and therefore the
+    * estimate — is a pure function of the readings seen, independent
+    * of micro-batch boundaries or arrival order (bottom-k by a fixed
+    * priority is merge-associative; pinned in StreamingSpec). Each
+    * emission recomputes the ≤cap(cap+1)/2 doubled Walsh sums
+    * exactly (no halving until the final floor — the batch gate's
+    * discipline). State is O(cap) longs per key; dead keys evict via
+    * the optional [[IdleEvict]] policy.
+    */
+  def hlStream(points: Dataset[HlPoint], cap: Int = 32,
+               idleEvict: Option[IdleEvict] = None): Dataset[HlOut] = {
+    require(cap >= 1 && cap <= 512, s"cap out of range: $cap")
+    import points.sparkSession.implicits._
+    def prio(user: Long, tsMs: Long, x: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"hl:$user:$tsMs:$x".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[HlState, HlOut](
+        OutputMode.Update(), timeoutOf(idleEvict)) {
+        (user: Long, rows: Iterator[HlPoint], state: GroupState[HlState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(HlState(0L, Seq.empty))
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.x))
+            val out = pts.map { p =>
+              val t = p.ts.getTime
+              val entry = (prio(user, t, p.x), t, p.x, p.x)
+              val merged = (st.res :+ entry)
+                .sortBy(e => (e._1, e._2, e._3)).take(cap)
+              st = HlState(st.nSeen + 1, merged)
+              val vals = merged.map(_._4).sorted
+              val m = vals.length
+              val walsh = (for {
+                i <- 0 until m; j <- i until m
+              } yield vals(i) + vals(j)).sorted
+              val nPairs = walsh.length
+              val hl2 = walsh((nPairs + 1) / 2 - 1)
+              HlOut(user, p.ts, st.nSeen, m.toLong, hl2,
+                math.floorDiv(hl2, 2L))
+            }
+            state.update(st)
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming distribution-drift monitor: per event-time window,
     * the Jensen–Shannon divergence of the window's hashed-token
     * distribution against a FIXED reference distribution (trained

@@ -1032,4 +1032,56 @@ class StreamingSpec extends SparkSpec {
         rows.head.rbo_ppm == 199000L, s"got ${rows.head}")
     } finally q.stop()
   }
+
+  test("streaming Hodges-Lehmann: exact HL under cap, fixture-pinned") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{HlOut, HlPoint}
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamingOps.hlStream(
+      input.toDF().toDF("ts", "user", "x")
+        .select(col("user"), col("ts"), col("x")).as[HlPoint], cap = 32)
+    val q = out.writeStream.format("memory").queryName("hlmon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // [1, 3, 5]: doubled Walsh sums [2,4,6,6,8,10], lower median
+      // rank (6+1)/2 = 3 -> hl2 = 6, hl = 3 — split across batches,
+      // the reservoir must carry over
+      input.addData((ts(0), 7L, 1L), (ts(10), 7L, 3L))
+      q.processAllAvailable()
+      input.addData((ts(20), 7L, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("hlmon").as[HlOut].collect().sortBy(_.ts.getTime)
+      assert(rows.length === 3)
+      assert(rows.last.nSeen === 3L && rows.last.nRes === 3L)
+      assert(rows.last.hl2Cents === 6L && rows.last.hlCents === 3L, s"${rows.last}")
+    } finally q.stop()
+  }
+
+  test("streaming Hodges-Lehmann: capped reservoir is batch-split-independent") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{HlOut, HlPoint}
+    val pts = (0 until 20).map(i => (ts(i * 10), 5L, (i * 37 % 11).toLong))
+    def finalEstimate(splitAt: Int, name: String): HlOut = {
+      val input = MemoryStream[(Timestamp, Long, Long)]
+      val out = StreamingOps.hlStream(
+        input.toDF().toDF("ts", "user", "x")
+          .select(col("user"), col("ts"), col("x")).as[HlPoint], cap = 8)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(pts.take(splitAt): _*)
+        q.processAllAvailable()
+        input.addData(pts.drop(splitAt): _*)
+        q.processAllAvailable()
+        spark.table(name).as[HlOut].collect().maxBy(_.ts.getTime)
+      } finally q.stop()
+    }
+    val a = finalEstimate(3, "hlsplit_a")
+    val b = finalEstimate(15, "hlsplit_b")
+    assert(a.nRes === 8L && a.nSeen === 20L)
+    // bottom-k by fixed priority is merge-associative: identical final
+    // reservoir and estimate whatever the micro-batch boundaries
+    assert(a.hl2Cents === b.hl2Cents && a.hlCents === b.hlCents,
+      s"split-dependent: $a vs $b")
+  }
 }
