@@ -1179,16 +1179,67 @@ object CurationQueries {
       .orderedSmall(col("source"))
   }
 
-  /** #242c/#244 — cross-validated classifier AUC (rows+test): the
-    * HONEST evaluation of #96's quality classifier — train on folds
-    * 1–4 of the #232 k-fold assignment, score the UNSEEN fold 0,
-    * and report the held-out Mann–Whitney AUC (the #175 machinery,
+  /** #242c/#244 — cross-validated classifier AUC: the HONEST
+    * evaluation of #96's quality classifier — train on folds 1–4 of
+    * the #232 k-fold assignment, score the UNSEEN fold 0, and report
+    * the held-out Mann–Whitney AUC (the #175 machinery,
     * value-collapsed over distinct scores). The in-sample score the
     * classifier gate reports cannot detect memorized hash buckets;
     * this gate can — it is the composition that turns three gated
     * operators (folds, classifier, AUC) into a leak-aware pipeline.
+    * Hash-checked SQL since r10: the q_quality_classifier unrolled-GD
+    * oracle restricted to the train folds, held-out scoring via LEFT
+    * JOIN + coalesce(wt, 0) (buckets unseen in training carry the
+    * driver's zero weight), and the exact-integer rank-sum AUC on
+    * top. no_oracle residue shrinks by the last
+    * driver-trained-model gate.
     */
-  val qCvAuc = GateQuery.rowsOnly("q_cv_auc") { (s, d) =>
+  val qCvAuc = GateQuery.sql(
+    "q_cv_auc", {
+      val iters = (1 to 8).map { i =>
+        val wp = s"w${i - 1}"
+        s"""m$i AS MATERIALIZED (SELECT bg.doc_id, any_value(bg.label) AS label,
+           |    CAST(sum(w.wt) AS BIGINT) AS m
+           |  FROM bg JOIN $wp w USING (b) GROUP BY bg.doc_id),
+           |r$i AS MATERIALIZED (SELECT doc_id,
+           |    CAST(floor((1.0 / (1.0 + exp((-(m)) / 1000000.0)) - label)
+           |      * 1000000) AS BIGINT) AS r
+           |  FROM m$i),
+           |g$i AS MATERIALIZED (SELECT bg.b, CAST(sum(r$i.r) AS BIGINT) AS g
+           |  FROM bg JOIN r$i USING (doc_id) GROUP BY bg.b),
+           |w$i AS MATERIALIZED (SELECT w.b, w.wt - CAST(floor((0.5 * ((CAST(g.g AS DOUBLE)
+           |      / 1000000.0) / (SELECT nd FROM nd))) * 1000000.0 + 0.5) AS BIGINT)
+           |    AS wt
+           |  FROM $wp w JOIN g$i g USING (b))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tw AS (SELECT doc_id, (lang = 'en')::INT AS label,
+         |    ${graft.operators.TextOps.baseHashSql("concat('fold:', CAST(doc_id AS VARCHAR))")}
+         |      % 5 AS fold,
+         |    string_split(text, ' ') AS w FROM documents),
+         |bg AS MATERIALIZED (SELECT doc_id, label,
+         |    unnest(${Curation.bigramBucketsSql(DsirBuckets)}) AS b
+         |  FROM tw WHERE len(w) >= 2 AND fold <> 0),
+         |hbg AS MATERIALIZED (SELECT doc_id, label,
+         |    unnest(${Curation.bigramBucketsSql(DsirBuckets)}) AS b
+         |  FROM tw WHERE len(w) >= 2 AND fold = 0),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM bg),
+         |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wt FROM bg),
+         |$iters,
+         |hsc AS MATERIALIZED (SELECT h.doc_id, any_value(h.label) AS label,
+         |    CAST(sum(coalesce(w.wt, 0)) AS BIGINT) AS sc
+         |  FROM hbg h LEFT JOIN w8 w USING (b) GROUP BY h.doc_id),
+         |v AS (SELECT sc, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(label) AS BIGINT) AS p FROM hsc GROUP BY sc),
+         |cm AS (SELECT sc, c, p,
+         |    CAST(sum(c) OVER (ORDER BY sc) AS BIGINT) AS cum FROM v),
+         |f AS (SELECT CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS sp2,
+         |    CAST(sum(p) AS BIGINT) AS np, CAST(sum(c - p) AS BIGINT) AS nn
+         |  FROM cm)
+         |SELECT np AS n_heldout_pos, nn AS n_heldout_neg,
+         |  CAST(((sp2 - np * (np + 1)) * 1000000) // (2 * np * nn) AS BIGINT)
+         |    AS heldout_auc_ppm
+         |FROM f""".stripMargin
+    }) { (s, d) =>
     import graft.operators.{QualityClassifier, TextOps}
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).withColumn("fold",
