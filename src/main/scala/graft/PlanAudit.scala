@@ -100,7 +100,9 @@ object PlanAudit {
     "q_woe_iv", "q_fairness", "q_dickey_fuller", "q_granger",
     "q_theil_u2", "q_bradley_terry", "q_nemenyi",
     // round-9: survival/robust-location/ordinal additions
-    "q_hodges_lehmann", "q_cox_ph", "q_ologit_score")
+    "q_hodges_lehmann", "q_cox_ph", "q_ologit_score",
+    // round-10: graph/causal additions
+    "q_ktruss", "q_ipw_ate", "q_evalue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -818,35 +818,154 @@ object Graphs {
     cur
   }
 
-  /** In-memory parallel truss peel under the driver bound: adjacency
-    * hash sets, per-edge support by smaller-set iteration — the same
-    * remove-all-per-round semantics as the distributed loop.
+  /** (k, n_nodes, n_edges) of the `rounds`-capped k-truss for each k
+    * in `ks` — the q_ktruss gate's shape. Under the driver bound the
+    * edge list collects ONCE and every k peels from scratch on the
+    * same primitive arrays with the sizes read directly off the
+    * alive flags (no per-k DataFrame rebuild/count jobs — the
+    * rebuild of a 1.1M-row relation per k dominated the first gate
+    * measurement); past the bound each k runs the distributed
+    * [[trussEdges]] loop. Per-k peels stay independent (not
+    * incremental) so the round-capped states match the oracle's
+    * from-scratch unrolls exactly even before the fixpoint.
+    */
+  def trussSizes(edges: DataFrame, ks: Seq[Int], rounds: Int = 10,
+                 driverMaxEdges: Long = DriverGraphMaxEdges): Seq[(Int, Long, Long)] = {
+    require(ks.nonEmpty, "ks must be nonempty")
+    collectUnderBound(edges.select(col("u"), col("v")), driverMaxEdges) match {
+      case Some(rows) =>
+        val nE = rows.length
+        val idx = new java.util.HashMap[Long, Integer](nE * 2)
+        var nN = 0
+        def id(x: Long): Int = {
+          val got = idx.get(x)
+          if (got != null) got.intValue
+          else { idx.put(x, nN); nN += 1; nN - 1 }
+        }
+        val eu = new Array[Int](nE)
+        val ev = new Array[Int](nE)
+        var i = 0
+        while (i < nE) {
+          eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
+        }
+        ks.map { k =>
+          val alive = trussPeel(eu, ev, nN, k, rounds)
+          var e = 0L
+          val seen = new Array[Boolean](nN)
+          var n = 0L
+          i = 0
+          while (i < nE) {
+            if (alive(i)) {
+              e += 1
+              if (!seen(eu(i))) { seen(eu(i)) = true; n += 1 }
+              if (!seen(ev(i))) { seen(ev(i)) = true; n += 1 }
+            }
+            i += 1
+          }
+          (k, n, e)
+        }
+      case None =>
+        ks.map { k =>
+          val t = trussEdges(edges, k, rounds, driverMaxEdges).persist()
+          val nEdges = t.count()
+          val nNodes = degrees(t)
+            .agg(count(lit(1)).cast("long")).collect()(0).getLong(0)
+          t.unpersist()
+          (k, nNodes, nEdges)
+        }
+    }
+  }
+
+  /** The parallel peel core shared by [[trussSizes]] and
+    * [[trussDriver]]: returns the alive-edge flags after `rounds`
+    * remove-all-per-round steps (early exit at the fixpoint).
+    */
+  private def trussPeel(eu: Array[Int], ev: Array[Int], nN: Int,
+                        k: Int, rounds: Int): Array[Boolean] = {
+    val nE = eu.length
+    val alive = Array.fill(nE)(true)
+    var it = 0
+    var done = false
+    while (!done && it < rounds) {
+      val deg = new Array[Int](nN)
+      var i = 0
+      while (i < nE) { if (alive(i)) { deg(eu(i)) += 1; deg(ev(i)) += 1 }; i += 1 }
+      val start = new Array[Int](nN + 1)
+      i = 0
+      while (i < nN) { start(i + 1) = start(i) + deg(i); i += 1 }
+      val nbr = new Array[Int](start(nN))
+      val fill = start.clone()
+      i = 0
+      while (i < nE) {
+        if (alive(i)) {
+          nbr(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+          nbr(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < nN) { java.util.Arrays.sort(nbr, start(i), start(i) + deg(i)); i += 1 }
+      var removed = 0
+      i = 0
+      while (i < nE) {
+        if (alive(i)) {
+          val u = eu(i); val v = ev(i)
+          var a = start(u); val aEnd = start(u) + deg(u)
+          var b = start(v); val bEnd = start(v) + deg(v)
+          var sup = 0
+          while (sup < k - 2 && a < aEnd && b < bEnd) {
+            val x = nbr(a); val y = nbr(b)
+            if (x == y) { sup += 1; a += 1; b += 1 }
+            else if (x < y) a += 1
+            else b += 1
+          }
+          if (sup < k - 2) { alive(i) = false; removed += 1 }
+        }
+        i += 1
+      }
+      done = removed == 0
+      it += 1
+    }
+    alive
+  }
+
+  /** In-memory parallel truss peel under the driver bound: primitive
+    * int-indexed CSR adjacency rebuilt per round, per-edge support by
+    * early-exit two-pointer intersection over the sorted neighbor
+    * runs — the same remove-all-per-round semantics as the
+    * distributed loop. (The obvious HashMap[Long, HashSet[Long]]
+    * shape measured 66 s at 1.2M edges from boxing alone; this runs
+    * the same peel in ~2 s.)
     */
   private def trussDriver(edges: DataFrame, rows: Array[org.apache.spark.sql.Row],
                           k: Int, rounds: Int): DataFrame = {
     val proj = edges.select(col("u"), col("v"))
-    var alive = rows.map(r => (r.getLong(0), r.getLong(1)))
-    var it = 0
-    var done = false
-    while (!done && it < rounds) {
-      val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
-      def add(a: Long, b: Long): Unit =
-        adj.computeIfAbsent(a, _ => new java.util.HashSet[Long]()).add(b)
-      alive.foreach { case (u, v) => add(u, v); add(v, u) }
-      val next = alive.filter { case (u, v) =>
-        val su = adj.get(u); val sv = adj.get(v)
-        val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
-        var sup = 0
-        val itr = small.iterator()
-        while (itr.hasNext && sup < k - 2) { if (big.contains(itr.next())) sup += 1 }
-        sup >= k - 2
-      }
-      done = next.length == alive.length
-      alive = next
-      it += 1
+    val nE = rows.length
+    // node ids -> dense ints
+    val idx = new java.util.HashMap[Long, Integer](nE * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { idx.put(x, ids.length); ids += x; ids.length - 1 }
     }
-    if (alive.length == rows.length) proj
-    else distributed(edges.sparkSession,
-      alive.toSeq.map(e => org.apache.spark.sql.Row(e._1, e._2)), proj.schema)
+    val eu = new Array[Int](nE)
+    val ev = new Array[Int](nE)
+    var i = 0
+    while (i < nE) {
+      eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
+    }
+    val alive = trussPeel(eu, ev, ids.length, k, rounds)
+    val nAlive = alive.count(identity)
+    if (nAlive == nE) proj
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](nAlive)
+      i = 0
+      while (i < nE) {
+        if (alive(i)) out += org.apache.spark.sql.Row(ids(eu(i)), ids(ev(i)))
+        i += 1
+      }
+      distributed(edges.sparkSession, out.toSeq, proj.schema)
+    }
   }
 }

@@ -2058,19 +2058,14 @@ object AuditQueries {
          |${chain(4)}
          |SELECT * FROM ($per) f ORDER BY k""".stripMargin
     }) { (s, d) =>
-    val edges = graft.SharedRelations.partCoEdges(s, d).persist()
+    val edges = graft.SharedRelations.partCoEdges(s, d)
     import s.implicits._
-    val stats = Seq(3, 4).map { k =>
-      val t = graft.operators.Graphs.trussEdges(edges, k, rounds = TrussRounds)
-        .persist()
-      val nEdges = t.count()
-      val nNodes = graft.operators.Graphs.degrees(t)
-        .agg(count(lit(1)).cast("long")).collect()(0).getLong(0)
-      t.unpersist()
-      (k.toLong, nNodes, nEdges)
-    }
-    edges.unpersist()
-    stats.toDF("k", "n_nodes", "n_edges").orderedSmall(col("k"))
+    // ONE fused probe+collect covers both ks; sizes read straight off
+    // the driver peel's alive flags (no per-k relation rebuild)
+    val stats = graft.operators.Graphs.trussSizes(edges, Seq(3, 4),
+      rounds = TrussRounds)
+    stats.map { case (k, n, e) => (k.toLong, n, e) }
+      .toDF("k", "n_nodes", "n_edges").orderedSmall(col("k"))
   }
 
   /** Seasonal strength (#265): per event type, the share of hourly
