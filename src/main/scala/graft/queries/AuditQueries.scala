@@ -1770,6 +1770,62 @@ object AuditQueries {
     * pico-floored χ² construction verbatim; V is the single mirrored
     * double at the end.
     */
+  /** Theil's uncertainty coefficient (#433, r10, Theil 1970): the
+    * DIRECTED categorical association U(T|G) = I(G;T)/H(T) on the
+    * same (user-bucket, event-type) contingency table as #310's
+    * Cramér's V — "what share of the event-type entropy do the user
+    * buckets explain", asymmetric where V is symmetric, which is the
+    * feature-selection read-out (does knowing the segment predict
+    * the action?). All three entropies ride the corpus-exact
+    * c·µln(N/c) integer sums (the #142/#246 discipline), so
+    * N·I = N·H(G) + N·H(T) − N·H(G,T) stays an exact micro-nat
+    * integer and U leaves as one ppm floor division.
+    */
+  val qUncertaintyCoeff = GateQuery.sql(
+    "q_uncertainty_coeff",
+    s"""WITH o AS (SELECT user_id % 8 AS g, event_type AS t,
+       |    CAST(count(*) AS BIGINT) AS c FROM $E e GROUP BY 1, 2),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM o),
+       |hg AS (SELECT CAST(sum(c * ${Curation.microLnSql("CAST(n.n AS DOUBLE) / c")}) AS BIGINT) AS v
+       |  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS c FROM o GROUP BY 1) z, n),
+       |ht AS (SELECT CAST(sum(c * ${Curation.microLnSql("CAST(n.n AS DOUBLE) / c")}) AS BIGINT) AS v
+       |  FROM (SELECT t, CAST(sum(c) AS BIGINT) AS c FROM o GROUP BY 1) z, n),
+       |hgt AS (SELECT CAST(sum(c * ${Curation.microLnSql("CAST(n.n AS DOUBLE) / c")}) AS BIGINT) AS v
+       |  FROM o, n)
+       |SELECT n.n AS n_events,
+       |  CAST(hg.v // n.n AS BIGINT) AS h_g_micro,
+       |  CAST(ht.v // n.n AS BIGINT) AS h_t_micro,
+       |  CAST(hgt.v // n.n AS BIGINT) AS h_gt_micro,
+       |  CASE WHEN ht.v > 0 THEN
+       |    CAST(greatest(hg.v + ht.v - hgt.v, 0) * 1000000 // ht.v AS BIGINT)
+       |  END AS u_ppm
+       |FROM n, hg, ht, hgt""".stripMargin) { (s, d) =>
+    import graft.operators.Curation.microLn
+    val e = ev(s, d)
+    val o = e.groupBy(pmod(col("user_id"), lit(8L)).as("g"), col("event_type").as("t"))
+      .agg(count(lit(1)).cast("long").as("c")).persist()
+    val n = o.agg(sum(col("c")).cast("long").as("n"))
+    def ent(df: DataFrame): DataFrame = df.join(n)
+      .agg(sum(col("c") * microLn(col("n").cast("double") / col("c")))
+        .cast("long").as("v"))
+    val hg = ent(o.groupBy(col("g")).agg(sum(col("c")).cast("long").as("c")))
+      .withColumnRenamed("v", "vg")
+    val ht = ent(o.groupBy(col("t")).agg(sum(col("c")).cast("long").as("c")))
+      .withColumnRenamed("v", "vt")
+    val hgt = ent(o).withColumnRenamed("v", "vgt")
+    n.join(hg).join(ht).join(hgt)
+      .select(col("n").as("n_events"),
+        Binning.floorDivCol(col("vg"), col("n")).as("h_g_micro"),
+        Binning.floorDivCol(col("vt"), col("n")).as("h_t_micro"),
+        Binning.floorDivCol(col("vgt"), col("n")).as("h_gt_micro"),
+        when(col("vt") > 0,
+          Binning.floorDivCol(
+            greatest(col("vg") + col("vt") - col("vgt"), lit(0L)) * lit(1000000L),
+            col("vt")))
+          .otherwise(lit(null).cast("long")).as("u_ppm"))
+      .orderedSmall(col("n_events"))
+  }
+
   val qCramersV = GateQuery.sql(
     "q_cramers_v",
     s"""WITH o AS (SELECT user_id % 8 AS g, event_type AS t, count(*) AS o
@@ -2768,7 +2824,7 @@ object AuditQueries {
   val all: Seq[GateQuery] = Seq(
     qTriangles, qRichClub, qJarqueBera, qPacf, qMannKendall, qSeasonalMk, qSenSlope, qLevene, qJsd, qSimpson,
     qHurst, qKalman, qMmrRerank, qMarkovAttrib,
-    qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore, qKtruss,
+    qAssocRules, qMcnemar, qCochranQ, qCramersV, qGrubbs, qHoltWinters, qKcore, qKtruss, qUncertaintyCoeff,
     qSeasonalStrength, qCcf, qDpCounts, qShapleyAttrib, qDid, qSprt, qBfsHops,
     qBhattacharyya, qKeyness, qDispersion, qBartlett, qAndersonDarling,
     qShapiroWilk, qAdDrift, qBhFdr,

@@ -3780,6 +3780,129 @@ object StatsQueries {
       .orderedSmall(col("n_exp_conv"))
   }
 
+  /** Quantile treatment effects (#434, r10; Doksum 1974 — the
+    * DISTRIBUTIONAL read of the even/odd A/B next to the mean-effect
+    * gates #269/#431): at q ∈ {25, 50, 75}, the difference of the
+    * treated and control per-user-spend order statistics — where an
+    * ATE hides a tail-only effect, the QTE curve shows WHERE in the
+    * distribution the lift lives. Exact integer cents; rank =
+    * ⌈n·q/100⌉ via integer ceiling; one ranked pass per arm, a
+    * 3-row rank probe joined back — no full sort crosses the wire
+    * beyond the per-arm rank window.
+    */
+  val qQte = GateQuery.sql(
+    "q_qte",
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS tr,
+       |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS x
+       |  FROM $E e GROUP BY user_id),
+       |r AS (SELECT tr, x,
+       |    CAST(row_number() OVER (PARTITION BY tr ORDER BY x, user_id) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY tr) AS BIGINT) AS n
+       |  FROM u),
+       |qs AS (SELECT q.q, r.tr, r.x, r.n
+       |  FROM (VALUES (25), (50), (75)) q(q)
+       |  JOIN r ON r.rk = (r.n * q.q + 99) // 100)
+       |SELECT CAST(t.q AS BIGINT) AS q,
+       |  t.n AS n_treated, c.n AS n_control,
+       |  t.x AS treated_cents, c.x AS control_cents,
+       |  t.x - c.x AS qte_cents
+       |FROM qs t JOIN qs c ON t.q = c.q AND t.tr = 1 AND c.tr = 0
+       |ORDER BY q""".stripMargin) { (s, d) =>
+    val u = ev(s, d).groupBy(col("user_id"))
+      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("x"))
+      .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("tr"), col("x"))
+    val w = Window.partitionBy(col("tr")).orderBy(col("x"), col("user_id"))
+    val r = u.select(col("tr"), col("x"),
+      row_number().over(w).cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy(col("tr"))).cast("long").as("n"))
+    import s.implicits._
+    val qs = Seq(25L, 50L, 75L).toDF("q")
+    val picked = qs.join(r,
+      col("rk") === Binning.floorDivCol(col("n") * col("q") + lit(99L), lit(100L).cast("long")))
+    val t = picked.filter(col("tr") === 1)
+      .select(col("q"), col("n").as("n_treated"), col("x").as("treated_cents"))
+    val c = picked.filter(col("tr") === 0)
+      .select(col("q").as("qc"), col("n").as("n_control"), col("x").as("control_cents"))
+    t.join(c, col("q") === col("qc"))
+      .select(col("q"), col("n_treated"), col("n_control"),
+        col("treated_cents"), col("control_cents"),
+        (col("treated_cents") - col("control_cents")).as("qte_cents"))
+      .orderedSmall(col("q"))
+  }
+
+  /** Harrell's concordance index (#435, r10, Harrell et al. 1982):
+    * the rank-based discrimination measure for the survival family —
+    * over the q_cox_ph cohort (first big purchase = event, censoring
+    * at last activity), how often does a higher risk score
+    * (activity = clicks + views) come with an EARLIER event?
+    * Permissible pairs: i has the event and (t_j > t_i, or t_j = t_i
+    * with j censored); concordant when score_i > score_j, score ties
+    * count ½. The corpus VALUE-COLLAPSES to (day, event, score)
+    * cells first — the pair product is cells², never users²
+    * (the Kendall/Lepage grid discipline) — and C leaves as one
+    * exact ppm floor over the doubled counts.
+    */
+  val qCindex = GateQuery.sql(
+    "q_cindex",
+    s"""WITH f AS (SELECT user_id, min(xs) AS fx, max(xs) AS lx,
+       |    min(CASE WHEN event_type = 'purchase' AND ${centsSql("vd")} >= 9000
+       |      THEN xs END) AS px,
+       |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS act
+       |  FROM $E e GROUP BY user_id),
+       |u AS (SELECT (coalesce(px, lx) - fx) // 86400 AS lt,
+       |    CASE WHEN px IS NULL THEN 0 ELSE 1 END AS ev, act
+       |  FROM f),
+       |cells AS (SELECT lt, ev, act, CAST(count(*) AS BIGINT) AS n
+       |  FROM u GROUP BY 1, 2, 3),
+       |pairs AS (SELECT
+       |    CAST(sum(CAST(a.n AS HUGEINT) * b.n) AS HUGEINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN a.act > b.act THEN CAST(a.n AS HUGEINT) * b.n
+       |      ELSE 0 END) AS HUGEINT) AS n_conc,
+       |    CAST(sum(CASE WHEN a.act = b.act THEN CAST(a.n AS HUGEINT) * b.n
+       |      ELSE 0 END) AS HUGEINT) AS n_tied
+       |  FROM cells a JOIN cells b
+       |    ON a.ev = 1 AND (b.lt > a.lt OR (b.lt = a.lt AND b.ev = 0)))
+       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_conc AS BIGINT) AS n_conc, CAST(n_tied AS BIGINT) AS n_tied,
+       |  CASE WHEN n_pairs > 0 THEN
+       |    CAST((2 * n_conc + n_tied) * 1000000 // (2 * n_pairs) AS BIGINT)
+       |  END AS c_ppm
+       |FROM pairs""".stripMargin) { (s, d) =>
+    val f = ev(s, d).groupBy(col("user_id"))
+      .agg(min(col("xs")).as("fx"), max(col("xs")).as("lx"),
+        min(when(col("event_type") === "purchase" &&
+          Exact.cents(col("vd")) >= 9000L, col("xs"))).as("px"),
+        sum(when(col("event_type").isin("click", "view"), 1).otherwise(0)).as("act"))
+    val u = f.select(
+      Binning.floorDivCol(coalesce(col("px"), col("lx")) - col("fx"), lit(86400L)).as("lt"),
+      when(col("px").isNull, 0).otherwise(1).as("ev"), col("act"))
+    val cells = u.groupBy(col("lt"), col("ev"), col("act"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val a = cells.select(col("lt").as("lta"), col("ev").as("eva"),
+      col("act").as("acta"), col("n").cast("decimal(38,0)").as("na"))
+    val b = cells.select(col("lt").as("ltb"), col("ev").as("evb"),
+      col("act").as("actb"), col("n").cast("decimal(38,0)").as("nb"))
+    val p = a.join(broadcast(b),
+      col("eva") === 1 && (col("ltb") > col("lta") ||
+        (col("ltb") === col("lta") && col("evb") === 0)))
+    val agg = p.agg(
+      sum(col("na") * col("nb")).cast("decimal(38,0)").as("n_pairs"),
+      sum(when(col("acta") > col("actb"), col("na") * col("nb"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).cast("decimal(38,0)").as("n_conc"),
+      sum(when(col("acta") === col("actb"), col("na") * col("nb"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).cast("decimal(38,0)").as("n_tied"))
+    agg.select(
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_conc").cast("long").as("n_conc"),
+        col("n_tied").cast("long").as("n_tied"),
+        when(col("n_pairs") > 0,
+          Exact.floorDivBig(
+            (lit(2L).cast("decimal(38,0)") * col("n_conc") + col("n_tied")) * lit(1000000L),
+            lit(2L).cast("decimal(38,0)") * col("n_pairs")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("c_ppm"))
+      .orderedSmall(col("n_pairs"))
+  }
+
   /** E-value sensitivity analysis (#430, r10, VanderWeele & Ding
     * 2017): the minimum strength of unmeasured confounding — on the
     * risk-ratio scale, for BOTH the confounder→treatment and
@@ -5093,7 +5216,7 @@ object StatsQueries {
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
+    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qQte, qCindex, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
     qBreuschPagan, qChow, qDickeyFuller, qGranger, qNemenyi)
 }

@@ -106,7 +106,10 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_cmh", // 1-row pooled chi2/OR scalar onto the 4-stratum rows
     "q_rich_club", // per-threshold (n_nodes)⋈(n_edges) 1-row summary joins
     "q_hubness", // brute-force query×corpus pool (as q_knn_bruteforce) + 1-row skew scalar
-    "q_ipw_ate") // 1-row overall-ATE scalar onto the 10-stratum rows (as q_cmh)
+    "q_ipw_ate", // 1-row overall-ATE scalar onto the 10-stratum rows (as q_cmh)
+    "q_uncertainty_coeff", // three 1-row entropy scalars crossed (as q_ref_integrity)
+    "q_qte", // 3-row quantile probe against the per-arm rank relation
+    "q_cindex") // (day, event, score) cell-grid pair product (as q_tukey)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
