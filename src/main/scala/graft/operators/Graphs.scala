@@ -795,14 +795,22 @@ object Graphs {
     var it = 0
     var done = false
     while (!done && it < rounds) {
-      val tri = cur.as("ab")
-        .join(cur.as("bc"), col("ab.v") === col("bc.u"))
-        .join(cur.as("ac"),
-          col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
-        .select(col("ab.u").as("x"), col("ab.v").as("y"), col("bc.v").as("z"))
-      val sup = tri.select(col("x").as("u"), col("y").as("v"))
-        .unionAll(tri.select(col("x").as("u"), col("z").as("v")))
-        .unionAll(tri.select(col("y").as("u"), col("z").as("v")))
+      // degree-ordered enumeration (the q_triangles machinery): each
+      // triangle once, wedge fan-out bounded by Σ outdeg² under the
+      // low-degree-first orientation — the naive u<v wedge join OOMed
+      // at the ×10 scale point where this shape completes
+      val deg = degrees(cur).persist()
+      val o = orient(cur, deg).persist()
+      o.count()
+      val tri = trianglesFromOriented(o)
+      // (a, b, c) are in ORIENTATION order — canonicalize each side
+      // back to the (u < v) edge identity before counting support
+      def canon(x: Column, y: Column) =
+        struct(least(x, y).as("u"), greatest(x, y).as("v"))
+      val sup = tri.select(explode(array(
+          canon(col("a"), col("b")), canon(col("a"), col("c")),
+          canon(col("b"), col("c")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
       val next = cur.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
@@ -810,6 +818,8 @@ object Graphs {
         .persist()
       val nNext = next.count()
       val nCur = cur.count() // cached — no recompute
+      o.unpersist()
+      deg.unpersist()
       cur.unpersist()
       cur = next
       done = nNext == nCur
