@@ -780,6 +780,19 @@ object Graphs {
     * self-join (u<v<w — every triangle enumerated once) + one
     * per-edge support aggregate + one filter, persisted per round
     * with the previous round freed.
+    *
+    * Input contract: support is counted per canonical (u < v) edge
+    * identity, so reversed rows, duplicates, or self-loops would
+    * silently undercount. The driver fast path ENFORCES the contract
+    * (O(E log E) check, no shuffle); the distributed branch
+    * re-canonicalizes at loop entry (idempotent on canonical input —
+    * the one extra distinct is noise against the per-round triangle
+    * joins).
+    *
+    * Persist ownership: in the distributed branch the RETURNED
+    * DataFrame is the final round's persisted relation — the caller
+    * must `unpersist()` it after materializing (as [[trussSizes]]
+    * does); the driver branch returns an unpersisted local relation.
     */
   def trussEdges(edges: DataFrame, k: Int, rounds: Int = 10,
                  driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
@@ -790,7 +803,7 @@ object Graphs {
       case Some(rows) => return trussDriver(edges, rows, k, rounds)
       case None =>
     }
-    var cur = proj.persist()
+    var cur = canonicalEdges(proj).persist()
     cur.count()
     var it = 0
     var done = false
@@ -858,6 +871,7 @@ object Graphs {
         while (i < nE) {
           eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
         }
+        requireCanonicalCollected(rows, eu, ev)
         ks.map { k =>
           val alive = trussPeel(eu, ev, nN, k, rounds)
           var e = 0L
@@ -883,6 +897,34 @@ object Graphs {
           t.unpersist()
           (k, nNodes, nEdges)
         }
+    }
+  }
+
+  /** Enforce [[canonicalEdges]]' contract (u < v, no duplicates) on
+    * a driver-collected edge array: [[trussPeel]] counts triangle
+    * support per (u, v) identity and would silently undercount under
+    * reversed, duplicated, or self-loop rows. O(E log E) driver-side
+    * sort of packed dense-id keys — no shuffle, noise against the
+    * peel itself.
+    */
+  private def requireCanonicalCollected(rows: Array[org.apache.spark.sql.Row],
+                                        eu: Array[Int], ev: Array[Int]): Unit = {
+    val nE = rows.length
+    val keys = new Array[Long](nE)
+    var i = 0
+    while (i < nE) {
+      require(rows(i).getLong(0) < rows(i).getLong(1),
+        s"truss: non-canonical edge (${rows(i).getLong(0)}, ${rows(i).getLong(1)}) — " +
+          "pass Graphs.canonicalEdges output (u < v, distinct, no self-loops)")
+      keys(i) = (eu(i).toLong << 32) | (ev(i).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    i = 1
+    while (i < nE) {
+      require(keys(i) != keys(i - 1),
+        "truss: duplicate edge — pass Graphs.canonicalEdges output (u < v, distinct)")
+      i += 1
     }
   }
 
@@ -965,6 +1007,7 @@ object Graphs {
     while (i < nE) {
       eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
     }
+    requireCanonicalCollected(rows, eu, ev)
     val alive = trussPeel(eu, ev, ids.length, k, rounds)
     val nAlive = alive.count(identity)
     if (nAlive == nE) proj

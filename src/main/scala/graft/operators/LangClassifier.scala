@@ -67,11 +67,20 @@ object LangClassifier {
     * stays a full-corpus zero-join projection.
     */
   def train(packed: DataFrame, langs: Seq[String], buckets: Int,
-            iters: Int, lr: Double, samplePct: Int = 100): Model = {
+            iters: Int, lr: Double, samplePct: Int = 100,
+            driverMaxDocs: Long = DriverTrainMaxDocs): Model = {
     require(langs.nonEmpty && langs == langs.sorted, "langs must be sorted")
     val rel =
       if (samplePct >= 100) packed
       else packed.filter(Sampling.samplePredicate(col("doc_id"), samplePct, "lidtrain"))
+    // bounded driver fast path (see QualityClassifier.train): one
+    // collect, all iterations × classes advanced in a driver loop
+    // with the distributed loop's exact arithmetic
+    QualityClassifier.collectUnderBound(
+        rel.select(col("lang"), col("bs")), driverMaxDocs) match {
+      case Some(rows) => return trainDriver(rows, langs, buckets, iters, lr)
+      case None =>
+    }
     val nDocs = rel.count()
     val w = Array.fill(langs.size)(Array.fill(buckets)(0L))
     var it = 0
@@ -92,6 +101,71 @@ object LangClassifier {
           val g = r.getLong(1 + li) / 1e6 / nDocs
           w(li)(b) = w(li)(b) - math.round(lr * g * 1e6)
         }
+      }
+      it += 1
+    }
+    Model(langs, w)
+  }
+
+  /** Char-n-gram features run ~one per CHARACTER, so the driver
+    * fast-path bound is tighter than the word-bigram trainer's:
+    * 50k docs × ~500 int features ≈ 100 MB of driver state. */
+  private val DriverTrainMaxDocs = 50000L
+
+  /** All iterations × classes over collected (lang, bs) rows —
+    * the one-vs-rest analog of [[QualityClassifier]]'s driver loop:
+    * exact long margins per class, floor-quantized micro residuals,
+    * exact long per-(class, bucket) gradient sums, identical double
+    * updates. */
+  private def trainDriver(rows: Array[org.apache.spark.sql.Row], langs: Seq[String],
+                          buckets: Int, iters: Int, lr: Double): Model = {
+    val n = rows.length
+    val nDocs = n.toLong
+    val nL = langs.size
+    val langIdx = langs.zipWithIndex.toMap
+    val labels = new Array[Int](n) // index into langs, or -1 if unseen
+    val feats = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      labels(i) = langIdx.getOrElse(rows(i).getString(0), -1)
+      feats(i) = QualityClassifier.bucketArr(rows(i), 1)
+      i += 1
+    }
+    val w = Array.fill(nL)(Array.fill(buckets)(0L))
+    val g = Array.fill(nL)(new Array[Long](buckets))
+    var it = 0
+    while (it < iters) {
+      var li = 0
+      while (li < nL) { java.util.Arrays.fill(g(li), 0L); li += 1 }
+      i = 0
+      while (i < n) {
+        val bs = feats(i)
+        li = 0
+        while (li < nL) {
+          val wl = w(li)
+          var m = 0L
+          var j = 0
+          while (j < bs.length) { m += wl(bs(j)); j += 1 }
+          val label = if (labels(i) == li) 1 else 0
+          val r = math.floor((1.0 / (1.0 + math.exp(-m / 1e6)) - label) * 1e6).toLong
+          val gl = g(li)
+          j = 0
+          while (j < bs.length) { gl(bs(j)) += r; j += 1 }
+          li += 1
+        }
+        i += 1
+      }
+      li = 0
+      while (li < nL) {
+        var b = 0
+        while (b < buckets) {
+          if (g(li)(b) != 0L) {
+            val gd = g(li)(b) / 1e6 / nDocs
+            w(li)(b) = w(li)(b) - math.round(lr * gd * 1e6)
+          }
+          b += 1
+        }
+        li += 1
       }
       it += 1
     }

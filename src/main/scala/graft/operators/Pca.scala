@@ -22,17 +22,23 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** (count, mean vector in micro units, covariance in micro² units)
-    * from one pass. `vec` must be an array<long> of 1e-6-quantized
-    * components with constant dimension d.
+    * from one pass. `vec` must be an array<long> of quantized
+    * components with constant dimension d and per-component magnitude
+    * ≤ `maxAbs` (default: raw 1e-6-quantized unit vectors; a
+    * factor-f [[VectorOps.rebinQ]] caller must pass f·1e6).
     */
-  def scatter(df: DataFrame, vec: Column, d: Int): (Long, Array[Double], Array[Array[Double]]) = {
+  def scatter(df: DataFrame, vec: Column, d: Int,
+              maxAbs: Long = 1000000L): (Long, Array[Double], Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
-    // |x| ≤ ~1e6 micro ⇒ per-cell products ≤ 1e12, so a partition of
-    // ≤ 9e6 rows stays within long range; the bound is ENFORCED, not
-    // assumed — a bigger partition must be repartitioned by the
-    // caller, never silently wrapped into a corrupt covariance
-    val MaxPartRows = 9000000L
+    // Per-cell products ≤ maxAbs² ⇒ a partition of ≤ Long.Max/maxAbs²
+    // rows stays within long range. BOTH bounds are ENFORCED, not
+    // assumed — an out-of-range component or an over-long partition
+    // fails loudly instead of silently wrapping into a corrupt
+    // covariance (the 100 TB failure mode: repartition the input /
+    // fix the caller's maxAbs, never trust the data).
+    require(maxAbs > 0, "maxAbs must be positive")
+    val MaxPartRows = Long.MaxValue / (maxAbs * maxAbs)
     val parts = df.select(vec.as("v")).as[Seq[Long]].mapPartitions { it =>
       var n = 0L
       val s = new Array[Long](d)
@@ -46,6 +52,9 @@ object Pca {
         var i = 0
         while (i < d) {
           val xi = v(i)
+          require(xi <= maxAbs && xi >= -maxAbs,
+            s"Pca.scatter: |component| $xi exceeds declared maxAbs=$maxAbs — " +
+              "pass the caller's true magnitude bound")
           s(i) += xi
           var j = 0
           while (j < d) { o(i * d + j) += xi * v(j); j += 1 }

@@ -69,18 +69,60 @@ object QualityClassifier {
     floor((lit(1.0) / (lit(1.0) + exp(-marginExpr(bs, w) / lit(1e6)))
       - label) * lit(1000000)).cast("long")
 
+  /** Driver fast-path bound for [[train]]/[[LangClassifier.train]]:
+    * up to this many packed docs collect ONCE and run every GD
+    * iteration in a tight driver loop — one Spark job instead of one
+    * per iteration (the iteration jobs each billed a full scheduling
+    * floor; at bench scale the loop IS the gate's cost). 200k docs ×
+    * ~100 int features ≈ 80 MB of driver state — the same bounded-
+    * model-state rationale as the graph fast paths. Past the bound,
+    * the per-iteration distributed aggregate loop runs unchanged
+    * (the 100 TB shape: O(B·tasks) bytes per iteration, never a
+    * corpus-sized exchange).
+    */
+  private[operators] val DriverTrainMaxDocs = 200000L
+
+  /** FUSED probe + collect (the Graphs discipline): up to `bound`
+    * rows in ONE action, or None if the relation is larger —
+    * CollectLimit short-circuits at bound+1 rows. */
+  private[operators] def collectUnderBound(df: DataFrame,
+      bound: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (bound <= 0) return None
+    val rows = df.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length <= bound) Some(rows) else None
+  }
+
+  /** Unpack a collected (…, bs) feature row's bucket array to a
+    * primitive int array. */
+  private[operators] def bucketArr(r: org.apache.spark.sql.Row, i: Int): Array[Int] = {
+    val s = r.getSeq[Long](i)
+    val a = new Array[Int](s.length)
+    var j = 0
+    while (j < a.length) { a(j) = s(j).toInt; j += 1 }
+    a
+  }
+
   /** Logistic GD over the packed feature relation (cache it if it is
     * expensive to recompute). `samplePct` < 100 trains on a
     * deterministic hash subsample of the documents (the playbook
     * move for corpora where even one pass per iteration is too much);
     * scoring is unaffected. Returns micro-quantized weights —
-    * bit-identical across partitionings and reruns.
+    * bit-identical across partitionings and reruns, and identical
+    * between the bounded driver fast path and the distributed loop
+    * (same exact-integer margins/residual sums, same double update
+    * arithmetic — pinned in QualityClassifierSpec).
     */
   def train(packed: DataFrame, buckets: Int, iters: Int, lr: Double,
-            samplePct: Int = 100): Weights = {
+            samplePct: Int = 100,
+            driverMaxDocs: Long = DriverTrainMaxDocs): Weights = {
     val rel =
       if (samplePct >= 100) packed
       else packed.filter(Sampling.samplePredicate(col("doc_id"), samplePct, "qctrain"))
+    collectUnderBound(rel.select(col("label").cast("int").as("label"), col("bs")),
+        driverMaxDocs) match {
+      case Some(rows) => return trainDriver(rows, buckets, iters, lr)
+      case None =>
+    }
     val nDocs = rel.count()
     val w: Weights = Array.fill(buckets)(0L)
     var it = 0
@@ -97,6 +139,55 @@ object QualityClassifier {
         val b = r.getLong(0).toInt
         val g = r.getLong(1) / 1e6 / nDocs
         w(b) = w(b) - math.round(lr * g * 1e6)
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** All GD iterations over collected (label, bs) rows — the exact
+    * arithmetic of the distributed loop on primitive arrays: margins
+    * are exact long sums, residuals floor-quantized micro longs,
+    * per-bucket gradients exact long sums, and the weight update the
+    * same double expression (`math.exp` is the same JVM intrinsic
+    * Spark's codegen calls). */
+  private def trainDriver(rows: Array[org.apache.spark.sql.Row], buckets: Int,
+                          iters: Int, lr: Double): Weights = {
+    val n = rows.length
+    val nDocs = n.toLong
+    val labels = new Array[Int](n)
+    val feats = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      labels(i) = rows(i).getInt(0)
+      feats(i) = bucketArr(rows(i), 1)
+      i += 1
+    }
+    val w: Weights = Array.fill(buckets)(0L)
+    val g = new Array[Long](buckets)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(g, 0L)
+      i = 0
+      while (i < n) {
+        val bs = feats(i)
+        var m = 0L
+        var j = 0
+        while (j < bs.length) { m += w(bs(j)); j += 1 }
+        val r = math.floor((1.0 / (1.0 + math.exp(-m / 1e6)) - labels(i)) * 1e6).toLong
+        j = 0
+        while (j < bs.length) { g(bs(j)) += r; j += 1 }
+        i += 1
+      }
+      var b = 0
+      while (b < buckets) {
+        // buckets with no rows kept w unchanged in the distributed
+        // loop; g = 0 produces the identical no-op update here
+        if (g(b) != 0L) {
+          val gd = g(b) / 1e6 / nDocs
+          w(b) = w(b) - math.round(lr * gd * 1e6)
+        }
+        b += 1
       }
       it += 1
     }

@@ -23,6 +23,7 @@ object EmbeddingQueries {
   private val Dims = 64
   private val Tables4 = 4 // LSH tables
   private val Planes4 = 4 // hyperplanes per table
+  private val HubQueryCount = 200 // q_hubness fixed-count query sample
 
   /** Spark prep: (vec_id, q, n) with quantized vector + exact norm
     * (native expressions — value-identical to the VectorOps HOFs). */
@@ -105,23 +106,30 @@ object EmbeddingQueries {
 
   /** ANN hubness audit (#428, r10, Radovanović et al. 2010): the
     * k-occurrence distribution — how often each vector appears in
-    * OTHER vectors' top-5 neighbor lists — over a deterministic 25%
-    * query sample (vec_id mod 4 = 0). High-dimensional embedding
-    * spaces grow HUBS (a few points in everyone's neighbor list)
-    * and anti-hubs (never retrieved); positive k-occurrence skewness
-    * is THE diagnostic that nearest-neighbor semantics are degrading
-    * and an ANN index (#27/#38) will concentrate load. Output: the
-    * top-10 hubs with the corpus-wide skewness
+    * OTHER vectors' top-5 neighbor lists — over a deterministic
+    * FIXED-COUNT query sample: the [[HubQueryCount]] vectors with the
+    * smallest portable md5 draw (ties by vec_id). High-dimensional
+    * embedding spaces grow HUBS (a few points in everyone's neighbor
+    * list) and anti-hubs (never retrieved); positive k-occurrence
+    * skewness is THE diagnostic that nearest-neighbor semantics are
+    * degrading and an ANN index (#27/#38) will concentrate load.
+    * Output: the top-10 hubs with the corpus-wide skewness
     * g₁ = m₃/m₂^{3/2} repeated as a scalar (exact integer moment
     * sums over ALL vectors including zero-occurrence ones; one
     * mirrored double). The query×corpus pass is the
-    * q_knn_bruteforce broadcast shape at 25% query mass.
+    * q_knn_bruteforce broadcast shape — and because the sample is
+    * fixed-COUNT (not fixed-fraction, the r10 shape), the broadcast
+    * side stays O(k) and the scoring pass stays linear in the corpus
+    * at any scale: a 100× corpus grows only the probe side.
     */
   val qHubness = GateQuery.sql(
     "q_hubness",
     s"""WITH $PrepSql,
        |qs AS (SELECT vec_id AS query_id, q AS qq, n AS nq FROM en
-       |  WHERE vec_id % 4 = 0),
+       |  WHERE vec_id IN (SELECT vec_id FROM en
+       |    ORDER BY ${graft.operators.TextOps.baseHashSql(
+                 "'hub:' || CAST(vec_id AS VARCHAR)")}, vec_id
+       |    LIMIT $HubQueryCount)),
        |p AS (SELECT query_id, c.vec_id,
        |    ${cosineQSql(dotQSql("qq", "c.q"), "nq", "c.n")} AS c
        |  FROM en c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
@@ -154,7 +162,16 @@ object EmbeddingQueries {
        |  sk.n AS n_vectors, sk.skew_g1
        |FROM hub, sk WHERE hub.rnk <= 10 ORDER BY rank""".stripMargin) { (s, d) =>
     val e = prep(s, d)
-    val qs = broadcast(e.filter(pmod(col("vec_id"), lit(4L)) === 0)
+    // fixed-count sample: rank ONLY (vec_id, hash) — two longs per
+    // row through the salted top-k — then fetch the k payloads via a
+    // broadcast semi-join; the corpus arrays never shuffle
+    val qIds = Relational.topKPerGroupSalted(
+        e.select(col("vec_id"),
+          graft.operators.TextOps.baseHash(
+            concat(lit("hub:"), col("vec_id").cast("string"))).as("h")),
+        Seq(lit(1)), Seq(col("h"), col("vec_id")), HubQueryCount, col("vec_id"))
+      .select(col("vec_id"))
+    val qs = broadcast(e.join(broadcast(qIds), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n").as("nq")))
     val p = e.crossJoin(qs)
       .filter(col("vec_id") =!= col("query_id"))

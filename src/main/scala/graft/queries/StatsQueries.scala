@@ -1680,10 +1680,40 @@ object StatsQueries {
     * the Platt sufficient-statistic discipline); the fit is driver
     * flops on that table; spend tiers use FIXED cent thresholds so
     * the outcome definition is engine- and scale-independent.
-    * Rows-only (iterative fit family); closed-form 2×2 reduction,
-    * monotone cutpoints and determinism pinned in OrdinalSpec.
+    * Hash-checked SQL since r11 via [[graft.operators.Ordinal
+    * .replaySql]]: the 30 full-Newton iterations replay in a
+    * recursive CTE — driver-ordered gradient/Hessian cell folds,
+    * unrolled 4×4 partial-pivot elimination LATERALs (the
+    * q_markov_attrib recipe), ascending-column back-substitution,
+    * and the deterministic step halving as a 21-candidate
+    * first-accepted comprehension over exact 2^-s steps. Closed-form
+    * 2×2 reduction, monotone cutpoints and determinism stay pinned
+    * in OrdinalSpec.
     */
-  val qPropOdds = GateQuery.rowsOnly("q_prop_odds") { (s, d) =>
+  val qPropOdds = GateQuery.sql(
+    "q_prop_odds",
+    s"""WITH RECURSIVE uu AS (SELECT user_id, CAST(sum(${centsSql("vd")}) AS BIGINT) AS t
+       |  FROM $E e GROUP BY 1),
+       |cc0 AS (SELECT user_id % 2 AS x,
+       |    CASE WHEN t < 290000 THEN 0 WHEN t < 330000 THEN 1
+       |      WHEN t < 365000 THEN 2 ELSE 3 END AS y
+       |  FROM uu),
+       |cells AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+       |  FROM cc0 GROUP BY 1, 2),
+       |${graft.operators.Ordinal.replaySql(30)},
+       |grid AS (SELECT a.x, b.j FROM (SELECT unnest([0, 1]) AS x) a,
+       |  (SELECT unnest([0, 1, 2]) AS j) b),
+       |nx AS (SELECT x, CAST(sum(n) AS BIGINT) AS n_x FROM cells GROUP BY 1)
+       |SELECT CAST(g.x AS BIGINT) AS x, CAST(g.j AS BIGINT) AS cut_j,
+       |  CAST(coalesce(nx.n_x, 0) AS BIGINT) AS n_x,
+       |  (SELECT CAST(coalesce(sum(c.n), 0) AS BIGINT) FROM cells c
+       |     WHERE c.x = g.x AND c.y <= g.j) AS n_le,
+       |  CAST(floor(fin.p[CAST(g.j AS INTEGER) + 1] * 1e6) AS BIGINT) AS theta_micro,
+       |  CAST(floor(fin.p[4] * 1e6) AS BIGINT) AS beta_micro,
+       |  CAST(floor((1e0 / (1e0 + exp(-(fin.p[CAST(g.j AS INTEGER) + 1]
+       |    - fin.p[4] * CAST(g.x AS DOUBLE))))) * 1e6) AS BIGINT) AS p_le_micro
+       |FROM grid g LEFT JOIN nx ON nx.x = g.x, fin
+       |ORDER BY x, cut_j""".stripMargin) { (s, d) =>
     import graft.operators.Ordinal
     val u = ev(s, d).groupBy(col("user_id"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("t"))
@@ -2414,7 +2444,7 @@ object StatsQueries {
     val e = Tables.embeddings(s, d)
       .select(VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
     val dDim = 16
-    val (n, _, cov) = Pca.scatter(e, col("q"), dDim)
+    val (n, _, cov) = Pca.scatter(e, col("q"), dDim, maxAbs = 4000000L)
     val (evals, _) = Pca.jacobiEigen(cov)
     val total = evals.sum
     import s.implicits._
@@ -2482,7 +2512,7 @@ object StatsQueries {
         VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
     val dDim = 16
     val p = 8
-    val (_, mean, cov) = Pca.scatter(e, col("q"), dDim)
+    val (_, mean, cov) = Pca.scatter(e, col("q"), dDim, maxAbs = 4000000L)
     val (_, evecs) = Pca.jacobiEigen(cov)
     val proj = Pca.projectExpr(col("q"), mean, evecs.take(p))
     val cent2 = (0 until dDim).map { i =>

@@ -279,6 +279,16 @@ class CurationSpec extends SparkSpec {
     (ref ++ raw ++ hold).map(_._1).foreach(id => assert(byExpr(id) === scores(id)))
   }
 
+  test("quality classifier: driver fast path matches the distributed loop exactly") {
+    import graft.operators.QualityClassifier
+    val ref = (1L to 25L).map(i => (i, "good clean data " * 3 + s"u$i", "en", "s"))
+    val raw = (26L to 50L).map(i => (i, "junk noisy text " * 3 + s"u$i", "de", "s"))
+    val feat = QualityClassifier.features(docs((ref ++ raw): _*), col("lang") === "en", 64)
+    val fast = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5)
+    val dist = QualityClassifier.train(feat, 64, iters = 6, lr = 0.5, driverMaxDocs = 0)
+    assert(fast.toSeq === dist.toSeq)
+  }
+
   test("quality classifier: deterministic subsample training still separates") {
     import graft.operators.QualityClassifier
     val ref = (1L to 40L).map(i => (i, "good clean data " * 4 + s"u$i", "en", "s"))

@@ -64,6 +64,17 @@ class LangClassifierSpec extends SparkSpec {
     m1.w.zip(m2.w).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
 
+  test("train: driver fast path matches the distributed loop exactly") {
+    val d = docs(corpus(10, 0L): _*)
+    val packed = LangClassifier.features(d, buckets = 256)
+    val langs = phrases.keys.toSeq.sorted
+    val fast = LangClassifier.train(packed, langs, buckets = 256, iters = 4, lr = 0.5)
+    val dist = LangClassifier.train(packed, langs, buckets = 256, iters = 4, lr = 0.5,
+      driverMaxDocs = 0)
+    assert(fast.langs === dist.langs)
+    fast.w.zip(dist.w).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
   test("all-zero model ties resolve deterministically (lexicographically last label)") {
     val m = LangClassifier.Model(Seq("aa", "bb"), Array(Array.fill(8)(0L), Array.fill(8)(0L)))
     val d = docs((1L, "xyzw", "aa"))

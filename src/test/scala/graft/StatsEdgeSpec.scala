@@ -366,7 +366,9 @@ class StatsEdgeSpec extends SparkSpec {
       (0 until d).map(i => math.round((a * u(i) + b * w(i)) * 1e6)).toSeq
     }
     val df = rows.toDF("q")
-    val (n, mean, cov) = Pca.scatter(df, col("q"), d)
+    // planted |x| peaks at ~1.8e7 micro (seed-7 gaussian ×5e6): a
+    // 2e7 bound admits 23k rows/partition — the guard must not trip
+    val (n, mean, cov) = Pca.scatter(df, col("q"), d, maxAbs = 20000000L)
     assert(n === 4000L)
     assert(mean.forall(m => math.abs(m) < 0.2e6), "means near 0")
     val (evals, evecs) = Pca.jacobiEigen(cov)
