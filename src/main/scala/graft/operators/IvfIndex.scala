@@ -25,10 +25,27 @@ import graft.expressions.VectorExpressions
   */
 object IvfIndex {
 
+  /** Driver fast-path bound for [[train]]: up to this many vectors
+    * collect ONCE and every Lloyd iteration runs in a driver loop —
+    * one Spark job instead of one per iteration plus the seed sort
+    * (the QualityClassifier.train discipline; at bench scale the
+    * iteration jobs' scheduling floors ARE the gate cost). 200k × 64
+    * long components ≈ 110 MB of driver state. Past the bound, the
+    * per-iteration aggregate loop runs unchanged — the 100 TB shape
+    * (the corpus never shuffles; C rows per iteration cross to the
+    * driver). */
+  private val DriverTrainMaxVectors = 200000L
+
   /** Deterministic k-means over (vec_id, q, n) rows.
     * @return centroid matrix, indexed by cell id.
     */
-  def train(e: DataFrame, c: Int, iters: Int, dims: Int): Array[Array[Long]] = {
+  def train(e: DataFrame, c: Int, iters: Int, dims: Int,
+            driverMaxVectors: Long = DriverTrainMaxVectors): Array[Array[Long]] = {
+    QualityClassifier.collectUnderBound(
+        e.select(col("vec_id"), col("q")), driverMaxVectors) match {
+      case Some(rows) => return trainDriver(rows, c, iters, dims)
+      case None =>
+    }
     // Seeds: the C smallest vec_ids (deterministic, cheap).
     var cents: Array[Array[Long]] = e.orderBy(col("vec_id")).limit(c)
       .select(col("q")).collect()
@@ -36,6 +53,57 @@ object IvfIndex {
     var it = 0
     while (it < iters) {
       cents = lloydStep(e, cents, dims)
+      it += 1
+    }
+    cents
+  }
+
+  /** All Lloyd iterations over collected (vec_id, q) rows — the
+    * distributed loop's exact arithmetic on primitive arrays: the
+    * same long-wrap distance/argmin as NearestCellsExpr (strict <,
+    * first min wins), exact long element sums, floored integer
+    * means, empty cells keeping their position. Parity is pinned in
+    * IvfIndexSpec. */
+  private def trainDriver(rows: Array[org.apache.spark.sql.Row], c: Int,
+                          iters: Int, dims: Int): Array[Array[Long]] = {
+    val sorted = rows.sortBy(_.getLong(0))
+    val vecs = sorted.map(r => QualityClassifier.bucketLongArr(r, 1))
+    var cents = vecs.take(c).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val n = cents.length
+      val norms = cents.map(ct => ct.map(x => x * x).sum)
+      val cnt = new Array[Long](n)
+      val sums = Array.fill(n)(new Array[Long](dims))
+      vecs.foreach { q =>
+        var best = -1
+        var bestD = 0L
+        var cc = 0
+        while (cc < n) {
+          val cent = cents(cc)
+          val m = math.min(cent.length, q.length)
+          var dot = 0L
+          var i = 0
+          while (i < m) { dot += q(i) * cent(i); i += 1 }
+          val d = norms(cc) - 2L * dot
+          if (best < 0 || d < bestD) { best = cc; bestD = d }
+          cc += 1
+        }
+        cnt(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dims) { s(i) += q(i); i += 1 }
+      }
+      val next = cents.map(_.clone())
+      var cc = 0
+      while (cc < n) {
+        if (cnt(cc) > 0) {
+          var i = 0
+          while (i < dims) { next(cc)(i) = Math.floorDiv(sums(cc)(i), cnt(cc)); i += 1 }
+        }
+        cc += 1
+      }
+      cents = next
       it += 1
     }
     cents

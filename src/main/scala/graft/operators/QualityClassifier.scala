@@ -92,6 +92,15 @@ object QualityClassifier {
     if (rows.length <= bound) Some(rows) else None
   }
 
+  /** Unpack a collected long-array column to a primitive array. */
+  private[operators] def bucketLongArr(r: org.apache.spark.sql.Row, i: Int): Array[Long] = {
+    val s = r.getSeq[Long](i)
+    val a = new Array[Long](s.length)
+    var j = 0
+    while (j < a.length) { a(j) = s(j); j += 1 }
+    a
+  }
+
   /** Unpack a collected (…, bs) feature row's bucket array to a
     * primitive int array. */
   private[operators] def bucketArr(r: org.apache.spark.sql.Row, i: Int): Array[Int] = {

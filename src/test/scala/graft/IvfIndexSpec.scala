@@ -100,4 +100,10 @@ class IvfIndexSpec extends SparkSpec {
     // 4 of 8 cells probed -> expect to find a good share of true top-3
     assert(recall >= 0.4, s"recall $recall too low")
   }
+
+  test("train: driver fast path matches the distributed Lloyd loop exactly") {
+    val fast = IvfIndex.train(e, c = 8, iters = 3, dims = Dims)
+    val dist = IvfIndex.train(e, c = 8, iters = 3, dims = Dims, driverMaxVectors = 0)
+    assert(fast.map(_.toSeq).toSeq === dist.map(_.toSeq).toSeq)
+  }
 }

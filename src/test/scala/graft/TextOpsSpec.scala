@@ -222,4 +222,26 @@ class TextOpsSpec extends SparkSpec {
     // deterministic: re-evaluation returns the identical set
     assert(kept(Seq("en" -> 10), 100) == small)
   }
+
+  test("sourceOverlap: bitmask fast path pins counts; matches the set fallback") {
+    import graft.operators.Dedup
+    // k = 3 word shingles: s1 = {abc, bcd}, s2 = {abc, bcx},
+    // s3 = {zzz} (duplicate shingle instances dedupe). Expected:
+    // m = (2, 2, 1); only (s1, s2) overlap, inter = 1,
+    // containment = 1e6 / 2.
+    val d = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c x", "s2"),
+      (3L, "z z z z", "s3")).toDF("doc_id", "text", "source")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val fast = asMap(Dedup.sourceOverlap(d, col("source"), col("text"), 3))
+    assert(fast === Map(("s1", "s2") -> ((1L, 2L, 2L, 500000L))))
+    // forcing the set-materializing fallback gives identical rows
+    val slow = asMap(Dedup.sourceOverlap(d, col("source"), col("text"), 3,
+      maxMaskSources = 0))
+    assert(slow === fast)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
 }
