@@ -361,6 +361,38 @@ object CoreQueries {
       .orderedSmall(col("has_cust"), col("has_order"))
   }
 
+  /** #436 — bucketed-layout co-located join (r11): write BOTH fact
+    * sides bucketed + per-bucket-sorted on the join key
+    * ([[graft.operators.Layout.writeBucketed]]), then join the
+    * bucketed TABLES — planned with ZERO Exchange (LayoutSpec pins
+    * the shuffle-free plan; this gate puts the layout twin's VALUES
+    * under the DuckDB oracle, which computes the same aggregate off
+    * the raw parquet). The 100 TB rationale: pay the bucketed write
+    * once, and every following same-key fact⋈fact join is co-located
+    * — the nightly-join shape bucketing exists for. The gate bills
+    * write + join, the honest cost of adopting the layout.
+    */
+  val qBucketedJoin = GateQuery.sql(
+    "q_bucketed_join",
+    s"""SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(${Exact.centsOfDoubleSql("o.o_totalprice")}) AS BIGINT) AS total_cents
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, d) =>
+    import graft.operators.Layout
+    Layout.writeBucketed(Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"),
+          Exact.centsOfDouble(col("o_totalprice")).as("pc")),
+      "g_orders_bkt", "custkey", 8)
+    Layout.writeBucketed(Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      "g_cust_bkt", "custkey", 8)
+    Layout.bucketedJoin(s, "g_orders_bkt", "g_cust_bkt", "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("pc")).cast("long").as("total_cents"))
+      .select(col("c_mktsegment").as("segment"), col("n_orders"), col("total_cents"))
+      .orderedSmall(col("segment"))
+  }
+
   val all: Seq[GateQuery] = Seq(q01, q03, q04, q05, qTopkCustomers, qPivotEvents,
-    qAntiJoin, qRollup, qProfile, qZorder, qFullOuter)
+    qAntiJoin, qRollup, qProfile, qZorder, qFullOuter, qBucketedJoin)
 }
