@@ -790,9 +790,11 @@ object Graphs {
     * joins).
     *
     * Persist ownership: in the distributed branch the RETURNED
-    * DataFrame is the final round's persisted relation — the caller
-    * must `unpersist()` it after materializing (as [[trussSizes]]
-    * does); the driver branch returns an unpersisted local relation.
+    * DataFrame is the final round's eager localCheckpoint (its blocks
+    * are freed by the ContextCleaner when the DataFrame is collected,
+    * or immediately by a caller `unpersist(true)` after
+    * materializing, as [[trussSizes]] does); the driver branch
+    * returns an unpersisted local relation.
     */
   def trussEdges(edges: DataFrame, k: Int, rounds: Int = 10,
                  driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
@@ -803,8 +805,18 @@ object Graphs {
       case Some(rows) => return trussDriver(edges, rows, k, rounds)
       case None =>
     }
-    var cur = canonicalEdges(proj).persist()
-    cur.count()
+    // Every round's edge relation is an EAGER localCheckpoint, not a
+    // persist: the round plan references `cur` several times (degrees,
+    // orientation, the support join), so without lineage truncation
+    // the logical tree fans out EXPONENTIALLY with rounds — at the
+    // ×10 scale point the 10th round's persist() OOMed the driver
+    // just STRINGIFYING the plan (CachedRDDBuilder.cachedName →
+    // treeString). Checkpoint blocks stay held for the loop's
+    // lifetime (unpersisting a checkpointed relation would break any
+    // recompute — the connected-components lesson, Dedup.scala:487);
+    // held state is bounded by rounds × the shrinking edge relation.
+    var cur = canonicalEdges(proj).localCheckpoint()
+    var nCur = cur.count()
     var it = 0
     var done = false
     while (!done && it < rounds) {
@@ -828,14 +840,13 @@ object Graphs {
       val next = cur.join(sup, Seq("u", "v"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
         .select(col("u"), col("v"))
-        .persist()
+        .localCheckpoint() // eager — materializes and truncates lineage
       val nNext = next.count()
-      val nCur = cur.count() // cached — no recompute
       o.unpersist()
       deg.unpersist()
-      cur.unpersist()
       cur = next
       done = nNext == nCur
+      nCur = nNext
       it += 1
     }
     cur
@@ -872,8 +883,11 @@ object Graphs {
           eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
         }
         requireCanonicalCollected(rows, eu, ev)
+        // ONE CSR build + ONE capped support pass shared by every k
+        val g = new TrussGraph(eu, ev, nN)
+        val sup0 = g.cappedSupport(ks.map(_ - 2).max)
         ks.map { k =>
-          val alive = trussPeel(eu, ev, nN, k, rounds)
+          val alive = g.peel(k, rounds, sup0)
           var e = 0L
           val seen = new Array[Boolean](nN)
           var n = 0L
@@ -901,7 +915,7 @@ object Graphs {
   }
 
   /** Enforce [[canonicalEdges]]' contract (u < v, no duplicates) on
-    * a driver-collected edge array: [[trussPeel]] counts triangle
+    * a driver-collected edge array: [[TrussGraph]] counts triangle
     * support per (u, v) identity and would silently undercount under
     * reversed, duplicated, or self-loop rows. O(E log E) driver-side
     * sort of packed dense-id keys — no shuffle, noise against the
@@ -929,56 +943,158 @@ object Graphs {
   }
 
   /** The parallel peel core shared by [[trussSizes]] and
-    * [[trussDriver]]: returns the alive-edge flags after `rounds`
-    * remove-all-per-round steps (early exit at the fixpoint).
+    * [[trussDriver]], as a reusable graph so the ONE expensive step —
+    * the full per-edge triangle-support pass — is shared by every k.
+    *
+    * r11 shape: the r10 peel rebuilt the CSR and re-checked EVERY
+    * edge every round (~8.7 s of the 1.2M-edge gate across two ks),
+    * but an edge's support can only DROP when a triangle edge — an
+    * edge sharing one of its endpoints — is removed, and only ~1–7%
+    * of edges ever peel on this graph family. So: build the CSR
+    * once (shared by every k), early-exit-check all edges in round
+    * 0, and from round 1 on re-check ONLY the alive edges incident
+    * to the previous round's removals. Removals are collected per
+    * round and applied AFTER the round's checks (the same
+    * remove-all-per-round parallel semantics as the full recompute
+    * and the distributed loop — identical removals every round, so
+    * the oracle's capped unrolls agree even before the fixpoint;
+    * a full-recompute equivalence pin lives in AuditEdgeSpec).
+    * Full-support maintenance (count once, decrement on removal)
+    * was measured SLOWER here: counting full support forgoes the
+    * early exit that lets the 93%+ of never-removed edges confirm
+    * survival after k−2 matches.
     */
-  private def trussPeel(eu: Array[Int], ev: Array[Int], nN: Int,
-                        k: Int, rounds: Int): Array[Boolean] = {
-    val nE = eu.length
-    val alive = Array.fill(nE)(true)
-    var it = 0
-    var done = false
-    while (!done && it < rounds) {
+  private final class TrussGraph(eu: Array[Int], ev: Array[Int], nN: Int) {
+    private val nE = eu.length
+    private val start = new Array[Int](nN + 1)
+    private val nbr = new Array[Int](2 * nE) // neighbor node of each slot
+    private val eid = new Array[Int](2 * nE) // owning edge index of each slot
+    locally {
       val deg = new Array[Int](nN)
       var i = 0
-      while (i < nE) { if (alive(i)) { deg(eu(i)) += 1; deg(ev(i)) += 1 }; i += 1 }
-      val start = new Array[Int](nN + 1)
+      while (i < nE) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
       i = 0
       while (i < nN) { start(i + 1) = start(i) + deg(i); i += 1 }
-      val nbr = new Array[Int](start(nN))
       val fill = start.clone()
+      // pack (nbr, eid) into one long per slot so the per-run sort
+      // carries the edge id along (both nonneg ints)
+      val packed = new Array[Long](2 * nE)
       i = 0
       while (i < nE) {
-        if (alive(i)) {
-          nbr(fill(eu(i))) = ev(i); fill(eu(i)) += 1
-          nbr(fill(ev(i))) = eu(i); fill(ev(i)) += 1
-        }
+        packed(fill(eu(i))) = (ev(i).toLong << 32) | i.toLong; fill(eu(i)) += 1
+        packed(fill(ev(i))) = (eu(i).toLong << 32) | i.toLong; fill(ev(i)) += 1
         i += 1
       }
       i = 0
-      while (i < nN) { java.util.Arrays.sort(nbr, start(i), start(i) + deg(i)); i += 1 }
-      var removed = 0
+      while (i < nN) { java.util.Arrays.sort(packed, start(i), start(i + 1)); i += 1 }
       i = 0
-      while (i < nE) {
-        if (alive(i)) {
-          val u = eu(i); val v = ev(i)
-          var a = start(u); val aEnd = start(u) + deg(u)
-          var b = start(v); val bEnd = start(v) + deg(v)
-          var sup = 0
-          while (sup < k - 2 && a < aEnd && b < bEnd) {
-            val x = nbr(a); val y = nbr(b)
-            if (x == y) { sup += 1; a += 1; b += 1 }
-            else if (x < y) a += 1
-            else b += 1
-          }
-          if (sup < k - 2) { alive(i) = false; removed += 1 }
-        }
+      while (i < 2 * nE) {
+        nbr(i) = (packed(i) >>> 32).toInt
+        eid(i) = (packed(i) & 0xFFFFFFFFL).toInt
         i += 1
       }
-      done = removed == 0
-      it += 1
     }
-    alive
+
+    /** min(support, cap) of every edge over the FULL graph — one
+      * early-exit two-pointer pass, shared by every k with
+      * k − 2 ≤ cap (capping preserves every `sup < need` comparison
+      * those peels make in round 0). */
+    def cappedSupport(cap: Int): Array[Int] = {
+      val sup = new Array[Int](nE)
+      var e = 0
+      while (e < nE) {
+        var a = start(eu(e)); val aEnd = start(eu(e) + 1)
+        var b = start(ev(e)); val bEnd = start(ev(e) + 1)
+        var s = 0
+        while (s < cap && a < aEnd && b < bEnd) {
+          val x = nbr(a); val y = nbr(b)
+          if (x == y) { s += 1; a += 1; b += 1 }
+          else if (x < y) a += 1
+          else b += 1
+        }
+        sup(e) = s
+        e += 1
+      }
+      sup
+    }
+
+    /** Alive-edge flags after `rounds` remove-all-per-round steps
+      * (early exit at the fixpoint) — identical removals per round to
+      * the full recompute, so the oracle's unrolled rounds and the
+      * distributed loop agree even before the fixpoint. `sup0` must
+      * be a [[cappedSupport]] with cap ≥ k − 2 (round 0 reads it
+      * instead of re-scanning the graph). */
+    def peel(k: Int, rounds: Int, sup0: Array[Int]): Array[Boolean] = {
+      val alive = Array.fill(nE)(true)
+      val need = k - 2
+      if (need <= 0 || nE == 0) return alive // support ≥ 0 always
+      // round-0 candidates come straight off the shared support pass;
+      // later rounds re-check only alive edges incident to the
+      // previous round's removals (stamp-deduped)
+      val removed = new Array[Int](nE)
+      val cand = new Array[Int](nE)
+      var nCand = 0
+      val stamp = Array.fill(nE)(-1)
+      var it = 0
+      var done = false
+      while (!done && it < rounds) {
+        var nR = 0
+        if (it == 0) {
+          var e = 0
+          while (e < nE) {
+            if (sup0(e) < need) { removed(nR) = e; nR += 1 }
+            e += 1
+          }
+        } else {
+          var ci = 0
+          while (ci < nCand) {
+            val e = cand(ci)
+            if (alive(e)) {
+              // early-exit support check over the round-start alive
+              // adjacency (this round's removals apply AFTER the scan)
+              var a = start(eu(e)); val aEnd = start(eu(e) + 1)
+              var b = start(ev(e)); val bEnd = start(ev(e) + 1)
+              var s = 0
+              while (s < need && a < aEnd && b < bEnd) {
+                val x = nbr(a); val y = nbr(b)
+                if (x == y) {
+                  if (alive(eid(a)) && alive(eid(b))) s += 1
+                  a += 1; b += 1
+                } else if (x < y) a += 1
+                else b += 1
+              }
+              if (s < need) { removed(nR) = e; nR += 1 }
+            }
+            ci += 1
+          }
+        }
+        if (nR == 0) done = true
+        else {
+          var ri = 0
+          while (ri < nR) { alive(removed(ri)) = false; ri += 1 }
+          nCand = 0
+          ri = 0
+          while (ri < nR) {
+            val e = removed(ri)
+            var a = start(eu(e)); val aEnd = start(eu(e) + 1)
+            while (a < aEnd) {
+              val f = eid(a)
+              if (alive(f) && stamp(f) != it) { stamp(f) = it; cand(nCand) = f; nCand += 1 }
+              a += 1
+            }
+            var b = start(ev(e)); val bEnd = start(ev(e) + 1)
+            while (b < bEnd) {
+              val f = eid(b)
+              if (alive(f) && stamp(f) != it) { stamp(f) = it; cand(nCand) = f; nCand += 1 }
+              b += 1
+            }
+            ri += 1
+          }
+        }
+        it += 1
+      }
+      alive
+    }
   }
 
   /** In-memory parallel truss peel under the driver bound: primitive
@@ -1008,7 +1124,8 @@ object Graphs {
       eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
     }
     requireCanonicalCollected(rows, eu, ev)
-    val alive = trussPeel(eu, ev, ids.length, k, rounds)
+    val g = new TrussGraph(eu, ev, ids.length)
+    val alive = g.peel(k, rounds, g.cappedSupport(k - 2))
     val nAlive = alive.count(identity)
     if (nAlive == nE) proj
     else {
