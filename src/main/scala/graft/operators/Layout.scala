@@ -28,14 +28,33 @@ object Layout {
   /** Write `df` as a bucketed, per-bucket-sorted parquet table
     * registered as `table` (path = warehouse default). Bucket count
     * must match across relations that want co-located joins.
+    *
+    * Idempotent across JVMs: a managed-table location left by a
+    * PREVIOUS session isn't in this session's catalog, so a bare
+    * `mode(overwrite).saveAsTable` refuses with
+    * LOCATION_ALREADY_EXISTS — the table is dropped from the catalog
+    * AND its stale warehouse directory removed first.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.net.URI(spark.sessionState.conf.warehousePath)
+    val loc = new java.io.File(new java.io.File(warehouse.getPath), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     df.write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("compression", "snappy")
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Join two same-key same-count bucketed tables — planned WITHOUT a
     * shuffle (LayoutSpec asserts zero Exchange). */

@@ -4072,6 +4072,148 @@ object StatsQueries {
       .orderedSmall(col("stratum"))
   }
 
+  /** Doubly-robust AIPW average treatment effect (#437, r11; Robins
+    * et al. 1994 augmented IPW): composes #431's stratum-constant
+    * propensity with a GLOBAL per-arm linear outcome model
+    * (conversion on user activity x = event count) —
+    *
+    *   ATE = mean[ m₁(x) − m₀(x) + T·(y − m₁(x))/e_s
+    *               − (1−T)·(y − m₀(x))/(1−e_s) ],
+    *
+    * consistent if EITHER the propensity or the outcome model is
+    * right (here the models genuinely differ: strata vs regression,
+    * so the augmentation terms do NOT vanish the way stratum-constant
+    * outcome means would). Exactness: both arm regressions are
+    * closed-form least squares carried as exact integer sums; every
+    * per-user prediction m̂(x) is ONE signed micro floor of the
+    * common-denominator rational (ŷ = (sy·den − num·sx + n·num·x) /
+    * (n·den)); augmentation ratios floor per user with the stratum
+    * counts as exact integers; the final ATE is one more signed
+    * floor. Positivity-violating strata (an arm empty) are excluded
+    * on both engines, as in #431. Shape: one user collapse, one
+    * NTILE, ONE single-row conditional aggregate for both
+    * regressions, a 10-row broadcast join, one global sum —
+    * everything else is per-row expressions. (decimal(38)/HUGEINT
+    * headroom: n²·x²·1e6 — ample at gate scale, ~1e9-user ceiling
+    * at x ≤ 1e4; the established exactness-bound convention.)
+    */
+  val qAipwAte = {
+    // signed floor division (both engines agree on negative
+    // numerators; the q_ipw_ate macro)
+    def fd(n: String, dn: String): String =
+      s"((($n) - (((($n) % ($dn)) + ($dn)) % ($dn))) // ($dn))"
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    // per-arm regression scalars (suffix t = treated, c = control)
+    def armSql(f: String, sfx: String): String = Seq(
+      s"CAST(count(*) FILTER ($f) AS HUGEINT) AS n$sfx",
+      s"${h(s"sum(x) FILTER ($f)")} AS sx$sfx",
+      s"${h(s"sum(y) FILTER ($f)")} AS sy$sfx",
+      s"${h(s"sum(x * x) FILTER ($f)")} AS sxx$sfx",
+      s"${h(s"sum(x * y) FILTER ($f)")} AS sxy$sfx").mkString(",\n    ")
+    def predSql(sfx: String): String = {
+      val num = s"num$sfx"
+      val den = s"den$sfx"
+      s"""CASE WHEN $den = 0 THEN ${fd(s"sy$sfx * 1000000", s"n$sfx")}
+         |  ELSE ${fd(s"(sy$sfx * $den - $num * sx$sfx + n$sfx * $num * x) * 1000000",
+               s"n$sfx * $den")} END""".stripMargin
+    }
+    GateQuery.sql(
+      "q_aipw_ate",
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM $E e GROUP BY user_id),
+         |s AS (SELECT user_id, x, y, user_id % 2 AS tr,
+         |    ntile(10) OVER (ORDER BY x, user_id) AS stratum FROM u),
+         |r AS (SELECT
+         |    ${armSql("tr = 1", "t")},
+         |    ${armSql("tr = 0", "c")}
+         |  FROM s),
+         |rr AS (SELECT *,
+         |    nt * sxyt - sxt * syt AS numt, nt * sxxt - sxt * sxt AS dent,
+         |    nc * sxyc - sxc * syc AS numc, nc * sxxc - sxc * sxc AS denc
+         |  FROM r),
+         |g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+         |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS tn,
+         |    CAST(count(*) FILTER (tr = 0) AS BIGINT) AS cn
+         |  FROM s GROUP BY 1),
+         |m AS (SELECT s.user_id, s.y, s.tr, g.n_s, g.tn, g.cn,
+         |    ${predSql("t")} AS m1u,
+         |    ${predSql("c")} AS m0u
+         |  FROM s JOIN g USING (stratum), rr
+         |  WHERE g.tn > 0 AND g.cn > 0),
+         |t AS (SELECT (m1u - m0u) +
+         |    CASE WHEN tr = 1 THEN ${fd(s"(${h("y")} * 1000000 - m1u) * n_s", "tn")}
+         |      ELSE -${fd(s"(${h("y")} * 1000000 - m0u) * n_s", "cn")} END AS term
+         |  FROM m),
+         |o AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |    ${h("sum(term)")} AS num FROM t),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM s)
+         |SELECT tot.n_users, o.n_used AS n_used_users,
+         |  CAST(CASE WHEN dent = 0 THEN 0 ELSE ${fd("numt * 1000000", "dent")} END AS BIGINT) AS b1_micro,
+         |  CAST(CASE WHEN denc = 0 THEN 0 ELSE ${fd("numc * 1000000", "denc")} END AS BIGINT) AS b0_micro,
+         |  CAST(${fd("o.num", "o.n_used")} AS BIGINT) AS ate_aipw_micro
+         |FROM tot, o, rr""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def dec(x: Column) = x.cast("decimal(38,0)")
+      val u = ev(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("x"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
+      val st = u.select(col("user_id"), col("x"), col("y"),
+        pmod(col("user_id"), lit(2L)).as("tr"),
+        ntile(10).over(Window.orderBy(col("x"), col("user_id"))).as("stratum"))
+      def arm(t: Int, sfx: String): Seq[Column] = {
+        def f(c: Column) = when(col("tr") === t, c)
+        Seq(count(f(lit(1))).cast("decimal(38,0)").as(s"n$sfx"),
+          sum(f(col("x"))).cast("decimal(38,0)").as(s"sx$sfx"),
+          sum(f(col("y"))).cast("decimal(38,0)").as(s"sy$sfx"),
+          sum(f(dec(col("x")) * col("x"))).cast("decimal(38,0)").as(s"sxx$sfx"),
+          sum(f(dec(col("x")) * col("y"))).cast("decimal(38,0)").as(s"sxy$sfx"))
+      }
+      val armCols = arm(1, "t") ++ arm(0, "c")
+      val r = st.agg(armCols.head, armCols.tail: _*)
+        .withColumn("numt", col("nt") * col("sxyt") - col("sxt") * col("syt"))
+        .withColumn("dent", col("nt") * col("sxxt") - col("sxt") * col("sxt"))
+        .withColumn("numc", col("nc") * col("sxyc") - col("sxc") * col("syc"))
+        .withColumn("denc", col("nc") * col("sxxc") - col("sxc") * col("sxc"))
+      val g = st.groupBy(col("stratum")).agg(
+        count(lit(1)).cast("long").as("n_s"),
+        count(when(col("tr") === 1, 1)).cast("long").as("tn"),
+        count(when(col("tr") === 0, 1)).cast("long").as("cn"))
+      def pred(sfx: String): Column = {
+        val num = col(s"num$sfx"); val den = col(s"den$sfx")
+        when(den === 0, Exact.floorDivBig(col(s"sy$sfx") * lit(1000000L), col(s"n$sfx")))
+          .otherwise(Exact.floorDivBig(
+            (col(s"sy$sfx") * den - num * col(s"sx$sfx") +
+              col(s"n$sfx") * num * col("x")) * lit(1000000L),
+            col(s"n$sfx") * den))
+      }
+      val m = graft.operators.Curation.withStats(
+          st.join(broadcast(g), "stratum").filter(col("tn") > 0 && col("cn") > 0), r)
+        .withColumn("m1u", pred("t"))
+        .withColumn("m0u", pred("c"))
+      val term = (col("m1u") - col("m0u")) +
+        when(col("tr") === 1,
+          Exact.floorDivBig((dec(col("y")) * lit(1000000L) - col("m1u")) * col("n_s"),
+            col("tn")))
+        .otherwise(-Exact.floorDivBig(
+          (dec(col("y")) * lit(1000000L) - col("m0u")) * col("n_s"), col("cn")))
+      val o = m.select(term.as("term"))
+        .agg(count(lit(1)).cast("long").as("n_used"),
+          sum(col("term")).cast("decimal(38,0)").as("num"))
+      val tot = st.agg(count(lit(1)).cast("long").as("n_users"))
+      tot.join(o).join(r.select(col("numt"), col("dent"), col("numc"), col("denc")))
+        .select(col("n_users"), col("n_used").as("n_used_users"),
+          when(col("dent") === 0, lit(0L))
+            .otherwise(Exact.floorDivBig(col("numt") * lit(1000000L), col("dent"))
+              .cast("long")).as("b1_micro"),
+          when(col("denc") === 0, lit(0L))
+            .otherwise(Exact.floorDivBig(col("numc") * lit(1000000L), col("denc"))
+              .cast("long")).as("b0_micro"),
+          Exact.floorDivBig(col("num"), col("n_used")).cast("long").as("ate_aipw_micro"))
+        .orderedSmall(col("n_users"))
+    }
+  }
+
   /** Mantel–Haenszel pooled odds ratio + CMH test (#343): the
     * STRATIFIED upgrade of #296 — pooling conversion odds across
     * user strata without letting a confounded stratum mix (Mantel &
@@ -5246,7 +5388,7 @@ object StatsQueries {
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qQte, qCindex, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
+    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qAipwAte, qQte, qCindex, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
     qBreuschPagan, qChow, qDickeyFuller, qGranger, qNemenyi)
 }
