@@ -287,7 +287,7 @@ object Ordinal {
     * a (near-)singular pivot yields a zero component instead of NaN
     * so a rank-deficient design degrades to a no-op step.
     */
-  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+  private[operators] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
     val n = b0.length
     val a = a0.map(_.clone())
     val b = b0.clone()

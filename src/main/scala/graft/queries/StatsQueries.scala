@@ -4214,6 +4214,58 @@ object StatsQueries {
     }
   }
 
+  /** Restricted cubic-spline rate curve (#438, r11; Harrell 2001
+    * §2.4.4 / Stone & Koo 1985): smooth the hourly event-rate series
+    * with the 4-knot natural-spline basis (linear tails — the honest
+    * extrapolation property for rate/hazard shapes), fit closed-form
+    * ([[graft.operators.Spline]]). The corpus collapses to the
+    * CALENDAR-BOUNDED hour grid in one aggregate; only the grid
+    * crosses to the driver, where the 4×4 normal equations
+    * accumulate in ascending-x order (fixed per-row op order) and
+    * solve by the deterministic partial-pivot elimination. The
+    * oracle replays everything: exact integer knots, ordered
+    * list-fold normal equations, the unrolled-elimination recipe,
+    * and the same micro-floored 12-point fitted curve.
+    */
+  val qSplineRate = GateQuery.sql(
+    "q_spline_rate",
+    s"""WITH grid AS (SELECT xs // 3600 AS x, CAST(count(*) AS BIGINT) AS y
+       |  FROM $E e GROUP BY 1),
+       |${graft.operators.Spline.fitReplaySql},
+       |pts AS (SELECT unnest(range(0, 12)) AS p),
+       |evp AS (SELECT p, kk.xmin + (kk.xmax - kk.xmin) * p // 11 AS xe FROM pts, kk)
+       |SELECT CAST(evp.p AS BIGINT) AS pt, CAST(evp.xe AS BIGINT) AS x_eval,
+       |  CAST(floor((((cf.c[1] + cf.c[2] * CAST(evp.xe AS DOUBLE))
+       |    + cf.c[3] * ${graft.operators.Spline.basisSql("CAST(evp.xe AS DOUBLE)", "k1")})
+       |    + cf.c[4] * ${graft.operators.Spline.basisSql("CAST(evp.xe AS DOUBLE)", "k2")})
+       |    * 1e6) AS BIGINT) AS yhat_micro,
+       |  CAST(floor(cf.c[1] * 1e6) AS BIGINT) AS b0_micro,
+       |  CAST(floor(cf.c[2] * 1e6) AS BIGINT) AS b1_micro,
+       |  CAST(floor(cf.c[3] * 1e6) AS BIGINT) AS g1_micro,
+       |  CAST(floor(cf.c[4] * 1e6) AS BIGINT) AS g2_micro
+       |FROM evp, kk, cf ORDER BY pt""".stripMargin) { (s, d) =>
+    import graft.operators.Spline
+    val g = ev(s, d)
+      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("x"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val rows = g.orderBy(col("x")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val xmin = rows.head._1
+    val xmax = rows.last._1
+    val ks = Spline.knots(xmin, xmax)
+    val cf = Spline.fit(rows, ks)
+    def flo(v: Double) = math.floor(v * 1e6).toLong
+    val out = (0 to 11).map { p =>
+      val xe = xmin + (xmax - xmin) * p / 11
+      val x = xe.toDouble
+      val yhat = ((cf(0) + cf(1) * x) + cf(2) * Spline.basis(x, ks, 0)) +
+        cf(3) * Spline.basis(x, ks, 1)
+      (p.toLong, xe, flo(yhat), flo(cf(0)), flo(cf(1)), flo(cf(2)), flo(cf(3)))
+    }
+    import s.implicits._
+    out.toDF("pt", "x_eval", "yhat_micro", "b0_micro", "b1_micro", "g1_micro", "g2_micro")
+      .orderedSmall(col("pt"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio + CMH test (#343): the
     * STRATIFIED upgrade of #296 — pooling conversion odds across
     * user strata without letting a confounded stratum mix (Mantel &
@@ -5388,7 +5440,7 @@ object StatsQueries {
     qCorrMatrix, qKendall, qGkGamma, qSomersD, qPartialCorr, qScanStat, qPcaVar, qEmbedOutlier, qRangeWindow, qApproxDistinct, qPeakfitPipeline,
     qIntervalJoin, qTfidfTerms, qNovelty, qTwap, qOhlc, qWeightedSample, qKsTest,
     qSeasonal, qPageTrend, qKupiecPof, qMrr, qChangepoint, qMutualInfo, qTheilSen, qRollingCorr, qLabelProp,
-    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qAipwAte, qQte, qCindex, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
+    qCliffsDelta, qOddsRatio, qEvalue, qIpwAte, qAipwAte, qSplineRate, qQte, qCindex, qMantelHaenszel, qEbShrinkage, qPowerMde, qExtremeValue, qSrm,
     qDurbinWatson, qLjungBox, qCvm, qFriedman, qTurningPoints, qMedianTest,
     qBreuschPagan, qChow, qDickeyFuller, qGranger, qNemenyi)
 }

@@ -579,4 +579,35 @@ class StatsEdgeSpec extends SparkSpec {
     assert(r.getAs[Double]("d_yx_ppm") === 1000000.0)
     assert(r.getAs[Double]("d_xy_ppm") === 666667.0)
   }
+
+  test("spline: exact recovery of a curve generated from its own basis") {
+    import graft.operators.Spline
+    // y generated from the restricted basis with known coefficients —
+    // least squares must recover them (residual 0, full-rank design)
+    val xs = (0L to 100L).toSeq
+    val ks = Spline.knots(0L, 100L)
+    assert(ks.toSeq === Seq(5L, 35L, 65L, 95L))
+    val truth = Array(3.0, -0.5, 0.002, -0.004)
+    val rows = xs.map { x =>
+      val xd = x.toDouble
+      val y = truth(0) + truth(1) * xd + truth(2) * Spline.basis(xd, ks, 0) +
+        truth(3) * Spline.basis(xd, ks, 1)
+      (x, math.round(y * 1000)) // integer grid values (milli-scaled)
+    }
+    val cf = Spline.fit(rows, ks)
+    // fitted on the milli-scaled y: coefficients scale by 1000 up to
+    // the integer rounding of y (grid values within 0.5 milli)
+    truth.zip(cf).foreach { case (t, c) =>
+      assert(math.abs(c / 1000.0 - t) < 1e-3, s"coef $c vs $t")
+    }
+    // deterministic: bit-identical refit
+    val cf2 = Spline.fit(rows, ks)
+    assert(cf.toSeq === cf2.toSeq)
+    // linear tails: second differences of the fitted curve vanish
+    // beyond the boundary knots
+    def yhat(x: Double) = ((cf(0) + cf(1) * x) + cf(2) * Spline.basis(x, ks, 0)) +
+      cf(3) * Spline.basis(x, ks, 1)
+    val d2 = yhat(200.0) - 2 * yhat(201.0) + yhat(202.0)
+    assert(math.abs(d2) < 1e-6, s"tail curvature $d2")
+  }
 }
