@@ -961,6 +961,78 @@ object StreamingOps {
       }
   }
 
+  final case class QtePoint(user: Long, ts: java.sql.Timestamp, cents: Long)
+  final case class QteState(nT: Long, nC: Long,
+                            resT: Seq[(Long, Long, Long)],
+                            resC: Seq[(Long, Long, Long)])
+  final case class QteOut(ts: java.sql.Timestamp,
+                          nSeenTreated: Long, nSeenControl: Long,
+                          nResTreated: Long, nResControl: Long,
+                          qte25Cents: Long, qte50Cents: Long, qte75Cents: Long)
+
+  /** Streaming quantile-treatment-effect monitor (#439) — the live
+    * counterpart of the batch `q_qte` gate: per incoming spend
+    * reading, maintain one BOUNDED deterministic reservoir per arm
+    * (arm = user mod 2; the `cap` readings with the lowest portable
+    * md5 priorities, ties → (ts, cents) — bottom-k by a fixed
+    * priority is merge-associative, so the retained samples are
+    * independent of micro-batch boundaries, the [[hlStream]]
+    * discipline) and emit the 25/50/75% treated−control differences
+    * with the batch gate's exact ceil-rank quantile rule
+    * (rk = (n·q + 99) div 100). Emissions start once BOTH arms hold
+    * data. The state is a single global key (the estimand is
+    * inherently cross-arm) of O(cap) longs — a control-plane monitor,
+    * not a data-plane shuffle; dead streams evict via [[IdleEvict]].
+    */
+  def qteStream(points: Dataset[QtePoint], cap: Int = 64,
+                idleEvict: Option[IdleEvict] = None): Dataset[QteOut] = {
+    require(cap >= 1 && cap <= 512, s"cap out of range: $cap")
+    import points.sparkSession.implicits._
+    def prio(user: Long, tsMs: Long, c: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"qte:$user:$tsMs:$c".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def quant(vals: Seq[Long], q: Long): Long = {
+      val rk = (vals.length * q + 99) / 100
+      vals((rk - 1).toInt)
+    }
+    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(points)
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState[QteState, QteOut](
+        OutputMode.Update(), timeoutOf(idleEvict)) {
+        (_: Long, rows: Iterator[QtePoint], state: GroupState[QteState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(QteState(0L, 0L, Seq.empty, Seq.empty))
+            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.cents, p.user))
+            val out = pts.flatMap { p =>
+              val t = p.ts.getTime
+              val entry = (prio(p.user, t, p.cents), t, p.cents)
+              if (p.user % 2 == 1)
+                st = st.copy(nT = st.nT + 1,
+                  resT = (st.resT :+ entry).sortBy(identity).take(cap))
+              else
+                st = st.copy(nC = st.nC + 1,
+                  resC = (st.resC :+ entry).sortBy(identity).take(cap))
+              if (st.resT.isEmpty || st.resC.isEmpty) None
+              else {
+                val tv = st.resT.map(_._3).sorted
+                val cv = st.resC.map(_._3).sorted
+                Some(QteOut(p.ts, st.nT, st.nC, tv.length.toLong, cv.length.toLong,
+                  quant(tv, 25) - quant(cv, 25),
+                  quant(tv, 50) - quant(cv, 50),
+                  quant(tv, 75) - quant(cv, 75)))
+              }
+            }
+            state.update(st)
+            armEviction(state, idleEvict, pts.last.ts.getTime)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming distribution-drift monitor: per event-time window,
     * the Jensen–Shannon divergence of the window's hashed-token
     * distribution against a FIXED reference distribution (trained

@@ -1084,4 +1084,58 @@ class StreamingSpec extends SparkSpec {
     assert(a.hl2Cents === b.hl2Cents && a.hlCents === b.hlCents,
       s"split-dependent: $a vs $b")
   }
+
+  test("streaming QTE: under-cap quantile differences are exact; carries across batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{QteOut, QtePoint}
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamingOps.qteStream(
+      input.toDF().toDF("ts", "user", "cents")
+        .select(col("user"), col("ts"), col("cents")).as[QtePoint], cap = 32)
+    val q = out.writeStream.format("memory").queryName("qtemon")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // treated (odd users): [100, 300, 500]; control (even): [90, 200]
+      // ceil-rank quantiles: t25=100 t50=300 t75=500; c25=90 c50=90
+      // (rk=(2*50+99)//100=1) c75=200
+      input.addData((ts(0), 1L, 100L), (ts(10), 2L, 90L))
+      q.processAllAvailable()
+      input.addData((ts(20), 3L, 300L), (ts(30), 4L, 200L), (ts(40), 5L, 500L))
+      q.processAllAvailable()
+      val rows = spark.table("qtemon").as[QteOut].collect().sortBy(_.ts.getTime)
+      // first point emits nothing (control side empty until point 2)
+      assert(rows.length === 4)
+      val last = rows.last
+      assert(last.nSeenTreated === 3L && last.nSeenControl === 2L)
+      assert(last.qte25Cents === 10L, s"$last")  // 100 - 90
+      assert(last.qte50Cents === 210L, s"$last") // 300 - 90
+      assert(last.qte75Cents === 300L, s"$last") // 500 - 200
+    } finally q.stop()
+  }
+
+  test("streaming QTE: capped reservoirs are batch-split-independent") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{QteOut, QtePoint}
+    val pts = (0 until 24).map(i => (ts(i * 10), i.toLong, (i * 53 % 17 * 10).toLong))
+    def lastOut(splitAt: Int, name: String): QteOut = {
+      val input = MemoryStream[(Timestamp, Long, Long)]
+      val out = StreamingOps.qteStream(
+        input.toDF().toDF("ts", "user", "cents")
+          .select(col("user"), col("ts"), col("cents")).as[QtePoint], cap = 6)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(pts.take(splitAt): _*)
+        q.processAllAvailable()
+        input.addData(pts.drop(splitAt): _*)
+        q.processAllAvailable()
+        spark.table(name).as[QteOut].collect().maxBy(_.ts.getTime)
+      } finally q.stop()
+    }
+    val a = lastOut(5, "qtesplit_a")
+    val b = lastOut(17, "qtesplit_b")
+    assert(a.nResTreated === 6L && a.nResControl === 6L)
+    assert(a.qte25Cents === b.qte25Cents && a.qte50Cents === b.qte50Cents &&
+      a.qte75Cents === b.qte75Cents, s"split-dependent: $a vs $b")
+  }
 }
