@@ -102,7 +102,10 @@ object PlanAudit {
     // round-9: survival/robust-location/ordinal additions
     "q_hodges_lehmann", "q_cox_ph", "q_ologit_score",
     // round-10: graph/causal additions
-    "q_ktruss", "q_ipw_ate", "q_evalue")
+    "q_ktruss", "q_ipw_ate", "q_evalue",
+    // round-11: causal/spline/layout/ordinal additions
+    "q_aipw_ate", "q_spline_rate", "q_bucketed_join", "q_prop_odds",
+    "q_hubness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -107,6 +107,7 @@ class GateQueriesSmokeSpec extends SparkSpec {
     "q_rich_club", // per-threshold (n_nodes)⋈(n_edges) 1-row summary joins
     "q_hubness", // brute-force query×corpus pool (as q_knn_bruteforce) + 1-row skew scalar
     "q_ipw_ate", // 1-row overall-ATE scalar onto the 10-stratum rows (as q_cmh)
+    "q_aipw_ate", // regression-sums + totals 1-row scalars crossed (as q_ipw_ate)
     "q_uncertainty_coeff", // three 1-row entropy scalars crossed (as q_ref_integrity)
     "q_qte", // 3-row quantile probe against the per-arm rank relation
     "q_cindex") // (day, event, score) cell-grid pair product (as q_tukey)
