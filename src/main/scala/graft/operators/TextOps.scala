@@ -221,4 +221,62 @@ object TextOps {
     val set = markers.map(m => s"'$m'").mkString(", ")
     s"len(list_filter(string_split($text, ' '), tk -> tk IN ($set)))"
   }
+
+  /** Named entities the HTML extractor decodes, in DECODE order:
+    * `&amp;` must decode LAST so double-escaped text (`&amp;lt;`)
+    * yields the literal `&lt;` a real extractor produces, never a
+    * second decode round. */
+  private val HtmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction (the upstream step of every web-corpus
+    * pipeline — C4/CCNet run exactly this before any quality signal):
+    * strip tags (`<…>` → space, so `a<br>b` keeps its word boundary),
+    * decode the named entities above, collapse whitespace runs and
+    * trim. Pure codegen string expressions — zero shuffle, pushes
+    * past joins, streaming-safe.
+    */
+  def htmlToText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (e, (k, v)) =>
+      replace(e, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB SQL mirror of [[htmlToText]]. */
+  def htmlToTextSql(c: String): String = {
+    val noTags = s"regexp_replace($c, '<[^>]*>', ' ', 'g')"
+    val decoded = HtmlEntities.foldLeft(noTags) { case (e, (k, v)) =>
+      val vq = if (v == "'") "''" else v
+      s"replace($e, '$k', '$vq')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** Mojibake repair table (UTF-8 bytes mis-decoded as Latin-1/
+    * Windows-1252 — THE classic double-encoding corruption of web
+    * corpora), longest patterns first so prefixes (`â€` under
+    * `â€™`) can't pre-empt their longer forms. */
+  private val Mojibake = Seq(
+    "\u00e2\u20ac\u2122" -> "\u2019", // â€™ -> right single quote
+    "\u00e2\u20ac\u0153" -> "\u201c", // â€œ -> left double quote
+    "\u00e2\u20ac\u009d" -> "\u201d", // cp1252 0x9D passthrough control form
+    "\u00e2\u20ac" -> "\u201d", // truncated right-double-quote form
+    "\u00c3\u00a9" -> "\u00e9", "\u00c3\u00a8" -> "\u00e8", // Ã©/Ã¨ -> é/è
+    "\u00c3\u00a4" -> "\u00e4", "\u00c3\u00b6" -> "\u00f6", // ä/ö
+    "\u00c3\u00bc" -> "\u00fc", "\u00c3\u00b1" -> "\u00f1", // ü/ñ
+    "\u00c3\u00a7" -> "\u00e7") // ç
+
+  /** Encoding repair: rewrite the [[Mojibake]] sequences back to the
+    * characters they were before the double-decode. Same zero-shuffle
+    * codegen shape as [[htmlToText]].
+    */
+  def repairEncoding(c: Column): Column =
+    Mojibake.foldLeft(c) { case (e, (k, v)) => replace(e, lit(k), lit(v)) }
+
+  /** DuckDB SQL mirror of [[repairEncoding]]. */
+  def repairEncodingSql(c: String): String =
+    Mojibake.foldLeft(c) { case (e, (k, v)) => s"replace($e, '$k', '$v')" }
 }

@@ -2222,7 +2222,73 @@ object TextQueries {
       .limit(20)
   }
 
+  /** HTML→text extraction (#440, r11): the upstream step the corpus
+    * arrives AFTER in the driver testdata — exercised by wrapping
+    * every document in a deterministic realistic HTML shell (heading,
+    * per-doc paragraph, an entity-escaped ampersand where ' the '
+    * appeared, a void tag) IDENTICALLY on both engines, then
+    * extracting with [[graft.operators.TextOps.htmlToText]] (tag
+    * strip → entity decode with &amp; last → whitespace collapse).
+    * The gate hash-checks the extracted text's md5 + code-point
+    * length per doc, so tag boundaries, entity order and whitespace
+    * semantics are all pinned cross-engine. Zero shuffle — a pure
+    * codegen projection.
+    */
+  val qHtmlExtract = GateQuery.sql(
+    "q_html_extract", {
+      val html = "'<html><body><h1>doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || " +
+        "replace(text, ' the ', ' &amp; ') || '</p><br/></body></html>'"
+      s"""SELECT doc_id,
+         |  CAST(length(${graft.operators.TextOps.htmlToTextSql(html)}) AS BIGINT) AS n_chars,
+         |  md5(${graft.operators.TextOps.htmlToTextSql(html)}) AS extract_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.TextOps
+    val html = concat(lit("<html><body><h1>doc "), col("doc_id").cast("string"),
+      lit("</h1><p>"), replace(col("text"), lit(" the "), lit(" &amp; ")),
+      lit("</p><br/></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(TextOps.htmlToText(html)).cast("long").as("n_chars"),
+        md5(TextOps.htmlToText(html).cast("binary")).as("extract_md5"))
+      .orderedSmall(col("doc_id"))
+  }
+
+  /** Encoding (mojibake) repair (#441, r11): UTF-8 text mis-decoded
+    * as Latin-1 — the classic double-encoding corruption of web
+    * corpora — rewritten back via the longest-first sequence table
+    * ([[graft.operators.TextOps.repairEncoding]]). The gate corrupts
+    * every document deterministically (e→Ã©, o→Ã¶ — the actual byte
+    * pattern the bug produces) identically on both engines, repairs,
+    * and hash-checks the repaired md5 + the code-point counts before
+    * and after (each repair collapses 2 code points to 1, so
+    * n_repaired is an exact derived count). Zero shuffle.
+    */
+  val qEncodingRepair = GateQuery.sql(
+    "q_encoding_repair", {
+      val corr = "replace(replace(text, 'e', 'Ã©'), 'o', 'Ã¶')"
+      val rep = graft.operators.TextOps.repairEncodingSql(corr)
+      s"""SELECT doc_id,
+         |  CAST(length($corr) AS BIGINT) AS n_chars_bad,
+         |  CAST(length($rep) AS BIGINT) AS n_chars_fixed,
+         |  CAST(length($corr) - length($rep) AS BIGINT) AS n_repaired,
+         |  md5($rep) AS repaired_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    import graft.operators.TextOps
+    val corr = replace(replace(col("text"), lit("e"), lit("Ã©")), lit("o"), lit("Ã¶"))
+    val rep = TextOps.repairEncoding(corr)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(corr).cast("long").as("n_chars_bad"),
+        length(rep).cast("long").as("n_chars_fixed"),
+        (length(corr) - length(rep)).cast("long").as("n_repaired"),
+        md5(rep.cast("binary")).as("repaired_md5"))
+      .orderedSmall(col("doc_id"))
+  }
+
   val all: Seq[GateQuery] = Seq(
+    qHtmlExtract, qEncodingRepair,
     qRake, qTextrank,
     qKfold, qLearningCurve, qCountMin,
     qAuc, qPrCurve, qGiniSplit, qYouden, qReliability, qSpearman,

@@ -223,6 +223,40 @@ class TextOpsSpec extends SparkSpec {
     assert(kept(Seq("en" -> 10), 100) == small)
   }
 
+  test("htmlToText: tags keep word boundaries, entities decode once, whitespace collapses") {
+    import graft.operators.TextOps
+    val rows = Seq(
+      ("<p>a</p><p>b</p>", "a b"), // tag -> space, then collapse
+      ("x<br/>y", "x y"), // void tag is still a boundary
+      ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; c&nbsp;d", // named set
+        "a & b <tag> \"q\" 's' c d"),
+      ("&amp;lt;", "&lt;"), // double-escape decodes ONCE (&amp; last)
+      ("  <div  class='x'> padded   </div>  ", "padded"))
+    rows.foreach { case (in, want) =>
+      val got = Seq(in).toDF("h").select(TextOps.htmlToText(col("h"))).collect()(0).getString(0)
+      assert(got === want, s"in=$in")
+    }
+  }
+
+  test("repairEncoding: longest-first table repairs prefix-colliding sequences") {
+    import graft.operators.TextOps
+    // literals built from escapes — the 0x9D form contains an
+    // INVISIBLE control character that raw source text would mangle
+    val rows = Seq(
+      ("cafÃ©", "café"), // cafÃ© -> café
+      // â€ (truncated) is a PREFIX of â€™ and â€œ — longest first
+      ("donâ€™t say â€œhiâ€",
+        "don’t say “hi”"),
+      // the faithful cp1252 0x9D passthrough form
+      ("xâ€y", "x”y"),
+      ("GrÃ¶n", "Grön"),
+      ("plain ascii", "plain ascii"))
+    rows.foreach { case (in, want) =>
+      val got = Seq(in).toDF("t").select(TextOps.repairEncoding(col("t"))).collect()(0).getString(0)
+      assert(got === want, s"in=$in")
+    }
+  }
+
   test("sourceOverlap: bitmask fast path pins counts; matches the set fallback") {
     import graft.operators.Dedup
     // k = 3 word shingles: s1 = {abc, bcd}, s2 = {abc, bcx},
