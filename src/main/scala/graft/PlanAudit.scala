@@ -105,7 +105,7 @@ object PlanAudit {
     "q_ktruss", "q_ipw_ate", "q_evalue",
     // round-11: causal/spline/layout/ordinal additions
     "q_aipw_ate", "q_spline_rate", "q_bucketed_join", "q_prop_odds",
-    "q_hubness")
+    "q_hubness", "q_html_extract", "q_encoding_repair")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

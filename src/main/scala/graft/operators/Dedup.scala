@@ -276,9 +276,14 @@ object Dedup {
     * IDENTICAL to the exact audit; what changes is the shuffle: the
     * confirm join moves `fpp × corpus + hits` keys instead of either
     * broadcasting an unbounded eval table or shuffling every corpus
-    * shingle. The eval side is scanned twice (count + sketch build)
-    * plus once more in the confirm — it is the small side by
-    * definition, and the corpus side stays single-pass.
+    * shingle. The eval keys materialize ONCE (eager localCheckpoint —
+    * they are read three times: count, sketch build, confirm join;
+    * at bench scale the wall delta is noise because the eval slice is
+    * tiny, but at the operator's stated regime — an eval/blocklist
+    * set too big to broadcast — each avoided re-derivation is a full
+    * explode + distinct over it); blocks are freed by the
+    * ContextCleaner when the result is collected, the same lifecycle
+    * as the k-truss rounds.
     *
     * @return (doc_id, n_shared) — identical to [[contamination]]
     */
@@ -288,6 +293,7 @@ object Dedup {
     val evKeys = eval_
       .select(explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
       .distinct()
+      .localCheckpoint()
     val nKeys = math.max(evKeys.count(), 1L)
     val bloom = evKeys.stat.bloomFilter("h", nKeys, fpp)
     val bytes = {
