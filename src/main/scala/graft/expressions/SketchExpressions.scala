@@ -20,7 +20,9 @@ object SketchExpressions {
 }
 
 /** `mightContainLong` over a broadcast-by-plan serialized
-  * [[org.apache.spark.util.sketch.BloomFilter]] — the constant-size
+  * [[org.apache.spark.util.sketch.BloomFilter]] — the fpp-sized
+  * (~1.2 bytes/key at fpp 0.01 — LINEAR in keys, which is why
+  * builders must size-guard it; see Dedup.MaxBloomSketchBytes)
   * stand-in for a too-big-to-broadcast exact key set. False positives
   * only (never false negatives), so a downstream exact confirm join
   * restores exact semantics while shuffling just the sketch-surviving

@@ -153,6 +153,15 @@ object Dedup {
     // pair order)
     val srcs = docs.select(source.as("source")).distinct()
       .collect().map(_.getString(0)).sorted
+    if (srcs.isEmpty) {
+      // Zero distinct sources (empty corpus): the bitmask branch
+      // below would build an empty aggregate list and crash on
+      // aggCols.head — return the empty 6-col matrix directly.
+      val s0 = docs.sparkSession
+      import s0.implicits._
+      return Seq.empty[(String, String, Long, Long, Long, Long)]
+        .toDF("src_a", "src_b", "inter", "m_a", "m_b", "containment_ppm")
+    }
     if (srcs.length > maxMaskSources) return sourceOverlapSets(rel)
     // Bitmask shape: ONE h-keyed bit_or aggregate (idempotent under
     // duplicate (source, h) rows, map-side combined to one long per h
@@ -268,8 +277,14 @@ object Dedup {
     * regime where the held-out/blocklist key set is itself too large
     * to broadcast exactly (a 100 TB run auditing against a big eval
     * suite or a multi-TB blocklist corpus). The eval keys are folded
-    * into a constant-size Bloom sketch (distributed treeAggregate via
-    * `stat.bloomFilter`), the sketch rides the scan as a map-side
+    * into a Bloom sketch (distributed treeAggregate via
+    * `stat.bloomFilter`) whose size is NOT constant — it is linear in
+    * the key count at ~1.2 bytes/key for fpp 0.01 (bits =
+    * −n·ln fpp / ln²2) — so the build is guarded by
+    * [[MaxBloomSketchBytes]]: the sketch rides the scan INSIDE the
+    * filter expression (shipped with every stage's task binary), and
+    * a 10⁹-key blocklist would silently serialize ~1.2 GB into every
+    * task. Under the ceiling the sketch rides as a map-side
     * native-expression filter, and only the surviving corpus slice —
     * true hits + ~fpp false positives — enters the exact confirm
     * join. False positives are removed there, so the result is
@@ -287,20 +302,46 @@ object Dedup {
     *
     * @return (doc_id, n_shared) — identical to [[contamination]]
     */
+  /** Ceiling on the serialized Bloom sketch [[bloomContamination]]
+    * ships inside its filter EXPRESSION (and hence inside the task
+    * binary of every stage referencing it). At fpp 0.01 the sketch
+    * costs ~1.2 bytes per distinct eval key, so 64 MiB admits ~55M
+    * keys — ample for eval suites and curated blocklists. Past it,
+    * don't raise the ceiling: move the sketch to an `sc.broadcast`
+    * (one copy per executor, torrent-distributed) behind an
+    * expression that reads the broadcast handle, or shard the
+    * blocklist and run the audit per shard.
+    */
+  val MaxBloomSketchBytes: Long = 64L << 20
+
   def bloomContamination(corpus: DataFrame, eval_ : DataFrame,
                          id: Column, text: Column, k: Int,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01,
+                         maxSketchBytes: Long = MaxBloomSketchBytes): DataFrame = {
     val evKeys = eval_
       .select(explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
       .distinct()
       .localCheckpoint()
     val nKeys = math.max(evKeys.count(), 1L)
+    // size guard BEFORE building: predicted bits = −n·ln(fpp)/ln²2
+    // (the optimal-m formula stat.bloomFilter allocates by) — fail
+    // fast instead of materializing a multi-GB array first
+    val predictedBytes =
+      (-nKeys * math.log(fpp) / (math.log(2) * math.log(2)) / 8).toLong + 64
+    require(predictedBytes <= maxSketchBytes,
+      s"bloomContamination: sketch for $nKeys keys at fpp $fpp would " +
+        s"serialize ~$predictedBytes bytes (> $maxSketchBytes ceiling) " +
+        "into the filter expression and every stage's task binary. Use an " +
+        "sc.broadcast-backed membership test or shard the blocklist instead.")
     val bloom = evKeys.stat.bloomFilter("h", nKeys, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    require(bytes.length <= maxSketchBytes,
+      s"bloomContamination: serialized sketch ${bytes.length} bytes " +
+        s"exceeds the $maxSketchBytes ceiling — use sc.broadcast or shard")
     corpus
       .select(id.as("doc_id"),
         explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))

@@ -783,11 +783,13 @@ object Graphs {
     *
     * Input contract: support is counted per canonical (u < v) edge
     * identity, so reversed rows, duplicates, or self-loops would
-    * silently undercount. The driver fast path ENFORCES the contract
-    * (O(E log E) check, no shuffle); the distributed branch
-    * re-canonicalizes at loop entry (idempotent on canonical input —
-    * the one extra distinct is noise against the per-round triangle
-    * joins).
+    * silently undercount. BOTH branches therefore canonicalize up
+    * front ([[canonicalEdges]], idempotent on canonical input), so
+    * the same logical input produces the same truss whether it lands
+    * under or over the driver bound — the bound itself is measured
+    * on the CANONICAL edge count, the quantity that actually sizes
+    * the peel. The driver path additionally asserts the invariant on
+    * the collected array (O(E log E), defense-in-depth).
     *
     * Persist ownership: in the distributed branch the RETURNED
     * DataFrame is the final round's eager localCheckpoint (its blocks
@@ -800,9 +802,9 @@ object Graphs {
                  driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
     require(k >= 2, s"k out of range: $k")
     require(rounds >= 1, s"rounds out of range: $rounds")
-    val proj = edges.select(col("u"), col("v"))
-    collectUnderBound(proj, driverMaxEdges) match {
-      case Some(rows) => return trussDriver(edges, rows, k, rounds)
+    val canon = canonicalEdges(edges.select(col("u"), col("v")))
+    collectUnderBound(canon, driverMaxEdges) match {
+      case Some(rows) => return trussDriver(canon, rows, k, rounds)
       case None =>
     }
     // Every round's edge relation is an EAGER localCheckpoint, not a
@@ -815,7 +817,7 @@ object Graphs {
     // lifetime (unpersisting a checkpointed relation would break any
     // recompute — the connected-components lesson, Dedup.scala:487);
     // held state is bounded by rounds × the shrinking edge relation.
-    var cur = canonicalEdges(proj).localCheckpoint()
+    var cur = canon.localCheckpoint()
     var nCur = cur.count()
     var it = 0
     var done = false
@@ -866,7 +868,10 @@ object Graphs {
   def trussSizes(edges: DataFrame, ks: Seq[Int], rounds: Int = 10,
                  driverMaxEdges: Long = DriverGraphMaxEdges): Seq[(Int, Long, Long)] = {
     require(ks.nonEmpty, "ks must be nonempty")
-    collectUnderBound(edges.select(col("u"), col("v")), driverMaxEdges) match {
+    // canonicalize up front, matching [[trussEdges]]: the same
+    // logical input yields the same sizes on either side of the bound
+    collectUnderBound(canonicalEdges(edges.select(col("u"), col("v"))),
+        driverMaxEdges) match {
       case Some(rows) =>
         val nE = rows.length
         val idx = new java.util.HashMap[Long, Integer](nE * 2)
@@ -1105,9 +1110,11 @@ object Graphs {
     * shape measured 66 s at 1.2M edges from boxing alone; this runs
     * the same peel in ~2 s.)
     */
-  private def trussDriver(edges: DataFrame, rows: Array[org.apache.spark.sql.Row],
+  private def trussDriver(canon: DataFrame, rows: Array[org.apache.spark.sql.Row],
                           k: Int, rounds: Int): DataFrame = {
-    val proj = edges.select(col("u"), col("v"))
+    // `canon` is the canonicalEdges projection the rows were
+    // collected from — safe to hand back verbatim when nothing peels.
+    val proj = canon
     val nE = rows.length
     // node ids -> dense ints
     val idx = new java.util.HashMap[Long, Integer](nE * 2)
@@ -1135,7 +1142,7 @@ object Graphs {
         if (alive(i)) out += org.apache.spark.sql.Row(ids(eu(i)), ids(ev(i)))
         i += 1
       }
-      distributed(edges.sparkSession, out.toSeq, proj.schema)
+      distributed(canon.sparkSession, out.toSeq, proj.schema)
     }
   }
 }

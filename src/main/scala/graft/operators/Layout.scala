@@ -33,21 +33,27 @@ object Layout {
     * PREVIOUS session isn't in this session's catalog, so a bare
     * `mode(overwrite).saveAsTable` refuses with
     * LOCATION_ALREADY_EXISTS — the table is dropped from the catalog
-    * AND its stale warehouse directory removed first.
+    * AND its stale warehouse directory removed first. The cleanup
+    * goes through the Hadoop FileSystem resolved from the warehouse
+    * URI, so it works for hdfs:// and s3a:// warehouses, not just
+    * local file:// (a java.io.File delete silently no-ops there and
+    * leaves LOCATION_ALREADY_EXISTS unfixed). The table name is
+    * validated before any path is built from it — a name carrying a
+    * path separator or `..` must never become a recursive delete
+    * target.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(table.nonEmpty && table.forall(c =>
+        c.isLetterOrDigit || c == '_'),
+      s"writeBucketed: table name must be [A-Za-z0-9_]+, got '$table' — " +
+        "it is concatenated into the warehouse path that gets deleted")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = new java.net.URI(spark.sessionState.conf.warehousePath)
-    val loc = new java.io.File(new java.io.File(warehouse.getPath), table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(loc)
-    }
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     df.write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)

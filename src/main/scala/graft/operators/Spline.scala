@@ -29,9 +29,19 @@ package graft.operators
 object Spline {
 
   /** 4 knot positions at 5/35/65/95% of the integer span (Harrell's
-    * recommended placement), exact integer floors. */
-  def knots(xmin: Long, xmax: Long): Array[Long] =
-    Array(5L, 35L, 65L, 95L).map(p => xmin + (xmax - xmin) * p / 100)
+    * recommended placement), exact integer floors. Degenerate spans
+    * fail loudly: integer floors collapse adjacent knots once
+    * xmax−xmin < 4 (e.g. span 3 gives k₂ = k₃, span ≤ 2 gives
+    * k₃ = k₄ and [[basis]] would divide by zero — NaN driver-side,
+    * engine-dependent in the DuckDB mirror). A 4-knot spline on a
+    * sub-4-point grid is meaningless anyway. */
+  def knots(xmin: Long, xmax: Long): Array[Long] = {
+    val ks = Array(5L, 35L, 65L, 95L).map(p => xmin + (xmax - xmin) * p / 100)
+    require(ks(0) < ks(1) && ks(1) < ks(2) && ks(2) < ks(3),
+      s"spline: grid span ${xmax - xmin} too small for 4 distinct knots " +
+        s"(got ${ks.mkString("[", ", ", "]")}) — need xmax - xmin >= 4")
+    ks
+  }
 
   /** Restricted-cubic basis value B_j(x) (j = 0 or 1 selecting knot
     * k₁ or k₂) — fixed double op order, mirrored by [[basisSql]]. */
@@ -56,6 +66,7 @@ object Spline {
     * order with the fixed per-row op order the oracle replays, then
     * [[Ordinal.solve]]. */
   def fit(rows: Seq[(Long, Long)], ks: Array[Long]): Array[Double] = {
+    require(rows.nonEmpty, "spline: empty grid — nothing to fit")
     val a = Array.fill(4)(new Array[Double](4))
     val b = new Array[Double](4)
     rows.foreach { case (xi, yi) =>

@@ -2010,10 +2010,15 @@ object CurationQueries {
     * Chao1 #331 reads cross-sectionally). Types are word TRIGRAMS —
     * the order whose type inventory actually grows (#385's
     * rationale: the unigram vocab saturates in the first decile and
-    * β degenerates to 0). Docs split into ten corpus-order deciles
-    * (one doc-count window); each trigram charges its
-    * FIRST-occurrence decile (one type aggregate + an equi-join
-    * back); cumulative (n_k, V_k) over the 10 decile rows; β is the
+    * β degenerates to 0). Docs split into ten corpus-order chunks by
+    * equal spans of the ingest-ordered doc_id SPACE (r12: rank-free
+    * — one min/max scalar instead of a corpus-wide row_number, which
+    * was a single-task sort of every document; on the dense
+    * sequential ids corpora actually carry the spans ARE the
+    * equal-count deciles, and the growth fit only needs ten ordered
+    * checkpoints, not exact-count ones); each trigram charges its
+    * FIRST-occurrence chunk (one type aggregate + an equi-join
+    * back); cumulative (n_k, V_k) over the 10 chunk rows; β is the
     * log-log regression slope over the checkpoints, micro-ln
     * quantized inputs and one mirrored double out.
     */
@@ -2023,10 +2028,9 @@ object CurationQueries {
       s"""WITH dt AS (SELECT doc_id,
          |    greatest(len(string_split(text, ' ')) - 2, 0) AS ntok
          |  FROM documents),
-         |dc AS (SELECT doc_id, ntok,
-         |    row_number() OVER (ORDER BY doc_id) AS dn,
-         |    count(*) OVER () AS nd FROM dt),
-         |dd AS (SELECT doc_id, ntok, ((dn - 1) * 10) // nd + 1 AS k FROM dc),
+         |bb AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM dt),
+         |dd AS (SELECT doc_id, ntok,
+         |    ((doc_id - mn) * 10) // (mx - mn + 1) + 1 AS k FROM dt, bb),
          |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |tri AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |    for i in range(1, len(w) - 1)]) AS word
@@ -2058,12 +2062,10 @@ object CurationQueries {
     val docs = Tables.documents(s, d)
     val dt = docs.select(col("doc_id"),
       greatest(size(split(col("text"), " ")).cast("long") - 2, lit(0L)).as("ntok"))
-    val dc = dt
-      .withColumn("dn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
-    val dd = dc.select(col("doc_id"), col("ntok"),
-      (Binning.floorDivCol((col("dn") - 1).cast("long") * lit(10L),
-        col("nd").cast("long")) + 1).as("k"))
+    val bb = dt.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val dd = Curation.withStats(dt, bb).select(col("doc_id"), col("ntok"),
+      (Binning.floorDivCol((col("doc_id") - col("mn")) * lit(10L),
+        col("mx") - col("mn") + lit(1L)) + 1).as("k"))
     val tw = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
     val tri = tw

@@ -609,20 +609,32 @@ object OpsQueries {
     * per decile, the cumulative share of positives captured and the
     * lift over random — THE targeting-evaluation artifact next to
     * AUC (#175) and the reliability diagram (#176). Deciles come
-    * from one rank window with full tie pins ((score desc, doc_id));
-    * everything is exact-integer ppm.
+    * from the VALUE-HISTOGRAM shape (r12, replacing the corpus-wide
+    * rank window — an `Exchange SinglePartition` sorting every
+    * document in one task at 10⁹ docs): the corpus collapses to
+    * (score, n_docs, n_pos) once, the only single-partition window
+    * runs over that value-bounded relation, and each whole score
+    * group lands in the decile of its FIRST ranked row (ties share a
+    * decile — the q_rfm ties-together convention; a >10%-of-corpus
+    * score value leaves skipped deciles empty on both engines).
+    * Everything is exact-integer ppm.
     */
   val qGains = GateQuery.sql(
     "q_gains",
     """WITH s AS (SELECT doc_id, n_chars,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
-      |r AS (SELECT pos,
-      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
-      |    count(*) OVER () AS n, sum(pos) OVER () AS tot_pos
-      |  FROM s),
-      |d AS (SELECT ((rk - 1) * 10) // n AS decile, any_value(n) AS n, any_value(tot_pos) AS tot_pos,
-      |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos
-      |  FROM r GROUP BY 1),
+      |pv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS nd_v,
+      |    CAST(sum(pos) AS BIGINT) AS np_v
+      |  FROM s GROUP BY 1),
+      |cw AS (SELECT nd_v, np_v,
+      |    sum(nd_v) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nd_v AS cum_before,
+      |    sum(nd_v) OVER () AS n, sum(np_v) OVER () AS tot_pos
+      |  FROM pv),
+      |d AS (SELECT (cum_before * 10) // n AS decile, any_value(n) AS n,
+      |    any_value(tot_pos) AS tot_pos,
+      |    CAST(sum(nd_v) AS BIGINT) AS n_docs, CAST(sum(np_v) AS BIGINT) AS n_pos
+      |  FROM cw GROUP BY 1),
       |c AS (SELECT decile, n, tot_pos, n_docs, n_pos,
       |    sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
       |    sum(n_docs) OVER (ORDER BY decile) AS cum_docs
@@ -633,13 +645,17 @@ object OpsQueries {
       |FROM c ORDER BY decile""".stripMargin) { (s, d) =>
     val sdf = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
       when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-    val r = sdf
-      .withColumn("rk", row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("tot_pos", sum(col("pos")).over(Window.partitionBy()))
-    val dd = r.groupBy(Binning.floorDivCol((col("rk") - 1) * 10, col("n")).as("decile"))
+    val pv = sdf.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).cast("long").as("nd_v"), sum(col("pos")).cast("long").as("np_v"))
+    val wd = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = pv
+      .withColumn("cum_before", sum(col("nd_v")).over(wd) - col("nd_v"))
+      .withColumn("n", sum(col("nd_v")).over(Window.partitionBy()))
+      .withColumn("tot_pos", sum(col("np_v")).over(Window.partitionBy()))
+    val dd = cw.groupBy(Binning.floorDivCol(col("cum_before") * 10, col("n")).as("decile"))
       .agg(first(col("n")).as("n"), first(col("tot_pos")).as("tot_pos"),
-        count(lit(1)).cast("long").as("n_docs"), sum(col("pos")).cast("long").as("n_pos"))
+        sum(col("nd_v")).cast("long").as("n_docs"), sum(col("np_v")).cast("long").as("n_pos"))
     val c = dd
       .withColumn("cum_pos", sum(col("n_pos")).over(Window.orderBy(col("decile"))))
       .withColumn("cum_docs", sum(col("n_docs")).over(Window.orderBy(col("decile"))))
@@ -734,9 +750,14 @@ object OpsQueries {
     * gains curve looks great). Treatment = assignment parity
     * (user_id%2, the #230/#296 arm derivation), outcome = converted,
     * score = view-activity proxy. Shape: users collapse ONCE (the
-    * only corpus-scale shuffle), ranking window + decile cumsums run
-    * over the user relation; Q is an exact milli floor division of
-    * cumulative integer counts per decile row.
+    * only corpus-scale shuffle), then the VALUE-HISTOGRAM decile
+    * derivation (r12, replacing the corpus-wide rank window — a
+    * single-task sort of every user at 10⁹ users): per-arm counts
+    * collapse to the (score)-bounded relation, the only
+    * single-partition window runs over that, and each whole score
+    * group lands in the decile of its first ranked row (ties share a
+    * decile, the q_rfm/q_gains convention); Q is an exact milli
+    * floor division of cumulative integer counts per decile row.
     */
   val qQini = GateQuery.sql(
     "q_qini",
@@ -744,16 +765,24 @@ object OpsQueries {
        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS score
        |  FROM $E e GROUP BY user_id),
-       |r AS (SELECT user_id % 2 AS tr, conv, score,
-       |    row_number() OVER (ORDER BY score DESC, user_id) AS rk,
-       |    count(*) OVER () AS n
-       |  FROM u),
-       |d AS (SELECT ((rk - 1) * 10) // n AS decile,
-       |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS n_t,
-       |    CAST(count(*) FILTER (tr = 0) AS BIGINT) AS n_c,
-       |    CAST(sum(conv) FILTER (tr = 1) AS BIGINT) AS x_t,
-       |    CAST(sum(conv) FILTER (tr = 0) AS BIGINT) AS x_c
-       |  FROM r GROUP BY 1),
+       |r0 AS (SELECT user_id % 2 AS tr, conv, score FROM u),
+       |pv AS (SELECT score AS v, CAST(count(*) AS BIGINT) AS nv,
+       |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS nt_v,
+       |    CAST(count(*) FILTER (tr = 0) AS BIGINT) AS nc_v,
+       |    CAST(sum(conv) FILTER (tr = 1) AS BIGINT) AS xt_v,
+       |    CAST(sum(conv) FILTER (tr = 0) AS BIGINT) AS xc_v
+       |  FROM r0 GROUP BY 1),
+       |cw AS (SELECT nt_v, nc_v, xt_v, xc_v,
+       |    sum(nv) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv AS cum_before,
+       |    sum(nv) OVER () AS n
+       |  FROM pv),
+       |d AS (SELECT (cum_before * 10) // n AS decile,
+       |    CAST(sum(nt_v) AS BIGINT) AS n_t,
+       |    CAST(sum(nc_v) AS BIGINT) AS n_c,
+       |    CAST(sum(xt_v) AS BIGINT) AS x_t,
+       |    CAST(sum(xc_v) AS BIGINT) AS x_c
+       |  FROM cw GROUP BY 1),
        |c AS (SELECT decile, n_t, n_c, x_t, x_c,
        |    CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS cn_t,
        |    CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cn_c,
@@ -769,15 +798,23 @@ object OpsQueries {
     val u = ev(s, d).groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
         count(when(col("event_type") === "view", 1)).cast("long").as("score"))
-    val r = u
-      .select(pmod(col("user_id"), lit(2L)).as("tr"), col("conv"), col("score"),
-        row_number().over(Window.orderBy(col("score").desc, col("user_id"))).as("rk"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val dd = r.groupBy(Binning.floorDivCol((col("rk") - 1) * 10, col("n")).as("decile"))
-      .agg(count(when(col("tr") === 1, 1)).cast("long").as("n_t"),
-        count(when(col("tr") === 0, 1)).cast("long").as("n_c"),
-        sum(when(col("tr") === 1, col("conv")).otherwise(0L)).cast("long").as("x_t"),
-        sum(when(col("tr") === 0, col("conv")).otherwise(0L)).cast("long").as("x_c"))
+    val r0 = u.select(pmod(col("user_id"), lit(2L)).as("tr"), col("conv"), col("score"))
+    val pv = r0.groupBy(col("score").as("v"))
+      .agg(count(lit(1)).cast("long").as("nv"),
+        count(when(col("tr") === 1, 1)).cast("long").as("nt_v"),
+        count(when(col("tr") === 0, 1)).cast("long").as("nc_v"),
+        sum(when(col("tr") === 1, col("conv")).otherwise(0L)).cast("long").as("xt_v"),
+        sum(when(col("tr") === 0, col("conv")).otherwise(0L)).cast("long").as("xc_v"))
+    val wd = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = pv
+      .withColumn("cum_before", sum(col("nv")).over(wd) - col("nv"))
+      .withColumn("n", sum(col("nv")).over(Window.partitionBy()))
+    val dd = cw.groupBy(Binning.floorDivCol(col("cum_before") * 10, col("n")).as("decile"))
+      .agg(sum(col("nt_v")).cast("long").as("n_t"),
+        sum(col("nc_v")).cast("long").as("n_c"),
+        sum(col("xt_v")).cast("long").as("x_t"),
+        sum(col("xc_v")).cast("long").as("x_c"))
     val wc = Window.orderBy(col("decile"))
     val c = dd
       .withColumn("cn_t", sum(col("n_t")).over(wc).cast("long"))

@@ -3995,6 +3995,66 @@ object StatsQueries {
       .orderedSmall(col("n_exp_conv"))
   }
 
+  /** Decile boundaries for the stratum derivation shared by
+    * q_ipw_ate / q_aipw_ate. */
+  private val DecilePs: Seq[Int] = 10 to 90 by 10
+
+  /** Decile stratum (1–10) per row of `df` from VALUE-HISTOGRAM
+    * thresholds over long column `v` — the q_rfm recipe replacing a
+    * corpus-wide `ntile(10)` (an `Exchange SinglePartition` sorting
+    * the PER-ROW relation in one task — the driver-bottleneck class
+    * at 10⁹ users). Here the only single-partition window runs over
+    * the (value, count)-COLLAPSED relation, bounded by the value
+    * domain, never the corpus; thresholds pivot to ONE row that
+    * attaches back as a broadcast scalar. Ties share a stratum
+    * (strict `>` crossing, scoring LOW — the q_rfm convention), so
+    * strata are activity LEVELS rather than ntile's arbitrary
+    * user_id tie splits; a value holding >10% of rows leaves the
+    * skipped deciles empty, which the positivity handling downstream
+    * already tolerates. Mirrored by [[decileThrSql]] +
+    * [[decileStratumSqlExpr]].
+    */
+  private def decileStratum(df: DataFrame, v: String): DataFrame = {
+    val pv = df.groupBy(col(v)).agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = pv
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("p", explode(lit(DecilePs.toArray)))
+      .filter(col("cum") * 100 >= col("tot") * col("p"))
+      .groupBy(col("p")).agg(min(col(v)).as("t"))
+    val thrCols = DecilePs.map(p => min(when(col("p") === p, col("t"))).as(s"_t$p"))
+    val thr = th.agg(thrCols.head, thrCols.tail: _*)
+    val stratum = DecilePs
+      .map(p => when(col(v) > col(s"_t$p"), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    Curation.withStats(df, thr)
+      .withColumn("stratum", stratum.cast("long"))
+      .drop(DecilePs.map(p => s"_t$p"): _*)
+  }
+
+  /** DuckDB mirror of [[decileStratum]]'s threshold derivation:
+    * emits CTEs pv/cw/th/thr over `uTbl.v`; compose with
+    * [[decileStratumSqlExpr]] in a `FROM u, thr` select. */
+  private def decileThrSql(uTbl: String, v: String): String =
+    s"""pv AS (SELECT $v AS v, CAST(count(*) AS BIGINT) AS c FROM $uTbl GROUP BY 1),
+       |cw AS (SELECT v, sum(c) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER () AS tot FROM pv),
+       |th AS (SELECT p, min(v) AS t FROM cw,
+       |  (SELECT unnest([${DecilePs.mkString(", ")}]) AS p) pp
+       |  WHERE cum * 100 >= tot * p GROUP BY 1),
+       |thr AS (SELECT ${DecilePs.map(p =>
+             s"min(CASE WHEN p = $p THEN t END) AS t$p").mkString(", ")}
+       |  FROM th)""".stripMargin
+
+  /** DuckDB mirror of [[decileStratum]]'s per-row stratum expression
+    * (expects thr's t10..t90 in scope). */
+  private def decileStratumSqlExpr(v: String): String =
+    "CAST(1 + " + DecilePs.map(p =>
+      s"(CASE WHEN $v > t$p THEN 1 ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
+
   /** Stratified-propensity IPW average treatment effect (#431, r10;
     * Rosenbaum & Rubin 1983 / Hájek form, stratum-constant
     * propensities): conversion ATE of the even/odd "treatment" with
@@ -4007,7 +4067,9 @@ object StatsQueries {
     * ATE one more signed floor over N. Strata missing a treatment
     * arm are skipped on both sides (no within-stratum counterfactual
     * — the positivity violation every IPW implementation must
-    * handle). One user aggregate + one NTILE + two small aggregates.
+    * handle). One user aggregate + the [[decileStratum]]
+    * value-histogram stratifier (no corpus-wide sort — r12, replacing
+    * the single-task ntile) + two small aggregates.
     */
   val qIpwAte = GateQuery.sql(
     "q_ipw_ate",
@@ -4015,9 +4077,10 @@ object StatsQueries {
        |    CAST(count(*) AS BIGINT) AS n_ev,
        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
        |  FROM $E e GROUP BY user_id),
+       |${decileThrSql("u", "n_ev")},
        |s AS (SELECT user_id, conv, user_id % 2 AS tr,
-       |    ntile(10) OVER (ORDER BY n_ev, user_id) AS stratum
-       |  FROM u),
+       |    ${decileStratumSqlExpr("n_ev")} AS stratum
+       |  FROM u, thr),
        |g AS (SELECT stratum,
        |    CAST(count(*) AS BIGINT) AS n_s,
        |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS tn,
@@ -4045,9 +4108,8 @@ object StatsQueries {
     val u = ev(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("n_ev"),
         max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
-    val st = u.select(col("user_id"), col("conv"),
-      pmod(col("user_id"), lit(2L)).as("tr"),
-      ntile(10).over(Window.orderBy(col("n_ev"), col("user_id"))).as("stratum"))
+    val st = decileStratum(u, "n_ev").select(col("user_id"), col("conv"),
+      pmod(col("user_id"), lit(2L)).as("tr"), col("stratum"))
     val g = st.groupBy(col("stratum")).agg(
       count(lit(1)).cast("long").as("n_s"),
       count(when(col("tr") === 1, 1)).cast("long").as("tn"),
@@ -4090,8 +4152,9 @@ object StatsQueries {
     * (n·den)); augmentation ratios floor per user with the stratum
     * counts as exact integers; the final ATE is one more signed
     * floor. Positivity-violating strata (an arm empty) are excluded
-    * on both engines, as in #431. Shape: one user collapse, one
-    * NTILE, ONE single-row conditional aggregate for both
+    * on both engines, as in #431. Shape: one user collapse, the
+    * [[decileStratum]] value-histogram stratifier (no corpus-wide
+    * sort — r12), ONE single-row conditional aggregate for both
     * regressions, a 10-row broadcast join, one global sum —
     * everything else is per-row expressions. (decimal(38)/HUGEINT
     * headroom: n²·x²·1e6 — ample at gate scale, ~1e9-user ceiling
@@ -4122,8 +4185,9 @@ object StatsQueries {
       s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
          |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
          |  FROM $E e GROUP BY user_id),
+         |${decileThrSql("u", "x")},
          |s AS (SELECT user_id, x, y, user_id % 2 AS tr,
-         |    ntile(10) OVER (ORDER BY x, user_id) AS stratum FROM u),
+         |    ${decileStratumSqlExpr("x")} AS stratum FROM u, thr),
          |r AS (SELECT
          |    ${armSql("tr = 1", "t")},
          |    ${armSql("tr = 0", "c")}
@@ -4158,9 +4222,8 @@ object StatsQueries {
       val u = ev(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("x"),
           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
-      val st = u.select(col("user_id"), col("x"), col("y"),
-        pmod(col("user_id"), lit(2L)).as("tr"),
-        ntile(10).over(Window.orderBy(col("x"), col("user_id"))).as("stratum"))
+      val st = decileStratum(u, "x").select(col("user_id"), col("x"), col("y"),
+        pmod(col("user_id"), lit(2L)).as("tr"), col("stratum"))
       def arm(t: Int, sfx: String): Seq[Column] = {
         def f(c: Column) = when(col("tr") === t, c)
         Seq(count(f(lit(1))).cast("decimal(38,0)").as(s"n$sfx"),
@@ -4249,6 +4312,7 @@ object StatsQueries {
       .groupBy(Binning.floorDiv(col("xs"), 3600L).as("x"))
       .agg(count(lit(1)).cast("long").as("y"))
     val rows = g.orderBy(col("x")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    require(rows.nonEmpty, "q_spline_rate: empty events relation — no hour grid to fit")
     val xmin = rows.head._1
     val xmax = rows.last._1
     val ks = Spline.knots(xmin, xmax)

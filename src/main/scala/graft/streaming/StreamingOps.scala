@@ -962,6 +962,12 @@ object StreamingOps {
   }
 
   final case class QtePoint(user: Long, ts: java.sql.Timestamp, cents: Long)
+  /** [[qteStream]] pre-reduce record: a surviving reservoir candidate
+    * plus (on one record per partition) the count of same-partition
+    * points the pre-reduce dropped per arm — so the global state's
+    * nSeen totals stay exact without shipping the dropped points. */
+  final case class QtePre(user: Long, ts: java.sql.Timestamp, cents: Long,
+                          dropT: Long, dropC: Long)
   final case class QteState(nT: Long, nC: Long,
                             resT: Seq[(Long, Long, Long)],
                             resC: Seq[(Long, Long, Long)])
@@ -981,8 +987,20 @@ object StreamingOps {
     * with the batch gate's exact ceil-rank quantile rule
     * (rk = (n·q + 99) div 100). Emissions start once BOTH arms hold
     * data. The state is a single global key (the estimand is
-    * inherently cross-arm) of O(cap) longs — a control-plane monitor,
-    * not a data-plane shuffle; dead streams evict via [[IdleEvict]].
+    * inherently cross-arm) of O(cap) longs, and the data plane is
+    * guarded by a PER-PARTITION PRE-REDUCE (r12): bottom-k by a fixed
+    * priority is merge-associative, so each source partition first
+    * reduces to ≤cap candidates per arm (plus two drop counters) and
+    * only partitions×(2·cap) rows ever reach the single stateful
+    * task, whatever the raw micro-batch volume. The FINAL reservoir,
+    * counts and estimate are bit-identical to the unreduced loop at
+    * any split (a dropped point is beaten by ≥cap same-partition
+    * entries, so it can never enter the global bottom-cap); under
+    * cap-per-partition batches nothing is dropped and the per-point
+    * emission cadence is bit-identical too, while over-cap batches
+    * emit once per SURVIVING candidate (the monitor samples — the
+    * interleaved emissions a raw-point loop would add carry no final
+    * information). Dead streams evict via [[IdleEvict]].
     */
   def qteStream(points: Dataset[QtePoint], cap: Int = 64,
                 idleEvict: Option[IdleEvict] = None): Dataset[QteOut] = {
@@ -997,16 +1015,51 @@ object StreamingOps {
       val rk = (vals.length * q + 99) / 100
       vals((rk - 1).toInt)
     }
-    idleEvict.map(e => points.withWatermark("ts", e.watermarkDelay))
-      .getOrElse(points)
+    def entryOf(p: QtePoint): (Long, Long, Long) =
+      (prio(p.user, p.ts.getTime, p.cents), p.ts.getTime, p.cents)
+    // per-partition pre-reduce: index-based so duplicate points (same
+    // user/ts/cents) survive independently, exactly as the stateful
+    // loop would insert them
+    val pre = points.mapPartitions { it =>
+      val buf = it.toArray
+      if (buf.isEmpty) Iterator.empty
+      else {
+        val keep = new Array[Boolean](buf.length)
+        def mark(idxs: Array[Int]): Long =
+          if (idxs.length <= cap) { idxs.foreach(keep(_) = true); 0L }
+          else {
+            idxs.sortBy(i => entryOf(buf(i))).take(cap).foreach(keep(_) = true)
+            (idxs.length - cap).toLong
+          }
+        val (ti, ci) = buf.indices.toArray.partition(i => buf(i).user % 2 == 1)
+        val dropT = mark(ti)
+        val dropC = mark(ci)
+        var first = true
+        buf.indices.iterator.filter(i => keep(i)).map { i =>
+          val p = buf(i)
+          val r = QtePre(p.user, p.ts, p.cents,
+            if (first) dropT else 0L, if (first) dropC else 0L)
+          first = false
+          r
+        }
+      }
+    }
+    idleEvict.map(e => pre.withWatermark("ts", e.watermarkDelay))
+      .getOrElse(pre)
       .groupByKey(_ => 0L)
       .flatMapGroupsWithState[QteState, QteOut](
         OutputMode.Update(), timeoutOf(idleEvict)) {
-        (_: Long, rows: Iterator[QtePoint], state: GroupState[QteState]) =>
+        (_: Long, rows: Iterator[QtePre], state: GroupState[QteState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var st = state.getOption.getOrElse(QteState(0L, 0L, Seq.empty, Seq.empty))
-            val pts = rows.toSeq.sortBy(p => (p.ts.getTime, p.cents, p.user))
+            val prs = rows.toSeq
+            // fold the batch's pre-reduce drop counts in up front so
+            // nSeen totals stay exact (zero when under cap/partition)
+            st = st.copy(nT = st.nT + prs.map(_.dropT).sum,
+              nC = st.nC + prs.map(_.dropC).sum)
+            val pts = prs.map(r => QtePoint(r.user, r.ts, r.cents))
+              .sortBy(p => (p.ts.getTime, p.cents, p.user))
             val out = pts.flatMap { p =>
               val t = p.ts.getTime
               val entry = (prio(p.user, t, p.cents), t, p.cents)

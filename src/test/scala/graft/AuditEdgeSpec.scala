@@ -271,6 +271,22 @@ class AuditEdgeSpec extends SparkSpec {
     }
   }
 
+  test("k-truss: non-canonical input canonicalizes identically on both paths (r12 ADVICE)") {
+    // duplicated, reversed and self-loop rows — previously the driver
+    // path threw while the distributed path silently canonicalized,
+    // so behavior flipped on input SIZE; now both canonicalize first
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val messy = edges(
+      (k5 ++ k5.map(_.swap) ++ Seq((3L, 3L), (5L, 20L), (20L, 5L))): _*)
+    for (bound <- Seq(2000000L, 0L)) {
+      val t4 = Graphs.trussEdges(messy, 4, driverMaxEdges = bound)
+      assert(t4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        k5.toSet, s"bound=$bound")
+      assert(Graphs.trussSizes(messy, Seq(3, 6), driverMaxEdges = bound) ===
+        Seq((3, 5L, 10L), (6, 0L, 0L)), s"bound=$bound")
+    }
+  }
+
   test("coreSizes: incremental multi-k peel matches per-k kCore (both paths)") {
     // same K4+tail fixture: 2-core = K4 + the 4–5 edge gone (tail
     // cascades), 3-core = K4 exactly, 4-core empty

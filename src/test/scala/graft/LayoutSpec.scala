@@ -32,6 +32,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed validates the table name before touching the warehouse (r12 ADVICE)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // names that would concatenate into a deletable path must be
+    // rejected up front — never become a recursive-delete target
+    for (bad <- Seq("../../etc", "a/b", "a b", "", "x;drop")) {
+      val e = intercept[IllegalArgumentException] {
+        Layout.writeBucketed(df, bad, "k", 2)
+      }
+      assert(e.getMessage.contains("table name"), s"name='$bad': ${e.getMessage}")
+    }
+    // idempotent over a stale warehouse dir a previous session left
+    // behind (not in this catalog): plant one, then write — the
+    // Hadoop-FS cleanup must remove it instead of
+    // LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS lay_guard")
+    val wh = new org.apache.hadoop.fs.Path(spark.sessionState.conf.warehousePath)
+    val loc = new org.apache.hadoop.fs.Path(wh, "lay_guard")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc, "stale"))
+    Layout.writeBucketed(df, "lay_guard", "k", 2)
+    assert(spark.table("lay_guard").count() === 1L)
+    spark.sql("DROP TABLE IF EXISTS lay_guard")
+  }
+
   test("partitioned write prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
     val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "p")

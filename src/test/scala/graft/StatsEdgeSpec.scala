@@ -610,4 +610,21 @@ class StatsEdgeSpec extends SparkSpec {
     val d2 = yhat(200.0) - 2 * yhat(201.0) + yhat(202.0)
     assert(math.abs(d2) < 1e-6, s"tail curvature $d2")
   }
+
+  test("spline: degenerate spans and empty grids fail loudly (r12 ADVICE)") {
+    import graft.operators.Spline
+    // span < 4 collapses integer-floored knots (span ≤ 2 ⇒ k3 = k4 ⇒
+    // basis() would divide by zero) — knots() must refuse
+    for (span <- Seq(0L, 1L, 2L, 3L)) {
+      val e = intercept[IllegalArgumentException] { Spline.knots(100L, 100L + span) }
+      assert(e.getMessage.contains("distinct knots"), s"span=$span: ${e.getMessage}")
+    }
+    // smallest legal span yields 4 distinct knots
+    assert(Spline.knots(0L, 4L).distinct.length === 4)
+    // empty grid refuses instead of NPE/NaN
+    val e2 = intercept[IllegalArgumentException] {
+      Spline.fit(Seq.empty, Spline.knots(0L, 100L))
+    }
+    assert(e2.getMessage.contains("empty grid"))
+  }
 }

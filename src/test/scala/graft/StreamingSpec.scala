@@ -1138,4 +1138,46 @@ class StreamingSpec extends SparkSpec {
     assert(a.qte25Cents === b.qte25Cents && a.qte50Cents === b.qte50Cents &&
       a.qte75Cents === b.qte75Cents, s"split-dependent: $a vs $b")
   }
+
+  test("streaming QTE: per-partition pre-reduce keeps exact counts + reservoir (r12)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{QteOut, QtePoint}
+    val pts = (0 until 30).map(i =>
+      (ts(i * 10), i.toLong, ((i * 71) % 23 * 10 + 10).toLong))
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val ds = input.toDF().toDF("ts", "user", "cents")
+      .select(col("user"), col("ts"), col("cents")).as[QtePoint]
+      .repartition(1) // one over-cap partition: cap=3 forces real drops
+    val out = StreamingOps.qteStream(ds, cap = 3)
+    val q = out.writeStream.format("memory").queryName("qtepre")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(pts: _*)
+      q.processAllAvailable()
+      val rows = spark.table("qtepre").as[QteOut].collect()
+      // over-cap batches emit once per SURVIVING candidate (≤ 2·cap),
+      // not per raw point — the pre-reduce path is actually engaged
+      assert(rows.nonEmpty && rows.length <= 6, s"${rows.length} emissions")
+      val last = rows.maxBy(_.ts.getTime)
+      // drop counters keep nSeen exact: 15 odd users, 15 even
+      assert(last.nSeenTreated === 15L && last.nSeenControl === 15L)
+      assert(last.nResTreated === 3L && last.nResControl === 3L)
+      // final reservoir = bottom-cap by the fixed md5 priority per arm
+      // over ALL raw points — exactly what the unreduced loop retains
+      def prio(user: Long, tsMs: Long, c: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"qte:$user:$tsMs:$c".getBytes("UTF-8"))
+        java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      def quant(vals: Seq[Long], qq: Long): Long =
+        vals(((vals.length * qq + 99) / 100 - 1).toInt)
+      def res(arm: Long): Seq[Long] = pts.filter(_._2 % 2 == arm)
+        .map(p => (prio(p._2, p._1.getTime, p._3), p._1.getTime, p._3))
+        .sorted.take(3).map(_._3).sorted
+      val (tv, cv) = (res(1L), res(0L))
+      assert(last.qte25Cents === quant(tv, 25) - quant(cv, 25), s"$last")
+      assert(last.qte50Cents === quant(tv, 50) - quant(cv, 50), s"$last")
+      assert(last.qte75Cents === quant(tv, 75) - quant(cv, 75), s"$last")
+    } finally q.stop()
+  }
 }

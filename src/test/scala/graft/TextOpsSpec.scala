@@ -278,4 +278,35 @@ class TextOpsSpec extends SparkSpec {
     assert(slow === fast)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }
+
+  test("sourceOverlap: empty corpus returns the empty 6-col matrix (r12 ADVICE)") {
+    import graft.operators.Dedup
+    val d = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    // zero distinct sources previously crashed the bitmask branch on
+    // aggCols.head; both paths must return an empty, correctly-typed DF
+    val fast = Dedup.sourceOverlap(d, col("source"), col("text"), 3)
+    assert(fast.columns.toSeq ===
+      Seq("src_a", "src_b", "inter", "m_a", "m_b", "containment_ppm"))
+    assert(fast.count() === 0L)
+    val slow = Dedup.sourceOverlap(d, col("source"), col("text"), 3,
+      maxMaskSources = 0)
+    assert(slow.count() === 0L)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
+  test("bloomContamination: sketch size guard fails fast past the ceiling") {
+    import graft.operators.Dedup
+    val eval_ = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val corpus = Seq((2L, "a b c x y z")).toDF("id", "text")
+    // a 4-byte ceiling is unsatisfiable for any key count: the guard
+    // must fire BEFORE the sketch builds, naming the escape hatch
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomContamination(corpus, eval_, col("id"), col("text"), k = 3,
+        maxSketchBytes = 4L)
+    }
+    assert(e.getMessage.contains("sc.broadcast"))
+    // generous ceiling unchanged semantics
+    val ok = Dedup.bloomContamination(corpus, eval_, col("id"), col("text"), k = 3)
+    assert(ok.columns.toSeq === Seq("doc_id", "n_shared"))
+  }
 }
