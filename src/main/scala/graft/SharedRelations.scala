@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Session-scoped materialized graph relations shared by the graph
-  * gates (r9 verdict item 2).
+/** Session-scoped materialized relations shared across gates: the
+  * derived graph edges the graph gates start from (r9 verdict item
+  * 2) and the tokenized corpus + n-gram count tables the LM-family
+  * gates train their model rungs from (r12 verdict item 4).
   *
   * The six graph gates (triangles, adamic_adar, assortativity, kcore,
   * bfs_hops, pagerank) all start from one of two derived edge
@@ -64,4 +66,110 @@ object SharedRelations {
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
     })
+
+  // ------------------------------------------------------------------
+  // LM-family shared model inputs (r12 verdict item 4). The four LM
+  // gates (q_lm_bigram, q_lm_kn, q_lm_trigram, q_moore_lewis_bi) each
+  // re-tokenized the corpus and re-counted the same n-gram relations
+  // to build their model tables — 2-4 corpus-scale shuffles per gate
+  // on shared inputs. Production trains LM count tables ONCE next to
+  // the corpus; these snapshots are that: the tokenized corpus and
+  // the (n-gram, count) relations materialize per (dir) and every
+  // rung reads the columnar snapshot. Counts are vocab/n-gram-domain
+  // bounded (Brants pruning happens downstream, in the model
+  // builders, so every consumer sees the FULL mass normalizers).
+  // ------------------------------------------------------------------
+
+  /** Tokenized documents (doc_id, lang, source, w: array<string>) —
+    * the parse every LM-family gate starts from. */
+  def docTokens(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"dtok:$d", {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+    })
+
+  /** Bigram instances exploded from a tokenized relation — map-side
+    * (no shuffle), shared spelling for model counts and scoring. */
+  def bigramInstances(tw: DataFrame, keep: String*): DataFrame =
+    tw.filter(size(col("w")) >= 2)
+      .select(keep.map(col) ++ Seq(col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 1)).as(Seq("p", "w1"))): _*)
+      .select(keep.map(col) ++ Seq(col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2")): _*)
+
+  /** Trigram instances exploded from a tokenized relation. */
+  def trigramInstances(tw: DataFrame, keep: String*): DataFrame =
+    tw.filter(size(col("w")) >= 3)
+      .select(keep.map(col) ++ Seq(col("w"),
+        posexplode(slice(col("w"), lit(1), size(col("w")) - 2)).as(Seq("p", "w1"))): _*)
+      .select(keep.map(col) ++ Seq(col("w1"),
+        element_at(col("w"), col("p") + 2).as("w2"),
+        element_at(col("w"), col("p") + 3).as("w3")): _*)
+
+  /** Bigram counts WITH the predecessor normalizer attached:
+    * (w1, w2, c, cw1) — storing cw1 in the snapshot makes every
+    * model-table derivation a pure scan + project (no per-gate
+    * groupBy + self-join, which billed two extra AQE stage jobs per
+    * rung at the bench point). */
+  private def bigramCountsNorm(inst: DataFrame): DataFrame = {
+    val c = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    c.join(c.groupBy(col("w1")).agg(sum(col("c")).cast("long").as("cw1")), "w1")
+      .select(col("w1"), col("w2"), col("c"), col("cw1"))
+  }
+
+  /** Unigram counts with the smoothing scalars attached:
+    * (word, c, n, v) — n = Σc, v = |vocab|, constant per row. */
+  private def unigramCountsNorm(toks: DataFrame): DataFrame = {
+    val ref = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    graft.operators.Curation.withStats(ref,
+      ref.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v")))
+  }
+
+  /** (w1, w2, c, cw1) bigram counts over the `lang = 'en'` slice. */
+  def enBigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"enbg:$d",
+      bigramCountsNorm(bigramInstances(docTokens(s, d).filter(col("lang") === "en"))))
+
+  /** (w1, cw1, n1p) per-predecessor stats of the en bigram relation
+    * (n1p = distinct successors — the Kneser–Ney discount weight). */
+  def enBigramW1(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"enbgw1:$d", {
+      enBigramCounts(s, d).groupBy(col("w1")).agg(
+        sum(col("c")).cast("long").as("cw1"), count(lit(1)).as("n1p"))
+    })
+
+  /** (w2, n1m) per-successor continuation counts (Kneser–Ney
+    * Pcont numerator: distinct predecessors). */
+  def enBigramW2(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"enbgw2:$d", {
+      enBigramCounts(s, d).groupBy(col("w2")).agg(count(lit(1)).as("n1m"))
+    })
+
+  /** (w1, w2, w3, c3, c12) trigram counts over the `lang = 'en'`
+    * slice, predecessor-pair normalizer attached. */
+  def enTrigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"entg:$d", {
+      val c3 = trigramInstances(docTokens(s, d).filter(col("lang") === "en"))
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+      c3.join(c3.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("c3")).cast("long").as("c12")), Seq("w1", "w2"))
+        .select(col("w1"), col("w2"), col("w3"), col("c3"), col("c12"))
+    })
+
+  /** (word, c, n, v) unigram counts over the `lang = 'en'` slice. */
+  def enUnigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"enug:$d",
+      unigramCountsNorm(docTokens(s, d).filter(col("lang") === "en")
+        .select(explode(col("w")).as("word"))))
+
+  /** (w1, w2, c, cw1) bigram counts over the WHOLE corpus (the
+    * Moore–Lewis general-domain model side). */
+  def allBigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"albg:$d",
+      bigramCountsNorm(bigramInstances(docTokens(s, d))))
+
+  /** (word, c, n, v) unigram counts over the WHOLE corpus. */
+  def allUnigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"alug:$d",
+      unigramCountsNorm(docTokens(s, d).select(explode(col("w")).as("word"))))
 }

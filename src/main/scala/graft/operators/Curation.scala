@@ -290,16 +290,31 @@ object Curation {
     * freed by the harness post-action like every gate-lifetime cache.
     */
   def unigramModel(refToks: DataFrame, scale: Double = 1.0,
-                   topV: Option[Int] = None): (DataFrame, DataFrame) = {
-    val ref0 = refToks.groupBy(col("word")).agg(count(lit(1)).as("c")).persist()
-    val st = ref0.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
+                   topV: Option[Int] = None): (DataFrame, DataFrame) =
+    unigramModelFromCounts(
+      refToks.groupBy(col("word")).agg(count(lit(1)).as("c")).persist(),
+      scale, topV)
+
+  /** [[unigramModel]] over a pre-counted (word, c[, n, v]) vocabulary
+    * table — the entry point for a count relation materialized ONCE
+    * per session ([[graft.SharedRelations]]): the corpus never
+    * re-scans, every rung reads the snapshot. Snapshot-resident
+    * smoothing scalars (n, v) save the stats aggregate + scalar
+    * attach per gate. Values identical to counting inline. */
+  def unigramModelFromCounts(ref0: DataFrame, scale: Double = 1.0,
+                             topV: Option[Int] = None): (DataFrame, DataFrame) = {
+    val hasStats = ref0.columns.contains("n") && ref0.columns.contains("v")
+    val st =
+      if (hasStats)
+        ref0.agg(max(col("n")).cast("long").as("n"), max(col("v")).as("v"))
+      else ref0.agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("v"))
     val ref = topV match {
       case Some(k) => ref0.orderBy(col("c").desc, col("word")).limit(k)
       case None => ref0
     }
-    val lp = withStats(ref, st)
-      .select(col("word"),
-        microLn(lit(scale) * (col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
+    val lp0 = if (hasStats) ref else withStats(ref, st)
+    val lp = lp0.select(col("word"),
+      microLn(lit(scale) * (col("c") + lit(1.0)) / (col("n") + col("v"))).as("q"))
     val oov = st.select(
       microLn(lit(scale) * lit(1.0) / (col("n") + col("v"))).as("oovq"))
     (lp, oov)
@@ -321,13 +336,23 @@ object Curation {
     * billions of singleton trigrams and minCount 2–5 removes most of
     * them (Brants et al. 2007 §3).
     */
-  def trigramLogProbs(refTrigrams: DataFrame, minCount: Long = 1L): DataFrame = {
+  def trigramLogProbs(refTrigrams: DataFrame, minCount: Long = 1L): DataFrame =
     // count table cached: both the normalizer aggregate and the model
     // join read it, so the corpus-scale count runs once (model-sized)
-    val c3 = refTrigrams.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3")).persist()
-    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).cast("long").as("c12"))
-    c3.filter(col("c3") >= minCount).join(c12, Seq("w1", "w2"))
+    trigramLogProbsFromCounts(
+      refTrigrams.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")).persist(), minCount)
+
+  /** [[trigramLogProbs]] over a pre-counted (w1, w2, w3, c3[, c12])
+    * table — for counts materialized once per session
+    * ([[graft.SharedRelations]]); a snapshot-resident c12 makes the
+    * model a pure scan + project. Identical values. */
+  def trigramLogProbsFromCounts(c3: DataFrame, minCount: Long = 1L): DataFrame = {
+    val normed =
+      if (c3.columns.contains("c12")) c3
+      else c3.join(c3.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c3")).cast("long").as("c12")), Seq("w1", "w2"))
+    normed.filter(col("c3") >= minCount)
       .select(col("w1"), col("w2"), col("w3"), microLn(col("c3") / col("c12")).as("qt"))
   }
 
@@ -347,12 +372,24 @@ object Curation {
     * `refBigrams` is one row per bigram INSTANCE with columns w1, w2.
     */
   def bigramLogProbs(refBigrams: DataFrame, scale: Double = 1.0,
-                     minCount: Long = 1L): DataFrame = {
+                     minCount: Long = 1L): DataFrame =
     // count table cached — see trigramLogProbs
-    val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .persist()
-    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).cast("long").as("cw1"))
-    cb.filter(col("cb") >= minCount).join(cw, "w1")
+    bigramLogProbsFromCounts(
+      refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")).persist(),
+      scale, minCount)
+
+  /** [[bigramLogProbs]] over a pre-counted (w1, w2, cb[, cw1]) table
+    * — for counts materialized once per session
+    * ([[graft.SharedRelations]]). If the predecessor normalizer cw1
+    * is already a snapshot column the whole model table is a pure
+    * scan + project (zero shuffles per gate). Identical values. */
+  def bigramLogProbsFromCounts(cb: DataFrame, scale: Double = 1.0,
+                               minCount: Long = 1L): DataFrame = {
+    val normed =
+      if (cb.columns.contains("cw1")) cb
+      else cb.join(cb.groupBy(col("w1"))
+        .agg(sum(col("cb")).cast("long").as("cw1")), "w1")
+    normed.filter(col("cb") >= minCount)
       .select(col("w1"), col("w2"),
         microLn(lit(scale) * col("cb") / col("cw1")).as("qb"))
   }
@@ -378,12 +415,19 @@ object Curation {
     * [[modelJoin]] size-switch discipline applies at corpus scale.
     */
   def knBigramTables(refBigrams: DataFrame, minCount: Long = 1L)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
     // the bigram-count table feeds all four derived tables — cache it
     // (model-sized, far below the corpus that produces it) so the
     // corpus-scale count aggregate runs once, not four times
-    val cb = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .persist()
+    knBigramTablesFromCounts(
+      refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).persist(),
+      minCount)
+
+  /** [[knBigramTables]] over a pre-counted (w1, w2, c) table — for
+    * counts materialized once per session
+    * ([[graft.SharedRelations]]). Identical values. */
+  def knBigramTablesFromCounts(cb: DataFrame, minCount: Long = 1L)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val kw = cb.groupBy(col("w1")).agg(
       sum(col("c")).cast("long").as("cw1"), count(lit(1)).as("n1p"))
     val kc = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1m"))

@@ -2579,18 +2579,12 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
-  /** Peak-find → Gaussian-fit pipeline (#197, rows+test): pyspec's
-    * canonical interactive workflow (`findpeaks` then `fit`) as one
-    * distributed pipeline — strict ±2-neighbor local maxima over
-    * each user's hourly series seed per-peak Gaussian fits on the
-    * surrounding ±6-point windows. The window attach is a BOUNDED
-    * ×13 lag explode joined on (user, peak-grid) — never a range
-    * join — and the fits run one task per (user, peak) through the
-    * same damped Gauss–Newton as #10. Two-peak recovery pinned in
-    * StatsEdgeSpec.
-    */
-  val qPeakfitPipeline = GateQuery.rowsOnly("q_peakfit_pipeline") { (s, d) =>
-    import graft.operators.GaussFit
+  /** Shared closed-form stages of the peak-fit pipeline (#197):
+    * strict ±2-neighbor local maxima over each user's hourly series,
+    * ±6-point windows attached via the BOUNDED ×13 lag explode +
+    * (user, peak-grid) equi-join — never a range join. Returns the
+    * window points (user_id, peak_grid, grid, y). */
+  private def peakWindows(s: SparkSession, d: String): DataFrame = {
     val g = ev(s, d).filter(col("event_type") === "view")
       .groupBy(col("user_id"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
@@ -2606,10 +2600,23 @@ object StatsQueries {
         (col("r2").isNull || col("y") > col("r2")))
       .select(col("user_id"), col("grid").as("peak_grid"))
     // bounded ±6 lag explode attaches each point to nearby peaks
-    val pts = g.withColumn("peak_grid", explode(sequence(col("grid") - 6, col("grid") + 6)))
+    g.withColumn("peak_grid", explode(sequence(col("grid") - 6, col("grid") + 6)))
       .join(peaks, Seq("user_id", "peak_grid"))
+  }
+
+  /** The FULL peak-find → Gaussian-fit pipeline (#197): pyspec's
+    * canonical interactive workflow (`findpeaks` then `fit`) as one
+    * distributed pipeline — [[peakWindows]]' closed-form stages
+    * seeding per-(user, peak) damped Gauss–Newton fits (#10's
+    * machinery, one task per group). ScalaTest-pinned (StatsEdgeSpec
+    * two-peak recovery); the closed-form stages are SQL-gated by
+    * [[qPeakfitPipeline]], so only the GN step itself rides the
+    * test pin (the q_gauss_fit rows-gate covers its fit surface).
+    */
+  def peakfitFitted(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.GaussFit
     // composite long key: grids are bounded (hours since epoch base)
-    val keyed = pts.select(
+    val keyed = peakWindows(s, d).select(
       (col("user_id") * lit(1000000L) + col("peak_grid")).as("fg"),
       col("grid").cast("double").as("x"), col("y").cast("double").as("y"))
     GaussFit.fitGroups(keyed, "fg", "x", "y")
@@ -2619,6 +2626,66 @@ object StatsQueries {
         round(col("height"), 2).as("height"),
         round(col("sigma"), 4).as("sigma"), col("converged"))
       .orderedSmall(col("user_id"), col("peak_grid"))
+  }
+
+  /** Peak-find pipeline, closed-form stages (#197, SQL-gated r12 —
+    * the r11 verdict's one contestable rows-only residue): peak
+    * SELECTION (strict ±2 local maxima), the bounded ±6 window
+    * attach, and the per-peak MOMENT SEEDS the Gauss–Newton stage
+    * starts from — weight total, height, micro-floored center of
+    * mass and second central moment — all exact integer arithmetic
+    * the DuckDB oracle replays (signed-floor division macros, the
+    * ipw/aipw convention). The iterative GN refinement stays outside
+    * the SQL gate by nature ([[peakfitFitted]], test-pinned).
+    */
+  val qPeakfitPipeline = {
+    def fd(n: String, dn: String): String =
+      s"CAST(((($n) - (((($n) % ($dn)) + ($dn)) % ($dn))) // ($dn)) AS BIGINT)"
+    GateQuery.sql(
+      "q_peakfit_pipeline",
+      s"""WITH g AS (SELECT user_id, xs // 3600 AS grid,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT user_id, grid, y,
+         |    lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+         |    lead(y, 1) OVER w AS r1, lead(y, 2) OVER w AS r2
+         |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY grid)),
+         |pk AS (SELECT user_id, grid AS peak_grid FROM p
+         |  WHERE l1 IS NOT NULL AND r1 IS NOT NULL AND y > l1 AND y > r1
+         |    AND (l2 IS NULL OR y > l2) AND (r2 IS NULL OR y > r2)),
+         |pts AS (SELECT g.user_id, pk.peak_grid, g.grid, g.y
+         |  FROM g JOIN pk ON pk.user_id = g.user_id
+         |    AND g.grid BETWEEN pk.peak_grid - 6 AND pk.peak_grid + 6),
+         |m AS (SELECT user_id, peak_grid, CAST(count(*) AS BIGINT) AS n_pts,
+         |    CAST(sum(y) AS BIGINT) AS sum_y, CAST(max(y) AS BIGINT) AS height,
+         |    CAST(sum(CAST(grid AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(grid AS HUGEINT) * grid * y) AS HUGEINT) AS sxxy
+         |  FROM pts GROUP BY 1, 2)
+         |SELECT user_id, peak_grid, n_pts, sum_y, height,
+         |  CASE WHEN sum_y <> 0 THEN ${fd("sxy * 1000000", "sum_y")} END AS com_micro,
+         |  CASE WHEN sum_y <> 0 THEN
+         |    ${fd("(sum_y * sxxy - sxy * sxy) * 1000000",
+               "CAST(sum_y AS HUGEINT) * sum_y")} END AS var_micro
+         |FROM m ORDER BY user_id, peak_grid""".stripMargin) { (s, d) =>
+      def dec(x: Column) = x.cast("decimal(38,0)")
+      val m = peakWindows(s, d)
+        .groupBy(col("user_id"), col("peak_grid"))
+        .agg(count(lit(1)).cast("long").as("n_pts"),
+          sum(col("y")).cast("long").as("sum_y"),
+          max(col("y")).cast("long").as("height"),
+          sum(dec(col("grid")) * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(dec(col("grid")) * col("grid") * col("y")).cast("decimal(38,0)").as("sxxy"))
+      m.select(col("user_id"), col("peak_grid"), col("n_pts"), col("sum_y"),
+          col("height"),
+          when(col("sum_y") =!= 0,
+            Exact.floorDivBig(col("sxy") * lit(1000000L), col("sum_y"))
+              .cast("long")).as("com_micro"),
+          when(col("sum_y") =!= 0,
+            Exact.floorDivBig(
+              (dec(col("sum_y")) * col("sxxy") - col("sxy") * col("sxy")) * lit(1000000L),
+              dec(col("sum_y")) * col("sum_y")).cast("long")).as("var_micro"))
+        .orderedSmall(col("user_id"), col("peak_grid"))
+    }
   }
 
   private val SessGapUs = 24L * 3600L * 1000000L // 24 h, in µs
@@ -3223,6 +3290,15 @@ object StatsQueries {
     * 2[x·ln(x/N)+(N−x)·ln(1−x/N)−x·ln p−(N−x)·ln(1−p)] is one
     * mirrored double closed form with its x=0 / x=N degenerate terms
     * zeroed by exact predicates on both engines.
+    *
+    * Wall-clock note (r12): ~0.8 s at the sf0.1 bench point vs
+    * DuckDB's ~0.3 s is SCHEDULING FLOOR, not compute — the
+    * split/threshold/backtest sequence is three dependent scalar
+    * stages (midpoint, in-sample rank quantile, exception count),
+    * each a separate Spark job billing the ~0.1-0.2 s local job
+    * floor that an in-process engine doesn't pay. No per-row work
+    * scales past the daily-grid collapse; the shape is
+    * corpus-size-independent after the first aggregate.
     */
   val qKupiecPof = GateQuery.sql(
     "q_kupiec_pof",
@@ -3495,6 +3571,16 @@ object StatsQueries {
     * pin, the lower median lands via one rank window, and the
     * median pair's EXACT rational (Δcents, Δhours) rides along so
     * the answer is certifiable beyond float.
+    *
+    * HORIZON bound (r12, documented limit): the per-event-type
+    * median rank window holds hours²/2 slope rows in ONE partition —
+    * independent of corpus size (any event volume collapses to the
+    * grid first) but quadratic in the time HORIZON. A year is ~8.8k
+    * hours → ~38M pair rows/type (fine); ten years ≈ 3.8×10⁹/type —
+    * past roughly hours ≤ 100k, rebin the grid (daily buckets keep
+    * the estimator's breakdown point: Theil–Sen over aggregates) or
+    * switch the median selection to a two-phase value-bucketed
+    * count-then-select. The same bound governs q_hodges_lehmann.
     */
   val qTheilSen = GateQuery.sql(
     "q_theil_sen",
@@ -5312,7 +5398,9 @@ object StatsQueries {
     * count; broadcast build side); the doubled Walsh value y₁+y₂
     * stays an exact integer (no halving until the very last floor),
     * and the lower median lands via one rank window with a (g1, g2)
-    * tie pin.
+    * tie pin. The q_theil_sen HORIZON bound (hours²/2 rows per type
+    * in one rank-window partition; rebin or two-phase selection past
+    * ~100k hours) applies verbatim here.
     */
   val qHodgesLehmann = GateQuery.sql(
     "q_hodges_lehmann",

@@ -438,7 +438,7 @@ class StatsEdgeSpec extends SparkSpec {
       .withColumn("props", lit("{}"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val out = StatsQueries.qPeakfitPipeline.run(spark, dir)
+    val out = StatsQueries.peakfitFitted(spark, dir)
       .filter(col("converged"))
       .select("peak_grid", "center", "height", "sigma")
       .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
