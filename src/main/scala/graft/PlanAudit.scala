@@ -105,7 +105,13 @@ object PlanAudit {
     "q_ktruss", "q_ipw_ate", "q_evalue",
     // round-11: causal/spline/layout/ordinal additions
     "q_aipw_ate", "q_spline_rate", "q_bucketed_join", "q_prop_odds",
-    "q_hubness", "q_html_extract", "q_encoding_repair")
+    "q_hubness", "q_html_extract", "q_encoding_repair",
+    // round-12: the Moore–Lewis snapshot consumer (the other r12
+    // de-global-sorted gates — q_gains/q_qini/q_heaps_law/q_ipw_ate/
+    // q_aipw_ate — are already in the rounds above; their plans must
+    // show the single-partition window only AFTER the value-collapse
+    // aggregate, never over a per-row relation)
+    "q_moore_lewis_bi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -868,8 +868,60 @@ object CcdQueries {
         lit(4L) * col("w") * col("den")).cast("long").as("geary_micro"))
   }
 
+  private val SpecScans = 12
+  private def specPoints(s: Int): Int = 3 + (s * 7) % 5
+
+  /** Deterministic SPEC text fixture: scans 1..12, scan s carrying
+    * 3 + (7s mod 5) points — same atomic write-rename discipline as
+    * the SPE/EDF fixtures. */
+  private def specFixture(sp: SparkSession): String = synchronized {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_spec_gate")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "gate.spec")
+    val sb = new StringBuilder
+    sb.append("#F gate.spec\n#O0 th  tth\n\n")
+    for (s0 <- 1 to SpecScans) {
+      val np = specPoints(s0)
+      sb.append(s"#S $s0  ascan th 0 1 ${np - 1} 1\n")
+      sb.append("#D Thu Jan 01 00:00:00 2026\n#T 1 (Seconds)\n")
+      sb.append("#P0 0.5 1.5\n#L th  det\n")
+      for (i <- 0 until np) sb.append(s"$i ${s0 * 100 + i}\n")
+      sb.append("\n")
+    }
+    val tmp = new java.io.File(dir, s"gate.${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    f.getAbsolutePath
+  }
+
+  /** SPEC index-only aggregate pushdown (#442): COUNT(*), MIN(scan),
+    * MAX(scan) over the SPEC source answer from the scan INDEX alone
+    * (per-scan point counts live in the v3 sidecar; no data bytes
+    * stream — SpecDataSourceSpec asserts the agg_count plan shape).
+    * The oracle recomputes the fixture's closed form — the two sides
+    * share nothing but the scan/point arithmetic, so a hash match
+    * certifies the index's point accounting end-to-end. SPE/EDF/TIFF
+    * parity: the same surface those sources gate.
+    */
+  val qSpecAgg = GateQuery.sql(
+    "q_spec_agg",
+    s"""WITH s AS (SELECT s.s AS scan, 3 + (s.s * 7) % 5 AS np
+       |  FROM range(1, ${SpecScans + 1}) s(s))
+       |SELECT CAST(sum(np) AS BIGINT) AS n_points,
+       |  CAST(min(scan) AS BIGINT) AS min_scan,
+       |  CAST(max(scan) AS BIGINT) AS max_scan
+       |FROM s""".stripMargin) { (s, _) =>
+    s.read.format("spec").load(specFixture(s))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("scan")).as("min_scan"),
+        max(col("scan")).as("max_scan"))
+  }
+
   val all: Seq[GateQuery] = Seq(qSpeFrames, qEdfFrames, qRadialProfile, qEdfDarkRadial,
     qTiffFrames, qIqProfile, qFlatRadial, qPeakCom, qSectorProfile, qMaskedRadial,
     qPeakWidths, qLpRadial, qLineCut, qSplitRadial, qGauss2dFit, qFlatField,
-    qSigmaClip, qAbsorptionRadial, qMoranGeary, qGainMap)
+    qSigmaClip, qAbsorptionRadial, qMoranGeary, qGainMap, qSpecAgg)
 }

@@ -250,10 +250,16 @@ private[sources] final class BoundedInputStream(in: InputStream, limit: Long) ex
 final case class SpecFileMeta(path: String, len: Long, mtime: Long)
 
 /** A file's scan index: file-level `#O` motor names plus one
-  * `(scanNo, startByte, endByteExcl)` entry per `#S` block.
+  * `(scanNo, startByte, endByteExcl)` entry per `#S` block, and the
+  * parallel per-scan POINT counts (rows the reader would emit —
+  * counted with the reader's own rules: non-# nonempty lines with ≥1
+  * parseable numeric token, MCA blocks excluded). The counts are what
+  * lets COUNT(*)/MIN/MAX(scan) aggregates answer from the index pass
+  * alone (sidecar-cached), the SPE/EDF/TIFF parity surface.
   */
 final case class SpecFileIndex(path: String, motorNames: Array[String],
-                               scans: Seq[(Long, Long, Long)])
+                               scans: Seq[(Long, Long, Long)],
+                               points: Seq[Long])
 
 object SpecSchema {
   val schema: StructType = StructType(Seq(
@@ -341,23 +347,40 @@ object SpecIndex {
       val reader = new OffsetLineReader(in)
       val motorNames = mutable.ArrayBuffer[String]()
       val scans = mutable.ArrayBuffer[(Long, Long, Long)]()
+      val points = mutable.ArrayBuffer[Long]()
       var curScan = -1L
       var curStart = -1L
+      var curPoints = 0L
+      // point counting mirrors the PARTITIONED SpecPartitionReader
+      // exactly: every #S is a block boundary (partition readers
+      // start fresh there, so #S wins over a dangling MCA
+      // continuation), an MCA block (@A ... with backslash
+      // continuations) never counts, and a non-# nonempty line
+      // counts iff ≥1 token parses as a double
+      var inMca = false
       var line = reader.readLine()
       while (line != null) {
-        if (line.startsWith("#O")) motorNames ++= SpecSchema.splitLabels(line.dropWhile(_ != ' '))
-        else if (line.startsWith("#S ")) {
-          if (curScan >= 0) scans += ((curScan, curStart, reader.lineStart))
+        if (line.startsWith("#S ")) {
+          if (curScan >= 0) { scans += ((curScan, curStart, reader.lineStart)); points += curPoints }
           curScan = line.drop(3).trim.takeWhile(_.isDigit) match {
             case "" => -1L
             case d => d.toLong
           }
           curStart = reader.lineStart
+          curPoints = 0L
+          inMca = false
+        }
+        else if (inMca) inMca = line.trim.endsWith("\\")
+        else if (line.startsWith("@A")) inMca = line.trim.endsWith("\\")
+        else if (line.startsWith("#O")) motorNames ++= SpecSchema.splitLabels(line.dropWhile(_ != ' '))
+        else if (curScan >= 0 && !line.startsWith("#") && line.trim.nonEmpty) {
+          if (line.trim.split("\\s+")
+              .exists(t => scala.util.Try(t.toDouble).isSuccess)) curPoints += 1
         }
         line = reader.readLine()
       }
-      if (curScan >= 0) scans += ((curScan, curStart, reader.position))
-      SpecFileIndex(meta.path, motorNames.toArray, scans.toSeq)
+      if (curScan >= 0) { scans += ((curScan, curStart, reader.position)); points += curPoints }
+      SpecFileIndex(meta.path, motorNames.toArray, scans.toSeq, points.toSeq)
     } finally in.close()
   }
 
@@ -407,11 +430,12 @@ object SpecIndex {
   }
 
   /** Sidecar wire format (one record per line, tab-separated):
-    *   specidx\tv2\t<len>\t<mtime>\t<crc of first+last 4KiB>
+    *   specidx\tv3\t<len>\t<mtime>\t<crc of first+last 4KiB>
     *   O\tname1\tname2...
-    *   S\t<scanNo>\t<startByte>\t<endByte>
-    * v1 sidecars (no fingerprint field) fail the version check and
-    * are reindexed + rewritten as v2.
+    *   S\t<scanNo>\t<startByte>\t<endByte>\t<nPoints>
+    * Older sidecars (v1 without fingerprint, v2 without per-scan
+    * point counts) fail the version check and are reindexed +
+    * rewritten as v3 — the in-place rewrite is the migration.
     */
   def readSidecar(meta: SpecFileMeta, conf: Configuration): Option[SpecFileIndex] =
     scala.util.Try {
@@ -422,15 +446,15 @@ object SpecIndex {
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
       val lines = text.linesIterator.toArray
       val head = lines.head.split('\t')
-      if (head.length != 5 || head(0) != "specidx" || head(1) != "v2" ||
+      if (head.length != 5 || head(0) != "specidx" || head(1) != "v3" ||
           head(2).toLong != meta.len || head(3).toLong != meta.mtime ||
           head(4).toLong != fingerprint(meta, conf)) return None
       val motors = lines.collectFirst { case l if l.startsWith("O\t") => l.split('\t').drop(1) }
         .getOrElse(Array.empty[String])
-      val scans = lines.collect { case l if l.startsWith("S\t") =>
-        val t = l.split('\t'); (t(1).toLong, t(2).toLong, t(3).toLong)
+      val recs = lines.collect { case l if l.startsWith("S\t") =>
+        val t = l.split('\t'); ((t(1).toLong, t(2).toLong, t(3).toLong), t(4).toLong)
       }.toSeq
-      Some(SpecFileIndex(meta.path, motors, scans))
+      Some(SpecFileIndex(meta.path, motors, recs.map(_._1), recs.map(_._2)))
     }.toOption.flatten
 
   def writeSidecar(meta: SpecFileMeta, idx: SpecFileIndex, conf: Configuration): Unit = {
@@ -439,9 +463,10 @@ object SpecIndex {
     val out = fs.create(p, true)
     try {
       val sb = new StringBuilder
-      sb.append(s"specidx\tv2\t${meta.len}\t${meta.mtime}\t${fingerprint(meta, conf)}\n")
+      sb.append(s"specidx\tv3\t${meta.len}\t${meta.mtime}\t${fingerprint(meta, conf)}\n")
       if (idx.motorNames.nonEmpty) sb.append("O\t").append(idx.motorNames.mkString("\t")).append('\n')
-      idx.scans.foreach { case (no, s, e) => sb.append(s"S\t$no\t$s\t$e\n") }
+      idx.scans.zip(idx.points).foreach { case ((no, s, e), np) =>
+        sb.append(s"S\t$no\t$s\t$e\t$np\n") }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
@@ -477,7 +502,8 @@ class SpecTable(paths: Seq[String]) extends Table with SupportsRead with Support
 class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
                       indexCache: Boolean = false, emitLast: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var scanEq: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SpecSchema.schema
@@ -533,36 +559,73 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
   private def scanWanted(no: Long): Boolean =
     no >= scanLo && no <= scanHi && scanEq.forall(_.contains(no))
 
-  override def build(): Scan = new Scan with Batch {
+  /** All file indexes, honoring pushed file-equality pruning. Index
+    * off the driver once the corpus is more than a handful of files:
+    * one task per file, collecting only the offset tables (metadata,
+    * not data) — the driver never streams file bytes. */
+  private def computeIndexes(): Seq[SpecFileIndex] = {
+    val spark = SparkSession.active
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val files = SpecSchema.expand(paths, hconf.value)
+      .filter(f => fileEq.forall(_.contains(f.path)))
+    val cache = indexCache
+    if (files.size <= SpecIndex.ParallelThreshold)
+      files.map(SpecIndex.indexWithCache(_, hconf.value, cache))
+    else
+      spark.sparkContext.parallelize(files, files.size)
+        .map(SpecIndex.indexWithCache(_, hconf.value, cache))
+        .collect().toSeq.sortBy(_.path)
+  }
+
+  /** One ((scanNo, start, end), nPoints) per scan block the read
+    * should cover: keepLast dedup then pushed scan pruning. */
+  private def wantedOf(idx: SpecFileIndex): Seq[((Long, Long, Long), Long)] = {
+    val zipped = idx.scans.zip(idx.points)
+    val base =
+      if (keepLast)
+        zipped.groupBy(_._1._1).values.map(_.maxBy(_._1._2)).toSeq.sortBy(_._1._2)
+      else zipped
+    base.filter { case ((no, _, _), _) => scanWanted(no) }
+  }
+
+  // Pushed aggregate tags — the SPE/EDF/TIFF parity surface (#442):
+  // ungrouped COUNT(*) / MIN / MAX(scan) answer from the index pass
+  // alone (sidecar-cached — no data bytes stream). Partial semantics;
+  // Spark final-merges. Spark only attempts aggregate pushdown when
+  // no residual filters remain, and this source deliberately keeps
+  // every filter residual, so the agg path serves the unfiltered
+  // corpus-audit queries ("how many points / which scan range").
+  private var aggTags: Option[Seq[String]] = None
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if m.column.describe() == "scan" => Some("min_scan")
+      case m: Max if m.column.describe() == "scan" => Some("max_scan")
+      case _ => None
+    }
+    if (tags.exists(_.isEmpty)) return false
+    aggTags = Some(tags.map(_.get))
+    true
+  }
+
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new SpecAggScan(tags,
+      () => computeIndexes().flatMap(idx =>
+        wantedOf(idx).map { case ((no, _, _), np) => (no, np) }))
+    case None => rowScan()
+  }
+
+  private def rowScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] = {
-      val spark = SparkSession.active
-      val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-      val files = SpecSchema.expand(paths, hconf.value)
-        .filter(f => fileEq.forall(_.contains(f.path)))
-      // Index off the driver once the corpus is more than a handful of
-      // files: one task per file, collecting only the offset tables
-      // (metadata, not data) — the driver never streams file bytes.
-      val cache = indexCache
-      val indexes: Seq[SpecFileIndex] =
-        if (files.size <= SpecIndex.ParallelThreshold)
-          files.map(SpecIndex.indexWithCache(_, hconf.value, cache))
-        else
-          spark.sparkContext.parallelize(files, files.size)
-            .map(SpecIndex.indexWithCache(_, hconf.value, cache))
-            .collect().toSeq.sortBy(_.path)
-      indexes.flatMap { idx =>
-        val scans =
-          if (keepLast)
-            idx.scans.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq.sortBy(_._2)
-          else idx.scans
-        scans.collect {
-          case (no, s, e) if scanWanted(no) =>
-            SpecInputPartition(idx.path, no, s, e, idx.motorNames)
+    override def planInputPartitions(): Array[InputPartition] =
+      computeIndexes().flatMap { idx =>
+        wantedOf(idx).map { case ((no, s, e), _) =>
+          SpecInputPartition(idx.path, no, s, e, idx.motorNames)
         }
       }.toArray
-    }
     override def createReaderFactory(): PartitionReaderFactory =
       new SpecReaderFactory(new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()), required.fieldNames)
@@ -572,6 +635,41 @@ class SpecScanBuilder(paths: Seq[String], keepLast: Boolean = false,
         new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
         required.fieldNames, emitLast)
   }
+}
+
+final case class SpecAggPartition(values: Array[Any]) extends InputPartition
+
+/** Index-only aggregate scan: one partial row computed entirely from
+  * the (sidecar-cached) scan index — COUNT(*) sums the per-scan point
+  * counts, MIN/MAX(scan) read the scan numbers; no data bytes are
+  * ever streamed. Mirrors the SPE/TIFF agg-scan contract.
+  */
+class SpecAggScan(tags: Seq[String], planned: () => Seq[(Long, Long)])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(tags.map(t => StructField(s"agg_$t", LongType, nullable = t != "count")))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val scans = planned() // one (scanNo, nPoints) per wanted scan block
+    val values: Array[Any] = tags.map {
+      case "count" => scans.map(_._2).sum
+      case "min_scan" => if (scans.isEmpty) null else scans.map(_._1).min
+      case "max_scan" => if (scans.isEmpty) null else scans.map(_._1).max
+    }.toArray
+    Array(SpecAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val row = InternalRow.fromSeq(
+            p.asInstanceOf[SpecAggPartition].values.toSeq)
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
 }
 
 /** Per-file committed byte positions — the stream's offset. */

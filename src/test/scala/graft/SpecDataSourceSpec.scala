@@ -359,19 +359,19 @@ class SpecDataSourceSpec extends SparkSpec {
     val sidecar = new java.io.File(dir, "c.spec.specidx")
     assert(sidecar.exists(), "sidecar index not written")
     val content = new String(Files.readAllBytes(sidecar.toPath))
-    assert(content.startsWith(s"specidx\tv2\t${f.length()}\t"))
+    assert(content.startsWith(s"specidx\tv3\t${f.length()}\t"))
     // cached index is used on re-read and yields identical partitions
     val again = spark.read.format("spec").load(f.getPath)
     assert(again.count() == 3 && again.filter(col("scan") === 2).count() == 1)
     // a sidecar with a wrong length (stale) is ignored, not trusted
     Files.write(sidecar.toPath,
-      "specidx\tv2\t999999\t0\t0\nS\t1\t0\t10\n".getBytes("UTF-8"))
+      "specidx\tv3\t999999\t0\t0\nS\t1\t0\t10\t2\n".getBytes("UTF-8"))
     assert(spark.read.format("spec").option("indexCache", "false").load(f.getPath).count() == 3)
     assert(spark.read.format("spec").load(f.getPath).count() == 3)
-    // ... and the read above overwrote it with a fresh valid v2 (GC =
+    // ... and the read above overwrote it with a fresh valid v3 (GC =
     // eviction-by-rewrite, one sidecar per file)
     val healed = new String(Files.readAllBytes(sidecar.toPath))
-    assert(healed.startsWith(s"specidx\tv2\t${f.length()}\t"))
+    assert(healed.startsWith(s"specidx\tv3\t${f.length()}\t"))
     assert(!healed.contains("999999"))
   }
 
@@ -615,5 +615,59 @@ class SpecDataSourceSpec extends SparkSpec {
       .orderBy("scan").collect()
     assert(stats(0).getDouble(1) == 55.0)
     assert(stats(1).getDouble(1) == 50.0)
+  }
+
+  test("COUNT(*)/MIN/MAX(scan) push down to the scan index: one agg row, no data read") {
+    val df = spark.read.format("spec").load(fixture)
+    // count(*): answered from the index's per-scan point counts
+    val cq = df.groupBy().count()
+    val cplan = cq.queryExecution.executedPlan.toString
+    assert(cplan.contains("agg_count"), cplan)
+    assert(cq.collect()(0).getLong(0) === 9L)
+    // combined count/min/max over scan
+    val mq = df.agg(count(lit(1)), min(col("scan")), max(col("scan")))
+    val mplan = mq.queryExecution.executedPlan.toString
+    assert(mplan.contains("agg_min_scan") && mplan.contains("agg_max_scan"), mplan)
+    assert(mq.collect()(0).toSeq === Seq(9L, 1L, 2L))
+    // MCA blocks (incl. backslash continuations) never count as points
+    val dir = Files.createTempDirectory("specaggmca").toFile
+    val f = new java.io.File(dir, "mca.spec")
+    Files.write(f.toPath,
+      """#F mca.spec
+        |#O0 Theta
+        |
+        |#S 7 mcascan th 0 1 2 1
+        |#P0 0.1
+        |#L th  detector
+        |@A 1 2 3 4 \
+        |5 6 7 8 \
+        |9 10
+        |0.0 100
+        |@A 11 12 13
+        |1.0 200
+        |""".stripMargin.getBytes("UTF-8"))
+    val m = spark.read.format("spec").load(f.getPath)
+      .agg(count(lit(1)), min(col("scan")), max(col("scan"))).collect()(0)
+    assert(m.toSeq === Seq(2L, 7L, 7L))
+    // duplicates=last: the agg path honors the keepLast dedup
+    val dup = new java.io.File(dir, "dup.spec")
+    Files.write(dup.toPath,
+      """#S 3 ascan th 0 1 2 1
+        |#L th  det
+        |0.0 10
+        |1.0 20
+        |2.0 30
+        |
+        |#S 3 ascan th 0 1 2 1
+        |#L th  det
+        |0.0 40
+        |1.0 50
+        |""".stripMargin.getBytes("UTF-8"))
+    val lastCnt = spark.read.format("spec").option("duplicates", "last")
+      .load(dup.getPath).groupBy().count().collect()(0).getLong(0)
+    assert(lastCnt === 2L)
+    // a residual filter falls back to the row scan — same answer
+    val filtered = df.filter(col("scan") === 2).count()
+    assert(filtered === 3L)
   }
 }
