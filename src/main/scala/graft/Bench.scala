@@ -7,15 +7,20 @@ import org.apache.spark.sql.SparkSession
   * Methodology: results go to the `noop` sink (so final sorts and
   * projections are NOT optimized away, unlike `.count()`), one full
   * unmeasured warm-up pass absorbs JVM/codegen/parquet-footer costs,
-  * then the best of `SPARK_GRAFT_TRIALS` (default 3) timed runs is
-  * reported per query. The trials run as FULL PASSES over the query
-  * list, not back-to-back repeats (r12): a transient host stall
+  * then per query the best of `SPARK_GRAFT_TRIALS` (default 3) timed
+  * runs: TRIALS−1 back-to-back repeats plus ONE revisit in a final
+  * separate pass (r12). Back-to-back repeats measure the query warm
+  * (its generated classes are still in the bounded codegen cache —
+  * across ~400 queries a full pass evicts them, so pass-separated
+  * trials each re-JIT and run ~1.5-2× slower, measured); the far-away
+  * revisit is the stall insurance: a transient host stall
   * (GC/compaction/contention) pollutes minutes of contiguous
   * wall-clock, which back-to-back trials all sit inside — the r11
   * driver artifact carried 8–15× phantom inflation on
-  * alphabetically-contiguous gates exactly that way. Pass-separated
-  * trials retry every query far from the stall at the SAME total
-  * cost, so a one-shot driver run is stall-robust.
+  * alphabetically-contiguous gates exactly that way. min(warm
+  * back-to-back, revisit) keeps the warm number when the host is
+  * healthy and caps the damage at one cold run when it is not, at
+  * the SAME total cost as TRIALS back-to-back runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,17 +77,23 @@ object Bench {
         System.err.println(s"[jobs] $name=${c.get() - before}")
       }
     }
-    val passTimes: Seq[Map[String, Double]] = (1 to trials).map { _ =>
-      queries.map { case (name, fn) =>
-        // reclaim the previous query's broadcast/shuffle refs so its
-        // GC debt doesn't bill the next query (ContextCleaner is
-        // GC-driven)
-        System.gc()
-        name -> runOnce(fn)
-      }.toMap
-    }
+    // main pass: TRIALS−1 back-to-back warm runs per query
+    val warmBest: Map[String, Double] = queries.map { case (name, fn) =>
+      // reclaim the previous query's broadcast/shuffle refs so its
+      // GC debt doesn't bill the next query (ContextCleaner is
+      // GC-driven)
+      System.gc()
+      val times = (1 to math.max(1, trials - 1)).map(_ => runOnce(fn)).filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else times.min)
+    }.toMap
+    // revisit pass: one more run per query, far from any stall that
+    // may have polluted its back-to-back window
+    val revisit: Map[String, Double] =
+      if (trials >= 2)
+        queries.map { case (name, fn) => System.gc(); name -> runOnce(fn) }.toMap
+      else Map.empty
     val results = queries.map { case (name, _) =>
-      val times = passTimes.map(_(name)).filter(_ >= 0)
+      val times = Seq(warmBest(name), revisit.getOrElse(name, -1.0)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // 0.1 ms resolution keeps the line compact — the round-5 artifact

@@ -34,8 +34,8 @@ comparable TPC-H-style timings, so the measurable single-node baseline
 for the oracle workload is DuckDB executing the EXACT oracle SQL of
 every SQL-gated query on the same parquet tables. Methodology matches
 `graft.Bench`: result fully materialized, one warm-up run, best-of-2,
-8 threads. Spark = `graft.Bench` at local[8],
-spark.sql.shuffle.partitions=8, noop sink, warm-up + best-of-3,
+8 threads. Spark = `graft.Bench` at local[32],
+spark.sql.shuffle.partitions=32, noop sink, warm-up + best-of-3,
 leftover persisted blocks dropped between queries; per-query best
 across the bench invocations of the same session.
 
