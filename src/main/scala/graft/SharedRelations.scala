@@ -162,6 +162,18 @@ object SharedRelations {
       unigramCountsNorm(docTokens(s, d).filter(col("lang") === "en")
         .select(explode(col("w")).as("word"))))
 
+  /** (w1, w2, c, cw1) bigram counts over the Moore–Lewis IN-DOMAIN
+    * slice (lang = 'en' ∧ source = 'src0'). */
+  def enSrc0BigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"ibg:$d", bigramCountsNorm(bigramInstances(
+      docTokens(s, d).filter(col("lang") === "en" && col("source") === "src0"))))
+
+  /** (word, c, n, v) unigram counts over the in-domain slice. */
+  def enSrc0UnigramCounts(s: SparkSession, d: String): DataFrame =
+    materialize(s, s"iug:$d", unigramCountsNorm(
+      docTokens(s, d).filter(col("lang") === "en" && col("source") === "src0")
+        .select(explode(col("w")).as("word"))))
+
   /** (w1, w2, c, cw1) bigram counts over the WHOLE corpus (the
     * Moore–Lewis general-domain model side). */
   def allBigramCounts(s: SparkSession, d: String): DataFrame =

@@ -1413,14 +1413,13 @@ object CurationQueries {
     * integers, and the doc sum is order-free. Model tables are
     * minCount-pruned bigram + topV-capped unigram relations through
     * the [[Curation.modelJoin]] broadcast-vs-shuffle switch; OOV
-    * floors ride 1-row broadcasts; tokens and the GENERAL-domain
-    * count tables ride the [[graft.SharedRelations]] snapshots (the
-    * in-domain en∧src0 slice counts inline — it is the small side).
+    * floors ride 1-row broadcasts; tokens and BOTH domains' count
+    * tables ride the [[graft.SharedRelations]] snapshots.
     *
-    * Wall-clock note (r12): r11's 2.14 s → 1.50 s from the
-    * snapshots; the residual ~21 jobs are FOUR scoring joins (two
-    * bigram rungs × two domains) + the in-domain model build + doc
-    * aggregate, each billing the local job floor vs DuckDB's ~0.55 s
+    * Wall-clock note (r12): r11's 2.14 s → ~1.0 s once all four
+    * model tables are snapshot scan+projects; the residual jobs are
+    * FOUR scoring joins (two bigram rungs × two domains) + the doc
+    * aggregate, each billing the local job floor vs DuckDB's ~0.3 s
     * — the q_lm_bigram note's class, doubled because Moore–Lewis
     * runs two full backoff chains.
     */
@@ -1467,23 +1466,22 @@ object CurationQueries {
        |  ${roundedRatioSignedSql("mlb_micro", "n_scored * 1000000", 4)} AS avg_mlb,
        |  mlb_micro > 0 AS selected
        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // tokens + the GENERAL-domain (whole-corpus) model counts ride
-    // the session snapshots (r12); the in-domain (en ∧ src0) slice is
-    // gate-specific and counts inline off the token snapshot — the
-    // in-domain slice is the small side by construction
+    // BOTH model domains ride the session snapshots (r12): tokens,
+    // the whole-corpus general-domain counts, and the (en ∧ src0)
+    // in-domain counts — every one of the four model tables is a
+    // scan + project, only the scoring join chain touches the corpus
     val tw = SharedRelations.docTokens(s, d)
-    val bi = SharedRelations.bigramInstances(tw, "doc_id", "lang", "source")
-    val inSlice = col("lang") === "en" && col("source") === "src0"
-    val qbI = Curation.bigramLogProbs(bi.filter(inSlice).select(col("w1"), col("w2")),
+    val bi = SharedRelations.bigramInstances(tw, "doc_id")
+    val qbI = Curation.bigramLogProbsFromCounts(
+        SharedRelations.enSrc0BigramCounts(s, d).withColumnRenamed("c", "cb"),
         minCount = LmMinCount)
       .select(col("w1"), col("w2"), col("qb").as("qbi"))
     val qbG = Curation.bigramLogProbsFromCounts(
         SharedRelations.allBigramCounts(s, d).withColumnRenamed("c", "cb"),
         minCount = LmMinCount)
       .select(col("w1"), col("w2"), col("qb").as("qbg"))
-    val (quI0, oovI) = Curation.unigramModel(
-      tw.filter(inSlice).select(explode(col("w")).as("word")),
-      scale = 0.4, topV = Some(LmTopV))
+    val (quI0, oovI) = Curation.unigramModelFromCounts(
+      SharedRelations.enSrc0UnigramCounts(s, d), scale = 0.4, topV = Some(LmTopV))
     val (quG0, oovG) = Curation.unigramModelFromCounts(
       SharedRelations.allUnigramCounts(s, d), scale = 0.4, topV = Some(LmTopV))
     val scored = Curation.modelJoin(

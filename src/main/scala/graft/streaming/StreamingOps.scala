@@ -990,8 +990,10 @@ object StreamingOps {
     * inherently cross-arm) of O(cap) longs, and the data plane is
     * guarded by a PER-PARTITION PRE-REDUCE (r12): bottom-k by a fixed
     * priority is merge-associative, so each source partition first
-    * reduces to ≤cap candidates per arm (plus two drop counters) and
-    * only partitions×(2·cap) rows ever reach the single stateful
+    * reduces to ≤cap candidates per arm (plus two drop counters) —
+    * one streaming pass over the partition with a size-capped heap
+    * per arm, O(cap) memory, the partition itself never buffered —
+    * and only partitions×(2·cap) rows ever reach the single stateful
     * task, whatever the raw micro-batch volume. The FINAL reservoir,
     * counts and estimate are bit-identical to the unreduced loop at
     * any split (a dropped point is beaten by ≥cap same-partition
@@ -1017,26 +1019,31 @@ object StreamingOps {
     }
     def entryOf(p: QtePoint): (Long, Long, Long) =
       (prio(p.user, p.ts.getTime, p.cents), p.ts.getTime, p.cents)
-    // per-partition pre-reduce: index-based so duplicate points (same
-    // user/ts/cents) survive independently, exactly as the stateful
-    // loop would insert them
+    // per-partition pre-reduce in O(cap) MEMORY, single streaming
+    // pass: one size-capped max-heap per arm keeps the cap SMALLEST
+    // entries (duplicate points carry duplicate heap records, exactly
+    // as the stateful loop would insert them); evicted/rejected
+    // points only bump the arm's seen counter — the partition is
+    // never buffered
     val pre = points.mapPartitions { it =>
-      val buf = it.toArray
-      if (buf.isEmpty) Iterator.empty
+      val ord = Ordering.by[((Long, Long, Long), QtePoint), (Long, Long, Long)](_._1)
+      val heaps = Array.fill(2)(
+        scala.collection.mutable.PriorityQueue.empty[((Long, Long, Long), QtePoint)](ord))
+      val seen = new Array[Long](2)
+      it.foreach { p =>
+        val arm = if (p.user % 2 == 1) 1 else 0
+        seen(arm) += 1
+        val rec = (entryOf(p), p)
+        val h = heaps(arm)
+        if (h.size < cap) h.enqueue(rec)
+        else if (ord.lt(rec, h.head)) { h.dequeue(); h.enqueue(rec) }
+      }
+      if (seen(0) + seen(1) == 0) Iterator.empty
       else {
-        val keep = new Array[Boolean](buf.length)
-        def mark(idxs: Array[Int]): Long =
-          if (idxs.length <= cap) { idxs.foreach(keep(_) = true); 0L }
-          else {
-            idxs.sortBy(i => entryOf(buf(i))).take(cap).foreach(keep(_) = true)
-            (idxs.length - cap).toLong
-          }
-        val (ti, ci) = buf.indices.toArray.partition(i => buf(i).user % 2 == 1)
-        val dropT = mark(ti)
-        val dropC = mark(ci)
+        val dropT = seen(1) - heaps(1).size
+        val dropC = seen(0) - heaps(0).size
         var first = true
-        buf.indices.iterator.filter(i => keep(i)).map { i =>
-          val p = buf(i)
+        (heaps(1).iterator ++ heaps(0).iterator).map { case (_, p) =>
           val r = QtePre(p.user, p.ts, p.cents,
             if (first) dropT else 0L, if (first) dropC else 0L)
           first = false
