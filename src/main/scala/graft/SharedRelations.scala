@@ -31,13 +31,27 @@ object SharedRelations {
   /** dir-key → snapshot path, built once per JVM. */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build-or-reuse WITHOUT computeIfAbsent: snapshots nest (the
+    * n-gram counts derive from the docTokens snapshot, the KN stats
+    * from the bigram snapshot), and a recursive computeIfAbsent on
+    * one ConcurrentHashMap throws IllegalStateException("Recursive
+    * update") — or deadlocks — whenever the two keys share a hash
+    * bin. The df thunk therefore evaluates OUTSIDE any map lock;
+    * if two threads race, both write a valid snapshot and the
+    * putIfAbsent loser's file is simply never read (same-JVM, rare,
+    * harmless orphan in the temp dir).
+    */
   private def materialize(s: SparkSession, key: String, df: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_shared_").toString
-      val p = s"$dir/rel.parquet"
-      df.write.mode("overwrite").parquet(p)
-      p
-    })
+    val existing = built.get(key)
+    val path =
+      if (existing != null) existing
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_shared_").toString
+        val p = s"$dir/rel.parquet"
+        df.write.mode("overwrite").parquet(p)
+        val prev = built.putIfAbsent(key, p)
+        if (prev != null) prev else p
+      }
     s.read.parquet(path)
   }
 

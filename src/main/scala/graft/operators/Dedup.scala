@@ -273,6 +273,18 @@ object Dedup {
       .agg(count_distinct(col("h")).as("n_shared"))
   }
 
+  /** Ceiling on the serialized Bloom sketch [[bloomContamination]]
+    * ships inside its filter EXPRESSION (and hence inside the task
+    * binary of every stage referencing it). At fpp 0.01 the sketch
+    * costs ~1.2 bytes per distinct eval key, so 64 MiB admits ~55M
+    * keys — ample for eval suites and curated blocklists. Past it,
+    * don't raise the ceiling: move the sketch to an `sc.broadcast`
+    * (one copy per executor, torrent-distributed) behind an
+    * expression that reads the broadcast handle, or shard the
+    * blocklist and run the audit per shard.
+    */
+  val MaxBloomSketchBytes: Long = 64L << 20
+
   /** Bloom-prefiltered decontamination — [[contamination]] for the
     * regime where the held-out/blocklist key set is itself too large
     * to broadcast exactly (a 100 TB run auditing against a big eval
@@ -302,18 +314,6 @@ object Dedup {
     *
     * @return (doc_id, n_shared) — identical to [[contamination]]
     */
-  /** Ceiling on the serialized Bloom sketch [[bloomContamination]]
-    * ships inside its filter EXPRESSION (and hence inside the task
-    * binary of every stage referencing it). At fpp 0.01 the sketch
-    * costs ~1.2 bytes per distinct eval key, so 64 MiB admits ~55M
-    * keys — ample for eval suites and curated blocklists. Past it,
-    * don't raise the ceiling: move the sketch to an `sc.broadcast`
-    * (one copy per executor, torrent-distributed) behind an
-    * expression that reads the broadcast handle, or shard the
-    * blocklist and run the audit per shard.
-    */
-  val MaxBloomSketchBytes: Long = 64L << 20
-
   def bloomContamination(corpus: DataFrame, eval_ : DataFrame,
                          id: Column, text: Column, k: Int,
                          fpp: Double = 0.01,

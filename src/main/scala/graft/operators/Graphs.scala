@@ -802,7 +802,11 @@ object Graphs {
                  driverMaxEdges: Long = DriverGraphMaxEdges): DataFrame = {
     require(k >= 2, s"k out of range: $k")
     require(rounds >= 1, s"rounds out of range: $rounds")
-    val canon = canonicalEdges(edges.select(col("u"), col("v")))
+    // checkpoint the canonical relation BEFORE the bound probe: the
+    // probe's limit-collect and (past the bound) round 0 both read it,
+    // and without materialization each would re-run the corpus-scale
+    // self-join + distinct from scratch
+    val canon = canonicalEdges(edges.select(col("u"), col("v"))).localCheckpoint()
     collectUnderBound(canon, driverMaxEdges) match {
       case Some(rows) => return trussDriver(canon, rows, k, rounds)
       case None =>
@@ -817,7 +821,7 @@ object Graphs {
     // lifetime (unpersisting a checkpointed relation would break any
     // recompute — the connected-components lesson, Dedup.scala:487);
     // held state is bounded by rounds × the shrinking edge relation.
-    var cur = canon.localCheckpoint()
+    var cur = canon // already an eager localCheckpoint (bound probe)
     var nCur = cur.count()
     var it = 0
     var done = false

@@ -44,7 +44,8 @@ object Layout {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     require(table.nonEmpty && table.forall(c =>
-        c.isLetterOrDigit || c == '_'),
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_'),
       s"writeBucketed: table name must be [A-Za-z0-9_]+, got '$table' — " +
         "it is concatenated into the warehouse path that gets deleted")
     val spark = df.sparkSession

@@ -963,11 +963,19 @@ object StreamingOps {
 
   final case class QtePoint(user: Long, ts: java.sql.Timestamp, cents: Long)
   /** [[qteStream]] pre-reduce record: a surviving reservoir candidate
-    * plus (on one record per partition) the count of same-partition
-    * points the pre-reduce dropped per arm — so the global state's
-    * nSeen totals stay exact without shipping the dropped points. */
+    * plus, on ONE carrier record per partition, the count of
+    * same-partition points the pre-reduce dropped per arm (so the
+    * global state's nSeen totals stay exact without shipping the
+    * dropped points) and the partition's true max raw event time
+    * (so idle eviction arms from the real batch horizon even when
+    * the newest points lose the reservoir lottery). The carrier is
+    * the MAX-ts survivor: under a watermark, flatMapGroupsWithState
+    * drops late input rows before the state function, and the max-ts
+    * survivor is the last row that could be declared late — if even
+    * it is late, every survivor is, and the batch contributes nothing
+    * either way. */
   final case class QtePre(user: Long, ts: java.sql.Timestamp, cents: Long,
-                          dropT: Long, dropC: Long)
+                          dropT: Long, dropC: Long, maxTsMs: Long)
   final case class QteState(nT: Long, nC: Long,
                             resT: Seq[(Long, Long, Long)],
                             resC: Seq[(Long, Long, Long)])
@@ -1030,9 +1038,11 @@ object StreamingOps {
       val heaps = Array.fill(2)(
         scala.collection.mutable.PriorityQueue.empty[((Long, Long, Long), QtePoint)](ord))
       val seen = new Array[Long](2)
+      var maxTs = Long.MinValue
       it.foreach { p =>
         val arm = if (p.user % 2 == 1) 1 else 0
         seen(arm) += 1
+        maxTs = math.max(maxTs, p.ts.getTime)
         val rec = (entryOf(p), p)
         val h = heaps(arm)
         if (h.size < cap) h.enqueue(rec)
@@ -1042,12 +1052,16 @@ object StreamingOps {
       else {
         val dropT = seen(1) - heaps(1).size
         val dropC = seen(0) - heaps(0).size
-        var first = true
-        (heaps(1).iterator ++ heaps(0).iterator).map { case (_, p) =>
-          val r = QtePre(p.user, p.ts, p.cents,
-            if (first) dropT else 0L, if (first) dropC else 0L)
-          first = false
-          r
+        val survivors = (heaps(1) ++ heaps(0)).map(_._2)
+        // carrier = max-ts survivor (see QtePre doc)
+        val carrier = survivors.maxBy(p => (p.ts.getTime, p.cents, p.user))
+        var carried = false
+        survivors.iterator.map { p =>
+          val isCarrier = !carried && (p eq carrier)
+          if (isCarrier) carried = true
+          QtePre(p.user, p.ts, p.cents,
+            if (isCarrier) dropT else 0L, if (isCarrier) dropC else 0L,
+            if (isCarrier) maxTs else Long.MinValue)
         }
       }
     }
@@ -1087,7 +1101,11 @@ object StreamingOps {
               }
             }
             state.update(st)
-            armEviction(state, idleEvict, pts.last.ts.getTime)
+            // arm from the batch's true max raw event time (the
+            // carrier's maxTsMs), not the max SURVIVOR ts — the
+            // newest points may have lost the reservoir lottery
+            armEviction(state, idleEvict,
+              math.max(pts.last.ts.getTime, prs.map(_.maxTsMs).max))
             out.iterator
           }
       }
