@@ -590,6 +590,10 @@ object AnalysisQueries {
          |FROM sc ORDER BY score DESC, user_id LIMIT 20""".stripMargin
     }) { (s, d) =>
     import graft.operators.Curation.microLn
+    // NOT persisted (measured r12): the whole gate is ONE action, so
+    // Catalyst's exchange reuse already shares the user aggregate
+    // between the maxima scan, the three histograms and the score
+    // join — a cache only added materialization cost (0.97 → 1.24 s)
     val u = ev(s, d).groupBy(col("user_id")).agg(
       count(lit(1)).cast("long").as("f1"),
       Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("f2"),

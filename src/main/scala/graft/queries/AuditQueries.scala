@@ -2222,42 +2222,52 @@ object AuditQueries {
     val g = ev(s, d).filter(col("event_type").isin("click", "view"))
       .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
-      .persist() // both series and both stats read it; harness-freed
-    def series(t: String) = g.filter(col("event_type") === t).select(col("grid"), col("y"))
-    def stats(df: DataFrame): DataFrame = {
-      val base = df.agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("s"))
-      df.crossJoin(broadcast(base))
-        .agg(first(col("n")).as("n"), first(col("s")).as("s"),
-          sum((col("n").cast("decimal(38,0)") * col("y") - col("s")) *
-            (col("n").cast("decimal(38,0)") * col("y") - col("s")))
-            .cast("decimal(38,0)").as("d2"))
-    }
-    val x = series("click")
-    val y = series("view")
-    // the per-series stats are ONE exact-integer row each — collect
-    // them once and inline as literals (the scalar the SQL oracle's
-    // 1-row CTE cross join expresses): 7 lag branches then share the
-    // values with zero extra jobs or broadcast exchanges
-    val (nx, sxs, dx2) = { val r = stats(x).head()
-      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)) }
-    val (ny, sys, dy2) = { val r = stats(y).head()
-      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)) }
-    val lagRows = CcfLags.map { k =>
-      x.select(col("grid"), col("y").as("xv"))
-        .join(y.select((col("grid") - k).as("grid"), col("y").as("yv")), "grid")
-        .agg(count(lit(1)).as("n_overlap"),
-          sum((lit(nx).cast("decimal(38,0)") * col("xv") - lit(sxs)) *
+      .persist() // series, stats and the lag join all read it; harness-freed
+    // per-series exact stats in TWO single-action passes total (r12;
+    // was two actions PER series): (n, s) per type first, then d2
+    // with those scalars inlined as literals — the 1-row values the
+    // SQL oracle's CTE cross joins express
+    val ns = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (nx, sxs) = ns.getOrElse("click", (0L, 0L))
+    val (ny, sys) = ns.getOrElse("view", (0L, 0L))
+    def dev(n: Long, sv: Long) = lit(n).cast("decimal(38,0)") * col("y") - lit(sv)
+    val d2s = g.groupBy(col("event_type"))
+      .agg(sum(when(col("event_type") === "click", dev(nx, sxs) * dev(nx, sxs))
+          .otherwise(dev(ny, sys) * dev(ny, sys)))
+        .cast("decimal(38,0)").as("d2"))
+      .collect().map(r => r.getString(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    val dx2 = d2s.getOrElse("click", BigInt(0))
+    val dy2 = d2s.getOrElse("view", BigInt(0))
+    // ALL 7 lags in ONE equi-join + lag-keyed aggregate (r12; was 7
+    // unioned single-lag branches, each its own scheduled job group):
+    // the click series fans out ×7 to (lag, grid + lag) keys, the
+    // static 7-row lag frame restores lags with zero overlap
+    val x = g.filter(col("event_type") === "click")
+      .select(col("grid"), col("y").as("xv"))
+    val y = g.filter(col("event_type") === "view")
+      .select(col("grid").as("jg"), col("y").as("yv"))
+    val xl = x.withColumn("lag", explode(lit(CcfLags.map(_.toLong).toArray)))
+      .select(col("lag"), (col("grid") + col("lag")).as("jg"), col("xv"))
+    val agg = xl.join(y, "jg")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum((lit(nx).cast("decimal(38,0)") * col("xv") - lit(sxs)) *
             (lit(ny).cast("decimal(38,0)") * col("yv") - lit(sys)))
-            .cast("decimal(38,0)").as("num"))
-        .select(lit(k.toLong).as("lag"), col("n_overlap"),
-          if (dx2 > 0 && dy2 > 0)
-            (round(col("num").cast("double") /
-              (sqrt(lit(dx2.toString).cast("decimal(38,0)").cast("double")) *
-               sqrt(lit(dy2.toString).cast("decimal(38,0)").cast("double"))), 6)
-              + lit(0.0)).as("r")
-          else lit(null).cast("double").as("r"))
-    }
-    lagRows.reduce(_.unionAll(_)).orderedSmall(col("lag"))
+          .cast("decimal(38,0)").as("num"))
+    val sess = s
+    import sess.implicits._
+    val frame = CcfLags.map(_.toLong).toDF("lag")
+    frame.join(agg, Seq("lag"), "left")
+      .select(col("lag"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (if (dx2 > 0 && dy2 > 0)
+          round(col("num").cast("double") /
+            (sqrt(lit(dx2.toString).cast("decimal(38,0)").cast("double")) *
+             sqrt(lit(dy2.toString).cast("decimal(38,0)").cast("double"))), 6)
+            + lit(0.0)
+        else lit(null).cast("double")).as("r"))
+      .orderedSmall(col("lag"))
   }
 
   /** ε for the DP release gate: 0.5 (scale b = 2). */

@@ -1622,10 +1622,15 @@ object EvalQueries {
     val pr = a.join(b, Seq("grid")).filter(col("i") =!= col("j"))
       .groupBy(col("i"), col("j"))
       .agg((count(when(col("ya") > col("yb"), 1)) + 1).cast("long").as("w"))
+    // gate-lifetime cache: the win matrix is read THREE times (the
+    // mat collect, the wins collect, and the returned plan through
+    // wi) — uncached, each re-runs the corpus grid self-join chain;
+    // freed by the harness post-action like every gate cache
     val nn = pr.as("x")
       .join(pr.select(col("i").as("j"), col("j").as("i"), col("w").as("wr")).as("yy"),
         Seq("i", "j"))
       .select(col("i"), col("j"), col("w"), (col("w") + col("wr")).as("n"))
+      .persist()
     val wi = nn.groupBy(col("i")).agg(sum(col("w")).cast("long").as("wins"),
       sum(col("n")).cast("long").as("n_games"))
     // the fixed point runs DRIVER-SIDE over the collected k²-bounded
