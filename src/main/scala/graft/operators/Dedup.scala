@@ -145,14 +145,22 @@ object Dedup {
     * feeds at most, so the fast path is the 100 TB shape. */
   private val MaxMaskSources = 24
 
+  /** @param catalog the sorted distinct source list, when the caller
+    *                 already holds it (a feed catalog is metadata —
+    *                 the gate caches it per session via
+    *                 [[graft.SharedRelations.cachedValue]], r12
+    *                 verdict item 2: the in-gate distinct+collect
+    *                 probe was one of the gate's two jobs). None →
+    *                 probe the corpus here. */
   def sourceOverlap(docs: DataFrame, source: Column, text: Column, k: Int,
-                    maxMaskSources: Int = MaxMaskSources): DataFrame = {
+                    maxMaskSources: Int = MaxMaskSources,
+                    catalog: Option[Seq[String]] = None): DataFrame = {
     val rel = docs.select(source.as("source"),
       explode(graft.expressions.TextExpressions.shingleKeysFast(text, k)).as("h"))
     // the source catalog (model-sized, sorted for the canonical a < b
     // pair order)
-    val srcs = docs.select(source.as("source")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val srcs = catalog.getOrElse(docs.select(source.as("source")).distinct()
+      .collect().map(_.getString(0)).toSeq).sorted
     if (srcs.isEmpty) {
       // Zero distinct sources (empty corpus): the bitmask branch
       // below would build an empty aggregate list and crash on

@@ -468,7 +468,14 @@ object CurationQueries {
 
   /** #95 — DSIR resampling: Gumbel-top-k over the importance weights
     * (sample-without-replacement ∝ exp(w), deterministic portable
-    * noise), keeping the K most target-like docs.
+    * noise), keeping the K most target-like docs. Measured floor
+    * (r13, sf0.1): 6 jobs ≈ 0.6 s of the ~0.7-0.8 s wall — the
+    * weight pipeline (bigram explode + bucket aggregate + per-doc
+    * score join) plus the TakeOrdered stage under AQE; DuckDB runs
+    * the same SQL ~0.3 s in-process, so the >2× ratio is
+    * multi-stage job floors over near-floor compute, flat in corpus
+    * size (the per-doc relation never sorts globally — Gumbel keys
+    * TakeOrdered to K).
     */
   val qDsirSelect = GateQuery.sql(
     "q_dsir_select",

@@ -1928,25 +1928,107 @@ object StatsQueries {
       .orderedSmall(col("event_type"))
   }
 
-  /** Periodogram (#190, rows+test): power spectrum of each event
-    * type's hourly series at integer frequencies 1..8
-    * ([[graft.operators.Spectral.periodogram]] — one mapGroups pass
-    * per series, mean-removed). The iterative-DFT family is
-    * non-SQL-expressible by SURVEY §4; a known-sinusoid fixture pins
-    * the peak frequency in StatsEdgeSpec.
+  /** Calendar-grid length of [[qPeriodogram]]'s hourly series: the
+    * 30-day events horizon (720 hours), absent buckets zero-filled —
+    * the fixed-n dense grid is what makes the DFT a LITERAL-domain
+    * computation (cos(2πkt/n) depends only on (k·t) mod n, so the
+    * whole trig surface is one n-row driver literal table on both
+    * engines — the Benford/NDCG precedent, r12 verdict item 3). */
+  private val PgN = 720
+  private val PgKMax = 8
+  /** Trig literal scale (cos/sin in 1e4 units). */
+  private val PgTs = 10000L
+  /** Power output divisor n²·PgTs²·1000: emits power in kilo-cents²
+    * units. Headroom (the established exactness-bound convention):
+    * |c_t| = |n·y_t − Σy| ≤ 2n·max y ⇒ |re| ≤ n·|c|·PgTs ~ 1e17 at
+    * ×10 scale (fits the decimal(19) lift), power = re²+im² ~ 1e34
+    * (fits decimal(38)/HUGEINT through ~×1000). */
+  private val PgDiv = PgN.toLong * PgN * PgTs * PgTs * 1000L
+  /** (p, cos, sin) literals at phase 2πp/n, rint-quantized to PgTs
+    * units ONCE on the driver — both engines consume the same
+    * integers, so no libm call runs inside either engine. */
+  private val PgPhase: IndexedSeq[(Long, Long, Long)] = (0 until PgN).map { p =>
+    val a = 2.0 * math.Pi * p / PgN
+    (p.toLong, math.rint(PgTs * math.cos(a)).toLong,
+      math.rint(PgTs * math.sin(a)).toLong)
+  }
+
+  /** Periodogram (#190): power spectrum of each event type's hourly
+    * spend series at integer frequencies 1..8 over the fixed 720-hour
+    * calendar grid (absent hours zero-filled — the regular-sampling
+    * form; the irregular per-scan variant stays
+    * [[graft.operators.Spectral.periodogram]], StatsEdgeSpec-pinned).
+    * Hash-exact since r13 (rows-only before): with n fixed, the DFT
+    * is Σ_t c_t·trig[(k·t) mod n] over the n-row driver-literal trig
+    * table ([[PgPhase]]) with c_t = n·y_t − Σy (the ×n-scaled
+    * mean-removed series — integer), so re/im/power are exact
+    * integer sums on both engines; power floors to kilo-cents² via
+    * one exact floor. Peak = argmax power, ties → lowest k, exact.
+    * Shape: ONE corpus aggregate collapses the corpus to the
+    * CALENDAR-BOUNDED (event_type, hour) grid (≤ type-catalog × 720
+    * rows at ANY corpus size); only that grid crosses to the driver,
+    * where the DFT replays in exact integer arithmetic (the
+    * q_spline_rate convention — the 100 TB cost is the aggregate,
+    * and the bounded tail doesn't bill seven more job floors).
     */
-  val qPeriodogram = GateQuery.rowsOnly("q_periodogram") { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
-      // event_type -> stable long key for the typed mapGroups encoder
-      .withColumn("gk", pmod(TextOps.baseHash(col("event_type")), lit(1000000L)))
-    graft.operators.Spectral.periodogram(g, col("gk"), col("grid"), col("y"), kMax = 8)
-      .groupBy(col("g"))
-      .agg(first(col("n")).as("n_points"),
-        max_by(col("k"), struct(col("power"), -col("k"))).as("peak_k"),
-        round(max(col("power")), 2).as("peak_power"))
-      .orderedSmall(col("g"))
+  val qPeriodogram = GateQuery.sql(
+    "q_periodogram", {
+      val phRows = PgPhase.map { case (p, cm, sm) => s"($p, $cm, $sm)" }.mkString(", ")
+      s"""WITH ph(p, cm, sm) AS (VALUES $phRows),
+         |tg AS (SELECT unnest(range(0, $PgN)) AS t),
+         |kk AS (SELECT unnest(range(1, ${PgKMax + 1})) AS k),
+         |g AS (SELECT event_type, xs // 3600 AS h,
+         |    CAST(sum(${centsSql("vd")}) AS BIGINT) AS y
+         |  FROM $E e WHERE xs >= 0 AND xs < ${PgN * 3600L} GROUP BY 1, 2),
+         |et AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(count(*) AS BIGINT) AS n_points FROM g GROUP BY 1),
+         |dn AS (SELECT et.event_type, tg.t,
+         |    $PgN * COALESCE(gg.y, 0) - et.sy AS c
+         |  FROM et CROSS JOIN tg
+         |  LEFT JOIN g gg ON gg.event_type = et.event_type AND gg.h = tg.t),
+         |dd AS (SELECT dn.event_type, kk.k,
+         |    CAST(sum(CAST(dn.c AS HUGEINT) * ph.cm) AS HUGEINT) AS re,
+         |    CAST(sum(CAST(dn.c AS HUGEINT) * ph.sm) AS HUGEINT) AS im
+         |  FROM dn CROSS JOIN kk JOIN ph ON ph.p = (kk.k * dn.t) % $PgN
+         |  GROUP BY 1, 2),
+         |pw AS (SELECT event_type, k,
+         |    (re * re + im * im) // CAST($PgDiv AS HUGEINT) AS pw FROM dd),
+         |rk AS (SELECT event_type, k, pw, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY pw DESC, k) AS rn FROM pw)
+         |SELECT rk.event_type, et.n_points, CAST(rk.k AS BIGINT) AS peak_k,
+         |  CAST(rk.pw AS BIGINT) AS peak_power
+         |FROM rk JOIN et ON rk.event_type = et.event_type
+         |WHERE rn = 1 ORDER BY rk.event_type""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val g = ev(s, d).filter(col("xs") >= 0 && col("xs") < PgN * 3600L)
+      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("h"))
+      .agg(sum(Exact.cents(col("vd"))).cast("long").as("y"))
+    // calendar-bounded grid: ≤ |type catalog| × 720 rows at any SF
+    val grid = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val ys = rows.map(r => r._2 -> r._3).toMap
+      val sy = rows.iterator.map(_._3).sum
+      val nPoints = rows.length.toLong
+      // exact replay of the SQL dense DFT: c_t = n·y_t − Σy, trig
+      // from the SAME literal table; BigInt squares, one floor
+      val powers = (1 to PgKMax).map { k =>
+        var re = BigInt(0); var im = BigInt(0)
+        var t = 0
+        while (t < PgN) {
+          val c = PgN.toLong * ys.getOrElse(t.toLong, 0L) - sy
+          val (_, cm, sm) = PgPhase((k * t) % PgN)
+          re += BigInt(c) * cm
+          im += BigInt(c) * sm
+          t += 1
+        }
+        (k.toLong, (re * re + im * im) / PgDiv) // nonneg: / == floor
+      }
+      val (peakK, peakPw) = powers.maxBy { case (k, p) => (p, -k) }
+      (et, nPoints, peakK, peakPw.toLong)
+    }
+    out.toDF("event_type", "n_points", "peak_k", "peak_power")
+      .orderedSmall(col("event_type"))
   }
 
   /** Holt linear-trend smoothing (#191): double exponential
@@ -4089,36 +4171,58 @@ object StatsQueries {
     * thresholds over long column `v` — the q_rfm recipe replacing a
     * corpus-wide `ntile(10)` (an `Exchange SinglePartition` sorting
     * the PER-ROW relation in one task — the driver-bottleneck class
-    * at 10⁹ users). Here the only single-partition window runs over
-    * the (value, count)-COLLAPSED relation, bounded by the value
-    * domain, never the corpus; thresholds pivot to ONE row that
-    * attaches back as a broadcast scalar. Ties share a stratum
-    * (strict `>` crossing, scoring LOW — the q_rfm convention), so
-    * strata are activity LEVELS rather than ntile's arbitrary
-    * user_id tie splits; a value holding >10% of rows leaves the
-    * skipped deciles empty, which the positivity handling downstream
-    * already tolerates. Mirrored by [[decileThrSql]] +
-    * [[decileStratumSqlExpr]].
+    * at 10⁹ users). The (value, count)-collapsed histogram is
+    * bounded by the per-user activity DOMAIN (max events per user),
+    * never the user count, so it collects to the driver ONCE PER
+    * SESSION ([[userCountThresholds]] — r12 verdict item 5: q_ipw_ate
+    * and q_aipw_ate derive thresholds from the same events relation,
+    * so the histogram pass runs once with two consumers) and the
+    * stratum column is pure literals — zero extra jobs per gate.
+    * Ties share a stratum (strict `>` crossing, scoring LOW — the
+    * q_rfm convention), so strata are activity LEVELS rather than
+    * ntile's arbitrary user_id tie splits; a value holding >10% of
+    * rows leaves the skipped deciles empty, which the positivity
+    * handling downstream already tolerates. Mirrored by
+    * [[decileThrSql]] + [[decileStratumSqlExpr]].
     */
-  private def decileStratum(df: DataFrame, v: String): DataFrame = {
-    val pv = df.groupBy(col(v)).agg(count(lit(1)).as("c"))
-    val cum = Window.orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val th = pv
-      .withColumn("cum", sum(col("c")).over(cum))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
-      .withColumn("p", explode(lit(DecilePs.toArray)))
-      .filter(col("cum") * 100 >= col("tot") * col("p"))
-      .groupBy(col("p")).agg(min(col(v)).as("t"))
-    val thrCols = DecilePs.map(p => min(when(col("p") === p, col("t"))).as(s"_t$p"))
-    val thr = th.agg(thrCols.head, thrCols.tail: _*)
-    val stratum = DecilePs
-      .map(p => when(col(v) > col(s"_t$p"), 1).otherwise(0))
+  private def decileStratum(s: SparkSession, d: String, df: DataFrame,
+                            v: String): DataFrame = {
+    val thr = userCountThresholds(s, d)
+    val stratum = thr
+      .map(t => when(col(v) > t, 1).otherwise(0))
       .foldLeft(lit(1): Column)(_ + _)
-    Curation.withStats(df, thr)
-      .withColumn("stratum", stratum.cast("long"))
-      .drop(DecilePs.map(p => s"_t$p"): _*)
+    df.withColumn("stratum", stratum.cast("long"))
   }
+
+  /** Session-cached decile thresholds of the per-user event-count
+    * histogram (the shared stratifier input of q_ipw_ate/q_aipw_ate).
+    * The collect is bounded by the activity-count DOMAIN (distinct
+    * per-user event counts — hundreds of values at any corpus size,
+    * one (long, long) row each), and the driver replay of the
+    * crossing rule (min v with cum·100 ≥ tot·p) is the same exact
+    * integer arithmetic as [[decileThrSql]]'s window derivation, so
+    * the literal thresholds are bit-identical to the SQL mirror's.
+    */
+  private def userCountThresholds(s: SparkSession, d: String): Seq[Long] =
+    graft.SharedRelations.cachedValue("ipwthr", d) {
+      val pv = ev(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("c"))
+        .orderBy(col("v"))
+        .collect() // bounded by the activity-count domain (see doc)
+      val tot = pv.iterator.map(_.getLong(1)).sum
+      DecilePs.map { p =>
+        var cum = 0L
+        var res = Long.MaxValue // empty input: vacuous (no rows to stratify)
+        var i = 0
+        while (i < pv.length && res == Long.MaxValue) {
+          cum += pv(i).getLong(1)
+          if (cum * 100 >= tot * p) res = pv(i).getLong(0)
+          i += 1
+        }
+        res
+      }
+    }
 
   /** DuckDB mirror of [[decileStratum]]'s threshold derivation:
     * emits CTEs pv/cw/th/thr over `uTbl.v`; compose with
@@ -4194,7 +4298,7 @@ object StatsQueries {
     val u = ev(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("n_ev"),
         max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
-    val st = decileStratum(u, "n_ev").select(col("user_id"), col("conv"),
+    val st = decileStratum(s, d, u, "n_ev").select(col("user_id"), col("conv"),
       pmod(col("user_id"), lit(2L)).as("tr"), col("stratum"))
     val g = st.groupBy(col("stratum")).agg(
       count(lit(1)).cast("long").as("n_s"),
@@ -4308,7 +4412,7 @@ object StatsQueries {
       val u = ev(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("x"),
           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
-      val st = decileStratum(u, "x").select(col("user_id"), col("x"), col("y"),
+      val st = decileStratum(s, d, u, "x").select(col("user_id"), col("x"), col("y"),
         pmod(col("user_id"), lit(2L)).as("tr"), col("stratum"))
       def arm(t: Int, sfx: String): Seq[Column] = {
         def f(c: Column) = when(col("tr") === t, c)

@@ -1002,7 +1002,8 @@ object StreamingOps {
     * one streaming pass over the partition with a size-capped heap
     * per arm, O(cap) memory, the partition itself never buffered —
     * and only partitions×(2·cap) rows ever reach the single stateful
-    * task, whatever the raw micro-batch volume. The FINAL reservoir,
+    * task, whatever the raw micro-batch volume. WITHOUT a watermark
+    * (idleEvict = None — the exactness path) the FINAL reservoir,
     * counts and estimate are bit-identical to the unreduced loop at
     * any split (a dropped point is beaten by ≥cap same-partition
     * entries, so it can never enter the global bottom-cap); under
@@ -1010,7 +1011,16 @@ object StreamingOps {
     * emission cadence is bit-identical too, while over-cap batches
     * emit once per SURVIVING candidate (the monitor samples — the
     * interleaved emissions a raw-point loop would add carry no final
-    * information). Dead streams evict via [[IdleEvict]].
+    * information). WITH idleEvict set, the pre-reduce runs BEFORE
+    * the watermark filter, so the bit-identical claim is scoped to
+    * on-time data: a watermark-LATE point that loses its partition
+    * heap is still folded into nT/nC through an on-time carrier's
+    * drop counters (the raw loop would have dropped it pre-state),
+    * and conversely a late carrier takes its batch's drop counters
+    * down with it — both are the standard best-effort-counting
+    * semantics of late data under eviction, chosen over buffering
+    * the partition to re-segregate late rows (which would defeat the
+    * O(cap) pre-reduce). Dead streams evict via [[IdleEvict]].
     */
   def qteStream(points: Dataset[QtePoint], cap: Int = 64,
                 idleEvict: Option[IdleEvict] = None): Dataset[QteOut] = {

@@ -26,6 +26,9 @@ def main():
     wins = sorted((k for k in common if spark[k] < duck[k]),
                   key=lambda k: spark[k] / duck[k])
     floor = [k for k in common if duck[k] < 0.15]
+    exk = [k for k in common if k != "q_ktruss"]
+    dex = sum(duck[k] for k in exk)
+    sex = sum(spark[k] for k in exk)
     today = datetime.date.today().isoformat()
     print(f"""# BASELINE — measured single-node reference numbers
 
@@ -34,7 +37,9 @@ comparable TPC-H-style timings, so the measurable single-node baseline
 for the oracle workload is DuckDB executing the EXACT oracle SQL of
 every SQL-gated query on the same parquet tables. Methodology matches
 `graft.Bench`: result fully materialized, one warm-up run, best-of-2,
-8 threads. Spark = `graft.Bench` at local[32],
+32 threads — the SAME core budget as Spark (r12 advice: prior rounds
+ran DuckDB at 8 threads vs Spark local[32]; both engines now get all
+32 cores). Spark = `graft.Bench` at local[32],
 spark.sql.shuffle.partitions=32, noop sink, warm-up + best-of-3,
 leftover persisted blocks dropped between queries; per-query best
 across the bench invocations of the same session.
@@ -43,7 +48,29 @@ Measured {today} at sf0.1 (`tools/bench_baseline.py --json` +
 `graft.Bench`, same-session matched pair) over ALL {len(common)}
 SQL-oracle gates — the full gate set, no unmeasured remainder.
 Aggregate: **Spark {stot:.2f} s vs DuckDB {dtot:.2f} s =
-{stot / dtot:.2f}x**.
+{stot / dtot:.2f}x**. Excluding q_ktruss (whose DuckDB side — a
+10-round unrolled-CTE triangle-support replay — dominates the DuckDB
+total and swung ±100 s across rounds on host variance; r12 verdict
+item 1): **Spark {sex:.2f} s vs DuckDB {dex:.2f} s =
+{sex / dex:.2f}x over the other {len(exk)} gates**. Both aggregates
+are the honest read together: the headline carries the one gate
+where the unrolled SQL replay is pathological for DuckDB, the
+ex-ktruss number is the floor-dominated remainder.
+
+Snapshot amortization disclosure (r12 advice): a few gates read
+session-materialized model/derived tables that graft.Bench's
+UNMEASURED warm-up pass builds once per session — the six graph
+gates (canonical co-occurrence / trade edges), the LM family
+q_lm_bigram / q_lm_kn / q_lm_trigram / q_moore_lewis_bi (tokenized
+corpus + n-gram count tables), q_rbo (the BM25/QL top-10 lists),
+q_itemsets3 (the distinct basket relation), q_source_overlap (the
+source catalog) and q_ipw_ate / q_aipw_ate (the shared decile
+thresholds). For THOSE gates the DuckDB oracle re-executes the full
+derivation inside each measured run, so their per-gate ratios
+compare Spark's serving cost against DuckDB's train+serve cost —
+the production framing (models and materialized views are built
+once, queried many times), but not a same-work pair. All other
+gates execute end-to-end on both engines.
 
 The aggregate is floor-dominated: {len(floor)} of the {len(common)}
 gates run <150 ms in DuckDB and each bills Spark its fixed
@@ -56,6 +83,7 @@ Spark wins outright ({len(wins)} gates faster than DuckDB):
     for k in common:
         print(f"| {k} | {duck[k]:.3f} | {spark[k]:.3f} | {spark[k] / duck[k]:.1f}x |")
     print(f"| **total** | **{dtot:.3f}** | **{stot:.3f}** | **{stot / dtot:.2f}x** |")
+    print(f"| **total ex-q_ktruss** | **{dex:.3f}** | **{sex:.3f}** | **{sex / dex:.2f}x** |")
 
 if __name__ == "__main__":
     main()
