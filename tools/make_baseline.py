@@ -14,6 +14,13 @@ import json, sys, datetime
 
 def main():
     duck = json.load(open(sys.argv[1]))
+    duck8 = None
+    argv = list(sys.argv)
+    if "--duck8" in argv:
+        i = argv.index("--duck8")
+        duck8 = json.load(open(argv[i + 1]))
+        del argv[i:i + 2]
+    sys.argv = argv
     spark = {}
     for p in sys.argv[2:]:
         q = json.load(open(p))["queries"]
@@ -30,6 +37,25 @@ def main():
     dex = sum(duck[k] for k in exk)
     sex = sum(spark[k] for k in exk)
     today = datetime.date.today().isoformat()
+    thread_note = ""
+    if duck8:
+        c8 = [k for k in common if duck8.get(k) is not None]
+        d8 = sum(duck8[k] for k in c8)
+        d8ex = sum(duck8[k] for k in c8 if k != "q_ktruss")
+        s8 = sum(spark[k] for k in c8)
+        s8ex = sum(spark[k] for k in c8 if k != "q_ktruss")
+        thread_note = f"""
+Thread-count sensitivity (same session, same host): DuckDB at its
+previous-round 8-thread setting totals {d8:.2f} s
+({d8ex:.2f} s ex-q_ktruss) over the same gates — FASTER than its
+32-thread run, because most gates are sub-150 ms where extra
+threads are pure fan-out overhead. Against DuckDB's better
+(8-thread) config the aggregates are Spark {s8:.2f}/{d8:.2f} =
+{s8 / d8:.2f}x and ex-ktruss {s8ex:.2f}/{d8ex:.2f} =
+{s8ex / d8ex:.2f}x. The headline uses the symmetric 32-thread pair
+(r12 advice); both configs are reported so neither engine's number
+leans on a core-count asymmetry.
+"""
     print(f"""# BASELINE — measured single-node reference numbers
 
 The reference (`stuwilkins/pyspec`) is a NumPy library with no
@@ -56,7 +82,7 @@ item 1): **Spark {sex:.2f} s vs DuckDB {dex:.2f} s =
 are the honest read together: the headline carries the one gate
 where the unrolled SQL replay is pathological for DuckDB, the
 ex-ktruss number is the floor-dominated remainder.
-
+{thread_note}
 Snapshot amortization disclosure (r12 advice): a few gates read
 session-materialized model/derived tables that graft.Bench's
 UNMEASURED warm-up pass builds once per session — the six graph
