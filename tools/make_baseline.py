@@ -87,8 +87,10 @@ Snapshot amortization disclosure (r12 advice): a few gates read
 session-materialized model/derived tables that graft.Bench's
 UNMEASURED warm-up pass builds once per session — the six graph
 gates (canonical co-occurrence / trade edges), the LM family
-q_lm_bigram / q_lm_kn / q_lm_trigram / q_moore_lewis_bi (tokenized
-corpus + n-gram count tables), q_rbo (the BM25/QL top-10 lists),
+q_lm_bigram / q_lm_kn / q_lm_trigram / q_moore_lewis_bi plus the
+perplexity rung q_lm_perplexity / q_ppl_buckets / q_minkpct
+(tokenized corpus + n-gram count tables), q_rbo and q_rrf_fusion
+(the BM25/QL/TF top-10 lists, BM25's shared between them),
 q_itemsets3 (the distinct basket relation), q_source_overlap (the
 source catalog) and q_ipw_ate / q_aipw_ate (the shared decile
 thresholds). For THOSE gates the DuckDB oracle re-executes the full
