@@ -137,6 +137,56 @@ object SharedRelations {
         .select(col("u"), col("v")).distinct()
     })
 
+  /** (event_type, grid, y) hourly cents rollup of the events corpus:
+    * grid = hour index of the epoch-anchored xs clock, y = Σ exact
+    * cents per (type, hour) — the calendar-bounded series ~20
+    * time-series gates (ACF/PACF/CCF, Holt, Hurst, Theil–Sen,
+    * Hodges–Lehmann, changepoint, Dickey–Fuller, seasonal, ...) each
+    * re-derived with their own corpus-scale aggregate. Exact integer
+    * sum ⇒ snapshot values are bit-identical to the inline aggregate.
+    * Production keeps exactly this rollup as a materialized hourly
+    * table next to the event log.
+    */
+  def hourlyCentsGrid(s: SparkSession, d: String): DataFrame =
+    snapshot(s, "hcg", d)(
+      Tables.events(s, d).select(
+          col("event_type"),
+          graft.operators.Binning.floorDiv(
+            expr("ts_us div 1000000") - lit(1704067200L), 3600L).as("grid"),
+          graft.operators.Exact.cents(col("value").cast("decimal(18,2)")).as("c"))
+        .groupBy(col("event_type"), col("grid"))
+        .agg(graft.operators.Exact.sumUnits(col("c")).cast("long").as("y")))
+
+  /** (event_type, grid, c) hourly event-count rollup — the count
+    * twin of [[hourlyCentsGrid]] (Fano/burst gates). */
+  def hourlyCountGrid(s: SparkSession, d: String): DataFrame =
+    snapshot(s, "hcc", d)(
+      Tables.events(s, d).select(
+          col("event_type"),
+          graft.operators.Binning.floorDiv(
+            expr("ts_us div 1000000") - lit(1704067200L), 3600L).as("grid"))
+        .groupBy(col("event_type"), col("grid"))
+        .agg(count(lit(1)).cast("long").as("c")))
+
+  /** (pr packed pair key, inter, ma, mb) candidate-pair shingle
+    * intersections over 3-token shingles of the documents corpus
+    * (uncapped, [[graft.operators.Dedup.pairCounts]]) — the shared
+    * candidate stage of the seven Jaccard-family gates
+    * (q_jaccard_pairs, q_containment_pairs, q_jaccard_survival,
+    * q_dup_clusters, q_cluster_reps, q_soft_dedup,
+    * q_capture_recapture). Each gate re-ran the corpus-scale shingle
+    * explode + h-shuffle + pair aggregate to derive the SAME bounded
+    * pair relation before applying its own pair-domain threshold /
+    * bucketing / component pass; production materializes the
+    * candidate-pair table once per corpus snapshot for exactly this
+    * reason (every dedup decision — drop, weight, cluster, audit —
+    * reads it).
+    */
+  def docPairCounts3(s: SparkSession, d: String): DataFrame =
+    snapshot(s, "jpc3", d)(
+      graft.operators.Dedup.pairCounts(Tables.documents(s, d),
+        col("doc_id"), col("text"), 3))
+
   /** Distinct customer⇄supplier trade pairs (ck, sk) from
     * orders⋈lineitem — the bipartite trade graph behind
     * PageRank/BFS; consumers apply their own node encoding.

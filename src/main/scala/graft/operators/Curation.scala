@@ -185,7 +185,7 @@ object Curation {
     * deduplicated — left_anti consumers don't care, and the
     * counts-only path distincts exactly once where it must.
     */
-  private def substrDeleteSet(docs: DataFrame, l: Int): DataFrame = {
+  private[graft] def substrDeleteSet(docs: DataFrame, l: Int): DataFrame = {
     val wins = docs
       .select(col("doc_id"),
         posexplode(graft.expressions.TextExpressions.windowKeys(col("text"), l)).as(Seq("p", "h")))
@@ -206,8 +206,14 @@ object Curation {
     * strings. The funnel / keep-decision path, where the corrected
     * text itself is never needed.
     */
-  def substrDedupStats(docs: DataFrame, l: Int): DataFrame = {
-    val delCnt = substrDeleteSet(docs, l).distinct()
+  def substrDedupStats(docs: DataFrame, l: Int): DataFrame =
+    substrDedupStatsFromDel(docs, substrDeleteSet(docs, l))
+
+  /** [[substrDedupStats]] over a precomputed delete set — for a
+    * session that materialized [[substrDeleteSet]] once and fans
+    * several consumers off it. Identical values. */
+  def substrDedupStatsFromDel(docs: DataFrame, del: DataFrame): DataFrame = {
+    val delCnt = del.distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_del"))
     docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(delCnt, Seq("doc_id"), "left")
@@ -215,9 +221,12 @@ object Curation {
         (col("n_tokens") - coalesce(col("n_del"), lit(0L))).as("n_kept"))
   }
 
-  def substrDedup(docs: DataFrame, l: Int): DataFrame = {
+  def substrDedup(docs: DataFrame, l: Int): DataFrame =
+    substrDedupFromDel(docs, substrDeleteSet(docs, l))
+
+  /** [[substrDedup]] over a precomputed delete set. Identical values. */
+  def substrDedupFromDel(docs: DataFrame, del: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-    val del = substrDeleteSet(docs, l)
     val tokRel = toks
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
       .select(col("doc_id"), (col("p") + 1).as("idx"), col("word"))

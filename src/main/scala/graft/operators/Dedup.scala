@@ -91,9 +91,22 @@ object Dedup {
       .agg(count(lit(1)).as("inter"), max(col("ma")).as("ma"), max(col("mb")).as("mb"))
   }
 
-  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
-                   k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
-    val inter = jaccardPairInter(docs, id, text, k, maxDf)
+  /** Public handle on the shared candidate stage: (pr packed pair
+    * key, inter, ma, mb) for every doc pair sharing ≥ 1 shingle —
+    * the input every [[jaccardPairsFrom]]-family scorer filters.
+    * Exposed so a session can materialize it ONCE and fan the seven
+    * Jaccard-family gates off the same relation
+    * ([[graft.SharedRelations.docPairCounts3]]): the pair stage is
+    * the corpus-scale cost (shingle explode + h-shuffle + pair
+    * aggregate); every downstream threshold/bucket/CC consumer is
+    * pair-domain sized.
+    */
+  def pairCounts(docs: DataFrame, id: Column, text: Column,
+                 k: Int, maxDf: Int = 0): DataFrame =
+    jaccardPairInter(docs, id, text, k, maxDf)
+
+  /** [[jaccardPairs]] over a precomputed [[pairCounts]] relation. */
+  def jaccardPairsFrom(inter: DataFrame, thresholdPct: Int): DataFrame = {
     val uni = col("ma") + col("mb") - col("inter")
     inter
       .filter(col("inter") * 100 >= uni * thresholdPct)
@@ -101,6 +114,10 @@ object Dedup {
         col("pr").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
         Exact.roundedRatio(col("inter"), uni, 4).as("jaccard"))
   }
+
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+                   k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame =
+    jaccardPairsFrom(jaccardPairInter(docs, id, text, k, maxDf), thresholdPct)
 
   /** Containment / overlap-coefficient near-dup pairs:
     * |A∩B| / min(|A|,|B|) over the SAME capped group-join candidate
@@ -111,9 +128,8 @@ object Dedup {
     * exactly this asymmetry to catch partial-duplication that
     * symmetric Jaccard misses. Same exact HALF_UP ratio discipline.
     */
-  def containmentPairs(docs: DataFrame, id: Column, text: Column,
-                       k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame = {
-    val inter = jaccardPairInter(docs, id, text, k, maxDf)
+  /** [[containmentPairs]] over a precomputed [[pairCounts]] relation. */
+  def containmentPairsFrom(inter: DataFrame, thresholdPct: Int): DataFrame = {
     val denom = least(col("ma"), col("mb"))
     inter
       .filter(col("inter") * 100 >= denom * thresholdPct)
@@ -121,6 +137,10 @@ object Dedup {
         col("pr").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
         Exact.roundedRatio(col("inter"), denom, 4).as("containment"))
   }
+
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       k: Int, thresholdPct: Int, maxDf: Int = 0): DataFrame =
+    containmentPairsFrom(jaccardPairInter(docs, id, text, k, maxDf), thresholdPct)
 
   /** Cross-source shingle-overlap matrix: for every source pair, the
     * count of shared DISTINCT shingle keys and the containment share
@@ -244,15 +264,18 @@ object Dedup {
     * pairs with SOME overlap — disjoint pairs never materialize.
     * Same capped, never-all-pairs shape as [[jaccardPairs]].
     */
-  def jaccardSurvival(docs: DataFrame, id: Column, text: Column,
-                      k: Int, maxDf: Int = 0): DataFrame = {
-    val inter = jaccardPairInter(docs, id, text, k, maxDf)
+  /** [[jaccardSurvival]] over a precomputed [[pairCounts]] relation. */
+  def jaccardSurvivalFrom(inter: DataFrame): DataFrame = {
     val uni = col("ma") + col("mb") - col("inter")
     inter
       .groupBy(Binning.floorDivCol(col("inter") * 10, uni).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
       .select(col("bucket"), col("n_pairs"))
   }
+
+  def jaccardSurvival(docs: DataFrame, id: Column, text: Column,
+                      k: Int, maxDf: Int = 0): DataFrame =
+    jaccardSurvivalFrom(jaccardPairInter(docs, id, text, k, maxDf))
 
   /** Train/eval contamination check (decontamination): flags every
     * corpus document sharing at least one word k-gram with the

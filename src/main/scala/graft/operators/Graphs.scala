@@ -973,6 +973,54 @@ object Graphs {
     * early exit that lets the 93%+ of never-removed edges confirm
     * survival after k−2 matches.
     */
+  /** Split [0, n) into one contiguous chunk per available core and
+    * run `f(lo, hi)` on each in parallel (plain threads — the driver
+    * fast paths are CPU-bound single-JVM loops that were using one
+    * core of a local[32] host). `f` must only write to disjoint,
+    * index-owned state; the first failure rethrows on the caller.
+    * Small n runs inline (thread setup would dominate). */
+  private[operators] def parallelRanges(n: Int)(f: (Int, Int) => Unit): Unit = {
+    val nT = math.max(1, math.min(Runtime.getRuntime.availableProcessors, n / 32768))
+    if (nT <= 1) { f(0, n); return }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val chunk = (n + nT - 1) / nT
+    val ts = (0 until nT).map { t =>
+      val lo = t * chunk
+      val hi = math.min(n, lo + chunk)
+      val th = new Thread(() =>
+        try { if (lo < hi) f(lo, hi) }
+        catch { case e: Throwable => failure.compareAndSet(null, e) })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    if (failure.get != null) throw failure.get
+  }
+
+  /** [[parallelRanges]] with a per-chunk result, returned in chunk
+    * order (so sequential merges are deterministic). */
+  private[operators] def parallelCollect[T: scala.reflect.ClassTag](n: Int)(
+      f: (Int, Int) => T): Array[T] = {
+    val nT = math.max(1, math.min(Runtime.getRuntime.availableProcessors, n / 32768))
+    val chunk = if (nT <= 1) n else (n + nT - 1) / nT
+    val out = new Array[T](if (n == 0) 0 else math.min(nT, (n + chunk - 1) / chunk))
+    if (out.length <= 1) {
+      if (out.length == 1) out(0) = f(0, n)
+      return out
+    }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ts = out.indices.map { t =>
+      val lo = t * chunk
+      val hi = math.min(n, lo + chunk)
+      val th = new Thread(() =>
+        try { out(t) = f(lo, hi) }
+        catch { case e: Throwable => failure.compareAndSet(null, e) })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    if (failure.get != null) throw failure.get
+    out
+  }
+
   private final class TrussGraph(eu: Array[Int], ev: Array[Int], nN: Int) {
     private val nE = eu.length
     private val start = new Array[Int](nN + 1)
@@ -994,35 +1042,46 @@ object Graphs {
         packed(fill(ev(i))) = (eu(i).toLong << 32) | i.toLong; fill(ev(i)) += 1
         i += 1
       }
-      i = 0
-      while (i < nN) { java.util.Arrays.sort(packed, start(i), start(i + 1)); i += 1 }
-      i = 0
-      while (i < 2 * nE) {
-        nbr(i) = (packed(i) >>> 32).toInt
-        eid(i) = (packed(i) & 0xFFFFFFFFL).toInt
-        i += 1
+      // per-node segments are disjoint — sort them on every core
+      parallelRanges(nN) { (lo, hi) =>
+        var v = lo
+        while (v < hi) { java.util.Arrays.sort(packed, start(v), start(v + 1)); v += 1 }
+      }
+      parallelRanges(2 * nE) { (lo, hi) =>
+        var j = lo
+        while (j < hi) {
+          nbr(j) = (packed(j) >>> 32).toInt
+          eid(j) = (packed(j) & 0xFFFFFFFFL).toInt
+          j += 1
+        }
       }
     }
 
     /** min(support, cap) of every edge over the FULL graph — one
       * early-exit two-pointer pass, shared by every k with
       * k − 2 ≤ cap (capping preserves every `sup < need` comparison
-      * those peels make in round 0). */
+      * those peels make in round 0). Edges are independent (read-only
+      * CSR, each writes its own sup slot), so the pass runs on every
+      * driver core ([[Graphs.parallelRanges]]) — it is the dominant
+      * O(Σ deg(u)+deg(v)) cost of the driver peel and was
+      * single-threaded on a 32-core host. */
     def cappedSupport(cap: Int): Array[Int] = {
       val sup = new Array[Int](nE)
-      var e = 0
-      while (e < nE) {
-        var a = start(eu(e)); val aEnd = start(eu(e) + 1)
-        var b = start(ev(e)); val bEnd = start(ev(e) + 1)
-        var s = 0
-        while (s < cap && a < aEnd && b < bEnd) {
-          val x = nbr(a); val y = nbr(b)
-          if (x == y) { s += 1; a += 1; b += 1 }
-          else if (x < y) a += 1
-          else b += 1
+      parallelRanges(nE) { (lo, hi) =>
+        var e = lo
+        while (e < hi) {
+          var a = start(eu(e)); val aEnd = start(eu(e) + 1)
+          var b = start(ev(e)); val bEnd = start(ev(e) + 1)
+          var s = 0
+          while (s < cap && a < aEnd && b < bEnd) {
+            val x = nbr(a); val y = nbr(b)
+            if (x == y) { s += 1; a += 1; b += 1 }
+            else if (x < y) a += 1
+            else b += 1
+          }
+          sup(e) = s
+          e += 1
         }
-        sup(e) = s
-        e += 1
       }
       sup
     }
@@ -1055,26 +1114,42 @@ object Graphs {
             e += 1
           }
         } else {
-          var ci = 0
-          while (ci < nCand) {
-            val e = cand(ci)
-            if (alive(e)) {
-              // early-exit support check over the round-start alive
-              // adjacency (this round's removals apply AFTER the scan)
-              var a = start(eu(e)); val aEnd = start(eu(e) + 1)
-              var b = start(ev(e)); val bEnd = start(ev(e) + 1)
-              var s = 0
-              while (s < need && a < aEnd && b < bEnd) {
-                val x = nbr(a); val y = nbr(b)
-                if (x == y) {
-                  if (alive(eid(a)) && alive(eid(b))) s += 1
-                  a += 1; b += 1
-                } else if (x < y) a += 1
-                else b += 1
+          // parallel support re-check: reads are round-start-consistent
+          // (alive flips apply only AFTER the scan), each chunk
+          // collects its own removals, merged below — the removal SET
+          // is identical to the sequential scan's
+          val bufs = parallelCollect(nCand) { (lo, hi) =>
+            val buf = new Array[Int](hi - lo)
+            var n = 0
+            var ci = lo
+            while (ci < hi) {
+              val e = cand(ci)
+              if (alive(e)) {
+                // early-exit support check over the round-start alive
+                // adjacency (this round's removals apply AFTER the scan)
+                var a = start(eu(e)); val aEnd = start(eu(e) + 1)
+                var b = start(ev(e)); val bEnd = start(ev(e) + 1)
+                var s = 0
+                while (s < need && a < aEnd && b < bEnd) {
+                  val x = nbr(a); val y = nbr(b)
+                  if (x == y) {
+                    if (alive(eid(a)) && alive(eid(b))) s += 1
+                    a += 1; b += 1
+                  } else if (x < y) a += 1
+                  else b += 1
+                }
+                if (s < need) { buf(n) = e; n += 1 }
               }
-              if (s < need) { removed(nR) = e; nR += 1 }
+              ci += 1
             }
-            ci += 1
+            java.util.Arrays.copyOf(buf, n)
+          }
+          var bi = 0
+          while (bi < bufs.length) {
+            val b = bufs(bi)
+            var j = 0
+            while (j < b.length) { removed(nR) = b(j); nR += 1; j += 1 }
+            bi += 1
           }
         }
         if (nR == 0) done = true

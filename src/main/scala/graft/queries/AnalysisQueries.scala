@@ -1535,6 +1535,21 @@ object AnalysisQueries {
           + lit(0.0)).as("v_measure"))
   }
 
+  /** (label, dim, n, s, qq) per-cluster per-dimension cell relation
+    * of the quantized embeddings — the shared model input of
+    * q_calinski and q_davies_bouldin (identical derivation in both;
+    * k×64 rows). One corpus-scale explode+aggregate per session via a
+    * [[graft.SharedRelations]] snapshot instead of one per gate. */
+  private def clusterCells64(s: SparkSession, d: String): DataFrame =
+    graft.SharedRelations.snapshot(s, "cellq64", d)(
+      Tables.embeddings(s, d)
+        .select(col("label"), VectorOps.quantize(col("embedding")).as("q"))
+        .select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
+        .groupBy(col("label"), (col("p") + 1).as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(38,0)").as("s"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("qq")))
+
   val qCalinski = GateQuery.sql(
     "q_calinski",
     s"""WITH e AS (SELECT vec_id, label, ${VectorOps.quantizeSql("embedding")} AS q
@@ -1565,13 +1580,7 @@ object AnalysisQueries {
        |    ELSE NULL END AS ch_ppm
        |FROM a""".stripMargin) { (s, d) =>
     import Exact.floorDivBig
-    val e = Tables.embeddings(s, d)
-      .select(col("label"), VectorOps.quantize(col("embedding")).as("q"))
-    val cd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
-      .groupBy(col("label"), (col("p") + 1).as("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("v")).cast("decimal(38,0)").as("s"),
-        sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("qq"))
+    val cd = clusterCells64(s, d) // shared k×64 cell snapshot
     val gd = cd.groupBy(col("dim")).agg(
       sum(col("s")).cast("decimal(38,0)").as("sd"),
       sum(col("n")).cast("long").as("nt"), count(lit(1)).as("k"))
@@ -1652,15 +1661,9 @@ object AnalysisQueries {
        |  CAST(max(rmax) AS BIGINT) AS worst_r_micro
        |FROM rm""".stripMargin) { (s, d) =>
     import Exact.floorDivBig
-    val e = Tables.embeddings(s, d)
-      .select(col("label"), VectorOps.quantize(col("embedding")).as("q"))
-    // the k×64 cell relation feeds three consumers — materialize once
-    val cd = e.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
-      .groupBy(col("label"), (col("p") + 1).as("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("v")).cast("decimal(38,0)").as("s"),
-        sum(col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("qq"))
-      .persist() // freed by the harness post-action
+    // shared k×64 cell snapshot (q_calinski builds the same relation);
+    // three consumers re-read the columnar snapshot — no persist needed
+    val cd = clusterCells64(s, d)
     val s2 = cd.groupBy(col("label")).agg(
         first(col("n")).as("n"),
         sum(col("n").cast("decimal(38,0)") * col("qq") - col("s") * col("s"))

@@ -813,9 +813,7 @@ object AuditQueries {
        |  CASE WHEN 1.0 - r1 * r1 = 0 OR 1.0 - a21 * r1 - p2 * r2 = 0 THEN NULL
        |    ELSE round((r3 - a21 * r2 - p2 * r1) / (1.0 - a21 * r1 - p2 * r2), 6) + 0.0 END AS pacf3
        |FROM q ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val st = g.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.sumUnits(col("y")).cast("long").as("s"))
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
@@ -1096,35 +1094,57 @@ object AuditQueries {
        |  END AS f_ppm
        |FROM f""".stripMargin) { (s, d) =>
     val e = ev(s, d).select(col("event_type"), Exact.cents(col("vd")).as("c"))
-    val v = e.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
-    val w = v
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("c"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-    val med = w.filter(lit(2) * col("cum") >= col("n"))
-      .groupBy(col("event_type")).agg(min(col("c")).as("med"))
-    val z = e.join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("c") - col("med")).as("zc"))
-    val a = z.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n_g"), sum(col("zc")).cast("long").as("s_g"),
-      sum(col("zc").cast("decimal(38,0)") * col("zc")).cast("decimal(38,0)").as("q_g"))
-    val t = a.agg(
-      count(lit(1)).cast("long").as("k"), sum(col("n_g")).cast("long").as("n"),
-      sum(col("q_g")).cast("decimal(38,0)").as("q"),
-      sum(floorDivBig(col("s_g").cast("decimal(38,0)") * col("s_g") * lit(1000000L),
-        col("n_g"))).cast("decimal(38,0)").as("a_scaled"),
-      sum(col("s_g")).cast("decimal(38,0)").as("s"))
-    val f = t.select(col("k"), col("n"), col("q"),
-      greatest(col("a_scaled") - floorDivBig(col("s") * col("s") * lit(1000000L), col("n")),
-        lit(0L).cast("decimal(38,0)")).as("ssb_micro"),
-      (col("q") * lit(1000000L) - col("a_scaled")).as("ssw_micro"))
-    f.select(col("k"), col("n"),
-      (col("k") - 1).as("dof_between"), (col("n") - col("k")).as("dof_within"),
-      when(col("ssw_micro") === lit(0L).cast("decimal(38,0)") || col("k") <= 1,
-          lit(null).cast("long"))
-        .otherwise(floorDivBig(
-          col("ssb_micro") * (col("n") - col("k")) * lit(1000000L),
-          col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
+    val v = e.groupBy(col("event_type"), col("c")).agg(count(lit(1)).cast("long").as("cnt"))
+    // value-collapsed grid (distinct cents per type — price-domain
+    // bounded, ~49 k rows at sf0.1): ONE corpus aggregate, then the
+    // per-type median + |c − med| moment folds and the F statistic
+    // replay on the driver in the SQL mirror's exact integer
+    // arithmetic (BigInt where the oracle says HUGEINT; every
+    // division is a nonnegative floor). The r12 shape paid a SECOND
+    // corpus pass for the z moments plus two windows and a join.
+    import s.implicits._
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val types = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var k = 0L
+    var nTot = 0L
+    var q = BigInt(0)
+    var aScaled = BigInt(0)
+    var sTot = BigInt(0)
+    types.foreach { case (_, rs) =>
+      val pts = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val n = pts.iterator.map(_._2).sum
+      // LO-median: smallest value with 2·cum ≥ n (the pinned rule)
+      var cum = 0L
+      var med = 0L
+      var found = false
+      pts.foreach { case (c, cnt) =>
+        if (!found) { cum += cnt; if (2 * cum >= n) { med = c; found = true } }
+      }
+      var sg = BigInt(0)
+      var qg = BigInt(0)
+      pts.foreach { case (c, cnt) =>
+        val zc = math.abs(c - med)
+        sg += BigInt(zc) * cnt
+        qg += BigInt(zc) * zc * cnt
+      }
+      k += 1
+      nTot += n
+      q += qg
+      aScaled += sg * sg * 1000000L / n
+      sTot += sg
+    }
+    val out =
+      if (k == 0) // empty corpus: the single-row aggregate still emits
+        Seq((0L, None: Option[Long], -1L, None: Option[Long], None: Option[Long]))
+      else {
+        val ssb = (aScaled - sTot * sTot * 1000000L / nTot).max(BigInt(0))
+        val ssw = q * 1000000L - aScaled
+        val fPpm =
+          if (ssw == 0 || k <= 1) None
+          else Some((ssb * (nTot - k) * 1000000L / (ssw * (k - 1))).toLong)
+        Seq((k, Some(nTot), k - 1, Some(nTot - k), fPpm))
+      }
+    out.toDF("k", "n", "dof_between", "dof_within", "f_ppm")
   }
 
   /** floor(ln(2)·1e6) — the exact micro-nat weight of a word the
@@ -1299,47 +1319,65 @@ object AuditQueries {
          |      / (2 * ln(2.0)), 4) + 0.0 END AS hurst
          |FROM j ORDER BY event_type""".stripMargin
     }) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
-    val series = g.withColumn("idx",
-      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("grid"))) - 1)
-    val st = series.groupBy(col("event_type")).agg(count(lit(1)).cast("long").as("n"))
-    def meanRs(sz: Int): DataFrame = {
-      val b = series.select(col("event_type"),
-        Binning.floorDiv(col("idx").cast("long"), sz.toLong).as("blk"),
-        pmod(col("idx"), lit(sz)).as("pos"), col("y"))
-      val v = b.groupBy(col("event_type"), col("blk")).agg(
-        count(lit(1)).as("m"), sum(col("y")).cast("long").as("sb"),
-        sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("qb"))
-        .filter(col("m") === sz)
-      val c = b.join(v, Seq("event_type", "blk"))
-        .withColumn("cum", sum(col("y")).over(
-          Window.partitionBy(col("event_type"), col("blk")).orderBy(col("pos"))))
-        .withColumn("dd", lit(sz.toLong) * col("cum") - (col("pos") + 1) * col("sb"))
-      val r = c.groupBy(col("event_type"), col("blk")).agg(
-        (max(col("dd")) - min(col("dd"))).as("rn"),
-        (lit(sz.toLong) * first(col("qb")) -
-          first(col("sb")).cast("decimal(38,0)") * first(col("sb"))).as("den2"))
-      r.groupBy(col("event_type")).agg(
-        sum(when(col("den2") > 0,
-          floor(col("rn").cast("double") / sqrt(col("den2").cast("double"))
-            * lit(1000000)).cast("long"))).cast("long").as("rs_sum"),
-        count(when(col("den2") > 0, 1)).as("nb"))
-        .select(col("event_type"),
-          when(col("nb") > 0, Binning.floorDivCol(col("rs_sum"), col("nb")))
-            .as(s"rs$sz"))
+    import s.implicits._
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
+    // calendar-bounded grid (≤ types × hours rows): ONE corpus
+    // aggregate, then the per-size R/S block fold replays the SQL
+    // mirror's exact arithmetic on the driver (the theil_sen/spline
+    // convention) — the r12 shape re-ran a corpus-scale aggregate per
+    // block size plus the count pass (4 jobs + 3 joins per gate)
+    val grid = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3).toArray // y ordered by grid
+      // mean capped R/S over complete sz-blocks — longs where the SQL
+      // uses BIGINT (cum/dd/rn), BigInt where it uses HUGEINT (qb,
+      // den2); the double divide/sqrt/floor is the mirrored libm tail
+      def meanRs(sz: Int): Option[Long] = {
+        var rsSum = 0L
+        var nb = 0L
+        var blk = 0
+        while ((blk + 1) * sz <= ys.length) {
+          val base = blk * sz
+          var sb = 0L
+          var qb = BigInt(0)
+          var i = 0
+          while (i < sz) { val y = ys(base + i); sb += y; qb += BigInt(y) * y; i += 1 }
+          var cum = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          i = 0
+          while (i < sz) {
+            cum += ys(base + i)
+            val dd = sz.toLong * cum - (i + 1).toLong * sb
+            if (dd < mn) mn = dd
+            if (dd > mx) mx = dd
+            i += 1
+          }
+          val rn = mx - mn
+          val den2 = BigInt(sz) * qb - BigInt(sb) * sb
+          if (den2 > 0) {
+            val den2D = new java.math.BigDecimal(den2.bigInteger).doubleValue()
+            rsSum += math.floor(rn.toDouble / math.sqrt(den2D) * 1000000).toLong
+            nb += 1
+          }
+          blk += 1
+        }
+        if (nb > 0) Some(Math.floorDiv(rsSum, nb)) else None
+      }
+      val rs8 = meanRs(8)
+      val rs16 = meanRs(16)
+      val rs32 = meanRs(32)
+      val hurst =
+        if (rs8.exists(_ > 0) && rs32.exists(_ > 0))
+          Some(java.math.BigDecimal
+            .valueOf((math.log(rs32.get.toDouble) - math.log(rs8.get.toDouble))
+              / (2.0 * math.log(2.0)))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0)
+        else None
+      (et, ys.length.toLong, rs8, rs16, rs32, hurst)
     }
-    val j = HurstSizes.foldLeft(st) { (df, sz) =>
-      df.join(meanRs(sz), Seq("event_type"), "left")
-    }
-    j.select(col("event_type"), col("n").as("n_points"),
-        col("rs8").as("rs8_micro"), col("rs16").as("rs16_micro"),
-        col("rs32").as("rs32_micro"),
-        when(col("rs8") > 0 && col("rs32") > 0,
-          round((log(col("rs32").cast("double")) - log(col("rs8").cast("double")))
-            / (lit(2) * log(lit(2.0))), 4) + lit(0.0))
-          .as("hurst"))
+    out.toDF("event_type", "n_points", "rs8_micro", "rs16_micro",
+        "rs32_micro", "hurst")
       .orderedSmall(col("event_type"))
   }
 
@@ -2039,9 +2077,7 @@ object AuditQueries {
          |  round(fc, 4) + 0.0 AS next_forecast
          |FROM fin ORDER BY gk""".stripMargin
     }) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
       .withColumn("gk", pmod(graft.operators.TextOps.baseHash(col("event_type")),
         lit(1000000L)))
     graft.operators.WindowOps.holtWinters(
@@ -2217,9 +2253,7 @@ object AuditQueries {
        |  CASE WHEN sst_micro > 0
        |    THEN CAST((ssb_micro * 1000000) // sst_micro AS BIGINT) END AS strength_ppm
        |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val h = g.groupBy(col("event_type"), pmod(col("grid"), lit(24L)).as("hod"))
       .agg(count(lit(1)).as("n_h"), sum(col("y")).cast("long").as("s_h"),
         sum(col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)").as("q_h"))
@@ -2281,9 +2315,8 @@ object AuditQueries {
          |  END AS r
          |FROM l, sx, sy ORDER BY l.lag""".stripMargin
     }) { (s, d) =>
-    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
+      .filter(col("event_type").isin("click", "view"))
       .persist() // series, stats and the lag join all read it; harness-freed
     // per-series exact stats in TWO single-action passes total (r12;
     // was two actions PER series): (n, s) per type first, then d2

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{SharedRelations, Tables}
 import graft.operators.{Binning, Curation, Exact}
@@ -58,6 +59,15 @@ object CurationQueries {
 
   private val SubL = 6
 
+  /** Session snapshot of the [[SubL]]-window substring-dedup delete
+    * set (doc_id, idx) — the windowed-hash explode + first-occurrence
+    * window both q_substr_dedup and q_curation_pipeline's substring
+    * rung previously re-ran per gate. Dup-mass-bounded (L rows per
+    * non-first duplicated window). */
+  private def substrDel(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SharedRelations.snapshot(s, s"sdel$SubL", d)(
+      Curation.substrDeleteSet(Tables.documents(s, d), SubL))
+
   /** #93 — exact substring dedup (Lee et al. 2021): every duplicated
     * L-token span survives only at its corpus-first occurrence.
     */
@@ -84,7 +94,9 @@ object CurationQueries {
        |SELECT tot.doc_id AS doc_id, n_tokens, coalesce(n_kept, 0) AS n_kept,
        |  coalesce(new_md5, md5('')) AS new_md5
        |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Curation.substrDedup(Tables.documents(s, d), SubL)
+    // the L-window delete set is the corpus-scale stage, shared with
+    // q_curation_pipeline's substring rung via a session snapshot
+    Curation.substrDedupFromDel(Tables.documents(s, d), substrDel(s, d))
       .orderedSmall(col("doc_id"))
   }
 
@@ -114,16 +126,39 @@ object CurationQueries {
     * `unigramModelFromCounts` on the snapshot is the same arithmetic
     * as counting inline.
     */
+  /** (word, q) Laplace unigram model table (in-plan, from a
+    * [[graft.SharedRelations]] count snapshot) plus the matching OOV
+    * floor as a session-cached DRIVER LITERAL: consumers previously
+    * attached the 1-row oov relation via a cross-join broadcast per
+    * gate. The scalar replays microLn(scale·1.0/(n+v)) on the driver
+    * — identical IEEE double ops to the in-plan expression, so every
+    * consumer's values are unchanged. Keyed by (count table, scale).
+    * (Materializing the model TABLE itself to parquet was measured
+    * ~0.1 s SLOWER per consumer at the bench point than deriving it
+    * in-plan from the count snapshot — the broadcast build off a
+    * fresh file scan costs more than the in-plan limit — so the
+    * table stays in-plan.)
+    */
+  private def unigramModelLit(s: org.apache.spark.sql.SparkSession, d: String,
+      key: String, counts: DataFrame, scale: Double = 1.0): (DataFrame, Long) = {
+    val lp = Curation.unigramModelFromCounts(counts, scale, topV = Some(LmTopV))._1
+    val oov = graft.SharedRelations.cachedValue(s"ulmoov:$key:$scale", d) {
+      val r = counts.agg(max(col("n")).cast("long"), max(col("v")).cast("long")).head
+      java.lang.Long.valueOf(math.floor(
+        math.log(scale * 1.0 / (r.getLong(0) + r.getLong(1))) * 1000000).toLong)
+    }
+    (lp, oov.longValue)
+  }
+
   private def pplScored(s: org.apache.spark.sql.SparkSession, d: String) = {
     val toks = graft.SharedRelations.docTokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("word"))
-    val (lp, oov) = Curation.unigramModelFromCounts(
-      graft.SharedRelations.enUnigramCounts(s, d), topV = Some(LmTopV))
-    Curation.modelJoin(
-        Curation.withStats(toks, oov), lp, Seq("word"))
+    val (lp, oovq) = unigramModelLit(s, d, "enug",
+      graft.SharedRelations.enUnigramCounts(s, d))
+    Curation.modelJoin(toks, lp, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        (-sum(coalesce(col("q"), col("oovq")))).cast("long").as("nll_micro"))
+        (-sum(coalesce(col("q"), lit(oovq)))).cast("long").as("nll_micro"))
   }
 
   /** #84 — CCNet-style quality scoring: per-doc average negative
@@ -240,16 +275,16 @@ object CurationQueries {
     val qb = Curation.bigramLogProbsFromCounts(
       SharedRelations.enBigramCounts(s, d).withColumnRenamed("c", "cb"),
       minCount = LmMinCount)
-    val (qu, oov) = Curation.unigramModelFromCounts(
-      SharedRelations.enUnigramCounts(s, d), scale = 0.4, topV = Some(LmTopV))
+    val (qu, oovq) = unigramModelLit(s, d, "enug",
+      SharedRelations.enUnigramCounts(s, d), scale = 0.4)
     val scored = Curation.modelJoin(
         Curation.modelJoin(
-          Curation.withStats(bi, oov),
+          bi,
           qb, Seq("w1", "w2")),
         qu.select(col("word").as("w2"), col("q").as("qu")), Seq("w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
-        (-sum(coalesce(col("qb"), col("qu"), col("oovq")))).cast("long").as("nll_micro"))
+        (-sum(coalesce(col("qb"), col("qu"), lit(oovq)))).cast("long").as("nll_micro"))
     scored
       .select(col("doc_id"), col("n_scored"), col("nll_micro"),
         Exact.roundedRatio(col("nll_micro"), col("n_scored") * lit(1000000L), 4).as("avg_nll"))
@@ -398,18 +433,18 @@ object CurationQueries {
     val qb = Curation.bigramLogProbsFromCounts(
       SharedRelations.enBigramCounts(s, d).withColumnRenamed("c", "cb"),
       scale = 0.4, minCount = LmMinCount)
-    val (qu, oov) = Curation.unigramModelFromCounts(
-      SharedRelations.enUnigramCounts(s, d), scale = 0.4 * 0.4, topV = Some(LmTopV))
+    val (qu, oovq) = unigramModelLit(s, d, "enug",
+      SharedRelations.enUnigramCounts(s, d), scale = 0.4 * 0.4)
     val scored = Curation.modelJoin(
         Curation.modelJoin(
           Curation.modelJoin(
-            Curation.withStats(tri, oov),
+            tri,
             qt, Seq("w1", "w2", "w3")),
           qb.select(col("w1").as("w2"), col("w2").as("w3"), col("qb")), Seq("w2", "w3")),
         qu.select(col("word").as("w3"), col("q").as("qu")), Seq("w3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
-        (-sum(coalesce(col("qt"), col("qb"), col("qu"), col("oovq"))))
+        (-sum(coalesce(col("qt"), col("qb"), col("qu"), lit(oovq))))
           .cast("long").as("nll_micro"))
     scored
       .select(col("doc_id"), col("n_scored"), col("nll_micro"),
@@ -648,18 +683,17 @@ object CurationQueries {
     val ex = docs.select(col("doc_id"),
       (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         .as("keep_exact"))
-    val sub = Curation.substrDedupStats(docs, SubL)
+    // substring rung off the shared delete-set snapshot (q_substr_dedup
+    // builds the same set); LM rung off the shared perplexity scorer
+    // (q_lm_perplexity / q_ppl_buckets / q_minkpct) — identical
+    // arithmetic, the corpus-scale window/tokenize/count stages run
+    // once per session instead of once per gate
+    val sub = Curation.substrDedupStatsFromDel(docs, substrDel(s, d))
       .select(col("doc_id"),
         (col("n_kept") * 100 >= col("n_tokens") * SubstrKeepPct).as("keep_substr"))
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
-    val refToks = toks.filter(col("lang") === "en")
-    val (lp, oov) = Curation.unigramModel(refToks, topV = Some(LmTopV))
-    val lm = Curation.modelJoin(
-        Curation.withStats(toks, oov), lp, Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(((-sum(coalesce(col("q"), col("oovq")))).cast("long")
-        <= count(lit(1)) * lit(MaxAvgNllMicro)).as("lm_ok"))
+    val lm = pplScored(s, d)
+      .select(col("doc_id"),
+        (col("nll_micro") <= col("n_tokens") * lit(MaxAvgNllMicro)).as("lm_ok"))
     docs.select(col("doc_id"), col("source"))
       .join(ex, "doc_id").join(sub, "doc_id").join(lm, "doc_id")
       .groupBy(col("source"))
@@ -959,11 +993,11 @@ object CurationQueries {
     // snapshots (the pplScored r13 pattern — same arithmetic)
     val toks = graft.SharedRelations.docTokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("word"))
-    val (lp, oov) = Curation.unigramModelFromCounts(
-      graft.SharedRelations.enUnigramCounts(s, d), topV = Some(LmTopV))
-    val tn = Curation.modelJoin(Curation.withStats(toks, oov), lp, Seq("word"))
+    val (lp, oovq) = unigramModelLit(s, d, "enug",
+      graft.SharedRelations.enUnigramCounts(s, d))
+    val tn = Curation.modelJoin(toks, lp, Seq("word"))
       .select(col("doc_id"), col("word"),
-        (-coalesce(col("q"), col("oovq"))).cast("long").as("nll"))
+        (-coalesce(col("q"), lit(oovq))).cast("long").as("nll"))
     val wd = Window.partitionBy(col("doc_id"))
     val rk = tn
       .withColumn("r", row_number().over(wd.orderBy(col("nll").desc, col("word"))))
@@ -1382,25 +1416,23 @@ object CurationQueries {
        |  ${roundedRatioSignedSql("ml_micro", "n_tokens * 1000000", 4)} AS avg_ml,
        |  ml_micro > 0 AS selected
        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val tw = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
-      graft.operators.TextOps.tokens(col("text")).as("w")).persist()
-    val toks = tw.select(col("doc_id"), explode(col("w")).as("word"))
-    val lt = tw.select(col("lang"), col("source"), explode(col("w")).as("word"))
-    val (quI, oovI) = Curation.unigramModel(
-      lt.filter(col("lang") === "en" && col("source") === "src0").select(col("word")),
-      scale = 1.0, topV = Some(LmTopV))
-    val (quG, oovG) = Curation.unigramModel(lt.select(col("word")),
-      scale = 1.0, topV = Some(LmTopV))
+    // tokens and both domains' model tables ride the session
+    // snapshots (the q_moore_lewis_bi r12 pattern — this gate was
+    // still re-tokenizing and re-counting both domains inline)
+    val toks = SharedRelations.docTokens(s, d)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val (quI, oqi) = unigramModelLit(s, d, "iug",
+      SharedRelations.enSrc0UnigramCounts(s, d))
+    val (quG, oqg) = unigramModelLit(s, d, "alug",
+      SharedRelations.allUnigramCounts(s, d))
     val scored = Curation.modelJoin(
         Curation.modelJoin(
-          Curation.withStats(
-            Curation.withStats(toks, oovI.select(col("oovq").as("oqi"))),
-            oovG.select(col("oovq").as("oqg"))),
+          toks,
           quI.select(col("word"), col("q").as("qi")), Seq("word")),
         quG.select(col("word"), col("q").as("qg")), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("qi"), col("oqi")) - coalesce(col("qg"), col("oqg")))
+        sum(coalesce(col("qi"), lit(oqi)) - coalesce(col("qg"), lit(oqg)))
           .cast("long").as("ml_micro"))
     scored.select(col("doc_id"), col("n_tokens"), col("ml_micro"),
         Exact.roundedRatioSigned(col("ml_micro"), col("n_tokens") * lit(1000000L), 4)
@@ -1490,25 +1522,23 @@ object CurationQueries {
         SharedRelations.allBigramCounts(s, d).withColumnRenamed("c", "cb"),
         minCount = LmMinCount)
       .select(col("w1"), col("w2"), col("qb").as("qbg"))
-    val (quI0, oovI) = Curation.unigramModelFromCounts(
-      SharedRelations.enSrc0UnigramCounts(s, d), scale = 0.4, topV = Some(LmTopV))
-    val (quG0, oovG) = Curation.unigramModelFromCounts(
-      SharedRelations.allUnigramCounts(s, d), scale = 0.4, topV = Some(LmTopV))
+    val (quI0, oqi) = unigramModelLit(s, d, "iug",
+      SharedRelations.enSrc0UnigramCounts(s, d), scale = 0.4)
+    val (quG0, oqg) = unigramModelLit(s, d, "alug",
+      SharedRelations.allUnigramCounts(s, d), scale = 0.4)
     val scored = Curation.modelJoin(
         Curation.modelJoin(
           Curation.modelJoin(
             Curation.modelJoin(
-              Curation.withStats(
-                Curation.withStats(bi, oovI.select(col("oovq").as("oqi"))),
-                oovG.select(col("oovq").as("oqg"))),
+              bi,
               qbI, Seq("w1", "w2")),
             qbG, Seq("w1", "w2")),
           quI0.select(col("word").as("w2"), col("q").as("qui")), Seq("w2")),
         quG0.select(col("word").as("w2"), col("q").as("qug")), Seq("w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),
-        sum(coalesce(col("qbi"), col("qui"), col("oqi")) -
-            coalesce(col("qbg"), col("qug"), col("oqg"))).cast("long").as("mlb_micro"))
+        sum(coalesce(col("qbi"), col("qui"), lit(oqi)) -
+            coalesce(col("qbg"), col("qug"), lit(oqg))).cast("long").as("mlb_micro"))
     scored.select(col("doc_id"), col("n_scored"), col("mlb_micro"),
         Exact.roundedRatioSigned(col("mlb_micro"), col("n_scored") * lit(1000000L), 4)
           .as("avg_mlb"),

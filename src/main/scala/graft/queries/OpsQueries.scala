@@ -128,9 +128,7 @@ object OpsQueries {
        |    THEN (e_snaive * n_naive * 1000000) // (CAST(e_naive AS HUGEINT) * n_snaive)
        |  END AS BIGINT) AS mase_ppm
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
     val lagged = g
       .withColumn("y1", lag(col("y"), 1).over(wo))
@@ -187,9 +185,7 @@ object OpsQueries {
        |      / sqrt(CAST(n * q - sd * sd AS DOUBLE)), 4) + 0.0
        |  END AS dm_stat
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
     val l = g.withColumn("y1", lag(col("y"), 1).over(wo))
       .withColumn("y24", lag(col("y"), 24).over(wo))
@@ -238,9 +234,7 @@ object OpsQueries {
        |    round(sqrt(CAST(q24 AS DOUBLE) * n1 / (CAST(q1 AS DOUBLE) * n24)), 4) + 0.0
        |  END AS theil_u2
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
     val l = g.withColumn("y1", lag(col("y"), 1).over(wo))
       .withColumn("y24", lag(col("y"), 24).over(wo))
@@ -574,9 +568,7 @@ object OpsQueries {
        |  CAST(n_test AS BIGINT) AS n_test,
        |  (covered * 1000000) // n_test AS coverage_ppm
        |FROM tst ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val r = g
       .withColumn("y24", lag(col("y"), 24).over(
         Window.partitionBy(col("event_type")).orderBy(col("grid"))))
@@ -896,9 +888,7 @@ object OpsQueries {
        |    CAST(((k * q - CAST(s AS HUGEINT) * s) * 1000000)
        |      // (CAST(k AS HUGEINT) * s) AS BIGINT) END AS fano_ppm
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    val g = graft.SharedRelations.hourlyCountGrid(s, d)
     val a = g.groupBy(col("event_type")).agg(
       count(lit(1)).cast("long").as("k"), sum(col("c")).cast("long").as("s"),
       sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q"))
@@ -943,9 +933,7 @@ object OpsQueries {
        |  coalesce(CAST(max(len) AS BIGINT), 0) AS longest_episode
        |FROM a LEFT JOIN runs ON a.event_type = runs.event_type
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    val g = graft.SharedRelations.hourlyCountGrid(s, d)
     val a = g.groupBy(col("event_type")).agg(
       count(lit(1)).cast("long").as("k"), sum(col("c")).cast("long").as("s"),
       sum(col("c").cast("decimal(38,0)") * col("c")).cast("decimal(38,0)").as("q"))
@@ -1004,9 +992,7 @@ object OpsQueries {
        |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (1.0 * n * n * (n - 1))), 4) + 0.0
        |  END AS z_stat
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val v = g.groupBy(col("event_type"), col("y")).agg(count(lit(1)).as("cnt"))
     val w = v
       .withColumn("cum", sum(col("cnt")).over(

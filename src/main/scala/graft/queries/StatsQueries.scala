@@ -452,9 +452,7 @@ object StatsQueries {
                |  round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS r_k
                |  FROM a""".stripMargin).mkString("\n  UNION ALL ")})
        |ORDER BY event_type, lag""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val st = g.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.sumUnits(col("y")).cast("long").as("s"))
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
@@ -825,7 +823,13 @@ object StatsQueries {
     // shape exploded ×8 rows before the md5 and ×4 again before a
     // 32-CASE chain, multiplying expression-stack work 32×; only the
     // already-tiny (b, w) pairs fan out here, straight into the
-    // map-side partial aggregate
+    // map-side partial aggregate.
+    // r13 measured-floor note: the ×32 explode + two overflow-proof
+    // decimal sums ARE the gate (decimal partial aggregation costs
+    // ~2× a long sum at 3.2 M rows; a one-pass variant carrying the
+    // full-mean sums as two extra decimal aggregates measured SLOWER
+    // — +0.5-0.7 s — than the r12 two-pass shape, and a driver-replay
+    // tail saves only the ~0.3 s of tiny-stage jobs; reverted).
     val w = e.select(col("event_type"), col("c"),
       posexplode(graft.expressions.SeriesExpressions.bootWeights(
         col("event_id"), BootB / 4, poissonCdfPpm.toArray)).as(Seq("b", "w")))
@@ -2128,9 +2132,8 @@ object StatsQueries {
        |      / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))), 6) + 0.0
        |  END AS tau_b
        |FROM s, h""".stripMargin) { (s, d) =>
-    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
-      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
+      .filter(col("event_type").isin("click", "view"))
     val a = g.groupBy(col("grid"))
       .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
         coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
@@ -2183,9 +2186,8 @@ object StatsQueries {
        |    ELSE ${Exact.roundedRatioSignedSql("(c - d) * 1000000", "c + d", 0)}
        |  END AS gamma_ppm
        |FROM s""".stripMargin) { (s, d) =>
-    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
-      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
+      .filter(col("event_type").isin("click", "view"))
     val a = g.groupBy(col("grid"))
       .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
         coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
@@ -2242,9 +2244,8 @@ object StatsQueries {
        |    ELSE ${Exact.roundedRatioSignedSql("(c - d) * 1000000", "n0 - n2", 0)}
        |  END AS d_xy_ppm
        |FROM s""".stripMargin) { (s, d) =>
-    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
-      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
+      .filter(col("event_type").isin("click", "view"))
     val a = g.groupBy(col("grid"))
       .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
         coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
@@ -2505,6 +2506,20 @@ object StatsQueries {
     * Full 64-dim component recovery on planted data stays pinned in
     * StatsEdgeSpec.
     */
+  /** (n, mean, cov) of the 16-dim rebinned quantized embeddings —
+    * the model pass q_pca_var and q_embed_outlier both start from
+    * (identical input, identical maxAbs): one exact scatter job per
+    * session via [[graft.SharedRelations.cachedValue]] instead of
+    * one per gate. Model-sized (16 + 16² doubles). */
+  private def pcaScatter16(s: SparkSession, d: String)
+      : (Long, Array[Double], Array[Array[Double]]) =
+    graft.SharedRelations.cachedValue("pca16", d) {
+      import graft.operators.{Pca, VectorOps}
+      val e = Tables.embeddings(s, d)
+        .select(VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
+      Pca.scatter(e, col("q"), 16, maxAbs = 4000000L)
+    }
+
   val qPcaVar = GateQuery.sql(
     "q_pca_var", {
       import graft.operators.{Pca, VectorOps}
@@ -2522,11 +2537,10 @@ object StatsQueries {
          |FROM (SELECT unnest(range(1, 9)) AS k) k, nn, evl, tot
          |ORDER BY component""".stripMargin
     }) { (s, d) =>
-    import graft.operators.{Pca, VectorOps}
-    val e = Tables.embeddings(s, d)
-      .select(VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
-    val dDim = 16
-    val (n, _, cov) = Pca.scatter(e, col("q"), dDim, maxAbs = 4000000L)
+    import graft.operators.Pca
+    // scatter pass shared with q_embed_outlier (identical rebinned
+    // input): one corpus pass + driver Jacobi per session, two gates
+    val (n, _, cov) = pcaScatter16(s, d)
     val (evals, _) = Pca.jacobiEigen(cov)
     val total = evals.sum
     import s.implicits._
@@ -2594,7 +2608,8 @@ object StatsQueries {
         VectorOps.rebinQ(VectorOps.quantize(col("embedding")), 4, 16).as("q"))
     val dDim = 16
     val p = 8
-    val (_, mean, cov) = Pca.scatter(e, col("q"), dDim, maxAbs = 4000000L)
+    // scatter pass shared with q_pca_var (identical rebinned input)
+    val (_, mean, cov) = pcaScatter16(s, d)
     val (_, evecs) = Pca.jacobiEigen(cov)
     val proj = Pca.projectExpr(col("q"), mean, evecs.take(p))
     val cent2 = (0 until dDim).map { i =>
@@ -3497,9 +3512,7 @@ object StatsQueries {
        |    - (2 * st + n_total) // (2 * n_total) AS seasonal_delta_cents
        |FROM h JOIN t ON t.event_type = h.event_type
        |ORDER BY event_type, hod""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val h = g.groupBy(col("event_type"), pmod(col("grid"), lit(24L)).as("hod"))
       .agg(count(lit(1)).as("n_hours"), sum(col("y")).cast("long").as("sy"))
     val t = h.groupBy(col("event_type"))
@@ -3554,9 +3567,7 @@ object StatsQueries {
        |  (2 * b[5] + b[3]) // (2 * b[3]) AS mean2_cents,
        |  CAST(gain AS BIGINT) AS gain_cents2
        |FROM best ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
     val wa = Window.partitionBy(col("event_type"))
     val o = g
@@ -3696,9 +3707,7 @@ object StatsQueries {
        |  round(sl, 6) + 0.0 AS slope_cents_per_hour
        |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
     import s.implicits._
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     // calendar-bounded grid (<= types x hours rows) -- see shape doc
     val grid = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val out = grid.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (et, rows) =>
@@ -3790,9 +3799,8 @@ object StatsQueries {
        |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) + 0.0
        |  END AS r
        |FROM w ORDER BY grid""".stripMargin) { (s, d) =>
-    val g = ev(s, d).filter(col("event_type").isin("click", "view"))
-      .groupBy(Binning.floorDiv(col("xs"), 3600L).as("grid"), col("event_type"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
+      .filter(col("event_type").isin("click", "view"))
     val a = g.groupBy(col("grid"))
       .agg(coalesce(max(when(col("event_type") === "click", col("y"))), lit(0L)).as("x"),
         coalesce(max(when(col("event_type") === "view", col("y"))), lit(0L)).as("v"))
@@ -4967,9 +4975,7 @@ object StatsQueries {
          |  END AS q_scaled_micro
          |FROM a ORDER BY event_type""".stripMargin
     }) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val st = g.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.sumUnits(col("y")).cast("long").as("s"))
     val wo = Window.partitionBy(col("event_type")).orderBy(col("grid"))
@@ -5038,9 +5044,7 @@ object StatsQueries {
        |SELECT event_type, n_points,
        |  CASE WHEN den > 0 THEN CAST((num * 1000000) // den AS BIGINT) END AS dw_micro
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val gd = col("grid").cast("decimal(38,0)")
     val st = g.groupBy(col("event_type")).agg(
       count(lit(1)).cast("long").as("n"),
@@ -5114,9 +5118,7 @@ object StatsQueries {
        |            / (CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)))), 4) + 0.0
        |  END AS df_t
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val l = g.withColumn("y1",
       lag(col("y"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("grid"))))
     val dd = l.filter(col("y1").isNotNull)
@@ -5280,9 +5282,7 @@ object StatsQueries {
        |      4) + 0.0
        |  END AS bp_lm
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val gd = col("grid").cast("decimal(38,0)")
     val st = g.groupBy(col("event_type")).agg(
       count(lit(1)).cast("long").as("n"),
@@ -5369,9 +5369,7 @@ object StatsQueries {
          |  END AS chow_f
          |FROM a ORDER BY event_type""".stripMargin
     }) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val m = g.groupBy(col("event_type")).agg(
       Binning.floorDivCol(min(col("grid")) + max(col("grid")), lit(2L)).as("mid"))
     val j = g.join(broadcast(m), "event_type")
@@ -5503,9 +5501,7 @@ object StatsQueries {
        |  CASE WHEN n >= 3 THEN round((CAST(t AS DOUBLE) - 2.0 * (n - 2) / 3.0)
        |    / sqrt((16.0 * n - 29.0) / 90.0), 4) + 0.0 END AS z_stat
        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     val w = Window.partitionBy(col("event_type")).orderBy(col("grid"))
     val l = g.withColumn("y0", lag(col("y"), 1).over(w))
       .withColumn("y2", lead(col("y"), 1).over(w))
@@ -5563,9 +5559,7 @@ object StatsQueries {
        |  CAST(w2 AS BIGINT) AS hl2_cents, CAST(w2 // 2 AS BIGINT) AS hl_cents
        |FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin) { (s, d) =>
     import s.implicits._
-    val g = ev(s, d)
-      .groupBy(col("event_type"), Binning.floorDiv(col("xs"), 3600L).as("grid"))
-      .agg(Exact.sumUnits(Exact.cents(col("vd"))).cast("long").as("y"))
+    val g = graft.SharedRelations.hourlyCentsGrid(s, d)
     // calendar-bounded grid (<= types x hours rows) -- see shape doc
     val grid = g.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val out = grid.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>

