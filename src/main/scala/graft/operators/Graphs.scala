@@ -293,9 +293,17 @@ object Graphs {
         i += 1
       }
     }
-    val alive = new Array[Boolean](nNodes)
+    /** Fresh mutable peel state over this (immutable) topology — so a
+      * session-cached Csr serves any number of independent peel
+      * sequences with identical results. */
+    def newPeel: CsrPeel = new CsrPeel(this)
+  }
+
+  /** Mutable cascade-peel state over a [[Csr]] topology. */
+  private final class CsrPeel(t: Csr) {
+    val alive = new Array[Boolean](t.nNodes)
     java.util.Arrays.fill(alive, true)
-    val live: Array[Int] = deg.clone()
+    val live: Array[Int] = t.deg.clone()
 
     /** Cascade-peel to threshold `k` (Matula & Beck 1983 shape, queue
       * instead of full bucket sort). Monotone: peeling to k then k+1
@@ -305,15 +313,15 @@ object Graphs {
     def peel(k: Int): Unit = {
       val queue = new java.util.ArrayDeque[Integer]()
       var i = 0
-      while (i < nNodes) { if (alive(i) && live(i) < k) queue.add(i); i += 1 }
+      while (i < t.nNodes) { if (alive(i) && live(i) < k) queue.add(i); i += 1 }
       while (!queue.isEmpty) {
         val n = queue.poll().intValue
         if (alive(n)) {
           alive(n) = false
-          var j = start(n)
-          val end = start(n) + deg(n)
+          var j = t.start(n)
+          val end = t.start(n) + t.deg(n)
           while (j < end) {
-            val m = nbr(j)
+            val m = t.nbr(j)
             if (alive(m)) { live(m) -= 1; if (live(m) < k) queue.add(m) }
             j += 1
           }
@@ -323,13 +331,13 @@ object Graphs {
 
     def aliveNodes: Long = {
       var c = 0L; var i = 0
-      while (i < nNodes) { if (alive(i)) c += 1; i += 1 }
+      while (i < t.nNodes) { if (alive(i)) c += 1; i += 1 }
       c
     }
 
     def aliveEdges: Long = {
       var c = 0L; var i = 0
-      while (i < nEdges) { if (alive(srcI(i)) && alive(dstI(i))) c += 1; i += 1 }
+      while (i < t.nEdges) { if (alive(t.srcI(i)) && alive(t.dstI(i))) c += 1; i += 1 }
       c
     }
   }
@@ -342,8 +350,9 @@ object Graphs {
     // (u, v) bound by name, matching the distributed path's projection.
     val proj = edges.select(col("u"), col("v"))
     val csr = new Csr(rows)
-    csr.peel(k)
-    val alive = csr.alive
+    val pl = csr.newPeel
+    pl.peel(k)
+    val alive = pl.alive
     val srcI = csr.srcI
     val dstI = csr.dstI
     var nDead = 0
@@ -378,10 +387,10 @@ object Graphs {
       s"ks must be ascending and >= 1: $ks")
     val under = collectUnderBound(edges.select(col("u"), col("v")), driverMaxEdges)
     if (under.isDefined) {
-      val csr = new Csr(under.get)
+      val pl = new Csr(under.get).newPeel
       ks.map { k =>
-        csr.peel(k)
-        (k, csr.aliveNodes, csr.aliveEdges)
+        pl.peel(k)
+        (k, pl.aliveNodes, pl.aliveEdges)
       }
     } else {
       var cur = edges
@@ -973,6 +982,95 @@ object Graphs {
     * early exit that lets the 93%+ of never-removed edges confirm
     * survival after k−2 matches.
     */
+  /** Session-cacheable driver peel state over a collected CANONICAL
+    * (u < v, distinct) edge array — ONE collect + ONE dense-id/CSR
+    * build (+ one lazily-built capped truss-support pass) serves
+    * every per-k peel of both the k-core and k-truss gates. All
+    * shared state is immutable after build; each call peels on fresh
+    * per-call flag arrays, so repeated calls return identical
+    * results (the per-gate collect + rebuild was ~1 s each of the
+    * two gates' wall at the bench point). Obtain via
+    * [[Graphs.peelGraphUnder]], cache via
+    * [[graft.SharedRelations.cachedValue]].
+    */
+  final class PeelGraph private[Graphs] (rows: Array[org.apache.spark.sql.Row]) {
+    private lazy val coreCsr = new Csr(rows)
+    // dense ids shared by the truss side (built once, checked once)
+    private lazy val trussBase: (Array[Int], Array[Int], Int) = {
+      val nE = rows.length
+      val idx = new java.util.HashMap[Long, Integer](nE * 2)
+      var nN = 0
+      def id(x: Long): Int = {
+        val got = idx.get(x)
+        if (got != null) got.intValue
+        else { idx.put(x, nN); nN += 1; nN - 1 }
+      }
+      val eu = new Array[Int](nE)
+      val ev = new Array[Int](nE)
+      var i = 0
+      while (i < nE) {
+        eu(i) = id(rows(i).getLong(0)); ev(i) = id(rows(i).getLong(1)); i += 1
+      }
+      requireCanonicalCollected(rows, eu, ev)
+      (eu, ev, nN)
+    }
+    /** (cap, graph, cappedSupport(cap)) — rebuilt only if a later
+      * call needs a higher cap (the gate always asks cap = 2). */
+    @volatile private var trussState: (Int, TrussGraph, Array[Int]) = null
+
+    /** (k, n_nodes, n_edges) per ascending k — [[Graphs.coreSizes]]'
+      * driver branch over the cached topology. */
+    def coreSizes(ks: Seq[Int]): Seq[(Int, Long, Long)] = {
+      require(ks.nonEmpty && ks == ks.sorted && ks.head >= 1,
+        s"ks must be ascending and >= 1: $ks")
+      val pl = coreCsr.newPeel
+      ks.map { k =>
+        pl.peel(k)
+        (k, pl.aliveNodes, pl.aliveEdges)
+      }
+    }
+
+    /** (k, n_nodes, n_edges) per k — [[Graphs.trussSizes]]' driver
+      * branch over the cached graph + shared support pass. */
+    def trussSizes(ks: Seq[Int], rounds: Int): Seq[(Int, Long, Long)] = {
+      require(ks.nonEmpty, "ks must be nonempty")
+      val (eu, ev, nN) = trussBase
+      val cap = ks.map(_ - 2).max
+      var st = trussState
+      if (st == null || st._1 < cap) {
+        val g = if (st == null) new TrussGraph(eu, ev, nN) else st._2
+        st = (cap, g, g.cappedSupport(cap))
+        trussState = st
+      }
+      val (_, g, sup0) = st
+      val nE = eu.length
+      ks.map { k =>
+        val alive = g.peel(k, rounds, sup0)
+        var e = 0L
+        val seen = new Array[Boolean](nN)
+        var n = 0L
+        var i = 0
+        while (i < nE) {
+          if (alive(i)) {
+            e += 1
+            if (!seen(eu(i))) { seen(eu(i)) = true; n += 1 }
+            if (!seen(ev(i))) { seen(ev(i)) = true; n += 1 }
+          }
+          i += 1
+        }
+        (k, n, e)
+      }
+    }
+  }
+
+  /** Collect a canonical edge relation under the driver bound into a
+    * [[PeelGraph]]; None past the bound (callers fall back to the
+    * distributed loops with `driverMaxEdges = 0`). */
+  def peelGraphUnder(canonEdges: DataFrame,
+                     bound: Long = DriverGraphMaxEdges): Option[PeelGraph] =
+    collectUnderBound(canonEdges.select(col("u"), col("v")), bound)
+      .map(new PeelGraph(_))
+
   /** Split [0, n) into one contiguous chunk per available core and
     * run `f(lo, hi)` on each in parallel (plain threads — the driver
     * fast paths are CPU-bound single-JVM loops that were using one

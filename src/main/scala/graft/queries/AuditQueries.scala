@@ -2147,20 +2147,35 @@ object AuditQueries {
        |FROM (VALUES (2), (3)) ks(k)
        |LEFT JOIN nn ON ks.k = nn.k LEFT JOIN ne ON ks.k = ne.k
        |ORDER BY k""".stripMargin) { (s, d) =>
-    // snapshot-backed canonical edges (SharedRelations); still
-    // persisted here because the peel loop re-reads them per round
-    val edges = graft.SharedRelations.partCoEdges(s, d).persist()
-    // ascending-k incremental peel: one collect (or one distributed
-    // chain) covers BOTH cores — the r8 shape re-ran the full kCore
-    // per k, which billed two collects + two limit probes and was the
-    // bench regression flagged in the r8 verdict
-    val stats = graft.operators.Graphs.coreSizes(edges, Seq(2, 3))
-    edges.unpersist()
+    // session-cached driver peel graph (ONE collect + CSR build
+    // shared with q_ktruss); ascending-k incremental peel covers both
+    // cores. Past the driver bound: the distributed chain over the
+    // persisted snapshot, unchanged.
+    val stats = peelGraph(s, d) match {
+      case Some(pg) => pg.coreSizes(Seq(2, 3))
+      case None =>
+        val edges = graft.SharedRelations.partCoEdges(s, d).persist()
+        try graft.operators.Graphs.coreSizes(edges, Seq(2, 3), driverMaxEdges = 0L)
+        finally edges.unpersist()
+    }
     import s.implicits._
     stats.map { case (k, n, e) => (k.toLong, n, e) }
       .toDF("k", "n_nodes", "n_edges")
       .orderedSmall(col("k"))
   }
+
+  /** Session-cached driver peel graph over the canonical
+    * co-occurrence edge snapshot: ONE collect + dense-id/CSR build
+    * (+ capped truss support) serves q_kcore and q_ktruss — each
+    * previously re-collected the 1.2 M-edge relation and rebuilt its
+    * own index per call (~1 s each at sf0.1). None past the driver
+    * bound (the gates then run their distributed loops unchanged).
+    */
+  private def peelGraph(s: SparkSession, d: String)
+      : Option[graft.operators.Graphs.PeelGraph] =
+    graft.SharedRelations.cachedValue("pcepeel", d)(
+      graft.operators.Graphs.peelGraphUnder(
+        graft.SharedRelations.partCoEdges(s, d)))
 
   /** Peel-round cap for the k-truss gate — mirrored EXACTLY in the
     * oracle's unrolled rounds (see [[graft.operators.Graphs
@@ -2212,12 +2227,17 @@ object AuditQueries {
          |${chain(4)}
          |SELECT * FROM ($per) f ORDER BY k""".stripMargin
     }) { (s, d) =>
-    val edges = graft.SharedRelations.partCoEdges(s, d)
     import s.implicits._
-    // ONE fused probe+collect covers both ks; sizes read straight off
-    // the driver peel's alive flags (no per-k relation rebuild)
-    val stats = graft.operators.Graphs.trussSizes(edges, Seq(3, 4),
-      rounds = TrussRounds)
+    // session-cached driver peel graph (collect + CSR + capped
+    // support shared with q_kcore and across calls); sizes read
+    // straight off the peel's alive flags. Past the bound: the
+    // distributed per-round loop, unchanged.
+    val stats = peelGraph(s, d) match {
+      case Some(pg) => pg.trussSizes(Seq(3, 4), TrussRounds)
+      case None => graft.operators.Graphs.trussSizes(
+        graft.SharedRelations.partCoEdges(s, d), Seq(3, 4),
+        rounds = TrussRounds, driverMaxEdges = 0L)
+    }
     stats.map { case (k, n, e) => (k.toLong, n, e) }
       .toDF("k", "n_nodes", "n_edges").orderedSmall(col("k"))
   }
