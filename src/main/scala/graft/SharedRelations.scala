@@ -93,7 +93,10 @@ object SharedRelations {
     val existing = builtValues.get(key)
     if (existing != null) existing.asInstanceOf[T]
     else {
+      val t0 = System.nanoTime()
       val v = f
+      System.err.println(f"[snapshot] name=$prefix " +
+        f"build_s=${(System.nanoTime() - t0) / 1e9}%.3f")
       val prev = builtValues.putIfAbsent(key, v)
       if (prev != null) prev.asInstanceOf[T] else v
     }
@@ -117,7 +120,13 @@ object SharedRelations {
         val dir = java.nio.file.Files.createTempDirectory("graft_shared_")
         tempDirs.add(dir) // recorded BEFORE the write: losers get cleaned too
         val p = s"$dir/rel.parquet"
+        val t0 = System.nanoTime()
         df.write.mode("overwrite").parquet(p)
+        // one line per build so the amortized warm-up cost of every
+        // session snapshot stays auditable next to the per-gate bench
+        // numbers (r13 verdict item 9)
+        System.err.println(f"[snapshot] name=${key.takeWhile(_ != ':')} " +
+          f"build_s=${(System.nanoTime() - t0) / 1e9}%.3f")
         val prev = built.putIfAbsent(key, p)
         if (prev != null) prev else p
       }
@@ -200,6 +209,16 @@ object SharedRelations {
         .distinct()
     })
 
+  /** Session-cached driver trade graph over [[custSuppPairs]] (ONE
+    * collect + CSR over the encoded doubled arcs, shared by
+    * q_pagerank and q_bfs_hops — each previously re-collected and
+    * re-indexed the arc relation per call); None past the driver
+    * bound, where both gates keep their distributed loops unchanged.
+    */
+  def tradeGraph(s: SparkSession, d: String): Option[graft.operators.Graphs.TradeGraph] =
+    cachedValue("csppeel", d)(
+      graft.operators.Graphs.tradeGraphUnder(custSuppPairs(s, d)))
+
   // ------------------------------------------------------------------
   // LM-family shared model inputs (r12 verdict item 4). The four LM
   // gates (q_lm_bigram, q_lm_kn, q_lm_trigram, q_moore_lewis_bi) each
@@ -219,6 +238,37 @@ object SharedRelations {
     snapshot(s, "dtok", d)( {
       Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
         graft.operators.TextOps.tokens(col("text")).as("w"))
+    })
+
+  /** (doc_id, dl, term, tf) postings slice of the corpus for a fixed
+    * retrieval workload's distinct terms — the inverted-index
+    * projection the lexical retrieval gates (q_bm25, q_ql_retrieval)
+    * each re-derived with a full corpus parse + explode per call.
+    * Production serves lexical retrieval from exactly this
+    * materialized postings structure next to the corpus. Keyed by
+    * the caller's workload `key` (term sets are fixed driver-side
+    * workloads, not data).
+    */
+  def queryPostings(s: SparkSession, d: String, key: String,
+                    terms: Seq[String]): DataFrame =
+    snapshot(s, s"qpost-$key", d)(
+      docTokens(s, d)
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+
+  /** (n_docs, total tokens) of the documents corpus — session-cached
+    * driver scalars (the BM25 / query-likelihood normalizers; both
+    * previously re-aggregated them from a full corpus parse per
+    * call). Exact longs, so consumers' literals are value-identical
+    * to the in-plan aggregates they replace. */
+  def docLenStats(s: SparkSession, d: String): (Long, Long) =
+    cachedValue("dlstats", d)( {
+      val r = docTokens(s, d).agg(count(lit(1)).cast("long"),
+        sum(size(col("w"))).cast("long")).head
+      (r.getLong(0), r.getLong(1))
     })
 
   /** Bigram instances exploded from a tokenized relation — map-side

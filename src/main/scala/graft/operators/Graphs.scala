@@ -994,9 +994,13 @@ object Graphs {
     * [[graft.SharedRelations.cachedValue]].
     */
   final class PeelGraph private[Graphs] (rows: Array[org.apache.spark.sql.Row]) {
-    private lazy val coreCsr = new Csr(rows)
+    // both index structures build EAGERLY from the constructor-local
+    // row array so the collected Rows are not retained for the JVM
+    // lifetime (r13 advice: the lazy fields kept ~1.2M boxed Rows
+    // alive next to the primitive arrays)
+    private val coreCsr = new Csr(rows)
     // dense ids shared by the truss side (built once, checked once)
-    private lazy val trussBase: (Array[Int], Array[Int], Int) = {
+    private val trussBase: (Array[Int], Array[Int], Int) = {
       val nE = rows.length
       val idx = new java.util.HashMap[Long, Integer](nE * 2)
       var nN = 0
@@ -1061,7 +1065,263 @@ object Graphs {
         (k, n, e)
       }
     }
+
+    /** Exact Adamic–Adar top-k off the cached CSR — the driver twin
+      * of the q_adamic_adar distributed plan: wedges fan out per
+      * center with deg ∈ [minDeg, maxDeg] (the gate/oracle hub cap),
+      * pair weights 1e12 // floor(ln(deg_center)·1e6) (the same
+      * positive-integer floor over the same degree values), adjacent
+      * pairs removed, top-k by (aa_micro desc, u, v). Identical
+      * integers ⇒ identical rows at any layout.
+      */
+    def adamicAdarTop(minDeg: Int, maxDeg: Int, k: Int): Seq[(Long, Long, Long, Long)] = {
+      require(minDeg >= 2, s"minDeg must be >= 2 (ln(1) = 0): $minDeg")
+      val csr = coreCsr
+      val n = csr.nNodes
+      val keyVal = new Array[Long](n)
+      var i = 0
+      while (i < n) { keyVal(i) = csr.keyOf(i).asInstanceOf[Long]; i += 1 }
+      // packed (dense u)·n + (dense v), pair ordered by ORIGINAL key
+      // value (the SQL's a.n < b.n); canonical edges already carry
+      // value order, so the anti-join below packs the same way
+      val acc = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      var c = 0
+      while (c < n) {
+        val d = csr.deg(c)
+        if (d >= minDeg && d <= maxDeg) {
+          val w = 1000000000000L / math.floor(math.log(d.toDouble) * 1000000).toLong
+          val s0 = csr.start(c)
+          val e0 = s0 + d
+          var a = s0
+          while (a < e0) {
+            var b = a + 1
+            while (b < e0) {
+              val x = csr.nbr(a)
+              val y = csr.nbr(b)
+              val u = if (keyVal(x) < keyVal(y)) x else y
+              val v = if (keyVal(x) < keyVal(y)) y else x
+              val key = java.lang.Long.valueOf(u.toLong * n + v)
+              val got = acc.get(key)
+              if (got != null) { got(0) += 1; got(1) += w }
+              else acc.put(key, Array(1L, w))
+              b += 1
+            }
+            a += 1
+          }
+        }
+        c += 1
+      }
+      var e = 0
+      while (e < csr.nEdges) {
+        acc.remove(java.lang.Long.valueOf(csr.srcI(e).toLong * n + csr.dstI(e)))
+        e += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](acc.size)
+      acc.forEach { (key, cw) =>
+        val u = keyVal((key.longValue / n).toInt)
+        val v = keyVal((key.longValue % n).toInt)
+        out += ((u, v, cw(0), cw(1)))
+      }
+      out.sortBy { case (u, v, _, aa) => (-aa, u, v) }.take(k).toSeq
+    }
+
+    /** (n_nodes, n_edges_directed, assortativity) — the exact driver
+      * twin of the q_assortativity moment plan: m = Σdeg, sx = Σdeg²,
+      * sxx = Σdeg³, sxy = Σ_{doubled arcs} deg(u)·deg(v), all exact
+      * (BigInt where the plan uses decimal(38,0)); the final r is the
+      * plan's cast-to-double / sqrt / round(4) tail verbatim.
+      */
+    def assortativityStats(): (Long, Long, Option[Double]) = {
+      val csr = coreCsr
+      val n = csr.nNodes
+      var m = 0L
+      var sx = BigInt(0)
+      var sxx = BigInt(0)
+      var sxy = BigInt(0)
+      var i = 0
+      while (i < n) {
+        val d = csr.deg(i).toLong
+        m += d
+        sx += BigInt(d * d) // d ≤ 4e6 under the bound → d² fits long
+        sxx += BigInt(d) * d * d
+        var sv = 0L // Σ_{u∈N(i)} deg(u) ≤ deg(i)·maxdeg — fits long
+        var j = csr.start(i)
+        val end = csr.start(i) + csr.deg(i)
+        while (j < end) { sv += csr.deg(csr.nbr(j)); j += 1 }
+        sxy += BigInt(sv) * d
+        i += 1
+      }
+      val md = BigInt(m)
+      val vx = md * sxx - sx * sx
+      val r =
+        if (vx > 0) {
+          val num = md * sxy - sx * sx
+          val numD = new java.math.BigDecimal(num.bigInteger).doubleValue()
+          val vxD = new java.math.BigDecimal(vx.bigInteger).doubleValue()
+          Some(java.math.BigDecimal.valueOf(numD / math.sqrt(vxD * vxD))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0)
+        } else None
+      (n.toLong, m, r)
+    }
+
+    /** (k, nodes with deg > k, edges with both endpoint degs > k) per
+      * threshold — q_rich_club's counting pass off the cached CSR.
+      */
+    def richClub(ks: Seq[Int]): Seq[(Int, Long, Long)] = {
+      val csr = coreCsr
+      ks.map { k =>
+        var nn = 0L
+        var i = 0
+        while (i < csr.nNodes) { if (csr.deg(i) > k) nn += 1; i += 1 }
+        var ne = 0L
+        var e = 0
+        while (e < csr.nEdges) {
+          if (csr.deg(csr.srcI(e)) > k && csr.deg(csr.dstI(e)) > k) ne += 1
+          e += 1
+        }
+        (k, nn, ne)
+      }
+    }
   }
+
+  /** Session-cacheable driver state over the collected DISTINCT
+    * bipartite trade pairs (ck, sk): one collect + CSR over the
+    * encoded doubled arc relation (customers 2k, suppliers 2k+1 —
+    * the q_pagerank / q_bfs_hops node convention) serves both gates'
+    * driver fast paths, which previously each re-collected and
+    * re-indexed the ~2·pairs arc relation per call. All state is
+    * immutable after build; every call computes on fresh arrays.
+    * Obtain via [[Graphs.tradeGraphUnder]], cache via
+    * [[graft.SharedRelations.cachedValue]].
+    */
+  final class TradeGraph private[Graphs] (rows0: Array[org.apache.spark.sql.Row]) {
+    private val nArcs = rows0.length * 2
+    private val idx = new java.util.HashMap[Long, Integer](rows0.length * 4)
+    private val keysBuf = new scala.collection.mutable.ArrayBuffer[Long]()
+    private def id(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { idx.put(x, keysBuf.length); keysBuf += x; keysBuf.length - 1 }
+    }
+    private val srcI = new Array[Int](nArcs)
+    private val dstI = new Array[Int](nArcs)
+    locally {
+      var i = 0
+      while (i < rows0.length) {
+        val c = id(rows0(i).getLong(0) * 2)
+        val s = id(rows0(i).getLong(1) * 2 + 1)
+        srcI(2 * i) = c; dstI(2 * i) = s
+        srcI(2 * i + 1) = s; dstI(2 * i + 1) = c
+        i += 1
+      }
+    }
+    val nNodes: Int = keysBuf.length
+    private val keys = keysBuf.toArray
+    private val deg = new Array[Int](nNodes)
+    locally { var i = 0; while (i < nArcs) { deg(srcI(i)) += 1; i += 1 } }
+    private val start = new Array[Int](nNodes + 1)
+    locally { var i = 0; while (i < nNodes) { start(i + 1) = start(i) + deg(i); i += 1 } }
+    private val nbr = new Array[Int](nArcs)
+    locally {
+      val fill = java.util.Arrays.copyOf(start, nNodes)
+      var i = 0
+      while (i < nArcs) { nbr(fill(srcI(i))) = dstI(i); fill(srcI(i)) += 1; i += 1 }
+    }
+
+    /** (encoded node, pico rank) after `iters` exact damped rounds —
+      * [[Graphs.pageRankPico]]'s driver arithmetic verbatim (same
+      * positive-integer floors; outdeg = degree because the doubled
+      * relation makes every node a source, so no contribution is
+      * dropped — exactly the distributed semantics on this graph).
+      */
+    def pageRank(iters: Int, unit: Long, dampNum: Long): Seq[(Long, Long)] = {
+      require(iters >= 1 && dampNum >= 0 && dampNum <= 100 && unit > 0)
+      val n = nNodes
+      if (n == 0) return Seq.empty
+      val teleport = ((100L - dampNum) * unit) / (100L * n)
+      var r = Array.fill(n)(unit / n)
+      var it = 0
+      while (it < iters) {
+        val in = new Array[Long](n)
+        var u = 0
+        while (u < n) {
+          val c = r(u) / deg(u)
+          var j = start(u)
+          val end = start(u + 1)
+          while (j < end) { in(nbr(j)) += c; j += 1 }
+          u += 1
+        }
+        val next = new Array[Long](n)
+        var i = 0
+        while (i < n) { next(i) = teleport + (dampNum * in(i)) / 100L; i += 1 }
+        r = next
+        it += 1
+      }
+      (0 until n).map(i => (keys(i), r(i)))
+    }
+
+    /** Distance-histogram counts[0..maxHops] of a bounded BFS from
+      * encoded seed nodes — [[Graphs.bfsHopsUndirected]]'s driver
+      * branch collapsed to the q_bfs_hops histogram (distinct stray
+      * seeds count at distance 0; zero buckets preserved). */
+    def bfsHist(seeds: Array[Long], maxHops: Int): Array[Long] = {
+      require(maxHops >= 0 && maxHops <= 10, s"maxHops out of range: $maxHops")
+      val dist = new Array[Int](nNodes)
+      java.util.Arrays.fill(dist, -1)
+      val counts = new Array[Long](maxHops + 1)
+      var frontier = new Array[Int](nNodes)
+      var fLen = 0
+      val seen = new java.util.HashSet[Long]()
+      seeds.foreach { k =>
+        if (seen.add(k)) {
+          val got = idx.get(k)
+          if (got == null) counts(0) += 1 // stray seed: distance 0
+          else if (dist(got.intValue) < 0) {
+            dist(got.intValue) = 0
+            counts(0) += 1
+            frontier(fLen) = got.intValue
+            fLen += 1
+          }
+        }
+      }
+      var hop = 1
+      while (hop <= maxHops && fLen > 0) {
+        val next = new Array[Int](nNodes)
+        var nLen = 0
+        var f = 0
+        while (f < fLen) {
+          val u = frontier(f)
+          var j = start(u)
+          val end = start(u + 1)
+          while (j < end) {
+            val m = nbr(j)
+            if (dist(m) < 0) {
+              dist(m) = hop
+              counts(hop) += 1
+              next(nLen) = m
+              nLen += 1
+            }
+            j += 1
+          }
+          f += 1
+        }
+        frontier = next
+        fLen = nLen
+        hop += 1
+      }
+      counts
+    }
+  }
+
+  /** Collect a distinct (ck, sk) trade-pair relation under HALF the
+    * driver edge bound (its doubled arc relation is what the
+    * per-gate collects budgeted) into a [[TradeGraph]]; None past the
+    * bound — callers fall back to their distributed paths, which keep
+    * their own (identically budgeted) driver branches. */
+  def tradeGraphUnder(pairs: DataFrame,
+                      bound: Long = DriverGraphMaxEdges): Option[TradeGraph] =
+    collectUnderBound(pairs.select(col("ck"), col("sk")), bound / 2)
+      .map(new TradeGraph(_))
 
   /** Collect a canonical edge relation under the driver bound into a
     * [[PeelGraph]]; None past the bound (callers fall back to the

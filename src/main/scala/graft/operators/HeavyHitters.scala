@@ -218,6 +218,65 @@ object HeavyHitters {
       .select(col("term"), col("cnt"), col("rnk"), pmi.as("pmi_micro"))
   }
 
+  /** Exact top-k over an already-aggregated (term, cnt) count
+    * relation — the materialized-count-table twin of [[topKTerms]]:
+    * production keeps its n-gram count tables next to the corpus
+    * (the LM-family snapshot architecture), and against such a table
+    * the top-k is one TakeOrdered over vocab-bounded rows — no
+    * corpus pass, no sketch. The sketch paths above remain the
+    * no-count-table / streaming shape. Identical output to the
+    * sketch+recount (both are the exact top-k): (term, cnt, rnk),
+    * rnk 1..k by (cnt desc, term).
+    */
+  def topKFromCounts(counts: DataFrame, k: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.select(col("term").cast("string").as("term"),
+        col("cnt").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
+      .toSeq.toDF("term", "cnt", "rnk")
+  }
+
+  /** [[pmiTopBigrams]] over materialized count snapshots: `bigrams`
+    * = (w1, w2, c) bigram counts, `unigrams` = (word, c, n) unigram
+    * counts with the total-token normalizer n = Σc attached. The
+    * corpus totals the in-corpus path aggregates per call are exact
+    * snapshot aggregates here: nn = n, mm = Σ bigrams.c (every doc
+    * with ≥ 1 token contributes len tokens and max(len−1, 0) bigram
+    * instances — the same sums). The association column is the same
+    * expression over the same integers, so rows are identical.
+    */
+  def pmiTopBigramsFromCounts(bigrams: DataFrame, unigrams: DataFrame,
+                              k: Int): DataFrame = {
+    val spark = bigrams.sparkSession
+    import spark.implicits._
+    val topRows = bigrams
+      .select(concat_ws(" ", col("w1"), col("w2")).as("term"),
+        col("c").cast("long").as("cnt"), col("w1"), col("w2"))
+      .orderBy(col("cnt").desc, col("term")).limit(k).collect()
+    val top = topRows.zipWithIndex
+      .map { case (r, i) =>
+        (r.getString(0), r.getLong(1), (i + 1).toLong, r.getString(2), r.getString(3))
+      }
+      .toSeq.toDF("term", "cnt", "rnk", "_w1", "_w2")
+    val words = topRows.flatMap(r => Seq(r.getString(2), r.getString(3))).distinct.toSeq
+    val uni = unigrams.filter(col("word").isin(words: _*))
+      .select(col("word"), col("c").cast("long").as("c"))
+    val st = unigrams.agg(max(col("n")).cast("long").as("nn"))
+      .join(bigrams.agg(sum(col("c")).cast("long").as("mm")))
+    // association mirrored term-for-term by the q_pmi oracle SQL
+    val pmi = floor(log((col("cnt").cast("double") * col("nn") * col("nn"))
+      / (col("mm").cast("double") * col("c1") * col("c2"))) * lit(1000000)).cast("long")
+    graft.operators.Curation.withStats(
+        top
+          .join(broadcast(uni.select(col("word").as("_w1"), col("c").as("c1"))), Seq("_w1"))
+          .join(broadcast(uni.select(col("word").as("_w2"), col("c").as("c2"))), Seq("_w2")),
+        st)
+      .select(col("term"), col("cnt"), col("rnk"), pmi.as("pmi_micro"))
+  }
+
   /** Word n-gram terms of a document relation — the recount-side
     * exploded form. Tokens split on single spaces (oracle-portable).
     * The split array is materialized in its own projection first:

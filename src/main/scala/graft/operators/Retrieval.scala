@@ -84,6 +84,83 @@ object Retrieval {
         col("score_micro"), col("n_terms"))
   }
 
+  /** [[bm25TopK]] over a materialized (doc_id, dl, term, tf)
+    * postings slice plus the corpus normalizers as driver literals —
+    * the inverted-index serving shape
+    * ([[graft.SharedRelations.queryPostings]] /
+    * [[graft.SharedRelations.docLenStats]]): per call only the
+    * score + rank stages run, never the corpus parse. The scoring
+    * association is the same expression over the same integers as
+    * the in-corpus path, so rows are identical.
+    */
+  def bm25TopKFromPostings(postings: DataFrame, nDocs: Long, totalLen: Long,
+                           queries: Seq[(Long, String)], topK: Int = 10,
+                           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query workload")
+    val qterms = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    // tf is distinct per (doc, term), so df is a plain count
+    val dfRel = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfRel), Seq("term"))
+    // association mirrored term-for-term by bm25Sql — do not refactor
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * ((col("dl") * lit(nDocs)) / lit(totalLen)))
+    val sMicro = floor((idf * (num / den)) * lit(1000000)).cast("long")
+    val agg = scored
+      .select(col("query_id"), col("doc_id"), sMicro.as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_micro"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    agg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
+  /** [[qlTopK]] over the same materialized postings slice + literal
+    * collection-length normalizer — see [[bm25TopKFromPostings]]. */
+  def qlTopKFromPostings(postings: DataFrame, ct: Long,
+                         queries: Seq[(Long, String)], topK: Int = 10,
+                         mu: Double = 2000.0): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "empty query workload")
+    val qterms = queries
+      .flatMap { case (qid, qt) => qt.split(" ").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val qn = qterms.groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("nq"))
+    val cfRel = postings.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cf"))
+    // association mirrored term-for-term by qlSql — do not refactor
+    val termS = floor(log(lit(1.0) +
+      col("tf").cast("double") * lit(ct) / (lit(mu) * col("cf"))) * lit(1000000))
+      .cast("long")
+    val sc = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(cfRel), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sum(termS).cast("long").as("sm"), count(lit(1)).cast("long").as("n_terms"))
+    val agg = sc.join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("sm") + floor(col("nq") * log(lit(mu) / (col("dl") + lit(mu))) * lit(1000000))
+          .cast("long")).as("score_micro"),
+        col("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    agg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard
     * hybrid-retrieval combiner): fuse the BM25 top-K list with a raw
     * query-term-frequency top-K list, score = Σ_systems

@@ -131,29 +131,42 @@ object AuditQueries {
          |SELECT u, v, n_common, aa_micro FROM cand
          |ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin
     }) { (s, d) =>
-    import graft.operators.Curation.microLn
-    // the distinct pair stage feeds BOTH adjacency directions AND the
-    // final anti-join — all three consumers now re-scan the shared
-    // materialized snapshot (cheap columnar read, no recompute; the r9
-    // in-session persist + triple pass was the flagged residual gap)
-    val e = graft.SharedRelations.partCoEdges(s, d)
-    val adj = e.select(col("u").as("c"), col("v").as("n"))
-      .unionAll(e.select(col("v").as("c"), col("u").as("n")))
-    val deg = adj.groupBy(col("c").as("node"))
-      .agg(count(lit(1)).cast("long").as("deg"))
-    val ctr = adj.join(deg.withColumnRenamed("node", "c"), "c")
-      .filter(col("deg") >= 2 && col("deg") <= 64)
-    val a = ctr.select(col("c"), col("n").as("nu"), col("deg"))
-    val b = ctr.select(col("c"), col("n").as("nv"))
-    val wg = a.join(b, "c").filter(col("nu") < col("nv"))
-      .select(col("nu").as("u"), col("nv").as("v"),
-        Binning.floorDivCol(lit(1000000000000L), microLn(col("deg"))).as("w"))
-    val sc = wg.groupBy(col("u"), col("v")).agg(
-      count(lit(1)).cast("long").as("n_common"),
-      sum(col("w")).cast("long").as("aa_micro"))
-    sc.join(e, Seq("u", "v"), "left_anti")
-      .orderBy(col("aa_micro").desc, col("u"), col("v"))
-      .limit(20)
+    // session-cached driver peel graph (the q_kcore/q_ktruss CSR,
+    // shared): the capped wedge fan-out is node-bounded (≤ cap² per
+    // center — 252 k pairs at sf0.1), so under the driver edge bound
+    // the whole wedge→aggregate→anti-join→top-20 chain runs off the
+    // cached topology in one pass. Past the bound: the distributed
+    // capped-wedge plan below, unchanged.
+    peelGraph(s, d) match {
+      case Some(pg) =>
+        import s.implicits._
+        pg.adamicAdarTop(minDeg = 2, maxDeg = 64, k = 20)
+          .toDF("u", "v", "n_common", "aa_micro")
+          .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      case None =>
+        import graft.operators.Curation.microLn
+        // the distinct pair stage feeds BOTH adjacency directions AND
+        // the final anti-join — all three consumers re-scan the shared
+        // materialized snapshot (cheap columnar read, no recompute)
+        val e = graft.SharedRelations.partCoEdges(s, d)
+        val adj = e.select(col("u").as("c"), col("v").as("n"))
+          .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+        val deg = adj.groupBy(col("c").as("node"))
+          .agg(count(lit(1)).cast("long").as("deg"))
+        val ctr = adj.join(deg.withColumnRenamed("node", "c"), "c")
+          .filter(col("deg") >= 2 && col("deg") <= 64)
+        val a = ctr.select(col("c"), col("n").as("nu"), col("deg"))
+        val b = ctr.select(col("c"), col("n").as("nv"))
+        val wg = a.join(b, "c").filter(col("nu") < col("nv"))
+          .select(col("nu").as("u"), col("nv").as("v"),
+            Binning.floorDivCol(lit(1000000000000L), microLn(col("deg"))).as("w"))
+        val sc = wg.groupBy(col("u"), col("v")).agg(
+          count(lit(1)).cast("long").as("n_common"),
+          sum(col("w")).cast("long").as("aa_micro"))
+        sc.join(e, Seq("u", "v"), "left_anti")
+          .orderBy(col("aa_micro").desc, col("u"), col("v"))
+          .limit(20)
+    }
   }
 
   /** Rich-club coefficient (#427, r10, Zhou & Mondragón 2004;
@@ -193,19 +206,31 @@ object AuditQueries {
          |  END AS phi_ppm
          |FROM pk ORDER BY k""".stripMargin
     }) { (s, d) =>
-    val e = graft.SharedRelations.partCoEdges(s, d)
-    val deg = Graphs.degrees(e).persist() // read once per threshold
-    val perK = Seq(2, 4, 8).map { k =>
-      val rich = deg.filter(col("deg") > k).select(col("node"))
-      val nNodes = rich.agg(count(lit(1)).cast("long").as("n_nodes"))
-      val nEdges = e
-        .join(rich.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(rich.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("n_edges"))
-      nNodes.join(nEdges)
-        .select(lit(k).as("k"), col("n_nodes"), col("n_edges"))
+    // session-cached driver peel graph (the q_kcore/q_ktruss CSR,
+    // shared): each threshold is one O(V+E) counting pass over the
+    // cached topology — the per-k node-count + two-semi-join rounds
+    // below collapse to zero distributed jobs. Past the driver
+    // bound: the distributed per-k chain, unchanged.
+    val counts = peelGraph(s, d) match {
+      case Some(pg) =>
+        import s.implicits._
+        pg.richClub(Seq(2, 4, 8)).toDF("k", "n_nodes", "n_edges")
+      case None =>
+        val e = graft.SharedRelations.partCoEdges(s, d)
+        val deg = Graphs.degrees(e).persist() // read once per threshold
+        val perK = Seq(2, 4, 8).map { k =>
+          val rich = deg.filter(col("deg") > k).select(col("node"))
+          val nNodes = rich.agg(count(lit(1)).cast("long").as("n_nodes"))
+          val nEdges = e
+            .join(rich.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+            .join(rich.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_edges"))
+          nNodes.join(nEdges)
+            .select(lit(k).as("k"), col("n_nodes"), col("n_edges"))
+        }
+        perK.reduce(_.unionAll(_))
     }
-    perK.reduce(_.unionAll(_))
+    counts
       .select(col("k"), col("n_nodes"), col("n_edges"),
         when(col("n_nodes") > 1,
           Binning.floorDivCol(lit(2L) * col("n_edges") * lit(1000000L),
@@ -251,6 +276,25 @@ object AuditQueries {
       |        * CAST(a.m * a.syy - a.sy * a.sy AS DOUBLE)), 4) + 0.0
       |  END AS assortativity
       |FROM a, nn""".stripMargin) { (s, d) =>
+    // session-cached driver peel graph (the q_kcore/q_ktruss CSR,
+    // shared): every moment is an O(V+E) pass over the cached
+    // topology — sums exact (BigInt for the decimal(38,0) columns),
+    // the final r the same cast/round tail, so rows are identical.
+    // Past the driver bound: the distributed moment plan, unchanged.
+    peelGraph(s, d) match {
+      case Some(pg) =>
+        import s.implicits._
+        val (nNodes, m, r) = pg.assortativityStats()
+        Seq((nNodes, m, r))
+          .toDF("n_nodes", "n_edges_directed", "assortativity")
+      case None =>
+        qAssortativityDistributed(s, d)
+    }
+  }
+
+  /** The distributed q_assortativity moment plan — the 100 TB path
+    * past the driver peel-graph bound. */
+  private def qAssortativityDistributed(s: SparkSession, d: String): DataFrame = {
     // both union branches re-read the distinct pair stage — they scan
     // the shared materialized snapshot (SharedRelations), so the
     // lineitem self-join never re-runs here
@@ -1102,8 +1146,15 @@ object AuditQueries {
     // arithmetic (BigInt where the oracle says HUGEINT; every
     // division is a nonnegative floor). The r12 shape paid a SECOND
     // corpus pass for the z moments plus two windows and a join.
+    // r14: distinct cents is DATA-dependent, not calendar-bounded, so
+    // the collect is guarded like the graph driver paths (fused
+    // limit-probe, Graphs.DriverGraphMaxEdges-class bound); past the
+    // bound the r12 distributed shape below runs unchanged.
     import s.implicits._
-    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows0 = v.limit(LeveneGridMaxRows + 1).collect()
+    if (rows0.length > LeveneGridMaxRows) qLeveneDistributed(e, v)
+    else {
+    val rows = rows0.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val types = rows.groupBy(_._1).toSeq.sortBy(_._1)
     var k = 0L
     var nTot = 0L
@@ -1145,6 +1196,48 @@ object AuditQueries {
         Seq((k, Some(nTot), k - 1, Some(nTot - k), fPpm))
       }
     out.toDF("k", "n", "dof_between", "dof_within", "f_ppm")
+    }
+  }
+
+  /** Driver bound for the q_levene value grid: 2M (type, cents, cnt)
+    * rows ≈ tens of MB — the [[Graphs]] driver-graph budget. */
+  private val LeveneGridMaxRows = 2000000
+
+  /** The r12 distributed Brown–Forsythe shape — the 100 TB path past
+    * the value-grid driver bound: per-type LO-median via windows over
+    * the value-collapsed grid, one z-moment corpus pass, exact
+    * decimal F-statistic tail. Same integers as the driver replay.
+    */
+  private def qLeveneDistributed(e: DataFrame, v: DataFrame): DataFrame = {
+    import graft.operators.Exact.floorDivBig
+    val w = v
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val med = w.filter(lit(2) * col("cum") >= col("n"))
+      .groupBy(col("event_type")).agg(min(col("c")).as("med"))
+    val z = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("c") - col("med")).as("zc"))
+    val a = z.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_g"), sum(col("zc")).cast("long").as("s_g"),
+      sum(col("zc").cast("decimal(38,0)") * col("zc")).cast("decimal(38,0)").as("q_g"))
+    val t = a.agg(
+      count(lit(1)).cast("long").as("k"), sum(col("n_g")).cast("long").as("n"),
+      sum(col("q_g")).cast("decimal(38,0)").as("q"),
+      sum(floorDivBig(col("s_g").cast("decimal(38,0)") * col("s_g") * lit(1000000L),
+        col("n_g"))).cast("decimal(38,0)").as("a_scaled"),
+      sum(col("s_g")).cast("decimal(38,0)").as("s"))
+    val f = t.select(col("k"), col("n"), col("q"),
+      greatest(col("a_scaled") - floorDivBig(col("s") * col("s") * lit(1000000L), col("n")),
+        lit(0L).cast("decimal(38,0)")).as("ssb_micro"),
+      (col("q") * lit(1000000L) - col("a_scaled")).as("ssw_micro"))
+    f.select(col("k"), col("n"),
+      (col("k") - 1).as("dof_between"), (col("n") - col("k")).as("dof_within"),
+      when(col("ssw_micro") === lit(0L).cast("decimal(38,0)") || col("k") <= 1,
+          lit(null).cast("long"))
+        .otherwise(floorDivBig(
+          col("ssb_micro") * (col("n") - col("k")) * lit(1000000L),
+          col("ssw_micro") * (col("k") - 1)).cast("long")).as("f_ppm"))
   }
 
   /** floor(ln(2)·1e6) — the exact micro-nat weight of a word the
@@ -1732,24 +1825,33 @@ object AuditQueries {
           "l_partkey")
         .select(col("ok"), col("p_brand").as("it")).distinct())
     val nb = bk.agg(countDistinct(col("ok")).cast("long").as("n_baskets"))
-    // the pair stage feeds both the support aggregate and the pruned
-    // candidate relation; it is deliberately NOT persisted — both
-    // consumers rebuild it from the basket SNAPSHOT (a cheap
-    // basket-keyed self-join off a columnar scan), which beats
-    // materializing a corpus-sized pair relation at scale (measured
-    // at sf0.1: persisting pr was 1.90 s vs 1.81 s without — no win
-    // even here)
-    val pr = bk.select(col("ok"), col("it").as("u"))
-      .join(bk.select(col("ok"), col("it").as("v")), "ok")
-      .filter(col("u") < col("v"))
-    val sup = pr.groupBy(col("u"), col("v")).agg(count(lit(1)).cast("long").as("s"))
-      .filter(col("s") >= Items3MinPairSup)
-    val prf = pr.join(sup.select(col("u"), col("v")), Seq("u", "v"), "left_semi")
-      .persist() // both sides of the candidate join read it
-    val tri2 = prf.select(col("ok"), col("u"), col("v"))
-      .join(prf.select(col("ok").as("ok2"), col("u").as("v2"), col("v").as("w")),
-        col("ok") === col("ok2") && col("v") === col("v2"))
-      .select(col("u"), col("v"), col("w"))
+    // r14: the item domain is the brand catalog (tiny — ≤ the distinct
+    // items per basket, itself bounded by the order's line count), so
+    // the basket-keyed pair self-join + Apriori pair prune + candidate
+    // join (two shuffles of the pair relation plus a persist) collapse
+    // to ONE groupBy(ok) collect_set + a bounded C(n,3) per-basket
+    // triple fan-out + ONE (u,v,w) aggregate. Equivalence: the SQL's
+    // tri relation counts, per (u<v<w), every basket containing all
+    // three whenever pairs (u,v),(v,w) are globally frequent; any
+    // triple passing the final support ≥ min filter has all its pairs
+    // ≥ min by monotonicity, and the pair prune never drops a basket
+    // of a kept triple (it prunes per-PAIR, not per-basket) — so the
+    // filtered triple sets and counts are identical (the ≥ min final
+    // filter is the same constant as the pair prune).
+    val its = col("its")
+    val baskets = bk.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("it"))).as("its"))
+      .filter(size(its) >= 3)
+    // three chained index explodes (codegen-friendly Generate nodes —
+    // nested `transform` lambdas evaluate interpreted) enumerate the
+    // sorted combinations i < j < k
+    val tri2 = baskets
+      .select(its, explode(sequence(lit(1), size(its) - 2)).as("i"))
+      .select(its, col("i"), explode(sequence(col("i") + 1, size(its) - 1)).as("j"))
+      .select(its, col("i"), col("j"),
+        explode(sequence(col("j") + 1, size(its))).as("k"))
+      .select(element_at(its, col("i")).as("u"), element_at(its, col("j")).as("v"),
+        element_at(its, col("k")).as("w"))
     val s3 = tri2.groupBy(col("u"), col("v"), col("w"))
       .agg(count(lit(1)).cast("long").as("support"))
       .filter(col("support") >= Items3MinPairSup)
@@ -2005,11 +2107,19 @@ object AuditQueries {
       count(lit(1)).cast("long").as("n"),
       sum(col("x")).cast("long").as("s"),
       sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)").as("q"))
+    // argmax via a map-side-combinable min-struct aggregate (§2.3 —
+    // aggregate before the shuffle): the rank window this replaces
+    // exchanged and sorted the WHOLE corpus by event_type to keep one
+    // row per type; min(struct(−dev, event_id)) is the identical
+    // (dev desc, event_id asc) tie rule and shuffles one partial row
+    // per (partition × type).
+    val devC = abs(col("n").cast("decimal(38,0)") * col("x") - col("s"))
     val dv = e.join(broadcast(a), "event_type")
-      .withColumn("dev", abs(col("n").cast("decimal(38,0)") * col("x") - col("s")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("dev").desc, col("event_id"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"), first(col("s")).as("s"), first(col("q")).as("q"),
+        min(struct((-devC).as("nd"), col("event_id").as("eid"))).as("b"))
+      .select(col("event_type"), col("n"), col("s"), col("q"),
+        (-col("b.nd")).as("dev"), col("b.eid").as("event_id"))
     dv.select(col("event_type"), col("n"), col("event_id").as("outlier_event_id"),
         when(col("n") > 1 &&
             col("n").cast("decimal(38,0)") * col("q") > col("s").cast("decimal(38,0)") * col("s"),
@@ -2688,21 +2798,37 @@ object AuditQueries {
     // string keys ('c'||ck) tripled the doubled-arc relation's bytes
     // and made the driver-BFS adjacency a boxed string map — longs
     // collect and hash at a fraction of the cost, same histogram.
-    // Pairs come from the shared materialized trade-graph snapshot.
-    val pairs = graft.SharedRelations.custSuppPairs(s, d)
-    val edges = pairs.select((col("ck") * 2).as("u"), (col("sk") * 2 + 1).as("v"))
-    val seeds = Tables.supplier(s, d).orderBy(col("s_suppkey")).limit(5)
-      .select((col("s_suppkey") * 2 + 1).as("node"))
-    val dist = graft.operators.Graphs.bfsHopsUndirected(edges, seeds, maxHops = 3)
-    val hist = dist.groupBy(col("dist").cast("long").as("dist"))
-      .agg(count(lit(1)).cast("long").as("n_nodes"))
-    val frame = s.range(0, 4).select(col("id").as("dist"))
-    val out = frame.join(hist, Seq("dist"), "left")
-      .select(col("dist"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"))
-      .cache()
-    out.count() // materialize before the BFS round caches drop
-    edges.unpersist()
-    out.orderedSmall(col("dist"))
+    // Session-cached driver trade graph (SharedRelations.tradeGraph,
+    // shared with q_pagerank): ONE collect + CSR serves every call;
+    // per call only the seed probe + the in-memory BFS run. Past the
+    // driver bound: the distributed frontier loop, unchanged (it
+    // keeps its own identically-budgeted driver branch).
+    graft.SharedRelations.tradeGraph(s, d) match {
+      case Some(tg) =>
+        import s.implicits._
+        val seeds = Tables.supplier(s, d).orderBy(col("s_suppkey")).limit(5)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+          .collect().map(_.getLong(0))
+        tg.bfsHist(seeds, maxHops = 3).zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toSeq
+          .toDF("dist", "n_nodes")
+          .orderedSmall(col("dist"))
+      case None =>
+        val pairs = graft.SharedRelations.custSuppPairs(s, d)
+        val edges = pairs.select((col("ck") * 2).as("u"), (col("sk") * 2 + 1).as("v"))
+        val seeds = Tables.supplier(s, d).orderBy(col("s_suppkey")).limit(5)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        val dist = graft.operators.Graphs.bfsHopsUndirected(edges, seeds, maxHops = 3)
+        val hist = dist.groupBy(col("dist").cast("long").as("dist"))
+          .agg(count(lit(1)).cast("long").as("n_nodes"))
+        val frame = s.range(0, 4).select(col("id").as("dist"))
+        val out = frame.join(hist, Seq("dist"), "left")
+          .select(col("dist"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"))
+          .cache()
+        out.count() // materialize before the BFS round caches drop
+        edges.unpersist()
+        out.orderedSmall(col("dist"))
+    }
   }
 
   /** Bhattacharyya coefficient / Hellinger distance (#294): per

@@ -143,9 +143,19 @@ object CurationQueries {
       key: String, counts: DataFrame, scale: Double = 1.0): (DataFrame, Long) = {
     val lp = Curation.unigramModelFromCounts(counts, scale, topV = Some(LmTopV))._1
     val oov = graft.SharedRelations.cachedValue(s"ulmoov:$key:$scale", d) {
-      val r = counts.agg(max(col("n")).cast("long"), max(col("v")).cast("long")).head
+      // mirror unigramModelFromCounts' dual-shape handling: derive
+      // n/v from the counts when the stats columns are absent, and
+      // guard the empty-relation nulls (r13 advice — the bare
+      // max(n)/max(v) probe failed analysis on a plain (word, c)
+      // table and NPE'd on an empty one)
+      val hasStats = counts.columns.contains("n") && counts.columns.contains("v")
+      val r =
+        if (hasStats) counts.agg(max(col("n")).cast("long"), max(col("v")).cast("long")).head
+        else counts.agg(sum(col("c")).cast("long"), count(lit(1)).cast("long")).head
+      val nv = (if (r.isNullAt(0)) 0L else r.getLong(0)) +
+        (if (r.isNullAt(1)) 0L else r.getLong(1))
       java.lang.Long.valueOf(math.floor(
-        math.log(scale * 1.0 / (r.getLong(0) + r.getLong(1))) * 1000000).toLong)
+        math.log(scale * 1.0 / nv) * 1000000).toLong)
     }
     (lp, oov.longValue)
   }

