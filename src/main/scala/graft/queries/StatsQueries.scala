@@ -833,12 +833,22 @@ object StatsQueries {
     // 32-CASE chain, multiplying expression-stack work 32×; only the
     // already-tiny (b, w) pairs fan out here, straight into the
     // map-side partial aggregate.
-    // r13 measured-floor note: the ×32 explode + two overflow-proof
-    // decimal sums ARE the gate (decimal partial aggregation costs
-    // ~2× a long sum at 3.2 M rows; a one-pass variant carrying the
-    // full-mean sums as two extra decimal aggregates measured SLOWER
-    // — +0.5-0.7 s — than the r12 two-pass shape, and a driver-replay
-    // tail saves only the ~0.3 s of tiny-stage jobs; reverted).
+    // r14 (the r13 measured-floor note's follow-up): decimal partial
+    // sums cost ~2× a long sum at the 3.2 M-row explode, so when a
+    // session-cached corpus bound PROVES the widest intermediate
+    // (2·maxW·max|c|·n) fits a long, the sums run as longs — exact
+    // integers either way, so values are identical; past the bound
+    // the overflow-proof decimal sums stay (the oracle is HUGEINT
+    // regardless).
+    val (nRows, maxAbsC) = graft.SharedRelations.cachedValue("evabs", d) {
+      val r = ev(s, d).agg(count(lit(1)).cast("long"),
+        max(abs(Exact.cents(col("vd")))).cast("long")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val longSafe =
+      BigInt(2) * poissonCdfPpm.length * maxAbsC * nRows < BigInt(Long.MaxValue) / 4
+    def sumExact(c: Column) =
+      if (longSafe) sum(c).cast("long") else Exact.sumUnits(c).cast("long")
     val w = e.select(col("event_type"), col("c"),
       posexplode(graft.expressions.SeriesExpressions.bootWeights(
         col("event_id"), BootB / 4, poissonCdfPpm.toArray)).as(Seq("b", "w")))
@@ -847,8 +857,8 @@ object StatsQueries {
     // 0 div 0 is NULL on DuckDB but an ANSI crash on Spark, and the
     // engines rank NULLs at opposite ends
     val m = w.groupBy(col("event_type"), col("b"))
-      .agg(Exact.sumUnits(col("w")).cast("long").as("sw"),
-        Exact.sumUnits(col("w") * col("c")).cast("long").as("swc"))
+      .agg(sumExact(col("w")).as("sw"),
+        sumExact(col("w") * col("c")).as("swc"))
       .filter(col("sw") > 0)
       .withColumn("mean_b",
         Binning.floorDivCol(lit(2L) * col("swc") + col("sw"), lit(2L) * col("sw")))
@@ -856,7 +866,7 @@ object StatsQueries {
       Window.partitionBy(col("event_type")).orderBy(col("mean_b"), col("b"))))
     val fullM = e.groupBy(col("event_type"))
       .agg(Binning.floorDivCol(
-        lit(2L) * Exact.sumUnits(col("c")).cast("long") + count(lit(1)),
+        lit(2L) * sumExact(col("c")) + count(lit(1)),
         lit(2L) * count(lit(1))).as("mean_cents"))
     fullM.join(mm, "event_type")
       .groupBy(col("event_type"), col("mean_cents"))
